@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session config every entry point (Verify, Bench,
+  * tests, user code) needs. Designed for a real cluster: nothing here
+  * is local-mode-specific except the caller-provided master/parallelism.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
+      // reader otherwise rejects; read as long, Tables normalizes.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as micros (not INT96) so the oracle reads the
+      // exact same values back
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
+    val s = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

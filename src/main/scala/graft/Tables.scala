@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-data table loaders.
+  *
+  * The reference engine stores tables as time-partitioned columnar
+  * partitions with a designated timestamp (see
+  * `/root/reference/core/src/main/java/io/questdb/cairo/TableReader.java`);
+  * here the durable format is Parquet and the designated-timestamp
+  * convention is carried in [[Tables.designatedTs]].
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Designated timestamp column per table (QuestDB `timestamp(ts)`). */
+  val designatedTs: Map[String, String] = Map(
+    "events" -> "ts",
+    "orders" -> "o_orderdate",
+    "lineitem" -> "l_shipdate")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    load0(spark, dir, name)
+
+  /** `events.parquet` carries nanosecond timestamps, which Spark's
+    * parquet reader rejects (TimestampType is micros). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.configure]]);
+    * the ns long is truncated to micros here — the same thing DuckDB does
+    * when it reads the file — so every operator downstream sees a plain
+    * `TimestampType` designated-ts column.
+    */
+  def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load0(spark, dir, "events")
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load0(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -6,18 +6,21 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        // Dump timestamps as NTZ so the parquet carries naive (session-UTC)
+        // values, byte-identical to what DuckDB's oracle produces.
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        val df = fn(spark, sfDir)
+        val ntz = df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType)
+            org.apache.spark.sql.functions.col(f.name).cast(TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toIndexedSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named group of driver-checkable queries.
+  *
+  * Contract (see `graft.SparkEntry`): every entry in [[queries]] runs on
+  * an sf directory of parquet tables; entries that also appear in
+  * [[oracles]] must produce byte-identical results to the DuckDB SQL when
+  * both are sorted the same way. Conventions that make hash-compare
+  * robust across engines:
+  *
+  *   - every query ends in a total-order `ORDER BY` (same on both sides;
+  *     nulls position spelled out explicitly — Spark defaults NULLS FIRST
+  *     on ASC while DuckDB defaults NULLS LAST);
+  *   - double aggregates whose value depends on summation order are
+  *     either computed exactly (sum over `decimal`) or rounded;
+  *   - column names are aliased identically on both sides.
+  */
+trait QueryPack {
+  type Fn = (SparkSession, String) => DataFrame
+  def queries: Map[String, Fn]
+  def oracles: Map[String, String]
+
+  // ---- shared helpers ----------------------------------------------------
+
+  protected def table(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  /** Order-independent exact sum of a money-like double expression:
+    * per-row cast to decimal is deterministic across engines *as long as
+    * the scale covers the value's exact decimal expansion* (2-decimal
+    * inputs multiplied ≤3 times → ≤6 decimals; at a covering scale there
+    * is no rounding, so no engine-specific tie-breaking), then
+    * integer-exact decimal addition.
+    */
+  protected def sumDec(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("decimal(38,6)")
+
+  /** DuckDB-side twin of [[sumDec]]. */
+  protected def sumDecSql(e: String): String =
+    s"CAST(sum(CAST($e AS DECIMAL(24,6))) AS DECIMAL(38,6))"
+}
