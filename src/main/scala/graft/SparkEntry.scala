@@ -11,7 +11,9 @@ import graft.queries._
   */
 object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    TimeSeriesQueries,
+    WindowFnQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

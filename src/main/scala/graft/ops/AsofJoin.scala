@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ASOF / LT / SPLICE joins — the reference's time-series joins
+  * (`io/questdb/griffin/engine/join/AsOfJoin*`, `LtJoin*`,
+  * `SpliceJoinLightRecordCursorFactory.java`): for each master row, the
+  * latest slave row with `slave.ts <= master.ts` (ASOF) or `< master.ts`
+  * (LT), optionally per join key and within a `TOLERANCE` interval.
+  *
+  * Spark-first lowerings, chosen by shape:
+  *
+  *  - **Keyed** ([[asofKeyed]]): tag + `unionByName` both sides, one
+  *    window per key ordered by (ts, side) carrying
+  *    `last(slave_struct, ignoreNulls)`. One shuffle on the join key —
+  *    the same partitioning discipline a regular hash join would need —
+  *    no per-row range explosion, no skew beyond the key's own skew.
+  *    This is the 100 TB path: state per partition is a single struct.
+  *  - **No-key, small slave** ([[asofBroadcastNoKey]]): broadcast the
+  *    sorted slave and binary-search per master row (mirrors the
+  *    reference's no-key fast path,
+  *    `join/AsOfJoinFastRecordCursorFactory.java:50`). Zero shuffle of
+  *    the master side.
+  *
+  * Slave payload travels as a single struct so a slave row whose payload
+  * column is legitimately NULL is still "the matched row" (last-ignoreNulls
+  * skips missing structs, not null fields).
+  */
+object AsofJoin {
+  private val SIDE = "__graft_side"
+  private val SLAVE = "__graft_slave"
+  private val MASTER = "__graft_master"
+
+  /** Keyed ASOF/LT join.
+    *
+    * @param master        left side; all its columns pass through
+    * @param slave         right side
+    * @param masterTs      designated ts column name on master
+    * @param slaveTs       designated ts column name on slave
+    * @param keys          equi-join key column names (same names both sides)
+    * @param payload       slave columns to project (must not clash with master)
+    * @param strict        true = LT join (`slave.ts < master.ts`)
+    * @param toleranceMicros max master.ts - slave.ts distance
+    */
+  def asofKeyed(master: DataFrame, slave: DataFrame,
+                masterTs: String, slaveTs: String,
+                keys: Seq[String], payload: Seq[String],
+                strict: Boolean = false,
+                toleranceMicros: Option[Long] = None): DataFrame = {
+    val spark = master.sparkSession
+    val ts = "__graft_ts"
+
+    val m = master.withColumn(ts, col(masterTs))
+      .withColumn(SIDE, lit(1))
+      .withColumn(SLAVE, lit(null).cast(slaveStruct(slave, slaveTs, payload)))
+    val s0 = slave.select(
+      (keys.map(col) :+ col(slaveTs).as(ts)) ++
+        Seq(lit(0).as(SIDE),
+          struct(col(slaveTs).as("__slave_ts") +: payload.map(col): _*).as(SLAVE)): _*)
+    // pad slave with master's other columns as nulls so unionByName aligns
+    val s = master.columns.filterNot(c => keys.contains(c)).foldLeft(s0) {
+      (df, c) => df.withColumn(c, lit(null).cast(master.schema(c).dataType))
+    }
+
+    // ASOF (<=): slave sorts before master at equal ts so the master row
+    // sees it; LT (<): slave sorts after, so it doesn't.
+    val sideOrder = if (strict) -col(SIDE) else col(SIDE)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, sideOrder.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = m.unionByName(s.withColumn(ts, col(ts)))
+      .withColumn(SLAVE, last(col(SLAVE), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 1)
+
+    val tolFiltered = toleranceMicros match {
+      case Some(tol) =>
+        filled.withColumn(SLAVE,
+          when(col(s"$SLAVE.__slave_ts") >= col(ts) - expr(s"interval $tol microseconds"),
+            col(SLAVE)))
+      case None => filled
+    }
+    tolFiltered
+      .select(master.columns.map(col) ++
+        payload.map(p => col(s"$SLAVE.$p").as(p)): _*)
+  }
+
+  /** No-key ASOF/LT via broadcast binary search. `slave` must fit in
+    * driver/executor memory (reference data — same constraint as any
+    * broadcast join side).
+    */
+  def asofBroadcastNoKey(master: DataFrame, slave: DataFrame,
+                         masterTs: String, slaveTs: String,
+                         payload: Seq[String],
+                         strict: Boolean = false,
+                         toleranceMicros: Option[Long] = None): DataFrame = {
+    val spark = master.sparkSession
+    val payloadSchema = StructType(payload.map(p => slave.schema(p)))
+    val outSchema = StructType(master.schema.fields ++ payloadSchema.fields)
+
+    // slave → (tsMicros, payload values) sorted ascending
+    val slaveRows: Array[(Long, Seq[Any])] = slave
+      .select((col(slaveTs).cast("timestamp") +: payload.map(col)): _*)
+      .withColumn("__us", unix_micros(col(slaveTs)))
+      .select((col("__us") +: payload.map(col)): _*)
+      .collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(slaveRows)
+    val nulls: Seq[Any] = Seq.fill(payload.size)(null)
+
+    val mWithUs = master.withColumn("__us", unix_micros(col(masterTs)))
+    val usIdx = mWithUs.columns.length - 1
+    val res = mWithUs.mapPartitions { it =>
+      val arr = bc.value
+      it.map { r =>
+        val t = r.getLong(usIdx)
+        // rightmost slave with ts <= t (or < t when strict)
+        var lo = 0; var hi = arr.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val ok = if (strict) arr(mid)._1 < t else arr(mid)._1 <= t
+          if (ok) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        val within = ans >= 0 && toleranceMicros.forall(tol => t - arr(ans)._1 <= tol)
+        val p = if (within) arr(ans)._2 else nulls
+        Row.fromSeq(r.toSeq.dropRight(1) ++ p)
+      }
+    }(Encoders.row(outSchema))
+    res
+  }
+
+  /** SPLICE join: keyed full-outer time merge — every row of both tables,
+    * each paired with the latest counterpart row at or before its ts
+    * (reference `join/SpliceJoinLightRecordCursorFactory.java:62`).
+    * Same single-shuffle union-merge as [[asofKeyed]] but with two
+    * carry-forward windows (one per direction) and no side filter.
+    */
+  def splice(master: DataFrame, slave: DataFrame,
+             masterTs: String, slaveTs: String,
+             keys: Seq[String],
+             masterPayload: Seq[String], slavePayload: Seq[String]): DataFrame = {
+    val ts = "__graft_ts"
+    val m = master.select(
+      (keys.map(col) :+ col(masterTs).as(ts)) ++ Seq(
+        lit(1).as(SIDE),
+        struct(col(masterTs).as("__m_ts") +: masterPayload.map(col): _*).as(MASTER),
+        lit(null).cast(slaveStruct(slave, slaveTs, slavePayload)).as(SLAVE)): _*)
+    val s = slave.select(
+      (keys.map(col) :+ col(slaveTs).as(ts)) ++ Seq(
+        lit(0).as(SIDE),
+        lit(null).cast(masterStructType(master, masterTs, masterPayload)).as(MASTER),
+        struct(col(slaveTs).as("__slave_ts") +: slavePayload.map(col): _*).as(SLAVE)): _*)
+
+    // For a master row: latest slave with slave.ts <= ts  (slave first at ties)
+    val wSlave = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(SIDE).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // For a slave row: latest master with master.ts <= ts (master first at ties)
+    val wMaster = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(SIDE).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    m.unionByName(s)
+      .withColumn(SLAVE, last(col(SLAVE), ignoreNulls = true).over(wSlave))
+      .withColumn(MASTER, last(col(MASTER), ignoreNulls = true).over(wMaster))
+      .select(keys.map(col) ++ Seq(col(ts).as("ts"), col(SIDE).as("side")) ++
+        Seq(col(s"$MASTER.__m_ts").as("master_ts")) ++
+        masterPayload.map(p => col(s"$MASTER.$p").as(p)) ++
+        Seq(col(s"$SLAVE.__slave_ts").as("slave_ts")) ++
+        slavePayload.map(p => col(s"$SLAVE.$p").as(p)): _*)
+  }
+
+  private def slaveStruct(slave: DataFrame, slaveTs: String, payload: Seq[String]): StructType =
+    StructType(StructField("__slave_ts", slave.schema(slaveTs).dataType) +:
+      payload.map(p => slave.schema(p)))
+
+  private def masterStructType(master: DataFrame, masterTs: String, payload: Seq[String]): StructType =
+    StructType(StructField("__m_ts", master.schema(masterTs).dataType) +:
+      payload.map(p => master.schema(p)))
+}
