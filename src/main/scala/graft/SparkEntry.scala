@@ -13,7 +13,9 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     TimeSeriesQueries,
-    WindowFnQueries
+    WindowFnQueries,
+    AggFnQueries,
+    ScalarFnQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
