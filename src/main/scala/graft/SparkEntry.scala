@@ -15,7 +15,8 @@ object SparkEntry {
     TimeSeriesQueries,
     WindowFnQueries,
     AggFnQueries,
-    ScalarFnQueries
+    ScalarFnQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

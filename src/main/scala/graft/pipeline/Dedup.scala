@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH banding, SimHash. Everything is
+  * expressed relationally (explode → hash → group/join) so it
+  * partitions by shingle/bucket and scales horizontally — no
+  * driver-side state, no per-executor global structures.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row (min of `orderCol`) per key. */
+  def exact(df: DataFrame, keyCols: Seq[Column], orderCol: Column): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(orderCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Character shingle table: one row per (id, distinct shingle).
+    * The shingle explosion is the scale knob — at 100 TB this table is
+    * what gets partitioned (by shingle for the join, by id for the
+    * signatures); everything downstream is hash joins / aggregations.
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   carry: Seq[String] = Nil): DataFrame =
+    df.select((idCol +: carry).map(col) :+ col(textCol).as("__t"): _*)
+      .withColumn("__i", explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))))
+      .select((idCol +: carry).map(col) :+ expr(s"substring(__t, __i, $n)").as("sh"): _*)
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for candidate pairs sharing at
+    * least one shingle within a blocking key. Intersections come from a
+    * shingle-partitioned self-join; |A∪B| = |A|+|B|-|A∩B| — so the
+    * final similarity is exact integer arithmetic (bit-identical on any
+    * engine, any partitioning).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n, blockCols)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select((blockCols :+ "sh").map(col) :+ col(idCol).as("a"): _*)
+    val b = sh.select((blockCols :+ "sh").map(col) :+ col(idCol).as("b"): _*)
+    val inter = a.join(b, blockCols :+ "sh")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sza") + col("szb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("c").as("n_shared"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` independent hash functions
+    * simulated as md5(seed ‖ shingle) minima — engine-portable and
+    * seed-deterministic.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures: bucket = md5 of the band's
+    * concatenated signature rows; candidate pairs share (band, bucket).
+    * The pair join is per-bucket — the classic near-dup plan that holds
+    * at corpus scale because buckets stay small.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat(parts: _*))
+    }
+    val buckets = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** SimHash: 60-bit signature from per-token md5 bit votes. Pure
+    * relational lowering: token explode × 60 bit positions → majority
+    * vote per bit → weighted bit sum. (60 bits = 15 hex chars, keeping
+    * the value in a signed long portably.)
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(array_distinct(split(trim(col(textCol)), " "))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("hx", md5(col("w")))
+    // vote: +1 when the bit is set, -1 otherwise
+    val votes = tok
+      .withColumn("bit", explode(sequence(lit(0), lit(59))))
+      .withColumn("dval",
+        expr("locate(substring(hx, int(bit div 4) + 1, 1), '0123456789abcdef') - 1"))
+      .withColumn("contrib", expr("2 * ((dval >> (bit % 4)) & 1) - 1"))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+    votes
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  *  - [[cosineTopK]]: brute-force exact top-k — the correctness
+  *    baseline. The (small) query set is broadcast; the corpus streams
+  *    through once; per-query top-k via a key-partitioned window.
+  *  - [[lshBuckets]]: sign-of-hyperplane LSH bucketing — the 100 TB
+  *    path: bucket assignment is a per-row expression (no joins), and
+  *    candidate generation joins only within buckets. Hyperplane
+  *    weights are a deterministic integer formula, so results are
+  *    engine-portable and seed-stable.
+  *
+  * Dot products run in double precision via `zip_with`/`aggregate`
+  * lambda expressions — codegen'd, no UDF.
+  */
+object Similarity {
+  private val dot = (a: String, b: String) =>
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  /** Exact cosine top-k of `corpus` rows for each query row.
+    * Similarities are rounded (1e-6) with an id tiebreak so ranking is
+    * reproducible across engines/partitionings.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    val sim = round(
+      dot("qe", "ce") / (sqrt(dot("qe", "qe")) * sqrt(dot("ce", "ce"))), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim", "rn")
+  }
+
+  /** Sign-LSH bucket id per vector: bit h = sign(v · w_h) where
+    * w_h[i] = ((i*73 + h*37) mod 19) - 9 — integer pseudo-weights.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 numPlanes: Int): DataFrame = {
+    val planes = (0 until numPlanes).map { h =>
+      val d = expr(
+        s"""aggregate(
+           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
+           |    (x, i) -> CAST(x AS DOUBLE) * (((i * 73 + $h * 37) % 19) - 9)),
+           |  0D, (acc, v) -> acc + v)""".stripMargin)
+      when(d > 0.0, 1L << h).otherwise(0L)
+    }
+    df.select(col(idCol), planes.reduce(_ + _).as("bucket"))
+  }
+
+  /** Bucketed approximate near-neighbour candidate pairs. */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, numPlanes)
+    val a = b.select(col("bucket"), col(idCol).as("a"))
+    val bb = b.select(col("bucket"), col(idCol).as("b"))
+    a.join(bb, Seq("bucket")).filter(col("a") < col("b"))
+      .select("bucket", "a", "b")
+  }
+}

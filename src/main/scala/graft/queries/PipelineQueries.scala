@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline._
+
+/** Training-data pipeline operators (BASELINE.json north star):
+  * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash), similarity
+  * search (brute-force cosine + sign-LSH), text analysis, multimodal
+  * metadata extraction. All engine-portable formulations (md5-based
+  * hashing, integer-exact Jaccard) so DuckDB oracles verify them
+  * bit-for-bit.
+  */
+object PipelineQueries extends QueryPack {
+
+  def queries: Map[String, Fn] = Map(
+    "q_text_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenEstimate("text").as("bpe_est"),
+          TextAnalysis.qualityScore("text").as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId("text").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.load(s, dir, "documents"),
+        Seq(col("lang"), col("source")), col("doc_id"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 8, Seq("lang"), 0.12)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashCandidates(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 8, 8, 4)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_similarity_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    "q_similarity_lsh" -> ((s, dir) => {
+      Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", 4)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_multimodal_meta" -> ((s, dir) => {
+      val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
+      Multimodal.decodeStub(df, "payload")
+        .select(col("event_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"), col("meta.format").as("format"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  // shared oracle CTE: distinct 8-char shingles per doc
+  private val SH =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, lang, substring(text, CAST(i AS INT), 8) AS sh
+      |  FROM (SELECT doc_id, lang, text,
+      |          unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      |        FROM documents))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len,
+        |  CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(trim(text), ' '),
+        |       w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT) AS bpe_est,
+        |  CAST(round(
+        |    (CASE WHEN len(string_split(trim(text), ' ')) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN (length(text) - CAST(len(string_split(trim(text), ' ')) AS DOUBLE) + 1.0)
+        |              / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0
+        |         THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+        |              w -> w IN ('the','of','and','to','in','for','on','with'))) AS DOUBLE)
+        |              / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) > 0.02
+        |         THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ('the','of','and','to','in','for','on','with'))) AS INT) AS en,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ('el','la','de','que','los','por','con'))) AS INT) AS es,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ('der','die','das','und','ist','von','mit'))) AS INT) AS de,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ('le','la','les','des','est','dans','pour'))) AS INT) AS fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |       WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |       WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |       WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $SH,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, c AS n_shared,
+         |  CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+         |           JOIN sizes sb ON inter.b = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.12
+         |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $SH,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+         |    min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+         |    min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+         |    min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+         |  FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sigs
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM buckets x JOIN buckets y
+         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, md5(w) AS hx FROM tok WHERE w <> ''),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(2 * (((strpos('0123456789abcdef', substring(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |              >> CAST(b % 4 AS INT)) & 1) - 1) AS s
+        |  FROM t2 CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |pairs AS (
+        |  SELECT qid, cid,
+        |    round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+        |  FROM q CROSS JOIN c WHERE qid <> cid),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn FROM pairs)
+        |SELECT qid, cid, sim, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q_similarity_lsh" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+        |         CAST(unnest(range(0, len(embedding))) AS INT) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, h, sum(e * (((i * 73 + h * 37) % 19) - 9)) AS d
+        |  FROM ev CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS h) hh
+        |  GROUP BY vec_id, h)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """WITH h AS (SELECT event_id, md5(props) AS hx FROM events WHERE event_id < 500),
+        |d AS (SELECT event_id,
+        |        strpos('0123456789abcdef', substring(hx, 1, 1)) - 1 AS d0,
+        |        strpos('0123456789abcdef', substring(hx, 2, 1)) - 1 AS d1,
+        |        strpos('0123456789abcdef', substring(hx, 3, 1)) - 1 AS d2,
+        |        strpos('0123456789abcdef', substring(hx, 4, 1)) - 1 AS d3
+        |      FROM h)
+        |SELECT event_id,
+        |  CAST(16 + (16 * d0 + d1) * 4 AS INT) AS width,
+        |  CAST(16 + (16 * d2 + d3) * 4 AS INT) AS height,
+        |  3 AS channels,
+        |  CASE WHEN (16 * d0 + d1) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+        |FROM d ORDER BY event_id""".stripMargin
+  )
+}
