@@ -98,7 +98,8 @@ object AsofJoin {
                          strict: Boolean = false,
                          toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = master.sparkSession
-    val payloadSchema = StructType(payload.map(p => slave.schema(p)))
+    // unmatched masters carry null payload → force nullable
+    val payloadSchema = StructType(payload.map(p => slave.schema(p).copy(nullable = true)))
     val outSchema = StructType(master.schema.fields ++ payloadSchema.fields)
 
     // slave → (tsMicros, payload values) sorted ascending

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0, us * 1000))
+
+  // deterministic random fixture; slave ts unique (j*4997 mod 1e6 is a
+  // permutation) so the asof match is well-defined under ties
+  private val rnd = new Random(42)
+  private lazy val master = (1 to 300).map { i =>
+    (i.toLong, ts(rnd.nextInt(1000000).toLong * 1000), (rnd.nextInt(3) + 1).toLong)
+  }.toDF("mid", "ts", "k")
+  private lazy val slaveRows = (1 to 200).map { j =>
+    (j.toLong, ts((j.toLong * 4997 % 1000000) * 1000), (rnd.nextInt(3) + 1).toLong, rnd.nextDouble())
+  }
+  private lazy val slave = slaveRows
+    .toDF("sid", "ts", "k", "sv")
+    .select($"k", $"ts", $"ts".as("s_ts"), $"sid", $"sv")
+
+  /** O(n·m) reference implementation. */
+  private def naive(strict: Boolean, tolUs: Option[Long]): Map[Long, Option[Long]] = {
+    val ms = master.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+      r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+    val ss = slaveRows.map(s => (s._1, s._2.getTime * 1000 + s._2.getNanos / 1000 % 1000, s._3))
+    ms.map { case (mid, mts, mk) =>
+      val cands = ss.filter { case (_, sts, sk) =>
+        sk == mk && (if (strict) sts < mts else sts <= mts) &&
+          tolUs.forall(t => mts - sts <= t)
+      }
+      // latest ts, then greatest sid as tiebreak is NOT defined — fixture has unique ts per key
+      mid -> (if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, c._1))._1))
+    }.toMap
+  }
+
+  private def run(strict: Boolean, tolUs: Option[Long]): Map[Long, Option[Long]] =
+    AsofJoin.asofKeyed(master, slave, "ts", "ts", Seq("k"), Seq("s_ts", "sid", "sv"),
+      strict = strict, toleranceMicros = tolUs)
+      .select($"mid", $"sid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("keyed asof matches naive oracle") { assert(run(strict = false, None) == naive(strict = false, None)) }
+  test("keyed lt (strict) matches naive oracle") { assert(run(strict = true, None) == naive(strict = true, None)) }
+  test("tolerance nulls out stale matches") {
+    assert(run(strict = false, Some(50000L * 1000)) == naive(strict = false, Some(50000L * 1000)))
+  }
+
+  test("broadcast no-key variant agrees with keyed on single-key data") {
+    val m1 = master.filter($"k" === 1L)
+    val s1 = slave.filter($"k" === 1L)
+    val keyed = AsofJoin.asofKeyed(m1, s1, "ts", "ts", Seq("k"), Seq("sid"))
+      .select($"mid", $"sid").collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val bcast = AsofJoin.asofBroadcastNoKey(m1, s1.drop("k"), "ts", "ts", Seq("sid"))
+      .select($"mid", $"sid").collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(keyed == bcast)
+  }
+
+  test("splice emits every row from both sides") {
+    val p = master.select($"k", $"ts", $"mid")
+    val c = slave.select($"k", $"ts", $"sid")
+    val out = AsofJoin.splice(p, c, "ts", "ts", Seq("k"), Seq("mid"), Seq("sid"))
+    assert(out.count() == master.count() + slaveRows.size)
+    // every master row carries the same slave match as asof
+    val fromSplice = out.filter($"side" === 1).select($"mid", $"sid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fromSplice == naive(strict = false, None))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops._
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  test("SampleBy FILL(LINEAR) interpolates gaps, leaves edges null") {
+    // buckets: 0h present(10.0), 1h gap, 2h gap, 3h present(40.0)
+    val df = Seq(
+      (ts(600), 10.0), (ts(3600 * 3 + 60), 40.0)
+    ).toDF("t", "v")
+    val out = SampleBy.sampleBy(df, "t", "1 hour", Nil,
+      Seq("avg_v" -> avg($"v")), fill = SampleBy.FillLinear, tsOut = "b")
+      .orderBy($"b").collect()
+    assert(out.length == 4)
+    assert(out(0).getDouble(1) == 10.0)
+    assert(out(1).getDouble(1) == 20.0)
+    assert(out(2).getDouble(1) == 30.0)
+    assert(out(3).getDouble(1) == 40.0)
+  }
+
+  test("SampleBy FILL(PREV) carries values; FILL(const) substitutes") {
+    val df = Seq((ts(60), 5.0), (ts(3600 * 2 + 60), 7.0)).toDF("t", "v")
+    val prev = SampleBy.sampleBy(df, "t", "1 hour", Nil,
+      Seq("m" -> max($"v")), fill = SampleBy.FillPrev, tsOut = "b").orderBy($"b").collect()
+    assert(prev.map(_.getDouble(1)).toSeq == Seq(5.0, 5.0, 7.0))
+    val const = SampleBy.sampleBy(df, "t", "1 hour", Nil,
+      Seq("n" -> count(lit(1))), fill = SampleBy.FillConst(Map("n" -> 0L)), tsOut = "b")
+      .orderBy($"b").collect()
+    assert(const.map(_.getLong(1)).toSeq == Seq(1L, 0L, 1L))
+  }
+
+  test("SampleBy explicit FROM/TO range extends the spine") {
+    val df = Seq((ts(3600), 1.0)).toDF("t", "v")
+    val out = SampleBy.sampleBy(df, "t", "1 hour", Nil,
+      Seq("n" -> count(lit(1))),
+      fill = SampleBy.FillConst(Map("n" -> 0L)),
+      range = Some((ts(0), ts(3600 * 3))), tsOut = "b").orderBy($"b").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 0L, 0L))
+  }
+
+  test("LatestOn picks the last row per key with WHERE-before semantics") {
+    val df = Seq(
+      (1L, ts(10), "a", 1.0), (1L, ts(20), "b", 2.0), (1L, ts(30), "c", 0.5),
+      (2L, ts(5), "d", 9.0)
+    ).toDF("k", "t", "tag", "v")
+    val latest = LatestOn.latestOn(df, "t", Seq("k")).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(latest == Seq((1L, "c"), (2L, "d")))
+    // filter first, then latest
+    val filtered = LatestOn.latestOn(df.filter($"v" >= 1.0), "t", Seq("k")).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(filtered == Seq((1L, "b"), (2L, "d")))
+  }
+
+  test("Limits.tail returns last n in order; range handles negative bounds") {
+    val df = (1 to 100).map(i => (i.toLong, i * 2)).toDF("id", "v")
+    assert(Limits.tail(df, 3, Seq($"id")).collect().map(_.getLong(0)).toSeq == Seq(98L, 99L, 100L))
+    assert(Limits.range(df, 0, 5, Seq($"id")).collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(Limits.range(df, -5, -2, Seq($"id")).collect().map(_.getLong(0)).toSeq == (96L to 98L))
+    assert(Limits.range(df, 95, -2, Seq($"id")).collect().map(_.getLong(0)).toSeq == (96L to 98L))
+  }
+
+  test("Ema matches the recursive definition per key") {
+    val df = Seq((1L, ts(1), 10.0), (1L, ts(2), 20.0), (1L, ts(3), 40.0),
+      (2L, ts(1), 100.0), (2L, ts(2), 0.0)).toDF("k", "t", "v")
+    val out = Ema.ema(df, "t", Seq("k"), "v", 0.5, "e")
+      .orderBy($"k", $"t").collect().map(_.getDouble(3)).toSeq
+    assert(out == Seq(10.0, 15.0, 27.5, 100.0, 50.0))
+  }
+
+  test("ksum/nsum are within 1e-6 of the exact decimal sum") {
+    val vals = Tables.events(spark, sfDir).select($"value")
+    val exact = vals.agg(sum($"value".cast("decimal(24,6)"))).head().getDecimal(0).doubleValue()
+    val k = vals.agg(Aggregators.ksum($"value")).head().getDouble(0)
+    val n = vals.agg(Aggregators.nsum($"value")).head().getDouble(0)
+    assert(math.abs(k - exact) < 1e-6 && math.abs(n - exact) < 1e-6)
+  }
+
+  test("WindowJoin counts slaves inside the time window only") {
+    val m = Seq((1L, ts(100), 1L)).toDF("mid", "t", "k")
+    val s = Seq((ts(96), 1L, 1.0), (ts(100), 1L, 2.0), (ts(106), 1L, 3.0), (ts(200), 1L, 9.0))
+      .toDF("t", "k", "sv")
+    val out = WindowJoin.windowJoin(m, s, "t", "t", Seq("k"), -5000000L, 5000000L,
+      Seq("n" -> count($"sv"), "s" -> sum($"sv"))).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n") == 2L && out(0).getAs[Double]("s") == 3.0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccardPairs computes exact set jaccard") {
+    val df = Seq(
+      (1L, "abcdefghij", "x"),   // shingles(4): abcd bcde cdef defg efgh fghi ghij (7)
+      (2L, "abcdefghzz", "x"),   // shares abcd bcde cdef defg efgh (5 of its 7)
+      (3L, "zzzzzzzzzz", "x")    // 1 distinct shingle, no overlap
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", 4, Seq("lang"), 0.0)
+      .orderBy($"a", $"b").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 5L) // shared: abcd bcde cdef defg efgh
+    assert(math.abs(r.getDouble(3) - 5.0 / 9.0) < 1e-15)
+  }
+
+  test("minhash candidates include near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base), (2L, base + " x"), (3L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text", 8, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val m = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 12)
+  }
+
+  test("cosineTopK: identical vector ranks first") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)), // near-identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.1f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, df.filter($"vec_id" === 0L), "vec_id", "embedding", 3)
+      .orderBy($"rn").collect().map(_.getLong(1)).toSeq
+    assert(top.head == 1L)      // closest
+    assert(top.last == 2L)      // orthogonal ranks last
+  }
+
+  test("lsh buckets group similar vectors, split dissimilar ones") {
+    val df = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(0.9f)),          // same direction as 0
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+  }
+
+  test("multimodal decode stub: deterministic metadata, null passthrough, frame sampling") {
+    val df = Seq((1L, "hello"), (2L, "world"), (3L, null.asInstanceOf[String])).toDF("id", "src")
+    val withPayload = Multimodal.asPayload(df, "src")
+    val decoded = Multimodal.decodeStub(withPayload, "payload").orderBy($"id").collect()
+    assert(!decoded(0).isNullAt(3)) // cols: id, src, payload, meta
+    val w = decoded(0).getStruct(3).getInt(0)
+    assert(w >= 16 && w <= 16 + 255 * 4)
+    assert(decoded(2).isNullAt(3)) // null payload → null meta
+    val frames = Multimodal.frameSample(withPayload.filter($"id" === 1L), "payload", 4, 2)
+    assert(frames.count() == 4)
+    assert(frames.select(countDistinct($"frame_key")).head().getLong(0) == 4L)
+  }
+
+  test("langId and quality run over the documents table") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = docs.select(TextAnalysis.langId("text").as("l"), TextAnalysis.qualityScore("text").as("q"))
+    val rows = out.collect()
+    assert(rows.forall(r => Set("en", "es", "de", "fr", "und").contains(r.getString(0))))
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+}

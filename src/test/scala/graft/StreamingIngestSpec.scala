@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.Ingest
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("ILP file stream → parse → dedup'd time-partitioned parquet with sorted files") {
+    val srcDir = tmp("ilp_src")
+    val tableDir = tmp("ilp_table")
+    val ckpt = tmp("ilp_ckpt")
+
+    // two files = two micro-batches; includes a dup key and an
+    // out-of-order (previous-day) row
+    Files.writeString(java.nio.file.Path.of(srcDir, "b0.txt"),
+      """trades,sym=A price=10.0 1704067200000000000
+        |trades,sym=A price=10.5 1704070800000000000
+        |trades,sym=B price=99.0 1704067200000000000
+        |trades,sym=A price=11.0 1704067200000000000
+        |# comment line
+        |garbage line without fields
+        |""".stripMargin)
+
+    val lines = spark.readStream.text(srcDir).as[String]
+    val parsed = Ingest.parseIlp(lines)
+      .filter($"measurement" === "trades")
+      .select($"tags"("sym").as("sym"), element_at($"f_double", "price").as("price"), $"ts")
+
+    val q = Ingest.writeStreamTo(parsed, tableDir, ckpt, "ts", Seq("sym")).start()
+    q.processAllAvailable()
+
+    Files.writeString(java.nio.file.Path.of(srcDir, "b1.txt"),
+      """trades,sym=B price=98.0 1703980800000000000
+        |trades,sym=C price=1.0 1704067260000000000
+        |""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(tableDir)
+    // dedup on (ts, sym): the 11.0 duplicate of (A, 00:00) was dropped
+    assert(out.count() == 5)
+    val days = out.select($"__day".cast("string")).distinct().as[String].collect().sorted
+    assert(days.toSeq == Seq("2023-12-31", "2024-01-01")) // O3 row landed in its own day
+    val a = out.filter($"sym" === "A").orderBy($"ts").as[(String, Double, java.sql.Timestamp, java.sql.Date)]
+    assert(out.filter($"sym" === "A").count() == 2)
+  }
+
+  test("applyBatch is idempotent under retries (same batchId)") {
+    val tableDir = tmp("idem_table")
+    val df = Seq(("A", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("sym", "price", "ts")
+    Ingest.applyBatch(df, 7L, tableDir, "ts", Seq("sym"))
+    Ingest.applyBatch(df, 7L, tableDir, "ts", Seq("sym")) // retry
+    assert(spark.read.parquet(tableDir).count() == 1)
+  }
+
+  test("TTL evicts old day partitions only") {
+    val tableDir = tmp("ttl_table")
+    val df = Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+      ("B", java.sql.Timestamp.valueOf("2024-01-10 12:00:00"))).toDF("sym", "ts")
+    Ingest.applyBatch(df, 0L, tableDir, "ts", Nil)
+    val evicted = Ingest.applyTtl(tableDir, keepDays = 5, today = java.time.LocalDate.parse("2024-01-11"))
+    assert(evicted == 1)
+    val left = spark.read.parquet(tableDir).select($"sym").as[String].collect().toSeq
+    assert(left == Seq("B"))
+  }
+
+  test("materialized view: streaming SAMPLE BY aggregates per bucket") {
+    val srcDir = tmp("mv_src")
+    val ckpt = tmp("mv_ckpt")
+    Files.writeString(java.nio.file.Path.of(srcDir, "a.txt"),
+      """m,k=x v=1.0 1704067200000000000
+        |m,k=x v=3.0 1704067260000000000
+        |m,k=x v=5.0 1704070800000000000
+        |""".stripMargin)
+    val lines = spark.readStream.text(srcDir).as[String]
+    val parsed = Ingest.parseIlp(lines)
+      .select($"tags"("k").as("k"), element_at($"f_double", "v").as("v"), $"ts")
+    val agg = Ingest.sampleByMatView(parsed, "ts", "1 hour", Seq("k"),
+      Seq("n" -> count(lit(1)), "sv" -> sum($"v")), "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("mv").outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("select k, n, sv from mv order by ts").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("x", 2L, 4.0), ("x", 1L, 5.0)))
+  }
+}
