@@ -5,14 +5,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the session (codegen, classloading, parquet footer cache) so
+    // the first timed query isn't charged JVM start-up costs
+    try {
+      SparkEntry.queries.get("q1_agg").foreach(
+        _(spark, sfDir).write.format("noop").mode("overwrite").save())
+      spark.range(1000000).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink forces every column/operator to evaluate (a count()
+      // would let Catalyst prune the projections away)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

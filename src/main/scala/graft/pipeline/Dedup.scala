@@ -28,6 +28,24 @@ object Dedup {
       .select((idCol +: carry).map(col) :+ expr(s"substring(__t, __i, $n)").as("sh"): _*)
       .distinct()
 
+  /** Word n-gram shingle table: one row per (id, distinct n-word
+    * shingle). Far more selective than character shingles on natural
+    * text — the shingle-join fan-out (the quadratic term in any
+    * all-pairs similarity) drops by orders of magnitude, which is what
+    * keeps the plan viable at corpus scale.
+    */
+  def wordShingleTable(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
+    val concatExpr = (1 to n).map(j => s"element_at(__w, CAST(i + ${j - 1} AS INT))")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    df.select((idCol +: carry).map(col) :+ split(trim(col(textCol)), " ").as("__w"): _*)
+      .filter(size(col("__w")) >= n)
+      .withColumn("sh", explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> $concatExpr)")))
+      .select((idCol +: carry).map(col) :+ col("sh"): _*)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs sharing at
     * least one shingle within a blocking key. Intersections come from a
     * shingle-partitioned self-join; |A∪B| = |A|+|B|-|A∩B| — so the
@@ -35,8 +53,11 @@ object Dedup {
     * engine, any partitioning).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n, blockCols)
+                   n: Int, blockCols: Seq[String], threshold: Double,
+                   words: Boolean = false): DataFrame = {
+    val sh =
+      if (words) wordShingleTable(df, idCol, textCol, n, blockCols)
+      else shingleTable(df, idCol, textCol, n, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select((blockCols :+ "sh").map(col) :+ col(idCol).as("a"): _*)
     val b = sh.select((blockCols :+ "sh").map(col) :+ col(idCol).as("b"): _*)
@@ -57,8 +78,10 @@ object Dedup {
     * seed-deterministic.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+                        n: Int, numHashes: Int, words: Boolean = false): DataFrame = {
+    val sh =
+      if (words) wordShingleTable(df, idCol, textCol, n)
+      else shingleTable(df, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -70,10 +93,11 @@ object Dedup {
     * at corpus scale because buckets stay small.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int, bands: Int): DataFrame = {
+                        n: Int, numHashes: Int, bands: Int,
+                        words: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, words)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat(parts: _*))

@@ -18,15 +18,16 @@ object TextAnalysis {
 
   /** BPE-ish subword count estimate: a word of length L costs
     * ceil(L/4) tokens — a cheap upper bound used for corpus budgeting.
-    * Takes the column NAME (expression-lambda lowering).
+    * `toksCol` names a pre-split token array column: tokenize once,
+    * derive everything from it (the splits dominate otherwise).
     */
-  def bpeTokenEstimate(textCol: String): Column =
-    expr(s"aggregate(split(trim($textCol), ' '), 0, (acc, w) -> acc + int(ceil(length(w) / 4.0)))")
+  def bpeTokenEstimate(toksCol: String): Column =
+    expr(s"aggregate($toksCol, 0, (acc, w) -> acc + int(ceil(length(w) / 4.0)))")
 
-  /** Stopword-list hit count (language-ID / quality building block). */
-  def hitCount(textCol: String, words: Seq[String]): Column = {
+  /** Stopword-list hit count over a token array column. */
+  def hitCount(toksCol: String, words: Seq[String]): Column = {
     val list = words.map(w => s"'$w'").mkString(", ")
-    size(expr(s"filter(split(trim($textCol), ' '), w -> w IN ($list))"))
+    size(expr(s"filter($toksCol, w -> w IN ($list))"))
   }
 
   private val EN = Seq("the", "of", "and", "to", "in", "for", "on", "with")
@@ -37,9 +38,9 @@ object TextAnalysis {
   /** Language-ID heuristic: argmax of per-language stopword densities
     * with a deterministic priority tiebreak.
     */
-  def langId(textCol: String): Column = {
-    val en = hitCount(textCol, EN); val es = hitCount(textCol, ES)
-    val de = hitCount(textCol, DE); val fr = hitCount(textCol, FR)
+  def langId(toksCol: String): Column = {
+    val en = hitCount(toksCol, EN); val es = hitCount(toksCol, ES)
+    val de = hitCount(toksCol, DE); val fr = hitCount(toksCol, FR)
     val m = greatest(en, es, de, fr)
     when(m === 0, "und")
       .when(en === m, "en").when(es === m, "es")
@@ -49,11 +50,11 @@ object TextAnalysis {
   /** Quality score in [0,1]: mean-word-length band, stopword presence.
     * Deterministic rational arithmetic.
     */
-  def qualityScore(textCol: String): Column = {
+  def qualityScore(textCol: String, toksCol: String): Column = {
     val text = col(textCol)
-    val nTok = tokenCount(text).cast("double")
+    val nTok = size(col(toksCol)).cast("double")
     val meanWord = (length(text) - nTok + 1.0) / nTok // chars per token
-    val stopRatio = hitCount(textCol, EN).cast("double") / nTok
+    val stopRatio = hitCount(toksCol, EN).cast("double") / nTok
     val lenOk = when(nTok.between(5, 100000), 0.4).otherwise(0.0)
     val wordOk = when(meanWord.between(2.0, 12.0), 0.3).otherwise(0.0)
     val stopOk = when(stopRatio > 0.02, 0.3).otherwise(0.0)

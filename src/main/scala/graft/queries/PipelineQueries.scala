@@ -16,19 +16,21 @@ object PipelineQueries extends QueryPack {
   def queries: Map[String, Fn] = Map(
     "q_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text"))) // tokenize once
         .select(
           col("doc_id"),
           length(col("text")).as("len"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.bpeTokenEstimate("text").as("bpe_est"),
-          TextAnalysis.qualityScore("text").as("quality"))
+          size(col("__toks")).as("n_tokens"),
+          TextAnalysis.bpeTokenEstimate("__toks").as("bpe_est"),
+          TextAnalysis.qualityScore("text", "__toks").as("quality"))
         .orderBy(col("doc_id"))
     }),
 
     "q_lang_id" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.langId("text").as("lang_pred"))
+          TextAnalysis.langId("__toks").as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -46,14 +48,16 @@ object PipelineQueries extends QueryPack {
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
+      // word 3-gram shingles: selective enough that the shingle
+      // self-join stays near-linear on natural text
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", 8, Seq("lang"), 0.12)
+        "doc_id", "text", 3, Seq("lang"), 0.12, words = true)
         .orderBy(col("a"), col("b"))
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashCandidates(Tables.load(s, dir, "documents"),
-        "doc_id", "text", 8, 8, 4)
+        "doc_id", "text", 3, 8, 4, words = true)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -84,13 +88,14 @@ object PipelineQueries extends QueryPack {
     })
   )
 
-  // shared oracle CTE: distinct 8-char shingles per doc
+  // shared oracle CTE: distinct word 3-gram shingles per doc
   private val SH =
     """sh AS (
-      |  SELECT DISTINCT doc_id, lang, substring(text, CAST(i AS INT), 8) AS sh
-      |  FROM (SELECT doc_id, lang, text,
-      |          unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
-      |        FROM documents))""".stripMargin
+      |  SELECT DISTINCT doc_id, lang,
+      |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS sh
+      |  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w) - 1)) AS i
+      |        FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)
+      |        WHERE len(w) >= 3))""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" ->

@@ -82,7 +82,9 @@ class PipelineSpec extends SparkSpec {
 
   test("langId and quality run over the documents table") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val out = docs.select(TextAnalysis.langId("text").as("l"), TextAnalysis.qualityScore("text").as("q"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val out = docs.select(TextAnalysis.langId("__toks").as("l"),
+      TextAnalysis.qualityScore("text", "__toks").as("q"))
     val rows = out.collect()
     assert(rows.forall(r => Set("en", "es", "de", "fr", "und").contains(r.getString(0))))
     assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
