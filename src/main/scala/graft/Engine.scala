@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade: `Engine(spark, dataDir).sql("...")` accepts the
+  * reference's SQL dialect (time-series extensions included) over the
+  * registered tables; `ts()` exposes the typed Scala DSL for the same
+  * operators (sampleBy / latestOn / asofJoin / ...).
+  */
+class Engine(val spark: SparkSession, dataDir: String) {
+  Tables.registerAll(spark, dataDir)
+
+  def sql(query: String): DataFrame = graft.sql.QuestSql.sql(spark, query)
+
+  def table(name: String): DataFrame = spark.table(name)
+}
+
+object Engine {
+  def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+}

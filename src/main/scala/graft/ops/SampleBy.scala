@@ -53,10 +53,13 @@ object SampleBy {
     fill match {
       case NoFill => base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
       case f =>
-        val (from, to) = range.getOrElse {
+        val bounds = range.orElse {
           val r = base.agg(min(col(tsOut)), max(col(tsOut))).head()
-          (r.getTimestamp(0), r.getTimestamp(1))
+          if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
         }
+        if (bounds.isEmpty) // empty input → empty (correctly-shaped) result
+          return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+        val (from, to) = bounds.get
         val spine = spark.range(1).select(
           explode(sequence(lit(from), lit(to), expr(s"interval $bucket"))).as(tsOut))
         val grid =
