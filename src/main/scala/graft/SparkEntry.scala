@@ -16,7 +16,8 @@ object SparkEntry {
     WindowFnQueries,
     AggFnQueries,
     ScalarFnQueries,
-    PipelineQueries
+    PipelineQueries,
+    ExtrasQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Finance, Generators, GeoHash}
+
+/** Long-tail surface: generators (long_sequence / timestamp_sequence /
+  * rnd_*), finance (mid/spread/wmid/l2price), geohash family, IPv4 ops,
+  * LIMIT lo,-hi slices, lateral joins, and the QuestDB SQL dialect
+  * exercised end-to-end through the oracle gate.
+  */
+object ExtrasQueries extends QueryPack {
+
+  private val START_US = 1704067200000000L // 2024-01-01 UTC
+
+  def queries: Map[String, Fn] = Map(
+    "q_generators" -> ((s, dir) => {
+      Generators.timestampSequence(s, START_US, 60000000L, 1000)
+        .withColumn("rd", round(Generators.rndDouble("x", "d"), 9))
+        .withColumn("ri", Generators.rndInt("x", "i", 0, 99))
+        .withColumn("sym", Generators.rndSymbol("x", "s", Seq("AA", "BB", "CC")))
+        .orderBy(col("x"))
+    }),
+
+    "q_l2price" -> ((s, dir) => {
+      Finance.l2price(Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey"), Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+        "l_quantity", "l_extendedprice", 60.0)
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "q_finance_quotes" -> ((s, dir) => {
+      Tables.events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          col("value").as("bid"),
+          (col("value") * 1.001 + 0.05).as("ask"),
+          (col("user_id") + 1).cast("double").as("bid_sz"),
+          (col("user_id") % 7 + 1).cast("double").as("ask_sz"))
+        .select(col("event_id"),
+          Finance.mid(col("bid"), col("ask")).as("mid"),
+          Finance.spread(col("bid"), col("ask")).as("spread"),
+          Finance.spreadBps(col("bid"), col("ask")).as("spread_bps"),
+          Finance.wmid(col("bid_sz"), col("bid"), col("ask"), col("ask_sz")).as("wmid"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_geohash" -> ((s, dir) => {
+      Tables.events(s, dir).filter(col("event_id") < 2000)
+        .withColumn("lat", col("value") / 490.0 * 170.0 - 85.0)
+        .withColumn("lon", (col("event_id") % 360).cast("double") - 179.5)
+        .select(col("event_id"),
+          GeoHash.encode("lat", "lon", 8).as("gh8"),
+          GeoHash.truncate(GeoHash.encode("lat", "lon", 8), 4).as("gh4"),
+          GeoHash.within(GeoHash.encode("lat", "lon", 8), "u").as("in_u"),
+          round(GeoHash.distanceMeters(col("lat"), col("lon"), lit(0.0), lit(0.0)), 4).as("dist_m"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_ipv4" -> ((s, dir) => {
+      Tables.events(s, dir).filter(col("event_id") < 2000)
+        .withColumn("ip", pmod(col("event_id") * lit(2654435761L), lit(4294967296L)))
+        .select(col("event_id"),
+          concat_ws(".",
+            shiftright(col("ip"), 24) % 256, shiftright(col("ip"), 16) % 256,
+            shiftright(col("ip"), 8) % 256, col("ip") % 256).as("dotted"),
+          (col("ip").bitwiseAND(lit(4294901760L))).as("net16"),
+          (col("ip") % 65536).as("host16"),
+          (col("ip").bitwiseAND(lit(4294901760L)) === lit(2712797184L)).as("in_subnet"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_limit_range" -> ((s, dir) => {
+      graft.ops.Limits.range(
+        Tables.events(s, dir).select("event_id", "ts"),
+        100, -100, Seq(col("ts"), col("event_id")))
+    }),
+
+    "q_lateral" -> ((s, dir) => {
+      Tables.load(s, dir, "region").createOrReplaceTempView("region_v")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT r.r_name, l.n_name
+          |FROM region_v r,
+          |LATERAL (SELECT n_name FROM nation_v WHERE n_regionkey = r.r_regionkey
+          |         ORDER BY n_name LIMIT 2) l
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    "q_sql_interval_scan" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.sql.QuestSql.sql(s,
+        "SELECT event_id, ts, value FROM events WHERE ts IN '2024-01-15' ORDER BY event_id")
+    }),
+
+    "q_sql_latest_on" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.sql.QuestSql.sql(s,
+        "SELECT user_id, ts, value FROM events WHERE event_type = 'view' LATEST ON ts PARTITION BY user_id ORDER BY user_id")
+    }),
+
+    "q_sql_sample_by" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.sql.QuestSql.sql(s,
+        "SELECT event_type, ts, count(*) AS n FROM events SAMPLE BY 1d ORDER BY event_type, ts")
+    })
+  )
+
+  private def rndSql(seed: String, counter: String): String = {
+    val terms = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5('$seed' || CAST($counter AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
+    }
+    s"(${terms.mkString(" + ")}) / ${math.pow(16.0, 8)}"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_generators" -> {
+      val rd = rndSql("d", "x")
+      val ri = rndSql("i", "x")
+      val sy = rndSql("s", "x")
+      s"""SELECT x, make_timestamp($START_US + (x - 1) * 60000000) AS ts,
+         |  round($rd, 9) AS rd,
+         |  CAST(floor($ri * 100) + 0 AS INT) AS ri,
+         |  (['AA', 'BB', 'CC'])[CAST(floor($sy * 3) + 1 AS INT)] AS sym
+         |FROM generate_series(1, 1000) t(x) ORDER BY x""".stripMargin
+    },
+
+    "q_l2price" ->
+      """WITH lv AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice,
+        |    sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_extendedprice, l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM lineitem),
+        |f AS (SELECT l_orderkey,
+        |        greatest(least(l_quantity, 60.0 - (cum - l_quantity)), 0.0) AS fill,
+        |        l_extendedprice AS p FROM lv)
+        |SELECT l_orderkey,
+        |  CAST(sum(CAST(fill AS DECIMAL(24,6))) AS DOUBLE) AS filled,
+        |  CASE WHEN CAST(sum(CAST(fill AS DECIMAL(24,6))) AS DOUBLE) >= 60.0
+        |       THEN CAST(sum(CAST(fill * p AS DECIMAL(28,6))) AS DOUBLE) / 60.0 END AS l2price
+        |FROM f GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_finance_quotes" ->
+      """SELECT event_id,
+        |  (bid + ask) / 2.0 AS mid,
+        |  ask - bid AS spread,
+        |  (ask - bid) / ((bid + ask) / 2.0) * 10000.0 AS spread_bps,
+        |  (bid * ask_sz + ask * bid_sz) / (bid_sz + ask_sz) AS wmid
+        |FROM (SELECT event_id, value AS bid, value * 1.001 + 0.05 AS ask,
+        |        CAST(user_id + 1 AS DOUBLE) AS bid_sz,
+        |        CAST(user_id % 7 + 1 AS DOUBLE) AS ask_sz
+        |      FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_geohash" -> {
+      val lat = "(value / 490.0 * 170.0 - 85.0)"
+      val lon = "(CAST(event_id % 360 AS DOUBLE) - 179.5)"
+      val gh8 = GeoHash.encodeSql(lat, lon, 8, forDuck = true)
+      s"""SELECT event_id,
+         |  $gh8 AS gh8,
+         |  substring($gh8, 1, 4) AS gh4,
+         |  starts_with($gh8, 'u') AS in_u,
+         |  round(2 * 6371008.8 * asin(sqrt(
+         |    pow(sin(radians(0.0 - $lat) / 2), 2)
+         |    + cos(radians($lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - $lon) / 2), 2))), 4) AS dist_m
+         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+    },
+
+    "q_ipv4" ->
+      """SELECT event_id,
+        |  CAST((ip >> 24) % 256 AS VARCHAR) || '.' || CAST((ip >> 16) % 256 AS VARCHAR)
+        |    || '.' || CAST((ip >> 8) % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) AS dotted,
+        |  ip & 4294901760 AS net16,
+        |  ip % 65536 AS host16,
+        |  (ip & 4294901760) = 2712797184 AS in_subnet
+        |FROM (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ip
+        |      FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_limit_range" ->
+      """SELECT event_id, ts FROM (
+        |  SELECT event_id, ts,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events
+        |) WHERE rn > 100 AND rn <= n - 100 ORDER BY ts, event_id""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT r.r_name, l.n_name
+        |FROM region r,
+        |LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) l
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_sql_interval_scan" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sql_latest_on" ->
+      """SELECT user_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_sql_sample_by" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{Finance, GeoHash, Generators}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geohash encode matches public reference vectors") {
+    // vectors from the public geohash spec (geohash.org examples)
+    val df = Seq(
+      (57.64911, 10.40744, "u4pruydq"),
+      (48.669, -4.329, "gbsuv7zt"),
+      (0.0, 0.0, "s0000000"),
+      (-25.382708, -49.265506, "6gkzwgjz")
+    ).toDF("lat", "lon", "expect")
+    val out = df.withColumn("gh", GeoHash.encode("lat", "lon", 8)).collect()
+    out.foreach { r =>
+      assert(r.getString(3).startsWith(r.getString(2).take(7)),
+        s"(${r.getDouble(0)},${r.getDouble(1)}) → ${r.getString(3)} != ${r.getString(2)}")
+    }
+    // exact match on full 8 chars for the canonical example
+    assert(out(0).getString(3) == "u4pruydq")
+  }
+
+  test("geohash within + truncate") {
+    val df = Seq((57.64911, 10.40744)).toDF("lat", "lon")
+      .withColumn("gh", GeoHash.encode("lat", "lon", 8))
+    assert(df.select(GeoHash.within($"gh", "#u4pr")).head().getBoolean(0))
+    assert(df.select(GeoHash.truncate($"gh", 4)).head().getString(0) == "u4pr")
+  }
+
+  test("haversine distance: Paris to London ~343km") {
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "d")
+      .select(GeoHash.distanceMeters($"a", $"b", $"c", $"d")).head().getDouble(0)
+    assert(d > 330000 && d < 350000)
+  }
+
+  test("l2price sweeps the book in level order") {
+    val levels = Seq(
+      (1L, 1, 10.0, 100.0), // 10 @ 100
+      (1L, 2, 10.0, 101.0), // 10 @ 101
+      (1L, 3, 50.0, 105.0), // 5 of 50 @ 105
+      (2L, 1, 5.0, 50.0)    // book too thin for 25
+    ).toDF("book", "lvl", "sz", "px")
+    val out = Finance.l2price(levels, Seq("book"), Seq("lvl"), "sz", "px", 25.0)
+      .orderBy($"book").collect()
+    assert(out(0).getAs[Double]("l2price") == (10 * 100.0 + 10 * 101.0 + 5 * 105.0) / 25.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("l2price"))) // unfillable → null
+  }
+
+  test("generators are deterministic and in range") {
+    val g = Generators.timestampSequence(spark, 1704067200000000L, 1000000L, 100)
+      .withColumn("rd", Generators.rndDouble("x", "seed"))
+      .withColumn("ri", Generators.rndInt("x", "seed2", 5, 9))
+    val rows = g.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    assert(rows.forall(r => r.getInt(3) >= 5 && r.getInt(3) <= 9))
+    // stable across evaluations
+    val again = g.collect()
+    assert(rows.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+  }
+
+  test("finance quote functions") {
+    val r = Seq((99.0, 101.0, 3.0, 1.0)).toDF("bid", "ask", "bsz", "asz")
+      .select(
+        Finance.mid($"bid", $"ask"),
+        Finance.spread($"bid", $"ask"),
+        Finance.spreadBps($"bid", $"ask"),
+        Finance.wmid($"bsz", $"bid", $"ask", $"asz")).head()
+    assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 2.0)
+    assert(math.abs(r.getDouble(2) - 200.0) < 1e-9)
+    assert(r.getDouble(3) == (99.0 * 1.0 + 101.0 * 3.0) / 4.0)
+  }
+}
