@@ -17,7 +17,8 @@ object SparkEntry {
     AggFnQueries,
     ScalarFnQueries,
     PipelineQueries,
-    ExtrasQueries
+    ExtrasQueries,
+    WindowingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

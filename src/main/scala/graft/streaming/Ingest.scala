@@ -62,6 +62,51 @@ object Ingest {
     marker.createNewFile()
   }
 
+  /** Cross-batch DEDUP UPSERT KEYS(ts, keys...): the reference dedups an
+    * incoming txn against rows already IN the table
+    * (`cairo/TableWriter.java:342`, `dedup.cpp`). Spark analogue of a
+    * Delta MERGE on plain parquet: read only the day partitions the
+    * batch touches, anti-join out clashing old rows, rewrite those
+    * partitions with old+new merged and re-sorted. Cost is bounded by
+    * the touched partitions, not the table.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, tableDir: String,
+                  tsCol: String, dedupKeys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val fsDir = new java.io.File(s"$tableDir/_graft_batches")
+    fsDir.mkdirs()
+    val marker = new java.io.File(fsDir, s"batch-$batchId")
+    if (marker.exists()) return
+
+    val incoming = batch.dropDuplicates(tsCol +: dedupKeys)
+      .withColumn("__day", to_date(col(tsCol)))
+    val days = incoming.select(col("__day")).distinct()
+      .collect().map(_.get(0).toString) // bounded: distinct days in one batch
+    val existingDirs = days.map(d => s"$tableDir/__day=$d")
+      .filter(p => new java.io.File(p).exists())
+
+    if (existingDirs.isEmpty) {
+      incoming.repartition(col("__day"))
+        .sortWithinPartitions(col("__day"), col(tsCol))
+        .write.mode("append").partitionBy("__day").parquet(tableDir)
+    } else {
+      val existing = spark.read
+        .option("basePath", tableDir).parquet(existingDirs: _*)
+      // new rows win: drop old rows whose (ts, keys) clash
+      val kept = existing.join(incoming.select((tsCol +: dedupKeys).map(col): _*),
+        tsCol +: dedupKeys, "left_anti")
+      val merged = kept.unionByName(incoming).persist()
+      merged.count() // materialize before overwriting the inputs
+      merged.repartition(col("__day"))
+        .sortWithinPartitions(col("__day"), col(tsCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__day").parquet(tableDir)
+      merged.unpersist()
+    }
+    marker.createNewFile()
+  }
+
   /** Wire a parsed+projected stream into a table with WAL semantics. */
   def writeStreamTo(df: DataFrame, tableDir: String, checkpoint: String,
                     tsCol: String, dedupKeys: Seq[String]) =

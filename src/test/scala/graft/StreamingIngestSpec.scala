@@ -57,6 +57,20 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(tableDir).count() == 1)
   }
 
+  test("upsertBatch dedups against rows already in the table (new wins)") {
+    val tableDir = tmp("upsert_table")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    Ingest.upsertBatch(Seq(("A", 1.0, t0), ("B", 2.0, t0)).toDF("sym", "price", "ts"),
+      0L, tableDir, "ts", Seq("sym"))
+    // batch 1: same (ts, A) with a new price + a brand-new row
+    Ingest.upsertBatch(Seq(("A", 9.0, t0), ("C", 3.0, t1)).toDF("sym", "price", "ts"),
+      1L, tableDir, "ts", Seq("sym"))
+    val out = spark.read.parquet(tableDir).orderBy($"sym")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Double]("price")))
+    assert(out.toSeq == Seq(("A", 9.0), ("B", 2.0), ("C", 3.0)))
+  }
+
   test("TTL evicts old day partitions only") {
     val tableDir = tmp("ttl_table")
     val df = Seq(
