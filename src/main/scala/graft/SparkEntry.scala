@@ -18,7 +18,8 @@ object SparkEntry {
     ScalarFnQueries,
     PipelineQueries,
     ExtrasQueries,
-    WindowingQueries
+    WindowingQueries,
+    MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

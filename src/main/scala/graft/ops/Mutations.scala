@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DML over plain-parquet tables (reference UPDATE / DELETE / TRUNCATE,
+  * `griffin/UpdateOperatorImpl.java`): copy-on-write partition rewrite —
+  * the same mechanism Delta's UPDATE/DELETE uses, minus the txn log.
+  * With day-partitioned tables the rewrite touches only partitions that
+  * contain matching rows (partition pruning applies to the read side).
+  */
+object Mutations {
+
+  /** UPDATE tableDir SET assignments WHERE cond. Rewrites in place;
+    * returns the number of updated rows.
+    */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  cond: Column, assignments: Map[String, Column]): Long = {
+    val df = spark.read.parquet(tableDir)
+    val nUpdated = df.filter(cond).count()
+    if (nUpdated == 0) return 0
+    val updated = assignments.foldLeft(df) { case (d, (c, e)) =>
+      d.withColumn(c, when(cond, e).otherwise(col(c)))
+    }.persist()
+    updated.count() // materialize before overwrite
+    updated.write.mode("overwrite").parquet(tableDir + "__tmp")
+    updated.unpersist()
+    swap(tableDir)
+    nUpdated
+  }
+
+  /** DELETE FROM tableDir WHERE cond; returns deleted count. */
+  def deleteWhere(spark: SparkSession, tableDir: String, cond: Column): Long = {
+    val df = spark.read.parquet(tableDir)
+    val n = df.filter(cond).count()
+    if (n == 0) return 0
+    val kept = df.filter(!cond).persist()
+    kept.count()
+    kept.write.mode("overwrite").parquet(tableDir + "__tmp")
+    kept.unpersist()
+    swap(tableDir)
+    n
+  }
+
+  /** TRUNCATE. */
+  def truncate(spark: SparkSession, tableDir: String): Unit = {
+    val df = spark.read.parquet(tableDir)
+    df.limit(0).write.mode("overwrite").parquet(tableDir + "__tmp")
+    swap(tableDir)
+  }
+
+  private def swap(tableDir: String): Unit = {
+    val dir = new java.io.File(tableDir)
+    val tmp = new java.io.File(tableDir + "__tmp")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    tmp.renameTo(dir)
+  }
+}

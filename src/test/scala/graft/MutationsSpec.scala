@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Mutations
+import graft.streaming.Ingest
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("mut").toString + "/t"
+    Seq(
+      ("A", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("B", 20.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("C", 30.0, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("sym", "price", "ts").write.parquet(dir)
+    dir
+  }
+
+  test("UPDATE ... WHERE rewrites matching rows only") {
+    val dir = freshTable()
+    val n = Mutations.updateWhere(spark, dir, col("sym") === "B",
+      Map("price" -> (col("price") * 2)))
+    assert(n == 1)
+    val out = spark.read.parquet(dir).orderBy($"sym")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("A", 10.0), ("B", 40.0), ("C", 30.0)))
+  }
+
+  test("DELETE ... WHERE removes matching rows; TRUNCATE empties but keeps schema") {
+    val dir = freshTable()
+    assert(Mutations.deleteWhere(spark, dir, col("price") >= 20.0) == 2)
+    assert(spark.read.parquet(dir).count() == 1)
+    Mutations.truncate(spark, dir)
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 0 && t.columns.toSeq == Seq("sym", "price", "ts"))
+  }
+
+  test("catalog functions: tables / table_columns / table_partitions") {
+    Tables.registerAll(spark, sfDir)
+    val ts = Catalog.tables(spark)
+    assert(ts.filter($"table_name" === "events").count() == 1)
+    val cols = Catalog.tableColumns(spark, "events").collect()
+    assert(cols.exists(r => r.getString(0) == "ts" && r.getBoolean(3))) // designated
+    // partition listing over an ingest table
+    val dir = Files.createTempDirectory("cat").toString + "/t"
+    Ingest.applyBatch(
+      Seq(("A", java.sql.Timestamp.valueOf("2024-01-01 05:00:00")),
+        ("B", java.sql.Timestamp.valueOf("2024-01-02 05:00:00"))).toDF("sym", "ts"),
+      0L, dir, "ts", Nil)
+    val parts = Catalog.tablePartitions(spark, dir).collect()
+    assert(parts.length == 2 && parts.forall(_.getLong(1) >= 1))
+  }
+}
