@@ -109,6 +109,22 @@ object SampleBy {
     }
   }
 
+  /** SAMPLE BY <calendar unit> ALIGN TO CALENDAR TIME ZONE 'tz'
+    * (reference `TimezoneFloorTimestampSampler` — DST-aware bucket
+    * boundaries): truncate in the target zone's local calendar, key the
+    * group on the UTC instant of the local bucket start. DST-variable
+    * bucket widths fall out of the local-calendar truncation.
+    */
+  def sampleByCalendarTz(df: DataFrame, ts: String, unit: String, tz: String,
+                         keys: Seq[String], aggs: Seq[(String, Column)],
+                         tsOut: String = "ts"): DataFrame = {
+    val bucket = to_utc_timestamp(
+      date_trunc(unit, from_utc_timestamp(col(ts), tz)), tz).as(tsOut)
+    df.groupBy((bucket +: keys.map(col)): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+  }
+
   private def keyWindow(keys: Seq[String], tsOut: String) =
     if (keys.isEmpty) Window.partitionBy().orderBy(col(tsOut).asc)
     else Window.partitionBy(keys.map(col): _*).orderBy(col(tsOut).asc)

@@ -145,6 +145,13 @@ object TimeSeriesQueries extends QueryPack {
         .orderBy(col("event_type"), col("ts"))
     }),
 
+    "q_sample_by_tz" -> ((s, dir) => {
+      // SAMPLE BY 1d ALIGN TO CALENDAR TIME ZONE 'America/New_York'
+      SampleBy.sampleByCalendarTz(Tables.events(s, dir), "ts", "day",
+        "America/New_York", Seq("event_type"),
+        Seq("n" -> count(lit(1)), "sum_v" -> sumDec(col("value"))))
+    }),
+
     "q_ema" -> ((s, dir) => {
       Ema.ema(
         Tables.events(s, dir).filter(col("user_id") < 30)
@@ -302,6 +309,13 @@ object TimeSeriesQueries extends QueryPack {
 
     "q_sample_by_offset" ->
       s"""SELECT event_type, time_bucket(INTERVAL 1 DAY, ts, TIMESTAMP '1970-01-01 02:00:00') AS ts,
+         |  count(*) AS n, ${sumDecSql("value")} AS sum_v
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin,
+
+    "q_sample_by_tz" ->
+      s"""SELECT event_type,
+         |  CAST(timezone('America/New_York',
+         |         date_trunc('day', timezone('America/New_York', ts::TIMESTAMPTZ))) AS TIMESTAMP) AS ts,
          |  count(*) AS n, ${sumDecSql("value")} AS sum_v
          |FROM events GROUP BY 1, 2 ORDER BY event_type, ts""".stripMargin,
 

@@ -62,6 +62,20 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
   }
 
+  test("native GeoHashEncodeExpr matches the closed-form SQL lowering") {
+    graft.functions.GeoHashEncodeExpr.register(spark)
+    val df = Tables.events(spark, sfDir).limit(200)
+      .withColumn("lat", $"value" / 490.0 * 170.0 - 85.0)
+      .withColumn("lon", ($"event_id" % 360).cast("double") - 179.5)
+      .select(
+        graft.functions.GeoHashEncodeExpr.geohash("lat", "lon", 8).as("native"),
+        GeoHash.encode("lat", "lon", 8).as("closed"))
+    assert(df.filter($"native" =!= $"closed").count() == 0)
+    // known vector through the SQL surface
+    val v = spark.sql("SELECT geohash_encode(57.64911D, 10.40744D, 8) AS g").head().getString(0)
+    assert(v == "u4pruydq")
+  }
+
   test("finance quote functions") {
     val r = Seq((99.0, 101.0, 3.0, 1.0)).toDF("bid", "ask", "bsz", "asz")
       .select(
