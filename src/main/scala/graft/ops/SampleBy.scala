@@ -60,8 +60,16 @@ object SampleBy {
         if (bounds.isEmpty) // empty input → empty (correctly-shaped) result
           return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
         val (from, to) = bounds.get
-        val spine = spark.range(1).select(
-          explode(sequence(lit(from), lit(to), expr(s"interval $bucket"))).as(tsOut))
+        // distributed spine: range + offset arithmetic, not a single
+        // exploded array — a years×minutes spine stays partitioned
+        val stepUs = spark.range(1)
+          .select(unix_micros(lit(to)) - unix_micros(lit(to) - expr(s"interval $bucket")))
+          .head().getLong(0)
+        val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
+        val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
+        val n = (toUs - fromUs) / stepUs + 1
+        val spine = spark.range(0, n)
+          .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(tsOut))
         val grid =
           if (keys.isEmpty) spine
           else base.select(keys.map(col): _*).distinct().crossJoin(broadcast(spine))

@@ -37,6 +37,40 @@ object MiscQueries extends QueryPack {
       sup.exceptAll(c).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
     }),
 
+    "q_haversine_track" -> ((s, dir) => {
+      // haversine_dist_deg aggregate: total great-circle distance along
+      // each user's event track in ts order (reference
+      // HaversineDistDegreeGroupByFunction). Per-step distances are
+      // rounded (identical IEEE shapes both engines), then summed
+      // exactly in decimal.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir).filter(col("user_id") < 40)
+        .withColumn("lat", col("value") / 490.0 * 170.0 - 85.0)
+        .withColumn("lon", (col("event_id") % 360).cast("double") - 179.5)
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("step",
+          round(graft.functions.GeoHash.distanceMeters(col("plat"), col("plon"), col("lat"), col("lon")), 4))
+        .groupBy(col("user_id"))
+        .agg(sum(col("step").cast("decimal(24,4)")).cast("decimal(38,4)").as("dist_m"),
+          count(col("step")).as("n_steps"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_regr" -> ((s, dir) => {
+      // regr_slope / regr_intercept / regr_r2 of value on user_id
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(covar_pop(col("value"), col("user_id").cast("double")) /
+            var_pop(col("user_id").cast("double")), 6).as("slope"),
+          round(avg(col("value")) -
+            covar_pop(col("value"), col("user_id").cast("double")) /
+              var_pop(col("user_id").cast("double")) * avg(col("user_id").cast("double")), 6).as("intercept"),
+          round(pow(corr(col("value"), col("user_id").cast("double")), 2), 6).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_bar" -> ((s, dir) => {
       // reference str/bar: unicode bar chart of a value
       Tables.events(s, dir).filter(col("event_id") < 200)
@@ -84,6 +118,32 @@ object MiscQueries extends QueryPack {
         |  EXCEPT ALL
         |  SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 200
         |) GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_haversine_track" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id,
+        |    value / 490.0 * 170.0 - 85.0 AS lat,
+        |    CAST(event_id % 360 AS DOUBLE) - 179.5 AS lon
+        |  FROM events WHERE user_id < 40),
+        |steps AS (
+        |  SELECT user_id,
+        |    round(2 * 6371008.8 * asin(sqrt(
+        |      pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+        |      + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+        |        * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2))), 4) AS step
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id,
+        |  CAST(sum(CAST(step AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS dist_m,
+        |  count(step) AS n_steps
+        |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_regr" ->
+      """SELECT event_type,
+        |  round(covar_pop(value, CAST(user_id AS DOUBLE)) / var_pop(CAST(user_id AS DOUBLE)), 6) AS slope,
+        |  round(avg(value) - covar_pop(value, CAST(user_id AS DOUBLE)) / var_pop(CAST(user_id AS DOUBLE))
+        |        * avg(CAST(user_id AS DOUBLE)), 6) AS intercept,
+        |  round(pow(corr(value, CAST(user_id AS DOUBLE)), 2), 6) AS r2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_bar" ->
       """SELECT event_id,
