@@ -80,6 +80,40 @@ object MiscQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_first_last_not_null" -> ((s, dir) => {
+      // first_not_null/last_not_null (ts-ordered) via min/max over a
+      // (ts, id, v) struct restricted to non-null v
+      val v = when(col("value") >= 100.0, col("value"))
+      val nn = when(v.isNotNull, struct(col("ts"), col("event_id"), v.as("v")))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          min(nn).getField("v").as("first_nn"),
+          max(nn).getField("v").as("last_nn"),
+          count(v).as("n_nn"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_weighted_avg" -> ((s, dir) => {
+      // weighted_avg(value, w) with exact decimal partial sums
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          (sum(col("value").cast("decimal(18,2)") * (col("user_id") + 1).cast("decimal(20,0)")).cast("double") /
+            sum((col("user_id") + 1).cast("decimal(20,0)")).cast("double")).as("wavg"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_is_ordered" -> ((s, dir) => {
+      // isOrdered: is `value` monotone non-decreasing in ts order per user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir).filter(col("user_id") < 40)
+        .withColumn("ok", coalesce(col("value") >= lag(col("value"), 1).over(w), lit(true)))
+        .groupBy(col("user_id"))
+        .agg(bool_and(col("ok")).as("is_ordered"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_uuid" -> ((s, dir) => {
       // deterministic uuid4-shaped id from md5 (rnd_uuid4 analogue with
       // a portable seed)
@@ -150,6 +184,35 @@ object MiscQueries extends QueryPack {
         |  repeat('#', CAST(floor(value / 50.0) AS INT)) AS bar,
         |  repeat('█', CAST(floor(value / 100.0) AS INT)) AS ubar
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "q_first_last_not_null" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN value >= 100.0 THEN value END AS v
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM e WHERE v IS NOT NULL)
+        |SELECT event_type,
+        |  max(CASE WHEN rf = 1 THEN v END) AS first_nn,
+        |  max(CASE WHEN rl = 1 THEN v END) AS last_nn,
+        |  count(*) AS n_nn
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_weighted_avg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE)
+        |    / CAST(sum(CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE) AS wavg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_is_ordered" ->
+      """SELECT user_id, bool_and(ok) AS is_ordered, count(*) AS n FROM (
+        |  SELECT user_id,
+        |    coalesce(value >= lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), true) AS ok
+        |  FROM events WHERE user_id < 40
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_uuid" ->
       """SELECT event_id,
