@@ -195,7 +195,7 @@ object PipelineQueries extends QueryPack {
         |    round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
         |  FROM q CROSS JOIN c WHERE qid <> cid),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn FROM pairs)
-        |SELECT qid, cid, sim, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+        |SELECT qid, cid, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q_similarity_lsh" ->
       """WITH ev AS (

@@ -152,10 +152,10 @@ object ScalarFnQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_fn_datetime" ->
       """SELECT event_id, ts,
-        |  year(ts) AS y, month(ts) AS mo, day(ts) AS d,
-        |  hour(ts) AS h, minute(ts) AS mi, CAST(second(ts) AS INT) AS sec,
-        |  dayofweek(ts) + 1 AS dow,
-        |  weekofyear(ts) AS woy, dayofyear(ts) AS doy,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo, CAST(day(ts) AS INT) AS d,
+        |  CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi, CAST(second(ts) AS INT) AS sec,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(weekofyear(ts) AS INT) AS woy, CAST(dayofyear(ts) AS INT) AS doy,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
         |  CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_ts,
         |  ts + INTERVAL 3 DAYS AS plus3d,
@@ -167,7 +167,7 @@ object ScalarFnQueries extends QueryPack {
 
     "q_fn_string" ->
       """SELECT doc_id,
-        |  length(text) AS len,
+        |  CAST(length(text) AS INT) AS len,
         |  upper(substring(text, 1, 20)) AS head_upper,
         |  lower(lang) AS lang_lower,
         |  lang || ':' || source AS tag,
@@ -176,7 +176,7 @@ object ScalarFnQueries extends QueryPack {
         |  trim('  pad  ') AS trimmed,
         |  substring(text, 5, 10) AS mid,
         |  split_part(text, ' ', 3) AS word3,
-        |  strpos(text, 'data') AS pos_data,
+        |  CAST(strpos(text, 'data') AS INT) AS pos_data,
         |  substring(regexp_replace(text, '[aeiou]', '', 'g'), 1, 30) AS novowel_head,
         |  md5(lang) AS lang_md5,
         |  sha256(source) AS source_sha,
@@ -241,7 +241,7 @@ object ScalarFnQueries extends QueryPack {
 
     "q_fn_array" ->
       """SELECT vec_id,
-        |  len(embedding) AS dim,
+        |  CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS first_e,
         |  embedding[-1] AS last_e,
         |  list_max(embedding) AS max_e,

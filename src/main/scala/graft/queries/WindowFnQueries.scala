@@ -84,7 +84,9 @@ object WindowFnQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_window_rank" ->
-      """SELECT event_id, event_type, value, rn, rnk, drnk FROM (
+      """SELECT event_id, event_type, value,
+        |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+        |FROM (
         |  SELECT event_id, event_type, value,
         |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
         |  FROM events
@@ -121,7 +123,7 @@ object WindowFnQueries extends QueryPack {
 
     "q_window_ntile" ->
       """SELECT event_id, event_type, value,
-        |  ntile(7) OVER w AS nt,
+        |  CAST(ntile(7) OVER w AS INT) AS nt,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd
         |FROM events WHERE user_id < 30
