@@ -13,6 +13,11 @@ class Engine(val spark: SparkSession, dataDir: String) {
   def sql(query: String): DataFrame = graft.sql.QuestSql.sql(spark, query)
 
   def table(name: String): DataFrame = spark.table(name)
+
+  /** EXPLAIN passthrough — formatted physical plan of a dialect query. */
+  def explain(query: String): String =
+    sql(query).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 }
 
 object Engine {

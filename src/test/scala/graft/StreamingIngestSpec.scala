@@ -83,6 +83,29 @@ class StreamingIngestSpec extends SparkSpec {
     assert(left == Seq("B"))
   }
 
+  test("live view: durable snapshot + seam advance per batch") {
+    val srcDir = tmp("lv_src")
+    val tableDir = tmp("lv_table")
+    val ckpt = tmp("lv_ckpt")
+    Files.writeString(java.nio.file.Path.of(srcDir, "a.txt"),
+      """m,k=x v=1.0 1704067200000000000
+        |m,k=y v=2.0 1704070800000000000
+        |""".stripMargin)
+    val lines = spark.readStream.text(srcDir).as[String]
+    val parsed = Ingest.parseIlp(lines)
+      .select($"tags"("k").as("k"), element_at($"f_double", "v").as("v"), $"ts")
+    val (lv, q) = graft.streaming.LiveView.start(spark, parsed, "lv_t", tableDir, ckpt, "ts", Seq("k"))
+    q.processAllAvailable()
+    assert(lv.snapshot().count() == 2)
+    assert(lv.seamMicros == 1704070800000000L)
+    Files.writeString(java.nio.file.Path.of(srcDir, "b.txt"),
+      "m,k=z v=3.0 1704074400000000000\n")
+    q.processAllAvailable()
+    q.stop()
+    assert(lv.snapshot().count() == 3)
+    assert(lv.seamMicros == 1704074400000000L)
+  }
+
   test("materialized view: streaming SAMPLE BY aggregates per bucket") {
     val srcDir = tmp("mv_src")
     val ckpt = tmp("mv_ckpt")
