@@ -42,6 +42,30 @@ object Mutations {
     n
   }
 
+  /** ALTER TABLE ADD COLUMN (with a default/derived expression). */
+  def addColumn(spark: SparkSession, tableDir: String, name: String, value: Column): Unit =
+    rewrite(spark, tableDir)(_.withColumn(name, value))
+
+  /** ALTER TABLE RENAME COLUMN. */
+  def renameColumn(spark: SparkSession, tableDir: String, from: String, to: String): Unit =
+    rewrite(spark, tableDir)(_.withColumnRenamed(from, to))
+
+  /** ALTER TABLE DROP COLUMN. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Unit =
+    rewrite(spark, tableDir)(_.drop(name))
+
+  /** ALTER ... ALTER COLUMN TYPE (reference ConvertOperatorImpl). */
+  def alterColumnType(spark: SparkSession, tableDir: String, name: String, newType: String): Unit =
+    rewrite(spark, tableDir)(df => df.withColumn(name, col(name).cast(newType)))
+
+  private def rewrite(spark: SparkSession, tableDir: String)(f: DataFrame => DataFrame): Unit = {
+    val out = f(spark.read.parquet(tableDir)).persist()
+    out.count()
+    out.write.mode("overwrite").parquet(tableDir + "__tmp")
+    out.unpersist()
+    swap(tableDir)
+  }
+
   /** TRUNCATE. */
   def truncate(spark: SparkSession, tableDir: String): Unit = {
     val df = spark.read.parquet(tableDir)

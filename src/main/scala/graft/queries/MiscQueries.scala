@@ -95,13 +95,31 @@ object MiscQueries extends QueryPack {
     }),
 
     "q_weighted_avg" -> ((s, dir) => {
-      // weighted_avg(value, w) with exact decimal partial sums
+      // weighted_avg(value, w) with exact decimal partial sums + geomean
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           (sum(col("value").cast("decimal(18,2)") * (col("user_id") + 1).cast("decimal(20,0)")).cast("double") /
-            sum((col("user_id") + 1).cast("decimal(20,0)")).cast("double")).as("wavg"))
+            sum((col("user_id") + 1).cast("decimal(20,0)")).cast("double")).as("wavg"),
+          round(exp(avg(log(col("value")))), 6).as("gmean"))
         .orderBy(col("event_type"))
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_fn_timezone" -> ((s, dir) => {
+      // to_timezone / to_utc (reference date fns): UTC-naive ↔ zone-local
+      Tables.events(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo_local"),
+          to_utc_timestamp(from_utc_timestamp(col("ts"), "Asia/Tokyo"), "Asia/Tokyo").as("roundtrip"),
+          hour(from_utc_timestamp(col("ts"), "America/Chicago")).as("chi_hour"))
+        .orderBy(col("event_id"))
     }),
 
     "q_is_ordered" -> ((s, dir) => {
@@ -204,8 +222,21 @@ object MiscQueries extends QueryPack {
     "q_weighted_avg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE)
-        |    / CAST(sum(CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE) AS wavg
+        |    / CAST(sum(CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE) AS wavg,
+        |  round(exp(avg(ln(value))), 6) AS gmean
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_fn_timezone" ->
+      """SELECT event_id,
+        |  CAST(timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS TIMESTAMP) AS tokyo_local,
+        |  CAST(timezone('Asia/Tokyo', timezone('Asia/Tokyo', ts::TIMESTAMPTZ)::TIMESTAMP) AS TIMESTAMP) AS roundtrip,
+        |  CAST(hour(timezone('America/Chicago', ts::TIMESTAMPTZ)) AS INT) AS chi_hour
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "q_is_ordered" ->
       """SELECT user_id, bool_and(ok) AS is_ordered, count(*) AS n FROM (

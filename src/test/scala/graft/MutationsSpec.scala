@@ -37,6 +37,18 @@ class MutationsSpec extends SparkSpec {
     assert(t.count() == 0 && t.columns.toSeq == Seq("sym", "price", "ts"))
   }
 
+  test("ALTER: add / rename / drop / retype columns") {
+    val dir = freshTable()
+    Mutations.addColumn(spark, dir, "fee", col("price") * 0.01)
+    Mutations.renameColumn(spark, dir, "sym", "symbol")
+    Mutations.alterColumnType(spark, dir, "price", "decimal(10,2)")
+    val df = spark.read.parquet(dir)
+    assert(df.columns.toSeq == Seq("symbol", "price", "ts", "fee"))
+    assert(df.schema("price").dataType.typeName.startsWith("decimal"))
+    Mutations.dropColumn(spark, dir, "fee")
+    assert(spark.read.parquet(dir).columns.toSeq == Seq("symbol", "price", "ts"))
+  }
+
   test("catalog functions: tables / table_columns / table_partitions") {
     Tables.registerAll(spark, sfDir)
     val ts = Catalog.tables(spark)
