@@ -111,26 +111,27 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** SimHash: 60-bit signature from per-token md5 bit votes. Pure
-    * relational lowering: token explode × 60 bit positions → majority
-    * vote per bit → weighted bit sum. (60 bits = 15 hex chars, keeping
-    * the value in a signed long portably.)
+  /** SimHash: 60-bit signature from per-token md5 bit votes.
+    *
+    * Vectorized lowering: one `conv(15-hex, 16, 10)` long per token,
+    * then 60 partial-aggregating bit-count sums per doc — a single
+    * hash aggregate over the token table, no 60× bit explosion (that
+    * variant shuffles |tokens|·60 rows; this shuffles |docs| buffers).
+    *
+    * Bit b (b = 4·i + j, hex char i from the LEFT, j = LSB-of-digit)
+    * of the hex-digit scheme maps to long bit 4·(14−i)+j.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(array_distinct(split(trim(col(textCol)), " "))).as("w"))
       .filter(col("w") =!= "")
-      .withColumn("hx", md5(col("w")))
-    // vote: +1 when the bit is set, -1 otherwise
-    val votes = tok
-      .withColumn("bit", explode(sequence(lit(0), lit(59))))
-      .withColumn("dval",
-        expr("locate(substring(hx, int(bit div 4) + 1, 1), '0123456789abcdef') - 1"))
-      .withColumn("contrib", expr("2 * ((dval >> (bit % 4)) & 1) - 1"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-    votes
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      .withColumn("h", expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"))
+    def shift(b: Int): Int = 4 * (14 - b / 4) + (b % 4)
+    val bitSums = (0 until 60).map(b =>
+      sum(expr(s"(shiftright(h, ${shift(b)}) & 1) * 2 - 1")).as(s"s$b"))
+    val votes = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    votes.select(col(idCol), hash.as("simhash"))
   }
 }
