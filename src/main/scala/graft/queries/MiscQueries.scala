@@ -112,6 +112,22 @@ object MiscQueries extends QueryPack {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    "q_fn_datetime2" -> ((s, dir) => {
+      // days_in_month, is_leap_year, quarter, last_day, months_between,
+      // interval_start/end (QuestDB interval values → lo/hi columns)
+      Tables.events(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          dayofmonth(last_day(col("ts"))).as("days_in_month"),
+          (((year(col("ts")) % 4 === 0) && (year(col("ts")) % 100 =!= 0)) ||
+            (year(col("ts")) % 400 === 0)).as("is_leap"),
+          quarter(col("ts")).as("q"),
+          last_day(col("ts")).cast("timestamp").as("month_end"),
+          ((year(col("ts")) - 2023) * 12 + month(col("ts")) - lit(6)).as("months_since"),
+          date_trunc("day", col("ts")).as("interval_lo"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("interval_hi"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_fn_timezone" -> ((s, dir) => {
       // to_timezone / to_utc (reference date fns): UTC-naive ↔ zone-local
       Tables.events(s, dir).filter(col("event_id") < 200)
@@ -230,6 +246,17 @@ object MiscQueries extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_fn_datetime2" ->
+      """SELECT event_id,
+        |  CAST(day(last_day(ts)) AS INT) AS days_in_month,
+        |  (year(ts) % 4 = 0 AND year(ts) % 100 <> 0) OR year(ts) % 400 = 0 AS is_leap,
+        |  CAST(quarter(ts) AS INT) AS q,
+        |  CAST(last_day(ts) AS TIMESTAMP) AS month_end,
+        |  CAST((year(ts) - 2023) * 12 + month(ts) - 6 AS INT) AS months_since,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS interval_lo,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS interval_hi
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "q_fn_timezone" ->
       """SELECT event_id,
