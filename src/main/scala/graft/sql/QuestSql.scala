@@ -27,6 +27,8 @@ object QuestSql {
   def sql(spark: SparkSession, query: String): DataFrame = {
     val q = query.trim.stripSuffix(";")
     asofForm(spark, q)
+      .orElse(windowJoinForm(spark, q))
+      .orElse(horizonJoinForm(spark, q))
       .orElse(sampleByFillForm(spark, q))
       .getOrElse(spark.sql(rewrite(q)))
   }
@@ -208,6 +210,67 @@ object QuestSql {
       case _ => None
     }
   }
+
+  // ---- WINDOW JOIN -----------------------------------------------------------
+  // SELECT m1, m2, agg AS name, ... FROM master WINDOW JOIN slave ON k
+  //   RANGE BETWEEN <n><u> PRECEDING AND <n><u> FOLLOWING
+  private val WindowJoinRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+WINDOW\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+BETWEEN\s+(\d+)([smhd])\s+PRECEDING\s+AND\s+(\d+)([smhd])\s+FOLLOWING\s*$""".r
+
+  private def unitMicros(u: String): Long = u match {
+    case "s" => 1000000L; case "m" => 60000000L
+    case "h" => 3600000000L; case "d" => 86400000000L
+  }
+
+  private def windowJoinForm(spark: SparkSession, q0: String): Option[DataFrame] =
+    rewriteIntervalLiterals(q0) match {
+      case WindowJoinRe(sel, master, slave, onKeys, loN, loU, hiN, hiU) =>
+        val keys = onKeys.split(",").map(_.trim).toSeq
+        val items = splitSelect(sel)
+        val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
+        val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
+          case AggAs(e, name) => name -> expr(e)
+          case e => e.replaceAll("\\W", "_") -> expr(e)
+        }
+        val m = spark.table(master)
+        val s = spark.table(slave)
+        // clash-suffix slave columns (except keys and its ts) so agg
+        // expressions can address them as <col>1
+        val renamed = s.columns.filterNot(c => keys.contains(c) || c == "ts").foldLeft(s) {
+          (df, c) => if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
+        }
+        val out = graft.ops.WindowJoin.windowJoin(
+          m, renamed, "ts", "ts", keys,
+          -loN.toLong * unitMicros(loU), hiN.toLong * unitMicros(hiU), aggs)
+        Some(out)
+      case _ => None
+    }
+
+  // ---- HORIZON JOIN ----------------------------------------------------------
+  // SELECT ... FROM master HORIZON JOIN slave ON k LIST (o1, o2, ...)
+  private val HorizonJoinRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+HORIZON\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+LIST\s*\(([\d,\s]+)\)\s*$""".r
+
+  private def horizonJoinForm(spark: SparkSession, q0: String): Option[DataFrame] =
+    rewriteIntervalLiterals(q0) match {
+      case HorizonJoinRe(sel, master, slave, onKeys, list) =>
+        val keys = onKeys.split(",").map(_.trim).toSeq
+        val offsets = list.split(",").map(_.trim.toLong).toSeq
+        val m = spark.table(master)
+        val s = spark.table(slave)
+        // clash-rename slave payload as in asofForm
+        val renamed = s.columns.filterNot(keys.contains).foldLeft(s) { (df, c) =>
+          if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
+        }
+        val withTs =
+          if (renamed.columns.contains("ts")) renamed
+          else renamed.withColumn("ts", col("ts1"))
+        val payload = withTs.columns.filterNot(c => keys.contains(c) || c == "ts").toSeq
+        val out = graft.ops.HorizonJoin.horizonJoin(
+          m, withTs, "ts", "ts", keys, payload, offsets)
+        Some(if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*))
+      case _ => None
+    }
 
   // ---- negative LIMIT -------------------------------------------------------
 

@@ -74,6 +74,20 @@ class QuestSqlSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("WINDOW JOIN dialect form aggregates the slave inside the range") {
+    val out = engine.sql(
+      "SELECT event_id, count(value1) AS n, max(value1) AS mx FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING")
+    assert(out.columns.toSeq.sorted == Seq("event_id", "mx", "n", "ts", "user_id", "value").sorted)
+    assert(out.count() == spark.table("p_v").count())
+  }
+
+  test("HORIZON JOIN dialect form emits one row per offset") {
+    val out = engine.sql(
+      "SELECT * FROM p_v HORIZON JOIN c_v2 ON user_id LIST (0, 300000000)")
+    assert(out.count() == 2 * spark.table("p_v").count())
+    assert(out.columns.contains("off_us"))
+  }
+
   test("negative LIMIT returns the tail in forward order") {
     val rows = engine.sql(
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT -5").collect()
@@ -90,6 +104,8 @@ class QuestSqlSpec extends SparkSpec {
       .select("user_id", "ts", "value").createOrReplaceTempView("c_v")
     Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
       .select("user_id", "ts", "value").createOrReplaceTempView("p_v2")
+    Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select("user_id", "ts", "value").createOrReplaceTempView("c_v2")
     super.withFixture(test)
   }
 }
