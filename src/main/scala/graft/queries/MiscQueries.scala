@@ -101,7 +101,9 @@ object MiscQueries extends QueryPack {
         .agg(
           (sum(col("value").cast("decimal(18,2)") * (col("user_id") + 1).cast("decimal(20,0)")).cast("double") /
             sum((col("user_id") + 1).cast("decimal(20,0)")).cast("double")).as("wavg"),
-          round(exp(avg(log(col("value")))), 6).as("gmean"))
+          // geomean over the strictly-positive subset (ln(0) is an error
+          // in some engines, null in Spark — the guard makes it portable)
+          round(exp(avg(when(col("value") > 0.0, log(col("value"))))), 6).as("gmean"))
         .orderBy(col("event_type"))
     }),
 
@@ -239,7 +241,7 @@ object MiscQueries extends QueryPack {
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE)
         |    / CAST(sum(CAST(user_id + 1 AS DECIMAL(20,0))) AS DOUBLE) AS wavg,
-        |  round(exp(avg(ln(value))), 6) AS gmean
+        |  round(exp(avg(CASE WHEN value > 0.0 THEN ln(value) END)), 6) AS gmean
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_cube" ->
