@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class Engine(val spark: SparkSession, dataDir: String) {
   Tables.registerAll(spark, dataDir)
+  Engine.registerFunctions(spark)
 
   def sql(query: String): DataFrame = graft.sql.QuestSql.sql(spark, query)
 
@@ -22,4 +23,15 @@ class Engine(val spark: SparkSession, dataDir: String) {
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** Expose the custom function library to SQL (reference
+    * FunctionFactory registry analogue — SURVEY §2.10).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.GeoHashEncodeExpr.register(spark)
+    spark.udf.register("ksum",
+      org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.KSum))
+    spark.udf.register("nsum",
+      org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.NSum))
+  }
 }
