@@ -40,6 +40,23 @@ object Similarity {
       .select("qid", "cid", "sim", "rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs within a
+    * blocking key whose cosine similarity clears the threshold. The
+    * block join bounds the pair explosion (at corpus scale the block is
+    * an LSH bucket from [[lshBuckets]] instead of a label).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("a"), col(vecCol).as("va"))
+    val b = df.select(col(blockCol), col(idCol).as("b"), col(vecCol).as("vb"))
+    val sim = round(
+      dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))), 6)
+    a.join(b, Seq(blockCol)).filter(col("a") < col("b"))
+      .withColumn("sim", sim)
+      .filter(col("sim") >= threshold)
+      .select(col(blockCol), col("a"), col("b"), col("sim"))
+  }
+
   /** Sign-LSH bucket id per vector: bit h = sign(v · w_h) where
     * w_h[i] = ((i*73 + h*37) mod 19) - 9 — integer pseudo-weights.
     */

@@ -72,6 +72,13 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    "q_dedup_cosine" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs, blocked by label
+      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", 0.9)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_similarity_lsh" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", 4)
@@ -196,6 +203,16 @@ object PipelineQueries extends QueryPack {
         |  FROM q CROSS JOIN c WHERE qid <> cid),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn FROM pairs)
         |SELECT qid, cid, sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     "q_similarity_lsh" ->
       """WITH ev AS (
