@@ -15,6 +15,45 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * same access pattern any keyed stateful operator needs at scale.
   */
 object Ema {
+  /** Volume-weighted EMA (reference `VwemaDoubleWindowFunctionFactory`):
+    * two coupled recursions — `num = α·p·v + (1-α)·num_prev`,
+    * `den = α·v + (1-α)·den_prev`, output `num/den`. Same
+    * repartition-by-key sorted fold as [[ema]].
+    */
+  def vwema(df: DataFrame, ts: String, keys: Seq[String],
+            priceCol: String, volumeCol: String, alpha: Double, out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, DoubleType, nullable = true))
+    val keyIdx = keys.map(df.columns.indexOf(_))
+    val pIdx = df.columns.indexOf(priceCol)
+    val vIdx = df.columns.indexOf(volumeCol)
+    val sortCols = (keys :+ ts).map(col)
+    val partitioned =
+      if (keys.isEmpty) df.repartitionByRange(1, col(ts)).sortWithinPartitions(col(ts))
+      else df.repartition(keys.map(col): _*).sortWithinPartitions(sortCols: _*)
+    partitioned.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var num = 0.0; var den = 0.0; var hasState = false
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; hasState = false }
+        val y: Any =
+          if (r.isNullAt(pIdx) || r.isNullAt(vIdx)) {
+            if (hasState && den != 0.0) num / den else null
+          } else {
+            val p = r.getDouble(pIdx); val v = r.getDouble(vIdx)
+            if (hasState) {
+              // alpha * (p*v): association matches the oracle's fold over
+              // precomputed p*v elements
+              num = alpha * (p * v) + (1 - alpha) * num
+              den = alpha * v + (1 - alpha) * den
+            } else { num = p * v; den = v; hasState = true }
+            if (den != 0.0) num / den else null
+          }
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def ema(df: DataFrame, ts: String, keys: Seq[String],
           valueCol: String, alpha: Double, out: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(out, DoubleType, nullable = true))

@@ -33,4 +33,38 @@ object WindowJoin {
       .groupBy(master.columns.map(c => col(s"__m_$c").as(c)): _*)
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
   }
+
+  /** WINDOW JOIN ... INCLUDE PREVAILING (reference parse
+    * `SqlParser.java:4960-4977`): the latest slave row strictly before
+    * the window start also contributes to each master's aggregate.
+    * Lowering: union the range-join contributions with a strict ASOF at
+    * `ts+lo`, then aggregate once — both branches are single-key-shuffle
+    * plans.
+    *
+    * @param payload slave columns the aggregates consume (must not clash
+    *                with master column names)
+    */
+  def windowJoinPrevailing(master: DataFrame, slave: DataFrame,
+                           masterTs: String, slaveTs: String,
+                           keys: Seq[String], payload: Seq[String],
+                           loMicros: Long, hiMicros: Long,
+                           aggs: Seq[(String, Column)]): DataFrame = {
+    val mCols = master.columns.toSeq
+    val m = mCols.foldLeft(master)((d, c) => d.withColumnRenamed(c, s"__m_$c"))
+    val cond = keys.map(k => m(s"__m_$k") === slave(k)).reduce(_ && _) &&
+      col(slaveTs) >= col(s"__m_$masterTs") + expr(s"interval $loMicros microseconds") &&
+      col(slaveTs) <= col(s"__m_$masterTs") + expr(s"interval $hiMicros microseconds")
+    val inWindow = m.join(slave, cond, "left")
+      .select(mCols.map(c => col(s"__m_$c")) ++ payload.map(col): _*)
+
+    val probe = master.withColumn("__wj_probe",
+      col(masterTs) + expr(s"interval $loMicros microseconds"))
+    val prevailing = AsofJoin.asofKeyed(probe, slave, "__wj_probe", slaveTs,
+      keys, payload, strict = true)
+      .select(mCols.map(c => col(c).as(s"__m_$c")) ++ payload.map(col): _*)
+
+    inWindow.unionByName(prevailing)
+      .groupBy(mCols.map(c => col(s"__m_$c").as(c)): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 }

@@ -72,6 +72,18 @@ object TimeSeriesQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_window_join_prevailing" -> ((s, dir) => {
+      WindowJoin.windowJoinPrevailing(
+        purchases(s, dir).select("event_id", "ts", "user_id"),
+        clicks(s, dir),
+        "ts", "ts", Seq("user_id"), Seq("click_ts", "click_value"),
+        -600L * 1000000L, 600L * 1000000L,
+        Seq(
+          "n_contrib" -> count(col("click_value")),
+          "sum_contrib" -> sum(col("click_value").cast("decimal(24,6)")).cast("decimal(38,6)")))
+        .orderBy(col("event_id"))
+    }),
+
     "q_horizon_join" -> ((s, dir) => {
       HorizonJoin.horizonJoin(
         purchases(s, dir).select("event_id", "ts", "user_id"),
@@ -158,6 +170,15 @@ object TimeSeriesQueries extends QueryPack {
           .select("user_id", "ts", "value"),
         "ts", Seq("user_id"), "value", 0.2, "ema")
         .orderBy(col("user_id"), col("ts"))
+    }),
+
+    "q_vwema" -> ((s, dir) => {
+      Ema.vwema(
+        Tables.events(s, dir).filter(col("user_id") < 30)
+          .select(col("user_id"), col("ts"), col("value"),
+            (col("event_id") % 5 + 1).cast("double").as("vol")),
+        "ts", Seq("user_id"), "value", "vol", 0.25, "vwema")
+        .orderBy(col("user_id"), col("ts"))
     })
   )
 
@@ -215,6 +236,21 @@ object TimeSeriesQueries extends QueryPack {
          |  AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts <= p.ts + INTERVAL 10 MINUTES
          |GROUP BY p.event_id, p.ts, p.user_id
          |ORDER BY p.event_id""".stripMargin,
+
+    "q_window_join_prevailing" ->
+      s"""WITH contrib AS (
+         |  SELECT p.event_id, p.ts, p.user_id, c.click_value
+         |  FROM ($P) p LEFT JOIN ($C) c
+         |    ON p.user_id = c.user_id
+         |    AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts <= p.ts + INTERVAL 10 MINUTES
+         |  UNION ALL
+         |  SELECT p.event_id, p.ts, p.user_id, c.click_value
+         |  FROM ($P) p ASOF LEFT JOIN ($C) c
+         |    ON p.user_id = c.user_id AND p.ts - INTERVAL 10 MINUTES > c.click_ts)
+         |SELECT event_id, ts, user_id, count(click_value) AS n_contrib,
+         |  CAST(sum(CAST(click_value AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_contrib
+         |FROM contrib GROUP BY event_id, ts, user_id
+         |ORDER BY event_id""".stripMargin,
 
     "q_horizon_join" ->
       s"""WITH offs(off_us) AS (SELECT CAST(x AS BIGINT) FROM (VALUES (0), (300000000), (900000000)) v(x)),
@@ -326,6 +362,17 @@ object TimeSeriesQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc) AS ema
         |FROM events WHERE user_id < 30
+        |ORDER BY user_id, ts""".stripMargin,
+
+    "q_vwema" ->
+      """SELECT user_id, ts, value, vol,
+        |  list_reduce(list(value * vol) OVER w, (acc, x) -> 0.25 * x + (1.0 - 0.25) * acc)
+        |  / list_reduce(list(vol) OVER w, (acc, x) -> 0.25 * x + (1.0 - 0.25) * acc) AS vwema
+        |FROM (SELECT user_id, ts, event_id, value,
+        |        CAST(event_id % 5 + 1 AS DOUBLE) AS vol
+        |      FROM events WHERE user_id < 30)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts""".stripMargin
   )
 }
