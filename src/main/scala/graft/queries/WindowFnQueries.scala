@@ -69,6 +69,25 @@ object WindowFnQueries extends QueryPack {
         .orderBy(col("event_type"), col("value"), col("event_id"))
     }),
 
+    "q_window_groups_frame" -> ((s, dir) => {
+      // GROUPS 2 PRECEDING..CURRENT ROW with every EXCLUDE variant,
+      // over a coarse (tie-heavy) ordering column
+      val base = graft.Tables.events(s, dir).filter(col("user_id") < 40)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          floor(col("value") / 100.0).cast("long").as("vb"))
+      val s1 = graft.ops.GroupsFrame.groupsSum(base, Seq("event_type"), "vb",
+        col("user_id"), 2, graft.ops.GroupsFrame.NoOthers, "g_sum")
+      val s2 = graft.ops.GroupsFrame.groupsSum(s1, Seq("event_type"), "vb",
+        col("user_id"), 2, graft.ops.GroupsFrame.CurrentRow, "g_sum_xrow")
+      val s3 = graft.ops.GroupsFrame.groupsSum(s2, Seq("event_type"), "vb",
+        col("user_id"), 2, graft.ops.GroupsFrame.Group, "g_sum_xgroup")
+      val s4 = graft.ops.GroupsFrame.groupsSum(s3, Seq("event_type"), "vb",
+        col("user_id"), 2, graft.ops.GroupsFrame.Ties, "g_sum_xties")
+      graft.ops.GroupsFrame.groupsCount(s4, Seq("event_type"), "vb",
+        2, graft.ops.GroupsFrame.NoOthers, "g_cnt")
+        .orderBy(col("event_id"))
+    }),
+
     "q_window_first_last" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -129,6 +148,32 @@ object WindowFnQueries extends QueryPack {
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
         |ORDER BY event_type, value, event_id""".stripMargin,
+
+    // NOTE: DuckDB has no GROUPS frame mode either, so the oracle is the
+    // first-principles construction (dense_rank peer index + integer
+    // RANGE frame + exclusion arithmetic); hand-computed semantics are
+    // pinned separately in OpsSpec.
+    "q_window_groups_frame" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, user_id,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS vb
+        |  FROM events WHERE user_id < 40),
+        |g AS (SELECT *, dense_rank() OVER (PARTITION BY event_type ORDER BY vb) AS grp FROM base),
+        |f AS (SELECT *,
+        |    CAST(sum(user_id) OVER wf AS BIGINT) AS fsum,
+        |    count(*) OVER wf AS fcnt,
+        |    CAST(sum(user_id) OVER wp AS BIGINT) AS psum,
+        |    count(*) OVER wp AS pcnt
+        |  FROM g
+        |  WINDOW wf AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |         wp AS (PARTITION BY event_type, vb))
+        |SELECT event_id, event_type, user_id, vb,
+        |  fsum AS g_sum,
+        |  CASE WHEN fcnt - 1 > 0 THEN fsum - user_id END AS g_sum_xrow,
+        |  CASE WHEN fcnt - pcnt > 0 THEN fsum - psum END AS g_sum_xgroup,
+        |  fsum - psum + user_id AS g_sum_xties,
+        |  fcnt AS g_cnt
+        |FROM f ORDER BY event_id""".stripMargin,
 
     "q_window_first_last" ->
       """SELECT user_id, ts, value,

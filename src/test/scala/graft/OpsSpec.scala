@@ -75,6 +75,26 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 27.5, 100.0, 50.0))
   }
 
+  test("GROUPS frame + EXCLUDE variants match hand-computed values") {
+    // one partition; peer groups by o: [a(1), b(2)] o=1 | [c(4)] o=2 | [d(8), e(16)] o=3
+    val df = Seq(("a", 1, 1), ("b", 1, 2), ("c", 2, 4), ("d", 3, 8), ("e", 3, 16))
+      .toDF("id", "o", "v").withColumn("k", lit("p"))
+    val out = GroupsFrame.groupsSum(df, Seq("k"), "o", $"v", 1,
+      GroupsFrame.NoOthers, "s")
+    val s = out.orderBy($"id").collect().map(_.getAs[Long]("s")).toSeq
+    // GROUPS 1 PRECEDING..CURRENT: a,b → 3; c → 3+4=7; d,e → 4+24=28
+    assert(s == Seq(3L, 3L, 7L, 28L, 28L))
+    val xg = GroupsFrame.groupsSum(df, Seq("k"), "o", $"v", 1,
+      GroupsFrame.Group, "s").orderBy($"id").collect()
+      .map(r => Option(r.getAs[Any]("s"))).toSeq
+    // exclude own group: a,b → NULL (frame was only their group); c → 3; d,e → 4
+    assert(xg == Seq(None, None, Some(3L), Some(4L), Some(4L)))
+    val xt = GroupsFrame.groupsSum(df, Seq("k"), "o", $"v", 1,
+      GroupsFrame.Ties, "s").orderBy($"id").collect().map(_.getAs[Long]("s")).toSeq
+    // exclude ties: frame minus peers plus self: a→1, b→2, c→7, d→12, e→20
+    assert(xt == Seq(1L, 2L, 7L, 12L, 20L))
+  }
+
   test("ksum/nsum are within 1e-6 of the exact decimal sum") {
     val vals = Tables.events(spark, sfDir).select($"value")
     val exact = vals.agg(sum($"value".cast("decimal(24,6)"))).head().getDecimal(0).doubleValue()
