@@ -134,6 +134,34 @@ object AsofJoin {
     res
   }
 
+  /** Keyed ASOF via the native sorted-merge physical operator
+    * (`graft.plans.AsOfJoinExec` — LogicalPlan + Strategy + SparkPlan).
+    * Same semantics as [[asofKeyed]]; requires a session built with
+    * [[graft.plans.GraftExtensions]] (Sessions does this). The merge
+    * holds O(1) state per partition instead of a window frame.
+    */
+  def asofKeyedNative(master: DataFrame, slave: DataFrame,
+                      masterTs: String, slaveTs: String,
+                      keys: Seq[String], payload: Seq[String],
+                      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val mPlan = master.queryExecution.analyzed
+    // fresh exprIds on the slave side so self-joins don't alias
+    val sPlan0 = slave.queryExecution.analyzed
+    val sAliases = sPlan0.output.map(a => Alias(a, a.name)())
+    val sPlan = Project(sAliases, sPlan0)
+    val sOut = sPlan.output
+    def mAttr(n: String) = mPlan.output.find(_.name == n).get
+    def sAttr(n: String) = sOut.find(_.name == n).get
+    val node = graft.plans.AsOfJoinNode(
+      mPlan, sPlan,
+      keys.map(mAttr), keys.map(sAttr),
+      mAttr(masterTs), sAttr(slaveTs),
+      payload.map(sAttr), strict)
+    org.apache.spark.sql.classic.GraftBridge.ofRows(master.sparkSession, node)
+  }
+
   /** SPLICE join: keyed full-outer time merge — every row of both tables,
     * each paired with the latest counterpart row at or before its ts
     * (reference `join/SpliceJoinLightRecordCursorFactory.java:62`).

@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Native keyed ASOF join operator — the full custom-operator tier
+  * (LogicalPlan + Strategy + SparkPlan), SURVEY §4.2 "custom
+  * SparkStrategy justified for keyed ASOF at scale".
+  *
+  * Physical shape: both children hash-clustered on the join key and
+  * sorted by (key, ts); one streaming merge pass per partition holding
+  * O(1) state (the latest slave row for the current key). Contrast with
+  * the union-merge window lowering, which buffers a window frame; both
+  * are single-shuffle, this one is allocation-free per row.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute], strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute], strict: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyIdx = leftKeys.map(a => leftOut.indexWhere(_.exprId == a.exprId))
+    val rKeyIdx = rightKeys.map(a => rightOut.indexWhere(_.exprId == a.exprId))
+    val lTsIdx = leftOut.indexWhere(_.exprId == leftTs.exprId)
+    val rTsIdx = rightOut.indexWhere(_.exprId == rightTs.exprId)
+    val keyTypes = leftKeys.map(_.dataType)
+    val payloadAttrs = payload
+    val isStrict = strict
+
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (mIter, sIter) =>
+      val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
+      // downstream operators expect UnsafeRow; the payload side of the
+      // joined row must be treated nullable (unmatched masters)
+      val outProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ payloadAttrs.map(_.withNullability(true)))
+      val joiner = new JoinedRow
+      val nullPayload = InternalRow.fromSeq(Seq.fill(payloadAttrs.size)(null))
+      val ord = keyTypes.map(
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
+
+      def keyCmp(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < a.length) {
+          val c = ord(i).asInstanceOf[Ordering[Any]].compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      def keysOf(r: InternalRow, idx: Seq[Int], types: Seq[org.apache.spark.sql.types.DataType]): Array[Any] =
+        idx.zip(types).map { case (i, t) => r.get(i, t) }.toArray
+
+      new Iterator[InternalRow] {
+        private var sNext: InternalRow = _
+        private var sNextKey: Array[Any] = _
+        private var sNextTs: Long = 0L
+        private var have = advanceSlaveRaw()
+
+        private var matchKey: Array[Any] = _
+        private var matchPayload: InternalRow = _
+
+        private def advanceSlaveRaw(): Boolean = {
+          if (sIter.hasNext) {
+            val r = sIter.next()
+            sNextKey = keysOf(r, rKeyIdx, keyTypes)
+            sNextTs = r.getLong(rTsIdx)
+            sNext = r
+            true
+          } else { sNext = null; false }
+        }
+
+        override def hasNext: Boolean = mIter.hasNext
+
+        override def next(): InternalRow = {
+          val m = mIter.next()
+          val mKey = keysOf(m, lKeyIdx, keyTypes)
+          val mTs = m.getLong(lTsIdx)
+          // consume every slave row usable by this master
+          var continue = have
+          while (continue) {
+            val c = keyCmp(sNextKey, mKey)
+            val usable = c < 0 || (c == 0 &&
+              (if (isStrict) sNextTs < mTs else sNextTs <= mTs))
+            if (usable) {
+              if (c == 0) { matchKey = sNextKey; matchPayload = payloadProj(sNext).copy() }
+              else { matchKey = null; matchPayload = null } // stale key, drop state
+              continue = advanceSlaveRaw()
+              have = continue
+            } else continue = false
+          }
+          val p =
+            if (matchKey != null && keyCmp(matchKey, mKey) == 0) matchPayload
+            else nullPayload
+          outProj(joiner(m, p))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, strict) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}

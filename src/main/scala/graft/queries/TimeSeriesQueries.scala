@@ -28,6 +28,15 @@ object TimeSeriesQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_asof_native" -> ((s, dir) => {
+      // same semantics as q_asof_join, through the native sorted-merge
+      // physical operator (AsOfJoinExec)
+      AsofJoin.asofKeyedNative(
+        purchases(s, dir).select("event_id", "ts", "user_id", "value"),
+        clicks(s, dir), "ts", "ts", Seq("user_id"), Seq("click_ts", "click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_lt_join" -> ((s, dir) => {
       AsofJoin.asofKeyed(
         purchases(s, dir).select("event_id", "ts", "user_id", "value"),
@@ -187,6 +196,12 @@ object TimeSeriesQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" ->
+      s"""SELECT p.event_id, p.ts, p.user_id, p.value, c.click_ts, c.click_value
+         |FROM ($P) p ASOF LEFT JOIN ($C) c
+         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_native" ->
       s"""SELECT p.event_id, p.ts, p.user_id, p.value, c.click_ts, c.click_value
          |FROM ($P) p ASOF LEFT JOIN ($C) c
          |  ON p.user_id = c.user_id AND p.ts >= c.click_ts

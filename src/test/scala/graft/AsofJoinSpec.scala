@@ -59,6 +59,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(keyed == bcast)
   }
 
+  test("native sorted-merge exec agrees with the window lowering") {
+    for (strict <- Seq(false, true)) {
+      val native = AsofJoin.asofKeyedNative(master, slave, "ts", "ts",
+        Seq("k"), Seq("s_ts", "sid", "sv"), strict = strict)
+        .select($"mid", $"sid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(native == naive(strict, None), s"strict=$strict")
+    }
+  }
+
+  test("native exec self-join (shared exprIds) resolves cleanly") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "value")
+    val m = ev.filter($"value" > 100.0)
+    val s = ev.select($"user_id", $"ts", $"ts".as("s_ts"), $"value".as("sv"))
+    val out = AsofJoin.asofKeyedNative(m, s, "ts", "ts", Seq("user_id"), Seq("s_ts", "sv"))
+    assert(out.count() == m.count())
+    assert(out.filter($"s_ts" > $"ts").count() == 0)
+  }
+
   test("splice emits every row from both sides") {
     val p = master.select($"k", $"ts", $"mid")
     val c = slave.select($"k", $"ts", $"sid")

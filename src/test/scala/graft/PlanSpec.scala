@@ -38,6 +38,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window ")) // hash-agg lowering, not a row_number window
   }
 
+  test("q_asof_native: custom AsOfJoinExec planned, one hash exchange per side, no window") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsOfJoin ")) // AsOfJoinExec renders without the suffix
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2)
+    assert(!p.contains("Window "))
+  }
+
   test("q_orderby_limit: top-k, not a full global sort") {
     val p = plan("q_orderby_limit")
     assert(p.contains("TakeOrderedAndProject"))
