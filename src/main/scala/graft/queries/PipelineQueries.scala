@@ -85,6 +85,22 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    "q_dedup_pipeline" -> ((s, dir) => {
+      // end-to-end dedup: shingle → exact-jaccard confirm (≥0.5) →
+      // drop the higher doc_id of each confirmed pair → survivor stats
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, Seq("lang"), 0.5, words = true)
+      val dropped = pairs.select(col("b").as("doc_id")).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total")), Seq("lang"))
+        .select(col("lang"), col("n_total"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_dropped"), col("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -226,6 +242,27 @@ object PipelineQueries extends QueryPack {
         |SELECT vec_id,
         |  CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_pipeline" ->
+      s"""WITH $SH,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT DISTINCT b AS doc_id FROM inter
+         |  JOIN sizes sa ON inter.a = sa.doc_id
+         |  JOIN sizes sb ON inter.b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
+         |kept AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT d.lang,
+         |  count(*) AS n_total,
+         |  count(*) FILTER (WHERE k.doc_id IS NOT NULL) AS n_kept,
+         |  count(*) - count(*) FILTER (WHERE k.doc_id IS NOT NULL) AS n_dropped,
+         |  CAST(sum(k.n_chars) AS BIGINT) AS chars_kept
+         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH h AS (SELECT event_id, md5(props) AS hx FROM events WHERE event_id < 500),
