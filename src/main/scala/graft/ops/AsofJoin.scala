@@ -143,7 +143,8 @@ object AsofJoin {
   def asofKeyedNative(master: DataFrame, slave: DataFrame,
                       masterTs: String, slaveTs: String,
                       keys: Seq[String], payload: Seq[String],
-                      strict: Boolean = false): DataFrame = {
+                      strict: Boolean = false,
+                      toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val mPlan = master.queryExecution.analyzed
@@ -158,7 +159,7 @@ object AsofJoin {
       mPlan, sPlan,
       keys.map(mAttr), keys.map(sAttr),
       mAttr(masterTs), sAttr(slaveTs),
-      payload.map(sAttr), strict)
+      payload.map(sAttr), strict, toleranceMicros)
     org.apache.spark.sql.classic.GraftBridge.ofRows(master.sparkSession, node)
   }
 

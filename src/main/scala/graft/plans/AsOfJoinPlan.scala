@@ -23,7 +23,8 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute], strict: Boolean) extends BinaryNode {
+    payload: Seq[Attribute], strict: Boolean,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
     copy(left = l, right = r)
@@ -33,7 +34,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute], strict: Boolean) extends BinaryExecNode {
+    payload: Seq[Attribute], strict: Boolean,
+    toleranceMicros: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -57,6 +59,7 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val payloadAttrs = payload
     val isStrict = strict
+    val tolUs = toleranceMicros.getOrElse(Long.MaxValue)
 
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (mIter, sIter) =>
@@ -90,6 +93,7 @@ case class AsOfJoinExec(
 
         private var matchKey: Array[Any] = _
         private var matchPayload: InternalRow = _
+        private var matchTs: Long = Long.MinValue
 
         private def advanceSlaveRaw(): Boolean = {
           if (sIter.hasNext) {
@@ -114,14 +118,17 @@ case class AsOfJoinExec(
             val usable = c < 0 || (c == 0 &&
               (if (isStrict) sNextTs < mTs else sNextTs <= mTs))
             if (usable) {
-              if (c == 0) { matchKey = sNextKey; matchPayload = payloadProj(sNext).copy() }
-              else { matchKey = null; matchPayload = null } // stale key, drop state
+              if (c == 0) {
+                matchKey = sNextKey; matchPayload = payloadProj(sNext).copy()
+                matchTs = sNextTs
+              } else { matchKey = null; matchPayload = null } // stale key, drop state
               continue = advanceSlaveRaw()
               have = continue
             } else continue = false
           }
           val p =
-            if (matchKey != null && keyCmp(matchKey, mKey) == 0) matchPayload
+            if (matchKey != null && keyCmp(matchKey, mKey) == 0 && mTs - matchTs <= tolUs)
+              matchPayload
             else nullPayload
           outProj(joiner(m, p))
         }
@@ -135,8 +142,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, strict) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, strict, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, strict, tol) :: Nil
     case _ => Nil
   }
 }

@@ -69,6 +69,15 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("native exec honours TOLERANCE") {
+    val tol = Some(50000L * 1000)
+    val native = AsofJoin.asofKeyedNative(master, slave, "ts", "ts",
+      Seq("k"), Seq("s_ts", "sid", "sv"), toleranceMicros = tol)
+      .select($"mid", $"sid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(native == naive(strict = false, tol))
+  }
+
   test("native exec self-join (shared exprIds) resolves cleanly") {
     val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "value")
     val m = ev.filter($"value" > 100.0)
