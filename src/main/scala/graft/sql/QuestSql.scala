@@ -194,8 +194,12 @@ object QuestSql {
         val out = kind.toUpperCase match {
           case "SPLICE" =>
             val mPay = m.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
-            val sPay = s.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
-            graft.ops.AsofJoin.splice(m, s, ts, ts, keys, mPay, sPay)
+            // clash-suffix slave payload so output columns stay unique
+            val sRenamed = s.columns.filterNot(c => keys.contains(c) || c == ts).foldLeft(s) {
+              (df, c) => if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
+            }
+            val sPay = sRenamed.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+            graft.ops.AsofJoin.splice(m, sRenamed, ts, ts, keys, mPay, sPay)
           case k =>
             // clash-rename slave payload (reference suffixes duplicates with '1')
             val sPay0 = s.columns.filterNot(c => keys.contains(c)).toSeq

@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_sql_interval_scan: dialect interval literal reaches the scan as pushed range") {
+    val p = plan("q_sql_interval_scan")
+    assert(p.contains("GreaterThanOrEqual(ts") || p.contains("(ts#"))
+    assert(p.contains("PushedFilters"))
+    // the rewrite produced a range predicate, not a full scan + filter
+    assert(p.contains("IsNotNull(ts)") || p.contains("GreaterThanOrEqual"))
+  }
+
   test("q_filter_project: column-pruned scan") {
     val p = plan("q_filter_project")
     // only the referenced lineitem columns reach the reader

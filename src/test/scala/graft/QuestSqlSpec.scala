@@ -88,6 +88,12 @@ class QuestSqlSpec extends SparkSpec {
     assert(out.columns.contains("off_us"))
   }
 
+  test("SPLICE JOIN dialect form emits both sides") {
+    val out = engine.sql("SELECT * FROM p_v2 SPLICE JOIN c_v2 ON user_id")
+    assert(out.count() == spark.table("p_v2").count() + spark.table("c_v2").count())
+    assert(out.columns.contains("side"))
+  }
+
   test("negative LIMIT returns the tail in forward order") {
     val rows = engine.sql(
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT -5").collect()
