@@ -43,4 +43,27 @@ object Generators {
     val arr = array(values.map(lit): _*)
     element_at(arr, rndInt(counterCol, seed, 1, values.size))
   }
+
+  def rndBoolean(counterCol: String, seed: String): Column =
+    rndDouble(counterCol, seed) < 0.5
+
+  /** Uniform date in [start, start + spanDays). */
+  def rndDate(counterCol: String, seed: String, start: String, spanDays: Int): Column =
+    date_add(lit(java.sql.Date.valueOf(start)), rndInt(counterCol, seed, 0, spanDays - 1))
+
+  /** uuid4-shaped deterministic id (reference rnd_uuid4). */
+  def rndUuid4(counterCol: String, seed: String): Column = {
+    val h = md5(concat(lit(seed), expr(s"cast($counterCol as string)")))
+    concat(
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-4"),
+      substring(h, 14, 3), lit("-8"), substring(h, 18, 3), lit("-"),
+      substring(h, 21, 12))
+  }
+
+  /** Deterministic hex string with pseudo-random length in [lo, hi]. */
+  def rndStr(counterCol: String, seed: String, lo: Int, hi: Int): Column =
+    substr(
+      md5(concat(lit(seed + "_s"), expr(s"cast($counterCol as string)"))),
+      lit(1), rndInt(counterCol, seed + "_len", lo, hi))
+
 }

@@ -19,6 +19,10 @@ object ExtrasQueries extends QueryPack {
         .withColumn("rd", round(Generators.rndDouble("x", "d"), 9))
         .withColumn("ri", Generators.rndInt("x", "i", 0, 99))
         .withColumn("sym", Generators.rndSymbol("x", "s", Seq("AA", "BB", "CC")))
+        .withColumn("rb", Generators.rndBoolean("x", "b"))
+        .withColumn("rdate", Generators.rndDate("x", "t", "2024-01-01", 365))
+        .withColumn("ruuid", Generators.rndUuid4("x", "u"))
+        .withColumn("rstr", Generators.rndStr("x", "z", 4, 12))
         .orderBy(col("x"))
     }),
 
@@ -117,11 +121,20 @@ object ExtrasQueries extends QueryPack {
       val rd = rndSql("d", "x")
       val ri = rndSql("i", "x")
       val sy = rndSql("s", "x")
+      val rb = rndSql("b", "x")
+      val rt = rndSql("t", "x")
+      val rl = rndSql("z_len", "x")
       s"""SELECT x, make_timestamp($START_US + (x - 1) * 60000000) AS ts,
          |  round($rd, 9) AS rd,
          |  CAST(floor($ri * 100) + 0 AS INT) AS ri,
-         |  (['AA', 'BB', 'CC'])[CAST(floor($sy * 3) + 1 AS INT)] AS sym
-         |FROM generate_series(1, 1000) t(x) ORDER BY x""".stripMargin
+         |  (['AA', 'BB', 'CC'])[CAST(floor($sy * 3) + 1 AS INT)] AS sym,
+         |  ($rb) < 0.5 AS rb,
+         |  DATE '2024-01-01' + CAST(floor($rt * 365) + 0 AS INT) AS rdate,
+         |  substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-4' || substring(h, 14, 3)
+         |    || '-8' || substring(h, 18, 3) || '-' || substring(h, 21, 12) AS ruuid,
+         |  substring(md5('z_s' || CAST(x AS VARCHAR)), 1, CAST(floor($rl * 9) + 4 AS INT)) AS rstr
+         |FROM (SELECT x, md5('u' || CAST(x AS VARCHAR)) AS h
+         |      FROM generate_series(1, 1000) t(x)) ORDER BY x""".stripMargin
     },
 
     "q_l2price" ->
