@@ -39,6 +39,12 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -62,6 +68,8 @@ case class AsOfJoinExec(
     val tolUs = toleranceMicros.getOrElse(Long.MaxValue)
 
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (mIter, sIter) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
       // downstream operators expect UnsafeRow; the payload side of the
@@ -126,11 +134,10 @@ case class AsOfJoinExec(
               have = continue
             } else continue = false
           }
-          val p =
-            if (matchKey != null && keyCmp(matchKey, mKey) == 0 && mTs - matchTs <= tolUs)
-              matchPayload
-            else nullPayload
-          outProj(joiner(m, p))
+          val matched = matchKey != null && keyCmp(matchKey, mKey) == 0 && mTs - matchTs <= tolUs
+          numOutputRows += 1
+          if (matched) numMatched += 1
+          outProj(joiner(m, if (matched) matchPayload else nullPayload))
         }
       }
     }
