@@ -252,14 +252,30 @@ object QuestSql {
 
   // ---- HORIZON JOIN ----------------------------------------------------------
   // SELECT ... FROM master HORIZON JOIN slave ON k LIST (o1, o2, ...)
+  //   or ... ON k RANGE FROM a TO b STEP s   (offsets in <n><unit>)
   private val HorizonJoinRe =
     """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+HORIZON\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+LIST\s*\(([\d,\s]+)\)\s*$""".r
+  private val HorizonRangeRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+HORIZON\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+FROM\s+(-?\d+)([smhd])\s+TO\s+(-?\d+)([smhd])\s+STEP\s+(\d+)([smhd])\s*$""".r
 
   private def horizonJoinForm(spark: SparkSession, q0: String): Option[DataFrame] =
     rewriteIntervalLiterals(q0) match {
+      case HorizonRangeRe(sel, master, slave, onKeys, aN, aU, bN, bU, sN, sU) =>
+        val lo = aN.toLong * unitMicros(aU)
+        val hi = bN.toLong * unitMicros(bU)
+        val step = sN.toLong * unitMicros(sU)
+        require(step > 0 && hi >= lo, "invalid HORIZON RANGE")
+        runHorizon(spark, sel, master, slave, onKeys, (lo to hi by step).toSeq)
       case HorizonJoinRe(sel, master, slave, onKeys, list) =>
-        val keys = onKeys.split(",").map(_.trim).toSeq
-        val offsets = list.split(",").map(_.trim.toLong).toSeq
+        runHorizon(spark, sel, master, slave, onKeys,
+          list.split(",").map(_.trim.toLong).toSeq)
+      case _ => None
+    }
+
+  private def runHorizon(spark: SparkSession, sel: String, master: String,
+                         slave: String, onKeys: String,
+                         offsets: Seq[Long]): Option[DataFrame] = {
+    val keys = onKeys.split(",").map(_.trim).toSeq
         val m = spark.table(master)
         val s = spark.table(slave)
         // clash-rename slave payload as in asofForm
@@ -273,8 +289,7 @@ object QuestSql {
         val out = graft.ops.HorizonJoin.horizonJoin(
           m, withTs, "ts", "ts", keys, payload, offsets)
         Some(if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*))
-      case _ => None
-    }
+  }
 
   // ---- negative LIMIT -------------------------------------------------------
 

@@ -88,6 +88,14 @@ class QuestSqlSpec extends SparkSpec {
     assert(out.columns.contains("off_us"))
   }
 
+  test("HORIZON JOIN RANGE FROM/TO/STEP builds the offset grid") {
+    val out = engine.sql(
+      "SELECT * FROM p_v HORIZON JOIN c_v2 ON user_id RANGE FROM 0s TO 10m STEP 5m")
+    assert(out.count() == 3 * spark.table("p_v").count()) // 0, 5m, 10m
+    val offs = out.select(col("off_us")).distinct().collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == Seq(0L, 300000000L, 600000000L))
+  }
+
   test("SPLICE JOIN dialect form emits both sides") {
     val out = engine.sql("SELECT * FROM p_v2 SPLICE JOIN c_v2 ON user_id")
     assert(out.count() == spark.table("p_v2").count() + spark.table("c_v2").count())
