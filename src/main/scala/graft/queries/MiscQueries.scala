@@ -150,6 +150,13 @@ object MiscQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    "q_sparkline" -> ((s, dir) => {
+      graft.functions.Sparkline.sparkline(
+        Tables.events(s, dir).filter(col("user_id") < 30),
+        Seq("user_id"), "ts", "value", 12)
+        .orderBy(col("user_id"))
+    }),
+
     "q_uuid" -> ((s, dir) => {
       // deterministic uuid4-shaped id from md5 (rnd_uuid4 analogue with
       // a portable seed)
@@ -273,6 +280,31 @@ object MiscQueries extends QueryPack {
         |    coalesce(value >= lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), true) AS ok
         |  FROM events WHERE user_id < 40
         |) GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sparkline" ->
+      """WITH bounds AS (
+        |  SELECT user_id, ts, value,
+        |    min(epoch_us(ts)) OVER (PARTITION BY user_id) AS lo,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id) AS hi
+        |  FROM events WHERE user_id < 30),
+        |bucketed AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(epoch_us(ts) - lo AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE) * 12) AS INT) AS b,
+        |    round(avg(value), 6) AS v
+        |  FROM bounds GROUP BY 1, 2),
+        |scaled AS (
+        |  SELECT user_id, b, v,
+        |    min(v) OVER (PARTITION BY user_id) AS vmin,
+        |    max(v) OVER (PARTITION BY user_id) AS vmax
+        |  FROM bucketed),
+        |chars AS (
+        |  SELECT user_id, b,
+        |    substring('▁▂▃▄▅▆▇█',
+        |      (CASE WHEN vmax = vmin THEN 3
+        |            ELSE least(CAST(floor((v - vmin) / (vmax - vmin) * 8.0) AS INT), 7) END) + 1, 1) AS ch
+        |  FROM scaled)
+        |SELECT user_id, string_agg(ch, '' ORDER BY b) AS sparkline
+        |FROM chars GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_uuid" ->
       """SELECT event_id,
