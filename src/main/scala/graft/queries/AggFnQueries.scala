@@ -72,13 +72,28 @@ object AggFnQueries extends QueryPack {
     }),
 
     "q_agg_approx" -> ((s, dir) => {
-      // HLL / t-digest sketches differ across engines → rows-only check;
-      // exactness is asserted separately in scalatest vs exact counts.
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
+      // HLL / t-digest sketches differ across engines, so the oracle
+      // checks the *contract* instead of the bits: the sketch must land
+      // within its advertised error of the exact answer (computed here
+      // alongside), and the exact answers hash-match DuckDB directly.
+      val ev = Tables.events(s, dir)
+      // exact distinct on a narrow pre-distinct projection (no Expand
+      // plan from mixing distinct + non-distinct aggregates), joined to
+      // the single-pass sketch aggregation on the 5-row group key
+      val exactUsers = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+      ev.groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          round(expr("percentile(value, 0.5)"), 6).as("exact_median"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+        .join(broadcast(exactUsers), Seq("event_type"))
+        .select(
+          col("event_type"), col("exact_users"), col("exact_median"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1.0), col("exact_users") * 0.03)).as("hll_within_3pct"),
+          (abs(col("approx_median") - col("exact_median")) <=
+            greatest(lit(0.5), abs(col("exact_median")) * 0.02)).as("median_within_2pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -111,19 +126,21 @@ object AggFnQueries extends QueryPack {
         .groupBy(col("user_id"))
         .agg(
           array_join(array_sort(collect_list(col("event_type"))), ",").as("types_csv"),
-          array_sort(collect_set(col("event_type"))).as("distinct_types"),
+          // arrays crash the driver's pandas hash-comparator → serialize
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("distinct_types"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))
     }),
 
     "q_agg_ksum" -> ((s, dir) => {
-      // Kahan/Neumaier sums: order-sensitive in the last ulps →
-      // rows-only driver check; scalatest asserts vs exact decimal sum.
+      // Kahan/Neumaier compensated sums are within ~2 ulp of the exact
+      // sum, so round(·,6) makes them hash-comparable to the oracle's
+      // integer-exact decimal sum.
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          Aggregators.ksum(col("value")).as("ksum_v"),
-          Aggregators.nsum(col("value")).as("nsum_v"),
+          round(Aggregators.ksum(col("value")), 6).as("ksum_v"),
+          round(Aggregators.nsum(col("value")), 6).as("nsum_v"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
@@ -132,7 +149,9 @@ object AggFnQueries extends QueryPack {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          Aggregators.vwap(col("l_extendedprice"), col("l_quantity")).as("vwap"),
+          // decimal→double of a >2^53 mantissa can differ 1 ulp across
+          // engines → round the final quotient
+          round(Aggregators.vwap(col("l_extendedprice"), col("l_quantity")), 6).as("vwap"),
           sumDec(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
     }),
@@ -245,18 +264,33 @@ object AggFnQueries extends QueryPack {
         |  bit_xor(user_id) AS bxor
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_agg_approx" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_median,
+        |  TRUE AS hll_within_3pct,
+        |  TRUE AS median_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_agg_collect" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
-        |  list_sort(list(DISTINCT event_type)) AS distinct_types,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS distinct_types,
         |  count(*) AS n
         |FROM events WHERE user_id < 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_agg_ksum" ->
+      """SELECT event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS ksum_v,
+        |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS nsum_v,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_agg_vwap" ->
       s"""SELECT l_returnflag,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-         |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS vwap,
          |  ${sumDecSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

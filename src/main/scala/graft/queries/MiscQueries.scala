@@ -52,7 +52,7 @@ object MiscQueries extends QueryPack {
         .withColumn("step",
           round(graft.functions.GeoHash.distanceMeters(col("plat"), col("plon"), col("lat"), col("lon")), 4))
         .groupBy(col("user_id"))
-        .agg(sum(col("step").cast("decimal(24,4)")).cast("decimal(38,4)").as("dist_m"),
+        .agg(round(sum(col("step").cast("decimal(24,4)")).cast("double"), 4).as("dist_m"),
           count(col("step")).as("n_steps"))
         .orderBy(col("user_id"))
     }),
@@ -210,7 +210,7 @@ object MiscQueries extends QueryPack {
         |        * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2))), 4) AS step
         |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
         |SELECT user_id,
-        |  CAST(sum(CAST(step AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS dist_m,
+        |  round(CAST(sum(CAST(step AS DECIMAL(24,4))) AS DOUBLE), 4) AS dist_m,
         |  count(step) AS n_steps
         |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
 

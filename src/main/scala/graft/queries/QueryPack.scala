@@ -36,9 +36,9 @@ trait QueryPack {
     * integer-exact decimal addition.
     */
   protected def sumDec(c: Column): Column =
-    sum(c.cast("decimal(24,6)")).cast("decimal(38,6)")
+    round(sum(c.cast("decimal(24,6)")).cast("double"), 6)
 
   /** DuckDB-side twin of [[sumDec]]. */
   protected def sumDecSql(e: String): String =
-    s"CAST(sum(CAST($e AS DECIMAL(24,6))) AS DECIMAL(38,6))"
+    s"round(CAST(sum(CAST($e AS DECIMAL(24,6))) AS DOUBLE), 6)"
 }

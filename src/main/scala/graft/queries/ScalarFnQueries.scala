@@ -137,7 +137,12 @@ object ScalarFnQueries extends QueryPack {
           element_at(col("embedding"), -1).as("last_e"),
           array_max(col("embedding")).as("max_e"),
           array_min(col("embedding")).as("min_e"),
-          slice(col("embedding"), 1, 4).as("head4"))
+          // arrays crash the driver's pandas hash-comparator → project
+          // the slice as scalar columns instead
+          element_at(col("embedding"), 1).as("h1"),
+          element_at(col("embedding"), 2).as("h2"),
+          element_at(col("embedding"), 3).as("h3"),
+          element_at(col("embedding"), 4).as("h4"))
         .orderBy(col("vec_id"))
     }),
 
@@ -246,7 +251,8 @@ object ScalarFnQueries extends QueryPack {
         |  embedding[-1] AS last_e,
         |  list_max(embedding) AS max_e,
         |  list_min(embedding) AS min_e,
-        |  embedding[1:4] AS head4
+        |  embedding[1] AS h1, embedding[2] AS h2,
+        |  embedding[3] AS h3, embedding[4] AS h4
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
 
     "q_unnest" ->

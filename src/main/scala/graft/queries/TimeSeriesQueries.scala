@@ -77,7 +77,7 @@ object TimeSeriesQueries extends QueryPack {
         -600L * 1000000L, 600L * 1000000L,
         Seq(
           "n_nearby" -> count(col("click_value")),
-          "sum_nearby" -> sum(col("click_value").cast("decimal(24,6)")).cast("decimal(38,6)")))
+          "sum_nearby" -> round(sum(col("click_value").cast("decimal(24,6)")).cast("double"), 6)))
         .orderBy(col("event_id"))
     }),
 
@@ -89,7 +89,7 @@ object TimeSeriesQueries extends QueryPack {
         -600L * 1000000L, 600L * 1000000L,
         Seq(
           "n_contrib" -> count(col("click_value")),
-          "sum_contrib" -> sum(col("click_value").cast("decimal(24,6)")).cast("decimal(38,6)")))
+          "sum_contrib" -> round(sum(col("click_value").cast("decimal(24,6)")).cast("double"), 6)))
         .orderBy(col("event_id"))
     }),
 
@@ -245,7 +245,7 @@ object TimeSeriesQueries extends QueryPack {
 
     "q_window_join" ->
       s"""SELECT p.event_id, p.ts, p.user_id, count(c.click_value) AS n_nearby,
-         |  CAST(sum(CAST(c.click_value AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_nearby
+         |  round(CAST(sum(CAST(c.click_value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_nearby
          |FROM ($P) p LEFT JOIN ($C) c
          |  ON p.user_id = c.user_id
          |  AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts <= p.ts + INTERVAL 10 MINUTES
@@ -263,7 +263,7 @@ object TimeSeriesQueries extends QueryPack {
          |  FROM ($P) p ASOF LEFT JOIN ($C) c
          |    ON p.user_id = c.user_id AND p.ts - INTERVAL 10 MINUTES > c.click_ts)
          |SELECT event_id, ts, user_id, count(click_value) AS n_contrib,
-         |  CAST(sum(CAST(click_value AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_contrib
+         |  round(CAST(sum(CAST(click_value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_contrib
          |FROM contrib GROUP BY event_id, ts, user_id
          |ORDER BY event_id""".stripMargin,
 

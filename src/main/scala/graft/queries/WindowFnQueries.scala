@@ -40,7 +40,7 @@ object WindowFnQueries extends QueryPack {
       Tables.events(s, dir).filter(col("user_id") < 20)
         .select("user_id", "ts", "value")
         .withColumn("run_n", count(lit(1)).over(w))
-        .withColumn("run_sum", sum(col("value").cast("decimal(24,6)")).over(w).cast("decimal(38,6)"))
+        .withColumn("run_sum", round(sum(col("value").cast("decimal(24,6)")).over(w).cast("double"), 6))
         .withColumn("run_max", max(col("value")).over(w))
         .orderBy(col("user_id"), col("ts"))
     }),
@@ -54,7 +54,7 @@ object WindowFnQueries extends QueryPack {
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("n_10m", count(lit(1)).over(w))
         .withColumn("min_10m", min(col("value")).over(w))
-        .withColumn("sum_10m", sum(col("value").cast("decimal(24,6)")).over(w).cast("decimal(38,6)"))
+        .withColumn("sum_10m", round(sum(col("value").cast("decimal(24,6)")).over(w).cast("double"), 6))
         .drop("us")
         .orderBy(col("user_id"), col("ts"))
     }),
@@ -124,7 +124,7 @@ object WindowFnQueries extends QueryPack {
     "q_window_running" ->
       """SELECT user_id, ts, value,
         |  count(*) OVER w AS run_n,
-        |  CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DECIMAL(38,6)) AS run_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE), 6) AS run_sum,
         |  max(value) OVER w AS run_max
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -134,7 +134,7 @@ object WindowFnQueries extends QueryPack {
       """SELECT user_id, ts, value,
         |  count(*) OVER w AS n_10m,
         |  min(value) OVER w AS min_10m,
-        |  CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DECIMAL(38,6)) AS sum_10m
+        |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE), 6) AS sum_10m
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
         |             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)

@@ -53,7 +53,10 @@ def canon(v):
             return None
         return v
     if isinstance(v, decimal.Decimal):
-        return decimal.Decimal(v).normalize()
+        # The driver hashes the textual repr — scale differences between
+        # Spark and DuckDB decimals fail there even when values match, so
+        # compare the exact string form (no normalize).
+        return str(v)
     return v
 
 
