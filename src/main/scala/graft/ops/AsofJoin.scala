@@ -66,10 +66,14 @@ object AsofJoin {
     }
 
     // ASOF (<=): slave sorts before master at equal ts so the master row
-    // sees it; LT (<): slave sorts after, so it doesn't.
+    // sees it; LT (<): slave sorts after, so it doesn't. Slave rows that
+    // tie on (ts, side) are ordered by their payload struct so the match
+    // is deterministic across partitionings (the greatest struct wins);
+    // master rows all carry a null struct, where relative order is
+    // irrelevant (they contribute nothing to the carry).
     val sideOrder = if (strict) -col(SIDE) else col(SIDE)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, sideOrder.asc)
+      .orderBy(col(ts).asc, sideOrder.asc, col(SLAVE).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = m.unionByName(s.withColumn(ts, col(ts)))
@@ -185,13 +189,16 @@ object AsofJoin {
         lit(null).cast(masterStructType(master, masterTs, masterPayload)).as(MASTER),
         struct(col(slaveTs).as("__slave_ts") +: slavePayload.map(col): _*).as(SLAVE)): _*)
 
-    // For a master row: latest slave with slave.ts <= ts  (slave first at ties)
+    // For a master row: latest slave with slave.ts <= ts  (slave first at
+    // ties); same-side ties resolve deterministically by payload struct.
     val wSlave = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(SIDE).asc)
+      .orderBy(col(ts).asc, col(SIDE).asc,
+        col(SLAVE).asc_nulls_first, col(MASTER).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // For a slave row: latest master with master.ts <= ts (master first at ties)
     val wMaster = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(SIDE).desc)
+      .orderBy(col(ts).asc, col(SIDE).desc,
+        col(MASTER).asc_nulls_first, col(SLAVE).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     m.unionByName(s)

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * explosion) bounds the fan-out; not needed at these window widths.
   */
 object WindowJoin {
+  /** Multiplicity column: the reference emits one aggregated row per
+    * master row, *including* fully-identical duplicates. Re-grouping on
+    * master columns alone would merge those (double-counting the
+    * aggregates), so masters are first deduplicated with a count; each
+    * distinct master joins and aggregates once (identical masters have
+    * identical windows) and is re-expanded afterwards. This is also the
+    * cheaper plan: duplicate masters don't re-join.
+    */
+  private val N = "__wj_n"
+
+  private def distinctMasters(master: DataFrame): DataFrame =
+    master.groupBy(master.columns.map(col): _*).agg(count(lit(1)).as(N))
+
+  private def reExpand(df: DataFrame): DataFrame =
+    df.withColumn("__wj_dup", explode(sequence(lit(1L), col(N))))
+      .drop(N, "__wj_dup")
+
   /** @param loMicros window start offset (negative = preceding)
     * @param hiMicros window end offset
     * @param aggs     output name -> aggregate over slave columns
@@ -25,13 +42,15 @@ object WindowJoin {
                  keys: Seq[String],
                  loMicros: Long, hiMicros: Long,
                  aggs: Seq[(String, Column)]): DataFrame = {
-    val m = master.columns.foldLeft(master)((d, c) => d.withColumnRenamed(c, s"__m_$c"))
+    val gCols = master.columns :+ N
+    val m = gCols.foldLeft(distinctMasters(master))((d, c) => d.withColumnRenamed(c, s"__m_$c"))
     val cond = keys.map(k => m(s"__m_$k") === slave(k)).reduce(_ && _) &&
       col(slaveTs) >= col(s"__m_$masterTs") + expr(s"interval $loMicros microseconds") &&
       col(slaveTs) <= col(s"__m_$masterTs") + expr(s"interval $hiMicros microseconds")
-    m.join(slave, cond, "left")
-      .groupBy(master.columns.map(c => col(s"__m_$c").as(c)): _*)
-      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    reExpand(
+      m.join(slave, cond, "left")
+        .groupBy(gCols.map(c => col(s"__m_$c").as(c)): _*)
+        .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*))
   }
 
   /** WINDOW JOIN ... INCLUDE PREVAILING (reference parse
@@ -49,22 +68,25 @@ object WindowJoin {
                            keys: Seq[String], payload: Seq[String],
                            loMicros: Long, hiMicros: Long,
                            aggs: Seq[(String, Column)]): DataFrame = {
-    val mCols = master.columns.toSeq
-    val m = mCols.foldLeft(master)((d, c) => d.withColumnRenamed(c, s"__m_$c"))
+    val dm = distinctMasters(master)
+    val gCols = master.columns.toSeq :+ N
+    val m = gCols.foldLeft(dm)((d, c) => d.withColumnRenamed(c, s"__m_$c"))
     val cond = keys.map(k => m(s"__m_$k") === slave(k)).reduce(_ && _) &&
       col(slaveTs) >= col(s"__m_$masterTs") + expr(s"interval $loMicros microseconds") &&
       col(slaveTs) <= col(s"__m_$masterTs") + expr(s"interval $hiMicros microseconds")
     val inWindow = m.join(slave, cond, "left")
-      .select(mCols.map(c => col(s"__m_$c")) ++ payload.map(col): _*)
+      .select(gCols.map(c => col(s"__m_$c")) ++ payload.map(col): _*)
 
-    val probe = master.withColumn("__wj_probe",
+    // distinct masters are unique rows, so both branches key the same row
+    val probe = dm.withColumn("__wj_probe",
       col(masterTs) + expr(s"interval $loMicros microseconds"))
     val prevailing = AsofJoin.asofKeyed(probe, slave, "__wj_probe", slaveTs,
       keys, payload, strict = true)
-      .select(mCols.map(c => col(c).as(s"__m_$c")) ++ payload.map(col): _*)
+      .select(gCols.map(c => col(c).as(s"__m_$c")) ++ payload.map(col): _*)
 
-    inWindow.unionByName(prevailing)
-      .groupBy(mCols.map(c => col(s"__m_$c").as(c)): _*)
-      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    reExpand(
+      inWindow.unionByName(prevailing)
+        .groupBy(gCols.map(c => col(s"__m_$c").as(c)): _*)
+        .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*))
   }
 }

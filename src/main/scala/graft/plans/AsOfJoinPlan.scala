@@ -90,8 +90,20 @@ case class AsOfJoinExec(
         }
         0
       }
+      // Key values are held across slave-iterator advances, but
+      // InternalRow.get returns *views* into the UnsafeRow buffer for
+      // non-primitive types (UTF8String, struct/array/map), and the
+      // sorter's spill reader reuses that buffer — so copy at extraction
+      // or stored keys silently mutate under memory pressure.
+      def copyVal(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case x => x
+      }
       def keysOf(r: InternalRow, idx: Seq[Int], types: Seq[org.apache.spark.sql.types.DataType]): Array[Any] =
-        idx.zip(types).map { case (i, t) => r.get(i, t) }.toArray
+        idx.zip(types).map { case (i, t) => copyVal(r.get(i, t)) }.toArray
 
       new Iterator[InternalRow] {
         private var sNext: InternalRow = _

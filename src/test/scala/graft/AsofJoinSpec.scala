@@ -87,6 +87,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.filter($"s_ts" > $"ts").count() == 0)
   }
 
+  test("native exec with string keys survives sorter spill (keys copied out of reused buffers)") {
+    // Force UnsafeExternalSorter to spill every 64 rows: the spill
+    // reader reuses one row buffer, so un-copied UTF8String keys held
+    // across advances would silently mutate. Conf is read from
+    // SparkEnv.conf at sorter creation — mutable in local mode.
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val key = "spark.shuffle.spill.numElementsForceSpillThreshold"
+    val prev = conf.getOption(key)
+    conf.set(key, "64")
+    try {
+      val m2 = master.withColumn("ks", concat(lit("key_"), $"k".cast("string"))).drop("k")
+      val s2 = slave.withColumn("ks", concat(lit("key_"), $"k".cast("string"))).drop("k")
+      val native = AsofJoin.asofKeyedNative(m2, s2, "ts", "ts", Seq("ks"), Seq("s_ts", "sid", "sv"))
+        .select($"mid", $"sid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(native == naive(strict = false, None))
+    } finally {
+      prev match { case Some(v) => conf.set(key, v); case None => conf.remove(key) }
+    }
+  }
+
+  test("slave ties on (key, ts) resolve deterministically to the greatest payload struct") {
+    val m = Seq((1L, ts(100L * 1000000), 1L)).toDF("mid", "ts", "k")
+    val dup = (1 to 40).map(j => (j.toLong, ts(50L * 1000000), 1L, j.toDouble))
+    val s = dup.toDF("sid", "ts", "k", "sv")
+      .select($"k", $"ts", $"ts".as("s_ts"), $"sid", $"sv")
+      .repartition(8) // scramble partition order; result must not depend on it
+    val picked = (1 to 5).map { _ =>
+      AsofJoin.asofKeyed(m, s, "ts", "ts", Seq("k"), Seq("s_ts", "sid", "sv"))
+        .select($"sid").head().getLong(0)
+    }
+    // greatest struct = (max s_ts, then max sid) → sid 40, stable across runs
+    assert(picked.toSet == Set(40L))
+  }
+
   test("splice emits every row from both sides") {
     val p = master.select($"k", $"ts", $"mid")
     val c = slave.select($"k", $"ts", $"sid")

@@ -111,4 +111,37 @@ class OpsSpec extends SparkSpec {
       Seq("n" -> count($"sv"), "s" -> sum($"sv"))).collect()
     assert(out.length == 1 && out(0).getAs[Long]("n") == 2L && out(0).getAs[Double]("s") == 3.0)
   }
+
+  test("WindowJoin emits one row per master row, including exact duplicates") {
+    // reference WindowJoinRecordCursorFactory: duplicated masters each
+    // get their own aggregated output row (not collapsed)
+    val m = Seq((1L, ts(100), 1L), (1L, ts(100), 1L), (2L, ts(100), 1L))
+      .toDF("mid", "t", "k")
+    val s = Seq((ts(99), 1L, 2.0), (ts(101), 1L, 3.0)).toDF("t", "k", "sv")
+    val out = WindowJoin.windowJoin(m, s, "t", "t", Seq("k"), -5000000L, 5000000L,
+      Seq("n" -> count($"sv"), "s" -> sum($"sv")))
+    assert(out.count() == 3)
+    val dups = out.filter($"mid" === 1L).collect()
+    assert(dups.length == 2 &&
+      dups.forall(r => r.getAs[Long]("n") == 2L && r.getAs[Double]("s") == 5.0))
+
+    val prev = WindowJoin.windowJoinPrevailing(m, s, "t", "t", Seq("k"), Seq("sv"),
+      -1000000L, 5000000L, Seq("n" -> count($"sv"), "s" -> sum($"sv")))
+    assert(prev.count() == 3)
+    // window starts at t-1s=99 → in-window {2.0 (t=99), 3.0 (t=101)}; no
+    // strictly-prevailing row before 99 → n=2, s=5 per master duplicate
+    val pd = prev.filter($"mid" === 1L).collect()
+    assert(pd.length == 2 &&
+      pd.forall(r => r.getAs[Long]("n") == 2L && r.getAs[Double]("s") == 5.0))
+  }
+
+  test("WindowJoin INCLUDE PREVAILING adds the latest pre-window slave") {
+    val m = Seq((1L, ts(100), 1L)).toDF("mid", "t", "k")
+    val s = Seq((ts(90), 1L, 7.0), (ts(95), 1L, 2.0), (ts(101), 1L, 3.0))
+      .toDF("t", "k", "sv")
+    // window [99, 105]: in-window {3.0}; prevailing (latest < 99) = 2.0
+    val out = WindowJoin.windowJoinPrevailing(m, s, "t", "t", Seq("k"), Seq("sv"),
+      -1000000L, 5000000L, Seq("n" -> count($"sv"), "s" -> sum($"sv"))).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n") == 2L && out(0).getAs[Double]("s") == 5.0)
+  }
 }
