@@ -13,6 +13,16 @@ class Engine(val spark: SparkSession, dataDir: String) {
 
   def sql(query: String): DataFrame = graft.sql.QuestSql.sql(spark, query)
 
+  /** Positional bind variables (`$1`, `$2`, ... — reference
+    * `bind/BindVariableServiceImpl.java`).
+    */
+  def sql(query: String, args: Any*): DataFrame =
+    graft.sql.QuestSql.sql(spark, query, args.toSeq)
+
+  /** Named bind variables (`:name`). */
+  def sqlNamed(query: String, args: Map[String, Any]): DataFrame =
+    graft.sql.QuestSql.sql(spark, query, args)
+
   def table(name: String): DataFrame = spark.table(name)
 
   /** EXPLAIN passthrough — formatted physical plan of a dialect query. */

@@ -18,6 +18,7 @@ object SparkEntry {
     ScalarFnQueries,
     PipelineQueries,
     ExtrasQueries,
+    DialectQueries,
     WindowingQueries,
     MiscQueries
   )

@@ -29,6 +29,11 @@ object SampleBy {
   case object FillPrev extends Fill
   /** FILL(LINEAR) — interpolate between neighbouring present buckets. */
   case object FillLinear extends Fill
+  /** FILL(v1, v2, ...) — one strategy per aggregate column, positional
+    * (reference `SqlParser` fill lists). A NONE element behaves as NULL
+    * on spine rows (the spine exists because a sibling column needs it).
+    */
+  final case class FillPerColumn(fills: Seq[Fill]) extends Fill
 
   private val PRESENT = "__graft_present"
 
@@ -37,6 +42,10 @@ object SampleBy {
     * @param range   optional (from, toInclusive) spine bounds (QuestDB
     *                FROM/TO); default = min/max observed bucket
     * @param offset  ALIGN TO CALENDAR WITH OFFSET — shifts bucket origin
+    * @param tz      ALIGN TO CALENDAR TIME ZONE — buckets fall on the
+    *                zone's local wall clock (combinable with fills; the
+    *                fill spine steps by the fixed stride, so a DST-
+    *                crossing day-grained spine is approximate there)
     * @param tsOut   name of the bucket column in the output
     */
   def sampleBy(df: DataFrame, ts: String, bucket: String,
@@ -44,76 +53,96 @@ object SampleBy {
                fill: Fill = NoFill,
                range: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None,
                offset: String = "0 seconds",
+               tz: Option[String] = None,
                tsOut: String = "ts"): DataFrame = {
     val spark = df.sparkSession
-    val bucketCol = window(col(ts), bucket, bucket, offset).getField("start").as(tsOut)
+    val bucketCol = (tz match {
+      case Some(zone) =>
+        // truncate on the zone's wall clock, key the group on the UTC
+        // instant of the local bucket start (reference
+        // TimezoneFloorTimestampSampler)
+        to_utc_timestamp(
+          window(from_utc_timestamp(col(ts), zone), bucket, bucket, offset)
+            .getField("start"), zone)
+      case None =>
+        window(col(ts), bucket, bucket, offset).getField("start")
+    }).as(tsOut)
     val base = df.groupBy((bucketCol +: keys.map(col)): _*)
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
 
-    fill match {
-      case NoFill => base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
-      case f =>
-        val bounds = range.orElse {
-          val r = base.agg(min(col(tsOut)), max(col(tsOut))).head()
-          if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
-        }
-        if (bounds.isEmpty) // empty input → empty (correctly-shaped) result
-          return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
-        val (from, to) = bounds.get
-        // distributed spine: range + offset arithmetic, not a single
-        // exploded array — a years×minutes spine stays partitioned
-        val stepUs = spark.range(1)
-          .select(unix_micros(lit(to)) - unix_micros(lit(to) - expr(s"interval $bucket")))
-          .head().getLong(0)
-        val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
-        val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
-        val n = (toUs - fromUs) / stepUs + 1
-        val spine = spark.range(0, n)
-          .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(tsOut))
-        val grid =
-          if (keys.isEmpty) spine
-          else base.select(keys.map(col): _*).distinct().crossJoin(broadcast(spine))
-        val joined = grid.join(
-          base.withColumn(PRESENT, lit(1)),
-          (keys :+ tsOut).toSeq, "left")
+    val aggNames = aggs.map(_._1)
+    // normalize to one strategy per aggregate column
+    val perCol: Seq[(String, Fill)] = fill match {
+      case FillPerColumn(fs) =>
+        require(fs.size == aggNames.size,
+          s"FILL list has ${fs.size} entries for ${aggNames.size} aggregates")
+        aggNames.zip(fs)
+      case f => aggNames.map(_ -> f)
+    }
 
-        val aggNames = aggs.map(_._1)
-        val filled = f match {
-          case FillNull => joined
+    if (perCol.forall(_._2 == NoFill) && range.isEmpty)
+      base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+    else {
+      val bounds = range.orElse {
+        val r = base.agg(min(col(tsOut)), max(col(tsOut))).head()
+        if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
+      }
+      if (bounds.isEmpty) // empty input → empty (correctly-shaped) result
+        return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+      val (from, to) = bounds.get
+      // distributed spine: range + offset arithmetic, not a single
+      // exploded array — a years×minutes spine stays partitioned
+      val stepUs = spark.range(1)
+        .select(unix_micros(lit(to)) - unix_micros(lit(to) - expr(s"interval $bucket")))
+        .head().getLong(0)
+      val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
+      val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
+      val n = (toUs - fromUs) / stepUs + 1
+      val spine = spark.range(0, n)
+        .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(tsOut))
+      // broadcast is right for typical spines; a fine-grained spine over
+      // a long range (1s × a year) must stay distributed
+      val spineSide = if (n <= 1000000L) broadcast(spine) else spine
+      val grid =
+        if (keys.isEmpty) spine
+        else base.select(keys.map(col): _*).distinct().crossJoin(spineSide)
+      val joined = grid.join(
+        base.withColumn(PRESENT, lit(1)),
+        (keys :+ tsOut).toSeq, "left")
+
+      val wPrev = keyWindow(keys, tsOut).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = keyWindow(keys, tsOut).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = perCol.foldLeft(joined) { case (d, (name, f)) =>
+        f match {
+          case NoFill | FillNull | FillPerColumn(_) => d
           case FillConst(values) =>
-            aggNames.foldLeft(joined) { (d, n) =>
-              values.get(n) match {
-                case Some(v) => d.withColumn(n,
-                  when(col(PRESENT).isNotNull, col(n)).otherwise(lit(v)))
-                case None => d
-              }
+            values.get(name) match {
+              // cast the fill constant to the aggregate's own type so a
+              // FILL(0) on a count column stays long, not double
+              case Some(v) => d.withColumn(name,
+                when(col(PRESENT).isNotNull, col(name))
+                  .otherwise(lit(v).cast(d.schema(name).dataType)))
+              case None => d
             }
           case FillPrev =>
-            val w = keyWindow(keys, tsOut).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            aggNames.foldLeft(joined) { (d, n) =>
-              // struct-wrap so a legitimately-null present value is carried, not skipped
-              d.withColumn(n,
-                last(when(col(PRESENT).isNotNull, struct(col(n).as("v"))), ignoreNulls = true)
-                  .over(w).getField("v"))
-            }
+            // struct-wrap so a legitimately-null present value is carried, not skipped
+            d.withColumn(name,
+              last(when(col(PRESENT).isNotNull, struct(col(name).as("v"))), ignoreNulls = true)
+                .over(wPrev).getField("v"))
           case FillLinear =>
-            val wPrev = keyWindow(keys, tsOut).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            val wNext = keyWindow(keys, tsOut).rowsBetween(Window.currentRow, Window.unboundedFollowing)
             val t = unix_micros(col(tsOut))
-            aggNames.foldLeft(joined) { (d, n) =>
-              val known = when(col(PRESENT).isNotNull, struct(unix_micros(col(tsOut)).as("t"), col(n).as("v")))
-              val p = last(known, ignoreNulls = true).over(wPrev)
-              val x = first(known, ignoreNulls = true).over(wNext)
-              d.withColumn(n,
-                when(col(PRESENT).isNotNull, col(n)).otherwise(
-                  p.getField("v") + (x.getField("v") - p.getField("v")) *
-                    (t - p.getField("t")).cast("double") /
-                    (x.getField("t") - p.getField("t")).cast("double")))
-            }
-          case NoFill => joined // unreachable
+            val known = when(col(PRESENT).isNotNull, struct(unix_micros(col(tsOut)).as("t"), col(name).as("v")))
+            val p = last(known, ignoreNulls = true).over(wPrev)
+            val x = first(known, ignoreNulls = true).over(wNext)
+            d.withColumn(name,
+              when(col(PRESENT).isNotNull, col(name)).otherwise(
+                p.getField("v") + (x.getField("v") - p.getField("v")) *
+                  (t - p.getField("t")).cast("double") /
+                  (x.getField("t") - p.getField("t")).cast("double")))
         }
-        filled.drop(PRESENT)
-          .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+      }
+      filled.drop(PRESENT)
+        .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
     }
   }
 
@@ -129,6 +158,35 @@ object SampleBy {
     val bucket = to_utc_timestamp(
       date_trunc(unit, from_utc_timestamp(col(ts), tz)), tz).as(tsOut)
     df.groupBy((bucket +: keys.map(col)): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+  }
+
+  /** SAMPLE BY ... ALIGN TO FIRST OBSERVATION (reference
+    * `SqlOptimiser.java:9019` exception path): buckets are anchored at
+    * each key group's first observed timestamp instead of the calendar —
+    * bucket(ts) = first_ts + floor((ts − first_ts) / stride) · stride.
+    *
+    * Plan: one keyed aggregate for the anchors (tiny), joined back
+    * (auto-broadcast when small), then the usual bucket group-by — the
+    * raw table is touched twice but shuffled on the keys only once per
+    * pass; no window over the fact table.
+    */
+  def sampleByFirstObs(df: DataFrame, ts: String, strideMicros: Long,
+                       keys: Seq[String], aggs: Seq[(String, Column)],
+                       tsOut: String = "ts"): DataFrame = {
+    val anchorUs = "__graft_anchor_us"
+    val withAnchor =
+      if (keys.isEmpty) {
+        val a = df.agg(min(unix_micros(col(ts))).as(anchorUs))
+        df.crossJoin(broadcast(a))
+      } else {
+        val a = df.groupBy(keys.map(col): _*).agg(min(unix_micros(col(ts))).as(anchorUs))
+        df.join(a, keys)
+      }
+    val off = unix_micros(col(ts)) - col(anchorUs)
+    val bucketCol = timestamp_micros(col(anchorUs) + (off - off % lit(strideMicros))).as(tsOut)
+    withAnchor.groupBy((bucketCol +: keys.map(col)): _*)
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
       .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
   }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.sql.QuestSql
+
+/** Round-2 dialect hardening, gated end-to-end: subquery/WHERE tails on
+  * the time-series join forms, interval-literal duration/repeat
+  * modifiers (reference `model/IntervalUtils.java:663`), SAMPLE BY
+  * FROM/TO + FILL lists + ALIGN TO CALENDAR TIME ZONE / WITH OFFSET /
+  * FIRST OBSERVATION (reference `SqlOptimiser.java rewriteSampleBy`),
+  * and bind variables (reference `bind/BindVariableServiceImpl.java`).
+  */
+object DialectQueries extends QueryPack {
+
+  def queries: Map[String, Fn] = Map(
+    "q_sql_asof_where" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, ts, user_id, value, ts1, value1 " +
+          "FROM (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase') " +
+          "ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') ON user_id " +
+          "WHERE value > 100.0 ORDER BY event_id")
+    }),
+
+    "q_sql_interval_repeat" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, ts FROM events WHERE ts IN '2024-01-05;1d;7d;3' ORDER BY event_id")
+    }),
+
+    "q_sql_sample_by_tz" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT ts, count(*) AS n, max(value) AS mx FROM events " +
+          "SAMPLE BY 1d ALIGN TO CALENDAR TIME ZONE 'America/New_York' ORDER BY ts")
+    }),
+
+    "q_sql_sample_by_offset" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT ts, count(*) AS n, max(value) AS mx FROM events " +
+          "SAMPLE BY 1d ALIGN TO CALENDAR WITH OFFSET '02:00' ORDER BY ts")
+    }),
+
+    "q_sql_sample_by_from_to" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT ts, count(*) AS n FROM events " +
+          "SAMPLE BY 1d FROM '2024-01-25' TO '2024-02-05' FILL(0) ORDER BY ts")
+    }),
+
+    "q_sample_by_first_obs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT user_id, ts, count(*) AS n FROM events " +
+          "SAMPLE BY 1d ALIGN TO FIRST OBSERVATION ORDER BY user_id, ts")
+    }),
+
+    "q_sql_bind" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, ts, value FROM events WHERE value > $1 AND event_type = $2 ORDER BY event_id",
+        Seq(200.0, "view"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sql_asof_where" ->
+      """SELECT p.event_id, p.ts, p.user_id, p.value, c.ts1, c.value1
+        |FROM (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts AS ts1, value AS value1 FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts1
+        |WHERE p.value > 100.0 ORDER BY p.event_id""".stripMargin,
+
+    "q_sql_interval_repeat" ->
+      """SELECT event_id, ts FROM events WHERE
+        |  (ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07') OR
+        |  (ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14') OR
+        |  (ts >= TIMESTAMP '2024-01-19' AND ts < TIMESTAMP '2024-01-21')
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sql_sample_by_tz" ->
+      """SELECT CAST(timezone('America/New_York',
+        |    date_trunc('day', timezone('America/New_York', ts::TIMESTAMPTZ))::TIMESTAMP) AS TIMESTAMP) AS ts,
+        |  count(*) AS n, max(value) AS mx
+        |FROM events GROUP BY 1 ORDER BY ts""".stripMargin,
+
+    "q_sql_sample_by_offset" ->
+      """SELECT CAST(date_trunc('day', ts - INTERVAL 2 HOUR) + INTERVAL 2 HOUR AS TIMESTAMP) AS ts,
+        |  count(*) AS n, max(value) AS mx
+        |FROM events GROUP BY 1 ORDER BY ts""".stripMargin,
+
+    "q_sql_sample_by_from_to" ->
+      """SELECT s.ts, coalesce(g.n, 0) AS n FROM (
+        |  SELECT CAST(unnest(generate_series(TIMESTAMP '2024-01-25',
+        |    TIMESTAMP '2024-02-04', INTERVAL 1 DAY)) AS TIMESTAMP) AS ts) s
+        |LEFT JOIN (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, count(*) AS n
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-25' AND ts < TIMESTAMP '2024-02-05'
+        |  GROUP BY 1) g USING (ts)
+        |ORDER BY ts""".stripMargin,
+
+    "q_sample_by_first_obs" ->
+      """WITH a AS (SELECT user_id, min(epoch_us(ts)) AS anchor FROM events GROUP BY user_id)
+        |SELECT e.user_id,
+        |  make_timestamp(a.anchor + ((epoch_us(e.ts) - a.anchor) // 86400000000) * 86400000000) AS ts,
+        |  count(*) AS n
+        |FROM events e JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY user_id, ts""".stripMargin,
+
+    "q_sql_bind" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE value > 200.0 AND event_type = 'view' ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,81 +1,230 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.matching.Regex
 
 /** QuestDB-flavored SQL front end: a pre-rewrite layer that translates
   * the reference's time-series SQL extensions (SURVEY §1.2 "API
   * surface", §7.0) onto Spark SQL / graft ops:
   *
-  *  - interval literals: `ts IN '2024'`, `'2024-01'`, `'2024-01-15'`,
-  *    `'2024-01-15T10'` → half-open range predicates
-  *    (reference `WhereClauseParser.extract` → `IntrinsicModel`)
+  *  - interval literals down to second/fraction precision with duration,
+  *    period and repeat modifiers: `ts IN '2024'`, `'2024-01-15T10:30'`,
+  *    `'2018-01-10T10:30;30m;2d;2'` → half-open range predicates
+  *    (reference `WhereClauseParser.extract` → `IntrinsicModel`,
+  *    `model/IntervalUtils.java:663` legacy `lo;duration;period;count`)
   *  - `LATEST ON <ts> PARTITION BY <keys>` → ranked-subquery rewrite
-  *  - `SAMPLE BY <n><unit> [FILL(...)]` → `GROUP BY window(...)`, FILL
-  *    delegating to [[graft.ops.SampleBy]]
-  *  - `ASOF/LT/SPLICE JOIN [ON keys]` → [[graft.ops.AsofJoin]]
-  *  - `LIMIT -n` (tail) → reversed top-k re-sorted
+  *  - `SAMPLE BY <n><unit> [FROM..TO] [FILL(...)] [ALIGN TO CALENDAR
+  *    [TIME ZONE 'z'] [WITH OFFSET 'hh:mm'] | FIRST OBSERVATION]` →
+  *    `GROUP BY window(...)` or [[graft.ops.SampleBy]]
+  *  - `ASOF/LT/SPLICE JOIN [ON keys] [TOLERANCE] [WHERE] [tail]` →
+  *    [[graft.ops.AsofJoin]]
+  *  - `WINDOW JOIN ... [INCLUDE PREVAILING]`, `HORIZON JOIN` →
+  *    [[graft.ops.WindowJoin]] / [[graft.ops.HorizonJoin]]
+  *  - bind variables `$1`/`:name` (reference
+  *    `bind/BindVariableServiceImpl.java`) — Spark named parameters on
+  *    the pass-through path, literal substitution on dialect forms
+  *  - `LIMIT -n` (tail) and `LIMIT lo,hi` ranges
   *
-  * Grammar coverage is the documented subset below — a fast, testable
-  * translator rather than a full parser; everything else passes through
-  * to Spark SQL untouched (which already covers the reference's ANSI
-  * surface: joins, aggs, windows, set ops, CTEs, subqueries).
+  * The time-series join forms accept a table name or a parenthesized
+  * subquery (itself dialect-rewritten) on either side, resolve each
+  * side's designated timestamp from [[graft.Tables.designatedTs]] /
+  * [[registerDesignatedTs]] (falling back to `ts`, then to the first
+  * timestamp-typed column), and allow post-join WHERE / ORDER BY /
+  * LIMIT. Everything else passes through to Spark SQL untouched (which
+  * already covers the reference's ANSI surface: joins, aggs, windows,
+  * set ops, CTEs, subqueries).
   */
 object QuestSql {
 
+  // ---- designated timestamps ----------------------------------------------
+
+  private val tsRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Tables.designatedTs.foreach { case (t, c) => tsRegistry.put(t, c) }
+
+  /** Register a table's designated timestamp (QuestDB `timestamp(c)`). */
+  def registerDesignatedTs(table: String, tsColumn: String): Unit =
+    tsRegistry.put(table.split('.').last.toLowerCase, tsColumn)
+
+  private def tsOfRel(refName: String, df: DataFrame): String = {
+    val registered =
+      if (refName.nonEmpty) Option(tsRegistry.get(refName.split('.').last.toLowerCase))
+      else None
+    registered.getOrElse {
+      if (df.columns.contains("ts")) "ts"
+      else df.schema.fields
+        .find(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .map(_.name).getOrElse("ts")
+    }
+  }
+
+  // ---- public entry ---------------------------------------------------------
+
   /** Rewrite + run against tables registered as temp views. */
-  def sql(spark: SparkSession, query: String): DataFrame = {
-    val q = query.trim.stripSuffix(";")
-    asofForm(spark, q)
-      .orElse(windowJoinForm(spark, q))
-      .orElse(horizonJoinForm(spark, q))
-      .orElse(sampleByFillForm(spark, q))
-      .getOrElse(spark.sql(rewrite(q)))
+  def sql(spark: SparkSession, query: String): DataFrame =
+    sqlBound(spark, query, Map.empty)
+
+  /** Positional bind variables: `$1`, `$2`, ... */
+  def sql(spark: SparkSession, query: String, args: Seq[Any]): DataFrame = {
+    val named = args.zipWithIndex.map { case (v, i) => s"__gp${i + 1}" -> v }.toMap
+    val q = """\$(\d+)""".r.replaceAllIn(query, m => ":__gp" + m.group(1))
+    sqlBound(spark, q, named)
+  }
+
+  /** Named bind variables: `:name`. */
+  def sql(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
+    sqlBound(spark, query, named)
+
+  private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
+    val q0 = query.trim.stripSuffix(";")
+    // dialect forms build DataFrames directly → substitute literals;
+    // the pass-through keeps markers and uses Spark's parameter binder
+    val qForms = rewriteIntervalLiterals(
+      if (named.isEmpty) q0 else substParams(q0, named))
+    asofForm(spark, qForms)
+      .orElse(windowJoinForm(spark, qForms))
+      .orElse(horizonJoinForm(spark, qForms))
+      .orElse(sampleByOpForm(spark, qForms))
+      .getOrElse {
+        val rewritten = rewrite(q0)
+        if (named.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, named)
+      }
   }
 
   /** Pure string-level rewrites (interval literals, LATEST ON,
-    * SAMPLE BY without FILL, negative LIMIT).
+    * SAMPLE BY without FILL, negative/range LIMIT).
     */
   def rewrite(query: String): String = {
     var q = rewriteIntervalLiterals(query.trim.stripSuffix(";"))
     q = rewriteLatestOn(q)
     q = rewriteSampleBy(q)
     q = rewriteNegativeLimit(q)
+    q = rewriteRangeLimit(q)
     q
   }
+
+  // ---- bind variables -------------------------------------------------------
+
+  private def renderLit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case i: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(i)}'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case n => n.toString
+  }
+
+  private def substParams(q: String, named: Map[String, Any]): String =
+    """(?<![:\w]):([A-Za-z_]\w*)""".r.replaceAllIn(q, m =>
+      named.get(m.group(1)) match {
+        case Some(v) => Regex.quoteReplacement(renderLit(v))
+        case None => Regex.quoteReplacement(m.matched)
+      })
 
   // ---- interval literals -------------------------------------------------
 
   private val IntervalLit =
-    """(?i)([\w.]+)\s+IN\s+'(\d{4}(?:-\d{2})?(?:-\d{2})?(?:T\d{2})?)'""".r
+    """(?i)\b([\w.]+)\s+(NOT\s+)?IN\s+'([^']+)'""".r
 
-  def intervalBounds(lit: String): (String, String) = {
-    def ts(t: java.time.LocalDateTime) =
-      t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-    val (lo, hi) = lit.length match {
-      case 4 => // year
-        val y = lit.toInt
-        (java.time.LocalDateTime.of(y, 1, 1, 0, 0), java.time.LocalDateTime.of(y + 1, 1, 1, 0, 0))
-      case 7 => // month
-        val d = java.time.YearMonth.parse(lit)
+  private val micro = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private val second = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private def fmt(t: java.time.LocalDateTime): String =
+    if (t.getNano == 0) t.format(second) else t.format(micro)
+
+  /** Base interval of the literal prefix at its own precision
+    * (reference `TimestampDriver.parseInterval`): lo = start of the
+    * unit, hi = exclusive end of the unit.
+    */
+  private def basePrecision(s: String): (java.time.LocalDateTime, java.time.LocalDateTime) = {
+    import java.time._
+    val t = s.replace(' ', 'T')
+    t.length match {
+      case 4 =>
+        val y = t.toInt
+        (LocalDateTime.of(y, 1, 1, 0, 0), LocalDateTime.of(y + 1, 1, 1, 0, 0))
+      case 7 =>
+        val d = YearMonth.parse(t)
         (d.atDay(1).atStartOfDay(), d.plusMonths(1).atDay(1).atStartOfDay())
-      case 10 => // day
-        val d = java.time.LocalDate.parse(lit)
+      case 10 =>
+        val d = LocalDate.parse(t)
         (d.atStartOfDay(), d.plusDays(1).atStartOfDay())
-      case 13 => // hour: yyyy-MM-ddTHH
-        val d = java.time.LocalDateTime.parse(lit + ":00:00",
-          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      case 13 =>
+        val d = LocalDateTime.parse(t + ":00:00")
         (d, d.plusHours(1))
-      case _ => throw new IllegalArgumentException(s"unsupported interval literal '$lit'")
+      case 16 =>
+        val d = LocalDateTime.parse(t + ":00")
+        (d, d.plusMinutes(1))
+      case 19 =>
+        val d = LocalDateTime.parse(t)
+        (d, d.plusSeconds(1))
+      case n if n > 20 && t.charAt(19) == '.' =>
+        val digits = n - 20
+        require(digits <= 6, s"sub-microsecond literal '$s'")
+        val d = LocalDateTime.parse(t)
+        (d, d.plusNanos(math.pow(10, 9 - digits).toLong))
+      case _ => throw new IllegalArgumentException(s"unsupported interval literal '$s'")
     }
-    (ts(lo), ts(hi))
   }
 
+  private val DurPart = """(\d+)([UTsmhdwMy])""".r
+
+  /** Add a (possibly compound, e.g. `1h30m`) duration — reference
+    * `IntervalUtils.addDuration`.
+    */
+  private def plusDuration(t: java.time.LocalDateTime, dur: String, times: Long = 1): java.time.LocalDateTime = {
+    val parts = DurPart.findAllMatchIn(dur).toSeq
+    require(parts.nonEmpty && parts.map(_.matched).mkString == dur.trim,
+      s"invalid duration '$dur'")
+    parts.foldLeft(t) { (acc, m) =>
+      val n = m.group(1).toLong * times
+      m.group(2) match {
+        case "U" => acc.plusNanos(n * 1000)
+        case "T" => acc.plusNanos(n * 1000000)
+        case "s" => acc.plusSeconds(n)
+        case "m" => acc.plusMinutes(n)
+        case "h" => acc.plusHours(n)
+        case "d" => acc.plusDays(n)
+        case "w" => acc.plusWeeks(n)
+        case "M" => acc.plusMonths(n)
+        case "y" => acc.plusYears(n)
+      }
+    }
+  }
+
+  /** Expand a legacy interval literal `base[;duration[;period;count]]`
+    * (reference `IntervalUtils.parseIntervalEx`) into half-open
+    * `[lo, hi)` ranges rendered at micro precision.
+    */
+  def intervalRanges(lit: String): Seq[(String, String)] = {
+    val parts = lit.split(";")
+    require(parts.length == 1 || parts.length == 2 || parts.length == 4,
+      s"malformed interval literal '$lit'")
+    val (lo, hiBase) = basePrecision(parts(0).trim)
+    val hi = if (parts.length >= 2) plusDuration(hiBase, parts(1).trim) else hiBase
+    if (parts.length == 4) {
+      val period = parts(2).trim
+      val count = parts(3).trim.toInt
+      require(count > 0, s"non-positive repeat count in '$lit'")
+      (0 until count).map(i =>
+        (fmt(plusDuration(lo, period, i)), fmt(plusDuration(hi, period, i))))
+    } else Seq((fmt(lo), fmt(hi)))
+  }
+
+  /** First (or only) range of a literal — kept for compatibility. */
+  def intervalBounds(lit: String): (String, String) = intervalRanges(lit).head
+
   private def rewriteIntervalLiterals(q: String): String =
-    IntervalLit.replaceAllIn(q, m => {
-      val (lo, hi) = intervalBounds(m.group(2))
-      s"(${m.group(1)} >= TIMESTAMP '$lo' AND ${m.group(1)} < TIMESTAMP '$hi')"
-    })
+    IntervalLit.replaceAllIn(q, m => scala.util.Try {
+      val ranges = intervalRanges(m.group(3))
+      val c = m.group(1)
+      val body = ranges
+        .map { case (lo, hi) => s"($c >= TIMESTAMP '$lo' AND $c < TIMESTAMP '$hi')" }
+        .mkString(" OR ")
+      val wrapped = if (ranges.size > 1) s"($body)" else body
+      Regex.quoteReplacement(
+        if (m.group(2) != null) s"(NOT $wrapped)" else wrapped)
+    }.getOrElse(Regex.quoteReplacement(m.matched)))
 
   // ---- LATEST ON ---------------------------------------------------------
 
@@ -94,16 +243,37 @@ object QuestSql {
     case _ => q
   }
 
-  // ---- SAMPLE BY (no FILL: pure SQL rewrite) -------------------------------
+  // ---- shared parsing helpers ----------------------------------------------
 
-  private val SampleByRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([smhd])\s*(?:ALIGN\s+TO\s+CALENDAR)?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+  /** A relation reference: table name or one-level-nested subquery. */
+  private val Rel = """([\w.]+|\((?:[^()]|\([^()]*\))*\))"""
+
+  /** Resolve a relation reference: table name, or a parenthesized
+    * subquery run back through the dialect.
+    */
+  private def resolveRel(spark: SparkSession, ref: String): (DataFrame, String) = {
+    val r = ref.trim
+    if (r.startsWith("("))
+      (sqlBound(spark, r.stripPrefix("(").stripSuffix(")"), Map.empty), "")
+    else (spark.table(r), r)
+  }
 
   private[sql] def strideOf(n: String, unit: String): String = unit match {
+    case "U" => s"$n microseconds"
+    case "T" => s"$n milliseconds"
     case "s" => s"$n seconds"
     case "m" => s"$n minutes"
     case "h" => s"$n hours"
     case "d" => s"$n days"
+    case "w" => s"${n.toLong * 7} days"
+  }
+
+  private def unitMicros(u: String): Long = u match {
+    case "U" => 1L
+    case "T" => 1000L
+    case "s" => 1000000L; case "m" => 60000000L
+    case "h" => 3600000000L; case "d" => 86400000000L
+    case "w" => 7L * 86400000000L
   }
 
   /** Split a select list on top-level commas. */
@@ -120,178 +290,295 @@ object QuestSql {
     out.toSeq
   }
 
+  /** Optional post-form `WHERE` / `ORDER BY` / `LIMIT` handling shared
+    * by the time-series join forms.
+    */
+  private val WhereTail = """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+([\w.,\s]+?))?(?:\s+LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?"""
+
+  private def applyWhereTail(df: DataFrame, where: String, order: String,
+                             lim1: String, lim2: String): DataFrame = {
+    val filtered = Option(where).map(df.where).getOrElse(df)
+    val orderCols = Option(order).map(_.split(",").toSeq.map(_.trim).map { c =>
+      val up = c.toUpperCase
+      if (up.endsWith(" DESC")) expr(c.dropRight(5)).desc
+      else if (up.endsWith(" ASC")) expr(c.dropRight(4)).asc
+      else expr(c).asc
+    })
+    val sorted = orderCols.map(oc => filtered.orderBy(oc: _*)).getOrElse(filtered)
+    (Option(lim1).map(_.toInt), Option(lim2).map(_.toInt)) match {
+      case (Some(lo), Some(hi)) => sorted.offset(lo).limit(hi - lo)
+      case (Some(n), None) if n >= 0 => sorted.limit(n)
+      case (Some(n), None) => // negative: tail in forward order
+        val oc = orderCols.getOrElse(
+          throw new IllegalArgumentException("LIMIT -n requires ORDER BY"))
+        val flipped = Option(order).get.split(",").toSeq.map(_.trim).map { c =>
+          val up = c.toUpperCase
+          if (up.endsWith(" DESC")) expr(c.dropRight(5)).asc
+          else if (up.endsWith(" ASC")) expr(c.dropRight(4)).desc
+          else expr(c).desc
+        }
+        sorted.sort(flipped: _*).limit(-n).sort(oc: _*)
+      case _ => sorted
+    }
+  }
+
+  /** Suffix slave columns clashing with master names with '1'
+    * (reference duplicate-column convention).
+    */
+  private def clashRename(m: DataFrame, s: DataFrame, keys: Seq[String]): DataFrame =
+    s.columns.filterNot(keys.contains).foldLeft(s) { (df, c) =>
+      if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
+    }
+
+  // ---- SAMPLE BY (no FILL/FROM-TO/ALIGN: pure SQL rewrite) ------------------
+
+  private val SampleByRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdwMy])\s*(?:ALIGN\s+TO\s+CALENDAR)?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+
   private def rewriteSampleBy(q: String): String = q match {
     case SampleByRe(sel, table, where, n, unit, tail) =>
-      val stride = strideOf(n, unit)
       val items = splitSelect(sel)
       // bare identifiers = group keys; the designated ts item becomes the bucket
       val isBare = (s: String) => s.matches("""[\w.]+""")
-      val tsItem = items.find(i => isBare(i) && (i == "ts" || i.endsWith(".ts")))
+      val tsName = Option(tsRegistry.get(table.split('.').last.toLowerCase)).getOrElse("ts")
+      val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
       val keys = items.filter(i => isBare(i) && !tsItem.contains(i))
+      val tsExpr = tsItem.getOrElse(tsName)
+      // calendar units (month/year) have no fixed duration → date_trunc;
+      // everything else keeps the window() group (codegen'd bucketing)
+      val (bucketOut, bucketGroup) = unit match {
+        case "M" | "y" =>
+          require(n == "1", s"calendar unit $unit supports stride 1 only")
+          val f = s"date_trunc('${if (unit == "M") "month" else "year"}', $tsExpr)"
+          (f, f)
+        case _ =>
+          ("window.start", s"window($tsExpr, '${strideOf(n, unit)}')")
+      }
       val outItems = items.map {
-        case i if tsItem.contains(i) => s"window.start AS ${i.split('.').last}"
+        case i if tsItem.contains(i) => s"$bucketOut AS ${i.split('.').last}"
         case i => i
       }
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
-      val groupKeys = (s"window(${tsItem.getOrElse("ts")}, '$stride')" +: keys).mkString(", ")
+      val groupKeys = (bucketGroup +: keys).mkString(", ")
       val tailSql = Option(tail).map(" " + _).getOrElse("")
       s"SELECT ${outItems.mkString(", ")} FROM $table$whereSql GROUP BY $groupKeys$tailSql"
     case _ => q
   }
 
-  // ---- SAMPLE BY ... FILL(...): delegates to the SampleBy op ---------------
+  // ---- SAMPLE BY with FROM/TO, FILL lists, ALIGN: delegates to ops ----------
 
-  private val SampleByFillRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([smhd])\s+FILL\s*\(\s*(\w+(?:\.\d+)?)\s*\)\s*$""".r
+  private val SampleByFullRe = (
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel +
+      """(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdw])""" +
+      """(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?""" +
+      """(?:\s+FILL\s*\(([^)]*)\))?""" +
+      """(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)(?:\s+TIME\s+ZONE\s+'([^']+)')?(?:\s+WITH\s+OFFSET\s+'([^']+)')?)?""" +
+      """\s*(?:ORDER\s+BY\s+([\w.,\s]+?))?\s*$""").r
 
-  private def sampleByFillForm(spark: SparkSession, q0: String): Option[DataFrame] = {
-    val q = rewriteIntervalLiterals(q0)
-    q match {
-      case SampleByFillRe(sel, table, where, n, unit, fillSpec) =>
-        val items = splitSelect(sel)
-        val isBare = (s: String) => s.matches("""[\w.]+""")
-        val tsItem = items.find(i => isBare(i) && (i == "ts" || i.endsWith(".ts"))).getOrElse("ts")
-        val keys = items.filter(i => isBare(i) && i != tsItem)
-        val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
-        val aggs = items.filterNot(i => isBare(i)).map {
-          case AggAs(e, name) => name -> expr(e)
-          case e => e.replaceAll("\\W", "_") -> expr(e)
-        }
-        val fill = fillSpec.toUpperCase match {
-          case "NONE" => graft.ops.SampleBy.NoFill
-          case "NULL" => graft.ops.SampleBy.FillNull
-          case "PREV" => graft.ops.SampleBy.FillPrev
-          case "LINEAR" => graft.ops.SampleBy.FillLinear
-          case v => graft.ops.SampleBy.FillConst(aggs.map(_._1 -> (v.toDouble: Any)).toMap)
-        }
-        val base = Option(where).map(w => spark.table(table).where(w)).getOrElse(spark.table(table))
-        Some(graft.ops.SampleBy.sampleBy(base, tsItem.split('.').last,
-          strideOf(n, unit), keys, aggs, fill, tsOut = tsItem.split('.').last))
-      case _ => None
-    }
+  private def parsePoint(lit: String): java.sql.Timestamp = {
+    val (lo, _) = basePrecision(lit.trim)
+    java.sql.Timestamp.valueOf(lo)
+  }
+
+  private def offsetInterval(spec: String): String = {
+    val m = """(-?)(\d{2}):(\d{2})""".r.findFirstMatchIn(spec.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad OFFSET '$spec'"))
+    val sign = if (m.group(1) == "-") "-" else ""
+    s"$sign${m.group(2).toInt} hours $sign${m.group(3).toInt} minutes"
+  }
+
+  private def sampleByOpForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case SampleByFullRe(sel, rel, where, n, unit, fromLit, toLit, fillSpec,
+                        alignKind, tzLit, offsetLit, order)
+        if fillSpec != null || fromLit != null || alignKind != null =>
+      val (base0, relName) = resolveRel(spark, rel)
+      val tsName = tsOfRel(relName, base0)
+      val items = splitSelect(sel)
+      val isBare = (s: String) => s.matches("""[\w.]+""")
+      val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
+      val keys = items.filter(i => isBare(i) && !tsItem.contains(i)).map(_.split('.').last)
+      val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
+      val aggs = items.filterNot(i => isBare(i)).map {
+        case AggAs(e, name) => name -> expr(e)
+        case e => e.replaceAll("\\W", "_") -> expr(e)
+      }
+      val stride = strideOf(n, unit)
+      val strideUs = n.toLong * unitMicros(unit)
+
+      def fillOf(tok: String, name: String): graft.ops.SampleBy.Fill = tok.trim.toUpperCase match {
+        case "NONE" => graft.ops.SampleBy.NoFill
+        case "NULL" => graft.ops.SampleBy.FillNull
+        case "PREV" => graft.ops.SampleBy.FillPrev
+        case "LINEAR" => graft.ops.SampleBy.FillLinear
+        case v => graft.ops.SampleBy.FillConst(Map(name -> (v.toDouble: Any)))
+      }
+      val fill = Option(fillSpec).map(_.trim).filter(_.nonEmpty) match {
+        case None => graft.ops.SampleBy.NoFill
+        case Some(spec) =>
+          val toks = spec.split(",").toSeq.map(_.trim)
+          if (toks.size == 1) fillOf(toks.head, aggs.head._1) match {
+            // a single constant still applies to every aggregate
+            case graft.ops.SampleBy.FillConst(_) =>
+              graft.ops.SampleBy.FillConst(aggs.map(_._1 -> (toks.head.toDouble: Any)).toMap)
+            case f => f
+          }
+          else graft.ops.SampleBy.FillPerColumn(
+            toks.zip(aggs.map(_._1)).map { case (t, nm) => fillOf(t, nm) })
+      }
+
+      val whered = Option(where).map(base0.where).getOrElse(base0)
+      // FROM/TO (reference: inclusive FROM, exclusive TO) bounds both the
+      // data and the fill spine
+      val (ranged, range) = (Option(fromLit), Option(toLit)) match {
+        case (Some(f), Some(t)) =>
+          val from = parsePoint(f); val to = parsePoint(t)
+          val fromUs = from.getTime * 1000L
+          val toUs = to.getTime * 1000L
+          val lastBucketUs = fromUs + ((toUs - 1 - fromUs) / strideUs) * strideUs
+          val lastBucket = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(lastBucketUs / 1000000L, lastBucketUs % 1000000L * 1000L))
+          (whered.where(col(tsName) >= lit(from) && col(tsName) < lit(to)),
+            Some((from, lastBucket)))
+        case _ => (whered, None)
+      }
+
+      val tsOut = tsItem.map(_.split('.').last).getOrElse(tsName)
+      val out = Option(alignKind).map(_.toUpperCase.replaceAll("\\s+", " ")) match {
+        case Some("FIRST OBSERVATION") =>
+          graft.ops.SampleBy.sampleByFirstObs(ranged, tsName, strideUs, keys, aggs, tsOut)
+        case _ =>
+          graft.ops.SampleBy.sampleBy(ranged, tsName, stride, keys, aggs, fill,
+            range = range,
+            offset = Option(offsetLit).map(offsetInterval).getOrElse("0 seconds"),
+            tz = Option(tzLit),
+            tsOut = tsOut)
+      }
+      // project in select-list order
+      val outNames = items.map {
+        case i if tsItem.contains(i) => tsOut
+        case i if isBare(i) => i.split('.').last
+        case i => i match { case AggAs(_, name) => name; case e => e.replaceAll("\\W", "_") }
+      }
+      val projected = out.select(outNames.map(col): _*)
+      Some(Option(order).map(o => applyWhereTail(projected, null, o, null, null)).getOrElse(projected))
+    case _ => None
   }
 
   // ---- ASOF / LT / SPLICE JOIN ---------------------------------------------
 
-  private val AsofRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+(ASOF|LT|SPLICE)\s+JOIN\s+([\w.]+)(?:\s+ON\s+\(?([\w.,\s]+?)\)?)?\s*(?:TOLERANCE\s+(\d+)([smhd]))?\s*$""".r
+  private val AsofRe = (
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+(ASOF|LT|SPLICE)\s+JOIN\s+""" + Rel +
+      """(?:\s+ON\s+\(?([\w.,\s]+?)\)?)?(?:\s+TOLERANCE\s+(\d+)([UTsmhdw]))?""" +
+      WhereTail + """\s*$""").r
 
-  private def asofForm(spark: SparkSession, q0: String): Option[DataFrame] = {
-    val q = rewriteIntervalLiterals(q0)
-    q match {
-      case AsofRe(sel, master, kind, slave, onKeys, tolN, tolUnit) =>
-        val m = spark.table(master)
-        val s = spark.table(slave)
-        val keys = Option(onKeys).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
-        val ts = "ts" // designated-ts convention
-        val tol = Option(tolN).map { nn =>
-          val mult = tolUnit match {
-            case "s" => 1000000L; case "m" => 60000000L
-            case "h" => 3600000000L; case "d" => 86400000000L
-          }
-          nn.toLong * mult
-        }
-        val out = kind.toUpperCase match {
-          case "SPLICE" =>
-            val mPay = m.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
-            // clash-suffix slave payload so output columns stay unique
-            val sRenamed = s.columns.filterNot(c => keys.contains(c) || c == ts).foldLeft(s) {
-              (df, c) => if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
-            }
-            val sPay = sRenamed.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
-            graft.ops.AsofJoin.splice(m, sRenamed, ts, ts, keys, mPay, sPay)
-          case k =>
-            // clash-rename slave payload (reference suffixes duplicates with '1')
-            val sPay0 = s.columns.filterNot(c => keys.contains(c)).toSeq
-            val renamed = sPay0.foldLeft(s) { (df, c) =>
-              if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
-            }
-            val sPay = renamed.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
-            graft.ops.AsofJoin.asofKeyed(m, renamed.withColumn(ts, col(ts + "1")),
-              ts, ts, keys, sPay, strict = k == "LT", toleranceMicros = tol)
-        }
-        Some(if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*))
-      case _ => None
-    }
+  private def asofForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case AsofRe(sel, master, kind, slave, onKeys, tolN, tolUnit, where, order, lim1, lim2) =>
+      val (m, mName) = resolveRel(spark, master)
+      val (s, sName) = resolveRel(spark, slave)
+      val keys = Option(onKeys).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+      val mTs = tsOfRel(mName, m)
+      val sTs = tsOfRel(sName, s)
+      val tol = Option(tolN).map(_.toLong * unitMicros(tolUnit))
+      val renamed = clashRename(m, s, keys)
+      val sTsR = if (m.columns.contains(sTs) && !keys.contains(sTs)) sTs + "1" else sTs
+      val out = kind.toUpperCase match {
+        case "SPLICE" =>
+          val mPay = m.columns.filterNot(c => keys.contains(c) || c == mTs).toSeq
+          val sPay = renamed.columns.filterNot(c => keys.contains(c) || c == sTsR).toSeq
+          graft.ops.AsofJoin.splice(m, renamed, mTs, sTsR, keys, mPay, sPay)
+        case k =>
+          val sPay = renamed.columns.filterNot(keys.contains).toSeq
+          graft.ops.AsofJoin.asofKeyed(m, renamed, mTs, sTsR, keys, sPay,
+            strict = k == "LT", toleranceMicros = tol)
+      }
+      val shaped = if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*)
+      Some(applyWhereTail(shaped, where, order, lim1, lim2))
+    case _ => None
   }
 
   // ---- WINDOW JOIN -----------------------------------------------------------
   // SELECT m1, m2, agg AS name, ... FROM master WINDOW JOIN slave ON k
-  //   RANGE BETWEEN <n><u> PRECEDING AND <n><u> FOLLOWING
-  private val WindowJoinRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+WINDOW\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+BETWEEN\s+(\d+)([smhd])\s+PRECEDING\s+AND\s+(\d+)([smhd])\s+FOLLOWING\s*$""".r
+  //   RANGE BETWEEN <n><u> PRECEDING AND <n><u> FOLLOWING [INCLUDE PREVAILING]
+  private val WindowJoinRe = (
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+WINDOW\s+JOIN\s+""" + Rel +
+      """\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+BETWEEN\s+(\d+)([UTsmhdw])\s+PRECEDING\s+AND\s+(\d+)([UTsmhdw])\s+FOLLOWING(\s+INCLUDE\s+PREVAILING)?""" +
+      WhereTail + """\s*$""").r
 
-  private def unitMicros(u: String): Long = u match {
-    case "s" => 1000000L; case "m" => 60000000L
-    case "h" => 3600000000L; case "d" => 86400000000L
+  private def windowJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case WindowJoinRe(sel, master, slave, onKeys, loN, loU, hiN, hiU, prevailing,
+                      where, order, lim1, lim2) =>
+      val keys = onKeys.split(",").map(_.trim).toSeq
+      val items = splitSelect(sel)
+      val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
+      val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
+        case AggAs(e, name) => name -> expr(e)
+        case e => e.replaceAll("\\W", "_") -> expr(e)
+      }
+      val (m, mName) = resolveRel(spark, master)
+      val (s, sName) = resolveRel(spark, slave)
+      val mTs = tsOfRel(mName, m)
+      val sTs = tsOfRel(sName, s)
+      // clash-suffix slave columns (except keys) so agg expressions can
+      // address them as <col>1
+      val renamed = clashRename(m, s, keys)
+      val sTsR = if (m.columns.contains(sTs) && !keys.contains(sTs)) sTs + "1" else sTs
+      val lo = -loN.toLong * unitMicros(loU)
+      val hi = hiN.toLong * unitMicros(hiU)
+      val out =
+        if (prevailing != null) {
+          val payload = renamed.columns.filterNot(keys.contains).toSeq
+          graft.ops.WindowJoin.windowJoinPrevailing(m, renamed, mTs, sTsR, keys,
+            payload, lo, hi, aggs)
+        } else
+          graft.ops.WindowJoin.windowJoin(m, renamed, mTs, sTsR, keys, lo, hi, aggs)
+      Some(applyWhereTail(out, where, order, lim1, lim2))
+    case _ => None
   }
-
-  private def windowJoinForm(spark: SparkSession, q0: String): Option[DataFrame] =
-    rewriteIntervalLiterals(q0) match {
-      case WindowJoinRe(sel, master, slave, onKeys, loN, loU, hiN, hiU) =>
-        val keys = onKeys.split(",").map(_.trim).toSeq
-        val items = splitSelect(sel)
-        val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
-        val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
-          case AggAs(e, name) => name -> expr(e)
-          case e => e.replaceAll("\\W", "_") -> expr(e)
-        }
-        val m = spark.table(master)
-        val s = spark.table(slave)
-        // clash-suffix slave columns (except keys and its ts) so agg
-        // expressions can address them as <col>1
-        val renamed = s.columns.filterNot(c => keys.contains(c) || c == "ts").foldLeft(s) {
-          (df, c) => if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
-        }
-        val out = graft.ops.WindowJoin.windowJoin(
-          m, renamed, "ts", "ts", keys,
-          -loN.toLong * unitMicros(loU), hiN.toLong * unitMicros(hiU), aggs)
-        Some(out)
-      case _ => None
-    }
 
   // ---- HORIZON JOIN ----------------------------------------------------------
   // SELECT ... FROM master HORIZON JOIN slave ON k LIST (o1, o2, ...)
   //   or ... ON k RANGE FROM a TO b STEP s   (offsets in <n><unit>)
-  private val HorizonJoinRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+HORIZON\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+LIST\s*\(([\d,\s]+)\)\s*$""".r
-  private val HorizonRangeRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+HORIZON\s+JOIN\s+([\w.]+)\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+FROM\s+(-?\d+)([smhd])\s+TO\s+(-?\d+)([smhd])\s+STEP\s+(\d+)([smhd])\s*$""".r
+  private val HorizonJoinRe = (
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+HORIZON\s+JOIN\s+""" + Rel +
+      """\s+ON\s+\(?([\w.,\s]+?)\)?\s+LIST\s*\(([\d,\s]+)\)""" + WhereTail + """\s*$""").r
+  private val HorizonRangeRe = (
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+HORIZON\s+JOIN\s+""" + Rel +
+      """\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])\s+STEP\s+(\d+)([UTsmhdw])""" +
+      WhereTail + """\s*$""").r
 
-  private def horizonJoinForm(spark: SparkSession, q0: String): Option[DataFrame] =
-    rewriteIntervalLiterals(q0) match {
-      case HorizonRangeRe(sel, master, slave, onKeys, aN, aU, bN, bU, sN, sU) =>
-        val lo = aN.toLong * unitMicros(aU)
-        val hi = bN.toLong * unitMicros(bU)
-        val step = sN.toLong * unitMicros(sU)
-        require(step > 0 && hi >= lo, "invalid HORIZON RANGE")
-        runHorizon(spark, sel, master, slave, onKeys, (lo to hi by step).toSeq)
-      case HorizonJoinRe(sel, master, slave, onKeys, list) =>
-        runHorizon(spark, sel, master, slave, onKeys,
-          list.split(",").map(_.trim.toLong).toSeq)
-      case _ => None
-    }
-
-  private def runHorizon(spark: SparkSession, sel: String, master: String,
-                         slave: String, onKeys: String,
-                         offsets: Seq[Long]): Option[DataFrame] = {
-    val keys = onKeys.split(",").map(_.trim).toSeq
-        val m = spark.table(master)
-        val s = spark.table(slave)
-        // clash-rename slave payload as in asofForm
-        val renamed = s.columns.filterNot(keys.contains).foldLeft(s) { (df, c) =>
-          if (m.columns.contains(c)) df.withColumnRenamed(c, c + "1") else df
-        }
-        val withTs =
-          if (renamed.columns.contains("ts")) renamed
-          else renamed.withColumn("ts", col("ts1"))
-        val payload = withTs.columns.filterNot(c => keys.contains(c) || c == "ts").toSeq
-        val out = graft.ops.HorizonJoin.horizonJoin(
-          m, withTs, "ts", "ts", keys, payload, offsets)
-        Some(if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*))
+  private def horizonJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case HorizonRangeRe(sel, master, slave, onKeys, aN, aU, bN, bU, sN, sU,
+                        where, order, lim1, lim2) =>
+      val lo = aN.toLong * unitMicros(aU)
+      val hi = bN.toLong * unitMicros(bU)
+      val step = sN.toLong * unitMicros(sU)
+      require(step > 0 && hi >= lo, "invalid HORIZON RANGE")
+      runHorizon(spark, sel, master, slave, onKeys, (lo to hi by step).toSeq,
+        where, order, lim1, lim2)
+    case HorizonJoinRe(sel, master, slave, onKeys, list, where, order, lim1, lim2) =>
+      runHorizon(spark, sel, master, slave, onKeys,
+        list.split(",").map(_.trim.toLong).toSeq, where, order, lim1, lim2)
+    case _ => None
   }
 
-  // ---- negative LIMIT -------------------------------------------------------
+  private def runHorizon(spark: SparkSession, sel: String, master: String,
+                         slave: String, onKeys: String, offsets: Seq[Long],
+                         where: String, order: String,
+                         lim1: String, lim2: String): Option[DataFrame] = {
+    val keys = onKeys.split(",").map(_.trim).toSeq
+    val (m, mName) = resolveRel(spark, master)
+    val (s, sName) = resolveRel(spark, slave)
+    val mTs = tsOfRel(mName, m)
+    val sTs = tsOfRel(sName, s)
+    val renamed = clashRename(m, s, keys)
+    val sTsR = if (m.columns.contains(sTs) && !keys.contains(sTs)) sTs + "1" else sTs
+    val payload = renamed.columns.filterNot(c => keys.contains(c) || c == sTsR).toSeq
+    val out = graft.ops.HorizonJoin.horizonJoin(m, renamed, mTs, sTsR, keys, payload, offsets)
+    val shaped = if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*)
+    Some(applyWhereTail(shaped, where, order, lim1, lim2))
+  }
+
+  // ---- negative / range LIMIT ------------------------------------------------
 
   private val NegLimitRe = """(?is)^(.*\bORDER\s+BY\s+)([\w.,\s]+?)\s+LIMIT\s+-(\d+)\s*$""".r
 
@@ -305,6 +592,15 @@ object QuestSql {
       }.mkString(", ")
       val orderedNames = cols.mkString(", ")
       s"SELECT * FROM ($prefix$flipped LIMIT $n) ORDER BY $orderedNames"
+    case _ => q
+  }
+
+  /** `LIMIT lo,hi` → `LIMIT (hi-lo) OFFSET lo` (reference range limit). */
+  private val RangeLimitRe = """(?is)^(.*\bLIMIT\s+)(\d+)\s*,\s*(\d+)\s*$""".r
+
+  private def rewriteRangeLimit(q: String): String = q match {
+    case RangeLimitRe(prefix, lo, hi) if hi.toLong >= lo.toLong =>
+      s"$prefix${hi.toLong - lo.toLong} OFFSET $lo"
     case _ => q
   }
 }

@@ -102,6 +102,144 @@ class QuestSqlSpec extends SparkSpec {
     assert(out.columns.contains("side"))
   }
 
+  test("interval literal minute/second precision") {
+    assert(QuestSql.intervalBounds("2024-01-15T09:30") == ("2024-01-15 09:30:00", "2024-01-15 09:31:00"))
+    assert(QuestSql.intervalBounds("2024-01-15T09:30:45") == ("2024-01-15 09:30:45", "2024-01-15 09:30:46"))
+  }
+
+  test("interval literal with duration and period/repeat modifiers") {
+    // reference IntervalUtils: '2018-01-10T10:30;30m;2d;2' = two ranges,
+    // each [start-of-minute, end-of-minute + 30m), 2 days apart
+    val rs = QuestSql.intervalRanges("2018-01-10T10:30;30m;2d;2")
+    assert(rs == Seq(
+      ("2018-01-10 10:30:00", "2018-01-10 11:01:00"),
+      ("2018-01-12 10:30:00", "2018-01-12 11:01:00")))
+    // compound duration
+    assert(QuestSql.intervalRanges("2024-01-15T09;1h30m").head ==
+      ("2024-01-15 09:00:00", "2024-01-15 11:30:00"))
+  }
+
+  test("interval literal with repeats filters disjoint ranges") {
+    val n = engine.sql(
+      "SELECT count(*) AS n FROM events WHERE ts IN '2024-01-05;1d;7d;2'").head().getLong(0)
+    val exact = Tables.events(spark, sfDir).filter(
+      (col("ts") >= lit("2024-01-05").cast("timestamp") && col("ts") < lit("2024-01-07").cast("timestamp")) ||
+      (col("ts") >= lit("2024-01-12").cast("timestamp") && col("ts") < lit("2024-01-14").cast("timestamp"))).count()
+    assert(n == exact && n > 0)
+  }
+
+  test("NOT IN interval literal negates the range") {
+    val n = engine.sql("SELECT count(*) AS n FROM events WHERE ts NOT IN '2024-01'").head().getLong(0)
+    val within = engine.sql("SELECT count(*) AS n FROM events WHERE ts IN '2024-01'").head().getLong(0)
+    assert(n + within == Tables.events(spark, sfDir).count())
+  }
+
+  test("ASOF JOIN accepts WHERE and ORDER BY / LIMIT tails") {
+    val out = engine.sql(
+      "SELECT * FROM p_v ASOF JOIN c_v ON user_id WHERE value > 100.0 ORDER BY event_id LIMIT 10")
+    val rows = out.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Double]("value") > 100.0))
+    val ids = rows.map(_.getAs[Long]("event_id"))
+    assert(ids.sorted.toSeq == ids.toSeq)
+  }
+
+  test("ASOF JOIN accepts subqueries in FROM") {
+    val out = engine.sql(
+      "SELECT * FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') " +
+        "ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') ON user_id")
+    assert(out.count() == spark.table("p_v2").count())
+    assert(out.columns.contains("value1"))
+  }
+
+  test("designated ts is resolved per table, not hardcoded") {
+    // orders' designated ts is o_orderdate (Tables.designatedTs)
+    val out = engine.sql(
+      "SELECT * FROM orders_m ASOF JOIN orders_s ON o_custkey")
+    assert(out.count() == spark.table("orders_m").count())
+    assert(out.columns.contains("o_totalprice1"))
+  }
+
+  test("WINDOW JOIN INCLUDE PREVAILING dialect form") {
+    val base = engine.sql(
+      "SELECT event_id, count(value1) AS n FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING")
+    val prev = engine.sql(
+      "SELECT event_id, count(value1) AS n FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING INCLUDE PREVAILING")
+    val b = base.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
+    val p = prev.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
+    assert(p.keySet == b.keySet)
+    // prevailing adds at most one extra contributor per master
+    assert(b.forall { case (k, n) => p(k) == n || p(k) == n + 1 })
+    assert(b.exists { case (k, n) => p(k) == n + 1 })
+  }
+
+  test("SAMPLE BY FROM/TO bounds data and spine") {
+    val out = engine.sql(
+      "SELECT ts, count(*) AS n FROM events SAMPLE BY 1d FROM '2024-01-05' TO '2024-01-10' FILL(0)")
+    val rows = out.orderBy(col("ts")).collect()
+    assert(rows.length == 5) // 5 daily buckets, exclusive TO
+    assert(rows.head.getTimestamp(0).toString.startsWith("2024-01-05"))
+    assert(rows.last.getTimestamp(0).toString.startsWith("2024-01-09"))
+  }
+
+  test("SAMPLE BY FILL value list applies per aggregate") {
+    val out = engine.sql(
+      "SELECT event_type, ts, count(*) AS n, max(value) AS mx FROM events WHERE value > 280.0 SAMPLE BY 6h FILL(0, PREV)")
+    val perType = out.filter(col("event_type") === "click").orderBy(col("ts")).collect()
+    // n is const-filled → never null; mx carries forward after first present
+    assert(perType.forall(!_.isNullAt(2)))
+    assert(perType.dropWhile(_.isNullAt(3)).forall(!_.isNullAt(3)))
+    assert(perType.exists(r => r.getLong(2) == 0L)) // a filled gap exists
+  }
+
+  test("SAMPLE BY ALIGN TO CALENDAR TIME ZONE buckets on local wall clock") {
+    val out = engine.sql(
+      "SELECT ts, count(*) AS n FROM events SAMPLE BY 1d ALIGN TO CALENDAR TIME ZONE 'America/New_York'")
+    val hours = out.select(hour(from_utc_timestamp(col("ts"), "America/New_York"))).distinct().collect().map(_.getInt(0))
+    assert(hours.toSeq == Seq(0)) // every bucket starts at local midnight
+  }
+
+  test("SAMPLE BY ALIGN TO CALENDAR WITH OFFSET shifts bucket origin") {
+    val out = engine.sql(
+      "SELECT ts, count(*) AS n FROM events SAMPLE BY 1d ALIGN TO CALENDAR WITH OFFSET '02:00'")
+    val hours = out.select(hour(col("ts"))).distinct().collect().map(_.getInt(0))
+    assert(hours.toSeq == Seq(2))
+  }
+
+  test("SAMPLE BY ALIGN TO FIRST OBSERVATION anchors buckets per key") {
+    val out = engine.sql(
+      "SELECT user_id, ts, count(*) AS n FROM events SAMPLE BY 1d ALIGN TO FIRST OBSERVATION")
+    // each user's first bucket starts exactly at their first event
+    val firstBuckets = out.groupBy(col("user_id")).agg(min(col("ts")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val firstEvents = Tables.events(spark, sfDir).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(firstBuckets == firstEvents)
+  }
+
+  test("positional and named bind variables") {
+    val n1 = engine.sql("SELECT count(*) AS n FROM events WHERE value > $1 AND event_type = $2",
+      150.0, "click").head().getLong(0)
+    val n2 = engine.sqlNamed(
+      "SELECT count(*) AS n FROM events WHERE value > :v AND event_type = :t",
+      Map("v" -> 150.0, "t" -> "click")).head().getLong(0)
+    val exact = Tables.events(spark, sfDir)
+      .filter(col("value") > 150.0 && col("event_type") === "click").count()
+    assert(n1 == exact && n2 == exact && exact > 0)
+  }
+
+  test("bind variables reach dialect forms (literal substitution)") {
+    val out = engine.sql("SELECT * FROM p_v ASOF JOIN c_v ON user_id WHERE value > $1 ORDER BY event_id LIMIT 5", 100.0)
+    assert(out.count() == 5)
+  }
+
+  test("LIMIT lo,hi range") {
+    val rows = engine.sql("SELECT event_id FROM events ORDER BY event_id LIMIT 10,15").collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Tables.events(spark, sfDir).orderBy(col("event_id")).collect().slice(10, 15).map(_.getLong(0)).toSeq)
+  }
+
   test("negative LIMIT returns the tail in forward order") {
     val rows = engine.sql(
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT -5").collect()
@@ -120,6 +258,13 @@ class QuestSqlSpec extends SparkSpec {
       .select("user_id", "ts", "value").createOrReplaceTempView("p_v2")
     Tables.events(spark, sfDir).filter(col("event_type") === "click")
       .select("user_id", "ts", "value").createOrReplaceTempView("c_v2")
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_custkey", "o_orderdate", "o_totalprice").createOrReplaceTempView("orders_m")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_custkey", "o_orderdate", "o_totalprice").createOrReplaceTempView("orders_s")
+    QuestSql.registerDesignatedTs("orders_m", "o_orderdate")
+    QuestSql.registerDesignatedTs("orders_s", "o_orderdate")
     super.withFixture(test)
   }
 }
