@@ -34,7 +34,15 @@ object AsofJoin {
   private val SLAVE = "__graft_slave"
   private val MASTER = "__graft_master"
 
-  /** Keyed ASOF/LT join.
+  /** Keyed ASOF/LT join — dispatching entry point.
+    *
+    * Lowers through the native sorted-merge operator
+    * ([[graft.plans.AsOfJoinExec]], O(1) state per partition, no window
+    * buffering) whenever the session has the strategy injected and the
+    * timestamps are merge-compatible; falls back to the union-merge
+    * window lowering ([[asofKeyedWindow]]) otherwise. Both are
+    * single-shuffle-per-side plans with identical semantics (gate-checked
+    * against the same oracle).
     *
     * @param master        left side; all its columns pass through
     * @param slave         right side
@@ -50,6 +58,29 @@ object AsofJoin {
                 keys: Seq[String], payload: Seq[String],
                 strict: Boolean = false,
                 toleranceMicros: Option[Long] = None): DataFrame = {
+    def mergeTs(dt: DataType) = dt match {
+      case TimestampType | TimestampNTZType | LongType => true
+      case _ => false
+    }
+    val nativeOk = keys.nonEmpty &&
+      mergeTs(master.schema(masterTs).dataType) &&
+      mergeTs(slave.schema(slaveTs).dataType) &&
+      master.sparkSession.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy)
+    if (nativeOk)
+      asofKeyedNative(master, slave, masterTs, slaveTs, keys, payload, strict, toleranceMicros)
+    else
+      asofKeyedWindow(master, slave, masterTs, slaveTs, keys, payload, strict, toleranceMicros)
+  }
+
+  /** Keyed ASOF/LT join via the union-merge window lowering (fallback
+    * path; see [[asofKeyed]] for the parameter contract).
+    */
+  def asofKeyedWindow(master: DataFrame, slave: DataFrame,
+                      masterTs: String, slaveTs: String,
+                      keys: Seq[String], payload: Seq[String],
+                      strict: Boolean = false,
+                      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = master.sparkSession
     val ts = "__graft_ts"
 
@@ -136,6 +167,109 @@ object AsofJoin {
       }
     }(Encoders.row(outSchema))
     res
+  }
+
+  /** No-key ASOF/LT dispatcher: broadcast binary search when the slave's
+    * optimizer size estimate fits the session's broadcast threshold
+    * (reference no-key fast path), otherwise the fully distributed
+    * range-bucketed merge ([[asofRangeNoKey]]) — no driver collect, no
+    * single-partition window, safe for a 100 TB slave.
+    */
+  def asofNoKey(master: DataFrame, slave: DataFrame,
+                masterTs: String, slaveTs: String,
+                payload: Seq[String],
+                strict: Boolean = false,
+                toleranceMicros: Option[Long] = None): DataFrame = {
+    val threshold = master.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val slaveBytes = slave.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && slaveBytes <= threshold)
+      asofBroadcastNoKey(master, slave, masterTs, slaveTs, payload, strict, toleranceMicros)
+    else
+      asofRangeNoKey(master, slave, masterTs, slaveTs, payload, strict, toleranceMicros)
+  }
+
+  /** No-key ASOF/LT for large slaves: time-range-bucketed union merge
+    * with per-bucket boundary carries, all distributed.
+    *
+    * Plan: tag + union both sides, bucket rows on fixed time strides
+    * spanning [min ts, max ts], run the usual carry-forward window
+    * *inside each bucket* (parallel across buckets — this is the big
+    * shuffle and it scales with the bucket count), then close the
+    * cross-bucket seam with a tiny per-bucket "last slave" table:
+    * aggregate one struct per bucket, prefix-carry over that table
+    * (a window over ≤`buckets` rows — single partition, trivially
+    * small), broadcast-join it back, and take the in-bucket carry when
+    * present else the previous buckets' carry. Equal timestamps land in
+    * the same bucket, so a carry row's ts is strictly below every later
+    * bucket — correct for both ASOF and strict LT.
+    *
+    * Time-clustered data skews individual buckets; `buckets` defaults to
+    * 4× the shuffle parallelism so AQE's skew handling has room to split.
+    */
+  def asofRangeNoKey(master: DataFrame, slave: DataFrame,
+                     masterTs: String, slaveTs: String,
+                     payload: Seq[String],
+                     strict: Boolean = false,
+                     toleranceMicros: Option[Long] = None,
+                     buckets: Int = 0): DataFrame = {
+    val spark = master.sparkSession
+    val nBuckets = math.max(if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions * 4, 1)
+    val ts = "__graft_ts"
+    val BUCKET = "__graft_bucket"
+
+    val m = master.withColumn(ts, col(masterTs))
+      .withColumn(SIDE, lit(1))
+      .withColumn(SLAVE, lit(null).cast(slaveStruct(slave, slaveTs, payload)))
+    val s0 = slave.select(
+      col(slaveTs).as(ts) +: Seq(lit(0).as(SIDE),
+        struct(col(slaveTs).as("__slave_ts") +: payload.map(col): _*).as(SLAVE)): _*)
+    val s = master.columns.foldLeft(s0) {
+      (df, c) => df.withColumn(c, lit(null).cast(master.schema(c).dataType))
+    }
+    val u = m.unionByName(s)
+
+    // fixed-stride buckets over the observed range: one 2-value aggregate,
+    // no data collected
+    val r = u.agg(min(unix_micros(col(ts))), max(unix_micros(col(ts)))).head()
+    if (r.isNullAt(0))
+      return m.filter(col(SIDE) === 1).select(master.columns.map(col) ++
+        payload.map(p => col(s"$SLAVE.$p").as(p)): _*)
+    val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+    val strideUs = math.max((maxUs - minUs) / nBuckets + 1, 1L)
+    val bucketed = u.withColumn(BUCKET, ((unix_micros(col(ts)) - lit(minUs)) / lit(strideUs)).cast("long"))
+
+    val sideOrder = if (strict) -col(SIDE) else col(SIDE)
+    val wIn = Window.partitionBy(col(BUCKET))
+      .orderBy(col(ts).asc, sideOrder.asc, col(SLAVE).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed.withColumn("__graft_local",
+      last(col(SLAVE), ignoreNulls = true).over(wIn))
+
+    // per-bucket final slave row: greatest (ts, payload struct) among slaves
+    val perBucket = bucketed.filter(col(SIDE) === 0)
+      .groupBy(col(BUCKET))
+      .agg(max(struct(col(ts), col(SLAVE))).as("__last"))
+      .select(col(BUCKET), col("__last").getField(SLAVE).as("__bucket_last"))
+    // prefix carry across buckets: ≤`buckets` rows, single tiny partition
+    val wCarry = Window.orderBy(col(BUCKET).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = perBucket
+      .withColumn("__graft_carry", last(col("__bucket_last"), ignoreNulls = true).over(wCarry))
+      .select(col(BUCKET), col("__graft_carry"))
+
+    val joined = withLocal.join(broadcast(carries), Seq(BUCKET), "left")
+      .withColumn(SLAVE, coalesce(col("__graft_local"), col("__graft_carry")))
+      .filter(col(SIDE) === 1)
+    val tolFiltered = toleranceMicros match {
+      case Some(tol) =>
+        joined.withColumn(SLAVE,
+          when(col(s"$SLAVE.__slave_ts") >= col(ts) - expr(s"interval $tol microseconds"),
+            col(SLAVE)))
+      case None => joined
+    }
+    tolFiltered.select(master.columns.map(col) ++
+      payload.map(p => col(s"$SLAVE.$p").as(p)): _*)
   }
 
   /** Keyed ASOF via the native sorted-merge physical operator

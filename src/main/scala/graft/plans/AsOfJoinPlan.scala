@@ -50,7 +50,12 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    // payload joins the slave sort so ties on (key, ts) resolve to the
+    // greatest payload deterministically — the same contract as the
+    // union-merge window lowering's struct ordering
+    ((rightKeys :+ rightTs) ++
+      payload.filter(a => RowOrdering.isOrderable(a.dataType)))
+      .map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))

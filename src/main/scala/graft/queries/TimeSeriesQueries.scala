@@ -56,7 +56,18 @@ object TimeSeriesQueries extends QueryPack {
     "q_asof_nokey" -> ((s, dir) => {
       val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
         .select(col("ts"), col("ts").as("signup_ts"), col("value").as("signup_value"))
-      AsofJoin.asofBroadcastNoKey(
+      AsofJoin.asofNoKey(
+        purchases(s, dir).select("event_id", "ts", "user_id", "value"),
+        signups, "ts", "ts", Seq("signup_ts", "signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_asof_nokey_range" -> ((s, dir) => {
+      // same semantics as q_asof_nokey, pinned to the distributed
+      // range-bucketed path (the large-slave plan: no driver collect)
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("ts"), col("ts").as("signup_ts"), col("value").as("signup_value"))
+      AsofJoin.asofRangeNoKey(
         purchases(s, dir).select("event_id", "ts", "user_id", "value"),
         signups, "ts", "ts", Seq("signup_ts", "signup_value"))
         .orderBy(col("event_id"))
@@ -224,6 +235,13 @@ object TimeSeriesQueries extends QueryPack {
          |) ORDER BY event_id""".stripMargin,
 
     "q_asof_nokey" ->
+      s"""SELECT p.event_id, p.ts, p.user_id, p.value, s.signup_ts, s.signup_value
+         |FROM ($P) p ASOF LEFT JOIN
+         |  (SELECT ts, ts AS signup_ts, value AS signup_value FROM events WHERE event_type = 'signup') s
+         |  ON p.ts >= s.signup_ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_nokey_range" ->
       s"""SELECT p.event_id, p.ts, p.user_id, p.value, s.signup_ts, s.signup_value
          |FROM ($P) p ASOF LEFT JOIN
          |  (SELECT ts, ts AS signup_ts, value AS signup_value FROM events WHERE event_type = 'signup') s

@@ -43,11 +43,46 @@ object AsofProps extends Properties("asofKeyed") {
           mid -> (if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, c._1))._1))
         }.toMap
 
-      def run(strict: Boolean): Map[Long, Option[Long]] =
-        AsofJoin.asofKeyed(master, slave, "ts", "ts", Seq("k"), Seq("s_ts", "sid"), strict = strict)
+      def run(strict: Boolean,
+              lower: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                      String, String, Seq[String], Seq[String], Boolean,
+                      Option[Long]) => org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        lower(master, slave, "ts", "ts", Seq("k"), Seq("s_ts", "sid"), strict, None)
           .select($"mid", $"sid").collect()
           .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
 
-      run(strict = false) == naive(strict = false) && run(strict = true) == naive(strict = true)
+      // both lowerings must satisfy the contract
+      Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+           String, String, Seq[String], Seq[String], Boolean,
+           Option[Long]) => org.apache.spark.sql.DataFrame](
+        AsofJoin.asofKeyedWindow, AsofJoin.asofKeyedNative).forall { lower =>
+        run(strict = false, lower) == naive(strict = false) &&
+          run(strict = true, lower) == naive(strict = true)
+      }
+    }
+
+  property("no-key range-bucketed merge matches naive oracle") =
+    Prop.forAll(genRows) { case (mRows, sRows) =>
+      import spark.implicits._
+      val master = mRows.toDF("mid", "tick", "k")
+        .select($"mid", $"k", expr("timestamp_micros(tick * 1000)").as("ts"))
+      val slave = sRows.toDF("sid", "tick", "k")
+        .select(expr("timestamp_micros(tick * 1000)").as("ts"),
+          expr("timestamp_micros(tick * 1000)").as("s_ts"), $"sid")
+
+      def naive(strict: Boolean): Map[Long, Option[Long]] =
+        mRows.map { case (mid, mt, _) =>
+          val cands = sRows.filter { case (_, st, _) => if (strict) st < mt else st <= mt }
+          mid -> (if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, c._1))._1))
+        }.toMap
+
+      Seq(false, true).forall { strict =>
+        // few buckets force cross-bucket carry seams
+        val got = AsofJoin.asofRangeNoKey(master, slave, "ts", "ts",
+          Seq("s_ts", "sid"), strict = strict, buckets = 3)
+          .select($"mid", $"sid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        got == naive(strict)
+      }
     }
 }

@@ -25,11 +25,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q_asof_join: exactly one hash shuffle (the key), filters pushed to both scans") {
+  test("q_asof_join: defaults to the native merge exec, filters pushed to both scans") {
     val p = plan("q_asof_join")
-    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+    assert(p.contains("AsOfJoin ")) // native sorted-merge is the default lowering
+    assert(!p.contains("Window "))
     assert("EqualTo\\(event_type,purchase\\)".r.findAllIn(p).nonEmpty)
     assert("EqualTo\\(event_type,click\\)".r.findAllIn(p).nonEmpty)
+  }
+
+  test("asofKeyedWindow fallback: exactly one hash shuffle (the key)") {
+    val p = ops.AsofJoin.asofKeyedWindow(
+      Tables.events(spark, sfDir).filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value"),
+      Tables.events(spark, sfDir).filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .select(org.apache.spark.sql.functions.col("user_id"), org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("value").as("click_value")),
+      "ts", "ts", Seq("user_id"), Seq("click_value"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+  }
+
+  test("asofRangeNoKey: distributed plan — no driver collect, no object serialization") {
+    val ev = Tables.events(spark, sfDir)
+    val f = org.apache.spark.sql.functions.col("event_type")
+    val p = ops.AsofJoin.asofRangeNoKey(
+      ev.filter(f === "purchase").select("event_id", "ts", "value"),
+      ev.filter(f === "signup").select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("value").as("signup_value")),
+      "ts", "ts", Seq("signup_value"))
+      .queryExecution.executedPlan.toString
+    // the broadcast-binary-search path shows up as SerializeFromObject /
+    // mapPartitions; the scale path must not
+    assert(!p.contains("SerializeFromObject"))
+    assert(!p.contains("MapPartitions"))
+    // bucketed merge: a hash exchange on the bucket id
+    assert(p.contains("__graft_bucket"))
   }
 
   test("q_latest_on: partial max_by aggregation, no sort of the fact table") {
@@ -56,6 +86,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"))
     // the rewrite produced a range predicate, not a full scan + filter
     assert(p.contains("IsNotNull(ts)") || p.contains("GreaterThanOrEqual"))
+  }
+
+  test("sample-by fill spine: broadcast when coarse, distributed when fine-grained") {
+    import org.apache.spark.sql.execution.{RangeExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.functions.{col, count}
+    // at sparkPlan stage the broadcast decision is the BNLJ build side
+    def spineBroadcast(p: SparkPlan): Boolean = p.collect {
+      case b: BroadcastNestedLoopJoinExec =>
+        val build = b.buildSide match { case BuildLeft => b.left; case BuildRight => b.right }
+        build.collectLeaves().exists(_.isInstanceOf[RangeExec])
+    }.exists(identity)
+    val ev = Tables.events(spark, sfDir).limit(100)
+    def planFor(bucket: String, to: String): SparkPlan =
+      ops.SampleBy.sampleBy(ev, "ts", bucket, Seq("event_type"),
+        Seq("n" -> count(col("value"))), ops.SampleBy.FillNull,
+        range = Some((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf(to))))
+        .queryExecution.sparkPlan
+    // ~1.4k hourly buckets → broadcast; ~5.2M 1s buckets must stay distributed
+    assert(spineBroadcast(planFor("1 hour", "2024-03-01 00:00:00")))
+    assert(!spineBroadcast(planFor("1 second", "2024-03-01 00:00:00")))
   }
 
   test("q_filter_project: column-pruned scan") {
