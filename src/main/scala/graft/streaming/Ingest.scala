@@ -36,30 +36,71 @@ object Ingest {
       .drop("ts_nanos")
   }
 
+  private def batchMarker(tableDir: String, batchId: Long): java.io.File = {
+    val fs = new java.io.File(s"$tableDir/_graft_batches")
+    fs.mkdirs()
+    new java.io.File(fs, s"batch-$batchId")
+  }
+
+  private def stagingDir(tableDir: String, batchId: Long): java.io.File =
+    new java.io.File(s"$tableDir/_graft_staging/batch-$batchId")
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
+    f.delete()
+  }
+
+  /** Move staged `__day=*` partition files into the table under
+    * batch-stamped deterministic names. Idempotent: leftovers of an
+    * earlier crashed publish of the same batch are removed first, so
+    * re-running after any crash converges to exactly one copy.
+    */
+  private def publishStaged(staging: java.io.File, tableDir: String, batchId: Long): Unit = {
+    val parts = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__day="))
+    parts.foreach { p =>
+      val target = new java.io.File(tableDir, p.getName)
+      target.mkdirs()
+      Option(target.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft-b$batchId-")).foreach(_.delete())
+      p.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(target, s"graft-b$batchId-$i.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+  }
+
   /** Apply one micro-batch to a table directory:
-    *  1. idempotency guard (batch marker — exactly-once under retries),
+    *  1. idempotency guard (batch marker),
     *  2. DEDUP UPSERT KEYS(ts, keys...) within the batch,
     *  3. sort by ts within day partitions (O3 merge-on-write analogue),
-    *  4. append into `partition by DAY` parquet layout.
+    *  4. stage to `_graft_staging/batch-<id>`, then publish with
+    *     batch-stamped file names (exactly-once under retries: a crash
+    *     anywhere — mid-stage, mid-publish, or between publish and
+    *     marker — converges on replay because staging is overwritten and
+    *     the publish step first removes this batch's earlier files).
     * Late (out-of-order) rows land in their own (older) day partition —
     * nothing is dropped, matching the reference's O3 semantics.
     */
   def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
                  tsCol: String, dedupKeys: Seq[String]): Unit = {
-    val fs = new java.io.File(s"$tableDir/_graft_batches")
-    fs.mkdirs()
-    val marker = new java.io.File(fs, s"batch-$batchId")
+    val marker = batchMarker(tableDir, batchId)
     if (marker.exists()) return // retried batch — already applied
 
     val deduped =
       if (dedupKeys.isEmpty) batch
       else batch.dropDuplicates(tsCol +: dedupKeys)
+    val staging = stagingDir(tableDir, batchId)
     deduped
       .withColumn("__day", to_date(col(tsCol)))
       .repartition(col("__day"))
       .sortWithinPartitions(col("__day"), col(tsCol))
-      .write.mode("append").partitionBy("__day").parquet(tableDir)
+      .write.mode("overwrite").partitionBy("__day").parquet(staging.getPath)
+    publishStaged(staging, tableDir, batchId)
     marker.createNewFile()
+    deleteRecursive(staging)
   }
 
   /** Cross-batch DEDUP UPSERT KEYS(ts, keys...): the reference dedups an
@@ -69,13 +110,20 @@ object Ingest {
     * batch touches, anti-join out clashing old rows, rewrite those
     * partitions with old+new merged and re-sorted. Cost is bounded by
     * the touched partitions, not the table.
+    *
+    * Crash safety: the merged partitions are checkpointed to
+    * `_graft_staging/batch-<id>` (with Spark's `_SUCCESS` marker)
+    * BEFORE the dynamic partition overwrite, so the overwrite never
+    * recomputes from inputs it is deleting; a retry after a crash
+    * mid-overwrite re-publishes the durable staged copy rather than
+    * re-merging partially-replaced partitions. (Atomicity across the
+    * overwrite's own commit is the file committer's; a transactional
+    * table format would close that last window.)
     */
   def upsertBatch(batch: DataFrame, batchId: Long, tableDir: String,
                   tsCol: String, dedupKeys: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val fsDir = new java.io.File(s"$tableDir/_graft_batches")
-    fsDir.mkdirs()
-    val marker = new java.io.File(fsDir, s"batch-$batchId")
+    val marker = batchMarker(tableDir, batchId)
     if (marker.exists()) return
 
     val incoming = batch.dropDuplicates(tsCol +: dedupKeys)
@@ -86,25 +134,34 @@ object Ingest {
       .filter(p => new java.io.File(p).exists())
 
     if (existingDirs.isEmpty) {
+      val staging = stagingDir(tableDir, batchId)
       incoming.repartition(col("__day"))
         .sortWithinPartitions(col("__day"), col(tsCol))
-        .write.mode("append").partitionBy("__day").parquet(tableDir)
+        .write.mode("overwrite").partitionBy("__day").parquet(staging.getPath)
+      publishStaged(staging, tableDir, batchId)
+      marker.createNewFile()
+      deleteRecursive(staging)
     } else {
-      val existing = spark.read
-        .option("basePath", tableDir).parquet(existingDirs: _*)
-      // new rows win: drop old rows whose (ts, keys) clash
-      val kept = existing.join(incoming.select((tsCol +: dedupKeys).map(col): _*),
-        tsCol +: dedupKeys, "left_anti")
-      val merged = kept.unionByName(incoming).persist()
-      merged.count() // materialize before overwriting the inputs
-      merged.repartition(col("__day"))
+      val staging = stagingDir(tableDir, batchId)
+      val staged = new java.io.File(staging, "_SUCCESS").exists()
+      if (!staged) {
+        val existing = spark.read
+          .option("basePath", tableDir).parquet(existingDirs: _*)
+        // new rows win: drop old rows whose (ts, keys) clash
+        val kept = existing.join(incoming.select((tsCol +: dedupKeys).map(col): _*),
+          tsCol +: dedupKeys, "left_anti")
+        kept.unionByName(incoming)
+          .write.mode("overwrite").parquet(staging.getPath)
+      }
+      spark.read.parquet(staging.getPath)
+        .repartition(col("__day"))
         .sortWithinPartitions(col("__day"), col(tsCol))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__day").parquet(tableDir)
-      merged.unpersist()
+      marker.createNewFile()
+      deleteRecursive(staging)
     }
-    marker.createNewFile()
   }
 
   /** Wire a parsed+projected stream into a table with WAL semantics. */

@@ -57,6 +57,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(tableDir).count() == 1)
   }
 
+  test("applyBatch replay after a crash between publish and marker does not duplicate") {
+    val tableDir = tmp("crash_table")
+    val df = Seq(
+      ("A", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("B", 2.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("sym", "price", "ts")
+    Ingest.applyBatch(df, 3L, tableDir, "ts", Seq("sym"))
+    // simulate a crash after the publish but before the marker write:
+    // the marker is missing, so the replayed batch runs the full path again
+    assert(new java.io.File(s"$tableDir/_graft_batches/batch-3").delete())
+    Ingest.applyBatch(df, 3L, tableDir, "ts", Seq("sym"))
+    assert(spark.read.parquet(tableDir).count() == 2)
+  }
+
+  test("upsertBatch replay after a crash between overwrite and marker converges") {
+    val tableDir = tmp("crash_upsert")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Ingest.upsertBatch(Seq(("A", 1.0, t0), ("B", 2.0, t0)).toDF("sym", "price", "ts"),
+      0L, tableDir, "ts", Seq("sym"))
+    val b1 = Seq(("A", 9.0, t0)).toDF("sym", "price", "ts")
+    Ingest.upsertBatch(b1, 1L, tableDir, "ts", Seq("sym"))
+    assert(new java.io.File(s"$tableDir/_graft_batches/batch-1").delete())
+    Ingest.upsertBatch(b1, 1L, tableDir, "ts", Seq("sym")) // replay
+    val out = spark.read.parquet(tableDir).orderBy($"sym")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Double]("price")))
+    assert(out.toSeq == Seq(("A", 9.0), ("B", 2.0)))
+  }
+
   test("upsertBatch dedups against rows already in the table (new wins)") {
     val tableDir = tmp("upsert_table")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
