@@ -41,4 +41,167 @@ object Catalog {
     }.toDF("partition", "num_files", "bytes")
       .orderBy(col("partition"))
   }
+
+  // ---- SHOW surfaces (reference griffin/engine/table/Show*Factory) ---------
+
+  /** SHOW COLUMNS FROM t — reference
+    * `ShowColumnsRecordCursorFactory.java:307-315` column set. Index and
+    * symbol capacities are storage-engine concepts the parquet layout
+    * has no analogue for; they surface as false/0, as the reference does
+    * for non-symbol columns.
+    */
+  def showColumns(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val designated = Tables.designatedTs.get(table.split('.').last.toLowerCase)
+    spark.table(table).schema.fields.toSeq.map { f =>
+      (f.name, sqlTypeName(f.dataType), false, 0, false, 0, 0,
+        designated.contains(f.name), false)
+    }.toDF("column", "type", "indexed", "indexBlockCapacity", "symbolCached",
+      "symbolCapacity", "symbolTableSize", "designated", "upsertKey")
+  }
+
+  /** SHOW CREATE TABLE t — one `ddl` row
+    * (reference `ShowCreateTableRecordCursorFactory`).
+    */
+  def showCreateTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val name = table.split('.').last.toLowerCase
+    val cols = spark.table(table).schema.fields
+      .map(f => s"\t${f.name} ${sqlTypeName(f.dataType)}").mkString(",\n")
+    val tsClause = Tables.designatedTs.get(name)
+      .map(c => s" timestamp($c) PARTITION BY DAY").getOrElse("")
+    Seq(s"CREATE TABLE '$name' (\n$cols\n)$tsClause;").toDF("ddl")
+  }
+
+  /** Map Spark types to the reference's SQL type names. */
+  private[graft] def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "BOOLEAN"
+      case ByteType => "BYTE"
+      case ShortType => "SHORT"
+      case IntegerType => "INT"
+      case LongType => "LONG"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case StringType => "VARCHAR"
+      case BinaryType => "BINARY"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case a: ArrayType => s"ARRAY<${sqlTypeName(a.elementType)}>"
+      case other => other.simpleString.toUpperCase
+    }
+  }
+
+  // ---- information_schema / pg_catalog emulation ---------------------------
+  // (reference functions/catalogue/InformationSchema*, Pg*FunctionFactory —
+  // the surface BI tools and PG clients probe on connect)
+
+  private def userTables(spark: SparkSession): Seq[(String, Boolean)] =
+    spark.catalog.listTables().collect().toSeq
+      .filterNot(t => Option(t.namespace).exists(
+        ns => ns.contains("information_schema") || ns.contains("pg_catalog")))
+      .map(t => (t.name, t.tableType == "VIEW" || t.isTemporary))
+
+  def informationSchemaTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    userTables(spark).map { case (n, isView) =>
+      ("qdb", "public", n, if (isView) "VIEW" else "BASE TABLE")
+    }.toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
+  def informationSchemaColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    userTables(spark).flatMap { case (n, _) =>
+      spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
+        ("qdb", "public", n, f.name, i + 1, sqlTypeName(f.dataType), f.nullable)
+      }
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "ordinal_position", "data_type", "is_nullable")
+  }
+
+  private val pgTypeOids = Map(
+    "BOOLEAN" -> 16, "BINARY" -> 17, "LONG" -> 20, "SHORT" -> 21,
+    "INT" -> 23, "VARCHAR" -> 1043, "FLOAT" -> 700, "DOUBLE" -> 701,
+    "DATE" -> 1082, "TIMESTAMP" -> 1114, "BYTE" -> 21)
+
+  private def oidOf(name: String): Int = // stable per name
+    math.abs(scala.util.hashing.MurmurHash3.stringHash(name)) % 1000000 + 10000
+
+  def pgNamespace(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((2200, "public"), (11, "pg_catalog"))
+      .toDF("oid", "nspname")
+  }
+
+  def pgClass(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    userTables(spark).map { case (n, isView) =>
+      (oidOf(n), n, 2200, if (isView) "v" else "r")
+    }.toDF("oid", "relname", "relnamespace", "relkind")
+  }
+
+  def pgAttribute(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    userTables(spark).flatMap { case (n, _) =>
+      spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
+        (oidOf(n), f.name, pgTypeOids.getOrElse(sqlTypeName(f.dataType), 25),
+          (i + 1).toShort, !f.nullable)
+      }
+    }.toDF("attrelid", "attname", "atttypid", "attnum", "attnotnull")
+  }
+
+  def pgDatabase(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1, "qdb")).toDF("oid", "datname")
+  }
+
+  def pgType(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (pgTypeOids.map { case (n, oid) => (oid, n.toLowerCase) }.toSeq :+ (25 -> "text"))
+      .toDF("oid", "typname")
+  }
+
+  /** Render a small metadata DataFrame as a literal `VALUES` SELECT so
+    * it can back a persistent (database-qualified) view — Spark forbids
+    * permanent views over temp views, and these relations are tiny by
+    * construction (rows ∝ tables × columns).
+    */
+  private def literalSelect(df: DataFrame): String = {
+    val names = df.schema.fields.map(_.name)
+    val rows = df.collect()
+    if (rows.isEmpty) {
+      val nulls = df.schema.fields
+        .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS ${f.name}").mkString(", ")
+      s"SELECT $nulls WHERE 1=0"
+    } else {
+      val body = rows.map { r =>
+        r.toSeq.map {
+          case null => "NULL"
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case b: Boolean => if (b) "TRUE" else "FALSE"
+          case n => n.toString
+        }.mkString("(", ", ", ")")
+      }.mkString(", ")
+      s"SELECT * FROM VALUES $body AS t(${names.mkString(", ")})"
+    }
+  }
+
+  /** (Re)build the `information_schema` / `pg_catalog` views — fresh on
+    * every call so they reflect the live catalog.
+    */
+  def ensureMetaViews(spark: SparkSession): Unit = {
+    def reg(db: String, name: String, df: DataFrame): Unit = {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS ${literalSelect(df)}")
+    }
+    reg("information_schema", "tables", informationSchemaTables(spark))
+    reg("information_schema", "columns", informationSchemaColumns(spark))
+    reg("pg_catalog", "pg_namespace", pgNamespace(spark))
+    reg("pg_catalog", "pg_class", pgClass(spark))
+    reg("pg_catalog", "pg_attribute", pgAttribute(spark))
+    reg("pg_catalog", "pg_database", pgDatabase(spark))
+    reg("pg_catalog", "pg_type", pgType(spark))
+  }
 }

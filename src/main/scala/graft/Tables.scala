@@ -42,6 +42,15 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     load0(spark, dir, "events")
 
+  private val dirRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Source path of a registered table (for SHOW PARTITIONS). */
+  def registeredPath(name: String): Option[String] =
+    Option(dirRegistry.get(name.toLowerCase))
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load0(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      load0(spark, dir, n).createOrReplaceTempView(n)
+      dirRegistry.put(n, s"$dir/$n.parquet")
+    }
 }

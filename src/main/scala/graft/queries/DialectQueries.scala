@@ -61,6 +61,19 @@ object DialectQueries extends QueryPack {
       QuestSql.sql(s,
         "SELECT event_id, ts, value FROM events WHERE value > $1 AND event_type = $2 ORDER BY event_id",
         Seq(200.0, "view"))
+    }),
+
+    "q_show_columns" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s, "SHOW COLUMNS FROM events")
+        .orderBy(org.apache.spark.sql.functions.col("column"))
+    }),
+
+    "q_meta_columns" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT column_name, ordinal_position, data_type, is_nullable " +
+          "FROM information_schema.columns WHERE table_name = 'events' ORDER BY ordinal_position")
     })
   )
 
@@ -110,6 +123,29 @@ object DialectQueries extends QueryPack {
 
     "q_sql_bind" ->
       """SELECT event_id, ts, value FROM events
-        |WHERE value > 200.0 AND event_type = 'view' ORDER BY event_id""".stripMargin
+        |WHERE value > 200.0 AND event_type = 'view' ORDER BY event_id""".stripMargin,
+
+    "q_show_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'LONG', false, 0, false, 0, 0, false, false),
+        |  ('ts', 'TIMESTAMP', false, 0, false, 0, 0, true, false),
+        |  ('user_id', 'LONG', false, 0, false, 0, 0, false, false),
+        |  ('event_type', 'VARCHAR', false, 0, false, 0, 0, false, false),
+        |  ('value', 'DOUBLE', false, 0, false, 0, 0, false, false),
+        |  ('props', 'VARCHAR', false, 0, false, 0, 0, false, false)
+        |) t("column", "type", "indexed", "indexBlockCapacity", "symbolCached",
+        |    "symbolCapacity", "symbolTableSize", "designated", "upsertKey")
+        |ORDER BY "column"""".stripMargin,
+
+    "q_meta_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 1, 'LONG', true),
+        |  ('ts', 2, 'TIMESTAMP', true),
+        |  ('user_id', 3, 'LONG', true),
+        |  ('event_type', 4, 'VARCHAR', true),
+        |  ('value', 5, 'DOUBLE', true),
+        |  ('props', 6, 'VARCHAR', true)
+        |) t(column_name, ordinal_position, data_type, is_nullable)
+        |ORDER BY ordinal_position""".stripMargin
   )
 }

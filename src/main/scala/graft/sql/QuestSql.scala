@@ -77,11 +77,15 @@ object QuestSql {
 
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     val q0 = query.trim.stripSuffix(";")
+    // PG clients and BI tools probe these on connect — materialize fresh
+    if ("""(?i)\b(information_schema|pg_catalog)\s*\.""".r.findFirstIn(q0).isDefined)
+      graft.Catalog.ensureMetaViews(spark)
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
     val qForms = rewriteIntervalLiterals(
       if (named.isEmpty) q0 else substParams(q0, named))
-    asofForm(spark, qForms)
+    showForm(spark, qForms)
+      .orElse(asofForm(spark, qForms))
       .orElse(windowJoinForm(spark, qForms))
       .orElse(horizonJoinForm(spark, qForms))
       .orElse(sampleByOpForm(spark, qForms))
@@ -89,6 +93,57 @@ object QuestSql {
         val rewritten = rewrite(q0)
         if (named.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, named)
       }
+  }
+
+  // ---- SHOW commands (reference SqlParser.java:3833-3883,
+  // engine/table/Show*RecordCursorFactory, catalogue/Show*CursorFactory) ----
+
+  private val ShowColsRe = """(?is)^SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)$""".r
+  private val ShowPartsRe = """(?is)^SHOW\s+PARTITIONS\s+(?:FROM|IN)\s+([\w.]+)$""".r
+  private val ShowCreateRe = """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)$""".r
+
+  private def showForm(spark: SparkSession, q: String): Option[DataFrame] = {
+    import spark.implicits._
+    def one(name: String, value: String): DataFrame =
+      Seq(value).toDF(name)
+    val norm = q.trim.replaceAll("\\s+", " ")
+    norm match {
+      case ShowColsRe(t) => Some(graft.Catalog.showColumns(spark, t))
+      case ShowCreateRe(t) => Some(graft.Catalog.showCreateTable(spark, t))
+      case ShowPartsRe(t) =>
+        val path = graft.Tables.registeredPath(t.split('.').last)
+        Some(path match {
+          case Some(p) if new java.io.File(p).isDirectory =>
+            graft.Catalog.tablePartitions(spark, p)
+          case Some(p) =>
+            val f = new java.io.File(p)
+            Seq(("all", 1L, f.length())).toDF("partition", "num_files", "bytes")
+          case None => Seq.empty[(String, Long, Long)].toDF("partition", "num_files", "bytes")
+        })
+      case _ => norm.toUpperCase match {
+        case "SHOW TABLES" =>
+          Some(graft.Catalog.tables(spark).select(col("table_name")).orderBy(col("table_name")))
+        case "SHOW TIME ZONE" =>
+          Some(one("TimeZone", spark.sessionState.conf.sessionLocalTimeZone))
+        case "SHOW SERVER_VERSION" => Some(one("server_version", "12.3 (graft)"))
+        case "SHOW SERVER_VERSION_NUM" => Some(one("server_version_num", "120300"))
+        case "SHOW TRANSACTION ISOLATION LEVEL" | "SHOW TRANSACTION_ISOLATION" =>
+          Some(one("transaction_isolation", "read committed"))
+        case "SHOW MAX_IDENTIFIER_LENGTH" => Some(one("max_identifier_length", "63"))
+        case "SHOW STANDARD_CONFORMING_STRINGS" =>
+          Some(one("standard_conforming_strings", "on"))
+        case "SHOW SEARCH_PATH" => Some(one("search_path", "\"$user\", public"))
+        case "SHOW DATESTYLE" => Some(one("DateStyle", "ISO, MDY"))
+        case "SHOW PARAMETERS" =>
+          Some(Seq(
+            ("cairo.sql.backup.root", "QDB_CAIRO_SQL_BACKUP_ROOT", "null"),
+            ("shared.worker.count", "QDB_SHARED_WORKER_COUNT",
+              spark.sparkContext.defaultParallelism.toString),
+            ("query.timeout.sec", "QDB_QUERY_TIMEOUT_SEC", "60"))
+            .toDF("property_path", "env_var_name", "value"))
+        case _ => None
+      }
+    }
   }
 
   /** Pure string-level rewrites (interval literals, LATEST ON,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SHOW / information_schema / pg_catalog emulation — the surface PG
+  * clients and BI tools probe (reference SqlParser SHOW kinds, the
+  * functions/catalogue package).
+  */
+class CatalogSpec extends SparkSpec {
+  lazy val engine: Engine = Engine(spark, sfDir)
+
+  test("SHOW TABLES lists the registered tables") {
+    val names = engine.sql("SHOW TABLES").collect().map(_.getString(0))
+    assert(Tables.names.forall(names.contains))
+  }
+
+  test("SHOW COLUMNS FROM events carries the reference column set and designated flag") {
+    val out = engine.sql("SHOW COLUMNS FROM events")
+    assert(out.columns.toSeq == Seq("column", "type", "indexed", "indexBlockCapacity",
+      "symbolCached", "symbolCapacity", "symbolTableSize", "designated", "upsertKey"))
+    val ts = out.filter(col("column") === "ts").head()
+    assert(ts.getAs[String]("type") == "TIMESTAMP")
+    assert(ts.getAs[Boolean]("designated"))
+    assert(!out.filter(col("column") === "value").head().getAs[Boolean]("designated"))
+  }
+
+  test("SHOW CREATE TABLE emits a ddl row with the designated ts clause") {
+    val ddl = engine.sql("SHOW CREATE TABLE events").head().getAs[String]("ddl")
+    assert(ddl.startsWith("CREATE TABLE 'events'"))
+    assert(ddl.contains("value DOUBLE"))
+    assert(ddl.contains("timestamp(ts) PARTITION BY DAY"))
+  }
+
+  test("SHOW PARTITIONS reports storage of a registered table") {
+    val rows = engine.sql("SHOW PARTITIONS FROM events").collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("bytes") > 0)
+  }
+
+  test("PG-compat one-row SHOW parameters") {
+    assert(engine.sql("SHOW TIME ZONE").head().getString(0) == "UTC")
+    assert(engine.sql("SHOW SERVER_VERSION").head().getString(0).startsWith("12.3"))
+    assert(engine.sql("SHOW TRANSACTION ISOLATION LEVEL").head().getString(0) == "read committed")
+    assert(engine.sql("SHOW SEARCH_PATH").head().getString(0).contains("public"))
+    assert(engine.sql("SHOW PARAMETERS").count() >= 3)
+  }
+
+  test("information_schema.tables and .columns reflect the live catalog") {
+    val t = engine.sql(
+      "SELECT table_name FROM information_schema.tables WHERE table_schema = 'public'")
+      .collect().map(_.getString(0))
+    assert(Tables.names.forall(t.contains))
+    val c = engine.sql(
+      "SELECT column_name, data_type FROM information_schema.columns " +
+        "WHERE table_name = 'events' ORDER BY ordinal_position")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(c.map(_._1).contains("ts"))
+    assert(c.toMap.apply("value") == "DOUBLE")
+  }
+
+  test("pg_catalog: pg_class joins pg_attribute and pg_type like a PG client") {
+    val out = engine.sql(
+      """SELECT a.attname, t.typname FROM pg_catalog.pg_class c
+        |JOIN pg_catalog.pg_attribute a ON a.attrelid = c.oid
+        |JOIN pg_catalog.pg_type t ON t.oid = a.atttypid
+        |WHERE c.relname = 'events' ORDER BY a.attnum""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.nonEmpty)
+    assert(out.toMap.get("value").contains("double"))
+  }
+}
