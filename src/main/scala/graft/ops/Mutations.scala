@@ -29,6 +29,43 @@ object Mutations {
     nUpdated
   }
 
+  /** UPDATE t SET ... FROM source — join-update (reference
+    * `griffin/UpdateOperatorImpl.java` with a joined virtual record):
+    * table rows matching a source row on `joinKeys` (and the optional
+    * extra predicate) get `assignments` evaluated in the joined scope,
+    * where source columns are visible under their own names — suffixed
+    * `_src` when they clash with table columns. Source rows are
+    * de-duplicated on the join keys first so an update target matches at
+    * most one source row. Returns the updated-row count.
+    *
+    * Plan shape: one left join (broadcast when the source is small —
+    * the optimizer's stats decide), then the same copy-on-write swap as
+    * [[updateWhere]]; only one pass over the table.
+    */
+  def updateFrom(spark: SparkSession, tableDir: String,
+                 source: DataFrame, joinKeys: Seq[String],
+                 assignments: Map[String, Column],
+                 where: Column = lit(true)): Long = {
+    val df = spark.read.parquet(tableDir)
+    val MATCHED = "__graft_matched"
+    val src = source.dropDuplicates(joinKeys)
+    val renamed = src.columns.filterNot(joinKeys.contains).foldLeft(src) { (d, c) =>
+      if (df.columns.contains(c)) d.withColumnRenamed(c, c + "_src") else d
+    }.withColumn(MATCHED, lit(true))
+    val joined = df.join(renamed, joinKeys, "left")
+    val hit = col(MATCHED) && where
+    val nUpdated = joined.filter(hit).count()
+    if (nUpdated == 0) return 0
+    val updated = assignments.foldLeft(joined) { case (d, (c, e)) =>
+      d.withColumn(c, when(hit, e).otherwise(col(c)))
+    }.select(df.columns.map(col): _*).persist()
+    updated.count() // materialize before overwrite
+    updated.write.mode("overwrite").parquet(tableDir + "__tmp")
+    updated.unpersist()
+    swap(tableDir)
+    nUpdated
+  }
+
   /** DELETE FROM tableDir WHERE cond; returns deleted count. */
   def deleteWhere(spark: SparkSession, tableDir: String, cond: Column): Long = {
     val df = spark.read.parquet(tableDir)

@@ -28,6 +28,29 @@ class MutationsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", 10.0), ("B", 40.0), ("C", 30.0)))
   }
 
+  test("UPDATE ... FROM join-update: matched rows take source values, others untouched") {
+    val dir = freshTable()
+    // duplicate source row for A exercises the dedup-on-keys contract
+    val src = Seq(("A", 5.0), ("A", 5.0), ("B", 7.0), ("Z", 9.9)).toDF("sym", "adj")
+    val n = Mutations.updateFrom(spark, dir, src, Seq("sym"),
+      Map("price" -> (col("price") + col("adj"))))
+    assert(n == 2) // A and B matched; Z has no target row
+    val out = spark.read.parquet(dir).orderBy($"sym")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("A", 15.0), ("B", 27.0), ("C", 30.0)))
+  }
+
+  test("UPDATE ... FROM suffixes clashing source columns and honours the extra predicate") {
+    val dir = freshTable()
+    val src = Seq(("A", 100.0), ("C", 300.0)).toDF("sym", "price")
+    val n = Mutations.updateFrom(spark, dir, src, Seq("sym"),
+      Map("price" -> col("price_src")), where = col("price") < 25.0)
+    assert(n == 1) // only A passes the predicate (10 < 25); C's 30 does not
+    val out = spark.read.parquet(dir).orderBy($"sym")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("A", 100.0), ("B", 20.0), ("C", 30.0)))
+  }
+
   test("DELETE ... WHERE removes matching rows; TRUNCATE empties but keeps schema") {
     val dir = freshTable()
     assert(Mutations.deleteWhere(spark, dir, col("price") >= 20.0) == 2)
