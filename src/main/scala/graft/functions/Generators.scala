@@ -66,4 +66,90 @@ object Generators {
       md5(concat(lit(seed + "_s"), expr(s"cast($counterCol as string)"))),
       lit(1), rndInt(counterCol, seed + "_len", lo, hi))
 
+  // ---- rnd_* long tail (reference functions/rnd: RndLong256, RndByte,
+  // RndShort, RndChar, RndFloat, RndBin, RndTimestamp, RndGeoHash,
+  // RndSymbolWeighted, RndSymbolZipf, RndDoubleArray) -----------------------
+
+  /** Uniform [0,1) from an arbitrary counter expression (column form of
+    * [[rndDouble]]): first 8 hex digits of md5 → exact k/2^32.
+    */
+  def uniform(counter: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), counter.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  def rndByte(counterCol: String, seed: String): Column =
+    rndInt(counterCol, seed, -128, 127).cast("byte")
+
+  def rndShort(counterCol: String, seed: String): Column =
+    rndInt(counterCol, seed, -32768, 32767).cast("short")
+
+  /** Uniform long in [lo, hi]. Spacing granularity is span/2^32 (one
+    * md5 word of entropy) — ample for fixtures, documented for honesty.
+    */
+  def rndLong(counterCol: String, seed: String, lo: Long, hi: Long): Column =
+    (floor(rndDouble(counterCol, seed) * ((hi - lo).toDouble + 1)) + lit(lo)).cast("long")
+
+  /** Uniform A-Z char (reference RndChar). */
+  def rndChar(counterCol: String, seed: String): Column =
+    substr(lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), rndInt(counterCol, seed, 1, 26), lit(1))
+
+  def rndFloat(counterCol: String, seed: String): Column =
+    rndDouble(counterCol, seed).cast("float")
+
+  /** 256-bit hex literal `0x…` (reference RndLong256): two md5 words. */
+  def rndLong256(counterCol: String, seed: String): Column =
+    concat(lit("0x"),
+      md5(concat(lit(seed + "_a"), expr(s"cast($counterCol as string)"))),
+      md5(concat(lit(seed + "_b"), expr(s"cast($counterCol as string)"))))
+
+  /** Deterministic binary blob with pseudo-random length in [lo, hi]
+    * bytes (reference RndBin) — unhex of the md5 stream.
+    */
+  def rndBin(counterCol: String, seed: String, lo: Int, hi: Int): Column =
+    unhex(substr(
+      concat(md5(concat(lit(seed + "_p"), expr(s"cast($counterCol as string)"))),
+        md5(concat(lit(seed + "_q"), expr(s"cast($counterCol as string)")))),
+      lit(1), rndInt(counterCol, seed + "_n", lo, hi) * 2))
+
+  /** Uniform timestamp in [loMicros, hiMicros). */
+  def rndTimestamp(counterCol: String, seed: String, loMicros: Long, hiMicros: Long): Column =
+    timestamp_micros((floor(rndDouble(counterCol, seed) *
+      ((hiMicros - loMicros).toDouble)) + lit(loMicros)).cast("long"))
+
+  /** Dotted-quad IPv4 from one uniform word (reference RndIPv4). */
+  def rndIpv4(counterCol: String, seed: String): Column = {
+    val ip = (floor(rndDouble(counterCol, seed) * lit(4294967296.0))).cast("long")
+    concat_ws(".",
+      shiftright(ip, 24) % 256, shiftright(ip, 16) % 256,
+      shiftright(ip, 8) % 256, ip % 256)
+  }
+
+  /** Weighted symbol pick (reference RndSymbolWeighted): cumulative
+    * thresholds over the normalized weights.
+    */
+  def rndSymbolWeighted(counterCol: String, seed: String,
+                        values: Seq[String], weights: Seq[Double]): Column = {
+    require(values.size == weights.size && values.nonEmpty)
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = rndDouble(counterCol, seed)
+    values.zip(cum).init.foldRight(lit(values.last): Column) {
+      case ((v, threshold), rest) => when(u < threshold, v).otherwise(rest)
+    }
+  }
+
+  /** Zipf-distributed symbol pick (reference RndSymbolZipf):
+    * p(i) ∝ 1/i^exponent over the list order.
+    */
+  def rndSymbolZipf(counterCol: String, seed: String,
+                    values: Seq[String], exponent: Double): Column =
+    rndSymbolWeighted(counterCol, seed, values,
+      values.indices.map(i => 1.0 / math.pow((i + 1).toDouble, exponent)))
+
+  /** Array of n deterministic uniforms (reference RndDoubleArray):
+    * element i seeds on `counter‖'_'‖i`.
+    */
+  def rndDoubleArray(counterCol: String, seed: String, n: Int): Column =
+    transform(sequence(lit(1), lit(n)),
+      i => uniform(concat(col(counterCol).cast("string"), lit("_"), i.cast("string")), seed))
 }

@@ -54,6 +54,45 @@ object GroupsFrame {
     withG.withColumn(out, expr).drop("__g")
   }
 
+  /** Min/max over `GROUPS BETWEEN nPreceding PRECEDING AND CURRENT ROW
+    * [EXCLUDE ...]` — the non-decomposable cases (closing the gap noted
+    * in the class doc). Frame-minus-contribution arithmetic doesn't
+    * apply to min/max, but the excluded variants are all unions of
+    * contiguous sub-frames, each expressible as its own window:
+    *
+    *   EXCLUDE GROUP       = agg over groups [g−n, g−1]
+    *   EXCLUDE TIES        = least/greatest(groups [g−n, g−1], own row)
+    *   EXCLUDE CURRENT ROW = least/greatest(groups [g−n, g−1],
+    *                           peers before row, peers after row)
+    *
+    * (`least`/`greatest` skip NULLs, so empty sub-frames drop out; an
+    * entirely empty frame is NULL, per the SQL standard.) Three
+    * key-partitioned window passes, no custom physical operator.
+    */
+  def groupsMinMax(df: DataFrame, keys: Seq[String], orderCol: String,
+                   value: Column, nPreceding: Int, exclude: Exclude,
+                   isMin: Boolean, out: String): DataFrame = {
+    def agg(c: Column): Column = if (isMin) min(c) else max(c)
+    def best(cs: Column*): Column = if (isMin) least(cs: _*) else greatest(cs: _*)
+    val wOrder = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    val withG = df.withColumn("__g", dense_rank().over(wOrder))
+    def gFrame(lo: Long, hi: Long) =
+      Window.partitionBy(keys.map(col): _*).orderBy(col("__g").asc).rangeBetween(lo, hi)
+    val prev = agg(value).over(gFrame(-nPreceding.toLong, -1L))
+    val expr = exclude match {
+      case NoOthers => agg(value).over(gFrame(-nPreceding.toLong, 0L))
+      case Group => prev
+      case Ties => best(prev, value)
+      case CurrentRow =>
+        val peers = Window.partitionBy((keys :+ orderCol).map(col): _*)
+          .orderBy(value.asc)
+        val before = agg(value).over(peers.rowsBetween(Window.unboundedPreceding, -1))
+        val after = agg(value).over(peers.rowsBetween(1, Window.unboundedFollowing))
+        best(prev, before, after)
+    }
+    withG.withColumn(out, expr).drop("__g")
+  }
+
   /** Count over the same frame semantics. */
   def groupsCount(df: DataFrame, keys: Seq[String], orderCol: String,
                   nPreceding: Int, exclude: Exclude, out: String): DataFrame = {

@@ -26,6 +26,28 @@ object ExtrasQueries extends QueryPack {
         .orderBy(col("x"))
     }),
 
+    "q_generators2" -> ((s, dir) => {
+      // rnd_* long tail: byte/short/long/char/float, long256, bin,
+      // timestamp, ipv4, weighted + zipf symbols, double arrays
+      Generators.longSequence(s, 500)
+        .withColumn("rb", Generators.rndByte("x", "by").cast("int"))
+        .withColumn("rs", Generators.rndShort("x", "sh").cast("int"))
+        .withColumn("rl", Generators.rndLong("x", "lg", -1000000L, 1000000L))
+        .withColumn("rc", Generators.rndChar("x", "ch"))
+        .withColumn("rf", Generators.rndFloat("x", "fl"))
+        .withColumn("h256", Generators.rndLong256("x", "l2"))
+        .withColumn("rbin_hex", lower(hex(Generators.rndBin("x", "bn", 4, 12))))
+        .withColumn("rts", Generators.rndTimestamp("x", "tsr", START_US, START_US + 30L * 86400000000L))
+        .withColumn("rip", Generators.rndIpv4("x", "ip"))
+        .withColumn("wsym", Generators.rndSymbolWeighted("x", "ws",
+          Seq("hot", "warm", "cold"), Seq(6.0, 3.0, 1.0)))
+        .withColumn("zsym", Generators.rndSymbolZipf("x", "zs",
+          Seq("a", "b", "c", "d", "e"), 1.0))
+        .withColumn("arr_sum", aggregate(Generators.rndDoubleArray("x", "da", 4),
+          lit(0.0), (acc, v) => acc + v))
+        .orderBy(col("x"))
+    }),
+
     "q_l2price" -> ((s, dir) => {
       Finance.l2price(Tables.load(s, dir, "lineitem"),
         Seq("l_orderkey"), Seq("l_linenumber", "l_extendedprice", "l_quantity"),
@@ -109,11 +131,14 @@ object ExtrasQueries extends QueryPack {
     })
   )
 
-  private def rndSql(seed: String, counter: String): String = {
+  private def rndSql(seed: String, counter: String): String =
+    rndSqlExpr(seed, s"CAST($counter AS VARCHAR)")
+
+  private def rndSqlExpr(seed: String, counterExpr: String): String = {
     val terms = (1 to 8).map { i =>
-      s"(strpos('0123456789abcdef', substring(md5('$seed' || CAST($counter AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
+      s"(strpos('0123456789abcdef', substring(md5('$seed' || $counterExpr), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
     }
-    s"(${terms.mkString(" + ")}) / ${math.pow(16.0, 8)}"
+    s"((${terms.mkString(" + ")}) / ${math.pow(16.0, 8)})"
   }
 
   def oracles: Map[String, String] = Map(
@@ -135,6 +160,39 @@ object ExtrasQueries extends QueryPack {
          |  substring(md5('z_s' || CAST(x AS VARCHAR)), 1, CAST(floor($rl * 9) + 4 AS INT)) AS rstr
          |FROM (SELECT x, md5('u' || CAST(x AS VARCHAR)) AS h
          |      FROM generate_series(1, 1000) t(x)) ORDER BY x""".stripMargin
+    },
+
+    "q_generators2" -> {
+      def u(seed: String, counter: String = "x") = rndSqlExpr(seed, s"CAST($counter AS VARCHAR)")
+      // identical Scala arithmetic to the Spark-side thresholds → same doubles
+      def cum(ws: Seq[Double]) = { val t = ws.sum; ws.scanLeft(0.0)(_ + _).tail.map(_ / t) }
+      val w = cum(Seq(6.0, 3.0, 1.0))
+      val z = cum(Seq(1.0, 1.0 / 2, 1.0 / 3, 1.0 / 4, 1.0 / 5))
+      val arrTerms = (1 to 4)
+        .map(i => rndSqlExpr("da", s"CAST(x AS VARCHAR) || '_' || CAST($i AS VARCHAR)"))
+        .mkString(" + ")
+      s"""SELECT x,
+         |  CAST(floor(${u("by")} * 256) - 128 AS INT) AS rb,
+         |  CAST(floor(${u("sh")} * 65536) - 32768 AS INT) AS rs,
+         |  CAST(floor(${u("lg")} * 2000001.0) - 1000000 AS BIGINT) AS rl,
+         |  substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(floor(${u("ch")} * 26) + 1 AS INT), 1) AS rc,
+         |  CAST(${u("fl")} AS FLOAT) AS rf,
+         |  '0x' || md5('l2_a' || CAST(x AS VARCHAR)) || md5('l2_b' || CAST(x AS VARCHAR)) AS h256,
+         |  substring(md5('bn_p' || CAST(x AS VARCHAR)) || md5('bn_q' || CAST(x AS VARCHAR)),
+         |    1, CAST((floor(${u("bn_n")} * 9) + 4) * 2 AS INT)) AS rbin_hex,
+         |  make_timestamp(CAST(floor(${u("tsr")} * ${30L * 86400000000L}.0) + $START_US AS BIGINT)) AS rts,
+         |  CAST((ip >> 24) % 256 AS VARCHAR) || '.' || CAST((ip >> 16) % 256 AS VARCHAR)
+         |    || '.' || CAST((ip >> 8) % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) AS rip,
+         |  CASE WHEN ${u("ws")} < CAST(${w(0)} AS DOUBLE) THEN 'hot'
+         |       WHEN ${u("ws")} < CAST(${w(1)} AS DOUBLE) THEN 'warm' ELSE 'cold' END AS wsym,
+         |  CASE WHEN ${u("zs")} < CAST(${z(0)} AS DOUBLE) THEN 'a'
+         |       WHEN ${u("zs")} < CAST(${z(1)} AS DOUBLE) THEN 'b'
+         |       WHEN ${u("zs")} < CAST(${z(2)} AS DOUBLE) THEN 'c'
+         |       WHEN ${u("zs")} < CAST(${z(3)} AS DOUBLE) THEN 'd' ELSE 'e' END AS zsym,
+         |  $arrTerms AS arr_sum
+         |FROM (SELECT x, CAST(floor(${u("ip")} * 4294967296.0) AS BIGINT) AS ip
+         |      FROM generate_series(1, 500) t(x))
+         |ORDER BY x""".stripMargin
     },
 
     "q_l2price" ->

@@ -88,6 +88,26 @@ object WindowFnQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_window_groups_minmax" -> ((s, dir) => {
+      // non-decomposable min/max with every EXCLUDE variant (sub-frame
+      // composition — GroupsFrame.groupsMinMax)
+      import graft.ops.GroupsFrame
+      val base = graft.Tables.events(s, dir).filter(col("user_id") < 40)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          floor(col("value") / 100.0).cast("long").as("vb"))
+      val m1 = GroupsFrame.groupsMinMax(base, Seq("event_type"), "vb",
+        col("user_id"), 2, GroupsFrame.NoOthers, isMin = true, "mn")
+      val m2 = GroupsFrame.groupsMinMax(m1, Seq("event_type"), "vb",
+        col("user_id"), 2, GroupsFrame.CurrentRow, isMin = true, "mn_xrow")
+      val m3 = GroupsFrame.groupsMinMax(m2, Seq("event_type"), "vb",
+        col("user_id"), 2, GroupsFrame.Group, isMin = true, "mn_xgroup")
+      val m4 = GroupsFrame.groupsMinMax(m3, Seq("event_type"), "vb",
+        col("user_id"), 2, GroupsFrame.Ties, isMin = true, "mn_xties")
+      GroupsFrame.groupsMinMax(m4, Seq("event_type"), "vb",
+        col("user_id"), 2, GroupsFrame.CurrentRow, isMin = false, "mx_xrow")
+        .orderBy(col("event_id"))
+    }),
+
     "q_window_first_last" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -173,6 +193,33 @@ object WindowFnQueries extends QueryPack {
         |  CASE WHEN fcnt - pcnt > 0 THEN fsum - psum END AS g_sum_xgroup,
         |  fsum - psum + user_id AS g_sum_xties,
         |  fcnt AS g_cnt
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_window_groups_minmax" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, user_id,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS vb
+        |  FROM events WHERE user_id < 40),
+        |g AS (SELECT *, dense_rank() OVER (PARTITION BY event_type ORDER BY vb) AS grp FROM base),
+        |f AS (SELECT *,
+        |    min(user_id) OVER wf AS fmn,
+        |    min(user_id) OVER wprev AS pmn,
+        |    max(user_id) OVER wprev AS pmx,
+        |    min(user_id) OVER wb AS bmn,
+        |    min(user_id) OVER wa AS amn,
+        |    max(user_id) OVER wb AS bmx,
+        |    max(user_id) OVER wa AS amx
+        |  FROM g
+        |  WINDOW wf AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |         wprev AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        |         wb AS (PARTITION BY event_type, vb ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY event_type, vb ORDER BY user_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, event_type, user_id, vb,
+        |  fmn AS mn,
+        |  least(pmn, bmn, amn) AS mn_xrow,
+        |  pmn AS mn_xgroup,
+        |  least(pmn, user_id) AS mn_xties,
+        |  greatest(pmx, bmx, amx) AS mx_xrow
         |FROM f ORDER BY event_id""".stripMargin,
 
     "q_window_first_last" ->
