@@ -84,7 +84,8 @@ object QuestSql {
     // the pass-through keeps markers and uses Spark's parameter binder
     val qForms = rewriteIntervalLiterals(
       if (named.isEmpty) q0 else substParams(q0, named))
-    showForm(spark, qForms)
+    statementForm(spark, qForms)
+      .orElse(showForm(spark, qForms))
       .orElse(asofForm(spark, qForms))
       .orElse(windowJoinForm(spark, qForms))
       .orElse(horizonJoinForm(spark, qForms))
@@ -93,6 +94,88 @@ object QuestSql {
         val rewritten = rewrite(q0)
         if (named.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, named)
       }
+  }
+
+  // ---- DDL / DML statements (reference SqlCompilerImpl: CREATE TABLE
+  // AS, INSERT INTO SELECT/VALUES, DROP/RENAME/TRUNCATE TABLE, COPY —
+  // cutlass/text import, CopyExportFactory) ---------------------------------
+  //
+  // Registered tables here are session temp views over immutable
+  // sources; CTAS/INSERT rebuild the view lazily (Spark lineage).
+  // Durable day-partitioned tables go through graft.streaming.Ingest /
+  // graft.ops.Mutations instead.
+
+  private val CreateTableAsRe =
+    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s*\((.*?)\)\s*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*$""".r
+  private val CreateTableAsBareRe =
+    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT\s+.*)$""".r
+  private val InsertRe =
+    """(?is)^INSERT\s+INTO\s+([\w.]+)\s+((?:SELECT|VALUES)\s*.*)$""".r
+  private val DropRe = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val RenameRe = """(?is)^RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*$""".r
+  private val TruncateRe = """(?is)^TRUNCATE\s+TABLE\s+([\w.]+)\s*$""".r
+  private val CopyFromRe =
+    """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+WITH\s+HEADER\s+(true|false))?\s*$""".r
+  private val CopyToRe =
+    """(?is)^COPY\s+(?:\(((?:[^()]|\([^()]*\))*)\)|([\w.]+))\s+TO\s+'([^']+)'(?:\s+WITH\s+FORMAT\s+(\w+))?\s*$""".r
+
+  private def status(spark: SparkSession, s: String): DataFrame = {
+    import spark.implicits._
+    Seq(s).toDF("status")
+  }
+
+  private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case CreateTableAsRe(name, inner, ts) =>
+      val df = sqlBound(spark, inner, Map.empty)
+      df.createOrReplaceTempView(name)
+      Option(ts).foreach(registerDesignatedTs(name, _))
+      Some(status(spark, "OK"))
+    case CreateTableAsBareRe(name, inner) =>
+      sqlBound(spark, inner, Map.empty).createOrReplaceTempView(name)
+      Some(status(spark, "OK"))
+    case InsertRe(name, body) =>
+      val target = spark.table(name)
+      val incoming0 = sqlBound(spark, body, Map.empty)
+      // align by position, cast to the target schema (VALUES arrive as colN)
+      require(incoming0.columns.length == target.columns.length,
+        s"INSERT column count ${incoming0.columns.length} != table ${target.columns.length}")
+      val incoming = incoming0.toDF(target.columns: _*)
+        .select(target.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      val n = incoming.count()
+      target.unionByName(incoming).createOrReplaceTempView(name)
+      import spark.implicits._
+      Some(Seq(n).toDF("rows_inserted"))
+    case DropRe(name) =>
+      spark.catalog.dropTempView(name)
+      Some(status(spark, "OK"))
+    case RenameRe(from, to) =>
+      spark.table(from).createOrReplaceTempView(to)
+      Option(tsRegistry.get(from.toLowerCase)).foreach(registerDesignatedTs(to, _))
+      spark.catalog.dropTempView(from)
+      Some(status(spark, "OK"))
+    case TruncateRe(name) =>
+      spark.table(name).limit(0).createOrReplaceTempView(name)
+      Some(status(spark, "OK"))
+    case CopyFromRe(name, path, header) =>
+      val df = spark.read
+        .option("header", Option(header).getOrElse("true"))
+        .option("inferSchema", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+      df.createOrReplaceTempView(name)
+      import spark.implicits._
+      Some(Seq(df.count()).toDF("rows_imported"))
+    case CopyToRe(sub, table, path, fmt) =>
+      val df = if (sub != null) sqlBound(spark, sub, Map.empty) else spark.table(table)
+      Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
+        case "csv" => df.write.mode("overwrite").option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+        case "parquet" => df.write.mode("overwrite").parquet(path)
+        case other => throw new IllegalArgumentException(s"COPY TO format '$other'")
+      }
+      import spark.implicits._
+      Some(Seq(df.count()).toDF("rows_exported"))
+    case _ => None
   }
 
   // ---- SHOW commands (reference SqlParser.java:3833-3883,
