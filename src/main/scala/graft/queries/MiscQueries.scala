@@ -107,6 +107,23 @@ object MiscQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    "q_weighted_stddev" -> ((s, dir) => {
+      // weighted_stddev pop/freq variants (reference
+      // functions/groupby/WeightedStddev*): exact decimal moments, double
+      // only at the final quotient (rounded — order-independent)
+      val w = (col("user_id") + 1).cast("decimal(10,0)")
+      val x = col("value").cast("decimal(8,2)")
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          sum(w).cast("double").as("sw"),
+          sum(x * w).cast("double").as("swx"),
+          sum(x * x * w).cast("double").as("swx2"))
+        .select(col("event_type"),
+          round(sqrt((col("swx2") - col("swx") * col("swx") / col("sw")) / col("sw")), 6).as("wstd_pop"),
+          round(sqrt((col("swx2") - col("swx") * col("swx") / col("sw")) / (col("sw") - 1)), 6).as("wstd_freq"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_cube" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -127,6 +144,25 @@ object MiscQueries extends QueryPack {
           ((year(col("ts")) - 2023) * 12 + month(col("ts")) - lit(6)).as("months_since"),
           date_trunc("day", col("ts")).as("interval_lo"),
           (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("interval_hi"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_fn_datetime3" -> ((s, dir) => {
+      // timestamp_floor/ceil at arbitrary strides, dateadd/datediff,
+      // week_of_year, round_half_even / round_up / round_down modes
+      import graft.functions.TimeFns
+      Tables.events(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          TimeFns.timestampFloor(300000000L, col("ts")).as("floor_5m"),
+          TimeFns.timestampCeil(300000000L, col("ts")).as("ceil_5m"),
+          TimeFns.timestampFloor(3600000000L, col("ts")).as("floor_1h"),
+          TimeFns.dateAdd("h", 3, col("ts")).as("plus_3h"),
+          TimeFns.dateAdd("M", 1, col("ts")).as("plus_1mo"),
+          TimeFns.dateDiff("m", lit("2024-01-01 00:00:00").cast("timestamp"), col("ts")).as("mins_since"),
+          weekofyear(col("ts")).as("woy"),
+          bround(col("value") / 3.0, 2).as("r_even"),
+          (signum(col("value")) * ceil(abs(col("value")) * 10) / 10).as("r_up"),
+          (signum(col("value")) * floor(abs(col("value")) * 10) / 10).as("r_down"))
         .orderBy(col("event_id"))
     }),
 
@@ -256,6 +292,18 @@ object MiscQueries extends QueryPack {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    "q_weighted_stddev" ->
+      """SELECT event_type,
+        |  round(sqrt((swx2 - swx * swx / sw) / sw), 6) AS wstd_pop,
+        |  round(sqrt((swx2 - swx * swx / sw) / (sw - 1)), 6) AS wstd_freq
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(user_id + 1 AS DECIMAL(10,0))) AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(value AS DECIMAL(8,2)) * CAST(user_id + 1 AS DECIMAL(10,0))) AS DOUBLE) AS swx,
+        |    CAST(sum(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2)) * CAST(user_id + 1 AS DECIMAL(10,0))) AS DOUBLE) AS swx2
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "q_fn_datetime2" ->
       """SELECT event_id,
         |  CAST(day(last_day(ts)) AS INT) AS days_in_month,
@@ -265,6 +313,21 @@ object MiscQueries extends QueryPack {
         |  CAST((year(ts) - 2023) * 12 + month(ts) - 6 AS INT) AS months_since,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS interval_lo,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS interval_hi
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "q_fn_datetime3" ->
+      """SELECT event_id,
+        |  make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS floor_5m,
+        |  make_timestamp(CASE WHEN epoch_us(ts) % 300000000 = 0 THEN epoch_us(ts)
+        |    ELSE epoch_us(ts) - epoch_us(ts) % 300000000 + 300000000 END) AS ceil_5m,
+        |  make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS floor_1h,
+        |  ts + INTERVAL 3 HOUR AS plus_3h,
+        |  ts + INTERVAL 1 MONTH AS plus_1mo,
+        |  CAST(floor(epoch_us(ts) / 60000000) - floor(epoch_us(TIMESTAMP '2024-01-01') / 60000000) AS BIGINT) AS mins_since,
+        |  CAST(weekofyear(ts) AS INT) AS woy,
+        |  round_even(value / 3.0, 2) AS r_even,
+        |  sign(value) * ceil(abs(value) * 10) / 10 AS r_up,
+        |  sign(value) * floor(abs(value) * 10) / 10 AS r_down
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "q_fn_timezone" ->
