@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
 object Catalog {
   import scala.jdk.CollectionConverters._
 
-  /** tables() — registered tables/views. */
+  /** tables() — registered tables/views (internal `__`-prefixed views
+    * excluded).
+    */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listTables().collect().toSeq
+      .filterNot(_.name.startsWith("__"))
       .map(t => (t.name, t.tableType, t.isTemporary))
       .toDF("table_name", "table_type", "is_temporary")
   }
@@ -40,6 +43,95 @@ object Catalog {
       (d.getName.split("=").last, files.length.toLong, files.map(_.length()).sum)
     }.toDF("partition", "num_files", "bytes")
       .orderBy(col("partition"))
+  }
+
+  // ---- table-function surfaces (reference functions/catalogue:
+  // TablesFunctionFactory, WalTableListFunctionFactory,
+  // FunctionListFunctionFactory, KeywordsFunctionFactory,
+  // LiveViewsFunctionFactory, MatViewsFunctionFactory,
+  // functions/table/TableStorageFunctionFactory) ----------------------------
+
+  private val liveViewReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, () => Long)]()
+  private val matViewReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def registerLiveView(name: String, tableDir: String, seam: () => Long): Unit =
+    liveViewReg.put(name, (tableDir, seam))
+
+  private[graft] def registerMatView(name: String, bucket: String, refresh: String): Unit =
+    matViewReg.put(name, (bucket, refresh))
+
+  /** live_views() — registered live views with their current seam. */
+  def liveViews(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    liveViewReg.asScala.toSeq.map { case (n, (dir, seam)) => (n, dir, seam()) }
+      .toDF("view_name", "table_dir", "seam_micros")
+  }
+
+  /** materialized_views() — registered streaming SAMPLE BY views. */
+  def matViews(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    matViewReg.asScala.toSeq.map { case (n, (b, r)) => (n, b, r) }
+      .toDF("view_name", "bucket", "refresh_type")
+  }
+
+  /** wal_tables() — ingest-dir tables (the WAL-apply analogue: day
+    * partitions + batch markers).
+    */
+  def walTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Tables.names.flatMap { n =>
+      Tables.registeredPath(n).map { p =>
+        val f = new java.io.File(p)
+        (n, p, f.isDirectory && new java.io.File(f, "_graft_batches").exists())
+      }
+    }.toDF("name", "path", "wal_enabled")
+  }
+
+  /** table_storage() — per-table storage stats (reference
+    * `table_storage()`: partition layout, row counts, disk size).
+    */
+  def tableStorage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Tables.names.flatMap { n =>
+      Tables.registeredPath(n).map { p =>
+        val f = new java.io.File(p)
+        val (files, bytes) =
+          if (f.isDirectory) {
+            val fs = Option(f.listFiles()).getOrElse(Array.empty)
+              .flatMap(d => if (d.isDirectory) d.listFiles() else Array(d))
+              .filter(_.getName.endsWith(".parquet"))
+            (fs.length.toLong, fs.map(_.length()).sum)
+          } else (1L, f.length())
+        (n, if (f.isDirectory) "DAY" else "NONE", files, bytes,
+          spark.read.parquet(p).count())
+      }
+    }.toDF("table_name", "partition_by", "num_files", "disk_size", "row_count")
+  }
+
+  /** functions() — the session's SQL function registry. */
+  def functionsList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listFunctions().collect().toSeq
+      .map(f => (f.name, Option(f.className).getOrElse(""), f.isTemporary))
+      .toDF("name", "class_name", "is_temporary")
+  }
+
+  /** keywords() — the dialect's reserved words. */
+  def keywords(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "all", "and", "as", "asc", "asof", "between", "by", "case", "cast",
+      "copy", "create", "cross", "delete", "desc", "distinct", "drop",
+      "else", "end", "except", "exists", "fill", "from", "full", "group",
+      "having", "horizon", "in", "inner", "insert", "intersect", "into",
+      "is", "join", "latest", "left", "like", "limit", "lt", "natural",
+      "not", "null", "on", "or", "order", "outer", "over", "partition",
+      "prevailing", "rename", "right", "sample", "select", "show",
+      "splice", "table", "tolerance", "truncate", "union", "update",
+      "values", "where", "window", "with")
+      .toDF("keyword")
   }
 
   // ---- SHOW surfaces (reference griffin/engine/table/Show*Factory) ---------
@@ -100,6 +192,7 @@ object Catalog {
 
   private def userTables(spark: SparkSession): Seq[(String, Boolean)] =
     spark.catalog.listTables().collect().toSeq
+      .filterNot(_.name.startsWith("__"))
       .filterNot(t => Option(t.namespace).exists(
         ns => ns.contains("information_schema") || ns.contains("pg_catalog")))
       .map(t => (t.name, t.tableType == "VIEW" || t.isTemporary))

@@ -24,6 +24,25 @@ object Generators {
       .select((col("id") + 1).as("x"),
         timestamp_micros(lit(startMicros) + col("id") * lit(stepMicros)).as("ts"))
 
+  /** generate_series(lo, hi[, step]) — inclusive numeric series
+    * (reference `functions/date/GenerateSeries*`). Distributed range,
+    * empty when the step walks away from `hi`.
+    */
+  def generateSeries(spark: SparkSession, lo: Long, hi: Long, step: Long = 1): DataFrame = {
+    require(step != 0, "generate_series step must be non-zero")
+    val n = math.max((hi - lo) / step + 1, 0)
+    spark.range(0, n).select((lit(lo) + col("id") * lit(step)).as("generate_series"))
+  }
+
+  /** generate_series over timestamps (µs epoch + stride). */
+  def generateSeriesTs(spark: SparkSession, loMicros: Long, hiMicros: Long,
+                       stepMicros: Long): DataFrame = {
+    require(stepMicros != 0, "generate_series step must be non-zero")
+    val n = math.max((hiMicros - loMicros) / stepMicros + 1, 0)
+    spark.range(0, n)
+      .select(timestamp_micros(lit(loMicros) + col("id") * lit(stepMicros)).as("generate_series"))
+  }
+
   /** Uniform [0,1) from the first 8 hex digits of md5(seed ‖ counter) —
     * portable to any engine with md5.
     */

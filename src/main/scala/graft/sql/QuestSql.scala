@@ -82,8 +82,8 @@ object QuestSql {
       graft.Catalog.ensureMetaViews(spark)
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
-    val qForms = rewriteIntervalLiterals(
-      if (named.isEmpty) q0 else substParams(q0, named))
+    val qForms = rewriteTableFns(spark, rewriteIntervalLiterals(
+      if (named.isEmpty) q0 else substParams(q0, named)))
     statementForm(spark, qForms)
       .orElse(showForm(spark, qForms))
       .orElse(asofForm(spark, qForms))
@@ -91,7 +91,9 @@ object QuestSql {
       .orElse(horizonJoinForm(spark, qForms))
       .orElse(sampleByOpForm(spark, qForms))
       .getOrElse {
-        val rewritten = rewrite(q0)
+        // the fallback re-derives from q0 to keep :name markers for
+        // Spark's parameter binder — re-apply the table-fn substitution
+        val rewritten = rewriteTableFns(spark, rewrite(q0))
         if (named.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, named)
       }
   }
@@ -176,6 +178,68 @@ object QuestSql {
       import spark.implicits._
       Some(Seq(df.count()).toDF("rows_exported"))
     case _ => None
+  }
+
+  // ---- catalog table functions (reference functions/catalogue +
+  // functions/table: tables(), table_columns('t'), table_partitions('t'),
+  // wal_tables(), functions(), keywords(), live_views(),
+  // materialized_views(), table_storage()) ----------------------------------
+
+  private val TableFnRe =
+    """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage)\s*\(\s*\)""".r
+  private val TableArgFnRe =
+    """(?i)\b(table_columns|table_partitions)\s*\(\s*'([^']+)'\s*\)""".r
+  private val GenSeriesRe =
+    """(?i)\bFROM\s+generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
+
+  /** Substitute catalog table-function calls with freshly materialized
+    * temp views (they reflect the live catalog at query time).
+    */
+  private def rewriteTableFns(spark: SparkSession, q: String): String = {
+    val step1 = TableFnRe.replaceAllIn(q, m => {
+      val fn = m.group(1).toLowerCase
+      val df = fn match {
+        case "tables" => graft.Catalog.tables(spark)
+        case "wal_tables" => graft.Catalog.walTables(spark)
+        case "functions" => graft.Catalog.functionsList(spark)
+        case "keywords" => graft.Catalog.keywords(spark)
+        case "live_views" => graft.Catalog.liveViews(spark)
+        case "materialized_views" => graft.Catalog.matViews(spark)
+        case "table_storage" => graft.Catalog.tableStorage(spark)
+      }
+      val view = s"__graft_fn_$fn"
+      df.createOrReplaceTempView(view)
+      view
+    })
+    val step2 = GenSeriesRe.replaceAllIn(step1, m => {
+      val lo = m.group(1).toLong
+      val hi = m.group(2).toLong
+      val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+      val view = s"__graft_gs_${lo}_${hi}_$step".replace("-", "m")
+      graft.functions.Generators.generateSeries(spark, lo, hi, step)
+        .createOrReplaceTempView(view)
+      s"FROM $view"
+    })
+    TableArgFnRe.replaceAllIn(step2, m => {
+      import spark.implicits._
+      val fn = m.group(1).toLowerCase
+      val t = m.group(2)
+      val df = fn match {
+        case "table_columns" => graft.Catalog.tableColumns(spark, t)
+        case "table_partitions" => graft.Tables.registeredPath(t) match {
+          case Some(p) if new java.io.File(p).isDirectory =>
+            graft.Catalog.tablePartitions(spark, p)
+          case Some(p) =>
+            Seq(("all", 1L, new java.io.File(p).length()))
+              .toDF("partition", "num_files", "bytes")
+          case None =>
+            Seq.empty[(String, Long, Long)].toDF("partition", "num_files", "bytes")
+        }
+      }
+      val view = s"__graft_fn_${fn}_${t.replaceAll("\\W", "_")}"
+      df.createOrReplaceTempView(view)
+      view
+    })
   }
 
   // ---- SHOW commands (reference SqlParser.java:3833-3883,

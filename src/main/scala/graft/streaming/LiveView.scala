@@ -41,6 +41,7 @@ object LiveView {
             tableDir: String, checkpoint: String,
             tsCol: String, dedupKeys: Seq[String]): (LiveView, StreamingQuery) = {
     val lv = new LiveView(spark, name, tableDir, tsCol)
+    graft.Catalog.registerLiveView(name, tableDir, () => lv.seamMicros)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) => lv.onBatch(b, id, dedupKeys) }

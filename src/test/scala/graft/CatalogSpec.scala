@@ -57,6 +57,30 @@ class CatalogSpec extends SparkSpec {
     assert(c.toMap.apply("value") == "DOUBLE")
   }
 
+  test("catalog table functions resolve in FROM clauses") {
+    val t = engine.sql("SELECT table_name FROM tables() ORDER BY table_name")
+      .collect().map(_.getString(0))
+    assert(Tables.names.forall(t.contains))
+    val cols = engine.sql(
+      "SELECT `column`, designated FROM table_columns('events') WHERE designated")
+      .collect()
+    assert(cols.length == 1 && cols.head.getString(0) == "ts")
+    assert(engine.sql("SELECT * FROM table_partitions('events')").count() == 1)
+    assert(engine.sql("SELECT * FROM keywords() WHERE keyword = 'asof'").count() == 1)
+    assert(engine.sql("SELECT * FROM functions() WHERE name = 'ksum'").count() == 1)
+    val storage = engine.sql(
+      "SELECT row_count FROM table_storage() WHERE table_name = 'events'").head().getLong(0)
+    assert(storage == Tables.events(spark, sfDir).count())
+    assert(engine.sql("SELECT * FROM wal_tables()").count() == Tables.names.size)
+  }
+
+  test("generate_series table function") {
+    val xs = engine.sql("SELECT * FROM generate_series(2, 10, 4) ORDER BY 1")
+      .collect().map(_.getLong(0))
+    assert(xs.toSeq == Seq(2L, 6L, 10L))
+    assert(engine.sql("SELECT count(*) AS n FROM generate_series(1, 100)").head().getLong(0) == 100)
+  }
+
   test("pg_catalog: pg_class joins pg_attribute and pg_type like a PG client") {
     val out = engine.sql(
       """SELECT a.attname, t.typname FROM pg_catalog.pg_class c
