@@ -34,11 +34,16 @@ trait QueryPack {
     * inputs multiplied ≤3 times → ≤6 decimals; at a covering scale there
     * is no rounding, so no engine-specific tie-breaking), then
     * integer-exact decimal addition.
+    *
+    * The final double is rounded at 4 decimals: a sum of magnitude M has
+    * double resolution ~M·2⁻⁵², and engines' `round` disagree when the
+    * quantum approaches that resolution (seen at sf0.1 where M≈4e9 made
+    * a 6-dp round flap) — 4 dp keeps a ≥100× margin through sf1.
     */
   protected def sumDec(c: Column): Column =
-    round(sum(c.cast("decimal(24,6)")).cast("double"), 6)
+    round(sum(c.cast("decimal(24,6)")).cast("double"), 4)
 
   /** DuckDB-side twin of [[sumDec]]. */
   protected def sumDecSql(e: String): String =
-    s"round(CAST(sum(CAST($e AS DECIMAL(24,6))) AS DOUBLE), 6)"
+    s"round(CAST(sum(CAST($e AS DECIMAL(24,6))) AS DOUBLE), 4)"
 }
