@@ -80,6 +80,29 @@ class PipelineSpec extends SparkSpec {
     assert(frames.select(countDistinct($"frame_key")).head().getLong(0) == 4L)
   }
 
+  test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {
+    val df = Seq((1L, "hello"), (2L, "hello"), (3L, "different"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "src")
+    val withPayload = Multimodal.asPayload(df, "src")
+    val resized = Multimodal.resizeStub(withPayload, "payload", 64, 64)
+    val r = resized.orderBy($"id").collect()
+    assert(r(0).getAs[Array[Byte]]("resized").nonEmpty)
+    assert(r(0).getStruct(r(0).fieldIndex("meta")).getInt(0) == 64)
+    assert(r(3).isNullAt(r(3).fieldIndex("resized"))) // null passthrough
+
+    val feats = Multimodal.featuresStub(withPayload, "payload", 16)
+    val fr = feats.filter($"id" =!= 4L)
+    // unit-norm vectors, identical payloads → identical embeddings
+    val norms = fr.select(sqrt(aggregate(transform(col("features"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v)))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // same payload lands in the same LSH bucket; ANN path accepts the output
+    val buckets = Similarity.lshBuckets(fr.select($"id", $"features"), "id", "features", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+  }
+
   test("langId and quality run over the documents table") {
     val docs = Tables.load(spark, sfDir, "documents")
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
