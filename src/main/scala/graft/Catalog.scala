@@ -282,19 +282,25 @@ object Catalog {
   }
 
   /** (Re)build the `information_schema` / `pg_catalog` views — fresh on
-    * every call so they reflect the live catalog.
+    * every call so they reflect the live catalog. Schemas are rebuilt
+    * independently so a query touching only one pays only for it.
     */
-  def ensureMetaViews(spark: SparkSession): Unit = {
+  def ensureMetaViews(spark: SparkSession,
+                      info: Boolean = true, pg: Boolean = true): Unit = {
     def reg(db: String, name: String, df: DataFrame): Unit = {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS ${literalSelect(df)}")
     }
-    reg("information_schema", "tables", informationSchemaTables(spark))
-    reg("information_schema", "columns", informationSchemaColumns(spark))
-    reg("pg_catalog", "pg_namespace", pgNamespace(spark))
-    reg("pg_catalog", "pg_class", pgClass(spark))
-    reg("pg_catalog", "pg_attribute", pgAttribute(spark))
-    reg("pg_catalog", "pg_database", pgDatabase(spark))
-    reg("pg_catalog", "pg_type", pgType(spark))
+    if (info) {
+      reg("information_schema", "tables", informationSchemaTables(spark))
+      reg("information_schema", "columns", informationSchemaColumns(spark))
+    }
+    if (pg) {
+      reg("pg_catalog", "pg_namespace", pgNamespace(spark))
+      reg("pg_catalog", "pg_class", pgClass(spark))
+      reg("pg_catalog", "pg_attribute", pgAttribute(spark))
+      reg("pg_catalog", "pg_database", pgDatabase(spark))
+      reg("pg_catalog", "pg_type", pgType(spark))
+    }
   }
 }

@@ -78,12 +78,15 @@ object QuestSql {
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     val q0 = query.trim.stripSuffix(";")
     // PG clients and BI tools probe these on connect — materialize fresh
-    if ("""(?i)\b(information_schema|pg_catalog)\s*\.""".r.findFirstIn(q0).isDefined)
-      graft.Catalog.ensureMetaViews(spark)
+    // (only the schema the query touches)
+    val wantsInfo = """(?i)\binformation_schema\s*\.""".r.findFirstIn(q0).isDefined
+    val wantsPg = """(?i)\bpg_catalog\s*\.""".r.findFirstIn(q0).isDefined
+    if (wantsInfo || wantsPg)
+      graft.Catalog.ensureMetaViews(spark, info = wantsInfo, pg = wantsPg)
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
-    val qForms = rewriteTableFns(spark, rewriteIntervalLiterals(
-      if (named.isEmpty) q0 else substParams(q0, named)))
+    val qForms = rewriteTableFns(spark, rewriteFnMacros(rewriteIntervalLiterals(
+      if (named.isEmpty) q0 else substParams(q0, named))))
     statementForm(spark, qForms)
       .orElse(showForm(spark, qForms))
       .orElse(asofForm(spark, qForms))
@@ -178,6 +181,79 @@ object QuestSql {
       import spark.implicits._
       Some(Seq(df.count()).toDF("rows_exported"))
     case _ => None
+  }
+
+  // ---- scalar function macros ----------------------------------------------
+  // QuestDB scalar functions Spark lacks, expanded textually to built-in
+  // expressions (stay inside whole-stage codegen — no UDFs): finance
+  // mid/spread/wmid (reference functions/finance), haversine_dist_deg,
+  // timestamp_floor/ceil with stride literals, dateadd/datediff,
+  // to_timezone/to_utc (reference functions/date).
+
+  private def strideToMicros(lit: String): Long = {
+    val m = """(\d+)([UTsmhdw])""".r.findFirstMatchIn(lit.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad stride '$lit'"))
+    m.group(1).toLong * unitMicros(m.group(2))
+  }
+
+  /** Find `name(...)` calls with balanced parens and rewrite via `f(args)`. */
+  private def expandCalls(q: String, name: String)(f: Seq[String] => String): String = {
+    val re = s"(?i)\\b$name\\s*\\(".r
+    var out = q
+    var search = 0
+    var m = re.findFirstMatchIn(out)
+    while (m.isDefined && search < 100) {
+      val start = m.get.start
+      val open = m.get.end - 1
+      var depth = 0; var i = open; var end = -1
+      while (i < out.length && end < 0) {
+        out.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return out // unbalanced — leave untouched
+      val args = splitSelect(out.substring(open + 1, end))
+      out = out.substring(0, start) + f(args) + out.substring(end + 1)
+      search += 1
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  private def stripQuotes(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
+
+  private[sql] def rewriteFnMacros(q0: String): String = {
+    var q = q0
+    q = expandCalls(q, "mid") { case Seq(b, a) => s"(($b + $a) / 2.0)" }
+    q = expandCalls(q, "spread") { case Seq(b, a) => s"($a - $b)" }
+    q = expandCalls(q, "spread_bps") { case Seq(b, a) =>
+      s"(($a - $b) / (($b + $a) / 2.0) * 10000.0)" }
+    q = expandCalls(q, "wmid") { case Seq(bsz, b, a, asz) =>
+      s"(($b * $asz + $a * $bsz) / ($bsz + $asz))" }
+    q = expandCalls(q, "haversine_dist_deg") { case Seq(lat1, lon1, lat2, lon2) =>
+      s"(2 * 6371008.8 * asin(sqrt(pow(sin(radians($lat2 - ($lat1)) / 2), 2)" +
+        s" + cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - ($lon1)) / 2), 2))))" }
+    q = expandCalls(q, "timestamp_floor") { case Seq(stride, ts) =>
+      val us = strideToMicros(stripQuotes(stride))
+      s"timestamp_micros(CAST(unix_micros($ts) - ((unix_micros($ts) % $us + $us) % $us) AS BIGINT))" }
+    q = expandCalls(q, "timestamp_ceil") { case Seq(stride, ts) =>
+      val us = strideToMicros(stripQuotes(stride))
+      s"timestamp_micros(CAST(unix_micros($ts) + (($us - unix_micros($ts) % $us) % $us) AS BIGINT))" }
+    q = expandCalls(q, "dateadd") { case Seq(unit, n, ts) =>
+      stripQuotes(unit) match {
+        case "M" => s"($ts + make_interval(0, $n))"
+        case "y" => s"($ts + make_interval($n))"
+        case u => s"timestamp_micros(CAST(unix_micros($ts) + ($n) * ${unitMicros(u)} AS BIGINT))"
+      } }
+    q = expandCalls(q, "datediff") { case Seq(unit, a, b) =>
+      val u = unitMicros(stripQuotes(unit))
+      s"CAST(floor(unix_micros($b) / $u) - floor(unix_micros($a) / $u) AS BIGINT)" }
+    q = expandCalls(q, "to_timezone") { case Seq(ts, tz) => s"from_utc_timestamp($ts, $tz)" }
+    q = expandCalls(q, "to_utc") { case Seq(ts, tz) => s"to_utc_timestamp($ts, $tz)" }
+    q
   }
 
   // ---- catalog table functions (reference functions/catalogue +
@@ -298,6 +374,7 @@ object QuestSql {
     */
   def rewrite(query: String): String = {
     var q = rewriteIntervalLiterals(query.trim.stripSuffix(";"))
+    q = rewriteFnMacros(q)
     q = rewriteLatestOn(q)
     q = rewriteSampleBy(q)
     q = rewriteNegativeLimit(q)

@@ -234,6 +234,32 @@ class QuestSqlSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("scalar function macros expand to codegen'd expressions") {
+    val r = engine.sql(
+      "SELECT mid(value, value + 2.0) AS m, spread(value, value + 2.0) AS s, " +
+        "wmid(1.0, value, value + 2.0, 3.0) AS w, " +
+        "round(haversine_dist_deg(0.0, 0.0, 0.0, 1.0), 0) AS hv, " +
+        "timestamp_floor('5m', ts) AS f5, timestamp_ceil('5m', ts) AS c5, " +
+        "dateadd('h', 2, ts) AS p2h, datediff('d', ts, dateadd('d', 3, ts)) AS dd, " +
+        "to_timezone(ts, 'Asia/Tokyo') AS tko " +
+        "FROM events WHERE event_id = 1")
+      .head()
+    val v = Tables.events(spark, sfDir).filter(col("event_id") === 1)
+      .head().getAs[Double]("value")
+    assert(math.abs(r.getAs[Double]("m") - (v + 1.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("s") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("w") - (v * 3.0 / 4 + (v + 2) / 4)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hv") - 111195.0) < 1.0) // 1° of longitude at the equator
+    assert(r.getAs[java.sql.Timestamp]("f5").getTime % 300000 == 0)
+    assert(r.getAs[java.sql.Timestamp]("c5").getTime % 300000 == 0)
+    assert(r.getAs[Long]("dd") == 3L)
+    assert(r.getAs[java.sql.Timestamp]("p2h").getTime - r.getAs[java.sql.Timestamp]("f5").getTime < 3L * 3600 * 1000)
+    // macro output stays inside the plan (no UDF nodes)
+    val plan = engine.sql("SELECT mid(value, value) AS m FROM events")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"))
+  }
+
   test("LIMIT lo,hi range") {
     val rows = engine.sql("SELECT event_id FROM events ORDER BY event_id LIMIT 10,15").collect()
     assert(rows.map(_.getLong(0)).toSeq ==
