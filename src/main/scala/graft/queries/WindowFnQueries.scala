@@ -45,6 +45,39 @@ object WindowFnQueries extends QueryPack {
         .orderBy(col("user_id"), col("ts"))
     }),
 
+    "q_window_stats" -> ((s, dir) => {
+      // running stddev / corr over a window (reference StdDevDouble/
+      // CorrDouble window factories) — computed from exact decimal
+      // moments so the values are order- and engine-independent (native
+      // Welford accumulators differ in ulps). Both outputs pass through
+      // sqrt, so they are irrational and never land on a rounding tie —
+      // a plain covar quotient does (rational with small denominators)
+      // and is gate-covered at the aggregate level (q_agg_stats) instead.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val x = col("value").cast("decimal(8,2)")
+      val y = (col("value") * (col("user_id") % 7 + 1).cast("double") + col("user_id"))
+        .cast("decimal(16,2)")
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select("user_id", "ts", "value")
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(x).over(w).cast("double"))
+        .withColumn("sy", sum(y).over(w).cast("double"))
+        .withColumn("sxx", sum(x * x).over(w).cast("double"))
+        .withColumn("syy", sum(y * y).over(w).cast("double"))
+        .withColumn("sxy", sum(x * y).over(w).cast("double"))
+        .select(col("user_id"), col("ts"), col("value"),
+          when(col("n") > 1, round(
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6))
+            .as("run_stddev"),
+          when(col("n") > 1, round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("run_corr"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
+
     "q_window_range_time" -> ((s, dir) => {
       // RANGE '10m' PRECEDING over the designated ts (time-interval frame)
       val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
@@ -148,6 +181,27 @@ object WindowFnQueries extends QueryPack {
         |  max(value) OVER w AS run_max
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts""".stripMargin,
+
+    "q_window_stats" ->
+      """SELECT user_id, ts, value,
+        |  CASE WHEN n > 1 THEN round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) END AS run_stddev,
+        |  CASE WHEN n > 1 THEN round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) END AS run_corr
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(y) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) OVER w AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) OVER w AS DOUBLE) AS sxy
+        |  FROM (
+        |    SELECT user_id, ts, value,
+        |      CAST(value AS DECIMAL(8,2)) AS x,
+        |      CAST(value * CAST(user_id % 7 + 1 AS DOUBLE) + user_id AS DECIMAL(16,2)) AS y
+        |    FROM events WHERE user_id < 20)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |ORDER BY user_id, ts""".stripMargin,
 
     "q_window_range_time" ->
