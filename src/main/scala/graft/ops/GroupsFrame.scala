@@ -93,6 +93,75 @@ object GroupsFrame {
     withG.withColumn(out, expr).drop("__g")
   }
 
+  // ---- fused multi-aggregate lowering --------------------------------------
+
+  sealed trait GAgg { def exclude: Exclude; def out: String }
+  final case class GSum(value: Column, exclude: Exclude, out: String) extends GAgg
+  final case class GCount(exclude: Exclude, out: String) extends GAgg
+  final case class GMin(value: Column, exclude: Exclude, out: String) extends GAgg
+  final case class GMax(value: Column, exclude: Exclude, out: String) extends GAgg
+
+  /** Every requested GROUPS-frame aggregate in ONE pass: the peer-group
+    * rank is computed once and all window expressions land in a single
+    * projection, so Spark fuses them into one Window operator per
+    * distinct (partition, order, frame) spec — a handful of passes over
+    * one sort, instead of a stacked tower of re-ranking windows when
+    * the single-aggregate helpers are chained.
+    */
+  def groupsAggs(df: DataFrame, keys: Seq[String], orderCol: String,
+                 nPreceding: Int, aggs: Seq[GAgg]): DataFrame = {
+    val wOrder = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    val withG = df.withColumn("__g", dense_rank().over(wOrder))
+    def gFrame(lo: Long, hi: Long) =
+      Window.partitionBy(keys.map(col): _*).orderBy(col("__g").asc).rangeBetween(lo, hi)
+    val wFrame = gFrame(-nPreceding.toLong, 0L)
+    val wPrev = gFrame(-nPreceding.toLong, -1L)
+    val wPeers = Window.partitionBy((keys :+ orderCol).map(col): _*)
+
+    val outCols = aggs.map {
+      case GSum(v, ex, out) =>
+        val frame = sum(v).over(wFrame)
+        val peers = sum(v).over(wPeers)
+        val nF = count(lit(1)).over(wFrame)
+        val nP = count(lit(1)).over(wPeers)
+        (ex match {
+          case NoOthers => frame
+          case CurrentRow => when(nF - 1 > 0, frame - v)
+          case Group => when(nF - nP > 0, frame - peers)
+          case Ties => frame - peers + v
+        }).as(out)
+      case GCount(ex, out) =>
+        val frame = count(lit(1)).over(wFrame)
+        val peers = count(lit(1)).over(wPeers)
+        (ex match {
+          case NoOthers => frame
+          case CurrentRow => frame - 1
+          case Group => frame - peers
+          case Ties => frame - peers + 1
+        }).as(out)
+      case mm: GAgg => // GMin / GMax
+        val (v, isMin) = mm match {
+          case GMin(v, _, _) => (v, true)
+          case GMax(v, _, _) => (v, false)
+          case _ => throw new MatchError(mm)
+        }
+        def agg(c: Column) = if (isMin) min(c) else max(c)
+        def best(cs: Column*) = if (isMin) least(cs: _*) else greatest(cs: _*)
+        val prev = agg(v).over(wPrev)
+        (mm.exclude match {
+          case NoOthers => agg(v).over(wFrame)
+          case Group => prev
+          case Ties => best(prev, v)
+          case CurrentRow =>
+            val peersOrd = Window.partitionBy((keys :+ orderCol).map(col): _*).orderBy(v.asc)
+            best(prev,
+              agg(v).over(peersOrd.rowsBetween(Window.unboundedPreceding, -1)),
+              agg(v).over(peersOrd.rowsBetween(1, Window.unboundedFollowing)))
+        }).as(mm.out)
+    }
+    withG.select(df.columns.map(col) ++ outCols: _*)
+  }
+
   /** Count over the same frame semantics. */
   def groupsCount(df: DataFrame, keys: Seq[String], orderCol: String,
                   nPreceding: Int, exclude: Exclude, out: String): DataFrame = {

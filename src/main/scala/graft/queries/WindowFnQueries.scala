@@ -58,14 +58,16 @@ object WindowFnQueries extends QueryPack {
       val x = col("value").cast("decimal(8,2)")
       val y = (col("value") * (col("user_id") % 7 + 1).cast("double") + col("user_id"))
         .cast("decimal(16,2)")
+      // all six moments in one projection → a single Window operator
+      // (chained withColumn would stack six window passes)
       Tables.events(s, dir).filter(col("user_id") < 20)
-        .select("user_id", "ts", "value")
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("sx", sum(x).over(w).cast("double"))
-        .withColumn("sy", sum(y).over(w).cast("double"))
-        .withColumn("sxx", sum(x * x).over(w).cast("double"))
-        .withColumn("syy", sum(y * y).over(w).cast("double"))
-        .withColumn("sxy", sum(x * y).over(w).cast("double"))
+        .select(col("user_id"), col("ts"), col("value"),
+          count(lit(1)).over(w).as("n"),
+          sum(x).over(w).cast("double").as("sx"),
+          sum(y).over(w).cast("double").as("sy"),
+          sum(x * x).over(w).cast("double").as("sxx"),
+          sum(y * y).over(w).cast("double").as("syy"),
+          sum(x * y).over(w).cast("double").as("sxy"))
         .select(col("user_id"), col("ts"), col("value"),
           when(col("n") > 1, round(
             sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6))
@@ -105,39 +107,32 @@ object WindowFnQueries extends QueryPack {
     "q_window_groups_frame" -> ((s, dir) => {
       // GROUPS 2 PRECEDING..CURRENT ROW with every EXCLUDE variant,
       // over a coarse (tie-heavy) ordering column
+      import graft.ops.GroupsFrame._
       val base = graft.Tables.events(s, dir).filter(col("user_id") < 40)
         .select(col("event_id"), col("event_type"), col("user_id"),
           floor(col("value") / 100.0).cast("long").as("vb"))
-      val s1 = graft.ops.GroupsFrame.groupsSum(base, Seq("event_type"), "vb",
-        col("user_id"), 2, graft.ops.GroupsFrame.NoOthers, "g_sum")
-      val s2 = graft.ops.GroupsFrame.groupsSum(s1, Seq("event_type"), "vb",
-        col("user_id"), 2, graft.ops.GroupsFrame.CurrentRow, "g_sum_xrow")
-      val s3 = graft.ops.GroupsFrame.groupsSum(s2, Seq("event_type"), "vb",
-        col("user_id"), 2, graft.ops.GroupsFrame.Group, "g_sum_xgroup")
-      val s4 = graft.ops.GroupsFrame.groupsSum(s3, Seq("event_type"), "vb",
-        col("user_id"), 2, graft.ops.GroupsFrame.Ties, "g_sum_xties")
-      graft.ops.GroupsFrame.groupsCount(s4, Seq("event_type"), "vb",
-        2, graft.ops.GroupsFrame.NoOthers, "g_cnt")
+      graft.ops.GroupsFrame.groupsAggs(base, Seq("event_type"), "vb", 2, Seq(
+        GSum(col("user_id"), NoOthers, "g_sum"),
+        GSum(col("user_id"), CurrentRow, "g_sum_xrow"),
+        GSum(col("user_id"), Group, "g_sum_xgroup"),
+        GSum(col("user_id"), Ties, "g_sum_xties"),
+        GCount(NoOthers, "g_cnt")))
         .orderBy(col("event_id"))
     }),
 
     "q_window_groups_minmax" -> ((s, dir) => {
       // non-decomposable min/max with every EXCLUDE variant (sub-frame
       // composition — GroupsFrame.groupsMinMax)
-      import graft.ops.GroupsFrame
+      import graft.ops.GroupsFrame._
       val base = graft.Tables.events(s, dir).filter(col("user_id") < 40)
         .select(col("event_id"), col("event_type"), col("user_id"),
           floor(col("value") / 100.0).cast("long").as("vb"))
-      val m1 = GroupsFrame.groupsMinMax(base, Seq("event_type"), "vb",
-        col("user_id"), 2, GroupsFrame.NoOthers, isMin = true, "mn")
-      val m2 = GroupsFrame.groupsMinMax(m1, Seq("event_type"), "vb",
-        col("user_id"), 2, GroupsFrame.CurrentRow, isMin = true, "mn_xrow")
-      val m3 = GroupsFrame.groupsMinMax(m2, Seq("event_type"), "vb",
-        col("user_id"), 2, GroupsFrame.Group, isMin = true, "mn_xgroup")
-      val m4 = GroupsFrame.groupsMinMax(m3, Seq("event_type"), "vb",
-        col("user_id"), 2, GroupsFrame.Ties, isMin = true, "mn_xties")
-      GroupsFrame.groupsMinMax(m4, Seq("event_type"), "vb",
-        col("user_id"), 2, GroupsFrame.CurrentRow, isMin = false, "mx_xrow")
+      graft.ops.GroupsFrame.groupsAggs(base, Seq("event_type"), "vb", 2, Seq(
+        GMin(col("user_id"), NoOthers, "mn"),
+        GMin(col("user_id"), CurrentRow, "mn_xrow"),
+        GMin(col("user_id"), Group, "mn_xgroup"),
+        GMin(col("user_id"), Ties, "mn_xties"),
+        GMax(col("user_id"), CurrentRow, "mx_xrow")))
         .orderBy(col("event_id"))
     }),
 

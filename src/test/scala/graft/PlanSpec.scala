@@ -111,6 +111,16 @@ class PlanSpec extends SparkSpec {
     assert(!spineBroadcast(planFor("1 second", "2024-03-01 00:00:00")))
   }
 
+  test("fused GROUPS-frame aggregates: few window passes, one shuffle") {
+    for (q <- Seq("q_window_groups_frame", "q_window_groups_minmax")) {
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      // one rank + shared frame/peer specs — not a stacked tower of
+      // re-ranking windows (was 11 nodes when the single-agg helpers chained)
+      assert("Window \\[".r.findAllIn(p).size <= 4, q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, q)
+    }
+  }
+
   test("q_filter_project: column-pruned scan") {
     val p = plan("q_filter_project")
     // only the referenced lineitem columns reach the reader
