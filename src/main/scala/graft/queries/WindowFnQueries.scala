@@ -38,10 +38,10 @@ object WindowFnQueries extends QueryPack {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir).filter(col("user_id") < 20)
-        .select("user_id", "ts", "value")
-        .withColumn("run_n", count(lit(1)).over(w))
-        .withColumn("run_sum", round(sum(col("value").cast("decimal(24,6)")).over(w).cast("double"), 6))
-        .withColumn("run_max", max(col("value")).over(w))
+        .select(col("user_id"), col("ts"), col("value"),
+          count(lit(1)).over(w).as("run_n"),
+          round(sum(col("value").cast("decimal(24,6)")).over(w).cast("double"), 6).as("run_sum"),
+          max(col("value")).over(w).as("run_max"))
         .orderBy(col("user_id"), col("ts"))
     }),
 
@@ -85,12 +85,11 @@ object WindowFnQueries extends QueryPack {
       val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
         .rangeBetween(-600L * 1000000L, 0)
       Tables.events(s, dir).filter(col("user_id") < 20)
-        .select(col("user_id"), col("ts"), col("value"))
-        .withColumn("us", unix_micros(col("ts")))
-        .withColumn("n_10m", count(lit(1)).over(w))
-        .withColumn("min_10m", min(col("value")).over(w))
-        .withColumn("sum_10m", round(sum(col("value").cast("decimal(24,6)")).over(w).cast("double"), 6))
-        .drop("us")
+        .select(col("user_id"), col("ts"), col("value"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("ts"), col("value"),
+          count(lit(1)).over(w).as("n_10m"),
+          min(col("value")).over(w).as("min_10m"),
+          round(sum(col("value").cast("decimal(24,6)")).over(w).cast("double"), 6).as("sum_10m"))
         .orderBy(col("user_id"), col("ts"))
     }),
 
