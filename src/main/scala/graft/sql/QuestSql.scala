@@ -129,7 +129,16 @@ object QuestSql {
     Seq(s).toDF("status")
   }
 
+  private val ExplainRe = """(?is)^EXPLAIN\s+(.*)$""".r
+
   private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case ExplainRe(inner) =>
+      // reference `EXPLAIN` (ExplainPlanFactory): one PLAN row per line
+      import spark.implicits._
+      val plan = sqlBound(spark, inner, Map.empty)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Some(plan.split("\n").toSeq.toDF("PLAN"))
     case CreateTableAsRe(name, inner, ts) =>
       val df = sqlBound(spark, inner, Map.empty)
       df.createOrReplaceTempView(name)

@@ -57,6 +57,15 @@ class DdlSpec extends SparkSpec {
     assert(spark.table("ev_csv").schema("value").dataType.typeName == "double")
   }
 
+  test("EXPLAIN returns one PLAN row per line, dialect forms included") {
+    val rows = engine.sql("EXPLAIN SELECT * FROM events ASOF JOIN events ON user_id")
+      .collect().map(_.getString(0))
+    assert(rows.exists(_.contains("AsOfJoin")))
+    val simple = engine.sql("EXPLAIN SELECT count(*) FROM events WHERE value > 100.0")
+      .collect().map(_.getString(0))
+    assert(simple.exists(_.contains("HashAggregate")))
+  }
+
   test("COPY table TO parquet") {
     val dir = Files.createTempDirectory("ddl_copy_p").toString + "/out"
     engine.sql("CREATE TABLE pq_t AS SELECT event_id, value FROM events LIMIT 50")
