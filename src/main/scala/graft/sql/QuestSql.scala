@@ -869,6 +869,8 @@ object QuestSql {
   // ---- negative / range LIMIT ------------------------------------------------
 
   private val NegLimitRe = """(?is)^(.*\bORDER\s+BY\s+)([\w.,\s]+?)\s+LIMIT\s+-(\d+)\s*$""".r
+  private val NegLimitNoOrderRe =
+    """(?is)^(SELECT\s+.*?\s+FROM\s+([\w.]+)(?:\s+WHERE\s+.*?)?)\s+LIMIT\s+-(\d+)\s*$""".r
 
   private def rewriteNegativeLimit(q: String): String = q match {
     case NegLimitRe(prefix, orderCols, n) =>
@@ -880,6 +882,10 @@ object QuestSql {
       }.mkString(", ")
       val orderedNames = cols.mkString(", ")
       s"SELECT * FROM ($prefix$flipped LIMIT $n) ORDER BY $orderedNames"
+    case NegLimitNoOrderRe(prefix, table, n) =>
+      // no ORDER BY: the reference implies designated-ts order
+      val ts = Option(tsRegistry.get(table.split('.').last.toLowerCase)).getOrElse("ts")
+      s"SELECT * FROM ($prefix ORDER BY $ts DESC LIMIT $n) ORDER BY $ts"
     case _ => q
   }
 

@@ -35,6 +35,24 @@ class OpsSpec extends SparkSpec {
     assert(const.map(_.getLong(1)).toSeq == Seq(1L, 0L, 1L))
   }
 
+  test("SampleBy ALIGN TO CALENDAR TIME ZONE: DST-crossing day buckets land on local midnight") {
+    // America/New_York spring-forward: 2024-03-10 02:00 EST → 03:00 EDT.
+    // Day buckets must anchor at local midnight (05:00 UTC before the
+    // switch, 04:00 UTC after) and the DST day spans only 23 hours.
+    val rows = (0 until 72).map { h =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-03-09T00:00:00Z")
+        .plusSeconds(h * 3600L)), 1.0)
+    }
+    val out = SampleBy.sampleByCalendarTz(rows.toDF("t", "v"), "t", "day",
+      "America/New_York", Nil, Seq("n" -> count(lit(1))), tsOut = "b")
+      .orderBy($"b").collect()
+    val buckets = out.map(r => r.getTimestamp(0).toInstant.toString -> r.getLong(1))
+    // 2024-03-09 local midnight = 05:00Z (EST); 03-10 local midnight = 05:00Z;
+    // 03-11 local midnight = 04:00Z (EDT) — the 03-10 bucket holds 23 rows
+    assert(buckets.toMap.apply("2024-03-10T05:00:00Z") == 23L)
+    assert(buckets.exists(_._1 == "2024-03-11T04:00:00Z"))
+  }
+
   test("SampleBy explicit FROM/TO range extends the spine") {
     val df = Seq((ts(3600), 1.0)).toDF("t", "v")
     val out = SampleBy.sampleBy(df, "t", "1 hour", Nil,

@@ -266,6 +266,16 @@ class QuestSqlSpec extends SparkSpec {
       Tables.events(spark, sfDir).orderBy(col("event_id")).collect().slice(10, 15).map(_.getLong(0)).toSeq)
   }
 
+  test("negative LIMIT without ORDER BY implies designated-ts order") {
+    val rows = engine.sql("SELECT event_id, ts FROM events LIMIT -5").collect()
+    assert(rows.length == 5)
+    val expectMin = Tables.events(spark, sfDir).orderBy(col("ts").desc).limit(5)
+      .agg(min(col("ts"))).head().getTimestamp(0)
+    assert(rows.forall(_.getTimestamp(1).compareTo(expectMin) >= 0))
+    // ascending within the tail
+    assert(rows.map(_.getTimestamp(1)).sliding(2).forall(w => !w(0).after(w(1))))
+  }
+
   test("negative LIMIT returns the tail in forward order") {
     val rows = engine.sql(
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT -5").collect()
