@@ -285,22 +285,43 @@ object Catalog {
     * every call so they reflect the live catalog. Schemas are rebuilt
     * independently so a query touching only one pays only for it.
     */
+  // ---- meta-view build cache ------------------------------------------------
+  // The literal-backed views snapshot the temp-view catalog, so they must
+  // be rebuilt when a table is created/dropped/replaced — every mutation
+  // path in this codebase (QuestSql DDL/DML, Tables.registerAll) calls
+  // invalidateMetaViews. Between mutations, repeated BI-tool probes of
+  // information_schema/pg_catalog reuse the built views (the rebuild
+  // costs ~0.5 s: catalog listing + one DDL parse per view).
+
+  private val metaBuilt = new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean)]()
+
+  private def sessionKey(spark: SparkSession): String = Tables.sessionKey(spark)
+
+  /** Drop the cached meta-view state for a session (next query that
+    * touches information_schema / pg_catalog rebuilds the snapshot).
+    */
+  def invalidateMetaViews(spark: SparkSession): Unit =
+    metaBuilt.remove(sessionKey(spark))
+
   def ensureMetaViews(spark: SparkSession,
                       info: Boolean = true, pg: Boolean = true): Unit = {
+    val (haveInfo, havePg) =
+      metaBuilt.getOrDefault(sessionKey(spark), (false, false))
     def reg(db: String, name: String, df: DataFrame): Unit = {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS ${literalSelect(df)}")
     }
-    if (info) {
+    if (info && !haveInfo) {
       reg("information_schema", "tables", informationSchemaTables(spark))
       reg("information_schema", "columns", informationSchemaColumns(spark))
     }
-    if (pg) {
+    if (pg && !havePg) {
       reg("pg_catalog", "pg_namespace", pgNamespace(spark))
       reg("pg_catalog", "pg_class", pgClass(spark))
       reg("pg_catalog", "pg_attribute", pgAttribute(spark))
       reg("pg_catalog", "pg_database", pgDatabase(spark))
       reg("pg_catalog", "pg_type", pgType(spark))
     }
+    metaBuilt.put(sessionKey(spark), (haveInfo || info, havePg || pg))
   }
 }

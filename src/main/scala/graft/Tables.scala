@@ -48,9 +48,29 @@ object Tables {
   def registeredPath(name: String): Option[String] =
     Option(dirRegistry.get(name.toLowerCase))
 
+  private val registeredDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Cache key for per-session state (temp views are session-scoped). */
+  private[graft] def sessionKey(spark: SparkSession): String =
+    Integer.toHexString(System.identityHashCode(spark))
+
+  /** Forget a session's registration so the next [[registerAll]] rebuilds
+    * the temp views (called when DDL/DML may have replaced one of them).
+    */
+  private[graft] def forgetRegistration(spark: SparkSession): Unit =
+    registeredDir.remove(sessionKey(spark))
+
+  /** Register every test table as a temp view. Parquet footer reads and
+    * view (re-)registration cost ~0.3 s for the 10 tables, so repeat
+    * calls for the same (session, dir) are no-ops; switching `dir`
+    * re-registers and invalidates the cached catalog meta-views.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
-      load0(spark, dir, n).createOrReplaceTempView(n)
-      dirRegistry.put(n, s"$dir/$n.parquet")
+    if (registeredDir.put(sessionKey(spark), dir) != dir) {
+      names.foreach { n =>
+        load0(spark, dir, n).createOrReplaceTempView(n)
+        dirRegistry.put(n, s"$dir/$n.parquet")
+      }
+      Catalog.invalidateMetaViews(spark)
     }
 }

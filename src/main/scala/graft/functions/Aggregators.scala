@@ -57,6 +57,138 @@ object Aggregators {
   def ksum(c: Column): Column = udaf(KSum).apply(c)
   def nsum(c: Column): Column = udaf(NSum).apply(c)
 
+  /** Dense HyperLogLog cardinality sketch (reference
+    * `groupby/hyperloglog/HyperLogLogDenseRepresentation.java`):
+    * 2^p byte registers, register = max leading-zero rank of the hashed
+    * value's suffix; estimate = bias-corrected harmonic mean with
+    * linear-counting small-range correction (Flajolet et al., HLL 2007).
+    *
+    * Merge is element-wise register max, so partials combine associatively
+    * on any shuffle topology — the sketch that makes COUNT(DISTINCT) a
+    * single map-side-combined aggregation over 100 TB instead of an
+    * Expand + two-phase exact distinct.
+    *
+    * Input is a pre-hashed 64-bit value: call through [[approxCountDistinct]],
+    * which applies Spark's codegen'd `xxhash64` and skips NULLs (QuestDB
+    * `count_distinct` semantics).
+    */
+  class HyperLogLog(p: Int) extends Aggregator[java.lang.Long, Array[Byte], Long]
+      with Serializable {
+    require(p >= 4 && p <= 18, s"HLL precision $p outside [4, 18]")
+    private val m = 1 << p
+    private val alphaMM: Double = (p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }) * m * m
+
+    def zero: Array[Byte] = new Array[Byte](m)
+
+    def reduce(regs: Array[Byte], hashed: java.lang.Long): Array[Byte] = {
+      if (hashed != null) {
+        val h = hashed.longValue()
+        val idx = (h >>> (64 - p)).toInt
+        // rank of the first 1-bit in the remaining 64-p bits (1-based)
+        val w = h << p
+        val rank = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+        if (rank > regs(idx)) regs(idx) = rank.toByte
+      }
+      regs
+    }
+
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    def finish(regs: Array[Byte]): Long = {
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        invSum += java.lang.Double.longBitsToDouble((1023L - regs(i)) << 52) // 2^-reg
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alphaMM / invSum
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+        else raw
+      math.round(est)
+    }
+
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** `approx_count_distinct(c)` over graft's own HLL sketch. Default
+    * p=14 → 16384 registers ≈ 0.81 % standard error (the reference's
+    * default precision, `CountDistinctFunctionFactory`).
+    */
+  def approxCountDistinct(c: Column, precision: Int = 14): Column =
+    udaf(new HyperLogLog(precision)).apply(when(c.isNotNull, xxhash64(c)))
+
+  /** HDR-histogram-style approximate percentile (reference
+    * `approx_percentile(value, pct, precision)` over an HdrHistogram,
+    * `functions/groupby/ApproxPercentileDoubleGroupByFunction.java`):
+    * positive values are bucketed by (IEEE exponent, top sub-bucket bits)
+    * giving relative error ≤ 2^-bits; the percentile is answered from the
+    * sparse bucket→count map. Mergeable by count addition (same property
+    * HdrHistogram.add gives the reference).
+    */
+  class ApproxPercentile(pct: Double, bits: Int)
+      extends Aggregator[java.lang.Double, Map[Long, Long], Double] with Serializable {
+    require(pct >= 0.0 && pct <= 1.0, s"percentile $pct outside [0, 1]")
+    require(bits >= 1 && bits <= 20, s"sub-bucket bits $bits outside [1, 20]")
+
+    private def bucketOf(v: Double): Long = {
+      // key = sign-preserved (exponent ∥ top mantissa bits); order-isomorphic
+      // to v for positive values, so sorted keys answer quantiles
+      val raw = java.lang.Double.doubleToLongBits(v)
+      val magnitude = raw & 0x7fffffffffffffffL
+      val key = magnitude >>> (52 - bits)
+      if (raw < 0) -key else key
+    }
+
+    private def midOf(bucket: Long): Double = {
+      val key = math.abs(bucket)
+      val lo = java.lang.Double.longBitsToDouble(key << (52 - bits))
+      val hi = java.lang.Double.longBitsToDouble((key + 1) << (52 - bits))
+      val mid = (lo + hi) / 2.0
+      if (bucket < 0) -mid else mid
+    }
+
+    def zero: Map[Long, Long] = Map.empty
+    def reduce(b: Map[Long, Long], v: java.lang.Double): Map[Long, Long] =
+      if (v == null || v.isNaN) b
+      else { val k = bucketOf(v); b.updated(k, b.getOrElse(k, 0L) + 1L) }
+    def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n) }
+    def finish(b: Map[Long, Long]): Double = {
+      if (b.isEmpty) return Double.NaN
+      val total = b.valuesIterator.sum
+      val target = math.max(1L, math.ceil(pct * total).toLong)
+      var seen = 0L
+      for ((k, n) <- b.toSeq.sortBy(_._1)) {
+        seen += n
+        if (seen >= target) return midOf(k)
+      }
+      midOf(b.keysIterator.max)
+    }
+
+    def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** `approx_percentile(c, pct)` with ~0.1 % relative error (10 sub-bucket
+    * bits ≈ HdrHistogram precision 3).
+    */
+  def approxPercentile(c: Column, pct: Double, bits: Int = 10): Column =
+    udaf(new ApproxPercentile(pct, bits)).apply(c.cast("double"))
+
   /** VWAP = Σ(price·qty)/Σ(qty) (reference `VwapGroupByFunction`).
     * Composed from exact decimal sums so it is order-independent and
     * partial-aggregating for free.

@@ -109,14 +109,29 @@ object GroupsFrame {
     * the single-aggregate helpers are chained.
     */
   def groupsAggs(df: DataFrame, keys: Seq[String], orderCol: String,
-                 nPreceding: Int, aggs: Seq[GAgg]): DataFrame = {
+                 nPreceding: Int, aggs: Seq[GAgg]): DataFrame =
+    groupsAggsFrame(df, keys, orderCol, -nPreceding.toLong, 0L, aggs)
+
+  /** General GROUPS frame `BETWEEN lo AND hi` (group offsets: negative =
+    * PRECEDING, positive = FOLLOWING, `Window.unboundedPreceding`/
+    * `unboundedFollowing` sentinels accepted) with every EXCLUDE mode.
+    *
+    * When the frame does not contain the current peer group
+    * (`lo > 0 || hi < 0`), the EXCLUDE clauses remove nothing (they only
+    * exclude rows *in* the frame — SQL:2011 7.11), so all modes collapse
+    * to the plain frame aggregate. Otherwise sums/counts use
+    * frame-minus-contribution arithmetic and min/max compose the
+    * contiguous sub-frames around the current group.
+    */
+  def groupsAggsFrame(df: DataFrame, keys: Seq[String], orderCol: String,
+                      lo: Long, hi: Long, aggs: Seq[GAgg]): DataFrame = {
     val wOrder = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
     val withG = df.withColumn("__g", dense_rank().over(wOrder))
-    def gFrame(lo: Long, hi: Long) =
-      Window.partitionBy(keys.map(col): _*).orderBy(col("__g").asc).rangeBetween(lo, hi)
-    val wFrame = gFrame(-nPreceding.toLong, 0L)
-    val wPrev = gFrame(-nPreceding.toLong, -1L)
+    def gFrame(l: Long, h: Long) =
+      Window.partitionBy(keys.map(col): _*).orderBy(col("__g").asc).rangeBetween(l, h)
+    val wFrame = gFrame(lo, hi)
     val wPeers = Window.partitionBy((keys :+ orderCol).map(col): _*)
+    val containsCurrent = lo <= 0L && hi >= 0L
 
     val outCols = aggs.map {
       case GSum(v, ex, out) =>
@@ -125,6 +140,7 @@ object GroupsFrame {
         val nF = count(lit(1)).over(wFrame)
         val nP = count(lit(1)).over(wPeers)
         (ex match {
+          case _ if !containsCurrent => frame
           case NoOthers => frame
           case CurrentRow => when(nF - 1 > 0, frame - v)
           case Group => when(nF - nP > 0, frame - peers)
@@ -134,6 +150,7 @@ object GroupsFrame {
         val frame = count(lit(1)).over(wFrame)
         val peers = count(lit(1)).over(wPeers)
         (ex match {
+          case _ if !containsCurrent => frame
           case NoOthers => frame
           case CurrentRow => frame - 1
           case Group => frame - peers
@@ -147,16 +164,25 @@ object GroupsFrame {
         }
         def agg(c: Column) = if (isMin) min(c) else max(c)
         def best(cs: Column*) = if (isMin) least(cs: _*) else greatest(cs: _*)
-        val prev = agg(v).over(wPrev)
+        // sub-frames strictly before / after the current peer group
+        // (least/greatest skip NULLs, so an empty side drops out)
+        val prev = if (lo <= -1L) Some(agg(v).over(gFrame(lo, -1L))) else None
+        val next = if (hi >= 1L) Some(agg(v).over(gFrame(1L, hi))) else None
+        val sides = prev.toSeq ++ next.toSeq
         (mm.exclude match {
+          case _ if !containsCurrent => agg(v).over(wFrame)
           case NoOthers => agg(v).over(wFrame)
-          case Group => prev
-          case Ties => best(prev, v)
+          case Group => sides match {
+            case Seq() => lit(null).cast("double")
+            case Seq(one) => one
+            case many => best(many: _*)
+          }
+          case Ties => best(sides :+ v: _*)
           case CurrentRow =>
             val peersOrd = Window.partitionBy((keys :+ orderCol).map(col): _*).orderBy(v.asc)
-            best(prev,
+            best(sides ++ Seq(
               agg(v).over(peersOrd.rowsBetween(Window.unboundedPreceding, -1)),
-              agg(v).over(peersOrd.rowsBetween(1, Window.unboundedFollowing)))
+              agg(v).over(peersOrd.rowsBetween(1, Window.unboundedFollowing))): _*)
         }).as(mm.out)
     }
     withG.select(df.columns.map(col) ++ outCols: _*)

@@ -85,8 +85,10 @@ object AggFnQueries extends QueryPack {
       ev.groupBy(col("event_type"))
         .agg(
           round(expr("percentile(value, 0.5)"), 6).as("exact_median"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+          // graft's own sketches (Aggregators.HyperLogLog / ApproxPercentile),
+          // mirroring the reference's HLL + HdrHistogram implementations
+          Aggregators.approxCountDistinct(col("user_id")).as("approx_users"),
+          Aggregators.approxPercentile(col("value"), 0.5).as("approx_median"))
         .join(broadcast(exactUsers), Seq("event_type"))
         .select(
           col("event_type"), col("exact_users"), col("exact_median"),

@@ -135,6 +135,29 @@ object WindowFnQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_window_groups_general" -> ((s, dir) => {
+      // general GROUPS frames (round-3): 1 PRECEDING..1 FOLLOWING with
+      // every EXCLUDE mode, plus a 3..1 PRECEDING frame that does not
+      // contain the current group (EXCLUDE removes nothing there)
+      import graft.ops.GroupsFrame._
+      val base = graft.Tables.events(s, dir).filter(col("user_id") < 40)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          floor(col("value") / 100.0).cast("long").as("vb"))
+      val around = graft.ops.GroupsFrame.groupsAggsFrame(
+        base, Seq("event_type"), "vb", -1L, 1L, Seq(
+          GSum(col("user_id"), NoOthers, "s_all"),
+          GSum(col("user_id"), Group, "s_xgrp"),
+          GSum(col("user_id"), Ties, "s_xties"),
+          GCount(CurrentRow, "c_xrow"),
+          GMin(col("user_id"), Group, "mn_xgrp"),
+          GMax(col("user_id"), Ties, "mx_xties"),
+          GMin(col("user_id"), CurrentRow, "mn_xrow")))
+      graft.ops.GroupsFrame.groupsAggsFrame(
+        around, Seq("event_type"), "vb", -3L, -1L, Seq(
+          GSum(col("user_id"), Group, "s_prec")))
+        .orderBy(col("event_id"))
+    }),
+
     "q_window_first_last" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -268,6 +291,43 @@ object WindowFnQueries extends QueryPack {
         |  pmn AS mn_xgroup,
         |  least(pmn, user_id) AS mn_xties,
         |  greatest(pmx, bmx, amx) AS mx_xrow
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_window_groups_general" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, user_id,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS vb
+        |  FROM events WHERE user_id < 40),
+        |g AS (SELECT *, dense_rank() OVER (PARTITION BY event_type ORDER BY vb) AS grp FROM base),
+        |f AS (SELECT *,
+        |    CAST(sum(user_id) OVER wf AS BIGINT) AS fsum,
+        |    count(*) OVER wf AS fcnt,
+        |    CAST(sum(user_id) OVER wp AS BIGINT) AS psum,
+        |    count(*) OVER wp AS pcnt,
+        |    min(user_id) OVER wprev AS pmn,
+        |    min(user_id) OVER wnext AS nmn,
+        |    max(user_id) OVER wprev AS pmx,
+        |    max(user_id) OVER wnext AS nmx,
+        |    min(user_id) OVER wb AS bmn,
+        |    min(user_id) OVER wa AS amn,
+        |    CAST(sum(user_id) OVER wpre3 AS BIGINT) AS prec_sum
+        |  FROM g
+        |  WINDOW wf AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+        |         wprev AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING),
+        |         wnext AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING),
+        |         wpre3 AS (PARTITION BY event_type ORDER BY grp RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |         wp AS (PARTITION BY event_type, vb),
+        |         wb AS (PARTITION BY event_type, vb ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY event_type, vb ORDER BY user_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, event_type, user_id, vb,
+        |  fsum AS s_all,
+        |  CASE WHEN fcnt - pcnt > 0 THEN fsum - psum END AS s_xgrp,
+        |  fsum - psum + user_id AS s_xties,
+        |  fcnt - 1 AS c_xrow,
+        |  least(pmn, nmn) AS mn_xgrp,
+        |  greatest(pmx, nmx, user_id) AS mx_xties,
+        |  least(pmn, nmn, bmn, amn) AS mn_xrow,
+        |  prec_sum AS s_prec
         |FROM f ORDER BY event_id""".stripMargin,
 
     "q_window_first_last" ->

@@ -131,7 +131,17 @@ object QuestSql {
 
   private val ExplainRe = """(?is)^EXPLAIN\s+(.*)$""".r
 
-  private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+  private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = {
+    // any statement that creates/drops/replaces a table changes what the
+    // information_schema / pg_catalog snapshots should show
+    if ("""(?is)^(CREATE|INSERT|DROP|RENAME|TRUNCATE|COPY)\b""".r.findFirstIn(q).isDefined) {
+      graft.Catalog.invalidateMetaViews(spark)
+      graft.Tables.forgetRegistration(spark)
+    }
+    statementForm0(spark, q)
+  }
+
+  private def statementForm0(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case ExplainRe(inner) =>
       // reference `EXPLAIN` (ExplainPlanFactory): one PLAN row per line
       import spark.implicits._

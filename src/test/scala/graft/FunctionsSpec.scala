@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Finance, GeoHash, Generators}
+import graft.functions.{Aggregators, Finance, GeoHash, Generators}
 import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkSpec {
@@ -86,5 +86,48 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 2.0)
     assert(math.abs(r.getDouble(2) - 200.0) < 1e-9)
     assert(r.getDouble(3) == (99.0 * 1.0 + 101.0 * 3.0) / 4.0)
+  }
+
+  test("HyperLogLog sketch: accuracy within 3σ, partition-invariant, null-safe") {
+    val n = 50000
+    val df = spark.range(n.toLong)
+      .select(($"id" % 9973).cast("string").as("s")) // 9973 distinct values
+    val est = df.agg(Aggregators.approxCountDistinct($"s").as("c")).head().getLong(0)
+    // p=14 → σ ≈ 1.04/√16384 ≈ 0.81%; 3σ ≈ 2.5%
+    assert(math.abs(est - 9973.0) / 9973.0 < 0.025, s"HLL estimate $est vs 9973")
+    // merge must be associative/commutative: any repartitioning → same registers
+    for (parts <- Seq(1, 7, 32)) {
+      val e2 = df.repartition(parts)
+        .agg(Aggregators.approxCountDistinct($"s")).head().getLong(0)
+      assert(e2 == est, s"partition-dependent HLL: $e2 != $est at $parts")
+    }
+    // nulls are not counted (QuestDB count_distinct semantics)
+    val withNulls = df.select(when($"s" === "0", lit(null)).otherwise($"s").as("s"))
+    val e3 = withNulls.agg(Aggregators.approxCountDistinct($"s")).head().getLong(0)
+    assert(math.abs(e3 - 9972.0) / 9972.0 < 0.025)
+    // low cardinality → linear counting range → exact
+    val small = spark.range(100).select(($"id" % 17).cast("string").as("s"))
+    assert(small.agg(Aggregators.approxCountDistinct($"s")).head().getLong(0) == 17L)
+  }
+
+  test("ApproxPercentile sketch: relative error bound, partition-invariant") {
+    val df = spark.range(100000).select((($"id" + 1).cast("double") / 7.0).as("v"))
+    val Seq(p50, p99) = Seq(0.5, 0.99).map { p =>
+      df.agg(Aggregators.approxPercentile($"v", p).as("q")).head().getDouble(0)
+    }
+    val exact50 = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    val exact99 = df.agg(expr("percentile(v, 0.99)")).head().getDouble(0)
+    // 10 sub-bucket bits → relative error ≤ 2^-10 ≈ 0.1%
+    assert(math.abs(p50 - exact50) / exact50 < 2e-3, s"$p50 vs $exact50")
+    assert(math.abs(p99 - exact99) / exact99 < 2e-3, s"$p99 vs $exact99")
+    for (parts <- Seq(1, 13)) {
+      val q2 = df.repartition(parts)
+        .agg(Aggregators.approxPercentile($"v", 0.5)).head().getDouble(0)
+      assert(q2 == p50, "partition-dependent percentile sketch")
+    }
+    // negative values sort below positives through the sign-preserved key
+    val neg = Seq(-100.0, -1.0, 1.0, 100.0).toDF("v")
+    val q = neg.agg(Aggregators.approxPercentile($"v", 0.25)).head().getDouble(0)
+    assert(q < -0.9 && q > -110.0, s"quartile of mixed signs: $q")
   }
 }

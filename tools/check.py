@@ -33,7 +33,7 @@ def run_verify():
              "java.base/sun.security.action", "java.base/sun.util.calendar"]
     cmd = ["java"] + [f"--add-opens={p}=ALL-UNNAMED" for p in opens] + [
         "-Xmx8g", "-Dspark.ui.enabled=false",
-        "-cp", cp, "graft.Verify", SFDIR, OUTDIR]
+        "-cp", cp, "graft.Verify", SFDIR, OUTDIR] + sorted(ONLY)
     r = subprocess.run(cmd, capture_output=True, text=True)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
