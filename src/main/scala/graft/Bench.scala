@@ -13,7 +13,12 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional filter for profiling single queries: SPARK_GRAFT_ONLY="q1_agg q_x"
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split("\\s+").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = Seq.fill(repeat)(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_(n)) }).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces every column/operator to evaluate (a count()
       // would let Catalyst prune the projections away)

@@ -189,26 +189,42 @@ object Aggregators {
   def approxPercentile(c: Column, pct: Double, bits: Int = 10): Column =
     udaf(new ApproxPercentile(pct, bits)).apply(c.cast("double"))
 
+  /** Exact ×`scale` integer scaling of a value whose decimal expansion
+    * the scale covers, in pure double codegen: x·s is within ~1e-9 of an
+    * integer, so half-away-from-zero via floor(|x·s|+0.5) recovers it
+    * exactly — without the per-row BigDecimal.valueOf (a Double.toString)
+    * that a double→decimal Cast or Round costs.
+    */
+  private[graft] def scaledLong(c: Column, scale: Long): Column =
+    when(c >= 0, floor(c * scale + 0.5))
+      .otherwise(-floor(-c * scale + 0.5)).cast("long")
+
+  /** One exact decimal→double rounding of `sumOfScaled / scale` (runs per
+    * OUTPUT row — the per-input-row path above stays in long codegen).
+    */
+  private[graft] def descale(sumOfScaled: Column, scale: Long): Column =
+    (sumOfScaled.cast("decimal(30,0)") / lit(scale)).cast("double")
+
   /** VWAP = Σ(price·qty)/Σ(qty) (reference `VwapGroupByFunction`).
-    * Composed from exact decimal sums so it is order-independent and
-    * partial-aggregating for free.
+    * Composed from exact scaled-long sums (2-dp money inputs → ×100 is
+    * lossless; the product carries scale 10⁴), so partials are
+    * order-independent and partial-aggregating for free; only the final
+    * division is floating point — on engine-identical operands.
     */
-  /** Exactness note: the multiply happens in decimal (2-decimal money
-    * inputs cast losslessly), so partial sums are order-independent and
-    * engine-independent; only the final division is floating point —
-    * on identical operands.
-    */
-  def vwap(price: Column, qty: Column): Column =
-    sum(price.cast("decimal(18,2)") * qty.cast("decimal(18,2)")).cast("double") /
-      sum(qty.cast("decimal(18,2)")).cast("double")
+  def vwap(price: Column, qty: Column): Column = {
+    val p = scaledLong(price, 100L)
+    val q = scaledLong(qty, 100L)
+    descale(sum(p * q), 10000L) / descale(sum(q), 100L)
+  }
 
   /** TWAP over the designated ts: time-weighted mean where each value
     * holds until the next observation (reference `TwapGroupByFunction`).
     * Needs the per-row holding interval, so it is lowered at call sites
     * via lead(ts) windows; helper here does the weighted mean.
     */
-  /** `weightMicros` must be an integral column (exact decimal cast). */
-  def timeWeightedAvg(value: Column, weightMicros: Column): Column =
-    sum(value.cast("decimal(12,2)") * weightMicros.cast("decimal(20,0)")).cast("double") /
-      sum(weightMicros.cast("decimal(20,0)")).cast("double")
+  /** `weightMicros` must be an integral column (exact long cast). */
+  def timeWeightedAvg(value: Column, weightMicros: Column): Column = {
+    val w = weightMicros.cast("long")
+    descale(sum(scaledLong(value, 100L) * w), 100L) / descale(sum(w), 1L)
+  }
 }

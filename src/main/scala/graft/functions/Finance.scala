@@ -39,8 +39,13 @@ object Finance {
         greatest(least(col(sizeCol), lit(target) - (col("__cum") - col(sizeCol))), lit(0.0)))
       .groupBy(bookKeys.map(col): _*)
       .agg(
-        sum(col("__fill").cast("decimal(24,6)")).cast("double").as("filled"),
-        sum((col("__fill") * col(priceCol)).cast("decimal(28,6)")).cast("double").as("cost"))
+        // exact 6-dp sums via scaled longs (per-row decimal Cast costs a
+        // Double.toString — see Aggregators.scaledLong)
+        Aggregators.descale(sum(Aggregators.scaledLong(col("__fill"), 1000000L)), 1000000L)
+          .as("filled"),
+        Aggregators.descale(
+          sum(Aggregators.scaledLong(col("__fill") * col(priceCol), 1000000L)), 1000000L)
+          .as("cost"))
       .withColumn("l2price",
         when(col("filled") >= target, col("cost") / target))
       .drop("cost")

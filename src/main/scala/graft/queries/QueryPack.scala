@@ -40,8 +40,21 @@ trait QueryPack {
     * quantum approaches that resolution (seen at sf0.1 where M≈4e9 made
     * a 6-dp round flap) — 4 dp keeps a ≥100× margin through sf1.
     */
-  protected def sumDec(c: Column): Column =
-    round(sum(c.cast("decimal(24,6)")).cast("double"), 4)
+  protected def sumDec(c: Column): Column = {
+    // Per-row: exact 6-dp scaling in pure double arithmetic. A double→
+    // decimal Cast (and Round on doubles) goes through BigDecimal.valueOf
+    // = a per-row Double.toString — it dominated q1_agg's runtime. The
+    // 6-dp-exact input means x*1e6 is within ~1e-9 of an integer, so
+    // half-away-from-zero via floor(|x|+0.5) recovers it exactly, all
+    // inside whole-stage codegen.
+    val scaled = when(c >= 0, floor(c * 1e6 + 0.5))
+      .otherwise(-floor(-c * 1e6 + 0.5)).cast("long")
+    // Final (per output row, not per input row): exact decimal division,
+    // then the same single decimal→double rounding the oracle performs.
+    // Long-sum bound: |Σx| < 2⁶³/10⁶ ≈ 9.2e12 — covers ~sf50 money sums;
+    // beyond that, widen to the decimal-cast sum.
+    round((sum(scaled).cast("decimal(28,0)") / lit(1000000L)).cast("double"), 4)
+  }
 
   /** DuckDB-side twin of [[sumDec]]. */
   protected def sumDecSql(e: String): String =
