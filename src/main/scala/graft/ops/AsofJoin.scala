@@ -251,10 +251,14 @@ object AsofJoin {
       .groupBy(col(BUCKET))
       .agg(max(struct(col(ts), col(SLAVE))).as("__last"))
       .select(col(BUCKET), col("__last").getField(SLAVE).as("__bucket_last"))
-    // prefix carry across buckets: ≤`buckets` rows, single tiny partition
+    // prefix carry across ALL buckets (a slave-empty bucket still forwards
+    // the previous buckets' carry to the masters inside it): dense bucket
+    // spine left-joined with the slave maxima, then the prefix window —
+    // ≤`buckets`+1 rows, single tiny partition
+    val spine = spark.range(0, nBuckets + 1L).select(col("id").as(BUCKET))
     val wCarry = Window.orderBy(col(BUCKET).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = perBucket
+    val carries = spine.join(perBucket, Seq(BUCKET), "left")
       .withColumn("__graft_carry", last(col("__bucket_last"), ignoreNulls = true).over(wCarry))
       .select(col(BUCKET), col("__graft_carry"))
 

@@ -111,6 +111,66 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Connected components over an undirected candidate-pair list —
+    * the clustering stage between near-dup pair generation (Jaccard /
+    * MinHash / cosine) and the keep-one-per-cluster decision.
+    *
+    * Hash-min label propagation: every node's label converges to the
+    * smallest id reachable from it. Each round is one join + one
+    * aggregation (fully distributed, no driver-side union-find); the
+    * loop runs until a fixpoint, bounded by `maxIter`. Rounds needed =
+    * the graph's max hop-distance to its component minimum — for dedup
+    * graphs (dense near-clique clusters of duplicates) that is 2-3, so
+    * the barrier-per-round cost stays tiny. `localCheckpoint` truncates
+    * the lineage so plans don't grow with the iteration count.
+    *
+    * Reference semantics: one cluster per transitive duplicate group
+    * (the reference's DEDUP works on exact keys only; this extends it
+    * to the fuzzy-pair graphs the LLM-pipeline operators emit).
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+               maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prev = labels
+      val nbrMin = edges
+        .join(prev.select(col("node").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dlbl")).as("nmin"))
+      val next = prev.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next
+        .join(prev.select(col("node"), col("lbl").as("old")), Seq("node"))
+        .filter(col("lbl") =!= col("old"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
+  /** Keep-one-per-cluster dedup: drop every row whose id belongs to a
+    * pair cluster but is not that cluster's minimum; rows in no pair
+    * survive untouched. This is the canonical corpus-dedup output —
+    * `pairs` typically comes from [[minhashCandidates]] or
+    * [[Similarity.cosineNearDupPairs]].
+    */
+  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("node", idCol)
+    df.join(cl, Seq(idCol), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .drop("cluster")
+  }
+
   /** SimHash: 60-bit signature from per-token md5 bit votes.
     *
     * Vectorized lowering: one `conv(15-hex, 16, 10)` long per token,

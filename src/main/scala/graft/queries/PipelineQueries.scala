@@ -101,6 +101,29 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // near-dup clustering: MinHash-LSH candidate pairs → connected
+      // components (hash-min propagation) → cluster id + size per doc
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4, words = true)
+      val cl = Dedup.clusters(pairs)
+      val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      cl.join(sizes, Seq("cluster"))
+        .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_keep_one" -> ((s, dir) => {
+      // canonical corpus dedup: keep each cluster's min doc_id, survivors
+      // summarized per lang
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4, words = true)
+      Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -120,7 +143,49 @@ object PipelineQueries extends QueryPack {
       |        FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)
       |        WHERE len(w) >= 3))""".stripMargin
 
+  // shared oracle CTE chain: MinHash-LSH candidate pairs (as in
+  // q_dedup_minhash) + symmetric edge list + recursive reachability →
+  // connected-component labels (min reachable doc_id)
+  private val CLUSTERS =
+    s"""$SH,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+       |    min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+       |    min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+       |    min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+       |  FROM sh GROUP BY doc_id),
+       |buckets AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sigs
+       |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |edges AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+       |reach(node, x) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+       |cl AS (SELECT node, min(x) AS cluster FROM reach GROUP BY node)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $CLUSTERS,
+         |sizes AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster)
+         |SELECT cl.node AS doc_id, cl.cluster, sizes.cluster_size
+         |FROM cl JOIN sizes USING (cluster) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_one" ->
+      s"""WITH RECURSIVE $CLUSTERS,
+         |kept AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster))
+         |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS len,

@@ -32,6 +32,30 @@ class PipelineSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("clusters: hash-min label propagation finds connected components") {
+    // chain 1-2-3 plus isolated pair 10-11; transitivity must label 3 with 1
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: long path needs multiple propagation rounds") {
+    // 0-1-2-...-9 path: min label must travel 9 hops
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val cl = Dedup.clusters(pairs).collect().map(_.getLong(1)).distinct
+    assert(cl.sameElements(Array(0L)))
+  }
+
+  test("keepOnePerCluster keeps cluster minima and untouched rows") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (42L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 10L, 42L)))
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
