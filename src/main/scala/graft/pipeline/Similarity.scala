@@ -63,6 +63,82 @@ object Similarity {
       .select(col(blockCol), col("a"), col("b"), col("sim"))
   }
 
+  /** IVF coarse quantizer: `nlist` centroids picked deterministically by
+    * md5-hash order of the id — engine-portable (any engine with md5
+    * derives the same seeds), no RNG, no iterative training. At build
+    * scale this is a LIMIT over a hash sort (cheap); swapping in k-means
+    * centroids changes only this function.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): DataFrame = {
+    val seeds = corpus
+      .select(col(idCol).as("__seed_id"), col(vecCol).as("cvec"))
+      .withColumn("__h", md5(col("__seed_id").cast("string")))
+      .orderBy(col("__h").asc, col("__seed_id").asc)
+      .limit(nlist)
+    seeds.withColumn("cid",
+        row_number().over(Window.orderBy(col("__h").asc, col("__seed_id").asc)) - 1)
+      .select(col("cid"), col("cvec"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (max cosine,
+    * centroid-id tiebreak). One broadcast join + per-row arg-max — the
+    * corpus streams through once with no shuffle; at 100 TB the output
+    * is what you bucket/partition the corpus by.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__vn", sqrt(dot("__v", "__v")))
+    val cent = centroids.withColumn("__cn", sqrt(dot("cvec", "cvec")))
+    val sim = round(dot("__v", "cvec") / (col("__vn") * col("__cn")), 6)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cid").asc)
+    c.join(broadcast(cent), lit(true))
+      .withColumn("__csim", sim)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest inverted lists
+    * per query and rank candidates only inside them. The candidate join
+    * keys on the list id, so each query touches ~`nprobe`/`nlist` of the
+    * corpus — the IVF trade: recall for a bounded scan. Deterministic
+    * end-to-end (hash-seeded centroids, rounded similarities, id
+    * tiebreaks), so results are engine-reproducible.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val cent = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val lists = ivfAssign(corpus, cent, idCol, vecCol)
+      .select(col(idCol).as("cid_doc"), col("cid"))
+
+    // probe lists per query: nprobe nearest centroids
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .withColumn("qn", sqrt(dot("qe", "qe")))
+    val centN = cent.withColumn("__cn", sqrt(dot("cvec", "cvec")))
+    val qsim = round(dot("qe", "cvec") / (col("qn") * col("__cn")), 6)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("__qsim").desc, col("cid").asc)
+    val probes = q.join(broadcast(centN), lit(true))
+      .withColumn("__qsim", qsim)
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+
+    // candidates = probed lists only; exact cosine rank within them
+    val c = corpus.select(col(idCol).as("cid_doc"), col(vecCol).as("ce"))
+      .withColumn("cn", sqrt(dot("ce", "ce")))
+    val sim = round(dot("qe", "ce") / (col("qn") * col("cn")), 6)
+    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid_doc").asc)
+    probes.join(lists, Seq("cid"))
+      .join(c, Seq("cid_doc"))
+      .filter(col("qid") =!= col("cid_doc"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid_doc").as("cid"), col("sim"), col("rn"))
+  }
+
   /** Sign-LSH bucket id per vector: bit h = sign(v · w_h) where
     * w_h[i] = ((i*73 + h*37) mod 19) - 9 — integer pseudo-weights.
     */

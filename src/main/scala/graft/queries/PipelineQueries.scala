@@ -85,6 +85,14 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    "q_similarity_ivf" -> ((s, dir) => {
+      // IVF ANN: 8 hash-seeded centroid lists, probe the 2 nearest per
+      // query, exact rank within probed lists only
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 8, 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "q_dedup_pipeline" -> ((s, dir) => {
       // end-to-end dedup: shingle → exact-jaccard confirm (≥0.5) →
       // drop the higher doc_id of each confirmed pair → survivor stats
@@ -307,6 +315,47 @@ object PipelineQueries extends QueryPack {
         |SELECT vec_id,
         |  CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_similarity_ivf" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec,
+        |         md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings ORDER BY h, seed_id LIMIT 8),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, seed_id) - 1 AS cid, cvec FROM seeds),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id AS cid_doc, cid FROM (
+        |    SELECT corp.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY corp.vec_id
+        |        ORDER BY round(list_dot_product(v, cvec)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |          cent.cid ASC) AS rn
+        |    FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qe FROM corp WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, cent.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_dot_product(qe, cvec)
+        |          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |          cent.cid ASC) AS rn
+        |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+        |cands AS (
+        |  SELECT probes.qid, probes.qe, corp.vec_id AS cid_doc, corp.v AS ce
+        |  FROM probes JOIN assigned ON probes.cid = assigned.cid
+        |              JOIN corp ON corp.vec_id = assigned.cid_doc
+        |  WHERE probes.qid <> corp.vec_id),
+        |ranked AS (
+        |  SELECT qid, cid_doc AS cid,
+        |    round(list_dot_product(qe, ce)
+        |      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_dot_product(qe, ce)
+        |        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) DESC,
+        |        cid_doc ASC) AS rn
+        |  FROM cands)
+        |SELECT qid, cid, sim, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "q_dedup_pipeline" ->
       s"""WITH $SH,

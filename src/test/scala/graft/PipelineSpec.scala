@@ -80,6 +80,35 @@ class PipelineSpec extends SparkSpec {
     assert(top.last == 2L)      // orthogonal ranks last
   }
 
+  test("ivfTopK: near-identical vector is found via its probed list") {
+    // two tight groups; a near-copy of vector 0 must surface as its top hit
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.98f, 0.02f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.99f, 0.01f)),
+      (12L, Array(0.0f, 0.98f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 1).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L))) // same-group only
+    assert(out.head.getLong(1) == 1L && out.head.getInt(3) == 1)
+  }
+
+  test("ivf assignment is exhaustive and deterministic") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array((i % 5).toFloat + 1f, (i % 3).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val cent = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 4)
+    assert(cent.count() == 4)
+    val a1 = Similarity.ivfAssign(vecs, cent, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.ivfAssign(vecs, cent, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size == 20 && a1 == a2)
+  }
+
   test("lsh buckets group similar vectors, split dissimilar ones") {
     val df = Seq(
       (0L, Array.fill(8)(1.0f)),
