@@ -63,6 +63,27 @@ object DialectQueries extends QueryPack {
         Seq(200.0, "view"))
     }),
 
+    "q_sql_fn_macros" -> ((s, dir) => {
+      // reference geo/rounding/string/date functions Spark lacks by name,
+      // expanded to builtin expressions by the dialect macro pass
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, " +
+          "round(geo_distance_meters(value % 90, value % 180, 0.0, 0.0) / 1000.0, 3) AS dist_km, " +
+          "within_box(value % 90, value % 180, -45.0, -90.0, 45.0, 90.0) AS in_box, " +
+          "geo_within_radius_latlon(value % 90, value % 180, 0.0, 0.0, 5000000.0) AS near_origin, " +
+          "within_radius(value, CAST(user_id AS DOUBLE), 500.0, 500.0, 250.0) AS in_circle, " +
+          "round_up(value / 7.0, 2) AS r_up, " +
+          "round_down(value / 7.0, 2) AS r_down, " +
+          "round_half_even(value / 7.0, 2) AS r_he, " +
+          "to_uppercase(event_type) AS etype_u, " +
+          "strpos(event_type, 'ick') AS ick_pos, " +
+          "sha256(event_type) AS etype_sha, " +
+          "to_str(ts, 'yyyy-MM-dd') AS day_s, " +
+          "week_of_year(ts) AS woy " +
+          "FROM events WHERE event_id < 200 ORDER BY event_id")
+    }),
+
     "q_show_columns" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       QuestSql.sql(s, "SHOW COLUMNS FROM events")
@@ -124,6 +145,25 @@ object DialectQueries extends QueryPack {
     "q_sql_bind" ->
       """SELECT event_id, ts, value FROM events
         |WHERE value > 200.0 AND event_type = 'view' ORDER BY event_id""".stripMargin,
+
+    "q_sql_fn_macros" ->
+      """SELECT event_id,
+        |  round(sqrt(pow((0.0 - (value % 180)) * 111320.0 * cos(radians(((value % 90) + (0.0)) * 0.5)), 2)
+        |           + pow((0.0 - (value % 90)) * 111320.0, 2)) / 1000.0, 3) AS dist_km,
+        |  ((value % 90) BETWEEN (-45.0) AND (45.0) AND (value % 180) BETWEEN (-90.0) AND (90.0)) AS in_box,
+        |  ((5000000.0) >= 0 AND pow((value % 180 - (0.0)) * 111320.0 * cos(radians(0.0)), 2)
+        |           + pow((value % 90 - (0.0)) * 111320.0, 2) <= (5000000.0) * (5000000.0)) AS near_origin,
+        |  ((250.0) >= 0 AND pow((value) - (500.0), 2) + pow((CAST(user_id AS DOUBLE)) - (500.0), 2)
+        |           <= (250.0) * (250.0)) AS in_circle,
+        |  (sign(value / 7.0) * ceil(abs(value / 7.0) * pow(10, 2)) / pow(10, 2)) AS r_up,
+        |  (sign(value / 7.0) * floor(abs(value / 7.0) * pow(10, 2)) / pow(10, 2)) AS r_down,
+        |  round(value / 7.0, 2) AS r_he,
+        |  upper(event_type) AS etype_u,
+        |  CAST(strpos(event_type, 'ick') AS INT) AS ick_pos,
+        |  sha256(event_type) AS etype_sha,
+        |  strftime(ts, '%Y-%m-%d') AS day_s,
+        |  CAST(weekofyear(ts) AS INT) AS woy
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "q_show_columns" ->
       """SELECT * FROM (VALUES

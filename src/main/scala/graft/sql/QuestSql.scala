@@ -272,8 +272,53 @@ object QuestSql {
       s"CAST(floor(unix_micros($b) / $u) - floor(unix_micros($a) / $u) AS BIGINT)" }
     q = expandCalls(q, "to_timezone") { case Seq(ts, tz) => s"from_utc_timestamp($ts, $tz)" }
     q = expandCalls(q, "to_utc") { case Seq(ts, tz) => s"to_utc_timestamp($ts, $tz)" }
+    // geo plane/latlon predicates (reference functions/geo: equirectangular
+    // meters-per-degree approximation, midpoint latitude for distances,
+    // center latitude for radius checks; NaN → false/NaN, negative radius
+    // → false)
+    q = expandCalls(q, "geo_distance_meters") { case Seq(lat1, lon1, lat2, lon2) =>
+      s"sqrt(pow(($lon2 - ($lon1)) * 111320.0 * cos(radians((($lat1) + ($lat2)) * 0.5)), 2)" +
+        s" + pow(($lat2 - ($lat1)) * 111320.0, 2))" }
+    q = expandCalls(q, "geo_within_radius_latlon") { case Seq(lat, lon, clat, clon, r) =>
+      s"(($r) >= 0 AND pow(($lon - ($clon)) * 111320.0 * cos(radians($clat)), 2)" +
+        s" + pow(($lat - ($clat)) * 111320.0, 2) <= ($r) * ($r))" }
+    q = expandCalls(q, "within_radius") { case Seq(x, y, cx, cy, r) =>
+      s"(($r) >= 0 AND pow(($x) - ($cx), 2) + pow(($y) - ($cy), 2) <= ($r) * ($r))" }
+    q = expandCalls(q, "within_box") { case Seq(x, y, minx, miny, maxx, maxy) =>
+      s"(($x) BETWEEN ($minx) AND ($maxx) AND ($y) BETWEEN ($miny) AND ($maxy))" }
+    // rounding modes (reference functions/math Round{Up,Down,HalfEven}):
+    // up = away from zero, down = toward zero, half_even = banker's
+    q = expandCalls(q, "round_up") { case Seq(x, n) =>
+      s"(sign(CAST($x AS DOUBLE)) * ceil(abs(CAST($x AS DOUBLE)) * pow(10, $n)) / pow(10, $n))" }
+    q = expandCalls(q, "round_down") { case Seq(x, n) =>
+      s"(sign(CAST($x AS DOUBLE)) * floor(abs(CAST($x AS DOUBLE)) * pow(10, $n)) / pow(10, $n))" }
+    q = expandCalls(q, "round_half_even") { case Seq(x, n) => s"bround(CAST($x AS DOUBLE), $n)" }
+    // strings / hashes / dates with non-Spark names
+    q = expandCalls(q, "to_uppercase") { case Seq(s) => s"upper($s)" }
+    q = expandCalls(q, "to_lowercase") { case Seq(s) => s"lower($s)" }
+    q = expandCalls(q, "strpos") { case Seq(s, sub) => s"instr($s, $sub)" }
+    q = expandCalls(q, "sha256") { case Seq(s) => s"sha2($s, 256)" }
+    q = expandCalls(q, "to_str") { case Seq(ts, fmt) => s"date_format($ts, $fmt)" }
+    q = expandCalls(q, "to_char") { case Seq(ts, fmt) => s"date_format($ts, $fmt)" }
+    q = expandCalls(q, "week_of_year") { case Seq(ts) => s"weekofyear($ts)" }
+    q = expandCalls(q, "systimestamp") { _ => "current_timestamp()" }
+    q = expandCalls(q, "sysdate") { _ => "current_timestamp()" }
+    // day-interval functions in predicate position (`ts IN today()` —
+    // reference functions/date/{Today,Tomorrow,Yesterday}FunctionFactory)
+    q = DayIntervalRe.replaceAllIn(q, m => {
+      val c = m.group(1)
+      val off = m.group(2).toLowerCase match {
+        case "today" => 0; case "tomorrow" => 1; case "yesterday" => -1
+      }
+      val lo = s"date_add(current_date(), $off)"
+      Regex.quoteReplacement(
+        s"($c >= CAST($lo AS TIMESTAMP) AND $c < CAST(date_add($lo, 1) AS TIMESTAMP))")
+    })
     q
   }
+
+  private val DayIntervalRe =
+    """(?i)\b([\w.]+)\s+IN\s+(today|tomorrow|yesterday)\s*\(\s*\)""".r
 
   // ---- catalog table functions (reference functions/catalogue +
   // functions/table: tables(), table_columns('t'), table_partitions('t'),

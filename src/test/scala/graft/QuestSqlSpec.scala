@@ -260,6 +260,37 @@ class QuestSqlSpec extends SparkSpec {
     assert(!plan.contains("UDF"))
   }
 
+  test("geo / rounding / string / day-interval macros") {
+    val r = engine.sql(
+      "SELECT round(geo_distance_meters(0.0, 0.0, 1.0, 0.0), 0) AS deg_m, " +
+        "within_box(5.0, 5.0, 0.0, 0.0, 10.0, 10.0) AS inb, " +
+        "within_radius(3.0, 4.0, 0.0, 0.0, 5.0) AS inr, " +
+        "within_radius(3.0, 4.0, 0.0, 0.0, -1.0) AS neg_r, " +
+        "geo_within_radius_latlon(0.5, 0.5, 0.0, 0.0, 100000.0) AS gwr, " +
+        "round_up(1.234, 2) AS ru, round_down(-1.239, 2) AS rd, " +
+        "round_half_even(2.5, 0) AS rhe, " +
+        "to_uppercase('ab') AS u, strpos('hello', 'll') AS p, " +
+        "week_of_year(TIMESTAMP '2024-01-15 00:00:00') AS woy, " +
+        "to_str(TIMESTAMP '2024-01-15 00:00:00', 'yyyy-MM') AS s " +
+        "FROM events LIMIT 1").head()
+    assert(math.abs(r.getAs[Double]("deg_m") - 111320.0) < 1.0)
+    assert(r.getAs[Boolean]("inb") && r.getAs[Boolean]("inr"))
+    assert(!r.getAs[Boolean]("neg_r"))
+    assert(r.getAs[Boolean]("gwr")) // (0.5°,0.5°) ≈ 78.7 km from origin < 100 km
+    assert(math.abs(r.getAs[Double]("ru") - 1.24) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rd") - (-1.23)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rhe") - 2.0) < 1e-9) // banker's: 2.5 → 2
+    assert(r.getAs[String]("u") == "AB" && r.getAs[Int]("p") == 3)
+    assert(r.getAs[Int]("woy") == 3 && r.getAs[String]("s") == "2024-01")
+
+    // ts IN today() becomes a [today, tomorrow) range predicate
+    val today = engine.sql("SELECT count(*) AS n FROM events WHERE ts IN today()").head().getLong(0)
+    assert(today == 0) // fixture data is all in 2024
+    val plan = engine.sql("SELECT event_id FROM events WHERE ts IN yesterday()")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains(">=") && !plan.toLowerCase.contains("yesterday"))
+  }
+
   test("LIMIT lo,hi range") {
     val rows = engine.sql("SELECT event_id FROM events ORDER BY event_id LIMIT 10,15").collect()
     assert(rows.map(_.getLong(0)).toSeq ==
