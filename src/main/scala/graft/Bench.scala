@@ -15,17 +15,28 @@ object Bench {
 
     // optional filter for profiling single queries: SPARK_GRAFT_ONLY="q1_agg q_x"
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split("\\s+").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val results = Seq.fill(repeat)(
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_(n)) }).flatten.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces every column/operator to evaluate (a count()
-      // would let Catalyst prune the projections away)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-query MEDIAN over `repeat` full passes: single-shot timings at
+    // this scale are dominated by GC/session noise (a 1.7 s query can
+    // read 27 s if it lands after a heavy neighbor), medians are stable.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+    val passes: Seq[Map[String, Double]] = (1 to repeat).map { _ =>
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink forces every column/operator to evaluate (a count()
+        // would let Catalyst prune the projections away)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results: Seq[(String, Double)] =
+      queries.map { case (name, _) => name -> median(passes.map(_(name))) }
     def fmt(v: Double): String = f"$v%.3f"
     def line(rs: Seq[(String, Double)], metric: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -37,9 +48,9 @@ object Bench {
     // the final line: the bench harness captures only the last ~2000 chars
     // of output and parses the last JSON line it finds there — the full
     // 120-query map overflows that window, the compact line fits.
-    println(line(results, s"total_wall_all_${results.size}_queries"))
+    println(line(results, s"median_of_${repeat}_wall_all_${results.size}_queries"))
     println(line(results.sortBy(-_._2).take(20).sortBy(_._1),
-      s"total_wall_${results.size}_queries_top20_shown"))
+      s"median_of_${repeat}_wall_${results.size}_queries_top20_shown"))
     spark.stop()
   }
 }

@@ -29,14 +29,19 @@ object Limits {
     */
   def range(df: DataFrame, lo: Long, hi: Long, order: Seq[Column]): DataFrame = {
     val asc = order.map(_.asc)
+    // offset-then-limit (not limit-then-offset): the planner fuses
+    // Limit(Offset(Sort)) into TakeOrderedAndProject — per-partition
+    // heaps + one driver merge. The reversed nesting plans a
+    // single-partition global limit, which serializes the whole table
+    // through one task.
     if (lo >= 0 && hi >= 0) {
-      df.orderBy(asc: _*).limit(hi.toInt).offset(lo.toInt)
+      df.orderBy(asc: _*).offset(lo.toInt).limit(math.max(0L, hi - lo).toInt)
     } else {
       // A negative bound needs the total count (parquet-stats-cheap).
       val n = df.count()
-      val start = if (lo >= 0) lo else math.max(0L, n + lo)
-      val end = if (hi >= 0) math.min(hi, n) else n + hi
-      df.orderBy(asc: _*).limit(math.max(0L, end).toInt).offset(start.toInt)
+      val start = math.min(n, if (lo >= 0) lo else math.max(0L, n + lo))
+      val end = if (hi >= 0) math.min(hi, n) else math.max(0L, n + hi)
+      df.orderBy(asc: _*).offset(start.toInt).limit(math.max(0L, end - start).toInt)
     }
   }
 }

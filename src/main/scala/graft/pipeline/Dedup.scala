@@ -130,12 +130,20 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                maxIter: Int = 25): DataFrame = {
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Persist the one-directional pair list before mirroring it: both
+    // union branches would otherwise re-run the (expensive) upstream
+    // candidate-generation pipeline.
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Fuse round 1 into initialization: every node starts at
+    // min(self, min(neighbors)) — one aggregation instead of an identity
+    // label table plus a full propagation round.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("node"), col("lbl"))
       .localCheckpoint(true)
+    e0.unpersist(blocking = false)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -144,19 +152,34 @@ object Dedup {
         .join(prev.select(col("node").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("dlbl")).as("nmin"))
+      // The convergence flag rides along with the update: the eager
+      // checkpoint is the round's single shuffle job, and the `chg` scan
+      // below only reads the just-materialized blocks (no extra join).
       val next = prev.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin").isNotNull && col("nmin") < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      converged = next
-        .join(prev.select(col("node"), col("lbl").as("old")), Seq("node"))
-        .filter(col("lbl") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      // Free the superseded round's checkpoint blocks eagerly — leaving
+      // them to the ContextCleaner pins executor storage memory for the
+      // rest of the session and evicts other cached data fleet-wide.
+      unpersistCheckpoint(prev)
+      labels = next.select("node", "lbl")
       it += 1
     }
     edges.unpersist()
     labels.select(col("node"), col("lbl").as("cluster"))
   }
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint`ed DataFrame
+    * (Dataset.unpersist only covers CacheManager entries, not the
+    * checkpoint RDD itself).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Keep-one-per-cluster dedup: drop every row whose id belongs to a
     * pair cluster but is not that cluster's minimum; rows in no pair
@@ -164,8 +187,15 @@ object Dedup {
     * `pairs` typically comes from [[minhashCandidates]] or
     * [[Similarity.cosineNearDupPairs]].
     */
-  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cl = clusters(pairs).withColumnRenamed("node", idCol)
+  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    keepOneWithClusters(df, idCol, clusters(pairs))
+
+  /** Same as [[keepOnePerCluster]] but takes precomputed cluster labels
+    * (`node`, `cluster`) — lets a pipeline that already ran [[clusters]]
+    * reuse them instead of re-running the fixpoint.
+    */
+  def keepOneWithClusters(df: DataFrame, idCol: String, clusterLabels: DataFrame): DataFrame = {
+    val cl = clusterLabels.withColumnRenamed("node", idCol)
     df.join(cl, Seq(idCol), "left")
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("cluster")

@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_limit_range: offset+limit fuse into top-k, no single-stream global limit") {
+    val p = plan("q_limit_range")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalLimit"))
+  }
+
   test("q_sql_interval_scan: dialect interval literal reaches the scan as pushed range") {
     val p = plan("q_sql_interval_scan")
     assert(p.contains("GreaterThanOrEqual(ts") || p.contains("(ts#"))
