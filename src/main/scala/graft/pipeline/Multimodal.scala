@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,13 +11,19 @@ import org.apache.spark.sql.types._
   * feature-extraction runs batched per partition (the Scala analogue of
   * `mapInPandas` — one iterator pass, no per-row driver involvement).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * container): [[decodeStub]] derives deterministic fake dimensions
-  * from the payload bytes. Everything around it — schema, batch
-  * iteration, partition-parallel execution, null passthrough — is the
-  * real pipeline shape a codec would drop into.
+  * The IMAGE path is real: PNG/JPEG/GIF/BMP decode, header-only
+  * metadata, and bilinear rescale via the JDK's `javax.imageio` +
+  * `java.awt` (no external codec libraries needed). Payloads no
+  * installed reader understands (audio, video, synthetic fixtures)
+  * fall back to a deterministic byte-derived fake so pipelines stay
+  * total and reproducible — that fallback is the documented stub
+  * boundary a real audio/video codec would replace.
   */
 object Multimodal {
+  // never spill decode scratch to disk-backed ImageInputStream caches —
+  // per-row temp files would hammer executor local disks
+  javax.imageio.ImageIO.setUseCache(false)
+
   val metaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -26,12 +34,12 @@ object Multimodal {
   def asPayload(df: DataFrame, srcCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, to_binary(md5(col(srcCol)), lit("hex")))
 
-  /** Batched "decode": per-partition iterator, one output row per input
-    * row, metadata struct appended. Replace the body of `decodeOne`
-    * with a real codec (JPEG header parse, ffprobe, ...) — the Spark
-    * plumbing does not change.
+  /** Batched decode: per-partition iterator, one output row per input
+    * row, metadata struct appended. Real images get header-parsed
+    * dimensions (no full pixel decode); unrecognized payloads get the
+    * deterministic fallback.
     */
-  def decodeStub(df: DataFrame, payloadCol: String): DataFrame = {
+  def decode(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
     val idx = df.columns.indexOf(payloadCol)
     df.mapPartitions { it =>
@@ -42,8 +50,39 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Back-compat alias for [[decode]]. */
+  def decodeStub(df: DataFrame, payloadCol: String): DataFrame = decode(df, payloadCol)
+
   private def decodeOne(bytes: Array[Byte]): Row = {
-    // ??? real codec goes here; deterministic fake below
+    val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // header-only: width/height/type come from the stream metadata,
+          // no pixel decode — at corpus scale this pass touches bytes
+          // proportional to headers, not images
+          val channels = Option(reader.getRawImageType(0))
+            .map(_.getNumComponents)
+            .getOrElse(reader.getImageTypes(0).next().getNumComponents)
+          Row(reader.getWidth(0), reader.getHeight(0), channels,
+            reader.getFormatName.toLowerCase)
+        } catch {
+          // payloads whose magic bytes sniff as an image but whose header
+          // is truncated/garbage (possible with opaque binary columns)
+          // fall back like any other non-image payload
+          case _: Exception => fakeMeta(bytes)
+        } finally reader.dispose()
+      } else fakeMeta(bytes)
+    } finally iis.close()
+  }
+
+  /** Deterministic byte-derived metadata for payloads no JDK reader
+    * understands — the stub seam for audio/video codecs.
+    */
+  private def fakeMeta(bytes: Array[Byte]): Row = {
     val b0 = java.lang.Byte.toUnsignedInt(bytes(0))
     val b1 = java.lang.Byte.toUnsignedInt(bytes(1))
     val fmt = if (b0 % 2 == 0) "png" else "jpg"
@@ -59,12 +98,12 @@ object Multimodal {
       explode(sequence(lit(0), lit((frames - 1) * stride), lit(stride))))
       .withColumn("frame_key", sha2(concat(col(payloadCol), col("frame_no").cast("string")), 256))
 
-  /** Batched "resize": binary → binary with refreshed metadata — the
-    * shape of an image-resize stage (payload transform, meta rewrite,
-    * per-partition batching). The stub derives the output payload
-    * deterministically; a real resampler drops into `resizeOne`.
+  /** Batched resize: binary → binary with refreshed metadata. Real
+    * images are bilinearly rescaled to `w`×`h` and re-encoded as PNG;
+    * unrecognized payloads get a deterministic fake so the pipeline
+    * stays total.
     */
-  def resizeStub(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+  def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("resized", BinaryType))
     val idx = df.columns.indexOf(payloadCol)
     df.mapPartitions { it =>
@@ -79,8 +118,28 @@ object Multimodal {
             lit(3).as("channels"), lit("png").as("format"))))
   }
 
+  /** Back-compat alias for [[resize]]. */
+  def resizeStub(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame =
+    resize(df, payloadCol, w, h)
+
   private def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // ??? real resampler goes here; deterministic fake below
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) fakeResize(bytes, w, h)
+    else {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  private def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.update(bytes); d.update(s"${w}x$h".getBytes)
     d.digest()

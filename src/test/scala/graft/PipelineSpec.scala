@@ -133,6 +133,34 @@ class PipelineSpec extends SparkSpec {
     assert(frames.select(countDistinct($"frame_key")).head().getLong(0) == 4L)
   }
 
+  test("multimodal decode + resize handle real PNG/JPEG payloads via ImageIO") {
+    // render small real images in-memory: a 40×24 PNG and a 17×11 JPEG
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) * 1024)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, imageBytes(40, 24, "png")),
+      (2L, imageBytes(17, 11, "jpg")),
+      (3L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))). // not an image → fallback
+      toDF("id", "payload")
+    val meta = Multimodal.decode(df, "payload").orderBy($"id").collect()
+      .map(r => r.getStruct(r.fieldIndex("meta")))
+    assert(meta(0).getInt(0) == 40 && meta(0).getInt(1) == 24 && meta(0).getString(3) == "png")
+    assert(meta(1).getInt(0) == 17 && meta(1).getInt(1) == 11
+      && meta(1).getString(3).startsWith("jp"))
+    assert(meta(2).getInt(0) == 16 + 1 * 4) // deterministic fallback formula
+
+    // resize really rescales: the output re-decodes to the target dims
+    val resized = Multimodal.resize(df.filter($"id" === 1L), "payload", 8, 6).head()
+    val outBytes = resized.getAs[Array[Byte]]("resized")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 6)
+  }
+
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {
     val df = Seq((1L, "hello"), (2L, "hello"), (3L, "different"), (4L, null.asInstanceOf[String]))
       .toDF("id", "src")
