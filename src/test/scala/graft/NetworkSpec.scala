@@ -65,6 +65,98 @@ class NetworkSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("ILP over HTTP: /write ingests lines, registers views, upserts on dedup keys") {
+    val engine = Engine(spark, sfDir)
+    val ilpDir = Files.createTempDirectory("ilphttp").toString
+    val srv = new graft.http.RestServer(engine, ilpDir = ilpDir)
+    val port = srv.start()
+    try {
+      def post(path: String, body: String): Int = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes)
+        conn.getResponseCode
+      }
+      assert(post("/write?dedup=sym",
+        "mtrades,sym=A price=10.0,qty=5i 1704067200000000000\n" +
+          "mtrades,sym=B price=20.0,qty=7i 1704070800000000000\n") == 204)
+      // second request: same (ts, sym=A) upserts, sym=C is new; the
+      // influx-compat alias and ms precision ride the same handler
+      assert(post("/api/v2/write?dedup=sym&precision=ms",
+        "mtrades,sym=A price=11.5,qty=6i 1704067200000\n" +
+          "mtrades,sym=C price=30.0,qty=9i 1704070800000\n") == 204)
+      val rows = spark.sql("SELECT sym, price, qty FROM mtrades ORDER BY sym").collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+        Seq(("A", 11.5, 6L), ("B", 20.0, 7L), ("C", 30.0, 9L)))
+      // timestamps survived the precision rescale
+      val ts = spark.sql("SELECT CAST(ts AS STRING) FROM mtrades WHERE sym = 'B'").head().getString(0)
+      assert(ts.startsWith("2024-01-01"))
+    } finally srv.stop()
+  }
+
+  test("PGWire: startup handshake, SELECT 1, dialect query, error recovery") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      def readMsg(): (Char, Array[Byte]) = {
+        val t = in.readByte().toChar
+        val p = new Array[Byte](in.readInt() - 4)
+        in.readFully(p); (t, p)
+      }
+      def readUntilReady(): Seq[(Char, Array[Byte])] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Char, Array[Byte])]
+        var m = readMsg()
+        while (m._1 != 'Z') { buf += m; m = readMsg() }
+        buf.toSeq
+      }
+      def query(sql: String): Seq[(Char, Array[Byte])] = {
+        val b = sql.getBytes("UTF-8")
+        out.writeByte('Q'); out.writeInt(4 + b.length + 1); out.write(b); out.writeByte(0)
+        out.flush(); readUntilReady()
+      }
+      def dataRows(ms: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
+        ms.filter(_._1 == 'D').map { case (_, p) =>
+          val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(p))
+          (0 until d.readShort().toInt).map { _ =>
+            val len = d.readInt()
+            if (len < 0) null
+            else { val b = new Array[Byte](len); d.readFully(b); new String(b, "UTF-8") }
+          }
+        }
+
+      // SSLRequest → 'N', then cleartext startup + trust auth
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.readByte().toChar == 'N')
+      val params = "user\u0000graft\u0000database\u0000graft\u0000\u0000".getBytes("UTF-8")
+      out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
+      val hello = readUntilReady()
+      assert(hello.head._1 == 'R') // AuthenticationOk
+      assert(hello.exists(_._1 == 'S') && hello.exists(_._1 == 'K'))
+
+      val r1 = query("SELECT 1 AS one")
+      assert(r1.map(_._1).toSeq == Seq('T', 'D', 'C'))
+      assert(dataRows(r1) == Seq(Seq("1")))
+
+      // the dialect rides the wire: SAMPLE BY through Engine.sql
+      val r2 = query("SELECT ts, count(*) AS n FROM events WHERE event_type = 'click' SAMPLE BY 1d ORDER BY ts")
+      assert(dataRows(r2).nonEmpty)
+      assert(r2.exists(_._1 == 'C'))
+
+      // bad SQL → ErrorResponse, session survives
+      val r3 = query("SELECT FROM nowhere ,,,")
+      assert(r3.exists(_._1 == 'E'))
+      assert(dataRows(query("SELECT 2 AS two")) == Seq(Seq("2")))
+
+      // terminate
+      out.writeByte('X'); out.writeInt(4); out.flush()
+    } finally { sock.close(); srv.stop() }
+  }
+
   test("REST /imp imports CSV and /exp exports it back") {
     val engine = Engine(spark, sfDir)
     val srv = new graft.http.RestServer(engine)
