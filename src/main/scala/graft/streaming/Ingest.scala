@@ -72,6 +72,29 @@ object Ingest {
     }
   }
 
+  // ---- dirty-range tracking (consumed by MatView.refresh) -----------
+  // The reference's mat-view refresh walks WAL txn ranges to find which
+  // time buckets a transaction touched (`WalTxnRangeLoader.java`); the
+  // parquet-table analogue is a marker file per day partition touched
+  // since the last refresh. O(partitions-touched), no data scan.
+
+  private def dirtyDir(tableDir: String): java.io.File =
+    new java.io.File(s"$tableDir/_graft_dirty")
+
+  private[streaming] def markDirty(tableDir: String, days: Iterable[String]): Unit = {
+    val d = dirtyDir(tableDir); d.mkdirs()
+    days.foreach(day => new java.io.File(d, day).createNewFile())
+  }
+
+  /** Days with unconsumed changes, as `yyyy-MM-dd` strings. */
+  def dirtyDays(tableDir: String): Seq[String] =
+    Option(dirtyDir(tableDir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).sorted.toSeq
+
+  /** Consume markers once a refresh has incorporated them. */
+  def clearDirty(tableDir: String, days: Seq[String]): Unit =
+    days.foreach(day => new java.io.File(dirtyDir(tableDir), day).delete())
+
   /** Apply one micro-batch to a table directory:
     *  1. idempotency guard (batch marker),
     *  2. DEDUP UPSERT KEYS(ts, keys...) within the batch,
@@ -98,7 +121,11 @@ object Ingest {
       .repartition(col("__day"))
       .sortWithinPartitions(col("__day"), col(tsCol))
       .write.mode("overwrite").partitionBy("__day").parquet(staging.getPath)
+    val touched = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__day="))
+      .map(_.getName.stripPrefix("__day="))
     publishStaged(staging, tableDir, batchId)
+    markDirty(tableDir, touched)
     marker.createNewFile()
     deleteRecursive(staging)
   }
@@ -139,6 +166,7 @@ object Ingest {
         .sortWithinPartitions(col("__day"), col(tsCol))
         .write.mode("overwrite").partitionBy("__day").parquet(staging.getPath)
       publishStaged(staging, tableDir, batchId)
+      markDirty(tableDir, days)
       marker.createNewFile()
       deleteRecursive(staging)
     } else {
@@ -159,6 +187,7 @@ object Ingest {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__day").parquet(tableDir)
+      markDirty(tableDir, days)
       marker.createNewFile()
       deleteRecursive(staging)
     }

@@ -110,6 +110,84 @@ class StreamingIngestSpec extends SparkSpec {
     assert(left == Seq("B"))
   }
 
+  test("mat view: dirty-range refresh rewrites only touched partitions, matches full recompute") {
+    import graft.streaming.MatView
+    val srcDir = tmp("mv_src")
+    val viewDir = tmp("mv_view")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = MatView.Definition(srcDir, viewDir, "ts", "1 hour", Seq("k"),
+      Seq("n" -> count(lit(1)), "s" -> sum($"v")))
+
+    // batch 0: two days of data → initial build
+    Ingest.applyBatch(Seq(
+      (ts("2024-01-01 01:10:00"), "A", 1.0),
+      (ts("2024-01-01 01:40:00"), "A", 2.0),
+      (ts("2024-01-01 03:00:00"), "B", 3.0),
+      (ts("2024-01-02 05:30:00"), "A", 4.0)).toDF("ts", "k", "v"),
+      0L, srcDir, "ts", Nil)
+    assert(Ingest.dirtyDays(srcDir) == Seq("2024-01-01", "2024-01-02"))
+    assert(MatView.refresh(spark, d) == Seq("2024-01-01", "2024-01-02"))
+    assert(Ingest.dirtyDays(srcDir).isEmpty)
+    assert(MatView.refresh(spark, d).isEmpty) // clean table → no-op
+
+    def partFiles(day: String): Set[(String, Long)] =
+      Option(new java.io.File(s"$viewDir/__day=$day").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    val day2Before = partFiles("2024-01-02")
+    assert(day2Before.nonEmpty)
+    Thread.sleep(1100) // mtime resolution guard
+
+    // batch 1: a LATE (out-of-order) row into day 1 only
+    Ingest.applyBatch(Seq((ts("2024-01-01 01:55:00"), "A", 10.0)).toDF("ts", "k", "v"),
+      1L, srcDir, "ts", Nil)
+    assert(Ingest.dirtyDays(srcDir) == Seq("2024-01-01"))
+    assert(MatView.refresh(spark, d) == Seq("2024-01-01"))
+
+    // the untouched view day was NOT rewritten (same files, same mtimes)
+    assert(partFiles("2024-01-02") == day2Before)
+
+    // view contents equal a from-scratch recompute
+    val view = spark.read.parquet(viewDir).select($"ts", $"k", $"n", $"s")
+    val full = spark.read.parquet(srcDir)
+      .groupBy(window($"ts", "1 hour").getField("start").as("ts"), $"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    assert(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty)
+    // the late row's bucket really updated: (01:00, A) now n=3, s=13
+    val r = view.filter($"ts" === ts("2024-01-01 01:00:00") && $"k" === "A").head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Double]("s") == 13.0)
+  }
+
+  test("mat view: multi-day buckets align to whole weeks; TIMER trigger refreshes") {
+    import graft.streaming.MatView
+    val srcDir = tmp("mvw_src")
+    val viewDir = tmp("mvw_view")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 1-week buckets: a dirty Wednesday must expand to the whole epoch-aligned week
+    val (lo, hi) = {
+      val r = MatView.alignedRange("2024-01-03", MatView.bucketMicros("1 week"))
+      (java.time.LocalDate.ofEpochDay(r._1 / 86400000000L).toString,
+        java.time.LocalDate.ofEpochDay(r._2 / 86400000000L).toString)
+    }
+    assert(lo == "2023-12-28" && hi == "2024-01-04") // Spark week windows anchor at the epoch (a Thursday)
+
+    val d = MatView.Definition(srcDir, viewDir, "ts", "1 day", Nil,
+      Seq("n" -> count(lit(1))))
+    Ingest.applyBatch(Seq((ts("2024-01-01 01:00:00"), 1.0)).toDF("ts", "v"),
+      0L, srcDir, "ts", Nil)
+    val timer = MatView.timer(spark, d, java.time.Duration.ofMillis(200))
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (n < 1 && System.currentTimeMillis() < deadline) {
+        n = scala.util.Try(spark.read.parquet(viewDir).count()).getOrElse(0L)
+        if (n < 1) Thread.sleep(100)
+      }
+      assert(n == 1L)
+      assert(Ingest.dirtyDays(srcDir).isEmpty)
+    } finally timer.cancel(false)
+  }
+
   test("live view: durable snapshot + seam advance per batch") {
     val srcDir = tmp("lv_src")
     val tableDir = tmp("lv_table")
