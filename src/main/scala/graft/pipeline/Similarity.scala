@@ -81,6 +81,41 @@ object Similarity {
       .select(col("cid"), col("cvec"))
   }
 
+  /** Lloyd-iterated k-means refinement of the hash-seeded centroids —
+    * the quality upgrade behind the same [[ivfCentroids]] seam. Each
+    * iteration is one broadcast assignment pass plus one aggregation
+    * (element-wise mean per inverted list): the same join+agg fixpoint
+    * pattern as [[Dedup.clusters]], nothing driver-side. Means are
+    * rounded (1e-6) so shuffle-order float addition cannot make
+    * training nondeterministic; empty lists keep their previous
+    * centroid. At 100 TB you train on a sample (`corpus.sample`) and
+    * assign the full corpus — assignment, not training, is the
+    * full-scan stage.
+    */
+  def ivfCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, iters: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__v"))
+    var cent = ivfCentroids(corpus, idCol, vecCol, nlist)
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus, cent, idCol, vecCol)
+      val means = c.join(assigned, Seq(idCol))
+        .select(col("cid"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("cid"), col("__p"))
+        .agg(round(avg(col("__x")), 6).as("__m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .select(col("cid"),
+          expr("transform(__pm, s -> CAST(s.__m AS FLOAT))").as("__new"))
+      cent = cent.withColumnRenamed("cvec", "__old")
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__new"), col("__old")).as("cvec"))
+        .localCheckpoint(true) // nlist rows — tiny; truncates the iteration lineage
+      i += 1
+    }
+    cent
+  }
+
   /** Assign every corpus vector to its nearest centroid (max cosine,
     * centroid-id tiebreak). One broadcast join + per-row arg-max — the
     * corpus streams through once with no shuffle; at 100 TB the output
@@ -108,8 +143,9 @@ object Similarity {
     * tiebreaks), so results are engine-reproducible.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val cent = ivfCentroids(corpus, idCol, vecCol, nlist)
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
     val lists = ivfAssign(corpus, cent, idCol, vecCol)
       .select(col(idCol).as("cid_doc"), col("cid"))
 

@@ -97,6 +97,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getLong(1) == 1L && out.head.getInt(3) == 1)
   }
 
+  test("k-means IVF centroids: deterministic, recall@k >= hash-seeded baseline") {
+    // 4 tight direction clusters in 8 dims, deterministic perturbation
+    val dirs = Seq(
+      Array(10f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 1f))
+    val vecs = (for { c <- 0 until 4; j <- 0 until 15 } yield {
+      val id = (c * 15 + j).toLong
+      val v = dirs(c).zipWithIndex.map { case (x, i) =>
+        x + (((id * 37 + i * 13) % 7).toInt - 3) * 0.05f
+      }
+      (id, v)
+    }).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 15 === 0)
+
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    val exact = topkSet(Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select($"qid", $"cid"))
+    def recall(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = topkSet(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+        5, 4, 1, cent).select($"qid", $"cid"))
+      exact.map { case (q, want) => got.getOrElse(q, Set.empty).count(want).toDouble / want.size }
+        .sum / exact.size
+    }
+    val km = Similarity.ivfCentroidsKMeans(vecs, "vec_id", "embedding", 4, iters = 3)
+    val km2 = Similarity.ivfCentroidsKMeans(vecs, "vec_id", "embedding", 4, iters = 3)
+    // deterministic training: identical centroids across runs
+    assert(km.orderBy($"cid").collect().map(_.getSeq[Float](1)).toSeq ==
+      km2.orderBy($"cid").collect().map(_.getSeq[Float](1)).toSeq)
+    val rHash = recall(None)
+    val rKm = recall(Some(km))
+    assert(rKm >= rHash)
+    assert(rKm >= 0.9) // trained centroids must actually separate the clusters
+  }
+
   test("ivf assignment is exhaustive and deterministic") {
     val vecs = (0L until 20L).map(i =>
       (i, Array((i % 5).toFloat + 1f, (i % 3).toFloat, 1.0f))).toDF("vec_id", "embedding")
