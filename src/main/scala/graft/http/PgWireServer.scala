@@ -21,8 +21,16 @@ import org.apache.spark.sql.types._
   * SQL). Queries run through [[graft.Engine.sql]], so the whole dialect
   * (SAMPLE BY, LATEST ON, ASOF JOIN, ...) rides the wire unchanged.
   *
-  * Out of scope (documented): the extended protocol (Parse/Bind/
-  * Execute), COPY sub-protocol, cancellation, TLS.
+  * Also supported: the extended-query protocol JDBC/psycopg drive by
+  * default — Parse ('P') with `$n` parameter placeholders, Bind ('B')
+  * with text-format parameters (typed by the declared OID), Describe
+  * ('D') for statements and portals, Execute ('E') with a row limit and
+  * PortalSuspended resume, Close ('C'), Flush ('H'), Sync ('S') — and
+  * the protocol's error discipline (after an error, messages are
+  * discarded until Sync).
+  *
+  * Out of scope (documented): binary result/parameter formats, the
+  * COPY sub-protocol, cancellation, TLS.
   */
 class PgWireServer(engine: graft.Engine, port: Int = 0) {
   private val server = new ServerSocket(port)
@@ -46,9 +54,37 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
 
   // ---- connection loop ----------------------------------------------
 
+  /** A named prepared statement: SQL with `$n` markers + declared
+    * parameter OIDs (0 = unspecified, value type inferred at Bind).
+    */
+  private case class Prepared(sql: String, paramOids: Seq[Int])
+
+  /** A bound portal. Execution is lazy (first Describe-portal derives
+    * the schema without collecting; first Execute collects) and the row
+    * iterator persists across Executes for maxRows/PortalSuspended.
+    */
+  private final class Portal(val stmt: Prepared, val args: Seq[Any]) {
+    private var dfOpt: Option[org.apache.spark.sql.DataFrame] = None
+    private var rowsOpt: Option[Iterator[org.apache.spark.sql.Row]] = None
+    private def df = dfOpt.getOrElse {
+      val d = if (args.isEmpty) engine.sql(stmt.sql) else engine.sql(stmt.sql, args: _*)
+      dfOpt = Some(d); d
+    }
+    def schema: StructType = df.schema
+    def rows: Iterator[org.apache.spark.sql.Row] = rowsOpt.getOrElse {
+      val it = df.collect().iterator
+      rowsOpt = Some(it); it
+    }
+  }
+
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val prepared = scala.collection.mutable.Map.empty[String, Prepared]
+    val portals = scala.collection.mutable.Map.empty[String, Portal]
+    // extended-protocol error discipline: after a failure, discard
+    // everything until Sync
+    var skipToSync = false
     try {
       if (!startup(in, out)) return
       var open = true
@@ -57,20 +93,150 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
         val len = if (tpe == 'X'.toByte && in.available() == 0) 4 else in.readInt()
         val payload = new Array[Byte](len - 4)
         in.readFully(payload)
-        tpe.toChar match {
+        val kind = tpe.toChar
+        if (skipToSync && kind != 'S' && kind != 'X') {
+          // discard
+        } else kind match {
           case 'Q' =>
             val sql = new String(payload, 0, payload.length - 1, UTF_8) // NUL-terminated
             runSimpleQuery(sql, out)
             readyForQuery(out)
+          case 'P' | 'B' | 'D' | 'E' | 'C' =>
+            try extendedMessage(kind, new Reader(payload), out, prepared, portals)
+            catch {
+              case e: Exception =>
+                errorResponse(out, "42601", Option(e.getMessage).getOrElse(e.toString))
+                skipToSync = true
+            }
+          case 'S' =>
+            skipToSync = false
+            portals.clear() // Sync closes the implicit transaction's portals
+            readyForQuery(out)
+          case 'H' => // Flush
           case 'X' => open = false
-          case _ => // Parse/Bind/etc: report cleanly, stay alive
-            errorResponse(out, "0A000", s"unsupported message type '${tpe.toChar}'")
+          case _ =>
+            errorResponse(out, "0A000", s"unsupported message type '$kind'")
             readyForQuery(out)
         }
         out.flush()
       }
     } catch { case _: Exception => /* client went away */ }
     finally sock.close()
+  }
+
+  private def extendedMessage(kind: Char, r: Reader, out: DataOutputStream,
+                              prepared: scala.collection.mutable.Map[String, Prepared],
+                              portals: scala.collection.mutable.Map[String, Portal]): Unit =
+    kind match {
+      case 'P' => // Parse: name, query, declared param OIDs
+        val name = r.cstr()
+        val sql = r.cstr()
+        val oids = Seq.fill(r.int16())(r.int32())
+        prepared(name) = Prepared(sql, oids)
+        msg(out, '1') { _ => } // ParseComplete
+      case 'B' => // Bind: portal, statement, formats, params
+        val portal = r.cstr()
+        val stmtName = r.cstr()
+        val stmt = prepared.getOrElse(stmtName,
+          throw new IllegalArgumentException(s"unknown prepared statement '$stmtName'"))
+        val paramFmts = Seq.fill(r.int16())(r.int16())
+        val nParams = r.int16()
+        val args = (0 until nParams).map { i =>
+          val fmt = if (paramFmts.isEmpty) 0
+            else if (paramFmts.length == 1) paramFmts.head else paramFmts(i)
+          if (fmt != 0) throw new IllegalArgumentException("binary parameters not supported")
+          r.bytes() match {
+            case null => null
+            case b => paramValue(stmt.paramOids.lift(i).getOrElse(0), new String(b, UTF_8))
+          }
+        }
+        portals(portal) = new Portal(stmt, args)
+        msg(out, '2') { _ => } // BindComplete
+      case 'D' => // Describe statement ('S') or portal ('P')
+        val target = r.byte().toChar
+        val name = r.cstr()
+        target match {
+          case 'S' =>
+            val stmt = prepared.getOrElse(name,
+              throw new IllegalArgumentException(s"unknown prepared statement '$name'"))
+            msg(out, 't') { b => // ParameterDescription: echo declared OIDs
+              b.writeShort(stmt.paramOids.length)
+              stmt.paramOids.foreach(b.writeInt)
+            }
+            // schema without executing: bind nulls for any parameters
+            try {
+              val nArgs = maxParamIndex(stmt.sql)
+              val d = if (nArgs == 0) engine.sql(stmt.sql)
+                else engine.sql(stmt.sql, Seq.fill[Any](nArgs)(null): _*)
+              rowDescription(out, d.schema)
+            } catch { case _: Exception => msg(out, 'n') { _ => } } // NoData
+          case _ =>
+            val p = portals.getOrElse(name,
+              throw new IllegalArgumentException(s"unknown portal '$name'"))
+            rowDescription(out, p.schema)
+        }
+      case 'E' => // Execute: portal, maxRows (0 = all)
+        val name = r.cstr()
+        val maxRows = r.int32()
+        val p = portals.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown portal '$name'"))
+        val schema = p.schema
+        val it = p.rows
+        var sent = 0
+        while (it.hasNext && (maxRows == 0 || sent < maxRows)) {
+          dataRow(out, schema, it.next()); sent += 1
+        }
+        if (it.hasNext) msg(out, 's') { _ => } // PortalSuspended
+        else msg(out, 'C') { b => cstr(b, s"SELECT $sent") }
+      case 'C' => // Close statement or portal
+        val target = r.byte().toChar
+        val name = r.cstr()
+        if (target == 'S') prepared.remove(name) else portals.remove(name)
+        msg(out, '3') { _ => } // CloseComplete
+    }
+
+  /** Highest `$n` marker in the SQL (for Describe-statement null binds). */
+  private def maxParamIndex(sql: String): Int =
+    """\$(\d+)""".r.findAllMatchIn(sql).map(_.group(1).toInt).foldLeft(0)(math.max)
+
+  /** Text-format parameter → JVM value, guided by the declared OID
+    * (pg_type.dat public numbers); OID 0/unknown infers numerics so
+    * `$1 + 1` style expressions type-check.
+    */
+  private def paramValue(oid: Int, text: String): Any = oid match {
+    case 16 => text == "t" || text == "true" || text == "1"
+    case 20 | 21 | 23 => text.toLong
+    case 700 | 701 => text.toDouble
+    case 1700 => new java.math.BigDecimal(text)
+    case 1114 | 1184 => java.sql.Timestamp.valueOf(text.replace('T', ' ').stripSuffix("Z"))
+    case 25 | 1043 => text
+    case _ =>
+      if (text.matches("[+-]?\\d+")) text.toLong
+      else if (text.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) text.toDouble
+      else text
+  }
+
+  /** Cursor over an extended-protocol message payload. */
+  private final class Reader(payload: Array[Byte]) {
+    private var pos = 0
+    def byte(): Byte = { val b = payload(pos); pos += 1; b }
+    def int16(): Int = { val v = ((payload(pos) & 0xff) << 8) | (payload(pos + 1) & 0xff); pos += 2; v }
+    def int32(): Int = {
+      val v = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
+        ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def cstr(): String = {
+      val end = payload.indexOf(0.toByte, pos)
+      val s = new String(payload, pos, end - pos, UTF_8)
+      pos = end + 1; s
+    }
+    /** Length-prefixed byte string; -1 length → null. */
+    def bytes(): Array[Byte] = {
+      val n = int32()
+      if (n < 0) null
+      else { val b = java.util.Arrays.copyOfRange(payload, pos, pos + n); pos += n; b }
+    }
   }
 
   /** Negotiation + startup + trust auth. Returns false if the client
@@ -115,18 +281,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
         val schema = df.schema
         val rows = df.collect()
         rowDescription(out, schema)
-        rows.foreach { r =>
-          msg(out, 'D') { b =>
-            b.writeShort(schema.length)
-            (0 until schema.length).foreach { i =>
-              if (r.isNullAt(i)) b.writeInt(-1)
-              else {
-                val bytes = textOf(r.get(i), schema(i).dataType).getBytes(UTF_8)
-                b.writeInt(bytes.length); b.write(bytes)
-              }
-            }
-          }
-        }
+        rows.foreach(dataRow(out, schema, _))
         msg(out, 'C') { b => cstr(b, s"SELECT ${rows.length}") }
       } catch {
         case e: Exception =>
@@ -148,6 +303,19 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
     parts += cur.toString
     parts.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  private def dataRow(out: DataOutputStream, schema: StructType,
+                      r: org.apache.spark.sql.Row): Unit =
+    msg(out, 'D') { b =>
+      b.writeShort(schema.length)
+      (0 until schema.length).foreach { i =>
+        if (r.isNullAt(i)) b.writeInt(-1)
+        else {
+          val bytes = textOf(r.get(i), schema(i).dataType).getBytes(UTF_8)
+          b.writeInt(bytes.length); b.write(bytes)
+        }
+      }
+    }
 
   private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
     msg(out, 'T') { b =>

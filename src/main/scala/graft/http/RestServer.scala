@@ -100,61 +100,14 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     * `dedup=k1,k2` the apply is the cross-batch DEDUP UPSERT KEYS path.
     */
   private def writeHandler(ex: HttpExchange): (Int, String, String) = {
-    import org.apache.spark.sql.functions._
     val p = params(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val spark = engine.spark
-    import spark.implicits._
-    val lines = body.split("\n").toSeq.filter(_.trim.nonEmpty)
-    if (lines.isEmpty) return (204, "", "")
-
-    // parseIlp interprets trailing timestamps as nanos; other precisions
-    // rescale the parsed value (influx `precision=` semantics)
-    val microsMult = p.getOrElse("precision", "ns") match {
-      case "ns" => 1L case "us" => 1000L case "ms" => 1000000L case "s" => 1000000000L
-      case other => throw new IllegalArgumentException(s"bad precision: $other")
-    }
-    val parsed0 = graft.streaming.Ingest.parseIlp(spark.createDataset(lines))
-    val parsed = (if (microsMult == 1L) parsed0
-      else parsed0.withColumn("ts", timestamp_micros(unix_micros(col("ts")) * microsMult)))
-      .withColumn("ts", coalesce(col("ts"), current_timestamp())) // server-time rows
-      .persist()
-    try {
-      val dedupKeys = p.get("dedup").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
-      val measurements = parsed.select("measurement").distinct()
-        .collect().map(_.getString(0)).sorted // bounded: tables touched by one request
-      var total = 0L
-      measurements.foreach { m =>
-        val rows = flattenIlp(parsed.filter(col("measurement") === m))
-        total += rows.count()
-        val tableDir = s"$ilpDir/$m"
-        val batchId = writeSeq.incrementAndGet() * 1000000L + System.nanoTime() % 1000000L
-        if (dedupKeys.nonEmpty)
-          graft.streaming.Ingest.upsertBatch(rows, batchId, tableDir, "ts", dedupKeys)
-        else
-          graft.streaming.Ingest.applyBatch(rows, batchId, tableDir, "ts", Nil)
-        spark.read.parquet(tableDir).drop("__day").createOrReplaceTempView(m)
-      }
-      (204, "", "")
-    } finally parsed.unpersist()
-  }
-
-  /** Dynamic-schema projection: every tag and field key observed in the
-    * batch becomes a column (the reference adds table columns the same
-    * lazily-on-ingest way).
-    */
-  private def flattenIlp(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    def keys(c: String) = df.select(explode(map_keys(col(c)))).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val cols =
-      keys("tags").map(k => col("tags")(k).as(k)) ++
-        keys("f_double").map(k => col("f_double")(k).as(k)) ++
-        keys("f_long").map(k => col("f_long")(k).as(k)) ++
-        keys("f_string").map(k => col("f_string")(k).as(k)) ++
-        keys("f_bool").map(k => col("f_bool")(k).as(k)) :+
-        col("ts")
-    df.select(cols: _*)
+    val lines = body.split("\n").toSeq
+    val microsMult = graft.streaming.IlpApply.precisionMult(p.getOrElse("precision", "ns"))
+    val dedupKeys = p.get("dedup").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    graft.streaming.IlpApply.applyLines(engine.spark, lines, ilpDir,
+      microsMult, dedupKeys, writeSeq)
+    (204, "", "")
   }
 
   private def jsonStr(s: String): String =

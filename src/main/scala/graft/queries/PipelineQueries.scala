@@ -93,6 +93,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    "q_similarity_ivf_kmeans" -> ((s, dir) => {
+      // same IVF probe, centroids refined by 2 deterministic Lloyd
+      // iterations (rounded means — engine-reproducible). Not DuckDB-
+      // expressible (iterative training) → rows-only driver check; the
+      // recall >= hash-seeded baseline assertion lives in PipelineSpec.
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8, 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 8, 2,
+        centroids = Some(cent))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "q_dedup_pipeline" -> ((s, dir) => {
       // end-to-end dedup: shingle → exact-jaccard confirm (≥0.5) →
       // drop the higher doc_id of each confirmed pair → survivor stats

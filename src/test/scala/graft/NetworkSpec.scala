@@ -157,6 +157,147 @@ class NetworkSpec extends SparkSpec {
     } finally { sock.close(); srv.stop() }
   }
 
+  test("ILP over UDP: datagrams buffer, flush commits, dedup keys upsert") {
+    val engine = Engine(spark, sfDir)
+    val ilpDir = Files.createTempDirectory("ilpudp").toString
+    val rcv = new graft.streaming.IlpUdp(engine, ilpDir = ilpDir, dedupKeys = Seq("sym"))
+    val port = rcv.start()
+    val sock = new java.net.DatagramSocket()
+    try {
+      def send(lines: String): Unit = {
+        val b = lines.getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(b, b.length,
+          java.net.InetAddress.getLoopbackAddress, port))
+      }
+      def awaitLines(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (rcv.linesReceived < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(rcv.linesReceived == n)
+      }
+      // first commit: one multi-line datagram
+      send("utrades,sym=A price=10.0 1704067200000000000\n" +
+        "utrades,sym=B price=20.0 1704070800000000000")
+      awaitLines(2)
+      rcv.flush()
+      // second commit: same (ts, sym) → cross-batch upsert wins
+      send("utrades,sym=A price=11.0 1704067200000000000")
+      awaitLines(3)
+      rcv.flush()
+      val rows = spark.sql("SELECT sym, price FROM utrades ORDER BY sym").collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("A", 11.0), ("B", 20.0)))
+    } finally { sock.close(); rcv.stop() }
+  }
+
+  test("PGWire extended protocol: Parse/Bind/Describe/Execute with params and resume") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      def readMsg(): (Char, Array[Byte]) = {
+        val t = in.readByte().toChar
+        val p = new Array[Byte](in.readInt() - 4)
+        in.readFully(p); (t, p)
+      }
+      def readUntilReady(): Seq[(Char, Array[Byte])] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Char, Array[Byte])]
+        var m = readMsg()
+        while (m._1 != 'Z') { buf += m; m = readMsg() }
+        buf.toSeq
+      }
+      def msg(tpe: Char)(body: java.io.DataOutputStream => Unit): Unit = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new java.io.DataOutputStream(buf)
+        body(b); b.flush()
+        out.writeByte(tpe); out.writeInt(4 + buf.size()); buf.writeTo(out)
+      }
+      def cstr(b: java.io.DataOutputStream, s: String): Unit = {
+        b.write(s.getBytes("UTF-8")); b.writeByte(0)
+      }
+      def decode(p: Array[Byte]): Seq[String] = {
+        val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(p))
+        (0 until d.readShort().toInt).map { _ =>
+          val len = d.readInt()
+          if (len < 0) null
+          else { val b = new Array[Byte](len); d.readFully(b); new String(b, "UTF-8") }
+        }
+      }
+
+      // startup (no SSL probe this time)
+      val params = "user\u0000graft\u0000\u0000".getBytes("UTF-8")
+      out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
+      readUntilReady()
+
+      // Parse a parameterized statement, declared OIDs int8, text
+      msg('P') { b => cstr(b, "s1"); cstr(b, "SELECT $1 + 1 AS x, upper($2) AS u"); b.writeShort(2); b.writeInt(20); b.writeInt(25) }
+      msg('D') { b => b.writeByte('S'); cstr(b, "s1") }
+      msg('B') { b =>
+        cstr(b, ""); cstr(b, "s1")
+        b.writeShort(0)      // param formats: all text
+        b.writeShort(2)      // two params
+        b.writeInt(2); b.write("41".getBytes)
+        b.writeInt(2); b.write("ab".getBytes)
+        b.writeShort(0)      // result formats
+      }
+      msg('E') { b => cstr(b, ""); b.writeInt(0) }
+      msg('S') { _ => }
+      out.flush()
+      val ms = readUntilReady()
+      assert(ms.map(_._1) == Seq('1', 't', 'T', '2', 'D', 'C'))
+      assert(decode(ms.find(_._1 == 'D').get._2) == Seq("42", "AB"))
+
+      // portal row-limit + PortalSuspended resume across Executes
+      msg('P') { b => cstr(b, ""); cstr(b, "SELECT id FROM (VALUES (1),(2),(3)) v(id) ORDER BY id"); b.writeShort(0) }
+      msg('B') { b => cstr(b, "c1"); cstr(b, ""); b.writeShort(0); b.writeShort(0); b.writeShort(0) }
+      msg('E') { b => cstr(b, "c1"); b.writeInt(2) }
+      msg('H') { _ => }
+      out.flush()
+      // expect ParseComplete, BindComplete, 2 DataRows, PortalSuspended
+      assert(readMsg()._1 == '1')
+      assert(readMsg()._1 == '2')
+      assert(decode(readMsg()._2) == Seq("1"))
+      assert(decode(readMsg()._2) == Seq("2"))
+      assert(readMsg()._1 == 's')
+      msg('E') { b => cstr(b, "c1"); b.writeInt(2) }
+      msg('S') { _ => }
+      out.flush()
+      val ms2 = readUntilReady()
+      assert(ms2.map(_._1) == Seq('D', 'C')) // last row, then complete
+      assert(decode(ms2.head._2) == Seq("3"))
+
+      // error discipline: bad Bind → ErrorResponse, discard until Sync
+      msg('B') { b => cstr(b, ""); cstr(b, "missing_stmt"); b.writeShort(0); b.writeShort(0); b.writeShort(0) }
+      msg('E') { b => cstr(b, ""); b.writeInt(0) }
+      msg('S') { _ => }
+      out.flush()
+      val ms3 = readUntilReady()
+      assert(ms3.map(_._1) == Seq('E')) // one error, Execute discarded
+
+      // the dialect through the extended path: LATEST ON with a bind param
+      msg('P') { b => cstr(b, ""); cstr(b, "SELECT user_id, value FROM events WHERE event_type = $1 LATEST ON ts PARTITION BY user_id"); b.writeShort(1); b.writeInt(25) }
+      msg('B') { b =>
+        cstr(b, ""); cstr(b, "")
+        b.writeShort(0); b.writeShort(1)
+        b.writeInt(5); b.write("click".getBytes)
+        b.writeShort(0)
+      }
+      msg('D') { b => b.writeByte('P'); cstr(b, "") }
+      msg('E') { b => cstr(b, ""); b.writeInt(0) }
+      msg('S') { _ => }
+      out.flush()
+      val ms4 = readUntilReady()
+      assert(ms4.take(3).map(_._1) == Seq('1', '2', 'T'))
+      assert(ms4.count(_._1 == 'D') > 0)
+      assert(ms4.last._1 == 'C')
+
+      out.writeByte('X'); out.writeInt(4); out.flush()
+    } finally { sock.close(); srv.stop() }
+  }
+
   test("REST /imp imports CSV and /exp exports it back") {
     val engine = Engine(spark, sfDir)
     val srv = new graft.http.RestServer(engine)
