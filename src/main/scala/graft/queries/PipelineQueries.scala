@@ -105,6 +105,33 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    "q_sample_hash" -> ((s, dir) => {
+      // deterministic Bernoulli sampling: md5 hex is uniform, so a
+      // lexicographic threshold on the digest is an exact, seedable,
+      // engine-portable p-sample ('2' = 2/16 = 12.5%). The filter is a
+      // pure row predicate — pushes to the scan, no shuffle, and the
+      // same rows are selected at any parallelism (unlike rand()).
+      Tables.load(s, dir, "documents")
+        .filter(md5(concat(lit("smp"), col("doc_id").cast("string"))) < "2")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_stratified" -> ((s, dir) => {
+      // stratified quota sampling: k docs per language, picked by
+      // deterministic md5 order within the stratum — the training-mix
+      // builder's operator (balance sources/languages). One shuffle on
+      // the stratum key; per-group top-k state only.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("st"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+      Tables.load(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     "q_dedup_pipeline" -> ((s, dir) => {
       // end-to-end dedup: shingle → exact-jaccard confirm (≥0.5) →
       // drop the higher doc_id of each confirmed pair → survivor stats
@@ -205,6 +232,19 @@ object PipelineQueries extends QueryPack {
          |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster))
          |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE md5('smp' || CAST(doc_id AS VARCHAR)) < '2'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('st' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
