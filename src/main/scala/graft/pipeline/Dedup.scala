@@ -111,6 +111,35 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Benchmark-contamination check: for each corpus document, count
+    * distinct word n-gram shingles it shares with any benchmark/eval
+    * document, and flag documents whose best per-benchmark overlap
+    * reaches `minShared` — the decontamination gate every training-mix
+    * build runs before packing (n-gram overlap against held-out evals).
+    *
+    * Shape: shingle-keyed join of corpus shingles against the (small)
+    * benchmark shingle table, which is broadcast — eval sets are tiny
+    * relative to a 100 TB corpus, so the whole check is one map-side
+    * join plus one aggregation keyed by corpus doc; no shuffle of the
+    * corpus text, no all-pairs comparison.
+    *
+    * Output: one row per flagged corpus doc with the number of
+    * benchmark docs hit and the max shingles shared with any of them.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int, minShared: Int): DataFrame = {
+    val corpSh = wordShingleTable(corpus, idCol, textCol, n)
+      .select(col(idCol).as("a"), col("sh"))
+    val benchSh = wordShingleTable(bench, idCol, textCol, n)
+      .select(col(idCol).as("b"), col("sh"))
+    corpSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_bench_docs"), max(col("c")).as("max_shared"))
+      .filter(col("max_shared") >= minShared)
+      .select(col("a").as(idCol), col("n_bench_docs"), col("max_shared"))
+  }
+
   /** Connected components over an undirected candidate-pair list —
     * the clustering stage between near-dup pair generation (Jaccard /
     * MinHash / cosine) and the keep-one-per-cluster decision.

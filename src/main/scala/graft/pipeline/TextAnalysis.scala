@@ -66,4 +66,59 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Token-window chunking: split each document's token stream into
+    * windows of `window` tokens advancing by `stride` (overlap =
+    * window - stride), keeping the final partial window — the standard
+    * context-length packing step before tokenization. One generate +
+    * explode per document, no shuffle: chunk rows stay co-partitioned
+    * with their source docs, so at 100 TB this is a map-side fan-out
+    * whose output feeds straight into a partitioned write.
+    *
+    * Output: one row per chunk with (chunk_id, chunk, chunk_tokens).
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))
+      .select((idCol +: carry).map(col) ++ Seq(
+        (col("__start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("__w"), col("__start") + 1, lit(window)), " ").as("chunk"),
+        least(lit(window), col("__n") - col("__start")).cast("int").as("chunk_tokens")): _*)
+  }
+
+  /** Token-budget packing: assign chunk rows to training batches
+    * ("bins") of ~`budget` tokens by start-offset on the running token
+    * total — bin = floor(tokens-before-this-chunk / budget), the
+    * sequential-fill packing every pretraining loader does before
+    * writing shards.
+    *
+    * The running total is windowed PER `shardCol` (source / date /
+    * bucket), not globally: a global ordered cumsum is a one-partition
+    * bottleneck at 100 TB, while per-shard packing runs one window
+    * partition per shard — embarrassingly parallel, and shard-local
+    * bins are what the loader wants anyway.
+    *
+    * Output: per (shard, bin) — chunk count, packed token total,
+    * distinct source docs.
+    */
+  def packChunks(chunks: org.apache.spark.sql.DataFrame, shardCol: String,
+                 idCol: String, budget: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(idCol), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__before",
+        sum(col("chunk_tokens")).over(w) - col("chunk_tokens"))
+      .withColumn("bin", floor(col("__before") / budget).cast("int"))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
 }

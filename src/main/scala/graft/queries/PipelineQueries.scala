@@ -171,6 +171,94 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    "q_pii_redact" -> ((s, dir) => {
+      // PII redaction over text with deterministically injected
+      // synthetic PII (the raw corpus is PII-free) — doc_id-derived
+      // emails/SSNs/IPs/phones so hits are nonzero and reproducible.
+      // Map-only pass: counts + redaction run inside the scan stage.
+      Tables.load(s, dir, "documents")
+        .withColumn("__t", piiInjected)
+        .select(col("doc_id"),
+          Pii.piiCount(col("__t")).cast("int").as("n_pii"),
+          Pii.redact(col("__t")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pii_stats" -> ((s, dir) => {
+      // corpus PII census per language: category counts + docs hit
+      Tables.load(s, dir, "documents")
+        .withColumn("__t", piiInjected)
+        .groupBy(col("lang"))
+        .agg(
+          sum(Pii.emailCount(col("__t"))).as("n_email"),
+          sum(Pii.ssnCount(col("__t"))).as("n_ssn"),
+          sum(Pii.phoneCount(col("__t"))).as("n_phone"),
+          sum(Pii.ipv4Count(col("__t"))).as("n_ip"),
+          sum(when(Pii.piiCount(col("__t")) > 0, 1).otherwise(0)).as("n_docs_with_pii"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_chunk_tokens" -> ((s, dir) => {
+      // context-window chunking: 32-token windows, stride 24 (8-token
+      // overlap), final partial window kept — map-side explode only
+      TextAnalysis.chunkTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 32, 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q_contamination" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing >=3 distinct
+      // word 5-grams with any src0 (eval) doc; bench shingles broadcast
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 5, 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pack_tokens" -> ((s, dir) => {
+      // shard-local token-budget packing: chunk stream → 256-token
+      // training bins per source shard (window cumsum per shard, not
+      // global — parallel at corpus scale)
+      val chunks = TextAnalysis.chunkTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 32, 24, carry = Seq("source"))
+      TextAnalysis.packChunks(chunks, "source", "doc_id", 256)
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    "q_training_mix" -> ((s, dir) => {
+      // end-to-end training-mix build: quality gate + token-length gate
+      // + PII gate + per-lang quota (deterministic hash order), then
+      // the per-(lang, source) mix report — the composition every
+      // corpus build runs
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("mix"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+      Tables.load(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__q", TextAnalysis.qualityScore("text", "__toks"))
+        .withColumn("__n", size(col("__toks")))
+        .filter(col("__q") >= 0.7 && col("__n").between(20, 10000) &&
+          Pii.piiCount(col("text")) === 0)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 50)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    "q_embed_centroids" -> ((s, dir) => {
+      // per-label embedding centroids, one row per (label, dim) — the
+      // class-prototype pass (seed centroids, per-cluster stats).
+      // posexplode keeps dims co-partitioned; one shuffle on (label,pos)
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("e").cast("double")), 6).as("c"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -180,6 +268,46 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     })
   )
+
+  /** doc_id-derived synthetic PII suffix appended to `text` — keeps the
+    * PII operators testable (and oracle-verifiable) on a PII-free
+    * synthetic corpus. Mirrored verbatim in the DuckDB oracle CTE.
+    */
+  private def piiInjected: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 4 === 0,
+        concat(lit(" contact a"), id.cast("string"), lit("@mail.example.com")))
+      .when(id % 4 === 1,
+        concat(lit(" ssn 914-"), (id % 90 + 10).cast("string"),
+          lit("-"), (id % 9000 + 1000).cast("string")))
+      .when(id % 4 === 2,
+        concat(lit(" from ip 10."), (id % 254).cast("string"),
+          lit(".3."), (id * 7 % 254).cast("string")))
+      .otherwise(
+        concat(lit(" call 555-"), (id % 900 + 100).cast("string"),
+          lit("-"), (id % 9000 + 1000).cast("string"))))
+  }
+
+  // oracle mirror of piiInjected. NOTE: this CTE is interpolated into
+  // outer stripMargin strings — no line may start (after whitespace)
+  // with '|', or the outer stripMargin would eat one pipe of a '||'.
+  private val PII_T =
+    """t AS (
+      |  SELECT doc_id, lang, concat(text, CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN concat(' contact a', CAST(doc_id AS VARCHAR), '@mail.example.com')
+      |    WHEN 1 THEN concat(' ssn 914-', CAST(doc_id % 90 + 10 AS VARCHAR),
+      |                       '-', CAST(doc_id % 9000 + 1000 AS VARCHAR))
+      |    WHEN 2 THEN concat(' from ip 10.', CAST(doc_id % 254 AS VARCHAR),
+      |                       '.3.', CAST(doc_id * 7 % 254 AS VARCHAR))
+      |    ELSE concat(' call 555-', CAST(doc_id % 900 + 100 AS VARCHAR),
+      |                '-', CAST(doc_id % 9000 + 1000 AS VARCHAR)) END) AS t
+      |  FROM documents)""".stripMargin
+
+  private val RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val RE_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val RE_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val RE_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   // shared oracle CTE: distinct word 3-gram shingles per doc
   private val SH =
@@ -219,6 +347,117 @@ object PipelineQueries extends QueryPack {
        |cl AS (SELECT node, min(x) AS cluster FROM reach GROUP BY node)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      s"""WITH $PII_T
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$RE_EMAIL'))
+         |     + len(regexp_extract_all(t, '$RE_SSN'))
+         |     + len(regexp_extract_all(t, '$RE_PHONE'))
+         |     + len(regexp_extract_all(t, '$RE_IPV4')) AS INT) AS n_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$RE_EMAIL', '<EMAIL>', 'g'),
+         |    '$RE_SSN', '<SSN>', 'g'),
+         |    '$RE_PHONE', '<PHONE>', 'g'),
+         |    '$RE_IPV4', '<IP>', 'g') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pii_stats" ->
+      s"""WITH $PII_T
+         |SELECT lang,
+         |  CAST(sum(len(regexp_extract_all(t, '$RE_EMAIL'))) AS BIGINT) AS n_email,
+         |  CAST(sum(len(regexp_extract_all(t, '$RE_SSN'))) AS BIGINT) AS n_ssn,
+         |  CAST(sum(len(regexp_extract_all(t, '$RE_PHONE'))) AS BIGINT) AS n_phone,
+         |  CAST(sum(len(regexp_extract_all(t, '$RE_IPV4'))) AS BIGINT) AS n_ip,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(t, '$RE_EMAIL'))
+         |                   + len(regexp_extract_all(t, '$RE_SSN'))
+         |                   + len(regexp_extract_all(t, '$RE_PHONE'))
+         |                   + len(regexp_extract_all(t, '$RE_IPV4')) > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_chunk_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+        |         len(string_split(trim(text), ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n, CAST(unnest(range(0, n, 24)) AS INT) AS start
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(start / 24 AS INT) AS chunk_id,
+        |  array_to_string(list_slice(w, start + 1, least(start + 32, CAST(n AS INT))), ' ') AS chunk,
+        |  CAST(least(32, n - start) AS INT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source,
+        |    CAST(start / 24 AS INT) AS chunk_id,
+        |    CAST(least(32, n - start) AS INT) AS chunk_tokens
+        |  FROM (SELECT doc_id, source, n, CAST(unnest(range(0, n, 24)) AS INT) AS start FROM d)),
+        |r AS (
+        |  SELECT source, doc_id, chunk_id, chunk_tokens,
+        |    sum(chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens AS bef
+        |  FROM ch)
+        |SELECT source, CAST(floor(bef / 256) AS INT) AS bin,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM r GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_training_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, source,
+        |    len(string_split(trim(text), ' ')) AS n,
+        |    round(
+        |      (CASE WHEN len(string_split(trim(text), ' ')) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN (length(text) - CAST(len(string_split(trim(text), ' ')) AS DOUBLE) + 1.0)
+        |                / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0
+        |           THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+        |                w -> w IN ('the','of','and','to','in','for','on','with'))) AS DOUBLE)
+        |                / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) > 0.02
+        |           THEN 0.3 ELSE 0.0 END), 2) AS q,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+        |      + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |      + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii
+        |  FROM documents),
+        |sel AS (
+        |  SELECT lang, source, n, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(concat('mix', CAST(doc_id AS VARCHAR))) ASC, doc_id ASC) AS rk
+        |  FROM m WHERE q >= 0.7 AND n BETWEEN 20 AND 10000 AND pii = 0)
+        |SELECT lang, source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM sel WHERE rk <= 50 GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH ev AS (
+        |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS e,
+        |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos, round(avg(e), 6) AS c
+        |FROM ev GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents)
+        |        WHERE len(w) >= 5)),
+        |bench AS (SELECT doc_id AS b, sh FROM sh WHERE source = 'src0'),
+        |corp AS (SELECT doc_id AS a, sh FROM sh WHERE source <> 'src0'),
+        |ov AS (SELECT a, b, count(*) AS c FROM corp JOIN bench USING (sh) GROUP BY a, b)
+        |SELECT a AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bench_docs,
+        |  CAST(max(c) AS BIGINT) AS max_shared
+        |FROM ov GROUP BY a HAVING max(c) >= 3 ORDER BY doc_id""".stripMargin,
+
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $CLUSTERS,
          |sizes AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster)

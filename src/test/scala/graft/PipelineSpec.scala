@@ -230,4 +230,77 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "es", "de", "fr", "und").contains(r.getString(0))))
     assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
+
+  test("pii: counts and redaction per category, clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@corp.example.org or 555-123-4567 thanks"),
+      (2L, "ssn 914-77-1234 from host 192.168.0.17 twice 10.0.0.1"),
+      (3L, "no pii here, just 12-34 and v1.2.3 and a@b")
+    ).toDF("id", "t")
+    val out = df.select($"id",
+      Pii.emailCount($"t").as("e"), Pii.ssnCount($"t").as("s"),
+      Pii.phoneCount($"t").as("p"), Pii.ipv4Count($"t").as("i"),
+      Pii.redact($"t").as("r")).orderBy($"id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(3) == 1)
+    assert(out(0).getString(5) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1).getInt(2) == 1 && out(1).getInt(4) == 2)
+    assert(out(1).getString(5) == "ssn <SSN> from host <IP> twice <IP>")
+    // 12-34 (not 3-2-4), v1.2.3 (3 octets), a@b (no dotted TLD) must not match
+    assert(out(2).getInt(1) + out(2).getInt(2) + out(2).getInt(3) + out(2).getInt(4) == 0)
+    assert(out(2).getString(5) == "no pii here, just 12-34 and v1.2.3 and a@b")
+  }
+
+  test("chunkTokens: stride windows cover every token, final partial kept") {
+    val text = (1 to 75).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", 32, 24)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    // doc 1: starts 0,24,48,72 → sizes 32,32,27,3 ; doc 2: one chunk of 3
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(32, 32, 27, 3))
+    assert(d1(0).getString(2).startsWith("w1 w2 ") && d1(3).getString(2) == "w73 w74 w75")
+    // overlap: chunk 1 starts at token 25
+    assert(d1(1).getString(2).startsWith("w25 "))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(2) == "a b c" && d2(0).getInt(3) == 3)
+  }
+
+  test("packChunks: sequential fill per shard, bins near budget, all tokens packed") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"a$i").mkString(" "), "s1"), // starts 0,24,48,72,96 → 32,32,32,28,4
+      (2L, (1 to 40).map(i => s"b$i").mkString(" "), "s1"),  // starts 0,24 → 32,16
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "), "s2")   // starts 0,24 → 30,6
+    ).toDF("doc_id", "text", "source")
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24, carry = Seq("source"))
+    val out = TextAnalysis.packChunks(chunks, "source", "doc_id", 64)
+      .orderBy($"source", $"bin").collect()
+    // s1 chunk_tokens in order: 32,32,32,28,4,32,16 (cum-before 0,32,64,96,124,128,160)
+    //   → bins 0,0,1,1,1,2,2
+    val s1 = out.filter(_.getString(0) == "s1")
+    assert(s1.map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0, 2L, 64L, 1L), (1, 3L, 64L, 1L), (2, 2L, 48L, 1L)))
+    val s2 = out.filter(_.getString(0) == "s2")
+    assert(s2.map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0, 2L, 36L, 1L)))
+    // no tokens lost in packing (chunk totals incl. overlap re-reads)
+    assert(out.map(_.getLong(3)).sum == 128 + 48 + 36)
+  }
+
+  test("contamination: flags docs overlapping the benchmark set, plan broadcasts bench side") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val common = (1 to 8).map(i => s"c$i") // 8-token shared run → 4 distinct 5-grams
+    val corpus = Seq(
+      mk(10L, common ++ Seq("x1", "x2")),        // 4 shared 5-grams → flagged
+      mk(11L, Seq("a", "b", "c", "d", "e", "f")) // nothing shared
+    ).toDF("doc_id", "text")
+    val bench = Seq(mk(100L, "y0" +: common)).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", 5, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench side should broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 10L && rows(0).getLong(1) == 1L && rows(0).getLong(2) == 4L)
+  }
 }
