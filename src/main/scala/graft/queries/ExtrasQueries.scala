@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Finance, Generators, GeoHash}
+import graft.functions.{Finance, Generators, GeoHash, Long256Ops}
 
 /** Long-tail surface: generators (long_sequence / timestamp_sequence /
   * rnd_*), finance (mid/spread/wmid/l2price), geohash family, IPv4 ops,
@@ -128,7 +128,28 @@ object ExtrasQueries extends QueryPack {
       Tables.registerAll(s, dir)
       graft.sql.QuestSql.sql(s,
         "SELECT event_type, ts, count(*) AS n FROM events SAMPLE BY 1d ORDER BY event_type, ts")
-    })
+    }),
+
+    "q_long256" -> ((s, dir) => {
+      // LONG256 surface: to_long256 construction, long→long256 cast,
+      // native wrap-around add (carry across limbs), display trim, eq.
+      // castToLong256(-1) is the all-ones low limb, so +(id+1) carries
+      // into limb 1 — exercising the chain the hex concat can't express
+      graft.Engine.registerFunctions(s)
+      val id = col("event_id")
+      val h = Long256Ops.toLong256(id, id * 3 + 1, lit(0L), lit(0L))
+      Tables.events(s, dir).filter(id < 1000)
+        .select(
+          id.as("event_id"),
+          h.as("h"),
+          Long256Ops.long256Add(
+            Long256Ops.castToLong256(lit(-1L)),
+            Long256Ops.castToLong256(id + 1)).as("sum_carry"),
+          Long256Ops.long256Add(h, Long256Ops.castToLong256(lit(5L))).as("sum_small"),
+          Long256Ops.long256Str(h).as("disp"),
+          (h === Long256Ops.toLong256(id, id * 3 + 1, lit(0L), lit(0L))).cast("int").as("eq"))
+        .orderBy(id)
+    }),
   )
 
   private def rndSql(seed: String, counter: String): String =
@@ -142,6 +163,23 @@ object ExtrasQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_long256" ->
+      """WITH e AS (SELECT event_id FROM events WHERE event_id < 1000),
+        |h AS (
+        |  SELECT event_id,
+        |    repeat('0', 32) || printf('%016x', event_id * 3 + 1)
+        |      || printf('%016x', event_id) AS hx
+        |  FROM e)
+        |SELECT event_id,
+        |  '0x' || hx AS h,
+        |  '0x' || repeat('0', 32) || printf('%016x', 1) || printf('%016x', event_id) AS sum_carry,
+        |  '0x' || repeat('0', 32) || printf('%016x', event_id * 3 + 1)
+        |    || printf('%016x', event_id + 5) AS sum_small,
+        |  CASE WHEN ltrim(hx, '0') = '' THEN '0x00'
+        |       WHEN len(ltrim(hx, '0')) % 2 = 1 THEN '0x0' || ltrim(hx, '0')
+        |       ELSE '0x' || ltrim(hx, '0') END AS disp,
+        |  1 AS eq
+        |FROM h ORDER BY event_id""".stripMargin,
     "q_generators" -> {
       val rd = rndSql("d", "x")
       val ri = rndSql("i", "x")

@@ -303,6 +303,16 @@ object QuestSql {
     q = expandCalls(q, "week_of_year") { case Seq(ts) => s"weekofyear($ts)" }
     q = expandCalls(q, "systimestamp") { _ => "current_timestamp()" }
     q = expandCalls(q, "sysdate") { _ => "current_timestamp()" }
+    // LONG256 construction (reference long256/LongsToLong256FunctionFactory
+    // — limbs least-significant first) → canonical 0x + 64-hex-digit form;
+    // long256_add / long256_str are registered native functions
+    q = expandCalls(q, "to_long256") {
+      case Seq(l0, l1, l2, l3) =>
+        def limb(x: String) = s"lower(lpad(hex(CAST(($x) AS BIGINT)), 16, '0'))"
+        s"concat('0x', ${limb(l3)}, ${limb(l2)}, ${limb(l1)}, ${limb(l0)})"
+      case Seq(l0) =>
+        s"concat('0x', repeat('0', 48), lower(lpad(hex(CAST(($l0) AS BIGINT)), 16, '0')))"
+    }
     // day-interval functions in predicate position (`ts IN today()` —
     // reference functions/date/{Today,Tomorrow,Yesterday}FunctionFactory)
     q = DayIntervalRe.replaceAllIn(q, m => {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{Long256AddExpr, Long256Ops}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class Long256Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def add(a: String, b: String): String = {
+    val r = Long256Ops.add(UTF8String.fromString(a), UTF8String.fromString(b))
+    if (r == null) null else r.toString
+  }
+  private def pad(hex: String) = "0x" + ("0" * (64 - hex.length)) + hex
+
+  test("long256 add: carry ripples across all four limbs") {
+    // max uint256 + 1 wraps to zero
+    assert(add("0x" + "f" * 64, pad("1")) == pad(""))
+    // all-ones low limb + 1 carries into limb 1
+    assert(add(pad("f" * 16), pad("1")) == pad("1" + "0" * 16))
+    // carry chain through three full limbs
+    assert(add(pad("f" * 48), pad("1")) == pad("1" + "0" * 48))
+    // no-carry case
+    assert(add(pad("5"), pad("7")) == pad("c"))
+    // short-form inputs parse too
+    assert(add("0xff", "0x1") == pad("100"))
+  }
+
+  test("long256 add: malformed input propagates null (reference NULL_LONG256)") {
+    assert(add("0xzz", "0x1") == null)
+    assert(add("nothex", "0x1") == null)
+    assert(add("0x" + "f" * 65, "0x1") == null) // >256 bits
+  }
+
+  test("long256 parse/format round-trip and display trim") {
+    val v = "0x" + "0" * 31 + "a" + "b" * 16 + "0" * 16
+    assert(Long256Ops.format(Long256Ops.parse(v)) == v)
+    // display: trimmed to even digit count (reference byte-aligned hex)
+    assert(Long256Ops.displayForm(UTF8String.fromString(pad("1"))).toString == "0x01")
+    assert(Long256Ops.displayForm(UTF8String.fromString(pad(""))).toString == "0x00")
+    assert(Long256Ops.displayForm(UTF8String.fromString(pad("abc"))).toString == "0x0abc")
+    assert(Long256Ops.displayForm(UTF8String.fromString(pad("1" + "0" * 16))).toString
+      == "0x010000000000000000")
+  }
+
+  test("long256 column API + SQL registration execute codegen'd") {
+    Engine.registerFunctions(spark)
+    val df = Seq((1L, 2L), (-1L, 3L)).toDF("a", "b")
+      .select(Long256Ops.long256Add(
+        Long256Ops.castToLong256($"a"), Long256Ops.castToLong256($"b")).as("s"))
+    val rows = df.orderBy($"s").collect().map(_.getString(0))
+    // -1 cast = all-ones low limb (no sign extension); +3 carries
+    assert(rows.contains(pad("3")))
+    assert(rows.contains(pad("1" + "0" * 15 + "2")))
+    // SQL spelling through the dialect macro + registered function
+    val sql = graft.sql.QuestSql.sql(spark,
+      "SELECT long256_add(to_long256(5), to_long256(0, 1, 0, 0)) AS s")
+    assert(sql.collect()(0).getString(0) == pad("1" + "0" * 15 + "5"))
+  }
+}

@@ -134,4 +134,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"))
     assert(!p.contains("l_suppkey"))
   }
+
+  test("q_pii_redact: one map-only codegen stage — no shuffle before the sort") {
+    val p = plan("q_pii_redact")
+    // regex counts + redaction all evaluate as projections over the
+    // scan (codegen'd expressions, no UDF boundary); the only exchange
+    // is the final presentation ORDER BY
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("regexp_extract_all") && p.contains("regexp_replace"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"))
+  }
+
+  test("q_chunk_tokens: map-side explode, no shuffle before the sort") {
+    val p = plan("q_chunk_tokens")
+    assert(p.contains("Generate explode"), p)
+    // chunk fan-out happens where the docs live; only the final ORDER
+    // BY exchanges
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_pack_tokens: packing window partitioned by shard — never a single global partition") {
+    val p = plan("q_pack_tokens")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).nonEmpty, p)
+    // a global cumsum would plan Exchange SinglePartition before the
+    // window — the one shape that cannot scale
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+  }
+
+  test("q_contamination: bench shingles broadcast, corpus never re-shuffled for the join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
