@@ -198,6 +198,41 @@ class PipelineSpec extends SparkSpec {
     assert(back != null && back.getWidth == 8 && back.getHeight == 6)
   }
 
+  test("multimodal audio: real WAV parse (metadata + RMS/ZCR), non-WAV falls back") {
+    // synthesize a real RIFF/WAV: 0.1 s of a 440 Hz sine, PCM16 mono 8 kHz
+    def wavBytes(rate: Int, freq: Double, seconds: Double, amp: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amp * 32767 * math.sin(2 * math.Pi * freq * i / rate)).toInt
+        data(2 * i) = (s & 0xff).toByte; data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + data.length); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+      bb.array()
+    }
+    val df = Seq(
+      (1L, wavBytes(8000, 440.0, 0.1, 0.5)),
+      (2L, Array[Byte](9, 9, 9, 9, 9, 9, 9, 9))).toDF("id", "payload")
+    val m = Multimodal.decodeAudio(df, "payload").orderBy($"id").collect()
+      .map(r => r.getStruct(r.fieldIndex("audio_meta")))
+    assert(m(0).getInt(0) == 8000 && m(0).getInt(1) == 1 && m(0).getInt(2) == 16)
+    assert(m(0).getLong(3) == 800L && math.abs(m(0).getDouble(4) - 100.0) < 1e-9)
+    assert(m(0).getString(5) == "wav")
+    assert(m(1).getString(5) == "stub") // fallback seam for non-WAV codecs
+
+    val f = Multimodal.audioFeatures(df.filter($"id" === 1L), "payload").head()
+      .getStruct(2)
+    // sine RMS = amp/sqrt(2); ZCR = 2 crossings per cycle = 2f/rate; peak ≈ amp
+    assert(math.abs(f.getDouble(0) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f.getDouble(1) - 2.0 * 440 / 8000) < 0.01)
+    assert(f.getDouble(2) > 0.47 && f.getDouble(2) <= 0.5)
+  }
+
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {
     val df = Seq((1L, "hello"), (2L, "hello"), (3L, "different"), (4L, null.asInstanceOf[String]))
       .toDF("id", "src")
