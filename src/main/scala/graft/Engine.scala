@@ -40,6 +40,7 @@ object Engine {
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.GeoHashEncodeExpr.register(spark)
     graft.functions.Long256AddExpr.register(spark)
+    graft.functions.DotProductExpr.register(spark)
     spark.udf.register("ksum",
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.KSum))
     spark.udf.register("nsum",

@@ -15,12 +15,24 @@ import org.apache.spark.sql.functions._
   *    weights are a deterministic integer formula, so results are
   *    engine-portable and seed-stable.
   *
-  * Dot products run in double precision via `zip_with`/`aggregate`
-  * lambda expressions — codegen'd, no UDF.
+  * Dot products run in double precision through the native codegen'd
+  * [[graft.functions.DotProductExpr]] (one fused loop per pair; the
+  * equivalent `zip_with`/`aggregate` lambda spelling is interpreted —
+  * Spark higher-order functions are CodegenFallback — and was the
+  * bottleneck of every pair join here).
   */
 object Similarity {
   private val dot = (a: String, b: String) =>
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    graft.functions.DotProductExpr.dot(col(a), col(b))
+
+  /** vec_dot resolves through the session function registry — make
+    * sure the native expression is registered before building a plan
+    * that uses it (idempotent, cheap).
+    */
+  private def ensureDot(df: DataFrame): DataFrame = {
+    graft.functions.DotProductExpr.register(df.sparkSession)
+    df
+  }
 
   /** Exact cosine top-k of `corpus` rows for each query row.
     * Similarities are rounded (1e-6) with an id tiebreak so ranking is
@@ -30,6 +42,7 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    ensureDot(corpus)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", sqrt(dot("qe", "qe")))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("ce"))
@@ -50,6 +63,7 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
+    ensureDot(df)
     // norms once per row, not per pair — identical arithmetic to the
     // inline form, one dot product per pair instead of three
     val a = df.select(col(blockCol), col(idCol).as("a"), col(vecCol).as("va"))
@@ -71,6 +85,7 @@ object Similarity {
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int): DataFrame = {
+    ensureDot(corpus)
     val seeds = corpus
       .select(col(idCol).as("__seed_id"), col(vecCol).as("cvec"))
       .withColumn("__h", md5(col("__seed_id").cast("string")))
@@ -94,6 +109,7 @@ object Similarity {
     */
   def ivfCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
                          nlist: Int, iters: Int = 3): DataFrame = {
+    ensureDot(corpus)
     val c = corpus.select(col(idCol), col(vecCol).as("__v"))
     var cent = ivfCentroids(corpus, idCol, vecCol, nlist)
     var i = 0
@@ -123,6 +139,7 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
+    ensureDot(corpus)
     val c = corpus.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__vn", sqrt(dot("__v", "__v")))
     val cent = centroids.withColumn("__cn", sqrt(dot("cvec", "cvec")))
@@ -145,6 +162,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int,
               centroids: Option[DataFrame] = None): DataFrame = {
+    ensureDot(corpus)
     val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
     val lists = ivfAssign(corpus, cent, idCol, vecCol)
       .select(col(idCol).as("cid_doc"), col("cid"))

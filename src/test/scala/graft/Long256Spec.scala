@@ -7,6 +7,26 @@ import org.apache.spark.unsafe.types.UTF8String
 class Long256Spec extends SparkSpec {
   import spark.implicits._
 
+  test("vec_dot: native dot matches lambda spelling, null/length semantics preserved") {
+    graft.functions.DotProductExpr.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),   // 32
+      (2L, Seq(0.5f, -1.5f), Seq(2.0f, 2.0f)),              // -2
+      (3L, Seq(1.0f), Seq(1.0f, 2.0f))                      // length mismatch → null
+    ).toDF("id", "a", "b")
+    val out = df.selectExpr("id", "vec_dot(a, b) AS d",
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v) AS ref")
+      .orderBy($"id").collect()
+    assert(out(0).getDouble(1) == 32.0 && out(0).getDouble(1) == out(0).getDouble(2))
+    assert(out(1).getDouble(1) == -2.0 && out(1).getDouble(1) == out(1).getDouble(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    // double arrays and null elements
+    val d2 = Seq((1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("id", "a", "b")
+      .selectExpr("vec_dot(a, b) AS d").head()
+    assert(d2.isNullAt(0))
+  }
+
   private def add(a: String, b: String): String = {
     val r = Long256Ops.add(UTF8String.fromString(a), UTF8String.fromString(b))
     if (r == null) null else r.toString
