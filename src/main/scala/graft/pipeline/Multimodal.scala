@@ -191,6 +191,38 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Fixture synthesizer: a real RIFF/WAV PCM16 mono payload per row —
+    * sample rate / frame count / constant sample amplitude taken from
+    * integer columns. Runs batched per partition like the decoders, so
+    * oracle queries can round-trip construction → decode → features
+    * against closed-form expected values without canned binary files.
+    */
+  def synthWav(df: DataFrame, rateCol: String, framesCol: String, ampCol: String,
+               out: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val (ri, fi, ai) = (df.columns.indexOf(rateCol), df.columns.indexOf(framesCol),
+      df.columns.indexOf(ampCol))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = wavBytes(r.getInt(ri), r.getInt(fi), r.getInt(ai))
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def wavBytes(rate: Int, frames: Int, amp: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + frames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + frames * 2); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(frames * 2)
+    var i = 0
+    while (i < frames) { bb.putShort(amp.toShort); i += 1 }
+    bb.array()
+  }
+
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], o: Int): Int =

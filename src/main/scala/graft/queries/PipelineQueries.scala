@@ -259,6 +259,31 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q_audio_meta" -> ((s, dir) => {
+      // real WAV round-trip, oracle-gated: synthesize PCM16 payloads
+      // with id-derived rate/frames/amplitude, parse them back with the
+      // RIFF decoder, extract signal features — the oracle states the
+      // closed-form ground truth the decode must recover
+      val src = Tables.events(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          (lit(8000) + (col("event_id") % 3) * 4000).cast("int").as("rate"),
+          (lit(50) + col("event_id") % 100).cast("int").as("frames"),
+          (lit(1000) + col("event_id") % 1000).cast("int").as("amp"))
+      val decoded = Multimodal.audioFeatures(
+        Multimodal.decodeAudio(Multimodal.synthWav(src, "rate", "frames", "amp"), "payload"),
+        "payload")
+      decoded.select(col("event_id"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.bits").as("bits"),
+        col("audio_meta.n_frames").as("n_frames"),
+        col("audio_meta.duration_ms").as("duration_ms"),
+        round(col("audio_feat.rms"), 9).as("rms"),
+        col("audio_feat.zcr").as("zcr"),
+        col("audio_feat.peak").as("peak"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -668,6 +693,24 @@ object PipelineQueries extends QueryPack {
          |  CAST(sum(k.n_chars) AS BIGINT) AS chars_kept
          |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_audio_meta" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(8000 + (event_id % 3) * 4000 AS INT) AS rate,
+        |    CAST(50 + event_id % 100 AS INT) AS frames,
+        |    CAST(1000 + event_id % 1000 AS INT) AS amp
+        |  FROM events WHERE event_id < 200)
+        |SELECT event_id,
+        |  rate AS sample_rate,
+        |  1 AS channels,
+        |  16 AS bits,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  frames * 1000.0 / rate AS duration_ms,
+        |  round(sqrt((amp / 32768.0) * (amp / 32768.0)), 9) AS rms,
+        |  CAST(0.0 AS DOUBLE) AS zcr,
+        |  amp / 32768.0 AS peak
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH h AS (SELECT event_id, md5(props) AS hx FROM events WHERE event_id < 500),
