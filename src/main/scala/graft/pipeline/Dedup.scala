@@ -127,12 +127,16 @@ object Dedup {
     * benchmark docs hit and the max shingles shared with any of them.
     */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int, minShared: Int): DataFrame = {
+                    textCol: String, n: Int, minShared: Int,
+                    broadcastBench: Boolean = true): DataFrame = {
     val corpSh = wordShingleTable(corpus, idCol, textCol, n)
       .select(col(idCol).as("a"), col("sh"))
     val benchSh = wordShingleTable(bench, idCol, textCol, n)
       .select(col(idCol).as("b"), col("sh"))
-    corpSh.join(broadcast(benchSh), Seq("sh"))
+    // eval sets are tiny next to the corpus → map-side join by default;
+    // callers checking against a benchmark suite too big to broadcast
+    // flip to a shingle-partitioned shuffle join instead
+    corpSh.join(if (broadcastBench) broadcast(benchSh) else benchSh, Seq("sh"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("a"))
       .agg(count(lit(1)).as("n_bench_docs"), max(col("c")).as("max_shared"))

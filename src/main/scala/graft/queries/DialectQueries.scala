@@ -63,6 +63,18 @@ object DialectQueries extends QueryPack {
         Seq(200.0, "view"))
     }),
 
+    "q_sql_declare" -> ((s, dir) => {
+      // DECLARE variable block (reference SqlParser.java:3605) —
+      // scalars, a list used with IN, and a variable referencing an
+      // earlier one
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "DECLARE @lo := 100, @hi := @lo * 90, @types := ('click', 'view') " +
+          "SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx " +
+          "FROM events WHERE event_id BETWEEN @lo AND @hi AND event_type IN @types " +
+          "GROUP BY event_type ORDER BY event_type")
+    }),
+
     "q_sql_fn_macros" -> ((s, dir) => {
       // reference geo/rounding/string/date functions Spark lacks by name,
       // expanded to builtin expressions by the dialect macro pass
@@ -145,6 +157,12 @@ object DialectQueries extends QueryPack {
     "q_sql_bind" ->
       """SELECT event_id, ts, value FROM events
         |WHERE value > 200.0 AND event_type = 'view' ORDER BY event_id""".stripMargin,
+
+    "q_sql_declare" ->
+      """SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+        |FROM events WHERE event_id BETWEEN 100 AND 100 * 90
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sql_fn_macros" ->
       """SELECT event_id,

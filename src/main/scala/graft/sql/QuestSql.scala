@@ -75,8 +75,51 @@ object QuestSql {
   def sql(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
     sqlBound(spark, query, named)
 
+  // ---- DECLARE variable blocks (reference SqlParser.java:3605:
+  // `DECLARE @a := 1, @b := (1,2,3) SELECT ...` — one block, variables
+  // substitute textually into the statement, later declarations may
+  // reference earlier ones) --------------------------------------------------
+
+  private val DeclareRe = """(?is)^DECLARE\s+(.*)$""".r
+
+  private[graft] def expandDeclare(q: String): String = q match {
+    case DeclareRe(rest) =>
+      // the block ends at the first top-level statement keyword
+      var depth = 0; var cut = -1; var i = 0
+      while (i < rest.length && cut < 0) {
+        rest.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' => i += 1; while (i < rest.length && rest.charAt(i) != '\'') i += 1
+          case c if depth == 0 && (c == 'S' || c == 's' || c == 'W' || c == 'w') =>
+            val tail = rest.substring(i)
+            if ("""(?is)^(SELECT|WITH)\b.*""".r.matches(tail) &&
+              (i == 0 || !rest.charAt(i - 1).isLetterOrDigit)) cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (cut < 0) return q // malformed — let the parser complain
+      var stmt = rest.substring(cut)
+      val vars = collection.mutable.LinkedHashMap[String, String]()
+      splitSelect(rest.substring(0, cut).trim.stripSuffix(",")).foreach { entry =>
+        """(?s)^@(\w+)\s*:=\s*(.*)$""".r.findFirstMatchIn(entry.trim).foreach { m =>
+          var e = m.group(2).trim
+          vars.foreach { case (n, v) => e = s"@$n\\b".r.replaceAllIn(e, Regex.quoteReplacement(v)) }
+          // lists stay bare (`IN @list` → `IN (…)`); scalars get parens
+          vars(m.group(1)) = if (e.startsWith("(") && e.endsWith(")")) e else s"($e)"
+        }
+      }
+      // longest name first so @ab never matches inside @abc
+      vars.toSeq.sortBy(-_._1.length).foreach { case (n, v) =>
+        stmt = s"@$n\\b".r.replaceAllIn(stmt, Regex.quoteReplacement(v))
+      }
+      stmt
+    case _ => q
+  }
+
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
-    val q0 = query.trim.stripSuffix(";")
+    val q0 = expandDeclare(query.trim.stripSuffix(";"))
     // PG clients and BI tools probe these on connect — materialize fresh
     // (only the schema the query touches)
     val wantsInfo = """(?i)\binformation_schema\s*\.""".r.findFirstIn(q0).isDefined

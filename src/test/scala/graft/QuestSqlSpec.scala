@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class QuestSqlSpec extends SparkSpec {
   lazy val engine: Engine = Engine(spark, sfDir)
 
+  test("DECLARE block: scalars, lists, var-on-var references, prefix-safe names") {
+    // expansion is purely textual — check the rewrite directly
+    assert(QuestSql.expandDeclare("DECLARE @a := 1 + 2 SELECT @a AS x")
+      == "SELECT (1 + 2) AS x")
+    assert(QuestSql.expandDeclare("DECLARE @ab := 2, @a := 1 SELECT @ab + @a AS x")
+      == "SELECT (2) + (1) AS x") // @a never matches inside @ab
+    assert(QuestSql.expandDeclare("DECLARE @lo := 5, @hi := @lo * 2 SELECT @hi AS x")
+      == "SELECT ((5) * 2) AS x")
+    assert(QuestSql.expandDeclare(
+      "DECLARE @syms := ('a', 'b') SELECT * FROM t WHERE s IN @syms")
+      == "SELECT * FROM t WHERE s IN ('a', 'b')") // lists stay bare
+    // subquery expressions keep their SELECT inside the block
+    assert(QuestSql.expandDeclare(
+      "DECLARE @m := (SELECT max(v) FROM t) SELECT @m AS x")
+      == "SELECT (SELECT max(v) FROM t) AS x")
+    // end-to-end through the engine
+    val r = engine.sql(
+      "DECLARE @t := 'view', @n := 3 " +
+        "SELECT event_type, count(*) AS c FROM events WHERE event_type = @t " +
+        "GROUP BY event_type LIMIT @n").head()
+    assert(r.getString(0) == "view" && r.getLong(1) > 0)
+  }
+
   test("interval literal IN 'yyyy-MM' becomes a half-open range") {
     val n = engine.sql("SELECT count(*) AS n FROM events WHERE ts IN '2024-01'").head().getLong(0)
     val exact = Tables.events(spark, sfDir)
