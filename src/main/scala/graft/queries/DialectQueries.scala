@@ -63,6 +63,19 @@ object DialectQueries extends QueryPack {
         Seq(200.0, "view"))
     }),
 
+    "q_sql_named_window" -> ((s, dir) => {
+      // named WINDOW clauses (reference SqlParser named-window support;
+      // Spark parses them natively — the dialect passes through)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, round(avg(value) OVER w, 6) AS av, rank() OVER w2 AS rk " +
+          "FROM events WHERE event_id < 1000 " +
+          "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+          "             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), " +
+          "       w2 AS (PARTITION BY event_type ORDER BY value DESC, event_id) " +
+          "ORDER BY event_id")
+    }),
+
     "q_sql_declare" -> ((s, dir) => {
       // DECLARE variable block (reference SqlParser.java:3605) —
       // scalars, a list used with IN, and a variable referencing an
@@ -163,6 +176,14 @@ object DialectQueries extends QueryPack {
         |FROM events WHERE event_id BETWEEN 100 AND 100 * 90
         |  AND event_type IN ('click', 'view')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sql_named_window" ->
+      """SELECT event_id, round(avg(value) OVER w, 6) AS av, rank() OVER w2 AS rk
+        |FROM events WHERE event_id < 1000
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_sql_fn_macros" ->
       """SELECT event_id,
