@@ -259,6 +259,25 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q_repetition" -> ((s, dir) => {
+      // repetition scoring (the Gopher-style quality rule): share of
+      // the document taken by its most frequent token, plus distinct-
+      // token ratio. One explode + two aggregations, keyed by doc —
+      // partitions by doc_id, no global state
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val counts = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          max(col("c")).as("top_count"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_count") / col("n_tokens"), 6).as("top_ratio"),
+          round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"),
+          (col("top_count") / col("n_tokens") > 0.2).cast("int").as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_audio_meta" -> ((s, dir) => {
       // real WAV round-trip, oracle-gated: synthesize PCM16 payloads
       // with id-derived rate/frames/amplitude, parse them back with the
@@ -693,6 +712,17 @@ object PipelineQueries extends QueryPack {
          |  CAST(sum(k.n_chars) AS BIGINT) AS chars_kept
          |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ratio,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio,
+        |  CAST(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.2 AS INT) AS repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_audio_meta" ->
       """WITH p AS (
