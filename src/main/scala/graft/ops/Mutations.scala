@@ -110,6 +110,64 @@ object Mutations {
     swap(tableDir)
   }
 
+  // ---- partition lifecycle (reference ALTER TABLE ... DROP/DETACH/
+  // ATTACH PARTITION — `AlterOperation.java`, TableWriter detach:
+  // partition-granular directory moves, never a data rewrite; the 100 TB
+  // retention/archival path where O(partition) beats O(table)) ----------
+
+  private val DetachedPrefix = "_detached_" // '_' prefix hides it from readers
+
+  /** Day partitions currently attached (visible to scans). */
+  def listPartitions(tableDir: String): Seq[String] =
+    Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__day="))
+      .map(_.getName.stripPrefix("__day=")).sorted.toSeq
+
+  /** ALTER TABLE ... DROP PARTITION LIST 'day', ... — deletes the
+    * partition directories outright. Returns partitions dropped.
+    */
+  def dropPartitions(tableDir: String, days: Seq[String]): Int =
+    days.count { day =>
+      val dir = new java.io.File(tableDir, s"__day=$day")
+      dir.isDirectory && { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(dir); true }
+    }
+
+  /** DROP PARTITION WHERE <day op bound> — boundary form over the day
+    * key (reference `WHERE timestamp < ...`); ISO day names compare
+    * lexicographically = chronologically.
+    */
+  def dropPartitionsWhere(tableDir: String, op: String, day: String): Int = {
+    val hit: String => Boolean = op match {
+      case "<" => _ < day
+      case "<=" => _ <= day
+      case ">" => _ > day
+      case ">=" => _ >= day
+      case "=" => _ == day
+      case other => throw new IllegalArgumentException(s"bad partition predicate '$other'")
+    }
+    dropPartitions(tableDir, listPartitions(tableDir).filter(hit))
+  }
+
+  /** DETACH PARTITION LIST — move the directory behind a reader-hidden
+    * prefix; data stays on disk for re-attach or archival. O(1) per
+    * partition (a rename), no scan.
+    */
+  def detachPartitions(tableDir: String, days: Seq[String]): Int =
+    days.count { day =>
+      val from = new java.io.File(tableDir, s"__day=$day")
+      from.isDirectory &&
+        from.renameTo(new java.io.File(tableDir, s"$DetachedPrefix$day"))
+    }
+
+  /** ATTACH PARTITION LIST — restore previously detached partitions. */
+  def attachPartitions(tableDir: String, days: Seq[String]): Int =
+    days.count { day =>
+      val from = new java.io.File(tableDir, s"$DetachedPrefix$day")
+      from.isDirectory &&
+        from.renameTo(new java.io.File(tableDir, s"__day=$day"))
+    }
+
   private def swap(tableDir: String): Unit = {
     val dir = new java.io.File(tableDir)
     val tmp = new java.io.File(tableDir + "__tmp")

@@ -72,6 +72,35 @@ class MutationsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).columns.toSeq == Seq("symbol", "price", "ts"))
   }
 
+  test("partition lifecycle: DROP / DETACH / ATTACH at partition granularity, no rewrite") {
+    val dir = Files.createTempDirectory("part").toString + "/t"
+    Ingest.applyBatch(
+      (1 to 4).map(d => (s"S$d", java.sql.Timestamp.valueOf(f"2024-01-0$d%d 05:00:00")))
+        .toDF("sym", "ts"),
+      0L, dir, "ts", Nil)
+    assert(Mutations.listPartitions(dir) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+
+    // detach hides from scans but keeps bytes on disk
+    assert(Mutations.detachPartitions(dir, Seq("2024-01-02")) == 1)
+    assert(Mutations.listPartitions(dir) == Seq("2024-01-01", "2024-01-03", "2024-01-04"))
+    assert(spark.read.parquet(dir).count() == 3)
+
+    // re-attach restores the rows exactly
+    assert(Mutations.attachPartitions(dir, Seq("2024-01-02")) == 1)
+    assert(spark.read.parquet(dir).select("sym").as[String].collect().sorted.toSeq ==
+      Seq("S1", "S2", "S3", "S4"))
+
+    // boundary drop (retention): everything strictly before the 3rd
+    assert(Mutations.dropPartitionsWhere(dir, "<", "2024-01-03") == 2)
+    assert(Mutations.listPartitions(dir) == Seq("2024-01-03", "2024-01-04"))
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // LIST drop + idempotence (missing partitions count 0)
+    assert(Mutations.dropPartitions(dir, Seq("2024-01-04", "2024-01-09")) == 1)
+    assert(Mutations.listPartitions(dir) == Seq("2024-01-03"))
+  }
+
   test("catalog functions: tables / table_columns / table_partitions") {
     Tables.registerAll(spark, sfDir)
     val ts = Catalog.tables(spark)
