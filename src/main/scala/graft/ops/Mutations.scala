@@ -168,6 +168,29 @@ object Mutations {
         from.renameTo(new java.io.File(tableDir, s"__day=$day"))
     }
 
+  /** VACUUM TABLE (reference `VacuumOperation` — reclaim space held by
+    * superseded files): removes crashed-rewrite `__tmp` siblings, stale
+    * ingest staging directories, and (opt-in) detached partitions.
+    * Returns the number of directories reclaimed. Never touches live
+    * partitions — safe to run concurrently with readers.
+    */
+  def vacuum(tableDir: String, purgeDetached: Boolean = false): Int = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    var n = 0
+    val tmp = new java.io.File(tableDir + "__tmp")
+    if (tmp.exists()) { rm(tmp); n += 1 }
+    val table = new java.io.File(tableDir)
+    Option(table.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val stale = f.getName == "_graft_staging" ||
+        (purgeDetached && f.getName.startsWith(DetachedPrefix))
+      if (stale && f.isDirectory) { rm(f); n += 1 }
+    }
+    n
+  }
+
   private def swap(tableDir: String): Unit = {
     val dir = new java.io.File(tableDir)
     val tmp = new java.io.File(tableDir + "__tmp")

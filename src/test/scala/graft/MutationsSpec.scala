@@ -99,6 +99,15 @@ class MutationsSpec extends SparkSpec {
     // LIST drop + idempotence (missing partitions count 0)
     assert(Mutations.dropPartitions(dir, Seq("2024-01-04", "2024-01-09")) == 1)
     assert(Mutations.listPartitions(dir) == Seq("2024-01-03"))
+
+    // VACUUM: first pass reclaims the ingest staging dir; detached
+    // partitions survive unless explicitly purged
+    assert(Mutations.vacuum(dir) == 1) // _graft_staging leftover
+    assert(Mutations.vacuum(dir) == 0) // idempotent
+    assert(Mutations.detachPartitions(dir, Seq("2024-01-03")) == 1)
+    assert(Mutations.vacuum(dir) == 0) // detached kept by default
+    assert(Mutations.vacuum(dir, purgeDetached = true) == 1)
+    assert(Mutations.attachPartitions(dir, Seq("2024-01-03")) == 0) // gone
   }
 
   test("catalog functions: tables / table_columns / table_partitions") {
