@@ -230,7 +230,7 @@ object Multimodal {
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  private[pipeline] def decodeAudioOne(bytes: Array[Byte]): Row = {
+  private[graft] def decodeAudioOne(bytes: Array[Byte]): Row = {
     if (bytes.length < 44 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE")
       return fakeAudioMeta(bytes)
     var off = 12
@@ -239,6 +239,9 @@ object Multimodal {
     while (off + 8 <= bytes.length && (rate == 0 || dataSize < 0)) {
       val id = fourcc(bytes, off)
       val size = le32(bytes, off + 4).toLong & 0xffffffffL
+      // corrupt/hostile sizes must not walk backwards or loop — opaque
+      // binary columns make garbage-with-a-RIFF-magic a real input
+      if (size > bytes.length) return fakeAudioMeta(bytes)
       if (id == "fmt " && off + 24 <= bytes.length) {
         channels = le16(bytes, off + 10)
         rate = le32(bytes, off + 12)
@@ -277,7 +280,7 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  private[pipeline] def audioFeaturesOne(bytes: Array[Byte]): Row = {
+  private[graft] def audioFeaturesOne(bytes: Array[Byte]): Row = {
     val meta = decodeAudioOne(bytes)
     if (meta.getString(5) != "wav" || meta.getInt(2) != 16) {
       val b0 = java.lang.Byte.toUnsignedInt(bytes(0))
@@ -288,9 +291,10 @@ object Multimodal {
     var start = -1; var len = 0
     while (off + 8 <= bytes.length && start < 0) {
       val id = fourcc(bytes, off)
-      val size = le32(bytes, off + 4)
-      if (id == "data") { start = off + 8; len = math.min(size, bytes.length - start) }
-      else off += 8 + size + (size & 1)
+      val size = le32(bytes, off + 4).toLong & 0xffffffffL
+      if (size > bytes.length) return Row(0.0, 0.0, 0.0) // corrupt size
+      if (id == "data") { start = off + 8; len = math.min(size.toInt, bytes.length - start) }
+      else off += 8 + size.toInt + (size.toInt & 1)
     }
     if (start < 0) return Row(0.0, 0.0, 0.0)
     var i = start

@@ -90,7 +90,17 @@ object QuestSql {
         rest.charAt(i) match {
           case '(' => depth += 1
           case ')' => depth -= 1
-          case '\'' => i += 1; while (i < rest.length && rest.charAt(i) != '\'') i += 1
+          case '\'' =>
+            // skip the string literal, honoring '' escapes
+            i += 1
+            var closed = false
+            while (i < rest.length && !closed) {
+              if (rest.charAt(i) == '\'') {
+                if (i + 1 < rest.length && rest.charAt(i + 1) == '\'') i += 1
+                else closed = true
+              }
+              if (!closed) i += 1
+            }
           case c if depth == 0 && (c == 'S' || c == 's' || c == 'W' || c == 'w') =>
             val tail = rest.substring(i)
             if ("""(?is)^(SELECT|WITH)\b.*""".r.matches(tail) &&

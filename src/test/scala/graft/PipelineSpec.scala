@@ -231,6 +231,14 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(f.getDouble(0) - 0.5 / math.sqrt(2)) < 0.01)
     assert(math.abs(f.getDouble(1) - 2.0 * 440 / 8000) < 0.01)
     assert(f.getDouble(2) > 0.47 && f.getDouble(2) <= 0.5)
+
+    // hostile payload: RIFF/WAVE magic with a huge bogus chunk size must
+    // fall back (and terminate), not walk the buffer backwards
+    val evil = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ new Array[Byte](32)
+    val em = Multimodal.decodeAudioOne(evil)
+    assert(em.getString(5) == "stub")
+    assert(Multimodal.audioFeaturesOne(evil) != null)
   }
 
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {

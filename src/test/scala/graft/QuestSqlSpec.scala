@@ -21,6 +21,10 @@ class QuestSqlSpec extends SparkSpec {
     assert(QuestSql.expandDeclare(
       "DECLARE @m := (SELECT max(v) FROM t) SELECT @m AS x")
       == "SELECT (SELECT max(v) FROM t) AS x")
+    // doubled-quote escapes inside string values don't cut the block
+    assert(QuestSql.expandDeclare(
+      "DECLARE @s := 'it''s select-ish' SELECT @s AS x")
+      == "SELECT ('it''s select-ish') AS x")
     // end-to-end through the engine
     val r = engine.sql(
       "DECLARE @t := 'view', @n := 3 " +
