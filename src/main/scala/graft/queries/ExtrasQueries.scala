@@ -130,6 +130,30 @@ object ExtrasQueries extends QueryPack {
         "SELECT event_type, ts, count(*) AS n FROM events SAMPLE BY 1d ORDER BY event_type, ts")
     }),
 
+    "q_decimal256" -> ((s, dir) => {
+      // DECIMAL256 arithmetic past DecimalType(38): operands are
+      // d × 10^40 built per row; the oracle states each result by
+      // string construction (algebraic identities), the engine computes
+      // it through the 256-bit BigDecimal expressions
+      graft.Engine.registerFunctions(s)
+      import graft.functions.{Decimal256Ops => D}
+      val id = col("event_id")
+      val d = (id % 9 + 1).cast("string")
+      val a = concat(d, lit("0" * 30)) // d × 10^30 — 31 digits, past Decimal(38) squared
+      Tables.events(s, dir).filter(id < 500)
+        .select(
+          id.as("event_id"),
+          D.add(a, a).as("dsum"),
+          D.mul(a, a).as("dprod"), // d² × 10^60: 61+ digits, needs 256-bit
+          D.sub(a, lit("1")).as("dsub"),
+          D.div(a, lit("3"), lit(5)).as("ddiv"),
+          D.round(concat(a, lit(".5")), lit(0)).as("dround"),
+          D.neg(a).as("dneg"),
+          D.sign(D.neg(a)).as("dsign"),
+          D.mul(a, D.mul(a, a)).as("doverflow")) // d³ × 10^90 > 2^255 → null
+        .orderBy(id)
+    }),
+
     "q_long256" -> ((s, dir) => {
       // LONG256 surface: to_long256 construction, long→long256 cast,
       // native wrap-around add (carry across limbs), display trim, eq.
@@ -163,6 +187,27 @@ object ExtrasQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_decimal256" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(event_id % 9 + 1 AS INT) AS d FROM events
+        |  WHERE event_id < 500),
+        |q AS (SELECT event_id, d, d // 3 AS qt, d % 3 AS r FROM p)
+        |SELECT event_id,
+        |  CAST(2 * d AS VARCHAR) || repeat('0', 30) AS dsum,
+        |  CAST(d * d AS VARCHAR) || repeat('0', 60) AS dprod,
+        |  CASE WHEN d = 1 THEN repeat('9', 30)
+        |       ELSE CAST(d - 1 AS VARCHAR) || repeat('9', 30) END AS dsub,
+        |  CASE WHEN r = 0 THEN CAST(qt AS VARCHAR) || repeat('0', 30) || '.00000'
+        |       WHEN r = 1 AND qt = 0 THEN repeat('3', 30) || '.33333'
+        |       WHEN r = 1 THEN CAST(qt AS VARCHAR) || repeat('3', 30) || '.33333'
+        |       WHEN qt = 0 THEN repeat('6', 30) || '.66667'
+        |       ELSE CAST(qt AS VARCHAR) || repeat('6', 30) || '.66667' END AS ddiv,
+        |  CAST(d AS VARCHAR) || repeat('0', 29) || '1' AS dround,
+        |  '-' || CAST(d AS VARCHAR) || repeat('0', 30) AS dneg,
+        |  '-1' AS dsign,
+        |  CAST(NULL AS VARCHAR) AS doverflow
+        |FROM q ORDER BY event_id""".stripMargin,
+
     "q_long256" ->
       """WITH e AS (SELECT event_id FROM events WHERE event_id < 1000),
         |h AS (

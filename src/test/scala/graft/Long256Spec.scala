@@ -63,6 +63,37 @@ class Long256Spec extends SparkSpec {
       == "0x010000000000000000")
   }
 
+  test("decimal256: exact arithmetic past 38 digits, reference round modes, overflow → null") {
+    Engine.registerFunctions(spark)
+    import graft.functions.Decimal256Ops.{binop, unop}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def b(a: String, bb: String, op: String, scale: Int = 0): String = {
+      val r = binop(u(a), u(bb), op, scale); if (r == null) null else r.toString
+    }
+    def un(a: String, op: String, scale: Int = 0): String = {
+      val r = unop(u(a), op, scale); if (r == null) null else r.toString
+    }
+    val big = "9" * 50 // 50 nines — far past DecimalType(38)
+    assert(b(big, "1", "add") == "1" + "0" * 50)
+    val mid = "9" * 38 // its square (76 digits) still fits 255 bits
+    assert(b(mid, mid, "mul") == "9" * 37 + "8" + "0" * 37 + "1") // (10^38-1)^2
+    assert(b("1", "3", "div", 10) == "0.3333333333")
+    assert(b("10", "3", "rem") == "1")
+    assert(b("1", "0", "div", 2) == null) // div by zero → null
+    // rounding family (reference Round/RoundHalfEven/Up/Down/Floor/Ceil)
+    assert(un("2.5", "round") == "3" && un("3.5", "round") == "4") // HALF_UP
+    assert(un("2.5", "round_half_even") == "2" && un("3.5", "round_half_even") == "4")
+    assert(un("-2.1", "round_up") == "-3" && un("-2.9", "round_down") == "-2")
+    assert(un("-2.1", "floor") == "-3" && un("-2.1", "ceil") == "-2")
+    assert(un("-7", "sign") == "-1" && un("0", "sign") == "0")
+    // 256-bit coefficient bound: 2^255 coefficient overflows, half stays
+    assert(b("2" + "0" * 77, "1" + "0" * 77, "mul") == null)
+    assert(b("1" + "0" * 76, "2", "mul") == "2" + "0" * 76)
+    // SQL surface
+    val r = spark.sql("SELECT decimal256_mul('" + big + "', '2') AS x").head().getString(0)
+    assert(r == "1" + "9" * 49 + "8")
+  }
+
   test("long256 column API + SQL registration execute codegen'd") {
     Engine.registerFunctions(spark)
     val df = Seq((1L, 2L), (-1L, 3L)).toDF("a", "b")
