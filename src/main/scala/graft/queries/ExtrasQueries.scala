@@ -154,6 +154,28 @@ object ExtrasQueries extends QueryPack {
         .orderBy(id)
     }),
 
+    "q_decimal256_agg" -> ((s, dir) => {
+      // decimal256 group-by tier: exact sum / scale-6 avg / numeric
+      // min-max over 31-digit values, grouped so the oracle can state
+      // every aggregate in closed form
+      graft.Engine.registerFunctions(s)
+      val id = col("event_id")
+      val d = (id % 9 + 1)
+      val a = concat(d.cast("string"), lit("0" * 30))
+      Tables.events(s, dir).filter(id < 500)
+        .select(d.cast("int").as("d"), a.as("v"),
+          // mixed-magnitude second column: (d + id%4) × 10^30
+          concat((d + id % 4).cast("string"), lit("0" * 30)).as("w"))
+        .groupBy(col("d"))
+        .agg(
+          count(lit(1)).as("n"),
+          call_function("decimal256_sum", col("v")).as("dsum"),
+          call_function("decimal256_avg", col("v")).as("davg"),
+          call_function("decimal256_min", col("w")).as("dmin"),
+          call_function("decimal256_max", col("w")).as("dmax"))
+        .orderBy(col("d"))
+    }),
+
     "q_long256" -> ((s, dir) => {
       // LONG256 surface: to_long256 construction, long→long256 cast,
       // native wrap-around add (carry across limbs), display trim, eq.
@@ -187,6 +209,17 @@ object ExtrasQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_decimal256_agg" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(event_id % 9 + 1 AS INT) AS d FROM events
+        |  WHERE event_id < 500)
+        |SELECT d, count(*) AS n,
+        |  CAST(count(*) * d AS VARCHAR) || repeat('0', 30) AS dsum,
+        |  CAST(d AS VARCHAR) || repeat('0', 30) || '.000000' AS davg,
+        |  CAST(d AS VARCHAR) || repeat('0', 30) AS dmin,
+        |  CAST(d + 3 AS VARCHAR) || repeat('0', 30) AS dmax
+        |FROM p GROUP BY d ORDER BY d""".stripMargin,
+
     "q_decimal256" ->
       """WITH p AS (
         |  SELECT event_id, CAST(event_id % 9 + 1 AS INT) AS d FROM events

@@ -94,6 +94,23 @@ class Long256Spec extends SparkSpec {
     assert(r == "1" + "9" * 49 + "8")
   }
 
+  test("decimal256 aggregates: exact sum, numeric min/max, nulls skipped, overflow poisons") {
+    Engine.registerFunctions(spark)
+    val df = Seq(
+      ("a", "1" + "0" * 40), ("a", "2" + "0" * 40), ("a", null), // null skipped
+      ("b", "9"), ("b", "10"), // numeric order: min 9 < 10 (string order says '10' < '9')
+      ("c", "5" + "0" * 76), ("c", "5" + "0" * 76) // sum = 10^77 > 2^255 → null
+    ).toDF("g", "v")
+    val out = df.groupBy($"g").agg(
+      expr("decimal256_sum(v) AS s"), expr("decimal256_avg(v) AS m"),
+      expr("decimal256_min(v) AS mn"), expr("decimal256_max(v) AS mx"))
+      .orderBy($"g").collect()
+    assert(out(0).getString(1) == "3" + "0" * 40)
+    assert(out(0).getString(2) == "15" + "0" * 39 + ".000000") // avg of 2 non-nulls
+    assert(out(1).getString(3) == "9" && out(1).getString(4) == "10")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // overflow → null, not wrap
+  }
+
   test("long256 column API + SQL registration execute codegen'd") {
     Engine.registerFunctions(spark)
     val df = Seq((1L, 2L), (-1L, 3L)).toDF("a", "b")
