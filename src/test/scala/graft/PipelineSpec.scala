@@ -241,6 +241,38 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFeaturesOne(evil) != null)
   }
 
+  test("multimodal video: real MP4 box walk (brand, duration, tracks), non-MP4 falls back") {
+    // build a minimal ISO-BMFF file: ftyp + moov(mvhd v0 + 2×trak)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length); bb.put(typ.getBytes); bb.put(payload)
+      bb.array()
+    }
+    val mvhdBody = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd is 100 bytes
+      bb.putInt(0)          // version+flags
+      bb.putInt(0); bb.putInt(0) // creation/modification
+      bb.putInt(600)        // timescale
+      bb.putInt(1500)       // duration → 2500 ms
+      bb.array()
+    }
+    val moov = box("moov", box("mvhd", mvhdBody) ++ box("trak", Array[Byte](0, 0)) ++
+      box("trak", Array[Byte](0, 0)))
+    val mp4 = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 1)) ++ moov
+    val df = Seq((1L, mp4), (2L, Array[Byte](7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7)))
+      .toDF("id", "payload")
+    val m = Multimodal.decodeVideo(df, "payload").orderBy($"id").collect()
+      .map(r => r.getStruct(r.fieldIndex("video_meta")))
+    assert(m(0).getString(0) == "isom")
+    assert(math.abs(m(0).getDouble(1) - 2500.0) < 1e-9)
+    assert(m(0).getInt(2) == 2 && m(0).getString(3) == "mp4")
+    assert(m(1).getString(3) == "stub") // fallback seam
+
+    // corrupt box size: must terminate and fall back, not loop
+    val evil = mp4.clone(); evil(mp4.length - moov.length) = -1 // moov size → huge
+    assert(Multimodal.decodeVideoOne(evil).getString(3) == "stub")
+  }
+
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {
     val df = Seq((1L, "hello"), (2L, "hello"), (3L, "different"), (4L, null.asInstanceOf[String]))
       .toDF("id", "src")
