@@ -36,12 +36,17 @@ object Catalog {
     */
   def tablePartitions(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
-    val dirs = Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.contains("="))
-    dirs.toSeq.map { d =>
+    // attached partitions plus detached ones (reference SHOW PARTITIONS
+    // lists both, flagged — ShowPartitionsRecordCursorFactory)
+    val all = Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+    val attached = all.filter(d => d.isDirectory && d.getName.contains("="))
+      .map(d => (d, d.getName.split("=").last, true))
+    val detached = all.filter(d => d.isDirectory && d.getName.startsWith("_detached_"))
+      .map(d => (d, d.getName.stripPrefix("_detached_"), false))
+    (attached ++ detached).toSeq.map { case (d, name, att) =>
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
-      (d.getName.split("=").last, files.length.toLong, files.map(_.length()).sum)
-    }.toDF("partition", "num_files", "bytes")
+      (name, files.length.toLong, files.map(_.length()).sum, att)
+    }.toDF("partition", "num_files", "bytes", "attached")
       .orderBy(col("partition"))
   }
 

@@ -85,6 +85,10 @@ class MutationsSpec extends SparkSpec {
     assert(Mutations.detachPartitions(dir, Seq("2024-01-02")) == 1)
     assert(Mutations.listPartitions(dir) == Seq("2024-01-01", "2024-01-03", "2024-01-04"))
     assert(spark.read.parquet(dir).count() == 3)
+    // catalog lists the detached partition, flagged (reference SHOW PARTITIONS)
+    val parts = Catalog.tablePartitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(parts("2024-01-02") == false && parts("2024-01-01") == true)
 
     // re-attach restores the rows exactly
     assert(Mutations.attachPartitions(dir, Seq("2024-01-02")) == 1)
