@@ -117,6 +117,21 @@ object Mutations {
 
   private val DetachedPrefix = "_detached_" // '_' prefix hides it from readers
 
+  // day names come from user SQL and become path segments — reject
+  // anything but a literal ISO day so '2024-01-01/../..' can't escape
+  // the table directory
+  private val DayName = "\\d{4}-\\d{2}-\\d{2}".r
+  private def requireDay(day: String): Unit =
+    if (!DayName.matches(day))
+      throw new IllegalArgumentException(s"bad partition name '$day' (expected yyyy-MM-dd)")
+
+  // recursive delete; listFiles() can return null if the directory
+  // vanishes mid-walk (concurrent vacuum/drop) — treat as already gone
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
   /** Day partitions currently attached (visible to scans). */
   def listPartitions(tableDir: String): Seq[String] =
     Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
@@ -128,9 +143,9 @@ object Mutations {
     */
   def dropPartitions(tableDir: String, days: Seq[String]): Int =
     days.count { day =>
+      requireDay(day)
       val dir = new java.io.File(tableDir, s"__day=$day")
-      dir.isDirectory && { def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(dir); true }
+      dir.isDirectory && { rmTree(dir); true }
     }
 
   /** DROP PARTITION WHERE <day op bound> — boundary form over the day
@@ -155,6 +170,7 @@ object Mutations {
     */
   def detachPartitions(tableDir: String, days: Seq[String]): Int =
     days.count { day =>
+      requireDay(day)
       val from = new java.io.File(tableDir, s"__day=$day")
       from.isDirectory &&
         from.renameTo(new java.io.File(tableDir, s"$DetachedPrefix$day"))
@@ -163,6 +179,7 @@ object Mutations {
   /** ATTACH PARTITION LIST — restore previously detached partitions. */
   def attachPartitions(tableDir: String, days: Seq[String]): Int =
     days.count { day =>
+      requireDay(day)
       val from = new java.io.File(tableDir, s"$DetachedPrefix$day")
       from.isDirectory &&
         from.renameTo(new java.io.File(tableDir, s"__day=$day"))
@@ -175,18 +192,14 @@ object Mutations {
     * partitions — safe to run concurrently with readers.
     */
   def vacuum(tableDir: String, purgeDetached: Boolean = false): Int = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     var n = 0
     val tmp = new java.io.File(tableDir + "__tmp")
-    if (tmp.exists()) { rm(tmp); n += 1 }
+    if (tmp.exists()) { rmTree(tmp); n += 1 }
     val table = new java.io.File(tableDir)
     Option(table.listFiles()).getOrElse(Array.empty).foreach { f =>
       val stale = f.getName == "_graft_staging" ||
         (purgeDetached && f.getName.startsWith(DetachedPrefix))
-      if (stale && f.isDirectory) { rm(f); n += 1 }
+      if (stale && f.isDirectory) { rmTree(f); n += 1 }
     }
     n
   }
@@ -194,11 +207,7 @@ object Mutations {
   private def swap(tableDir: String): Unit = {
     val dir = new java.io.File(tableDir)
     val tmp = new java.io.File(tableDir + "__tmp")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    rmTree(dir)
     tmp.renameTo(dir)
   }
 }

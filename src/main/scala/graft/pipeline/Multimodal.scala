@@ -83,8 +83,9 @@ object Multimodal {
     * understands — the stub seam for audio/video codecs.
     */
   private def fakeMeta(bytes: Array[Byte]): Row = {
-    val b0 = java.lang.Byte.toUnsignedInt(bytes(0))
-    val b1 = java.lang.Byte.toUnsignedInt(bytes(1))
+    // empty (non-null) payloads fold to b0 = b1 = 0 rather than throwing
+    val b0 = if (bytes.length > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
+    val b1 = if (bytes.length > 1) java.lang.Byte.toUnsignedInt(bytes(1)) else 0
     val fmt = if (b0 % 2 == 0) "png" else "jpg"
     Row(16 + b0 * 4, 16 + b1 * 4, 3, fmt)
   }
@@ -260,11 +261,21 @@ object Multimodal {
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
-        val size = be32(bytes, off)
+        val size32 = be32(bytes, off)
         val typ = fourcc(bytes, off + 4)
-        if (size < 8 || size > to - off) return // corrupt size: stop, keep what we have
+        // ISO-BMFF: size==0 means box extends to end of enclosing scope;
+        // size==1 means a 64-bit largesize follows the fourcc
+        var header = 8
+        val size: Long =
+          if (size32 == 0) (to - off).toLong
+          else if (size32 == 1) {
+            if (off + 16 > to) return
+            header = 16
+            (be32(bytes, off + 8) << 32) | be32(bytes, off + 12)
+          } else size32
+        if (size < header || size > to - off) return // corrupt size: stop, keep what we have
         typ match {
-          case "moov" if depth == 0 => walk(off + 8, off + size.toInt, 1)
+          case "moov" if depth == 0 => walk(off + header, off + size.toInt, 1)
           case "mvhd" if depth == 1 && off + 28 <= to =>
             val version = bytes(off + 8) & 0xff
             // v0: 32-bit timescale@20 duration@24; v1: 64-bit times
@@ -289,7 +300,7 @@ object Multimodal {
   }
 
   private def fakeVideoMeta(bytes: Array[Byte]): Row = {
-    val b0 = java.lang.Byte.toUnsignedInt(bytes(0))
+    val b0 = if (bytes.length > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
     Row("stub", 1000.0 + b0 * 40.0, 1 + b0 % 3, "stub")
   }
 
@@ -326,7 +337,7 @@ object Multimodal {
   }
 
   private def fakeAudioMeta(bytes: Array[Byte]): Row = {
-    val b0 = java.lang.Byte.toUnsignedInt(bytes(0))
+    val b0 = if (bytes.length > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
     Row(8000 + (b0 % 5) * 8000, 1 + (b0 % 2), 16, 1000L + b0 * 10L,
       (1000L + b0 * 10L) * 1000.0 / (8000 + (b0 % 5) * 8000), "stub")
   }
@@ -353,7 +364,7 @@ object Multimodal {
   private[graft] def audioFeaturesOne(bytes: Array[Byte]): Row = {
     val meta = decodeAudioOne(bytes)
     if (meta.getString(5) != "wav" || meta.getInt(2) != 16) {
-      val b0 = java.lang.Byte.toUnsignedInt(bytes(0))
+      val b0 = if (bytes.length > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
       return Row(b0 / 512.0, (b0 % 100) / 100.0, b0 / 256.0)
     }
     // locate the data chunk again and fold PCM16 samples

@@ -120,12 +120,42 @@ object QuestSql {
           vars(m.group(1)) = if (e.startsWith("(") && e.endsWith(")")) e else s"($e)"
         }
       }
-      // longest name first so @ab never matches inside @abc
-      vars.toSeq.sortBy(-_._1.length).foreach { case (n, v) =>
-        stmt = s"@$n\\b".r.replaceAllIn(stmt, Regex.quoteReplacement(v))
+      // longest name first so @ab never matches inside @abc; substitution
+      // only touches spans outside string literals, so SELECT '@a' survives
+      stmt = mapOutsideQuotes(stmt) { span =>
+        vars.toSeq.sortBy(-_._1.length).foldLeft(span) { case (s2, (n, v)) =>
+          s"@$n\\b".r.replaceAllIn(s2, Regex.quoteReplacement(v))
+        }
       }
       stmt
     case _ => q
+  }
+
+  /** Applies `f` to the code spans of `s`, copying single-quoted string
+    * literals (with '' escapes) through untouched.
+    */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0; var start = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        out ++= f(s.substring(start, i))
+        val litStart = i
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+            else closed = true
+          }
+          i += 1
+        }
+        out ++= s.substring(litStart, i)
+        start = i
+      } else i += 1
+    }
+    out ++= f(s.substring(start))
+    out.toString
   }
 
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {

@@ -6,11 +6,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Keyed stateful streaming operators via
-  * `KeyValueGroupedDataset.flatMapGroupsWithState` — the live versions of
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` -- the live versions of
   * graft's batch time-series ops, with O(1) managed state per key:
   *
   *  - [[latestOn]]: streaming LATEST ON (reference live `LATEST BY` over
-  *    an ILP-ingested table — `LatestByAllIndexedRecordCursorFactory`
+  *    an ILP-ingested table -- `LatestByAllIndexedRecordCursorFactory`
   *    semantics, continuously maintained instead of re-scanned)
   *  - [[dedup]]: streaming DEDUP UPSERT KEYS with event-time TTL state
   *    eviction (reference WAL dedup `DEDUP upsert keys(ts, sym)` on the
@@ -61,7 +61,7 @@ object Stateful {
 
   /** First row per key wins; duplicates are dropped for `ttl` of event
     * time after the key's first appearance, then the state is evicted
-    * (event-time timeout against the stream's watermark — callers set
+    * (event-time timeout against the stream's watermark -- callers set
     * `withWatermark` upstream). Append output mode.
     */
   def dedup(df: DataFrame, tsCol: String, keys: Seq[String],
@@ -91,7 +91,7 @@ object Stateful {
   }
 
   /** Per-key EMA whose state (the running average) carries across
-    * micro-batches: `y = α·x + (1-α)·y_prev`, seeded with the key's
+    * micro-batches: `y = alpha*x + (1-alpha)*y_prev`, seeded with the key's
     * first value ever seen on the stream. Rows within a batch are folded
     * in event-time order; the output appends an `out` column.
     */

@@ -112,6 +112,13 @@ class MutationsSpec extends SparkSpec {
     assert(Mutations.vacuum(dir) == 0) // detached kept by default
     assert(Mutations.vacuum(dir, purgeDetached = true) == 1)
     assert(Mutations.attachPartitions(dir, Seq("2024-01-03")) == 0) // gone
+
+    // partition names are path segments built from user SQL — anything
+    // that isn't a literal ISO day is rejected before touching the fs
+    for (evil <- Seq("2024-01-01/../..", "../../etc", "2024-01-01x", ""))
+      intercept[IllegalArgumentException](Mutations.dropPartitions(dir, Seq(evil)))
+    intercept[IllegalArgumentException](Mutations.detachPartitions(dir, Seq("a/b")))
+    intercept[IllegalArgumentException](Mutations.attachPartitions(dir, Seq("a/b")))
   }
 
   test("catalog functions: tables / table_columns / table_partitions") {

@@ -271,6 +271,26 @@ class PipelineSpec extends SparkSpec {
     // corrupt box size: must terminate and fall back, not loop
     val evil = mp4.clone(); evil(mp4.length - moov.length) = -1 // moov size → huge
     assert(Multimodal.decodeVideoOne(evil).getString(3) == "stub")
+
+    // size==1 largesize moov (64-bit size after the fourcc) parses
+    def bigBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+      bb.putInt(1); bb.put(typ.getBytes); bb.putLong(16L + payload.length); bb.put(payload)
+      bb.array()
+    }
+    val mp4Big = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 1)) ++
+      bigBox("moov", box("mvhd", mvhdBody) ++ box("trak", Array[Byte](0, 0)))
+    val mBig = Multimodal.decodeVideoOne(mp4Big)
+    assert(math.abs(mBig.getDouble(1) - 2500.0) < 1e-9 && mBig.getInt(2) == 1)
+    // size==0 trailing box (extends to EOF) doesn't derail the walk
+    val mp4Eof = mp4 ++ (Array[Byte](0, 0, 0, 0) ++ "free".getBytes)
+    assert(Multimodal.decodeVideoOne(mp4Eof).getString(3) == "mp4")
+
+    // empty (non-null) payloads fall back deterministically, never throw
+    val empty = Array.empty[Byte]
+    assert(Multimodal.decodeVideoOne(empty).getString(3) == "stub")
+    assert(Multimodal.decodeAudioOne(empty).getString(5) == "stub")
+    assert(Multimodal.audioFeaturesOne(empty) != null)
   }
 
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {

@@ -25,6 +25,10 @@ class QuestSqlSpec extends SparkSpec {
     assert(QuestSql.expandDeclare(
       "DECLARE @s := 'it''s select-ish' SELECT @s AS x")
       == "SELECT ('it''s select-ish') AS x")
+    // @name inside a string literal of the body is NOT substituted
+    assert(QuestSql.expandDeclare(
+      "DECLARE @a := 1 SELECT '@a' AS lit, 'it''s @a' AS esc, @a AS x")
+      == "SELECT '@a' AS lit, 'it''s @a' AS esc, (1) AS x")
     // end-to-end through the engine
     val r = engine.sql(
       "DECLARE @t := 'view', @n := 3 " +
