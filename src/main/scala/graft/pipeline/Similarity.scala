@@ -133,9 +133,13 @@ object Similarity {
   }
 
   /** Assign every corpus vector to its nearest centroid (max cosine,
-    * centroid-id tiebreak). One broadcast join + per-row arg-max — the
-    * corpus streams through once with no shuffle; at 100 TB the output
-    * is what you bucket/partition the corpus by.
+    * centroid-id tiebreak). One broadcast join + a keyed arg-max
+    * (`max_by` hash aggregate): the broadcast expansion to
+    * |corpus|·nlist rows collapses map-side in the partial aggregate,
+    * so only one (id, cid) row per document reaches the shuffle — this
+    * is the full-corpus stage of IVF at 100 TB, and it must not move
+    * corpus×nlist rows. Output is what you bucket/partition the corpus
+    * by.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
@@ -144,11 +148,18 @@ object Similarity {
       .withColumn("__vn", sqrt(dot("__v", "__v")))
     val cent = centroids.withColumn("__cn", sqrt(dot("cvec", "cvec")))
     val sim = round(dot("__v", "cvec") / (col("__vn") * col("__cn")), 6)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cid").asc)
+    // arg-max by (sim desc, cid asc), encoded as ONE BIGINT so the
+    // max_by buffer stays fixed-width and Spark plans a HashAggregate
+    // (a struct ordering would demote to SortAggregate — a map-side
+    // sort of the expanded rows). sim is already rounded to 6 decimals,
+    // so sim*1e6 is integral: scale it above the 2^31 cid space and
+    // subtract cid — same total order the oracle spells as
+    // `ORDER BY round(sim, 6) DESC, cid ASC`.
+    val ord = round(col("__csim") * 1e6, 0).cast("long") * 2147483648L - col("cid")
     c.join(broadcast(cent), lit(true))
       .withColumn("__csim", sim)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), ord).as("cid"))
       .select(col(idCol), col("cid"))
   }
 

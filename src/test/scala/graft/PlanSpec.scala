@@ -167,4 +167,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("ivfAssign: map-side arg-max — partial+final max_by, no window over the corpus×nlist expansion") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val cent = graft.pipeline.Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    val p = graft.pipeline.Similarity.ivfAssign(corpus, cent, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    // the broadcast expansion must collapse in a partial hash aggregate
+    // before any exchange — a Window partitioned by the corpus id would
+    // shuffle corpus×nlist rows (the nlist-row centroid seeding keeps
+    // its own tiny Window; that one is fine)
+    assert(p.contains("partial_max_by"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Window \\[[^\\n]*vec_id".r.findAllIn(p).isEmpty, p)
+    assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(p).size == 1, p)
+  }
 }
