@@ -29,12 +29,28 @@ import org.apache.spark.sql.types._
   * the protocol's error discipline (after an error, messages are
   * discarded until Sync).
   *
-  * Out of scope (documented): binary result/parameter formats, the
-  * COPY sub-protocol, cancellation, TLS.
+  * Also: binary RESULT formats (Bind result-format=1 — int2/int4/int8,
+  * float4/float8, bool, date, timestamp as the int8-microseconds
+  * integer_datetimes encoding, bytea raw; JDBC `binaryTransfer`),
+  * CancelRequest keyed on the BackendKeyData issued at startup (cancels
+  * the connection's Spark job group), and `COPY ... FROM STDIN`
+  * (text/CSV CopyData stream into a new or existing table — the psql
+  * `\copy` bulk-load path, reference `CopyImportFactory`).
+  *
+  * Results stream to the socket via `toLocalIterator` — one partition
+  * resident on the driver at a time — so a full-table SELECT over the
+  * wire never materializes on the driver.
+  *
+  * Out of scope (documented): binary parameter formats, TLS.
   */
 class PgWireServer(engine: graft.Engine, port: Int = 0) {
   private val server = new ServerSocket(port)
   @volatile private var running = false
+
+  // CancelRequest routing: pid -> (secret, spark job group). Entries
+  // live for the connection's lifetime.
+  private val pidSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val sessions = new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -60,10 +76,13 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
   private case class Prepared(sql: String, paramOids: Seq[Int])
 
   /** A bound portal. Execution is lazy (first Describe-portal derives
-    * the schema without collecting; first Execute collects) and the row
-    * iterator persists across Executes for maxRows/PortalSuspended.
+    * the schema without collecting; first Execute opens the iterator)
+    * and the row iterator persists across Executes for
+    * maxRows/PortalSuspended. Rows come from `toLocalIterator` — one
+    * partition resident at a time, never the whole result.
     */
-  private final class Portal(val stmt: Prepared, val args: Seq[Any]) {
+  private final class Portal(val stmt: Prepared, val args: Seq[Any],
+                             val resultFormats: Seq[Int]) {
     private var dfOpt: Option[org.apache.spark.sql.DataFrame] = None
     private var rowsOpt: Option[Iterator[org.apache.spark.sql.Row]] = None
     private def df = dfOpt.getOrElse {
@@ -72,9 +91,19 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
     }
     def schema: StructType = df.schema
     def rows: Iterator[org.apache.spark.sql.Row] = rowsOpt.getOrElse {
-      val it = df.collect().iterator
+      val it = {
+        import scala.jdk.CollectionConverters._
+        df.toLocalIterator().asScala
+      }
       rowsOpt = Some(it); it
     }
+    /** Result format for column i: 0 text, 1 binary (protocol rules —
+      * zero codes = all text, one code = all columns, else per-column).
+      */
+    def fmt(i: Int): Int =
+      if (resultFormats.isEmpty) 0
+      else if (resultFormats.length == 1) resultFormats.head
+      else resultFormats(i)
   }
 
   private def serve(sock: Socket): Unit = {
@@ -85,8 +114,16 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
     // extended-protocol error discipline: after a failure, discard
     // everything until Sync
     var skipToSync = false
+    val pid = pidSeq.incrementAndGet()
+    val secret = java.util.concurrent.ThreadLocalRandom.current().nextInt()
+    val group = s"pgwire-$pid"
+    sessions.put(pid, (secret, group))
+    // all jobs this connection submits carry its group, so CancelRequest
+    // can interrupt the running stages
+    engine.spark.sparkContext.setJobGroup(group, s"pgwire connection $pid",
+      interruptOnCancel = true)
     try {
-      if (!startup(in, out)) return
+      if (!startup(in, out, pid, secret)) return
       var open = true
       while (open) {
         val tpe = try in.readByte() catch { case _: EOFException => 'X'.toByte }
@@ -99,7 +136,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
         } else kind match {
           case 'Q' =>
             val sql = new String(payload, 0, payload.length - 1, UTF_8) // NUL-terminated
-            runSimpleQuery(sql, out)
+            runSimpleQuery(sql, in, out)
             readyForQuery(out)
           case 'P' | 'B' | 'D' | 'E' | 'C' =>
             try extendedMessage(kind, new Reader(payload), out, prepared, portals)
@@ -121,7 +158,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
         out.flush()
       }
     } catch { case _: Exception => /* client went away */ }
-    finally sock.close()
+    finally { sessions.remove(pid); sock.close() }
   }
 
   private def extendedMessage(kind: Char, r: Reader, out: DataOutputStream,
@@ -150,7 +187,8 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
             case b => paramValue(stmt.paramOids.lift(i).getOrElse(0), new String(b, UTF_8))
           }
         }
-        portals(portal) = new Portal(stmt, args)
+        val resultFmts = Seq.fill(r.int16())(r.int16())
+        portals(portal) = new Portal(stmt, args, resultFmts)
         msg(out, '2') { _ => } // BindComplete
       case 'D' => // Describe statement ('S') or portal ('P')
         val target = r.byte().toChar
@@ -173,7 +211,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
           case _ =>
             val p = portals.getOrElse(name,
               throw new IllegalArgumentException(s"unknown portal '$name'"))
-            rowDescription(out, p.schema)
+            rowDescription(out, p.schema, p.fmt)
         }
       case 'E' => // Execute: portal, maxRows (0 = all)
         val name = r.cstr()
@@ -184,7 +222,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
         val it = p.rows
         var sent = 0
         while (it.hasNext && (maxRows == 0 || sent < maxRows)) {
-          dataRow(out, schema, it.next()); sent += 1
+          dataRow(out, schema, it.next(), p.fmt); sent += 1
         }
         if (it.hasNext) msg(out, 's') { _ => } // PortalSuspended
         else msg(out, 'C') { b => cstr(b, s"SELECT $sent") }
@@ -242,7 +280,8 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
   /** Negotiation + startup + trust auth. Returns false if the client
     * never sent a startup message.
     */
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def startup(in: DataInputStream, out: DataOutputStream,
+                      pid: Int, secret: Int): Boolean = {
     var len = in.readInt()
     var code = in.readInt()
     // SSLRequest (80877103) / GSSENCRequest (80877104): refuse, client
@@ -251,7 +290,14 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
       out.writeByte('N'); out.flush()
       len = in.readInt(); code = in.readInt()
     }
-    if (code == 80877102) { // CancelRequest: nothing to cancel, drop
+    if (code == 80877102) { // CancelRequest: pid + secret, then hang up
+      val targetPid = in.readInt()
+      val targetSecret = in.readInt()
+      sessions.get(targetPid) match {
+        case (s, g) if s == targetSecret =>
+          engine.spark.sparkContext.cancelJobGroup(g)
+        case _ => // unknown pid or bad secret: ignore, per protocol
+      }
       return false
     }
     // StartupMessage: protocol 3.0, then NUL-separated key/value params
@@ -264,7 +310,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
       "standard_conforming_strings" -> "on").foreach { case (k, v) =>
       msg(out, 'S') { b => cstr(b, k); cstr(b, v) }
     }
-    msg(out, 'K') { b => b.writeInt(0); b.writeInt(0) } // BackendKeyData
+    msg(out, 'K') { b => b.writeInt(pid); b.writeInt(secret) } // BackendKeyData
     readyForQuery(out)
     out.flush()
     true
@@ -272,22 +318,114 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
 
   // ---- query execution ----------------------------------------------
 
-  private def runSimpleQuery(sql: String, out: DataOutputStream): Unit = {
+  private val CopyStdinRe =
+    """(?is)^COPY\s+([\w.]+)\s+FROM\s+STDIN\s*(.*)$""".r
+
+  private def runSimpleQuery(sql: String, in: DataInputStream,
+                             out: DataOutputStream): Unit = {
     val statements = splitStatements(sql)
     if (statements.isEmpty) { msg(out, 'I') { _ => } ; return } // EmptyQueryResponse
-    statements.foreach { stmt =>
-      try {
-        val df = engine.sql(stmt)
-        val schema = df.schema
-        val rows = df.collect()
-        rowDescription(out, schema)
-        rows.foreach(dataRow(out, schema, _))
-        msg(out, 'C') { b => cstr(b, s"SELECT ${rows.length}") }
-      } catch {
-        case e: Exception =>
-          errorResponse(out, "42601", Option(e.getMessage).getOrElse(e.toString))
+    statements.foreach {
+      case CopyStdinRe(table, opts) =>
+        try copyInStdin(table, opts, in, out)
+        catch {
+          case e: Exception =>
+            errorResponse(out, "22P04", Option(e.getMessage).getOrElse(e.toString))
+        }
+      case stmt =>
+        try {
+          val df = engine.sql(stmt)
+          val schema = df.schema
+          rowDescription(out, schema)
+          // stream — one partition on the driver at a time, so SELECT *
+          // over a huge table doesn't materialize driver-side
+          val it = { import scala.jdk.CollectionConverters._; df.toLocalIterator().asScala }
+          var n = 0L
+          while (it.hasNext) { dataRow(out, schema, it.next(), _ => 0); n += 1 }
+          msg(out, 'C') { b => cstr(b, s"SELECT $n") }
+        } catch {
+          case e: Exception =>
+            val m = Option(e.getMessage).getOrElse(e.toString)
+            val state = if (m.toLowerCase.contains("cancel")) "57014" else "42601"
+            errorResponse(out, state, m)
+        }
+    }
+  }
+
+  /** COPY <table> FROM STDIN [(FORMAT csv|text, HEADER, DELIMITER 'c')]:
+    * reply CopyInResponse, drain CopyData until CopyDone/CopyFail, parse
+    * the accumulated text (CSV or pg tab-text with \N nulls) and land it
+    * — appended to the table if it exists (positional cast, like
+    * INSERT), else registered as a new view.
+    */
+  private def copyInStdin(table: String, opts: String, in: DataInputStream,
+                          out: DataOutputStream): Unit = {
+    val o = Option(opts).getOrElse("").toLowerCase
+    val isCsv = o.contains("csv")
+    val header = """header(\s+(true|on|1))?\s*[,)]?""".r.findFirstIn(o).isDefined &&
+      !o.contains("header false")
+    val delim = """delimiter\s+'(.)'""".r.findFirstMatchIn(o).map(_.group(1))
+      .getOrElse(if (isCsv) "," else "\t")
+    val existing = try Some(engine.spark.table(table)) catch { case _: Exception => None }
+
+    // CopyInResponse: overall text format + per-column text formats
+    val ncols = existing.map(_.schema.length).getOrElse(0)
+    msg(out, 'G') { b =>
+      b.writeByte(0); b.writeShort(ncols)
+      (0 until ncols).foreach(_ => b.writeShort(0))
+    }
+    out.flush()
+
+    val buf = new java.io.ByteArrayOutputStream()
+    var done = false
+    var failed: Option[String] = None
+    while (!done) {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      tpe match {
+        case 'd' => buf.write(payload) // CopyData
+        case 'c' => done = true        // CopyDone
+        case 'f' =>                    // CopyFail
+          failed = Some(new String(payload, 0, math.max(0, payload.length - 1), UTF_8))
+          done = true
+        case _ => // Flush/Sync mid-copy: ignore
       }
     }
+    failed.foreach(m => throw new IllegalArgumentException(s"COPY failed: $m"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copyin")
+    java.nio.file.Files.write(tmp.resolve("data.csv"), buf.toByteArray)
+    val reader = engine.spark.read
+      .option("header", header.toString)
+      .option("sep", delim)
+      .option("nullValue", if (isCsv) "" else "\\N")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val n = existing match {
+      case Some(target) =>
+        // append with positional cast to the target schema (same
+        // discipline as INSERT INTO ... VALUES)
+        import org.apache.spark.sql.functions.col
+        val raw =
+          if (header) reader.option("inferSchema", "true").csv(tmp.toString)
+          else reader.schema(StructType(target.schema.fields.map(f =>
+            StructField(f.name, StringType, nullable = true)))).csv(tmp.toString)
+        require(raw.columns.length == target.columns.length,
+          s"COPY column count ${raw.columns.length} != table ${target.columns.length}")
+        val incoming = raw.toDF(target.columns: _*)
+          .select(target.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+        val rows = incoming.count()
+        target.unionByName(incoming).createOrReplaceTempView(table)
+        rows
+      case None =>
+        val df = reader.option("inferSchema", "true").csv(tmp.toString)
+        df.createOrReplaceTempView(table)
+        df.count()
+    }
+    graft.Catalog.invalidateMetaViews(engine.spark)
+    graft.Tables.forgetRegistration(engine.spark)
+    msg(out, 'C') { b => cstr(b, s"COPY $n") }
   }
 
   private def splitStatements(sql: String): Seq[String] = {
@@ -305,31 +443,67 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
   }
 
   private def dataRow(out: DataOutputStream, schema: StructType,
-                      r: org.apache.spark.sql.Row): Unit =
+                      r: org.apache.spark.sql.Row, fmt: Int => Int): Unit =
     msg(out, 'D') { b =>
       b.writeShort(schema.length)
       (0 until schema.length).foreach { i =>
         if (r.isNullAt(i)) b.writeInt(-1)
         else {
-          val bytes = textOf(r.get(i), schema(i).dataType).getBytes(UTF_8)
+          val bytes =
+            if (fmt(i) == 1) binOf(r.get(i), schema(i).dataType)
+            else textOf(r.get(i), schema(i).dataType).getBytes(UTF_8)
           b.writeInt(bytes.length); b.write(bytes)
         }
       }
     }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+                             fmt: Int => Int = _ => 0): Unit =
     msg(out, 'T') { b =>
       b.writeShort(schema.length)
-      schema.foreach { f =>
+      schema.zipWithIndex.foreach { case (f, i) =>
         cstr(b, f.name)
         b.writeInt(0)            // table OID
         b.writeShort(0)          // column attribute number
         b.writeInt(pgOid(f.dataType))
         b.writeShort(pgLen(f.dataType))
         b.writeInt(-1)           // type modifier
-        b.writeShort(0)          // text format
+        b.writeShort(fmt(i))     // 0 text / 1 binary
       }
     }
+
+  /** Unix micros at the Postgres binary epoch 2000-01-01T00:00:00Z. */
+  private val PgEpochMicros = 946684800000000L
+  private val PgEpochDays = 10957 // days 1970-01-01 → 2000-01-01
+
+  /** Binary result encodings (protocol `integer_datetimes=on` wire
+    * formats). Text-ish and unsupported types fall back to their text
+    * bytes, which is the documented binary representation for text.
+    */
+  private def binOf(v: Any, dt: DataType): Array[Byte] = {
+    def alloc(n: Int) = java.nio.ByteBuffer.allocate(n) // big-endian default
+    (v, dt) match {
+      case (b: Boolean, _) => Array[Byte](if (b) 1 else 0)
+      case (n: Byte, _) => alloc(2).putShort(n.toShort).array()
+      case (n: Short, _) => alloc(2).putShort(n).array()
+      case (n: Int, _) => alloc(4).putInt(n).array()
+      case (n: Long, _) => alloc(8).putLong(n).array()
+      case (f: Float, _) => alloc(4).putFloat(f).array()
+      case (d: Double, _) => alloc(8).putDouble(d).array()
+      case (t: java.sql.Timestamp, _) =>
+        val micros = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        alloc(8).putLong(micros - PgEpochMicros).array()
+      case (t: java.time.LocalDateTime, _) =>
+        val micros = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+        alloc(8).putLong(micros - PgEpochMicros).array()
+      case (d: java.sql.Date, _) =>
+        alloc(4).putInt((d.toLocalDate.toEpochDay - PgEpochDays).toInt).array()
+      case (d: java.time.LocalDate, _) =>
+        alloc(4).putInt((d.toEpochDay - PgEpochDays).toInt).array()
+      case (bytes: Array[Byte], BinaryType) => bytes
+      case (other, dtt) => textOf(other, dtt).getBytes(UTF_8)
+    }
+  }
 
   /** Postgres type OIDs (pg_type.dat, public catalog numbers). */
   private def pgOid(dt: DataType): Int = dt match {

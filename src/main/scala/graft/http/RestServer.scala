@@ -30,7 +30,7 @@ class RestServer(engine: graft.Engine, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   server.createContext("/exec", handler(execHandler))
-  server.createContext("/exp", handler(expHandler))
+  server.createContext("/exp", expHandler(_))
   server.createContext("/imp", handler(impHandler))
   server.createContext("/write", handler(writeHandler))
   server.createContext("/api/v2/write", handler(writeHandler))
@@ -71,12 +71,41 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     (200, "application/json", renderJson(query, df, limit))
   }
 
-  private def expHandler(ex: HttpExchange): (Int, String, String) = {
-    val p = params(ex)
-    val query = p.getOrElse("query", throw new IllegalArgumentException("missing query"))
-    val limit = p.get("limit").map(_.toInt).getOrElse(1000000)
-    val df = engine.sql(query)
-    (200, "text/csv", renderCsv(df, limit))
+  /** CSV export streams with chunked transfer encoding: rows come off
+    * `toLocalIterator` (one partition resident at a time) and go
+    * straight to the socket, so exporting a 100× table never
+    * materializes on the driver. `limit` is optional and unbounded by
+    * default — streaming makes the full export safe.
+    */
+  private def expHandler(ex: HttpExchange): Unit = {
+    try {
+      val p = params(ex)
+      val query = p.getOrElse("query", throw new IllegalArgumentException("missing query"))
+      val limit = p.get("limit").map(_.toLong).getOrElse(Long.MaxValue)
+      val df = engine.sql(query) // analyze before headers so errors can still 400
+      df.schema
+      ex.getResponseHeaders.add("Content-Type", "text/csv")
+      ex.sendResponseHeaders(200, 0L) // 0 = chunked
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8), 1 << 16)
+      w.write(df.columns.map(csvCell(_)).mkString("", ",", "\r\n"))
+      val it = { import scala.jdk.CollectionConverters._; df.toLocalIterator().asScala }
+      var n = 0L
+      while (it.hasNext && n < limit) {
+        w.write(it.next().toSeq.map(csvCell).mkString("", ",", "\r\n"))
+        n += 1
+      }
+      w.flush()
+    } catch {
+      case e: Exception =>
+        // only reachable before headers were sent (analysis errors)
+        try {
+          val body = s"""{"error":${jsonStr(e.getMessage)}}""".getBytes(UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(400, body.length.toLong)
+          ex.getResponseBody.write(body)
+        } catch { case _: Exception => /* mid-stream failure: drop */ }
+    } finally ex.close()
   }
 
   private def impHandler(ex: HttpExchange): (Int, String, String) = {
@@ -147,9 +176,4 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     case other => other.toString
   }
 
-  private def renderCsv(df: DataFrame, limit: Int): String = {
-    val header = df.columns.map(csvCell(_)).mkString(",")
-    val rows = df.limit(limit).collect().map(_.toSeq.map(csvCell).mkString(","))
-    (header +: rows).mkString("", "\r\n", "\r\n")
-  }
 }

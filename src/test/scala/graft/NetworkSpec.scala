@@ -298,6 +298,203 @@ class NetworkSpec extends SparkSpec {
     } finally { sock.close(); srv.stop() }
   }
 
+  /** Minimal PG protocol client for the new-surface tests. */
+  private final class PgClient(port: Int) {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    sock.setSoTimeout(120000) // a hung read fails the test, not the suite
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new java.io.DataOutputStream(sock.getOutputStream)
+    def readMsg(): (Char, Array[Byte]) = {
+      val t = in.readByte().toChar
+      val p = new Array[Byte](in.readInt() - 4)
+      in.readFully(p); (t, p)
+    }
+    def readUntilReady(): Seq[(Char, Array[Byte])] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Char, Array[Byte])]
+      var m = readMsg()
+      while (m._1 != 'Z') { buf += m; m = readMsg() }
+      buf.toSeq
+    }
+    def msg(tpe: Char)(body: java.io.DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new java.io.DataOutputStream(buf)
+      body(b); b.flush()
+      out.writeByte(tpe); out.writeInt(4 + buf.size()); buf.writeTo(out)
+    }
+    def cstr(b: java.io.DataOutputStream, s: String): Unit = {
+      b.write(s.getBytes("UTF-8")); b.writeByte(0)
+    }
+    def sendQuery(sql: String): Unit = {
+      val b = sql.getBytes("UTF-8")
+      out.writeByte('Q'); out.writeInt(4 + b.length + 1); out.write(b); out.writeByte(0)
+      out.flush()
+    }
+    /** Startup; returns the BackendKeyData (pid, secret). */
+    def startup(): (Int, Int) = {
+      val params = "user\u0000graft\u0000\u0000".getBytes("UTF-8")
+      out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
+      val hello = readUntilReady()
+      val k = hello.find(_._1 == 'K').get._2
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(k))
+      (d.readInt(), d.readInt())
+    }
+    def decodeText(p: Array[Byte]): Seq[String] = {
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(p))
+      (0 until d.readShort().toInt).map { _ =>
+        val len = d.readInt()
+        if (len < 0) null
+        else { val b = new Array[Byte](len); d.readFully(b); new String(b, "UTF-8") }
+      }
+    }
+    def close(): Unit = sock.close()
+  }
+
+  test("PGWire: binary result formats — int8/float8/timestamp/bool/date via Bind result-format=1") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      c.msg('P') { b =>
+        c.cstr(b, "")
+        c.cstr(b, "SELECT CAST(42 AS BIGINT) AS l, CAST(1.5 AS DOUBLE) AS d, " +
+          "TIMESTAMP '2024-01-01 00:00:00' AS ts, true AS b, DATE '2024-01-02' AS dt")
+        b.writeShort(0)
+      }
+      c.msg('B') { b =>
+        c.cstr(b, ""); c.cstr(b, "")
+        b.writeShort(0) // no params
+        b.writeShort(0)
+        b.writeShort(1); b.writeShort(1) // ONE result-format code: all binary
+      }
+      c.msg('D') { b => b.writeByte('P'); c.cstr(b, "") }
+      c.msg('E') { b => c.cstr(b, ""); b.writeInt(0) }
+      c.msg('S') { _ => }
+      c.out.flush()
+      val ms = c.readUntilReady()
+      assert(ms.map(_._1) == Seq('1', '2', 'T', 'D', 'C'))
+      // RowDescription reports format=1 per column (last int16 of each field)
+      val t = ms.find(_._1 == 'T').get._2
+      assert(t.takeRight(2).toSeq == Seq(0, 1).map(_.toByte))
+      val d = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(ms.find(_._1 == 'D').get._2))
+      assert(d.readShort() == 5)
+      assert(d.readInt() == 8 && d.readLong() == 42L)                // int8
+      assert(d.readInt() == 8 && d.readDouble() == 1.5)              // float8
+      val pgEpochMicros = 946684800000000L
+      val expTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L - pgEpochMicros
+      assert(d.readInt() == 8 && d.readLong() == expTs)              // timestamp µs/2000
+      assert(d.readInt() == 1 && d.readByte() == 1)                  // bool
+      val expDays = java.time.LocalDate.parse("2024-01-02").toEpochDay - 10957
+      assert(d.readInt() == 4 && d.readInt() == expDays)             // date days/2000
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: portal streams a multi-partition result across Executes (toLocalIterator)") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      // range() plans one partition per core — far more than one partition
+      c.msg('P') { b => c.cstr(b, ""); c.cstr(b, "SELECT id FROM range(0, 10000) ORDER BY id"); b.writeShort(0) }
+      c.msg('B') { b => c.cstr(b, "big"); c.cstr(b, ""); b.writeShort(0); b.writeShort(0); b.writeShort(0) }
+      c.msg('E') { b => c.cstr(b, "big"); b.writeInt(6000) }
+      c.msg('H') { _ => }
+      c.out.flush()
+      assert(c.readMsg()._1 == '1')
+      assert(c.readMsg()._1 == '2')
+      var got = 0
+      var next = c.readMsg()
+      while (next._1 == 'D') { got += 1; next = c.readMsg() }
+      assert(got == 6000 && next._1 == 's') // PortalSuspended mid-stream
+      // resume to exhaustion on the SAME iterator
+      c.msg('E') { b => c.cstr(b, "big"); b.writeInt(0) }
+      c.msg('S') { _ => }
+      c.out.flush()
+      val rest = c.readUntilReady()
+      assert(rest.count(_._1 == 'D') == 4000)
+      val tag = new String(rest.last._2, 0, rest.last._2.length - 1, "UTF-8")
+      assert(rest.last._1 == 'C' && tag == "SELECT 4000")
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: CancelRequest with BackendKeyData interrupts the running query") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      val (pid, secret) = c.startup()
+      // a query that cannot finish in test time without the cancel;
+      // Range codegen polls killTaskIfInterrupted, so the cancelled
+      // tasks actually stop burning CPU (a cross join would zombie on)
+      c.sendQuery("SELECT count(*) AS n FROM range(0, 2000000000000)")
+      Thread.sleep(1500) // let the stages start
+      val killer = new java.net.Socket("127.0.0.1", port)
+      try {
+        val ko = new java.io.DataOutputStream(killer.getOutputStream)
+        ko.writeInt(16); ko.writeInt(80877102); ko.writeInt(pid); ko.writeInt(secret)
+        ko.flush()
+      } finally killer.close()
+      val ms = c.readUntilReady() // ErrorResponse then ReadyForQuery
+      val err = ms.find(_._1 == 'E')
+      assert(err.isDefined)
+      assert(new String(err.get._2, "UTF-8").contains("57014"))
+      // the session survives the cancel
+      c.sendQuery("SELECT 7 AS x")
+      val after = c.readUntilReady()
+      assert(c.decodeText(after.find(_._1 == 'D').get._2) == Seq("7"))
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: COPY FROM STDIN loads CSV, then appends to the existing table") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      c.sendQuery("COPY cp_t FROM STDIN (FORMAT csv, HEADER true)")
+      val (g, _) = c.readMsg()
+      assert(g == 'G') // CopyInResponse
+      val data = "sym,price\nA,1.5\nB,2.5\n".getBytes("UTF-8")
+      c.out.writeByte('d'); c.out.writeInt(4 + data.length); c.out.write(data)
+      c.out.writeByte('c'); c.out.writeInt(4)
+      c.out.flush()
+      val done = c.readUntilReady()
+      val tag = done.find(_._1 == 'C').get._2
+      assert(new String(tag, 0, tag.length - 1, "UTF-8") == "COPY 2")
+
+      // second COPY appends (positional cast against the existing schema)
+      c.sendQuery("COPY cp_t FROM STDIN (FORMAT csv, HEADER true)")
+      assert(c.readMsg()._1 == 'G')
+      val more = "sym,price\nC,3.5\n".getBytes("UTF-8")
+      c.out.writeByte('d'); c.out.writeInt(4 + more.length); c.out.write(more)
+      c.out.writeByte('c'); c.out.writeInt(4)
+      c.out.flush()
+      val done2 = c.readUntilReady()
+      val tag2 = done2.find(_._1 == 'C').get._2
+      assert(new String(tag2, 0, tag2.length - 1, "UTF-8") == "COPY 1")
+
+      c.sendQuery("SELECT sym, price FROM cp_t ORDER BY sym")
+      val rows = c.readUntilReady().filter(_._1 == 'D').map(m => c.decodeText(m._2))
+      assert(rows == Seq(Seq("A", "1.5"), Seq("B", "2.5"), Seq("C", "3.5")))
+
+      // CopyFail: server reports the error and the session survives
+      c.sendQuery("COPY cp_t2 FROM STDIN (FORMAT csv)")
+      assert(c.readMsg()._1 == 'G')
+      val reason = "client bailed\u0000".getBytes("UTF-8")
+      c.out.writeByte('f'); c.out.writeInt(4 + reason.length); c.out.write(reason)
+      c.out.flush()
+      assert(c.readUntilReady().exists(_._1 == 'E'))
+      c.sendQuery("SELECT 1 AS ok")
+      assert(c.readUntilReady().exists(_._1 == 'D'))
+    } finally { c.close(); srv.stop() }
+  }
+
   test("REST /imp imports CSV and /exp exports it back") {
     val engine = Engine(spark, sfDir)
     val srv = new graft.http.RestServer(engine)
