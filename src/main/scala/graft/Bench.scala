@@ -21,8 +21,15 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
-    val passes: Seq[Map[String, Double]] = (1 to repeat).map { _ =>
-      queries.map { case (name, fn) =>
+    // Each pass runs in its own SEEDED shuffle of the query order: with a
+    // fixed alphabetical order, a query that always follows a heavy
+    // neighbor inherits its GC/cache pressure in every pass, and the
+    // median keeps the bias. Distinct per-pass orders decorrelate
+    // neighbors, so the median isolates the query's own cost; the seed
+    // keeps runs reproducible.
+    val passes: Seq[Map[String, Double]] = (1 to repeat).map { pass =>
+      val order = new scala.util.Random(42L + pass).shuffle(queries)
+      order.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces every column/operator to evaluate (a count()
         // would let Catalyst prune the projections away)
