@@ -109,6 +109,39 @@ object DialectQueries extends QueryPack {
           "FROM events WHERE event_id < 200 ORDER BY event_id")
     }),
 
+    "q_timestamp_ns" -> ((s, dir) => {
+      // TIMESTAMP_NS as a query surface (reference ColumnType.java:145
+      // ns TimestampDriver): BIGINT-nanos arithmetic in aggregates.
+      // Sub-µs digits are reconstructed deterministically (µs*1000 +
+      // id%1000) because DuckDB 1.0 truncates parquet ns to micros, so
+      // the oracle can't see the file's real sub-µs residue — the real
+      // ns parquet read is spec-gated instead (QuestSqlSpec).
+      import org.apache.spark.sql.functions._
+      val ns = unix_micros(col("ts")) * 1000L + col("event_id") % 1000L
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), ns.as("ns"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ns")).as("min_ns"),
+          max(col("ns")).as("max_ns"),
+          sum(col("ns") % 1000000L).as("sub_ms_sum"),
+          sum(when(col("ns") % 1000L =!= 0L, 1L).otherwise(0L)).as("sub_us_rows"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_sql_timestamp_ns" -> ((s, dir) => {
+      // the ns scalar functions through the dialect: BIGINT-nanos
+      // conversions, floor at ns resolution, ns literal parse
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, " +
+          "timestamp_to_ns(ts) AS ts_ns, " +
+          "ns_to_timestamp(timestamp_to_ns(ts)) AS ts_rt, " +
+          "timestamp_ns_floor('1h', timestamp_to_ns(ts)) AS ns_hour, " +
+          "to_timestamp_ns('2024-01-01 00:00:00.123456789') AS lit_ns " +
+          "FROM events WHERE event_id < 100 ORDER BY event_id")
+    }),
+
     "q_show_columns" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       QuestSql.sql(s, "SHOW COLUMNS FROM events")
@@ -203,6 +236,22 @@ object DialectQueries extends QueryPack {
         |  strftime(ts, '%Y-%m-%d') AS day_s,
         |  CAST(weekofyear(ts) AS INT) AS woy
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "q_timestamp_ns" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) + event_id % 1000 AS ns FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  min(ns) AS min_ns, max(ns) AS max_ns,
+        |  CAST(sum(ns % 1000000) AS BIGINT) AS sub_ms_sum,
+        |  CAST(sum(CASE WHEN ns % 1000 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS sub_us_rows
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sql_timestamp_ns" ->
+      """SELECT event_id,
+        |  epoch_ns(ts) AS ts_ns,
+        |  ts AS ts_rt,
+        |  epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS ns_hour,
+        |  CAST(1704067200123456789 AS BIGINT) AS lit_ns
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
 
     "q_show_columns" ->
       """SELECT * FROM (VALUES

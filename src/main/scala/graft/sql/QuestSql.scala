@@ -386,6 +386,22 @@ object QuestSql {
     q = expandCalls(q, "week_of_year") { case Seq(ts) => s"weekofyear($ts)" }
     q = expandCalls(q, "systimestamp") { _ => "current_timestamp()" }
     q = expandCalls(q, "sysdate") { _ => "current_timestamp()" }
+    // nanosecond timestamp surface (reference TIMESTAMP_NS —
+    // cairo/ColumnType.java:145-146, TimestampDriver ns variant). Spark's
+    // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
+    // five expand to codegen'd builtins (session tz is UTC, matching the
+    // naive-timestamp oracle).
+    q = expandCalls(q, "to_timestamp_ns") { case Seq(s) =>
+      s"(unix_timestamp(substring_index($s, '.', 1), 'yyyy-MM-dd HH:mm:ss') * 1000000000" +
+        s" + CAST(CASE WHEN instr($s, '.') > 0" +
+        s" THEN rpad(substring_index($s, '.', -1), 9, '0') ELSE '0' END AS BIGINT))" }
+    q = expandCalls(q, "timestamp_to_ns") { case Seq(ts) => s"(unix_micros($ts) * 1000)" }
+    q = expandCalls(q, "ns_to_timestamp") { case Seq(ns) =>
+      s"timestamp_micros(CAST(($ns) div 1000 AS BIGINT))" }
+    q = expandCalls(q, "now_ns") { _ => "(unix_micros(now()) * 1000)" }
+    q = expandCalls(q, "timestamp_ns_floor") { case Seq(stride, ns) =>
+      val nsStride = strideToMicros(stripQuotes(stride)) * 1000L
+      s"(($ns) - ((($ns) % $nsStride + $nsStride) % $nsStride))" }
     // LONG256 construction (reference long256/LongsToLong256FunctionFactory
     // — limbs least-significant first) → canonical 0x + 64-hex-digit form;
     // long256_add / long256_str are registered native functions

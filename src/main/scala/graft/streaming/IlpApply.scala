@@ -41,9 +41,14 @@ object IlpApply {
     val clean = lines.filter(_.trim.nonEmpty)
     if (clean.isEmpty) return 0L
     val parsed0 = Ingest.parseIlp(spark.createDataset(clean))
+    // the wire number is in `precision` units: micros scale by div-1000
+    // then microsMult; nanos scale by microsMult directly (ns-per-unit)
     val parsed = (if (microsMult == 1L) parsed0
-      else parsed0.withColumn("ts", timestamp_micros(unix_micros(col("ts")) * microsMult)))
+      else parsed0
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) * microsMult))
+        .withColumn("ts_ns", col("ts_ns") * microsMult))
       .withColumn("ts", coalesce(col("ts"), current_timestamp())) // server-time rows
+      .withColumn("ts_ns", coalesce(col("ts_ns"), unix_micros(col("ts")) * 1000L))
       .persist()
     try {
       val measurements = parsed.select("measurement").distinct()
@@ -78,7 +83,7 @@ object IlpApply {
         keys("f_long").map(k => col("f_long")(k).as(k)) ++
         keys("f_string").map(k => col("f_string")(k).as(k)) ++
         keys("f_bool").map(k => col("f_bool")(k).as(k)) :+
-        col("ts")
+        col("ts") :+ col("ts_ns")
     df.select(cols: _*)
   }
 }

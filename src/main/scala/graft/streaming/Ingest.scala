@@ -33,6 +33,9 @@ object Ingest {
     }.toDF("measurement", "tags", "f_double", "f_long", "f_string", "f_bool", "ts_nanos")
       .withColumn("ts",
         when(col("ts_nanos") >= 0, timestamp_micros(expr("ts_nanos div 1000"))))
+      // full wire precision survives as BIGINT nanos (reference keeps a
+      // TIMESTAMP_NS designated column; Spark's TimestampType is micros)
+      .withColumn("ts_ns", when(col("ts_nanos") >= 0, col("ts_nanos")))
       .drop("ts_nanos")
   }
 

@@ -37,6 +37,52 @@ class QuestSqlSpec extends SparkSpec {
     assert(r.getString(0) == "view" && r.getLong(1) > 0)
   }
 
+  test("TIMESTAMP_NS: raw parquet nanos carry sub-µs digits; ns scalar fns round-trip") {
+    // the parquet file's TIMESTAMP(NANOS) column reads as BIGINT nanos
+    // (nanosAsLong) and really does carry sub-microsecond residue — the
+    // precision DuckDB 1.0 can't see, hence spec-gated here
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val subUs = raw.filter(col("ts") % 1000 =!= 0).count()
+    assert(subUs > 0, "expected sub-µs digits in events.parquet nanos")
+    // truncation ns→µs matches what Tables.load serves downstream
+    val viaLoad = Tables.load(spark, sfDir, "events")
+      .select(unix_micros(col("ts"))).head().getLong(0)
+    val viaRaw = raw.select(expr("ts div 1000")).head().getLong(0)
+    assert(viaLoad == viaRaw)
+
+    // ns scalar functions: parse → floor → back
+    val r = engine.sql(
+      "SELECT to_timestamp_ns('2024-01-01 00:00:00.123456789') AS a, " +
+        "to_timestamp_ns('2024-01-01 00:00:00') AS b, " +
+        "timestamp_ns_floor('1m', to_timestamp_ns('2024-01-01 00:00:59.999999999')) AS f, " +
+        "ns_to_timestamp(to_timestamp_ns('2024-01-01 00:00:00.123456789')) AS rt").head()
+    assert(r.getLong(0) == 1704067200123456789L)
+    assert(r.getLong(1) == 1704067200000000000L)
+    assert(r.getLong(2) == 1704067200000000000L)
+    assert(r.getTimestamp(3) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456"))
+    // now_ns: epoch-scale nanos, sane bounds
+    val now = engine.sql("SELECT now_ns() AS n").head().getLong(0)
+    assert(now > 1700000000000000000L && now < 4102444800000000000L)
+  }
+
+  test("ILP ingest preserves wire nanos in ts_ns alongside the µs designated ts") {
+    val dir = java.nio.file.Files.createTempDirectory("ilp_ns").toString
+    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.streaming.IlpApply.applyLines(spark,
+      Seq("nstr,sym=A price=1.0 1704067200123456789",
+        "nstr,sym=B price=2.0 1704067201000000001"),
+      dir, 1L, Nil, seq)
+    val rows = spark.sql("SELECT sym, CAST(ts AS STRING) AS t, ts_ns FROM nstr ORDER BY sym")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows(0) == (("A", "2024-01-01 00:00:00.123456", 1704067200123456789L)))
+    assert(rows(1) == (("B", "2024-01-01 00:00:01", 1704067201000000001L)))
+    // non-ns precision rescales the nanos too (ms → ns)
+    graft.streaming.IlpApply.applyLines(spark,
+      Seq("nstr2,sym=C price=3.0 1704067200123"), dir, 1000000L, Nil, seq)
+    assert(spark.sql("SELECT ts_ns FROM nstr2").head().getLong(0) == 1704067200123000000L)
+  }
+
   test("interval literal IN 'yyyy-MM' becomes a half-open range") {
     val n = engine.sql("SELECT count(*) AS n FROM events WHERE ts IN '2024-01'").head().getLong(0)
     val exact = Tables.events(spark, sfDir)
