@@ -303,6 +303,33 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_compressed_audio_meta" -> ((s, dir) => {
+      // mp3/flac header walks, oracle-gated like q_audio_meta: the
+      // synthesizers build real MPEG-1 Layer III frame sequences (with
+      // an ID3v2 tag to skip) and FLAC STREAMINFO blocks from
+      // id-derived parameters; the decoder must recover the closed-form
+      // rate / frame-count / duration stated by the oracle
+      val src = Tables.events(s, dir).filter(col("event_id") < 120)
+        .select(col("event_id"),
+          (lit(9) + col("event_id") % 3).cast("int").as("br_idx"),   // 128/160/192 kbps
+          (col("event_id") % 3).cast("int").as("sr_idx"),            // 44100/48000/32000
+          (lit(20) + col("event_id") % 30).cast("int").as("frames"),
+          (lit(8000) + (col("event_id") % 3) * 4000).cast("int").as("frate"),
+          (lit(4410) + (col("event_id") % 5) * 441).cast("long").as("fsamples"))
+      def metaCols(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.bits").as("bits"),
+        col("audio_meta.n_frames").as("n_frames"),
+        col("audio_meta.duration_ms").as("duration_ms"),
+        col("audio_meta.format").as("format"))
+      val mp3 = metaCols(Multimodal.decodeAudio(
+        Multimodal.synthMp3(src, "br_idx", "sr_idx", "frames"), "payload"))
+      val flac = metaCols(Multimodal.decodeAudio(
+        Multimodal.synthFlac(src.drop("payload"), "frate", "fsamples"), "payload"))
+      mp3.unionByName(flac).orderBy(col("format"), col("event_id"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -741,6 +768,27 @@ object PipelineQueries extends QueryPack {
         |  CAST(0.0 AS DOUBLE) AS zcr,
         |  amp / 32768.0 AS peak
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_compressed_audio_meta" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CAST(20 + event_id % 30 AS INT) AS frames,
+        |    CAST(8000 + (event_id % 3) * 4000 AS INT) AS frate,
+        |    CAST(4410 + (event_id % 5) * 441 AS BIGINT) AS fsamples
+        |  FROM events WHERE event_id < 120)
+        |SELECT event_id, CAST(frate AS INT) AS sample_rate, 2 AS channels, 16 AS bits,
+        |  fsamples AS n_frames,
+        |  CAST(fsamples * 1000 AS DOUBLE) / frate AS duration_ms,
+        |  'flac' AS format
+        |FROM p
+        |UNION ALL
+        |SELECT event_id, CAST(sr AS INT) AS sample_rate, 1 AS channels, 0 AS bits,
+        |  CAST(frames AS BIGINT) * 1152 AS n_frames,
+        |  CAST(frames * 1152 * 1000 AS DOUBLE) / sr AS duration_ms,
+        |  'mp3' AS format
+        |FROM p
+        |ORDER BY format, event_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH h AS (SELECT event_id, md5(props) AS hx FROM events WHERE event_id < 500),

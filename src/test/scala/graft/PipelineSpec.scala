@@ -293,6 +293,31 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFeaturesOne(empty) != null)
   }
 
+  test("multimodal audio: mp3/flac header walks survive hostile input") {
+    // ID3v2 size pointing past the buffer: fall back, don't throw
+    val evilId3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++
+      new Array[Byte](20)
+    assert(Multimodal.decodeMp3One(evilId3).getString(5) == "stub")
+    // valid sync but free-format bitrate (idx 0) everywhere: no frame parses
+    val evilSync = Array[Byte](0xff.toByte, 0xfb.toByte, 0x00, 0xc0.toByte) ++
+      new Array[Byte](40)
+    assert(Multimodal.decodeAudioOne(evilSync).getString(5) == "stub")
+    // one valid frame then garbage: the parsed prefix still counts
+    val oneFrame = {
+      val flen = 144 * 128000 / 44100
+      val b = new Array[Byte](flen + 8)
+      b(0) = 0xff.toByte; b(1) = 0xfb.toByte
+      b(2) = ((9 << 4) | (0 << 2)).toByte; b(3) = 0xc0.toByte
+      b(flen) = 0x12 // not a sync word
+      b
+    }
+    val m = Multimodal.decodeMp3One(oneFrame)
+    assert(m.getString(5) == "mp3" && m.getLong(3) == 1152L && m.getInt(0) == 44100)
+    // flac: truncated STREAMINFO falls back
+    val shortFlac = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ new Array[Byte](30)
+    assert(Multimodal.decodeAudioOne(shortFlac).getString(5) == "stub")
+  }
+
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {
     val df = Seq((1L, "hello"), (2L, "hello"), (3L, "different"), (4L, null.asInstanceOf[String]))
       .toDF("id", "src")
