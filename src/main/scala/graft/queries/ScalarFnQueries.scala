@@ -129,7 +129,17 @@ object ScalarFnQueries extends QueryPack {
     }),
 
     "q_fn_array" -> ((s, dir) => {
+      // a 2×2×2 tensor built from the embedding head exercises the 3-D
+      // ops (batched matmul, per-batch transpose, flatten-sum, shape);
+      // all outputs projected as scalars (arrays crash the driver's
+      // pandas hash-comparator)
+      val t = "array(array(slice(__e, 1, 2), slice(__e, 3, 2)), " +
+        "array(slice(__e, 5, 2), slice(__e, 7, 2)))"
       Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .withColumn("__e", expr("transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))"))
+        .withColumn("__t", expr(t))
+        .withColumn("__mm", graft.functions.ArrayOps.matmul3("__t", "__t"))
+        .withColumn("__tr", graft.functions.ArrayOps.transpose3("__t"))
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
@@ -142,7 +152,14 @@ object ScalarFnQueries extends QueryPack {
           element_at(col("embedding"), 1).as("h1"),
           element_at(col("embedding"), 2).as("h2"),
           element_at(col("embedding"), 3).as("h3"),
-          element_at(col("embedding"), 4).as("h4"))
+          element_at(col("embedding"), 4).as("h4"),
+          expr("element_at(element_at(element_at(__mm, 1), 1), 1)").as("mm111"),
+          expr("element_at(element_at(element_at(__mm, 1), 1), 2)").as("mm112"),
+          expr("element_at(element_at(element_at(__mm, 2), 2), 2)").as("mm222"),
+          expr("element_at(element_at(element_at(__tr, 1), 1), 2)").as("tr112"),
+          expr("element_at(element_at(element_at(__tr, 2), 2), 1)").as("tr221"),
+          graft.functions.ArrayOps.sumAll3("__t").as("t_sum"),
+          element_at(graft.functions.ArrayOps.shape3("__t"), 3).cast("int").as("d3"))
         .orderBy(col("vec_id"))
     }),
 
@@ -245,15 +262,25 @@ object ScalarFnQueries extends QueryPack {
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q_fn_array" ->
-      """SELECT vec_id,
+      """WITH d AS (
+        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS first_e,
         |  embedding[-1] AS last_e,
         |  list_max(embedding) AS max_e,
         |  list_min(embedding) AS min_e,
         |  embedding[1] AS h1, embedding[2] AS h2,
-        |  embedding[3] AS h3, embedding[4] AS h4
-        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+        |  embedding[3] AS h3, embedding[4] AS h4,
+        |  e[1]*e[1] + e[2]*e[3] AS mm111,
+        |  e[1]*e[2] + e[2]*e[4] AS mm112,
+        |  e[7]*e[6] + e[8]*e[8] AS mm222,
+        |  e[3] AS tr112,
+        |  e[6] AS tr221,
+        |  e[1]+e[2]+e[3]+e[4]+e[5]+e[6]+e[7]+e[8] AS t_sum,
+        |  2 AS d3
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     "q_unnest" ->
       """SELECT vec_id,

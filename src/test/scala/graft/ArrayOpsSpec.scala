@@ -36,4 +36,24 @@ class ArrayOpsSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(s == Seq(3.0, -6.0))
   }
+
+  test("3-D: batched matmul, per-batch transpose, shape, flatten-sum") {
+    // two batches: A = [[1,2],[3,4]], B = [[5,6],[7,8]]
+    val t3 = Seq(Tuple1(Seq(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      Seq(Seq(5.0, 6.0), Seq(7.0, 8.0))))).toDF("t")
+    val r = t3.select(
+      ArrayOps.matmul3("t", "t").as("mm"),
+      ArrayOps.transpose3("t").as("tr"),
+      ArrayOps.shape3("t").as("sh"),
+      ArrayOps.sumAll3("t").as("s")).head()
+    import scala.collection.{Seq => CSeq}
+    val mm = r.getSeq[CSeq[CSeq[Double]]](0)
+    assert(mm(0) == Seq(Seq(7.0, 10.0), Seq(15.0, 22.0)))    // A·A
+    assert(mm(1) == Seq(Seq(67.0, 78.0), Seq(91.0, 106.0)))  // B·B
+    val tr = r.getSeq[CSeq[CSeq[Double]]](1)
+    assert(tr(0) == Seq(Seq(1.0, 3.0), Seq(2.0, 4.0)))
+    assert(tr(1) == Seq(Seq(5.0, 7.0), Seq(6.0, 8.0)))
+    assert(r.getSeq[Int](2) == Seq(2, 2, 2))
+    assert(r.getDouble(3) == 36.0)
+  }
 }
