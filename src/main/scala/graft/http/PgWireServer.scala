@@ -29,19 +29,20 @@ import org.apache.spark.sql.types._
   * the protocol's error discipline (after an error, messages are
   * discarded until Sync).
   *
-  * Also: binary RESULT formats (Bind result-format=1 — int2/int4/int8,
-  * float4/float8, bool, date, timestamp as the int8-microseconds
-  * integer_datetimes encoding, bytea raw; JDBC `binaryTransfer`),
-  * CancelRequest keyed on the BackendKeyData issued at startup (cancels
-  * the connection's Spark job group), and `COPY ... FROM STDIN`
-  * (text/CSV CopyData stream into a new or existing table — the psql
-  * `\copy` bulk-load path, reference `CopyImportFactory`).
+  * Also: binary parameter AND result formats (Bind format=1 —
+  * int2/int4/int8, float4/float8, bool, date, timestamp as the
+  * int8-microseconds integer_datetimes encoding, bytea raw; JDBC
+  * `binaryTransfer`), CancelRequest keyed on the BackendKeyData issued
+  * at startup (cancels the connection's Spark job group), and
+  * `COPY ... FROM STDIN` (text/CSV CopyData stream into a new or
+  * existing table — the psql `\copy` bulk-load path, reference
+  * `CopyImportFactory`).
   *
   * Results stream to the socket via `toLocalIterator` — one partition
   * resident on the driver at a time — so a full-table SELECT over the
   * wire never materializes on the driver.
   *
-  * Out of scope (documented): binary parameter formats, TLS.
+  * Out of scope (documented): TLS.
   */
 class PgWireServer(engine: graft.Engine, port: Int = 0) {
   private val server = new ServerSocket(port)
@@ -181,9 +182,9 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
         val args = (0 until nParams).map { i =>
           val fmt = if (paramFmts.isEmpty) 0
             else if (paramFmts.length == 1) paramFmts.head else paramFmts(i)
-          if (fmt != 0) throw new IllegalArgumentException("binary parameters not supported")
           r.bytes() match {
             case null => null
+            case b if fmt == 1 => binParamValue(stmt.paramOids.lift(i).getOrElse(0), b)
             case b => paramValue(stmt.paramOids.lift(i).getOrElse(0), new String(b, UTF_8))
           }
         }
@@ -252,6 +253,36 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
       if (text.matches("[+-]?\\d+")) text.toLong
       else if (text.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) text.toDouble
       else text
+  }
+
+  /** Binary-format parameter → JVM value (the inverse of [[binOf]];
+    * JDBC `binaryTransfer` sends these for bound prepared statements).
+    */
+  private def binParamValue(oid: Int, b: Array[Byte]): Any = {
+    val bb = java.nio.ByteBuffer.wrap(b) // big-endian default
+    oid match {
+      case 16 => b.nonEmpty && b(0) != 0
+      case 21 => bb.getShort
+      case 23 => bb.getInt
+      case 20 => bb.getLong
+      case 700 => bb.getFloat
+      case 701 => bb.getDouble
+      case 1114 | 1184 =>
+        val micros = bb.getLong + PgEpochMicros
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        t
+      case 1082 =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(bb.getInt.toLong + PgEpochDays))
+      case 17 => b
+      case 25 | 1043 => new String(b, UTF_8)
+      case _ => b.length match { // undeclared OID: size-guess the integer widths
+        case 2 => bb.getShort
+        case 4 => bb.getInt
+        case 8 => bb.getLong
+        case _ => new String(b, UTF_8)
+      }
+    }
   }
 
   /** Cursor over an extended-protocol message payload. */

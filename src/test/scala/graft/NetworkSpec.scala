@@ -391,6 +391,40 @@ class NetworkSpec extends SparkSpec {
     } finally { c.close(); srv.stop() }
   }
 
+  test("PGWire: binary parameter formats — int8/float8/timestamp/text mixed per-param") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      c.msg('P') { b =>
+        c.cstr(b, "")
+        c.cstr(b, "SELECT $1 + 1 AS x, $2 * 2.0 AS d, $3 AS ts, upper($4) AS u")
+        b.writeShort(4); b.writeInt(20); b.writeInt(701); b.writeInt(1114); b.writeInt(25)
+      }
+      c.msg('B') { b =>
+        c.cstr(b, ""); c.cstr(b, "")
+        b.writeShort(4) // per-parameter formats: binary, binary, binary, text
+        b.writeShort(1); b.writeShort(1); b.writeShort(1); b.writeShort(0)
+        b.writeShort(4)
+        b.writeInt(8); b.writeLong(41L)                           // int8
+        b.writeInt(8); b.writeDouble(2.25)                        // float8
+        val micros = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456").getTime * 1000L +
+          456L - 946684800000000L
+        b.writeInt(8); b.writeLong(micros)                        // timestamp
+        b.writeInt(2); b.write("ab".getBytes)                     // text
+        b.writeShort(0) // result formats: text
+      }
+      c.msg('E') { b => c.cstr(b, ""); b.writeInt(0) }
+      c.msg('S') { _ => }
+      c.out.flush()
+      val ms = c.readUntilReady()
+      val row = c.decodeText(ms.find(_._1 == 'D').get._2)
+      assert(row == Seq("42", "4.5", "2024-01-01 00:00:00.123456", "AB"))
+    } finally { c.close(); srv.stop() }
+  }
+
   test("PGWire: portal streams a multi-partition result across Executes (toLocalIterator)") {
     val engine = Engine(spark, sfDir)
     val srv = new graft.http.PgWireServer(engine)
