@@ -209,6 +209,12 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
     assert(lv.snapshot().count() == 3)
     assert(lv.seamMicros == 1704074400000000L)
+    // seqTxn fence advanced with the last applied micro-batch
+    assert(lv.appliedTxn >= 0L)
+    // seam-fenced read: tail drained after apply, so read == durable,
+    // each row on exactly one side of the seam
+    assert(lv.read().count() == 3)
+    assert(lv.read().select("k").as[String].collect().sorted.toSeq == Seq("x", "y", "z"))
   }
 
   test("materialized view: streaming SAMPLE BY aggregates per bucket") {
