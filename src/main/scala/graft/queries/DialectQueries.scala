@@ -109,6 +109,24 @@ object DialectQueries extends QueryPack {
           "FROM events WHERE event_id < 200 ORDER BY event_id")
     }),
 
+    "q_sql_date_parts" -> ((s, dir) => {
+      // calendar extraction + predicates with reference semantics
+      // (Monday-first day_of_week, floor-mod sub-second components)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, " +
+          "day_of_week(ts) AS dow, " +
+          "day_of_week_sunday_first(ts) AS dow_sun, " +
+          "days_in_month(ts) AS dim, " +
+          "is_leap_year(ts) AS leap, " +
+          "is_end_of_month(ts) AS eom, " +
+          "micros(ts) AS us_part, " +
+          "millis(ts) AS ms_part, " +
+          "length_bytes(event_type) AS lb, " +
+          "quote_ident(event_type) AS qi " +
+          "FROM events WHERE event_id < 300 ORDER BY event_id")
+    }),
+
     "q_timestamp_ns" -> ((s, dir) => {
       // TIMESTAMP_NS as a query surface (reference ColumnType.java:145
       // ns TimestampDriver): BIGINT-nanos arithmetic in aggregates.
@@ -236,6 +254,19 @@ object DialectQueries extends QueryPack {
         |  strftime(ts, '%Y-%m-%d') AS day_s,
         |  CAST(weekofyear(ts) AS INT) AS woy
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "q_sql_date_parts" ->
+      """SELECT event_id,
+        |  CAST(isodow(ts) AS INT) AS dow,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow_sun,
+        |  CAST(day(last_day(ts)) AS INT) AS dim,
+        |  ((year(ts) % 4 = 0 AND year(ts) % 100 <> 0) OR year(ts) % 400 = 0) AS leap,
+        |  day(ts) = day(last_day(ts)) AS eom,
+        |  CAST(epoch_us(ts) % 1000 AS INT) AS us_part,
+        |  CAST((epoch_us(ts) // 1000) % 1000 AS INT) AS ms_part,
+        |  CAST(strlen(event_type) AS INT) AS lb,
+        |  '"' || replace(event_type, '"', '""') || '"' AS qi
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
 
     "q_timestamp_ns" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) + event_id % 1000 AS ns FROM events)

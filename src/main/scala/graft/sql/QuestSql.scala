@@ -386,6 +386,28 @@ object QuestSql {
     q = expandCalls(q, "week_of_year") { case Seq(ts) => s"weekofyear($ts)" }
     q = expandCalls(q, "systimestamp") { _ => "current_timestamp()" }
     q = expandCalls(q, "sysdate") { _ => "current_timestamp()" }
+    // date-part extraction + calendar predicates (reference
+    // functions/date/{DayOfWeek,DaysPerMonth,IsLeapYear,IsEndOfMonth,
+    // MicrosOfMills,MillisOfSecond}FunctionFactory; semantics from
+    // std/datetime/microtime/Micros.java:562-690 — Monday-first=1,
+    // floor-mod components)
+    q = expandCalls(q, "day_of_week") { case Seq(ts) =>
+      s"CAST(pmod(dayofweek($ts) + 5, 7) + 1 AS INT)" }
+    q = expandCalls(q, "day_of_week_sunday_first") { case Seq(ts) =>
+      s"CAST(dayofweek($ts) AS INT)" }
+    q = expandCalls(q, "days_in_month") { case Seq(ts) => s"day(last_day($ts))" }
+    q = expandCalls(q, "is_leap_year") { case Seq(ts) =>
+      s"((year($ts) % 4 = 0 AND year($ts) % 100 != 0) OR year($ts) % 400 = 0)" }
+    q = expandCalls(q, "is_end_of_month") { case Seq(ts) =>
+      s"(day($ts) = day(last_day($ts)))" }
+    q = expandCalls(q, "micros") { case Seq(ts) =>
+      s"CAST(pmod(unix_micros($ts), 1000) AS INT)" }
+    q = expandCalls(q, "millis") { case Seq(ts) =>
+      s"CAST(pmod(unix_micros($ts) div 1000, 1000) AS INT)" }
+    q = expandCalls(q, "length_bytes") { case Seq(s) => s"octet_length($s)" }
+    q = expandCalls(q, "quote_ident") { case Seq(s) =>
+      s"""concat('"', replace($s, '"', '""'), '"')""" }
+    q = expandCalls(q, "txid_current") { _ => "CAST(0 AS BIGINT)" }
     // nanosecond timestamp surface (reference TIMESTAMP_NS —
     // cairo/ColumnType.java:145-146, TimestampDriver ns variant). Spark's
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
@@ -399,6 +421,8 @@ object QuestSql {
     q = expandCalls(q, "ns_to_timestamp") { case Seq(ns) =>
       s"timestamp_micros(CAST(($ns) div 1000 AS BIGINT))" }
     q = expandCalls(q, "now_ns") { _ => "(unix_micros(now()) * 1000)" }
+    q = expandCalls(q, "systimestamp_ns") { _ => "(unix_micros(now()) * 1000)" }
+    q = expandCalls(q, "nanos") { case Seq(ns) => s"CAST(pmod($ns, 1000) AS INT)" }
     q = expandCalls(q, "timestamp_ns_floor") { case Seq(stride, ns) =>
       val nsStride = strideToMicros(stripQuotes(stride)) * 1000L
       s"(($ns) - ((($ns) % $nsStride + $nsStride) % $nsStride))" }
