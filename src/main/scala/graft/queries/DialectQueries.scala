@@ -127,6 +127,21 @@ object DialectQueries extends QueryPack {
           "FROM events WHERE event_id < 300 ORDER BY event_id")
     }),
 
+    "q_sql_ipv4_fns" -> ((s, dir) => {
+      // ipv4 function family: netmask from CIDR, dotted↔long casts,
+      // subnet containment (the reference's << / <<= in function form)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, " +
+          "netmask('10.1.2.3/24') AS m24, " +
+          "netmask(concat('10.0.0.0/', cast(8 + event_id % 17 as string))) AS mvar, " +
+          "ipv4_str_to_long(concat(cast(event_id % 256 as string), '.1.2.3')) AS ipl, " +
+          "ipv4_long_to_str(pmod(event_id * 2654435761, 4294967296)) AS dotted, " +
+          "ipv4_contains('192.168.0.0/16', concat('192.168.', cast(event_id % 256 as string), '.7')) AS in16, " +
+          "ipv4_contains('192.168.0.0/16', '10.0.0.1') AS out16 " +
+          "FROM events WHERE event_id < 300 ORDER BY event_id")
+    }),
+
     "q_timestamp_ns" -> ((s, dir) => {
       // TIMESTAMP_NS as a query surface (reference ColumnType.java:145
       // ns TimestampDriver): BIGINT-nanos arithmetic in aggregates.
@@ -267,6 +282,22 @@ object DialectQueries extends QueryPack {
         |  CAST(strlen(event_type) AS INT) AS lb,
         |  '"' || replace(event_type, '"', '""') || '"' AS qi
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+
+    "q_sql_ipv4_fns" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(8 + event_id % 17 AS INT) AS n,
+        |    (event_id * 2654435761) % 4294967296 AS ip
+        |  FROM events WHERE event_id < 300)
+        |SELECT event_id,
+        |  CAST(4294967040 AS BIGINT) AS m24,
+        |  ((4294967295 << (32 - n)) & 4294967295) AS mvar,
+        |  (event_id % 256) * 16777216 + 66051 AS ipl,
+        |  CAST((ip >> 24) % 256 AS VARCHAR) || '.' || CAST((ip >> 16) % 256 AS VARCHAR)
+        |    || '.' || CAST((ip >> 8) % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) AS dotted,
+        |  true AS in16,
+        |  false AS out16
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q_timestamp_ns" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) + event_id % 1000 AS ns FROM events)

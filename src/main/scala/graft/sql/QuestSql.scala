@@ -408,6 +408,25 @@ object QuestSql {
     q = expandCalls(q, "quote_ident") { case Seq(s) =>
       s"""concat('"', replace($s, '"', '""'), '"')""" }
     q = expandCalls(q, "txid_current") { _ => "CAST(0 AS BIGINT)" }
+    // ipv4 (reference functions/math IPv4*NetmaskFunctionFactory and the
+    // `<<`/`<<=` containment operators — function forms here; addresses
+    // ride as BIGINT or dotted strings). ipv4_contains expands FIRST so
+    // the netmask()/ipv4_str_to_long() calls it emits expand below.
+    q = expandCalls(q, "ipv4_contains") { case Seq(cidr, ip) =>
+      s"((ipv4_str_to_long($ip) & netmask($cidr)) = " +
+        s"(ipv4_str_to_long(split_part($cidr, '/', 1)) & netmask($cidr)))" }
+    q = expandCalls(q, "netmask") { case Seq(s) =>
+      s"(shiftleft(4294967295, 32 - CAST(split_part($s, '/', 2) AS INT)) & 4294967295)" }
+    q = expandCalls(q, "ipv4_str_to_long") { case Seq(s) =>
+      s"(CAST(split_part($s, '.', 1) AS BIGINT) * 16777216 + " +
+        s"CAST(split_part($s, '.', 2) AS BIGINT) * 65536 + " +
+        s"CAST(split_part($s, '.', 3) AS BIGINT) * 256 + " +
+        s"CAST(split_part($s, '.', 4) AS BIGINT))" }
+    q = expandCalls(q, "ipv4_long_to_str") { case Seq(ip) =>
+      s"concat_ws('.', CAST(pmod(shiftright($ip, 24), 256) AS STRING), " +
+        s"CAST(pmod(shiftright($ip, 16), 256) AS STRING), " +
+        s"CAST(pmod(shiftright($ip, 8), 256) AS STRING), " +
+        s"CAST(pmod($ip, 256) AS STRING))" }
     // nanosecond timestamp surface (reference TIMESTAMP_NS —
     // cairo/ColumnType.java:145-146, TimestampDriver ns variant). Spark's
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
@@ -426,6 +445,13 @@ object QuestSql {
     q = expandCalls(q, "timestamp_ns_floor") { case Seq(stride, ns) =>
       val nsStride = strideToMicros(stripQuotes(stride)) * 1000L
       s"(($ns) - ((($ns) % $nsStride + $nsStride) % $nsStride))" }
+    // interval construction + bound extraction (reference functions/date
+    // IntervalFunctionFactory / IntervalStart|EndFunctionFactory — the
+    // interval value rides as a (lo, hi) struct)
+    q = expandCalls(q, "interval_start") { case Seq(iv) => s"($iv).lo" }
+    q = expandCalls(q, "interval_end") { case Seq(iv) => s"($iv).hi" }
+    q = expandCalls(q, "interval") { case Seq(lo, hi) =>
+      s"named_struct('lo', CAST($lo AS TIMESTAMP), 'hi', CAST($hi AS TIMESTAMP))" }
     // LONG256 construction (reference long256/LongsToLong256FunctionFactory
     // — limbs least-significant first) → canonical 0x + 64-hex-digit form;
     // long256_add / long256_str are registered native functions

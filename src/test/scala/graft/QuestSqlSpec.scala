@@ -66,6 +66,14 @@ class QuestSqlSpec extends SparkSpec {
     assert(now > 1700000000000000000L && now < 4102444800000000000L)
   }
 
+  test("interval(lo, hi) struct + interval_start/end extraction") {
+    val r = engine.sql(
+      "SELECT interval_start(interval('2024-01-01', '2024-01-02')) AS lo, " +
+        "interval_end(interval('2024-01-01', '2024-01-02')) AS hi").head()
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+  }
+
   test("ILP ingest preserves wire nanos in ts_ns alongside the µs designated ts") {
     val dir = java.nio.file.Files.createTempDirectory("ilp_ns").toString
     val seq = new java.util.concurrent.atomic.AtomicLong(0L)
