@@ -168,6 +168,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup pair joins: keyed on shingle/bucket, never a cartesian product") {
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_minhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      // the self-join must key on the shingle/bucket equi-join columns
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), q)
+    }
+  }
+
+  test("q_similarity_topk: queries broadcast, one corpus pass, no corpus shuffle before ranking") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ivfAssign: map-side arg-max — partial+final max_by, no window over the corpus×nlist expansion") {
     import org.apache.spark.sql.functions._
     val corpus = Tables.load(spark, sfDir, "embeddings")
