@@ -55,9 +55,19 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, blockCols: Seq[String], threshold: Double,
                    words: Boolean = false): DataFrame = {
-    val sh =
+    // Three consumers read the shingle table (both self-join legs +
+    // per-doc sizes); without materialization Spark recomputes the
+    // scan+explode for each — 3 full corpus passes at 100 TB. A lazy
+    // local checkpoint caches partitions as the first consumer computes
+    // them (memory+disk, spill-safe) and the other two read blocks; the
+    // RDD is per-construction, so blocks free on GC and repeated runs
+    // still pay their own compute (honest benchmarking). On a real
+    // cluster an executor loss forfeits the cut lineage — acceptable for
+    // a derived table that one retry of the query rebuilds.
+    val sh = (
       if (words) wordShingleTable(df, idCol, textCol, n, blockCols)
       else shingleTable(df, idCol, textCol, n, blockCols)
+    ).localCheckpoint(false)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select((blockCols :+ "sh").map(col) :+ col(idCol).as("a"): _*)
     val b = sh.select((blockCols :+ "sh").map(col) :+ col(idCol).as("b"): _*)
@@ -102,8 +112,12 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat(parts: _*))
     }
+    // both self-join legs read the bucket table; materialize it once
+    // (the signature aggregation behind it is the expensive part) —
+    // same lazy-checkpoint rationale as in jaccardPairs
     val buckets = sigs.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      .localCheckpoint(false)
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
     a.join(b, Seq("band", "bucket"))
