@@ -42,9 +42,14 @@ import org.apache.spark.sql.types._
   * resident on the driver at a time — so a full-table SELECT over the
   * wire never materializes on the driver.
   *
-  * Out of scope (documented): TLS.
+  * Authentication: trust by default; pass `auth = Some(user -> password)`
+  * for cleartext-password auth (`authMd5 = true` upgrades the exchange
+  * to the salted MD5 scheme — what the reference ships, psql/JDBC both
+  * speak it). Out of scope (documented): TLS.
   */
-class PgWireServer(engine: graft.Engine, port: Int = 0) {
+class PgWireServer(engine: graft.Engine, port: Int = 0,
+                   auth: Option[(String, String)] = None,
+                   authMd5: Boolean = false) {
   private val server = new ServerSocket(port)
   @volatile private var running = false
 
@@ -334,7 +339,38 @@ class PgWireServer(engine: graft.Engine, port: Int = 0) {
     // StartupMessage: protocol 3.0, then NUL-separated key/value params
     val rest = new Array[Byte](len - 8)
     in.readFully(rest)
-    // AuthenticationOk (trust)
+    val startupParams = new String(rest, UTF_8).split("\u0000")
+      .grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    auth match {
+      case Some((expectUser, expectPass)) =>
+        val user = startupParams.getOrElse("user", "")
+        val salt = new Array[Byte](4)
+        java.util.concurrent.ThreadLocalRandom.current().nextBytes(salt)
+        if (authMd5) msg(out, 'R') { b => b.writeInt(5); b.write(salt) }
+        else msg(out, 'R') { b => b.writeInt(3) } // CleartextPassword
+        out.flush()
+        // PasswordMessage: 'p' + NUL-terminated credential
+        val tpe = in.readByte().toChar
+        val plen = in.readInt()
+        val payload = new Array[Byte](plen - 4)
+        in.readFully(payload)
+        val given = new String(payload, 0, math.max(0, payload.length - 1), UTF_8)
+        def md5hex(b: Array[Byte]): String = java.security.MessageDigest.getInstance("MD5")
+          .digest(b).map(x => f"${x & 0xff}%02x").mkString
+        // PG scheme: "md5" + md5hex(md5hex(password+user).bytes ++ salt)
+        val expected =
+          if (authMd5) "md5" + md5hex(
+            md5hex((expectPass + expectUser).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
+          else expectPass
+        val ok = tpe == 'p' && user == expectUser && given == expected
+        if (!ok) {
+          errorResponse(out, "28P01", s"password authentication failed for user \"$user\"")
+          out.flush()
+          return false
+        }
+      case None => // trust
+    }
+    // AuthenticationOk
     msg(out, 'R') { b => b.writeInt(0) }
     Seq("server_version" -> "15.0 (graft)", "client_encoding" -> "UTF8",
       "DateStyle" -> "ISO, MDY", "integer_datetimes" -> "on",

@@ -63,12 +63,34 @@ class RestServer(engine: graft.Engine, port: Int = 0,
         k -> java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
 
+  /** Reference JsonQueryProcessor URL params (`HttpConstants.java:77-96`):
+    * `limit=N` (first N) or `limit=lo,hi` (1-based inclusive row range),
+    * `nm=true` (omit column metadata), `count=true` (report the FULL
+    * result-set count, not just the page), `timings=true` (compile +
+    * execute nanos).
+    */
   private def execHandler(ex: HttpExchange): (Int, String, String) = {
     val p = params(ex)
     val query = p.getOrElse("query", throw new IllegalArgumentException("missing query"))
-    val limit = p.get("limit").map(_.toInt).getOrElse(1000)
+    val (skip, take) = p.get("limit") match {
+      case Some(l) if l.contains(",") =>
+        val Array(lo, hi) = l.split(",", 2).map(_.trim.toLong)
+        (math.max(lo - 1, 0L), math.max(hi - math.max(lo - 1, 0L), 0L))
+      case Some(l) => (0L, l.toLong)
+      case None => (0L, 1000L)
+    }
+    val noMeta = p.get("nm").exists(v => v == "true" || v == "1")
+    val wantCount = p.get("count").exists(v => v == "true" || v == "1")
+    val wantTimings = p.get("timings").exists(v => v == "true" || v == "1")
+    val t0 = System.nanoTime()
     val df = engine.sql(query)
-    (200, "application/json", renderJson(query, df, limit))
+    df.schema // force analysis: "compile"
+    val tCompile = System.nanoTime() - t0
+    val total = if (wantCount) Some(df.count()) else None
+    val t1 = System.nanoTime()
+    val body = renderJson(query, df, skip, take, noMeta, total,
+      if (wantTimings) Some((tCompile, System.nanoTime() - t1)) else None)
+    (200, "application/json", body)
   }
 
   /** CSV export streams with chunked transfer encoding: rows come off
@@ -160,13 +182,18 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     case other => jsonStr(other.toString)
   }
 
-  private def renderJson(query: String, df: DataFrame, limit: Int): String = {
+  private def renderJson(query: String, df: DataFrame, skip: Long, take: Long,
+                         noMeta: Boolean, total: Option[Long],
+                         timings: Option[(Long, Long)]): String = {
     val cols = df.schema.fields.map(f =>
       s"""{"name":${jsonStr(f.name)},"type":${jsonStr(graft.Catalog.sqlTypeName(f.dataType))}}""")
-    val rows = df.limit(limit).collect().map(r =>
-      r.toSeq.map(jsonVal).mkString("[", ",", "]"))
-    s"""{"query":${jsonStr(query)},"columns":[${cols.mkString(",")}],""" +
-      s""""dataset":[${rows.mkString(",")}],"count":${rows.length}}"""
+    val page = (if (skip > 0) df.offset(skip.toInt) else df).limit(take.toInt)
+    val rows = page.collect().map(r => r.toSeq.map(jsonVal).mkString("[", ",", "]"))
+    val meta = if (noMeta) "" else s""""columns":[${cols.mkString(",")}],"""
+    val t = timings.map { case (c, e) =>
+      s""""timings":{"compiler":$c,"execute":$e,"count":0},""" }.getOrElse("")
+    s"""{"query":${jsonStr(query)},$meta""" +
+      s""""dataset":[${rows.mkString(",")}],$t"count":${total.getOrElse(rows.length.toLong)}}"""
   }
 
   private def csvCell(v: Any): String = v match {

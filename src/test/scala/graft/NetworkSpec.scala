@@ -62,6 +62,18 @@ class NetworkSpec extends SparkSpec {
       val body2 = new String(
         new java.net.URI(s"http://127.0.0.1:$port/exec?query=$q2").toURL.openStream().readAllBytes())
       assert(body2.contains("\"events\""))
+
+      // reference URL params: limit=lo,hi pagination (1-based inclusive),
+      // nm (no metadata), count (full count), timings
+      val q3 = java.net.URLEncoder.encode(
+        "SELECT event_id FROM events WHERE event_id < 10 ORDER BY event_id", "UTF-8")
+      val page = new String(new java.net.URI(
+        s"http://127.0.0.1:$port/exec?query=$q3&limit=3,5&nm=true&count=true&timings=true")
+        .toURL.openStream().readAllBytes())
+      assert(page.contains("""dataset":[[2],[3],[4]]"""), page)
+      assert(page.contains(""""count":10"""), page) // full count, not the page
+      assert(!page.contains("columns"), page)       // nm=true
+      assert(page.contains(""""timings":{"compiler":"""), page)
     } finally srv.stop()
   }
 
@@ -482,6 +494,62 @@ class NetworkSpec extends SparkSpec {
       val after = c.readUntilReady()
       assert(c.decodeText(after.find(_._1 == 'D').get._2) == Seq("7"))
     } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: cleartext and md5 password auth") {
+    val engine = Engine(spark, sfDir)
+    def startupWithPassword(port: Int, user: String, password: String,
+                            md5Salt: Option[Array[Byte]] => Option[Array[Byte]] = identity)
+    : (PgClient, Seq[(Char, Array[Byte])]) = {
+      val c = new PgClient(port)
+      val params = s"user\u0000$user\u0000\u0000".getBytes("UTF-8")
+      c.out.writeInt(8 + params.length); c.out.writeInt(196608); c.out.write(params)
+      c.out.flush()
+      val (t, p) = c.readMsg() // AuthenticationRequest
+      assert(t == 'R')
+      val code = java.nio.ByteBuffer.wrap(p).getInt
+      val cred =
+        if (code == 5) { // md5: "md5" + md5hex(md5hex(pw+user) ++ salt)
+          val salt = p.drop(4)
+          def hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+            .digest(b).map(x => f"${x & 0xff}%02x").mkString
+          "md5" + hex(hex((password + user).getBytes("UTF-8")).getBytes("UTF-8") ++ salt)
+        } else password // cleartext (code 3)
+      val cb = cred.getBytes("UTF-8")
+      c.out.writeByte('p'); c.out.writeInt(4 + cb.length + 1); c.out.write(cb); c.out.writeByte(0)
+      c.out.flush()
+      val first = c.readMsg()
+      if (first._1 == 'E') (c, Seq(first))
+      else {
+        var ms = Seq(first)
+        while (ms.last._1 != 'Z') ms = ms :+ c.readMsg()
+        (c, ms)
+      }
+    }
+    // cleartext: good + bad
+    val srv1 = new graft.http.PgWireServer(engine, auth = Some("graft" -> "sekret"))
+    val p1 = srv1.start()
+    try {
+      val (c1, ok) = startupWithPassword(p1, "graft", "sekret")
+      assert(ok.exists(_._1 == 'R') && ok.exists(_._1 == 'K'))
+      c1.sendQuery("SELECT 5 AS v")
+      assert(c1.decodeText(c1.readUntilReady().find(_._1 == 'D').get._2) == Seq("5"))
+      c1.close()
+      val (c2, bad) = startupWithPassword(p1, "graft", "wrong")
+      assert(bad.head._1 == 'E' && new String(bad.head._2, "UTF-8").contains("28P01"))
+      c2.close()
+    } finally srv1.stop()
+    // md5
+    val srv2 = new graft.http.PgWireServer(engine, auth = Some("graft" -> "sekret"), authMd5 = true)
+    val p2 = srv2.start()
+    try {
+      val (c3, ok) = startupWithPassword(p2, "graft", "sekret")
+      assert(ok.exists(_._1 == 'K'))
+      c3.close()
+      val (c4, bad) = startupWithPassword(p2, "graft", "wrong")
+      assert(bad.head._1 == 'E')
+      c4.close()
+    } finally srv2.stop()
   }
 
   test("PGWire: COPY FROM STDIN loads CSV, then appends to the existing table") {
