@@ -61,6 +61,29 @@ object TextAnalysis {
     round(lenOk + wordOk + stopOk, 2)
   }
 
+  /** Canonical URL for web-corpus dedup: lowercase scheme+host, strip
+    * default ports, drop the fragment and the standard tracking
+    * parameters (utm_*, fbclid, gclid, ref), trim a trailing slash.
+    * Pure regex/string column expressions (codegen'd, map-only;
+    * RE2-safe patterns — no backreferences or lookarounds, so the same
+    * rules run verbatim on any engine). URLs differing only in tracking
+    * noise collapse to one key — the first step of URL-level dedup
+    * before any content pass.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val headRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val head = lower(regexp_extract(noFrag, headRe, 0))
+    val tail = regexp_replace(noFrag, headRe, "")
+    val joined = concat(regexp_replace(head, ":(80|443)$", ""), tail)
+    val track = "(?:utm_[a-z]+|fbclid|gclid|ref)"
+    val t1 = regexp_replace(joined, s"&$track=[^&#]*", "")  // &-separated params
+    val t2 = regexp_replace(t1, s"\\?$track=[^&#]*&", "?")  // leading ?param&more
+    val t3 = regexp_replace(t2, s"\\?$track=[^&#]*$$", "")  // ?param alone
+    when(t3.endsWith("/") && !t3.endsWith("://"),
+      t3.substr(lit(1), length(t3) - 1)).otherwise(t3)
+  }
+
   /** Content fingerprint: md5 of case/space-normalized text (exact-dup
     * key), plus a locality-sensitive "min-shingle" fingerprint.
     */

@@ -303,6 +303,26 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_url_canonical" -> ((s, dir) => {
+      // URL-level dedup: canonicalize (lowercase scheme/host, default
+      // ports, fragments, tracking params, trailing slash) then count
+      // per canonical key — the map-only first pass of web-corpus dedup
+      val ev = Tables.events(s, dir).filter(col("event_id") < 400)
+      val url = concat(
+        when(col("event_id") % 2 === 0, lit("HTTPS://Example.COM:443"))
+          .otherwise(lit("http://example.com:80")),
+        lit("/Path/"), (col("event_id") % 5).cast("string"),
+        when(col("event_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), (col("event_id") % 7).cast("string"),
+        lit("&utm_source=news&fbclid=xyz"),
+        when(col("event_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+      ev.select(col("event_id"), url.as("url"))
+        .withColumn("canon", TextAnalysis.canonicalUrl(col("url")))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("keep_id"))
+        .orderBy(col("canon"))
+    }),
+
     "q_compressed_audio_meta" -> ((s, dir) => {
       // mp3/flac header walks, oracle-gated like q_audio_meta: the
       // synthesizers build real MPEG-1 Layer III frame sequences (with
@@ -768,6 +788,28 @@ object PipelineQueries extends QueryPack {
         |  CAST(0.0 AS DOUBLE) AS zcr,
         |  amp / 32768.0 AS peak
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_url_canonical" ->
+      ("""WITH u AS (
+        |  SELECT event_id,
+        |    (CASE WHEN event_id % 2 = 0 THEN 'HTTPS://Example.COM:443' ELSE 'http://example.com:80' END)
+        |    || '/Path/' || CAST(event_id % 5 AS VARCHAR)
+        |    || (CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?id=' || CAST(event_id % 7 AS VARCHAR)
+        |    || '&utm_source=news&fbclid=xyz'
+        |    || (CASE WHEN event_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM events WHERE event_id < 400),
+        |c0 AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+        |c1 AS (SELECT event_id,
+        |         lower(regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) AS head,
+        |         regexp_replace(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS tail FROM c0),
+        |c2 AS (SELECT event_id, regexp_replace(head, ':(80|443)$', '') || tail AS x FROM c1),
+        |c3 AS (SELECT event_id, regexp_replace(x, '&(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS x FROM c2),
+        |c4 AS (SELECT event_id, regexp_replace(x, '""" + "\\" + """?(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g') AS x FROM c3),
+        |c5 AS (SELECT event_id, regexp_replace(x, '""" + "\\" + """?(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '') AS x FROM c4),
+        |c6 AS (SELECT event_id, CASE WHEN x LIKE '%/' AND NOT x LIKE '%://' THEN substring(x, 1, length(x)-1) ELSE x END AS canon FROM c5)
+        |SELECT canon, count(*) AS n, min(event_id) AS keep_id
+        |FROM c6 GROUP BY canon ORDER BY canon""").stripMargin,
 
     "q_compressed_audio_meta" ->
       """WITH p AS (

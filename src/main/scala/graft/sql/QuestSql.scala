@@ -408,6 +408,22 @@ object QuestSql {
     q = expandCalls(q, "quote_ident") { case Seq(s) =>
       s"""concat('"', replace($s, '"', '""'), '"')""" }
     q = expandCalls(q, "txid_current") { _ => "CAST(0 AS BIGINT)" }
+    // glob(value, 'pattern') — * and ? wildcards (reference
+    // regex/GlobStrFunctionFactory): constant pattern translated to LIKE
+    // with %/_ in the pattern escaped, so it stays a codegen'd LIKE
+    q = expandCalls(q, "glob") { case Seq(v, pat) =>
+      val raw = stripQuotes(pat)
+      val esc = raw.replace("\\", "\\\\").replace("%", "\\\\%").replace("_", "\\\\_")
+        .replace("*", "%").replace("?", "_").replace("'", "''")
+      s"($v LIKE '$esc')" }
+    // timestamp_shuffle(lo, hi) — uniform random timestamp in [lo, hi)
+    // (reference date/TimestampShuffleFunctionFactory); row-level rand()
+    q = expandCalls(q, "timestamp_shuffle") { case Seq(lo, hi) =>
+      s"timestamp_micros(CAST(unix_micros(CAST($lo AS TIMESTAMP)) + " +
+        s"floor(rand() * (unix_micros(CAST($hi AS TIMESTAMP)) - " +
+        s"unix_micros(CAST($lo AS TIMESTAMP)))) AS BIGINT))" }
+    q = expandCalls(q, "pg_postmaster_start_time") { _ =>
+      s"timestamp_micros(${java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime}000L)" }
     // ipv4 (reference functions/math IPv4*NetmaskFunctionFactory and the
     // `<<`/`<<=` containment operators — function forms here; addresses
     // ride as BIGINT or dotted strings). ipv4_contains expands FIRST so

@@ -66,6 +66,19 @@ class QuestSqlSpec extends SparkSpec {
     assert(now > 1700000000000000000L && now < 4102444800000000000L)
   }
 
+  test("glob / timestamp_shuffle / pg_postmaster_start_time") {
+    val g = engine.sql(
+      "SELECT glob(event_type, 'cl*') AS a, glob(event_type, 'c???k') AS b, " +
+        "glob(event_type, 'x*') AS c FROM events WHERE event_type = 'click' LIMIT 1").head()
+    assert(g.getBoolean(0) && g.getBoolean(1) && !g.getBoolean(2))
+    val ts = engine.sql(
+      "SELECT timestamp_shuffle('2024-01-01', '2024-01-02') AS t").head().getTimestamp(0)
+    assert(!ts.before(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
+      ts.before(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    val st = engine.sql("SELECT pg_postmaster_start_time() AS t").head().getTimestamp(0)
+    assert(st.getTime <= System.currentTimeMillis())
+  }
+
   test("interval(lo, hi) struct + interval_start/end extraction") {
     val r = engine.sql(
       "SELECT interval_start(interval('2024-01-01', '2024-01-02')) AS lo, " +
