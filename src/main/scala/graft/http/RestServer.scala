@@ -87,9 +87,8 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     df.schema // force analysis: "compile"
     val tCompile = System.nanoTime() - t0
     val total = if (wantCount) Some(df.count()) else None
-    val t1 = System.nanoTime()
     val body = renderJson(query, df, skip, take, noMeta, total,
-      if (wantTimings) Some((tCompile, System.nanoTime() - t1)) else None)
+      if (wantTimings) Some(tCompile) else None)
     (200, "application/json", body)
   }
 
@@ -184,14 +183,16 @@ class RestServer(engine: graft.Engine, port: Int = 0,
 
   private def renderJson(query: String, df: DataFrame, skip: Long, take: Long,
                          noMeta: Boolean, total: Option[Long],
-                         timings: Option[(Long, Long)]): String = {
+                         compileNanos: Option[Long]): String = {
     val cols = df.schema.fields.map(f =>
       s"""{"name":${jsonStr(f.name)},"type":${jsonStr(graft.Catalog.sqlTypeName(f.dataType))}}""")
     val page = (if (skip > 0) df.offset(skip.toInt) else df).limit(take.toInt)
+    val t0 = System.nanoTime()
     val rows = page.collect().map(r => r.toSeq.map(jsonVal).mkString("[", ",", "]"))
+    val execNanos = System.nanoTime() - t0
     val meta = if (noMeta) "" else s""""columns":[${cols.mkString(",")}],"""
-    val t = timings.map { case (c, e) =>
-      s""""timings":{"compiler":$c,"execute":$e,"count":0},""" }.getOrElse("")
+    val t = compileNanos.map(c =>
+      s""""timings":{"compiler":$c,"execute":$execNanos,"count":0},""").getOrElse("")
     s"""{"query":${jsonStr(query)},$meta""" +
       s""""dataset":[${rows.mkString(",")}],$t"count":${total.getOrElse(rows.length.toLong)}}"""
   }
