@@ -178,16 +178,26 @@ object Similarity {
     val lists = ivfAssign(corpus, cent, idCol, vecCol)
       .select(col(idCol).as("cid_doc"), col("cid"))
 
-    // probe lists per query: nprobe nearest centroids
+    // probe lists per query: nprobe nearest centroids. Like the assign
+    // arg-max, this must not shuffle the queries×nlist broadcast
+    // expansion — the per-query top-nprobe is a hash aggregate whose
+    // collect_list buffer is bounded by nlist (hundreds), so partial
+    // aggregation collapses the expansion map-side; array_sort over
+    // (-sim, cid) structs normalizes collect_list's arrival order, so
+    // the probe set stays deterministic. At 100 TB "queries" can be the
+    // corpus itself (batch ANN), making this the same full-scan stage
+    // as assignment.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", sqrt(dot("qe", "qe")))
     val centN = cent.withColumn("__cn", sqrt(dot("cvec", "cvec")))
     val qsim = round(dot("qe", "cvec") / (col("qn") * col("__cn")), 6)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("__qsim").desc, col("cid").asc)
     val probes = q.join(broadcast(centN), lit(true))
       .withColumn("__qsim", qsim)
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
+      .groupBy(col("qid"))
+      .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
+        slice(array_sort(collect_list(struct((-col("__qsim")).as("negsim"),
+          col("cid").as("cid")))), 1, nprobe).as("__top"))
+      .withColumn("cid", explode(expr("transform(__top, s -> s.cid)")))
       .select(col("qid"), col("qe"), col("qn"), col("cid"))
 
     // candidates = probed lists only; exact cosine rank within them

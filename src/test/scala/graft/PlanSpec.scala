@@ -200,4 +200,14 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[[^\\n]*vec_id".r.findAllIn(p).isEmpty, p)
     assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(p).size == 1, p)
   }
+
+  test("ivfTopK probe stage: per-query top-nprobe is a partial aggregate, not a window over qid") {
+    val p = plan("q_similarity_ivf")
+    // probes: partial_collect_list collapses the queries×nlist broadcast
+    // expansion map-side; the only Window left is the final candidate
+    // ranking (bounded by the probed lists)
+    assert(p.contains("partial_collect_list") || p.contains("objHashAggregate") ||
+      p.contains("ObjectHashAggregate"), p)
+    assert("Window \\[[^\\n]*qid".r.findAllIn(p).size <= 1, p) // only the rank-within-lists window
+  }
 }
