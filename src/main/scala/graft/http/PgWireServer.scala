@@ -57,6 +57,22 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
   // live for the connection's lifetime.
   private val pidSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val sessions = new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+  // job groups with an in-flight CancelRequest; consumed when the
+  // cancellation surfaces as a query error
+  private val cancelRequested = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** SQLSTATE for a failed query: 57014 (query_canceled) only when this
+    * connection's job group had a CancelRequest AND the failure chain is
+    * Spark's job-cancellation exception — never by sniffing message text
+    * (an analysis error mentioning a column named "cancelled" must not
+    * be reported as a cancel).
+    */
+  private def errState(e: Throwable, group: String, dflt: String): String = {
+    @annotation.tailrec
+    def sparkChained(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[org.apache.spark.SparkException] || sparkChained(t.getCause))
+    if (cancelRequested.remove(group) && sparkChained(e)) "57014" else dflt
+  }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -105,11 +121,17 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
     }
     /** Result format for column i: 0 text, 1 binary (protocol rules —
       * zero codes = all text, one code = all columns, else per-column).
+      * A requested binary format is demoted to text for types binOf has
+      * no real binary encoding for (e.g. numeric/arrays), so the format
+      * code advertised in RowDescription always matches the bytes sent.
       */
-    def fmt(i: Int): Int =
-      if (resultFormats.isEmpty) 0
-      else if (resultFormats.length == 1) resultFormats.head
-      else resultFormats(i)
+    def fmt(i: Int): Int = {
+      val requested =
+        if (resultFormats.isEmpty) 0
+        else if (resultFormats.length == 1) resultFormats.head
+        else resultFormats(i)
+      if (requested == 1 && !hasBinaryEncoding(schema(i).dataType)) 0 else requested
+    }
   }
 
   private def serve(sock: Socket): Unit = {
@@ -142,13 +164,14 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
         } else kind match {
           case 'Q' =>
             val sql = new String(payload, 0, payload.length - 1, UTF_8) // NUL-terminated
-            runSimpleQuery(sql, in, out)
+            runSimpleQuery(sql, in, out, group)
             readyForQuery(out)
           case 'P' | 'B' | 'D' | 'E' | 'C' =>
             try extendedMessage(kind, new Reader(payload), out, prepared, portals)
             catch {
               case e: Exception =>
-                errorResponse(out, "42601", Option(e.getMessage).getOrElse(e.toString))
+                errorResponse(out, errState(e, group, "42601"),
+                  Option(e.getMessage).getOrElse(e.toString))
                 skipToSync = true
             }
           case 'S' =>
@@ -331,6 +354,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
       val targetSecret = in.readInt()
       sessions.get(targetPid) match {
         case (s, g) if s == targetSecret =>
+          cancelRequested.add(g)
           engine.spark.sparkContext.cancelJobGroup(g)
         case _ => // unknown pid or bad secret: ignore, per protocol
       }
@@ -389,7 +413,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+STDIN\s*(.*)$""".r
 
   private def runSimpleQuery(sql: String, in: DataInputStream,
-                             out: DataOutputStream): Unit = {
+                             out: DataOutputStream, group: String): Unit = {
     val statements = splitStatements(sql)
     if (statements.isEmpty) { msg(out, 'I') { _ => } ; return } // EmptyQueryResponse
     statements.foreach {
@@ -413,8 +437,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
         } catch {
           case e: Exception =>
             val m = Option(e.getMessage).getOrElse(e.toString)
-            val state = if (m.toLowerCase.contains("cancel")) "57014" else "42601"
-            errorResponse(out, state, m)
+            errorResponse(out, errState(e, group, "42601"), m)
         }
     }
   }
@@ -429,8 +452,12 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
                           out: DataOutputStream): Unit = {
     val o = Option(opts).getOrElse("").toLowerCase
     val isCsv = o.contains("csv")
-    val header = """header(\s+(true|on|1))?\s*[,)]?""".r.findFirstIn(o).isDefined &&
-      !o.contains("header false")
+    // HEADER is a PG boolean: bare HEADER, or any of true/on/1 enable it;
+    // false/off/0 disable (all valid spellings, not just "false")
+    val header = """header(\s+(\w+))?""".r.findFirstMatchIn(o) match {
+      case Some(m) => !Set("false", "off", "0")(Option(m.group(2)).getOrElse("true"))
+      case None => false
+    }
     val delim = """delimiter\s+'(.)'""".r.findFirstMatchIn(o).map(_.group(1))
       .getOrElse(if (isCsv) "," else "\t")
     val existing = try Some(engine.spark.table(table)) catch { case _: Exception => None }
@@ -543,9 +570,22 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
   private val PgEpochMicros = 946684800000000L
   private val PgEpochDays = 10957 // days 1970-01-01 → 2000-01-01
 
+  /** Types with a real binary wire encoding in binOf. Everything else
+    * (numeric/1700, arrays, structs) is demoted to text format in
+    * Portal.fmt — a client asking for all-binary must never receive
+    * text bytes under a binary format code.
+    */
+  private def hasBinaryEncoding(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | BinaryType | StringType => true
+    case _ => false
+  }
+
   /** Binary result encodings (protocol `integer_datetimes=on` wire
-    * formats). Text-ish and unsupported types fall back to their text
-    * bytes, which is the documented binary representation for text.
+    * formats). For text/varchar the binary representation IS the text
+    * bytes (per the protocol doc); other types must be demoted via
+    * hasBinaryEncoding before reaching here with format=1.
     */
   private def binOf(v: Any, dt: DataType): Array[Byte] = {
     def alloc(n: Int) = java.nio.ByteBuffer.allocate(n) // big-endian default

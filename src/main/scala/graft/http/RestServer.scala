@@ -72,11 +72,15 @@ class RestServer(engine: graft.Engine, port: Int = 0,
   private def execHandler(ex: HttpExchange): (Int, String, String) = {
     val p = params(ex)
     val query = p.getOrElse("query", throw new IllegalArgumentException("missing query"))
+    // reference clamping (stop<0 → 0 → empty set); cap both legs at
+    // Int.MaxValue so offset/limit's toInt can't wrap on huge values
+    def clamp(v: Long): Long = math.min(math.max(v, 0L), Int.MaxValue.toLong)
     val (skip, take) = p.get("limit") match {
       case Some(l) if l.contains(",") =>
         val Array(lo, hi) = l.split(",", 2).map(_.trim.toLong)
-        (math.max(lo - 1, 0L), math.max(hi - math.max(lo - 1, 0L), 0L))
-      case Some(l) => (0L, l.toLong)
+        val lo0 = clamp(lo - 1)
+        (lo0, clamp(clamp(hi) - lo0))
+      case Some(l) => (0L, clamp(l.toLong))
       case None => (0L, 1000L)
     }
     val noMeta = p.get("nm").exists(v => v == "true" || v == "1")

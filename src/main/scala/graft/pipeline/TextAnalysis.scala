@@ -75,7 +75,11 @@ object TextAnalysis {
     val headRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
     val head = lower(regexp_extract(noFrag, headRe, 0))
     val tail = regexp_replace(noFrag, headRe, "")
-    val joined = concat(regexp_replace(head, ":(80|443)$", ""), tail)
+    // strip only the scheme's own default port: http://host:443 and
+    // https://host:80 are non-default origins and must stay distinct
+    val h1 = regexp_replace(head, "^(http://[^:/?#]*):80$", "$1")
+    val h2 = regexp_replace(h1, "^(https://[^:/?#]*):443$", "$1")
+    val joined = concat(h2, tail)
     val track = "(?:utm_[a-z]+|fbclid|gclid|ref)"
     val t1 = regexp_replace(joined, s"&$track=[^&#]*", "")  // &-separated params
     val t2 = regexp_replace(t1, s"\\?$track=[^&#]*&", "?")  // leading ?param&more

@@ -309,8 +309,12 @@ object PipelineQueries extends QueryPack {
       // per canonical key — the map-only first pass of web-corpus dedup
       val ev = Tables.events(s, dir).filter(col("event_id") < 400)
       val url = concat(
-        when(col("event_id") % 2 === 0, lit("HTTPS://Example.COM:443"))
-          .otherwise(lit("http://example.com:80")),
+        when(col("event_id") % 4 === 0, lit("HTTPS://Example.COM:443"))
+          .when(col("event_id") % 4 === 1, lit("http://example.com:80"))
+          // non-default ports: http on 443 / https on 80 must NOT be
+          // stripped — they are distinct origins
+          .when(col("event_id") % 4 === 2, lit("http://Example.com:443"))
+          .otherwise(lit("https://example.com:80")),
         lit("/Path/"), (col("event_id") % 5).cast("string"),
         when(col("event_id") % 3 === 0, lit("/")).otherwise(lit("")),
         lit("?id="), (col("event_id") % 7).cast("string"),
@@ -792,7 +796,7 @@ object PipelineQueries extends QueryPack {
     "q_url_canonical" ->
       ("""WITH u AS (
         |  SELECT event_id,
-        |    (CASE WHEN event_id % 2 = 0 THEN 'HTTPS://Example.COM:443' ELSE 'http://example.com:80' END)
+        |    (CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'HTTPS://Example.COM:443' WHEN 1 THEN 'http://example.com:80' WHEN 2 THEN 'http://Example.com:443' ELSE 'https://example.com:80' END)
         |    || '/Path/' || CAST(event_id % 5 AS VARCHAR)
         |    || (CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END)
         |    || '?id=' || CAST(event_id % 7 AS VARCHAR)
@@ -803,7 +807,7 @@ object PipelineQueries extends QueryPack {
         |c1 AS (SELECT event_id,
         |         lower(regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) AS head,
         |         regexp_replace(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS tail FROM c0),
-        |c2 AS (SELECT event_id, regexp_replace(head, ':(80|443)$', '') || tail AS x FROM c1),
+        |c2 AS (SELECT event_id, regexp_replace(regexp_replace(head, '^(http://[^:/?#]*):80$', '\1'), '^(https://[^:/?#]*):443$', '\1') || tail AS x FROM c1),
         |c3 AS (SELECT event_id, regexp_replace(x, '&(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS x FROM c2),
         |c4 AS (SELECT event_id, regexp_replace(x, '""" + "\\" + """?(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g') AS x FROM c3),
         |c5 AS (SELECT event_id, regexp_replace(x, '""" + "\\" + """?(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '') AS x FROM c4),

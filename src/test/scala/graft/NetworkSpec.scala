@@ -74,6 +74,21 @@ class NetworkSpec extends SparkSpec {
       assert(page.contains(""""count":10"""), page) // full count, not the page
       assert(!page.contains("columns"), page)       // nm=true
       assert(page.contains(""""timings":{"compiler":"""), page)
+
+      // limit clamping: negative → empty set (reference stop<0 → 0),
+      // values past Int.MaxValue don't overflow
+      val neg = new String(new java.net.URI(
+        s"http://127.0.0.1:$port/exec?query=$q3&limit=-5&nm=true")
+        .toURL.openStream().readAllBytes())
+      assert(neg.contains(""""dataset":[]"""), neg)
+      val huge = new String(new java.net.URI(
+        s"http://127.0.0.1:$port/exec?query=$q3&limit=9999999999999&nm=true")
+        .toURL.openStream().readAllBytes())
+      assert(huge.contains("[9]"), huge)
+      val negRange = new String(new java.net.URI(
+        s"http://127.0.0.1:$port/exec?query=$q3&limit=-3,-1&nm=true")
+        .toURL.openStream().readAllBytes())
+      assert(negRange.contains(""""dataset":[]"""), negRange)
     } finally srv.stop()
   }
 
@@ -594,6 +609,93 @@ class NetworkSpec extends SparkSpec {
       assert(c.readUntilReady().exists(_._1 == 'E'))
       c.sendQuery("SELECT 1 AS ok")
       assert(c.readUntilReady().exists(_._1 == 'D'))
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: COPY HEADER off/0 are false — first row is data, not a header") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      def copyRows(sql: String, payload: String): String = {
+        c.sendQuery(sql)
+        assert(c.readMsg()._1 == 'G')
+        val data = payload.getBytes("UTF-8")
+        c.out.writeByte('d'); c.out.writeInt(4 + data.length); c.out.write(data)
+        c.out.writeByte('c'); c.out.writeInt(4)
+        c.out.flush()
+        val done = c.readUntilReady()
+        val tag = done.find(_._1 == 'C').get._2
+        new String(tag, 0, tag.length - 1, "UTF-8")
+      }
+      // both PG boolean spellings of false keep every row
+      assert(copyRows("COPY cp_hoff FROM STDIN (FORMAT csv, HEADER off)", "X,1.5\nY,2.5\n") == "COPY 2")
+      assert(copyRows("COPY cp_hzero FROM STDIN (FORMAT csv, HEADER 0)", "X,1.5\nY,2.5\n") == "COPY 2")
+      // and bare HEADER / HEADER on still consume the first row
+      assert(copyRows("COPY cp_hon FROM STDIN (FORMAT csv, HEADER on)", "sym,price\nZ,3.5\n") == "COPY 1")
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: all-binary result format demotes non-encodable columns to text") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      c.msg('P') { b =>
+        c.cstr(b, "")
+        // numeric (OID 1700) has no binOf encoding; int8 does
+        c.cstr(b, "SELECT CAST(12.34 AS DECIMAL(10,2)) AS d, CAST(7 AS BIGINT) AS l")
+        b.writeShort(0)
+      }
+      c.msg('B') { b =>
+        c.cstr(b, ""); c.cstr(b, "")
+        b.writeShort(0); b.writeShort(0)
+        b.writeShort(1); b.writeShort(1) // ONE result-format code: all binary
+      }
+      c.msg('D') { b => b.writeByte('P'); c.cstr(b, "") }
+      c.msg('E') { b => c.cstr(b, ""); b.writeInt(0) }
+      c.msg('S') { _ => }
+      c.out.flush()
+      val ms = c.readUntilReady()
+      // RowDescription: decimal advertises format 0, bigint format 1
+      val t = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(ms.find(_._1 == 'T').get._2))
+      assert(t.readShort() == 2)
+      def fieldFmt(): Int = {
+        while (t.readByte() != 0) {} // name
+        t.readInt(); t.readShort(); t.readInt(); t.readShort(); t.readInt()
+        t.readShort().toInt
+      }
+      assert(fieldFmt() == 0 && fieldFmt() == 1)
+      // DataRow: text bytes for the decimal, 8-byte binary for the int8
+      val d = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(ms.find(_._1 == 'D').get._2))
+      assert(d.readShort() == 2)
+      val dl = d.readInt(); val db = new Array[Byte](dl); d.readFully(db)
+      assert(new String(db, "UTF-8") == "12.34")
+      assert(d.readInt() == 8 && d.readLong() == 7L)
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: an error merely mentioning 'cancelled' is not SQLSTATE 57014") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      // analysis error whose message contains the substring "cancel"
+      c.sendQuery("SELECT * FROM orders_cancelled_view")
+      val ms = c.readUntilReady()
+      val err = ms.find(_._1 == 'E')
+      assert(err.isDefined)
+      val body = new String(err.get._2, "UTF-8")
+      assert(body.toLowerCase.contains("cancelled"))
+      assert(!body.contains("57014") && body.contains("42601"))
     } finally { c.close(); srv.stop() }
   }
 

@@ -67,14 +67,17 @@ object UrlProps extends Properties("url") {
         .forall(c.contains)
     }
 
-  property("scheme+host lowercase, default ports stripped, others kept") =
+  property("scheme+host lowercase, only the scheme's default port stripped") =
     Prop.forAll(genUrl) { u =>
       val c = canon(u.render)
       val scheme = u.scheme.toLowerCase
       c.startsWith(s"$scheme://${u.host.toLowerCase}") &&
-        (u.port match {
-          case ":80" | ":443" | "" => !c.contains(":80") && !c.contains(":443")
-          case other => c.contains(other)
+        ((u.port, scheme) match {
+          // default port for the scheme → gone
+          case ((":80", "http") | (":443", "https") | ("", _)) =>
+            !c.contains(":80") && !c.contains(":443")
+          // non-default (incl. http:443 / https:80) → kept verbatim
+          case (p, _) => c.contains(p)
         })
     }
 
