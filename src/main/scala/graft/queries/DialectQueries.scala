@@ -186,6 +186,82 @@ object DialectQueries extends QueryPack {
       QuestSql.sql(s,
         "SELECT column_name, ordinal_position, data_type, is_nullable " +
           "FROM information_schema.columns WHERE table_name = 'events' ORDER BY ordinal_position")
+    }),
+
+    "q_sql_arg_minmax" -> ((s, dir) => {
+      // arg_max/arg_min group-by aliases (reference groupby/ArgMax*/
+      // ArgMin*GroupByFunctionFactory) → native max_by/min_by
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_type, arg_max(event_id, value) AS id_at_max, " +
+          "arg_min(event_id, value) AS id_at_min, count(*) AS n " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    }),
+
+    "q_sql_moment_variants" -> ((s, dir) => {
+      // pop/samp skewness+kurtosis estimators and the weighted_stddev
+      // family (reference groupby/Kurtosis*, Skewness*,
+      // AbstractWeightedStdDevGroupByFunction:40-86)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_type, " +
+          "round(skewness_pop(value), 6) AS sk_pop, " +
+          "round(skewness_samp(value), 6) AS sk_samp, " +
+          "round(kurtosis_pop(value), 6) AS ku_pop, " +
+          "round(kurtosis_samp(value), 6) AS ku_samp, " +
+          "round(weighted_stddev(value, user_id % 7 + 1), 6) AS wsd_rel, " +
+          "round(weighted_stddev_freq(value, user_id % 7 + 1), 6) AS wsd_freq " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    }),
+
+    "q_sql_array_fns" -> ((s, dir) => {
+      // 1-D double-array function family (reference functions/array/*)
+      // expanded to builtin higher-order expressions by the macro pass
+      // (dot_product → the native codegen vec_dot expression)
+      graft.Engine.registerFunctions(s)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT vec_id, " +
+          "round(array_sum(embedding), 3) AS s, " +
+          "round(array_avg(embedding), 5) AS av, " +
+          "array_count(embedding) AS cnt, " +
+          "round(element_at(array_cum_sum(embedding), -1), 3) AS cs_last, " +
+          "round(array_stddev_pop(embedding), 5) AS sd_pop, " +
+          "round(array_stddev_samp(embedding), 5) AS sd_samp, " +
+          "array_position(embedding, element_at(embedding, 5)) AS pos5, " +
+          "insertion_point(array_sort(embedding), CAST(0 AS FLOAT)) AS ip0, " +
+          "round(element_at(shift(embedding, 2, CAST(0 AS DOUBLE)), 3), 5) AS sh3, " +
+          "round(dot_product(embedding, embedding), 3) AS dp, " +
+          "round(CAST(element_at(array_reverse(embedding), 1) AS DOUBLE), 5) AS rev1, " +
+          "dim_length(embedding, 1) AS dl " +
+          "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id")
+    }),
+
+    "q_sql_uuid_identity" -> ((s, dir) => {
+      // to_uuid/to_long128 construction (reference uuid/
+      // LongsToUuidFunctionFactory — new UUID(hi, lo) string form),
+      // base64 round-trip, and the PG identity functions
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_id, " +
+          "to_uuid(event_id, user_id) AS u, " +
+          "to_long128(event_id, user_id) AS l128, " +
+          "CAST(from_base64(base64(CAST(event_type AS BINARY))) AS STRING) AS rt, " +
+          "current_user() AS cu, " +
+          "current_database() AS cdb, " +
+          "current_schema() AS cs, " +
+          "array_join(current_schemas(true), ',') AS css " +
+          "FROM events WHERE event_id < 50 ORDER BY event_id")
+    }),
+
+    "q_read_parquet" -> ((s, dir) => {
+      // read_parquet('path') table function (reference functions/table/
+      // ReadParquetFunctionFactory) — materialized as a native parquet
+      // scan so pushdown and pruning still apply
+      QuestSql.sql(s,
+        s"SELECT event_type, count(*) AS n, round(sum(value), 3) AS sv " +
+          s"FROM read_parquet('$dir/events.parquet') " +
+          "GROUP BY event_type ORDER BY event_type")
     })
   )
 
@@ -336,6 +412,66 @@ object DialectQueries extends QueryPack {
         |  ('value', 5, 'DOUBLE', true),
         |  ('props', 6, 'VARCHAR', true)
         |) t(column_name, ordinal_position, data_type, is_nullable)
-        |ORDER BY ordinal_position""".stripMargin
+        |ORDER BY ordinal_position""".stripMargin,
+
+    "q_sql_arg_minmax" ->
+      """SELECT event_type, arg_max(event_id, value) AS id_at_max,
+        |  arg_min(event_id, value) AS id_at_min, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sql_moment_variants" ->
+      """WITH m AS (SELECT event_type, avg(value) AS a FROM events GROUP BY 1),
+        |w AS (SELECT event_type, sum(wt) AS s0, sum(wt * value) AS s1,
+        |        sum(wt * value * value) AS s2, sum(wt * wt) AS sq
+        |      FROM (SELECT event_type, value, CAST(user_id % 7 + 1 AS DOUBLE) AS wt FROM events)
+        |      GROUP BY event_type),
+        |g AS (SELECT e.event_type,
+        |        round(avg(pow(e.value - m.a, 3)) / pow(avg(pow(e.value - m.a, 2)), 1.5), 6) AS sk_pop,
+        |        round(skewness(e.value), 6) AS sk_samp,
+        |        round(avg(pow(e.value - m.a, 4)) / pow(avg(pow(e.value - m.a, 2)), 2) - 3.0, 6) AS ku_pop,
+        |        round(kurtosis(e.value), 6) AS ku_samp
+        |      FROM events e JOIN m ON e.event_type = m.event_type
+        |      GROUP BY e.event_type)
+        |SELECT g.event_type, g.sk_pop, g.sk_samp, g.ku_pop, g.ku_samp,
+        |  round(sqrt((w.s2 - w.s1 * w.s1 / w.s0) / (w.s0 - w.sq / w.s0)), 6) AS wsd_rel,
+        |  round(sqrt((w.s2 - w.s1 * w.s1 / w.s0) / (w.s0 - 1.0)), 6) AS wsd_freq
+        |FROM g JOIN w ON g.event_type = w.event_type ORDER BY g.event_type""".stripMargin,
+
+    "q_sql_array_fns" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT vec_id,
+        |  round(list_sum(e), 3) AS s,
+        |  round(list_avg(e), 5) AS av,
+        |  CAST(len(e) AS INT) AS cnt,
+        |  round(list_sum(e), 3) AS cs_last,
+        |  round(sqrt((list_sum(list_transform(e, x -> x * x)) - list_sum(e) * list_sum(e) / len(e)) / len(e)), 5) AS sd_pop,
+        |  round(sqrt((list_sum(list_transform(e, x -> x * x)) - list_sum(e) * list_sum(e) / len(e)) / (len(e) - 1)), 5) AS sd_samp,
+        |  CAST(list_position(e, e[5]) AS INT) AS pos5,
+        |  CAST(len(list_filter(e, x -> x <= 0)) + 1 AS INT) AS ip0,
+        |  round(e[1], 5) AS sh3,
+        |  round(list_sum(list_transform(e, x -> x * x)), 3) AS dp,
+        |  round(e[len(e)], 5) AS rev1,
+        |  CAST(len(e) AS INT) AS dl
+        |FROM d ORDER BY vec_id""".stripMargin,
+
+    "q_sql_uuid_identity" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type,
+        |    printf('%016x', user_id) AS h, printf('%016x', event_id) AS l
+        |  FROM events WHERE event_id < 50)
+        |SELECT event_id,
+        |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+        |    || '-' || substr(l, 1, 4) || '-' || substr(l, 5, 12) AS u,
+        |  '0x' || h || l AS l128,
+        |  event_type AS rt,
+        |  'admin' AS cu, 'qdb' AS cdb, 'public' AS cs, 'public' AS css
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    "q_read_parquet" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sv
+        |FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

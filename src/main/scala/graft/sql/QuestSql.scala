@@ -478,6 +478,120 @@ object QuestSql {
       case Seq(l0) =>
         s"concat('0x', repeat('0', 48), lower(lpad(hex(CAST(($l0) AS BIGINT)), 16, '0')))"
     }
+    // group-by arg aliases + moment-estimator variants (reference
+    // groupby/ArgMax*/ArgMin*, Kurtosis{Pop,Samp}, Skewness{Pop,Samp}
+    // GroupByFunctionFactory). Spark's skewness/kurtosis are the
+    // population estimators (g1, excess g2); the _samp forms apply the
+    // standard bias corrections textually so everything stays inside
+    // the native hash aggregate.
+    q = expandCalls(q, "arg_max") { case Seq(a, b) => s"max_by($a, $b)" }
+    q = expandCalls(q, "arg_min") { case Seq(a, b) => s"min_by($a, $b)" }
+    q = expandCalls(q, "approx_median") { case Seq(x) => s"approx_percentile($x, 0.5)" }
+    q = expandCalls(q, "skewness_pop") { case Seq(x) => s"skewness($x)" }
+    q = expandCalls(q, "kurtosis_pop") { case Seq(x) => s"kurtosis($x)" }
+    q = expandCalls(q, "skewness_samp") { case Seq(x) =>
+      s"(skewness($x) * sqrt(count($x) * (count($x) - 1.0)) / (count($x) - 2.0))" }
+    q = expandCalls(q, "kurtosis_samp") { case Seq(x) =>
+      s"(((count($x) - 1.0) / ((count($x) - 2.0) * (count($x) - 3.0)))" +
+        s" * ((count($x) + 1.0) * kurtosis($x) + 6.0))" }
+    // weighted stddev family (reference groupby/
+    // AbstractWeightedStdDevGroupByFunction:40-86 — reliability weights
+    // are the default; frequency weights divide by sum(w)-1). Non-finite
+    // samples/weights and zero weights are skipped, matching computeFirst.
+    def wTerm(x: String, w: String, term: String): String =
+      s"sum(CASE WHEN NOT isnan(CAST(($x) AS DOUBLE)) AND NOT isnan(CAST(($w) AS DOUBLE))" +
+        s" AND ($w) <> 0 THEN $term END)"
+    def weightedStd(x: String, w: String, denom: String): String = {
+      val s0 = wTerm(x, w, s"CAST(($w) AS DOUBLE)")
+      val s1 = wTerm(x, w, s"CAST(($w) AS DOUBLE) * ($x)")
+      val s2 = wTerm(x, w, s"CAST(($w) AS DOUBLE) * ($x) * ($x)")
+      val s0sq = wTerm(x, w, s"CAST(($w) AS DOUBLE) * ($w)")
+      val d = denom match {
+        case "rel" => s"($s0 - $s0sq / $s0)"
+        case "freq" => s"($s0 - 1.0)"
+      }
+      s"sqrt(($s2 - $s1 * $s1 / $s0) / $d)"
+    }
+    q = expandCalls(q, "weighted_stddev_rel") { case Seq(x, w) => weightedStd(x, w, "rel") }
+    q = expandCalls(q, "weighted_stddev_freq") { case Seq(x, w) => weightedStd(x, w, "freq") }
+    q = expandCalls(q, "weighted_stddev") { case Seq(x, w) => weightedStd(x, w, "rel") }
+    // 1-D double-array function family (reference functions/array/
+    // DoubleArray{Sum,Avg,Count,CumSum,Position,Reverse,StddevPop,
+    // StddevSamp}FunctionFactory, InsertionPoint*, Shift, DimLength,
+    // DotProduct). NaN elements are skipped by sum/avg/count/stddev,
+    // matching the reference's Numbers.isFinite guards. All expansions
+    // are builtin higher-order functions — no UDFs.
+    def finite(a: String): String =
+      s"filter($a, x -> x IS NOT NULL AND NOT isnan(CAST(x AS DOUBLE)))"
+    q = expandCalls(q, "array_sum") { case Seq(a) =>
+      s"aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" }
+    q = expandCalls(q, "array_avg") { case Seq(a) =>
+      s"(aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" +
+        s" / NULLIF(size(${finite(a)}), 0))" }
+    q = expandCalls(q, "array_count") { case Seq(a) => s"size(${finite(a)})" }
+    q = expandCalls(q, "array_cum_sum") { case Seq(a) =>
+      s"aggregate($a, named_struct('s', CAST(0 AS DOUBLE), 'o', CAST(array() AS ARRAY<DOUBLE>)), " +
+        s"(acc, x) -> named_struct('s', acc.s + CAST(x AS DOUBLE), " +
+        s"'o', concat(acc.o, array(acc.s + CAST(x AS DOUBLE)))), acc -> acc.o)" }
+    q = expandCalls(q, "array_reverse") { case Seq(a) => s"reverse($a)" }
+    q = expandCalls(q, "array_position") { case Seq(a, v) =>
+      s"get(filter(transform($a, (x, i) -> IF(x = ($v), i + 1, CAST(NULL AS INT))), " +
+        s"p -> p IS NOT NULL), 0)" }
+    def arrayStd(a: String, samp: Boolean): String = {
+      val f = finite(a)
+      val n = s"CAST(size($f) AS DOUBLE)"
+      val s1 = s"aggregate($f, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+      val s2 = s"aggregate($f, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+      val denom = if (samp) s"($n - 1.0)" else n
+      s"sqrt(($s2 - $s1 * $s1 / $n) / $denom)"
+    }
+    q = expandCalls(q, "array_stddev_pop") { case Seq(a) => arrayStd(a, samp = false) }
+    q = expandCalls(q, "array_stddev_samp") { case Seq(a) => arrayStd(a, samp = true) }
+    q = expandCalls(q, "array_stddev") { case Seq(a) => arrayStd(a, samp = true) }
+    // insertion_point: 1-based binary-search slot in a sorted array
+    // (reference binarySearchDoubleValue1DArray): default = after the
+    // last equal element; 3-arg ahead=true = before the first equal
+    q = expandCalls(q, "insertion_point") {
+      case Seq(a, v) => s"(size(filter($a, x -> x <= ($v))) + 1)"
+      case Seq(a, v, ahead) =>
+        s"(CASE WHEN $ahead THEN size(filter($a, x -> x < ($v)))" +
+          s" ELSE size(filter($a, x -> x <= ($v))) END + 1)"
+    }
+    q = expandCalls(q, "shift") {
+      case args if args.size >= 2 =>
+        val (a, n) = (args(0), args(1))
+        val f = if (args.size > 2) args(2) else "CAST('NaN' AS DOUBLE)"
+        s"(CASE WHEN ($n) >= 0 THEN concat(array_repeat(CAST(($f) AS DOUBLE), LEAST(($n), size($a))), " +
+          s"slice($a, 1, GREATEST(size($a) - ($n), 0))) " +
+          s"ELSE concat(slice($a, 1 - ($n), GREATEST(size($a) + ($n), 0)), " +
+          s"array_repeat(CAST(($f) AS DOUBLE), LEAST(-($n), size($a)))) END)" }
+    q = expandCalls(q, "dim_length") { case Seq(a, d) =>
+      d.trim match {
+        case "1" => s"size($a)"
+        case "2" => s"size(get($a, 0))"
+        case "3" => s"size(get(get($a, 0), 0))"
+        case other => throw new IllegalArgumentException(s"dim_length: constant dim 1-3 expected, got '$other'")
+      } }
+    q = expandCalls(q, "dot_product") { case Seq(a, b) => s"vec_dot($a, $b)" }
+    // uuid / long128 construction from long halves (reference
+    // uuid/LongsToUuidFunctionFactory — new UUID(hi, lo) string form)
+    def hex16(x: String): String = s"lower(lpad(hex(CAST(($x) AS BIGINT)), 16, '0'))"
+    q = expandCalls(q, "to_uuid") { case Seq(lo, hi) =>
+      val h = hex16(hi); val l = hex16(lo)
+      s"concat(substr($h, 1, 8), '-', substr($h, 9, 4), '-', substr($h, 13, 4), '-', " +
+        s"substr($l, 1, 4), '-', substr($l, 5, 12))" }
+    q = expandCalls(q, "to_long128") { case Seq(lo, hi) =>
+      s"concat('0x', ${hex16(hi)}, ${hex16(lo)})" }
+    q = expandCalls(q, "from_base64") { case Seq(s) => s"unbase64($s)" }
+    // PG-compat identity functions (reference functions/catalogue/
+    // CurrentUser/CurrentDatabase/CurrentSchema*FunctionFactory — fixed
+    // values matching the PGWire server's advertised identity)
+    q = expandCalls(q, "current_user") { _ => "'admin'" }
+    q = expandCalls(q, "session_user") { _ => "'admin'" }
+    q = expandCalls(q, "current_database") { _ => "'qdb'" }
+    q = expandCalls(q, "current_catalog") { _ => "'qdb'" }
+    q = expandCalls(q, "current_schema") { _ => "'public'" }
+    q = expandCalls(q, "current_schemas") { _ => "array('public')" }
     // day-interval functions in predicate position (`ts IN today()` —
     // reference functions/date/{Today,Tomorrow,Yesterday}FunctionFactory)
     q = DayIntervalRe.replaceAllIn(q, m => {
@@ -504,6 +618,8 @@ object QuestSql {
     """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage)\s*\(\s*\)""".r
   private val TableArgFnRe =
     """(?i)\b(table_columns|table_partitions)\s*\(\s*'([^']+)'\s*\)""".r
+  private val ReadParquetRe =
+    """(?i)\b(read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val GenSeriesRe =
     """(?i)\bFROM\s+generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
 
@@ -535,7 +651,17 @@ object QuestSql {
         .createOrReplaceTempView(view)
       s"FROM $view"
     })
-    TableArgFnRe.replaceAllIn(step2, m => {
+    // read_parquet('path') / parquet_scan('path') table functions
+    // (reference functions/table/ReadParquetFunctionFactory — SURVEY
+    // §2.1): the path is materialized as a temp view over the native
+    // parquet source, so pushdown/pruning apply as for any scan
+    val step2b = ReadParquetRe.replaceAllIn(step2, m => {
+      val path = m.group(2)
+      val view = s"__graft_rp_${Integer.toHexString(path.hashCode).replace("-", "m")}"
+      spark.read.parquet(path).createOrReplaceTempView(view)
+      view
+    })
+    TableArgFnRe.replaceAllIn(step2b, m => {
       import spark.implicits._
       val fn = m.group(1).toLowerCase
       val t = m.group(2)
