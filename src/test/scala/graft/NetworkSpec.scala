@@ -704,17 +704,72 @@ class NetworkSpec extends SparkSpec {
     val srv = new graft.http.RestServer(engine)
     val port = srv.start()
     try {
-      val conn = new java.net.URI(s"http://127.0.0.1:$port/imp?name=imp_t").toURL
+      val conn = new java.net.URI(s"http://127.0.0.1:$port/imp?name=imp_t&fmt=json").toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("POST"); conn.setDoOutput(true)
       conn.getOutputStream.write("sym,price\nA,1.5\nB,2.5\n".getBytes)
       val resp = new String(conn.getInputStream.readAllBytes())
       assert(resp.contains("\"rowsImported\":2"))
+      assert(resp.contains("\"rowsRejected\":0"))
       val q = java.net.URLEncoder.encode("SELECT * FROM imp_t ORDER BY sym", "UTF-8")
       val csv = new String(
         new java.net.URI(s"http://127.0.0.1:$port/exp?query=$q").toURL.openStream().readAllBytes())
       assert(csv.startsWith("sym,price"))
       assert(csv.contains("A,1.5") && csv.contains("B,2.5"))
+    } finally srv.stop()
+  }
+
+  test("REST /imp multipart upload, text-table response, append/overwrite, day partitioning") {
+    val engine = Engine(spark, sfDir)
+    val ilpDir = Files.createTempDirectory("graft_imp_part").toString
+    val srv = new graft.http.RestServer(engine, ilpDir = ilpDir)
+    val port = srv.start()
+    try {
+      def impMultipart(params: String, csv: String): String = {
+        val boundary = "----graftBoundary42"
+        val conn = new java.net.URI(s"http://127.0.0.1:$port/imp$params").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", s"multipart/form-data; boundary=$boundary")
+        val body = s"--$boundary\r\n" +
+          "Content-Disposition: form-data; name=\"data\"; filename=\"trades.csv\"\r\n" +
+          "Content-Type: text/csv\r\n\r\n" + csv + s"\r\n--$boundary--\r\n"
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      // name from the filename; reference-style padded text table response
+      val t1 = impMultipart("?timestamp=ts&partitionBy=DAY",
+        "sym,price,ts\nA,1.5,2024-01-01 10:00:00.000000\nB,2.5,2024-01-02 11:00:00.000000\n")
+      assert(t1.contains("Location:") && t1.contains("trades"))
+      assert(t1.contains("Rows imported") && t1.contains("2"))
+      assert(t1.contains("Partition by") && t1.contains("DAY"))
+      // day-partitioned parquet landed under ilpDir
+      val dirs = new java.io.File(s"$ilpDir/trades").listFiles()
+      assert(dirs != null && dirs.exists(_.getName.startsWith("__day=2024-01-01")))
+      // append (default when table exists)
+      impMultipart("?name=trades&timestamp=ts&partitionBy=DAY",
+        "sym,price,ts\nC,3.5,2024-01-03 12:00:00.000000\n")
+      assert(spark.sql("SELECT count(*) FROM trades").head().getLong(0) == 3L)
+      // overwrite replaces
+      impMultipart("?name=trades&timestamp=ts&partitionBy=DAY&overwrite=true",
+        "sym,price,ts\nD,4.5,2024-01-04 12:00:00.000000\n")
+      assert(spark.sql("SELECT count(*) FROM trades").head().getLong(0) == 1L)
+    } finally srv.stop()
+  }
+
+  test("REST /status and /metrics monitoring surface") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.RestServer(engine)
+    val port = srv.start()
+    try {
+      def get(path: String): String = new String(
+        new java.net.URI(s"http://127.0.0.1:$port$path").toURL.openStream().readAllBytes(), "UTF-8")
+      assert(get("/status") == "Status: Healthy")
+      val q = java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")
+      get(s"/exec?query=$q")
+      val m = get("/metrics")
+      assert(m.contains("questdb_json_queries_total 1"))
+      assert(m.contains("# TYPE questdb_imported_rows_total counter"))
     } finally srv.stop()
   }
 }
