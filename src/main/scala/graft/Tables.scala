@@ -48,6 +48,16 @@ object Tables {
   def registeredPath(name: String): Option[String] =
     Option(dirRegistry.get(name.toLowerCase))
 
+  /** Snapshot of every registered table → source path (checkpoint walk). */
+  def registeredTables: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    dirRegistry.asScala.toMap
+  }
+
+  /** Point a table name at a new source path (checkpoint restore). */
+  def registerPath(name: String, path: String): Unit =
+    dirRegistry.put(name.toLowerCase, path)
+
   private val registeredDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cache key for per-session state (temp views are session-scoped). */

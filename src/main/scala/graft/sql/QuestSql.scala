@@ -213,6 +213,10 @@ object QuestSql {
   }
 
   private val ExplainRe = """(?is)^EXPLAIN\s+(.*)$""".r
+  // CHECKPOINT CREATE|RELEASE + legacy SNAPSHOT PREPARE|COMPLETE
+  // (reference SqlCompilerImpl.compileCheckpoint / compileLegacyCheckpoint)
+  private val CheckpointRe =
+    """(?is)^(?:CHECKPOINT\s+(CREATE|RELEASE)|SNAPSHOT\s+(PREPARE|COMPLETE))\s*$""".r
 
   private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = {
     // any statement that creates/drops/replaces a table changes what the
@@ -225,6 +229,19 @@ object QuestSql {
   }
 
   private def statementForm0(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case CheckpointRe(verb, legacyVerb) =>
+      val v = Option(verb).getOrElse(legacyVerb match {
+        case p if p.equalsIgnoreCase("PREPARE") => "CREATE"
+        case _ => "RELEASE"
+      })
+      if (v.equalsIgnoreCase("CREATE")) {
+        val dir = graft.ops.Checkpoint.create(spark)
+        import spark.implicits._
+        Some(Seq(dir).toDF("checkpoint_dir"))
+      } else {
+        graft.ops.Checkpoint.release()
+        Some(status(spark, "OK"))
+      }
     case ExplainRe(inner) =>
       // reference `EXPLAIN` (ExplainPlanFactory): one PLAN row per line
       import spark.implicits._
@@ -615,7 +632,7 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables)\s*\(\s*\)""".r
   private val TableArgFnRe =
     """(?i)\b(table_columns|table_partitions)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
@@ -637,6 +654,8 @@ object QuestSql {
         case "live_views" => graft.Catalog.liveViews(spark)
         case "materialized_views" => graft.Catalog.matViews(spark)
         case "table_storage" => graft.Catalog.tableStorage(spark)
+        case "checkpoint_status" => graft.ops.Checkpoint.status(spark)
+        case "all_tables" => graft.Catalog.tables(spark)
       }
       val view = s"__graft_fn_$fn"
       df.createOrReplaceTempView(view)

@@ -72,4 +72,38 @@ class DdlSpec extends SparkSpec {
     val n = engine.sql(s"COPY pq_t TO '$dir'").head().getLong(0)
     assert(n == 50 && spark.read.parquet(dir).count() == 50)
   }
+
+  test("CHECKPOINT CREATE/RELEASE snapshots registered tables; restore recovers state") {
+    val ckptRoot = Files.createTempDirectory("graft_ckpt_spec").toString
+    spark.conf.set("graft.checkpoint.dir", ckptRoot)
+    try {
+      engine.sql("SELECT 1") // force table registration
+      // nothing in progress initially
+      val st0 = engine.sql("SELECT * FROM checkpoint_status()").head()
+      assert(!st0.getBoolean(0) && st0.isNullAt(1))
+      val dir = engine.sql("CHECKPOINT CREATE").head().getString(0)
+      assert(dir.startsWith(ckptRoot))
+      // snapshot contains the events table's parquet, hard-linked
+      assert(new java.io.File(s"$dir/events").exists() ||
+        new java.io.File(s"$dir/events").isFile)
+      assert(new java.io.File(s"$dir/manifest.json").isFile)
+      // in-progress gate: second CREATE errors, status reports it
+      val st1 = engine.sql("SELECT * FROM checkpoint_status()").head()
+      assert(st1.getBoolean(0) && !st1.isNullAt(1))
+      intercept[Exception](engine.sql("CHECKPOINT CREATE"))
+      engine.sql("CHECKPOINT RELEASE")
+      assert(!engine.sql("SELECT * FROM checkpoint_status()").head().getBoolean(0))
+      // legacy grammar
+      engine.sql("SNAPSHOT PREPARE")
+      engine.sql("SNAPSHOT COMPLETE")
+      // restore: snapshot survives a destructive change to the live view
+      val before = spark.table("events").count()
+      engine.sql("CREATE TABLE events AS SELECT * FROM events LIMIT 1")
+      val restored = graft.ops.Checkpoint.restore(spark, dir)
+      assert(restored.contains("events"))
+      assert(spark.table("events").count() == before)
+      Tables.forgetRegistration(spark)
+      Tables.registerAll(spark, sfDir) // put the real views back for later suites
+    } finally spark.conf.unset("graft.checkpoint.dir")
+  }
 }
