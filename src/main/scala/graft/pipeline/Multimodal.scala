@@ -175,12 +175,14 @@ object Multimodal {
     StructField("duration_ms", DoubleType),
     StructField("format", StringType)))
 
-  /** Batched audio decode: WAV (RIFF PCM), MP3 (MPEG Layer III frame
-    * walk, ID3v2-aware) and FLAC (STREAMINFO) containers are really
-    * parsed — metadata, frame counts and durations from header-only
-    * byte walks, no audio library. Unrecognized payloads fall back to
-    * the deterministic fake; compressed SAMPLE decode (the codec
-    * itself) remains the stub seam.
+  /** Batched audio decode: WAV (RIFF PCM + G.711 µ-law/A-law + IMA
+    * ADPCM), MP3 (MPEG Layer III frame walk, ID3v2-aware) and FLAC
+    * (STREAMINFO) containers are really parsed — metadata, frame counts
+    * and durations from header-only byte walks, no audio library. The
+    * G.711 and ADPCM *samples* are really decoded too (see
+    * [[audioFeatures]]). Unrecognized payloads fall back to the
+    * deterministic fake; perceptual-codec sample decode (mp3/flac
+    * frames) remains the stub seam.
     */
   def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaSchema))
@@ -210,6 +212,50 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ bytes)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Fixture synthesizer for the compressed WAV codecs: per-row G.711
+    * µ-law ("ulaw"), A-law ("alaw") or IMA ADPCM ("adpcm") payloads with
+    * a constant-amplitude signal, so decode → features can be asserted
+    * against closed-form companded levels.
+    */
+  def synthWavCodec(df: DataFrame, rateCol: String, framesCol: String, ampCol: String,
+                    codec: String, out: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val (ri, fi, ai) = (df.columns.indexOf(rateCol), df.columns.indexOf(framesCol),
+      df.columns.indexOf(ampCol))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = wavCodecBytes(r.getInt(ri), r.getInt(fi), r.getInt(ai), codec)
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def wavCodecBytes(rate: Int, frames: Int, amp: Int, codec: String): Array[Byte] = {
+    val (fmtTag, data: Array[Byte], blockAlign, bits, extra) = codec match {
+      case "ulaw" =>
+        (7, Array.fill(frames)(pcmToUlaw(amp).toByte), 1, 8, None)
+      case "alaw" =>
+        (6, Array.fill(frames)(pcmToAlaw(amp).toByte), 1, 8, None)
+      case "adpcm" =>
+        val ba = 256 // mono block: 4-byte header + 252 nibble-pair bytes
+        (0x11, adpcmEncode(Array.fill(frames)(amp.toShort), ba), ba, 4,
+          Some((ba - 4) * 2 + 1)) // wSamplesPerBlock
+      case other => throw new IllegalArgumentException(s"codec '$other'")
+    }
+    val fmtSize = if (extra.isDefined) 20 else 16
+    val bb = java.nio.ByteBuffer.allocate(20 + fmtSize + 8 + data.length + (data.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(12 + fmtSize + 8 + data.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(fmtSize)
+    bb.putShort(fmtTag.toShort); bb.putShort(1) // mono
+    bb.putInt(rate); bb.putInt(rate * blockAlign); bb.putShort(blockAlign.toShort)
+    bb.putShort(bits.toShort)
+    extra.foreach { spb => bb.putShort(2); bb.putShort(spb.toShort) }
+    bb.put("data".getBytes); bb.putInt(data.length)
+    bb.put(data)
+    bb.array()
   }
 
   private def wavBytes(rate: Int, frames: Int, amp: Int): Array[Byte] = {
@@ -325,6 +371,7 @@ object Multimodal {
       return fakeAudioMeta(bytes)
     var off = 12
     var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var fmtTag = 0; var samplesPerBlock = 0
     var dataSize = -1L
     while (off + 8 <= bytes.length && (rate == 0 || dataSize < 0)) {
       val id = fourcc(bytes, off)
@@ -333,16 +380,151 @@ object Multimodal {
       // binary columns make garbage-with-a-RIFF-magic a real input
       if (size > bytes.length) return fakeAudioMeta(bytes)
       if (id == "fmt " && off + 24 <= bytes.length) {
+        fmtTag = le16(bytes, off + 8)
         channels = le16(bytes, off + 10)
         rate = le32(bytes, off + 12)
         blockAlign = le16(bytes, off + 20)
         bits = le16(bytes, off + 22)
+        // IMA ADPCM carries wSamplesPerBlock in the fmt extension
+        if (fmtTag == 0x11 && off + 28 <= bytes.length) samplesPerBlock = le16(bytes, off + 26)
       } else if (id == "data") dataSize = size
       off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (rate <= 0 || blockAlign <= 0 || dataSize < 0) return fakeAudioMeta(bytes)
-    val frames = dataSize / blockAlign
-    Row(rate, channels, bits, frames, frames * 1000.0 / rate, "wav")
+    val (frames, fmt) = fmtTag match {
+      case 1 => (dataSize / blockAlign, "wav")
+      case 6 => (dataSize / blockAlign, "wav_alaw")
+      case 7 => (dataSize / blockAlign, "wav_ulaw")
+      case 0x11 if samplesPerBlock > 0 =>
+        ((dataSize / blockAlign) * samplesPerBlock, "wav_adpcm")
+      case _ => (dataSize / blockAlign, "wav")
+    }
+    Row(rate, channels, bits, frames, frames * 1000.0 / rate, fmt)
+  }
+
+  // ---- compressed-sample decode: G.711 µ-law/A-law + IMA ADPCM --------
+  // Real codec decode (ITU-T G.711 companding, IMA/DVI-4 ADPCM state
+  // machine) — these WAV payloads no longer sit behind the stub seam.
+
+  /** ITU-T G.711 µ-law byte → 16-bit linear PCM. */
+  private[graft] def ulawToPcm(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    val exp = (u >> 4) & 7
+    val s = ((((u & 0x0f) << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -s else s
+  }
+
+  /** ITU-T G.711 A-law byte → 16-bit linear PCM. */
+  private[graft] def alawToPcm(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0f
+    val s = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) s else -s
+  }
+
+  /** Nearest companded byte for a PCM sample (synthesizer side): the
+    * 256-codeword spaces are small enough to argmin exactly.
+    */
+  private[graft] def pcmToUlaw(pcm: Int): Int =
+    (0 to 255).minBy(b => math.abs(ulawToPcm(b) - pcm))
+  private[graft] def pcmToAlaw(pcm: Int): Int =
+    (0 to 255).minBy(b => math.abs(alawToPcm(b) - pcm))
+
+  private val AdpcmSteps = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767)
+  private val AdpcmIndexAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM 4-bit nibble through the predictor. Returns the new
+    * predicted sample; mutates nothing (state passes in the tuple).
+    */
+  @inline private def adpcmStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = AdpcmSteps(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p = if ((nibble & 8) != 0) math.max(pred - diff, -32768)
+            else math.min(pred + diff, 32767)
+    val idx = math.min(math.max(index + AdpcmIndexAdj(nibble & 7), 0), 88)
+    (p, idx)
+  }
+
+  /** Decode mono IMA ADPCM data blocks → PCM16 samples. Each block:
+    * 4-byte header (predictor le16, step index, reserved) then nibble
+    * pairs, low nibble first.
+    */
+  private[graft] def adpcmDecode(bytes: Array[Byte], start: Int, len: Int,
+                                 blockAlign: Int): Array[Short] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Short]()
+    var b = start
+    val end = math.min(start + len, bytes.length)
+    while (b + 4 <= end) {
+      val blockEnd = math.min(b + blockAlign, end)
+      var pred = (le16(bytes, b) << 16) >> 16
+      var index = math.min(math.max(bytes(b + 2) & 0xff, 0), 88)
+      out += pred.toShort
+      var i = b + 4
+      while (i < blockEnd) {
+        val byte = bytes(i) & 0xff
+        val (p1, i1) = adpcmStep(byte & 0x0f, pred, index)
+        pred = p1; index = i1; out += pred.toShort
+        val (p2, i2) = adpcmStep(byte >> 4, pred, index)
+        pred = p2; index = i2; out += pred.toShort
+        i += 1
+      }
+      b += blockAlign
+    }
+    out.toArray
+  }
+
+  /** Encode mono PCM16 → IMA ADPCM blocks (synthesizer side — the
+    * standard quantize-against-step encoder).
+    */
+  private[graft] def adpcmEncode(samples: Array[Short], blockAlign: Int): Array[Byte] = {
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val out = java.nio.ByteBuffer.allocate(nBlocks * blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var s = 0
+    var index = 0
+    while (s < samples.length) {
+      var pred: Int = samples(s)
+      out.putShort(pred.toShort); out.put(index.toByte); out.put(0.toByte)
+      var i = s + 1
+      val blockSampleEnd = math.min(s + samplesPerBlock, samples.length)
+      var nibbles = new scala.collection.mutable.ArrayBuffer[Int]()
+      while (i < blockSampleEnd) {
+        val step = AdpcmSteps(index)
+        val diff = samples(i) - pred
+        var nibble = if (diff < 0) 8 else 0
+        var d = math.abs(diff)
+        var q = 0
+        if (d >= step) { q |= 4; d -= step }
+        if (d >= (step >> 1)) { q |= 2; d -= step >> 1 }
+        if (d >= (step >> 2)) { q |= 1 }
+        nibble |= q
+        val (p, idx) = adpcmStep(nibble, pred, index)
+        pred = p; index = idx
+        nibbles += nibble
+        i += 1
+      }
+      // pad to a full block of nibble pairs
+      while (nibbles.length < (blockAlign - 4) * 2) nibbles += 0
+      var j = 0
+      while (j < nibbles.length) {
+        out.put(((nibbles(j) & 0x0f) | ((nibbles(j + 1) & 0x0f) << 4)).toByte)
+        j += 2
+      }
+      s = blockSampleEnd
+    }
+    out.array()
   }
 
   // ---- mp3 / flac: compressed-container header walks (pure JDK) ------
@@ -522,30 +704,46 @@ object Multimodal {
 
   private[graft] def audioFeaturesOne(bytes: Array[Byte]): Row = {
     val meta = decodeAudioOne(bytes)
-    if (meta.getString(5) != "wav" || meta.getInt(2) != 16) {
+    val fmt = meta.getString(5)
+    val supported = (fmt == "wav" && meta.getInt(2) == 16) ||
+      fmt == "wav_ulaw" || fmt == "wav_alaw" || fmt == "wav_adpcm"
+    if (!supported) {
       val b0 = if (bytes.length > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
       return Row(b0 / 512.0, (b0 % 100) / 100.0, b0 / 256.0)
     }
-    // locate the data chunk again and fold PCM16 samples
+    // locate the fmt + data chunks again and decode samples per codec
     var off = 12
-    var start = -1; var len = 0
+    var start = -1; var len = 0; var blockAlign = 0
     while (off + 8 <= bytes.length && start < 0) {
       val id = fourcc(bytes, off)
       val size = le32(bytes, off + 4).toLong & 0xffffffffL
       if (size > bytes.length) return Row(0.0, 0.0, 0.0) // corrupt size
+      if (id == "fmt " && off + 24 <= bytes.length) blockAlign = le16(bytes, off + 20)
       if (id == "data") { start = off + 8; len = math.min(size.toInt, bytes.length - start) }
       else off += 8 + size.toInt + (size.toInt & 1)
     }
     if (start < 0) return Row(0.0, 0.0, 0.0)
-    var i = start
     var sumSq = 0.0; var peak = 0.0; var zc = 0L; var n = 0L; var prev = 0
-    while (i + 1 < start + len) {
-      val s = (le16(bytes, i) << 16) >> 16 // sign-extend
+    @inline def fold(s: Int): Unit = {
       val x = s / 32768.0
       sumSq += x * x
       if (math.abs(x) > peak) peak = math.abs(x)
       if (n > 0 && ((s >= 0) != (prev >= 0))) zc += 1
-      prev = s; n += 1; i += 2
+      prev = s; n += 1
+    }
+    fmt match {
+      case "wav" =>
+        var i = start
+        while (i + 1 < start + len) { fold((le16(bytes, i) << 16) >> 16); i += 2 }
+      case "wav_ulaw" =>
+        var i = start
+        while (i < start + len) { fold(ulawToPcm(bytes(i) & 0xff)); i += 1 }
+      case "wav_alaw" =>
+        var i = start
+        while (i < start + len) { fold(alawToPcm(bytes(i) & 0xff)); i += 1 }
+      case "wav_adpcm" =>
+        if (blockAlign <= 4) return Row(0.0, 0.0, 0.0)
+        adpcmDecode(bytes, start, len, blockAlign).foreach(s => fold(s.toInt))
     }
     if (n == 0) Row(0.0, 0.0, 0.0)
     else Row(math.sqrt(sumSq / n), zc.toDouble / n, peak)

@@ -354,6 +354,31 @@ object PipelineQueries extends QueryPack {
       mp3.unionByName(flac).orderBy(col("format"), col("event_id"))
     }),
 
+    "q_g711_audio" -> ((s, dir) => {
+      // real compressed-codec decode, oracle-gated: G.711 µ-law and
+      // A-law WAV payloads are synthesized at id-derived amplitudes,
+      // then the ITU-T companding decode must recover exactly the
+      // quantized level the oracle states (constant signal → RMS*32768
+      // = the companded codeword's linear value, zero crossings = 0)
+      val src = Tables.events(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          lit(8000).cast("int").as("rate"),
+          (lit(100) + col("event_id") % 50).cast("int").as("frames"),
+          (lit(1000) + (col("event_id") % 8) * 2000).cast("int").as("amp"))
+      def feats(codec: String, level: String, fmt: String) =
+        Multimodal.audioFeatures(Multimodal.decodeAudio(
+          Multimodal.synthWavCodec(src, "rate", "frames", "amp", codec), "payload"), "payload")
+          .select(col("event_id"), col("amp"), col("frames"),
+            col("audio_meta.format").as(fmt),
+            round(col("audio_feat.rms") * 32768, 0).cast("long").as(level),
+            col("audio_meta.n_frames").as(s"nf_$codec"),
+            col("audio_feat.zcr").as(s"zcr_$codec"))
+      feats("ulaw", "ulaw_level", "fmt_u")
+        .join(feats("alaw", "alaw_level", "fmt_a")
+          .select(col("event_id"), col("alaw_level"), col("fmt_a")), Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -835,6 +860,25 @@ object PipelineQueries extends QueryPack {
         |  'mp3' AS format
         |FROM p
         |ORDER BY format, event_id""".stripMargin,
+
+    "q_g711_audio" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(100 + event_id % 50 AS INT) AS frames,
+        |    CAST(1000 + (event_id % 8) * 2000 AS INT) AS amp
+        |  FROM events WHERE event_id < 200)
+        |SELECT event_id, amp, frames,
+        |  'wav_ulaw' AS fmt_u,
+        |  CAST(CASE amp WHEN 1000 THEN 988 WHEN 3000 THEN 3004 WHEN 5000 THEN 5116
+        |    WHEN 7000 THEN 6908 WHEN 9000 THEN 8828 WHEN 11000 THEN 10876
+        |    WHEN 13000 THEN 12924 ELSE 14972 END AS BIGINT) AS ulaw_level,
+        |  CAST(frames AS BIGINT) AS nf_ulaw,
+        |  CAST(0.0 AS DOUBLE) AS zcr_ulaw,
+        |  CAST(CASE amp WHEN 1000 THEN 1008 WHEN 3000 THEN 3008 WHEN 5000 THEN 4992
+        |    WHEN 7000 THEN 7040 WHEN 9000 THEN 8960 WHEN 11000 THEN 11008
+        |    WHEN 13000 THEN 13056 ELSE 15104 END AS BIGINT) AS alaw_level,
+        |  'wav_alaw' AS fmt_a
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH h AS (SELECT event_id, md5(props) AS hx FROM events WHERE event_id < 500),

@@ -241,6 +241,41 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFeaturesOne(evil) != null)
   }
 
+  test("G.711 and IMA ADPCM WAV payloads really decode (codec, not stub)") {
+    val src = Seq((1L, 8000, 4000, 5000)).toDF("id", "rate", "frames", "amp")
+    // µ-law: constant signal decodes to exactly the companded level
+    val u = Multimodal.audioFeatures(Multimodal.decodeAudio(
+      Multimodal.synthWavCodec(src, "rate", "frames", "amp", "ulaw"), "payload"), "payload").head()
+    val um = u.getStruct(u.fieldIndex("audio_meta"))
+    val uf = u.getStruct(u.fieldIndex("audio_feat"))
+    assert(um.getString(5) == "wav_ulaw" && um.getLong(3) == 4000L)
+    assert(math.round(uf.getDouble(0) * 32768) == 5116L) // nearest µ-law level to 5000
+    assert(uf.getDouble(1) == 0.0)
+    // A-law
+    val a = Multimodal.audioFeatures(Multimodal.decodeAudio(
+      Multimodal.synthWavCodec(src, "rate", "frames", "amp", "alaw"), "payload"), "payload").head()
+    val af = a.getStruct(a.fieldIndex("audio_feat"))
+    assert(a.getStruct(a.fieldIndex("audio_meta")).getString(5) == "wav_alaw")
+    assert(math.round(af.getDouble(0) * 32768) == 4992L) // nearest A-law level
+    // ADPCM: predictor seeds on the first true sample, so a constant
+    // signal round-trips almost exactly; block padding adds trailing
+    // zero-diff samples that stay at the amplitude
+    val d = Multimodal.audioFeatures(Multimodal.decodeAudio(
+      Multimodal.synthWavCodec(src, "rate", "frames", "amp", "adpcm"), "payload"), "payload").head()
+    val dm = d.getStruct(d.fieldIndex("audio_meta"))
+    val df2 = d.getStruct(d.fieldIndex("audio_feat"))
+    assert(dm.getString(5) == "wav_adpcm")
+    assert(dm.getLong(3) >= 4000L) // frames rounded up to whole blocks
+    assert(math.abs(df2.getDouble(0) - 5000.0 / 32768) < 0.01)
+    assert(math.abs(df2.getDouble(2) - 5000.0 / 32768) < 0.01)
+    // nibble-level sanity: encode→decode round-trips a varying signal
+    val sine = Array.tabulate(2000)(i => (8000 * math.sin(i * 0.05)).toInt.toShort)
+    val enc = Multimodal.adpcmEncode(sine, 256)
+    val dec = Multimodal.adpcmDecode(enc, 0, enc.length, 256)
+    val err = sine.indices.map(i => math.abs(dec(i) - sine(i))).sum.toDouble / sine.length
+    assert(err < 200.0, s"mean ADPCM round-trip error $err") // ~2% of peak
+  }
+
   test("multimodal video: real MP4 box walk (brand, duration, tracks), non-MP4 falls back") {
     // build a minimal ISO-BMFF file: ftyp + moov(mvhd v0 + 2×trak)
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
