@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE path is real: PNG/JPEG/GIF/BMP decode, header-only
   * metadata, and bilinear rescale via the JDK's `javax.imageio` +
-  * `java.awt` (no external codec libraries needed). Payloads no
-  * installed reader understands (audio, video, synthetic fixtures)
-  * fall back to a deterministic byte-derived fake so pipelines stay
-  * total and reproducible — that fallback is the documented stub
-  * boundary a real audio/video codec would replace.
+  * `java.awt` (no external codec libraries needed). The AUDIO path is
+  * real for WAV PCM16, G.711 µ-law/A-law, IMA ADPCM (sample decode,
+  * this file) and FLAC (full lossless frame decode, [[Flac]]);
+  * MP3/MP4 get real container/frame-header walks. Payloads no decoder
+  * understands fall back to a deterministic byte-derived fake so
+  * pipelines stay total and reproducible — that fallback is the
+  * remaining documented stub boundary (perceptual codecs: MP3 sample
+  * synthesis, video frame decode).
   */
 object Multimodal {
   // never spill decode scratch to disk-backed ImageInputStream caches —
@@ -179,10 +182,12 @@ object Multimodal {
     * ADPCM), MP3 (MPEG Layer III frame walk, ID3v2-aware) and FLAC
     * (STREAMINFO) containers are really parsed — metadata, frame counts
     * and durations from header-only byte walks, no audio library. The
-    * G.711 and ADPCM *samples* are really decoded too (see
-    * [[audioFeatures]]). Unrecognized payloads fall back to the
-    * deterministic fake; perceptual-codec sample decode (mp3/flac
-    * frames) remains the stub seam.
+    * G.711 and ADPCM *samples* are really decoded too, and FLAC frames
+    * get a full lossless decode ([[Flac.decodeSamples]] — fixed/LPC
+    * predictors, Rice residuals, CRC-verified; see [[audioFeatures]]).
+    * Unrecognized payloads fall back to the deterministic fake; the one
+    * remaining audio stub seam is perceptual-codec sample decode (MP3
+    * frame synthesis needs a DCT bank).
     */
   def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaSchema))
@@ -528,9 +533,11 @@ object Multimodal {
   }
 
   // ---- mp3 / flac: compressed-container header walks (pure JDK) ------
-  // Frame/stream headers only — the public ISO/IEC 11172-3 (MPEG audio)
-  // and xiph FLAC layouts; sample/frame *decode* stays behind the codec
-  // stub seam, this recovers rate/channels/duration like the WAV walk.
+  // Frame/stream headers — the public ISO/IEC 11172-3 (MPEG audio) and
+  // xiph FLAC layouts — recover rate/channels/duration like the WAV
+  // walk. FLAC *samples* additionally get a full lossless decode in
+  // [[Flac]]; MP3 sample synthesis (the perceptual filter bank) is the
+  // remaining codec stub seam.
 
   private val Mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
   private val Mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
@@ -659,6 +666,30 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Fixture synthesizer producing FLAC streams WITH real frames: a
+    * square wave of period `periodCol` samples at amplitude `ampCol`,
+    * encoded by [[Flac.encode]] (FIXED order-1 + Rice residuals), so
+    * decode → features has closed-form ground truth: RMS = peak =
+    * amp/32768 exactly (constant magnitude), ZCR = flips/frames.
+    */
+  def synthFlacFrames(df: DataFrame, rateCol: String, framesCol: String,
+                      ampCol: String, periodCol: String,
+                      out: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val (ri, fi, ai, pi) = (df.columns.indexOf(rateCol), df.columns.indexOf(framesCol),
+      df.columns.indexOf(ampCol), df.columns.indexOf(periodCol))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val (rate, frames, amp, period) =
+          (r.getInt(ri), r.getInt(fi), r.getInt(ai), r.getInt(pi))
+        val samples = Array.tabulate(frames) { i =>
+          (if ((i / period) % 2 == 0) amp else -amp).toShort
+        }
+        Row.fromSeq(r.toSeq :+ Flac.encode(rate, samples))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private def flacBytes(rate: Int, total: Long): Array[Byte] = {
     val b = new Array[Byte](8 + 34)
     b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
@@ -705,6 +736,27 @@ object Multimodal {
   private[graft] def audioFeaturesOne(bytes: Array[Byte]): Row = {
     val meta = decodeAudioOne(bytes)
     val fmt = meta.getString(5)
+    if (fmt == "flac") {
+      // real FLAC frame decode (graft.pipeline.Flac); header-only
+      // streams (no frames) and damaged streams fall through to the fake
+      Flac.decodeSamples(bytes) match {
+        case Some(samples) if samples.nonEmpty =>
+          var sumSq = 0.0; var peak = 0.0; var zc = 0L; var prev = 0
+          var i = 0
+          while (i < samples.length) {
+            val x = samples(i) / 32768.0
+            sumSq += x * x
+            if (math.abs(x) > peak) peak = math.abs(x)
+            if (i > 0 && ((samples(i) >= 0) != (prev >= 0))) zc += 1
+            prev = samples(i); i += 1
+          }
+          return Row(math.sqrt(sumSq / samples.length),
+            zc.toDouble / samples.length, peak)
+        case _ =>
+          val b0 = if (bytes.length > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
+          return Row(b0 / 512.0, (b0 % 100) / 100.0, b0 / 256.0)
+      }
+    }
     val supported = (fmt == "wav" && meta.getInt(2) == 16) ||
       fmt == "wav_ulaw" || fmt == "wav_alaw" || fmt == "wav_adpcm"
     if (!supported) {

@@ -379,6 +379,30 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_flac_audio" -> ((s, dir) => {
+      // real FLAC frame decode, oracle-gated: genuine FLAC streams
+      // (FIXED-predictor frames, Rice residuals, CRC-8/16) carrying a
+      // square wave are synthesized per row; the decoder must recover
+      // the bit-exact samples — RMS and peak equal amp/32768 exactly,
+      // zero-crossing rate is the closed-form flip count
+      val src = Tables.events(s, dir).filter(col("event_id") < 150)
+        .select(col("event_id"),
+          lit(44100).cast("int").as("rate"),
+          (lit(2048) + (col("event_id") % 4) * 1024).cast("int").as("frames"),
+          (lit(2000) + (col("event_id") % 6) * 2000).cast("int").as("amp"),
+          lit(32).cast("int").as("period"))
+      Multimodal.audioFeatures(Multimodal.decodeAudio(
+        Multimodal.synthFlacFrames(src, "rate", "frames", "amp", "period"), "payload"), "payload")
+        .select(col("event_id"), col("frames"), col("amp"),
+          col("audio_meta.format").as("format"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.n_frames").as("n_frames"),
+          round(col("audio_feat.rms") * 32768, 0).cast("long").as("rms_level"),
+          round(col("audio_feat.peak") * 32768, 0).cast("long").as("peak_level"),
+          round(col("audio_feat.zcr"), 9).as("zcr"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -878,6 +902,21 @@ object PipelineQueries extends QueryPack {
         |    WHEN 7000 THEN 7040 WHEN 9000 THEN 8960 WHEN 11000 THEN 11008
         |    WHEN 13000 THEN 13056 ELSE 15104 END AS BIGINT) AS alaw_level,
         |  'wav_alaw' AS fmt_a
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_flac_audio" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(2048 + (event_id % 4) * 1024 AS INT) AS frames,
+        |    CAST(2000 + (event_id % 6) * 2000 AS INT) AS amp
+        |  FROM events WHERE event_id < 150)
+        |SELECT event_id, frames, amp,
+        |  'flac' AS format,
+        |  44100 AS sample_rate,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(amp AS BIGINT) AS rms_level,
+        |  CAST(amp AS BIGINT) AS peak_level,
+        |  round(CAST(frames / 32 - 1 AS DOUBLE) / frames, 9) AS zcr
         |FROM p ORDER BY event_id""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -276,6 +276,39 @@ class PipelineSpec extends SparkSpec {
     assert(err < 200.0, s"mean ADPCM round-trip error $err") // ~2% of peak
   }
 
+  test("FLAC frames really decode: lossless round-trip, CRC gates, hostile input") {
+    // lossless: arbitrary waveform through encode → decode is bit-exact
+    val wave = Array.tabulate(10000) { i =>
+      ((6000 * math.sin(i * 0.013) + 2500 * math.sin(i * 0.071) + (i % 97) - 48).toInt.toShort)
+    }
+    val stream = Flac.encode(44100, wave, blockSize = 4096)
+    val decoded = Flac.decodeSamples(stream).get
+    assert(decoded.length == wave.length)
+    assert(decoded.indices.forall(i => decoded(i) == wave(i).toInt), "FLAC round-trip not lossless")
+    // constant block → CONSTANT subframe path
+    val const = Flac.encode(8000, Array.fill(5000)(1234.toShort))
+    assert(Flac.decodeSamples(const).get.forall(_ == 1234))
+    // a flipped bit in a frame body must fail that frame's CRC-16, not
+    // produce silently-wrong samples (header+streaminfo left intact)
+    val damaged = stream.clone()
+    damaged(damaged.length - 40) = (damaged(damaged.length - 40) ^ 0x10).toByte
+    val partial = Flac.decodeSamples(damaged)
+    assert(partial.isEmpty || partial.get.length < wave.length)
+    // hostile garbage: magic + junk never throws
+    assert(Flac.decodeSamples("fLaC".getBytes ++ Array.fill(100)(0x5a.toByte)).isEmpty)
+    assert(Flac.decodeSamples(Array[Byte]()).isEmpty)
+    // feature integration: square wave has closed-form features
+    val src = Seq((1L, 8000, 4096, 9000, 32)).toDF("id", "rate", "frames", "amp", "period")
+    val f = Multimodal.audioFeatures(Multimodal.decodeAudio(
+      Multimodal.synthFlacFrames(src, "rate", "frames", "amp", "period"), "payload"), "payload").head()
+    val fm = f.getStruct(f.fieldIndex("audio_meta"))
+    val ff = f.getStruct(f.fieldIndex("audio_feat"))
+    assert(fm.getString(5) == "flac" && fm.getLong(3) == 4096L)
+    assert(math.abs(ff.getDouble(0) - 9000.0 / 32768) < 1e-12) // RMS exact
+    assert(math.abs(ff.getDouble(2) - 9000.0 / 32768) < 1e-12) // peak exact
+    assert(math.abs(ff.getDouble(1) - 127.0 / 4096) < 1e-12)   // (4096/32 - 1) flips
+  }
+
   test("multimodal video: real MP4 box walk (brand, duration, tracks), non-MP4 falls back") {
     // build a minimal ISO-BMFF file: ftyp + moov(mvhd v0 + 2×trak)
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
