@@ -403,6 +403,70 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_audio_embed" -> ((s, dir) => {
+      // real FFT encoder, oracle-gated: bin-aligned sine tones embed as
+      // one-hot band vectors (period divides the FFT frame, zero
+      // leakage; quantization noise ~2e-5 vanishes at 4-dp rounding)
+      val src = Tables.events(s, dir).filter(col("event_id") < 150)
+        .select(col("event_id"),
+          lit(32000).cast("int").as("rate"),
+          lit(2048).cast("int").as("frames"),
+          lit(12000).cast("int").as("amp"),
+          element_at(array(lit(64), lit(32), lit(16), lit(8), lit(4)),
+            (col("event_id") % 5 + 1).cast("int")).cast("int").as("period"))
+      Multimodal.features(Multimodal.synthWavTone(src, "rate", "frames", "amp", "period"),
+          "payload", 16)
+        .select(col("event_id"), col("period"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
+          round(element_at(col("features"), 5).cast("double"), 4).as("f4"),
+          round(element_at(col("features"), 9).cast("double"), 4).as("f8"),
+          round(array_max(col("features")).cast("double"), 4).as("vmax"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_image_embed" -> ((s, dir) => {
+      // real DCT image encoder, oracle-gated: lossless 32x32 PNGs (solid
+      // or half-split) have closed-form DCT coefficients the oracle
+      // recomputes from 16-term cosine sums; +0.0 folds -0.0 to 0.0
+      val src = Tables.events(s, dir).filter(col("event_id") < 120)
+        .select(col("event_id"),
+          (lit(16) + (col("event_id") % 13) * 17).cast("int").as("shade"),
+          (((lit(16) + (col("event_id") % 13) * 17) * 3 + 60) % 240).cast("int").as("shade2"),
+          (col("event_id") % 2).cast("int").as("split"))
+      Multimodal.features(Multimodal.synthPng(src, "shade", "shade2", "split"), "payload", 16)
+        .select(col("event_id"), col("shade"), col("shade2"), col("split"),
+          (round(element_at(col("features"), 1).cast("double"), 4) + lit(0.0)).as("g00"),
+          (round(element_at(col("features"), 5).cast("double"), 4) + lit(0.0)).as("g10"),
+          (round(element_at(col("features"), 9).cast("double"), 4) + lit(0.0)).as("g20"),
+          (round(element_at(col("features"), 13).cast("double"), 4) + lit(0.0)).as("g30"),
+          (round(element_at(col("features"), 2).cast("double"), 4) + lit(0.0)).as("g01"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_video_frames" -> ((s, dir) => {
+      // real MJPEG frame decode, oracle-gated: quality-1.0 solid-gray
+      // JPEG frames round-trip sample-exact through the JDK codec, so
+      // per-frame mean luma equals the synthesized shade and pts comes
+      // straight off the stts sample table
+      val src = Tables.events(s, dir).filter(col("event_id") < 80)
+        .select(col("event_id"),
+          (lit(3) + col("event_id") % 4).cast("int").as("frames"),
+          element_at(array(lit(10), lit(25), lit(50)),
+            (col("event_id") % 3 + 1).cast("int")).cast("int").as("fps"),
+          ((col("event_id") * 13) % 200 + 8).cast("int").as("base"))
+      Multimodal.videoFrames(Multimodal.synthMjpeg(src, "frames", "fps", "base", 64, 48),
+          "payload")
+        .select(col("event_id"), col("frames"), col("fps"), col("base"),
+          col("frame.frame_no").as("frame_no"),
+          col("frame.pts_ms").as("pts_ms"),
+          col("frame.width").as("width"),
+          col("frame.height").as("height"),
+          col("frame.mean_luma").as("mean_luma"))
+        .orderBy(col("event_id"), col("frame_no"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
@@ -918,6 +982,64 @@ object PipelineQueries extends QueryPack {
         |  CAST(amp AS BIGINT) AS peak_level,
         |  round(CAST(frames / 32 - 1 AS DOUBLE) / frames, 9) AS zcr
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_audio_embed" ->
+      """SELECT event_id,
+        |  CAST(CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 64 WHEN 1 THEN 32
+        |       WHEN 2 THEN 16 WHEN 3 THEN 8 ELSE 4 END AS INT) AS period,
+        |  CAST(CASE WHEN event_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f0,
+        |  CAST(CASE WHEN event_id % 5 = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f1,
+        |  CAST(CASE WHEN event_id % 5 = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f2,
+        |  CAST(CASE WHEN event_id % 5 = 3 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f4,
+        |  CAST(CASE WHEN event_id % 5 = 4 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f8,
+        |  CAST(1.0 AS DOUBLE) AS vmax
+        |FROM events WHERE event_id < 150 ORDER BY event_id""".stripMargin,
+
+    "q_image_embed" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(16 + (event_id % 13) * 17 AS INT) AS shade,
+        |    CAST(((16 + (event_id % 13) * 17) * 3 + 60) % 240 AS INT) AS shade2,
+        |    CAST(event_id % 2 AS INT) AS split
+        |  FROM events WHERE event_id < 120),
+        |s AS (
+        |  SELECT g.u, sum(cos(pi() * (2 * t.x + 1) * g.u / 64.0)) AS su
+        |  FROM generate_series(1, 3) g(u), generate_series(0, 15) t(x) GROUP BY g.u),
+        |d AS (
+        |  SELECT p.event_id, p.shade, p.shade2, p.split,
+        |    CAST(512 * (CASE WHEN p.split = 1 THEN p.shade + p.shade2
+        |                     ELSE 2 * p.shade END) AS DOUBLE) AS d0,
+        |    CAST(CASE WHEN p.split = 1
+        |         THEN 32.0 * (p.shade - p.shade2) * s1.su ELSE 0.0 END AS DOUBLE) AS d1,
+        |    CAST(CASE WHEN p.split = 1
+        |         THEN 32.0 * (p.shade - p.shade2) * s2.su ELSE 0.0 END AS DOUBLE) AS d2,
+        |    CAST(CASE WHEN p.split = 1
+        |         THEN 32.0 * (p.shade - p.shade2) * s3.su ELSE 0.0 END AS DOUBLE) AS d3
+        |  FROM p, s s1, s s2, s s3 WHERE s1.u = 1 AND s2.u = 2 AND s3.u = 3),
+        |n AS (SELECT *, sqrt(d0*d0 + d1*d1 + d2*d2 + d3*d3) AS nrm FROM d)
+        |SELECT event_id, shade, shade2, split,
+        |  round(d0 / nrm, 4) + 0.0 AS g00,
+        |  round(d1 / nrm, 4) + 0.0 AS g10,
+        |  round(d2 / nrm, 4) + 0.0 AS g20,
+        |  round(d3 / nrm, 4) + 0.0 AS g30,
+        |  CAST(0.0 AS DOUBLE) AS g01
+        |FROM n ORDER BY event_id""".stripMargin,
+
+    "q_video_frames" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(3 + event_id % 4 AS INT) AS frames,
+        |    CAST(CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 25
+        |         ELSE 50 END AS INT) AS fps,
+        |    CAST((event_id * 13) % 200 + 8 AS INT) AS base
+        |  FROM events WHERE event_id < 80)
+        |SELECT event_id, frames, fps, base,
+        |  CAST(f.i AS INT) AS frame_no,
+        |  CAST(f.i * 1000 AS DOUBLE) / fps AS pts_ms,
+        |  CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+        |  CAST((base + 11 * f.i) % 240 AS DOUBLE) AS mean_luma
+        |FROM p, generate_series(0, 6) f(i) WHERE f.i < p.frames
+        |ORDER BY event_id, frame_no""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH h AS (SELECT event_id, md5(props) AS hx FROM events WHERE event_id < 500),

@@ -409,6 +409,94 @@ class PipelineSpec extends SparkSpec {
     assert(buckets(1L) == buckets(2L))
   }
 
+  test("spectral embed is a real FFT: square-wave harmonics at sampled-sinc ratios") {
+    // ±8000 square wave, period 32 → fundamental bin 16 (band 1 of 16),
+    // odd harmonics at bins 48 (band 3), 80 (band 5); sampled-square
+    // amplitudes go as 1/sin(pi*m/32), so ratios ~1/3 and ~1/5
+    val samples = Array.tabulate(2048)(i => if (i % 32 < 16) 8000 else -8000)
+    val f = Dsp.spectralEmbed(samples, 16)
+    assert(f(1) > 0.85, s"fundamental band should dominate: ${f.mkString(",")}")
+    assert(math.abs(f(3) / f(1) - 1.0 / (math.sin(3 * math.Pi / 32) / math.sin(math.Pi / 32))) < 0.02)
+    assert(math.abs(f(5) / f(1) - 1.0 / (math.sin(5 * math.Pi / 32) / math.sin(math.Pi / 32))) < 0.02)
+    assert(f(0) < 1e-4 && f(2) < 1e-4 && f(4) < 1e-4) // even bands empty
+    // bin-aligned sine through the full public path: one-hot band vector
+    val src = Seq((1L, 32000, 2048, 12000, 16)).toDF("id", "rate", "frames", "amp", "period")
+    val emb = Multimodal.features(Multimodal.synthWavTone(src, "rate", "frames", "amp", "period"),
+      "payload", 16).select($"features").head.getSeq[Float](0)
+    assert(math.abs(emb(2) - 1.0f) < 1e-4) // bin 32 → band 2
+    assert(emb.zipWithIndex.filter(_._2 != 2).forall(x => math.abs(x._1) < 1e-4))
+  }
+
+  test("image embed is a real DCT: solid → brightness one-hot, split → horizontal AC") {
+    val src = Seq((1L, 100, 0, 0), (2L, 40, 200, 1)).toDF("id", "shade", "shade2", "split")
+    val out = Multimodal.features(Multimodal.synthPng(src, "shade", "shade2", "split"),
+      "payload", 16).select($"id", $"features").orderBy($"id").collect()
+    val solid = out(0).getSeq[Float](1)
+    assert(math.abs(solid(0) - 1.0f) < 1e-6 && solid.drop(1).forall(x => math.abs(x) < 1e-6))
+    val split = out(1).getSeq[Float](1)
+    // closed form: D(0,0)=512*(c1+c2), D(u,0)=32*(c1-c2)*sum cos; v>0 zero
+    def S(u: Int) = (0 until 16).map(x => math.cos(math.Pi * (2 * x + 1) * u / 64.0)).sum
+    val d = Array(512.0 * 240, 32.0 * -160 * S(1), 32.0 * -160 * S(2), 32.0 * -160 * S(3))
+    val nrm = math.sqrt(d.map(x => x * x).sum)
+    for (u <- 0 until 4)
+      assert(math.abs(split(u * 4) - d(u) / nrm) < 1e-5, s"u=$u got ${split(u * 4)}")
+    assert(Seq(1, 2, 3, 5, 6, 7).forall(i => math.abs(split(i)) < 1e-6))
+  }
+
+  test("videoFrames really decodes MJPEG samples; hostile payloads yield zero rows") {
+    val src = Seq((1L, 4, 25, 50)).toDF("id", "frames", "fps", "base")
+    val vid = Multimodal.synthMjpeg(src, "frames", "fps", "base", 64, 48)
+    val frames = Multimodal.videoFrames(vid, "payload").orderBy($"frame.frame_no").collect()
+    assert(frames.length == 4)
+    frames.zipWithIndex.foreach { case (r, i) =>
+      val fr = r.getStruct(r.fieldIndex("frame"))
+      assert(fr.getInt(0) == i)
+      assert(fr.getDouble(1) == i * 40.0) // 25 fps → 40 ms/frame
+      assert(fr.getInt(2) == 64 && fr.getInt(3) == 48)
+      assert(fr.getDouble(4) == (50 + 11 * i) % 240) // quality-1.0 JPEG is DC-exact
+    }
+    // the container metadata walk agrees with the sample tables
+    val meta = Multimodal.decodeVideo(vid, "payload").select($"video_meta").head.getStruct(0)
+    assert(meta.getString(0) == "isom" && meta.getDouble(1) == 160.0 && meta.getString(3) == "mp4")
+    // hostile: truncated container, garbage, truncated mdat — no throw
+    val full = vid.select($"payload").head.getAs[Array[Byte]](0)
+    val hostile = Seq(full.take(40), Array.fill[Byte](64)(0x41), full.take(full.length / 3),
+      Array.emptyByteArray)
+    val hdf = hostile.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "payload")
+    assert(Multimodal.videoFrames(hdf, "payload").count() == 0)
+  }
+
+  test("mp4 sample tables: multi-chunk stsc run mapping, mixed stts deltas") {
+    def be(i: Int) = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    def be2(i: Int) = java.nio.ByteBuffer.allocate(2).putShort(i.toShort).array()
+    def box(t: String, body: Array[Byte]) = be(8 + body.length) ++ t.getBytes("US-ASCII") ++ body
+    def full(t: String, body: Array[Byte]) = box(t, Array[Byte](0, 0, 0, 0) ++ body)
+    val entry = be(86) ++ "jpeg".getBytes ++ Array.fill[Byte](6)(0) ++ be2(1) ++
+      be2(0) ++ be2(0) ++ Array.fill[Byte](12)(0) ++ be2(32) ++ be2(24) ++
+      be(0x480000) ++ be(0x480000) ++ be(0) ++ be2(1) ++ Array.fill[Byte](32)(0) ++
+      be2(24) ++ be2(0xffff)
+    val stbl = box("stbl",
+      full("stsd", be(1) ++ entry) ++
+        full("stts", be(2) ++ be(2) ++ be(5) ++ be(2) ++ be(10)) ++ // 2×Δ5 then 2×Δ10
+        full("stsc", be(1) ++ be(1) ++ be(2) ++ be(1)) ++ // every chunk: 2 samples
+        full("stsz", be(0) ++ be(4) ++ be(10) ++ be(20) ++ be(30) ++ be(40)) ++
+        full("stco", be(2) ++ be(100) ++ be(300)))
+    val mdia = box("mdia",
+      full("mdhd", be(0) ++ be(0) ++ be(1000) ++ be(30) ++ be2(0x55c4) ++ be2(0)) ++
+        // body: creation, modification, timescale=1000, duration=30
+        full("hdlr", be(0) ++ "vide".getBytes ++ Array.fill[Byte](13)(0)) ++
+        box("minf", full("vmhd", Array.fill[Byte](8)(0)) ++ stbl))
+    val moov = box("moov",
+      full("mvhd", be(0) ++ be(0) ++ be(1000) ++ be(30) ++ Array.fill[Byte](80)(0)) ++
+        box("trak", full("tkhd", Array.fill[Byte](80)(0)) ++ mdia))
+    val bytes = box("ftyp", "isom".getBytes ++ be(0) ++ "isom".getBytes) ++ moov
+    val t = Multimodal.mp4VideoTrack(bytes).get
+    assert(t.codec == "jpeg" && t.width == 32 && t.height == 24 && t.timescale == 1000)
+    assert(t.samples.map(_.offset).toSeq == Seq(100L, 110L, 300L, 330L))
+    assert(t.samples.map(_.size).toSeq == Seq(10, 20, 30, 40))
+    assert(t.samples.map(_.pts).toSeq == Seq(0L, 5L, 10L, 20L))
+  }
+
   test("langId and quality run over the documents table") {
     val docs = Tables.load(spark, sfDir, "documents")
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
