@@ -67,6 +67,9 @@ object Catalog {
   private[graft] def registerMatView(name: String, bucket: String, refresh: String): Unit =
     matViewReg.put(name, (bucket, refresh))
 
+  private[graft] def unregisterMatView(name: String): Unit =
+    matViewReg.remove(name)
+
   /** live_views() — registered live views with their current seam. */
   def liveViews(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -56,6 +56,18 @@ object DialectQueries extends QueryPack {
           "SAMPLE BY 1d ALIGN TO FIRST OBSERVATION ORDER BY user_id, ts")
     }),
 
+    "q_sql_matview" -> ((s, dir) => {
+      // SQL mat-view lifecycle end-to-end: CREATE ... AS (SAMPLE BY),
+      // FULL refresh, then read the pinned view (QuestSql mat-view DDL)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s, "CREATE MATERIALIZED VIEW mv_q_daily REFRESH IMMEDIATE AS " +
+        "(SELECT ts, event_type, count(*) AS n, min(value) AS mn, max(value) AS mx " +
+        "FROM events SAMPLE BY 1d)")
+      QuestSql.sql(s, "REFRESH MATERIALIZED VIEW mv_q_daily FULL")
+      QuestSql.sql(s, "SELECT ts, event_type, n, mn, mx FROM mv_q_daily " +
+        "ORDER BY ts, event_type")
+    }),
+
     "q_sql_bind" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       QuestSql.sql(s,
@@ -308,6 +320,11 @@ object DialectQueries extends QueryPack {
         |  count(*) AS n
         |FROM events e JOIN a USING (user_id)
         |GROUP BY 1, 2 ORDER BY user_id, ts""".stripMargin,
+
+    "q_sql_matview" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
+        |  count(*) AS n, min(value) AS mn, max(value) AS mx
+        |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin,
 
     "q_sql_bind" ->
       """SELECT event_id, ts, value FROM events

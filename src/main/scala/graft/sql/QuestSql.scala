@@ -58,11 +58,48 @@ object QuestSql {
     }
   }
 
+  // ---- query activity / CANCEL QUERY ---------------------------------------
+  // (reference QueryRegistry + table/QueryActivityFunctionFactory +
+  // SqlCompilerImpl.compileCancel). Each public sql() call registers an
+  // entry keyed by a monotonically increasing id; the entry remembers the
+  // calling thread's Spark job group (PGWire/REST set one per connection),
+  // so CANCEL QUERY <id> cancels exactly that group's running jobs.
+  private[graft] final case class ActivityEntry(id: Long, query: String,
+    startUs: Long, group: String, state: java.util.concurrent.atomic.AtomicReference[String])
+  private val activitySeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val activityReg = new java.util.concurrent.ConcurrentHashMap[Long, ActivityEntry]()
+
+  private def beginActivity(spark: SparkSession, query: String): Unit = {
+    val id = activitySeq.incrementAndGet()
+    val sc = spark.sparkContext
+    val group = Option(sc.getLocalProperty("spark.jobGroup.id")).getOrElse {
+      val g = s"graft-query-$id"
+      sc.setJobGroup(g, query.take(120), interruptOnCancel = true)
+      g
+    }
+    activityReg.put(id, ActivityEntry(id, query, System.currentTimeMillis() * 1000L, group,
+      new java.util.concurrent.atomic.AtomicReference("active")))
+    if (activityReg.size > 256) { // bounded: keep the newest 256
+      import scala.jdk.CollectionConverters._
+      activityReg.keySet.asScala.toSeq.sorted.dropRight(256).foreach(activityReg.remove(_))
+    }
+  }
+
+  private[graft] def queryActivity(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    activityReg.values.asScala.toSeq.sortBy(_.id)
+      .map(e => (e.id, e.query, new java.sql.Timestamp(e.startUs / 1000L), e.state.get))
+      .toDF("query_id", "query", "query_start", "state")
+  }
+
   // ---- public entry ---------------------------------------------------------
 
   /** Rewrite + run against tables registered as temp views. */
-  def sql(spark: SparkSession, query: String): DataFrame =
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    beginActivity(spark, query)
     sqlBound(spark, query, Map.empty)
+  }
 
   /** Positional bind variables: `$1`, `$2`, ... */
   def sql(spark: SparkSession, query: String, args: Seq[Any]): DataFrame = {
@@ -218,6 +255,53 @@ object QuestSql {
   private val CheckpointRe =
     """(?is)^(?:CHECKPOINT\s+(CREATE|RELEASE)|SNAPSHOT\s+(PREPARE|COMPLETE))\s*$""".r
 
+  // ---- materialized views over the dialect ---------------------------
+  // (reference SqlParser.parseCreateMatView / SqlCompilerImpl.compileRefresh;
+  // grammar subset: WITH BASE, REFRESH IMMEDIATE|INCREMENTAL|MANUAL|EVERY n,
+  // DEFERRED, and REFRESH ... FULL|INCREMENTAL|RANGE FROM..TO|STATS).
+  // These are session views materialized via localCheckpoint so a later
+  // INSERT into the base table does NOT leak in until REFRESH — the
+  // durable day-partitioned incremental path is graft.streaming.MatView.
+  private final case class MatViewDef(inner: String, base: Option[String],
+    refreshKind: String, deferred: Boolean)
+  private val matViewDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, MatViewDef]()
+
+  private val CreateMatViewRe =
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
+      """(?:\s+WITH\s+BASE\s+'?([\w.]+)'?)?""" +
+      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+))?(?:\s+(DEFERRED))?)?""" +
+      """\s+AS\s*\((.*)\)\s*(?:TIMESTAMP\s*\(\s*[\w.]+\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*$""").r
+  private val RefreshMatViewRe =
+    ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+""" +
+      """(?:(FULL|INCREMENTAL|STATS)|RANGE\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')\s*$""").r
+  private val DropMatViewRe =
+    """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+
+  private def materializeMatView(spark: SparkSession, name: String, df: DataFrame): Long = {
+    // pin the rows now (lazy checkpoint materializes on first action and
+    // caches the blocks) so base-table mutations stay invisible until an
+    // explicit REFRESH, matching reference mat-view isolation
+    val pinned = df.localCheckpoint(true)
+    pinned.createOrReplaceTempView(name)
+    pinned.count()
+  }
+
+  // PG-compat session statements the reference validates and discards
+  // (SqlCompilerImpl keywordBasedExecutors: begin/commit/rollback/discard/
+  // close/unlisten/reset/deallocate and compileSet's no-op)
+  private val SessionNoopRe =
+    ("""(?is)^(?:BEGIN(?:\s+TRANSACTION)?|COMMIT(?:\s+TRANSACTION)?|ROLLBACK(?:\s+TRANSACTION)?|""" +
+      """DISCARD(?:\s+(?:ALL|PLANS|SEQUENCES|TEMPORARY|TEMP))?|CLOSE\s+\S+|UNLISTEN\s+\S+|""" +
+      """RESET\s+\S+|DEALLOCATE(?:\s+PREPARE)?\s+\S+|""" +
+      """SET\s+(?:(?:SESSION|LOCAL)\s+)?[\w.]+\s*(?:=|\s+TO\s+)\s*.+)\s*$""").r
+  // REINDEX TABLE t [COLUMN c] [LOCK EXCLUSIVE] (SqlCompilerImpl.compileReindex);
+  // symbol indexes are Spark-side shuffle/bucket concerns, so validate + ack
+  private val ReindexRe =
+    """(?is)^REINDEX\s+TABLE\s+([\w.]+)(?:\s+COLUMN\s+[\w.]+)?(?:\s+LOCK\s+EXCLUSIVE)?\s*$""".r
+  // CANCEL QUERY <id> (SqlCompilerImpl.compileCancel + query_activity())
+  private val CancelQueryRe = """(?is)^CANCEL\s+QUERY\s+(\d+)\s*$""".r
+
   private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = {
     // any statement that creates/drops/replaces a table changes what the
     // information_schema / pg_catalog snapshots should show
@@ -242,6 +326,64 @@ object QuestSql {
         graft.ops.Checkpoint.release()
         Some(status(spark, "OK"))
       }
+    case CreateMatViewRe(name, base, refreshKindRaw, deferred, inner) =>
+      val key = name.split('.').last.toLowerCase
+      val kind = Option(refreshKindRaw).map(_.trim.replaceAll("\\s+", " ").toUpperCase) match {
+        case Some("INCREMENTAL") | None => "IMMEDIATE" // obsolete alias / default
+        case Some(k) => k
+      }
+      matViewDefs.put(key, MatViewDef(inner, Option(base), kind, deferred != null))
+      val df0 = sqlBound(spark, inner, Map.empty)
+      materializeMatView(spark, name, if (deferred != null) df0.limit(0) else df0)
+      val bucket = """(?is)SAMPLE\s+BY\s+(\w+)""".r.findFirstMatchIn(inner)
+        .map(_.group(1)).getOrElse("")
+      graft.Catalog.registerMatView(key, bucket, kind)
+      Some(status(spark, "OK"))
+
+    case RefreshMatViewRe(name, kindRaw, from, to) =>
+      val key = name.split('.').last.toLowerCase
+      val d = Option(matViewDefs.get(key)).getOrElse(throw new IllegalArgumentException(
+        s"materialized view does not exist [view=$name]"))
+      Option(kindRaw).map(_.toUpperCase) match {
+        case Some("STATS") => Some(status(spark, "OK")) // cost-model reset: metadata-only
+        case kind =>
+          val fresh0 = sqlBound(spark, d.inner, Map.empty)
+          val rows = if (kind.isEmpty) { // RANGE FROM .. TO: surgical window replace
+            val tsCol = Option(tsRegistry.get(key)).getOrElse("ts")
+            require(fresh0.columns.contains(tsCol),
+              s"RANGE refresh needs timestamp column '$tsCol' in the view output")
+            val lo = lit(from).cast("timestamp"); val hi = lit(to).cast("timestamp")
+            val fresh = fresh0.where(col(tsCol) >= lo && col(tsCol) <= hi)
+            val keep = spark.table(name).where(col(tsCol) < lo || col(tsCol) > hi)
+            materializeMatView(spark, name, keep.unionByName(fresh))
+          } else materializeMatView(spark, name, fresh0) // FULL | INCREMENTAL
+          import spark.implicits._
+          Some(Seq((name, rows)).toDF("view_name", "rows"))
+      }
+
+    case DropMatViewRe(name) =>
+      val key = name.split('.').last.toLowerCase
+      matViewDefs.remove(key)
+      graft.Catalog.unregisterMatView(key)
+      spark.catalog.dropTempView(name)
+      Some(status(spark, "OK"))
+
+    case SessionNoopRe() =>
+      // validated and discarded, like the reference's PG-compat executors
+      Some(status(spark, "OK"))
+
+    case ReindexRe(table) =>
+      spark.table(table) // validates existence; index maintenance is a no-op here
+      Some(status(spark, "OK"))
+
+    case CancelQueryRe(idStr) =>
+      val id = idStr.toLong
+      val e = Option(activityReg.get(id)).filter(_.state.get == "active").getOrElse(
+        throw new IllegalArgumentException(s"query to cancel not found [id=$id]"))
+      spark.sparkContext.cancelJobGroup(e.group)
+      e.state.set("cancelled")
+      Some(status(spark, "OK"))
+
     case ExplainRe(inner) =>
       // reference `EXPLAIN` (ExplainPlanFactory): one PLAN row per line
       import spark.implicits._
@@ -632,7 +774,7 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity)\s*\(\s*\)""".r
   private val TableArgFnRe =
     """(?i)\b(table_columns|table_partitions)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
@@ -656,6 +798,7 @@ object QuestSql {
         case "table_storage" => graft.Catalog.tableStorage(spark)
         case "checkpoint_status" => graft.ops.Checkpoint.status(spark)
         case "all_tables" => graft.Catalog.tables(spark)
+        case "query_activity" => queryActivity(spark)
       }
       val view = s"__graft_fn_$fn"
       df.createOrReplaceTempView(view)

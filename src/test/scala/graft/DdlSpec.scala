@@ -106,4 +106,75 @@ class DdlSpec extends SparkSpec {
       Tables.registerAll(spark, sfDir) // put the real views back for later suites
     } finally spark.conf.unset("graft.checkpoint.dir")
   }
+
+  test("CREATE MATERIALIZED VIEW pins rows until REFRESH; DROP removes") {
+    engine.sql("CREATE TABLE mv_base AS (SELECT * FROM events LIMIT 100) TIMESTAMP(ts)")
+    engine.sql("CREATE MATERIALIZED VIEW mv_cnt WITH BASE mv_base REFRESH IMMEDIATE AS " +
+      "(SELECT event_type, count(*) AS n FROM mv_base GROUP BY event_type)")
+    val before = spark.table("mv_cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.sum == 100)
+    // mat views are listed in the catalog fn
+    val listed = engine.sql("SELECT * FROM materialized_views()").collect()
+    assert(listed.exists(_.getString(0) == "mv_cnt"))
+    // base mutation is invisible until refresh (materialized, not a live view)
+    engine.sql("INSERT INTO mv_base SELECT * FROM events LIMIT 50")
+    assert(spark.table("mv_cnt").collect().map(r => r.getLong(1)).sum == 100)
+    val refreshed = engine.sql("REFRESH MATERIALIZED VIEW mv_cnt FULL").head()
+    assert(refreshed.getString(0) == "mv_cnt" && refreshed.getLong(1) == before.size.toLong)
+    assert(spark.table("mv_cnt").collect().map(r => r.getLong(1)).sum == 150)
+    // STATS is a metadata-only ack; INCREMENTAL re-runs
+    engine.sql("REFRESH MATERIALIZED VIEW mv_cnt STATS")
+    engine.sql("REFRESH MATERIALIZED VIEW mv_cnt INCREMENTAL")
+    engine.sql("DROP MATERIALIZED VIEW mv_cnt")
+    intercept[Exception](engine.sql("REFRESH MATERIALIZED VIEW mv_cnt FULL"))
+    engine.sql("DROP TABLE mv_base")
+  }
+
+  test("REFRESH MATERIALIZED VIEW RANGE replaces only the window") {
+    engine.sql("CREATE TABLE mvr_base AS (SELECT * FROM events) TIMESTAMP(ts)")
+    engine.sql("CREATE MATERIALIZED VIEW mvr_daily AS " +
+      "(SELECT ts, count(*) AS n FROM mvr_base SAMPLE BY 1d)")
+    val before = spark.table("mvr_daily").orderBy(col("ts")).collect()
+    assert(before.length > 3)
+    val day = java.time.LocalDate.ofInstant(
+      before(1).getTimestamp(0).toInstant, java.time.ZoneOffset.UTC).toString
+    // shrink the base to one row inside the second day, then range-refresh it
+    engine.sql(s"CREATE TABLE mvr_base AS (SELECT * FROM events WHERE ts BETWEEN '$day' AND '$day" +
+      "T23:59:59' LIMIT 1) TIMESTAMP(ts)")
+    engine.sql(s"REFRESH MATERIALIZED VIEW mvr_daily RANGE FROM '$day" + "T00:00:00' TO '" +
+      day + "T23:59:59'")
+    val after = spark.table("mvr_daily").orderBy(col("ts")).collect()
+    // untouched days keep their counts; the refreshed day collapsed to 1
+    assert(after.length == before.length)
+    assert(after(1).getLong(1) == 1L)
+    assert(after.zipWithIndex.filter(_._2 != 1).forall { case (r, i) => r.getLong(1) == before(i).getLong(1) })
+    engine.sql("DROP MATERIALIZED VIEW mvr_daily")
+    engine.sql("DROP TABLE mvr_base")
+    Tables.forgetRegistration(spark)
+    Tables.registerAll(spark, sfDir)
+  }
+
+  test("PG-compat session statements are validated no-ops; REINDEX acks") {
+    for (s <- Seq("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK", "DISCARD ALL",
+      "CLOSE my_cursor", "UNLISTEN *", "RESET search_path", "DEALLOCATE p1",
+      "DEALLOCATE PREPARE p2", "SET search_path = public", "SET SESSION statement_timeout TO 0"))
+      assert(engine.sql(s).head().getString(0) == "OK", s"statement: $s")
+    assert(engine.sql("REINDEX TABLE events COLUMN user_id LOCK EXCLUSIVE").head().getString(0) == "OK")
+    intercept[Exception](engine.sql("REINDEX TABLE no_such_table"))
+  }
+
+  test("query_activity lists registered queries; CANCEL QUERY needs a live id") {
+    engine.sql("SELECT count(*) FROM events").collect()
+    val acts = engine.sql("SELECT * FROM query_activity()").collect()
+    assert(acts.nonEmpty)
+    assert(acts.exists(_.getString(1).contains("count(*) FROM events")))
+    assert(acts.forall(r => Set("active", "cancelled").contains(r.getString(3))))
+    // cancelling an unknown id errors like the reference compileCancel
+    intercept[Exception](engine.sql("CANCEL QUERY 999999999"))
+    // cancelling a registered id acks and flips its state
+    val id = acts.map(_.getLong(0)).max
+    assert(engine.sql(s"CANCEL QUERY $id").head().getString(0) == "OK")
+    val after = engine.sql("SELECT * FROM query_activity()").collect()
+    assert(after.exists(r => r.getLong(0) == id && r.getString(3) == "cancelled"))
+  }
 }
