@@ -42,6 +42,26 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    "q_join_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      // co-located join: both sides pre-bucketed on the join key, so the
+      // join itself plans with no Exchange (PlanSpec asserts the shape);
+      // at 100 TB the one-off bucketed write amortizes across every
+      // subsequent join on the key
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-bucketed")
+        .getAbsolutePath
+      graft.ops.Bucketing.writeBucketed(
+        table(s, dir, "orders").select($"o_custkey".as("custkey"), $"o_orderkey", $"o_totalprice"),
+        "bkt_orders", Seq("custkey"), 8, Some(s"$wh/orders"))
+      graft.ops.Bucketing.writeBucketed(
+        table(s, dir, "customer").select($"c_custkey".as("custkey"), $"c_name", $"c_mktsegment"),
+        "bkt_customer", Seq("custkey"), 8, Some(s"$wh/customer"))
+      graft.ops.Bucketing.colocatedJoin(s, "bkt_orders", "bkt_customer", Seq("custkey"))
+        .filter($"o_totalprice" > 450000.0)
+        .select($"custkey", $"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    }),
+
     "q_join_inner" -> ((s, dir) => {
       import s.implicits._
       val o = table(s, dir, "orders")
@@ -193,6 +213,12 @@ object RelationalQueries extends QueryPack {
         |WHERE l_quantity > 45
         |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_inner" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice

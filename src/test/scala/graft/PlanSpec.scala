@@ -210,4 +210,29 @@ class PlanSpec extends SparkSpec {
       p.contains("ObjectHashAggregate"), p)
     assert("Window \\[[^\\n]*qid".r.findAllIn(p).size <= 1, p) // only the rank-within-lists window
   }
+
+  test("bucketed co-located join: sort-merge over aligned buckets, no Exchange") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    graft.ops.Bucketing.writeBucketed(orders, "pbkt_orders", Seq("custkey"), 4, Some(s"$wh/o"))
+    graft.ops.Bucketing.writeBucketed(cust, "pbkt_customer", Seq("custkey"), 4, Some(s"$wh/c"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val j = graft.ops.Bucketing.colocatedJoin(spark, "pbkt_orders", "pbkt_customer",
+        Seq("custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not re-shuffle either side:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS pbkt_orders")
+      spark.sql("DROP TABLE IF EXISTS pbkt_customer")
+    }
+  }
 }
