@@ -168,6 +168,35 @@ object ScalarFnQueries extends QueryPack {
       Tables.load(s, dir, "embeddings").filter(col("vec_id") < 5)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
         .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    "q_ndarray" -> ((s, dir) => {
+      // general N-dim tensors (flat row-major + shape, the reference's
+      // ≤32-dim ARRAY model): 4-D build, full axis reversal, axis slice,
+      // reshape — all index arithmetic closed-form for the oracle
+      import graft.functions.ArrayOps._
+      val t4 = col("__t4")
+      val t4t = ndTranspose(t4, Seq(3, 2, 1, 0))
+      val sl = ndSlice(t4, 1, 4, lit(2))
+      val r = ndReshape(t4, array(lit(4), lit(6)))
+      Tables.events(s, dir).filter(col("event_id") < 60)
+        .withColumn("__data", transform(sequence(lit(0), lit(23)),
+          i => (col("event_id") * 24 + i).cast("double")))
+        .withColumn("__t4", ndMake(col("__data"),
+          array(lit(2), lit(3), lit(2), lit(2))))
+        .select(col("event_id"),
+          ndShapeStr(t4).as("shape4"),
+          ndShapeStr(t4t).as("shape4t"),
+          ndShapeStr(sl).as("shape_sl"),
+          ndSize(t4).as("nelems"),
+          ndGet(t4, Seq(lit(1), lit(2), lit(1), lit(1))).as("g1"),
+          ndGet(t4t, Seq(lit(1), lit(1), lit(2), lit(1))).as("g2"),
+          ndSum(t4).as("total"),
+          ndSum(sl).as("slice_sum"),
+          ndGet(r, Seq(lit(2), lit(3))).as("r15"),
+          r.isNull.as("ok_is_null"),
+          ndReshape(t4, array(lit(5), lit(5))).isNull.as("bad_is_null"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -286,6 +315,21 @@ object ScalarFnQueries extends QueryPack {
       """SELECT vec_id,
         |  CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
         |  unnest(embedding) AS val
-        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin,
+
+    "q_ndarray" ->
+      """SELECT event_id,
+        |  '2x3x2x2' AS shape4,
+        |  '2x2x3x2' AS shape4t,
+        |  '2x2x2' AS shape_sl,
+        |  CAST(24 AS BIGINT) AS nelems,
+        |  CAST(event_id * 24 + 23 AS DOUBLE) AS g1,
+        |  CAST(event_id * 24 + 23 AS DOUBLE) AS g2,
+        |  CAST(event_id * 576 + 276 AS DOUBLE) AS total,
+        |  CAST(event_id * 192 + 124 AS DOUBLE) AS slice_sum,
+        |  CAST(event_id * 24 + 15 AS DOUBLE) AS r15,
+        |  FALSE AS ok_is_null,
+        |  TRUE AS bad_is_null
+        |FROM events WHERE event_id < 60 ORDER BY event_id""".stripMargin
   )
 }

@@ -56,4 +56,28 @@ class ArrayOpsSpec extends SparkSpec {
     assert(r.getSeq[Int](2) == Seq(2, 2, 2))
     assert(r.getDouble(3) == 36.0)
   }
+
+  test("N-D tensors: 5-D get/transpose/slice/reshape round-trip") {
+    import ArrayOps._
+    val df = Seq(1).toDF("one")
+      .withColumn("t", ndMake(transform(sequence(lit(0), lit(31)), i => i.cast("double")),
+        array(Seq.fill(5)(lit(2)): _*)))
+    val t = col("t")
+    val rev = ndTranspose(t, Seq(4, 3, 2, 1, 0))
+    val r = df.select(
+      ndShapeStr(t).as("s"),
+      ndGet(t, Seq(1, 0, 1, 1, 0).map(lit)).as("g"), // flat 16+4+2 = 22
+      ndGet(rev, Seq(0, 1, 1, 0, 1).map(lit)).as("gt"), // the same element, axes reversed
+      ndSum(ndSlice(t, 2, 5, lit(1))).as("ssum"), // 16 elements with axis2 fixed = 1
+      ndShapeStr(ndTranspose(t, Seq(1, 0, 2, 3, 4))).as("st"),
+      ndGet(ndReshape(t, array(lit(8), lit(4))), Seq(lit(5), lit(2))).as("rr"),
+      ndSize(t).as("n"),
+      ndReshape(t, array(lit(3), lit(11))).isNull.as("bad")).head()
+    assert(r.getString(0) == "2x2x2x2x2")
+    assert(r.getDouble(1) == 22.0 && r.getDouble(2) == 22.0)
+    assert(r.getDouble(3) == 280.0)
+    assert(r.getString(4) == "2x2x2x2x2")
+    assert(r.getDouble(5) == 22.0)
+    assert(r.getLong(6) == 32L && r.getBoolean(7))
+  }
 }
