@@ -47,5 +47,9 @@ object Engine {
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.KSum))
     spark.udf.register("nsum",
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.NSum))
+    // default-shaped heavy-hitters sketch (top 10, 256 counters); the
+    // parameterized form is graft.functions.HeavyHitters.heavyHitters
+    spark.udf.register("heavy_hitters",
+      org.apache.spark.sql.functions.udaf(new graft.functions.HeavyHitters.MisraGries(256, 10)))
   }
 }

@@ -71,6 +71,18 @@ object AggFnQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    "q_agg_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries heavy hitters in the exact regime (capacity >= NDV:
+      // nothing evicted, err = 0, counts equal GROUP BY) — the sketch
+      // itself is bounded-memory and mergeable for unbounded-cardinality
+      // corpora (see HeavyHittersSpec for the approximate-bound tests)
+      Tables.events(s, dir)
+        .agg(graft.functions.HeavyHitters.heavyHitters(col("event_type"), 5, 64).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.cnt").as("cnt"), col("h.err").as("err"))
+        .orderBy(desc("cnt"), col("item"))
+    }),
+
     "q_agg_approx" -> ((s, dir) => {
       // HLL / t-digest sketches differ across engines, so the oracle
       // checks the *contract* instead of the bits: the sketch must land
@@ -265,6 +277,11 @@ object AggFnQueries extends QueryPack {
         |  bit_or(user_id) AS bor,
         |  bit_xor(user_id) AS bxor
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, item LIMIT 5""".stripMargin,
 
     "q_agg_approx" ->
       """SELECT event_type,
