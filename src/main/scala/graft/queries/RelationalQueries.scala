@@ -42,6 +42,21 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    "q_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      // skew-salted join: events' low-cardinality event_type is the
+      // classic hot-key shape; the salt scatters each key across 8
+      // reducers while the per-type aggregate side is replicated 8x.
+      // Results must equal the plain join (the oracle is the plain SQL).
+      val ev = table(s, dir, "events")
+      val dim = ev.groupBy($"event_type").agg(avg($"value").as("type_avg"))
+      graft.ops.Salting.saltedJoin(
+        ev.select($"event_id", $"event_type", $"value"), dim, Seq("event_type"), 8)
+        .filter($"value" > 495.0)
+        .select($"event_id", $"event_type", $"value", round($"type_avg", 6).as("type_avg"))
+        .orderBy($"event_id")
+    }),
+
     "q_join_bucketed" -> ((s, dir) => {
       import s.implicits._
       // co-located join: both sides pre-bucketed on the join key, so the
@@ -213,6 +228,13 @@ object RelationalQueries extends QueryPack {
         |WHERE l_quantity > 45
         |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_salted" ->
+      """WITH d AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, round(d.type_avg, 6) AS type_avg
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |WHERE e.value > 495.0
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_join_bucketed" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_mktsegment

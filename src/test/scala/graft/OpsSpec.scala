@@ -162,4 +162,21 @@ class OpsSpec extends SparkSpec {
       -1000000L, 5000000L, Seq("n" -> count($"sv"), "s" -> sum($"sv"))).collect()
     assert(out.length == 1 && out(0).getAs[Long]("n") == 2L && out(0).getAs[Double]("s") == 5.0)
   }
+
+  test("saltedJoin: exact plain-join results under skew, salt reaches the join keys") {
+    // 90% of rows share one hot key — the shape salting exists for
+    val fact = (1 to 2000).map(i => (i.toLong, if (i % 10 == 0) s"k${i % 7}" else "hot", i * 1.5))
+      .toDF("id", "k", "v")
+    val dim = Seq(("hot", 1), ("k0", 2), ("k3", 3), ("zz", 9)).toDF("k", "w")
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("k"), jt).select($"id", $"k", $"v", $"w")
+        .collect().map(_.toString).sorted
+      val salted = graft.ops.Salting.saltedJoin(fact, dim, Seq("k"), 8, jt)
+        .select($"id", $"k", $"v", $"w").collect().map(_.toString).sorted
+      assert(salted.sameElements(plain), s"joinType=$jt diverged")
+    }
+    val p = graft.ops.Salting.saltedJoin(fact, dim, Seq("k"), 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p) // the scatter key actually participates
+  }
 }
