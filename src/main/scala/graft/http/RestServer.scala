@@ -42,6 +42,28 @@ class RestServer(engine: graft.Engine, port: Int = 0,
   server.createContext("/imp", handler(impHandler))
   server.createContext("/write", handler(writeHandler))
   server.createContext("/api/v2/write", handler(writeHandler))
+  // table existence probe (reference TableStatusCheckProcessor, /chk?j=t[&f=json])
+  server.createContext("/chk", handler { ex =>
+    val p = params(ex)
+    p.get("j") match {
+      case None => (200, "text/plain", "table name missing")
+      case Some(t) =>
+        val st = if (engine.spark.catalog.tableExists(t)) "Exists" else "Does not exist"
+        if (p.get("f").contains("json")) (200, "application/json", s"""{"status":"$st"}""")
+        else (200, "text/plain", st)
+    }
+  })
+  // ILP drivers ping before writing (reference LineHttpPingProcessor: 204 + version header)
+  server.createContext("/ping", handler { ex =>
+    ex.getResponseHeaders.add("X-Influxdb-Version", "v2.7.4")
+    (204, "text/plain", "")
+  })
+  // web-console bootstrap config (reference SettingsProcessor JSON)
+  server.createContext("/settings", handler { _ =>
+    (200, "application/json",
+      """{"config":{"release.type":"OSS","release.version":"[DEV]",""" +
+        """"posthog.enabled":false,"cairo.max.file.name.length":127},"preferences":{}}""")
+  })
   // monitoring surface (reference HealthCheckProcessor "Status: Healthy"
   // + PrometheusMetricsProcessor text exposition)
   server.createContext("/status", handler(_ => (200, "text/plain", "Status: Healthy")))

@@ -772,4 +772,25 @@ class NetworkSpec extends SparkSpec {
       assert(m.contains("# TYPE questdb_imported_rows_total counter"))
     } finally srv.stop()
   }
+
+  test("REST /chk table probe, /ping ILP handshake, /settings bootstrap JSON") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.RestServer(engine)
+    val port = srv.start()
+    try {
+      def get(path: String): String = new String(
+        new java.net.URI(s"http://127.0.0.1:$port$path").toURL.openStream().readAllBytes(), "UTF-8")
+      Tables.registerAll(spark, sfDir)
+      assert(get("/chk?j=events") == "Exists")
+      assert(get("/chk?j=no_such_tbl") == "Does not exist")
+      assert(get("/chk?j=events&f=json") == """{"status":"Exists"}""")
+      assert(get("/chk") == "table name missing")
+      val conn = new java.net.URI(s"http://127.0.0.1:$port/ping").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 204)
+      assert(conn.getHeaderField("X-Influxdb-Version") != null)
+      val settings = get("/settings")
+      assert(settings.contains("\"release.type\":\"OSS\"") && settings.contains("\"preferences\""))
+    } finally srv.stop()
+  }
 }
