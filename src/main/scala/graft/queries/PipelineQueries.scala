@@ -403,6 +403,23 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "q_bpe_encode" -> ((s, dir) => {
+      // real greedy BPE segmentation with a fixed merge table; piece
+      // counts are closed-form for the synthetic pattern corpus ('abc'
+      // collapses to one </w>-terminated piece, 'xyz' stays 4 symbols)
+      val merges = Seq(("a", "b"), ("ab", "c"), ("abc", Bpe.Eow))
+      val src = Tables.events(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          (lit(1) + col("event_id") % 4).cast("int").as("k"),
+          (col("event_id") % 3).cast("int").as("j"))
+        .withColumn("text", expr("concat(repeat('abc ', k), repeat('xyz ', j))"))
+      Bpe.encode(src, "text", merges)
+        .select(col("event_id"), col("k"), col("j"), col("bpe_count"),
+          element_at(col("bpe_pieces"), 1).as("p1"),
+          size(col("bpe_pieces")).as("n_pieces"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_audio_embed" -> ((s, dir) => {
       // real FFT encoder, oracle-gated: bin-aligned sine tones embed as
       // one-hot band vectors (period divides the FFT frame, zero
@@ -982,6 +999,15 @@ object PipelineQueries extends QueryPack {
         |  CAST(amp AS BIGINT) AS peak_level,
         |  round(CAST(frames / 32 - 1 AS DOUBLE) / frames, 9) AS zcr
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_bpe_encode" ->
+      """SELECT event_id,
+        |  CAST(1 + event_id % 4 AS INT) AS k,
+        |  CAST(event_id % 3 AS INT) AS j,
+        |  CAST(1 + event_id % 4 + 4 * (event_id % 3) AS INT) AS bpe_count,
+        |  'abc</w>' AS p1,
+        |  CAST(1 + event_id % 4 + 4 * (event_id % 3) AS INT) AS n_pieces
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "q_audio_embed" ->
       """SELECT event_id,

@@ -497,6 +497,30 @@ class PipelineSpec extends SparkSpec {
     assert(t.samples.map(_.pts).toSeq == Seq(0L, 5L, 10L, 20L))
   }
 
+  test("BPE: trained merges match the hand-computed classic example; greedy encode") {
+    // Sennrich-style corpus: low x5, lower x2, newest x6, widest x3
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = Bpe.train(df, "text", 5)
+    // pair counts: (e,s)=(s,t)=(t,</w>)=9 → lexicographic tie-break picks
+    // (e,s), then the chain, then (l,o)=7, (lo,w)=7
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow), ("l", "o"), ("lo", "w")),
+      merges.toString)
+    val out = Bpe.encode(Seq((1L, "lowest low")).toDF("id", "text"), "text", merges)
+      .head()
+    assert(out.getSeq[String](out.fieldIndex("bpe_pieces")) ==
+      Seq("low", "est" + Bpe.Eow, "low", Bpe.Eow))
+    assert(out.getInt(out.fieldIndex("bpe_count")) == 4)
+    // null text passes through
+    val n = Bpe.encode(Seq((1L, null.asInstanceOf[String])).toDF("id", "text"), "text", merges)
+      .head()
+    assert(n.isNullAt(n.fieldIndex("bpe_pieces")) && n.isNullAt(n.fieldIndex("bpe_count")))
+    // maxWords truncation keeps the head of the dictionary
+    val truncated = Bpe.train(df, "text", 3, maxWords = 2) // newest(6) + low(5) only
+    assert(truncated.nonEmpty && truncated.forall { case (a, b) => (a + b).nonEmpty })
+  }
+
   test("langId and quality run over the documents table") {
     val docs = Tables.load(spark, sfDir, "documents")
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
