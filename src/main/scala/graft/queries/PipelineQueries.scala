@@ -248,6 +248,29 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
 
+    "q_mix_temperature" -> ((s, dir) => {
+      // temperature-weighted mixture (alpha = 0.5): per-language quota
+      // proportional to n_l^alpha, filled in deterministic hash order —
+      // the multilingual rebalancing pass (upsample tails, downsample
+      // heads). All mass computation is one tiny aggregate broadcast
+      // back; the per-doc work is a rank within lang.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val total = stats.agg(sum(sqrt(col("n_l"))).as("s_mass"))
+      val quotas = stats.crossJoin(broadcast(total))
+        .withColumn("quota",
+          floor(lit(200.0) * sqrt(col("n_l")) / col("s_mass")).cast("long"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("tmp"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+      docs.withColumn("rk", row_number().over(w))
+        .join(broadcast(quotas), Seq("lang"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("lang"), col("n_l"), col("quota"))
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     "q_embed_centroids" -> ((s, dir) => {
       // per-label embedding centroids, one row per (label, dim) — the
       // class-prototype pass (seed centroids, per-cluster stats).
@@ -633,6 +656,20 @@ object PipelineQueries extends QueryPack {
         |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM r GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH st AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(sqrt(n_l)) AS s_mass FROM st),
+        |q AS (SELECT lang, n_l,
+        |        CAST(floor(200.0 * sqrt(n_l) / s_mass) AS BIGINT) AS quota
+        |      FROM st, tot),
+        |rk AS (SELECT lang, doc_id, row_number() OVER (
+        |         PARTITION BY lang
+        |         ORDER BY md5('tmp' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |       FROM documents)
+        |SELECT q.lang, q.n_l, q.quota, count(*) AS kept, sum(rk.doc_id) AS id_sum
+        |FROM rk JOIN q ON rk.lang = q.lang WHERE rk.rk <= q.quota
+        |GROUP BY q.lang, q.n_l, q.quota ORDER BY q.lang""".stripMargin,
 
     "q_training_mix" ->
       """WITH m AS (
