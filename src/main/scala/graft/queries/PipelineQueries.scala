@@ -271,6 +271,24 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    "q_embed_quantize" -> ((s, dir) => {
+      // int8 scalar quantization round-trip: codes and reconstruction
+      // are pure affine arithmetic on per-dim min/max, so the oracle
+      // replicates them bit-for-bit in SQL
+      val df = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val params = Quantize.fit(df, "embedding")
+      val qd = Quantize.dequantize(Quantize.quantize(df, "embedding", params),
+        "qembed", params)
+      qd.select(col("vec_id"),
+          element_at(col("qembed"), 1).cast("int").as("q1"),
+          element_at(col("qembed"), 2).cast("int").as("q2"),
+          aggregate(col("qembed"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+          round(aggregate(
+            zip_with(col("embedding"), col("deq"), (e, d) => abs(e.cast("double") - d)),
+            lit(0.0), (a, x) => greatest(a, x)), 9).as("err_max"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_embed_centroids" -> ((s, dir) => {
       // per-label embedding centroids, one row per (label, dim) — the
       // class-prototype pass (seed centroids, per-cluster stats).
@@ -656,6 +674,28 @@ object PipelineQueries extends QueryPack {
         |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM r GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+        |         unnest(embedding) AS ef
+        |  FROM embeddings WHERE vec_id < 200),
+        |ee AS (SELECT vec_id, pos, CAST(ef AS DOUBLE) AS e FROM e),
+        |mm AS (SELECT pos, min(e) AS lo, max(e) AS hi FROM ee GROUP BY pos),
+        |q AS (SELECT vec_id, ee.pos, e, lo, hi,
+        |        CAST(CASE WHEN hi = lo THEN 0
+        |             ELSE round((e - lo) * 255 / (hi - lo)) - 128 END AS BIGINT) AS qv
+        |      FROM ee JOIN mm ON ee.pos = mm.pos),
+        |d AS (SELECT vec_id, pos, qv, e,
+        |        CASE WHEN hi = lo THEN lo
+        |             ELSE lo + (qv + 128) * (hi - lo) / 255 END AS deq
+        |      FROM q)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN pos = 0 THEN qv END) AS INT) AS q1,
+        |  CAST(max(CASE WHEN pos = 1 THEN qv END) AS INT) AS q2,
+        |  CAST(sum(qv) AS BIGINT) AS qsum,
+        |  round(max(abs(e - deq)), 9) AS err_max
+        |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH st AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),

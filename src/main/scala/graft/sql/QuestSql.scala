@@ -880,6 +880,8 @@ object QuestSql {
         case "SHOW TRANSACTION ISOLATION LEVEL" | "SHOW TRANSACTION_ISOLATION" =>
           Some(one("transaction_isolation", "read committed"))
         case "SHOW MAX_IDENTIFIER_LENGTH" => Some(one("max_identifier_length", "63"))
+        case "SHOW DEFAULT_TRANSACTION_READ_ONLY" =>
+          Some(one("default_transaction_read_only", "off"))
         case "SHOW STANDARD_CONFORMING_STRINGS" =>
           Some(one("standard_conforming_strings", "on"))
         case "SHOW SEARCH_PATH" => Some(one("search_path", "\"$user\", public"))

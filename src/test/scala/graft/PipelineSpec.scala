@@ -497,6 +497,33 @@ class PipelineSpec extends SparkSpec {
     assert(t.samples.map(_.pts).toSeq == Seq(0L, 5L, 10L, 20L))
   }
 
+  test("int8 quantization: per-dim error bound holds, quantized ANN agrees on top-1") {
+    val df = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 300)
+    val params = Quantize.fit(df, "embedding")
+    assert(params.forall { case (lo, hi) => lo <= hi })
+    val qd = Quantize.dequantize(Quantize.quantize(df, "embedding", params), "qembed", params)
+    // |x - deq(q(x))| <= (hi-lo)/255/2 + eps on every dimension
+    val rows = qd.select(col("embedding"), col("deq"), col("qembed")).collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Float](0); val d = r.getSeq[Double](1); val q = r.getSeq[Byte](2)
+      assert(q.length == e.length)
+      e.indices.foreach { i =>
+        val (lo, hi) = params(i)
+        assert(math.abs(e(i) - d(i)) <= (hi - lo) / 255 / 2 + 1e-9,
+          s"dim $i: ${e(i)} vs ${d(i)}")
+      }
+    }
+    // ANN over the dequantized corpus keeps the exact top-1 in its top-5
+    val probe = df.filter(col("vec_id") === 7).select(col("vec_id"), col("embedding"))
+    val exactTop = Similarity.cosineTopK(df.select(col("vec_id"), col("embedding")), probe,
+      "vec_id", "embedding", k = 1).head().getLong(1)
+    val deqCorpus = qd.select(col("vec_id"),
+      transform(col("deq"), x => x.cast("float")).as("embedding"))
+    val viaQ = Similarity.cosineTopK(deqCorpus, probe, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(viaQ.contains(exactTop), s"exact top-1 $exactTop not in quantized top-5 $viaQ")
+  }
+
   test("BPE: trained merges match the hand-computed classic example; greedy encode") {
     // Sennrich-style corpus: low x5, lower x2, newest x6, widest x3
     val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
