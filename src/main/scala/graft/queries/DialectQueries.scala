@@ -56,6 +56,24 @@ object DialectQueries extends QueryPack {
           "SAMPLE BY 1d ALIGN TO FIRST OBSERVATION ORDER BY user_id, ts")
     }),
 
+    "q_sql_update" -> ((s, dir) => {
+      // UPDATE statement lifecycle: simple, multi-assign (pre-update
+      // value semantics), and FROM join-update — oracle replays the
+      // same mutations as CASE/LEFT JOIN chains
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s, "CREATE TABLE q_upd AS " +
+        "(SELECT event_id, event_type, value FROM events WHERE event_id < 500)")
+      QuestSql.sql(s, "UPDATE q_upd SET value = value * 2 WHERE event_type = 'click'")
+      QuestSql.sql(s, "UPDATE q_upd SET value = value + 1, event_type = upper(event_type) " +
+        "WHERE value > 900")
+      QuestSql.sql(s, "CREATE TABLE q_upd_src AS (SELECT event_type AS et, " +
+        "min(event_id) AS mid FROM events WHERE event_id < 500 GROUP BY event_type)")
+      QuestSql.sql(s, "UPDATE q_upd SET value = -1.0 FROM q_upd_src " +
+        "WHERE q_upd.event_id = q_upd_src.mid")
+      QuestSql.sql(s, "SELECT event_id, event_type, round(value, 6) AS value " +
+        "FROM q_upd ORDER BY event_id")
+    }),
+
     "q_sql_matview" -> ((s, dir) => {
       // SQL mat-view lifecycle end-to-end: CREATE ... AS (SAMPLE BY),
       // FULL refresh, then read the pinned view (QuestSql mat-view DDL)
@@ -320,6 +338,22 @@ object DialectQueries extends QueryPack {
         |  count(*) AS n
         |FROM events e JOIN a USING (user_id)
         |GROUP BY 1, 2 ORDER BY user_id, ts""".stripMargin,
+
+    "q_sql_update" ->
+      """WITH b AS (SELECT event_id, event_type, value FROM events WHERE event_id < 500),
+        |u1 AS (SELECT event_id, event_type,
+        |        CAST(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS DOUBLE) AS value
+        |       FROM b),
+        |u2 AS (SELECT event_id,
+        |        CASE WHEN value > 900 THEN upper(event_type) ELSE event_type END AS event_type,
+        |        CAST(CASE WHEN value > 900 THEN value + 1 ELSE value END AS DOUBLE) AS value
+        |       FROM u1),
+        |src AS (SELECT event_type AS et, min(event_id) AS mid FROM b GROUP BY event_type),
+        |u3 AS (SELECT u2.event_id, u2.event_type,
+        |        CAST(CASE WHEN src.mid IS NOT NULL THEN -1.0 ELSE u2.value END AS DOUBLE) AS value
+        |       FROM u2 LEFT JOIN src ON u2.event_id = src.mid)
+        |SELECT event_id, event_type, round(value, 6) AS value FROM u3
+        |ORDER BY event_id""".stripMargin,
 
     "q_sql_matview" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,

@@ -287,6 +287,15 @@ object QuestSql {
     pinned.count()
   }
 
+  // UPDATE over session views (reference griffin/UpdateOperatorImpl;
+  // the durable day-partitioned path is ops.Mutations.updateWhere/
+  // updateFrom). All assignments see pre-update values (single
+  // projection); FROM sources are de-duplicated implicitly by the
+  // reference's at-most-one-match constraint — the caller's predicate
+  // must key them (documented parity).
+  private val UpdateRe =
+    """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+FROM\s+([\w.]+))?(?:\s+WHERE\s+(.+?))?\s*$""".r
+
   // PG-compat session statements the reference validates and discards
   // (SqlCompilerImpl keywordBasedExecutors: begin/commit/rollback/discard/
   // close/unlisten/reset/deallocate and compileSet's no-op)
@@ -305,7 +314,7 @@ object QuestSql {
   private def statementForm(spark: SparkSession, q: String): Option[DataFrame] = {
     // any statement that creates/drops/replaces a table changes what the
     // information_schema / pg_catalog snapshots should show
-    if ("""(?is)^(CREATE|INSERT|DROP|RENAME|TRUNCATE|COPY)\b""".r.findFirstIn(q).isDefined) {
+    if ("""(?is)^(CREATE|INSERT|DROP|RENAME|TRUNCATE|COPY|UPDATE)\b""".r.findFirstIn(q).isDefined) {
       graft.Catalog.invalidateMetaViews(spark)
       graft.Tables.forgetRegistration(spark)
     }
@@ -367,6 +376,52 @@ object QuestSql {
       graft.Catalog.unregisterMatView(key)
       spark.catalog.dropTempView(name)
       Some(status(spark, "OK"))
+
+    case UpdateRe(name, setPart, fromTbl, where) =>
+      val t = spark.table(name)
+      val assigns: Seq[(String, String)] = splitSelect(setPart).map { a =>
+        """(?s)^\s*(\w+)\s*=\s*(.*)$""".r.findFirstMatchIn(a.trim) match {
+          case Some(m) => (m.group(1), m.group(2).trim)
+          case None => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
+        }
+      }
+      import spark.implicits._
+      val n = if (fromTbl == null) {
+        val cond = Option(where).map(expr(_)).getOrElse(lit(true))
+        val updated = t.select(t.columns.map { c =>
+          assigns.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, e)) =>
+              when(cond, expr(e)).otherwise(col(c))
+                .cast(t.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val affected = t.filter(cond).count()
+        updated.createOrReplaceTempView(name)
+        affected
+      } else {
+        // join-update: target and source visible under their own names,
+        // the WHERE predicate carries the join condition
+        val matched = "__graft_upd_matched"
+        val tAlias = name.split('.').last
+        val sAlias = fromTbl.split('.').last
+        val src = spark.table(fromTbl).withColumn(matched, lit(true)).as(sAlias)
+        val cond = Option(where).map(expr(_)).getOrElse(lit(true))
+        val joined = t.as(tAlias).join(src, cond, "left")
+        val hit = coalesce(col(matched), lit(false))
+        val updated = joined.select(t.columns.map { c =>
+          assigns.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, e)) =>
+              when(hit, expr(e)).otherwise(col(s"$tAlias.$c"))
+                .cast(t.schema(c).dataType).as(c)
+            case None => col(s"$tAlias.$c").as(c)
+          }
+        }: _*)
+        val affected = joined.filter(hit).count()
+        updated.createOrReplaceTempView(name)
+        affected
+      }
+      Some(Seq(n).toDF("rows_updated"))
 
     case SessionNoopRe() =>
       // validated and discarded, like the reference's PG-compat executors

@@ -154,6 +154,37 @@ class DdlSpec extends SparkSpec {
     Tables.registerAll(spark, sfDir)
   }
 
+  test("UPDATE statement: simple, multi-assign pre-update semantics, FROM join-update") {
+    engine.sql("CREATE TABLE upd_t AS (SELECT event_id, event_type, value FROM events LIMIT 50)")
+    val before = spark.table("upd_t").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val n1 = engine.sql("UPDATE upd_t SET value = value * 2 WHERE event_id % 2 = 0")
+      .head().getLong(0)
+    assert(n1 == before.keys.count(_ % 2 == 0))
+    val after1 = spark.table("upd_t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    before.foreach { case (id, (_, v)) =>
+      assert(after1(id) == (if (id % 2 == 0) v * 2 else v))
+    }
+    // multi-assign sees PRE-update values: swap-like update
+    engine.sql("CREATE TABLE swp AS (SELECT 1 AS a, 10 AS b)")
+    engine.sql("UPDATE swp SET a = b, b = a")
+    val r = spark.table("swp").head()
+    assert(r.getInt(0) == 10 && r.getInt(1) == 1) // b got OLD a
+    // FROM join-update with qualified predicate
+    engine.sql("CREATE TABLE upd_src AS (SELECT event_type AS et, -5.0 AS nv FROM events GROUP BY event_type LIMIT 1)")
+    val et = spark.table("upd_src").head().getString(0)
+    val n2 = engine.sql(
+      "UPDATE upd_t SET value = upd_src.nv FROM upd_src WHERE upd_t.event_type = upd_src.et")
+      .head().getLong(0)
+    assert(n2 == before.values.count(_._1 == et))
+    val after2 = spark.table("upd_t").collect()
+    assert(after2.filter(_.getString(1) == et).forall(_.getDouble(2) == -5.0))
+    assert(after2.filter(_.getString(1) != et).forall(r2 =>
+      r2.getDouble(2) == after1(r2.getLong(0))))
+    Seq("upd_t", "swp", "upd_src").foreach(t => engine.sql(s"DROP TABLE $t"))
+  }
+
   test("PG-compat session statements are validated no-ops; REINDEX acks") {
     for (s <- Seq("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK", "DISCARD ALL",
       "CLOSE my_cursor", "UNLISTEN *", "RESET search_path", "DEALLOCATE p1",
