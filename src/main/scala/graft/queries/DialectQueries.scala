@@ -56,6 +56,22 @@ object DialectQueries extends QueryPack {
           "SAMPLE BY 1d ALIGN TO FIRST OBSERVATION ORDER BY user_id, ts")
     }),
 
+    "q_sql_alter" -> ((s, dir) => {
+      // ALTER chain end-to-end: add column, fill it, retype, rename,
+      // add+drop a scratch column — oracle replays as plain expressions
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s, "CREATE TABLE q_alt AS " +
+        "(SELECT event_id, value FROM events WHERE event_id < 300)")
+      QuestSql.sql(s, "ALTER TABLE q_alt ADD COLUMN flag INT")
+      QuestSql.sql(s, "UPDATE q_alt SET flag = CASE WHEN value > 500 THEN 1 ELSE 0 END")
+      QuestSql.sql(s, "ALTER TABLE q_alt ALTER COLUMN flag TYPE LONG")
+      QuestSql.sql(s, "ALTER TABLE q_alt RENAME COLUMN flag TO is_big")
+      QuestSql.sql(s, "ALTER TABLE q_alt ADD COLUMN note STRING")
+      QuestSql.sql(s, "ALTER TABLE q_alt DROP COLUMN note")
+      QuestSql.sql(s, "SELECT event_id, round(value, 6) AS value, is_big " +
+        "FROM q_alt ORDER BY event_id")
+    }),
+
     "q_sql_update" -> ((s, dir) => {
       // UPDATE statement lifecycle: simple, multi-assign (pre-update
       // value semantics), and FROM join-update — oracle replays the
@@ -338,6 +354,11 @@ object DialectQueries extends QueryPack {
         |  count(*) AS n
         |FROM events e JOIN a USING (user_id)
         |GROUP BY 1, 2 ORDER BY user_id, ts""".stripMargin,
+
+    "q_sql_alter" ->
+      """SELECT event_id, round(value, 6) AS value,
+        |  CAST(CASE WHEN value > 500 THEN 1 ELSE 0 END AS BIGINT) AS is_big
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
 
     "q_sql_update" ->
       """WITH b AS (SELECT event_id, event_type, value FROM events WHERE event_id < 500),

@@ -296,6 +296,34 @@ object QuestSql {
   private val UpdateRe =
     """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+FROM\s+([\w.]+))?(?:\s+WHERE\s+(.+?))?\s*$""".r
 
+  // ALTER TABLE (reference SqlCompilerImpl.compileAlter): column ops are
+  // real view rewrites; WAL/param/index forms are storage-engine knobs
+  // with no Spark analogue — validated and acked (the partition-granular
+  // forms live in ops.Mutations over day-partitioned table dirs).
+  private val AlterRe = """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(.*?)\s*$""".r
+  private val AlterAddRe = """(?is)^ADD\s+COLUMNS?\s+(.*)$""".r
+  private val AlterDropColRe = """(?is)^DROP\s+COLUMNS?\s+(.*)$""".r
+  private val AlterRenameColRe = """(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
+  private val AlterColTypeRe = """(?is)^ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+)?TYPE\s+([\w()0-9, ]+)$""".r
+  private val AlterAckRe =
+    """(?is)^(SET\s+PARAM\b.*|RESUME\s+WAL.*|SUSPEND\s+WAL.*|SET\s+TYPE\s+.*|SQUASH\s+PARTITIONS.*|DEDUP\s+(ENABLE|DISABLE).*|ALTER\s+COLUMN\s+\w+\s+(ADD|DROP)\s+INDEX.*|ALTER\s+COLUMN\s+\w+\s+CACHE.*|ALTER\s+COLUMN\s+\w+\s+NOCACHE.*)$""".r
+
+  /** Reference type name → Spark SQL type for ALTER/ADD columns. */
+  private def sparkTypeOf(t: String): String = t.trim.toUpperCase match {
+    case "INT" | "INTEGER" => "int"
+    case "LONG" => "bigint"
+    case "SHORT" => "smallint"
+    case "BYTE" => "tinyint"
+    case "DOUBLE" => "double"
+    case "FLOAT" | "REAL" => "float"
+    case "BOOLEAN" => "boolean"
+    case "STRING" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "IPV4" => "string"
+    case "TIMESTAMP" | "TIMESTAMP_NS" => "timestamp"
+    case "DATE" => "date"
+    case "BINARY" => "binary"
+    case other => other.toLowerCase
+  }
+
   // PG-compat session statements the reference validates and discards
   // (SqlCompilerImpl keywordBasedExecutors: begin/commit/rollback/discard/
   // close/unlisten/reset/deallocate and compileSet's no-op)
@@ -376,6 +404,35 @@ object QuestSql {
       graft.Catalog.unregisterMatView(key)
       spark.catalog.dropTempView(name)
       Some(status(spark, "OK"))
+
+    case AlterRe(name, action) =>
+      val t = spark.table(name)
+      graft.Catalog.invalidateMetaViews(spark)
+      action match {
+        case AlterAckRe(_*) => Some(status(spark, "OK"))
+        case AlterAddRe(cols) =>
+          val added = splitSelect(cols).foldLeft(t) { (d, spec) =>
+            val parts = spec.trim.split("\\s+", 2)
+            require(parts.length == 2, s"ADD COLUMN needs 'name type', got '$spec'")
+            d.withColumn(parts(0), lit(null).cast(sparkTypeOf(parts(1))))
+          }
+          added.createOrReplaceTempView(name)
+          Some(status(spark, "OK"))
+        case AlterDropColRe(cols) =>
+          val names = cols.split(",").map(_.trim)
+          names.foreach(c => require(t.columns.exists(_.equalsIgnoreCase(c)),
+            s"column '$c' does not exist in $name"))
+          t.drop(names: _*).createOrReplaceTempView(name)
+          Some(status(spark, "OK"))
+        case AlterRenameColRe(from, to) =>
+          t.withColumnRenamed(from, to).createOrReplaceTempView(name)
+          Some(status(spark, "OK"))
+        case AlterColTypeRe(c, typ) =>
+          require(t.columns.exists(_.equalsIgnoreCase(c)), s"column '$c' does not exist")
+          t.withColumn(c, col(c).cast(sparkTypeOf(typ))).createOrReplaceTempView(name)
+          Some(status(spark, "OK"))
+        case other => throw new IllegalArgumentException(s"ALTER TABLE: unsupported '$other'")
+      }
 
     case UpdateRe(name, setPart, fromTbl, where) =>
       val t = spark.table(name)

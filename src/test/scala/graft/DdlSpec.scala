@@ -185,6 +185,30 @@ class DdlSpec extends SparkSpec {
     Seq("upd_t", "swp", "upd_src").foreach(t => engine.sql(s"DROP TABLE $t"))
   }
 
+  test("ALTER TABLE: add/drop/rename/retype columns are real; WAL/param forms ack") {
+    engine.sql("CREATE TABLE alt_t AS (SELECT event_id, value FROM events LIMIT 20)")
+    engine.sql("ALTER TABLE alt_t ADD COLUMN flag INT, note STRING")
+    val s1 = spark.table("alt_t").schema
+    assert(s1.fieldNames.toSeq == Seq("event_id", "value", "flag", "note"))
+    assert(s1("flag").dataType.typeName == "integer")
+    engine.sql("UPDATE alt_t SET flag = 7")
+    engine.sql("ALTER TABLE alt_t ALTER COLUMN flag TYPE LONG")
+    assert(spark.table("alt_t").schema("flag").dataType.typeName == "long")
+    assert(spark.table("alt_t").head().getLong(2) == 7L)
+    engine.sql("ALTER TABLE alt_t RENAME COLUMN flag TO is_set")
+    assert(spark.table("alt_t").columns.contains("is_set"))
+    engine.sql("ALTER TABLE alt_t DROP COLUMN note")
+    assert(!spark.table("alt_t").columns.contains("note"))
+    intercept[Exception](engine.sql("ALTER TABLE alt_t DROP COLUMN nope"))
+    // storage-engine knobs ack without touching the schema
+    for (a <- Seq("SET PARAM maxUncommittedRows = 1000", "RESUME WAL",
+      "SET TYPE BYPASS WAL", "SQUASH PARTITIONS", "DEDUP ENABLE UPSERT KEYS(ts)",
+      "ALTER COLUMN is_set ADD INDEX"))
+      assert(engine.sql(s"ALTER TABLE alt_t $a").head().getString(0) == "OK", a)
+    assert(spark.table("alt_t").columns.toSeq == Seq("event_id", "value", "is_set"))
+    engine.sql("DROP TABLE alt_t")
+  }
+
   test("PG-compat session statements are validated no-ops; REINDEX acks") {
     for (s <- Seq("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK", "DISCARD ALL",
       "CLOSE my_cursor", "UNLISTEN *", "RESET search_path", "DEALLOCATE p1",
