@@ -238,9 +238,15 @@ object DialectQueries extends QueryPack {
       // arg_max/arg_min group-by aliases (reference groupby/ArgMax*/
       // ArgMin*GroupByFunctionFactory) → native max_by/min_by
       Tables.registerAll(s, dir)
+      // the ranking measure folds event_id in as an exact-integer
+      // tie-break: equal values exist at sf0.1+, and arg_max over a tied
+      // measure is engine-nondeterministic (floor, not CAST: DuckDB
+      // rounds double->int casts, Spark truncates)
       QuestSql.sql(s,
-        "SELECT event_type, arg_max(event_id, value) AS id_at_max, " +
-          "arg_min(event_id, value) AS id_at_min, count(*) AS n " +
+        "SELECT event_type, " +
+          "arg_max(event_id, CAST(floor(value * 100) AS LONG) * 10000000 + event_id) AS id_at_max, " +
+          "arg_min(event_id, CAST(floor(value * 100) AS LONG) * 10000000 + event_id) AS id_at_min, " +
+          "count(*) AS n " +
           "FROM events GROUP BY event_type ORDER BY event_type")
     }),
 
@@ -487,8 +493,10 @@ object DialectQueries extends QueryPack {
         |ORDER BY ordinal_position""".stripMargin,
 
     "q_sql_arg_minmax" ->
-      """SELECT event_type, arg_max(event_id, value) AS id_at_max,
-        |  arg_min(event_id, value) AS id_at_min, CAST(count(*) AS BIGINT) AS n
+      """SELECT event_type,
+        |  arg_max(event_id, CAST(floor(value * 100) AS BIGINT) * 10000000 + event_id) AS id_at_max,
+        |  arg_min(event_id, CAST(floor(value * 100) AS BIGINT) * 10000000 + event_id) AS id_at_min,
+        |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sql_moment_variants" ->
@@ -543,7 +551,7 @@ object DialectQueries extends QueryPack {
 
     "q_read_parquet" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sv
-        |FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+        |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
