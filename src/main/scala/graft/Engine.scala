@@ -51,5 +51,9 @@ object Engine {
     // parameterized form is graft.functions.HeavyHitters.heavyHitters
     spark.udf.register("heavy_hitters",
       org.apache.spark.sql.functions.udaf(new graft.functions.HeavyHitters.MisraGries(256, 10)))
+    // operational helper (reference functions/test/SleepFunctionFactory
+    // contract: block ms, return true) — a UDF is correct here, the
+    // side effect IS the function
+    spark.udf.register("sleep", (ms: Long) => { Thread.sleep(ms); true })
   }
 }

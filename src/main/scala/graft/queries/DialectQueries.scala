@@ -314,6 +314,80 @@ object DialectQueries extends QueryPack {
         s"SELECT event_type, count(*) AS n, round(sum(value), 3) AS sv " +
           s"FROM read_parquet('$dir/events.parquet') " +
           "GROUP BY event_type ORDER BY event_type")
+    }),
+
+    "q_sql_generators" -> ((s, dir) => {
+      // the reference's canonical generator idiom in dialect SQL:
+      // SELECT rnd_* FROM long_sequence(n) (functions/rnd/*,
+      // LongSequenceFunctionFactory, TimestampSequenceFunctionFactory).
+      // Every stream is md5-seeded-deterministic → DuckDB-mirrorable
+      QuestSql.sql(s,
+        "SELECT x, timestamp_sequence(1704067200000000, 60000000) AS ts, " +
+          "round(rnd_double(), 9) AS rd, " +
+          "rnd_int(0, 99) AS ri, " +
+          "rnd_boolean() AS rb, " +
+          "rnd_symbol('AA', 'BB', 'CC') AS sym, " +
+          "rnd_str(4, 12) AS rstr, " +
+          "rnd_char() AS rc, " +
+          "rnd_short() AS rs, " +
+          "rnd_byte() AS rby, " +
+          "rnd_long(0, 1000000) AS rl, " +
+          "rnd_uuid4() AS ruuid, " +
+          "rnd_ipv4() AS rip, " +
+          "rnd_long256() AS rh, " +
+          "hex(rnd_bin(4, 8)) AS rbin, " +
+          "rnd_geohash(30) AS rg, " +
+          "rnd_date('2024-01-01', '2024-12-31', 0) AS rdate, " +
+          "rnd_timestamp('2024-01-01', '2024-02-01', 0) AS rts, " +
+          "rnd_decimal(9, 3, 0) AS rdec " +
+          "FROM long_sequence(500) ORDER BY x")
+    }),
+
+    "q_sql_pg_compat" -> ((s, dir) => {
+      // PG-compat catalogue stubs + typeOf + switch (reference
+      // functions/catalogue/{CurrentSetting,FormatType,PgGetExpr,
+      // TypeOf}FunctionFactory, conditional/SwitchFunctionFactory,
+      // date/ToPgDateFunctionFactory)
+      QuestSql.sql(s,
+        "SELECT x, " +
+          "current_setting('server_version_num') AS svn, " +
+          "current_setting('search_path') AS sp, " +
+          "format_type(701, 0) AS ft701, " +
+          "format_type(1043, 0) AS ft1043, " +
+          "format_type(9999, 0) AS ftq, " +
+          "pg_get_expr('adbin', 0) AS pge, " +
+          "pg_is_in_recovery() AS rec, " +
+          "to_pg_date('2024-03-05') AS pgd, " +
+          "typeOf(x) AS t_long, " +
+          "typeOf(CAST(x AS INT)) AS t_int, " +
+          "typeOf(CAST(1.5 AS DOUBLE)) AS t_dbl, " +
+          "typeOf('abc') AS t_str, " +
+          "switch(x % 3, 0, 'zero', 1, 'one', 'many') AS sw " +
+          "FROM long_sequence(30) ORDER BY x")
+    }),
+
+    "q_array_elem" -> ((s, dir) => {
+      // variadic element-wise array_elem_* over array_build rows
+      // (reference functions/array/AbstractDoubleArrayElemFunction,
+      // ArrayBuildFunctionFactory)
+      QuestSql.sql(s,
+        "SELECT x, " +
+          "array_elem_sum(array_build(x, 1, 3), array_build(2 * x, 1, x)) AS es, " +
+          "array_elem_avg(array_build(x, 4), array_build(3 * x, 0)) AS ea, " +
+          "array_elem_max(array_build(x, 0, 7), array_build(5, x, x)) AS emx, " +
+          "array_elem_min(array_build(x, 0, 7), array_build(5, x, x)) AS emn " +
+          "FROM long_sequence(200) ORDER BY x")
+    }),
+
+    "q_array_elem_agg" -> ((s, dir) => {
+      // single-array spelling = the GROUP BY aggregate form (reference
+      // groupby/DoubleArrayElemAvgGroupByFunctionFactory): per-label
+      // element-wise centroid. collect_list bounds memory by group size;
+      // q_embed_centroids' posexplode is the 100 TB shape for this
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT label, transform(array_elem_avg(embedding), v -> round(v, 6)) AS centroid " +
+          "FROM embeddings GROUP BY label ORDER BY label")
     })
   )
 
@@ -552,6 +626,75 @@ object DialectQueries extends QueryPack {
     "q_read_parquet" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sv
         |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sql_generators" -> {
+      // DuckDB mirror of QuestSql.rewriteGeneratorFns: same md5 word
+      // formula (strpos for locate), same call-site seed ordinals
+      def u(seed: String) = dUniform(seed)
+      val ipExpr = s"CAST(floor(${u("rnd_ipv4#1")} * 4294967296.0) AS BIGINT)"
+      val binN = s"(CAST(floor(${u("rnd_bin#1_n")} * 5.0) + 4 AS INT))"
+      val strLen = s"(CAST(floor(${u("rnd_str#1_len")} * 9.0) + 4 AS INT))"
+      val geoChars = (1 to 6).map { i =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(floor(${u(s"rnd_geohash#1_$i")} * 32) AS INT) + 1, 1)"
+      }.mkString(" || ")
+      val uuidH = "md5('rnd_uuid4#1' || CAST(x AS VARCHAR))"
+      "SELECT x, make_timestamp(1704067200000000 + (x - 1) * 60000000) AS ts, " +
+        s"round(${u("rnd_double#1")}, 9) AS rd, " +
+        s"CAST(floor(${u("rnd_int#1")} * 100.0) + 0 AS INT) AS ri, " +
+        s"(${u("rnd_boolean#1")} < 0.5) AS rb, " +
+        s"(['AA', 'BB', 'CC'])[CAST(floor(${u("rnd_symbol#1")} * 3) AS INT) + 1] AS sym, " +
+        s"substring(md5('rnd_str#1_s' || CAST(x AS VARCHAR)), 1, $strLen) AS rstr, " +
+        s"substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(floor(${u("rnd_char#1")} * 26) AS INT) + 1, 1) AS rc, " +
+        s"CAST(floor(${u("rnd_short#1")} * 65536.0) - 32768 AS SMALLINT) AS rs, " +
+        s"CAST(floor(${u("rnd_byte#1")} * 256.0) - 128 AS TINYINT) AS rby, " +
+        s"CAST(floor(${u("rnd_long#1")} * 1000001.0) + 0 AS BIGINT) AS rl, " +
+        s"substring($uuidH, 1, 8) || '-' || substring($uuidH, 9, 4) || '-4' || substring($uuidH, 14, 3)" +
+        s" || '-8' || substring($uuidH, 18, 3) || '-' || substring($uuidH, 21, 12) AS ruuid, " +
+        s"CAST((ip >> 24) % 256 AS VARCHAR) || '.' || CAST((ip >> 16) % 256 AS VARCHAR)" +
+        s" || '.' || CAST((ip >> 8) % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) AS rip, " +
+        s"'0x' || md5('rnd_long256#1_a' || CAST(x AS VARCHAR)) || md5('rnd_long256#1_b' || CAST(x AS VARCHAR)) AS rh, " +
+        s"upper(substring(md5('rnd_bin#1_p' || CAST(x AS VARCHAR)) || md5('rnd_bin#1_q' || CAST(x AS VARCHAR)), 1, $binN * 2)) AS rbin, " +
+        s"($geoChars) AS rg, " +
+        s"DATE '2024-01-01' + CAST(floor(${u("rnd_date#1")} * 366.0) AS INT) AS rdate, " +
+        s"make_timestamp(CAST(floor(${u("rnd_timestamp#1")} * 2678400000000.0) + 1704067200000000 AS BIGINT)) AS rts, " +
+        s"CAST(floor(${u("rnd_decimal#1")} * 1e9) / 1e3 AS DECIMAL(9,3)) AS rdec " +
+        s"FROM (SELECT x, $ipExpr AS ip FROM generate_series(1, 500) t(x)) ORDER BY x"
+    },
+
+    "q_sql_pg_compat" ->
+      """SELECT x, '120300' AS svn, '' AS sp,
+        |  'double precision' AS ft701, 'character varying' AS ft1043, '???' AS ftq,
+        |  '' AS pge, false AS rec, DATE '2024-03-05' AS pgd,
+        |  'LONG' AS t_long, 'INT' AS t_int, 'DOUBLE' AS t_dbl, 'STRING' AS t_str,
+        |  CASE (x % 3) WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS sw
+        |FROM generate_series(1, 30) t(x) ORDER BY x""".stripMargin,
+
+    "q_array_elem" ->
+      """SELECT x,
+        |  [CAST(3 * x AS DOUBLE), CAST(2 AS DOUBLE), CAST(x + 3 AS DOUBLE)] AS es,
+        |  [CAST(2 * x AS DOUBLE), CAST(2 AS DOUBLE)] AS ea,
+        |  [CAST(greatest(x, 5) AS DOUBLE), CAST(x AS DOUBLE), CAST(greatest(7, x) AS DOUBLE)] AS emx,
+        |  [CAST(least(x, 5) AS DOUBLE), CAST(0 AS DOUBLE), CAST(least(7, x) AS DOUBLE)] AS emn
+        |FROM generate_series(1, 200) t(x) ORDER BY x""".stripMargin,
+
+    "q_array_elem_agg" ->
+      """WITH ev AS (
+        |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS e,
+        |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+        |  FROM embeddings)
+        |SELECT label, list(round(c, 6) ORDER BY pos) AS centroid
+        |FROM (SELECT label, pos, avg(e) AS c FROM ev GROUP BY label, pos)
+        |GROUP BY label ORDER BY label""".stripMargin
   )
+
+  /** DuckDB mirror of QuestSql.uSql — strpos in place of locate,
+    * identical positional base-16 arithmetic.
+    */
+  private def dUniform(seed: String): String = {
+    val terms = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5('$seed' || CAST(x AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
+    }
+    s"((${terms.mkString(" + ")}) / ${math.pow(16.0, 8)})"
+  }
 }

@@ -569,9 +569,14 @@ object QuestSql {
     m.group(1).toLong * unitMicros(m.group(2))
   }
 
-  /** Find `name(...)` calls with balanced parens and rewrite via `f(args)`. */
-  private def expandCalls(q: String, name: String)(f: Seq[String] => String): String = {
-    val re = s"(?i)\\b$name\\s*\\(".r
+  /** Find `name(...)` calls with balanced parens and rewrite via `f(args)`.
+    * `insensitive = false` matches the exact spelling — needed when the
+    * replacement text itself contains a case-variant of the name (e.g.
+    * reference `typeOf` lowering to Spark's `typeof`).
+    */
+  private def expandCalls(q: String, name: String, insensitive: Boolean = true)(
+      f: Seq[String] => String): String = {
+    val re = (if (insensitive) s"(?i)\\b$name\\s*\\(" else s"\\b$name\\s*\\(").r
     var out = q
     var search = 0
     var m = re.findFirstMatchIn(out)
@@ -863,6 +868,94 @@ object QuestSql {
     q = expandCalls(q, "current_catalog") { _ => "'qdb'" }
     q = expandCalls(q, "current_schema") { _ => "'public'" }
     q = expandCalls(q, "current_schemas") { _ => "array('public')" }
+    // ---- PG-compat catalogue stubs (reference functions/catalogue/
+    // CurrentSettingFunctionFactory — server_version_num else '' (a
+    // grafana meta-query stub there too); FormatTypeFunctionFactory,
+    // PgGetExprFunctionFactory, date/ToPgDateFunctionFactory) ---------------
+    q = expandCalls(q, "current_setting") { case Seq(s) =>
+      s"(CASE WHEN ($s) = 'server_version_num' THEN '120300' ELSE '' END)" }
+    q = expandCalls(q, "format_type") { case args if args.nonEmpty =>
+      s"(CASE CAST(${args.head} AS INT) WHEN 16 THEN 'boolean' WHEN 17 THEN 'bytea' " +
+        "WHEN 20 THEN 'bigint' WHEN 21 THEN 'smallint' WHEN 23 THEN 'integer' " +
+        "WHEN 25 THEN 'text' WHEN 700 THEN 'real' WHEN 701 THEN 'double precision' " +
+        "WHEN 1043 THEN 'character varying' WHEN 1082 THEN 'date' " +
+        "WHEN 1114 THEN 'timestamp without time zone' " +
+        "WHEN 1184 THEN 'timestamp with time zone' " +
+        "WHEN 1700 THEN 'numeric' WHEN 2950 THEN 'uuid' ELSE '???' END)" }
+    q = expandCalls(q, "pg_get_expr") { _ => "''" }
+    q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
+    q = expandCalls(q, "to_pg_date") { case Seq(s) => s"CAST($s AS DATE)" }
+    // typeOf → reference type names (catalogue/TypeOfFunctionFactory).
+    // Case-SENSITIVE match: the lowering emits Spark's own `typeof`,
+    // which an insensitive pass would re-match forever.
+    q = expandCalls(q, "typeOf", insensitive = false) { case Seq(x) =>
+      val t = s"typeof($x)"
+      s"(CASE WHEN $t = 'int' THEN 'INT' WHEN $t = 'bigint' THEN 'LONG' " +
+        s"WHEN $t = 'smallint' THEN 'SHORT' WHEN $t = 'tinyint' THEN 'BYTE' " +
+        s"WHEN $t = 'double' THEN 'DOUBLE' WHEN $t = 'float' THEN 'FLOAT' " +
+        s"WHEN $t = 'string' THEN 'STRING' WHEN $t = 'boolean' THEN 'BOOLEAN' " +
+        s"WHEN $t = 'timestamp' THEN 'TIMESTAMP' WHEN $t = 'date' THEN 'DATE' " +
+        s"WHEN $t = 'binary' THEN 'BINARY' WHEN $t LIKE 'decimal%' THEN 'DECIMAL' " +
+        s"WHEN $t LIKE 'array%' THEN 'ARRAY' ELSE upper($t) END)" }
+    // switch(value, case1, result1, ..., [default]) — reference
+    // conditional/SwitchFunctionFactory → plain CASE lowering
+    q = expandCalls(q, "switch") { case args if args.size >= 3 =>
+      val v = args.head
+      val rest = args.tail
+      val (body, default) =
+        if (rest.size % 2 == 1) (rest.init, Some(rest.last)) else (rest, None)
+      val whens = body.grouped(2).map { case Seq(c, r) => s"WHEN ($c) THEN ($r)" }.mkString(" ")
+      s"(CASE ($v) $whens${default.map(d => s" ELSE ($d)").getOrElse("")} END)" }
+    // touch(select …) — reference table/TouchTableFunctionFactory warms
+    // the pages a query would read; here the scalar subquery forces the
+    // same scan. Args are re-joined: the inner SELECT owns its commas.
+    q = expandCalls(q, "touch") { args =>
+      val inner = args.mkString(",")
+      s"named_struct('data_pages', CAST((SELECT count(*) FROM ($inner)) AS BIGINT), " +
+        "'index_key_pages', CAST(0 AS BIGINT), 'index_values_pages', CAST(0 AS BIGINT))" }
+    // rnd_log is a dev-mode-only log spammer in the reference
+    // (rnd/RndLogFunctionFactory) — production path returns false
+    q = expandCalls(q, "rnd_log") { _ => "false" }
+    // array_build + element-wise array_elem_* (reference functions/array/
+    // ArrayBuildFunctionFactory `array_build(lV)`,
+    // AbstractDoubleArrayElemFunction — variadic element-wise across
+    // arrays; the single-array spelling is the GROUP BY aggregate form,
+    // reference groupby/DoubleArrayElemAvgGroupByFunctionFactory).
+    q = expandCalls(q, "array_build") { args =>
+      s"array(${args.map(a => s"CAST($a AS DOUBLE)").mkString(", ")})" }
+    def elemWise(args: Seq[String], combine: Seq[String] => String): String = {
+      val terms = args.zipWithIndex.map {
+        case (_, 0) => "CAST(v AS DOUBLE)"
+        case (a, i) => s"CAST(element_at(${args(i)}, i + 1) AS DOUBLE)"
+      }
+      s"transform(${args.head}, (v, i) -> ${combine(terms)})"
+    }
+    // aggregate form: fold the per-group list element-wise. collect_list
+    // bounds memory by group size — the posexplode path (q_embed_centroids)
+    // is the 100 TB shape; this macro is the reference-compat surface.
+    def elemAgg(a: String, op: String): String =
+      s"aggregate(collect_list($a), CAST(NULL AS ARRAY<DOUBLE>), (acc, v) -> " +
+        s"CASE WHEN acc IS NULL THEN CAST(v AS ARRAY<DOUBLE>) " +
+        s"ELSE zip_with(acc, CAST(v AS ARRAY<DOUBLE>), (p, q) -> $op) END)"
+    q = expandCalls(q, "array_elem_sum") {
+      case Seq(a) => elemAgg(a, "p + q")
+      case args => elemWise(args, _.mkString(" + "))
+    }
+    q = expandCalls(q, "array_elem_avg") {
+      case Seq(a) =>
+        val s = elemAgg(a, "p + q")
+        s"zip_with($s, array_repeat(CAST(count($a) AS DOUBLE), size($s)), (p, q) -> p / q)"
+      case args => elemWise(args, ts => s"(${ts.mkString(" + ")}) / ${args.size}.0")
+    }
+    q = expandCalls(q, "array_elem_max") {
+      case Seq(a) => elemAgg(a, "greatest(p, q)")
+      case args => elemWise(args, ts => s"greatest(${ts.mkString(", ")})")
+    }
+    q = expandCalls(q, "array_elem_min") {
+      case Seq(a) => elemAgg(a, "least(p, q)")
+      case args => elemWise(args, ts => s"least(${ts.mkString(", ")})")
+    }
+    q = rewriteGeneratorFns(q)
     // day-interval functions in predicate position (`ts IN today()` —
     // reference functions/date/{Today,Tomorrow,Yesterday}FunctionFactory)
     q = DayIntervalRe.replaceAllIn(q, m => {
@@ -877,6 +970,192 @@ object QuestSql {
     q
   }
 
+  // ---- dialect generator scalars (reference functions/rnd/
+  // Rnd{Double,Int,Long,Short,Byte,Boolean,Char,Str,Symbol,Date,
+  // Timestamp,Uuid,IPv4,Long256,Bin,GeoHash,Decimal,Interval}FunctionFactory
+  // + date/TimestampSequenceFunctionFactory — SURVEY §2.1).
+  //
+  // Deterministic md5-seeded uniforms over the enclosing
+  // `long_sequence` counter column `x` (the reference's generator idiom
+  // is `SELECT rnd_* FROM long_sequence(n)`), exactly the scheme of
+  // graft.functions.Generators: reproducible across engines,
+  // partitionings and retries — what a distributed fixture generator
+  // needs. The reference's stateful PRNG cannot be reproduced without
+  // fixing a scan order, which no distributed engine should promise.
+  // Call-site ordinals salt the seed (`rnd_double#2` = second
+  // rnd_double in the statement) so repeated calls draw independent
+  // streams. nanRate arguments follow the reference contract loosely:
+  // rate > 0 → NULL with probability 1/(rate+1) (the reference emits
+  // NaN; the driver compare canonicalizes NaN == NULL).
+
+  /** Exact hex word of md5('seed' ‖ x): digits [lo..hi] as a base-16
+    * positional sum — integer-valued double, exact below 2^32.
+    */
+  private def uWord(seed: String, lo: Int, hi: Int): String = {
+    val terms = (lo to hi).map { i =>
+      s"(locate(substring(md5(concat('$seed', cast(x as string))), $i, 1), '0123456789abcdef') - 1) * ${math.pow(16.0, hi - i)}"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** Uniform [0,1) — first 8 hex digits of md5('seed' ‖ x) / 2^32. */
+  private def uSql(seed: String): String =
+    s"(${uWord(seed, 1, 8)} / ${math.pow(16.0, 8)})"
+
+  private[sql] def rewriteGeneratorFns(q0: String): String = {
+    var q = q0
+    val ord = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def seedOf(name: String): String = {
+      val k = ord(name) + 1; ord(name) = k; s"$name#$k"
+    }
+    def nullify(rate: String, value: String, tpe: String, seed: String): String =
+      s"(CASE WHEN CAST($rate AS INT) > 0 AND ${uSql(seed + "_null")} * (CAST($rate AS INT) + 1.0) < 1.0 " +
+        s"THEN CAST(NULL AS $tpe) ELSE ($value) END)"
+
+    // timestamp_sequence(start, step): start + (x-1)*step micros; start
+    // may be a micros literal or any timestamp expression
+    q = expandCalls(q, "timestamp_sequence") { case Seq(start, step) =>
+      val startMicros =
+        if (start.trim.matches("-?\\d+")) start.trim
+        else s"unix_micros(CAST($start AS TIMESTAMP))"
+      s"timestamp_micros(CAST(($startMicros) + (x - 1) * CAST($step AS BIGINT) AS BIGINT))"
+    }
+
+    def intIn(s: String, lo: String, hi: String, tpe: String): String =
+      s"CAST(floor(${uSql(s)} * (CAST($hi AS BIGINT) - CAST($lo AS BIGINT) + 1.0)) + CAST($lo AS BIGINT) AS $tpe)"
+
+    q = expandCalls(q, "rnd_double") {
+      case Seq() => uSql(seedOf("rnd_double"))
+      case Seq(rate) =>
+        val s = seedOf("rnd_double"); nullify(rate, uSql(s), "DOUBLE", s)
+    }
+    q = expandCalls(q, "rnd_float") {
+      case Seq() => s"CAST(${uSql(seedOf("rnd_float"))} AS FLOAT)"
+      case Seq(rate) =>
+        val s = seedOf("rnd_float"); nullify(rate, s"CAST(${uSql(s)} AS FLOAT)", "FLOAT", s)
+    }
+    q = expandCalls(q, "rnd_int") {
+      case Seq() =>
+        s"CAST(floor(${uSql(seedOf("rnd_int"))} * 4294967296.0) - 2147483648 AS INT)"
+      case Seq(lo, hi) => intIn(seedOf("rnd_int"), lo, hi, "INT")
+      case Seq(lo, hi, rate) =>
+        val s = seedOf("rnd_int"); nullify(rate, intIn(s, lo, hi, "INT"), "INT", s)
+    }
+    // rnd_long256 before rnd_long is irrelevant (the \b…\( match cannot
+    // cross the '256') but kept adjacent for readability
+    q = expandCalls(q, "rnd_long256") { _ =>
+      val s = seedOf("rnd_long256")
+      s"concat('0x', md5(concat('${s}_a', cast(x as string))), md5(concat('${s}_b', cast(x as string))))"
+    }
+    q = expandCalls(q, "rnd_long") {
+      case Seq() =>
+        val s = seedOf("rnd_long")
+        s"((CAST(${uWord(s, 1, 8)} AS BIGINT) - 2147483648) * 4294967296 + CAST(${uWord(s, 9, 16)} AS BIGINT))"
+      case Seq(lo, hi) => intIn(seedOf("rnd_long"), lo, hi, "BIGINT")
+      case Seq(lo, hi, rate) =>
+        val s = seedOf("rnd_long"); nullify(rate, intIn(s, lo, hi, "BIGINT"), "BIGINT", s)
+    }
+    q = expandCalls(q, "rnd_short") { _ =>
+      s"CAST(floor(${uSql(seedOf("rnd_short"))} * 65536.0) - 32768 AS SMALLINT)" }
+    q = expandCalls(q, "rnd_byte") { _ =>
+      s"CAST(floor(${uSql(seedOf("rnd_byte"))} * 256.0) - 128 AS TINYINT)" }
+    q = expandCalls(q, "rnd_boolean") { _ =>
+      s"(${uSql(seedOf("rnd_boolean"))} < 0.5)" }
+    q = expandCalls(q, "rnd_char") { _ =>
+      s"substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(floor(${uSql(seedOf("rnd_char"))} * 26) AS INT) + 1, 1)" }
+
+    // string pools: list form picks from the literals; numeric forms
+    // draw length in [lo,hi] (rnd_str) or index a deterministic pool of
+    // `count` members (reference 4-arg rnd_str / rnd_symbol)
+    def listPick(s: String, args: Seq[String]): String =
+      s"element_at(array(${args.mkString(", ")}), CAST(floor(${uSql(s)} * ${args.size}) AS INT) + 1)"
+    def strBody(name: String): PartialFunction[Seq[String], String] = {
+      case args if args.nonEmpty && args.head.trim.startsWith("'") =>
+        listPick(seedOf(name), args)
+      case Seq(lo, hi) =>
+        val s = seedOf(name)
+        s"substring(md5(concat('${s}_s', cast(x as string))), 1, ${intIn(s + "_len", lo, hi, "INT")})"
+      case Seq(lo, hi, rate) =>
+        val s = seedOf(name)
+        val v = s"substring(md5(concat('${s}_s', cast(x as string))), 1, ${intIn(s + "_len", lo, hi, "INT")})"
+        nullify(rate, v, "STRING", s)
+      case Seq(count, lo, hi, rate) =>
+        // pool member j (0-based) has md5-derived content and length
+        // seeded on j, not on x — the pool is fixed, the pick varies
+        val s = seedOf(name)
+        val j = s"CAST(floor(${uSql(s)} * CAST($count AS INT)) AS INT)"
+        val js = s"cast($j as string)"
+        val len = s"CAST(floor((locate(substring(md5(concat('${s}_plen', $js)), 1, 1), '0123456789abcdef') - 1) / 16.0 * (CAST($hi AS INT) - CAST($lo AS INT) + 1.0)) + CAST($lo AS INT) AS INT)"
+        val v = s"substring(md5(concat('${s}_pool', $js)), 1, $len)"
+        nullify(rate, v, "STRING", s)
+    }
+    q = expandCalls(q, "rnd_str")(strBody("rnd_str"))
+    q = expandCalls(q, "rnd_varchar")(strBody("rnd_varchar"))
+    q = expandCalls(q, "rnd_symbol")(strBody("rnd_symbol"))
+
+    q = expandCalls(q, "rnd_date") {
+      case Seq() =>
+        s"date_add(DATE'2024-01-01', CAST(floor(${uSql(seedOf("rnd_date"))} * 365) AS INT))"
+      case Seq(lo, hi, rate) =>
+        val s = seedOf("rnd_date")
+        val v = s"date_add(CAST($lo AS DATE), CAST(floor(${uSql(s)} * (datediff(CAST($hi AS DATE), CAST($lo AS DATE)) + 1.0)) AS INT))"
+        nullify(rate, v, "DATE", s)
+    }
+    q = expandCalls(q, "rnd_timestamp") {
+      case Seq(lo, hi, rate) =>
+        val s = seedOf("rnd_timestamp")
+        val loUs = s"unix_micros(CAST($lo AS TIMESTAMP))"
+        val v = s"timestamp_micros(CAST(floor(${uSql(s)} * (unix_micros(CAST($hi AS TIMESTAMP)) - $loUs)) + $loUs AS BIGINT))"
+        nullify(rate, v, "TIMESTAMP", s)
+    }
+    q = expandCalls(q, "rnd_uuid4") { _ =>
+      val h = s"md5(concat('${seedOf("rnd_uuid4")}', cast(x as string)))"
+      s"concat(substring($h, 1, 8), '-', substring($h, 9, 4), '-4', substring($h, 14, 3), " +
+        s"'-8', substring($h, 18, 3), '-', substring($h, 21, 12))"
+    }
+    q = expandCalls(q, "rnd_ipv4") { _ =>
+      val ip = s"CAST(floor(${uSql(seedOf("rnd_ipv4"))} * 4294967296.0) AS BIGINT)"
+      s"concat(CAST(pmod(shiftright($ip, 24), 256) AS STRING), '.', " +
+        s"CAST(pmod(shiftright($ip, 16), 256) AS STRING), '.', " +
+        s"CAST(pmod(shiftright($ip, 8), 256) AS STRING), '.', " +
+        s"CAST(pmod($ip, 256) AS STRING))"
+    }
+    q = expandCalls(q, "rnd_bin") { args =>
+      val s = seedOf("rnd_bin")
+      val (lo, hi) = args match {
+        case Seq(l, h, _*) => (l, h)
+        case _ => ("10", "20")
+      }
+      s"unhex(substring(concat(md5(concat('${s}_p', cast(x as string))), " +
+        s"md5(concat('${s}_q', cast(x as string)))), 1, ${intIn(s + "_n", lo, hi, "INT")} * 2))"
+    }
+    // rnd_geohash(bits): chars = bits/5 over the geohash base-32
+    // alphabet; the reference displays sub-5-bit remainders in binary —
+    // here bits is required to be a constant multiple-of-5 surface
+    q = expandCalls(q, "rnd_geohash") { case Seq(bits) =>
+      val b = bits.trim.toInt
+      require(b >= 5 && b <= 60, s"rnd_geohash: bits in [5,60], got $b")
+      val s = seedOf("rnd_geohash")
+      val chars = (1 to b / 5).map { i =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(floor(${uSql(s"${s}_$i")} * 32) AS INT) + 1, 1)"
+      }
+      s"concat(${chars.mkString(", ")})"
+    }
+    q = expandCalls(q, "rnd_decimal") { case Seq(p, sc, rate) =>
+      val pi = p.trim.toInt; val si = sc.trim.toInt
+      require(pi >= 1 && pi <= 38 && si >= 0 && si <= pi, s"rnd_decimal($pi,$si)")
+      val s = seedOf("rnd_decimal")
+      val v = s"CAST(floor(${uSql(s)} * 1e$pi) / 1e$si AS DECIMAL($pi,$si))"
+      nullify(rate, v, s"DECIMAL($pi,$si)", s)
+    }
+    q = expandCalls(q, "rnd_interval") { _ =>
+      val s = seedOf("rnd_interval")
+      val lo = s"timestamp_micros(CAST(floor(${uSql(s)} * 2678400000000.0) + 1704067200000000 AS BIGINT))"
+      s"named_struct('lo', $lo, 'hi', timestamp_micros(unix_micros($lo) + CAST(floor(${uSql(s + "_w")} * 3600000000.0) AS BIGINT)))"
+    }
+    q
+  }
+
   private val DayIntervalRe =
     """(?i)\b([\w.]+)\s+IN\s+(today|tomorrow|yesterday)\s*\(\s*\)""".r
 
@@ -886,7 +1165,12 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity)\s*\(\s*\)""".r
+  // long_sequence(n[, seed0, seed1]) — reference LongSequenceFunctionFactory.
+  // Seeds are accepted and ignored: the rnd_* stream here is
+  // md5-deterministic by construction (see rewriteGeneratorFns)
+  private val LongSeqRe =
+    """(?i)\blong_sequence\s*\(\s*(\d+)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
   private val TableArgFnRe =
     """(?i)\b(table_columns|table_partitions)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
@@ -911,12 +1195,23 @@ object QuestSql {
         case "checkpoint_status" => graft.ops.Checkpoint.status(spark)
         case "all_tables" => graft.Catalog.tables(spark)
         case "query_activity" => queryActivity(spark)
+        case "pg_get_keywords" =>
+          // PG shape: word / catcode / catdesc (catalogue/
+          // PgGetKeywordsFunctionFactory)
+          graft.Catalog.keywords(spark)
+            .selectExpr("keyword AS word", "'U' AS catcode", "'unreserved' AS catdesc")
       }
       val view = s"__graft_fn_$fn"
       df.createOrReplaceTempView(view)
       view
     })
-    val step2 = GenSeriesRe.replaceAllIn(step1, m => {
+    val step1b = LongSeqRe.replaceAllIn(step1, m => {
+      val n = m.group(1).toLong
+      val view = s"__graft_ls_$n"
+      graft.functions.Generators.longSequence(spark, n).createOrReplaceTempView(view)
+      view
+    })
+    val step2 = GenSeriesRe.replaceAllIn(step1b, m => {
       val lo = m.group(1).toLong
       val hi = m.group(2).toLong
       val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)

@@ -414,6 +414,53 @@ class QuestSqlSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == all.map(_.getLong(0)).toSeq)
   }
 
+  test("generator long tail: pool strings, intervals, floats, varchar, nanRate nulls") {
+    // pool form rnd_symbol(count, lo, hi, 0): cardinality bounded by
+    // count, lengths within [lo, hi]
+    val pool = engine.sql(
+      "SELECT rnd_symbol(4, 3, 6, 0) AS s FROM long_sequence(300)").collect().map(_.getString(0))
+    assert(pool.distinct.length <= 4 && pool.distinct.length >= 2)
+    assert(pool.forall(s => s.length >= 3 && s.length <= 6))
+    // rnd_str pool form shares the machinery
+    val strs = engine.sql(
+      "SELECT rnd_str(8, 2, 5, 0) AS s FROM long_sequence(200)").collect().map(_.getString(0))
+    assert(strs.distinct.length <= 8 && strs.forall(s => s.length >= 2 && s.length <= 5))
+    // nanRate: rate 1 → about half null, deterministic across runs
+    val nulls = engine.sql(
+      "SELECT rnd_double(1) AS d FROM long_sequence(400)").collect().count(_.isNullAt(0))
+    assert(nulls > 100 && nulls < 300)
+    val nulls2 = engine.sql(
+      "SELECT rnd_double(1) AS d FROM long_sequence(400)").collect().count(_.isNullAt(0))
+    assert(nulls == nulls2) // deterministic
+    // rnd_float in [0,1), rnd_varchar non-empty
+    val row = engine.sql(
+      "SELECT rnd_float() AS f, rnd_varchar(3, 9) AS v, rnd_interval() AS iv, " +
+        "rnd_log(10, 50.0) AS lg FROM long_sequence(1)").head()
+    val f = row.getFloat(0)
+    assert(f >= 0.0f && f < 1.0f)
+    assert(row.getString(1).nonEmpty)
+    val iv = row.getStruct(2)
+    assert(!iv.getTimestamp(0).after(iv.getTimestamp(1))) // lo <= hi
+    assert(!row.getBoolean(3)) // production path of the dev-mode helper
+  }
+
+  test("operational helpers: sleep blocks and returns true, touch forces the scan") {
+    Engine.registerFunctions(spark)
+    val t0 = System.nanoTime()
+    val r = engine.sql("SELECT sleep(120) AS ok FROM long_sequence(1)").head()
+    assert(r.getBoolean(0) && (System.nanoTime() - t0) >= 120e6.toLong)
+    val t = engine.sql(
+      "SELECT touch(SELECT event_id, value FROM events WHERE event_id < 100) AS t " +
+        "FROM long_sequence(1)").head().getStruct(0)
+    assert(t.getLong(0) > 0) // data_pages = rows scanned by the warm pass
+  }
+
+  test("pg_get_keywords table function speaks the PG shape") {
+    val rows = engine.sql("SELECT word, catcode, catdesc FROM pg_get_keywords() " +
+      "WHERE word = 'select'").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "U")
+  }
+
   override def withFixture(test: NoArgTest) = {
     Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
       .select("user_id", "ts", "value", "event_id").createOrReplaceTempView("p_v")
