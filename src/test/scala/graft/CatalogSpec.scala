@@ -91,4 +91,24 @@ class CatalogSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.toMap.get("value").contains("double"))
   }
+
+  test("ops/monitoring table functions: pools, memory, writer metrics, build") {
+    // reference column sets, column-for-column
+    val rp = engine.sql("SELECT table_name, owner_thread_id, last_access_timestamp, " +
+      "current_txn FROM reader_pool() ORDER BY table_name").collect()
+    assert(rp.map(_.getString(0)).contains("events"))
+    val wp = engine.sql(
+      "SELECT table_name, ownership_reason FROM writer_pool()").collect()
+    assert(wp.nonEmpty && wp.forall(_.getString(1) == "none"))
+    // memory rows are live JVM pools — heap used must be a real number
+    val mm = engine.sql("SELECT memory_tag, bytes FROM memory_metrics()")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(mm("HEAP_USED") > 0 && mm.keys.exists(_.startsWith("POOL_")))
+    val twm = engine.sql("SELECT name, value FROM table_writer_metrics()")
+      .collect().map(_.getString(0))
+    assert(twm.contains("commits") && twm.contains("o3_commits"))
+    val b = engine.sql("SELECT build() AS b").head().getString(0)
+    assert(b.startsWith("graft (Spark ") && b.contains("JDK"))
+    assert(engine.sql("SELECT wait_wal_table('events') AS ok").head().getBoolean(0))
+  }
 }
