@@ -14,6 +14,23 @@ import graft.pipeline._
 object PipelineQueries extends QueryPack {
 
   def queries: Map[String, Fn] = Map(
+    "q_quality_classifier" -> ((s, dir) => {
+      // fastText-style hashed linear classifier inference (portable md5
+      // hash tier so the oracle is bit-exact; weights are 2^-20 dyadics
+      // → the fold is order-independent, wsum needs NO rounding). Map-
+      // only: the 100 TB scoring pass is one scan, zero shuffles
+      val dim = 1024
+      val toks = Classifier.tokens(col("text"))
+      val wsum = aggregate(toks, lit(0.0),
+        (acc, t) => acc + Classifier.pseudoWeight(Classifier.bucketPortable(t, dim), "w"))
+      val n = greatest(size(toks), lit(1)).cast("double")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_toks"), wsum.as("wsum"),
+          round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * wsum / n)), 6).as("score"),
+          (wsum > 0.0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .withColumn("__toks", TextAnalysis.tokens(col("text"))) // tokenize once
@@ -786,6 +803,29 @@ object PipelineQueries extends QueryPack {
         |    ORDER BY md5('st' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q_quality_classifier" -> {
+      // mirror of Classifier.{bucketPortable, pseudoWeight}: first md5
+      // word via strpos positional arithmetic (exact below 2^32), bucket
+      // mod 1024, weight floor(word/2^12)/2^20 - 0.5 — dyadic, so
+      // list_sum's order is irrelevant and wsum compares without rounding
+      def w8(inner: String): String = {
+        val terms = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substring(md5($inner), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
+        }
+        s"(${terms.mkString(" + ")})"
+      }
+      "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "tk -> tk <> '') AS toks FROM documents), " +
+        "ws AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_toks, " +
+        "coalesce(list_sum(list_transform(" +
+        s"list_transform(toks, tk -> CAST(${w8("tk")} AS BIGINT) % 1024), " +
+        s"b -> floor(${w8("'w' || CAST(b AS VARCHAR)")} / 4096.0) / 1048576.0 - 0.5)), 0.0) AS wsum " +
+        "FROM t) " +
+        "SELECT doc_id, n_toks, wsum, " +
+        "round(1.0 / (1.0 + exp(-4.0 * wsum / greatest(CAST(n_toks AS DOUBLE), 1.0))), 6) AS score, " +
+        "(wsum > 0.0) AS keep FROM ws ORDER BY doc_id"
+    },
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -630,4 +630,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows(0).getLong(0) == 10L && rows(0).getLong(1) == 1L && rows(0).getLong(2) == 4L)
   }
+
+  test("classifier: fast tier deterministic, uniform weights recover sigmoid closed form") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world foo"), (2L, "the quick brown fox jumps"),
+      (3L, ""), (4L, "Mixed CASE text!!! with... punctuation"))
+      .toDF("doc_id", "text")
+    // uniform weights 1.0 → wsum = n_toks → mean logit 1 → sigmoid(1);
+    // empty doc → 0 tokens → sigmoid(0) = 0.5. Hash-independent check
+    val s1 = docs.select(col("doc_id"),
+      Classifier.scoreWith(col("text"), Array.fill(8)(1.0)).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sig1 = 1.0 / (1.0 + math.exp(-1.0))
+    assert(math.abs(s1(1L) - sig1) < 1e-12 && math.abs(s1(2L) - sig1) < 1e-12)
+    assert(s1(3L) == 0.5)
+    // fast tier: in (0,1), deterministic across evaluations
+    val f = () => docs.select(col("doc_id"),
+      Classifier.score(col("text"), dim = 256).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (a, b) = (f(), f())
+    assert(a == b)
+    assert(a.values.forall(v => v > 0.0 && v < 1.0))
+    // portable and fast tiers disagree on values (different hash) but
+    // agree on the empty-doc fixpoint
+    val p = docs.select(col("doc_id"),
+      Classifier.score(col("text"), dim = 256, portable = true).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(3L) == 0.5 && a(3L) == 0.5)
+  }
 }
