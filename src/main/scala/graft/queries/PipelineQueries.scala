@@ -31,6 +31,18 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    "q_perplexity" -> ((s, dir) => {
+      // CCNet-style bigram-LM perplexity filter: train counts on the
+      // corpus (two count shuffles), score every doc (broadcast joins +
+      // one partial-agg'd groupBy). Quantized log-probs → exact sums
+      val docs = Tables.load(s, dir, "documents")
+      val lm = NgramLm.train(docs, "text")
+      NgramLm.perplexity(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_c12"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .withColumn("__toks", TextAnalysis.tokens(col("text"))) // tokenize once
@@ -826,6 +838,29 @@ object PipelineQueries extends QueryPack {
         "round(1.0 / (1.0 + exp(-4.0 * wsum / greatest(CAST(n_toks AS DOUBLE), 1.0))), 6) AS score, " +
         "(wsum > 0.0) AS keep FROM ws ORDER BY doc_id"
     },
+
+    "q_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg, toks[i] AS w1
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c12 AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |ug AS (SELECT w, count(*) AS c
+        |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM ug),
+        |lp AS (
+        |  SELECT b.doc_id, c12.c AS c12c,
+        |    floor(ln((c12.c + 1.0) / (ug.c + v.v)) * 1048576.0) / 1048576.0 AS lp
+        |  FROM bg b JOIN c12 ON b.bg = c12.bg JOIN ug ON b.w1 = ug.w
+        |       CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |  CAST(sum(c12c) AS BIGINT) AS sum_c12,
+        |  round(exp(-(sum(lp) / count(*))), 2) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

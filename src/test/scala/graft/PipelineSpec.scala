@@ -658,4 +658,25 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(p(3L) == 0.5 && a(3L) == 0.5)
   }
+
+  test("ngram LM: hand-computed Laplace ppl, OOV floor on held-out docs, broadcast plan") {
+    import spark.implicits._
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val lm = NgramLm.train(train, "text")
+    assert(lm.vocab == 6) // the cat sat on mat ran
+    val test = Seq((10L, "the cat sat"), (11L, "zebra quux flarp")).toDF("doc_id", "text")
+    val scored = NgramLm.perplexity(test, "doc_id", "text", lm)
+    val out = scored.collect().map(r => r.getLong(0) -> r).toMap
+    // doc 10: "the cat" c12=2 c1(the)=3 → 3/9; "cat sat" c12=1 c1(cat)=2 → 2/8
+    val lp1 = math.floor(math.log(3.0 / 9.0) * 1048576) / 1048576
+    val lp2 = math.floor(math.log(2.0 / 8.0) * 1048576) / 1048576
+    val expected = math.exp(-((lp1 + lp2) / 2))
+    assert(math.abs(out(10L).getAs[Double]("ppl") - expected) < 1e-9)
+    // OOV gibberish: no bigram evidence, strictly more surprising
+    assert(out(11L).getAs[Long]("sum_c12") == 0L)
+    assert(out(10L).getAs[Double]("ppl") < out(11L).getAs[Double]("ppl"))
+    // scale shape: LM sides broadcast by default
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast LM joins:\n$plan")
+  }
 }
