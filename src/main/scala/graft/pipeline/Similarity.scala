@@ -77,6 +77,34 @@ object Similarity {
       .select(col(blockCol), col("a"), col("b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embedding space, then drop
+    * within-cluster cosine near-duplicates — the cross-cluster pair
+    * space is never materialized, so the pair join is cluster-keyed and
+    * bounded exactly like the LSH/shingle dedups. Returns
+    * (id, cid, dup): dup = a strictly-lower id in the same cluster
+    * clears the threshold (keep-lowest greedy, the paper's keep-one
+    * rule). Deterministic with the default hash-seeded centroids;
+    * pass k-means centroids ([[ivfCentroidsKMeans]]) for quality.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, threshold: Double,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nlist))
+    val assigned = ivfAssign(df, cent, idCol, vecCol)
+    // consumed by both pair-join legs and the final projection — the
+    // lazy local checkpoint materializes the assignment pass once
+    // instead of re-running it per consumer (same pattern as Dedup)
+    val withC = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+      .localCheckpoint(false)
+    val dups = cosineNearDupPairs(withC, idCol, vecCol, "cid", threshold)
+      .select(col("b").as(idCol)).distinct().withColumn("__dup", lit(true))
+    withC.select(col(idCol), col("cid"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("__dup"), lit(false)).as("dup"))
+  }
+
   /** IVF coarse quantizer: `nlist` centroids picked deterministically by
     * md5-hash order of the id — engine-portable (any engine with md5
     * derives the same seeds), no RNG, no iterative training. At build

@@ -108,6 +108,16 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: hash-seeded coarse clusters (8), drop within-cluster
+      // cosine near-dups at 0.30 (the synthetic embeddings are near-
+      // orthogonal, so 0.30 is the non-degenerate regime) —
+      // cluster-keyed pair join only
+      Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", 8, 0.30)
+        .orderBy(col("vec_id"))
+    }),
+
     "q_similarity_lsh" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", 4)
@@ -970,6 +980,32 @@ object PipelineQueries extends QueryPack {
         |WHERE round(list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
         |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_semantic" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec,
+        |         md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings ORDER BY h, seed_id LIMIT 8),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, seed_id) - 1 AS cid, cvec FROM seeds),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT corp.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY corp.vec_id
+        |        ORDER BY round(list_dot_product(v, cvec)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |          cent.cid ASC) AS rn
+        |    FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |e AS (SELECT corp.vec_id, corp.v, assigned.cid FROM corp
+        |      JOIN assigned ON corp.vec_id = assigned.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id FROM e a JOIN e b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30)
+        |SELECT e.vec_id, e.cid, (dups.vec_id IS NOT NULL) AS dup
+        |FROM e LEFT JOIN dups ON e.vec_id = dups.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q_similarity_lsh" ->
       """WITH ev AS (

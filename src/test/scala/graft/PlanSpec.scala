@@ -168,8 +168,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("dedup pair joins: keyed on shingle/bucket, never a cartesian product") {
-    for (q <- Seq("q_dedup_jaccard", "q_dedup_minhash")) {
+  test("dedup pair joins: keyed on shingle/bucket/cluster, never a cartesian product") {
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_minhash", "q_dedup_semantic")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
