@@ -181,6 +181,38 @@ object Catalog {
       .toDF("name", "value")
   }
 
+  /** files(root) — recursive listing with the reference's column set
+    * (catalogue/FilesFunctionFactory: path / diskSize / diskSizeHuman /
+    * modifiedTime); import_files()/export_files() are the same walk
+    * over the configured copy roots (ImportFiles/ExportFiles factories,
+    * `cairo.sql.copy.root`) — here the `graft.copy.input|output.root`
+    * system properties, empty listing when unset.
+    */
+  def files(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def human(n: Long): String =
+      if (n >= (1L << 30)) f"${n / (1L << 30).toDouble}%.1f GiB"
+      else if (n >= (1L << 20)) f"${n / (1L << 20).toDouble}%.1f MiB"
+      else if (n >= (1L << 10)) f"${n / (1L << 10).toDouble}%.1f KiB"
+      else s"$n B"
+    val base = new java.io.File(root)
+    val rows = if (base.exists()) walk(base) else Seq.empty
+    rows.map(f => (f.getPath, f.length(), human(f.length()),
+        new java.sql.Date(f.lastModified())))
+      .toDF("path", "diskSize", "diskSizeHuman", "modifiedTime")
+      .orderBy(col("path"))
+  }
+
+  def importFiles(spark: SparkSession): DataFrame =
+    files(spark, System.getProperty("graft.copy.input.root", ""))
+
+  def exportFiles(spark: SparkSession): DataFrame =
+    files(spark, System.getProperty("graft.copy.output.root", ""))
+
   /** build() — engine/build identity string (BuildFunctionFactory). */
   def buildInfo(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -884,6 +884,7 @@ object QuestSql {
         "WHEN 1700 THEN 'numeric' WHEN 2950 THEN 'uuid' ELSE '???' END)" }
     q = expandCalls(q, "pg_get_expr") { _ => "''" }
     q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
+    q = expandCalls(q, "pg_advisory_unlock_all") { _ => "CAST(NULL AS STRING)" }
     // build() — engine/build identity string (reference metadata/
     // BuildFunctionFactory); wait_wal_table blocks until WAL is applied
     // in the reference — ingest here is synchronous, so it is already
@@ -1174,14 +1175,14 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics|import_files|export_files)\s*\(\s*\)""".r
   // long_sequence(n[, seed0, seed1]) — reference LongSequenceFunctionFactory.
   // Seeds are accepted and ignored: the rnd_* stream here is
   // md5-deterministic by construction (see rewriteGeneratorFns)
   private val LongSeqRe =
     """(?i)\blong_sequence\s*\(\s*(\d+)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
   private val TableArgFnRe =
-    """(?i)\b(table_columns|table_partitions)\s*\(\s*'([^']+)'\s*\)""".r
+    """(?i)\b(table_columns|table_partitions|files)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
     """(?i)\b(read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val GenSeriesRe =
@@ -1213,6 +1214,8 @@ object QuestSql {
         case "writer_pool" => graft.Catalog.writerPool(spark)
         case "memory_metrics" => graft.Catalog.memoryMetrics(spark)
         case "table_writer_metrics" => graft.Catalog.tableWriterMetrics(spark)
+        case "import_files" => graft.Catalog.importFiles(spark)
+        case "export_files" => graft.Catalog.exportFiles(spark)
       }
       val view = s"__graft_fn_$fn"
       df.createOrReplaceTempView(view)
@@ -1249,6 +1252,7 @@ object QuestSql {
       val t = m.group(2)
       val df = fn match {
         case "table_columns" => graft.Catalog.tableColumns(spark, t)
+        case "files" => graft.Catalog.files(spark, t)
         case "table_partitions" => graft.Tables.registeredPath(t) match {
           case Some(p) if new java.io.File(p).isDirectory =>
             graft.Catalog.tablePartitions(spark, p)

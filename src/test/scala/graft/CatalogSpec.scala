@@ -111,4 +111,20 @@ class CatalogSpec extends SparkSpec {
     assert(b.startsWith("graft (Spark ") && b.contains("JDK"))
     assert(engine.sql("SELECT wait_wal_table('events') AS ok").head().getBoolean(0))
   }
+
+  test("files() walks a directory tree with the reference column set; copy roots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_files").toFile
+    val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "a.txt").toPath, Array.fill(2048)(7.toByte))
+    java.nio.file.Files.write(new java.io.File(sub, "b.bin").toPath, Array[Byte](1, 2, 3))
+    val rows = engine.sql(s"SELECT path, diskSize, diskSizeHuman, modifiedTime " +
+      s"FROM files('${dir.getPath}') ORDER BY path").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getString(0).endsWith("a.txt") && rows.head.getLong(1) == 2048L)
+    assert(rows.head.getString(2) == "2.0 KiB" && rows(1).getString(2) == "3 B")
+    // unset copy roots → empty listings, not errors
+    assert(engine.sql("SELECT * FROM import_files()").count() == 0)
+    assert(engine.sql("SELECT * FROM export_files()").count() == 0)
+    assert(engine.sql("SELECT pg_advisory_unlock_all() AS x").head().isNullAt(0))
+  }
 }
