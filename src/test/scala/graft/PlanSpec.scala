@@ -179,6 +179,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_classifier: map-only scoring — the single Exchange is the output sort") {
+    val p = plan("q_quality_classifier")
+    // one scan, no joins, no aggregation shuffle; the only Exchange is
+    // the ORDER BY doc_id of the gate itself
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_perplexity: LM sides broadcast, doc rollup keeps its partial phase") {
+    val p = plan("q_perplexity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "bigram+unigram joins should broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc rollup must partial-aggregate before the shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_similarity_topk: queries broadcast, one corpus pass, no corpus shuffle before ranking") {
     val p = plan("q_similarity_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
