@@ -366,6 +366,26 @@ object Catalog {
       .toDF("oid", "typname")
   }
 
+  /** pg_proc — the function registry in PG shape (reference catalogue/
+    * PgProcFunctionFactory): the columns clients actually probe
+    * (proname/pronamespace/prokind/proretset), defaults elsewhere.
+    */
+  def pgProc(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listFunctions().collect().toSeq
+      .filterNot(_.name.startsWith("__")).map(_.name).sorted.zipWithIndex
+      .map { case (n, i) => (10000 + i, n, 11, "f", false) }
+      .toDF("oid", "proname", "pronamespace", "prokind", "proretset")
+  }
+
+  /** pg_extension — empty by construction (reference catalogue/
+    * PgExtensionFunctionFactory returns no rows).
+    */
+  def pgExtension(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, String, Int)].toDF("oid", "extname", "extnamespace")
+  }
+
   /** Render a small metadata DataFrame as a literal `VALUES` SELECT so
     * it can back a persistent (database-qualified) view — Spark forbids
     * permanent views over temp views, and these relations are tiny by
@@ -431,6 +451,8 @@ object Catalog {
       reg("pg_catalog", "pg_attribute", pgAttribute(spark))
       reg("pg_catalog", "pg_database", pgDatabase(spark))
       reg("pg_catalog", "pg_type", pgType(spark))
+      reg("pg_catalog", "pg_proc", pgProc(spark))
+      reg("pg_catalog", "pg_extension", pgExtension(spark))
     }
     metaBuilt.put(sessionKey(spark), (haveInfo || info, havePg || pg))
   }

@@ -366,6 +366,18 @@ object DialectQueries extends QueryPack {
           "FROM long_sequence(30) ORDER BY x")
     }),
 
+    "q_sql_generators2" -> ((s, dir) => {
+      // weighted + zipf symbol distributions and uniform arrays in the
+      // dialect (rnd/RndSymbolWeighted|Zipf|DoubleArrayFunctionFactory);
+      // the array compares bit-exact (k/2^32 dyadics, no rounding)
+      QuestSql.sql(s,
+        "SELECT x, " +
+          "rnd_symbol_weighted('hot', 6.0, 'warm', 3.0, 'cold', 1.0) AS ws, " +
+          "rnd_symbol_zipf('a', 'b', 'c', 'd', 1.5) AS zs, " +
+          "rnd_double_array(4) AS da " +
+          "FROM long_sequence(400) ORDER BY x")
+    }),
+
     "q_array_elem" -> ((s, dir) => {
       // variadic element-wise array_elem_* over array_build rows
       // (reference functions/array/AbstractDoubleArrayElemFunction,
@@ -669,6 +681,28 @@ object DialectQueries extends QueryPack {
         |  'LONG' AS t_long, 'INT' AS t_int, 'DOUBLE' AS t_dbl, 'STRING' AS t_str,
         |  CASE (x % 3) WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS sw
         |FROM generate_series(1, 30) t(x) ORDER BY x""".stripMargin,
+
+    "q_sql_generators2" -> {
+      // identical Scala threshold arithmetic to the macro expansion →
+      // the same double literals land in both engines
+      def cumn(ws: Seq[Double]): Seq[Double] = {
+        val t = ws.sum; ws.scanLeft(0.0)(_ + _).tail.map(_ / t)
+      }
+      val w = cumn(Seq(6.0, 3.0, 1.0))
+      val z = cumn(Seq(1.0, 1.0 / math.pow(2.0, 1.5), 1.0 / math.pow(3.0, 1.5),
+        1.0 / math.pow(4.0, 1.5)))
+      val uw = dUniform("rnd_symbol_weighted#1")
+      val uz = dUniform("rnd_symbol_zipf#1")
+      val das = (1 to 4).map(i => dUniform(s"rnd_double_array#1_$i")).mkString(", ")
+      s"SELECT x, " +
+        s"CASE WHEN $uw < CAST(${w(0)} AS DOUBLE) THEN 'hot' " +
+        s"WHEN $uw < CAST(${w(1)} AS DOUBLE) THEN 'warm' ELSE 'cold' END AS ws, " +
+        s"CASE WHEN $uz < CAST(${z(0)} AS DOUBLE) THEN 'a' " +
+        s"WHEN $uz < CAST(${z(1)} AS DOUBLE) THEN 'b' " +
+        s"WHEN $uz < CAST(${z(2)} AS DOUBLE) THEN 'c' ELSE 'd' END AS zs, " +
+        s"[$das] AS da " +
+        s"FROM generate_series(1, 400) t(x) ORDER BY x"
+    },
 
     "q_array_elem" ->
       """SELECT x,

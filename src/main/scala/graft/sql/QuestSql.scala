@@ -885,6 +885,7 @@ object QuestSql {
     q = expandCalls(q, "pg_get_expr") { _ => "''" }
     q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
     q = expandCalls(q, "pg_advisory_unlock_all") { _ => "CAST(NULL AS STRING)" }
+    q = expandCalls(q, "pg_get_partkeydef") { _ => "CAST(NULL AS STRING)" }
     // build() — engine/build identity string (reference metadata/
     // BuildFunctionFactory); wait_wal_table blocks until WAL is applied
     // in the reference — ingest here is synchronous, so it is already
@@ -1157,6 +1158,37 @@ object QuestSql {
       val s = seedOf("rnd_decimal")
       val v = s"CAST(floor(${uSql(s)} * 1e$pi) / 1e$si AS DECIMAL($pi,$si))"
       nullify(rate, v, s"DECIMAL($pi,$si)", s)
+    }
+    // weighted / zipf symbol picks and uniform arrays (reference
+    // rnd/RndSymbolWeightedFunctionFactory `(sym, weight)*` pairs,
+    // RndSymbolZipfFunctionFactory `syms..., alpha`,
+    // RndDoubleArrayFunctionFactory). Thresholds are computed in Scala
+    // and inlined as double literals, so the oracle reproduces them
+    // exactly (same arithmetic, same doubles).
+    def cumCase(s: String, syms: Seq[String], weights: Seq[Double]): String = {
+      val total = weights.sum
+      val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+      val u = uSql(s)
+      val whens = syms.init.zip(cum.init)
+        .map { case (sym, c) => s"WHEN $u < CAST($c AS DOUBLE) THEN $sym" }.mkString(" ")
+      s"(CASE $whens ELSE ${syms.last} END)"
+    }
+    q = expandCalls(q, "rnd_symbol_weighted") {
+      case args if args.size >= 2 && args.size % 2 == 0 =>
+        val pairs = args.grouped(2).toSeq.map { case Seq(sym, w) => (sym, w.trim.toDouble) }
+        cumCase(seedOf("rnd_symbol_weighted"), pairs.map(_._1), pairs.map(_._2))
+    }
+    q = expandCalls(q, "rnd_symbol_zipf") { case args if args.size >= 2 =>
+      val syms = args.init
+      val alpha = args.last.trim.toDouble
+      cumCase(seedOf("rnd_symbol_zipf"), syms,
+        syms.indices.map(i => 1.0 / math.pow((i + 1).toDouble, alpha)))
+    }
+    q = expandCalls(q, "rnd_double_array") { case Seq(n) =>
+      val nn = n.trim.toInt
+      require(nn >= 1 && nn <= 64, s"rnd_double_array: n in [1,64], got $nn")
+      val s = seedOf("rnd_double_array")
+      s"array(${(1 to nn).map(i => uSql(s"${s}_$i")).mkString(", ")})"
     }
     q = expandCalls(q, "rnd_interval") { _ =>
       val s = seedOf("rnd_interval")

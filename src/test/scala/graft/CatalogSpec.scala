@@ -127,4 +127,12 @@ class CatalogSpec extends SparkSpec {
     assert(engine.sql("SELECT * FROM export_files()").count() == 0)
     assert(engine.sql("SELECT pg_advisory_unlock_all() AS x").head().isNullAt(0))
   }
+
+  test("pg_proc lists registered functions; pg_extension empty; partkeydef null") {
+    val r = engine.sql(
+      "SELECT proname, prokind FROM pg_catalog.pg_proc WHERE proname = 'vec_dot'").collect()
+    assert(r.length == 1 && r.head.getString(1) == "f")
+    assert(engine.sql("SELECT * FROM pg_catalog.pg_extension").count() == 0)
+    assert(engine.sql("SELECT pg_get_partkeydef(1259) AS d").head().isNullAt(0))
+  }
 }
