@@ -249,7 +249,8 @@ object QuestSql {
     Seq(s).toDF("status")
   }
 
-  private val ExplainRe = """(?is)^EXPLAIN\s+(.*)$""".r
+  private val ExplainRe =
+    """(?is)^EXPLAIN\s+(?:\(\s*FORMAT\s+(TEXT|JSON)\s*\)\s+)?(.*)$""".r
   // CHECKPOINT CREATE|RELEASE + legacy SNAPSHOT PREPARE|COMPLETE
   // (reference SqlCompilerImpl.compileCheckpoint / compileLegacyCheckpoint)
   private val CheckpointRe =
@@ -496,13 +497,19 @@ object QuestSql {
       e.state.set("cancelled")
       Some(status(spark, "OK"))
 
-    case ExplainRe(inner) =>
-      // reference `EXPLAIN` (ExplainPlanFactory): one PLAN row per line
+    case ExplainRe(fmt, inner) =>
+      // reference `EXPLAIN [(FORMAT TEXT|JSON)]` (ExplainPlanFactory,
+      // model/ExplainModel FORMAT_TEXT|FORMAT_JSON): text = one PLAN
+      // row per line; JSON = the structured plan tree in one row
+      // (Spark's TreeNode JSON — this engine's native plan encoding)
       import spark.implicits._
-      val plan = sqlBound(spark, inner, Map.empty)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      Some(plan.split("\n").toSeq.toDF("PLAN"))
+      val qe = sqlBound(spark, inner, Map.empty).queryExecution
+      if (fmt != null && fmt.equalsIgnoreCase("JSON"))
+        Some(Seq(qe.executedPlan.toJSON).toDF("PLAN"))
+      else
+        Some(qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .split("\n").toSeq.toDF("PLAN"))
     case CreateTableAsRe(name, inner, ts) =>
       val df = sqlBound(spark, inner, Map.empty)
       df.createOrReplaceTempView(name)

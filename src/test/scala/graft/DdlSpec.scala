@@ -57,6 +57,14 @@ class DdlSpec extends SparkSpec {
     assert(spark.table("ev_csv").schema("value").dataType.typeName == "double")
   }
 
+  test("EXPLAIN (FORMAT JSON) emits the structured plan tree in one row") {
+    val rows = engine.sql(
+      "EXPLAIN (FORMAT JSON) SELECT count(*) FROM events WHERE value > 100.0").collect()
+    assert(rows.length == 1)
+    val j = rows.head.getString(0)
+    assert(j.trim.startsWith("[") && j.contains("\"class\""))
+  }
+
   test("EXPLAIN returns one PLAN row per line, dialect forms included") {
     val rows = engine.sql("EXPLAIN SELECT * FROM events ASOF JOIN events ON user_id")
       .collect().map(_.getString(0))
