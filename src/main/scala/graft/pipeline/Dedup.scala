@@ -248,6 +248,125 @@ object Dedup {
       .drop("cluster")
   }
 
+  /** Sliding w-token window table with 1-based positions: one row per
+    * (id, pos, win). Unlike [[wordShingleTable]], duplicate windows are
+    * KEPT and positions ride along — exact substring dedup needs every
+    * occurrence (a window repeated inside one document still counts)
+    * and span removal needs to know where each window starts.
+    */
+  def windowTable(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val concatExpr = (1 to w).map(j => s"element_at(__w, CAST(i + ${j - 1} AS INT))")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(idCol), split(trim(col(textCol)), " ").as("__w"))
+      .filter(size(col("__w")) >= w)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__w) - ${w - 1}), i -> struct(CAST(i AS INT) AS pos, $concatExpr AS win))")).as("__pw"))
+      .select(col(idCol), col("__pw.pos").as("pos"), col("__pw.win").as("win"))
+  }
+
+  /** Per-(window-hash, doc) rollup of [[windowTable]]: `h`, id, minpos,
+    * cnt. This is the exact-substring-dedup workhorse: same-document
+    * repeats collapse in the partial aggregate BEFORE the shuffle, and
+    * grouping on the 8-byte xxhash64 instead of the window string keeps
+    * shuffle rows fixed-width (collision odds 2^-64 per pair — the
+    * standard trade for corpus-scale substring dedup à la Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better").
+    */
+  private def windowPerDoc(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    windowTable(df, idCol, textCol, w)
+      .groupBy(xxhash64(col("win")).as("h"), col(idCol))
+      .agg(min(col("pos")).as("minpos"), count(lit(1)).as("cnt"))
+
+  /** Exact substring duplication stats: for every document, how many of
+    * its sliding w-token windows also occur elsewhere in the corpus
+    * (any other position — other docs or repeats within the same doc).
+    *
+    * Shape: window explode → per-(hash,doc) partial rollup (one
+    * shuffle, fixed-width keys) → per-hash occurrence total → join back
+    * and re-aggregate by doc. No all-pairs term anywhere; the join is
+    * keyed on the window hash, so it partitions by content and holds at
+    * corpus scale.
+    */
+  def duplicateWindowStats(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    // two consumers (occurrence totals + join-back) — materialize once,
+    // same lazy-checkpoint rationale as jaccardPairs
+    val perDoc = windowPerDoc(df, idCol, textCol, w).localCheckpoint(false)
+    val dup = perDoc.groupBy(col("h")).agg(sum(col("cnt")).as("occ"))
+      .filter(col("occ") > 1)
+    perDoc.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("occ").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6))
+  }
+
+  /** Exact substring-span removal (Lee et al. 2021): every duplicated
+    * w-token window keeps exactly one canonical occurrence — the one at
+    * the smallest (id, pos) — and every other occurrence has its token
+    * span deleted from its document. Overlapping removed spans merge
+    * naturally (a token goes when ANY removed window covers it).
+    *
+    * Canonical selection stays in hash aggregates: per-(hash,doc)
+    * minpos first, then per-hash min doc id + `min_by(minpos, id)` —
+    * (hash,doc) rows are unique, so min_by is deterministic and the
+    * whole chain is partial+final HashAggregate, never a struct-ordered
+    * SortAggregate.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val win = windowTable(df, idCol, textCol, w)
+      .withColumn("h", xxhash64(col("win")))
+      .localCheckpoint(false)
+    val perDoc = win.groupBy(col("h"), col(idCol))
+      .agg(min(col("pos")).as("minpos"), count(lit(1)).as("cnt"))
+    val canon = perDoc.groupBy(col("h"))
+      .agg(sum(col("cnt")).as("occ"), min(col(idCol)).as("__cid"),
+        expr(s"min_by(minpos, $idCol)").as("__cpos"))
+      .filter(col("occ") > 1)
+      .select(col("h"), col("__cid"), col("__cpos"))
+    val starts = win.join(canon, Seq("h"))
+      .filter(col(idCol) =!= col("__cid") || col("pos") =!= col("__cpos"))
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("__w", split(trim(col(textCol)), " "))
+      .withColumn(textCol, when(col("__starts").isNull, col(textCol)).otherwise(
+        expr(s"concat_ws(' ', filter(transform(__w, (t, i) -> " +
+          s"IF(exists(__starts, s -> i + 1 >= s AND i + 1 < s + $w), CAST(NULL AS STRING), t)), " +
+          "t -> t IS NOT NULL))")))
+      .drop("__starts", "__w")
+  }
+
+  /** Boilerplate line removal (CCNet / RefinedWeb style): a line whose
+    * exact text occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license headers) and is
+    * dropped from every document; per-doc line order is preserved.
+    *
+    * Shape: line explode → per-(hash,doc) rollup (same-doc repeats
+    * collapse map-side) → doc-frequency per hash → join back, filter,
+    * reassemble with a per-doc sort of the surviving line positions.
+    * The only shuffles are keyed on the line hash and the doc id.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int, delim: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("lpos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+      .localCheckpoint(false)
+    val boiler = lines.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"), lit(true).as("__boiler"))
+    val kept = lines.join(boiler, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__boiler").isNull, struct(col("lpos"), col("line"))))),
+          s => s("line")), delim).as("clean"))
+    df.join(kept, Seq(idCol), "left")
+  }
+
   /** SimHash: 60-bit signature from per-token md5 bit votes.
     *
     * Vectorized lowering: one `conv(15-hex, 16, 10)` long per token,

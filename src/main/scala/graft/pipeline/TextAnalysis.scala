@@ -61,6 +61,44 @@ object TextAnalysis {
     round(lenOk + wordOk + stopOk, 2)
   }
 
+  /** Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1, plus the
+    * repetition filter from its Table A1): per-document measures and
+    * the composite keep flag, every rule a pure column expression —
+    * the 100 TB pass is map-only, zero shuffles, and the measures are
+    * exact integer/IEEE arithmetic so any engine reproduces them
+    * bit-for-bit. Thresholds are the published ones except the word
+    * count bounds, which are parameters (corpora differ).
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; ≥ 80% of words contain an alphabetic character; ≤ 10% of
+    * words are symbol-ish (# or ellipsis); at least 2 distinct
+    * stopwords present; duplicate-unigram fraction ≤ 0.3.
+    */
+  def gopherRules(toksCol: String, minWords: Int = 50, maxWords: Int = 100000): Seq[Column] = {
+    val t = col(toksCol)
+    val n = size(t).cast("double")
+    val meanLen = expr(s"aggregate($toksCol, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+      .cast("double") / n
+    val alphaFrac = size(expr(s"filter($toksCol, x -> x rlike '[A-Za-z]')")).cast("double") / n
+    val symbolFrac = size(expr(s"filter($toksCol, x -> x rlike '#|\\\\.\\\\.\\\\.')")).cast("double") / n
+    val stopPresent = size(array_intersect(array_distinct(t),
+      array(STOPS.map(lit): _*)))
+    val dupFrac = lit(1.0) - size(array_distinct(t)).cast("double") / n
+    Seq(
+      size(t).as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      round(symbolFrac, 6).as("symbol_frac"),
+      stopPresent.as("stop_present"),
+      round(dupFrac, 6).as("dup_unigram_frac"),
+      (size(t) >= minWords && size(t) <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        alphaFrac >= 0.8 && symbolFrac <= 0.1 &&
+        stopPresent >= 2 && dupFrac <= 0.3).as("gopher_keep"))
+  }
+
+  private val STOPS = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Canonical URL for web-corpus dedup: lowercase scheme+host, strip
     * default ports, drop the fragment and the standard tracking
     * parameters (utm_*, fbclid, gclid, ref), trim a trailing slash.

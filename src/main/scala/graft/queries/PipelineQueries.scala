@@ -571,6 +571,50 @@ object PipelineQueries extends QueryPack {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.channels").as("channels"), col("meta.format").as("format"))
         .orderBy(col("event_id"))
+    }),
+
+    "q_dedup_substring" -> ((s, dir) => {
+      // exact substring dedup stats (Lee et al. 2021): sliding 5-token
+      // windows, corpus-wide occurrence totals keyed on the window hash
+      Dedup.duplicateWindowStats(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_substring_clean" -> ((s, dir) => {
+      // substring-span removal: each duplicated 5-token window keeps its
+      // canonical (min id, pos) occurrence; other occurrences' spans are
+      // deleted and the text reassembled
+      Dedup.removeDuplicateSpans(
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", 5)
+        .select(col("doc_id"), col("text"),
+          when(col("text") === "", 0)
+            .otherwise(size(split(col("text"), " "))).as("n_after"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_lines" -> ((s, dir) => {
+      // boilerplate line removal (CCNet/RefinedWeb): docs re-lined into
+      // 6-token lines; any line occurring in >= 3 distinct docs is
+      // dropped from every document
+      val lined = Tables.load(s, dir, "documents")
+        .withColumn("__w", split(trim(col("text")), " "))
+        .withColumn("text2", array_join(transform(
+          sequence(lit(0), ceil(size(col("__w")).cast("double") / lit(6.0)).cast("int") - 1),
+          c => concat_ws(" ", slice(col("__w"), c * 6 + 1, lit(6)))), "\n"))
+        .select("doc_id", "text2")
+      Dedup.dedupLines(lined, "doc_id", "text2", 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_rules" -> ((s, dir) => {
+      // Gopher-style quality rule bundle (word-count bounds scaled to
+      // the synthetic corpus; other thresholds are the published ones)
+      Tables.load(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id") +: TextAnalysis.gopherRules("__toks", minWords = 20): _*)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1268,6 +1312,91 @@ object PipelineQueries extends QueryPack {
         |  CAST(16 + (16 * d2 + d3) * 4 AS INT) AS height,
         |  3 AS channels,
         |  CASE WHEN (16 * d0 + d1) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
-        |FROM d ORDER BY event_id""".stripMargin
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""WITH $WINS,
+         |cnt AS (SELECT win, count(*) AS occ FROM wins GROUP BY win)
+         |SELECT w.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  round(CAST(sum(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS dup_fraction
+         |FROM wins w JOIN cnt c USING (win)
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring_clean" ->
+      s"""WITH $WINS,
+         |perdoc AS (SELECT win, doc_id, min(pos) AS minpos, count(*) AS cnt
+         |           FROM wins GROUP BY win, doc_id),
+         |canon AS (SELECT win, min(doc_id) AS cid, min_by(minpos, doc_id) AS cpos
+         |          FROM perdoc GROUP BY win HAVING sum(cnt) > 1),
+         |starts AS (SELECT w.doc_id, list(DISTINCT w.pos) AS st
+         |           FROM wins w JOIN canon c USING (win)
+         |           WHERE NOT (w.doc_id = c.cid AND w.pos = c.cpos)
+         |           GROUP BY w.doc_id),
+         |cov AS (SELECT doc_id, list_distinct(flatten([generate_series(s, s + 4) for s in st])) AS cv
+         |        FROM starts),
+         |outt AS (SELECT t.doc_id,
+         |    CASE WHEN c.doc_id IS NULL THEN d.text
+         |         ELSE coalesce(array_to_string([t.t[i] for i in generate_series(1, len(t.t))
+         |                               if NOT list_contains(c.cv, i)], ' '), '') END AS text
+         |  FROM toks t JOIN documents d USING (doc_id) LEFT JOIN cov c USING (doc_id))
+         |SELECT doc_id, text,
+         |  CAST(CASE WHEN text = '' THEN 0
+         |            ELSE len(string_split(text, ' ')) END AS INT) AS n_after
+         |FROM outt ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    [array_to_string(t[(c * 6 + 1):(c * 6 + 6)], ' ')
+        |     for c in generate_series(0, CAST(ceil(len(t) / 6.0) AS BIGINT) - 1)] AS ls
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
+        |lns AS (SELECT doc_id,
+        |    unnest([{'lpos': i - 1, 'line': ls[i]} for i in generate_series(1, len(ls))],
+        |           recursive := true)
+        |  FROM lined),
+        |boiler AS (SELECT line FROM lns GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT l.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(array_to_string(list(CASE WHEN b.line IS NULL THEN l.line END
+        |                                  ORDER BY l.lpos), chr(10)), '') AS clean
+        |  FROM lns l LEFT JOIN boiler b USING (line)
+        |  GROUP BY l.doc_id)
+        |SELECT doc_id, n_lines, n_kept, clean FROM kept ORDER BY doc_id""".stripMargin,
+
+    "q_quality_rules" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_words,
+        |  CAST(list_aggregate([length(x) for x in t], 'sum') AS DOUBLE) / len(t) AS mean_word_len,
+        |  CAST(len([x for x in t if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE) / len(t) AS alpha_frac,
+        |  CAST(len([x for x in t if regexp_matches(x, '#|\.\.\.')]) AS DOUBLE) / len(t) AS symbol_frac,
+        |  CAST(len(list_intersect(list_distinct(t),
+        |       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS INT) AS stop_present,
+        |  CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_frac
+        |FROM d)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(alpha_frac, 6) AS alpha_frac,
+        |  round(symbol_frac, 6) AS symbol_frac,
+        |  stop_present,
+        |  round(dup_frac, 6) AS dup_unigram_frac,
+        |  (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_frac >= 0.8 AND symbol_frac <= 0.1 AND stop_present >= 2 AND dup_frac <= 0.3)
+        |    AS gopher_keep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
+
+  // shared oracle CTE: 5-token sliding windows with 1-based positions
+  private val WINS =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |wins AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'win': array_to_string(t[i:i + 4], ' ')}
+      |                         for i in generate_series(1, len(t) - 4)],
+      |                        recursive := true)
+      |  FROM toks WHERE len(t) >= 5)""".stripMargin
 }

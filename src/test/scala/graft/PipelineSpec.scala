@@ -32,6 +32,49 @@ class PipelineSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("duplicateWindowStats counts corpus-wide window occurrences") {
+    val df = Seq(
+      (1L, "a b c d e f"),  // windows(3): "a b c" "b c d" "c d e" "d e f"
+      (2L, "x a b c d y"),  // shares "a b c" and "b c d"
+      (3L, "p q r s t u")   // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateWindowStats(df, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((1L, 4L, 2L), (2L, 4L, 2L), (3L, 4L, 0L)))
+  }
+
+  test("removeDuplicateSpans keeps the canonical occurrence, deletes the rest") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),            // marks pos2+pos3 → tokens 2-5 go
+      (3L, "p q r s t u"),
+      (4L, "m n o m n o m n o")       // self-repeats: spans 4..9 removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f")  // canonical doc untouched
+    assert(out(2L) == "x y")
+    assert(out(3L) == "p q r s t u")
+    assert(out(4L) == "m n o")
+  }
+
+  test("dedupLines drops lines in >= minDocs distinct docs, keeps order") {
+    val df = Seq(
+      (1L, "hello\nworld\nfoo"),
+      (2L, "hello\nbar"),
+      (3L, "baz\nworld"),
+      (4L, "dup\ndup\nsolo")          // same-doc repeat ≠ cross-doc boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean"))).toList
+    assert(out == List(
+      (1L, 3L, 1L, "foo"), (2L, 2L, 1L, "bar"),
+      (3L, 2L, 1L, "baz"), (4L, 3L, 3L, "dup\ndup\nsolo")))
+  }
+
   test("clusters: hash-min label propagation finds connected components") {
     // chain 1-2-3 plus isolated pair 10-11; transitivity must label 3 with 1
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a", "b")
