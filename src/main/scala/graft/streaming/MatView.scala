@@ -129,7 +129,7 @@ object MatView {
     Ingest.clearDirty(d.sourceDir, Ingest.dirtyDays(d.sourceDir))
   }
 
-  private def aggregate(src: DataFrame, d: Definition): DataFrame =
+  private[streaming] def aggregate(src: DataFrame, d: Definition): DataFrame =
     src.groupBy(window(col(d.tsCol), d.bucket).getField("start").as("ts") +:
         d.keys.map(col): _*)
       .agg(d.aggs.head._2.as(d.aggs.head._1),

@@ -217,6 +217,61 @@ class StreamingIngestSpec extends SparkSpec {
     assert(lv.read().select("k").as[String].collect().sorted.toSeq == Seq("x", "y", "z"))
   }
 
+  test("aggregated live view: merge-on-read, seqTxn fence, apply-lag backpressure") {
+    import graft.streaming.{LiveAggView, MatView}
+    val srcDir = tmp("lav_src"); val tableDir = tmp("lav_table")
+    val viewDir = tmp("lav_view"); val ckpt = tmp("lav_ckpt")
+    // batch 0: two rows in hour-1 bucket for k=x, one in hour-2 for k=y
+    Files.writeString(java.nio.file.Path.of(srcDir, "a.txt"),
+      """m,k=x v=1.0 1704067200000000000
+        |m,k=x v=3.0 1704067260000000000
+        |m,k=y v=2.0 1704070800000000000
+        |""".stripMargin)
+    val lines = spark.readStream.text(srcDir).as[String]
+    val parsed = Ingest.parseIlp(lines)
+      .select($"tags"("k").as("k"), element_at($"f_double", "v").as("v"), $"ts")
+    val d = MatView.Definition(tableDir, viewDir, "ts", "1 hour", Seq("k"),
+      Seq("n" -> count(lit(1)), "sv" -> sum($"v")))
+    val merge = Seq("n" -> sum($"n"), "sv" -> sum($"sv"))
+    val (lv, q, _) = LiveAggView.start(spark, parsed, d, merge, ckpt,
+      dedupKeys = Nil, maxLagBatches = 1)
+    q.processAllAvailable()
+
+    def readMap() = lv.read().collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime / 1000, r.getAs[String]("k")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv"))).toMap
+    val h1 = 1704067200L; val h2 = 1704070800L
+
+    // nothing folded yet: read() is always-fresh off the pending tail alone
+    assert(lv.fencedTxn == -1L && lv.pendingTxns.nonEmpty)
+    assert(readMap() == Map((h1, "x") -> (2L, 4.0), (h2, "y") -> (1L, 2.0)))
+
+    // manual fold: fence advances, tail drains, read() now durable-only
+    lv.refreshNow()
+    assert(lv.fencedTxn == 0L && lv.pendingTxns.isEmpty)
+    assert(readMap() == Map((h1, "x") -> (2L, 4.0), (h2, "y") -> (1L, 2.0)))
+
+    // batch 1 pends: read() merges durable buckets with the hot tail
+    Files.writeString(java.nio.file.Path.of(srcDir, "b.txt"),
+      "m,k=x v=5.0 1704067320000000000\n")
+    q.processAllAvailable()
+    assert(lv.pendingTxns == Seq(1L))
+    assert(readMap() == Map((h1, "x") -> (3L, 9.0), (h2, "y") -> (1L, 2.0)))
+
+    // batch 2 exceeds maxLagBatches=1 → synchronous fold of batch 1
+    // BEFORE batch 2 is accepted (the apply-lag backpressure analogue)
+    Files.writeString(java.nio.file.Path.of(srcDir, "c.txt"),
+      "m,k=y v=7.0 1704070860000000000\n")
+    q.processAllAvailable()
+    q.stop()
+    assert(lv.fencedTxn == 1L && lv.pendingTxns == Seq(2L))
+    assert(readMap() == Map((h1, "x") -> (3L, 9.0), (h2, "y") -> (2L, 9.0)))
+
+    lv.refreshNow()
+    assert(lv.fencedTxn == 2L && lv.pendingTxns.isEmpty)
+    assert(readMap() == Map((h1, "x") -> (3L, 9.0), (h2, "y") -> (2L, 9.0)))
+  }
+
   test("materialized view: streaming SAMPLE BY aggregates per bucket") {
     val srcDir = tmp("mv_src")
     val ckpt = tmp("mv_ckpt")
