@@ -386,6 +386,100 @@ object Catalog {
     Seq.empty[(Int, String, Int)].toDF("oid", "extname", "extnamespace")
   }
 
+  // ---- pg_catalog long tail — all empty by construction in the
+  // reference (catalogue/PgIndexFunctionFactory, PgRolesFunctionFactory,
+  // PgLocksFunctionFactory, … extend AbstractEmptyCatalogueFunctionFactory);
+  // the value is the SCHEMA: these are the relations JDBC drivers, psql
+  // tab-completion and BI tools probe during metadata discovery ---------
+
+  private def emptyPg(spark: SparkSession,
+                      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  import org.apache.spark.sql.types.{BooleanType => B, FloatType => F, IntegerType => I, LongType => L, ShortType => SH, StringType => S, TimestampType => TS}
+
+  def pgAttrDef(spark: SparkSession): DataFrame =
+    emptyPg(spark, "adrelid" -> I, "adnum" -> SH, "adbin" -> S)
+
+  def pgDescription(spark: SparkSession): DataFrame =
+    emptyPg(spark, "objoid" -> I, "classoid" -> I, "objsubid" -> SH, "description" -> S)
+
+  def pgEnum(spark: SparkSession): DataFrame =
+    emptyPg(spark, "oid" -> I, "enumtypid" -> I, "enumsortorder" -> F, "enumlabel" -> S)
+
+  def pgIndex(spark: SparkSession): DataFrame =
+    emptyPg(spark, "indexrelid" -> I, "indrelid" -> I, "indnatts" -> SH,
+      "indnkeyatts" -> SH, "indisunique" -> B, "indnullsnotdistinct" -> B,
+      "indisprimary" -> B, "indisexclusion" -> B, "indimmediate" -> B,
+      "indisclustered" -> B, "indisvalid" -> B, "indcheckxmin" -> B,
+      "indisready" -> B, "indislive" -> B, "indisreplident" -> B,
+      "indkey" -> I, "indcollation" -> I, "indclass" -> I, "indoption" -> I,
+      "indexprs" -> S, "indpred" -> S)
+
+  def pgInherits(spark: SparkSession): DataFrame =
+    emptyPg(spark, "inhrelid" -> I, "inhparent" -> I, "inhseqno" -> I)
+
+  def pgLocks(spark: SparkSession): DataFrame =
+    emptyPg(spark, "locktype" -> S, "database" -> I, "relation" -> I,
+      "page" -> I, "tuple" -> SH, "virtualxid" -> S, "transactionid" -> L,
+      "classid" -> I, "objid" -> I, "objsubid" -> SH,
+      "virtualtransaction" -> S, "pid" -> I, "mode" -> S, "granted" -> B,
+      "fastpath" -> B, "waitstart" -> TS)
+
+  def pgRange(spark: SparkSession): DataFrame =
+    emptyPg(spark, "rngtypid" -> I, "rngsubtype" -> I, "rngcollation" -> I,
+      "rngsubopc" -> I, "rngcanonical" -> I, "rngsubdiff" -> I)
+
+  def pgRoles(spark: SparkSession): DataFrame =
+    emptyPg(spark, "rolname" -> S, "rolsuper" -> B, "rolinherit" -> B,
+      "rolcreaterole" -> B, "rolcreatedb" -> B, "rolcanlogin" -> B,
+      "rolreplication" -> B, "rolconnlimit" -> I, "rolpassword" -> S,
+      "rolvaliduntil" -> TS, "rolbypassrls" -> B, "rolconfig" -> S, "oid" -> I)
+
+  /** export_activity() — in-flight `COPY ... TO` exports (reference
+    * activity/ExportActivityFunctionFactory). Exports here are
+    * synchronous statements, so the set of in-flight exports observable
+    * from another query is empty by construction; the shape is the
+    * reference's.
+    */
+  def exportActivity(spark: SparkSession): DataFrame =
+    emptyPg(spark, "export_id" -> S, "worker_id" -> L, "username" -> S,
+      "start_time" -> TS, "phase" -> S, "request_source" -> S,
+      "export_path" -> S, "export_sql" -> S, "message" -> S)
+
+  /** wal_transactions('tableDir') — applied-transaction log (reference
+    * catalogue/WalTransactionsFunctionFactory.java:268-287 column set).
+    * Our WAL analogue is the micro-batch apply trail: one idempotency
+    * marker per published batch (`Ingest.applyBatch`), so sequencerTxn
+    * is the batch id and `timestamp` the publish instant. Columns the
+    * parquet table does not track per-txn (segment geometry, min/max
+    * timestamps, row counts) are NULL rather than invented.
+    */
+  def walTransactions(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("sequencerTxn", L), StructField("timestamp", TS),
+      StructField("walId", I), StructField("segmentId", I),
+      StructField("segmentTxn", I), StructField("structureVersion", L),
+      StructField("minTimestamp", TS), StructField("maxTimestamp", TS),
+      StructField("rowCount", L), StructField("alterCommandType", SH)))
+    val dir = new java.io.File(s"$tableDir/_graft_batches")
+    val rows = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch-"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("batch-").toLong).toOption
+        .map(txn => (txn, f.lastModified())))
+      .sortBy(_._1)
+      .map { case (txn, mtime) =>
+        Row(txn, new java.sql.Timestamp(mtime), 1, 0, txn.toInt, 0L,
+          null, null, null, 0.toShort)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Render a small metadata DataFrame as a literal `VALUES` SELECT so
     * it can back a persistent (database-qualified) view — Spark forbids
     * permanent views over temp views, and these relations are tiny by
@@ -453,6 +547,14 @@ object Catalog {
       reg("pg_catalog", "pg_type", pgType(spark))
       reg("pg_catalog", "pg_proc", pgProc(spark))
       reg("pg_catalog", "pg_extension", pgExtension(spark))
+      reg("pg_catalog", "pg_attrdef", pgAttrDef(spark))
+      reg("pg_catalog", "pg_description", pgDescription(spark))
+      reg("pg_catalog", "pg_enum", pgEnum(spark))
+      reg("pg_catalog", "pg_index", pgIndex(spark))
+      reg("pg_catalog", "pg_inherits", pgInherits(spark))
+      reg("pg_catalog", "pg_locks", pgLocks(spark))
+      reg("pg_catalog", "pg_range", pgRange(spark))
+      reg("pg_catalog", "pg_roles", pgRoles(spark))
     }
     metaBuilt.put(sessionKey(spark), (haveInfo || info, havePg || pg))
   }

@@ -55,5 +55,30 @@ object Engine {
     // contract: block ms, return true) — a UDF is correct here, the
     // side effect IS the function
     spark.udf.register("sleep", (ms: Long) => { Thread.sleep(ms); true })
+    // ops diagnostics (reference catalogue/DumpMemoryUsageFunctionFactory,
+    // DumpThreadStacksFunctionFactory, FlushQueryCacheFunctionFactory,
+    // ReloadConfigFunctionFactory): perform the JVM-local action, log to
+    // stderr like the reference logs, return the reference's `true` ack.
+    // In local mode the UDF runs in the serving JVM; on a cluster the
+    // dump lands in the evaluating executor's log — same as the
+    // reference, whose dump goes to the node that ran the function.
+    spark.udf.register("dump_memory_usage", () => {
+      val mx = java.lang.management.ManagementFactory.getMemoryMXBean
+      System.err.println(s"[graft] heap=${mx.getHeapMemoryUsage} nonheap=${mx.getNonHeapMemoryUsage}")
+      true
+    })
+    spark.udf.register("dump_thread_stacks", () => {
+      val tx = java.lang.management.ManagementFactory.getThreadMXBean
+      tx.dumpAllThreads(false, false).foreach(t => System.err.println(s"[graft] $t"))
+      true
+    })
+    spark.udf.register("flush_query_cache", () => {
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.catalog.clearCache())
+      true
+    })
+    // config is immutable per session here (Sessions.local builder) —
+    // reload is an honest no-op acknowledged the reference's way
+    spark.udf.register("reload_config", () => true)
+    spark.udf.register("hydrate_table_metadata", (_: String) => true)
   }
 }

@@ -1214,14 +1214,14 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics|import_files|export_files)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics|import_files|export_files|export_activity)\s*\(\s*\)""".r
   // long_sequence(n[, seed0, seed1]) — reference LongSequenceFunctionFactory.
   // Seeds are accepted and ignored: the rnd_* stream here is
   // md5-deterministic by construction (see rewriteGeneratorFns)
   private val LongSeqRe =
     """(?i)\blong_sequence\s*\(\s*(\d+)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
   private val TableArgFnRe =
-    """(?i)\b(table_columns|table_partitions|files)\s*\(\s*'([^']+)'\s*\)""".r
+    """(?i)\b(table_columns|table_partitions|files|wal_transactions)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
     """(?i)\b(read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val GenSeriesRe =
@@ -1255,6 +1255,7 @@ object QuestSql {
         case "table_writer_metrics" => graft.Catalog.tableWriterMetrics(spark)
         case "import_files" => graft.Catalog.importFiles(spark)
         case "export_files" => graft.Catalog.exportFiles(spark)
+        case "export_activity" => graft.Catalog.exportActivity(spark)
       }
       val view = s"__graft_fn_$fn"
       df.createOrReplaceTempView(view)
@@ -1301,6 +1302,11 @@ object QuestSql {
           case None =>
             Seq.empty[(String, Long, Long)].toDF("partition", "num_files", "bytes")
         }
+        case "wal_transactions" =>
+          // arg is a table name (reference WalTransactionsFunctionFactory
+          // signature `wal_transactions(s)`); a raw directory also works
+          graft.Catalog.walTransactions(spark,
+            graft.Tables.registeredPath(t).getOrElse(t))
       }
       val view = s"__graft_fn_${fn}_${t.replaceAll("\\W", "_")}"
       df.createOrReplaceTempView(view)

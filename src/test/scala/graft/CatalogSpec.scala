@@ -135,4 +135,47 @@ class CatalogSpec extends SparkSpec {
     assert(engine.sql("SELECT * FROM pg_catalog.pg_extension").count() == 0)
     assert(engine.sql("SELECT pg_get_partkeydef(1259) AS d").head().isNullAt(0))
   }
+
+  test("pg_catalog long tail: discovery relations empty with reference schemas") {
+    // the relations JDBC metadata discovery and psql tab-completion probe
+    for ((t, probe) <- Seq(
+      "pg_attrdef" -> "adrelid", "pg_description" -> "description",
+      "pg_enum" -> "enumlabel", "pg_index" -> "indisprimary",
+      "pg_inherits" -> "inhparent", "pg_locks" -> "granted",
+      "pg_range" -> "rngtypid", "pg_roles" -> "rolname")) {
+      val df = engine.sql(s"SELECT * FROM pg_catalog.$t")
+      assert(df.columns.contains(probe), s"$t missing column $probe")
+      assert(df.count() == 0, s"$t must be empty by construction")
+    }
+    // a realistic psql join probe: index discovery for a relation
+    assert(engine.sql(
+      """SELECT c.relname, i.indisprimary FROM pg_catalog.pg_class c
+        |JOIN pg_catalog.pg_index i ON i.indrelid = c.oid""".stripMargin).count() == 0)
+  }
+
+  test("export_activity empty; ops diagnostics ack true") {
+    val ea = engine.sql("SELECT * FROM export_activity()")
+    assert(ea.columns.toSeq == Seq("export_id", "worker_id", "username",
+      "start_time", "phase", "request_source", "export_path", "export_sql",
+      "message") && ea.count() == 0)
+    assert(engine.sql("SELECT dump_memory_usage() AS a, dump_thread_stacks() AS b, " +
+      "flush_query_cache() AS c, reload_config() AS d, " +
+      "hydrate_table_metadata('lineitem') AS e").collect()
+      .head.toSeq == Seq(true, true, true, true, true))
+  }
+
+  test("wal_transactions lists the applied micro-batch trail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wal_tx").toString
+    val b0 = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "v", "ts")
+    graft.streaming.Ingest.applyBatch(b0, 0L, dir, "ts", Nil)
+    val b1 = Seq((2L, "b", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("id", "v", "ts")
+    graft.streaming.Ingest.applyBatch(b1, 1L, dir, "ts", Nil)
+    val rows = engine.sql(s"SELECT sequencerTxn, walId, rowCount FROM wal_transactions('$dir') " +
+      "ORDER BY sequencerTxn").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows.forall(r => r.getInt(1) == 1 && r.isNullAt(2)))
+  }
 }
