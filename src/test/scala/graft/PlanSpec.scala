@@ -179,6 +179,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring/line dedup: hash-keyed joins only, window rollup keeps its partial phase") {
+    for (q <- Seq("q_dedup_substring", "q_dedup_substring_clean", "q_dedup_lines")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      // the per-doc rollup must collapse map-side before its shuffle
+      // (the per-(hash,doc) phase itself lives inside the checkpointed
+      // window table's own job and isn't visible in this plan)
+      assert(p.contains("partial_count") || p.contains("partial_min") ||
+        p.contains("partial_sum"), q)
+    }
+  }
+
+  test("q_quality_rules: map-only measures — the single Exchange is the output sort") {
+    val p = plan("q_quality_rules")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_quality_classifier: map-only scoring — the single Exchange is the output sort") {
     val p = plan("q_quality_classifier")
     // one scan, no joins, no aggregation shuffle; the only Exchange is
