@@ -608,6 +608,26 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    "q_bm25" -> ((s, dir) => {
+      // BM25 top-k retrieval: postings pruned to the query's terms
+      // before any shuffle, dyadic-quantized contributions → exact
+      // order-free sums, deterministic top-k cutoff
+      Search.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "merge", "window"), 20)
+        .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("score"))
+    }),
+
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance resampling: target = English slice, raw = all;
+      // hashed-unigram importance model, Gumbel-top-k with md5-uniform
+      // draws — deterministic end to end
+      val docs = Tables.load(s, dir, "documents")
+      val model = Dsir.train(docs.filter(col("lang") === "en"), docs, "text", 256)
+      Dsir.resample(Dsir.score(docs, "doc_id", "text", model), "doc_id", 30)
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"),
+          round(col("skey"), 6).as("skey"))
+    }),
+
     "q_quality_rules" -> ((s, dir) => {
       // Gopher-style quality rule bundle (word-count bounds scaled to
       // the synthetic corpus; other thresholds are the published ones)
@@ -1367,6 +1387,49 @@ object PipelineQueries extends QueryPack {
         |  FROM lns l LEFT JOIN boiler b USING (line)
         |  GROUP BY l.doc_id)
         |SELECT doc_id, n_lines, n_kept, clean FROM kept ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |hits AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |         WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+        |sc AS (SELECT h.doc_id,
+        |    floor(ln((CAST(s.n AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
+        |             / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (CAST(h.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (h.tf + CAST(1.2 AS DOUBLE)
+        |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+        |      * 1048576.0) / 1048576.0 AS contrib
+        |  FROM hits h JOIN dft d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(contrib), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), tk -> tk <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket
+        |      FROM (SELECT doc_id, lang, unnest(toks) AS w FROM t)),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+        |nt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+        |nr AS (SELECT count(*) AS n FROM b),
+        |lr AS (SELECT r.bucket,
+        |    floor((ln((coalesce(t2.ct, 0) + 1) / (nt.n + CAST(256.0 AS DOUBLE)))
+        |         - ln((r.cr + 1) / (nr.n + CAST(256.0 AS DOUBLE)))) * 1048576.0) / 1048576.0 AS lr
+        |  FROM rc r LEFT JOIN tc t2 USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS INT) AS n_feats, sum(l.lr) AS logw
+        |       FROM b JOIN lr l USING (bucket) GROUP BY b.doc_id),
+        |g AS (SELECT doc_id, n_feats, logw,
+        |    logw + floor(-ln(-ln(
+        |      (CAST(('0x' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + CAST(0.5 AS DOUBLE)) / 4503599627370496.0)) * 1048576.0) / 1048576.0 AS skey_raw
+        |  FROM sc),
+        |sel AS (SELECT * FROM g ORDER BY skey_raw DESC, doc_id LIMIT 30)
+        |SELECT doc_id, n_feats, round(logw, 6) AS logw, round(skey_raw, 6) AS skey
+        |FROM sel ORDER BY skey_raw DESC, doc_id""".stripMargin,
 
     "q_quality_rules" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

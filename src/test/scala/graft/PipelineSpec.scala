@@ -32,6 +32,41 @@ class PipelineSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("bm25TopK ranks tf/length-normalized matches, excludes non-matches") {
+    val df = Seq(
+      (1L, "a b a"),   // tf(a)=2, dl=3 — best
+      (2L, "a c"),     // tf(a)=1, dl=2
+      (3L, "d d d")    // no hit
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(df, "doc_id", "text", Seq("a"), 5).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 absent
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    assert(out.forall(_.getInt(1) == 1)) // one matching term each
+    // idf = ln((N - df + .5)/(df + .5) + 1) with N=3, df=2 → ln(1.6)
+    val idf = math.log(1.6)
+    val c1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3)))
+    assert(math.abs(out(0).getDouble(2) - math.floor(c1 * 1048576) / 1048576) < 1e-9)
+  }
+
+  test("dsir importance model upweights target-like documents") {
+    val target = Seq((100L, "x x y")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "x x x x"),  // target-like
+      (2L, "z z z z"),  // alien
+      (100L, "x x y")
+    ).toDF("doc_id", "text")
+    val model = Dsir.train(target, raw, "text", 64)
+    val sc = Dsir.score(raw, "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
+    assert(sc(1L) > sc(2L)) // x-heavy doc imports more than z-heavy
+    // resample is a deterministic top-k on logw + md5-Gumbel
+    val r1 = Dsir.resample(Dsir.score(raw, "doc_id", "text", model), "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val r2 = Dsir.resample(Dsir.score(raw, "doc_id", "text", model), "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r1 == r2 && r1.size == 2)
+  }
+
   test("duplicateWindowStats counts corpus-wide window occurrences") {
     val df = Seq(
       (1L, "a b c d e f"),  // windows(3): "a b c" "b c d" "c d e" "d e f"

@@ -192,6 +192,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25/q_dsir: pruned postings, broadcast models, top-k never a global sort") {
+    for (q <- Seq("q_bm25", "q_dsir")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("TakeOrderedAndProject"), q) // top-k, not a full sort
+      assert(p.contains("BroadcastHashJoin"), q)     // df/log-ratio sides broadcast
+      assert(p.contains("partial_count") || p.contains("partial_sum"), q)
+    }
+  }
+
   test("q_quality_rules: map-only measures — the single Exchange is the output sort") {
     val p = plan("q_quality_rules")
     assert(!p.contains("Join"), p)
