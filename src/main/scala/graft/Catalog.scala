@@ -70,6 +70,9 @@ object Catalog {
   private[graft] def unregisterMatView(name: String): Unit =
     matViewReg.remove(name)
 
+  private[graft] def unregisterLiveView(name: String): Unit =
+    liveViewReg.remove(name)
+
   /** live_views() — registered live views with their current seam. */
   def liveViews(spark: SparkSession): DataFrame = {
     import spark.implicits._

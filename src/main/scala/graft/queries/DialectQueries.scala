@@ -102,6 +102,20 @@ object DialectQueries extends QueryPack {
         "ORDER BY ts, event_type")
     }),
 
+    "q_sql_liveview" -> ((s, dir) => {
+      // SQL live-view lifecycle: CREATE LIVE VIEW, mutate the base, read
+      // — the read must reflect the mutation with NO refresh statement
+      // (always-fresh serving; contrast q_sql_matview's pinned rows)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s, "CREATE TABLE lvq_base AS (SELECT * FROM events WHERE event_id < 2000)")
+      QuestSql.sql(s, "CREATE LIVE VIEW lvq_cnt FLUSH EVERY 1s AS " +
+        "(SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx " +
+        "FROM lvq_base GROUP BY event_type)")
+      QuestSql.sql(s, "INSERT INTO lvq_base SELECT * FROM events " +
+        "WHERE event_id >= 2000 AND event_id < 3000")
+      QuestSql.sql(s, "SELECT event_type, n, mn, mx FROM lvq_cnt ORDER BY event_type")
+    }),
+
     "q_sql_bind" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       QuestSql.sql(s,
@@ -472,6 +486,11 @@ object DialectQueries extends QueryPack {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, event_type,
         |  count(*) AS n, min(value) AS mn, max(value) AS mx
         |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin,
+
+    "q_sql_liveview" ->
+      """SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+        |FROM events WHERE event_id < 3000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sql_bind" ->
       """SELECT event_id, ts, value FROM events

@@ -203,6 +203,7 @@ object QuestSql {
     val wantsPg = """(?i)\bpg_catalog\s*\.""".r.findFirstIn(q0).isDefined
     if (wantsInfo || wantsPg)
       graft.Catalog.ensureMetaViews(spark, info = wantsInfo, pg = wantsPg)
+    refreshLiveViews(spark, q0)
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
     val qForms = rewriteTableFns(spark, rewriteFnMacros(rewriteIntervalLiterals(
@@ -273,6 +274,58 @@ object QuestSql {
       """(?:\s+WITH\s+BASE\s+'?([\w.]+)'?)?""" +
       """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+))?(?:\s+(DEFERRED))?)?""" +
       """\s+AS\s*\((.*)\)\s*(?:TIMESTAMP\s*\(\s*[\w.]+\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*$""").r
+  // ---- live views (reference SqlParser.parseCreateLiveView:
+  // `CREATE LIVE VIEW name FLUSH EVERY <dur> [IN MEMORY <dur>]
+  // [PARTITION BY unit] [START FROM ..] AS (q)`; engine in
+  // griffin/engine/lv/). Serving here is ALWAYS-FRESH: the stored
+  // SELECT re-binds against the live session catalog on every dialect
+  // read that references the view — a lazy Spark plan is the freshest
+  // possible cursor, so the FLUSH EVERY cadence is recorded as the
+  // promised staleness BOUND (we serve strictly fresher). The
+  // streaming-backed tiers with real flush timers and apply-lag
+  // backpressure are streaming.LiveView / LiveAggView.
+  private val CreateLiveViewRe =
+    ("""(?is)^CREATE\s+LIVE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
+      """\s+FLUSH\s+EVERY\s+(\d+)\s*(ms|[smhd])""" +
+      """(?:\s+IN\s+MEMORY\s+\d+\s*(?:ms|[smhd]))?""" +
+      """(?:\s+PARTITION\s+BY\s+\w+)?""" +
+      """(?:\s+START\s+FROM\s+'[^']*')?""" +
+      """\s+AS\s*\((.*)\)\s*$""").r
+  private val DropLiveViewRe =
+    """(?is)^DROP\s+LIVE\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+
+  private val liveViewDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]() // name -> stored SELECT
+  private val lvRebinding = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
+  private def durationMicros(n: Long, unit: String): Long = unit.toLowerCase match {
+    case "ms" => n * 1000L
+    case "s" => n * 1000000L
+    case "m" => n * 60000000L
+    case "h" => n * 3600000000L
+    case "d" => n * 86400000000L
+  }
+
+  /** Re-bind every registered live view the statement references, so its
+    * plan resolves against the CURRENT session catalog (temp views
+    * capture plans at creation; a mutated base would otherwise serve
+    * stale rows). Reentrancy-guarded per thread: a view's own rebind may
+    * reference other views, never itself.
+    */
+  private def refreshLiveViews(spark: SparkSession, q: String): Unit = {
+    if (liveViewDefs.isEmpty || """(?is)^\s*(?:CREATE|DROP)\s+LIVE\s+VIEW""".r
+      .findFirstIn(q).isDefined) return
+    liveViewDefs.forEach { (name, inner) =>
+      if (("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+        .findFirstIn(q).isDefined && lvRebinding.get.add(name)) {
+        try sqlBound(spark, inner, Map.empty).createOrReplaceTempView(name)
+        finally lvRebinding.get.remove(name)
+      }
+    }
+  }
+
   private val RefreshMatViewRe =
     ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+""" +
       """(?:(FULL|INCREMENTAL|STATS)|RANGE\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')\s*$""").r
@@ -398,6 +451,25 @@ object QuestSql {
           import spark.implicits._
           Some(Seq((name, rows)).toDF("view_name", "rows"))
       }
+
+    case CreateLiveViewRe(name, flushN, flushUnit, inner) =>
+      val key = name.split('.').last.toLowerCase
+      val flushUs = durationMicros(flushN.toLong, flushUnit)
+      if (flushUs < 100000L) // reference SqlParser parity
+        throw new IllegalArgumentException("live view FLUSH EVERY must be at least 100ms")
+      liveViewDefs.put(key, inner)
+      sqlBound(spark, inner, Map.empty).createOrReplaceTempView(key)
+      // always-fresh serving: the seam is "now" at every listing
+      graft.Catalog.registerLiveView(key, s"<session flush=${flushUs}us>",
+        () => System.currentTimeMillis() * 1000L)
+      Some(status(spark, "OK"))
+
+    case DropLiveViewRe(name) =>
+      val key = name.split('.').last.toLowerCase
+      liveViewDefs.remove(key)
+      spark.catalog.dropTempView(key)
+      graft.Catalog.unregisterLiveView(key)
+      Some(status(spark, "OK"))
 
     case DropMatViewRe(name) =>
       val key = name.split('.').last.toLowerCase

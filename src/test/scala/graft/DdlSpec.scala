@@ -138,6 +138,31 @@ class DdlSpec extends SparkSpec {
     engine.sql("DROP TABLE mv_base")
   }
 
+  test("CREATE LIVE VIEW serves always-fresh over a mutating base; DROP removes") {
+    engine.sql("CREATE TABLE lv_base AS (SELECT * FROM events LIMIT 100) TIMESTAMP(ts)")
+    engine.sql("CREATE LIVE VIEW lv_cnt FLUSH EVERY 1s AS " +
+      "(SELECT event_type, count(*) AS n FROM lv_base GROUP BY event_type)")
+    assert(engine.sql("SELECT * FROM lv_cnt").collect().map(_.getLong(1)).sum == 100)
+    assert(engine.sql("SELECT * FROM live_views()").collect()
+      .exists(_.getString(0) == "lv_cnt"))
+    // the live view sees the base mutation on the very next read — no
+    // REFRESH statement (contrast with the materialized view above)
+    engine.sql("INSERT INTO lv_base SELECT * FROM events LIMIT 50")
+    assert(engine.sql("SELECT * FROM lv_cnt").collect().map(_.getLong(1)).sum == 150)
+    // full grammar: IN MEMORY / PARTITION BY / START FROM clauses parse
+    engine.sql("CREATE LIVE VIEW lv_cnt2 FLUSH EVERY 500ms IN MEMORY 2s PARTITION BY DAY " +
+      "START FROM '2024-01-01' AS (SELECT count(*) AS n FROM lv_base)")
+    assert(engine.sql("SELECT n FROM lv_cnt2").head().getLong(0) == 150)
+    // reference parity: sub-100ms flush cadence is rejected
+    intercept[Exception](engine.sql(
+      "CREATE LIVE VIEW lv_bad FLUSH EVERY 50ms AS (SELECT 1 AS x)"))
+    engine.sql("DROP LIVE VIEW lv_cnt2")
+    engine.sql("DROP LIVE VIEW lv_cnt")
+    assert(!engine.sql("SELECT * FROM live_views()").collect()
+      .exists(_.getString(0) == "lv_cnt"))
+    engine.sql("DROP TABLE lv_base")
+  }
+
   test("REFRESH MATERIALIZED VIEW RANGE replaces only the window") {
     engine.sql("CREATE TABLE mvr_base AS (SELECT * FROM events) TIMESTAMP(ts)")
     engine.sql("CREATE MATERIALIZED VIEW mvr_daily AS " +
