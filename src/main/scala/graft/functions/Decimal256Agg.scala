@@ -11,39 +11,35 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   * decimal-string encoding, so Catalyst plans them with a map-side
   * partial phase like any built-in — exact BigDecimal accumulation,
   * null inputs skipped (SQL semantics), 255-bit coefficient overflow
-  * poisons the group to null (the reference errors; null keeps
-  * distributed pipelines total — same documented divergence as the
-  * scalar ops).
+  * throws a numeric-overflow error exactly as the reference's
+  * `NumericException` does (`std/Decimal256.java:280`).
   */
 object Decimal256Agg {
 
   private val MaxCoefficientBits = 255
-  private val Poison = "!overflow" // sticks through merges → null result
 
   private def parse(s: String): JBigDecimal =
     if (s == null) null
     else try new JBigDecimal(s.trim) catch { case _: NumberFormatException => null }
 
   private def addStr(acc: String, v: String): String = {
-    if (acc == Poison) return Poison
     val x = parse(v)
     if (x == null) return acc // null/garbage input: skipped
     if (acc == null) return x.toPlainString
     val sum = parse(acc).add(x)
-    if (sum.unscaledValue().bitLength() > MaxCoefficientBits) Poison
-    else sum.toPlainString
+    if (sum.unscaledValue().bitLength() > MaxCoefficientBits)
+      throw new ArithmeticException(
+        "decimal256 overflow: coefficient exceeds 255 bits") // reference parity
+    sum.toPlainString
   }
-
-  private def out(acc: String): String = if (acc == Poison) null else acc
 
   /** sum(decimal256) — exact at any precision. */
   val Sum: Aggregator[String, String, String] =
     new Aggregator[String, String, String] {
       def zero: String = null
       def reduce(b: String, a: String): String = addStr(b, a)
-      def merge(b1: String, b2: String): String =
-        if (b1 == Poison || b2 == Poison) Poison else addStr(b1, b2)
-      def finish(r: String): String = out(r)
+      def merge(b1: String, b2: String): String = addStr(b1, b2)
+      def finish(r: String): String = r
       def bufferEncoder: Encoder[String] = Encoders.STRING
       def outputEncoder: Encoder[String] = Encoders.STRING
     }
@@ -57,10 +53,9 @@ object Decimal256Agg {
       def reduce(b: (String, Long), a: String): (String, Long) =
         if (parse(a) == null) b else (addStr(b._1, a), b._2 + 1)
       def merge(b1: (String, Long), b2: (String, Long)): (String, Long) =
-        (if (b1._1 == Poison || b2._1 == Poison) Poison else addStr(b1._1, b2._1),
-          b1._2 + b2._2)
+        (addStr(b1._1, b2._1), b1._2 + b2._2)
       def finish(r: (String, Long)): String = {
-        val s = out(r._1)
+        val s = r._1
         if (s == null || r._2 == 0) null
         else parse(s).divide(JBigDecimal.valueOf(r._2), 6, RoundingMode.HALF_UP).toPlainString
       }

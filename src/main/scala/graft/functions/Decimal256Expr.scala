@@ -22,10 +22,13 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   * codegen expressions over `java.math.BigDecimal` — exact at any
   * precision, one static call per row inside whole-stage codegen.
   *
-  * The reference's 256-bit coefficient bound is enforced: any result
-  * whose unscaled value exceeds 255 bits (sign excluded) yields null
-  * (the reference throws a numeric-overflow error; null keeps Spark
-  * pipelines total — the one documented divergence).
+  * The reference's 256-bit coefficient bound is enforced with the
+  * reference's semantics: any result whose unscaled value exceeds 255
+  * bits (sign excluded) throws a numeric-overflow error, and division
+  * by zero throws, exactly as `Decimal256` raises `NumericException`
+  * (`std/Decimal256.java:280,410` — "@throws NumericException if
+  * overflow occurs / if division by zero"). Unparseable input is null
+  * (SQL cast semantics); only genuine arithmetic faults error.
   */
 object Decimal256Ops {
 
@@ -36,7 +39,10 @@ object Decimal256Ops {
     else try new JBigDecimal(s.toString.trim) catch { case _: NumberFormatException => null }
 
   private def fit(b: JBigDecimal): UTF8String =
-    if (b == null || b.unscaledValue().bitLength() > MaxCoefficientBits) null
+    if (b == null) null
+    else if (b.unscaledValue().bitLength() > MaxCoefficientBits)
+      throw new ArithmeticException(
+        "decimal256 overflow: coefficient exceeds 255 bits") // reference NumericException parity
     else UTF8String.fromString(b.toPlainString)
 
   private def mode(m: String): RoundingMode = m match {
@@ -55,14 +61,16 @@ object Decimal256Ops {
   def binop(a: UTF8String, b: UTF8String, op: String, scale: Int): UTF8String = {
     val x = parse(a); val y = parse(b)
     if (x == null || y == null) return null
-    try fit(op match {
+    if ((op == "div" || op == "rem") && y.signum() == 0)
+      throw new ArithmeticException("decimal256 division by zero") // reference parity
+    fit(op match {
       case "add" => x.add(y)
       case "sub" => x.subtract(y)
       case "mul" => x.multiply(y)
       case "div" => x.divide(y, scale, RoundingMode.HALF_UP)
       case "rem" => x.remainder(y)
       case other => throw new IllegalArgumentException(s"bad op '$other'")
-    }) catch { case _: ArithmeticException => null } // div by zero
+    })
   }
 
   /** Unary op kernel. `scale` applies to the round/floor/ceil family. */

@@ -63,7 +63,7 @@ class Long256Spec extends SparkSpec {
       == "0x010000000000000000")
   }
 
-  test("decimal256: exact arithmetic past 38 digits, reference round modes, overflow → null") {
+  test("decimal256: exact arithmetic past 38 digits, reference round modes, overflow throws") {
     Engine.registerFunctions(spark)
     import graft.functions.Decimal256Ops.{binop, unop}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
@@ -79,27 +79,29 @@ class Long256Spec extends SparkSpec {
     assert(b(mid, mid, "mul") == "9" * 37 + "8" + "0" * 37 + "1") // (10^38-1)^2
     assert(b("1", "3", "div", 10) == "0.3333333333")
     assert(b("10", "3", "rem") == "1")
-    assert(b("1", "0", "div", 2) == null) // div by zero → null
+    // reference NumericException parity: division by zero throws
+    intercept[ArithmeticException](b("1", "0", "div", 2))
+    intercept[ArithmeticException](b("10", "0", "rem"))
     // rounding family (reference Round/RoundHalfEven/Up/Down/Floor/Ceil)
     assert(un("2.5", "round") == "3" && un("3.5", "round") == "4") // HALF_UP
     assert(un("2.5", "round_half_even") == "2" && un("3.5", "round_half_even") == "4")
     assert(un("-2.1", "round_up") == "-3" && un("-2.9", "round_down") == "-2")
     assert(un("-2.1", "floor") == "-3" && un("-2.1", "ceil") == "-2")
     assert(un("-7", "sign") == "-1" && un("0", "sign") == "0")
-    // 256-bit coefficient bound: 2^255 coefficient overflows, half stays
-    assert(b("2" + "0" * 77, "1" + "0" * 77, "mul") == null)
+    // 256-bit coefficient bound: 2^255 coefficient overflows (throws,
+    // as the reference's NumericException does), half stays
+    intercept[ArithmeticException](b("2" + "0" * 77, "1" + "0" * 77, "mul"))
     assert(b("1" + "0" * 76, "2", "mul") == "2" + "0" * 76)
     // SQL surface
     val r = spark.sql("SELECT decimal256_mul('" + big + "', '2') AS x").head().getString(0)
     assert(r == "1" + "9" * 49 + "8")
   }
 
-  test("decimal256 aggregates: exact sum, numeric min/max, nulls skipped, overflow poisons") {
+  test("decimal256 aggregates: exact sum, numeric min/max, nulls skipped, overflow throws") {
     Engine.registerFunctions(spark)
     val df = Seq(
       ("a", "1" + "0" * 40), ("a", "2" + "0" * 40), ("a", null), // null skipped
-      ("b", "9"), ("b", "10"), // numeric order: min 9 < 10 (string order says '10' < '9')
-      ("c", "5" + "0" * 76), ("c", "5" + "0" * 76) // sum = 10^77 > 2^255 → null
+      ("b", "9"), ("b", "10") // numeric order: min 9 < 10 (string order says '10' < '9')
     ).toDF("g", "v")
     val out = df.groupBy($"g").agg(
       expr("decimal256_sum(v) AS s"), expr("decimal256_avg(v) AS m"),
@@ -108,7 +110,16 @@ class Long256Spec extends SparkSpec {
     assert(out(0).getString(1) == "3" + "0" * 40)
     assert(out(0).getString(2) == "15" + "0" * 39 + ".000000") // avg of 2 non-nulls
     assert(out(1).getString(3) == "9" && out(1).getString(4) == "10")
-    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // overflow → null, not wrap
+    // sum past 2^255 errors like the reference's NumericException (the
+    // task failure surfaces as a SparkException chain → ArithmeticException)
+    val boom = intercept[Exception] {
+      Seq(("c", "5" + "0" * 76), ("c", "5" + "0" * 76)).toDF("g", "v")
+        .groupBy($"g").agg(expr("decimal256_sum(v) AS s")).collect()
+    }
+    def chain(t: Throwable): LazyList[Throwable] =
+      LazyList.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+    assert(chain(boom).exists(_.getMessage != null) &&
+      chain(boom).exists(t => t.getMessage != null && t.getMessage.contains("decimal256 overflow")))
   }
 
   test("long256 column API + SQL registration execute codegen'd") {
