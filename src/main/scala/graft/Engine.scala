@@ -40,6 +40,7 @@ object Engine {
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.GeoHashEncodeExpr.register(spark)
     graft.functions.Long256AddExpr.register(spark)
+    graft.functions.Long256Bin.register(spark)
     graft.functions.DotProductExpr.register(spark)
     graft.functions.Decimal256Ops.register(spark)
     graft.functions.Decimal256Agg.register(spark)

@@ -371,6 +371,12 @@ object DialectQueries extends QueryPack {
           "format_type(9999, 0) AS ftq, " +
           "pg_get_expr('adbin', 0) AS pge, " +
           "pg_is_in_recovery() AS rec, " +
+          "pg_catalog.age(17) AS pg_age, " +
+          "pg_get_userbyid(10) AS usr, " +
+          "pg_catalog.pg_table_is_visible(100) AS vis, " +
+          "current_data_id() AS did, " +
+          "simulate_warnings('tag', 'msg') AS sw_warn, " +
+          "simulate_crash('C') AS sw_crash, " +
           "to_pg_date('2024-03-05') AS pgd, " +
           "typeOf(x) AS t_long, " +
           "typeOf(CAST(x AS INT)) AS t_int, " +
@@ -696,7 +702,10 @@ object DialectQueries extends QueryPack {
     "q_sql_pg_compat" ->
       """SELECT x, '120300' AS svn, '' AS sp,
         |  'double precision' AS ft701, 'character varying' AS ft1043, '???' AS ftq,
-        |  '' AS pge, false AS rec, DATE '2024-03-05' AS pgd,
+        |  '' AS pge, false AS rec,
+        |  CAST(0 AS BIGINT) AS pg_age, 'public' AS usr, true AS vis,
+        |  CAST(NULL AS VARCHAR) AS did, false AS sw_warn, false AS sw_crash,
+        |  DATE '2024-03-05' AS pgd,
         |  'LONG' AS t_long, 'INT' AS t_int, 'DOUBLE' AS t_dbl, 'STRING' AS t_str,
         |  CASE (x % 3) WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS sw
         |FROM generate_series(1, 30) t(x) ORDER BY x""".stripMargin,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Finance, Generators, GeoHash, Long256Ops}
+import graft.functions.{Finance, Generators, GeoHash, Long256Bin, Long256Ops}
 
 /** Long-tail surface: generators (long_sequence / timestamp_sequence /
   * rnd_*), finance (mid/spread/wmid/l2price), geohash family, IPv4 ops,
@@ -196,6 +196,61 @@ object ExtrasQueries extends QueryPack {
           (h === Long256Ops.toLong256(id, id * 3 + 1, lit(0L), lit(0L))).cast("int").as("eq"))
         .orderBy(id)
     }),
+
+    "q_long256_typed" -> ((s, dir) => {
+      // typed LONG256 tier (32-byte big-endian binary): construction,
+      // hex round-trip, wrap-around add with cross-limb carry, bitwise
+      // and/or/xor/not, and native binary comparison (lexicographic =
+      // unsigned numeric). Results project through long256_bin_hex so
+      // the oracle compares canonical hex.
+      graft.Engine.registerFunctions(s)
+      val id = col("event_id")
+      val h = Long256Bin.toLong256Bin(id, id * 3 + 1, lit(0L), lit(0L))
+      val mask = Long256Bin.toLong256Bin(
+        lit(0x0f0f0f0f0f0f0f0fL), lit(0x0f0f0f0f0f0f0f0fL), lit(0L), lit(0L))
+      val hx = Long256Bin.long256BinHex(h)
+      Tables.events(s, dir).filter(id < 1000)
+        .select(
+          id.as("event_id"),
+          hx.as("hx"),
+          Long256Bin.long256BinHex(Long256Bin.long256BinAdd(
+            Long256Bin.castToLong256Bin(lit(-1L)),
+            Long256Bin.castToLong256Bin(id + 1))).as("sum_carry"),
+          Long256Bin.long256BinHex(Long256Bin.long256BinAnd(h, mask)).as("band"),
+          Long256Bin.long256BinHex(Long256Bin.long256BinOr(h, mask)).as("bor"),
+          Long256Bin.long256BinHex(Long256Bin.long256BinXor(h, mask)).as("bxor"),
+          Long256Bin.long256BinHex(Long256Bin.long256BinNot(h)).as("bnot"),
+          // native BinaryType comparison: xor vs and of the same value
+          (Long256Bin.long256BinXor(h, mask) < Long256Bin.long256BinAnd(h, mask))
+            .cast("int").as("ltv"),
+          // hex → typed → hex round trip is the identity
+          (Long256Bin.long256Bin(hx) === h).cast("int").as("rt"))
+        .orderBy(id)
+    }),
+
+    "q_long256_typed_agg" -> ((s, dir) => {
+      // typed LONG256 group-by tier: wrap-around sum (carry past the
+      // low limb via the 2^63 + id construction), native binary
+      // min/max (unsigned numeric order), cross-limb max, and
+      // count_distinct on binary — no custom code for the latter three.
+      graft.Engine.registerFunctions(s)
+      val id = col("event_id")
+      val d = (id % 7).cast("int")
+      val h = Long256Bin.toLong256Bin(lit(Long.MinValue) + id, lit(0L), lit(0L), lit(0L))
+      val h2 = Long256Bin.toLong256Bin(lit(9999L) - id, id % 5, lit(0L), lit(0L))
+      Tables.events(s, dir).filter(id < 1000)
+        .select(id.as("event_id"), d.as("d"), h.as("h"), h2.as("h2"),
+          Long256Bin.toLong256Bin(id % (d + 2), lit(0L), lit(0L), lit(0L)).as("hr"))
+        .groupBy(col("d"))
+        .agg(
+          count(lit(1)).as("n"),
+          Long256Bin.long256BinHex(Long256Bin.long256BinSum(col("h"))).as("s"),
+          Long256Bin.long256BinHex(min(col("h"))).as("mn"),
+          Long256Bin.long256BinHex(max(col("h"))).as("mx"),
+          Long256Bin.long256BinHex(max(col("h2"))).as("mx2"),
+          countDistinct(col("hr")).as("cd"))
+        .orderBy(col("d"))
+    }),
   )
 
   private def rndSql(seed: String, counter: String): String =
@@ -258,6 +313,41 @@ object ExtrasQueries extends QueryPack {
         |       ELSE '0x' || ltrim(hx, '0') END AS disp,
         |  1 AS eq
         |FROM h ORDER BY event_id""".stripMargin,
+
+    "q_long256_typed" ->
+      """WITH e AS (SELECT event_id, event_id * 3 + 1 AS l1 FROM events WHERE event_id < 1000),
+        |c AS (
+        |  SELECT event_id,
+        |    '0x' || repeat('0', 32) || printf('%016x', l1) || printf('%016x', event_id) AS hx,
+        |    '0x' || repeat('0', 32) || printf('%016x', 1) || printf('%016x', event_id) AS sum_carry,
+        |    '0x' || repeat('0', 32) || printf('%016x', l1 & 1085102592571150095)
+        |      || printf('%016x', event_id & 1085102592571150095) AS band,
+        |    '0x' || repeat('0', 32) || printf('%016x', l1 | 1085102592571150095)
+        |      || printf('%016x', event_id | 1085102592571150095) AS bor,
+        |    '0x' || repeat('0', 32) || printf('%016x', xor(l1, 1085102592571150095))
+        |      || printf('%016x', xor(event_id, 1085102592571150095)) AS bxor,
+        |    '0x' || repeat('f', 32) || repeat('f', 12) || printf('%04x', 65535 - l1)
+        |      || repeat('f', 12) || printf('%04x', 65535 - event_id) AS bnot
+        |  FROM e)
+        |SELECT event_id, hx, sum_carry, band, bor, bxor, bnot,
+        |  CAST(bxor < band AS INT) AS ltv, 1 AS rt
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    "q_long256_typed_agg" ->
+      """WITH e AS (SELECT event_id, CAST(event_id % 7 AS INT) AS d
+        |  FROM events WHERE event_id < 1000)
+        |SELECT d, count(*) AS n,
+        |  '0x' || repeat('0', 32) || printf('%016x', count(*) // 2) ||
+        |    CASE WHEN count(*) % 2 = 1
+        |         THEN '8' || printf('%015x', CAST(sum(event_id) AS BIGINT))
+        |         ELSE printf('%016x', CAST(sum(event_id) AS BIGINT)) END AS s,
+        |  '0x' || repeat('0', 48) || '8' || printf('%015x', min(event_id)) AS mn,
+        |  '0x' || repeat('0', 48) || '8' || printf('%015x', max(event_id)) AS mx,
+        |  '0x' || repeat('0', 32)
+        |    || printf('%016x', max_by(event_id, (event_id % 5) * 4294967296 + 9999 - event_id) % 5)
+        |    || printf('%016x', 9999 - max_by(event_id, (event_id % 5) * 4294967296 + 9999 - event_id)) AS mx2,
+        |  count(DISTINCT event_id % (d + 2)) AS cd
+        |FROM e GROUP BY d ORDER BY d""".stripMargin,
     "q_generators" -> {
       val rd = rndSql("d", "x")
       val ri = rndSql("i", "x")

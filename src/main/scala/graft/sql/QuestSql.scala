@@ -963,6 +963,21 @@ object QuestSql {
         "WHEN 1700 THEN 'numeric' WHEN 2950 THEN 'uuid' ELSE '???' END)" }
     q = expandCalls(q, "pg_get_expr") { _ => "''" }
     q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
+    // remaining PG-compat scalar stubs, reference values (catalogue/
+    // PrefixedAgeFunctionFactory → 0, UserByIdCatalogueFunctionFactory →
+    // 'public', IsTableVisibleCatalogueFunctionFactory → true,
+    // CurrentDataIdFunctionFactory → unset data id = SQL NULL,
+    // Simulate{Warnings,Crash}FunctionFactory → false outside dev mode).
+    // Strip the pg_catalog. prefix first so the call-site rewrite below
+    // leaves no dangling qualifier.
+    q = q.replaceAll(
+      "(?i)\\bpg_catalog\\s*\\.\\s*(pg_get_userbyid|pg_table_is_visible)\\s*\\(", "$1(")
+    q = expandCalls(q, "pg_catalog\\s*\\.\\s*age") { _ => "CAST(0 AS BIGINT)" }
+    q = expandCalls(q, "pg_get_userbyid") { _ => "'public'" }
+    q = expandCalls(q, "pg_table_is_visible") { _ => "true" }
+    q = expandCalls(q, "current_data_id") { _ => "CAST(NULL AS STRING)" }
+    q = expandCalls(q, "simulate_warnings") { _ => "false" }
+    q = expandCalls(q, "simulate_crash") { _ => "false" }
     q = expandCalls(q, "pg_advisory_unlock_all") { _ => "CAST(NULL AS STRING)" }
     q = expandCalls(q, "pg_get_partkeydef") { _ => "CAST(NULL AS STRING)" }
     // build() — engine/build identity string (reference metadata/
