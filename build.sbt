@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: the logger prefixes forked output with "[info] ",
+// and sbt appends a "[success] Total time: ..." line after the run.
+// StdoutOutput passes the forked process's stdout through raw, and
+// showSuccess drops the trailing success line, so graft.Bench's final
+// JSON line is genuinely last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

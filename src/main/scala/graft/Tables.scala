@@ -25,18 +25,28 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     load0(spark, dir, name)
 
-  /** `events.parquet` carries nanosecond timestamps, which Spark's
-    * parquet reader rejects (TimestampType is micros). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.configure]]);
-    * the ns long is truncated to micros here — the same thing DuckDB does
-    * when it reads the file — so every operator downstream sees a plain
-    * `TimestampType` designated-ts column.
+  /** Normalize timestamp columns so every operator downstream sees plain
+    * `TimestampType` regardless of how the parquet writer spelled them:
+    *
+    *  - TIMESTAMP(NANOS) (older testdata generations): Spark's reader
+    *    rejects it unless `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    ([[Sessions.builder]]); the ns long is truncated to micros — the
+    *    same thing DuckDB does when it reads the file.
+    *  - `isAdjustedToUTC=false` micros (pandas-written testdata): Spark
+    *    reads TIMESTAMP_NTZ; cast to TimestampType — value-preserving
+    *    because the session timezone is pinned to UTC.
     */
   def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val nsFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    val ntzCols = nsFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntzCols.foldLeft(nsFixed) { (d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =

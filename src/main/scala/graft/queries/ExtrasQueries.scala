@@ -150,7 +150,10 @@ object ExtrasQueries extends QueryPack {
           D.round(concat(a, lit(".5")), lit(0)).as("dround"),
           D.neg(a).as("dneg"),
           D.sign(D.neg(a)).as("dsign"),
-          D.mul(a, D.mul(a, a)).as("doverflow")) // d³ × 10^90 > 2^255 → null
+          // d³ × 10^60: 61+ digits, deep past Decimal(38) but inside the
+          // 255-bit coefficient bound (overflow now THROWS per reference
+          // NumericException semantics — gated in Long256Spec, not here)
+          D.mul(D.mul(a, a), d).as("dcube"))
         .orderBy(id)
     }),
 
@@ -293,7 +296,7 @@ object ExtrasQueries extends QueryPack {
         |  CAST(d AS VARCHAR) || repeat('0', 29) || '1' AS dround,
         |  '-' || CAST(d AS VARCHAR) || repeat('0', 30) AS dneg,
         |  '-1' AS dsign,
-        |  CAST(NULL AS VARCHAR) AS doverflow
+        |  CAST(d * d * d AS VARCHAR) || repeat('0', 60) AS dcube
         |FROM q ORDER BY event_id""".stripMargin,
 
     "q_long256" ->

@@ -37,19 +37,25 @@ class QuestSqlSpec extends SparkSpec {
     assert(r.getString(0) == "view" && r.getLong(1) > 0)
   }
 
-  test("TIMESTAMP_NS: raw parquet nanos carry sub-µs digits; ns scalar fns round-trip") {
-    // the parquet file's TIMESTAMP(NANOS) column reads as BIGINT nanos
-    // (nanosAsLong) and really does carry sub-microsecond residue — the
-    // precision DuckDB 1.0 can't see, hence spec-gated here
+  test("TIMESTAMP_NS: ts normalization across parquet spellings; ns scalar fns round-trip") {
+    // testdata generations have spelled events.ts three ways —
+    // TIMESTAMP(NANOS) (reads as BIGINT under nanosAsLong),
+    // isAdjustedToUTC=false micros (reads as TIMESTAMP_NTZ), and plain
+    // TIMESTAMP — Tables.load must serve TimestampType for all of them
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    assert(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-    val subUs = raw.filter(col("ts") % 1000 =!= 0).count()
-    assert(subUs > 0, "expected sub-µs digits in events.parquet nanos")
-    // truncation ns→µs matches what Tables.load serves downstream
-    val viaLoad = Tables.load(spark, sfDir, "events")
-      .select(unix_micros(col("ts"))).head().getLong(0)
-    val viaRaw = raw.select(expr("ts div 1000")).head().getLong(0)
-    assert(viaLoad == viaRaw)
+    val loaded = Tables.load(spark, sfDir, "events")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    if (raw.schema("ts").dataType == LongType) {
+      // nanos generation: really carries sub-µs residue (the precision
+      // DuckDB 1.0 can't see, hence spec-gated here) and load truncates
+      // ns→µs exactly like `ts div 1000`
+      val subUs = raw.filter(col("ts") % 1000 =!= 0).count()
+      assert(subUs > 0, "expected sub-µs digits in events.parquet nanos")
+      val viaLoad = loaded.select(unix_micros(col("ts"))).head().getLong(0)
+      val viaRaw = raw.select(expr("ts div 1000")).head().getLong(0)
+      assert(viaLoad == viaRaw)
+    }
 
     // ns scalar functions: parse → floor → back
     val r = engine.sql(
