@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -240,6 +240,105 @@ object Similarity {
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid_doc").as("cid"), col("sim"), col("rn"))
+  }
+
+  // ---- product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") -------------------------------------
+  //
+  // The 100 TB ANN memory story: a dim-D float vector (4·D bytes)
+  // compresses to m small codes (m bytes at k ≤ 256), so the corpus the
+  // scoring pass streams is ~64× smaller than raw embeddings and the
+  // candidate shuffle carries codes, not vectors. Encode is map-only
+  // (codebooks are model metadata — k rows collected once, shipped as
+  // literals inside the expression tree); scoring is one corpus pass
+  // against broadcast per-query lookup tables (ADC). Distances are
+  // quantized to integer micro-units so every sum is exact long
+  // arithmetic — order-free, engine-portable, oracle-matchable.
+
+  /** PQ codebooks: `k` codewords per subspace, sliced from `k`
+    * hash-seeded seed vectors (the same deterministic md5-order seam as
+    * [[ivfCentroids]] — no RNG, any engine derives the same seeds). The
+    * result is `m × k × (dim/m)` doubles — bounded by construction
+    * (model metadata, not data), safe to collect and embed as literals.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val seeds = corpus
+      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
+      .withColumn("__h", md5(col("__sid").cast("string")))
+      .orderBy(col("__h").asc, col("__sid").asc)
+      .limit(k)
+      .collect() // k rows, bounded by construction
+    val vecs = seeds.map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m)(s => vecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Squared-L2 distance of a subvector to one codeword in integer
+    * micro-units. Spelled as `⟨x,x⟩ − 2⟨x,w⟩ + ⟨w,w⟩` through the native
+    * dot expression — the identical arithmetic the DuckDB oracle states
+    * with `list_dot_product` — then rounded at 1e-6 so both engines land
+    * on the same long.
+    */
+  private def pqDistU(sub: Column, cw: Array[Double]): Column = {
+    val w = array(cw.map(lit): _*)
+    val dotE = graft.functions.DotProductExpr.dot(_: Column, _: Column)
+    val d = dotE(sub, sub) - lit(2.0) * dotE(sub, w) + dotE(w, w)
+    round(d * 1e6, 0).cast("long")
+  }
+
+  /** Encode every vector to `m` codes: per subspace, the index of the
+    * nearest codeword (squared L2, lowest-index tiebreak via
+    * `array_position`'s first-occurrence semantics). Map-only — the
+    * codebooks ride inside the expression, so encoding a 100 TB corpus
+    * is a single scan with no join and no shuffle.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int,
+               codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    ensureDot(corpus)
+    val cb = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, k))
+    val dsub = cb(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val du = array(cb(s).map(cw => pqDistU(sub, cw)): _*)
+      (array_position(du, array_min(du)) - 1).cast("int")
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("code"))
+  }
+
+  /** PQ approximate top-k by asymmetric distance (ADC): each query
+    * precomputes an `m × k` table of subspace distances to every
+    * codeword (map-only, broadcast with the query), and a document's
+    * distance is the sum of `m` table lookups on its code — exact long
+    * adds, no floats in the distributed part. One corpus pass total;
+    * per-query ranking mirrors [[cosineTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int, kcode: Int,
+             codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    ensureDot(corpus)
+    val cb = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, kcode))
+    val dsub = cb(0)(0).length
+    val codes = pqEncode(corpus, idCol, vecCol, m, kcode, Some(cb))
+      .select(col(idCol).as("cid"), col("code"))
+    val lutCols = (0 until m).map { s =>
+      val sub = slice(col("qe"), s * dsub + 1, dsub)
+      array(cb(s).map(cw => pqDistU(sub, cw)): _*)
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .select(col("qid"), array(lutCols: _*).as("lut"))
+    // ADC: Σ_s lut[s][code_s] — l[c] is Spark's 0-based array subscript
+    val dist = expr(
+      "aggregate(zip_with(code, lut, (c, l) -> l[c]), CAST(0 AS BIGINT), (a, b) -> a + b)")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_u").asc, col("cid").asc)
+    codes.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("dist_u", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "dist_u", "rn")
   }
 
   /** Sign-LSH bucket id per vector: bit h = sign(v · w_h) where

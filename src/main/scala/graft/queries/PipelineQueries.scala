@@ -144,6 +144,14 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    "q_similarity_pq" -> ((s, dir) => {
+      // product-quantization ANN: 4 subspaces × 16 hash-seeded
+      // codewords, ADC scoring in integer micro-units (exact long sums)
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, 4, 16)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       // deterministic Bernoulli sampling: md5 hex is uniform, so a
       // lexicographic threshold on the digest is an exact, seedable,
@@ -1124,6 +1132,34 @@ object PipelineQueries extends QueryPack {
         |  FROM cands)
         |SELECT qid, cid, sim, CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "q_similarity_pq" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS cvec,
+        |         md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings ORDER BY h, sid LIMIT 16),
+        |cw AS (SELECT row_number() OVER (ORDER BY h, sid) - 1 AS j, cvec FROM seeds),
+        |cb AS (SELECT s, j, list_slice(cvec, s*16+1, s*16+16) AS w
+        |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dd AS (SELECT vec_id, s, j,
+        |         CAST(round((list_dot_product(sub, sub) - 2*list_dot_product(sub, w)
+        |               + list_dot_product(w, w)) * 1e6, 0) AS BIGINT) AS du
+        |       FROM (SELECT vec_id, s, j, w, list_slice(v, s*16+1, s*16+16) AS sub
+        |             FROM corp CROSS JOIN cb)),
+        |codes AS (SELECT vec_id, s, arg_min(j, du * 256 + j) AS c
+        |          FROM dd GROUP BY vec_id, s),
+        |qd AS (SELECT vec_id AS qid, s, j, du FROM dd WHERE vec_id < 10),
+        |score AS (SELECT qd.qid, codes.vec_id AS cid,
+        |            CAST(sum(qd.du) AS BIGINT) AS dist_u
+        |          FROM codes JOIN qd ON qd.s = codes.s AND qd.j = codes.c
+        |          WHERE qd.qid <> codes.vec_id GROUP BY 1, 2),
+        |ranked AS (SELECT qid, cid, dist_u,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY dist_u ASC, cid ASC) AS rn
+        |           FROM score)
+        |SELECT qid, cid, dist_u, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q_dedup_pipeline" ->
       s"""WITH $SH,

@@ -212,6 +212,56 @@ class PipelineSpec extends SparkSpec {
     assert(rKm >= 0.9) // trained centroids must actually separate the clusters
   }
 
+  test("pq: codes bounded+deterministic; ADC distances match a driver-side rederivation") {
+    // same 4-cluster fixture shape as the k-means test
+    val dirs = Seq(
+      Array(10f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 1f))
+    val vecs = (for { c <- 0 until 4; j <- 0 until 15 } yield {
+      val id = (c * 15 + j).toLong
+      val v = dirs(c).zipWithIndex.map { case (x, i) =>
+        x + (((id * 37 + i * 13) % 7).toInt - 3) * 0.05f
+      }
+      (id, v)
+    }).toDF("vec_id", "embedding")
+    val (m, kc) = (2, 4)
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m, kc)
+    assert(cb.length == m && cb.forall(_.length == kc) && cb(0)(0).length == 4)
+
+    val enc1 = Similarity.pqEncode(vecs, "vec_id", "embedding", m, kc, Some(cb))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val enc2 = Similarity.pqEncode(vecs, "vec_id", "embedding", m, kc, Some(cb))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(enc1.size == 60 && enc1 == enc2)
+    assert(enc1.values.forall(code => code.size == m && code.forall(c => c >= 0 && c < kc)))
+
+    // independent rederivation: codes = argmin_j ⟨x,x⟩−2⟨x,w⟩+⟨w,w⟩ in
+    // µ-units, ADC = Σ_s lutµ[s][code_s] — plain Scala, no Spark
+    val raw = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def duOf(sub: Array[Double], w: Array[Double]): Long = {
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      BigDecimal(1e6 * (dot(sub, sub) - 2 * dot(sub, w) + dot(w, w)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def subOf(v: Array[Double], s: Int) = v.slice(s * 4, s * 4 + 4)
+    for ((id, v) <- raw) {
+      val expect = (0 until m).map { s =>
+        val ds = cb(s).map(w => duOf(subOf(v, s), w))
+        ds.indexOf(ds.min)
+      }.toList
+      assert(enc1(id) == expect, s"code mismatch for $id")
+    }
+    val queries = vecs.filter($"vec_id" % 15 === 0)
+    val got = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 5, m, kc, Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((qid, cid), du) <- got) {
+      val expect = (0 until m).map(s => duOf(subOf(raw(qid), s), cb(s)(enc1(cid)(s)))).sum
+      assert(du == expect, s"ADC mismatch for ($qid,$cid)")
+    }
+  }
+
   test("ivf assignment is exhaustive and deterministic") {
     val vecs = (0L until 20L).map(i =>
       (i, Array((i % 5).toFloat + 1f, (i % 3).toFloat, 1.0f))).toDF("vec_id", "embedding")
