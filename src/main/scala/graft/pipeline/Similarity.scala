@@ -341,6 +341,62 @@ object Similarity {
       .select("qid", "cid", "dist_u", "rn")
   }
 
+  /** IVF-PQ: the composition production ANN systems (FAISS `IVFPQ`)
+    * run at corpus scale — IVF restricts each query to its `nprobe`
+    * nearest inverted lists, PQ codes stand in for raw vectors inside
+    * the lists, and ADC ranks candidates with exact long sums. The
+    * scoring join is keyed on the probed list id and moves only
+    * (doc id, m-byte code) rows — at 100 TB neither raw vectors nor
+    * the unprobed corpus ever reach the shuffle. Deterministic
+    * end-to-end (hash-seeded centroids and codebooks, µ-unit
+    * distances, id tiebreaks).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                m: Int, kcode: Int,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    ensureDot(corpus)
+    val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val cb = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, kcode))
+    val dsub = cb(0)(0).length
+    // corpus side: inverted-list id (keyed arg-max agg) + PQ code
+    // (map-only) — one id-keyed join gluing the two single-pass outputs
+    val docs = ivfAssign(corpus, cent, idCol, vecCol)
+      .join(pqEncode(corpus, idCol, vecCol, m, kcode, Some(cb)), Seq(idCol))
+      .select(col(idCol).as("cid_doc"), col("cid"), col("code"))
+
+    // query side: probe set (same bounded map-side top-nprobe as
+    // ivfTopK) + the ADC lookup table, both map-only per query row
+    val lutCols = (0 until m).map { s =>
+      val sub = slice(col("qe"), s * dsub + 1, dsub)
+      array(cb(s).map(cw => pqDistU(sub, cw)): _*)
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .withColumn("qn", sqrt(dot("qe", "qe")))
+      .withColumn("lut", array(lutCols: _*))
+    val centN = cent.withColumn("__cn", sqrt(dot("cvec", "cvec")))
+    val qsim = round(dot("qe", "cvec") / (col("qn") * col("__cn")), 6)
+    val probes = q.join(broadcast(centN), lit(true))
+      .withColumn("__qsim", qsim)
+      .groupBy(col("qid"))
+      .agg(first(col("lut")).as("lut"),
+        slice(array_sort(collect_list(struct((-col("__qsim")).as("negsim"),
+          col("cid").as("cid")))), 1, nprobe).as("__top"))
+      .withColumn("cid", explode(expr("transform(__top, s -> s.cid)")))
+      .select(col("qid"), col("lut"), col("cid"))
+
+    val dist = expr(
+      "aggregate(zip_with(code, lut, (c, l) -> l[c]), CAST(0 AS BIGINT), (a, b) -> a + b)")
+    val wk = Window.partitionBy(col("qid")).orderBy(col("dist_u").asc, col("cid_doc").asc)
+    probes.join(docs, Seq("cid"))
+      .filter(col("qid") =!= col("cid_doc"))
+      .withColumn("dist_u", dist)
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid_doc").as("cid"), col("dist_u"), col("rn"))
+  }
+
   /** Sign-LSH bucket id per vector: bit h = sign(v · w_h) where
     * w_h[i] = ((i*73 + h*37) mod 19) - 9 — integer pseudo-weights.
     */

@@ -152,6 +152,15 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    "q_similarity_ivfpq" -> ((s, dir) => {
+      // IVF-PQ: probe 2 of 8 inverted lists, rank candidates by PQ-ADC
+      // (4 subspaces × 16 codewords) — the FAISS-style scale shape
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, 8, 2, 4, 16)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       // deterministic Bernoulli sampling: md5 hex is uniform, so a
       // lexicographic threshold on the digest is an exact, seedable,
@@ -1132,6 +1141,61 @@ object PipelineQueries extends QueryPack {
         |  FROM cands)
         |SELECT qid, cid, sim, CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "q_similarity_ivfpq" ->
+      """WITH iseeds AS (
+        |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec,
+        |         md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings ORDER BY h, seed_id LIMIT 8),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, seed_id) - 1 AS cid, cvec FROM iseeds),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id AS cid_doc, cid FROM (
+        |    SELECT corp.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY corp.vec_id
+        |        ORDER BY round(list_dot_product(v, cvec)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |          cent.cid ASC) AS rn
+        |    FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |pseeds AS (
+        |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS cvec,
+        |         md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings ORDER BY h, sid LIMIT 16),
+        |cw AS (SELECT row_number() OVER (ORDER BY h, sid) - 1 AS j, cvec FROM pseeds),
+        |cb AS (SELECT s, j, list_slice(cvec, s*16+1, s*16+16) AS w
+        |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+        |dd AS (SELECT vec_id, s, j,
+        |         CAST(round((list_dot_product(sub, sub) - 2*list_dot_product(sub, w)
+        |               + list_dot_product(w, w)) * 1e6, 0) AS BIGINT) AS du
+        |       FROM (SELECT vec_id, s, j, w, list_slice(v, s*16+1, s*16+16) AS sub
+        |             FROM corp CROSS JOIN cb)),
+        |codes AS (SELECT vec_id, s, arg_min(j, du * 256 + j) AS c
+        |          FROM dd GROUP BY vec_id, s),
+        |q AS (SELECT vec_id AS qid, v AS qe FROM corp WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, cent.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_dot_product(qe, cvec)
+        |          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |          cent.cid ASC) AS rn
+        |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+        |qd AS (SELECT vec_id AS qid, s, j, du FROM dd WHERE vec_id < 10),
+        |cands AS (SELECT probes.qid, assigned.cid_doc
+        |          FROM probes JOIN assigned ON probes.cid = assigned.cid
+        |          WHERE probes.qid <> assigned.cid_doc),
+        |score AS (SELECT cands.qid, cands.cid_doc AS cid,
+        |            CAST(sum(qd.du) AS BIGINT) AS dist_u
+        |          FROM cands JOIN codes ON codes.vec_id = cands.cid_doc
+        |                     JOIN qd ON qd.qid = cands.qid AND qd.s = codes.s
+        |                            AND qd.j = codes.c
+        |          GROUP BY 1, 2),
+        |ranked AS (SELECT qid, cid, dist_u,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY dist_u ASC, cid ASC) AS rn
+        |           FROM score)
+        |SELECT qid, cid, dist_u, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q_similarity_pq" ->
       """WITH seeds AS (

@@ -262,6 +262,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfPq: candidates come only from probed lists; ADC agrees with pqTopK") {
+    val dirs = Seq(
+      Array(10f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 1f))
+    val vecs = (for { c <- 0 until 4; j <- 0 until 15 } yield {
+      val id = (c * 15 + j).toLong
+      val v = dirs(c).zipWithIndex.map { case (x, i) =>
+        x + (((id * 37 + i * 13) % 7).toInt - 3) * 0.05f
+      }
+      (id, v)
+    }).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 15 === 0)
+    val (m, kc, nlist, nprobe) = (2, 4, 4, 2)
+
+    val out = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      5, nlist, nprobe, m, kc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+
+    // every candidate's list must be one of its query's probed lists —
+    // rederive both sides from the same deterministic centroids
+    val cent = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist)
+    val listOf = Similarity.ivfAssign(vecs, cent, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // probed lists per query = lists its ivfTopK candidates land in is
+    // not directly exposed; assert the weaker invariant that a candidate
+    // never comes from a list no query member probes: every returned cid
+    // shares a list with at least one of the query's nprobe nearest
+    // centroid ids, which ivfTopK (same probe code path) must also reach
+    val ivfCands = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      60, nlist, nprobe, Some(cent)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet.subsetOf(ivfCands),
+      "ivfPq returned a candidate outside the probed lists")
+
+    // ADC distances must equal the unrestricted pqTopK's for the same
+    // (query, doc) pairs — same codebooks seam, no IVF interference
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m, kc)
+    val pq = Similarity.pqTopK(vecs, queries, "vec_id", "embedding",
+      60, m, kc, Some(cb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((pair, du) <- out)
+      assert(pq(pair) == du, s"ADC mismatch for $pair")
+  }
+
   test("ivf assignment is exhaustive and deterministic") {
     val vecs = (0L until 20L).map(i =>
       (i, Array((i % 5).toFloat + 1f, (i % 3).toFloat, 1.0f))).toDF("vec_id", "embedding")
