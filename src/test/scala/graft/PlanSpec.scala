@@ -256,6 +256,24 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[[^\\n]*qid".r.findAllIn(p).size <= 1, p) // only the rank-within-lists window
   }
 
+  test("pqEncode: map-only — codebook literals ride the expression, zero Exchange") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val p = graft.pipeline.Similarity.pqEncode(corpus, "vec_id", "embedding", 4, 16)
+      .queryExecution.executedPlan.toString
+    // encoding a 100 TB corpus must be a single scan: no join against a
+    // codebook table, no aggregation, no shuffle of any kind
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("pqTopK: queries broadcast; corpus side has no pre-join shuffle") {
+    val p = plan("q_similarity_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the only hash exchange is the final per-qid ranking window (qid
+    // count is bounded); the corpus reaches the join shuffle-free
+    assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(p).isEmpty, p)
+  }
+
   test("bucketed co-located join: sort-merge over aligned buckets, no Exchange") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft-bkt").toString
