@@ -31,8 +31,25 @@ object Similarity {
     */
   private def ensureDot(df: DataFrame): DataFrame = {
     graft.functions.DotProductExpr.register(df.sparkSession)
+    graft.functions.TopKPairsAgg.register(df.sparkSession)
     df
   }
+
+  /** Per-key bounded top-k ranking: `(key, ord, id)` rows → the k
+    * smallest (ord, id) per key as (key, id, ord, rn). The native
+    * `topk_pairs` aggregate partial-merges map-side, so each partition
+    * contributes ≤ k rows per key to the shuffle — ranking a per-query
+    * candidate expansion with `row_number().over(Window.partitionBy)`
+    * would instead move every candidate row to the key's reducer.
+    */
+  private def rankTopK(df: DataFrame, keyCol: String, ordCol: String,
+                       idCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(call_function("topk_pairs",
+        struct(col(ordCol).as("ord"), col(idCol).as("id")), lit(k)).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col(keyCol), col("__p.id").as(idCol), col("__p.ord").as(ordCol),
+        (col("__pos") + 1).cast("int").as("rn"))
 
   /** Exact cosine top-k of `corpus` rows for each query row.
     * Similarities are rounded (1e-6) with an id tiebreak so ranking is
@@ -330,14 +347,16 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .select(col("qid"), array(lutCols: _*).as("lut"))
-    // ADC: Σ_s lut[s][code_s] — l[c] is Spark's 0-based array subscript
+    // ADC: Σ_s lut[s][code_s] — l[c] is Spark's 0-based array subscript.
+    // Ranking goes through the bounded topk_pairs aggregate: brute-force
+    // ADC expands to |corpus| candidates per query, and a qid window
+    // would shuffle the whole expansion — the aggregate ships ≤ k pairs
+    // per query per partition instead.
     val dist = expr(
       "aggregate(zip_with(code, lut, (c, l) -> l[c]), CAST(0 AS BIGINT), (a, b) -> a + b)")
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist_u").asc, col("cid").asc)
-    codes.join(broadcast(q), col("qid") =!= col("cid"))
+    val scored = codes.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("dist_u", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    rankTopK(scored, "qid", "dist_u", "cid", k)
       .select("qid", "cid", "dist_u", "rn")
   }
 
@@ -388,12 +407,13 @@ object Similarity {
 
     val dist = expr(
       "aggregate(zip_with(code, lut, (c, l) -> l[c]), CAST(0 AS BIGINT), (a, b) -> a + b)")
-    val wk = Window.partitionBy(col("qid")).orderBy(col("dist_u").asc, col("cid_doc").asc)
-    probes.join(docs, Seq("cid"))
+    val scored = probes.join(docs, Seq("cid"))
       .filter(col("qid") =!= col("cid_doc"))
       .withColumn("dist_u", dist)
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
+    // bounded per-query ranking (see pqTopK) — probed lists can still
+    // hold a large corpus fraction, so the same ≤k-per-partition bound
+    // applies
+    rankTopK(scored, "qid", "dist_u", "cid_doc", k)
       .select(col("qid"), col("cid_doc").as("cid"), col("dist_u"), col("rn"))
   }
 

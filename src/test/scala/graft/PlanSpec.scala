@@ -266,12 +266,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("pqTopK: queries broadcast; corpus side has no pre-join shuffle") {
+  test("pqTopK: queries broadcast; ranking is a bounded partial aggregate, not a qid window") {
     val p = plan("q_similarity_pq")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    // the only hash exchange is the final per-qid ranking window (qid
-    // count is bounded); the corpus reaches the join shuffle-free
+    // the corpus reaches the join shuffle-free
     assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(p).isEmpty, p)
+    // per-query top-k must partial-merge map-side (≤ k pairs per query
+    // per partition reach the shuffle) — a Window over qid would move
+    // the entire |corpus|-per-query ADC expansion
+    assert(p.contains("partial_topk_pairs"), p)
+    assert("Window \\[[^\\n]*qid".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("ivfPqTopK: same bounded-aggregate ranking within probed lists") {
+    val p = plan("q_similarity_ivfpq")
+    assert(p.contains("partial_topk_pairs"), p)
+    assert("Window \\[[^\\n]*qid".r.findAllIn(p).isEmpty, p)
   }
 
   test("bucketed co-located join: sort-merge over aligned buckets, no Exchange") {
