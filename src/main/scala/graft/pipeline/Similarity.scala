@@ -65,12 +65,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("ce"))
       .withColumn("cn", sqrt(dot("ce", "ce")))
     val sim = round(dot("qe", "ce") / (col("qn") * col("cn")), 6)
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "cid", "sim", "rn")
+    // ranking via the bounded topk_pairs aggregate (≤ k pairs per query
+    // per partition reach the shuffle — a qid window would move the full
+    // |q|·|corpus| expansion). sim is 6-dp rounded, so its µ-unit long
+    // is exact and -µ ASC ≡ sim DESC; dividing the exact integer back
+    // by 1e6 is correctly-rounded IEEE division, reproducing round(x,6)
+    // bit-identically.
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("__ord", -round(sim * 1e6, 0).cast("long"))
+    rankTopK(scored, "qid", "__ord", "cid", k)
+      .select(col("qid"), col("cid"), (-col("__ord") / 1e6).as("sim"), col("rn"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs within a
@@ -245,18 +249,19 @@ object Similarity {
       .withColumn("cid", explode(expr("transform(__top, s -> s.cid)")))
       .select(col("qid"), col("qe"), col("qn"), col("cid"))
 
-    // candidates = probed lists only; exact cosine rank within them
+    // candidates = probed lists only; exact cosine rank within them —
+    // via the bounded topk_pairs aggregate (see cosineTopK for the
+    // µ-unit round trip), not a qid window over the candidate join
     val c = corpus.select(col(idCol).as("cid_doc"), col(vecCol).as("ce"))
       .withColumn("cn", sqrt(dot("ce", "ce")))
     val sim = round(dot("qe", "ce") / (col("qn") * col("cn")), 6)
-    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid_doc").asc)
-    probes.join(lists, Seq("cid"))
+    val scored = probes.join(lists, Seq("cid"))
       .join(c, Seq("cid_doc"))
       .filter(col("qid") =!= col("cid_doc"))
-      .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid_doc").as("cid"), col("sim"), col("rn"))
+      .withColumn("__ord", -round(sim * 1e6, 0).cast("long"))
+    rankTopK(scored, "qid", "__ord", "cid_doc", k)
+      .select(col("qid"), col("cid_doc").as("cid"),
+        (-col("__ord") / 1e6).as("sim"), col("rn"))
   }
 
   // ---- product quantization (Jégou et al. 2011, "Product Quantization

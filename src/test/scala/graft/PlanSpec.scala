@@ -253,7 +253,10 @@ class PlanSpec extends SparkSpec {
     // ranking (bounded by the probed lists)
     assert(p.contains("partial_collect_list") || p.contains("objHashAggregate") ||
       p.contains("ObjectHashAggregate"), p)
-    assert("Window \\[[^\\n]*qid".r.findAllIn(p).size <= 1, p) // only the rank-within-lists window
+    // rank-within-lists now goes through the bounded topk_pairs
+    // aggregate too — no per-qid window anywhere in the plan
+    assert(p.contains("partial_topk_pairs"), p)
+    assert("Window \\[[^\\n]*qid".r.findAllIn(p).isEmpty, p)
   }
 
   test("pqEncode: map-only — codebook literals ride the expression, zero Exchange") {
