@@ -45,11 +45,20 @@ import org.apache.spark.sql.types._
   * Authentication: trust by default; pass `auth = Some(user -> password)`
   * for cleartext-password auth (`authMd5 = true` upgrades the exchange
   * to the salted MD5 scheme — what the reference ships, psql/JDBC both
-  * speak it). Out of scope (documented): TLS.
+  * speak it).
+  *
+  * TLS: pass `tls = Some(pkcs12Path -> password)` and the protocol's
+  * SSLRequest upgrade is honored — server answers 'S' and the socket
+  * wraps into a server-mode SSLSocket before the StartupMessage
+  * (`sslmode=require` clients). Without `tls` the request is refused
+  * ('N') and the client continues in cleartext on the same connection,
+  * as before.
   */
 class PgWireServer(engine: graft.Engine, port: Int = 0,
                    auth: Option[(String, String)] = None,
-                   authMd5: Boolean = false) {
+                   authMd5: Boolean = false,
+                   tls: Option[(String, String)] = None) {
+  private lazy val tlsContext = tls.map { case (p, pw) => Tls.context(p, pw) }
   private val server = new ServerSocket(port)
   @volatile private var running = false
 
@@ -134,9 +143,40 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
     }
   }
 
-  private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def serve(sock0: Socket): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    // pre-startup negotiation: SSLRequest (80877103) upgrades the socket
+    // when TLS is configured; refused requests ('N') fall through to a
+    // cleartext retry on the same connection. GSSENC (80877104) is
+    // always refused. The first non-negotiation message's length/code
+    // are handed to startup().
+    var firstLen = 0
+    var firstCode = 0
+    try {
+      firstLen = in.readInt()
+      firstCode = in.readInt()
+      while (firstCode == 80877103 || firstCode == 80877104) {
+        tlsContext match {
+          case Some(ctx) if firstCode == 80877103 =>
+            out.writeByte('S'); out.flush()
+            val s = ctx.getSocketFactory
+              .createSocket(sock, null, sock.getPort, false)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            s.setUseClientMode(false)
+            s.startHandshake()
+            sock = s
+            in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+            out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+          case _ =>
+            out.writeByte('N'); out.flush()
+        }
+        firstLen = in.readInt(); firstCode = in.readInt()
+      }
+    } catch {
+      case _: Exception => sock.close(); return // scan/handshake failure
+    }
     val prepared = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     // extended-protocol error discipline: after a failure, discard
@@ -151,7 +191,7 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
     engine.spark.sparkContext.setJobGroup(group, s"pgwire connection $pid",
       interruptOnCancel = true)
     try {
-      if (!startup(in, out, pid, secret)) return
+      if (!startup(in, out, pid, secret, firstLen, firstCode)) return
       var open = true
       while (open) {
         val tpe = try in.readByte() catch { case _: EOFException => 'X'.toByte }
@@ -340,15 +380,9 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
     * never sent a startup message.
     */
   private def startup(in: DataInputStream, out: DataOutputStream,
-                      pid: Int, secret: Int): Boolean = {
-    var len = in.readInt()
-    var code = in.readInt()
-    // SSLRequest (80877103) / GSSENCRequest (80877104): refuse, client
-    // retries in cleartext on the same connection
-    while (code == 80877103 || code == 80877104) {
-      out.writeByte('N'); out.flush()
-      len = in.readInt(); code = in.readInt()
-    }
+                      pid: Int, secret: Int, len: Int, code: Int): Boolean = {
+    // SSL/GSSENC negotiation already happened in serve(); len/code here
+    // are the first real message (StartupMessage or CancelRequest)
     if (code == 80877102) { // CancelRequest: pid + secret, then hang up
       val targetPid = in.readInt()
       val targetSecret = in.readInt()

@@ -31,8 +31,18 @@ import org.apache.spark.sql.DataFrame
   * reference's client surface.
   */
 class RestServer(engine: graft.Engine, port: Int = 0,
-                 ilpDir: String = java.nio.file.Files.createTempDirectory("graft_ilp").toString) {
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+                 ilpDir: String = java.nio.file.Files.createTempDirectory("graft_ilp").toString,
+                 tls: Option[(String, String)] = None) {
+  // with `tls = Some(pkcs12Path -> password)` the same surface serves
+  // HTTPS (reference `http.tls.*` config); HttpsServer extends
+  // HttpServer, so every handler below is transport-agnostic
+  private val server = tls match {
+    case Some((path, pw)) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(Tls.context(path, pw)))
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+  }
   private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val queriesExecuted = new java.util.concurrent.atomic.AtomicLong(0L)
   private val rowsImported = new java.util.concurrent.atomic.AtomicLong(0L)

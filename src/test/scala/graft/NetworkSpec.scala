@@ -376,6 +376,80 @@ class NetworkSpec extends SparkSpec {
     def close(): Unit = sock.close()
   }
 
+  test("TLS: PGWire SSLRequest upgrade + HTTPS /exec round-trip") {
+    // throwaway self-signed PKCS12 minted by the JDK's own keytool —
+    // the library takes a keystore path (standard server contract), it
+    // never generates certificates itself
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val rc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "2").start().waitFor()
+    assert(rc == 0, "keytool keystore generation failed")
+
+    val trustAll = javax.net.ssl.SSLContext.getInstance("TLS")
+    trustAll.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }), null)
+
+    val engine = Engine(spark, sfDir)
+    val pg = new graft.http.PgWireServer(engine, tls = Some(ksPath -> "changeit"))
+    val port = pg.start()
+    val raw = new java.net.Socket("127.0.0.1", port)
+    try {
+      raw.setSoTimeout(120000)
+      val rawOut = new java.io.DataOutputStream(raw.getOutputStream)
+      rawOut.writeInt(8); rawOut.writeInt(80877103); rawOut.flush() // SSLRequest
+      assert(raw.getInputStream.read() == 'S'.toInt, "server must accept SSLRequest")
+      val ssl = trustAll.getSocketFactory
+        .createSocket(raw, "127.0.0.1", port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(true)
+      ssl.startHandshake()
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(ssl.getInputStream))
+      val out = new java.io.DataOutputStream(ssl.getOutputStream)
+      val params = "user\u0000graft\u0000\u0000".getBytes("UTF-8")
+      out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
+      def readMsg(): (Char, Array[Byte]) = {
+        val t = in.readByte().toChar
+        val p = new Array[Byte](in.readInt() - 4)
+        in.readFully(p); (t, p)
+      }
+      def readUntilReady(): Seq[(Char, Array[Byte])] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Char, Array[Byte])]
+        var m = readMsg()
+        while (m._1 != 'Z') { buf += m; m = readMsg() }
+        buf.toSeq
+      }
+      assert(readUntilReady().exists(_._1 == 'K')) // startup completed over TLS
+      val q = "SELECT 41 + 1 AS x".getBytes("UTF-8")
+      out.writeByte('Q'); out.writeInt(4 + q.length + 1); out.write(q); out.writeByte(0)
+      out.flush()
+      val ms = readUntilReady()
+      val row = ms.find(_._1 == 'D').get._2
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(d.readShort() == 1)
+      val len = d.readInt(); val v = new Array[Byte](len); d.readFully(v)
+      assert(new String(v, "UTF-8") == "42")
+    } finally { raw.close(); pg.stop() }
+
+    val rest = new graft.http.RestServer(engine, tls = Some(ksPath -> "changeit"))
+    val rport = rest.start()
+    try {
+      val url = java.net.URI.create(
+        s"https://127.0.0.1:$rport/exec?query=SELECT%2042%20AS%20x").toURL
+      val conn = url.openConnection().asInstanceOf[javax.net.ssl.HttpsURLConnection]
+      conn.setSSLSocketFactory(trustAll.getSocketFactory)
+      conn.setHostnameVerifier((_, _) => true)
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode == 200 && body.contains("\"dataset\":[[42]]"), body)
+    } finally rest.stop()
+  }
+
   test("PGWire: binary result formats — int8/float8/timestamp/bool/date via Bind result-format=1") {
     val engine = Engine(spark, sfDir)
     val srv = new graft.http.PgWireServer(engine)
