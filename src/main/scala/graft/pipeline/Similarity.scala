@@ -298,17 +298,23 @@ object Similarity {
     Array.tabulate(m)(s => vecs.map(v => v.slice(s * dsub, (s + 1) * dsub)))
   }
 
-  /** Squared-L2 distance of a subvector to one codeword in integer
-    * micro-units. Spelled as `⟨x,x⟩ − 2⟨x,w⟩ + ⟨w,w⟩` through the native
-    * dot expression — the identical arithmetic the DuckDB oracle states
-    * with `list_dot_product` — then rounded at 1e-6 so both engines land
-    * on the same long.
+  /** Squared-L2 distances of one subvector to every codeword of a
+    * subspace, in integer micro-units. Spelled as
+    * `⟨x,x⟩ − 2⟨x,w⟩ + ⟨w,w⟩` — the identical arithmetic the DuckDB
+    * oracle states with `list_dot_product` — then rounded at 1e-6 so
+    * both engines land on the same long. `⟨x,x⟩` is computed once per
+    * subspace (not once per codeword), and `⟨w,w⟩` folds driver-side in
+    * the same sequential order the dot expression uses, so the doubles
+    * are bit-identical to the per-row spelling.
     */
-  private def pqDistU(sub: Column, cw: Array[Double]): Column = {
-    val w = array(cw.map(lit): _*)
+  private def pqDistUs(sub: Column, cws: Array[Array[Double]]): Seq[Column] = {
     val dotE = graft.functions.DotProductExpr.dot(_: Column, _: Column)
-    val d = dotE(sub, sub) - lit(2.0) * dotE(sub, w) + dotE(w, w)
-    round(d * 1e6, 0).cast("long")
+    val ss = dotE(sub, sub)
+    cws.toSeq.map { cw =>
+      val w = array(cw.map(lit): _*)
+      val ww = cw.foldLeft(0.0)((acc, x) => acc + x * x)
+      round((ss - lit(2.0) * dotE(sub, w) + lit(ww)) * 1e6, 0).cast("long")
+    }
   }
 
   /** Encode every vector to `m` codes: per subspace, the index of the
@@ -325,7 +331,7 @@ object Similarity {
     val dsub = cb(0)(0).length
     val codeCols = (0 until m).map { s =>
       val sub = slice(col(vecCol), s * dsub + 1, dsub)
-      val du = array(cb(s).map(cw => pqDistU(sub, cw)): _*)
+      val du = array(pqDistUs(sub, cb(s)): _*)
       (array_position(du, array_min(du)) - 1).cast("int")
     }
     corpus.select(col(idCol), array(codeCols: _*).as("code"))
@@ -348,7 +354,7 @@ object Similarity {
       .select(col(idCol).as("cid"), col("code"))
     val lutCols = (0 until m).map { s =>
       val sub = slice(col("qe"), s * dsub + 1, dsub)
-      array(cb(s).map(cw => pqDistU(sub, cw)): _*)
+      array(pqDistUs(sub, cb(s)): _*)
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .select(col("qid"), array(lutCols: _*).as("lut"))
@@ -394,7 +400,7 @@ object Similarity {
     // ivfTopK) + the ADC lookup table, both map-only per query row
     val lutCols = (0 until m).map { s =>
       val sub = slice(col("qe"), s * dsub + 1, dsub)
-      array(cb(s).map(cw => pqDistU(sub, cw)): _*)
+      array(pqDistUs(sub, cb(s)): _*)
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .withColumn("qn", sqrt(dot("qe", "qe")))
