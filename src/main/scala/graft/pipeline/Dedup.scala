@@ -158,6 +158,41 @@ object Dedup {
       .select(col("a").as(idCol), col("n_bench_docs"), col("max_shared"))
   }
 
+  /** [[contamination]] with a Bloom pre-filter — the tier for benchmark
+    * suites too large to broadcast as a join hash table. The bench
+    * shingle set folds into a Bloom filter (a few MB of bits regardless
+    * of shingle count, 10-100× smaller than the hash table), every
+    * corpus shingle is tested map-side, and only the bloom-positive
+    * sliver reaches the exact join. Bloom filters admit false POSITIVES
+    * only, and each candidate is re-verified by the exact shingle join,
+    * so the output is IDENTICAL to [[contamination]] (same oracle) —
+    * the filter just shrinks the corpus side of the join shuffle from
+    * |corpus shingles| to roughly the contaminated fraction + fpp.
+    */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, minShared: Int,
+                         fpp: Double = 0.01,
+                         expectedBenchShingles: Long = 0L): DataFrame = {
+    val corpSh = wordShingleTable(corpus, idCol, textCol, n)
+      .select(col(idCol).as("a"), col("sh"))
+    val benchSh = wordShingleTable(bench, idCol, textCol, n)
+      .select(col(idCol).as("b"), col("sh"))
+    // sizing the filter needs the bench shingle count — bench-scale
+    // metadata work; callers that know it pass it to skip the action
+    val nItems = if (expectedBenchShingles > 0) expectedBenchShingles
+      else math.max(1000L, benchSh.count())
+    val bf = benchSh.stat.bloomFilter("sh", nItems, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
+    corpSh.filter(mightContain(col("sh")))
+      .join(benchSh, Seq("sh")) // exact verify: false positives drop here
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_bench_docs"), max(col("c")).as("max_shared"))
+      .filter(col("max_shared") >= minShared)
+      .select(col("a").as(idCol), col("n_bench_docs"), col("max_shared"))
+  }
+
   /** Connected components over an undirected candidate-pair list —
     * the clustering stage between near-dup pair generation (Jaccard /
     * MinHash / cosine) and the keep-one-per-cluster decision.

@@ -275,6 +275,19 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    "q_contamination_bloom" -> ((s, dir) => {
+      // same decontamination answer through the Bloom-prefilter tier:
+      // bench shingles fold to bloom bits, corpus shingles prune
+      // map-side, exact join re-verifies — output identical by
+      // construction (bloom admits false positives only)
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contaminationBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 5, 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pack_tokens" -> ((s, dir) => {
       // shard-local token-budget packing: chunk stream → 256-token
       // training bins per source shard (window cumsum per shard, not
@@ -698,6 +711,21 @@ object PipelineQueries extends QueryPack {
   private val RE_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   // shared oracle CTE: distinct word 3-gram shingles per doc
+  private val ContaminationSql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh
+      |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 3)) AS i
+      |        FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents)
+      |        WHERE len(w) >= 5)),
+      |bench AS (SELECT doc_id AS b, sh FROM sh WHERE source = 'src0'),
+      |corp AS (SELECT doc_id AS a, sh FROM sh WHERE source <> 'src0'),
+      |ov AS (SELECT a, b, count(*) AS c FROM corp JOIN bench USING (sh) GROUP BY a, b)
+      |SELECT a AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bench_docs,
+      |  CAST(max(c) AS BIGINT) AS max_shared
+      |FROM ov GROUP BY a HAVING max(c) >= 3 ORDER BY doc_id""".stripMargin
+
   private val SH =
     """sh AS (
       |  SELECT DISTINCT doc_id, lang,
@@ -867,20 +895,10 @@ object PipelineQueries extends QueryPack {
         |SELECT label, pos, round(avg(e), 6) AS c
         |FROM ev GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
-    "q_contamination" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, source,
-        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh
-        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 3)) AS i
-        |        FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents)
-        |        WHERE len(w) >= 5)),
-        |bench AS (SELECT doc_id AS b, sh FROM sh WHERE source = 'src0'),
-        |corp AS (SELECT doc_id AS a, sh FROM sh WHERE source <> 'src0'),
-        |ov AS (SELECT a, b, count(*) AS c FROM corp JOIN bench USING (sh) GROUP BY a, b)
-        |SELECT a AS doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_bench_docs,
-        |  CAST(max(c) AS BIGINT) AS max_shared
-        |FROM ov GROUP BY a HAVING max(c) >= 3 ORDER BY doc_id""".stripMargin,
+    "q_contamination" -> ContaminationSql,
+    // the bloom tier re-verifies every candidate exactly, so its answer
+    // — and oracle — is identical to the broadcast-join tier's
+    "q_contamination_bloom" -> ContaminationSql,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $CLUSTERS,

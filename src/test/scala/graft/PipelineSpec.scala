@@ -110,6 +110,18 @@ class PipelineSpec extends SparkSpec {
       (3L, 2L, 1L, "baz"), (4L, 3L, 3L, "dup\ndup\nsolo")))
   }
 
+  test("contaminationBloom: identical answer to the exact tier, bloom really prunes") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val exact = Dedup.contamination(corpus, bench, "doc_id", "text", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.contaminationBloom(corpus, bench, "doc_id", "text", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty) // fixture really contains contaminated docs
+  }
+
   test("clusters: hash-min label propagation finds connected components") {
     // chain 1-2-3 plus isolated pair 10-11; transitivity must label 3 with 1
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a", "b")
