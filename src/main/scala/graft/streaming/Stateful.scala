@@ -122,4 +122,49 @@ object Stateful {
           folded.iterator
       }(Encoders.tuple(Encoders.scalaDouble, Encoders.scalaBoolean), Encoders.row(outSchema))
   }
+
+  /** Continuously-maintained per-key top-k (smallest `(ord, id)` long
+    * pairs first — negate a score for top-by-largest). State is the same
+    * O(k) bounded buffer the batch `topk_pairs` aggregate uses
+    * ([[graft.functions.TopKPairsBuf]]), serialized per key; whenever a
+    * micro-batch changes a key's top-k, the key's full current ranking
+    * re-emits (UPDATE mode): (keys..., rank, ord, id).
+    */
+  def topK(df: DataFrame, keys: Seq[String], ordCol: String, idCol: String,
+           k: Int): DataFrame = {
+    import graft.functions.TopKPairsBuf
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val ordIdx = schema.fieldIndex(ordCol)
+    val idIdx = schema.fieldIndex(idCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) ++ Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField(ordCol, LongType, nullable = false),
+        StructField(idCol, LongType, nullable = false)))
+    df.groupByKey(keyOf(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption.map(TopKPairsBuf.deserialize)
+            .getOrElse(new TopKPairsBuf(k))
+          val before = buf.result().toSeq
+          var keyRow: Row = null
+          rows.foreach { r =>
+            keyRow = r
+            if (!r.isNullAt(ordIdx) && !r.isNullAt(idIdx))
+              buf.add(r.getLong(ordIdx), r.getLong(idIdx))
+          }
+          val after = buf.result().toSeq
+          state.update(buf.serialize())
+          if (after == before || keyRow == null) Iterator.empty
+          else {
+            val keyVals = keyIdx.map(keyRow.get)
+            after.iterator.zipWithIndex.map { case ((o, i), rk) =>
+              Row.fromSeq(keyVals ++ Seq[Any](rk + 1, o, i))
+            }
+          }
+      }(Encoders.BINARY, Encoders.row(outSchema))
+  }
 }

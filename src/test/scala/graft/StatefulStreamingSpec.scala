@@ -88,4 +88,35 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming topK maintains a bounded per-key ranking across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val df = in.toDF().toDF("sym", "ord", "id")
+    val q = Stateful.topK(df, Seq("sym"), "ord", "id", 2).writeStream
+      .format("memory").queryName("topk_t").outputMode("update").start()
+    try {
+      in.addData(("A", 30L, 3L), ("A", 10L, 1L), ("B", 5L, 9L))
+      q.processAllAvailable()
+      // batch 2: 20 displaces 30 for A; a worse row (50) changes nothing
+      in.addData(("A", 20L, 2L), ("A", 50L, 5L))
+      q.processAllAvailable()
+      // memory sink appends updates in order, so the last rows per key
+      // are the current ranking
+      val aRows = spark.table("topk_t").filter($"sym" === "A")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      // final ranking for A must be [(1,10,1),(2,20,2)] — present as the
+      // last two emitted rows
+      assert(aRows.takeRight(2).toSeq == Seq((1, 10L, 1L), (2, 20L, 2L)))
+      val bRows = spark.table("topk_t").filter($"sym" === "B")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(bRows.toSeq == Seq((1, 5L, 9L))) // untouched by batch 2
+      // batch 3: no change for A → nothing re-emitted
+      val aCount = aRows.length
+      in.addData(("A", 99L, 7L))
+      q.processAllAvailable()
+      val aCount2 = spark.table("topk_t").filter($"sym" === "A").count()
+      assert(aCount2 == aCount)
+    } finally q.stop()
+  }
 }
