@@ -682,8 +682,76 @@ object QuestSql {
 
   private def stripQuotes(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
 
+  /** Apply `f` to the spans of `q` OUTSIDE single-quoted string
+    * literals (doubled '' escapes respected) — for textual rewrites
+    * that must not touch literal content.
+    */
+  private def mapOutsideStrings(q: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var start = 0
+    while (i < q.length) {
+      if (q.charAt(i) == '\'') {
+        sb.append(f(q.substring(start, i)))
+        var j = i + 1
+        var end = -1
+        while (j < q.length && end < 0) {
+          if (q.charAt(j) == '\'') {
+            if (j + 1 < q.length && q.charAt(j + 1) == '\'') j += 2 else end = j
+          } else j += 1
+        }
+        if (end < 0) end = q.length - 1
+        sb.append(q.substring(i, end + 1))
+        i = end + 1
+        start = i
+      } else i += 1
+    }
+    sb.append(f(q.substring(start)))
+    sb.toString
+  }
+
+  /** QuestDB geohash literals (reference `GenericLexer`/`GeoHashUtil`
+    * parse): `#u33d8b12` (base32 chars) and `##01010` (bit form). The
+    * repo's geohash type is the base32 string, so char literals become
+    * plain string literals; bit literals map exactly when they hold
+    * whole 5-bit chars (the reference's sub-char precisions have no
+    * string spelling — rejected explicitly, not silently truncated).
+    */
+  private[graft] def rewriteGeoLiterals(q: String): String = mapOutsideStrings(q) { s =>
+    val bin = "##([01]+)".r.replaceAllIn(s, m => {
+      val bits = m.group(1)
+      if (bits.length % 5 != 0)
+        throw new IllegalArgumentException(
+          s"geohash bit literal ##$bits: ${bits.length} bits is not a whole number " +
+            "of base32 chars (5 bits each)")
+      val chars = bits.grouped(5)
+        .map(g => "0123456789bcdefghjkmnpqrstuvwxyz".charAt(Integer.parseInt(g, 2)))
+        .mkString
+      s"'$chars'"
+    })
+    // base32 alphabet excludes a, i, l, o; require a boundary before #
+    // so we never touch ## (handled above) or mid-token #
+    "(?<![#\\w])#([0-9b-hjkmnp-z]+)\\b".r.replaceAllIn(bin, m => s"'${m.group(1)}'")
+  }
+
+  /** Infix `within` (reference SQL `WHERE geo within(#u33, #z1)`):
+    * geohash prefix containment against any of the listed prefixes.
+    * Runs after [[rewriteGeoLiterals]], so prefixes arrive as quoted
+    * strings; lowering is a `starts_with` OR-chain — a pushdown-able
+    * string predicate, the same plan a hand-written prefix filter gets.
+    */
+  private[graft] def rewriteWithin(q: String): String = {
+    val re = """(?i)([\w.]+)\s+within\s*\(([^()]*)\)""".r
+    re.replaceAllIn(q, m => {
+      val colRef = m.group(1)
+      val conds = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(p => s"startswith($colRef, $p)")
+      Regex.quoteReplacement("(" + conds.mkString(" OR ") + ")")
+    })
+  }
+
   private[sql] def rewriteFnMacros(q0: String): String = {
-    var q = q0
+    var q = rewriteWithin(rewriteGeoLiterals(q0))
     q = expandCalls(q, "mid") { case Seq(b, a) => s"(($b + $a) / 2.0)" }
     q = expandCalls(q, "spread") { case Seq(b, a) => s"($a - $b)" }
     q = expandCalls(q, "spread_bps") { case Seq(b, a) =>

@@ -72,6 +72,32 @@ class QuestSqlSpec extends SparkSpec {
     assert(now > 1700000000000000000L && now < 4102444800000000000L)
   }
 
+  test("geohash literals (#chars, ##bits) and infix within lower to prefix predicates") {
+    // unit rewrites
+    assert(QuestSql.rewriteGeoLiterals("WHERE g = #u33d8b12") == "WHERE g = 'u33d8b12'")
+    // 01010 = 10 → 'b', 11111 = 31 → 'z'
+    assert(QuestSql.rewriteGeoLiterals("WHERE g = ##0101011111") == "WHERE g = 'bz'")
+    // inside string literals: untouched
+    assert(QuestSql.rewriteGeoLiterals("SELECT '#u33' AS s, #u33 AS g")
+      == "SELECT '#u33' AS s, 'u33' AS g")
+    assert(QuestSql.rewriteWithin("WHERE g within('u33', 'z1')")
+      == "WHERE (startswith(g, 'u33') OR startswith(g, 'z1'))")
+    // within_radius etc. must NOT be eaten by the infix rewrite
+    val wr = "SELECT within_radius(x, y, 0, 0, 5) AS r"
+    assert(QuestSql.rewriteWithin(wr) == wr)
+    // sub-char bit precision is rejected, not truncated
+    intercept[IllegalArgumentException] {
+      QuestSql.rewriteGeoLiterals("WHERE g within(##0101)")
+    }
+    // end-to-end: geohash column + within over # literals
+    val r = engine.sql(
+      "SELECT count(*) AS n FROM (SELECT geohash_encode(lat, lon, 4) AS g " +
+        "FROM (SELECT CAST(48.8584 AS DOUBLE) AS lat, CAST(2.2945 AS DOUBLE) AS lon)) " +
+        "WHERE g within(#u09, #zzz)")
+      .head()
+    assert(r.getLong(0) == 1L) // Eiffel Tower geohash u09t... matches prefix u09
+  }
+
   test("glob / timestamp_shuffle / pg_postmaster_start_time") {
     val g = engine.sql(
       "SELECT glob(event_type, 'cl*') AS a, glob(event_type, 'c???k') AS b, " +
