@@ -218,8 +218,85 @@ object QuestSql {
         // the fallback re-derives from q0 to keep :name markers for
         // Spark's parameter binder — re-apply the table-fn substitution
         val rewritten = rewriteTableFns(spark, rewrite(q0))
-        if (named.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, named)
+        def run(q: String): DataFrame =
+          if (named.isEmpty) spark.sql(q) else spark.sql(q, named)
+        // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
+        // optional" — `SELECT sym, avg(price) FROM trades` auto-groups on
+        // the bare columns). Spark's analyzer classifies aggregate vs
+        // non-aggregate for us: MISSING_GROUP_BY carries the partially
+        // analyzed plan, whose Aggregate node separates the select items
+        // with no aggregate function — exactly the group keys. One retry
+        // with those keys spliced in; an explicit-but-incomplete GROUP BY
+        // (MISSING_AGGREGATION) stays an error, like the reference.
+        try run(rewritten)
+        catch {
+          case e: org.apache.spark.sql.catalyst.ExtendedAnalysisException
+              if e.getCondition == "MISSING_GROUP_BY" &&
+                topLevelIndexOf(rewritten, Seq("group by")) < 0 =>
+            import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+            import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+            import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            val keys = e.plan.toSeq.flatMap(_.collectFirst {
+              case a: Aggregate =>
+                a.aggregateExpressions
+                  .filter(_.collectFirst { case ae: AggregateExpression => ae }.isEmpty)
+                  .map {
+                    case al: Alias => al.child.sql
+                    case att: AttributeReference => att.name
+                    case other => other.sql
+                  }
+            }.getOrElse(Seq.empty))
+            if (keys.isEmpty) throw e
+            run(insertGroupBy(rewritten, keys))
+        }
       }
+  }
+
+  /** Index of the first occurrence of any keyword at paren depth 0 and
+    * outside single-quoted strings, case-insensitive; -1 if absent.
+    */
+  private def topLevelIndexOf(q: String, keywords: Seq[String]): Int = {
+    val lower = q.toLowerCase
+    var i = 0
+    var depth = 0
+    while (i < lower.length) {
+      lower.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          var j = i + 1
+          var end = -1
+          while (j < lower.length && end < 0) {
+            if (lower.charAt(j) == '\'') {
+              if (j + 1 < lower.length && lower.charAt(j + 1) == '\'') j += 2 else end = j
+            } else j += 1
+          }
+          i = if (end < 0) lower.length else end + 1
+        case _ =>
+          if (depth == 0) {
+            val hit = keywords.exists { k =>
+              lower.startsWith(k, i) &&
+                (i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))) &&
+                (i + k.length >= lower.length ||
+                  !Character.isLetterOrDigit(lower.charAt(i + k.length)))
+            }
+            if (hit) return i
+          }
+          i += 1
+      }
+    }
+    -1
+  }
+
+  /** Splice `GROUP BY cols` before the statement's top-level
+    * ORDER BY / LIMIT tail (or append when there is none).
+    */
+  private def insertGroupBy(q: String, cols: Seq[String]): String = {
+    val gb = " GROUP BY " + cols.mkString(", ")
+    topLevelIndexOf(q, Seq("order by", "limit")) match {
+      case -1 => q + gb
+      case at => q.substring(0, at) + gb + " " + q.substring(at)
+    }
   }
 
   // ---- DDL / DML statements (reference SqlCompilerImpl: CREATE TABLE

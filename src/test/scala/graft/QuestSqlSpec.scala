@@ -98,6 +98,31 @@ class QuestSqlSpec extends SparkSpec {
     assert(r.getLong(0) == 1L) // Eiffel Tower geohash u09t... matches prefix u09
   }
 
+  test("implicit GROUP BY: bare columns beside aggregates auto-group (reference idiom)") {
+    val got = engine.sql(
+      "SELECT event_type, count(*) AS n, round(avg(value), 3) AS a FROM events " +
+        "ORDER BY event_type LIMIT 3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = engine.sql(
+      "SELECT event_type, count(*) AS n, round(avg(value), 3) AS a FROM events " +
+        "GROUP BY event_type ORDER BY event_type LIMIT 3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+    // two bare columns accumulate across retries
+    val two = engine.sql(
+      "SELECT event_type, user_id % 2 AS par, count(*) AS n FROM events " +
+        "WHERE user_id < 20 ORDER BY event_type, par").collect()
+    val twoWant = engine.sql(
+      "SELECT event_type, user_id % 2 AS par, count(*) AS n FROM events " +
+        "WHERE user_id < 20 GROUP BY event_type, user_id % 2 ORDER BY event_type, par").collect()
+    assert(two.nonEmpty && two.sameElements(twoWant))
+    // a real analysis error (explicit GROUP BY present) still surfaces
+    intercept[org.apache.spark.sql.AnalysisException] {
+      engine.sql("SELECT event_type, user_id, count(*) FROM events GROUP BY event_type")
+        .collect()
+    }
+  }
+
   test("glob / timestamp_shuffle / pg_postmaster_start_time") {
     val g = engine.sql(
       "SELECT glob(event_type, 'cl*') AS a, glob(event_type, 'c???k') AS b, " +
