@@ -195,8 +195,30 @@ object QuestSql {
     out.toString
   }
 
+  /** First word of a statement (lowercased) — "" when the statement
+    * starts with punctuation (e.g. a parenthesized subquery).
+    */
+  private def firstWord(q: String): String =
+    q.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.').toLowerCase
+
+  private val StatementKeywords = Set(
+    "select", "with", "create", "insert", "update", "delete", "drop", "alter",
+    "truncate", "rename", "copy", "show", "explain", "declare", "begin",
+    "commit", "rollback", "set", "reset", "discard", "close", "unlisten",
+    "deallocate", "reindex", "vacuum", "checkpoint", "snapshot", "refresh",
+    "cancel", "grant", "revoke", "backup", "call", "values", "table")
+
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
-    val q0 = expandDeclare(query.trim.stripSuffix(";"))
+    var q0 = expandDeclare(query.trim.stripSuffix(";"))
+    // QuestDB shorthand: `SELECT * FROM` is optional — `trades WHERE ...
+    // LATEST ON ... LIMIT n` is a complete query (reference SqlParser
+    // parses a bare table as the model's FROM). Engage only when the
+    // first word is no statement keyword AND names a known table/view,
+    // so misspelled SQL still errors as SQL.
+    val fw = firstWord(q0)
+    if (fw.nonEmpty && !StatementKeywords(fw) &&
+        (try spark.catalog.tableExists(fw) catch { case _: Exception => false }))
+      q0 = "SELECT * FROM " + q0
     // PG clients and BI tools probe these on connect — materialize fresh
     // (only the schema the query touches)
     val wantsInfo = """(?i)\binformation_schema\s*\.""".r.findFirstIn(q0).isDefined

@@ -123,6 +123,18 @@ class QuestSqlSpec extends SparkSpec {
     }
   }
 
+  test("bare-table shorthand: SELECT * FROM is optional (reference idiom)") {
+    assert(engine.sql("events").columns.sameElements(
+      engine.sql("SELECT * FROM events").columns))
+    assert(engine.sql("events WHERE user_id < 5 LIMIT 7").count() == 7)
+    // composes with dialect tails: LATEST ON over the bare table
+    val latest = engine.sql("events LATEST ON ts PARTITION BY user_id").count()
+    assert(latest == engine.sql(
+      "SELECT * FROM events LATEST ON ts PARTITION BY user_id").count())
+    // a non-table first word still errors as SQL, not as a table read
+    intercept[Exception] { engine.sql("selecct 1").collect() }
+  }
+
   test("glob / timestamp_shuffle / pg_postmaster_start_time") {
     val g = engine.sql(
       "SELECT glob(event_type, 'cl*') AS a, glob(event_type, 'c???k') AS b, " +
