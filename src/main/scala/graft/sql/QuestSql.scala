@@ -461,6 +461,57 @@ object QuestSql {
   private val AlterAckRe =
     """(?is)^(SET\s+PARAM\b.*|RESUME\s+WAL.*|SUSPEND\s+WAL.*|SET\s+TYPE\s+.*|SQUASH\s+PARTITIONS.*|DEDUP\s+(ENABLE|DISABLE).*|ALTER\s+COLUMN\s+\w+\s+(ADD|DROP)\s+INDEX.*|ALTER\s+COLUMN\s+\w+\s+CACHE.*|ALTER\s+COLUMN\s+\w+\s+NOCACHE.*)$""".r
 
+  // plain CREATE TABLE with column definitions (reference
+  // SqlParser.parseCreateTable: `CREATE TABLE t (sym SYMBOL CAPACITY 256
+  // CACHE INDEX, ts TIMESTAMP, ...) TIMESTAMP(ts) PARTITION BY DAY WAL
+  // [WITH ...] [DEDUP UPSERT KEYS(...)] [IN VOLUME x]`) — an empty
+  // session view with the declared schema; symbol capacity/cache/index
+  // knobs are storage hints with no Spark analogue (validated, dropped)
+  private val CreateTablePlainHeadRe =
+    """(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)$""".r
+  private val CreateTablePlainTailRe =
+    ("""(?is)^\s*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?""" +
+      """\s*(?:BYPASS\s+WAL|WAL)?\s*(?:WITH\s+[\w=,.\s]+?)?\s*""" +
+      """(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*(?:IN\s+VOLUME\s+\S+)?\s*$""").r
+
+  /** Split `rest` (text after the opening paren of a column list) at its
+    * balancing close paren: (inside, after). None if unbalanced.
+    */
+  private def splitBalanced(rest: String): Option[(String, String)] = {
+    var depth = 1
+    var i = 0
+    while (i < rest.length) {
+      rest.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((rest.substring(0, i), rest.substring(i + 1)))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** One `name TYPE [modifiers]` column definition → (name, spark type).
+    * Parenthesized type args survive (`DECIMAL(20,4)`); GEOHASH precisions
+    * collapse onto the base32-string model.
+    */
+  private def parseColumnDefs(body: String): Seq[(String, String)] =
+    splitSelect(body).map { item =>
+      val m = """(?is)^\s*(\w+)\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+        .findFirstMatchIn(item)
+        .getOrElse(throw new IllegalArgumentException(s"bad column def: '$item'"))
+      val tpe = m.group(2).trim
+      val up = tpe.toUpperCase.replaceAll("\\s+", "")
+      val spk =
+        if (up.startsWith("GEOHASH")) "string"
+        else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) tpe.toLowerCase
+        else if (up.startsWith("VARCHAR") || up.startsWith("CHAR")) "string"
+        else sparkTypeOf(up)
+      (m.group(1), spk)
+    }
+
   /** Reference type name → Spark SQL type for ALTER/ADD columns. */
   private def sparkTypeOf(t: String): String = t.trim.toUpperCase match {
     case "INT" | "INTEGER" => "int"
@@ -689,6 +740,23 @@ object QuestSql {
     case CreateTableAsBareRe(name, inner) =>
       sqlBound(spark, inner, Map.empty).createOrReplaceTempView(name)
       Some(status(spark, "OK"))
+    case CreateTablePlainHeadRe(ifNot, name, rest) =>
+      val (colsBody, tail) = splitBalanced(rest).getOrElse(
+        throw new IllegalArgumentException(s"CREATE TABLE $name: unbalanced column list"))
+      val tsOpt = CreateTablePlainTailRe.findFirstMatchIn(tail) match {
+        case Some(m) => Option(m.group(1))
+        case None => throw new IllegalArgumentException(
+          s"CREATE TABLE $name: unrecognized tail '${tail.trim}'")
+      }
+      val exists = try spark.catalog.tableExists(name) catch { case _: Exception => false }
+      if (ifNot != null && exists) Some(status(spark, "OK"))
+      else {
+        val cols = parseColumnDefs(colsBody)
+        val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }.mkString(", ")
+        spark.sql(s"SELECT $sel").where("1=0").createOrReplaceTempView(name)
+        tsOpt.foreach(registerDesignatedTs(name, _))
+        Some(status(spark, "OK"))
+      }
     case InsertRe(name, body) =>
       val target = spark.table(name)
       val incoming0 = sqlBound(spark, body, Map.empty)

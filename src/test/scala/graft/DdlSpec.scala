@@ -19,6 +19,26 @@ class DdlSpec extends SparkSpec {
     assert(out.count() == n)
   }
 
+  test("plain CREATE TABLE with column defs, symbol knobs, WAL/DEDUP tails") {
+    engine.sql(
+      "CREATE TABLE plain_t (sym SYMBOL CAPACITY 256 CACHE INDEX CAPACITY 512, " +
+        "ts TIMESTAMP, price DOUBLE, qty LONG, g GEOHASH(6c), d DECIMAL(20,4)) " +
+        "TIMESTAMP(ts) PARTITION BY DAY WAL " +
+        "WITH maxUncommittedRows=250000 DEDUP UPSERT KEYS(ts, sym)")
+    val t = spark.table("plain_t")
+    assert(t.count() == 0)
+    val types = t.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("sym") == "string" && types("ts") == "timestamp" &&
+      types("price") == "double" && types("qty") == "bigint" &&
+      types("g") == "string" && types("d") == "decimal(20,4)")
+    // INSERT INTO the empty table works, designated ts registered → ASOF ok
+    engine.sql("INSERT INTO plain_t VALUES ('A', TIMESTAMP '2024-01-01 00:00:00', 1.0, 2, 'u09t1w', 3.5)")
+    assert(spark.table("plain_t").count() == 1)
+    // IF NOT EXISTS: second create is a no-op, data survives
+    engine.sql("CREATE TABLE IF NOT EXISTS plain_t (x INT)")
+    assert(spark.table("plain_t").count() == 1)
+  }
+
   test("CREATE TABLE AS bare SELECT") {
     engine.sql("CREATE TABLE ev_copy AS SELECT event_id, value FROM events LIMIT 10")
     assert(spark.table("ev_copy").count() == 10)
