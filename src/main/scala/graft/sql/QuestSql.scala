@@ -228,8 +228,9 @@ object QuestSql {
     refreshLiveViews(spark, q0)
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
-    val qForms = rewriteTableFns(spark, rewriteFnMacros(rewriteIntervalLiterals(
-      if (named.isEmpty) q0 else substParams(q0, named))))
+    val qForms = rewriteTableFns(spark, rewriteTsAggs(spark,
+      rewriteFnMacros(rewriteIntervalLiterals(
+        if (named.isEmpty) q0 else substParams(q0, named)))))
     statementForm(spark, qForms)
       .orElse(showForm(spark, qForms))
       .orElse(asofForm(spark, qForms))
@@ -239,7 +240,7 @@ object QuestSql {
       .getOrElse {
         // the fallback re-derives from q0 to keep :name markers for
         // Spark's parameter binder — re-apply the table-fn substitution
-        val rewritten = rewriteTableFns(spark, rewrite(q0))
+        val rewritten = rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0)))
         def run(q: String): DataFrame =
           if (named.isEmpty) spark.sql(q) else spark.sql(q, named)
         // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
@@ -915,6 +916,51 @@ object QuestSql {
         .map(p => s"startswith($colRef, $p)")
       Regex.quoteReplacement("(" + conds.mkString(" OR ") + ")")
     })
+  }
+
+  /** Reference aggregate spellings. `count()` / `count_distinct(x)` are
+    * pure text. `first/last/first_not_null/last_not_null` are ts-ordered
+    * in the reference (First/LastGroupByFunctionFactory over the
+    * designated timestamp); they lower to `min_by/max_by` against the
+    * FROM table's designated ts when one resolves — otherwise they're
+    * left for Spark (whose first/last are any-value) rather than
+    * guessing an order.
+    */
+  private def rewriteTsAggs(spark: SparkSession, q0: String): String = {
+    var q = q0
+    q = expandCalls(q, "count_distinct") { args =>
+      s"count(DISTINCT ${args.mkString(", ")})" }
+    q = expandCalls(q, "count") {
+      case args if args.forall(_.trim.isEmpty) => "count(*)"
+      case args => s"count(${args.mkString(", ")})"
+    }
+    val needsTs = """(?i)\b(first|last|first_not_null|last_not_null)\s*\(""".r
+      .findFirstIn(q).isDefined
+    if (needsTs) {
+      val fromAt = topLevelIndexOf(q, Seq("from"))
+      val table = if (fromAt < 0) "" else
+        q.substring(fromAt + 4).trim
+          .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+      val tsOpt =
+        if (table.isEmpty) None
+        else try Some(tsOfRel(table, spark.table(table)))
+        catch { case _: Exception => None }
+      tsOpt.foreach { ts =>
+        q = expandCalls(q, "first_not_null") { case Seq(x) =>
+          s"min_by($x, CASE WHEN ($x) IS NOT NULL THEN $ts END)" }
+        q = expandCalls(q, "last_not_null") { case Seq(x) =>
+          s"max_by($x, CASE WHEN ($x) IS NOT NULL THEN $ts END)" }
+        q = expandCalls(q, "first") {
+          case Seq(x) => s"min_by($x, $ts)"
+          case args => s"first(${args.mkString(", ")})"
+        }
+        q = expandCalls(q, "last") {
+          case Seq(x) => s"max_by($x, $ts)"
+          case args => s"last(${args.mkString(", ")})"
+        }
+      }
+    }
+    q
   }
 
   private[sql] def rewriteFnMacros(q0: String): String = {

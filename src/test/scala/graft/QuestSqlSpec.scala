@@ -135,6 +135,24 @@ class QuestSqlSpec extends SparkSpec {
     intercept[Exception] { engine.sql("selecct 1").collect() }
   }
 
+  test("reference agg spellings: count(), count_distinct, ts-ordered first/last") {
+    val r = engine.sql(
+      "SELECT event_type, count() AS n, count_distinct(user_id) AS u, " +
+        "first(value) AS f, last(value) AS l, " +
+        "first_not_null(CASE WHEN value > 100 THEN value END) AS fnn " +
+        "FROM events WHERE user_id < 10 ORDER BY event_type").collect()
+    val want = engine.sql(
+      "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS u, " +
+        "min_by(value, ts) AS f, max_by(value, ts) AS l, " +
+        "min_by(CASE WHEN value > 100 THEN value END, " +
+        "  CASE WHEN (CASE WHEN value > 100 THEN value END) IS NOT NULL THEN ts END) AS fnn " +
+        "FROM events WHERE user_id < 10 GROUP BY event_type ORDER BY event_type").collect()
+    assert(r.nonEmpty && r.sameElements(want))
+    // multi-arg and underscore-prefixed names stay untouched
+    assert(engine.sql("SELECT count(DISTINCT event_type) AS c FROM events")
+      .head().getLong(0) > 0)
+  }
+
   test("glob / timestamp_shuffle / pg_postmaster_start_time") {
     val g = engine.sql(
       "SELECT glob(event_type, 'cl*') AS a, glob(event_type, 'c???k') AS b, " +
