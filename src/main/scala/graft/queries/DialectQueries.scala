@@ -13,6 +13,19 @@ import graft.sql.QuestSql
 object DialectQueries extends QueryPack {
 
   def queries: Map[String, Fn] = Map(
+    "q_sql_idioms" -> ((s, dir) => {
+      // the reference's signature shorthands in one statement: implicit
+      // GROUP BY (bare column beside aggregates), count() /
+      // count_distinct spellings, ts-ordered first/last lowered onto
+      // the designated timestamp (ts is unique under this filter, so
+      // the ordering is tie-free on both engines)
+      Tables.registerAll(s, dir)
+      QuestSql.sql(s,
+        "SELECT event_type, count() AS n, count_distinct(user_id) AS u, " +
+          "first(event_id) AS fid, last(event_id) AS lid " +
+          "FROM events WHERE user_id < 25 ORDER BY event_type")
+    }),
+
     "q_sql_asof_where" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       QuestSql.sql(s,
@@ -424,6 +437,11 @@ object DialectQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sql_idioms" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS u,
+        |  arg_min(event_id, ts) AS fid, arg_max(event_id, ts) AS lid
+        |FROM events WHERE user_id < 25
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_asof_where" ->
       """SELECT p.event_id, p.ts, p.user_id, p.value, c.ts1, c.value1
         |FROM (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase') p
