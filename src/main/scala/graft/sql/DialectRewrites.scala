@@ -1,0 +1,265 @@
+package graft.sql
+
+/** Textual dialect-surface rewrites that close reference-syntax gaps
+  * before Spark parsing (reference `griffin/SqlParser`-accepted spellings
+  * that Spark's parser rejects):
+  *
+  *   - PG-style double-quoted identifiers → backticks ("col" is an
+  *     identifier in the reference, never a string)
+  *   - numeric literals with `_` digit separators (`50_000`)
+  *   - decimal literals with the `m` suffix (`1.25m`)
+  *   - `ARRAY[...]` literals → `array(...)`
+  *   - `type[]` cast targets → `array<type>`
+  *   - sizeless VARCHAR / CHAR and SYMBOL / UUID cast targets → STRING
+  *   - `timestamp [with time zone]` cast tails
+  *   - `expr at time zone 'TZ'` → from_utc_timestamp
+  *   - single-quoted table names after FROM/INTO/TABLE/JOIN → backticks
+  *
+  * All passes skip single-quoted string literals.
+  */
+object DialectRewrites {
+
+  def apply(q0: String): String = {
+    var q = doubleQuotedIdents(q0)
+    q = mapOutside(q)(underscoreDigits)
+    q = mapOutside(q)(decimalSuffix)
+    q = arrayLiterals(q)
+    q = mapOutside(q)(arrayTypeCasts)
+    q = mapOutside(q)(sizelessTypes)
+    q = mapOutside(q)(tzCastTails)
+    q = atTimeZone(q)
+    q = quotedTableNames(q)
+    q
+  }
+
+  /** Apply `f` to the segments outside single-quoted strings. */
+  private def mapOutside(s: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        var j = i + 1
+        var end = -1
+        while (j < s.length && end < 0) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2 else end = j
+          } else j += 1
+        }
+        val stop = if (end < 0) s.length else end + 1
+        sb.append(f(s.substring(start, i))).append(s.substring(i, stop))
+        i = stop
+        start = stop
+      } else i += 1
+    }
+    sb.append(f(s.substring(start)))
+    sb.toString
+  }
+
+  /** `"ident"` → `` `ident` `` (PG identifier quoting; reference lexer
+    * treats double quotes as identifier quotes, Spark as strings). */
+  private def doubleQuotedIdents(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        var end = -1
+        while (j < s.length && end < 0) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2 else end = j
+          } else j += 1
+        }
+        val stop = if (end < 0) s.length else end + 1
+        sb.append(s.substring(i, stop))
+        i = stop
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '"') j += 1
+        sb.append('`').append(s.substring(i + 1, math.min(j, s.length))).append('`')
+        i = math.min(j + 1, s.length)
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** `50_000` → `50000` (reference Java-style digit separators). */
+  private def underscoreDigits(s: String): String =
+    s.replaceAll("(?<=\\d)_(?=\\d)", "")
+
+  /** `1.25m` decimal-suffix literal → Spark BigDecimal literal `1.25BD`.
+    * Only with a decimal point — integer `1m` is a SAMPLE BY / duration
+    * stride, never a decimal literal in practice. */
+  private def decimalSuffix(s: String): String =
+    s.replaceAll("(?i)\\b(\\d+\\.\\d+)m\\b", "$1BD")
+
+  /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */
+  private[sql] def arrayLiterals(s0: String): String = {
+    var s = s0
+    var idx = findArrayLit(s, 0)
+    while (idx >= 0) {
+      val open = s.indexOf('[', idx)
+      val sb = new StringBuilder(s.substring(0, idx))
+      sb.append("array(")
+      var depth = 1
+      var i = open + 1
+      while (i < s.length && depth > 0) {
+        s.charAt(i) match {
+          case '\'' =>
+            var j = i + 1
+            while (j < s.length && s.charAt(j) != '\'') j += 1
+            sb.append(s.substring(i, math.min(j + 1, s.length))); i = j + 1
+          case '[' => depth += 1; sb.append("array("); i += 1
+          case ']' => depth -= 1; sb.append(')'); i += 1
+          case c => sb.append(c); i += 1
+        }
+      }
+      sb.append(s.substring(math.min(i, s.length)))
+      s = sb.toString
+      idx = findArrayLit(s, idx + 6)
+    }
+    s
+  }
+
+  private def findArrayLit(s: String, from: Int): Int = {
+    val m = java.util.regex.Pattern.compile("(?i)\\bARRAY\\s*\\[").matcher(s)
+    if (m.find(from)) m.start() else -1
+  }
+
+  /** `::double[]` / `as double[])` → array cast targets; applied
+    * repeatedly so `double[][]` nests. */
+  private def arrayTypeCasts(s0: String): String = {
+    var s = s0
+    var prev: String = null
+    while (s != prev) {
+      prev = s
+      s = s.replaceAll("(?i)::\\s*([a-z_]+)\\s*\\[\\s*\\]", "::ARRAY<$1>")
+      s = s.replaceAll("(?i)(\\bas\\s+)([a-z_]+)\\s*\\[\\s*\\]", "$1ARRAY<$2>")
+      // nested: ARRAY<double>[] → ARRAY<ARRAY<double>>
+      s = s.replaceAll("(?i)(ARRAY<[^<>]+>)\\s*\\[\\s*\\]", "ARRAY<$1>")
+      s = s.replaceAll("(?i)ARRAY<(ARRAY<[^<>]+>)\\s*\\[\\s*\\]>", "ARRAY<ARRAY<$1>>")
+    }
+    s
+  }
+
+  /** Cast targets Spark lacks: sizeless VARCHAR/CHAR, SYMBOL, UUID →
+    * STRING (reference types that ride as strings here); LONG128 →
+    * STRING. Applies to `::type` and `AS type)` spellings only, so
+    * columns named `symbol` stay untouched. */
+  private def sizelessTypes(s0: String): String = {
+    var s = s0
+    s = s.replaceAll("(?i)::\\s*varchar\\b(?!\\s*\\()", "::STRING")
+    s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
+    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128)\\b", "::STRING")
+    s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
+    s = s.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
+    s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128)\\s*\\)", "AS STRING)")
+    // sized VARCHAR(n) casts are fine for Spark; CHAR(n) too
+    s
+  }
+
+  /** `::timestamp with time zone` → `::timestamp`;
+    * `cast(x as timestamp with time zone)` likewise (values are UTC
+    * already — the session is pinned to UTC like the reference). */
+  private def tzCastTails(s0: String): String = {
+    var s = s0
+    s = s.replaceAll("(?i)(::\\s*timestamp(?:_ns)?)\\s+with\\s+time\\s+zone", "$1")
+    s = s.replaceAll("(?i)(\\bas\\s+timestamp(?:_ns)?)\\s+with\\s+time\\s+zone(\\s*\\))", "$1$2")
+    s
+  }
+
+  /** `operand at time zone 'TZ'` → `from_utc_timestamp(operand, 'TZ')`.
+    * The operand is the immediately preceding literal/column/call. */
+  private def atTimeZone(s0: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\s+at\\s+time\\s+zone\\s+('(?:[^']|'')*')")
+    var s = s0
+    var m = pat.matcher(s)
+    var guard = 0
+    while (m.find() && guard < 64) {
+      guard += 1
+      val opEnd = m.start()
+      val opStart = operandStart(s, opEnd)
+      val operand = s.substring(opStart, opEnd)
+      val tz = m.group(1)
+      s = s.substring(0, opStart) + s"from_utc_timestamp($operand, $tz)" +
+        s.substring(m.end())
+      m = pat.matcher(s)
+    }
+    s
+  }
+
+  /** Start of the expression operand that ends (exclusive) at `end`:
+    * walks back over a balanced-paren call chain / quoted literal /
+    * dotted identifier / `::`-cast chain. */
+  private def operandStart(s: String, end0: Int): Int = {
+    var i = end0 - 1
+    while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return 0
+    def walkBack(j0: Int): Int = {
+      var j = j0
+      s.charAt(j) match {
+        case ')' =>
+          var depth = 0
+          while (j >= 0) {
+            s.charAt(j) match {
+              case ')' => depth += 1
+              case '(' =>
+                depth -= 1
+                if (depth == 0) return walkIdentBack(j - 1)
+              case _ =>
+            }
+            j -= 1
+          }
+          0
+        case '\'' =>
+          j -= 1
+          while (j >= 0 && s.charAt(j) != '\'') j -= 1
+          // typed literal prefix (timestamp '...' etc.)
+          walkIdentBack(j - 1)
+        case c if Character.isLetterOrDigit(c) || c == '_' || c == '>' =>
+          walkIdentBack(j)
+        case _ => j + 1
+      }
+    }
+    def walkIdentBack(j0: Int): Int = {
+      var j = j0
+      while (j >= 0 && (Character.isLetterOrDigit(s.charAt(j)) ||
+          "_$.<>".indexOf(s.charAt(j)) >= 0)) j -= 1
+      // `::` cast chain continues left
+      if (j >= 1 && s.charAt(j) == ':' && s.charAt(j - 1) == ':')
+        walkBack(j - 2)
+      else j + 1
+    }
+    walkBack(i)
+  }
+
+  /** Single-quoted table names after FROM/INTO/TABLE/JOIN →
+    * backtick identifiers (`insert into 'tbl'`, `select * from 'tbl'`).
+    * COPY statements keep their quoted file paths. */
+  private def quotedTableNames(s: String): String = {
+    val fw = s.trim.takeWhile(c => c.isLetter).toLowerCase
+    if (fw == "copy") return s
+    val m = java.util.regex.Pattern.compile(
+      "(?i)\\b(from|into|join|table(?:\\s+if\\s+not\\s+exists)?)\\s+'([^']+)'(?!\\s*(?:\\(|\\.))").matcher(s)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      val name = m.group(2)
+      // timestamp/interval literals (SAMPLE BY ... FROM '2020-01-01') and
+      // file paths are not table names
+      val tableish = !name.matches("\\d{4}.*") && !name.contains("/") &&
+        !name.contains("\\")
+      sb.append(s.substring(last, m.start()))
+      if (tableish) sb.append(m.group(1)).append(" `").append(name).append('`')
+      else sb.append(m.group(0))
+      last = m.end()
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+}

@@ -208,6 +208,16 @@ object QuestSql {
     "deallocate", "reindex", "vacuum", "checkpoint", "snapshot", "refresh",
     "cancel", "grant", "revoke", "backup", "call", "values", "table")
 
+  /** Table functions accepted as a bare statement (`generate_series(..)`
+    * is a complete query, like a bare table name — reference SqlParser). */
+  private val BareTableFns = Set(
+    "generate_series", "long_sequence", "tables", "all_tables", "wal_tables",
+    "table_columns", "table_partitions", "wal_transactions", "functions",
+    "keywords", "pg_get_keywords", "reader_pool", "writer_pool",
+    "memory_metrics", "table_writer_metrics", "table_storage", "files",
+    "import_files", "export_files", "export_activity", "query_activity",
+    "checkpoint_status", "materialized_views", "live_views", "read_parquet")
+
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     var q0 = expandDeclare(query.trim.stripSuffix(";"))
     // QuestDB shorthand: `SELECT * FROM` is optional — `trades WHERE ...
@@ -216,9 +226,20 @@ object QuestSql {
     // first word is no statement keyword AND names a known table/view,
     // so misspelled SQL still errors as SQL.
     val fw = firstWord(q0)
+    val bareTableFn = BareTableFns(fw) &&
+      q0.drop(q0.toLowerCase.indexOf(fw) + fw.length).trim.startsWith("(")
     if (fw.nonEmpty && !StatementKeywords(fw) &&
-        (try spark.catalog.tableExists(fw) catch { case _: Exception => false }))
+        (bareTableFn ||
+          (try spark.catalog.tableExists(fw) catch { case _: Exception => false })))
       q0 = "SELECT * FROM " + q0
+    // reference-accepted spellings Spark's parser rejects (double-quoted
+    // identifiers, 50_000 separators, ARRAY[..] literals, type[] casts,
+    // sizeless VARCHAR/SYMBOL/UUID cast targets, at time zone, ...)
+    q0 = DialectRewrites(q0)
+    // reference-style result-set naming for unaliased expressions
+    // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
+    // count, duplicate bases get numeric suffixes
+    q0 = AutoAlias.rewriteQuery(q0)
     // PG clients and BI tools probe these on connect — materialize fresh
     // (only the schema the query touches)
     val wantsInfo = """(?i)\binformation_schema\s*\.""".r.findFirstIn(q0).isDefined
@@ -232,6 +253,7 @@ object QuestSql {
       rewriteFnMacros(rewriteIntervalLiterals(
         if (named.isEmpty) q0 else substParams(q0, named)))))
     statementForm(spark, qForms)
+      .orElse(rangeLimitNegForm(spark, qForms))
       .orElse(showForm(spark, qForms))
       .orElse(asofForm(spark, qForms))
       .orElse(windowJoinForm(spark, qForms))
@@ -331,15 +353,23 @@ object QuestSql {
   // Durable day-partitioned tables go through graft.streaming.Ingest /
   // graft.ops.Mutations instead.
 
+  /** Table identifier: dotted word or backtick-quoted. */
+  private val Ident = """((?:`[^`]+`|[\w.])+)"""
+
+  private def unq(name: String): String = name.replace("`", "")
+
   private val CreateTableAsRe =
-    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s*\((.*?)\)\s*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*$""".r
+    ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
+      """\s+AS\s*\((.*?)\)\s*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?(?:\s+WAL|\s+BYPASS\s+WAL)?\s*(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*$""").r
   private val CreateTableAsBareRe =
-    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT\s+.*)$""".r
+    ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
+      """\s+AS\s+(SELECT\s+.*)$""").r
   private val InsertRe =
-    """(?is)^INSERT\s+INTO\s+([\w.]+)\s+((?:SELECT|VALUES)\s*.*)$""".r
-  private val DropRe = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
-  private val RenameRe = """(?is)^RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*$""".r
-  private val TruncateRe = """(?is)^TRUNCATE\s+TABLE\s+([\w.]+)\s*$""".r
+    ("""(?is)^INSERT\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?INTO\s+""" + Ident +
+      """\s*(?:\(([^)]*)\))?\s*((?:SELECT|VALUES)\s*.*)$""").r
+  private val DropRe = ("""(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?""" + Ident + """\s*$""").r
+  private val RenameRe = ("""(?is)^RENAME\s+TABLE\s+""" + Ident + """\s+TO\s+""" + Ident + """\s*$""").r
+  private val TruncateRe = ("""(?is)^TRUNCATE\s+TABLE\s+""" + Ident + """\s*$""").r
   private val CopyFromRe =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+WITH\s+HEADER\s+(true|false))?\s*$""".r
   private val CopyToRe =
@@ -469,11 +499,12 @@ object QuestSql {
   // session view with the declared schema; symbol capacity/cache/index
   // knobs are storage hints with no Spark analogue (validated, dropped)
   private val CreateTablePlainHeadRe =
-    """(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)$""".r
+    """(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)\s*\((.*)$""".r
+  // tail after the column list: optional designated-timestamp clause,
+  // then any mix of storage knobs (PARTITION BY / WAL / TTL / WITH /
+  // DEDUP / IN VOLUME) that don't change view semantics here
   private val CreateTablePlainTailRe =
-    ("""(?is)^\s*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?""" +
-      """\s*(?:BYPASS\s+WAL|WAL)?\s*(?:WITH\s+[\w=,.\s]+?)?\s*""" +
-      """(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*(?:IN\s+VOLUME\s+\S+)?\s*$""").r
+    """(?is)^\s*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY|BYPASS|WAL|TTL|WITH|DEDUP|IN\s+VOLUME|OWNED|$).*$""".r
 
   /** Split `rest` (text after the opening paren of a column list) at its
     * balancing close paren: (inside, after). None if unbalanced.
@@ -499,15 +530,26 @@ object QuestSql {
     * collapse onto the base32-string model.
     */
   private def parseColumnDefs(body: String): Seq[(String, String)] =
-    splitSelect(body).map { item =>
-      val m = """(?is)^\s*(\w+)\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+    splitSelect(body).filterNot(
+      // table-level index/constraint entries carry no column
+      _.matches("(?is)^\\s*index\\s*\\(.*\\)\\s*$")
+    ).map { item =>
+      val m = """(?is)^\s*(`[^`]+`|\w+)\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?)\s*(.*)$""".r
         .findFirstMatchIn(item)
         .getOrElse(throw new IllegalArgumentException(s"bad column def: '$item'"))
       val tpe = m.group(2).trim
       val up = tpe.toUpperCase.replaceAll("\\s+", "")
       val spk =
         if (up.startsWith("GEOHASH")) "string"
-        else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) tpe.toLowerCase
+        else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) {
+          // Spark caps precision at 38 (reference DECIMAL256 goes to 76)
+          val ps = """\((\d+)\s*,\s*(\d+)\)""".r.findFirstMatchIn(up)
+          ps match {
+            case Some(m2) if m2.group(1).toInt > 38 =>
+              s"decimal(38,${math.min(m2.group(2).toInt, 37)})"
+            case _ => tpe.toLowerCase
+          }
+        }
         else if (up.startsWith("VARCHAR") || up.startsWith("CHAR")) "string"
         else sparkTypeOf(up)
       (m.group(1), spk)
@@ -735,11 +777,11 @@ object QuestSql {
           .split("\n").toSeq.toDF("PLAN"))
     case CreateTableAsRe(name, inner, ts) =>
       val df = sqlBound(spark, inner, Map.empty)
-      df.createOrReplaceTempView(name)
-      Option(ts).foreach(registerDesignatedTs(name, _))
+      df.createOrReplaceTempView(unq(name))
+      Option(ts).foreach(registerDesignatedTs(unq(name), _))
       Some(status(spark, "OK"))
     case CreateTableAsBareRe(name, inner) =>
-      sqlBound(spark, inner, Map.empty).createOrReplaceTempView(name)
+      sqlBound(spark, inner, Map.empty).createOrReplaceTempView(unq(name))
       Some(status(spark, "OK"))
     case CreateTablePlainHeadRe(ifNot, name, rest) =>
       val (colsBody, tail) = splitBalanced(rest).getOrElse(
@@ -754,32 +796,42 @@ object QuestSql {
       else {
         val cols = parseColumnDefs(colsBody)
         val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }.mkString(", ")
-        spark.sql(s"SELECT $sel").where("1=0").createOrReplaceTempView(name)
-        tsOpt.foreach(registerDesignatedTs(name, _))
+        spark.sql(s"SELECT $sel").where("1=0").createOrReplaceTempView(unq(name))
+        tsOpt.foreach(registerDesignatedTs(unq(name), _))
         Some(status(spark, "OK"))
       }
-    case InsertRe(name, body) =>
-      val target = spark.table(name)
+    case InsertRe(name0, colList, body) =>
+      val name = unq(name0)
+      val target = spark.table(name0)
       val incoming0 = sqlBound(spark, body, Map.empty)
-      // align by position, cast to the target schema (VALUES arrive as colN)
-      require(incoming0.columns.length == target.columns.length,
-        s"INSERT column count ${incoming0.columns.length} != table ${target.columns.length}")
-      val incoming = incoming0.toDF(target.columns: _*)
-        .select(target.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      // align by position, cast to the target schema (VALUES arrive as
+      // colN); a column list maps positions onto the named subset and
+      // nulls the rest (reference InsertModel column list)
+      val listed: Seq[String] =
+        if (colList == null || colList.trim.isEmpty) target.columns.toSeq
+        else colList.split(",").map(c => unq(c.trim)).toSeq
+      require(incoming0.columns.length == listed.length,
+        s"INSERT column count ${incoming0.columns.length} != ${listed.length}")
+      val renamed = incoming0.toDF(listed: _*)
+      val incoming = renamed.select(target.schema.fields.map { f =>
+        if (listed.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
       val n = incoming.count()
       target.unionByName(incoming).createOrReplaceTempView(name)
       import spark.implicits._
       Some(Seq(n).toDF("rows_inserted"))
     case DropRe(name) =>
-      spark.catalog.dropTempView(name)
+      spark.catalog.dropTempView(unq(name))
       Some(status(spark, "OK"))
     case RenameRe(from, to) =>
-      spark.table(from).createOrReplaceTempView(to)
-      Option(tsRegistry.get(from.toLowerCase)).foreach(registerDesignatedTs(to, _))
-      spark.catalog.dropTempView(from)
+      spark.table(from).createOrReplaceTempView(unq(to))
+      Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
+      spark.catalog.dropTempView(unq(from))
       Some(status(spark, "OK"))
     case TruncateRe(name) =>
-      spark.table(name).limit(0).createOrReplaceTempView(name)
+      spark.table(name).limit(0).createOrReplaceTempView(unq(name))
       Some(status(spark, "OK"))
     case CopyFromRe(name, path, header) =>
       val df = spark.read
@@ -1060,6 +1112,70 @@ object QuestSql {
         s"unix_micros(CAST($lo AS TIMESTAMP)))) AS BIGINT))" }
     q = expandCalls(q, "pg_postmaster_start_time") { _ =>
       s"timestamp_micros(${java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime}000L)" }
+    // aggregate spellings the reference registers as dedicated factories
+    // (groupby/{Geomean,WeightedAvg}...FunctionFactory) — composable as
+    // plain Spark aggregates
+    q = expandCalls(q, "geomean") { case Seq(x) =>
+      s"exp(avg(ln($x)))" }
+    q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
+      s"(sum(CASE WHEN ($x) IS NOT NULL AND ($w) IS NOT NULL THEN ($x) * ($w) END)" +
+        s" / sum(CASE WHEN ($x) IS NOT NULL AND ($w) IS NOT NULL THEN CAST($w AS DOUBLE) END))" }
+    q = expandCalls(q, "vwap") { case Seq(p, s) =>
+      s"(sum(CASE WHEN ($p) IS NOT NULL AND ($s) IS NOT NULL THEN ($p) * ($s) END)" +
+        s" / sum(CASE WHEN ($p) IS NOT NULL AND ($s) IS NOT NULL THEN CAST($s AS DOUBLE) END))" }
+    q = expandCalls(q, "starts_with") { case Seq(s, p) =>
+      s"(left($s, length($p)) = ($p))" }
+    q = expandCalls(q, "make_geohash") { case Seq(lon, lat, bits) =>
+      s"geohash_encode($lat, $lon, $bits)" }
+    q = expandCalls(q, "json_extract") { case Seq(doc, path) =>
+      s"get_json_object($doc, $path)" }
+    q = expandCalls(q, "timestamp_floor_utc") { case Seq(stride, ts) =>
+      val us = strideToMicros(stripQuotes(stride))
+      s"timestamp_micros(CAST(unix_micros($ts) - ((unix_micros($ts) % $us + $us) % $us) AS BIGINT))" }
+    // l2price(target, size1, price1, ...) — unrolled book sweep
+    // (reference finance/LevelTwoPriceFunctionFactory): first level whose
+    // cumulative size covers target prices the fill; shortfall → NaN
+    q = expandCalls(q, "l2price") { case target +: pairs if pairs.length >= 2 && pairs.length % 2 == 0 =>
+      val t = s"CAST($target AS DOUBLE)"
+      val sizes = pairs.grouped(2).map(_.head).toSeq
+      val vals = pairs.grouped(2).map(_.last).toSeq
+      val branches = sizes.indices.map { k =>
+        val cum = sizes.take(k + 1).map(s => s"CAST($s AS DOUBLE)").mkString(" + ")
+        val before = sizes.take(k).map(s => s"CAST($s AS DOUBLE)").mkString(" + ")
+        val fill =
+          if (k == 0) s"(${vals(0)})"
+          else {
+            val acc = (0 until k).map(i => s"CAST(${sizes(i)} AS DOUBLE) * (${vals(i)})").mkString(" + ")
+            s"(($acc + ($t - ($before)) * (${vals(k)})) / $t)"
+          }
+        s"WHEN ($cum) >= $t THEN $fill"
+      }
+      s"(CASE ${branches.mkString(" ")} ELSE CAST('NaN' AS DOUBLE) END)" }
+    // bar(value, min, max, width) — block-character meter (reference
+    // str/BarFunctionFactory): full blocks + one fractional block
+    q = expandCalls(q, "bar") { case Seq(v0, mn0, mx0, w0) =>
+      val (v, mn, mx, w) = (s"CAST($v0 AS DOUBLE)", s"CAST($mn0 AS DOUBLE)", s"CAST($mx0 AS DOUBLE)", s"CAST($w0 AS INT)")
+      val prop = s"((least(greatest($v, $mn), $mx) - $mn) / ($mx - $mn))"
+      val whole = s"CAST(floor($prop * $w) AS INT)"
+      val fracIdx = s"CAST(floor(($prop * $w - $whole) * 8) AS INT)"
+      s"(CASE WHEN isnan($v) OR ($v) IS NULL OR isnan($mn) OR isnan($mx) OR ($mn0) IS NULL OR ($mx0) IS NULL" +
+        s" OR $w <= 0 OR $mn >= $mx THEN NULL" +
+        s" ELSE concat(repeat('█', $whole)," +
+        s" CASE WHEN $whole < $w AND $fracIdx > 0 THEN substring('▁▂▃▄▅▆▇█', $fracIdx, 1) ELSE '' END) END)" }
+    q = expandCalls(q, "string_distinct_agg") { case Seq(x, sep) =>
+      s"array_join(array_distinct(collect_list($x)), $sep)" }
+    q = expandCalls(q, "isOrdered") { case Seq(x) =>
+      s"(collect_list($x) = array_sort(collect_list($x)))" }
+    // sparkline(x) — per-group block chart in row order (reference
+    // groupby/SparklineGroupByFunction.charForValue: clamp, scale to 8
+    // levels over the group's min..max)
+    q = expandCalls(q, "sparkline") { case Seq(x) =>
+      val cl = s"collect_list(CAST($x AS DOUBLE))"
+      s"(CASE WHEN size($cl) = 0 THEN NULL" +
+        s" WHEN array_min($cl) = array_max($cl) THEN repeat('▁', size($cl))" +
+        s" ELSE concat_ws('', transform($cl, v -> substring('▁▂▃▄▅▆▇█'," +
+        s" least(CAST(floor((least(greatest(v, array_min($cl)), array_max($cl)) - array_min($cl))" +
+        s" / (array_max($cl) - array_min($cl)) * 7) AS INT), 7) + 1, 1))) END)" }
     // ipv4 (reference functions/math IPv4*NetmaskFunctionFactory and the
     // `<<`/`<<=` containment operators — function forms here; addresses
     // ride as BIGINT or dotted strings). ipv4_contains expands FIRST so
@@ -1084,7 +1200,9 @@ object QuestSql {
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
     // five expand to codegen'd builtins (session tz is UTC, matching the
     // naive-timestamp oracle).
-    q = expandCalls(q, "to_timestamp_ns") { case Seq(s) =>
+    q = expandCalls(q, "to_timestamp_ns") { case Seq(s0) =>
+      // accept both 'yyyy-MM-dd HH:mm:ss.f' and ISO 'yyyy-MM-ddTHH:mm:ss.fZ'
+      val s = s"translate(replace($s0, 'Z', ''), 'T', ' ')"
       s"(unix_timestamp(substring_index($s, '.', 1), 'yyyy-MM-dd HH:mm:ss') * 1000000000" +
         s" + CAST(CASE WHEN instr($s, '.') > 0" +
         s" THEN rpad(substring_index($s, '.', -1), 9, '0') ELSE '0' END AS BIGINT))" }
@@ -1406,6 +1524,13 @@ object QuestSql {
         else s"unix_micros(CAST($start AS TIMESTAMP))"
       s"timestamp_micros(CAST(($startMicros) + (x - 1) * CAST($step AS BIGINT) AS BIGINT))"
     }
+    // ns variant (reference TimestampNanoQueryTest): BIGINT nanos column
+    q = expandCalls(q, "timestamp_sequence_ns") { case Seq(start, step) =>
+      val startNs =
+        if (start.trim.matches("-?\\d+")) start.trim
+        else s"(unix_micros(CAST(translate(replace($start, 'Z', ''), 'T', ' ') AS TIMESTAMP)) * 1000)"
+      s"CAST(($startNs) + (x - 1) * CAST($step AS BIGINT) AS BIGINT)"
+    }
 
     def intIn(s: String, lo: String, hi: String, tpe: String): String =
       s"CAST(floor(${uSql(s)} * (CAST($hi AS BIGINT) - CAST($lo AS BIGINT) + 1.0)) + CAST($lo AS BIGINT) AS $tpe)"
@@ -1493,6 +1618,14 @@ object QuestSql {
         val loUs = s"unix_micros(CAST($lo AS TIMESTAMP))"
         val v = s"timestamp_micros(CAST(floor(${uSql(s)} * (unix_micros(CAST($hi AS TIMESTAMP)) - $loUs)) + $loUs AS BIGINT))"
         nullify(rate, v, "TIMESTAMP", s)
+    }
+    q = expandCalls(q, "rnd_timestamp_ns") {
+      case Seq(lo, hi, rate) =>
+        val s = seedOf("rnd_timestamp_ns")
+        val loNs = s"(unix_micros(CAST($lo AS TIMESTAMP)) * 1000)"
+        val hiNs = s"(unix_micros(CAST($hi AS TIMESTAMP)) * 1000)"
+        val v = s"CAST(floor(${uSql(s)} * ($hiNs - $loNs)) + $loNs AS BIGINT)"
+        nullify(rate, v, "BIGINT", s)
     }
     q = expandCalls(q, "rnd_uuid4") { _ =>
       val h = s"md5(concat('${seedOf("rnd_uuid4")}', cast(x as string)))"
@@ -2253,5 +2386,27 @@ object QuestSql {
     case RangeLimitRe(prefix, lo, hi) if hi.toLong >= lo.toLong =>
       s"$prefix${hi.toLong - lo.toLong} OFFSET $lo"
     case _ => q
+  }
+
+  /** `LIMIT lo,hi` with a negative bound: a negative index counts from
+    * the end (reference row slice [lo, hi), end-relative when < 0,
+    * clamped at the table edges — griffin LimitRecordCursor). Needs the
+    * total row count, so it runs the base query for the count first —
+    * a parity surface, not the scale path (the single-argument negative
+    * LIMIT keeps its reverse-top-k lowering in ops.Limits).
+    */
+  private val NegRangeLimitRe =
+    """(?is)^(.*?)\bLIMIT\s+(-\d+|\d+)\s*,\s*(-\d+|\d+)\s*$""".r
+
+  private def rangeLimitNegForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case NegRangeLimitRe(prefix, loS, hiS) if loS.startsWith("-") || hiS.startsWith("-") =>
+      val base = sql(spark, prefix.trim)
+      val n = base.count()
+      def abs(v: Long): Long = math.max(if (v < 0) n + v else v, 0L)
+      val lo = abs(loS.toLong)
+      val hi = math.min(abs(hiS.toLong), n)
+      if (hi <= lo) Some(base.limit(0))
+      else Some(base.offset(lo.toInt).limit((hi - lo).toInt))
+    case _ => None
   }
 }

@@ -1,0 +1,214 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Render a result the way the reference prints cursors in its tooling and
+  * test harness (reference `cairo/CursorPrinter.java`, `std/Numbers.java`
+  * Ryu-based double layout, `std/datetime/CommonUtils.java` USEC_UTC /
+  * UTC patterns): tab-separated columns, one header line of column names,
+  * `null` for null numerics, empty cells for null strings/timestamps,
+  * shortest-round-trip doubles with the reference's fixed/scientific
+  * cutovers.
+  *
+  * This is the text format a reference user sees from its console/export
+  * surfaces, so it is part of the compatibility surface, not just test
+  * scaffolding.
+  */
+object RefText {
+
+  def print(df: DataFrame): String = {
+    val schema = df.schema
+    val sb = new StringBuilder
+    sb.append(schema.fields.map(_.name).mkString("\t")).append('\n')
+    val rows = df.collect()
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      var i = 0
+      while (i < schema.length) {
+        if (i > 0) sb.append('\t')
+        appendValue(sb, row.get(i), schema(i).dataType)
+        i += 1
+      }
+      sb.append('\n')
+      r += 1
+    }
+    sb.toString
+  }
+
+  def appendValue(sb: StringBuilder, v: Any, dt: DataType): Unit = {
+    if (v == null) { sb.append(nullText(dt)); return }
+    dt match {
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) sb.append("null") else sb.append(formatDouble(d))
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) sb.append("null") else sb.append(formatFloat(f))
+      case BooleanType => sb.append(v.toString)
+      case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
+      case StringType =>
+        sb.append(v.toString)
+      case TimestampType =>
+        sb.append(formatMicros(microsOf(v)))
+      case TimestampNTZType =>
+        sb.append(formatMicros(microsOf(v)))
+      case DateType =>
+        // reference DATE is a millisecond datetime (UTC_PATTERN)
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case i: Integer => i.toLong
+        }
+        sb.append(formatMillis(days * 86400000L))
+      case d: DecimalType =>
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: BigDecimal => b.bigDecimal
+          case o => new java.math.BigDecimal(o.toString)
+        }
+        sb.append(bd.toPlainString)
+      case ArrayType(et, _) =>
+        sb.append('[')
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        var i = 0
+        while (i < seq.length) {
+          if (i > 0) sb.append(',')
+          appendValue(sb, seq(i), et)
+          i += 1
+        }
+        sb.append(']')
+      case BinaryType =>
+        val bytes = v.asInstanceOf[Array[Byte]]
+        var i = 0
+        while (i < bytes.length) { sb.append(f"${bytes(i)}%02x"); i += 1 }
+      case _ => sb.append(v.toString)
+    }
+  }
+
+  /** null spelling per type: numerics print "null", strings/timestamps/
+    * uuid/char print nothing (reference CursorPrinter.printColumn null
+    * handling per branch). */
+  private def nullText(dt: DataType): String = dt match {
+    case DoubleType | FloatType | IntegerType | LongType => "null"
+    case ByteType | ShortType => "0" // reference BYTE/SHORT have no null
+    case BooleanType => "false"
+    case _ => ""
+  }
+
+  private def microsOf(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    case t: java.time.Instant =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case l: java.lang.Long => l
+  }
+
+  /** yyyy-MM-ddTHH:mm:ss.SSSUUUZ (reference USEC_UTC_PATTERN). */
+  def formatMicros(us: Long): String = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val frac = Math.floorMod(us, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02dT" +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d.$frac%06dZ"
+  }
+
+  /** yyyy-MM-ddTHH:mm:ss.SSSZ (reference UTC_PATTERN, millisecond DATE). */
+  def formatMillis(ms: Long): String = {
+    val sec = Math.floorDiv(ms, 1000L)
+    val frac = Math.floorMod(ms, 1000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02dT" +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d.$frac%03dZ"
+  }
+
+  /** Shortest round-trip decimal digits of a finite positive double:
+    * (digits, decExp) with value = 0.digits * 10^decExp. */
+  private def shortestDigits(a: Double): (String, Int) = {
+    var p = 1
+    while (p <= 17) {
+      val s = String.format("%." + (p - 1) + "e", Double.box(a))
+      if (s.toDouble == a) {
+        val e = s.indexOf('e')
+        val mant = s.substring(0, e).replace(".", "")
+        val exp10 = s.substring(e + 1).toInt
+        // strip trailing zeros the formatter padded in
+        var digits = mant
+        while (digits.length > 1 && digits.endsWith("0")) digits = digits.dropRight(1)
+        return (digits, exp10 + 1)
+      }
+      p += 1
+    }
+    val s = a.toString
+    (s.replace(".", "").replaceAll("0+$", ""), 1 + math.floor(math.log10(a)).toInt)
+  }
+
+  private def shortestDigitsF(a: Float): (String, Int) = {
+    var p = 1
+    while (p <= 9) {
+      val s = String.format("%." + (p - 1) + "e", Double.box(a.toDouble))
+      if (s.toFloat == a) {
+        val e = s.indexOf('e')
+        val mant = s.substring(0, e).replace(".", "")
+        val exp10 = s.substring(e + 1).toInt
+        var digits = mant
+        while (digits.length > 1 && digits.endsWith("0")) digits = digits.dropRight(1)
+        return (digits, exp10 + 1)
+      }
+      p += 1
+    }
+    shortestDigits(a.toDouble)
+  }
+
+  /** The reference's double layout (Numbers.append(CharSink,double,19)):
+    * fixed point for decimal exponent in (0,8), leading-zero fixed point
+    * down to 1e-3, scientific elsewhere. */
+  def formatDouble(v: Double): String = {
+    val neg = java.lang.Double.doubleToRawLongBits(v) < 0
+    val a = math.abs(v)
+    if (a == 0.0) return if (neg) "-0.0" else "0.0"
+    val (digits, decExp) = shortestDigits(a)
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    layout(sb, digits, decExp)
+    sb.toString
+  }
+
+  def formatFloat(v: Float): String = {
+    val neg = java.lang.Double.doubleToRawLongBits(v.toDouble) < 0
+    val a = math.abs(v)
+    if (a == 0.0f) return if (neg) "-0.0" else "0.0"
+    val (digits, decExp) = shortestDigitsF(a)
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    layout(sb, digits, decExp)
+    sb.toString
+  }
+
+  private def layout(sb: StringBuilder, digits: String, decExp: Int): Unit = {
+    val olength = digits.length
+    if (decExp > 0 && decExp < 8) {
+      if (olength <= decExp) {
+        sb.append(digits)
+        var i = olength
+        while (i < decExp) { sb.append('0'); i += 1 }
+        sb.append(".0")
+      } else {
+        sb.append(digits.substring(0, decExp)).append('.').append(digits.substring(decExp, olength))
+      }
+    } else if (decExp <= 0 && decExp > -3) {
+      sb.append("0.")
+      var i = 0
+      while (i < -decExp) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    } else {
+      sb.append(digits.charAt(0)).append('.')
+      if (olength > 1) sb.append(digits.substring(1, olength)) else sb.append('0')
+      sb.append('E').append(decExp - 1)
+    }
+  }
+}

@@ -1,0 +1,287 @@
+#!/usr/bin/env python3
+"""Extract (ddl*, query, expected) triples from the reference's JUnit suite.
+
+Builder tooling only (the engine itself is pure Scala/Spark): walks the
+reference test tree for fluent `assertQuery("q").ddl("...").returns("...")`
+chains whose arguments are compile-time string literals, unescapes them, and
+classifies each case:
+
+  tier "exact"  — fully deterministic (no rnd_* / now() / etc.): the Scala
+                  runner executes ddls + query through graft.Engine and
+                  compares the reference-format printed output exactly.
+  tier "run"    — depends on the reference's PRNG or clock: the runner only
+                  requires parse + execute (shape checks, no value compare).
+
+Output: one JSON object per line on stdout or the path in argv[1].
+Fields: file, line, query, ddls (list), mutate (list), expected,
+expected2 (for returns(before, after)), tier.
+"""
+import json, os, re, sys
+
+ROOT = "/root/reference/core/src/test/java/io/questdb/test"
+
+NONDET = re.compile(r"\brnd_|\bnow\s*\(|\bsystimestamp|\bsysdate|\btoday\s*\(|"
+                    r"\byesterday\s*\(|\btomorrow\s*\(|\bsleep\s*\(|"
+                    r"\bmemory_metrics|\breader_pool|\bwriter_pool|\bbuild\s*\(\s*\)")
+
+# chain steps whose presence doesn't change what we can check
+IGNORABLE = {
+    "timestamp", "expectSize", "noLeakCheck", "noRandomAccess",
+    "supportsRandomAccess", "inferTimestamp", "inferRandomAccess",
+    "noCircuitBreakerCheck", "expectCircuitBreakerChecks", "fullFatJoins",
+    "noMemoryUsageCheck", "sizeMayVary", "timestampDesc", "withContext",
+    "withEngine", "columnType",
+}
+TERMINALS = {"returns", "returnsOnce"}
+DDLISH = {"ddl"}
+MUTATEISH = {"mutateWith"}
+# steps that make the case unusable for us
+DISQUALIFY = {"plan", "planFragment", "planFragmentAbsent", "fails",
+              "failsWith", "returnsRecords", "mutateStepwise", "baseFactory"}
+
+
+def java_unescape(s):
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "n": out.append("\n"); i += 2
+            elif n == "t": out.append("\t"); i += 2
+            elif n == "r": out.append("\r"); i += 2
+            elif n == "b": out.append("\b"); i += 2
+            elif n == "f": out.append("\f"); i += 2
+            elif n == "0": out.append("\0"); i += 2
+            elif n == "\\": out.append("\\"); i += 2
+            elif n == '"': out.append('"'); i += 2
+            elif n == "'": out.append("'"); i += 2
+            elif n == "u":
+                out.append(chr(int(s[i + 2:i + 6], 16))); i += 6
+            else:
+                out.append(n); i += 2
+        else:
+            out.append(c); i += 1
+    return "".join(out)
+
+
+def skip_ws_comments(src, i):
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c in " \t\r\n":
+            i += 1
+        elif src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            break
+    return i
+
+
+def read_text_block(src, i):
+    """src[i:i+3] == '\"\"\"'; JLS 3.10.6 text block. Returns (value, next)."""
+    j = i + 3
+    # content begins after optional ws + the first newline
+    while j < len(src) and src[j] in " \t":
+        j += 1
+    if j < len(src) and src[j] == "\r":
+        j += 1
+    if j < len(src) and src[j] == "\n":
+        j += 1
+    # find the closing delimiter, honoring escapes
+    k = j
+    while k < len(src):
+        if src[k] == "\\":
+            k += 2
+        elif src.startswith('"""', k):
+            break
+        else:
+            k += 1
+    else:
+        raise ValueError("unterminated text block")
+    raw = src[j:k].replace("\r\n", "\n").replace("\r", "\n")
+    lines = raw.split("\n")
+    # incidental indentation: min indent of non-blank lines and the line
+    # holding the closing delimiter
+    close_line_start = src.rfind("\n", 0, k) + 1
+    close_indent = 0
+    while close_line_start + close_indent < k and \
+            src[close_line_start + close_indent] in " \t":
+        close_indent += 1
+    indents = [close_indent]
+    for idx, ln in enumerate(lines):
+        if ln.strip() == "" and idx == len(lines) - 1:
+            continue
+        if ln.strip() == "":
+            continue
+        indents.append(len(ln) - len(ln.lstrip(" \t")))
+    strip = min(indents) if indents else 0
+    # delimiter on its own line: the final split element is the delimiter
+    # line's indent — it contributes no content line, and every real content
+    # line keeps its newline
+    delim_own_line = bool(lines) and lines[-1].strip() == ""
+    content = lines[:-1] if delim_own_line else lines
+    out_lines = [ln[strip:].rstrip() if ln.strip() else "" for ln in content]
+    body = "\n".join(out_lines) + ("\n" if delim_own_line and out_lines else "")
+    # process escapes, incl. \s and line-continuation
+    body = body.replace("\\\n", "")
+    body = body.replace("\\s", " ")
+    return java_unescape(body), k + 3
+
+
+def read_string_lit(src, i):
+    """src[i] == '"'; return (value, next_index)."""
+    assert src[i] == '"'
+    if src.startswith('"""', i):
+        return read_text_block(src, i)
+    j = i + 1
+    buf = []
+    while j < len(src):
+        c = src[j]
+        if c == "\\":
+            buf.append(src[j:j + 2]); j += 2
+        elif c == '"':
+            return java_unescape("".join(buf)), j + 1
+        else:
+            buf.append(c); j += 1
+    raise ValueError("unterminated string")
+
+
+def parse_args(src, i):
+    """src[i] == '('. Parse a balanced arg list; each arg is either a pure
+    string-literal concatenation -> str, or None (dynamic). Returns
+    (args, index_after_close_paren)."""
+    assert src[i] == "("
+    i += 1
+    args, cur_parts, cur_dynamic, cur_any = [], [], False, False
+    depth = 0
+    while i < len(src):
+        i = skip_ws_comments(src, i)
+        if i >= len(src):
+            break
+        c = src[i]
+        if c == '"':
+            val, i = read_string_lit(src, i)
+            cur_parts.append(val); cur_any = True
+            continue
+        if c == "+":
+            i += 1
+            continue
+        if c == "(":
+            depth += 1; cur_dynamic = True; cur_any = True; i += 1
+            continue
+        if c == ")":
+            if depth == 0:
+                if cur_any:
+                    args.append(None if cur_dynamic else "".join(cur_parts))
+                return args, i + 1
+            depth -= 1; i += 1
+            continue
+        if c == "," and depth == 0:
+            args.append(None if cur_dynamic else "".join(cur_parts))
+            cur_parts, cur_dynamic, cur_any = [], False, False
+            i += 1
+            continue
+        # any other token (identifier, number, dot) makes the arg dynamic
+        cur_dynamic = True; cur_any = True
+        i += 1
+    raise ValueError("unterminated args")
+
+
+def extract_file(path):
+    src = open(path, encoding="utf-8", errors="replace").read()
+    out = []
+    # setup statements: literal execute("...") calls, attached to the case
+    # when they appear in the same @Test method before the assertQuery
+    test_marks = [t.start() for t in re.finditer(r"@Test\b", src)]
+    executes = []
+    for em in re.finditer(r"(?<![A-Za-z0-9_.])execute\s*\(", src):
+        try:
+            eargs, _ = parse_args(src, em.end() - 1)
+        except (ValueError, AssertionError):
+            continue
+        if eargs and eargs[0] is not None:
+            executes.append((em.start(), eargs[0]))
+    for m in re.finditer(r"\bassertQuery(?:NoLeakCheck)?\s*\(", src):
+        start = m.start()
+        line = src.count("\n", 0, start) + 1
+        prev_test = max((t for t in test_marks if t < start), default=0)
+        setup = [sql for pos, sql in executes if prev_test < pos < start]
+        try:
+            args, i = parse_args(src, m.end() - 1)
+        except (ValueError, AssertionError):
+            continue
+        if len(args) != 1 or args[0] is None:
+            continue
+        query = args[0]
+        case = {"file": os.path.relpath(path, ROOT), "line": line,
+                "query": query, "ddls": list(setup), "mutate": [],
+                "expected": None, "expected2": None}
+        ok, dynamic = True, False
+        # walk the chain
+        while True:
+            i = skip_ws_comments(src, i)
+            if i >= len(src) or src[i] != ".":
+                ok = False; break
+            i += 1
+            i = skip_ws_comments(src, i)
+            mm = re.match(r"[A-Za-z_][A-Za-z0-9_]*", src[i:])
+            if not mm:
+                ok = False; break
+            name = mm.group(0)
+            i += len(name)
+            i = skip_ws_comments(src, i)
+            if i >= len(src) or src[i] != "(":
+                ok = False; break
+            try:
+                cargs, i = parse_args(src, i)
+            except (ValueError, AssertionError):
+                ok = False; break
+            if name in DISQUALIFY:
+                ok = False; break
+            if name in DDLISH:
+                if any(a is None for a in cargs): dynamic = True
+                case["ddls"].extend(a for a in cargs if a is not None)
+            elif name in MUTATEISH:
+                if any(a is None for a in cargs): dynamic = True
+                case["mutate"].extend(a for a in cargs if a is not None)
+            elif name in TERMINALS:
+                if not cargs or cargs[0] is None:
+                    dynamic = True
+                else:
+                    case["expected"] = cargs[0]
+                    if len(cargs) > 1 and cargs[1] is not None:
+                        case["expected2"] = cargs[1]
+                break
+            elif name in IGNORABLE:
+                pass
+            else:
+                ok = False; break
+        if not ok or dynamic or case["expected"] is None:
+            continue
+        text = " ".join([query] + case["ddls"] + case["mutate"])
+        case["tier"] = "run" if NONDET.search(text) else "exact"
+        out.append(case)
+    return out
+
+
+def main():
+    cases = []
+    for dirpath, _, files in os.walk(ROOT):
+        for f in files:
+            if f.endswith(".java"):
+                cases.extend(extract_file(os.path.join(dirpath, f)))
+    dst = sys.stdout if len(sys.argv) < 2 else open(sys.argv[1], "w")
+    for c in cases:
+        dst.write(json.dumps(c, ensure_ascii=True) + "\n")
+    print(f"extracted {len(cases)} cases "
+          f"({sum(1 for c in cases if c['tier'] == 'exact')} exact, "
+          f"{sum(1 for c in cases if c['tier'] == 'run')} run)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
