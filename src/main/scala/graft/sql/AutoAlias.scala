@@ -235,6 +235,8 @@ object AutoAlias {
     e = unwrapParens(e)
     // strip window / nulls-mode postfixes
     e = stripPostfix(e)
+    // mask generic type args (ARRAY<double>) so '<'/'>' don't read as ops
+    e = e.replaceAll("(?i)\\bARRAY\\s*<[^<>]*(?:<[^<>]*>)?[^<>]*>", "ARRAYT")
     val lower = e.toLowerCase
     if (lower.startsWith("case") && (e.length == 4 || !isIdentChar(e.charAt(4))))
       return "case"

@@ -28,8 +28,130 @@ object DialectRewrites {
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
     q = atTimeZone(q)
+    q = timeRangeFrames(q)
+    q = unnestColumns(q)
+    q = pivotGroupBy(q)
     q = quotedTableNames(q)
     q
+  }
+
+  /** Reference `PIVOT (agg FOR col IN (...) GROUP BY keys)` carries an
+    * explicit key list; Spark's PIVOT groups by all non-pivot columns.
+    * Pre-project the source to exactly (keys, pivot col, agg columns)
+    * and drop the GROUP BY from the clause. */
+  private def pivotGroupBy(q0: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)\\b(FROM\\s+)((?:`[^`]+`|[\\w.])+)(\\s+PIVOT\\s*\\(\\s*)(.+?)(\\s+FOR\\s+)([\\w`]+)(\\s+IN\\s*\\((?:[^()]|\\([^()]*\\))*\\))\\s+GROUP\\s+BY\\s+([\\w`.,\\s]+?)\\s*\\)")
+    var s = q0
+    var m = pat.matcher(s)
+    var guard = 0
+    while (m.find() && guard < 16) {
+      guard += 1
+      val (from, rel, pivotKw, agg, forKw, forCol, inList, keys) =
+        (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+          m.group(6), m.group(7), m.group(8))
+      // columns the aggregate reads: bare identifiers inside its parens
+      val aggCols = "\\(([^()]*)\\)".r.findAllMatchIn(agg)
+        .flatMap(_.group(1).split(",")).map(_.trim)
+        .filter(_.matches("[A-Za-z_][\\w.]*")).toSeq.distinct
+      val keyCols = keys.split(",").map(_.trim).toSeq
+      val proj = (keyCols ++ Seq(forCol) ++ aggCols).distinct
+      // a single aliased aggregate: the reference names columns
+      // `<value>_<alias>`; Spark drops a single agg's alias, so strip it
+      // and re-alias in an outer projection over the known value list
+      val aliasM = "(?is)^(.*?)\\s+AS\\s+([\\w`]+)\\s*$".r.findFirstMatchIn(agg.trim)
+        .filter(_ => !agg.contains(","))
+      val pivotCore = s"(SELECT ${proj.mkString(", ")} FROM $rel)$pivotKw" +
+        s"${aliasM.map(_.group(1)).getOrElse(agg)}$forKw$forCol$inList)"
+      val repl = aliasM match {
+        case Some(am) =>
+          val alias = am.group(2).replace("`", "")
+          val vals = inList.trim
+            .replaceAll("(?is)^\\s*IN\\s*\\(", "").stripSuffix(")")
+            .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          val renames = vals.map { v =>
+            val nm = if (v.startsWith("'")) v.substring(1, v.length - 1) else v
+            s"`$nm` AS `${nm}_$alias`"
+          }
+          s"$from(SELECT ${keyCols.mkString(", ")}, ${renames.mkString(", ")} FROM $pivotCore)"
+        case None => s"$from$pivotCore"
+      }
+      s = s.substring(0, m.start()) + repl + s.substring(m.end())
+      m = pat.matcher(s)
+    }
+    s
+  }
+
+  /** `FROM t, UNNEST(expr COLUMNS(a TYPE, ...)) u` — JSON-array unnest
+    * with a declared element schema (reference griffin UNNEST table
+    * function) → LATERAL VIEW explode(from_json(...)). One declared
+    * column makes the elements scalars (`u.val`); several make them
+    * objects (`u.a`, `u.b`). */
+  private def unnestColumns(q0: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?is),?\\s*UNNEST\\s*\\(\\s*(.+?)\\s+COLUMNS\\s*\\(([^)]*)\\)\\s*\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)")
+    var s = q0
+    var m = pat.matcher(s)
+    var guard = 0
+    while (m.find() && guard < 16) {
+      guard += 1
+      val expr = m.group(1)
+      val cols = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { d =>
+        val parts = d.split("\\s+", 2)
+        (parts(0), jsonType(parts.lift(1).getOrElse("string")))
+      }
+      val alias = m.group(3)
+      val repl =
+        if (cols.length == 1)
+          s" LATERAL VIEW explode(from_json($expr, 'array<${cols(0)._2}>')) $alias AS ${cols(0)._1}"
+        else {
+          val st = cols.map { case (n, t) => s"$n:$t" }.mkString(",")
+          s" LATERAL VIEW explode(from_json($expr, 'array<struct<$st>>')) ${alias}_lv AS $alias"
+        }
+      s = s.substring(0, m.start()) + repl + s.substring(m.end())
+      m = pat.matcher(s)
+    }
+    s
+  }
+
+  private def jsonType(t: String): String = t.trim.toLowerCase match {
+    case "int" | "integer" => "int"
+    case "long" | "bigint" => "bigint"
+    case "short" => "smallint"
+    case "byte" => "tinyint"
+    case "float" => "float"
+    case "double" => "double"
+    case "boolean" => "boolean"
+    case "timestamp" => "timestamp"
+    case "date" => "date"
+    case _ => "string"
+  }
+
+  /** Window RANGE frames with time-unit bounds (reference
+    * `ORDER BY ts RANGE BETWEEN 180 second PRECEDING AND CURRENT ROW`):
+    * Spark needs a numeric order key, so the bound becomes microseconds
+    * and the frame's ORDER BY key is wrapped in unix_micros(). */
+  private def timeRangeFrames(q0: String): String = {
+    val unitUs = Map("microsecond" -> 1L, "millisecond" -> 1000L,
+      "second" -> 1000000L, "minute" -> 60000000L, "hour" -> 3600000000L,
+      "day" -> 86400000000L)
+    val bound = java.util.regex.Pattern.compile(
+      "(?i)'?(\\d+)'?\\s+(microsecond|millisecond|second|minute|hour|day)s?\\s+(PRECEDING|FOLLOWING)")
+    var s = q0
+    val m = bound.matcher(s)
+    if (!m.find()) return s
+    // step 1: time bound → marked micros literal
+    s = bound.matcher(s).replaceAll(mr =>
+      "§US§" + (mr.group(1).toLong * unitUs(mr.group(2).toLowerCase)) +
+        " " + mr.group(3))
+    // step 2: wrap the ORDER BY key of every frame that got a marker
+    val frame = java.util.regex.Pattern.compile(
+      "(?is)(ORDER\\s+BY\\s+)(.+?)(\\s+ASC|\\s+DESC)?(\\s+RANGE\\s+(?:BETWEEN\\s+)?)(?=[^()]*§US§)")
+    s = frame.matcher(s).replaceAll(mr =>
+      java.util.regex.Matcher.quoteReplacement(
+        mr.group(1) + s"unix_micros(CAST(${mr.group(2)} AS TIMESTAMP))" +
+          Option(mr.group(3)).getOrElse("") + mr.group(4)))
+    s.replace("§US§", "")
   }
 
   /** Apply `f` to the segments outside single-quoted strings. */

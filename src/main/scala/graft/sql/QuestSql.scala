@@ -400,10 +400,10 @@ object QuestSql {
     new java.util.concurrent.ConcurrentHashMap[String, MatViewDef]()
 
   private val CreateMatViewRe =
-    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
-      """(?:\s+WITH\s+BASE\s+'?([\w.]+)'?)?""" +
-      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+))?(?:\s+(DEFERRED))?)?""" +
-      """\s+AS\s*\((.*)\)\s*(?:TIMESTAMP\s*\(\s*[\w.]+\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*$""").r
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)""" +
+      """(?:\s+WITH\s+BASE\s+[`']?([\w.]+)[`']?)?""" +
+      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+|PERIOD\s*\([^)]*\)))?(?:\s+(DEFERRED))?)?""" +
+      """\s+AS\s+(?:\((.*)\)|(SELECT\s.*?))\s*(?:TIMESTAMP\s*\(\s*[\w.]+\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*(?:TTL\s+\w+\s+\w+)?\s*$""").r
   // ---- live views (reference SqlParser.parseCreateLiveView:
   // `CREATE LIVE VIEW name FLUSH EVERY <dur> [IN MEMORY <dur>]
   // [PARTITION BY unit] [START FROM ..] AS (q)`; engine in
@@ -415,12 +415,12 @@ object QuestSql {
   // streaming-backed tiers with real flush timers and apply-lag
   // backpressure are streaming.LiveView / LiveAggView.
   private val CreateLiveViewRe =
-    ("""(?is)^CREATE\s+LIVE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
+    ("""(?is)^CREATE\s+LIVE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)""" +
       """\s+FLUSH\s+EVERY\s+(\d+)\s*(ms|[smhd])""" +
       """(?:\s+IN\s+MEMORY\s+\d+\s*(?:ms|[smhd]))?""" +
       """(?:\s+PARTITION\s+BY\s+\w+)?""" +
-      """(?:\s+START\s+FROM\s+'[^']*')?""" +
-      """\s+AS\s*\((.*)\)\s*$""").r
+      """(?:\s+START\s+FROM\s+(?:'[^']*'|NOW|\S+))?""" +
+      """\s+AS\s+(?:\((.*)\)|(SELECT\s.*))\s*$""").r
   private val DropLiveViewRe =
     """(?is)^DROP\s+LIVE\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
 
@@ -610,7 +610,9 @@ object QuestSql {
         graft.ops.Checkpoint.release()
         Some(status(spark, "OK"))
       }
-    case CreateMatViewRe(name, base, refreshKindRaw, deferred, inner) =>
+    case CreateMatViewRe(name0, base, refreshKindRaw, deferred, innerParen, innerBare) =>
+      val name = unq(name0)
+      val inner = if (innerParen != null) innerParen else innerBare
       val key = name.split('.').last.toLowerCase
       val kind = Option(refreshKindRaw).map(_.trim.replaceAll("\\s+", " ").toUpperCase) match {
         case Some("INCREMENTAL") | None => "IMMEDIATE" // obsolete alias / default
@@ -645,7 +647,9 @@ object QuestSql {
           Some(Seq((name, rows)).toDF("view_name", "rows"))
       }
 
-    case CreateLiveViewRe(name, flushN, flushUnit, inner) =>
+    case CreateLiveViewRe(name0, flushN, flushUnit, innerParen, innerBare) =>
+      val name = unq(name0)
+      val inner = if (innerParen != null) innerParen else innerBare
       val key = name.split('.').last.toLowerCase
       val flushUs = durationMicros(flushN.toLong, flushUnit)
       if (flushUs < 100000L) // reference SqlParser parity
@@ -1876,6 +1880,7 @@ object QuestSql {
     q = rewriteFnMacros(q)
     q = rewriteLatestOn(q)
     q = rewriteSampleBy(q)
+    q = rewriteNestedSampleBy(q)
     q = rewriteNegativeLimit(q)
     q = rewriteRangeLimit(q)
     q
@@ -2141,6 +2146,46 @@ object QuestSql {
       val tailSql = Option(tail).map(" " + _).getOrElse("")
       s"SELECT ${outItems.mkString(", ")} FROM $table$whereSql GROUP BY $groupKeys$tailSql"
     case _ => q
+  }
+
+  /** Apply the plain SAMPLE BY → GROUP BY lowering to parenthesized
+    * subqueries too (reference allows SAMPLE BY at any nesting —
+    * `select * from (select ... sample by 1m)`). */
+  private def rewriteNestedSampleBy(q: String): String = {
+    if (!"""(?i)\bSAMPLE\s+BY\b""".r.findFirstIn(q).isDefined) return q
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < q.length && q.charAt(j) != '\'') j += 1
+        sb.append(q.substring(i, math.min(j + 1, q.length))); i = j + 1
+      } else if (c == '(') {
+        // find the balancing close
+        var depth = 1
+        var j = i + 1
+        while (j < q.length && depth > 0) {
+          q.charAt(j) match {
+            case '\'' => var k = j + 1; while (k < q.length && q.charAt(k) != '\'') k += 1; j = k + 1
+            case '(' => depth += 1; j += 1
+            case ')' => depth -= 1; j += 1
+            case _ => j += 1
+          }
+        }
+        val inner = q.substring(i + 1, math.max(i + 1, j - 1))
+        if (inner.trim.toLowerCase.startsWith("select") &&
+            """(?i)\bSAMPLE\s+BY\b""".r.findFirstIn(inner).isDefined) {
+          val rewritten = rewriteSampleBy(inner.trim) match {
+            case same if same == inner.trim => rewriteNestedSampleBy(inner)
+            case changed => rewriteNestedSampleBy(changed)
+          }
+          sb.append('(').append(rewritten).append(')')
+        } else sb.append(q.substring(i, j))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   // ---- SAMPLE BY with FROM/TO, FILL lists, ALIGN: delegates to ops ----------
