@@ -268,14 +268,23 @@ object Catalog {
   /** SHOW CREATE TABLE t — one `ddl` row
     * (reference `ShowCreateTableRecordCursorFactory`).
     */
+  /** Storage tail (partition/TTL/WAL spelling) remembered from the
+    * original CREATE so SHOW CREATE TABLE replays it verbatim. */
+  private[graft] val createTails =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerCreateTail(name: String, tail: String): Unit =
+    createTails.put(name.toLowerCase, tail)
+
   def showCreateTable(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val name = table.split('.').last.toLowerCase
     val cols = spark.table(table).schema.fields
       .map(f => s"\t${f.name} ${sqlTypeName(f.dataType)}").mkString(",\n")
-    val tsClause = Tables.designatedTs.get(name)
-      .map(c => s" timestamp($c) PARTITION BY DAY").getOrElse("")
-    Seq(s"CREATE TABLE '$name' (\n$cols\n)$tsClause;").toDF("ddl")
+    val tsClause = Tables.designatedTs.get(name).map(c => s" timestamp($c)").getOrElse("")
+    val tail = Option(createTails.get(name)).getOrElse(
+      if (tsClause.nonEmpty) " PARTITION BY DAY BYPASS WAL" else "")
+    Seq(s"CREATE TABLE '$name' ( \n$cols\n)$tsClause$tail;").toDF("ddl")
   }
 
   /** Map Spark types to the reference's SQL type names. */

@@ -262,7 +262,8 @@ object QuestSql {
       .getOrElse {
         // the fallback re-derives from q0 to keep :name markers for
         // Spark's parameter binder — re-apply the table-fn substitution
-        val rewritten = rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0)))
+        val rewritten = windowOrderTail(spark,
+          rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0))))
         def run(q: String): DataFrame =
           if (named.isEmpty) spark.sql(q) else spark.sql(q, named)
         // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
@@ -295,6 +296,41 @@ object QuestSql {
             run(insertGroupBy(rewritten, keys))
         }
       }
+  }
+
+  /** A window query with no ORDER BY returns rows in table order in the
+    * reference (cursor preserves scan order); Spark's window exchange
+    * re-sorts by the frame spec. Restore the reference order by
+    * appending ORDER BY <designated ts> when the query reads one table
+    * with a known designated timestamp and has no grouping/set-ops of
+    * its own.
+    */
+  private def windowOrderTail(spark: SparkSession, q: String): String = {
+    if (!"""(?i)\bover\s*[\s(]""".r.findFirstIn(q).isDefined) return q
+    if (topLevelIndexOf(q, Seq("order by", "group by", "union", "intersect",
+        "except", "sample by", "latest on")) >= 0) return q
+    val fromAt = topLevelIndexOf(q, Seq("from"))
+    if (fromAt < 0) return q
+    val table = q.substring(fromAt + 4).trim
+      .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+    if (table.isEmpty) return q
+    val ts = Option(tsRegistry.get(table.split('.').last.toLowerCase))
+      .orElse {
+        try {
+          val f = spark.table(table).schema.fields
+          if (f.exists(_.name == "ts")) Some("ts") else None
+        } catch { case _: Exception => None }
+      }
+    ts match {
+      case Some(t) if """(?i)\blimit\b""".r.findFirstIn(q).isEmpty =>
+        s"$q ORDER BY $t"
+      case Some(t) =>
+        topLevelIndexOf(q, Seq("limit")) match {
+          case -1 => q
+          case at => q.substring(0, at) + s"ORDER BY $t " + q.substring(at)
+        }
+      case None => q
+    }
   }
 
   /** Index of the first occurrence of any keyword at paren depth 0 and
@@ -802,6 +838,16 @@ object QuestSql {
         val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }.mkString(", ")
         spark.sql(s"SELECT $sel").where("1=0").createOrReplaceTempView(unq(name))
         tsOpt.foreach(registerDesignatedTs(unq(name), _))
+        // remember partition/TTL/WAL spelling for SHOW CREATE TABLE
+        val partM = """(?is)\bPARTITION\s+BY\s+(\w+)""".r.findFirstMatchIn(tail)
+        val ttlM = """(?is)\bTTL\s+(\d+)\s+(\w+)""".r.findFirstMatchIn(tail)
+        val walSp = if ("""(?is)\bBYPASS\s+WAL\b""".r.findFirstIn(tail).isDefined) "BYPASS WAL"
+          else if ("""(?is)\bWAL\b""".r.findFirstIn(tail).isDefined) "WAL"
+          else "BYPASS WAL"
+        val tailStr = partM.map(m2 => s" PARTITION BY ${m2.group(1).toUpperCase}").getOrElse("") +
+          ttlM.map(m2 => s" TTL ${m2.group(1)} ${m2.group(2).toUpperCase}").getOrElse("") +
+          (if (partM.isDefined) s" $walSp" else "")
+        graft.Catalog.registerCreateTail(unq(name), tailStr)
         Some(status(spark, "OK"))
       }
     case InsertRe(name0, colList, body) =>
@@ -1021,12 +1067,13 @@ object QuestSql {
 
   private[sql] def rewriteFnMacros(q0: String): String = {
     var q = rewriteWithin(rewriteGeoLiterals(q0))
-    q = expandCalls(q, "mid") { case Seq(b, a) => s"(($b + $a) / 2.0)" }
-    q = expandCalls(q, "spread") { case Seq(b, a) => s"($a - $b)" }
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    q = expandCalls(q, "mid") { case Seq(b, a) => s"((${d(b)} + ${d(a)}) / 2.0)" }
+    q = expandCalls(q, "spread") { case Seq(b, a) => s"(${d(a)} - ${d(b)})" }
     q = expandCalls(q, "spread_bps") { case Seq(b, a) =>
-      s"(($a - $b) / (($b + $a) / 2.0) * 10000.0)" }
+      s"((${d(a)} - ${d(b)}) / ((${d(b)} + ${d(a)}) / 2.0) * 10000.0)" }
     q = expandCalls(q, "wmid") { case Seq(bsz, b, a, asz) =>
-      s"(($b * $asz + $a * $bsz) / ($bsz + $asz))" }
+      s"((${d(b)} * ${d(asz)} + ${d(a)} * ${d(bsz)}) / (${d(bsz)} + ${d(asz)}))" }
     q = expandCalls(q, "haversine_dist_deg") { case Seq(lat1, lon1, lat2, lon2) =>
       s"(2 * 6371008.8 * asin(sqrt(pow(sin(radians($lat2 - ($lat1)) / 2), 2)" +
         s" + cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - ($lon1)) / 2), 2))))" }
@@ -1245,6 +1292,13 @@ object QuestSql {
     q = expandCalls(q, "arg_max") { case Seq(a, b) => s"max_by($a, $b)" }
     q = expandCalls(q, "arg_min") { case Seq(a, b) => s"min_by($a, $b)" }
     q = expandCalls(q, "approx_median") { case Seq(x) => s"approx_percentile($x, 0.5)" }
+    // reference HdrHistogram semantics (precision default 1); typeof()
+    // constant-folds per column so the udaf picks the long vs double
+    // histogram exactly like the reference factories
+    q = expandCalls(q, "approx_percentile") {
+      case Seq(x, p) => s"hdr_approx_percentile(CAST($x AS DOUBLE), CAST($p AS DOUBLE), 1, typeof($x))"
+      case Seq(x, p, prec) => s"hdr_approx_percentile(CAST($x AS DOUBLE), CAST($p AS DOUBLE), CAST($prec AS INT), typeof($x))"
+    }
     q = expandCalls(q, "skewness_pop") { case Seq(x) => s"skewness($x)" }
     q = expandCalls(q, "kurtosis_pop") { case Seq(x) => s"kurtosis($x)" }
     q = expandCalls(q, "skewness_samp") { case Seq(x) =>
@@ -2019,7 +2073,8 @@ object QuestSql {
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
       val keyList = keys.split(",").map(_.trim).mkString(", ")
       val tailSql = Option(tail).map(" " + _).getOrElse("")
-      s"""SELECT $sel FROM (
+      val outer = if (sel.trim == "*") "* EXCEPT (__rn)" else sel
+      s"""SELECT $outer FROM (
          |  SELECT *, row_number() OVER (PARTITION BY $keyList ORDER BY $ts DESC) AS __rn
          |  FROM $table$whereSql
          |) WHERE __rn = 1$tailSql""".stripMargin
@@ -2220,7 +2275,7 @@ object QuestSql {
       val isBare = (s: String) => s.matches("""[\w.]+""")
       val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
       val keys = items.filter(i => isBare(i) && !tsItem.contains(i)).map(_.split('.').last)
-      val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
+      val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
       val aggs = items.filterNot(i => isBare(i)).map {
         case AggAs(e, name) => name -> expr(e)
         case e => e.replaceAll("\\W", "_") -> expr(e)
@@ -2332,7 +2387,7 @@ object QuestSql {
                       where, order, lim1, lim2) =>
       val keys = onKeys.split(",").map(_.trim).toSeq
       val items = splitSelect(sel)
-      val AggAs = """(?is)^(.*?)\s+AS\s+(\w+)$""".r
+      val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
       val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
         case AggAs(e, name) => name -> expr(e)
         case e => e.replaceAll("\\W", "_") -> expr(e)
