@@ -14,13 +14,73 @@ object Catalog {
   /** tables() — registered tables/views (internal `__`-prefixed views
     * excluded).
     */
+  /** tables() — the reference's 20-column shape
+    * (catalogue/TablesFunctionFactory.java:432-459). Storage-engine
+    * fields (txn, memory pressure) surface their idle defaults; row
+    * count / min / max ts are computed from the live view.
+    */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables().collect().toSeq
+    val mv = matViewNames()
+    val rows = spark.catalog.listTables().collect().toSeq
       .filterNot(_.name.startsWith("__"))
-      .map(t => (t.name, t.tableType, t.isTemporary))
-      .toDF("table_name", "table_type", "is_temporary")
+      .sortBy(_.name)
+      .zipWithIndex.map { case (t, i) =>
+        val name = t.name
+        val meta = Option(createMeta.get(name.toLowerCase))
+        val ts = Tables.designatedTs.get(name.toLowerCase).orNull
+        val (cnt, minTs, maxTs) =
+          try {
+            val df = spark.table(name)
+            if (ts != null && df.schema.fieldNames.contains(ts)) {
+              val r = df.selectExpr("count(*)", s"min($ts)", s"max($ts)").collect()(0)
+              (r.getLong(0), Option(r.get(1)).map(_.toString).orNull,
+                Option(r.get(2)).map(_.toString).orNull)
+            } else (df.count(), null, null)
+          } catch { case _: Exception => (0L, null, null) }
+        (i + 1, name, ts,
+          meta.flatMap(_.partitionBy).getOrElse("NONE"),
+          meta.exists(_.walEnabled), meta.exists(_.dedup),
+          meta.flatMap(_.ttl).map(_._1).getOrElse(0),
+          meta.flatMap(_.ttl).map(_._2).getOrElse("HOUR"),
+          mv.contains(name.toLowerCase), name + "~",
+          meta.flatMap(_.maxUncommittedRows).getOrElse(500000L).toInt,
+          600000000L, false, "T", cnt, minTs, maxTs)
+      }
+    rows.toDF("id", "table_name", "designatedTimestamp", "partitionBy",
+      "walEnabled", "dedup", "ttlValue", "ttlUnit", "matView",
+      "directoryName", "maxUncommittedRows", "o3MaxLag", "table_suspended",
+      "table_type", "table_row_count", "table_min_timestamp",
+      "table_max_timestamp")
+      .withColumn("table_min_timestamp", col("table_min_timestamp").cast("timestamp"))
+      .withColumn("table_max_timestamp", col("table_max_timestamp").cast("timestamp"))
+      .withColumn("table_last_write_timestamp", lit(null).cast("timestamp"))
+      .withColumn("table_txn", lit(0L))
+      .withColumn("table_memory_pressure_level", lit(0))
   }
+
+  /** all_tables() — just the names (catalogue/AllTablesFunctionFactory). */
+  def allTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq
+      .filterNot(_.name.startsWith("__")).map(_.name).sorted
+      .toDF("table_name")
+  }
+
+  case class CreateMeta(partitionBy: Option[String], walEnabled: Boolean,
+                        dedup: Boolean, ttl: Option[(Int, String)],
+                        maxUncommittedRows: Option[Long])
+
+  private[graft] val createMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, CreateMeta]()
+
+  private def matViewNames(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    matViewReg.keySet.asScala.map(_.toLowerCase).toSet
+  }
+
+  def registerCreateMeta(name: String, m: CreateMeta): Unit =
+    createMeta.put(name.toLowerCase, m)
 
   /** table_columns(t) — name/type/nullability + designated-ts flag. */
   def tableColumns(spark: SparkSession, table: String): DataFrame = {

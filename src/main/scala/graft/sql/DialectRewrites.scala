@@ -23,6 +23,8 @@ object DialectRewrites {
     var q = doubleQuotedIdents(q0)
     q = mapOutside(q)(underscoreDigits)
     q = mapOutside(q)(decimalSuffix)
+    q = mapOutside(q)(hexLiterals)
+    q = mapOutside(q)(inNull)
     q = arrayLiterals(q)
     q = mapOutside(q)(arrayTypeCasts)
     q = mapOutside(q)(sizelessTypes)
@@ -213,11 +215,46 @@ object DialectRewrites {
   private def underscoreDigits(s: String): String =
     s.replaceAll("(?<=\\d)_(?=\\d)", "")
 
-  /** `1.25m` decimal-suffix literal → Spark BigDecimal literal `1.25BD`.
-    * Only with a decimal point — integer `1m` is a SAMPLE BY / duration
-    * stride, never a decimal literal in practice. */
-  private def decimalSuffix(s: String): String =
-    s.replaceAll("(?i)\\b(\\d+\\.\\d+)m\\b", "$1BD")
+  /** `1.25m` / `-127m` decimal-suffix literals → Spark BigDecimal
+    * literals (`1.25BD`). Integer forms are rewritten too, except right
+    * after duration keywords (SAMPLE BY 1m, FLUSH EVERY 10m, TTL 1m)
+    * where `m` is the minutes stride. */
+  private def decimalSuffix(s0: String): String = {
+    var s = s0.replaceAll("(?i)\\b(\\d+\\.\\d*)m\\b", "$1BD")
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)((?:sample\\s+by|every|ttl|in\\s+memory|range|limit|from|to|step|between|tolerance)\\s+-?)?\\b(\\d+)m\\b(\\s*(?:preceding|following))?")
+    val m = pat.matcher(s)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(s.substring(last, m.start()))
+      if (m.group(1) != null || m.group(3) != null) sb.append(m.group(0))
+      else sb.append(m.group(2)).append("BD")
+      last = m.end()
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
+  /** `0xF0` hex literals → decimal longs (≤16 hex digits; longer forms
+    * are LONG256 text handled elsewhere). */
+  private def hexLiterals(s: String): String = {
+    val pat = java.util.regex.Pattern.compile("\\b0x([0-9a-fA-F]{1,16})\\b")
+    val m = pat.matcher(s)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(s.substring(last, m.start()))
+      sb.append(java.lang.Long.parseUnsignedLong(m.group(1), 16).toString).append("L")
+      last = m.end()
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
+  /** `c in null` → `c IS NULL` (reference null-membership). */
+  private def inNull(s: String): String =
+    s.replaceAll("(?i)\\b(not\\s+)?in\\s+null\\b", "IS $1NULL")
 
   /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */
   private[sql] def arrayLiterals(s0: String): String = {

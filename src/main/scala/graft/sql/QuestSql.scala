@@ -394,6 +394,10 @@ object QuestSql {
 
   private def unq(name: String): String = name.replace("`", "")
 
+  private val CreateViewRe =
+    ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
+      """\s+AS\s+(.*)$""").r
+
   private val CreateTableAsRe =
     ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
       """\s+AS\s*\((.*?)\)\s*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?(?:\s+WAL|\s+BYPASS\s+WAL)?\s*(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*$""").r
@@ -524,7 +528,7 @@ object QuestSql {
   private val AlterAddRe = """(?is)^ADD\s+COLUMNS?\s+(.*)$""".r
   private val AlterDropColRe = """(?is)^DROP\s+COLUMNS?\s+(.*)$""".r
   private val AlterRenameColRe = """(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
-  private val AlterColTypeRe = """(?is)^ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+)?TYPE\s+([\w()0-9, ]+)$""".r
+  private val AlterColTypeRe = """(?is)^ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+)?TYPE\s+([\w()0-9, \[\]]+)$""".r
   private val AlterAckRe =
     """(?is)^(SET\s+PARAM\b.*|RESUME\s+WAL.*|SUSPEND\s+WAL.*|SET\s+TYPE\s+.*|SQUASH\s+PARTITIONS.*|DEDUP\s+(ENABLE|DISABLE).*|ALTER\s+COLUMN\s+\w+\s+(ADD|DROP)\s+INDEX.*|ALTER\s+COLUMN\s+\w+\s+CACHE.*|ALTER\s+COLUMN\s+\w+\s+NOCACHE.*)$""".r
 
@@ -570,13 +574,14 @@ object QuestSql {
       // table-level index/constraint entries carry no column
       _.matches("(?is)^\\s*index\\s*\\(.*\\)\\s*$")
     ).map { item =>
-      val m = """(?is)^\s*(`[^`]+`|\w+)\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+      val m = """(?is)^\s*(`[^`]+`|\w+)\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?(?:\s*\[\s*\])*)\s*(.*)$""".r
         .findFirstMatchIn(item)
         .getOrElse(throw new IllegalArgumentException(s"bad column def: '$item'"))
-      val tpe = m.group(2).trim
-      val up = tpe.toUpperCase.replaceAll("\\s+", "")
+      val tpe = m.group(2).trim.replaceAll("\\s+", "")
+      val up = tpe.toUpperCase
       val spk =
-        if (up.startsWith("GEOHASH")) "string"
+        if (up.endsWith("[]")) sparkTypeOf(up)
+        else if (up.startsWith("GEOHASH")) "string"
         else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) {
           // Spark caps precision at 38 (reference DECIMAL256 goes to 76)
           val ps = """\((\d+)\s*,\s*(\d+)\)""".r.findFirstMatchIn(up)
@@ -591,8 +596,16 @@ object QuestSql {
       (m.group(1), spk)
     }
 
-  /** Reference type name → Spark SQL type for ALTER/ADD columns. */
-  private def sparkTypeOf(t: String): String = t.trim.toUpperCase match {
+  /** Reference type name → Spark SQL type for ALTER/ADD columns.
+    * `TYPE[]` / `TYPE[][]` array suffixes nest (reference N-dim arrays). */
+  private def sparkTypeOf(t0: String): String = {
+    val t = t0.trim
+    if (t.endsWith("[]"))
+      return s"array<${sparkTypeOf(t.dropRight(2))}>"
+    sparkTypeOf0(t)
+  }
+
+  private def sparkTypeOf0(t: String): String = t.trim.toUpperCase match {
     case "INT" | "INTEGER" => "int"
     case "LONG" => "bigint"
     case "SHORT" => "smallint"
@@ -815,6 +828,9 @@ object QuestSql {
         Some(qe.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           .split("\n").toSeq.toDF("PLAN"))
+    case CreateViewRe(name, inner) =>
+      sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
+      Some(status(spark, "OK"))
     case CreateTableAsRe(name, inner, ts) =>
       val df = sqlBound(spark, inner, Map.empty)
       df.createOrReplaceTempView(unq(name))
@@ -848,6 +864,14 @@ object QuestSql {
           ttlM.map(m2 => s" TTL ${m2.group(1)} ${m2.group(2).toUpperCase}").getOrElse("") +
           (if (partM.isDefined) s" $walSp" else "")
         graft.Catalog.registerCreateTail(unq(name), tailStr)
+        val maxUnc = """(?is)maxUncommittedRows\s*=\s*(\d+)""".r
+          .findFirstMatchIn(tail).map(_.group(1).toLong)
+        graft.Catalog.registerCreateMeta(unq(name), graft.Catalog.CreateMeta(
+          partM.map(_.group(1).toUpperCase),
+          walEnabled = walSp == "WAL",
+          dedup = """(?is)\bDEDUP\b""".r.findFirstIn(tail).isDefined,
+          ttl = ttlM.map(m2 => (m2.group(1).toInt, m2.group(2).toUpperCase.stripSuffix("S"))),
+          maxUncommittedRows = maxUnc))
         Some(status(spark, "OK"))
       }
     case InsertRe(name0, colList, body) =>
@@ -911,6 +935,38 @@ object QuestSql {
   // mid/spread/wmid (reference functions/finance), haversine_dist_deg,
   // timestamp_floor/ceil with stride literals, dateadd/datediff,
   // to_timezone/to_utc (reference functions/date).
+
+  /** timestamp_floor(stride, ts[, origin[, offset, tz]]) — floor to the
+    * stride grid anchored at `origin` (epoch when null) shifted by
+    * `offset` (HH:mm), computed in `tz` local time (reference
+    * functions/date/TimestampFloor*FunctionFactory family). The `_utc`
+    * spelling converts the floored local value back to UTC. */
+  private def floorExpr(args: Seq[String], toUtc: Boolean): String = {
+    val stride = args.head
+    val us = strideToMicros(stripQuotes(stride))
+    val ts = args(1)
+    val tz = args.lift(4).map(_.trim).filter(_ != "null")
+    val local = tz match {
+      case Some(z) => s"from_utc_timestamp($ts, $z)"
+      case None => ts
+    }
+    val originUs = args.lift(2).map(_.trim).filter(_ != "null") match {
+      case Some(o) => s"unix_micros(CAST($o AS TIMESTAMP))"
+      case None => "0"
+    }
+    val offsetUs = args.lift(3).map(_.trim).filter(_ != "null") match {
+      case Some(off) =>
+        s"((CAST(split_part(${off}, ':', 1) AS BIGINT) * 3600 + CAST(split_part(${off}, ':', 2) AS BIGINT) * 60) * 1000000)"
+      case None => "0"
+    }
+    val base = s"(($originUs) + ($offsetUs))"
+    val v = s"unix_micros($local)"
+    val floored = s"timestamp_micros(CAST($base + floor(CAST(($v) - $base AS DOUBLE) / $us) * $us AS BIGINT))"
+    tz match {
+      case Some(z) if toUtc => s"to_utc_timestamp($floored, $z)"
+      case _ => floored
+    }
+  }
 
   private def strideToMicros(lit: String): Long = {
     val m = """(\d+)([UTsmhdw])""".r.findFirstMatchIn(lit.trim)
@@ -1077,9 +1133,7 @@ object QuestSql {
     q = expandCalls(q, "haversine_dist_deg") { case Seq(lat1, lon1, lat2, lon2) =>
       s"(2 * 6371008.8 * asin(sqrt(pow(sin(radians($lat2 - ($lat1)) / 2), 2)" +
         s" + cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - ($lon1)) / 2), 2))))" }
-    q = expandCalls(q, "timestamp_floor") { case Seq(stride, ts) =>
-      val us = strideToMicros(stripQuotes(stride))
-      s"timestamp_micros(CAST(unix_micros($ts) - ((unix_micros($ts) % $us + $us) % $us) AS BIGINT))" }
+    q = expandCalls(q, "timestamp_floor") { args => floorExpr(args, toUtc = false) }
     q = expandCalls(q, "timestamp_ceil") { case Seq(stride, ts) =>
       val us = strideToMicros(stripQuotes(stride))
       s"timestamp_micros(CAST(unix_micros($ts) + (($us - unix_micros($ts) % $us) % $us) AS BIGINT))" }
@@ -1180,9 +1234,7 @@ object QuestSql {
       s"geohash_encode($lat, $lon, $bits)" }
     q = expandCalls(q, "json_extract") { case Seq(doc, path) =>
       s"get_json_object($doc, $path)" }
-    q = expandCalls(q, "timestamp_floor_utc") { case Seq(stride, ts) =>
-      val us = strideToMicros(stripQuotes(stride))
-      s"timestamp_micros(CAST(unix_micros($ts) - ((unix_micros($ts) % $us + $us) % $us) AS BIGINT))" }
+    q = expandCalls(q, "timestamp_floor_utc") { args => floorExpr(args, toUtc = true) }
     // l2price(target, size1, price1, ...) — unrolled book sweep
     // (reference finance/LevelTwoPriceFunctionFactory): first level whose
     // cumulative size covers target prices the fill; shortfall → NaN
@@ -1251,7 +1303,8 @@ object QuestSql {
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
     // five expand to codegen'd builtins (session tz is UTC, matching the
     // naive-timestamp oracle).
-    q = expandCalls(q, "to_timestamp_ns") { case Seq(s0) =>
+    q = expandCalls(q, "to_timestamp_ns") { case args @ (_ +: _) if args.size <= 2 =>
+      val s0 = args.head // an explicit format arg is the ISO pattern we parse anyway
       // accept both 'yyyy-MM-dd HH:mm:ss.f' and ISO 'yyyy-MM-ddTHH:mm:ss.fZ'
       val s = s"translate(replace($s0, 'Z', ''), 'T', ' ')"
       s"(unix_timestamp(substring_index($s, '.', 1), 'yyyy-MM-dd HH:mm:ss') * 1000000000" +
@@ -1778,13 +1831,119 @@ object QuestSql {
   // Seeds are accepted and ignored: the rnd_* stream here is
   // md5-deterministic by construction (see rewriteGeneratorFns)
   private val LongSeqRe =
-    """(?i)\blong_sequence\s*\(\s*(\d+)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
+    """(?i)\blong_sequence\s*\(\s*([\d\s+*/-]+?)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
+
+  /** Constant-fold an integer arithmetic expression (reference accepts
+    * arithmetic in generator args: `long_sequence(4 * 24 * 60)`). */
+  private[sql] def evalLongExpr(e0: String): Option[Long] = {
+    val e = e0.replaceAll("(?<=\\d)[Ll]", "").trim
+    if (!e.matches("[\\d\\s()+*/-]+")) return None
+    try Some(evalArith(e).toLong) catch { case _: Exception => None }
+  }
+
+  private def evalArith(s: String): String = {
+    // recursive descent: expr := mul (('+'|'-') mul)*, mul := atom (('*'|'/') atom)*
+    var i = 0
+    def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+    def atom(): Long = {
+      ws()
+      if (i < s.length && s.charAt(i) == '(') {
+        i += 1; val v = expr(); ws()
+        if (i < s.length && s.charAt(i) == ')') i += 1
+        v
+      } else if (i < s.length && s.charAt(i) == '-') { i += 1; -atom() }
+      else {
+        val j = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        s.substring(j, i).toLong
+      }
+    }
+    def mul(): Long = {
+      var v = atom(); ws()
+      while (i < s.length && (s.charAt(i) == '*' || s.charAt(i) == '/')) {
+        val op = s.charAt(i); i += 1
+        val r = atom()
+        v = if (op == '*') v * r else v / r
+        ws()
+      }
+      v
+    }
+    def expr(): Long = {
+      var v = mul(); ws()
+      while (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+        val op = s.charAt(i); i += 1
+        val r = mul()
+        v = if (op == '+') v + r else v - r
+        ws()
+      }
+      v
+    }
+    expr().toString
+  }
   private val TableArgFnRe =
     """(?i)\b(table_columns|table_partitions|files|wal_transactions)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
     """(?i)\b(read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
   private val GenSeriesRe =
     """(?i)\bFROM\s+generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
+
+  /** Remaining generate_series forms (reference
+    * functions/table/GenerateSeries*FunctionFactory): doubles, expression
+    * bounds, timestamp bounds with duration strides ('2y', '1U', '-1w'),
+    * descending for a negative stride (the series then starts at the
+    * upper bound). Lowered to an inline explode(sequence(...)) subquery.
+    */
+  private val GenSeriesAnyRe =
+    """(?i)\b(FROM\s+)generate_series\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""".r
+
+  private def rewriteGenSeriesGeneral(q: String): String =
+    GenSeriesAnyRe.replaceAllIn(q, m => {
+      val args = splitSelect(m.group(2)).map(_.trim)
+      val repl = genSeriesSubquery(args)
+      scala.util.matching.Regex.quoteReplacement(m.group(1) + repl)
+    })
+
+  private def genSeriesSubquery(args: Seq[String]): String = {
+    val stepRaw = args.lift(2)
+    val durStep = stepRaw.flatMap { s =>
+      val t = stripQuotes(s).trim
+      """^(-?)(\d+)([UTsmhdwMy])$""".r.findFirstMatchIn(t)
+        .filter(_ => s.trim.startsWith("'"))
+    }
+    val tsMode = durStep.isDefined ||
+      args.take(2).exists(a => a.trim.startsWith("'") || """(?i)::\s*timestamp""".r.findFirstIn(a).isDefined)
+    if (tsMode) {
+      val sgn = durStep.map(d => if (d.group(1) == "-") -1L else 1L).getOrElse(1L)
+      val unit = durStep.map(_.group(3)).getOrElse("s")
+      val nUnits = durStep.map(_.group(2).toLong).getOrElse(1L)
+      val lo = s"unix_micros(CAST(${args(0)} AS TIMESTAMP))"
+      val hi = s"unix_micros(CAST(${args(1)} AS TIMESTAMP))"
+      if (unit == "M" || unit == "y") {
+        val months = (if (unit == "y") nUnits * 12 else nUnits) * sgn
+        val base = if (sgn >= 0) args(0) else args(1)
+        val n = s"CAST(floor(months_between(CAST(${if (sgn >= 0) args(1) else args(0)} AS TIMESTAMP), CAST($base AS TIMESTAMP)) / ($months)) AS INT)"
+        s"(SELECT add_months(CAST($base AS TIMESTAMP), __x * ($months)) AS generate_series" +
+          s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
+      } else {
+        val us = nUnits * unitMicros(unit) * sgn
+        val base = if (sgn >= 0) lo else hi
+        val bound = if (sgn >= 0) hi else lo
+        val n = s"CAST(floor(CAST(($bound) - ($base) AS DOUBLE) / ($us)) AS INT)"
+        s"(SELECT timestamp_micros(CAST(($base) + __x * ($us) AS BIGINT)) AS generate_series" +
+          s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
+      }
+    } else {
+      val lo = args(0)
+      val hi = args(1)
+      val st = stepRaw.getOrElse("1")
+      // negative step starts at the upper bound and descends
+      val base = s"(CASE WHEN ($st) < 0 THEN ($hi) ELSE ($lo) END)"
+      val bound = s"(CASE WHEN ($st) < 0 THEN ($lo) ELSE ($hi) END)"
+      val n = s"CAST(floor(CAST(($bound) - ($base) AS DOUBLE) / ($st)) AS INT)"
+      s"(SELECT $base + __x * ($st) AS generate_series" +
+        s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
+    }
+  }
 
   /** Substitute catalog table-function calls with freshly materialized
     * temp views (they reflect the live catalog at query time).
@@ -1801,7 +1960,7 @@ object QuestSql {
         case "materialized_views" => graft.Catalog.matViews(spark)
         case "table_storage" => graft.Catalog.tableStorage(spark)
         case "checkpoint_status" => graft.ops.Checkpoint.status(spark)
-        case "all_tables" => graft.Catalog.tables(spark)
+        case "all_tables" => graft.Catalog.allTables(spark)
         case "query_activity" => queryActivity(spark)
         case "pg_get_keywords" =>
           // PG shape: word / catcode / catdesc (catalogue/
@@ -1821,7 +1980,8 @@ object QuestSql {
       view
     })
     val step1b = LongSeqRe.replaceAllIn(step1, m => {
-      val n = m.group(1).toLong
+      val n = evalLongExpr(m.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"long_sequence: non-constant count '${m.group(1)}'"))
       val view = s"__graft_ls_$n"
       graft.functions.Generators.longSequence(spark, n).createOrReplaceTempView(view)
       view
@@ -1835,11 +1995,12 @@ object QuestSql {
         .createOrReplaceTempView(view)
       s"FROM $view"
     })
+    val step2a = rewriteGenSeriesGeneral(step2)
     // read_parquet('path') / parquet_scan('path') table functions
     // (reference functions/table/ReadParquetFunctionFactory — SURVEY
     // §2.1): the path is materialized as a temp view over the native
     // parquet source, so pushdown/pruning apply as for any scan
-    val step2b = ReadParquetRe.replaceAllIn(step2, m => {
+    val step2b = ReadParquetRe.replaceAllIn(step2a, m => {
       val path = m.group(2)
       val view = s"__graft_rp_${Integer.toHexString(path.hashCode).replace("-", "m")}"
       spark.read.parquet(path).createOrReplaceTempView(view)
@@ -1996,10 +2157,11 @@ object QuestSql {
         val d = LocalDateTime.parse(t)
         (d, d.plusSeconds(1))
       case n if n > 20 && t.charAt(19) == '.' =>
-        val digits = n - 20
-        require(digits <= 6, s"sub-microsecond literal '$s'")
-        val d = LocalDateTime.parse(t)
-        (d, d.plusNanos(math.pow(10, 9 - digits).toLong))
+        // ns-precision literals (TIMESTAMP_NS tests) truncate to µs here
+        val digits = math.min(n - 20, 9)
+        val t9 = if (n - 20 > 9) t.substring(0, 29) else t
+        val d = LocalDateTime.parse(t9)
+        (d, d.plusNanos(math.pow(10, 9 - digits).toLong.max(1000L)))
       case _ => throw new IllegalArgumentException(s"unsupported interval literal '$s'")
     }
   }
