@@ -160,5 +160,6 @@ object RefParity {
         catch { case _: Throwable => try spark.catalog.dropGlobalTempView(t.name) catch { case _: Throwable => () } }
       }
     }
+    graft.sql.QuestSql.retainDesignatedTs(baseline)
   }
 }

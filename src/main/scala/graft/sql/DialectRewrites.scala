@@ -25,8 +25,10 @@ object DialectRewrites {
     q = mapOutside(q)(decimalSuffix)
     q = mapOutside(q)(hexLiterals)
     q = mapOutside(q)(inNull)
+    q = mapOutside(q)(nanLiteral)
     q = arrayLiterals(q)
     q = mapOutside(q)(arrayTypeCasts)
+    q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
     q = atTimeZone(q)
@@ -256,6 +258,78 @@ object DialectRewrites {
   private def inNull(s: String): String =
     s.replaceAll("(?i)\\b(not\\s+)?in\\s+null\\b", "IS $1NULL")
 
+  /** Bare `NaN` literal — the reference's double null spelling. */
+  private def nanLiteral(s: String): String =
+    s.replaceAll("\\bNaN\\b", "CAST(NULL AS DOUBLE)")
+
+  /** `arr[i]`, `m[i,j]`, `v[lo:hi]` subscripts → element_at / slice
+    * chains (reference 1-based array access; slice upper bound is
+    * exclusive). `ARRAY[...]` literals were rewritten earlier, so a
+    * remaining `ident[...]` or `)[...]`-chain is always an access. */
+  private def arraySubscripts(s0: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "([A-Za-z_][\\w.]*|\\))\\s*\\[([^\\[\\]]*)\\]")
+    var s = s0
+    var guard = 0
+    var m = pat.matcher(s)
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      m = pat.matcher(s)
+      var searching = true
+      while (searching && m.find()) {
+        if (m.group(2).trim.isEmpty ||
+            m.group(1).toLowerCase == "array" || m.group(1).toLowerCase.endsWith(".array")) ()
+        else { searching = false }
+      }
+      if (!searching) {
+      guard += 1
+      changed = true
+      if (m.group(1) == ")") {
+        // base ends at a close paren: walk back to the balancing open
+        var depth = 0
+        var i = m.end(1) - 1
+        var start = -1
+        while (i >= 0 && start < 0) {
+          s.charAt(i) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) start = i
+            case _ =>
+          }
+          i -= 1
+        }
+        // include a preceding function name
+        var j = start - 1
+        while (j >= 0 && (isIdentCh(s.charAt(j)) || s.charAt(j) == '.')) j -= 1
+        val baseStart = j + 1
+        val base = s.substring(baseStart, m.end(1))
+        val repl = subscriptExpr(base, m.group(2))
+        s = s.substring(0, baseStart) + repl + s.substring(m.end())
+      } else {
+        val repl = subscriptExpr(m.group(1), m.group(2))
+        s = s.substring(0, m.start()) + repl + s.substring(m.end())
+      }
+      }
+    }
+    s
+  }
+
+  private def isIdentCh(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  private def subscriptExpr(base: String, idxList: String): String =
+    idxList.split(",").map(_.trim).filter(_.nonEmpty).foldLeft(base) { (acc, ix) =>
+      if (ix.contains(":")) {
+        val parts = ix.split(":", -1)
+        val lo = if (parts(0).trim.isEmpty) "1" else parts(0).trim
+        val hi = parts.lift(1).map(_.trim).filter(_.nonEmpty)
+        hi match {
+          case Some(h) => s"slice($acc, $lo, ($h) - ($lo))"
+          case None => s"slice($acc, $lo, size($acc) - ($lo) + 1)"
+        }
+      } else s"element_at($acc, $ix)"
+    }
+
   /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */
   private[sql] def arrayLiterals(s0: String): String = {
     var s = s0
@@ -313,10 +387,25 @@ object DialectRewrites {
     var s = s0
     s = s.replaceAll("(?i)::\\s*varchar\\b(?!\\s*\\()", "::STRING")
     s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
-    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128)\\b", "::STRING")
+    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|ipv4)\\b", "::STRING")
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
-    s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128)\\s*\\)", "AS STRING)")
+    s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128|ipv4)\\s*\\)", "AS STRING)")
+    // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
+    val decP = java.util.regex.Pattern.compile("(?i)\\b(DECIMAL|NUMERIC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)")
+    val dm = decP.matcher(s)
+    val sb2 = new StringBuilder
+    var last2 = 0
+    while (dm.find()) {
+      sb2.append(s.substring(last2, dm.start()))
+      val p = dm.group(2).toInt
+      val sc = Option(dm.group(3)).map(_.toInt).getOrElse(0)
+      if (p > 38) sb2.append(s"${dm.group(1)}(38,${math.min(sc, 37)})")
+      else sb2.append(dm.group(0))
+      last2 = dm.end()
+    }
+    sb2.append(s.substring(last2))
+    s = sb2.toString
     // sized VARCHAR(n) casts are fine for Spark; CHAR(n) too
     s
   }

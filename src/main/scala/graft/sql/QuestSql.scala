@@ -46,6 +46,13 @@ object QuestSql {
   def registerDesignatedTs(table: String, tsColumn: String): Unit =
     tsRegistry.put(table.split('.').last.toLowerCase, tsColumn)
 
+  /** Drop designated-ts registrations except `keep` (session-reset for
+    * harnesses that tear tables down between cases). */
+  def retainDesignatedTs(keep: Set[String]): Unit = {
+    val it = tsRegistry.keySet.iterator()
+    while (it.hasNext) if (!keep(it.next())) it.remove()
+  }
+
   private def tsOfRel(refName: String, df: DataFrame): String = {
     val registered =
       if (refName.nonEmpty) Option(tsRegistry.get(refName.split('.').last.toLowerCase))
@@ -228,8 +235,12 @@ object QuestSql {
     val fw = firstWord(q0)
     val bareTableFn = BareTableFns(fw) &&
       q0.drop(q0.toLowerCase.indexOf(fw) + fw.length).trim.startsWith("(")
+    val afterFw = q0.trim.drop(fw.length).trim
+    val clauseNext = afterFw.isEmpty ||
+      """(?i)^(where|latest|limit|order|sample|union|intersect|except)\b""".r
+        .findFirstIn(afterFw).isDefined
     if (fw.nonEmpty && !StatementKeywords(fw) &&
-        (bareTableFn ||
+        (bareTableFn || clauseNext ||
           (try spark.catalog.tableExists(fw) catch { case _: Exception => false })))
       q0 = "SELECT * FROM " + q0
     // reference-accepted spellings Spark's parser rejects (double-quoted
@@ -252,18 +263,19 @@ object QuestSql {
     val qForms = rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(
         if (named.isEmpty) q0 else substParams(q0, named)))))
-    statementForm(spark, qForms)
-      .orElse(rangeLimitNegForm(spark, qForms))
-      .orElse(showForm(spark, qForms))
-      .orElse(asofForm(spark, qForms))
-      .orElse(windowJoinForm(spark, qForms))
-      .orElse(horizonJoinForm(spark, qForms))
-      .orElse(sampleByOpForm(spark, qForms))
+    val qSub = materializeDialectSubqueries(spark, qForms)
+    statementForm(spark, qSub)
+      .orElse(rangeLimitNegForm(spark, qSub))
+      .orElse(showForm(spark, qSub))
+      .orElse(asofForm(spark, qSub))
+      .orElse(windowJoinForm(spark, qSub))
+      .orElse(horizonJoinForm(spark, qSub))
+      .orElse(sampleByOpForm(spark, qSub))
       .getOrElse {
         // the fallback re-derives from q0 to keep :name markers for
         // Spark's parameter binder — re-apply the table-fn substitution
-        val rewritten = windowOrderTail(spark,
-          rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0))))
+        val rewritten = materializeDialectSubqueries(spark, windowOrderTail(spark,
+          rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0)))))
         def run(q: String): DataFrame =
           if (named.isEmpty) spark.sql(q) else spark.sql(q, named)
         // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
@@ -333,6 +345,61 @@ object QuestSql {
     }
   }
 
+  /** Dialect operators inside FROM/JOIN subqueries (reference nests its
+    * model tree freely; our op forms are top-level): materialize the
+    * inner query through the full dialect pipeline as a temp view and
+    * substitute the view name. Correlated subqueries fail the inner
+    * compile and stay untouched.
+    */
+  private val subqueryCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
+    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON)\b""".r
+        .findFirstIn(q).isDefined) return q
+    val lower = q.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < q.length && q.charAt(j) != '\'') j += 1
+        out.append(q.substring(i, math.min(j + 1, q.length))); i = j + 1
+      } else if (c == '(') {
+        // preceded by FROM or JOIN?
+        val before = out.toString.trim.toLowerCase
+        val fromPos = before.endsWith("from") || before.endsWith("join")
+        var depth = 1
+        var j = i + 1
+        while (j < q.length && depth > 0) {
+          q.charAt(j) match {
+            case '\'' => var k = j + 1; while (k < q.length && q.charAt(k) != '\'') k += 1; j = k + 1
+            case '(' => depth += 1; j += 1
+            case ')' => depth -= 1; j += 1
+            case _ => j += 1
+          }
+        }
+        val inner = q.substring(i + 1, math.max(i + 1, j - 1))
+        val hasDialectOp =
+          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON)\b""".r
+            .findFirstIn(inner).isDefined
+        if (fromPos && inner.trim.toLowerCase.startsWith("select") && hasDialectOp) {
+          try {
+            val view = s"__graft_sub_${subqueryCounter.incrementAndGet()}"
+            sqlBound(spark, inner, Map.empty).createOrReplaceTempView(view)
+            out.append(view)
+            changed = true
+          } catch {
+            case _: Exception => out.append(q.substring(i, j))
+          }
+        } else out.append(q.substring(i, j))
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    if (changed) out.toString else q
+  }
+
   /** Index of the first occurrence of any keyword at paren depth 0 and
     * outside single-quoted strings, case-insensitive; -1 if absent.
     */
@@ -400,7 +467,7 @@ object QuestSql {
 
   private val CreateTableAsRe =
     ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
-      """\s+AS\s*\((.*?)\)\s*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?(?:\s+WAL|\s+BYPASS\s+WAL)?\s*(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*$""").r
+      """\s+AS\s*\((.*?)\)\s*(?:,\s*INDEX\s*\([^)]*\)\s*)*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?(?:\s+TTL\s+\w+\s+\w+)?(?:\s+WAL|\s+BYPASS\s+WAL)?\s*(?:WITH\s+[\w=,.\s]+?)?\s*(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*(?:IN\s+VOLUME\s+\S+)?\s*$""").r
   private val CreateTableAsBareRe =
     ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
       """\s+AS\s+(SELECT\s+.*)$""").r
@@ -496,6 +563,10 @@ object QuestSql {
     }
   }
 
+  private val AlterMatViewRe =
+    ("""(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+((?:`[^`]+`|[\w.])+)\s+""" +
+      """(?:SET\s+)?(?:REFRESH\s+(\w+).*|.*)$""").r
+
   private val RefreshMatViewRe =
     ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+""" +
       """(?:(FULL|INCREMENTAL|STATS)|RANGE\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')\s*$""").r
@@ -530,7 +601,11 @@ object QuestSql {
   private val AlterRenameColRe = """(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
   private val AlterColTypeRe = """(?is)^ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+)?TYPE\s+([\w()0-9, \[\]]+)$""".r
   private val AlterAckRe =
-    """(?is)^(SET\s+PARAM\b.*|RESUME\s+WAL.*|SUSPEND\s+WAL.*|SET\s+TYPE\s+.*|SQUASH\s+PARTITIONS.*|DEDUP\s+(ENABLE|DISABLE).*|ALTER\s+COLUMN\s+\w+\s+(ADD|DROP)\s+INDEX.*|ALTER\s+COLUMN\s+\w+\s+CACHE.*|ALTER\s+COLUMN\s+\w+\s+NOCACHE.*)$""".r
+    ("""(?is)^(SET\s+PARAM\b.*|RESUME\s+WAL.*|SUSPEND\s+WAL.*|SET\s+TYPE\s+.*|SQUASH\s+PARTITIONS.*|DEDUP\s+(ENABLE|DISABLE).*|ALTER\s+COLUMN\s+\w+\s+(ADD|DROP)\s+INDEX.*|ALTER\s+COLUMN\s+\w+\s+CACHE.*|ALTER\s+COLUMN\s+\w+\s+NOCACHE.*""" +
+      // storage-layout actions that are no-ops here (data is parquet
+      // already; WAL bookkeeping is the ingest path's): reference
+      // ALTER TABLE CONVERT PARTITION / REBASE WAL / FORCE DROP
+      """|CONVERT\s+PARTITION\s+.*|REBASE\s+WAL.*|FORCE\s+DROP\s+PARTITION.*)$""").r
 
   // plain CREATE TABLE with column definitions (reference
   // SqlParser.parseCreateTable: `CREATE TABLE t (sym SYMBOL CAPACITY 256
@@ -544,7 +619,7 @@ object QuestSql {
   // then any mix of storage knobs (PARTITION BY / WAL / TTL / WITH /
   // DEDUP / IN VOLUME) that don't change view semantics here
   private val CreateTablePlainTailRe =
-    """(?is)^\s*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY|BYPASS|WAL|TTL|WITH|DEDUP|IN\s+VOLUME|OWNED|$).*$""".r
+    """(?is)^\s*(?:,\s*index\s*\([^)]*\)\s*)*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY|BYPASS|WAL|TTL|WITH|DEDUP|IN\s+VOLUME|OWNED|,\s*INDEX|$).*$""".r
 
   /** Split `rest` (text after the opening paren of a column list) at its
     * balancing close paren: (inside, after). None if unbalanced.
@@ -613,7 +688,7 @@ object QuestSql {
     case "DOUBLE" => "double"
     case "FLOAT" | "REAL" => "float"
     case "BOOLEAN" => "boolean"
-    case "STRING" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "IPV4" => "string"
+    case "STRING" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "LONG128" | "IPV4" | "GEOHASH" => "string"
     case "TIMESTAMP" | "TIMESTAMP_NS" => "timestamp"
     case "DATE" => "date"
     case "BINARY" => "binary"
@@ -828,6 +903,13 @@ object QuestSql {
         Some(qe.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           .split("\n").toSeq.toDF("PLAN"))
+    case AlterMatViewRe(name, kind) =>
+      val key = unq(name).split('.').last.toLowerCase
+      Option(matViewDefs.get(key)).foreach { d =>
+        if (kind != null)
+          matViewDefs.put(key, d.copy(refreshKind = kind.toUpperCase))
+      }
+      Some(status(spark, "OK"))
     case CreateViewRe(name, inner) =>
       sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
       Some(status(spark, "OK"))
