@@ -247,7 +247,8 @@ object AutoAlias {
     val fn = """(?s)^([A-Za-z_][\w$]*)\s*\(.*\)$""".r
     e match {
       case fn(name) if balancedFromFirstParen(e) =>
-        return if (name.equalsIgnoreCase("cast")) "cast" else name
+        return if (name.equalsIgnoreCase("cast") || name == "__ts_us_cast") "cast"
+          else name
       case _ =>
     }
     if (e.matches("\\d+")) return e

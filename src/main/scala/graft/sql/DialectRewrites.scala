@@ -31,6 +31,7 @@ object DialectRewrites {
     q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
+    q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
     q = timeRangeFrames(q)
     q = unnestColumns(q)
@@ -106,8 +107,15 @@ object DialectRewrites {
       }
       val alias = m.group(3)
       val repl =
-        if (cols.length == 1)
-          s" LATERAL VIEW explode(from_json($expr, 'array<${cols(0)._2}>')) $alias AS ${cols(0)._1}"
+        if (cols.length == 1) {
+          // scalar elements OR single-field objects (reference extracts
+          // the declared field from object arrays)
+          val (cn, ct) = cols(0)
+          val arr = s"(CASE WHEN regexp_like($expr, '^\\\\s*\\\\[\\\\s*\\\\{')" +
+            s" THEN from_json($expr, 'array<struct<$cn:$ct>>').$cn" +
+            s" ELSE from_json($expr, 'array<$ct>') END)"
+          s" LATERAL VIEW explode($arr) $alias AS $cn"
+        }
         else {
           val st = cols.map { case (n, t) => s"$n:$t" }.mkString(",")
           s" LATERAL VIEW explode(from_json($expr, 'array<struct<$st>>')) ${alias}_lv AS $alias"
@@ -409,6 +417,14 @@ object DialectRewrites {
     // sized VARCHAR(n) casts are fine for Spark; CHAR(n) too
     s
   }
+
+  /** `expr::timestamp` → `__ts_us_cast(expr)` so numeric operands read
+    * as microseconds (reference cast) — simple operands only; string
+    * literals keep Spark's cast. */
+  private def tsColonCasts(s: String): String =
+    s.replaceAll(
+      "(?i)([\\w.]+|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp\\b(?!_ns)",
+      "__ts_us_cast($1)")
 
   /** `::timestamp with time zone` → `::timestamp`;
     * `cast(x as timestamp with time zone)` likewise (values are UTC

@@ -53,6 +53,17 @@ object QuestSql {
     while (it.hasNext) if (!keep(it.next())) it.remove()
   }
 
+  /** `expr alias` (implicit, call-result only) → `expr AS alias` so op
+    * forms see one alias spelling. */
+  private def normalizeAliasSpelling(item: String): String = {
+    val m = """(?is)^(.*\))\s+`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(item.trim)
+    m match {
+      case Some(g) if !g.group(2).equalsIgnoreCase("as") =>
+        s"${g.group(1)} AS ${g.group(2)}"
+      case _ => item
+    }
+  }
+
   private def tsOfRel(refName: String, df: DataFrame): String = {
     val registered =
       if (refName.nonEmpty) Option(tsRegistry.get(refName.split('.').last.toLowerCase))
@@ -1018,6 +1029,18 @@ object QuestSql {
   // timestamp_floor/ceil with stride literals, dateadd/datediff,
   // to_timezone/to_utc (reference functions/date).
 
+  /** Reference long→timestamp cast semantics (micros since epoch). */
+  private def tsUsCast(x0: String): String = {
+    val x = x0.trim
+    if (x.matches("-?\\d+[Ll]?"))
+      s"timestamp_micros(CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT))"
+    else if (x.startsWith("'") || x.toUpperCase.startsWith("TIMESTAMP "))
+      s"CAST($x AS TIMESTAMP)"
+    else
+      s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint', 'float', 'double')" +
+        s" THEN timestamp_micros(CAST($x AS BIGINT)) ELSE CAST(($x) AS TIMESTAMP) END)"
+  }
+
   /** timestamp_floor(stride, ts[, origin[, offset, tz]]) — floor to the
     * stride grid anchored at `origin` (epoch when null) shifted by
     * `offset` (HH:mm), computed in `tz` local time (reference
@@ -1215,6 +1238,17 @@ object QuestSql {
     q = expandCalls(q, "haversine_dist_deg") { case Seq(lat1, lon1, lat2, lon2) =>
       s"(2 * 6371008.8 * asin(sqrt(pow(sin(radians($lat2 - ($lat1)) / 2), 2)" +
         s" + cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - ($lon1)) / 2), 2))))" }
+    // numeric → timestamp casts are MICROSECONDS in the reference
+    // (TimestampDriver.fromLong), while Spark's CAST reads seconds:
+    // dispatch on the runtime type, with literals resolved statically
+    q = expandCalls(q, "__ts_us_cast") { case Seq(x) => tsUsCast(x) }
+    q = expandCalls(q, "cast") { case Seq(inner) =>
+      val m = """(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$""".r.findFirstMatchIn(inner)
+      m match {
+        case Some(g) => tsUsCast(g.group(1))
+        case None => s"cast($inner)"
+      }
+    }
     q = expandCalls(q, "timestamp_floor") { args => floorExpr(args, toUtc = false) }
     q = expandCalls(q, "timestamp_ceil") { case Seq(stride, ts) =>
       val us = strideToMicros(stripQuotes(stride))
@@ -1995,16 +2029,28 @@ object QuestSql {
     val tsMode = durStep.isDefined ||
       args.take(2).exists(a => a.trim.startsWith("'") || """(?i)::\s*timestamp""".r.findFirstIn(a).isDefined)
     if (tsMode) {
-      val sgn = durStep.map(d => if (d.group(1) == "-") -1L else 1L).getOrElse(1L)
-      val unit = durStep.map(_.group(3)).getOrElse("s")
-      val nUnits = durStep.map(_.group(2).toLong).getOrElse(1L)
-      val lo = s"unix_micros(CAST(${args(0)} AS TIMESTAMP))"
-      val hi = s"unix_micros(CAST(${args(1)} AS TIMESTAMP))"
+      // a bare numeric stride over timestamps is MICROSECONDS (reference
+      // timestamps are micros); quoted strides carry a unit
+      val numericStep = stepRaw.map(_.trim).filter(s =>
+        s.matches("-?\\d+[Ll]?") && durStep.isEmpty)
+      val sgn = durStep.map(d => if (d.group(1) == "-") -1L else 1L)
+        .orElse(numericStep.map(s => if (s.startsWith("-")) -1L else 1L))
+        .getOrElse(1L)
+      val unit = durStep.map(_.group(3)).getOrElse("U")
+      val nUnits = durStep.map(_.group(2).toLong)
+        .orElse(numericStep.map(s => math.abs(s.stripSuffix("L").stripSuffix("l").toLong)))
+        .getOrElse(1L)
+      def tsExpr(a: String): String =
+        if (a.trim.matches("-?\\d+[Ll]?"))
+          s"timestamp_micros(CAST(${a.trim.stripSuffix("L").stripSuffix("l")} AS BIGINT))"
+        else s"CAST($a AS TIMESTAMP)"
+      val lo = s"unix_micros(${tsExpr(args(0))})"
+      val hi = s"unix_micros(${tsExpr(args(1))})"
       if (unit == "M" || unit == "y") {
         val months = (if (unit == "y") nUnits * 12 else nUnits) * sgn
         val base = if (sgn >= 0) args(0) else args(1)
         val n = s"CAST(floor(months_between(CAST(${if (sgn >= 0) args(1) else args(0)} AS TIMESTAMP), CAST($base AS TIMESTAMP)) / ($months)) AS INT)"
-        s"(SELECT add_months(CAST($base AS TIMESTAMP), __x * ($months)) AS generate_series" +
+        s"(SELECT CAST(add_months(CAST($base AS TIMESTAMP), __x * ($months)) AS TIMESTAMP) AS generate_series" +
           s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
       } else {
         val us = nUnits * unitMicros(unit) * sgn
@@ -2515,7 +2561,7 @@ object QuestSql {
         if fillSpec != null || fromLit != null || alignKind != null =>
       val (base0, relName) = resolveRel(spark, rel)
       val tsName = tsOfRel(relName, base0)
-      val items = splitSelect(sel)
+      val items = splitSelect(sel).map(normalizeAliasSpelling)
       val isBare = (s: String) => s.matches("""[\w.]+""")
       val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
       val keys = items.filter(i => isBare(i) && !tsItem.contains(i)).map(_.split('.').last)
@@ -2630,7 +2676,7 @@ object QuestSql {
     case WindowJoinRe(sel, master, slave, onKeys, loN, loU, hiN, hiU, prevailing,
                       where, order, lim1, lim2) =>
       val keys = onKeys.split(",").map(_.trim).toSeq
-      val items = splitSelect(sel)
+      val items = splitSelect(sel).map(normalizeAliasSpelling)
       val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
       val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
         case AggAs(e, name) => name -> expr(e)
