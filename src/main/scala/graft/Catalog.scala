@@ -82,13 +82,49 @@ object Catalog {
   def registerCreateMeta(name: String, m: CreateMeta): Unit =
     createMeta.put(name.toLowerCase, m)
 
-  /** table_columns(t) — name/type/nullability + designated-ts flag. */
-  def tableColumns(spark: SparkSession, table: String): DataFrame = {
+  /** Column declarations (type spelling + storage knobs) remembered from
+    * CREATE so metadata functions can show SYMBOL/capacity/index facts
+    * Spark types don't carry. */
+  case class ColDecl(tpe: String, knobs: String)
+  private[graft] val declaredCols =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColDecl]]()
+
+  def registerDeclaredCols(table: String, cols: Seq[(String, String, String)]): Unit =
+    declaredCols.put(table.toLowerCase,
+      cols.map { case (n, t, k) => n.toLowerCase -> ColDecl(t, k) }.toMap)
+
+  /** table_columns(t) — the reference's 11-column shape
+    * (catalogue/TableColumnsFunctionFactory). */
+  def tableColumns(spark: SparkSession, table: String): DataFrame =
+    columnsOf(spark, table)
+
+  private[graft] def columnsOf(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val designated = Tables.designatedTs.get(table)
+    val key = table.split('.').last.toLowerCase
+    val designated = Tables.designatedTs.get(key)
+    val decls = Option(declaredCols.get(key)).getOrElse(Map.empty)
     spark.table(table).schema.fields.toSeq.map { f =>
-      (f.name, f.dataType.simpleString, f.nullable, designated.contains(f.name))
-    }.toDF("column", "type", "nullable", "designated")
+      val d = decls.get(f.name.toLowerCase)
+      val tpe = d.map(_.tpe).getOrElse(sqlTypeName(f.dataType))
+      val knobs = d.map(_.knobs.toUpperCase).getOrElse("")
+      val isSymbol = tpe.startsWith("SYMBOL")
+      val indexed = knobs.contains("INDEX")
+      val idxCap = """INDEX\s+CAPACITY\s+(\d+)""".r.findFirstMatchIn(knobs)
+        .map(_.group(1).toInt).getOrElse(256)
+      val symCap = """(?<!INDEX )CAPACITY\s+(\d+)""".r.findFirstMatchIn(knobs)
+        .map(_.group(1).toInt).getOrElse(if (isSymbol) 128 else 0)
+      val cached = isSymbol && !knobs.contains("NOCACHE")
+      val symSize =
+        if (isSymbol)
+          try spark.table(table).selectExpr(s"count(distinct `${f.name}`)").collect()(0).getLong(0)
+          catch { case _: Exception => 0L }
+        else 0L
+      (f.name, tpe, indexed, idxCap, cached, if (isSymbol) symCap else 0,
+        symSize, designated.contains(f.name), false,
+        if (indexed) "BITMAP" else "", "")
+    }.toDF("column", "type", "indexed", "indexBlockCapacity", "symbolCached",
+      "symbolCapacity", "symbolTableSize", "designated", "upsertKey",
+      "indexType", "indexInclude")
   }
 
   /** table_partitions(dir) — day partitions of an ingest table with
@@ -315,15 +351,8 @@ object Catalog {
     * has no analogue for; they surface as false/0, as the reference does
     * for non-symbol columns.
     */
-  def showColumns(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val designated = Tables.designatedTs.get(table.split('.').last.toLowerCase)
-    spark.table(table).schema.fields.toSeq.map { f =>
-      (f.name, sqlTypeName(f.dataType), false, 0, false, 0, 0,
-        designated.contains(f.name), false)
-    }.toDF("column", "type", "indexed", "indexBlockCapacity", "symbolCached",
-      "symbolCapacity", "symbolTableSize", "designated", "upsertKey")
-  }
+  def showColumns(spark: SparkSession, table: String): DataFrame =
+    columnsOf(spark, table)
 
   /** SHOW CREATE TABLE t — one `ddl` row
     * (reference `ShowCreateTableRecordCursorFactory`).
@@ -339,8 +368,10 @@ object Catalog {
   def showCreateTable(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val name = table.split('.').last.toLowerCase
+    val decls = Option(declaredCols.get(name)).getOrElse(Map.empty)
     val cols = spark.table(table).schema.fields
-      .map(f => s"\t${f.name} ${sqlTypeName(f.dataType)}").mkString(",\n")
+      .map(f => s"\t${f.name} ${decls.get(f.name.toLowerCase).map(_.tpe)
+        .getOrElse(sqlTypeName(f.dataType))}").mkString(",\n")
     val tsClause = Tables.designatedTs.get(name).map(c => s" timestamp($c)").getOrElse("")
     val tail = Option(createTails.get(name)).getOrElse(
       if (tsClause.nonEmpty) " PARTITION BY DAY BYPASS WAL" else "")

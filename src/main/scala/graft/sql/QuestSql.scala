@@ -656,6 +656,10 @@ object QuestSql {
     * collapse onto the base32-string model.
     */
   private def parseColumnDefs(body: String): Seq[(String, String)] =
+    parseColumnDefsFull(body).map { case (n, t, _, _) => (n, t) }
+
+  /** (name, sparkType, declaredTypeUpper, knobs) */
+  private def parseColumnDefsFull(body: String): Seq[(String, String, String, String)] =
     splitSelect(body).filterNot(
       // table-level index/constraint entries carry no column
       _.matches("(?is)^\\s*index\\s*\\(.*\\)\\s*$")
@@ -679,7 +683,7 @@ object QuestSql {
         }
         else if (up.startsWith("VARCHAR") || up.startsWith("CHAR")) "string"
         else sparkTypeOf(up)
-      (m.group(1), spk)
+      (m.group(1).replace("`", ""), spk, up, m.group(3).trim)
     }
 
   /** Reference type name → Spark SQL type for ALTER/ADD columns.
@@ -943,8 +947,11 @@ object QuestSql {
       val exists = try spark.catalog.tableExists(name) catch { case _: Exception => false }
       if (ifNot != null && exists) Some(status(spark, "OK"))
       else {
-        val cols = parseColumnDefs(colsBody)
-        val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }.mkString(", ")
+        val colsF = parseColumnDefsFull(colsBody)
+        val cols = colsF.map { case (n, t, _, _) => (n, t) }
+        graft.Catalog.registerDeclaredCols(unq(name),
+          colsF.map { case (n, _, d, k) => (n, d, k) })
+        val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS `$n`" }.mkString(", ")
         spark.sql(s"SELECT $sel").where("1=0").createOrReplaceTempView(unq(name))
         tsOpt.foreach(registerDesignatedTs(unq(name), _))
         // remember partition/TTL/WAL spelling for SHOW CREATE TABLE

@@ -17,7 +17,8 @@ class CatalogSpec extends SparkSpec {
   test("SHOW COLUMNS FROM events carries the reference column set and designated flag") {
     val out = engine.sql("SHOW COLUMNS FROM events")
     assert(out.columns.toSeq == Seq("column", "type", "indexed", "indexBlockCapacity",
-      "symbolCached", "symbolCapacity", "symbolTableSize", "designated", "upsertKey"))
+      "symbolCached", "symbolCapacity", "symbolTableSize", "designated", "upsertKey",
+      "indexType", "indexInclude"))
     val ts = out.filter(col("column") === "ts").head()
     assert(ts.getAs[String]("type") == "TIMESTAMP")
     assert(ts.getAs[Boolean]("designated"))

@@ -126,7 +126,7 @@ class MutationsSpec extends SparkSpec {
     val ts = Catalog.tables(spark)
     assert(ts.filter($"table_name" === "events").count() == 1)
     val cols = Catalog.tableColumns(spark, "events").collect()
-    assert(cols.exists(r => r.getString(0) == "ts" && r.getBoolean(3))) // designated
+    assert(cols.exists(r => r.getString(0) == "ts" && r.getAs[Boolean]("designated")))
     // partition listing over an ingest table
     val dir = Files.createTempDirectory("cat").toString + "/t"
     Ingest.applyBatch(
