@@ -85,4 +85,63 @@ object Ema {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Time-decay EMA / VWEMA (reference EmaDoubleWindowFunctionFactory
+    * time-unit modes): per-row `α_i = 1 - exp(-Δt/τ)`, first row of a
+    * series seeds with its value. `volumeCol = None` → plain EMA. */
+  def emaDecay(df: DataFrame, ts: String, keys: Seq[String],
+               priceCol: String, volumeCol: Option[String], tauUs: Long,
+               out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, DoubleType, nullable = true))
+    val keyIdx = keys.map(df.columns.indexOf(_))
+    val pIdx = df.columns.indexOf(priceCol)
+    val vIdx = volumeCol.map(df.columns.indexOf(_))
+    val tIdx = df.columns.indexOf(ts)
+    val sortCols = (keys :+ ts).map(col)
+    val partitioned =
+      if (keys.isEmpty) df.repartitionByRange(1, col(ts)).sortWithinPartitions(col(ts))
+      else df.repartition(keys.map(col): _*).sortWithinPartitions(sortCols: _*)
+    partitioned.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var num = 0.0; var den = 0.0; var state = 0.0
+      var prevUs = 0L; var hasState = false
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; hasState = false }
+        val us = r.get(tIdx) match {
+          case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+          case l: java.lang.Long => l.longValue()
+          case _ => 0L
+        }
+        val y: Any =
+          if (r.isNullAt(pIdx) || vIdx.exists(r.isNullAt)) {
+            if (hasState) (if (vIdx.isDefined) { if (den != 0.0) num / den else null } else state)
+            else null
+          } else {
+            val p = r.getDouble(pIdx)
+            val alpha =
+              if (!hasState) 1.0
+              else {
+                val dt = us - prevUs
+                if (dt <= 0) 1.0 else 1.0 - math.exp(-dt.toDouble / tauUs)
+              }
+            vIdx match {
+              case Some(vi) =>
+                val v = r.getDouble(vi)
+                if (!hasState) { num = p * v; den = v }
+                else { num = alpha * (p * v) + (1 - alpha) * num
+                       den = alpha * v + (1 - alpha) * den }
+              case None =>
+                state = if (!hasState) p else alpha * p + (1 - alpha) * state
+            }
+            hasState = true
+            prevUs = us
+            if (vIdx.isDefined) { if (den != 0.0) num / den else null } else state
+          }
+        if (hasState) prevUs = us
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -282,6 +282,7 @@ object QuestSql {
       .orElse(windowJoinForm(spark, qSub))
       .orElse(horizonJoinForm(spark, qSub))
       .orElse(sampleByOpForm(spark, qSub))
+      .orElse(emaWindowForm(spark, qSub))
       .getOrElse {
         // the fallback re-derives from q0 to keep :name markers for
         // Spark's parameter binder — re-apply the table-fn substitution
@@ -2637,6 +2638,68 @@ object QuestSql {
       val projected = out.select(outNames.map(col): _*)
       Some(Option(order).map(o => applyWhereTail(projected, null, o, null, null)).getOrElse(projected))
     case _ => None
+  }
+
+  // ---- EMA / VWEMA window spellings ----------------------------------------
+  // reference functions/window/{Ema,Vwema}DoubleWindowFunctionFactory:
+  // avg(price, 'alpha'|'period'|<time unit>, param[, volume]) over
+  // ([partition by ...] order by ts) — a recursive fold no Spark frame
+  // expresses, lowered through ops.Ema.
+
+  private val EmaItemRe =
+    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|second|minute|hour|day|week)'\s*,\s*([\d.]+)\s*""" +
+      """(?:,\s*([\w.]+)\s*)?\)\s*over\s*\(\s*(?:partition\s+by\s+([\w.,\s]+?)\s+)?order\s+by\s+([\w.]+)\s*\)""" +
+      """(?:\s+AS\s+`?(\w+)`?)?""").r
+
+  private def emaWindowForm(spark: SparkSession, q: String): Option[DataFrame] = {
+    val SelRe = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.`]+)""" +
+      """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+([\w.,\s]+?))?\s*$""").r
+    q match {
+      case SelRe(sel, rel, where, order) if EmaItemRe.findFirstIn(sel).isDefined =>
+        val items = splitSelect(sel)
+        val emaIdx = items.indexWhere(i => EmaItemRe.findFirstMatchIn(i.trim)
+          .exists(_.matched.length >= i.trim.length - 1))
+        if (emaIdx < 0) return None
+        if (!items.zipWithIndex.forall { case (i, ix) =>
+          ix == emaIdx || i.trim.matches("[\\w.]+") }) return None
+        val m = EmaItemRe.findFirstMatchIn(items(emaIdx).trim).get
+        val (price, mode, param, vol, partBy, ts, alias) =
+          (m.group(1), m.group(2).toLowerCase, m.group(3).toDouble,
+            Option(m.group(4)), Option(m.group(5)), m.group(6),
+            Option(m.group(7)).getOrElse("avg"))
+        val (base0, _) = resolveRel(spark, rel)
+        val base1 = Option(where).map(base0.where).getOrElse(base0)
+        // the fold reads raw doubles
+        val base = (Seq(price) ++ vol).foldLeft(base1)(
+          (d, c) => d.withColumn(c, col(c).cast("double")))
+        val keys = partBy.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val out = mode match {
+          case "alpha" =>
+            vol match {
+              case Some(v) => graft.ops.Ema.vwema(base, ts, keys, price, v, param, alias)
+              case None => graft.ops.Ema.ema(base, ts, keys, price, param, alias)
+            }
+          case "period" =>
+            val a = 2.0 / (param + 1.0)
+            vol match {
+              case Some(v) => graft.ops.Ema.vwema(base, ts, keys, price, v, a, alias)
+              case None => graft.ops.Ema.ema(base, ts, keys, price, a, alias)
+            }
+          case unit =>
+            val tau = (param * unitMicros(unit match {
+              case "second" => "s"; case "minute" => "m"; case "hour" => "h"
+              case "day" => "d"; case "week" => "w"
+            })).toLong
+            graft.ops.Ema.emaDecay(base, ts, keys, price, vol, tau, alias)
+        }
+        val names = items.zipWithIndex.map { case (i, ix) =>
+          if (ix == emaIdx) alias else i.trim.split('.').last
+        }
+        val projected = out.select(names.map(col): _*)
+        Some(Option(order).map(o => projected.orderBy(o.split(",").map(c => col(c.trim)): _*))
+          .getOrElse(projected.orderBy(col(ts))))
+      case _ => None
+    }
   }
 
   // ---- ASOF / LT / SPLICE JOIN ---------------------------------------------
