@@ -1060,8 +1060,8 @@ object QuestSql {
     val ts = args(1)
     val tz = args.lift(4).map(_.trim).filter(_ != "null")
     val local = tz match {
-      case Some(z) => s"from_utc_timestamp($ts, $z)"
-      case None => ts
+      case Some(z) => s"from_utc_timestamp(CAST($ts AS TIMESTAMP), $z)"
+      case None => s"CAST($ts AS TIMESTAMP)"
     }
     val originUs = args.lift(2).map(_.trim).filter(_ != "null") match {
       case Some(o) => s"unix_micros(CAST($o AS TIMESTAMP))"
@@ -1214,8 +1214,10 @@ object QuestSql {
           .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
       val tsOpt =
         if (table.isEmpty) None
-        else try Some(tsOfRel(table, spark.table(table)))
-        catch { case _: Exception => None }
+        else try {
+          val df = spark.table(table)
+          Some(tsOfRel(table, df)).filter(df.columns.contains(_))
+        } catch { case _: Exception => None }
       tsOpt.foreach { ts =>
         q = expandCalls(q, "first_not_null") { case Seq(x) =>
           s"min_by($x, CASE WHEN ($x) IS NOT NULL THEN $ts END)" }
@@ -1229,6 +1231,12 @@ object QuestSql {
           case Seq(x) => s"max_by($x, $ts)"
           case args => s"last(${args.mkString(", ")})"
         }
+      }
+      if (tsOpt.isEmpty) {
+        // no designated order: the reference falls back to table order,
+        // which Spark's first/last give in partition order
+        q = expandCalls(q, "first_not_null") { case Seq(x) => s"first($x, true)" }
+        q = expandCalls(q, "last_not_null") { case Seq(x) => s"last($x, true)" }
       }
     }
     q
@@ -1262,16 +1270,19 @@ object QuestSql {
       val us = strideToMicros(stripQuotes(stride))
       s"timestamp_micros(CAST(unix_micros($ts) + (($us - unix_micros($ts) % $us) % $us) AS BIGINT))" }
     q = expandCalls(q, "dateadd") { case Seq(unit, n, ts) =>
+      val t = s"CAST($ts AS TIMESTAMP)"
       stripQuotes(unit) match {
-        case "M" => s"($ts + make_interval(0, $n))"
-        case "y" => s"($ts + make_interval($n))"
-        case u => s"timestamp_micros(CAST(unix_micros($ts) + ($n) * ${unitMicros(u)} AS BIGINT))"
+        case "M" => s"($t + make_interval(0, $n))"
+        case "y" => s"($t + make_interval($n))"
+        case u => s"timestamp_micros(CAST(unix_micros($t) + ($n) * ${unitMicros(u)} AS BIGINT))"
       } }
     q = expandCalls(q, "datediff") { case Seq(unit, a, b) =>
       val u = unitMicros(stripQuotes(unit))
       s"CAST(floor(unix_micros($b) / $u) - floor(unix_micros($a) / $u) AS BIGINT)" }
-    q = expandCalls(q, "to_timezone") { case Seq(ts, tz) => s"from_utc_timestamp($ts, $tz)" }
-    q = expandCalls(q, "to_utc") { case Seq(ts, tz) => s"to_utc_timestamp($ts, $tz)" }
+    q = expandCalls(q, "to_timezone") { case Seq(ts, tz) =>
+      s"from_utc_timestamp(${tsUsCast(ts)}, $tz)" }
+    q = expandCalls(q, "to_utc") { case Seq(ts, tz) =>
+      s"to_utc_timestamp(${tsUsCast(ts)}, $tz)" }
     // geo plane/latlon predicates (reference functions/geo: equirectangular
     // meters-per-degree approximation, midpoint latitude for distances,
     // center latitude for radius checks; NaN → false/NaN, negative radius
@@ -1389,6 +1400,9 @@ object QuestSql {
         s" OR $w <= 0 OR $mn >= $mx THEN NULL" +
         s" ELSE concat(repeat('█', $whole)," +
         s" CASE WHEN $whole < $w AND $fracIdx > 0 THEN substring('▁▂▃▄▅▆▇█', $fracIdx, 1) ELSE '' END) END)" }
+    q = expandCalls(q, "transpose") { case Seq(m0) =>
+      s"transform(sequence(1, size(element_at($m0, 1))), __i -> " +
+        s"transform($m0, __r -> element_at(__r, __i)))" }
     q = expandCalls(q, "string_distinct_agg") { case Seq(x, sep) =>
       s"array_join(array_distinct(collect_list($x)), $sep)" }
     q = expandCalls(q, "isOrdered") { case Seq(x) =>
@@ -2738,14 +2752,19 @@ object QuestSql {
   // SELECT m1, m2, agg AS name, ... FROM master WINDOW JOIN slave ON k
   //   RANGE BETWEEN <n><u> PRECEDING AND <n><u> FOLLOWING [INCLUDE PREVAILING]
   private val WindowJoinRe = (
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+WINDOW\s+JOIN\s+""" + Rel +
-      """\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+BETWEEN\s+(\d+)([UTsmhdw])\s+PRECEDING\s+AND\s+(\d+)([UTsmhdw])\s+FOLLOWING(\s+INCLUDE\s+PREVAILING)?""" +
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """(?:\s+(?:AS\s+)?(?!WINDOW\b)(\w+))?\s+WINDOW\s+JOIN\s+""" + Rel +
+      """(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+BETWEEN\s+(?:(\d+)([UTsmhdw])?\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+(?:(\d+)([UTsmhdw])?\s+FOLLOWING|CURRENT\s+ROW)(\s+INCLUDE\s+PREVAILING)?""" +
       WhereTail + """\s*$""").r
 
   private def windowJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
-    case WindowJoinRe(sel, master, slave, onKeys, loN, loU, hiN, hiU, prevailing,
-                      where, order, lim1, lim2) =>
-      val keys = onKeys.split(",").map(_.trim).toSeq
+    case WindowJoinRe(sel0, master, mAlias, slave, sAlias, onKeys, loN, loU, hiN, hiU,
+                      prevailing, where, order, lim1, lim2) =>
+      // strip table-alias qualifiers: the lowering joins flat columns
+      // (slave clash columns get a 1-suffix)
+      var sel = sel0
+      for (al <- Seq(Option(mAlias), Option(sAlias)).flatten)
+        sel = sel.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.", "")
+      val keys = onKeys.split(",").map(_.trim.replaceAll("^.*\\.", "")).toSeq
       val items = splitSelect(sel).map(normalizeAliasSpelling)
       val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
       val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
@@ -2760,8 +2779,8 @@ object QuestSql {
       // address them as <col>1
       val renamed = clashRename(m, s, keys)
       val sTsR = if (m.columns.contains(sTs) && !keys.contains(sTs)) sTs + "1" else sTs
-      val lo = -loN.toLong * unitMicros(loU)
-      val hi = hiN.toLong * unitMicros(hiU)
+      val lo = Option(loN).map(n => -n.toLong * Option(loU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
+      val hi = Option(hiN).map(n => n.toLong * Option(hiU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
       val out =
         if (prevailing != null) {
           val payload = renamed.columns.filterNot(keys.contains).toSeq
@@ -2769,7 +2788,17 @@ object QuestSql {
             payload, lo, hi, aggs)
         } else
           graft.ops.WindowJoin.windowJoin(m, renamed, mTs, sTsR, keys, lo, hi, aggs)
-      Some(applyWhereTail(out, where, order, lim1, lim2))
+      // project in select-list order (bare refs + agg aliases), so the
+      // result shape matches the reference's model output
+      val outNames = items.map {
+        case i if i.trim.matches("""[\w.]+""") => i.trim.split('.').last
+        case AggAs(_, name) => name
+        case e => e.replaceAll("\\W", "_")
+      }
+      val shaped =
+        if (outNames.forall(out.columns.contains)) out.select(outNames.map(col): _*)
+        else out
+      Some(applyWhereTail(shaped, where, order, lim1, lim2))
     case _ => None
   }
 
@@ -2822,7 +2851,22 @@ object QuestSql {
   private val NegLimitNoOrderRe =
     """(?is)^(SELECT\s+.*?\s+FROM\s+([\w.]+)(?:\s+WHERE\s+.*?)?)\s+LIMIT\s+-(\d+)\s*$""".r
 
+  private val NegLimitSelRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+(.*?)\s+ORDER\s+BY\s+([\w.,\s]+?)\s+LIMIT\s+-(\d+)\s*$""".r
+
   private def rewriteNegativeLimit(q: String): String = q match {
+    case NegLimitSelRe(sel, rest, orderCols, n) if sel.trim != "*" &&
+        !"""(?i)\bselect\b""".r.findFirstIn(rest).isDefined =>
+      // keep the order key available for the tail slice even when the
+      // projection drops it: slice on *, project afterwards
+      val cols = orderCols.split(",").map(_.trim)
+      val flipped = cols.map { c =>
+        if (c.toUpperCase.endsWith(" DESC")) c.dropRight(5) + " ASC"
+        else if (c.toUpperCase.endsWith(" ASC")) c.dropRight(4) + " DESC"
+        else c + " DESC"
+      }.mkString(", ")
+      s"SELECT $sel FROM (SELECT * FROM $rest ORDER BY $flipped LIMIT $n" +
+        s") ORDER BY ${cols.mkString(", ")}"
     case NegLimitRe(prefix, orderCols, n) =>
       val cols = orderCols.split(",").map(_.trim)
       val flipped = cols.map { c =>
