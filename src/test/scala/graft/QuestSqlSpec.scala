@@ -262,7 +262,8 @@ class QuestSqlSpec extends SparkSpec {
   test("WINDOW JOIN dialect form aggregates the slave inside the range") {
     val out = engine.sql(
       "SELECT event_id, count(value1) AS n, max(value1) AS mx FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING")
-    assert(out.columns.toSeq.sorted == Seq("event_id", "mx", "n", "ts", "user_id", "value").sorted)
+    // output follows the select list, like the reference model
+    assert(out.columns.toSeq == Seq("event_id", "n", "mx"))
     assert(out.count() == spark.table("p_v").count())
   }
 
