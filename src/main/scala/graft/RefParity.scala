@@ -161,5 +161,6 @@ object RefParity {
       }
     }
     graft.sql.QuestSql.retainDesignatedTs(baseline)
+    try graft.ops.Checkpoint.release() catch { case _: Throwable => () }
   }
 }

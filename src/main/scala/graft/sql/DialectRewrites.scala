@@ -26,6 +26,7 @@ object DialectRewrites {
     q = mapOutside(q)(hexLiterals)
     q = mapOutside(q)(inNull)
     q = mapOutside(q)(nanLiteral)
+    q = ipv4Ops(q)
     q = arrayLiterals(q)
     q = mapOutside(q)(arrayTypeCasts)
     q = mapOutside(q)(arraySubscripts)
@@ -35,6 +36,7 @@ object DialectRewrites {
     q = atTimeZone(q)
     q = timeRangeFrames(q)
     q = unnestColumns(q)
+    q = unnestPg(q)
     q = pivotGroupBy(q)
     q = quotedTableNames(q)
     q
@@ -137,6 +139,133 @@ object DialectRewrites {
     case "timestamp" => "timestamp"
     case "date" => "date"
     case _ => "string"
+  }
+
+  /** IPv4 literals and operators (reference functions/ipv4 — addresses
+    * ride as dotted strings here, arithmetic goes through the numeric
+    * form):
+    *   - `ipv4 'A' <cmp> X` / `X <cmp> ipv4 'A'` compare numerically
+    *   - `& | ^ + - ~` produce dotted addresses (mod 2^32)
+    *   - `ip <<= 'net/cidr'` containment-or-equal, `<<` strict (and the
+    *     mirrored `>>=` / `>>`)
+    */
+  private def ipv4Ops(q0: String): String = {
+    if (!"""(?i)\bipv4\s+'|<<=?|>>=?""".r.findFirstIn(q0).isDefined) return q0
+    var s = q0
+    def long(operand: String): String = {
+      val t = operand.trim
+      if (t.matches("-?\\d+")) t
+      else if (t.startsWith("'")) s"ipv4_str_to_long($t)"
+      else if (t.toUpperCase.startsWith("IPV4LIT(")) s"ipv4_str_to_long(${t.substring(8, t.length - 1)})"
+      else s"ipv4_str_to_long($t)"
+    }
+    // normalize typed literals
+    s = s.replaceAll("(?i)\\bipv4\\s+('(?:\\d+\\.){3}\\d+')", "IPV4LIT($1)")
+    // containment: lhs op 'net/cidr' (and reversed)
+    val contain = java.util.regex.Pattern.compile(
+      "(?i)([\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*')\\s*(<<=|<<|>>=|>>)\\s*([\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*'|:\\w+)")
+    var m = contain.matcher(s)
+    while (m.find()) {
+      val (l, op, r) = (m.group(1), m.group(2), m.group(3))
+      val (ip, net) = if (op.startsWith("<<")) (l, r) else (r, l)
+      val netS = if (net.toUpperCase.startsWith("IPV4LIT(")) net.substring(8, net.length - 1) else net
+      val strict = !op.endsWith("=")
+      val base =
+        s"(CASE WHEN instr($netS, '/') > 0 THEN " +
+          s"((${long(ip)} & netmask($netS)) = (ipv4_str_to_long(split_part($netS, '/', 1)) & netmask($netS)))" +
+          (if (strict) " AND CAST(split_part($NET, '/', 2) AS INT) < 32".replace("$NET", netS) else "") +
+          s" ELSE ${if (strict) "false" else s"(${long(ip)} = ipv4_str_to_long($netS))"} END)"
+      s = s.substring(0, m.start()) + base + s.substring(m.end())
+      m = contain.matcher(s)
+    }
+    // binary ops with at least one IPV4LIT side
+    val bin = java.util.regex.Pattern.compile(
+      "(?i)(IPV4LIT\\('[^']*'\\)|'[^']*'|[\\w.]+)\\s*(>=|<=|!=|<>|=|<|>|&|\\||\\^|\\+|-)\\s*(IPV4LIT\\('[^']*'\\)|'[^']*'|[\\w.]+)")
+    var guard = 0
+    var found = true
+    while (found && guard < 64) {
+      guard += 1
+      found = false
+      val mm = bin.matcher(s)
+      while (!found && mm.find()) {
+        val (l, op, r) = (mm.group(1), mm.group(2), mm.group(3))
+        val hasLit = l.toUpperCase.startsWith("IPV4LIT(") || r.toUpperCase.startsWith("IPV4LIT(")
+        if (hasLit) {
+          found = true
+          val repl = op match {
+            case ">=" | "<=" | "=" | "!=" | "<>" | "<" | ">" =>
+              s"(${long(l)} $op ${long(r)})"
+            case "&" | "|" | "^" =>
+              s"ipv4_long_to_str((${long(l)} $op ${long(r)}) & 4294967295)"
+            case "+" | "-" =>
+              s"(CASE WHEN (${long(l)} $op ${long(r)}) BETWEEN 0 AND 4294967295 " +
+                s"THEN ipv4_long_to_str(${long(l)} $op ${long(r)}) END)"
+          }
+          s = s.substring(0, mm.start()) + repl + s.substring(mm.end())
+        }
+      }
+    }
+    // unary ~ and leftover bare literals
+    s = s.replaceAll("(?i)~\\s*IPV4LIT\\('([^']*)'\\)",
+      "ipv4_long_to_str(4294967295 ^ ipv4_str_to_long('$1'))")
+    s = s.replaceAll("(?i)IPV4LIT\\(('[^']*')\\)", "$1")
+    s
+  }
+
+  /** PG-shape UNNEST table functions (reference griffin UNNEST):
+    * `FROM UNNEST(a1, a2)` zips arrays into value1/value2 columns;
+    * `, UNNEST(t.arr) WITH ORDINALITY u(val, ord)` explodes with a
+    * 1-based position. */
+  private def unnestPg(q0: String): String = {
+    var s = q0
+    // WITH ORDINALITY form
+    val ord = java.util.regex.Pattern.compile(
+      "(?is),?\\s*UNNEST\\s*\\(\\s*([^()]+?)\\s*\\)\\s+WITH\\s+ORDINALITY\\s+(\\w+)\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)")
+    var m = ord.matcher(s)
+    while (m.find()) {
+      val (expr, alias, vcol, ocol) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      // one struct element per value, carrying the 1-based ordinal
+      val repl = s" LATERAL VIEW explode(transform($expr, (__x, __i) ->" +
+        s" struct(__x AS $vcol, __i + 1 AS $ocol))) ${alias}_lv AS $alias"
+      s = s.substring(0, m.start()) + repl + s.substring(m.end())
+      m = ord.matcher(s)
+    }
+    // multi-array zip form in FROM position
+    val zip = java.util.regex.Pattern.compile(
+      "(?is)\\b(FROM\\s+)UNNEST\\s*\\(((?:[^()']|'[^']*'|\\([^()]*\\))*)\\)(?!\\s*(?:WITH|COLUMNS))")
+    m = zip.matcher(s)
+    while (m.find()) {
+      val args = splitBalancedCommas(m.group(2)).map(_.trim).filter(_.nonEmpty)
+      if (args.length < 2) { m.region(m.end(), s.length) }
+      else {
+        val sizes = args.map(a => s"size($a)").mkString(", ")
+        val cols = args.zipWithIndex.map { case (a, i) =>
+          s"element_at($a, __i) AS value${i + 1}" }.mkString(", ")
+        val repl = s"${m.group(1)}(SELECT $cols FROM (SELECT explode(sequence(1, greatest($sizes))) AS __i))"
+        s = s.substring(0, m.start()) + repl + s.substring(m.end())
+        m = zip.matcher(s)
+      }
+    }
+    s
+  }
+
+  private def splitBalancedCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => var j = i + 1; while (j < s.length && s.charAt(j) != '\'') j += 1; i = j
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
   }
 
   /** Window RANGE frames with time-unit bounds (reference
@@ -332,8 +461,11 @@ object DialectRewrites {
         val lo = if (parts(0).trim.isEmpty) "1" else parts(0).trim
         val hi = parts.lift(1).map(_.trim).filter(_.nonEmpty)
         hi match {
-          case Some(h) => s"slice($acc, $lo, ($h) - ($lo))"
-          case None => s"slice($acc, $lo, size($acc) - ($lo) + 1)"
+          case Some(h) =>
+            // negative upper bound counts from the end; degenerate or
+            // reversed ranges yield an empty slice, as in the reference
+            s"slice($acc, $lo, greatest((CASE WHEN ($h) < 0 THEN size($acc) + ($h) + 1 ELSE ($h) END) - ($lo), 0))"
+          case None => s"slice($acc, $lo, greatest(size($acc) - ($lo) + 1, 0))"
         }
       } else s"element_at($acc, $ix)"
     }
