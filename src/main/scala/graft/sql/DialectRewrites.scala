@@ -25,6 +25,10 @@ object DialectRewrites {
     q = mapOutside(q)(decimalSuffix)
     q = mapOutside(q)(hexLiterals)
     q = mapOutside(q)(inNull)
+    // null-equality comparisons (reference null = null is true), but not
+    // in UPDATE/INSERT assignment contexts
+    val fw0 = q0.trim.takeWhile(_.isLetter).toLowerCase
+    if (fw0 != "update" && fw0 != "insert") q = mapOutside(q)(eqNull)
     q = mapOutside(q)(nanLiteral)
     q = ipv4Ops(q)
     q = arrayLiterals(q)
@@ -391,9 +395,16 @@ object DialectRewrites {
     sb.toString
   }
 
-  /** `c in null` → `c IS NULL` (reference null-membership). */
-  private def inNull(s: String): String =
-    s.replaceAll("(?i)\\b(not\\s+)?in\\s+null\\b", "IS $1NULL")
+  /** `c in null` → `c IS NULL`; `= null` / `!= null` comparisons use the
+    * reference's null-equality semantics (null = null is true). */
+  private def inNull(s0: String): String =
+    s0.replaceAll("(?i)\\b(not\\s+)?in\\s+null\\b", "IS $1NULL")
+
+  private def eqNull(s0: String): String = {
+    var s = s0.replaceAll("(?i)(?<![<>!=])\\s*(!=|<>)\\s*null\\b", " IS NOT NULL")
+    s = s.replaceAll("(?i)(?<![<>!=:])\\s*=\\s*null\\b", " IS NULL")
+    s
+  }
 
   /** Bare `NaN` literal — the reference's double null spelling. */
   private def nanLiteral(s: String): String =
@@ -529,6 +540,8 @@ object DialectRewrites {
     s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
     s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|ipv4)\\b", "::STRING")
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
+    // empty char is the reference's null char
+    s = s.replaceAll("(?i)\\bcast\\s*\\(\\s*''\\s+as\\s+char\\s*\\)", "CAST(NULL AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128|ipv4)\\s*\\)", "AS STRING)")
     // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
