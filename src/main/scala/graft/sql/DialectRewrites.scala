@@ -43,6 +43,9 @@ object DialectRewrites {
     q = unnestPg(q)
     q = pivotGroupBy(q)
     q = quotedTableNames(q)
+    // the reference lexer needs no space between ')' and a keyword
+    q = mapOutside(q)(s => s.replaceAll(
+      "(?i)\\)(from|where|sample|order|group|limit|union|intersect|except|latest|align|and|or)\\b", ") $1"))
     q
   }
 

@@ -1037,6 +1037,20 @@ object QuestSql {
   // timestamp_floor/ceil with stride literals, dateadd/datediff,
   // to_timezone/to_utc (reference functions/date).
 
+  /** cast(x AS geohash(Nc)) — numbers reinterpret their low 5N bits,
+    * strings truncate to N chars (reference GeoHashes.fromBits /
+    * fromString). */
+  private def geoCast(x: String, chars: Int): String = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val numeric = s"CAST($x AS BIGINT)"
+    val b32 = (0 until chars).map { i =>
+      val shift = 5 * (chars - 1 - i)
+      s"substring('$alpha', CAST((shiftright($numeric, $shift) & 31) AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+    s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint') THEN $b32" +
+      s" ELSE substring(CAST($x AS STRING), 1, $chars) END)"
+  }
+
   /** Reference long→timestamp cast semantics (micros since epoch). */
   private def tsUsCast(x0: String): String = {
     val x = x0.trim
@@ -1112,7 +1126,13 @@ object QuestSql {
       }
       if (end < 0) return out // unbalanced — leave untouched
       val args = splitSelect(out.substring(open + 1, end))
-      out = out.substring(0, start) + f(args) + out.substring(end + 1)
+      val replacement = f(args)
+      // identity rewrite: keep it and continue on the tail so later
+      // calls still expand (prevents rescanning the same site forever)
+      if (replacement == out.substring(start, end + 1))
+        return out.substring(0, end + 1) +
+          expandCalls(out.substring(end + 1), name, insensitive)(f)
+      out = out.substring(0, start) + replacement + out.substring(end + 1)
       search += 1
       m = re.findFirstMatchIn(out)
     }
@@ -1260,9 +1280,11 @@ object QuestSql {
     q = expandCalls(q, "__ts_us_cast") { case Seq(x) => tsUsCast(x) }
     q = expandCalls(q, "cast") { case Seq(inner) =>
       val m = """(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$""".r.findFirstMatchIn(inner)
-      m match {
-        case Some(g) => tsUsCast(g.group(1))
-        case None => s"cast($inner)"
+      val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)c\s*\)\s*$""".r.findFirstMatchIn(inner)
+      (m, g) match {
+        case (Some(t), _) => tsUsCast(t.group(1))
+        case (_, Some(gh)) => geoCast(gh.group(1), gh.group(2).toInt)
+        case _ => s"cast($inner)"
       }
     }
     q = expandCalls(q, "timestamp_floor") { args => floorExpr(args, toUtc = false) }
@@ -2561,7 +2583,7 @@ object QuestSql {
     """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel +
       """(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdw])""" +
       """(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?""" +
-      """(?:\s+FILL\s*\(([^)]*)\))?""" +
+      """(?:\s+FILL\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)(?:\s+TIME\s+ZONE\s+'([^']+)')?(?:\s+WITH\s+OFFSET\s+'([^']+)')?)?""" +
       """\s*(?:ORDER\s+BY\s+([\w.,\s]+?))?\s*$""").r
 
@@ -2605,7 +2627,22 @@ object QuestSql {
       val fill = Option(fillSpec).map(_.trim).filter(_.nonEmpty) match {
         case None => graft.ops.SampleBy.NoFill
         case Some(spec) =>
-          val toks = spec.split(",").toSeq.map(_.trim)
+          // `PREV(v1)` targets the aggregate aliased v1 (reference named
+          // FILL entries); positional entries keep their slot
+          val toks0 = splitSelect(spec).map(_.trim)
+          val named = toks0.flatMap { t =>
+            """(?i)^(\w+)\s*\(\s*(\w+)\s*\)$""".r.findFirstMatchIn(t)
+              .filter(m2 => Seq("prev", "null", "none", "linear")
+                .contains(m2.group(1).toLowerCase))
+              .map(m2 => m2.group(2) -> m2.group(1))
+          }.toMap
+          val positional = toks0.filterNot(t =>
+            """(?i)^(prev|null|none|linear)\s*\(""".r.findFirstIn(t).isDefined)
+          val toks =
+            if (named.isEmpty) positional
+            else aggs.map { case (nm, _) =>
+              named.getOrElse(nm, positional.headOption.getOrElse("NONE"))
+            }
           if (toks.size == 1) fillOf(toks.head, aggs.head._1) match {
             // a single constant still applies to every aggregate
             case graft.ops.SampleBy.FillConst(_) =>
