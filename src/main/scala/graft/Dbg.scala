@@ -1,0 +1,14 @@
+package graft
+/** Scratch debug entry (builder tooling): prints the result or error for
+  * each SQL arg through Engine.sql. */
+object Dbg {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(4)
+    val eng = Engine(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    args.foreach { q =>
+      println("== " + q)
+      try eng.sql(q).show(10, false)
+      catch { case e: Throwable => println("ERR: " + e.toString.replace('\n',' ').take(600)) }
+    }
+  }
+}

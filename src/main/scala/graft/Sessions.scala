@@ -13,6 +13,10 @@ object Sessions {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // reference numeric semantics are Java's: arithmetic wraps, a bad
+      // cast yields null, x/0 is null — Spark's legacy (non-ANSI) mode,
+      // not ANSI's throw-on-overflow
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -48,23 +48,39 @@ object SampleBy {
     *                crossing day-grained spine is approximate there)
     * @param tsOut   name of the bucket column in the output
     */
+  /** "N months" strides (SAMPLE BY nM / ny) have no fixed micro width, so
+    * they bypass window(): bucket = epoch-month floor-div the stride. */
+  private val MonthsRe = """^(\d+) months$""".r
+  private def monthsOf(bucket: String): Option[Int] =
+    MonthsRe.findFirstMatchIn(bucket).map(_.group(1).toInt)
+  private def monthBucket(t: Column, n: Int): Column = {
+    val mse = (year(t) - 1970) * 12 + month(t) - 1 // months since epoch
+    val floored = mse - pmod(mse, lit(n))
+    to_timestamp(add_months(to_date(lit("1970-01-01")), floored))
+  }
+
   def sampleBy(df: DataFrame, ts: String, bucket: String,
                keys: Seq[String], aggs: Seq[(String, Column)],
                fill: Fill = NoFill,
                range: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None,
                offset: String = "0 seconds",
                tz: Option[String] = None,
-               tsOut: String = "ts"): DataFrame = {
+               tsOut: String = "ts",
+               rangeLo: Option[java.sql.Timestamp] = None,
+               rangeHi: Option[java.sql.Timestamp] = None): DataFrame = {
     val spark = df.sparkSession
-    val bucketCol = (tz match {
-      case Some(zone) =>
+    val bucketCol = ((tz, monthsOf(bucket)) match {
+      case (Some(zone), Some(n)) =>
+        to_utc_timestamp(monthBucket(from_utc_timestamp(col(ts), zone), n), zone)
+      case (None, Some(n)) => monthBucket(col(ts), n)
+      case (Some(zone), None) =>
         // truncate on the zone's wall clock, key the group on the UTC
         // instant of the local bucket start (reference
         // TimezoneFloorTimestampSampler)
         to_utc_timestamp(
           window(from_utc_timestamp(col(ts), zone), bucket, bucket, offset)
             .getField("start"), zone)
-      case None =>
+      case (None, None) =>
         window(col(ts), bucket, bucket, offset).getField("start")
     }).as(tsOut)
     val base = df.groupBy((bucketCol +: keys.map(col)): _*)
@@ -80,26 +96,44 @@ object SampleBy {
       case f => aggNames.map(_ -> f)
     }
 
-    if (perCol.forall(_._2 == NoFill) && range.isEmpty)
+    if (perCol.forall(_._2 == NoFill) && range.isEmpty &&
+        rangeLo.isEmpty && rangeHi.isEmpty)
       base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
     else {
       val bounds = range.orElse {
-        val r = base.agg(min(col(tsOut)), max(col(tsOut))).head()
-        if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
+        val lo0 = range.map(_._1).orElse(rangeLo)
+        val hi0 = range.map(_._2).orElse(rangeHi)
+        if (lo0.isDefined && hi0.isDefined) Some((lo0.get, hi0.get))
+        else {
+          val r = base.agg(min(col(tsOut)), max(col(tsOut))).head()
+          if (r.isNullAt(0)) None
+          else Some((lo0.getOrElse(r.getTimestamp(0)), hi0.getOrElse(r.getTimestamp(1))))
+        }
       }
       if (bounds.isEmpty) // empty input → empty (correctly-shaped) result
         return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
       val (from, to) = bounds.get
       // distributed spine: range + offset arithmetic, not a single
       // exploded array — a years×minutes spine stays partitioned
-      val stepUs = spark.range(1)
-        .select(unix_micros(lit(to)) - unix_micros(lit(to) - expr(s"interval $bucket")))
-        .head().getLong(0)
-      val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
-      val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
-      val n = (toUs - fromUs) / stepUs + 1
-      val spine = spark.range(0, n)
-        .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(tsOut))
+      val (n, spine) = monthsOf(bucket) match {
+        case Some(stride) =>
+          val fm = from.toLocalDateTime; val tm = to.toLocalDateTime
+          val mse0 = (fm.getYear - 1970) * 12 + fm.getMonthValue - 1
+          val mse1 = (tm.getYear - 1970) * 12 + tm.getMonthValue - 1
+          val cnt = (mse1 - mse0) / stride + 1L
+          (cnt, spark.range(0, cnt).select(to_timestamp(add_months(
+            to_date(lit("1970-01-01")),
+            lit(mse0) + col("id").cast("int") * lit(stride))).as(tsOut)))
+        case None =>
+          val stepUs = spark.range(1)
+            .select(unix_micros(lit(to)) - unix_micros(lit(to) - expr(s"interval $bucket")))
+            .head().getLong(0)
+          val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
+          val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
+          val cnt = (toUs - fromUs) / stepUs + 1
+          (cnt, spark.range(0, cnt)
+            .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(tsOut)))
+      }
       // broadcast is right for typical spines; a fine-grained spine over
       // a long range (1s × a year) must stay distributed
       val spineSide = if (n <= 1000000L) broadcast(spine) else spine

@@ -43,6 +43,15 @@ object DialectRewrites {
     q = unnestPg(q)
     q = pivotGroupBy(q)
     q = quotedTableNames(q)
+    // inner-subquery designated-timestamp tails — `from (select ...)
+    // timestamp(ts) where ...` (reference allows designating ts on any
+    // derived table). Spark reads `timestamp(ts)` as an alias+column
+    // list, so drop it; only clearly-inner occurrences (followed by a
+    // close paren or another clause) are touched — the top-level CREATE
+    // ... TIMESTAMP(c) PARTITION BY tail must survive for designation.
+    q = mapOutside(q)(s => s.replaceAll(
+      "(?is)\\)\\s*timestamp\\s*\\(\\s*[\\w.]+\\s*\\)(\\s*(?:\\)|,|where\\b|sample\\b|order\\b|group\\b|limit\\b|union\\b|intersect\\b|except\\b|latest\\b|join\\b|inner\\b|left\\b|right\\b|cross\\b|asof\\b|lt\\b|splice\\b))",
+      ")$1"))
     // the reference lexer needs no space between ')' and a keyword
     q = mapOutside(q)(s => s.replaceAll(
       "(?i)\\)(from|where|sample|order|group|limit|union|intersect|except|latest|align|and|or)\\b", ") $1"))
@@ -236,6 +245,31 @@ object DialectRewrites {
         s" struct(__x AS $vcol, __i + 1 AS $ocol))) ${alias}_lv AS $alias"
       s = s.substring(0, m.start()) + repl + s.substring(m.end())
       m = ord.matcher(s)
+    }
+    // `, UNNEST(expr) [AS] u(col)` / `, UNNEST(expr) [AS] u` — single
+    // correlated array unnest with an alias (reference griffin UNNEST):
+    // LATERAL VIEW explode keeps outer columns in scope, and `u.col`
+    // resolves against the view alias
+    val single = java.util.regex.Pattern.compile(
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)\\s*" +
+        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*(\"[^\"]+\"|[A-Za-z_]\\w*)\\s*\\))?" +
+        "(?!\\s*\\()(?!\\s+(?:WITH|COLUMNS)\\b)")
+    m = single.matcher(s)
+    while (m.find()) {
+      val expr = m.group(1)
+      val reserved = Set("with", "columns", "order", "group", "where", "limit",
+        "sample", "union", "except", "intersect", "join", "left", "right",
+        "inner", "cross", "on", "lateral", "as", "having", "window", "latest")
+      if (splitBalancedCommas(expr).length != 1 ||
+          reserved(m.group(2).toLowerCase)) m.region(m.end(), s.length)
+      else {
+        val alias = m.group(2)
+        val col0 = Option(m.group(3)).getOrElse(alias)
+        val col = if (col0.startsWith("\"")) "`" + col0.substring(1, col0.length - 1) + "`" else col0
+        val repl = s" LATERAL VIEW explode($expr) $alias AS $col"
+        s = s.substring(0, m.start()) + repl + s.substring(m.end())
+        m = single.matcher(s)
+      }
     }
     // multi-array zip form in FROM position
     val zip = java.util.regex.Pattern.compile(
@@ -469,8 +503,11 @@ object DialectRewrites {
     Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
   private def subscriptExpr(base: String, idxList: String): String =
-    idxList.split(",").map(_.trim).filter(_.nonEmpty).foldLeft(base) { (acc, ix) =>
-      if (ix.contains(":")) {
+    // balanced split: an index can itself be a rewritten call with commas
+    // (`arr1[arr2[2]::int]` → `arr1[CAST(element_at(arr2, 2) AS INT)]`)
+    splitBalancedCommas(idxList).map(_.trim).filter(_.nonEmpty).foldLeft(base) { (acc, ix) =>
+      if (ix.contains(":") && !ix.toUpperCase.contains("CAST(") &&
+          !ix.contains("::")) {
         val parts = ix.split(":", -1)
         val lo = if (parts(0).trim.isEmpty) "1" else parts(0).trim
         val hi = parts.lift(1).map(_.trim).filter(_.nonEmpty)
@@ -481,7 +518,7 @@ object DialectRewrites {
             s"slice($acc, $lo, greatest((CASE WHEN ($h) < 0 THEN size($acc) + ($h) + 1 ELSE ($h) END) - ($lo), 0))"
           case None => s"slice($acc, $lo, greatest(size($acc) - ($lo) + 1, 0))"
         }
-      } else s"element_at($acc, $ix)"
+      } else s"try_element_at($acc, $ix)" // reference: out-of-bounds → null
     }
 
   /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */
@@ -569,10 +606,14 @@ object DialectRewrites {
   /** `expr::timestamp` → `__ts_us_cast(expr)` so numeric operands read
     * as microseconds (reference cast) — simple operands only; string
     * literals keep Spark's cast. */
-  private def tsColonCasts(s: String): String =
-    s.replaceAll(
+  private def tsColonCasts(s: String): String = {
+    val s1 = s.replaceAll(
+      "(?i)([\\w.]+|'[^']*'|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp_ns\\b",
+      "__ns_cast($1)")
+    s1.replaceAll(
       "(?i)([\\w.]+|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp\\b(?!_ns)",
       "__ts_us_cast($1)")
+  }
 
   /** `::timestamp with time zone` → `::timestamp`;
     * `cast(x as timestamp with time zone)` likewise (values are UTC
@@ -672,6 +713,22 @@ object DialectRewrites {
       last = m.end()
     }
     sb.append(s.substring(last))
-    sb.toString
+    // comma-join items: FROM 'a' as x, 'b' as y — rewrite quoted names
+    // only inside the FROM clause's comma list (a quoted string with an
+    // alias in a SELECT list must stay a literal)
+    val fromList = java.util.regex.Pattern.compile(
+      "(?i)(\\bFROM\\s+(?:`[^`]+`|[\\w.]+)(?:\\s+(?:AS\\s+)?\\w+)?)" +
+        "((?:\\s*,\\s*(?:'[A-Za-z_][^'/\\\\]*'|[\\w.`]+)(?:\\s+(?:AS\\s+)?\\w+)?)+)")
+    val whole = sb.toString
+    val fm = fromList.matcher(whole)
+    val out = new StringBuilder
+    var fl = 0
+    while (fm.find()) {
+      out.append(whole.substring(fl, fm.start())).append(fm.group(1))
+      out.append(fm.group(2).replaceAll("'([A-Za-z_][^'/\\\\]*)'", "`$1`"))
+      fl = fm.end()
+    }
+    out.append(whole.substring(fl))
+    out.toString
   }
 }

@@ -301,23 +301,39 @@ object QuestSql {
         try run(rewritten)
         catch {
           case e: org.apache.spark.sql.catalyst.ExtendedAnalysisException
-              if e.getCondition == "MISSING_GROUP_BY" &&
-                topLevelIndexOf(rewritten, Seq("group by")) < 0 =>
+              if e.getCondition == "MISSING_GROUP_BY" =>
             import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
             import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
             import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-            val keys = e.plan.toSeq.flatMap(_.collectFirst {
-              case a: Aggregate =>
-                a.aggregateExpressions
-                  .filter(_.collectFirst { case ae: AggregateExpression => ae }.isEmpty)
-                  .map {
+            def bareKeys(a: Aggregate) = a.aggregateExpressions
+              .filter(_.collectFirst { case ae: AggregateExpression => ae }.isEmpty)
+            // implicit grouping can hide in a subquery — fix every mixed
+            // zero-key Aggregate in the failed plan, then re-analyze
+            def fixPlan(): DataFrame = {
+              val fixed = e.plan.getOrElse(throw e).transformUp {
+                case a: Aggregate if a.groupingExpressions.isEmpty && {
+                  val k = bareKeys(a)
+                  k.nonEmpty && k.size < a.aggregateExpressions.size
+                } => a.copy(groupingExpressions = bareKeys(a).map {
+                  case al: Alias => al.child
+                  case other => other
+                })
+              }
+              org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed)
+            }
+            if (topLevelIndexOf(rewritten, Seq("group by")) < 0) {
+              val keys = e.plan.toSeq.flatMap(_.collectFirst {
+                case a: Aggregate =>
+                  bareKeys(a).map {
                     case al: Alias => al.child.sql
                     case att: AttributeReference => att.name
                     case other => other.sql
                   }
-            }.getOrElse(Seq.empty))
-            if (keys.isEmpty) throw e
-            run(insertGroupBy(rewritten, keys))
+              }.getOrElse(Seq.empty))
+              if (keys.isEmpty) throw e
+              try run(insertGroupBy(rewritten, keys))
+              catch { case _: org.apache.spark.sql.AnalysisException => fixPlan() }
+            } else fixPlan()
         }
       }
   }
@@ -617,7 +633,13 @@ object QuestSql {
       // storage-layout actions that are no-ops here (data is parquet
       // already; WAL bookkeeping is the ingest path's): reference
       // ALTER TABLE CONVERT PARTITION / REBASE WAL / FORCE DROP
-      """|CONVERT\s+PARTITION\s+.*|REBASE\s+WAL.*|FORCE\s+DROP\s+PARTITION.*)$""").r
+      """|CONVERT\s+PARTITION\s+.*|REBASE\s+WAL.*|FORCE\s+DROP\s+PARTITION.*""" +
+      // columnar-storage hints: parquet layout knobs, per-column storage
+      // options, symbol capacity — metadata-only here
+      """|SET\s+FORMAT\s+\w+.*|ALTER\s+COLUMN\s+\w+\s+SET\s+PARQUET\s*\(.*|ALTER\s+COLUMN\s+\w+\s+SYMBOL\s+CAPACITY\s+.*|ATTACH\s+PARTITION\s+.*)$""").r
+
+  private val AlterDropPartRe =
+    """(?is)^(DROP|DETACH)\s+PARTITION\s+(?:LIST\s+(.+)|WHERE\s+(.+))$""".r
 
   // plain CREATE TABLE with column definitions (reference
   // SqlParser.parseCreateTable: `CREATE TABLE t (sym SYMBOL CAPACITY 256
@@ -820,6 +842,22 @@ object QuestSql {
       graft.Catalog.invalidateMetaViews(spark)
       action match {
         case AlterAckRe(_*) => Some(status(spark, "OK"))
+        case AlterDropPartRe(_, list, whereCond) =>
+          // session-view tables: partition drop = remove the rows whose
+          // designated ts falls in the named partitions (the durable
+          // dir-granular path is ops.Mutations.dropPartitions)
+          val tsCol = tsOfRel(name, t)
+          val kept =
+            if (list != null) {
+              val prefixes = splitSelect(list).map(_.trim.stripPrefix("'").stripSuffix("'"))
+              prefixes.foldLeft(t)((d, p) =>
+                d.where(!col(tsCol).cast("string").startsWith(p)))
+            } else {
+              val c = expr(whereCond.replaceAll("(?i)\\btimestamp\\b", tsCol))
+              t.where(!coalesce(c, lit(false)))
+            }
+          kept.createOrReplaceTempView(name)
+          Some(status(spark, "OK"))
         case AlterAddRe(cols) =>
           val added = splitSelect(cols).foldLeft(t) { (d, spec) =>
             val parts = spec.trim.split("\\s+", 2)
@@ -1051,16 +1089,46 @@ object QuestSql {
       s" ELSE substring(CAST($x AS STRING), 1, $chars) END)"
   }
 
-  /** Reference long→timestamp cast semantics (micros since epoch). */
+  /** ISO / space-separated timestamp string → BIGINT nanos-since-epoch
+    * (accepts 'yyyy-MM-dd HH:mm:ss.f' and 'yyyy-MM-ddTHH:mm:ss.fZ'). */
+  private def nsParseExpr(s0: String): String = {
+    val s = s"translate(replace($s0, 'Z', ''), 'T', ' ')"
+    s"(unix_timestamp(substring_index($s, '.', 1), 'yyyy-MM-dd HH:mm:ss') * 1000000000" +
+      s" + CAST(CASE WHEN instr($s, '.') > 0" +
+      s" THEN rpad(substring_index($s, '.', -1), 9, '0') ELSE '0' END AS BIGINT))"
+  }
+
+  /** Cast-to-TIMESTAMP_NS semantics: the ns surface rides as BIGINT
+    * nanos-since-epoch (SURVEY §1.2; reference TimestampDriver ns
+    * variant). Numerics pass through as nanos, timestamps scale,
+    * strings parse. Uses the __QCAST__ sentinel — called from the cast
+    * expansion pass. */
+  private def nsCast(x0: String): String = {
+    val x = x0.trim
+    if (x.matches("-?\\d+[Ll]?")) s"CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT)"
+    else if (x.startsWith("'")) nsParseExpr(x)
+    else
+      s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+        s" THEN __QCAST__($x AS BIGINT)" +
+        s" WHEN typeof($x) IN ('timestamp', 'timestamp_ntz', 'date')" +
+        s" THEN unix_micros(__QCAST__(($x) AS TIMESTAMP)) * 1000" +
+        s" ELSE ${nsParseExpr(s"__QCAST__(($x) AS STRING)")} END)"
+  }
+
+  /** Reference long→timestamp cast semantics (micros since epoch).
+    * Timestamp-target casts are emitted as `__QCAST__(... AS TIMESTAMP)`
+    * — a sentinel the `cast` expansion pass cannot match — because this
+    * function runs FROM that pass: a plain CAST here is rescanned,
+    * expands again, and the text doubles per round. */
   private def tsUsCast(x0: String): String = {
     val x = x0.trim
     if (x.matches("-?\\d+[Ll]?"))
       s"timestamp_micros(CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT))"
     else if (x.startsWith("'") || x.toUpperCase.startsWith("TIMESTAMP "))
-      s"CAST($x AS TIMESTAMP)"
+      s"__QCAST__($x AS TIMESTAMP)"
     else
       s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint', 'float', 'double')" +
-        s" THEN timestamp_micros(CAST($x AS BIGINT)) ELSE CAST(($x) AS TIMESTAMP) END)"
+        s" THEN timestamp_micros(__QCAST__($x AS BIGINT)) ELSE __QCAST__(($x) AS TIMESTAMP) END)"
   }
 
   /** timestamp_floor(stride, ts[, origin[, offset, tz]]) — floor to the
@@ -1110,11 +1178,12 @@ object QuestSql {
       f: Seq[String] => String): String = {
     val re = (if (insensitive) s"(?i)\\b$name\\s*\\(" else s"\\b$name\\s*\\(").r
     var out = q
-    var search = 0
-    var m = re.findFirstMatchIn(out)
-    while (m.isDefined && search < 100) {
-      val start = m.get.start
-      val open = m.get.end - 1
+    var from = 0     // identity sites advance this; real rewrites rescan
+    var budget = 1000
+    var m = re.findFirstMatchIn(out.substring(from))
+    while (m.isDefined && budget > 0) {
+      val start = from + m.get.start
+      val open = from + m.get.end - 1
       var depth = 0; var i = open; var end = -1
       while (i < out.length && end < 0) {
         out.charAt(i) match {
@@ -1127,14 +1196,17 @@ object QuestSql {
       if (end < 0) return out // unbalanced — leave untouched
       val args = splitSelect(out.substring(open + 1, end))
       val replacement = f(args)
-      // identity rewrite: keep it and continue on the tail so later
-      // calls still expand (prevents rescanning the same site forever)
-      if (replacement == out.substring(start, end + 1))
-        return out.substring(0, end + 1) +
-          expandCalls(out.substring(end + 1), name, insensitive)(f)
-      out = out.substring(0, start) + replacement + out.substring(end + 1)
-      search += 1
-      m = re.findFirstMatchIn(out)
+      // identity rewrite: keep it and resume scanning INSIDE its args
+      // (nested same-name calls still expand) without ever rematching
+      // this site; a real rewrite rescans from the top so handlers can
+      // produce nested calls for each other
+      if (replacement == out.substring(start, end + 1)) from = open + 1
+      else {
+        out = out.substring(0, start) + replacement + out.substring(end + 1)
+        from = 0
+        budget -= 1
+      }
+      m = re.findFirstMatchIn(out.substring(from))
     }
     out
   }
@@ -1280,13 +1352,20 @@ object QuestSql {
     q = expandCalls(q, "__ts_us_cast") { case Seq(x) => tsUsCast(x) }
     q = expandCalls(q, "cast") { case Seq(inner) =>
       val m = """(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$""".r.findFirstMatchIn(inner)
+      val mn = """(?is)^(.*\S)\s+AS\s+TIMESTAMP_NS\s*$""".r.findFirstMatchIn(inner)
       val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)c\s*\)\s*$""".r.findFirstMatchIn(inner)
-      (m, g) match {
-        case (Some(t), _) => tsUsCast(t.group(1))
-        case (_, Some(gh)) => geoCast(gh.group(1), gh.group(2).toInt)
+      (m, mn, g) match {
+        case (Some(t), _, _) => tsUsCast(t.group(1))
+        case (_, Some(t), _) => nsCast(t.group(1))
+        case (_, _, Some(gh)) => geoCast(gh.group(1), gh.group(2).toInt)
         case _ => s"cast($inner)"
       }
     }
+    // tsUsCast spells its own timestamp casts with the __QCAST__ sentinel
+    // so the cast pass above cannot re-expand its output (each re-entry
+    // doubled the cast sites — a SELECT with a handful of numeric
+    // timestamp casts exploded into a StackOverflow); restore them here.
+    q = q.replace("__QCAST__(", "CAST(")
     q = expandCalls(q, "timestamp_floor") { args => floorExpr(args, toUtc = false) }
     q = expandCalls(q, "timestamp_ceil") { case Seq(stride, ts) =>
       val us = strideToMicros(stripQuotes(stride))
@@ -1299,8 +1378,27 @@ object QuestSql {
         case u => s"timestamp_micros(CAST(unix_micros($t) + ($n) * ${unitMicros(u)} AS BIGINT))"
       } }
     q = expandCalls(q, "datediff") { case Seq(unit, a, b) =>
-      val u = unitMicros(stripQuotes(unit))
-      s"CAST(floor(unix_micros($b) / $u) - floor(unix_micros($a) / $u) AS BIGINT)" }
+      // Reference getPeriodBetween (std/datetime/microtime/Micros.java:764):
+      // ABS of complete elapsed periods; months/years are calendar-aware.
+      // BIGINT operands are TIMESTAMP_NS values (nanos-since-epoch, the
+      // ns surface's carrier type); everything else goes through the
+      // timestamp cast (cast pass already ran, no re-entry).
+      def us(x: String) =
+        s"(CASE WHEN typeof($x) = 'bigint' THEN CAST($x AS BIGINT) div 1000" +
+          s" ELSE unix_micros(CAST(($x) AS TIMESTAMP)) END)"
+      def ns(x: String) =
+        s"(CASE WHEN typeof($x) = 'bigint' THEN CAST($x AS BIGINT)" +
+          s" ELSE unix_micros(CAST(($x) AS TIMESTAMP)) * 1000 END)"
+      def ts(x: String) =
+        s"(CASE WHEN typeof($x) = 'bigint'" +
+          s" THEN timestamp_micros(CAST($x AS BIGINT) div 1000)" +
+          s" ELSE CAST(($x) AS TIMESTAMP) END)"
+      stripQuotes(unit) match {
+        case "n" => s"abs(${ns(b)} - ${ns(a)})"
+        case "M" => s"CAST(floor(abs(months_between(${ts(b)}, ${ts(a)}))) AS BIGINT)"
+        case "y" => s"CAST(floor(abs(months_between(${ts(b)}, ${ts(a)})) / 12) AS BIGINT)"
+        case u0 => s"(abs(${us(b)} - ${us(a)}) div ${unitMicros(u0)})"
+      } }
     q = expandCalls(q, "to_timezone") { case Seq(ts, tz) =>
       s"from_utc_timestamp(${tsUsCast(ts)}, $tz)" }
     q = expandCalls(q, "to_utc") { case Seq(ts, tz) =>
@@ -1377,6 +1475,15 @@ object QuestSql {
     // aggregate spellings the reference registers as dedicated factories
     // (groupby/{Geomean,WeightedAvg}...FunctionFactory) — composable as
     // plain Spark aggregates
+    // avg(x, scale) — reference decimal rescale overload
+    // (groupby/AvgDecimalRescale...): result rounded HALF_UP to `scale`,
+    // which is exactly Spark's decimal(38,scale) cast. The OVER clause
+    // (window variant) must stay outside the cast.
+    q = mapOutsideStrings(q) { seg =>
+      seg.replaceAll(
+        "(?i)\\bavg\\s*\\(\\s*([\\w.]+)\\s*,\\s*(\\d+)\\s*\\)(\\s*OVER\\s*\\([^()]*\\))?",
+        "CAST(avg($1)$3 AS DECIMAL(38,$2))")
+    }
     q = expandCalls(q, "geomean") { case Seq(x) =>
       s"exp(avg(ln($x)))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
@@ -1464,16 +1571,18 @@ object QuestSql {
     // five expand to codegen'd builtins (session tz is UTC, matching the
     // naive-timestamp oracle).
     q = expandCalls(q, "to_timestamp_ns") { case args @ (_ +: _) if args.size <= 2 =>
-      val s0 = args.head // an explicit format arg is the ISO pattern we parse anyway
-      // accept both 'yyyy-MM-dd HH:mm:ss.f' and ISO 'yyyy-MM-ddTHH:mm:ss.fZ'
-      val s = s"translate(replace($s0, 'Z', ''), 'T', ' ')"
-      s"(unix_timestamp(substring_index($s, '.', 1), 'yyyy-MM-dd HH:mm:ss') * 1000000000" +
-        s" + CAST(CASE WHEN instr($s, '.') > 0" +
-        s" THEN rpad(substring_index($s, '.', -1), 9, '0') ELSE '0' END AS BIGINT))" }
+      if (args.size == 2 && !args(1).contains(".")) {
+        // explicit second-resolution format: parse with it directly
+        // (reference format tokens yyyy/MM/dd/HH/mm/ss match Spark's)
+        s"(unix_timestamp(${args.head}, ${args(1)}) * 1000000000)"
+      } else nsParseExpr(args.head) }
+    q = expandCalls(q, "__ns_cast") { case Seq(x) => nsCast(x) }
     q = expandCalls(q, "timestamp_to_ns") { case Seq(ts) => s"(unix_micros($ts) * 1000)" }
     q = expandCalls(q, "ns_to_timestamp") { case Seq(ns) =>
       s"timestamp_micros(CAST(($ns) div 1000 AS BIGINT))" }
     q = expandCalls(q, "now_ns") { _ => "(unix_micros(now()) * 1000)" }
+    // reference test scaffolding predicate — always true in-engine
+    q = expandCalls(q, "test_match") { _ => "TRUE" }
     q = expandCalls(q, "systimestamp_ns") { _ => "(unix_micros(now()) * 1000)" }
     q = expandCalls(q, "nanos") { case Seq(ns) => s"CAST(pmod($ns, 1000) AS INT)" }
     q = expandCalls(q, "timestamp_ns_floor") { case Seq(stride, ns) =>
@@ -1742,6 +1851,18 @@ object QuestSql {
       Regex.quoteReplacement(
         s"($c >= CAST($lo AS TIMESTAMP) AND $c < CAST(date_add($lo, 1) AS TIMESTAMP))")
     })
+    // value-position day intervals (reference Today/Tomorrow/Yesterday
+    // return an interval value) — AFTER the predicate rewrite above so
+    // `ts IN today()` stays a range scan
+    def dayInterval(off: Int): String =
+      s"named_struct('lo', CAST(date_add(current_date(), $off) AS TIMESTAMP), " +
+        s"'hi', CAST(date_add(current_date(), ${off + 1}) AS TIMESTAMP) - INTERVAL 1 MICROSECOND)"
+    q = expandCalls(q, "today") { _ => dayInterval(0) }
+    q = expandCalls(q, "yesterday") { _ => dayInterval(-1) }
+    q = expandCalls(q, "tomorrow") { _ => dayInterval(1) }
+    // any sentinel casts produced by handlers that ran after the cast
+    // expansion pass (to_timezone/to_utc/ns casts) restore here
+    q = q.replace("__QCAST__(", "CAST(")
     q
   }
 
@@ -2308,7 +2429,7 @@ object QuestSql {
     */
   private def basePrecision(s: String): (java.time.LocalDateTime, java.time.LocalDateTime) = {
     import java.time._
-    val t = s.replace(' ', 'T')
+    val t = s.stripSuffix("Z").replace(' ', 'T') // UTC session — Z is a no-op
     t.length match {
       case 4 =>
         val y = t.toInt
@@ -2438,10 +2559,12 @@ object QuestSql {
     case "h" => s"$n hours"
     case "d" => s"$n days"
     case "w" => s"${n.toLong * 7} days"
+    case "M" => s"$n months"
+    case "y" => s"${n.toLong * 12} months"
   }
 
   private def unitMicros(u: String): Long = u match {
-    case "U" => 1L
+    case "U" | "u" => 1L
     case "T" => 1000L
     case "s" => 1000000L; case "m" => 60000000L
     case "h" => 3600000000L; case "d" => 86400000000L
@@ -2581,8 +2704,8 @@ object QuestSql {
 
   private val SampleByFullRe = (
     """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel +
-      """(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdw])""" +
-      """(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?""" +
+      """(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdwMy])""" +
+      """(?:\s+FROM\s+'([^']+)')?(?:\s+TO\s+'([^']+)')?""" +
       """(?:\s+FILL\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)(?:\s+TIME\s+ZONE\s+'([^']+)')?(?:\s+WITH\s+OFFSET\s+'([^']+)')?)?""" +
       """\s*(?:ORDER\s+BY\s+([\w.,\s]+?))?\s*$""").r
@@ -2615,7 +2738,10 @@ object QuestSql {
         case e => e.replaceAll("\\W", "_") -> expr(e)
       }
       val stride = strideOf(n, unit)
-      val strideUs = n.toLong * unitMicros(unit)
+      val strideMonths = unit match {
+        case "M" => Some(n.toInt); case "y" => Some(n.toInt * 12); case _ => None
+      }
+      val strideUs = if (strideMonths.isDefined) 0L else n.toLong * unitMicros(unit)
 
       def fillOf(tok: String, name: String): graft.ops.SampleBy.Fill = tok.trim.toUpperCase match {
         case "NONE" => graft.ops.SampleBy.NoFill
@@ -2654,19 +2780,35 @@ object QuestSql {
       }
 
       val whered = Option(where).map(base0.where).getOrElse(base0)
-      // FROM/TO (reference: inclusive FROM, exclusive TO) bounds both the
-      // data and the fill spine
-      val (ranged, range) = (Option(fromLit), Option(toLit)) match {
-        case (Some(f), Some(t)) =>
-          val from = parsePoint(f); val to = parsePoint(t)
-          val fromUs = from.getTime * 1000L
-          val toUs = to.getTime * 1000L
-          val lastBucketUs = fromUs + ((toUs - 1 - fromUs) / strideUs) * strideUs
-          val lastBucket = java.sql.Timestamp.from(
-            java.time.Instant.ofEpochSecond(lastBucketUs / 1000000L, lastBucketUs % 1000000L * 1000L))
-          (whered.where(col(tsName) >= lit(from) && col(tsName) < lit(to)),
-            Some((from, lastBucket)))
-        case _ => (whered, None)
+      // FROM/TO (reference: inclusive FROM, exclusive TO) bound both the
+      // data and the fill spine; each side is optional independently
+      val fromP = Option(fromLit).map(parsePoint)
+      val toP = Option(toLit).map(parsePoint)
+      val ranged = (fromP, toP) match {
+        case (Some(f), Some(t)) => whered.where(col(tsName) >= lit(f) && col(tsName) < lit(t))
+        case (Some(f), None) => whered.where(col(tsName) >= lit(f))
+        case (None, Some(t)) => whered.where(col(tsName) < lit(t))
+        case _ => whered
+      }
+      val range = (fromP, toP) match {
+        case (Some(from), Some(to)) =>
+          val lastBucket = strideMonths match {
+            case Some(sm) =>
+              // last bucket strictly before the exclusive TO bound
+              val f = from.toLocalDateTime; val t = to.toLocalDateTime.minusNanos(1000)
+              val m0 = (f.getYear - 1970) * 12 + f.getMonthValue - 1
+              val m1 = (t.getYear - 1970) * 12 + t.getMonthValue - 1
+              java.sql.Timestamp.valueOf(java.time.LocalDate.of(1970, 1, 1)
+                .plusMonths(m0 + (m1 - m0).toLong / sm * sm).atStartOfDay())
+            case None =>
+              val fromUs = from.getTime * 1000L
+              val toUs = to.getTime * 1000L
+              val lastBucketUs = fromUs + ((toUs - 1 - fromUs) / strideUs) * strideUs
+              java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                lastBucketUs / 1000000L, lastBucketUs % 1000000L * 1000L))
+          }
+          Some((from, lastBucket))
+        case _ => None // a single open bound narrows the data only
       }
 
       val tsOut = tsItem.map(_.split('.').last).getOrElse(tsName)
@@ -2678,7 +2820,9 @@ object QuestSql {
             range = range,
             offset = Option(offsetLit).map(offsetInterval).getOrElse("0 seconds"),
             tz = Option(tzLit),
-            tsOut = tsOut)
+            tsOut = tsOut,
+            rangeLo = if (range.isEmpty) fromP else None,
+            rangeHi = if (range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None)
       }
       // project in select-list order
       val outNames = items.map {

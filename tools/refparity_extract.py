@@ -150,11 +150,16 @@ def read_string_lit(src, i):
     raise ValueError("unterminated string")
 
 
-def parse_args(src, i):
+IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def parse_args(src, i, consts=None):
     """src[i] == '('. Parse a balanced arg list; each arg is either a pure
-    string-literal concatenation -> str, or None (dynamic). Returns
-    (args, index_after_close_paren)."""
+    string-literal concatenation -> str (identifier references that name a
+    resolved `static final String` constant count as literals), or None
+    (dynamic). Returns (args, index_after_close_paren)."""
     assert src[i] == "("
+    consts = consts or {}
     i += 1
     args, cur_parts, cur_dynamic, cur_any = [], [], False, False
     depth = 0
@@ -185,33 +190,95 @@ def parse_args(src, i):
             cur_parts, cur_dynamic, cur_any = [], False, False
             i += 1
             continue
-        # any other token (identifier, number, dot) makes the arg dynamic
+        im = IDENT_RE.match(src, i)
+        if im:
+            name = im.group(0)
+            nxt = skip_ws_comments(src, im.end())
+            # a bare constant reference (not a call / field access)
+            if name in consts and (nxt >= len(src) or src[nxt] not in "(.["):
+                cur_parts.append(consts[name]); cur_any = True
+                i = im.end()
+                continue
+            cur_dynamic = True; cur_any = True
+            i = im.end()
+            continue
+        # any other token (number, dot, etc.) makes the arg dynamic
         cur_dynamic = True; cur_any = True
         i += 1
     raise ValueError("unterminated args")
 
 
+CONST_DECL_RE = re.compile(
+    r"(?:private|protected|public)\s+(?:static\s+final|final\s+static|static|final)[\s\w]*?"
+    r"String\s+([A-Za-z_][A-Za-z0-9_]*)\s*=")
+
+
+def collect_constants(src):
+    """name -> value for String fields initialized from pure literal
+    concatenations (two passes so constants can reference earlier ones)."""
+    consts = {}
+    for _ in range(2):
+        for m in CONST_DECL_RE.finditer(src):
+            name = m.group(1)
+            i = m.end()
+            parts, ok = [], True
+            while i < len(src):
+                i = skip_ws_comments(src, i)
+                if i >= len(src):
+                    ok = False; break
+                c = src[i]
+                if c == '"':
+                    try:
+                        val, i = read_string_lit(src, i)
+                    except ValueError:
+                        ok = False; break
+                    parts.append(val)
+                elif c == "+":
+                    i += 1
+                elif c == ";":
+                    break
+                else:
+                    im = IDENT_RE.match(src, i)
+                    if im and im.group(0) in consts:
+                        nxt = skip_ws_comments(src, im.end())
+                        if nxt < len(src) and src[nxt] in "(.[":
+                            ok = False; break
+                        parts.append(consts[im.group(0)])
+                        i = im.end()
+                    else:
+                        ok = False; break
+            if ok and parts:
+                consts[name] = "".join(parts)
+    return consts
+
+
 def extract_file(path):
     src = open(path, encoding="utf-8", errors="replace").read()
     out = []
+    consts = collect_constants(src)
     # setup statements: literal execute("...") calls, attached to the case
-    # when they appear in the same @Test method before the assertQuery
+    # when they appear in the same @Test method before the assertQuery.
+    # executeWithRewriteTimestamp(sql, type) is the reference's
+    # micro/nano-parameterized runner — harvest the micro variant
+    # (expected outputs are literals, so they are the micro-run's).
     test_marks = [t.start() for t in re.finditer(r"@Test\b", src)]
     executes = []
-    for em in re.finditer(r"(?<![A-Za-z0-9_.])execute\s*\(", src):
+    for em in re.finditer(
+            r"(?<![A-Za-z0-9_.])execute(?:WithRewriteTimestamp)?\s*\(", src):
         try:
-            eargs, _ = parse_args(src, em.end() - 1)
+            eargs, _ = parse_args(src, em.end() - 1, consts)
         except (ValueError, AssertionError):
             continue
         if eargs and eargs[0] is not None:
-            executes.append((em.start(), eargs[0]))
+            executes.append((em.start(),
+                             eargs[0].replace("#TIMESTAMP", "TIMESTAMP")))
     for m in re.finditer(r"\bassertQuery(?:NoLeakCheck)?\s*\(", src):
         start = m.start()
         line = src.count("\n", 0, start) + 1
         prev_test = max((t for t in test_marks if t < start), default=0)
         setup = [sql for pos, sql in executes if prev_test < pos < start]
         try:
-            args, i = parse_args(src, m.end() - 1)
+            args, i = parse_args(src, m.end() - 1, consts)
         except (ValueError, AssertionError):
             continue
         if len(args) != 1 or args[0] is None:
@@ -237,7 +304,7 @@ def extract_file(path):
             if i >= len(src) or src[i] != "(":
                 ok = False; break
             try:
-                cargs, i = parse_args(src, i)
+                cargs, i = parse_args(src, i, consts)
             except (ValueError, AssertionError):
                 ok = False; break
             if name in DISQUALIFY:
