@@ -92,13 +92,25 @@ object Checkpoint {
     dir
   }
 
+  def active: Boolean = current.isDefined
+
+  /** WAL structural ops (drop/rename) arriving while a checkpoint is in
+    * progress queue here and apply on RELEASE — the reference's
+    * checkpoint blocks WAL apply, so the table stays visible until then.
+    */
+  private val pending = scala.collection.mutable.Buffer[() => Unit]()
+  def defer(op: () => Unit): Unit = synchronized { pending += op }
+
   /** CHECKPOINT RELEASE: end the in-progress checkpoint. The snapshot
     * directory is kept (it is the backup); only the "in progress" gate
-    * clears, as in the reference.
+    * clears, as in the reference — then the queued WAL ops drain.
     */
   def release(): Unit = synchronized {
     require(current.isDefined, "no checkpoint in progress")
     current = None
+    val ops = pending.toList
+    pending.clear()
+    ops.foreach(op => try op() catch { case _: Exception => () })
   }
 
   /** checkpoint_status(): one row, (in_progress, started_at) — reference

@@ -288,8 +288,22 @@ object QuestSql {
         // Spark's parameter binder — re-apply the table-fn substitution
         val rewritten = materializeDialectSubqueries(spark, windowOrderTail(spark,
           rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0)))))
+        // QuestDB comparisons are value-based, not three-valued: null =
+        // null is TRUE, x != null is TRUE (reference docs; UuidTest
+        // `cast(null as string) = cast(null as uuid)` → true). Lower =
+        // to Spark's null-safe EqualNullSafe on the analyzed plan —
+        // dialect queries only, so the DataFrame API keeps SQL 3VL.
+        def nullSafeEq(df: DataFrame): DataFrame = {
+          import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+          val plan = df.queryExecution.analyzed
+          var hit = false
+          val fixed = plan.transformAllExpressions {
+            case EqualTo(l, r) => hit = true; EqualNullSafe(l, r)
+          }
+          if (hit) org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed) else df
+        }
         def run(q: String): DataFrame =
-          if (named.isEmpty) spark.sql(q) else spark.sql(q, named)
+          nullSafeEq(if (named.isEmpty) spark.sql(q) else spark.sql(q, named))
         // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
         // optional" — `SELECT sym, avg(price) FROM trades` auto-groups on
         // the bare columns). Spark's analyzer classifies aggregate vs
@@ -1036,13 +1050,36 @@ object QuestSql {
       import spark.implicits._
       Some(Seq(n).toDF("rows_inserted"))
     case DropRe(name) =>
-      spark.catalog.dropTempView(unq(name))
-      Some(status(spark, "OK"))
+      // reference checkpoint gate (CheckpointTest): while a checkpoint is
+      // in progress a non-WAL table cannot be dropped (lock error); a WAL
+      // table's drop is a queued WAL op that applies only after RELEASE
+      if (graft.ops.Checkpoint.active) {
+        val wal = Option(graft.Catalog.createMeta.get(unq(name).toLowerCase)).exists(_.walEnabled)
+        if (!wal) throw new IllegalStateException(
+          s"could not lock '${unq(name)}~' [reason='checkpointInProgress']")
+        graft.ops.Checkpoint.defer(() => spark.catalog.dropTempView(unq(name)))
+        Some(status(spark, "OK"))
+      } else {
+        spark.catalog.dropTempView(unq(name))
+        Some(status(spark, "OK"))
+      }
     case RenameRe(from, to) =>
-      spark.table(from).createOrReplaceTempView(unq(to))
-      Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
-      spark.catalog.dropTempView(unq(from))
-      Some(status(spark, "OK"))
+      if (graft.ops.Checkpoint.active) {
+        val wal = Option(graft.Catalog.createMeta.get(unq(from).toLowerCase)).exists(_.walEnabled)
+        if (!wal) throw new IllegalStateException(
+          s"could not lock '${unq(from)}~' [reason='checkpointInProgress']")
+        graft.ops.Checkpoint.defer { () =>
+          spark.table(from).createOrReplaceTempView(unq(to))
+          Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
+          spark.catalog.dropTempView(unq(from))
+        }
+        Some(status(spark, "OK"))
+      } else {
+        spark.table(from).createOrReplaceTempView(unq(to))
+        Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
+        spark.catalog.dropTempView(unq(from))
+        Some(status(spark, "OK"))
+      }
     case TruncateRe(name) =>
       spark.table(name).limit(0).createOrReplaceTempView(unq(name))
       Some(status(spark, "OK"))
@@ -1337,6 +1374,20 @@ object QuestSql {
   private[sql] def rewriteFnMacros(q0: String): String = {
     var q = rewriteWithin(rewriteGeoLiterals(q0))
     def d(x: String) = s"CAST($x AS DOUBLE)"
+    // reference ceil/floor are double→double (math/CeilDoubleFunction
+    // Factory); Spark's return LONG for doubles. FIRST in the chain so
+    // only user-written calls are touched, not floor() text emitted by
+    // later macro expansions.
+    q = expandCalls(q, "ceiling") { case Seq(x) => s"CAST(__ceil__($x) AS DOUBLE)"
+                                    case args => s"ceiling(${args.mkString(", ")})" }
+    q = expandCalls(q, "ceil") { case Seq(x) => s"CAST(__ceil__($x) AS DOUBLE)"
+                                 case args => s"ceil(${args.mkString(", ")})" }
+    q = expandCalls(q, "floor") { case Seq(x) => s"CAST(__floor__($x) AS DOUBLE)"
+                                  case args => s"floor(${args.mkString(", ")})" }
+    q = q.replace("__ceil__(", "ceil(").replace("__floor__(", "floor(")
+    // reference concat skips nulls (ConcatFunctionFactory appends
+    // nothing for a null arg); Spark's concat nulls the whole result
+    q = expandCalls(q, "concat") { args => s"concat_ws('', ${args.mkString(", ")})" }
     q = expandCalls(q, "mid") { case Seq(b, a) => s"((${d(b)} + ${d(a)}) / 2.0)" }
     q = expandCalls(q, "spread") { case Seq(b, a) => s"(${d(a)} - ${d(b)})" }
     q = expandCalls(q, "spread_bps") { case Seq(b, a) =>
