@@ -157,6 +157,16 @@ object Catalog {
   private val matViewReg =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Declarative pieces of a live view, for live_views() and SHOW CREATE
+    * LIVE VIEW (reference LiveViewsFunctionFactory /
+    * ShowCreateTableOperation live-view branch). */
+  final case class LiveViewMeta(base: String, sql: String,
+                                flushN: Long, flushUnit: String,
+                                memN: Long, memUnit: String,
+                                partitionBy: String, startFrom: String)
+  private[graft] val liveViewMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, LiveViewMeta]()
+
   private[graft] def registerLiveView(name: String, tableDir: String, seam: () => Long): Unit =
     liveViewReg.put(name, (tableDir, seam))
 
@@ -169,11 +179,72 @@ object Catalog {
   private[graft] def unregisterLiveView(name: String): Unit =
     liveViewReg.remove(name)
 
-  /** live_views() — registered live views with their current seam. */
+  /** live_views() — the reference's 53-column shape
+    * (LiveViewsFunctionFactory.java:677-729). Declarative fields come
+    * from the registered meta; arena/WAL/checkpoint counters surface
+    * their idle defaults (no native arena here — Spark is the storage
+    * engine); in_mem_rows is the view's live row count.
+    */
   def liveViews(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    liveViewReg.asScala.toSeq.map { case (n, (dir, seam)) => (n, dir, seam()) }
-      .toDF("view_name", "table_dir", "seam_micros")
+    import org.apache.spark.sql.types._
+    val rows = liveViewReg.asScala.toSeq.sortBy(_._1).map { case (n, (dir, seam)) =>
+      val m = Option(liveViewMeta.get(n))
+      val cnt = try spark.table(n).count() catch { case _: Exception => 0L }
+      org.apache.spark.sql.Row(
+        n, n + "~", m.map(_.base).orNull, m.map(_.sql).orNull,
+        "active", null,
+        m.map(_.flushN).getOrElse(0L), m.map(_.flushUnit).orNull,
+        m.map(_.memN).getOrElse(0L), m.map(_.memUnit).orNull,
+        0L, cnt,
+        0L, 0L, 0L, 0L, seam(), seam(), seam(),
+        null, 0L, 0L, 0L, 0L, 0L,
+        0L, 0L, 0L, 0L, 0L, 0L, 0.0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+        false, null, null, null, 0L, 0L, 0L, 0L, null, null, null, 0L)
+    }
+    val schema = StructType(Seq(
+      StructField("view_name", StringType), StructField("view_table_dir_name", StringType),
+      StructField("base_table_name", StringType), StructField("view_sql", StringType),
+      StructField("view_status", StringType), StructField("invalidation_reason", StringType),
+      StructField("flush_every_interval", LongType), StructField("flush_every_interval_unit", StringType),
+      StructField("in_memory_interval", LongType), StructField("in_memory_interval_unit", StringType),
+      StructField("in_mem_bytes", LongType), StructField("in_mem_rows", LongType),
+      StructField("o3_rejected_count", LongType), StructField("below_lower_bound_count", LongType),
+      StructField("lag_seqtxn", LongType), StructField("lag_micros", LongType),
+      StructField("last_processed_seqtxn", LongType), StructField("applied_watermark", LongType),
+      StructField("lv_consumed_seqtxn", LongType),
+      StructField("view_lower_bound_timestamp", TimestampType),
+      StructField("writer_stall_micros", LongType), StructField("seed_target_seqtxn", LongType),
+      StructField("o3_resume_replay_rows", LongType), StructField("o3_boundary_replay_rows", LongType),
+      StructField("o3_replay_scan_rows", LongType),
+      StructField("checkpoint_timeline_generation", LongType),
+      StructField("checkpoint_timeline_entries", LongType),
+      StructField("checkpoint_timeline_normalized_base_seqtxn", LongType),
+      StructField("checkpoint_timeline_logical_bytes", LongType),
+      StructField("checkpoint_timeline_physical_bytes", LongType),
+      StructField("checkpoint_timeline_shared_bytes", LongType),
+      StructField("checkpoint_timeline_sharing_ratio", DoubleType),
+      StructField("checkpoint_timeline_row_position_delta_bytes", LongType),
+      StructField("checkpoint_data_segment_count", LongType),
+      StructField("checkpoint_obsolete_segment_bytes", LongType),
+      StructField("checkpoint_oldest_pinned_generation", LongType),
+      StructField("checkpoint_gc_lag_generations", LongType),
+      StructField("checkpoint_last_write_micros", LongType),
+      StructField("checkpoint_last_restore_micros", LongType),
+      StructField("checkpoint_last_write_new_bytes", LongType),
+      StructField("checkpoint_last_lookup_depth", LongType),
+      StructField("checkpoint_repair_in_progress", BooleanType),
+      StructField("checkpoint_repair_correction_timestamp", TimestampType),
+      StructField("checkpoint_repair_low_timestamp", TimestampType),
+      StructField("checkpoint_repair_high_timestamp", TimestampType),
+      StructField("checkpoint_repair_roots_versioned", LongType),
+      StructField("checkpoint_repair_new_bytes", LongType),
+      StructField("checkpoint_repair_resumes", LongType),
+      StructField("checkpoint_repair_failures", LongType),
+      StructField("checkpoint_repair_plan", StringType),
+      StructField("checkpoint_repair_last_disposition", StringType),
+      StructField("checkpoint_repair_last_denial", StringType),
+      StructField("checkpoint_seal_failures", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** materialized_views() — registered streaming SAMPLE BY views. */

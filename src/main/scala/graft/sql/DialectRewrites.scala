@@ -38,6 +38,7 @@ object DialectRewrites {
     q = mapOutside(q)(tzCastTails)
     q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
+    q = namedWindows(q)
     q = timeRangeFrames(q)
     q = unnestColumns(q)
     q = unnestPg(q)
@@ -52,6 +53,16 @@ object DialectRewrites {
     q = mapOutside(q)(s => s.replaceAll(
       "(?is)\\)\\s*timestamp\\s*\\(\\s*[\\w.]+\\s*\\)(\\s*(?:\\)|,|where\\b|sample\\b|order\\b|group\\b|limit\\b|union\\b|intersect\\b|except\\b|latest\\b|join\\b|inner\\b|left\\b|right\\b|cross\\b|asof\\b|lt\\b|splice\\b))",
       ")$1"))
+    // top-level parenthesized query with a designation tail:
+    // `(select ...) timestamp(k)` is a complete statement
+    if (fw0.isEmpty || fw0 == "select" || fw0 == "with")
+      q = q.replaceAll("(?is)\\)\\s*timestamp\\s*\\(\\s*[\\w.]+\\s*\\)\\s*$", ")")
+    // LIMIT lo,hi inside a subquery (reference row-range slice; the
+    // top-level form is handled by the range-limit operator): rows
+    // lo+1..hi = OFFSET lo LIMIT hi-lo
+    q = limitRangeInner(q)
+    // reference parser tolerates a trailing comma before FROM
+    q = mapOutside(q)(_.replaceAll("(?i),\\s*(from\\b)(?!_)", " $1"))
     // the reference lexer needs no space between ')' and a keyword
     q = mapOutside(q)(s => s.replaceAll(
       "(?i)\\)(from|where|sample|order|group|limit|union|intersect|except|latest|align|and|or)\\b", ") $1"))
@@ -121,7 +132,12 @@ object DialectRewrites {
       val expr = m.group(1)
       val cols = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { d =>
         val parts = d.split("\\s+", 2)
-        (parts(0), jsonType(parts.lift(1).getOrElse("string")))
+        // quoted declared names ('a.b' DOUBLE) → backticked identifiers
+        val raw = parts(0)
+        val nm0 = if (raw.startsWith("'") || raw.startsWith("\""))
+          raw.substring(1, raw.length - 1) else raw
+        val nm = if (nm0.matches("\\w+")) nm0 else s"`$nm0`"
+        (nm, jsonType(parts.lift(1).getOrElse("string")))
       }
       val alias = m.group(3)
       val repl =
@@ -179,7 +195,9 @@ object DialectRewrites {
     s = s.replaceAll("(?i)\\bipv4\\s+('(?:\\d+\\.){3}\\d+')", "IPV4LIT($1)")
     // containment: lhs op 'net/cidr' (and reversed)
     val contain = java.util.regex.Pattern.compile(
-      "(?i)([\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*')\\s*(<<=|<<|>>=|>>)\\s*([\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*'|:\\w+)")
+      "(?i)('[^']*'\\s*::\\s*\\w+|[\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*'|:\\w+|\\$\\d+)" +
+        "\\s*(<<=|<<|>>=|>>)\\s*" +
+        "('[^']*'\\s*::\\s*\\w+|[\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*'|:\\w+|\\$\\d+)")
     var m = contain.matcher(s)
     while (m.find()) {
       val (l, op, r) = (m.group(1), m.group(2), m.group(3))
@@ -290,6 +308,38 @@ object DialectRewrites {
     s
   }
 
+  /** `LIMIT lo,hi` below the top level → `LIMIT hi-lo OFFSET lo` (Spark
+    * word order). Depth-0 occurrences are left for the range-limit
+    * operator form, which also handles negative bounds. */
+  private def limitRangeInner(q: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b")
+    val m = pat.matcher(q)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      var depth = 0
+      var i = 0
+      while (i < m.start()) {
+        q.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' => var j = i + 1; while (j < q.length && q.charAt(j) != '\'') j += 1; i = j
+          case _ =>
+        }
+        i += 1
+      }
+      sb.append(q.substring(last, m.start()))
+      if (depth > 0) {
+        val lo = m.group(1).toLong; val hi = m.group(2).toLong
+        sb.append(s"LIMIT ${math.max(hi - lo, 0)} OFFSET $lo")
+      } else sb.append(m.group(0))
+      last = m.end()
+    }
+    sb.append(q.substring(last))
+    sb.toString
+  }
+
   private def splitBalancedCommas(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var depth = 0
@@ -307,6 +357,113 @@ object DialectRewrites {
     }
     out += s.substring(start)
     out.toSeq
+  }
+
+  /** Named WINDOW clause fixups Spark cannot parse (reference SqlParser
+    * named-window extensions):
+    *  - inheritance: `WINDOW w1 AS (...), w2 AS (w1 ROWS ...)` — splice
+    *    the referenced definition's body;
+    *  - ANCHOR EXPRESSION e / ANCHOR DAILY 'HH:mm' ['tz'] — the
+    *    reference resets window state when the anchor value changes
+    *    (SqlParser.desugarDailyAnchor), which is exactly an extra
+    *    PARTITION BY key;
+    *  - reserved definition names (`WINDOW window AS ...`) renamed.
+    */
+  private def namedWindows(q0: String): String = {
+    val kw = java.util.regex.Pattern.compile(
+      "(?i)\\bWINDOW\\s+(?!JOIN\\b)[A-Za-z_]\\w*\\s+AS\\s*\\(")
+    var q = q0
+    var guard = 0
+    var km = kw.matcher(q)
+    var searchFrom = 0
+    while (km.find(searchFrom) && guard < 16) {
+      guard += 1
+      val clauseStart = km.start()
+      // parse consecutive `name AS (body)` definitions
+      val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+      val defRe = java.util.regex.Pattern.compile(
+        "(?is)\\s*,?\\s*([A-Za-z_]\\w*)\\s+AS\\s*\\(")
+      var pos = clauseStart + "WINDOW".length
+      var parsing = true
+      while (parsing) {
+        val dm = defRe.matcher(q)
+        dm.region(pos, q.length)
+        if (dm.lookingAt()) {
+          var depth = 0; var j = dm.end() - 1; var close = -1
+          while (j < q.length && close < 0) {
+            q.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close < 0) parsing = false
+          else { defs(dm.group(1)) = q.substring(dm.end(), close); pos = close + 1 }
+        } else parsing = false
+      }
+      if (defs.isEmpty) { searchFrom = km.end(); km = kw.matcher(q) }
+      else {
+        var changed = false
+        val renames = scala.collection.mutable.Map[String, String]()
+        val sparkReserved = Set("window", "rows", "range", "order", "partition",
+          "groups", "over", "select", "from", "where", "group", "limit")
+        val out = scala.collection.mutable.LinkedHashMap[String, String]()
+        defs.foreach { case (name0, body0) =>
+          var body = body0
+          // inheritance: body starts with an earlier definition's name
+          val inh = "(?is)^\\s*([A-Za-z_]\\w*)\\b(.*)$".r
+          body match {
+            case inh(ref, rest) if out.contains(ref) || defs.contains(ref) =>
+              if (!ref.equalsIgnoreCase("partition") && !ref.equalsIgnoreCase("order") &&
+                  !ref.equalsIgnoreCase("rows") && !ref.equalsIgnoreCase("range") &&
+                  !ref.equalsIgnoreCase("groups")) {
+                body = out.getOrElse(ref, defs(ref)) + " " + rest.trim
+                changed = true
+              }
+            case _ =>
+          }
+          // ANCHOR clauses → extra partition key
+          val anchorE = "(?is)^(.*?)\\bANCHOR\\s+EXPRESSION\\s+(.+?)\\s*$".r
+          val anchorD = "(?is)^(.*?)\\bANCHOR\\s+DAILY\\s+('[^']+')(?:\\s+('[^']*'|[\\w/._+-]+))?\\s*$".r
+          val anchorKey: Option[String] = body match {
+            case anchorD(pre, hhmm, tz) =>
+              body = pre.trim
+              val ts = "(?is)\\bORDER\\s+BY\\s+([\\w.]+)".r.findFirstMatchIn(body)
+                .map(_.group(1)).getOrElse("ts")
+              val tzLit = Option(tz).map(t => if (t.startsWith("'")) t else s"'$t'")
+              Some(tzLit match {
+                case Some(z) => s"timestamp_floor('1d', $ts, null, $hhmm, $z)"
+                case None => s"timestamp_floor('1d', $ts, null, $hhmm)"
+              })
+            case anchorE(pre, e) => body = pre.trim; Some(e)
+            case _ => None
+          }
+          anchorKey.foreach { k =>
+            changed = true
+            body =
+              if ("(?i)\\bPARTITION\\s+BY\\b".r.findFirstIn(body).isDefined)
+                body.replaceAll("(?i)\\bPARTITION\\s+BY\\b", s"PARTITION BY $k,")
+              else s"PARTITION BY $k " + body
+          }
+          val name = if (sparkReserved(name0.toLowerCase)) {
+            changed = true; renames(name0) = name0 + "_w_"; name0 + "_w_"
+          } else name0
+          out(name) = body
+        }
+        if (!changed) { searchFrom = pos; km = kw.matcher(q) }
+        else {
+          val rebuilt = q.substring(0, clauseStart) + "WINDOW " +
+            out.map { case (n, b) => s"$n AS ($b)" }.mkString(", ") + q.substring(pos)
+          q = renames.foldLeft(rebuilt) { case (s, (from, to)) =>
+            s.replaceAll(s"(?i)\\bOVER\\s+$from\\b", s"OVER $to")
+          }
+          searchFrom = 0
+          km = kw.matcher(q)
+        }
+      }
+    }
+    q
   }
 
   /** Window RANGE frames with time-unit bounds (reference

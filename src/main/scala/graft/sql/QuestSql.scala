@@ -254,6 +254,9 @@ object QuestSql {
         (bareTableFn || clauseNext ||
           (try spark.catalog.tableExists(fw) catch { case _: Exception => false })))
       q0 = "SELECT * FROM " + q0
+    // PIVOT ... FOR c IN (SELECT ...): the reference expands the in-list
+    // subquery at compile time — same here (dimension values, tiny)
+    q0 = expandPivotSubqueries(spark, q0)
     // reference-accepted spellings Spark's parser rejects (double-quoted
     // identifiers, 50_000 separators, ARRAY[..] literals, type[] casts,
     // sizeless VARCHAR/SYMBOL/UUID cast targets, at time zone, ...)
@@ -395,8 +398,35 @@ object QuestSql {
     */
   private val subqueryCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** `PIVOT (... FOR c IN (SELECT ...))` — evaluate the in-list subquery
+    * now and splice its values as literals (reference PivotTest: the
+    * pivot column set is resolved at compile time). */
+  private def expandPivotSubqueries(spark: SparkSession, q0: String): String = {
+    if (!"""(?i)\bPIVOT\b""".r.findFirstIn(q0).isDefined) return q0
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)(\\bFOR\\s+[\\w.]+\\s+IN\\s*)\\(\\s*(SELECT\\b(?:[^()]|\\([^()]*\\))*?)\\s*\\)")
+    var s = q0
+    var m = pat.matcher(s)
+    var guard = 0
+    while (m.find() && guard < 8) {
+      guard += 1
+      val vals =
+        try sql(spark, m.group(2)).collect().toSeq.map(_.get(0))
+        catch { case _: Exception => return s }
+      val lits = vals.map {
+        case null => "NULL"
+        case x: String => "'" + x.replace("'", "''") + "'"
+        case x => x.toString
+      }
+      s = s.substring(0, m.start()) + m.group(1) + "(" + lits.mkString(", ") + ")" +
+        s.substring(m.end())
+      m = pat.matcher(s)
+    }
+    s
+  }
+
   private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
-    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON)\b""".r
+    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON|SHOW\s+\w)\b""".r
         .findFirstIn(q).isDefined) return q
     val lower = q.toLowerCase
     val out = new StringBuilder
@@ -424,7 +454,7 @@ object QuestSql {
         }
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         val hasDialectOp =
-          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON)\b""".r
+          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON|SHOW\s+\w)\b""".r
             .findFirstIn(inner).isDefined
         if (fromPos && inner.trim.toLowerCase.startsWith("select") && hasDialectOp) {
           try {
@@ -566,12 +596,15 @@ object QuestSql {
   private val CreateLiveViewRe =
     ("""(?is)^CREATE\s+LIVE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)""" +
       """\s+FLUSH\s+EVERY\s+(\d+)\s*(ms|[smhd])""" +
-      """(?:\s+IN\s+MEMORY\s+\d+\s*(?:ms|[smhd]))?""" +
-      """(?:\s+PARTITION\s+BY\s+\w+)?""" +
-      """(?:\s+START\s+FROM\s+(?:'[^']*'|NOW|\S+))?""" +
+      """(?:\s+IN\s+MEMORY\s+(\d+)\s*(ms|[smhd]))?""" +
+      """(?:\s+PARTITION\s+BY\s+(\w+))?""" +
+      """(?:\s+START\s+FROM\s+('[^']*'|NOW|BEGINNING|\S+))?""" +
       """\s+AS\s+(?:\((.*)\)|(SELECT\s.*))\s*$""").r
+  private val ShowCreateLiveViewRe =
+    """(?is)^SHOW\s+CREATE\s+LIVE\s+VIEW\s+([\w.]+)$""".r
   private val DropLiveViewRe =
     """(?is)^DROP\s+LIVE\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val DropAllRe = """(?is)^DROP\s+ALL(?:\s+TABLES)?\s*$""".r
 
   private val liveViewDefs =
     new java.util.concurrent.ConcurrentHashMap[String, String]() // name -> stored SELECT
@@ -823,7 +856,8 @@ object QuestSql {
           Some(Seq((name, rows)).toDF("view_name", "rows"))
       }
 
-    case CreateLiveViewRe(name0, flushN, flushUnit, innerParen, innerBare) =>
+    case CreateLiveViewRe(name0, flushN, flushUnit, memN, memUnit, partBy,
+                          startFrom, innerParen, innerBare) =>
       val name = unq(name0)
       val inner = if (innerParen != null) innerParen else innerBare
       val key = name.split('.').last.toLowerCase
@@ -835,13 +869,45 @@ object QuestSql {
       // always-fresh serving: the seam is "now" at every listing
       graft.Catalog.registerLiveView(key, s"<session flush=${flushUs}us>",
         () => System.currentTimeMillis() * 1000L)
+      val base = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(inner)
+        .map(m2 => unq(m2.group(1))).getOrElse("")
+      graft.Catalog.liveViewMeta.put(key, graft.Catalog.LiveViewMeta(
+        base, inner.trim,
+        flushN.toLong, flushUnit,
+        Option(memN).map(_.toLong).getOrElse(flushN.toLong),
+        Option(memUnit).getOrElse(flushUnit),
+        Option(partBy).map(_.toUpperCase).getOrElse("DAY"),
+        Option(startFrom).getOrElse("NOW")))
       Some(status(spark, "OK"))
+
+    case ShowCreateLiveViewRe(name) =>
+      val key = unq(name).split('.').last.toLowerCase
+      val m = Option(graft.Catalog.liveViewMeta.get(key)).getOrElse(
+        throw new IllegalArgumentException(s"live view does not exist [view=$name]"))
+      import spark.implicits._
+      // reference ShowCreateTableOperation live-view canonical text
+      val ddl = s"CREATE LIVE VIEW '$key' FLUSH EVERY ${m.flushN}${m.flushUnit}" +
+        s" IN MEMORY ${m.memN}${m.memUnit} PARTITION BY ${m.partitionBy}" +
+        s" START FROM ${m.startFrom} AS (\n${m.sql}\n);"
+      Some(Seq(ddl).toDF("ddl"))
 
     case DropLiveViewRe(name) =>
       val key = name.split('.').last.toLowerCase
       liveViewDefs.remove(key)
       spark.catalog.dropTempView(key)
       graft.Catalog.unregisterLiveView(key)
+      graft.Catalog.liveViewMeta.remove(key)
+      Some(status(spark, "OK"))
+
+    case DropAllRe() =>
+      // reference DROP ALL: every table, mat view, and live view goes
+      spark.catalog.listTables().collect().foreach { t =>
+        if (!t.name.startsWith("__"))
+          try spark.catalog.dropTempView(t.name) catch { case _: Exception => () }
+      }
+      liveViewDefs.clear(); matViewDefs.clear()
+      graft.Catalog.liveViewMeta.clear()
+      graft.Catalog.invalidateMetaViews(spark)
       Some(status(spark, "OK"))
 
     case DropMatViewRe(name) =>
@@ -1405,10 +1471,13 @@ object QuestSql {
       val m = """(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$""".r.findFirstMatchIn(inner)
       val mn = """(?is)^(.*\S)\s+AS\s+TIMESTAMP_NS\s*$""".r.findFirstMatchIn(inner)
       val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)c\s*\)\s*$""".r.findFirstMatchIn(inner)
-      (m, mn, g) match {
-        case (Some(t), _, _) => tsUsCast(t.group(1))
-        case (_, Some(t), _) => nsCast(t.group(1))
-        case (_, _, Some(gh)) => geoCast(gh.group(1), gh.group(2).toInt)
+      val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
+      (m, mn, g, l256) match {
+        case (Some(t), _, _, _) => tsUsCast(t.group(1))
+        case (_, Some(t), _, _) => nsCast(t.group(1))
+        case (_, _, Some(gh), _) => geoCast(gh.group(1), gh.group(2).toInt)
+        case (_, _, _, Some(t)) => // canonical 0x + 64-hex LONG256 carrier
+          s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
         case _ => s"cast($inner)"
       }
     }
@@ -1632,8 +1701,13 @@ object QuestSql {
     q = expandCalls(q, "ns_to_timestamp") { case Seq(ns) =>
       s"timestamp_micros(CAST(($ns) div 1000 AS BIGINT))" }
     q = expandCalls(q, "now_ns") { _ => "(unix_micros(now()) * 1000)" }
-    // reference test scaffolding predicate — always true in-engine
+    // reference test scaffolding: test_match() is an always-true
+    // predicate; alloc/alloc_tracked return the constant 42L
+    // (TestAllocatingFunctionFactory:88 — the allocation itself is the
+    // reference's native-memory test fixture, meaningless here)
     q = expandCalls(q, "test_match") { _ => "TRUE" }
+    q = expandCalls(q, "alloc_tracked") { _ => "CAST(42 AS BIGINT)" }
+    q = expandCalls(q, "alloc") { _ => "CAST(42 AS BIGINT)" }
     q = expandCalls(q, "systimestamp_ns") { _ => "(unix_micros(now()) * 1000)" }
     q = expandCalls(q, "nanos") { case Seq(ns) => s"CAST(pmod($ns, 1000) AS INT)" }
     q = expandCalls(q, "timestamp_ns_floor") { case Seq(stride, ns) =>
@@ -3044,6 +3118,17 @@ object QuestSql {
     """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+HORIZON\s+JOIN\s+""" + Rel +
       """\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])\s+STEP\s+(\d+)([UTsmhdw])""" +
       WhereTail + """\s*$""").r
+  // general spelling (reference HorizonJoinTest): table aliases, ON with
+  // cross-named equalities or absent, horizon column alias, WHERE /
+  // GROUP BY / ORDER tails with arbitrary expressions
+  private val HorizonGeneralRe = (
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel +
+      """(?:\s+(?:AS\s+)?(?!HORIZON\b)(\w+))?\s+HORIZON\s+JOIN\s+""" + Rel +
+      """(?:\s+(?:AS\s+)?(?!ON\b|RANGE\b|LIST\b)(\w+))?""" +
+      """(?:\s+ON\s+\(?([\w.\s=,]+?)\)?)?\s+""" +
+      """(?:LIST\s*\(([\d,\s-]+)\)|RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])\s+STEP\s+(\d+)([UTsmhdw]))""" +
+      """(?:\s+AS\s+(\w+))?(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
+      """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?\s*$""").r
 
   private def horizonJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case HorizonRangeRe(sel, master, slave, onKeys, aN, aU, bN, bU, sN, sU,
@@ -3057,6 +3142,62 @@ object QuestSql {
     case HorizonJoinRe(sel, master, slave, onKeys, list, where, order, lim1, lim2) =>
       runHorizon(spark, sel, master, slave, onKeys,
         list.split(",").map(_.trim.toLong).toSeq, where, order, lim1, lim2)
+    case HorizonGeneralRe(sel, master, mAlias, slave, sAlias, onCond, list,
+                          aN, aU, bN, bU, sN, sU, hAlias, where, groupBy,
+                          order, lim1, lim2) =>
+      val offsets =
+        if (list != null) list.split(",").map(_.trim.toLong).toSeq
+        else {
+          val lo = aN.toLong * unitMicros(aU)
+          val hi = bN.toLong * unitMicros(bU)
+          val step = sN.toLong * unitMicros(sU)
+          require(step > 0 && hi >= lo, "invalid HORIZON RANGE")
+          (lo to hi by step).toSeq
+        }
+      val (m0, mName) = resolveRel(spark, master)
+      val (s0, sName) = resolveRel(spark, slave)
+      val mTs = tsOfRel(mName, m0)
+      // ON (a = b, ...): cross-named slave keys align to the master's
+      val pairs = Option(onCond).toSeq
+        .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty).map { p =>
+          p.split("=") match {
+            case Array(a, b) => (a.trim.split('.').last, b.trim.split('.').last)
+            case _ => (p.split('.').last, p.split('.').last)
+          }
+        }
+      val s1 = pairs.foldLeft(s0) { case (d, (a, b)) =>
+        if (a != b) d.withColumnRenamed(b, a) else d }
+      val keys = pairs.map(_._1)
+      val sTs0 = tsOfRel(sName, s1)
+      val renamed = clashRename(m0, s1, keys)
+      val sTsR = if (m0.columns.contains(sTs0) && !keys.contains(sTs0)) sTs0 + "1" else sTs0
+      val payload = renamed.columns.filterNot(c => keys.contains(c) || c == sTsR).toSeq
+      val joined0 =
+        if (keys.nonEmpty)
+          graft.ops.HorizonJoin.horizonJoin(m0, renamed, mTs, sTsR, keys, payload, offsets)
+        else {
+          import org.apache.spark.sql.functions._
+          val grid = m0
+            .withColumn("off_us", explode(array(offsets.map(lit): _*)))
+            .withColumn("__h_ts", timestamp_micros(unix_micros(col(mTs)) + col("off_us")))
+          graft.ops.AsofJoin.asofNoKey(grid, renamed, "__h_ts", sTsR, payload).drop("__h_ts")
+        }
+      val joined = joined0.withColumnRenamed("off_us", Option(hAlias).getOrElse("h"))
+      // rebuild the user's SELECT over the joined view — aggregates,
+      // implicit GROUP BY, WHERE/ORDER tails all go through the normal
+      // dialect pipeline; alias qualifiers collapse to bare columns
+      val view = "__horizon_g"
+      joined.createOrReplaceTempView(view)
+      val quals = (Seq(mAlias, sAlias).flatMap(Option(_)) ++ Seq(mName, sName)).distinct
+      def strip(s: String): String =
+        quals.foldLeft(s)((acc, a) => acc.replaceAll(s"(?i)\\b$a\\.", ""))
+      val rebuilt = new StringBuilder(s"SELECT ${strip(sel)} FROM $view")
+      Option(where).foreach(w => rebuilt ++= s" WHERE ${strip(w)}")
+      Option(groupBy).foreach(g => rebuilt ++= s" GROUP BY ${strip(g)}")
+      Option(order).foreach(o => rebuilt ++= s" ORDER BY ${strip(o)}")
+      Option(lim1).foreach(l => rebuilt ++= s" LIMIT $l")
+      Option(lim2).foreach(l => rebuilt ++= s",$l")
+      Some(sql(spark, rebuilt.toString))
     case _ => None
   }
 
