@@ -127,6 +127,139 @@ object Catalog {
       "indexType", "indexInclude")
   }
 
+  // ---- partition format bookkeeping (reference ColumnType / parquet
+  // conversion: CREATE ... FORMAT PARQUET, ALTER ... SET FORMAT,
+  // ALTER ... CONVERT PARTITION TO PARQUET|NATIVE) --------------------------
+
+  /** table → is parquet the current format for NEW partitions */
+  private[graft] val tableFormatParquet =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** table → partition name → resolved format flag (set when the table
+    * format changes, or a partition is explicitly converted) */
+  private[graft] val partitionFormat =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+
+  private def partMap(table: String) =
+    partitionFormat.computeIfAbsent(table.toLowerCase,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  private[graft] def setCreateFormat(table: String, parquet: Boolean): Unit =
+    tableFormatParquet.put(table.toLowerCase, parquet)
+
+  /** ALTER TABLE SET FORMAT: existing partitions keep their resolved
+    * flag; only partitions born later get the new format. */
+  private[graft] def setTableFormat(spark: SparkSession, table: String, parquet: Boolean): Unit = {
+    val pm = partMap(table)
+    partitionNames(spark, table).foreach { p =>
+      pm.putIfAbsent(p, isPartParquet(table, p))
+    }
+    tableFormatParquet.put(table.toLowerCase, parquet)
+  }
+
+  /** ALTER TABLE CONVERT PARTITION TO PARQUET|NATIVE LIST/WHERE. */
+  private[graft] def convertPartitions(spark: SparkSession, table: String,
+                                       parquet: Boolean, list: Seq[String],
+                                       whereTs: Option[java.sql.Timestamp => Boolean]): Unit = {
+    val pm = partMap(table)
+    val names = partitionNames(spark, table)
+    val targets = whereTs match {
+      case Some(pred) => names.filter(p => partStartTs(p).exists(pred))
+      case None => names.filter(p => list.exists(l => p == l || p.startsWith(l)))
+    }
+    targets.foreach(p => pm.put(p, parquet))
+  }
+
+  private def isPartParquet(table: String, part: String): Boolean = {
+    val pm = partitionFormat.get(table.toLowerCase)
+    val explicit = if (pm != null) Option(pm.get(part)) else None
+    explicit.map(_.booleanValue).getOrElse(
+      Option(tableFormatParquet.get(table.toLowerCase)).exists(_.booleanValue))
+  }
+
+  private def partStartTs(part: String): Option[java.sql.Timestamp] = {
+    val full = part match {
+      case p if p.matches("\\d{4}") => s"$p-01-01T00:00:00"
+      case p if p.matches("\\d{4}-\\d{2}") => s"$p-01T00:00:00"
+      case p if p.matches("\\d{4}-\\d{2}-\\d{2}") => s"${p}T00:00:00"
+      case p if p.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}") => s"$p:00:00"
+      case _ => return None
+    }
+    try Some(java.sql.Timestamp.valueOf(full.replace('T', ' ')))
+    catch { case _: Exception => None }
+  }
+
+  private def partitionUnit(table: String): String =
+    Option(createMeta.get(table.toLowerCase)).flatMap(_.partitionBy)
+      .getOrElse("DAY").toUpperCase
+
+  private def partitionNameExpr(unit: String, ts: String): String = unit match {
+    case "YEAR" => s"date_format($ts, 'yyyy')"
+    case "MONTH" => s"date_format($ts, 'yyyy-MM')"
+    case "HOUR" => s"date_format($ts, \"yyyy-MM-dd'T'HH\")"
+    case "WEEK" => s"concat(year($ts), '-W', lpad(weekofyear($ts), 2, '0'))"
+    case _ => s"date_format($ts, 'yyyy-MM-dd')"
+  }
+
+  private def partitionNames(spark: SparkSession, table: String): Seq[String] =
+    try {
+      val ts = graft.sql.QuestSql.designatedTsOf(table).getOrElse(return Seq.empty)
+      val unit = partitionUnit(table)
+      spark.table(table)
+        .selectExpr(partitionNameExpr(unit, ts) + " AS p")
+        .where("p IS NOT NULL").distinct().orderBy("p")
+        .collect().map(_.getString(0)).toSeq
+    } catch { case _: Exception => Seq.empty }
+
+  /** table_partitions('t') over a session table's data — the
+    * reference's 18-column shape
+    * (ShowPartitionsRecordCursorFactory.java:114-135). Partitions are
+    * derived from the designated timestamp and the declared PARTITION
+    * BY unit; format flags come from the conversion bookkeeping above.
+    */
+  def tablePartitionsFull(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val unit = partitionUnit(table)
+    val tsOpt = graft.sql.QuestSql.designatedTsOf(table)
+    val parts: Seq[(String, java.sql.Timestamp, java.sql.Timestamp, Long)] = tsOpt match {
+      case Some(ts) =>
+        try spark.table(table)
+          .selectExpr(partitionNameExpr(unit, ts) + " AS p", s"$ts AS t")
+          .where("p IS NOT NULL")
+          .groupBy("p")
+          .agg(min(col("t")).as("mn"), max(col("t")).as("mx"), count(lit(1)).as("n"))
+          .orderBy("p").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+        catch { case _: Exception => Seq.empty }
+      case None => Seq.empty
+    }
+    def human(n: Long): String =
+      if (n >= (1L << 30)) f"${n / (1L << 30).toDouble}%.1f GiB"
+      else if (n >= (1L << 20)) f"${n / (1L << 20).toDouble}%.1f MiB"
+      else if (n >= (1L << 10)) f"${n / (1L << 10).toDouble}%.1f KiB"
+      else s"$n B"
+    val last = parts.size - 1
+    val rows = parts.zipWithIndex.map { case ((p, mn, mx, n), i) =>
+      val parquet = isPartParquet(table, p)
+      val bytes = n * 32L
+      org.apache.spark.sql.Row(
+        i, unit, p, mn, mx, n, bytes, human(bytes),
+        false, i == last, true, false, false,
+        parquet, parquet, if (parquet) bytes else -1L, i.toLong + 1L, false)
+    }
+    val schema = StructType(Seq(
+      StructField("index", IntegerType), StructField("partitionBy", StringType),
+      StructField("name", StringType),
+      StructField("minTimestamp", TimestampType), StructField("maxTimestamp", TimestampType),
+      StructField("numRows", LongType), StructField("diskSize", LongType),
+      StructField("diskSizeHuman", StringType), StructField("readOnly", BooleanType),
+      StructField("active", BooleanType), StructField("attached", BooleanType),
+      StructField("detached", BooleanType), StructField("attachable", BooleanType),
+      StructField("hasParquetGenerated", BooleanType), StructField("isParquet", BooleanType),
+      StructField("parquetFileSize", LongType), StructField("seqTxn", LongType),
+      StructField("isRemotelyServed", BooleanType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** table_partitions(dir) — day partitions of an ingest table with
     * file counts and sizes.
     */
@@ -257,14 +390,60 @@ object Catalog {
   /** wal_tables() — ingest-dir tables (the WAL-apply analogue: day
     * partitions + batch markers).
     */
+  /** Per-table WAL bookkeeping for wal_tables(): suspension flag +
+    * error details (set by ALTER ... SUSPEND WAL [WITH tag, msg]) and a
+    * commit counter bumped on INSERT (writerTxn/sequencerTxn
+    * approximation — Spark has no sequencer; the counters advance in
+    * lockstep). */
+  final case class WalState(suspended: Boolean, errorTag: String, errorMessage: String)
+  private[graft] val walState =
+    new java.util.concurrent.ConcurrentHashMap[String, WalState]()
+  private[graft] val walTxnCounter =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def suspendWal(name: String, tag: String, msg: String): Unit =
+    walState.put(name.toLowerCase, WalState(true, tag, msg))
+  private[graft] def resumeWal(name: String): Unit =
+    walState.put(name.toLowerCase, WalState(false, null, null))
+  /** Per-table txn log for wal_transactions(): (seq, wall-clock,
+    * batch min ts, batch max ts, row count). */
+  final case class WalTxnRec(seq: Long, wall: java.sql.Timestamp,
+                             minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp,
+                             rows: Long)
+  private[graft] val walTxnLog =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.List[WalTxnRec]]()
+
+  private[graft] def bumpWalTxn(name: String): Unit = bumpWalTxn(name, null, null, 0L)
+
+  private[graft] def bumpWalTxn(name: String, minTs: java.sql.Timestamp,
+                                maxTs: java.sql.Timestamp, rows: Long): Unit = {
+    val seq = walTxnCounter.merge(name.toLowerCase, 1L, (a, b) => a + b)
+    walTxnLog
+      .computeIfAbsent(name.toLowerCase,
+        _ => java.util.Collections.synchronizedList(new java.util.ArrayList[WalTxnRec]()))
+      .add(WalTxnRec(seq, new java.sql.Timestamp(System.currentTimeMillis()),
+        minTs, maxTs, rows))
+  }
+
+  /** wal_tables() — the reference's 8-column shape
+    * (WalTableListFunctionFactory.java:335-349): every WAL-enabled
+    * table, mat view, and live view with suspension state and txn
+    * counters. */
   def walTables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Tables.names.flatMap { n =>
-      Tables.registeredPath(n).map { p =>
-        val f = new java.io.File(p)
-        (n, p, f.isDirectory && new java.io.File(f, "_graft_batches").exists())
-      }
-    }.toDF("name", "path", "wal_enabled")
+    val declared = createMeta.asScala.toSeq.collect {
+      case (n, m) if m.walEnabled => n }
+    // registered engine tables count as WAL tables (the reference's
+    // default is WAL-enabled)
+    val ingest = Tables.names.filter(n => Tables.registeredPath(n).isDefined)
+    val views = (matViewReg.keySet.asScala ++ liveViewReg.keySet.asScala).toSeq
+    (declared ++ ingest ++ views).distinct.sorted.map { n =>
+      val st = Option(walState.get(n.toLowerCase))
+      val txn = Option(walTxnCounter.get(n.toLowerCase)).map(_.longValue).getOrElse(0L)
+      (n, st.exists(_.suspended), txn, 0L, txn,
+        st.map(_.errorTag).orNull, st.map(_.errorMessage).orNull, 0)
+    }.toDF("name", "suspended", "writerTxn", "bufferedTxnSize",
+      "sequencerTxn", "errorTag", "errorMessage", "memoryPressure")
   }
 
   /** table_storage() — per-table storage stats (reference
@@ -375,6 +554,81 @@ object Catalog {
         new java.sql.Date(f.lastModified())))
       .toDF("path", "diskSize", "diskSizeHuman", "modifiedTime")
       .orderBy(col("path"))
+  }
+
+  /** glob(pattern) — files matching a shell glob, same column set as
+    * files() (catalogue/GlobFilesFunctionFactory: `*` within a segment,
+    * `**` across separators, `?`, `[abc]`/`[a-z]`/`[!abc]`, `\`
+    * escape). Relative patterns resolve against the configured copy
+    * root (`cairo.sql.copy.root` → `graft.copy.input.root` here).
+    */
+  def glob(spark: SparkSession, pattern: String): DataFrame = {
+    import spark.implicits._
+    val root = System.getProperty("graft.copy.input.root", "")
+    val (base, rel) =
+      if (pattern.startsWith("/")) {
+        // absolute: walk from the last glob-free directory
+        val segs = pattern.split("/").toSeq
+        val idx = segs.indexWhere(s => s.exists("*?[\\".contains(_)))
+        val cut = if (idx < 0) segs.length - 1 else idx
+        (segs.take(cut).mkString("/"), segs.drop(cut).mkString("/"))
+      } else (root, pattern)
+    val re = java.util.regex.Pattern.compile(globToRegex(rel))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def human(n: Long): String =
+      if (n >= (1L << 30)) f"${n / (1L << 30).toDouble}%.1f GiB"
+      else if (n >= (1L << 20)) f"${n / (1L << 20).toDouble}%.1f MiB"
+      else if (n >= (1L << 10)) f"${n / (1L << 10).toDouble}%.1f KiB"
+      else s"$n B"
+    val baseDir = new java.io.File(if (base.isEmpty) "." else base)
+    val baseLen = baseDir.getPath.length + 1
+    val hits =
+      if (rel.isEmpty) { // pattern was a fully literal absolute path
+        val f = new java.io.File(pattern)
+        if (f.isFile) Seq(f) else Seq.empty
+      } else if (baseDir.exists())
+        walk(baseDir).filter { f =>
+          val relPath = f.getPath.substring(math.min(baseLen, f.getPath.length))
+          re.matcher(relPath).matches()
+        }
+      else Seq.empty
+    hits.sortBy(_.getPath)
+      .map(f => (f.getPath, f.length(), human(f.length()),
+        new java.sql.Timestamp(f.lastModified())))
+      .toDF("path", "diskSize", "diskSizeHuman", "modifiedTime")
+  }
+
+  /** Glob → anchored regex. `**` spans separators (zero or more
+    * segments when followed by `/`), `*`/`?` stay within a segment,
+    * bracket classes pass through with `!` → `^`. */
+  private[graft] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
+          if (i + 2 < glob.length && glob.charAt(i + 2) == '/') { sb.append("(?:.*/)?"); i += 3 }
+          else { sb.append(".*"); i += 2 }
+        case '*' => sb.append("[^/]*"); i += 1
+        case '?' => sb.append("[^/]"); i += 1
+        case '[' =>
+          val close = glob.indexOf(']', i + 2) // i+2: ']' first in class is literal
+          if (close < 0) { sb.append("\\["); i += 1 }
+          else {
+            val body0 = glob.substring(i + 1, close)
+            val body = if (body0.startsWith("!")) "^" + body0.substring(1) else body0
+            sb.append('[').append(body.replace("\\", "\\\\")).append(']')
+            i = close + 1
+          }
+        case '\\' if i + 1 < glob.length =>
+          sb.append(java.util.regex.Pattern.quote(glob.charAt(i + 1).toString)); i += 2
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString)); i += 1
+      }
+    }
+    sb.toString
   }
 
   def importFiles(spark: SparkSession): DataFrame =
@@ -642,7 +896,7 @@ object Catalog {
       StructField("minTimestamp", TS), StructField("maxTimestamp", TS),
       StructField("rowCount", L), StructField("alterCommandType", SH)))
     val dir = new java.io.File(s"$tableDir/_graft_batches")
-    val rows = Option(dir.listFiles()).getOrElse(Array.empty)
+    val dirRows = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("batch-"))
       .flatMap(f => scala.util.Try(f.getName.stripPrefix("batch-").toLong).toOption
         .map(txn => (txn, f.lastModified())))
@@ -651,7 +905,16 @@ object Catalog {
         Row(txn, new java.sql.Timestamp(mtime), 1, 0, txn.toInt, 0L,
           null, null, null, 0.toShort)
       }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    // session tables with no ingest dir: serve the in-memory txn log
+    // (one entry per INSERT commit)
+    val rows =
+      if (dirRows.nonEmpty) dirRows.toSeq
+      else Option(walTxnLog.get(tableDir.toLowerCase)).map { log =>
+        log.asScala.toSeq.map(r =>
+          Row(r.seq, r.wall, 1, 0, r.seq.toInt, 0L, r.minTs, r.maxTs,
+            if (r.rows > 0) r.rows else null, 0.toShort))
+      }.getOrElse(Seq.empty)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Render a small metadata DataFrame as a literal `VALUES` SELECT so

@@ -37,6 +37,7 @@ object RefParity {
     } else (0, 1)
     val filter = if (args.length > 3) Some(args(3)) else None
 
+    setupGlobFixture()
     val spark = Sessions.local()
     val engine = Engine(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     val baseline = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
@@ -151,6 +152,74 @@ object RefParity {
   private def msg(e: Throwable): String = {
     val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
     m.split("\n").take(2).mkString(" ").take(400)
+  }
+
+  /** Recreate the reference glob-test directory tree
+    * (GlobFilesFunctionFactoryTest.setupTestFiles) under ./glob_fixture
+    * and point the copy root at it, so the harvested glob() count
+    * assertions see the same filesystem the reference tests did. */
+  private def setupGlobFixture(): Unit = {
+    val root = new java.io.File("glob_fixture").getAbsoluteFile
+    def mk(rel: String, size: Int): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      val out = new java.io.FileOutputStream(f)
+      out.write(new Array[Byte](size)); out.close()
+    }
+    if (!root.exists()) {
+      Seq(
+        "data/file1.parquet" -> 1024, "data/file2.parquet" -> 2048,
+        "data/file3.parquet" -> 512, "data/fileA.parquet" -> 600,
+        "data/fileB.parquet" -> 700, "data/readme.txt" -> 100,
+        "data/data.csv" -> 500, "data/test_2023.parquet" -> 800,
+        "data/test_2024.parquet" -> 900,
+        "data/nested/deep.parquet" -> 256, "data/nested/nested.csv" -> 300,
+        "data/nested/extra.parquet" -> 310,
+        "data/nested/level3/level3.parquet" -> 128,
+        "data/nested/level3/level3_backup.parquet" -> 130,
+        "data/nested/level3/level4/deepest.parquet" -> 64,
+        "reports/summary.parquet" -> 1500, "reports/metrics.csv" -> 800,
+        "reports/overview.parquet" -> 1200,
+        "reports/2022/q1.parquet" -> 300, "reports/2022/q2.parquet" -> 310,
+        "reports/2022/q3.parquet" -> 320, "reports/2022/q4.parquet" -> 330,
+        "reports/2023/q1.parquet" -> 400, "reports/2023/q2.parquet" -> 450,
+        "reports/2023/q3.parquet" -> 480, "reports/2023/q4.parquet" -> 500,
+        "reports/2023/annual.csv" -> 600,
+        "reports/2024/q1.parquet" -> 350, "reports/2024/q2.parquet" -> 380,
+        "archive/2022/12/backup/old1.parquet" -> 150,
+        "archive/2022/12/backup/old2.parquet" -> 160,
+        "archive/2023/01/backup/data1.parquet" -> 200,
+        "archive/2023/01/backup/data2.parquet" -> 220,
+        "archive/2023/06/backup/mid1.parquet" -> 180,
+        "archive/2023/06/backup/mid2.parquet" -> 185,
+        "logs/app.parquet" -> 150, "logs/app.csv" -> 160,
+        "logs/app.log" -> 170, "logs/app_01.log" -> 180,
+        "logs/app_02.log" -> 190, "logs/app_1.log" -> 175,
+        "logs/system.log" -> 200, "logs/debug.log" -> 210,
+        "logs/error.log" -> 220,
+        "logs/daily/2023-01-01.log" -> 100, "logs/daily/2023-01-02.log" -> 110,
+        "logs/daily/2023-01-03.log" -> 120,
+        "temp/cache.tmp" -> 50, "temp/session.dat" -> 60,
+        "temp/data_001.parquet" -> 70, "temp/data_002.parquet" -> 80,
+        "temp/data_003.parquet" -> 90,
+        "temp/staging/upload.parquet" -> 700,
+        "temp/staging/pending.parquet" -> 710,
+        "partitioned/year=2022/part-0001.parquet" -> 500,
+        "partitioned/year=2022/part-0002.parquet" -> 510,
+        "partitioned/year=2023/part-0001.parquet" -> 520,
+        "partitioned/year=2023/part-0002.parquet" -> 530,
+        "partitioned/year=2023/part-0003.parquet" -> 540,
+        "partitioned/year=2024/part-0001.parquet" -> 550,
+        "mixed/a.parquet" -> 30, "mixed/b.parquet" -> 31,
+        "mixed/c.parquet" -> 32, "mixed/aa.parquet" -> 33,
+        "mixed/ab.parquet" -> 34, "mixed/abc.parquet" -> 35,
+        "mixed/xyz.parquet" -> 36, "mixed/file_v1.parquet" -> 40,
+        "mixed/file_v2.parquet" -> 41, "mixed/file_v10.parquet" -> 42
+      ).foreach { case (p, sz) => mk(p, sz) }
+      new java.io.File(root, "empty").mkdirs()
+    }
+    if (System.getProperty("graft.copy.input.root") == null)
+      System.setProperty("graft.copy.input.root", root.getPath)
   }
 
   private def cleanup(spark: org.apache.spark.sql.SparkSession, baseline: Set[String]): Unit = {

@@ -17,11 +17,10 @@ import org.apache.spark.sql.types._
   * the difference between an ANN candidate join that is
   * expression-bound and one that is scan-bound at corpus scale.
   *
-  * Arithmetic is bit-identical to the lambda form: elements cast to
-  * double, products summed left-to-right. Null semantics mirror it
-  * too: mismatched lengths or a null element poison the result to
-  * null (zip_with pads/propagates null, aggregate's `acc + null` is
-  * null).
+  * Arithmetic: elements cast to double, products summed
+  * left-to-right. Null semantics follow the reference's
+  * `Numbers.isFinite` guard: pairs with a null/NaN side are skipped;
+  * mismatched lengths or a null array yield null.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,8 +58,12 @@ case class DotProductExpr(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      sum += get(a, i, lt) * get(b, i, rt)
+      // reference DoubleArrayDotProduct skips non-finite pairs
+      // (Numbers.isFinite guard) rather than poisoning the sum
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = get(a, i, lt); val y = get(b, i, rt)
+        if (!x.isNaN && !y.isNaN) sum += x * y
+      }
       i += 1
     }
     sum
@@ -81,8 +84,11 @@ case class DotProductExpr(left: Expression, right: Expression)
         else {
           double $sum = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-            $sum += ${getter(elemType(left), a, i)} * ${getter(elemType(right), b, i)};
+            if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+              double __x = ${getter(elemType(left), a, i)};
+              double __y = ${getter(elemType(right), b, i)};
+              if (!Double.isNaN(__x) && !Double.isNaN(__y)) $sum += __x * __y;
+            }
           }
           if (!${ev.isNull}) { ${ev.value} = $sum; }
         }

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Elementwise broadcast of scalar arithmetic over array columns
+  * (reference `DoubleArrayOperatorFactory` family: `3.0 + arr`,
+  * `arr * 2`, `arr1 + arr2`, unary minus — applied recursively through
+  * any number of dims). Spark's binary arithmetic rejects
+  * scalar ⊕ array, so this analyzer rule lowers the mixed forms to
+  * `transform`/`zip_with` lambdas before type-checking fails — the
+  * lambdas stay inside whole-stage codegen, no UDFs.
+  */
+object ArrayBroadcastRule extends Rule[LogicalPlan] {
+
+  private def isNum(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def isNumArray(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => isNum(et) || isNumArray(et)
+    case _ => false
+  }
+
+  private var counter = 0L
+  private def freshVar(): UnresolvedNamedLambdaVariable = synchronized {
+    counter += 1
+    UnresolvedNamedLambdaVariable(Seq(s"__abx$counter"))
+  }
+
+  private def rebuild(op: BinaryArithmetic, l: Expression, r: Expression): Expression =
+    op.withNewChildren(Seq(l, r))
+
+  /** scalar ⊕ array / array ⊕ scalar / array ⊕ array (same depth).
+    * Element types are threaded explicitly: a fresh lambda variable's
+    * own dataType is unknown until ResolveLambdaVariables binds it. */
+  private def broadcast(op: BinaryArithmetic, l: Expression, lt: DataType,
+                        r: Expression, rt: DataType): Expression =
+    (lt, rt) match {
+      case (ArrayType(let, _), _) if isNumArray(lt) && isNum(rt) =>
+        val x = freshVar()
+        ArrayTransform(l, LambdaFunction(broadcast(op, x, let, r, rt), Seq(x)))
+      case (_, ArrayType(ret, _)) if isNum(lt) && isNumArray(rt) =>
+        val x = freshVar()
+        ArrayTransform(r, LambdaFunction(broadcast(op, l, lt, x, ret), Seq(x)))
+      case (ArrayType(let, _), ArrayType(ret, _)) if isNumArray(lt) && isNumArray(rt) =>
+        val x = freshVar(); val y = freshVar()
+        ZipWith(l, r, LambdaFunction(broadcast(op, x, let, y, ret), Seq(x, y)))
+      case _ => rebuild(op, l, r)
+    }
+
+  private def rewriteExpr(e: Expression): Expression = e match {
+    case op: BinaryArithmetic if op.left.resolved && op.right.resolved &&
+        (isNumArray(op.left.dataType) || isNumArray(op.right.dataType)) =>
+      broadcast(op, op.left, op.left.dataType, op.right, op.right.dataType)
+    case neg: UnaryMinus if neg.child.resolved && isNumArray(neg.child.dataType) =>
+      val x = freshVar()
+      ArrayTransform(neg.child, LambdaFunction(UnaryMinus(x), Seq(x)))
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case e @ (_: BinaryArithmetic | _: UnaryMinus) => rewriteExpr(e)
+      }
+    }
+}
+
+/** `__graft_flat(a)` — recursively flatten an N-dim array to 1-D
+  * (reference array functions iterate `calculateRecursive` over every
+  * dim — `DoubleArrayCumSumFunctionFactory.java:147-162`). Resolves to
+  * chained `Flatten`s once the child's depth is known.
+  */
+case class FlattenDeep(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    def flat(e: Expression, dt: DataType): Expression = dt match {
+      case ArrayType(inner @ ArrayType(_, _), _) => flat(Flatten(e), inner)
+      case _ => e
+    }
+    flat(child, child.dataType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FlattenDeep =
+    copy(child = newChild)
+}

@@ -174,6 +174,14 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectResolutionRule(_ => ArrayBroadcastRule)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_flat"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FlattenDeep].getName, "__graft_flat"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FlattenDeep(children.head)))
+  }
 }

@@ -675,7 +675,11 @@ object DialectRewrites {
             s"slice($acc, $lo, greatest((CASE WHEN ($h) < 0 THEN size($acc) + ($h) + 1 ELSE ($h) END) - ($lo), 0))"
           case None => s"slice($acc, $lo, greatest(size($acc) - ($lo) + 1, 0))"
         }
-      } else s"try_element_at($acc, $ix)" // reference: out-of-bounds → null
+      } else if (ix.matches("-?\\d+"))
+        s"try_element_at($acc, $ix)" // reference: out-of-bounds → null
+      else // computed index: element_at needs INT, not the BIGINT a
+           // `::long` cast or arithmetic produces
+        s"try_element_at($acc, CAST(($ix) AS INT))"
     }
 
   /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */

@@ -46,6 +46,10 @@ object QuestSql {
   def registerDesignatedTs(table: String, tsColumn: String): Unit =
     tsRegistry.put(table.split('.').last.toLowerCase, tsColumn)
 
+  /** The registered designated timestamp, if any. */
+  def designatedTsOf(table: String): Option[String] =
+    Option(tsRegistry.get(table.split('.').last.toLowerCase))
+
   /** Drop designated-ts registrations except `keep` (session-reset for
     * harnesses that tear tables down between cases). */
   def retainDesignatedTs(keep: Set[String]): Unit = {
@@ -638,6 +642,13 @@ object QuestSql {
     }
   }
 
+  // ALTER MATERIALIZED/LIVE VIEW ... SUSPEND/RESUME WAL — same WAL
+  // bookkeeping as tables (reference routes all three through the
+  // sequencer)
+  private val AlterViewWalRe =
+    ("""(?is)^ALTER\s+(?:MATERIALIZED\s+VIEW|LIVE\s+VIEW|TABLE)\s+((?:`[^`]+`|[\w.])+)\s+""" +
+      """(SUSPEND\s+WAL(?:\s+WITH\s+(?:'[^']*'|\d+)\s*(?:,\s*'[^']*')?)?|RESUME\s+WAL(?:\s+FROM\s+(?:TXN|TRANSACTION)\s+\d+)?)\s*$""").r
+
   private val AlterMatViewRe =
     ("""(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+((?:`[^`]+`|[\w.])+)\s+""" +
       """(?:SET\s+)?(?:REFRESH\s+(\w+).*|.*)$""").r
@@ -688,6 +699,32 @@ object QuestSql {
   private val AlterDropPartRe =
     """(?is)^(DROP|DETACH)\s+PARTITION\s+(?:LIST\s+(.+)|WHERE\s+(.+))$""".r
 
+  // SUSPEND WAL [WITH errno|'TAG'[, 'message']] / RESUME WAL [FROM TXN n]
+  // (reference AlterTableSuspendResumeWal) — recorded for wal_tables()
+  private val SuspendWalRe =
+    """(?is)^SUSPEND\s+WAL(?:\s+WITH\s+('[^']*'|\d+)\s*(?:,\s*('[^']*'))?)?\s*$""".r
+  private val ResumeWalRe =
+    """(?is)^RESUME\s+WAL(?:\s+FROM\s+(?:TXN|TRANSACTION)\s+\d+)?\s*$""".r
+  private def unquote1(s: String): String =
+    if (s.startsWith("'")) s.substring(1, s.length - 1) else s
+
+  // ALTER TABLE SET FORMAT / CONVERT PARTITION — parquet-format
+  // bookkeeping for table_partitions() (reference TableFormatTest,
+  // ParquetWriteTest)
+  private val SetFormatRe = """(?is)^SET\s+FORMAT\s+(\w+)\s*$""".r
+  private val ConvertPartRe =
+    ("""(?is)^CONVERT\s+PARTITION\s+TO\s+(PARQUET|NATIVE)\s+""" +
+      """(?:LIST\s+(.+?)|WHERE\s+(.+?))(?:\s+WITH\s*\(.*\))?;?\s*$""").r
+  private def parseTsLit(s: String): Long = {
+    val norm = s.replace('T', ' ')
+    val full =
+      if (norm.matches("\\d{4}-\\d{2}-\\d{2}")) norm + " 00:00:00"
+      else if (norm.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}")) norm + ":00"
+      else norm
+    try java.sql.Timestamp.valueOf(full).getTime
+    catch { case _: Exception => 0L }
+  }
+
   // plain CREATE TABLE with column definitions (reference
   // SqlParser.parseCreateTable: `CREATE TABLE t (sym SYMBOL CAPACITY 256
   // CACHE INDEX, ts TIMESTAMP, ...) TIMESTAMP(ts) PARTITION BY DAY WAL
@@ -700,7 +737,7 @@ object QuestSql {
   // then any mix of storage knobs (PARTITION BY / WAL / TTL / WITH /
   // DEDUP / IN VOLUME) that don't change view semantics here
   private val CreateTablePlainTailRe =
-    """(?is)^\s*(?:,\s*index\s*\([^)]*\)\s*)*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY|BYPASS|WAL|TTL|WITH|DEDUP|IN\s+VOLUME|OWNED|,\s*INDEX|$).*$""".r
+    """(?is)^\s*(?:,\s*index\s*\([^)]*\)\s*)*(?:TIMESTAMP\s*\(\s*(\w+)\s*\))?\s*(?:PARTITION\s+BY|BYPASS|WAL|TTL|WITH|DEDUP|FORMAT|IN\s+VOLUME|OWNED|,\s*INDEX|$).*$""".r
 
   /** Split `rest` (text after the opening paren of a column list) at its
     * balancing close paren: (inside, after). None if unbalanced.
@@ -921,6 +958,48 @@ object QuestSql {
       val t = spark.table(name)
       graft.Catalog.invalidateMetaViews(spark)
       action match {
+        case SuspendWalRe(tag, msg) =>
+          graft.Catalog.suspendWal(unq(name),
+            Option(tag).map(unquote1).getOrElse("NONE"),
+            Option(msg).map(unquote1).orNull)
+          Some(status(spark, "OK"))
+        case ResumeWalRe(_*) =>
+          graft.Catalog.resumeWal(unq(name)); Some(status(spark, "OK"))
+        case SetFormatRe(fmt) =>
+          graft.Catalog.setTableFormat(spark, unq(name),
+            fmt.equalsIgnoreCase("parquet"))
+          Some(status(spark, "OK"))
+        case ConvertPartRe(fmt, list, where) =>
+          val parquet = fmt.equalsIgnoreCase("parquet")
+          if (list != null) {
+            val names = splitSelect(list).map(_.trim.stripPrefix("'").stripSuffix("'"))
+            graft.Catalog.convertPartitions(spark, unq(name), parquet, names, None)
+          } else {
+            val w = where.trim
+            val all = """(?is)^[\w.]+\s*>=\s*0$""".r
+            val inOne = """(?is)^[\w.]+\s+in\s+'([^']+)'$""".r
+            val cmp = """(?is)^[\w.]+\s*(<=|<|>=|>)\s*'([^']+)'$""".r
+            w match {
+              case all() =>
+                graft.Catalog.convertPartitions(spark, unq(name), parquet,
+                  Nil, Some(_ => true))
+              case inOne(p) =>
+                graft.Catalog.convertPartitions(spark, unq(name), parquet, Seq(p), None)
+              case cmp(op, tsLit) =>
+                val bound = parseTsLit(tsLit)
+                graft.Catalog.convertPartitions(spark, unq(name), parquet, Nil,
+                  Some(start => op match {
+                    case "<" => start.getTime < bound
+                    case "<=" => start.getTime <= bound
+                    case ">" => start.getTime > bound
+                    case _ => start.getTime >= bound
+                  }))
+              case _ =>
+                graft.Catalog.convertPartitions(spark, unq(name), parquet,
+                  Nil, Some(_ => true))
+            }
+          }
+          Some(status(spark, "OK"))
         case AlterAckRe(_*) => Some(status(spark, "OK"))
         case AlterDropPartRe(_, list, whereCond) =>
           // session-view tables: partition drop = remove the rows whose
@@ -1037,6 +1116,15 @@ object QuestSql {
         Some(qe.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           .split("\n").toSeq.toDF("PLAN"))
+    case AlterViewWalRe(name, walAction) =>
+      walAction.trim match {
+        case SuspendWalRe(tag, msg) =>
+          graft.Catalog.suspendWal(unq(name).split('.').last,
+            Option(tag).map(unquote1).getOrElse("NONE"),
+            Option(msg).map(unquote1).orNull)
+        case _ => graft.Catalog.resumeWal(unq(name).split('.').last)
+      }
+      Some(status(spark, "OK"))
     case AlterMatViewRe(name, kind) =>
       val key = unq(name).split('.').last.toLowerCase
       Option(matViewDefs.get(key)).foreach { d =>
@@ -1083,6 +1171,8 @@ object QuestSql {
           ttlM.map(m2 => s" TTL ${m2.group(1)} ${m2.group(2).toUpperCase}").getOrElse("") +
           (if (partM.isDefined) s" $walSp" else "")
         graft.Catalog.registerCreateTail(unq(name), tailStr)
+        graft.Catalog.setCreateFormat(unq(name),
+          """(?is)\bFORMAT\s+PARQUET\b""".r.findFirstIn(tail).isDefined)
         val maxUnc = """(?is)maxUncommittedRows\s*=\s*(\d+)""".r
           .findFirstMatchIn(tail).map(_.group(1).toLong)
         graft.Catalog.registerCreateMeta(unq(name), graft.Catalog.CreateMeta(
@@ -1111,8 +1201,19 @@ object QuestSql {
           col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-      val n = incoming.count()
+      // single pass: row count plus the batch's designated-ts bounds
+      // (feeds wal_transactions()'s per-commit min/max)
+      val tsCol = designatedTsOf(name)
+        .filter(c => incoming.columns.exists(_.equalsIgnoreCase(c)))
+      val (n, mnTs, mxTs) = tsCol match {
+        case Some(c) =>
+          val r = incoming.agg(count(lit(1)),
+            min(col(c).cast("timestamp")), max(col(c).cast("timestamp"))).collect()(0)
+          (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getAs[java.sql.Timestamp](2))
+        case None => (incoming.count(), null, null)
+      }
       target.unionByName(incoming).createOrReplaceTempView(name)
+      graft.Catalog.bumpWalTxn(name, mnTs, mxTs, n)
       import spark.implicits._
       Some(Seq(n).toDF("rows_inserted"))
     case DropRe(name) =>
@@ -1579,11 +1680,16 @@ object QuestSql {
     // glob(value, 'pattern') — * and ? wildcards (reference
     // regex/GlobStrFunctionFactory): constant pattern translated to LIKE
     // with %/_ in the pattern escaped, so it stays a codegen'd LIKE
-    q = expandCalls(q, "glob") { case Seq(v, pat) =>
-      val raw = stripQuotes(pat)
-      val esc = raw.replace("\\", "\\\\").replace("%", "\\\\%").replace("_", "\\\\_")
-        .replace("*", "%").replace("?", "_").replace("'", "''")
-      s"($v LIKE '$esc')" }
+    q = expandCalls(q, "glob") {
+      case Seq(v, pat) =>
+        val raw = stripQuotes(pat)
+        val esc = raw.replace("\\", "\\\\").replace("%", "\\\\%").replace("_", "\\\\_")
+          .replace("*", "%").replace("?", "_").replace("'", "''")
+        s"($v LIKE '$esc')"
+      // 1-arg form is the filesystem table function — leave for
+      // rewriteTableFns (catalogue/GlobFilesFunctionFactory)
+      case Seq(p) => s"glob($p)"
+    }
     // timestamp_shuffle(lo, hi) — uniform random timestamp in [lo, hi)
     // (reference date/TimestampShuffleFunctionFactory); row-level rand()
     q = expandCalls(q, "timestamp_shuffle") { case Seq(lo, hi) =>
@@ -1780,18 +1886,29 @@ object QuestSql {
     // DotProduct). NaN elements are skipped by sum/avg/count/stddev,
     // matching the reference's Numbers.isFinite guards. All expansions
     // are builtin higher-order functions — no UDFs.
-    def finite(a: String): String =
+    def finite(a0: String): String = {
+      val a = s"__graft_flat($a0)" // N-dim args iterate every dim, as in
+                                   // the reference's calculateRecursive
       s"filter($a, x -> x IS NOT NULL AND NOT isnan(CAST(x AS DOUBLE)))"
+    }
     q = expandCalls(q, "array_sum") { case Seq(a) =>
       s"aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" }
     q = expandCalls(q, "array_avg") { case Seq(a) =>
       s"(aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" +
         s" / NULLIF(size(${finite(a)}), 0))" }
     q = expandCalls(q, "array_count") { case Seq(a) => s"size(${finite(a)})" }
+    // running sum over every element in flattening order; null/NaN
+    // slots emit the running sum unchanged (null before the first
+    // finite value); all-null or empty input → null
     q = expandCalls(q, "array_cum_sum") { case Seq(a) =>
-      s"aggregate($a, named_struct('s', CAST(0 AS DOUBLE), 'o', CAST(array() AS ARRAY<DOUBLE>)), " +
-        s"(acc, x) -> named_struct('s', acc.s + CAST(x AS DOUBLE), " +
-        s"'o', concat(acc.o, array(acc.s + CAST(x AS DOUBLE)))), acc -> acc.o)" }
+      val f = s"__graft_flat($a)"
+      s"CASE WHEN size(${finite(a)}) = 0 THEN NULL ELSE " +
+        s"aggregate($f, named_struct('s', CAST(NULL AS DOUBLE), 'o', CAST(array() AS ARRAY<DOUBLE>)), " +
+        s"(acc, x) -> named_struct('s', " +
+        s"IF(x IS NULL OR isnan(CAST(x AS DOUBLE)), acc.s, coalesce(acc.s, 0D) + CAST(x AS DOUBLE)), " +
+        s"'o', concat(acc.o, array(" +
+        s"IF(x IS NULL OR isnan(CAST(x AS DOUBLE)), acc.s, coalesce(acc.s, 0D) + CAST(x AS DOUBLE))))), " +
+        s"acc -> acc.o) END" }
     q = expandCalls(q, "array_reverse") { case Seq(a) => s"reverse($a)" }
     q = expandCalls(q, "array_position") { case Seq(a, v) =>
       s"get(filter(transform($a, (x, i) -> IF(x = ($v), i + 1, CAST(NULL AS INT))), " +
@@ -1831,7 +1948,11 @@ object QuestSql {
         case "3" => s"size(get(get($a, 0), 0))"
         case other => throw new IllegalArgumentException(s"dim_length: constant dim 1-3 expected, got '$other'")
       } }
-    q = expandCalls(q, "dot_product") { case Seq(a, b) => s"vec_dot($a, $b)" }
+    q = expandCalls(q, "dot_product") { case Seq(a, b) =>
+      // N-dim args dot over the flattened views (reference iterates all
+      // dims); __graft_flat is identity on 1-D
+      s"vec_dot(CAST(__graft_flat($a) AS ARRAY<DOUBLE>), " +
+        s"CAST(__graft_flat($b) AS ARRAY<DOUBLE>))" }
     // uuid / long128 construction from long halves (reference
     // uuid/LongsToUuidFunctionFactory — new UUID(hi, lo) string form)
     def hex16(x: String): String = s"lower(lpad(hex(CAST(($x) AS BIGINT)), 16, '0'))"
@@ -2290,6 +2411,8 @@ object QuestSql {
     """(?i)\b(table_columns|table_partitions|files|wal_transactions)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadParquetRe =
     """(?i)\b(read_parquet|parquet_scan)\s*\(\s*'([^']+)'\s*\)""".r
+  private val GlobFnRe =
+    """(?i)\bglob\s*\(\s*'([^']*)'\s*\)""".r
   private val GenSeriesRe =
     """(?i)\bFROM\s+generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
 
@@ -2424,7 +2547,15 @@ object QuestSql {
       spark.read.parquet(path).createOrReplaceTempView(view)
       view
     })
-    TableArgFnRe.replaceAllIn(step2b, m => {
+    // glob('pattern') — filesystem listing with glob match
+    // (catalogue/GlobFilesFunctionFactory)
+    val step2c = GlobFnRe.replaceAllIn(step2b, m => {
+      val pat = m.group(1)
+      val view = s"__graft_glob_${Integer.toHexString(pat.hashCode).replace("-", "m")}"
+      graft.Catalog.glob(spark, pat).createOrReplaceTempView(view)
+      view
+    })
+    TableArgFnRe.replaceAllIn(step2c, m => {
       import spark.implicits._
       val fn = m.group(1).toLowerCase
       val t = m.group(2)
@@ -2434,11 +2565,7 @@ object QuestSql {
         case "table_partitions" => graft.Tables.registeredPath(t) match {
           case Some(p) if new java.io.File(p).isDirectory =>
             graft.Catalog.tablePartitions(spark, p)
-          case Some(p) =>
-            Seq(("all", 1L, new java.io.File(p).length()))
-              .toDF("partition", "num_files", "bytes")
-          case None =>
-            Seq.empty[(String, Long, Long)].toDF("partition", "num_files", "bytes")
+          case _ => graft.Catalog.tablePartitionsFull(spark, t)
         }
         case "wal_transactions" =>
           // arg is a table name (reference WalTransactionsFunctionFactory
@@ -2472,10 +2599,7 @@ object QuestSql {
         Some(path match {
           case Some(p) if new java.io.File(p).isDirectory =>
             graft.Catalog.tablePartitions(spark, p)
-          case Some(p) =>
-            val f = new java.io.File(p)
-            Seq(("all", 1L, f.length())).toDF("partition", "num_files", "bytes")
-          case None => Seq.empty[(String, Long, Long)].toDF("partition", "num_files", "bytes")
+          case _ => graft.Catalog.tablePartitionsFull(spark, t.split('.').last)
         })
       case _ => norm.toUpperCase match {
         case "SHOW TABLES" =>

@@ -32,9 +32,12 @@ class CatalogSpec extends SparkSpec {
     assert(ddl.contains("timestamp(ts) PARTITION BY DAY"))
   }
 
-  test("SHOW PARTITIONS reports storage of a registered table") {
+  test("SHOW PARTITIONS reports the reference 18-column day partitions") {
     val rows = engine.sql("SHOW PARTITIONS FROM events").collect()
-    assert(rows.length == 1 && rows.head.getAs[Long]("bytes") > 0)
+    assert(rows.length > 1) // events spans many days
+    assert(rows.head.schema.fieldNames.toSeq.take(3) == Seq("index", "partitionBy", "name"))
+    assert(rows.forall(_.getAs[Long]("numRows") > 0))
+    assert(rows.forall(!_.getAs[Boolean]("isParquet"))) // never converted
   }
 
   test("PG-compat one-row SHOW parameters") {
@@ -66,7 +69,7 @@ class CatalogSpec extends SparkSpec {
       "SELECT `column`, designated FROM table_columns('events') WHERE designated")
       .collect()
     assert(cols.length == 1 && cols.head.getString(0) == "ts")
-    assert(engine.sql("SELECT * FROM table_partitions('events')").count() == 1)
+    assert(engine.sql("SELECT * FROM table_partitions('events')").count() > 1)
     assert(engine.sql("SELECT * FROM keywords() WHERE keyword = 'asof'").count() == 1)
     assert(engine.sql("SELECT * FROM functions() WHERE name = 'ksum'").count() == 1)
     val storage = engine.sql(

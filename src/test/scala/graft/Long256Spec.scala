@@ -20,11 +20,12 @@ class Long256Spec extends SparkSpec {
     assert(out(0).getDouble(1) == 32.0 && out(0).getDouble(1) == out(0).getDouble(2))
     assert(out(1).getDouble(1) == -2.0 && out(1).getDouble(1) == out(1).getDouble(2))
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
-    // double arrays and null elements
+    // double arrays: null pairs are skipped, not poisoned (reference
+    // Numbers.isFinite guard in the dot-product loop)
     val d2 = Seq((1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
       .toDF("id", "a", "b")
       .selectExpr("vec_dot(a, b) AS d").head()
-    assert(d2.isNullAt(0))
+    assert(d2.getDouble(0) == 1.0)
   }
 
   private def add(a: String, b: String): String = {
