@@ -70,6 +70,47 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Timestamp ± integer arithmetic (reference semantics: a TIMESTAMP is
+  * an epoch-micros long, so `ts - 80000` subtracts 80 ms and
+  * `ts1 - ts2` is a micros delta). Spark rejects both; this rule
+  * lowers them to unix_micros/timestamp_micros round-trips at
+  * resolution time.
+  */
+object TimestampArithRule extends Rule[LogicalPlan] {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isTs(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+  private def micros(e: Expression): Expression = UnixMicros(Cast(e, TimestampType))
+  private def fromMicros(e: Expression): Expression = MicrosToTimestamp(e)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        // ResolveBinaryArithmetic has already lowered `ts ± x` to the
+        // datetime-specific forms by the time this rule runs — match
+        // those, not Add/Subtract
+        case SubtractTimestamps(l, r, _, _) if l.resolved && r.resolved &&
+            isTs(l.dataType) && isIntegral(r.dataType) =>
+          fromMicros(Subtract(micros(l), Cast(r, LongType)))
+        case a @ Add(l, r, _) if l.resolved && r.resolved &&
+            isTs(l.dataType) && isIntegral(r.dataType) =>
+          fromMicros(Add(micros(l), Cast(r, LongType)))
+        case a @ Add(l, r, _) if l.resolved && r.resolved &&
+            isIntegral(l.dataType) && isTs(r.dataType) =>
+          fromMicros(Add(Cast(l, LongType), micros(r)))
+        case s @ Subtract(l, r, _) if l.resolved && r.resolved &&
+            isTs(l.dataType) && isIntegral(r.dataType) =>
+          fromMicros(Subtract(micros(l), Cast(r, LongType)))
+      }
+    }
+}
+
 /** `__graft_flat(a)` — recursively flatten an N-dim array to 1-D
   * (reference array functions iterate `calculateRecursive` over every
   * dim — `DoubleArrayCumSumFunctionFactory.java:147-162`). Resolves to

@@ -177,6 +177,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectResolutionRule(_ => ArrayBroadcastRule)
+    e.injectResolutionRule(_ => TimestampArithRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_flat"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -233,8 +233,19 @@ object AutoAlias {
         e.substring(1, e.length - 1).trim.toLowerCase.startsWith("select"))
       return "column"
     e = unwrapParens(e)
+    // IGNORE NULLS joins the default name (reference SqlParser:
+    // `first_value(x) ignore nulls` → first_value_ignore_nulls)
+    val ignoreNulls = """(?i)\bignore\s+nulls\b""".r.findFirstIn(e).isDefined
     // strip window / nulls-mode postfixes
     e = stripPostfix(e)
+    if (ignoreNulls) {
+      val fnHead = """(?s)^([A-Za-z_][\w$]*)\s*\(.*\)""".r
+      stripPostfix(e) match {
+        case s if fnHead.findPrefixMatchOf(s).isDefined =>
+          return fnHead.findPrefixMatchOf(s).get.group(1) + "_ignore_nulls"
+        case _ =>
+      }
+    }
     // mask generic type args (ARRAY<double>) so '<'/'>' don't read as ops
     e = e.replaceAll("(?i)\\bARRAY\\s*<[^<>]*(?:<[^<>]*>)?[^<>]*>", "ARRAYT")
     val lower = e.toLowerCase

@@ -321,6 +321,16 @@ object QuestSql {
         // (MISSING_AGGREGATION) stays an error, like the reference.
         try run(rewritten)
         catch {
+          // a correlated LATERAL subquery raises MISSING_GROUP_BY as a
+          // plain AnalysisException (no plan attached) — fix the lateral
+          // bodies textually and retry
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "MISSING_GROUP_BY" &&
+                !e.isInstanceOf[org.apache.spark.sql.catalyst.ExtendedAnalysisException] &&
+                fixLateralGroupBy(rewritten).isDefined =>
+            if (System.getenv("GRAFT_DEBUG") != null)
+              System.err.println(s"[graft-dbg] lateral fix: ${fixLateralGroupBy(rewritten).get}")
+            run(fixLateralGroupBy(rewritten).get)
           case e: org.apache.spark.sql.catalyst.ExtendedAnalysisException
               if e.getCondition == "MISSING_GROUP_BY" =>
             import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
@@ -331,7 +341,10 @@ object QuestSql {
             // implicit grouping can hide in a subquery — fix every mixed
             // zero-key Aggregate in the failed plan, then re-analyze
             def fixPlan(): DataFrame = {
-              val fixed = e.plan.getOrElse(throw e).transformUp {
+              // transformUpWithSubqueries: the mixed Aggregate can live
+              // inside a lateral/scalar subquery expression, which plain
+              // transformUp never visits
+              val fixed = e.plan.getOrElse(throw e).transformUpWithSubqueries {
                 case a: Aggregate if a.groupingExpressions.isEmpty && {
                   val k = bareKeys(a)
                   k.nonEmpty && k.size < a.aggregateExpressions.size
@@ -342,6 +355,16 @@ object QuestSql {
               }
               org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed)
             }
+            // the mixed Aggregate may sit inside a lateral subquery —
+            // the textual lateral fix keeps correlation intact, so try
+            // it before plan surgery
+            def lateralOr(fallback: => DataFrame): DataFrame =
+              fixLateralGroupBy(rewritten) match {
+                case Some(fixedQ) =>
+                  try run(fixedQ)
+                  catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+                case None => fallback
+              }
             if (topLevelIndexOf(rewritten, Seq("group by")) < 0) {
               val keys = e.plan.toSeq.flatMap(_.collectFirst {
                 case a: Aggregate =>
@@ -351,12 +374,74 @@ object QuestSql {
                     case other => other.sql
                   }
               }.getOrElse(Seq.empty))
-              if (keys.isEmpty) throw e
-              try run(insertGroupBy(rewritten, keys))
-              catch { case _: org.apache.spark.sql.AnalysisException => fixPlan() }
-            } else fixPlan()
+              if (keys.isEmpty) lateralOr(fixPlan())
+              else
+                try run(insertGroupBy(rewritten, keys))
+                catch { case _: org.apache.spark.sql.AnalysisException => lateralOr(fixPlan()) }
+            } else lateralOr(fixPlan())
         }
       }
+  }
+
+  /** Implicit GROUP BY inside `LATERAL (SELECT bare, agg(...) ...)`
+    * bodies (reference auto-grouping applies in subqueries too;
+    * LateralJoinTest). Returns the query with `GROUP BY <bare items>`
+    * appended to each mixed lateral body, or None if nothing to fix. */
+  private def fixLateralGroupBy(q: String): Option[String] = {
+    val kw = java.util.regex.Pattern.compile("(?i)\\bLATERAL\\s*\\(")
+    val m = kw.matcher(q)
+    var out = q
+    var changed = false
+    var searchAt = 0
+    while (m.find(searchAt)) {
+      val open = out.indexOf('(', m.start())
+      var depth = 1; var i = open + 1
+      while (i < out.length && depth > 0) {
+        out.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' => var j = i + 1; while (j < out.length && out.charAt(j) != '\'') j += 1; i = j
+          case _ =>
+        }
+        i += 1
+      }
+      val close = i - 1
+      val body = out.substring(open + 1, close)
+      fixOneLateralBody(body) match {
+        case Some(fixedBody) =>
+          out = out.substring(0, open + 1) + fixedBody + out.substring(close)
+          changed = true
+          searchAt = open + 1 + fixedBody.length
+        case None => searchAt = close
+      }
+      m.reset(out)
+    }
+    if (changed) Some(out) else None
+  }
+
+  private def fixOneLateralBody(body0: String): Option[String] = {
+    // recurse first: an inner LATERAL body may itself need the fix
+    val body = fixLateralGroupBy(body0).getOrElse(body0)
+    val selM = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s""".r.findFirstMatchIn(body)
+      .getOrElse(return if (body != body0) Some(body) else None)
+    if (topLevelIndexOf(body, Seq("group by")) >= 0)
+      return if (body != body0) Some(body) else None
+    val items = splitSelect(selM.group(1)).map(_.trim)
+    val bare = items.filter(_.matches("(?is)[\\w.]+(\\s+(AS\\s+)?\\w+)?"))
+      .map(_.split("\\s+")(0))
+    val hasAgg = items.exists(it =>
+      """(?i)\b(count|sum|avg|min|max|first|last|stddev|variance|ksum|nsum)\s*\(""".r
+        .findFirstIn(it).isDefined)
+    if (bare.isEmpty || !hasAgg || bare.size == items.size)
+      return if (body != body0) Some(body) else None
+    // insert before a trailing ORDER BY / LIMIT if present
+    val tailAt = Seq("order by", "limit")
+      .map(k => topLevelIndexOf(body, Seq(k))).filter(_ >= 0).sorted.headOption
+    val fixed = tailAt match {
+      case Some(p) => body.substring(0, p) + s" GROUP BY ${bare.mkString(", ")} " + body.substring(p)
+      case None => body + s" GROUP BY ${bare.mkString(", ")}"
+    }
+    Some(fixed)
   }
 
   /** A window query with no ORDER BY returns rows in table order in the

@@ -75,7 +75,8 @@ class CatalogSpec extends SparkSpec {
     val storage = engine.sql(
       "SELECT row_count FROM table_storage() WHERE table_name = 'events'").head().getLong(0)
     assert(storage == Tables.events(spark, sfDir).count())
-    assert(engine.sql("SELECT * FROM wal_tables()").count() == Tables.names.size)
+    val walNames = engine.sql("SELECT name FROM wal_tables()").collect().map(_.getString(0))
+    assert(Tables.names.forall(walNames.contains)) // DDL'd WAL tables may add rows
   }
 
   test("generate_series table function") {
