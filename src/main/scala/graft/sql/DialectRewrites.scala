@@ -36,6 +36,10 @@ object DialectRewrites {
     q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
+    // quoted-literal ::date / ::timestamp operands sit inside string
+    // literals, which mapOutside never shows tsColonCasts — handle the
+    // literal forms on the full text first
+    q = q.replaceAll("(?i)('(?:[^']|'')*')\\s*::\\s*date\\b", "CAST($1 AS DATE)")
     q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
     q = namedWindows(q)
@@ -771,9 +775,15 @@ object DialectRewrites {
     val s1 = s.replaceAll(
       "(?i)([\\w.]+|'[^']*'|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp_ns\\b",
       "__ns_cast($1)")
-    s1.replaceAll(
+    val s2 = s1.replaceAll(
       "(?i)([\\w.]+|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp\\b(?!_ns)",
       "__ts_us_cast($1)")
+    // DATE is a millisecond datetime in the reference — Spark's native
+    // `::date` cast would truncate to days; route through the dialect
+    // CAST pass (dateMsCast)
+    s2.replaceAll(
+      "(?i)([\\w.]+|'[^']*'|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*date\\b",
+      "CAST($1 AS DATE)")
   }
 
   /** `::timestamp with time zone` → `::timestamp`;

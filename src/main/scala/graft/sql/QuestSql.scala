@@ -897,7 +897,9 @@ object QuestSql {
     case "BOOLEAN" => "boolean"
     case "STRING" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "LONG128" | "IPV4" | "GEOHASH" => "string"
     case "TIMESTAMP" | "TIMESTAMP_NS" => "timestamp"
-    case "DATE" => "date"
+    // reference DATE is a millisecond datetime; TIMESTAMP_NTZ carries it
+    // so time-of-day survives and RefText prints the millis pattern
+    case "DATE" => "timestamp_ntz"
     case "BINARY" => "binary"
     case other => other.toLowerCase
   }
@@ -1281,10 +1283,24 @@ object QuestSql {
       require(incoming0.columns.length == listed.length,
         s"INSERT column count ${incoming0.columns.length} != ${listed.length}")
       val renamed = incoming0.toDF(listed: _*)
+      val srcType = renamed.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
       val incoming = renamed.select(target.schema.fields.map { f =>
-        if (listed.exists(_.equalsIgnoreCase(f.name)))
-          col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        if (listed.exists(_.equalsIgnoreCase(f.name))) {
+          val c = col(f.name)
+          import org.apache.spark.sql.types._
+          def integral(t: DataType) =
+            t == ByteType || t == ShortType || t == IntegerType || t == LongType
+          (f.dataType, srcType.get(f.name.toLowerCase)) match {
+            // integer into TIMESTAMP is epoch-micros in the reference,
+            // not epoch-seconds (WindowFunctionTest `insert values (1, …)`)
+            case (TimestampType, Some(t)) if integral(t) =>
+              timestamp_micros(c.cast("long")).as(f.name)
+            // integer into DATE (NTZ carrier) is epoch-millis
+            case (TimestampNTZType, Some(t)) if integral(t) =>
+              timestamp_millis(c.cast("long")).cast(TimestampNTZType).as(f.name)
+            case _ => c.cast(f.dataType).as(f.name)
+          }
+        } else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
       // single pass: row count plus the batch's designated-ts bounds
       // (feeds wal_transactions()'s per-commit min/max)
@@ -1295,7 +1311,8 @@ object QuestSql {
           val r = incoming.agg(count(lit(1)),
             min(col(c).cast("timestamp")), max(col(c).cast("timestamp"))).collect()(0)
           (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getAs[java.sql.Timestamp](2))
-        case None => (incoming.count(), null, null)
+        case None =>
+          (incoming.count(), null: java.sql.Timestamp, null: java.sql.Timestamp)
       }
       target.unionByName(incoming).createOrReplaceTempView(name)
       graft.Catalog.bumpWalTxn(name, mnTs, mxTs, n)
@@ -1418,6 +1435,23 @@ object QuestSql {
     else
       s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint', 'float', 'double')" +
         s" THEN timestamp_micros(__QCAST__($x AS BIGINT)) ELSE __QCAST__(($x) AS TIMESTAMP) END)"
+  }
+
+  /** Reference DATE cast: a millisecond datetime (TIMESTAMP_NTZ carrier
+    * here so DATE-typed results keep time-of-day and print with the
+    * reference's millisecond UTC_PATTERN — see RefText). Numerics are
+    * epoch millis; everything else parses as a timestamp truncated to
+    * millis. */
+  private def dateMsCast(x0: String): String = {
+    val x = x0.trim
+    def trunc(ts: String): String =
+      s"__QCAST__(timestamp_millis(CAST(unix_micros($ts) div 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"
+    if (x.matches("-?\\d+[Ll]?"))
+      s"__QCAST__(timestamp_millis(CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT)) AS TIMESTAMP_NTZ)"
+    else
+      s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+        s" THEN __QCAST__(timestamp_millis(__QCAST__($x AS BIGINT)) AS TIMESTAMP_NTZ)" +
+        s" ELSE ${trunc(s"__QCAST__(($x) AS TIMESTAMP)")} END)"
   }
 
   /** timestamp_floor(stride, ts[, origin[, offset, tz]]) — floor to the
@@ -1658,12 +1692,14 @@ object QuestSql {
       val mn = """(?is)^(.*\S)\s+AS\s+TIMESTAMP_NS\s*$""".r.findFirstMatchIn(inner)
       val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)c\s*\)\s*$""".r.findFirstMatchIn(inner)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
-      (m, mn, g, l256) match {
-        case (Some(t), _, _, _) => tsUsCast(t.group(1))
-        case (_, Some(t), _, _) => nsCast(t.group(1))
-        case (_, _, Some(gh), _) => geoCast(gh.group(1), gh.group(2).toInt)
-        case (_, _, _, Some(t)) => // canonical 0x + 64-hex LONG256 carrier
+      val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
+      (m, mn, g, l256, dt) match {
+        case (Some(t), _, _, _, _) => tsUsCast(t.group(1))
+        case (_, Some(t), _, _, _) => nsCast(t.group(1))
+        case (_, _, Some(gh), _, _) => geoCast(gh.group(1), gh.group(2).toInt)
+        case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
           s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
+        case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
         case _ => s"cast($inner)"
       }
     }

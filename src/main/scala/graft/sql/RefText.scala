@@ -53,7 +53,9 @@ object RefText {
       case TimestampType =>
         sb.append(formatMicros(microsOf(v)))
       case TimestampNTZType =>
-        sb.append(formatMicros(microsOf(v)))
+        // NTZ is the DATE carrier (reference DATE = millisecond
+        // datetime, UTC_PATTERN); plain TIMESTAMP stays LTZ
+        sb.append(formatMillis(Math.floorDiv(microsOf(v), 1000L)))
       case DateType =>
         // reference DATE is a millisecond datetime (UTC_PATTERN)
         val days = v match {
