@@ -2916,10 +2916,24 @@ object QuestSql {
     */
   private def resolveRel(spark: SparkSession, ref: String): (DataFrame, String) = {
     val r = ref.trim
-    if (r.startsWith("("))
-      (sqlBound(spark, r.stripPrefix("(").stripSuffix(")"), Map.empty), "")
-    else (spark.table(r), r)
+    val (df, name) =
+      if (r.startsWith("("))
+        (sqlBound(spark, r.stripPrefix("(").stripSuffix(")"), Map.empty), "")
+      else (spark.table(r), r)
+    (nsKeyToMicros(df, tsOfRel(name, df)), name)
   }
+
+  /** A TIMESTAMP_NS designated key rides as a BIGINT nanos column
+    * (timestamp_sequence_ns & friends); the time-series op forms need a
+    * real timestamp — convert ns→µs on entry so SAMPLE BY / ASOF /
+    * LATEST ON treat ns tables like µs ones (reference TimestampDriver
+    * dispatches per-unit the same way). */
+  private def nsKeyToMicros(df: DataFrame, ts: String): DataFrame =
+    df.schema.fields.find(_.name.equalsIgnoreCase(ts)) match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn(f.name, timestamp_micros(col(f.name) / lit(1000L) cast "long"))
+      case _ => df
+    }
 
   private[sql] def strideOf(n: String, unit: String): String = unit match {
     case "U" => s"$n microseconds"
@@ -2998,17 +3012,65 @@ object QuestSql {
   // ---- SAMPLE BY (no FILL/FROM-TO/ALIGN: pure SQL rewrite) ------------------
 
   private val SampleByRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdwMy])\s*(?:ALIGN\s+TO\s+CALENDAR)?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+|\((?:[^()]|\([^()]*\)|\([^()]*\([^()]*\)[^()]*\))*\))(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdwMy])\s*(?:ALIGN\s+TO\s+CALENDAR)?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
 
-  private def rewriteSampleBy(q: String): String = q match {
+  /** Scan-based spelling of the SampleByRe pieces for FROM-subqueries
+    * whose nesting defeats the regex: SELECT <sel> FROM <balanced rel>
+    * [alias] [WHERE ...] SAMPLE BY n unit [ALIGN TO CALENDAR] [tail]. */
+  private def sampleByPieces(q: String): Option[(String, String, String, String, String, String)] = {
+    val m = """(?is)^SELECT\s+""".r.findFirstMatchIn(q).getOrElse(return None)
+    val fromAt = topLevelIndexOf(q, Seq("from"))
+    if (fromAt < 0) return None
+    val sel = q.substring(m.end, fromAt).trim
+    var i = fromAt + 4
+    while (i < q.length && q.charAt(i).isWhitespace) i += 1
+    if (i >= q.length || q.charAt(i) != '(') return None
+    var depth = 0; var j = i
+    while (j < q.length && (depth > 0 || j == i)) {
+      q.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '\'' => var k2 = j + 1; while (k2 < q.length && q.charAt(k2) != '\'') k2 += 1; j = k2
+        case _ =>
+      }
+      j += 1
+    }
+    val rel = q.substring(i, j)
+    var rest = q.substring(j).trim
+    // optional alias
+    val aliasM = """(?is)^(?!WHERE\b|SAMPLE\b)([A-Za-z_]\w*)\s+""".r.findFirstMatchIn(rest)
+    aliasM.foreach(am => rest = rest.substring(am.end - 1).trim)
+    val sb = """(?is)^(?:WHERE\s+(.*?)\s+)?SAMPLE\s+BY\s+(\d+)([UTsmhdwMy])\s*(?:ALIGN\s+TO\s+CALENDAR)?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+    rest match {
+      case sb(where, n, unit, tail) => Some((sel, rel, where, n, unit, tail))
+      case _ => None
+    }
+  }
+
+  private def rewriteSampleBy(q0: String): String = (q0 match {
     case SampleByRe(sel, table, where, n, unit, tail) =>
+      Some((sel, table, where, n, unit, tail))
+    case other => sampleByPieces(other)
+  }) match {
+    case Some((sel, table, where, n, unit, tail)) =>
       val items = splitSelect(sel)
       // bare identifiers = group keys; the designated ts item becomes the bucket
       val isBare = (s: String) => s.matches("""[\w.]+""")
-      val tsName = Option(tsRegistry.get(table.split('.').last.toLowerCase)).getOrElse("ts")
+      val tsName =
+        if (table.startsWith("(")) {
+          // derived table: the designation tail was already stripped —
+          // recover the key from the select list's conventional names
+          val conv = Set("ts", "k", "timestamp", "time")
+          items.map(_.trim).find(i => isBare(i) && conv(i.split('.').last.toLowerCase))
+            .map(_.split('.').last).getOrElse("ts")
+        } else Option(tsRegistry.get(table.split('.').last.toLowerCase)).getOrElse("ts")
       val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
       val keys = items.filter(i => isBare(i) && !tsItem.contains(i))
-      val tsExpr = tsItem.getOrElse(tsName)
+      val tsExpr0 = tsItem.getOrElse(tsName)
+      // a TIMESTAMP_NS key rides as BIGINT nanos — bucket on the µs view
+      // (runtime type dispatch; folds away in codegen for ts columns)
+      val tsExpr = s"IF(typeof($tsExpr0) IN ('bigint', 'int'), " +
+        s"timestamp_micros(CAST($tsExpr0 AS BIGINT) div 1000), CAST($tsExpr0 AS TIMESTAMP))"
       // calendar units (month/year) have no fixed duration → date_trunc;
       // everything else keeps the window() group (codegen'd bucketing)
       val (bucketOut, bucketGroup) = unit match {
@@ -3027,7 +3089,7 @@ object QuestSql {
       val groupKeys = (bucketGroup +: keys).mkString(", ")
       val tailSql = Option(tail).map(" " + _).getOrElse("")
       s"SELECT ${outItems.mkString(", ")} FROM $table$whereSql GROUP BY $groupKeys$tailSql"
-    case _ => q
+    case _ => q0
   }
 
   /** Apply the plain SAMPLE BY → GROUP BY lowering to parenthesized
@@ -3078,7 +3140,7 @@ object QuestSql {
       """(?:\s+FROM\s+'([^']+)')?(?:\s+TO\s+'([^']+)')?""" +
       """(?:\s+FILL\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)(?:\s+TIME\s+ZONE\s+'([^']+)')?(?:\s+WITH\s+OFFSET\s+'([^']+)')?)?""" +
-      """\s*(?:ORDER\s+BY\s+([\w.,\s]+?))?\s*$""").r
+      """\s*(?:ORDER\s+BY\s+([\w.,\s]+?))?(?:\s+LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?\s*$""").r
 
   private def parsePoint(lit: String): java.sql.Timestamp = {
     val (lo, _) = basePrecision(lit.trim)
@@ -3094,7 +3156,7 @@ object QuestSql {
 
   private def sampleByOpForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case SampleByFullRe(sel, rel, where, n, unit, fromLit, toLit, fillSpec,
-                        alignKind, tzLit, offsetLit, order)
+                        alignKind, tzLit, offsetLit, order, lim1, lim2)
         if fillSpec != null || fromLit != null || alignKind != null =>
       val (base0, relName) = resolveRel(spark, rel)
       val tsName = tsOfRel(relName, base0)
@@ -3201,7 +3263,15 @@ object QuestSql {
         case i => i match { case AggAs(_, name) => name; case e => e.replaceAll("\\W", "_") }
       }
       val projected = out.select(outNames.map(col): _*)
-      Some(Option(order).map(o => applyWhereTail(projected, null, o, null, null)).getOrElse(projected))
+      val ordered = Option(order).map(o => applyWhereTail(projected, null, o, null, null)).getOrElse(projected)
+      Some((Option(lim1).map(_.toLong), Option(lim2).map(_.toLong)) match {
+        case (Some(l), None) if l >= 0 => ordered.limit(l.toInt)
+        case (Some(lo), Some(hi)) if lo >= 0 && hi >= lo =>
+          ordered.offset(lo.toInt).limit((hi - lo).toInt)
+        case (Some(l), None) => // negative: the result's tail in bucket order
+          graft.ops.Limits.tail(ordered, (-l).toInt, Seq(col(tsOut)))
+        case _ => ordered
+      })
     case _ => None
   }
 
