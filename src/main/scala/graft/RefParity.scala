@@ -90,6 +90,12 @@ object RefParity {
       try { val df = engine.sql(ddl); if (!df.isEmpty) () }
       catch {
         case e: Throwable =>
+          val m = msg(e)
+          // a setup statement referencing a table no earlier statement
+          // created = the JUnit body built it dynamically and the
+          // extractor could not see it — same bucket as skip_missing
+          if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("Table or view not found"))
+            return ("skip_missing", s"ddl: ${ddl.take(200)} -> $m")
           return (if (c.tier == "run") "run_error" else "setup_error",
             s"ddl: ${ddl.take(200)} -> ${msg(e)}")
       }

@@ -272,9 +272,39 @@ object DialectRewrites {
     // correlated array unnest with an alias (reference griffin UNNEST):
     // LATERAL VIEW explode keeps outer columns in scope, and `u.col`
     // resolves against the view alias
+    // correlated multi-array zip with alias + column list:
+    // `, UNNEST(a, b) u(x, y)` — one struct row per zipped slot, the
+    // alias IS the struct so `u.x` resolves (reference griffin UNNEST)
+    val multi = java.util.regex.Pattern.compile(
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)\\s*" +
+        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(\\s*([^()]+)\\s*\\)" +
+        "(?!\\s*\\()(?!\\s+(?:WITH|COLUMNS)\\b)")
+    m = multi.matcher(s)
+    while (m.find()) {
+      val exprs = splitBalancedCommas(m.group(1)).map(_.trim)
+      val cols = m.group(3).split(",").map(_.trim).toSeq
+      if (exprs.length < 2 || exprs.length != cols.length) m.region(m.end(), s.length)
+      else {
+        val alias = m.group(2)
+        def bq(c: String) =
+          if (c.startsWith("\"") || c.startsWith("`")) "`" + c.substring(1, c.length - 1) + "`" else c
+        // zip_with pads the shorter side with nulls pairwise; 3+ arrays
+        // index over the longest
+        val body =
+          if (exprs.length == 2)
+            s"zip_with(${exprs(0)}, ${exprs(1)}, (__z0, __z1) -> " +
+              s"struct(__z0 AS ${bq(cols(0))}, __z1 AS ${bq(cols(1))}))"
+          else // 3+: zip indices over the longest array
+            s"transform(sequence(1, greatest(${exprs.map(e => s"size($e)").mkString(", ")})), __i -> " +
+              s"struct(${exprs.zip(cols).map { case (e, c) => s"try_element_at($e, CAST(__i AS INT)) AS ${bq(c)}" }.mkString(", ")}))"
+        val repl = s" LATERAL VIEW explode($body) ${alias}_lv AS $alias"
+        s = s.substring(0, m.start()) + repl + s.substring(m.end())
+        m = multi.matcher(s)
+      }
+    }
     val single = java.util.regex.Pattern.compile(
       "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)\\s*" +
-        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*(\"[^\"]+\"|[A-Za-z_]\\w*)\\s*\\))?" +
+        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*(\"[^\"]+\"|`[^`]+`|[A-Za-z_]\\w*)\\s*\\))?" +
         "(?!\\s*\\()(?!\\s+(?:WITH|COLUMNS)\\b)")
     m = single.matcher(s)
     while (m.find()) {
@@ -287,10 +317,31 @@ object DialectRewrites {
       else {
         val alias = m.group(2)
         val col0 = Option(m.group(3)).getOrElse(alias)
-        val col = if (col0.startsWith("\"")) "`" + col0.substring(1, col0.length - 1) + "`" else col0
+        val col = if (col0.startsWith("\"") || col0.startsWith("`"))
+          "`" + col0.substring(1, col0.length - 1) + "`" else col0
         val repl = s" LATERAL VIEW explode($expr) $alias AS $col"
         s = s.substring(0, m.start()) + repl + s.substring(m.end())
         m = single.matcher(s)
+      }
+    }
+    // aliasless correlated form: `FROM t, UNNEST(t.arr)` → PG default
+    // column name `value`
+    val bare = java.util.regex.Pattern.compile(
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)" +
+        "(?!\\s*\\()(?!\\s*(?:AS\\b|WITH\\b|COLUMNS\\b))")
+    m = bare.matcher(s)
+    while (m.find()) {
+      val expr = m.group(1)
+      // only when the single form above left it untouched (no alias
+      // follows — next word is a clause keyword or end)
+      val after = s.substring(m.end()).trim.takeWhile(c => c.isLetter).toLowerCase
+      val clause = Set("", "where", "order", "group", "limit", "union",
+        "intersect", "except", "having", "sample", "latest", "window")
+      if (splitBalancedCommas(expr).length != 1 || !clause(after)) m.region(m.end(), s.length)
+      else {
+        val repl = s" LATERAL VIEW explode($expr) __unnest AS value"
+        s = s.substring(0, m.start()) + repl + s.substring(m.end())
+        m = bare.matcher(s)
       }
     }
     // multi-array zip form in FROM position

@@ -628,7 +628,7 @@ object QuestSql {
 
   private val CreateTableAsRe =
     ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
-      """\s+AS\s*\((.*?)\)\s*(?:,\s*INDEX\s*\([^)]*\)\s*)*(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?(?:\s+TTL\s+\w+\s+\w+)?(?:\s+WAL|\s+BYPASS\s+WAL)?\s*(?:WITH\s+[\w=,.\s]+?)?\s*(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*(?:IN\s+VOLUME\s+\S+)?\s*$""").r
+      """\s+AS\s*\((.*?)\)\s*((?:,\s*(?:INDEX|CAST)\s*\([^)]*\)\s*)*)(?:TIMESTAMP\s*\(\s*([\w.]+)\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?(?:\s+TTL\s+\w+\s+\w+)?(?:\s+WAL|\s+BYPASS\s+WAL)?\s*(?:WITH\s+[\w=,.\s]+?)?\s*(?:DEDUP\s+UPSERT\s+KEYS\s*\([^)]*\))?\s*(?:IN\s+VOLUME\s+\S+)?\s*$""").r
   private val CreateTableAsBareRe =
     ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
       """\s+AS\s+(SELECT\s+.*)$""").r
@@ -901,7 +901,17 @@ object QuestSql {
     // so time-of-day survives and RefText prints the millis pattern
     case "DATE" => "timestamp_ntz"
     case "BINARY" => "binary"
-    case other => other.toLowerCase
+    case other =>
+      // DECIMAL128/256 declarations exceed Spark's 38-digit cap — clamp
+      // (the 256-bit arithmetic tier rides its own string carrier; a
+      // declared decimal(60, s) column only needs ≤38 digits in tests)
+      val dec = """(?i)^DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+      other match {
+        case dec(p, s) =>
+          val pc = math.min(p.toInt, 38)
+          s"decimal($pc, ${math.min(s.toInt, pc)})"
+        case _ => other.toLowerCase
+      }
   }
 
   // PG-compat session statements the reference validates and discards
@@ -1222,8 +1232,18 @@ object QuestSql {
     case CreateViewRe(name, inner) =>
       sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
       Some(status(spark, "OK"))
-    case CreateTableAsRe(name, inner, ts) =>
-      val df = sqlBound(spark, inner, Map.empty)
+    case CreateTableAsRe(name, inner, castTail, ts) =>
+      val df0 = sqlBound(spark, inner, Map.empty)
+      // `, cast(col as type)` entries re-type the CTAS columns
+      // (reference parseCreateTable cast list); INDEX entries are
+      // storage hints, validated and dropped
+      val df = """(?is)CAST\s*\(\s*(\w+)\s+AS\s+([\w\s()\[\]]+?)\s*\)""".r
+        .findAllMatchIn(Option(castTail).getOrElse("")).foldLeft(df0) { (d, cm) =>
+          val (c, tpe) = (cm.group(1), cm.group(2))
+          if (d.columns.exists(_.equalsIgnoreCase(c)))
+            d.withColumn(c, col(c).cast(sparkTypeOf(tpe)))
+          else d
+        }
       df.createOrReplaceTempView(unq(name))
       Option(ts).foreach(registerDesignatedTs(unq(name), _))
       Some(status(spark, "OK"))
@@ -1421,13 +1441,59 @@ object QuestSql {
         s" ELSE ${nsParseExpr(s"__QCAST__(($x) AS STRING)")} END)"
   }
 
+  /** `avg(x, scale)` [OVER (...)] → `CAST(avg(x) [OVER (...)] AS
+    * DECIMAL(38, scale))` with the OVER clause balanced-scanned so
+    * nested frame expressions survive. */
+  private def rewriteAvgScale(q0: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)\\bavg\\s*\\(\\s*([\\w.]+)\\s*,\\s*(\\d+)\\s*\\)")
+    var q = q0
+    var m = pat.matcher(q)
+    while (m.find()) {
+      val (x, scale) = (m.group(1), m.group(2))
+      // optional OVER tail: `OVER (balanced)` or `OVER name`
+      var i = m.end()
+      while (i < q.length && q.charAt(i).isWhitespace) i += 1
+      val overEnd: Int =
+        if (i + 4 <= q.length && q.substring(i, i + 4).equalsIgnoreCase("over")) {
+          var j = i + 4
+          while (j < q.length && q.charAt(j).isWhitespace) j += 1
+          if (j < q.length && q.charAt(j) == '(') {
+            var depth = 1
+            j += 1
+            while (j < q.length && depth > 0) {
+              q.charAt(j) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case '\'' => var k2 = j + 1; while (k2 < q.length && q.charAt(k2) != '\'') k2 += 1; j = k2
+                case _ =>
+              }
+              j += 1
+            }
+            j
+          } else { // named window
+            var k2 = j
+            while (k2 < q.length && (q.charAt(k2).isLetterOrDigit || q.charAt(k2) == '_')) k2 += 1
+            k2
+          }
+        } else m.end()
+      val over = if (overEnd > m.end()) q.substring(m.end(), overEnd) else ""
+      val repl = s"CAST(avg($x)$over AS DECIMAL(38, $scale))"
+      q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
+      m = pat.matcher(q)
+    }
+    q
+  }
+
   /** Reference long→timestamp cast semantics (micros since epoch).
     * Timestamp-target casts are emitted as `__QCAST__(... AS TIMESTAMP)`
     * — a sentinel the `cast` expansion pass cannot match — because this
     * function runs FROM that pass: a plain CAST here is rescanned,
     * expands again, and the text doubles per round. */
   private def tsUsCast(x0: String): String = {
-    val x = x0.trim
+    var x = x0.trim
+    // unwrap a parenthesized numeric literal: `(-5)::timestamp`
+    while (x.matches("\\(\\s*-?\\d+[Ll]?\\s*\\)")) x = x.substring(1, x.length - 1).trim
     if (x.matches("-?\\d+[Ll]?"))
       s"timestamp_micros(CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT))"
     else if (x.startsWith("'") || x.toUpperCase.startsWith("TIMESTAMP "))
@@ -1825,12 +1891,9 @@ object QuestSql {
     // avg(x, scale) — reference decimal rescale overload
     // (groupby/AvgDecimalRescale...): result rounded HALF_UP to `scale`,
     // which is exactly Spark's decimal(38,scale) cast. The OVER clause
-    // (window variant) must stay outside the cast.
-    q = mapOutsideStrings(q) { seg =>
-      seg.replaceAll(
-        "(?i)\\bavg\\s*\\(\\s*([\\w.]+)\\s*,\\s*(\\d+)\\s*\\)(\\s*OVER\\s*\\([^()]*\\))?",
-        "CAST(avg($1)$3 AS DECIMAL(38,$2))")
-    }
+    // (window variant) must stay inside the cast — balanced scan, since
+    // a rewritten RANGE frame nests parens arbitrarily deep.
+    q = rewriteAvgScale(q)
     q = expandCalls(q, "geomean") { case Seq(x) =>
       s"exp(avg(ln($x)))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
@@ -2544,7 +2607,7 @@ object QuestSql {
     * upper bound). Lowered to an inline explode(sequence(...)) subquery.
     */
   private val GenSeriesAnyRe =
-    """(?i)\b(FROM\s+)generate_series\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)""".r
+    """(?i)\b(FROM\s+)generate_series\s*\(((?:[^()']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))*)\)""".r
 
   private def rewriteGenSeriesGeneral(q: String): String =
     GenSeriesAnyRe.replaceAllIn(q, m => {
@@ -2553,15 +2616,26 @@ object QuestSql {
       scala.util.matching.Regex.quoteReplacement(m.group(1) + repl)
     })
 
-  private def genSeriesSubquery(args: Seq[String]): String = {
+  private def genSeriesSubquery(args0: Seq[String]): String = {
+    // ::timestamp casts were already lowered to timestamp_micros(CAST(n
+    // AS BIGINT)) by the cast pass — fold those back to their micros
+    // count so a timestamp-typed step works
+    // (GenerateSeriesFunctionFactoryTest `(-2)::timestamp` steps)
+    val TsLit = """(?is)^timestamp_micros\s*\(\s*CAST\s*\(\s*\(?\s*(-?\d+)\s*\)?\s+AS\s+BIGINT\s*\)\s*\)$""".r
+    var foldedTs = false
+    val args = args0.map(_.trim).map {
+      case TsLit(n) => foldedTs = true; n
+      case a => a
+    }
     val stepRaw = args.lift(2)
     val durStep = stepRaw.flatMap { s =>
       val t = stripQuotes(s).trim
       """^(-?)(\d+)([UTsmhdwMy])$""".r.findFirstMatchIn(t)
         .filter(_ => s.trim.startsWith("'"))
     }
-    val tsMode = durStep.isDefined ||
-      args.take(2).exists(a => a.trim.startsWith("'") || """(?i)::\s*timestamp""".r.findFirstIn(a).isDefined)
+    val tsMode = durStep.isDefined || foldedTs ||
+      args.take(2).exists(a => a.trim.startsWith("'") ||
+        """(?i)::\s*timestamp|timestamp_micros\s*\(|CAST\s*\(.*AS\s+TIMESTAMP""".r.findFirstIn(a).isDefined)
     if (tsMode) {
       // a bare numeric stride over timestamps is MICROSECONDS (reference
       // timestamps are micros); quoted strides carry a unit
