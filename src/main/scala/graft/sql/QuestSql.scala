@@ -620,7 +620,8 @@ object QuestSql {
   /** Table identifier: dotted word or backtick-quoted. */
   private val Ident = """((?:`[^`]+`|[\w.])+)"""
 
-  private def unq(name: String): String = name.replace("`", "")
+  private def unq(name: String): String =
+    name.replace("`", "").stripPrefix("'").stripSuffix("'")
 
   private val CreateViewRe =
     ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
@@ -668,9 +669,9 @@ object QuestSql {
     new java.util.concurrent.ConcurrentHashMap[String, MatViewDef]()
 
   private val CreateMatViewRe =
-    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)""" +
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?('[^']+'|(?:`[^`]+`|[\w.])+)""" +
       """(?:\s+WITH\s+BASE\s+[`']?([\w.]+)[`']?)?""" +
-      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+|PERIOD\s*\([^)]*\)))?(?:\s+(DEFERRED))?)?""" +
+      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+|PERIOD\s*\([^)]*\)))?(?:\s+(DEFERRED))?(?:\s+START\s+'[^']*'(?:\s+TIME\s+ZONE\s+'[^']*')?)?)?""" +
       """\s+AS\s+(?:\((.*)\)|(SELECT\s.*?))\s*(?:TIMESTAMP\s*\(\s*[\w.]+\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*(?:TTL\s+\w+\s+\w+)?\s*$""").r
   // ---- live views (reference SqlParser.parseCreateLiveView:
   // `CREATE LIVE VIEW name FLUSH EVERY <dur> [IN MEMORY <dur>]
@@ -739,7 +740,7 @@ object QuestSql {
       """(?:SET\s+)?(?:REFRESH\s+(\w+).*|.*)$""").r
 
   private val RefreshMatViewRe =
-    ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+""" +
+    ("""(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+[`']?([\w.]+)[`']?\s+""" +
       """(?:(FULL|INCREMENTAL|STATS)|RANGE\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')\s*$""").r
   private val DropMatViewRe =
     """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
@@ -1334,7 +1335,15 @@ object QuestSql {
         case None =>
           (incoming.count(), null: java.sql.Timestamp, null: java.sql.Timestamp)
       }
-      target.unionByName(incoming).createOrReplaceTempView(name)
+      // the reference keeps a designated-ts table physically ordered by
+      // ts (O3 inserts merge-sort on commit) — mirror that so bare scans
+      // return ts order (ParquetWriteTest SELECT * after O3 insert)
+      val unioned = target.unionByName(incoming)
+      val stored = tsCol match {
+        case Some(c) => unioned.orderBy(col(c).asc_nulls_first)
+        case None => unioned
+      }
+      stored.createOrReplaceTempView(name)
       graft.Catalog.bumpWalTxn(name, mnTs, mxTs, n)
       import spark.implicits._
       Some(Seq(n).toDF("rows_inserted"))
