@@ -61,6 +61,13 @@ object DialectRewrites {
     // `(select ...) timestamp(k)` is a complete statement
     if (fw0.isEmpty || fw0 == "select" || fw0 == "with")
       q = q.replaceAll("(?is)\\)\\s*timestamp\\s*\\(\\s*[\\w.]+\\s*\\)\\s*$", ")")
+    // parenthesized bare-table shorthand: `(x where ...)` is a complete
+    // subquery in the reference (`SELECT * FROM` is optional at every
+    // level) — spell the head out wherever a bare identifier starts a
+    // paren group followed by a clause keyword
+    q = mapOutside(q)(_.replaceAll(
+      "(?i)\\(\\s*([A-Za-z_]\\w*)\\s+(where|latest|sample)\\b",
+      "(SELECT * FROM $1 $2"))
     // LIMIT lo,hi inside a subquery (reference row-range slice; the
     // top-level form is handled by the range-limit operator): rows
     // lo+1..hi = OFFSET lo LIMIT hi-lo

@@ -287,6 +287,7 @@ object QuestSql {
       .orElse(showForm(spark, qSub))
       .orElse(asofForm(spark, qSub))
       .orElse(windowJoinForm(spark, qSub))
+      .orElse(multiHorizonForm(spark, qSub))
       .orElse(horizonJoinForm(spark, qSub))
       .orElse(sampleByOpForm(spark, qSub))
       .orElse(emaWindowForm(spark, qSub))
@@ -451,7 +452,30 @@ object QuestSql {
     * with a known designated timestamp and has no grouping/set-ops of
     * its own.
     */
-  private def windowOrderTail(spark: SparkSession, q: String): String = {
+  private def windowOrderTail(spark: SparkSession, q0: String): String = {
+    var q = q0
+    if (!"""(?i)\bover\s*[\s(]""".r.findFirstIn(q).isDefined &&
+        !"""(?i)\bwindow\s+\w+\s+as\s*\(\s*\)""".r.findFirstIn(q).isDefined) return q
+    // empty window specs run in table order in the reference — spell the
+    // designated ts out so order-requiring fns (lead/lag/row_number)
+    // resolve (WindowFunctionTest `over()` / `WINDOW w AS ()`)
+    if ("""(?i)(\bover\s*\(\s*\))|(\bwindow\s+\w+\s+as\s*\(\s*\))""".r.findFirstIn(q).isDefined) {
+      val fromAt0 = topLevelIndexOf(q, Seq("from"))
+      val table0 = if (fromAt0 < 0) "" else q.substring(fromAt0 + 4).trim
+        .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+      val ts0 =
+        if (table0.isEmpty) None
+        else Option(tsRegistry.get(table0.split('.').last.toLowerCase)).orElse {
+          try {
+            val f = spark.table(table0).schema.fields
+            if (f.exists(_.name == "ts")) Some("ts") else None
+          } catch { case _: Exception => None }
+        }
+      ts0.foreach { t =>
+        q = q.replaceAll("(?i)\\bover\\s*\\(\\s*\\)", s"OVER (ORDER BY $t)")
+        q = q.replaceAll("(?i)\\bwindow\\s+(\\w+)\\s+as\\s*\\(\\s*\\)", s"WINDOW $$1 AS (ORDER BY $t)")
+      }
+    }
     if (!"""(?i)\bover\s*[\s(]""".r.findFirstIn(q).isDefined) return q
     if (topLevelIndexOf(q, Seq("order by", "group by", "union", "intersect",
         "except", "sample by", "latest on")) >= 0) return q
@@ -3527,6 +3551,78 @@ object QuestSql {
       """(?:LIST\s*\(([\d,\s-]+)\)|RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])\s+STEP\s+(\d+)([UTsmhdw]))""" +
       """(?:\s+AS\s+(\w+))?(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?\s*$""").r
+
+  /** Chained HORIZON JOINs: every slave is markout-joined to the same
+    * master offset grid (reference HorizonJoinTest multi-join cases —
+    * one grid explode, one keyed asof per slave). */
+  private def multiHorizonForm(spark: SparkSession, q: String): Option[DataFrame] = {
+    if ("""(?is)\bHORIZON\s+JOIN\b""".r.findAllIn(q).size < 2) return None
+    val head = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)""" +
+      """(?:\s+(?:AS\s+)?(?!HORIZON\b)(\w+))?\s+(?=HORIZON\b)""").r
+      .findFirstMatchIn(q).getOrElse(return None)
+    val segRe = ("""(?is)\bHORIZON\s+JOIN\s+([\w.]+)""" +
+      """(?:\s+(?:AS\s+)?(?!ON\b|RANGE\b|LIST\b)(\w+))?""" +
+      """(?:\s+ON\s+\(([^)]*)\))?""").r
+    val segs = segRe.findAllMatchIn(q).toVector
+    if (segs.size < 2) return None
+    val tailStr = q.substring(segs.last.end)
+    val tailRe = ("""(?is)^\s*(?:LIST\s*\(([\d,\s-]+)\)|""" +
+      """RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])(?:\s+STEP\s+(\d+)([UTsmhdw]))?)""" +
+      """(?:\s+AS\s+(\w+))?(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
+      """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(-?\d+))?\s*;?\s*$""").r
+    val tm = tailRe.findFirstMatchIn(tailStr).getOrElse(return None)
+    val offsets: Seq[Long] =
+      if (tm.group(1) != null) tm.group(1).split(",").map(_.trim.toLong).toSeq
+      else {
+        val lo = tm.group(2).toLong * unitMicros(tm.group(3))
+        val hi = tm.group(4).toLong * unitMicros(tm.group(5))
+        val step = Option(tm.group(6)).map(_.toLong * unitMicros(tm.group(7)))
+          .getOrElse(if (hi > lo) unitMicros(tm.group(5)) else 1L)
+        (lo to hi by step).toSeq
+      }
+    val (m0, mName) = resolveRel(spark, head.group(2))
+    val mAlias = Option(head.group(3))
+    val mTs = tsOfRel(mName, m0)
+    var acc = m0
+      .withColumn("off_us", explode(array(offsets.map(lit): _*)))
+      .withColumn("__h_ts", timestamp_micros(unix_micros(col(mTs)) + col("off_us")))
+    val quals = scala.collection.mutable.ArrayBuffer[String](mName) ++ mAlias
+    for (seg <- segs) {
+      val (s0, sName) = resolveRel(spark, seg.group(1))
+      quals += sName
+      Option(seg.group(2)).foreach(quals += _)
+      val pairs = Option(seg.group(3)).toSeq
+        .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty).map { p =>
+          p.split("=") match {
+            case Array(a, b) => (a.trim.split('.').last, b.trim.split('.').last)
+            case _ => (p.split('.').last, p.split('.').last)
+          }
+        }
+      val s1 = pairs.foldLeft(s0) { case (d, (a, b)) =>
+        if (a != b && d.columns.contains(b)) d.withColumnRenamed(b, a) else d }
+      val keys = pairs.map(_._1).filter(s1.columns.contains)
+      val sTs0 = tsOfRel(sName, s1)
+      val renamed = clashRename(acc, s1, keys)
+      val sTsR = if (acc.columns.contains(sTs0) && !keys.contains(sTs0)) sTs0 + "1" else sTs0
+      val payload = renamed.columns.filterNot(c => keys.contains(c) || c == sTsR).toSeq
+      acc =
+        if (keys.nonEmpty)
+          graft.ops.AsofJoin.asofKeyed(acc, renamed, "__h_ts", sTsR, keys, payload)
+        else graft.ops.AsofJoin.asofNoKey(acc, renamed, "__h_ts", sTsR, payload)
+    }
+    val joined = acc.drop("__h_ts")
+      .withColumnRenamed("off_us", Option(tm.group(8)).getOrElse("h"))
+    val view = "__horizon_multi"
+    joined.createOrReplaceTempView(view)
+    def strip(s: String): String =
+      quals.distinct.foldLeft(s)((a2, al) => a2.replaceAll(s"(?i)\\b$al\\.", ""))
+    val rebuilt = new StringBuilder(s"SELECT ${strip(head.group(1))} FROM $view")
+    Option(tm.group(9)).foreach(w => rebuilt ++= s" WHERE ${strip(w)}")
+    Option(tm.group(10)).foreach(g => rebuilt ++= s" GROUP BY ${strip(g)}")
+    Option(tm.group(11)).foreach(o => rebuilt ++= s" ORDER BY ${strip(o)}")
+    Option(tm.group(12)).foreach(l => rebuilt ++= s" LIMIT $l")
+    Some(sql(spark, rebuilt.toString))
+  }
 
   private def horizonJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case HorizonRangeRe(sel, master, slave, onKeys, aN, aU, bN, bU, sN, sU,
