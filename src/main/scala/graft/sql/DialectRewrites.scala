@@ -68,6 +68,11 @@ object DialectRewrites {
     q = mapOutside(q)(_.replaceAll(
       "(?i)\\(\\s*([A-Za-z_]\\w*)\\s+(where|latest|sample)\\b",
       "(SELECT * FROM $1 $2"))
+    // same shorthand after a set operator: `... union all x where ...`
+    q = mapOutside(q)(_.replaceAll(
+      "(?i)\\b(union\\s+all|union|intersect(?:\\s+all)?|except(?:\\s+all)?)\\s+" +
+        "([A-Za-z_]\\w*)\\s+(where|latest|sample)\\b",
+      "$1 SELECT * FROM $2 $3"))
     // LIMIT lo,hi inside a subquery (reference row-range slice; the
     // top-level form is handled by the range-limit operator): rows
     // lo+1..hi = OFFSET lo LIMIT hi-lo

@@ -1979,6 +1979,17 @@ object QuestSql {
       s"array_join(array_distinct(collect_list($x)), $sep)" }
     q = expandCalls(q, "isOrdered") { case Seq(x) =>
       s"(collect_list($x) = array_sort(collect_list($x)))" }
+    // array_agg over an ARRAY column concatenates (reference
+    // ArrayAggDoubleArrayGroupByFunction flattens into one vector);
+    // empty/all-null groups yield null. __graft_flat is identity on
+    // scalar aggregation results.
+    q = expandCalls(q, "array_agg") {
+      case Seq(x) if !x.trim.toUpperCase.startsWith("DISTINCT") =>
+        // __ARRAGG__ sentinel: the replacement must not re-enter this pass
+        s"IF(size(__graft_flat(__ARRAGG__($x))) = 0, NULL, __graft_flat(__ARRAGG__($x)))"
+      case args => s"array_agg(${args.mkString(", ")})"
+    }
+    q = q.replace("__ARRAGG__(", "array_agg(")
     // sparkline(x) — per-group block chart in row order (reference
     // groupby/SparklineGroupByFunction.charForValue: clamp, scale to 8
     // levels over the group's min..max)
@@ -2508,16 +2519,23 @@ object QuestSql {
     // here bits is required to be a constant multiple-of-5 surface
     q = expandCalls(q, "rnd_geohash") { case Seq(bits) =>
       val b = bits.trim.toInt
-      require(b >= 5 && b <= 60, s"rnd_geohash: bits in [5,60], got $b")
+      require(b >= 1 && b <= 60, s"rnd_geohash: bits in [1,60], got $b")
       val s = seedOf("rnd_geohash")
       val chars = (1 to b / 5).map { i =>
         s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(floor(${uSql(s"${s}_$i")} * 32) AS INT) + 1, 1)"
       }
-      s"concat(${chars.mkString(", ")})"
+      // sub-5-bit remainder: the reference renders those bits in binary
+      val rem = b % 5
+      val remExpr =
+        if (rem == 0) Nil
+        else Seq(s"lpad(conv(CAST(floor(${uSql(s"${s}_r")} * ${1 << rem}) AS INT), 10, 2), $rem, '0')")
+      s"concat(${(chars ++ remExpr).mkString(", ")})"
     }
     q = expandCalls(q, "rnd_decimal") { case Seq(p, sc, rate) =>
-      val pi = p.trim.toInt; val si = sc.trim.toInt
-      require(pi >= 1 && pi <= 38 && si >= 0 && si <= pi, s"rnd_decimal($pi,$si)")
+      val pi0 = p.trim.toInt; val si0 = sc.trim.toInt
+      require(pi0 >= 1 && si0 >= 0 && si0 <= pi0, s"rnd_decimal($pi0,$si0)")
+      // 128/256-bit declarations clamp to Spark's 38-digit decimals
+      val pi = math.min(pi0, 38); val si = math.min(si0, pi)
       val s = seedOf("rnd_decimal")
       val v = s"CAST(floor(${uSql(s)} * 1e$pi) / 1e$si AS DECIMAL($pi,$si))"
       nullify(rate, v, s"DECIMAL($pi,$si)", s)
