@@ -1792,7 +1792,16 @@ object QuestSql {
       val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)c\s*\)\s*$""".r.findFirstMatchIn(inner)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
-      (m, mn, g, l256, dt) match {
+      // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
+      // nullability; NullLiteralsTest): null input lands as false / 0
+      val nn = """(?is)^(.*\S)\s+AS\s+(BOOLEAN|BYTE|SHORT)\s*$""".r.findFirstMatchIn(inner)
+      if (nn.isDefined) {
+        val t = nn.get
+        val (x, tpe) = (t.group(1), t.group(2).toUpperCase)
+        val sparkT = if (tpe == "BOOLEAN") "BOOLEAN" else if (tpe == "BYTE") "TINYINT" else "SMALLINT"
+        val dflt = if (tpe == "BOOLEAN") "false" else s"CAST(0 AS $sparkT)"
+        s"coalesce(__QCAST__(($x) AS $sparkT), $dflt)"
+      } else (m, mn, g, l256, dt) match {
         case (Some(t), _, _, _, _) => tsUsCast(t.group(1))
         case (_, Some(t), _, _, _) => nsCast(t.group(1))
         case (_, _, Some(gh), _, _) => geoCast(gh.group(1), gh.group(2).toInt)
