@@ -695,9 +695,20 @@ object Catalog {
     val name = table.split('.').last.toLowerCase
     val decls = Option(declaredCols.get(name)).getOrElse(Map.empty)
     val cols = spark.table(table).schema.fields
-      .map(f => s"\t${f.name} ${decls.get(f.name.toLowerCase).map(_.tpe)
-        .getOrElse(sqlTypeName(f.dataType))}").mkString(",\n")
-    val tsClause = Tables.designatedTs.get(name).map(c => s" timestamp($c)").getOrElse("")
+      .map { f =>
+        val d = decls.get(f.name.toLowerCase)
+        val tpe = d.map(_.tpe).getOrElse(sqlTypeName(f.dataType))
+        // per-column parquet knobs echo back canonically (reference
+        // ShowCreateTableOperation lowercases the option list)
+        val parq = d.map(_.knobs).getOrElse("") match {
+          case k if k.toUpperCase.startsWith("PARQUET(") =>
+            " PARQUET(" + k.substring(8, k.lastIndexOf(')')).toLowerCase + ")"
+          case _ => ""
+        }
+        s"\t${f.name} $tpe$parq"
+      }.mkString(",\n")
+    val tsClause = graft.sql.QuestSql.designatedTsOf(name)
+      .map(c => s" timestamp($c)").getOrElse("")
     val tail = Option(createTails.get(name)).getOrElse(
       if (tsClause.nonEmpty) " PARTITION BY DAY BYPASS WAL" else "")
     Seq(s"CREATE TABLE '$name' ( \n$cols\n)$tsClause$tail;").toDF("ddl")
