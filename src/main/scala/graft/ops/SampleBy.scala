@@ -27,6 +27,10 @@ object SampleBy {
   final case class FillConst(values: Map[String, Any]) extends Fill
   /** FILL(PREV) — carry the previous bucket's value forward. */
   case object FillPrev extends Fill
+  /** Gap rows take the previous value of ANOTHER aggregate column
+    * (reference FILL(PREV(src)) cross-column dispatch,
+    * FillRecordDispatchTest.java:138-149). */
+  final case class FillPrevOf(src: String) extends Fill
   /** FILL(LINEAR) — interpolate between neighbouring present buckets. */
   case object FillLinear extends Fill
   /** FILL(v1, v2, ...) — one strategy per aggregate column, positional
@@ -163,6 +167,11 @@ object SampleBy {
             d.withColumn(name,
               last(when(col(PRESENT).isNotNull, struct(col(name).as("v"))), ignoreNulls = true)
                 .over(wPrev).getField("v"))
+          case FillPrevOf(src) =>
+            d.withColumn(name,
+              when(col(PRESENT).isNotNull, col(name)).otherwise(
+                last(when(col(PRESENT).isNotNull, struct(col(src).as("v"))), ignoreNulls = true)
+                  .over(wPrev).getField("v").cast(d.schema(name).dataType)))
           case FillLinear =>
             val t = unix_micros(col(tsOut))
             val known = when(col(PRESENT).isNotNull, struct(unix_micros(col(tsOut)).as("t"), col(name).as("v")))

@@ -3322,27 +3322,22 @@ object QuestSql {
           // `PREV(v1)` targets the aggregate aliased v1 (reference named
           // FILL entries); positional entries keep their slot
           val toks0 = splitSelect(spec).map(_.trim)
-          val named = toks0.flatMap { t =>
-            """(?i)^(\w+)\s*\(\s*(\w+)\s*\)$""".r.findFirstMatchIn(t)
-              .filter(m2 => Seq("prev", "null", "none", "linear")
-                .contains(m2.group(1).toLowerCase))
-              .map(m2 => m2.group(2) -> m2.group(1))
-          }.toMap
-          val positional = toks0.filterNot(t =>
-            """(?i)^(prev|null|none|linear)\s*\(""".r.findFirstIn(t).isDefined)
-          val toks =
-            if (named.isEmpty) positional
-            else aggs.map { case (nm, _) =>
-              named.getOrElse(nm, positional.headOption.getOrElse("NONE"))
+          // entries are positional; `PREV(src)` pulls the previous value
+          // of ANOTHER column into the gap slot (reference cross-column
+          // fill dispatch, FillRecordDispatchTest)
+          def fillOf2(tok: String, name: String): graft.ops.SampleBy.Fill =
+            """(?i)^PREV\s*\(\s*(\w+)\s*\)$""".r.findFirstMatchIn(tok.trim) match {
+              case Some(m2) => graft.ops.SampleBy.FillPrevOf(m2.group(1))
+              case None => fillOf(tok, name)
             }
-          if (toks.size == 1) fillOf(toks.head, aggs.head._1) match {
+          if (toks0.size == 1) fillOf2(toks0.head, aggs.head._1) match {
             // a single constant still applies to every aggregate
             case graft.ops.SampleBy.FillConst(_) =>
-              graft.ops.SampleBy.FillConst(aggs.map(_._1 -> (toks.head.toDouble: Any)).toMap)
+              graft.ops.SampleBy.FillConst(aggs.map(_._1 -> (toks0.head.toDouble: Any)).toMap)
             case f => f
           }
           else graft.ops.SampleBy.FillPerColumn(
-            toks.zip(aggs.map(_._1)).map { case (t, nm) => fillOf(t, nm) })
+            toks0.zip(aggs.map(_._1)).map { case (t, nm) => fillOf2(t, nm) })
       }
 
       val whered = Option(where).map(base0.where).getOrElse(base0)
