@@ -472,7 +472,14 @@ object QuestSql {
           } catch { case _: Exception => None }
         }
       ts0.foreach { t =>
-        q = q.replaceAll("(?i)\\bover\\s*\\(\\s*\\)", s"OVER (ORDER BY $t)")
+        // only order-REQUIRING functions get the injected key: an
+        // aggregate over () stays a whole-partition window
+        val orderFns = "lead|lag|row_number|rank|dense_rank|ntile|nth_value" +
+          "|cume_dist|percent_rank|first_value|last_value"
+        q = q.replaceAll(
+          s"(?i)\\b($orderFns)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+            "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
+          s"$$1($$2)$$3 OVER (ORDER BY $t)")
         q = q.replaceAll("(?i)\\bwindow\\s+(\\w+)\\s+as\\s*\\(\\s*\\)", s"WINDOW $$1 AS (ORDER BY $t)")
       }
     }
@@ -1478,45 +1485,68 @@ object QuestSql {
     * DECIMAL(38, scale))` with the OVER clause balanced-scanned so
     * nested frame expressions survive. */
   private def rewriteAvgScale(q0: String): String = {
+    // avg(x, scale) and avg over a DECLARED decimal column keep the
+    // asked/declared scale in the reference (AvgDecimalRescale /
+    // AvgDecimalGroupByFunction round HALF_UP); Spark widens to
+    // scale+4. The OVER clause is balanced-scanned so nested frame
+    // expressions survive, and the replacement uses the __AVGS__
+    // sentinel so the pass cannot re-enter its own output.
+    def declaredScale(col0: String): Option[Int] = {
+      val c = col0.split('.').last.toLowerCase
+      import scala.jdk.CollectionConverters._
+      graft.Catalog.declaredCols.values.asScala.flatMap(_.get(c)).collectFirst {
+        case d if d.tpe.toUpperCase.startsWith("DECIMAL") =>
+          """\(\s*\d+\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(d.tpe)
+            .map(_.group(1).toInt).getOrElse(0)
+      }
+    }
     val pat = java.util.regex.Pattern.compile(
-      "(?is)\\bavg\\s*\\(\\s*([\\w.]+)\\s*,\\s*(\\d+)\\s*\\)")
+      "(?is)\\bavg\\s*\\(\\s*([\\w.]+)\\s*(?:,\\s*(\\d+)\\s*)?\\)")
     var q = q0
     var m = pat.matcher(q)
-    while (m.find()) {
-      val (x, scale) = (m.group(1), m.group(2))
-      // optional OVER tail: `OVER (balanced)` or `OVER name`
-      var i = m.end()
-      while (i < q.length && q.charAt(i).isWhitespace) i += 1
-      val overEnd: Int =
-        if (i + 4 <= q.length && q.substring(i, i + 4).equalsIgnoreCase("over")) {
-          var j = i + 4
-          while (j < q.length && q.charAt(j).isWhitespace) j += 1
-          if (j < q.length && q.charAt(j) == '(') {
-            var depth = 1
-            j += 1
-            while (j < q.length && depth > 0) {
-              q.charAt(j) match {
-                case '(' => depth += 1
-                case ')' => depth -= 1
-                case '\'' => var k2 = j + 1; while (k2 < q.length && q.charAt(k2) != '\'') k2 += 1; j = k2
-                case _ =>
+    var from = 0
+    while (m.find(from)) {
+      val x = m.group(1)
+      val scaleOpt = Option(m.group(2)).map(_.toInt).orElse(declaredScale(x))
+      scaleOpt match {
+        case None => from = m.end() // plain avg over a non-decimal column
+        case Some(scale) =>
+          // optional OVER tail: `OVER (balanced)` or `OVER name`
+          var i = m.end()
+          while (i < q.length && q.charAt(i).isWhitespace) i += 1
+          val overEnd: Int =
+            if (i + 4 <= q.length && q.substring(i, i + 4).equalsIgnoreCase("over")) {
+              var j = i + 4
+              while (j < q.length && q.charAt(j).isWhitespace) j += 1
+              if (j < q.length && q.charAt(j) == '(') {
+                var depth = 1
+                j += 1
+                while (j < q.length && depth > 0) {
+                  q.charAt(j) match {
+                    case '(' => depth += 1
+                    case ')' => depth -= 1
+                    case '\'' => var k2 = j + 1; while (k2 < q.length && q.charAt(k2) != '\'') k2 += 1; j = k2
+                    case _ =>
+                  }
+                  j += 1
+                }
+                j
+              } else { // named window
+                var k2 = j
+                while (k2 < q.length && (q.charAt(k2).isLetterOrDigit || q.charAt(k2) == '_')) k2 += 1
+                k2
               }
-              j += 1
-            }
-            j
-          } else { // named window
-            var k2 = j
-            while (k2 < q.length && (q.charAt(k2).isLetterOrDigit || q.charAt(k2) == '_')) k2 += 1
-            k2
-          }
-        } else m.end()
-      val over = if (overEnd > m.end()) q.substring(m.end(), overEnd) else ""
-      val repl = s"CAST(avg($x)$over AS DECIMAL(38, $scale))"
-      q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
-      m = pat.matcher(q)
+            } else m.end()
+          val over = if (overEnd > m.end()) q.substring(m.end(), overEnd) else ""
+          val repl = s"CAST(__AVGS__($x)$over AS DECIMAL(38, $scale))"
+          q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
+          from = m.start() + repl.length
+          m = pat.matcher(q)
+      }
     }
-    q
+    q.replace("__AVGS__(", "avg(")
   }
+
 
   /** Reference long→timestamp cast semantics (micros since epoch).
     * Timestamp-target casts are emitted as `__QCAST__(... AS TIMESTAMP)`
