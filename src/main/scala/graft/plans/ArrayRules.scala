@@ -52,6 +52,13 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
       case _ => rebuild(op, l, r)
     }
 
+  /** Same nesting with every numeric leaf widened to double. */
+  private def doubled(dt: DataType): DataType = dt match {
+    case ArrayType(et, n) => ArrayType(doubled(et), n)
+    case _: NumericType => DoubleType
+    case other => other
+  }
+
   private def rewriteExpr(e: Expression): Expression = e match {
     case op: BinaryArithmetic if op.left.resolved && op.right.resolved &&
         (isNumArray(op.left.dataType) || isNumArray(op.right.dataType)) =>
@@ -59,13 +66,30 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
     case neg: UnaryMinus if neg.child.resolved && isNumArray(neg.child.dataType) =>
       val x = freshVar()
       ArrayTransform(neg.child, LambdaFunction(UnaryMinus(x), Seq(x)))
+    // array comparison across numeric element types (a DOUBLE[] column
+    // vs an ARRAY[...] literal that parsed as decimals): widen both
+    // sides to double leaves
+    case cmp: BinaryComparison if cmp.left.resolved && cmp.right.resolved &&
+        isNumArray(cmp.left.dataType) && isNumArray(cmp.right.dataType) &&
+        cmp.left.dataType != cmp.right.dataType =>
+      def depth(dt: DataType): Int = dt match {
+        case ArrayType(et, _) => 1 + depth(et); case _ => 0
+      }
+      if (depth(cmp.left.dataType) != depth(cmp.right.dataType))
+        cmp match { // shape mismatch can never be equal (reference false)
+          case (_: EqualTo | _: EqualNullSafe) => Literal(false)
+          case _ => cmp
+        }
+      else cmp.withNewChildren(Seq(
+        Cast(cmp.left, doubled(cmp.left.dataType)),
+        Cast(cmp.right, doubled(cmp.right.dataType))))
     case other => other
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
-        case e @ (_: BinaryArithmetic | _: UnaryMinus) => rewriteExpr(e)
+        case e @ (_: BinaryArithmetic | _: UnaryMinus | _: BinaryComparison) => rewriteExpr(e)
       }
     }
 }

@@ -259,6 +259,9 @@ object AutoAlias {
     e match {
       case fn(name) if balancedFromFirstParen(e) =>
         return if (name.equalsIgnoreCase("cast") || name == "__ts_us_cast") "cast"
+          // subscripts/slices were already lowered — the reference names
+          // the `a[i]` AST node "[]"
+          else if (name.equalsIgnoreCase("slice") || name.equalsIgnoreCase("try_element_at")) "[]"
           else name
       case _ =>
     }

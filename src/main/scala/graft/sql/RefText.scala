@@ -96,6 +96,7 @@ object RefText {
     case DoubleType | FloatType | IntegerType | LongType => "null"
     case ByteType | ShortType => "0" // reference BYTE/SHORT have no null
     case BooleanType => "false"
+    case _: ArrayType => "null" // null arrays print the word
     case _ => ""
   }
 
