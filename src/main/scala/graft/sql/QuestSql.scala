@@ -3407,9 +3407,26 @@ object QuestSql {
         case Some("FIRST OBSERVATION") =>
           graft.ops.SampleBy.sampleByFirstObs(ranged, tsName, strideUs, keys, aggs, tsOut)
         case _ =>
+          // the grid anchor: an explicit FROM wins (buckets start AT the
+          // FROM point — SampleByTest FROM/TO + OFFSET); otherwise the
+          // WITH OFFSET shift reduced into the stride (Spark's window()
+          // requires |start| < slide)
+          val offsetEff: String =
+            if (strideMonths.isEmpty) {
+              val baseUs = (fromP, Option(offsetLit)) match {
+                case (Some(f), _) => ((f.getTime * 1000L % strideUs) + strideUs) % strideUs
+                case (_, Some(off)) =>
+                  val m2 = """(-?)(\d{2}):(\d{2})""".r.findFirstMatchIn(off.trim).get
+                  val us = (m2.group(2).toLong * 3600 + m2.group(3).toLong * 60) * 1000000L *
+                    (if (m2.group(1) == "-") -1 else 1)
+                  ((us % strideUs) + strideUs) % strideUs
+                case _ => 0L
+              }
+              s"$baseUs microseconds"
+            } else Option(offsetLit).map(offsetInterval).getOrElse("0 seconds")
           graft.ops.SampleBy.sampleBy(ranged, tsName, stride, keys, aggs, fill,
             range = range,
-            offset = Option(offsetLit).map(offsetInterval).getOrElse("0 seconds"),
+            offset = offsetEff,
             tz = Option(tzLit),
             tsOut = tsOut,
             rangeLo = if (range.isEmpty) fromP else None,
