@@ -366,7 +366,11 @@ object DialectQueries extends QueryPack {
           "rnd_geohash(30) AS rg, " +
           "rnd_date('2024-01-01', '2024-12-31', 0) AS rdate, " +
           "rnd_timestamp('2024-01-01', '2024-02-01', 0) AS rts, " +
-          "rnd_decimal(9, 3, 0) AS rdec " +
+          // projected through VARCHAR: the driver's comparator reads the
+          // Spark parquet via pyarrow (Decimal, trailing zeros kept) but
+          // the oracle via fetchdf (float64, shortest repr) — a native
+          // DECIMAL column hash-mismatches on any value ending in 0
+          "cast(rnd_decimal(9, 3, 0) as string) AS rdec " +
           "FROM long_sequence(500) ORDER BY x")
     }),
 
@@ -401,38 +405,59 @@ object DialectQueries extends QueryPack {
 
     "q_sql_generators2" -> ((s, dir) => {
       // weighted + zipf symbol distributions and uniform arrays in the
-      // dialect (rnd/RndSymbolWeighted|Zipf|DoubleArrayFunctionFactory);
-      // the array compares bit-exact (k/2^32 dyadics, no rounding)
+      // dialect (rnd/RndSymbolWeighted|Zipf|DoubleArrayFunctionFactory).
+      // The array is bit-exact (k/2^32 dyadics) but projected to element
+      // scalars: raw array<double> columns crash the driver's pandas
+      // hash-comparator (lexsort over list cells)
+      import org.apache.spark.sql.functions.{col, element_at}
       QuestSql.sql(s,
-        "SELECT x, " +
-          "rnd_symbol_weighted('hot', 6.0, 'warm', 3.0, 'cold', 1.0) AS ws, " +
-          "rnd_symbol_zipf('a', 'b', 'c', 'd', 1.5) AS zs, " +
-          "rnd_double_array(4) AS da " +
-          "FROM long_sequence(400) ORDER BY x")
+          "SELECT x, " +
+            "rnd_symbol_weighted('hot', 6.0, 'warm', 3.0, 'cold', 1.0) AS ws, " +
+            "rnd_symbol_zipf('a', 'b', 'c', 'd', 1.5) AS zs, " +
+            "rnd_double_array(4) AS da " +
+            "FROM long_sequence(400) ORDER BY x")
+        .select(col("x"), col("ws"), col("zs"),
+          element_at(col("da"), 1).as("da1"), element_at(col("da"), 2).as("da2"),
+          element_at(col("da"), 3).as("da3"), element_at(col("da"), 4).as("da4"))
     }),
 
     "q_array_elem" -> ((s, dir) => {
       // variadic element-wise array_elem_* over array_build rows
       // (reference functions/array/AbstractDoubleArrayElemFunction,
-      // ArrayBuildFunctionFactory)
+      // ArrayBuildFunctionFactory); element scalars projected for the
+      // driver comparator (raw arrays crash its pandas lexsort)
+      import org.apache.spark.sql.functions.{col, element_at}
       QuestSql.sql(s,
-        "SELECT x, " +
-          "array_elem_sum(array_build(x, 1, 3), array_build(2 * x, 1, x)) AS es, " +
-          "array_elem_avg(array_build(x, 4), array_build(3 * x, 0)) AS ea, " +
-          "array_elem_max(array_build(x, 0, 7), array_build(5, x, x)) AS emx, " +
-          "array_elem_min(array_build(x, 0, 7), array_build(5, x, x)) AS emn " +
-          "FROM long_sequence(200) ORDER BY x")
+          "SELECT x, " +
+            "array_elem_sum(array_build(x, 1, 3), array_build(2 * x, 1, x)) AS es, " +
+            "array_elem_avg(array_build(x, 4), array_build(3 * x, 0)) AS ea, " +
+            "array_elem_max(array_build(x, 0, 7), array_build(5, x, x)) AS emx, " +
+            "array_elem_min(array_build(x, 0, 7), array_build(5, x, x)) AS emn " +
+            "FROM long_sequence(200) ORDER BY x")
+        .select(col("x"),
+          element_at(col("es"), 1).as("es1"), element_at(col("es"), 2).as("es2"),
+          element_at(col("es"), 3).as("es3"),
+          element_at(col("ea"), 1).as("ea1"), element_at(col("ea"), 2).as("ea2"),
+          element_at(col("emx"), 1).as("emx1"), element_at(col("emx"), 2).as("emx2"),
+          element_at(col("emx"), 3).as("emx3"),
+          element_at(col("emn"), 1).as("emn1"), element_at(col("emn"), 2).as("emn2"),
+          element_at(col("emn"), 3).as("emn3"))
     }),
 
     "q_array_elem_agg" -> ((s, dir) => {
       // single-array spelling = the GROUP BY aggregate form (reference
-      // groupby/DoubleArrayElemAvgGroupByFunctionFactory): per-label
-      // element-wise centroid. collect_list bounds memory by group size;
-      // q_embed_centroids' posexplode is the 100 TB shape for this
+      // groupby/DoubleArrayElemAvgFunctionFactory): per-label
+      // element-wise centroid, exploded to (label, pos, cv) rows so the
+      // comparator sees scalars. collect_list bounds memory by group
+      // size; q_embed_centroids' posexplode is the 100 TB shape
+      import org.apache.spark.sql.functions.{col, posexplode}
       Tables.registerAll(s, dir)
       QuestSql.sql(s,
-        "SELECT label, transform(array_elem_avg(embedding), v -> round(v, 6)) AS centroid " +
-          "FROM embeddings GROUP BY label ORDER BY label")
+          "SELECT label, transform(array_elem_avg(embedding), v -> round(v, 6)) AS centroid " +
+            "FROM embeddings GROUP BY label ORDER BY label")
+        .select(col("label"), posexplode(col("centroid")))
+        .withColumnRenamed("col", "cv")
+        .orderBy(col("label"), col("pos"))
     })
   )
 
@@ -714,7 +739,7 @@ object DialectQueries extends QueryPack {
         s"($geoChars) AS rg, " +
         s"DATE '2024-01-01' + CAST(floor(${u("rnd_date#1")} * 366.0) AS INT) AS rdate, " +
         s"make_timestamp(CAST(floor(${u("rnd_timestamp#1")} * 2678400000000.0) + 1704067200000000 AS BIGINT)) AS rts, " +
-        s"CAST(floor(${u("rnd_decimal#1")} * 1e9) / 1e3 AS DECIMAL(9,3)) AS rdec " +
+        s"CAST(CAST(floor(${u("rnd_decimal#1")} * 1e9) / 1e3 AS DECIMAL(9,3)) AS VARCHAR) AS rdec " +
         s"FROM (SELECT x, $ipExpr AS ip FROM generate_series(1, 500) t(x)) ORDER BY x"
     },
 
@@ -740,23 +765,26 @@ object DialectQueries extends QueryPack {
         1.0 / math.pow(4.0, 1.5)))
       val uw = dUniform("rnd_symbol_weighted#1")
       val uz = dUniform("rnd_symbol_zipf#1")
-      val das = (1 to 4).map(i => dUniform(s"rnd_double_array#1_$i")).mkString(", ")
+      val das = (1 to 4).map(i =>
+        s"${dUniform(s"rnd_double_array#1_$i")} AS da$i").mkString(", ")
       s"SELECT x, " +
         s"CASE WHEN $uw < CAST(${w(0)} AS DOUBLE) THEN 'hot' " +
         s"WHEN $uw < CAST(${w(1)} AS DOUBLE) THEN 'warm' ELSE 'cold' END AS ws, " +
         s"CASE WHEN $uz < CAST(${z(0)} AS DOUBLE) THEN 'a' " +
         s"WHEN $uz < CAST(${z(1)} AS DOUBLE) THEN 'b' " +
         s"WHEN $uz < CAST(${z(2)} AS DOUBLE) THEN 'c' ELSE 'd' END AS zs, " +
-        s"[$das] AS da " +
+        s"$das " +
         s"FROM generate_series(1, 400) t(x) ORDER BY x"
     },
 
     "q_array_elem" ->
       """SELECT x,
-        |  [CAST(3 * x AS DOUBLE), CAST(2 AS DOUBLE), CAST(x + 3 AS DOUBLE)] AS es,
-        |  [CAST(2 * x AS DOUBLE), CAST(2 AS DOUBLE)] AS ea,
-        |  [CAST(greatest(x, 5) AS DOUBLE), CAST(x AS DOUBLE), CAST(greatest(7, x) AS DOUBLE)] AS emx,
-        |  [CAST(least(x, 5) AS DOUBLE), CAST(0 AS DOUBLE), CAST(least(7, x) AS DOUBLE)] AS emn
+        |  CAST(3 * x AS DOUBLE) AS es1, CAST(2 AS DOUBLE) AS es2, CAST(x + 3 AS DOUBLE) AS es3,
+        |  CAST(2 * x AS DOUBLE) AS ea1, CAST(2 AS DOUBLE) AS ea2,
+        |  CAST(greatest(x, 5) AS DOUBLE) AS emx1, CAST(x AS DOUBLE) AS emx2,
+        |  CAST(greatest(7, x) AS DOUBLE) AS emx3,
+        |  CAST(least(x, 5) AS DOUBLE) AS emn1, CAST(0 AS DOUBLE) AS emn2,
+        |  CAST(least(7, x) AS DOUBLE) AS emn3
         |FROM generate_series(1, 200) t(x) ORDER BY x""".stripMargin,
 
     "q_array_elem_agg" ->
@@ -764,9 +792,8 @@ object DialectQueries extends QueryPack {
         |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS e,
         |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos
         |  FROM embeddings)
-        |SELECT label, list(round(c, 6) ORDER BY pos) AS centroid
-        |FROM (SELECT label, pos, avg(e) AS c FROM ev GROUP BY label, pos)
-        |GROUP BY label ORDER BY label""".stripMargin
+        |SELECT label, pos, round(avg(e), 6) AS cv
+        |FROM ev GROUP BY label, pos ORDER BY label, pos""".stripMargin
   )
 
   /** DuckDB mirror of QuestSql.uSql — strpos in place of locate,

@@ -328,10 +328,16 @@ object PipelineQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
       val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-      val total = stats.agg(sum(sqrt(col("n_l"))).as("s_mass"))
+      // √n_l quantized to the 2^-20 dyadic grid before summing: each
+      // term and the running sum are then exact in double, so Σ√n_l is
+      // identical regardless of partition/summation order on either
+      // engine (a raw float sum is order-dependent and one ULP flips
+      // the floor at a quota boundary)
+      val sqrtQ = floor(sqrt(col("n_l")) * lit(1048576.0)) / lit(1048576.0)
+      val total = stats.agg(sum(sqrtQ).as("s_mass"))
       val quotas = stats.crossJoin(broadcast(total))
         .withColumn("quota",
-          floor(lit(200.0) * sqrt(col("n_l")) / col("s_mass")).cast("long"))
+          floor(lit(200.0) * sqrtQ / col("s_mass")).cast("long"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(concat(lit("tmp"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
       docs.withColumn("rk", row_number().over(w))
@@ -848,16 +854,19 @@ object PipelineQueries extends QueryPack {
         |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_mix_temperature" ->
-      """WITH st AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
-        |tot AS (SELECT sum(sqrt(n_l)) AS s_mass FROM st),
+      """WITH st AS (SELECT lang, count(*) AS n_l,
+        |              floor(sqrt(count(*)) * 1048576.0) / 1048576.0 AS sq
+        |            FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(sq) AS s_mass FROM st),
         |q AS (SELECT lang, n_l,
-        |        CAST(floor(200.0 * sqrt(n_l) / s_mass) AS BIGINT) AS quota
+        |        CAST(floor(200.0 * sq / s_mass) AS BIGINT) AS quota
         |      FROM st, tot),
         |rk AS (SELECT lang, doc_id, row_number() OVER (
         |         PARTITION BY lang
         |         ORDER BY md5('tmp' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |       FROM documents)
-        |SELECT q.lang, q.n_l, q.quota, count(*) AS kept, sum(rk.doc_id) AS id_sum
+        |SELECT q.lang, q.n_l, q.quota, count(*) AS kept,
+        |  CAST(sum(rk.doc_id) AS BIGINT) AS id_sum
         |FROM rk JOIN q ON rk.lang = q.lang WHERE rk.rk <= q.quota
         |GROUP BY q.lang, q.n_l, q.quota ORDER BY q.lang""".stripMargin,
 
