@@ -312,6 +312,25 @@ object Catalog {
   private[graft] def unregisterLiveView(name: String): Unit =
     liveViewReg.remove(name)
 
+  /** Forget every per-table registration for `name` (DROP TABLE): a
+    * re-created table with the same name must not inherit stale
+    * declared columns, designated-ts/WAL state, or view registrations
+    * (those drive SAMPLE BY bucketing, avg rescale, SHOW COLUMNS,
+    * wal_tables(), live_views()). */
+  private[graft] def unregisterTable(name0: String): Unit = {
+    val name = name0.split('.').last.toLowerCase
+    createMeta.remove(name); declaredCols.remove(name); createTails.remove(name)
+    walState.remove(name); walTxnLog.remove(name); walTxnCounter.remove(name)
+    matViewReg.remove(name); liveViewReg.remove(name); liveViewMeta.remove(name)
+  }
+
+  /** DROP ALL: clear every per-table registry wholesale. */
+  private[graft] def clearTableRegistries(): Unit = {
+    createMeta.clear(); declaredCols.clear(); createTails.clear()
+    walState.clear(); walTxnLog.clear(); walTxnCounter.clear()
+    matViewReg.clear(); liveViewReg.clear(); liveViewMeta.clear()
+  }
+
   /** live_views() — the reference's 53-column shape
     * (LiveViewsFunctionFactory.java:677-729). Declarative fields come
     * from the registered meta; arena/WAL/checkpoint counters surface

@@ -51,8 +51,30 @@ object RefParity {
     val out = new java.io.PrintWriter(report)
     val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     var done = 0
+    val caseTimeoutSec = sys.env.getOrElse("REFPARITY_CASE_TIMEOUT", "120").toInt
+    def newPool() = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "refparity-case"); t.setDaemon(true); t
+    })
+    var pool = newPool()
     cases.foreach { c =>
-      val (cat, detail) = runCase(engine, c)
+      // per-case watchdog: one pathological query must not stall the
+      // shard — on timeout, cancel the Spark jobs, abandon the worker
+      // thread (fresh executor), and move on
+      val fut = pool.submit(new java.util.concurrent.Callable[(String, String)] {
+        def call(): (String, String) = runCase(engine, c)
+      })
+      val (cat, detail) =
+        try fut.get(caseTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelAllJobs()
+            fut.cancel(true)
+            pool.shutdownNow()
+            pool = newPool()
+            ("timeout", s"q: ${c.query.take(200)} -> exceeded ${caseTimeoutSec}s")
+          case e: java.util.concurrent.ExecutionException =>
+            ("error", s"q: ${c.query.take(200)} -> ${msg(e.getCause)}")
+        }
       counts(cat) += 1
       out.println(mapper.writeValueAsString(Map(
         "file" -> c.file, "line" -> c.line, "cat" -> cat,
@@ -228,6 +250,8 @@ object RefParity {
       System.setProperty("graft.copy.input.root", root.getPath)
   }
 
+  private var sinceCacheClear = 0
+
   private def cleanup(spark: org.apache.spark.sql.SparkSession, baseline: Set[String]): Unit = {
     spark.catalog.listTables().collect().foreach { t =>
       if (!baseline(t.name.toLowerCase)) {
@@ -235,7 +259,16 @@ object RefParity {
         catch { case _: Throwable => try spark.catalog.dropGlobalTempView(t.name) catch { case _: Throwable => () } }
       }
     }
+    // full dialect-state reset: leftover live/mat view defs re-materialize
+    // on later statements that merely mention the name — compounding work
+    // and memory across 1000+ cases (the round-7 sweep OOMed from this)
+    graft.sql.QuestSql.resetSessionState()
     graft.sql.QuestSql.retainDesignatedTs(baseline)
     try graft.ops.Checkpoint.release() catch { case _: Throwable => () }
+    sinceCacheClear += 1
+    if (sinceCacheClear >= 100) {
+      sinceCacheClear = 0
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+    }
   }
 }

@@ -62,7 +62,8 @@ case class DotProductExpr(left: Expression, right: Expression)
       // (Numbers.isFinite guard) rather than poisoning the sum
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
         val x = get(a, i, lt); val y = get(b, i, rt)
-        if (!x.isNaN && !y.isNaN) sum += x * y
+        // Numbers.isFinite excludes ±Inf as well as NaN
+        if (java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)) sum += x * y
       }
       i += 1
     }
@@ -87,7 +88,7 @@ case class DotProductExpr(left: Expression, right: Expression)
             if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
               double __x = ${getter(elemType(left), a, i)};
               double __y = ${getter(elemType(right), b, i)};
-              if (!Double.isNaN(__x) && !Double.isNaN(__y)) $sum += __x * __y;
+              if (Double.isFinite(__x) && Double.isFinite(__y)) $sum += __x * __y;
             }
           }
           if (!${ev.isNull}) { ${ev.value} = $sum; }

@@ -99,7 +99,18 @@ object Checkpoint {
     * checkpoint blocks WAL apply, so the table stays visible until then.
     */
   private val pending = scala.collection.mutable.Buffer[() => Unit]()
-  def defer(op: () => Unit): Unit = synchronized { pending += op }
+
+  /** Queue `op` if a checkpoint is in progress, else run it now. The
+    * active-check and enqueue share one synchronized block so a
+    * release() racing the caller's own `active` check cannot strand the
+    * op in the queue; the immediate-run path executes outside the lock.
+    */
+  def defer(op: () => Unit): Unit = {
+    val runNow = synchronized {
+      if (current.isDefined) { pending += op; false } else true
+    }
+    if (runNow) op()
+  }
 
   /** CHECKPOINT RELEASE: end the in-progress checkpoint. The snapshot
     * directory is kept (it is the backup); only the "in progress" gate

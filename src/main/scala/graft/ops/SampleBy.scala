@@ -40,6 +40,8 @@ object SampleBy {
   final case class FillPerColumn(fills: Seq[Fill]) extends Fill
 
   private val PRESENT = "__graft_present"
+  private val IDX = "__graft_idx"
+  private val SEG = "__graft_seg"
 
   /** @param bucket  Spark interval string, e.g. "1 hour", "5 minutes"
     * @param aggs    output name -> aggregate expression
@@ -53,16 +55,59 @@ object SampleBy {
     * @param tsOut   name of the bucket column in the output
     */
   /** "N months" strides (SAMPLE BY nM / ny) have no fixed micro width, so
-    * they bypass window(): bucket = epoch-month floor-div the stride. */
+    * they bypass window(): bucket = anchored-month floor-div the stride. */
   private val MonthsRe = """^(\d+) months$""".r
   private def monthsOf(bucket: String): Option[Int] =
     MonthsRe.findFirstMatchIn(bucket).map(_.group(1).toInt)
-  private def monthBucket(t: Column, n: Int): Column = {
-    val mse = (year(t) - 1970) * 12 + month(t) - 1 // months since epoch
-    val floored = mse - pmod(mse, lit(n))
-    to_timestamp(add_months(to_date(lit("1970-01-01")), floored))
+
+  /** Month-grid floor anchored at `anchor` (the FROM point, or epoch):
+    * bucket(t) = anchor + stride·⌊monthdiff(t, anchor)/stride⌋, where
+    * monthdiff counts whole months with day/time adjustment (reference
+    * MonthTimestampSampler with a FROM anchor: buckets carry the
+    * anchor's day-of-month and time-of-day). */
+  private def monthBucketAnchored(t: Column, n: Int,
+                                  anchor: java.time.LocalDateTime): Column = {
+    val aMse = (anchor.getYear - 1970) * 12 + anchor.getMonthValue - 1
+    val aDateStr = anchor.toLocalDate.toString
+    val todUs = anchor.toLocalTime.toNanoOfDay / 1000L
+    def monthAdd(q: Column): Column =
+      timestamp_micros(unix_micros(to_timestamp(add_months(
+        to_date(lit(aDateStr)), q))) + lit(todUs))
+    val md0 = (year(t) - 1970) * 12 + month(t) - 1 - lit(aMse)
+    val md = md0 - when(monthAdd(md0) > t, 1).otherwise(0)
+    monthAdd(md - pmod(md, lit(n)))
   }
 
+  /** The zone's standard (non-DST) offset in micros — the reference's
+    * TimeZoneRules.getStandardOffset (last standard offset in the
+    * rules, AbstractTimeZoneRules.java:70). */
+  private def standardOffsetUs(zone: String): Long =
+    java.time.ZoneId.of(zone).getRules
+      .getStandardOffset(java.time.Instant.ofEpochSecond(4102444800L))
+      .getTotalSeconds * 1000000L
+
+  /** Zone offset (micros) at the UTC instant `tUs` — an expression, so
+    * DST-varying offsets stay inside codegen. */
+  private def offAtUs(tUs: Column, zone: String): Column =
+    unix_micros(from_utc_timestamp(timestamp_micros(tUs), zone)) - tUs
+
+  /** Local wall-clock → UTC instant with real zone rules (driver side). */
+  private[graft] def localToUtc(t: java.sql.Timestamp, zone: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      t.toLocalDateTime.atZone(java.time.ZoneId.of(zone)).toInstant)
+
+  /** UTC instant → local wall clock (driver side). */
+  private def utcToLocalTs(t: java.sql.Timestamp, zone: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofInstant(
+      t.toInstant, java.time.ZoneId.of(zone)))
+
+  /** @param unit the reference stride unit char (d/w vs sub-day vs M/y)
+    *              when lowered from dialect SQL — drives the reference's
+    *              tz bucketing split (CommonUtils.isSubDayUnit): sub-day
+    *              strides use the STANDARD offset (uniform UTC grid),
+    *              day-and-up floor in the local calendar with real DST
+    *              offsets. Omitted (DataFrame API): inferred from the
+    *              stride width. */
   def sampleBy(df: DataFrame, ts: String, bucket: String,
                keys: Seq[String], aggs: Seq[(String, Column)],
                fill: Fill = NoFill,
@@ -71,21 +116,62 @@ object SampleBy {
                tz: Option[String] = None,
                tsOut: String = "ts",
                rangeLo: Option[java.sql.Timestamp] = None,
-               rangeHi: Option[java.sql.Timestamp] = None): DataFrame = {
+               rangeHi: Option[java.sql.Timestamp] = None,
+               unit: Option[Char] = None): DataFrame = {
     val spark = df.sparkSession
-    val bucketCol = ((tz, monthsOf(bucket)) match {
-      case (Some(zone), Some(n)) =>
-        to_utc_timestamp(monthBucket(from_utc_timestamp(col(ts), zone), n), zone)
-      case (None, Some(n)) => monthBucket(col(ts), n)
-      case (Some(zone), None) =>
-        // truncate on the zone's wall clock, key the group on the UTC
-        // instant of the local bucket start (reference
-        // TimezoneFloorTimestampSampler)
-        to_utc_timestamp(
-          window(from_utc_timestamp(col(ts), zone), bucket, bucket, offset)
-            .getField("start"), zone)
-      case (None, None) =>
-        window(col(ts), bucket, bucket, offset).getField("start")
+    val strideMonthsOpt = monthsOf(bucket)
+    def evalUs(interval: String): Long = spark.range(1)
+      .select(unix_micros(lit(new java.sql.Timestamp(0L)) + expr(s"interval $interval")))
+      .head().getLong(0)
+    lazy val strideUs: Long = evalUs(bucket)
+    lazy val offsetUs: Long = evalUs(offset)
+    // 'M' month-grained, 'd' day/week, 's' sub-day
+    val unitKind: Char =
+      if (strideMonthsOpt.isDefined) 'M'
+      else unit match {
+        case Some('d') | Some('w') => 'd'
+        case Some(_) => 's'
+        case None => if (strideUs % 86400000000L == 0) 'd' else 's'
+      }
+    // the FROM point anchors the grid (month grids carry its day+time)
+    val explicitFrom = range.map(_._1).orElse(rangeLo)
+    val monthAnchor: java.time.LocalDateTime =
+      explicitFrom.map(_.toLocalDateTime)
+        .getOrElse(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+
+    val bucketCol = ((tz, unitKind) match {
+      case (None, 'M') => monthBucketAnchored(col(ts), strideMonthsOpt.get, monthAnchor)
+      case (None, _) => window(col(ts), bucket, bucket, offset).getField("start")
+      case (Some(zone), 's') =>
+        // reference sub-day tz floor (CommonUtils.getFloorUtcTzOffset):
+        // the STANDARD offset — a uniform UTC grid, no DST collapse. An
+        // explicit FROM pre-shifts the anchor via to_utc(FROM, tz).
+        val anchorUtcUs = explicitFrom match {
+          case Some(f) => localToUtc(f, zone).getTime * 1000L
+          case None => offsetUs - standardOffsetUs(zone)
+        }
+        val us = unix_micros(col(ts))
+        timestamp_micros(us - pmod(us - lit(anchorUtcUs), lit(strideUs)))
+      case (Some(zone), 'd') =>
+        // reference super-day tz floor (TimezoneFloorTimestampSampler /
+        // offsetFlooredUtcResult): floor in the local frame with the
+        // offset AT THE ROW, convert back with the offset at the bucket
+        // start — DST-exact (23/25-hour days fall out naturally)
+        val anchorLocalUs = explicitFrom match {
+          case Some(f) => f.getTime * 1000L // local wall-clock literal
+          case None => offsetUs
+        }
+        val us = unix_micros(col(ts))
+        val off1 = offAtUs(us, zone)
+        val local = us + off1
+        val fl = local - pmod(local - lit(anchorLocalUs), lit(strideUs))
+        timestamp_micros(fl - offAtUs(fl - off1, zone))
+      case (Some(zone), 'M') =>
+        val us = unix_micros(col(ts))
+        val off1 = offAtUs(us, zone)
+        val lts = timestamp_micros(us + off1) // local naive
+        val flLocal = unix_micros(monthBucketAnchored(lts, strideMonthsOpt.get, monthAnchor))
+        timestamp_micros(flLocal - offAtUs(flLocal - off1, zone))
     }).as(tsOut)
     val base = df.groupBy((bucketCol +: keys.map(col)): _*)
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
@@ -104,43 +190,77 @@ object SampleBy {
         rangeLo.isEmpty && rangeHi.isEmpty)
       base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
     else {
-      val bounds = range.orElse {
-        val lo0 = range.map(_._1).orElse(rangeLo)
-        val hi0 = range.map(_._2).orElse(rangeHi)
+      // Bound frames: explicit FROM/TO literals arrive as local
+      // wall-clock; under a TIME ZONE the super-day grid lives in the
+      // local frame (data-derived UTC bucket values convert to their
+      // local labels), while the sub-day grid is uniform in UTC
+      // (explicit local bounds convert once via real zone rules — the
+      // reference's to_utc(FROM, tz) anchor pre-shift).
+      def deriveFrame(t: java.sql.Timestamp): java.sql.Timestamp = (tz, unitKind) match {
+        case (Some(zone), k) if k != 's' => utcToLocalTs(t, zone)
+        case _ => t
+      }
+      def explicitFrame(t: java.sql.Timestamp): java.sql.Timestamp = (tz, unitKind) match {
+        case (Some(zone), 's') => localToUtc(t, zone)
+        case _ => t
+      }
+      val bounds = {
+        val lo0 = range.map(_._1).orElse(rangeLo).map(explicitFrame)
+        val hi0 = range.map(_._2).orElse(rangeHi).map(explicitFrame)
         if (lo0.isDefined && hi0.isDefined) Some((lo0.get, hi0.get))
         else {
           val r = base.agg(min(col(tsOut)), max(col(tsOut))).head()
           if (r.isNullAt(0)) None
-          else Some((lo0.getOrElse(r.getTimestamp(0)), hi0.getOrElse(r.getTimestamp(1))))
+          else Some((lo0.getOrElse(deriveFrame(r.getTimestamp(0))),
+            hi0.getOrElse(deriveFrame(r.getTimestamp(1)))))
         }
       }
-      if (bounds.isEmpty) // empty input → empty (correctly-shaped) result
+      if (bounds.isEmpty) // empty input -> empty (correctly-shaped) result
         return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
       val (from, to) = bounds.get
       // distributed spine: range + offset arithmetic, not a single
-      // exploded array — a years×minutes spine stays partitioned
-      val (n, spine) = monthsOf(bucket) match {
+      // exploded array. The bucket index rides along so the un-keyed
+      // fill can segment. Under tz the super-day spine steps the LOCAL
+      // grid and converts each bucket start to its UTC instant
+      // (reference TimezoneFloorTimestampSampler.localAnchorAsUtc:
+      // approximate the offset by reading the local value as UTC, then
+      // resolve the real offset at that instant).
+      def localGridToUtc(lUs: Column, zone: String): Column = {
+        val approx = offAtUs(lUs, zone)
+        lUs - offAtUs(lUs - approx, zone)
+      }
+      def spineTs(localTsCol: Column): Column = (tz, unitKind) match {
+        case (Some(zone), k) if k != 's' =>
+          timestamp_micros(localGridToUtc(unix_micros(localTsCol), zone))
+        case _ => localTsCol
+      }
+      val (n, spine0) = strideMonthsOpt match {
         case Some(stride) =>
+          // step whole months from the `from` bucket (grid-anchored by
+          // construction), carrying its day-of-month and time-of-day
           val fm = from.toLocalDateTime; val tm = to.toLocalDateTime
-          val mse0 = (fm.getYear - 1970) * 12 + fm.getMonthValue - 1
-          val mse1 = (tm.getYear - 1970) * 12 + tm.getMonthValue - 1
-          val cnt = (mse1 - mse0) / stride + 1L
-          (cnt, spark.range(0, cnt).select(to_timestamp(add_months(
-            to_date(lit("1970-01-01")),
-            lit(mse0) + col("id").cast("int") * lit(stride))).as(tsOut)))
+          var md = (tm.getYear * 12 + tm.getMonthValue) -
+            (fm.getYear * 12 + fm.getMonthValue)
+          if (md > 0 && fm.plusMonths(md).isAfter(tm)) md -= 1
+          val cnt = math.max(md, 0).toLong / stride + 1
+          val todUs = fm.toLocalTime.toNanoOfDay / 1000L
+          (cnt, spark.range(0, cnt).select(col("id").as(IDX),
+            spineTs(timestamp_micros(unix_micros(to_timestamp(add_months(
+              to_date(lit(fm.toLocalDate.toString)),
+              col("id").cast("int") * lit(stride)))) + lit(todUs))).as(tsOut)))
         case None =>
-          val stepUs = spark.range(1)
-            .select(unix_micros(lit(to)) - unix_micros(lit(to) - expr(s"interval $bucket")))
-            .head().getLong(0)
           val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
           val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
-          val cnt = (toUs - fromUs) / stepUs + 1
-          (cnt, spark.range(0, cnt)
-            .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(tsOut)))
+          val cnt = (toUs - fromUs) / strideUs + 1
+          (cnt, spark.range(0, cnt).select(col("id").as(IDX),
+            spineTs(timestamp_micros(lit(fromUs) + col("id") * lit(strideUs))).as(tsOut)))
       }
+      // a DST spring-forward gap can map two local starts to one UTC
+      // instant -- dedupe so the spine join does not double rows
+      val spine = if (tz.isDefined && unitKind != 's') spine0.dropDuplicates(tsOut) else spine0
       // broadcast is right for typical spines; a fine-grained spine over
       // a long range (1s × a year) must stay distributed
-      val spineSide = if (n <= 1000000L) broadcast(spine) else spine
+      val spineSide = if (n <= 1000000L) broadcast(spine.drop(IDX)) else spine.drop(IDX)
       val grid =
         if (keys.isEmpty) spine
         else base.select(keys.map(col): _*).distinct().crossJoin(spineSide)
@@ -148,45 +268,145 @@ object SampleBy {
         base.withColumn(PRESENT, lit(1)),
         (keys :+ tsOut).toSeq, "left")
 
-      val wPrev = keyWindow(keys, tsOut).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = keyWindow(keys, tsOut).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val filled = perCol.foldLeft(joined) { case (d, (name, f)) =>
-        f match {
-          case NoFill | FillNull | FillPerColumn(_) => d
-          case FillConst(values) =>
-            values.get(name) match {
-              // cast the fill constant to the aggregate's own type so a
-              // FILL(0) on a count column stays long, not double
-              case Some(v) => d.withColumn(name,
-                when(col(PRESENT).isNotNull, col(name))
-                  .otherwise(lit(v).cast(d.schema(name).dataType)))
-              case None => d
-            }
-          case FillPrev =>
-            // struct-wrap so a legitimately-null present value is carried, not skipped
-            d.withColumn(name,
-              last(when(col(PRESENT).isNotNull, struct(col(name).as("v"))), ignoreNulls = true)
-                .over(wPrev).getField("v"))
-          case FillPrevOf(src) =>
-            d.withColumn(name,
-              when(col(PRESENT).isNotNull, col(name)).otherwise(
-                last(when(col(PRESENT).isNotNull, struct(col(src).as("v"))), ignoreNulls = true)
-                  .over(wPrev).getField("v").cast(d.schema(name).dataType)))
-          case FillLinear =>
-            val t = unix_micros(col(tsOut))
-            val known = when(col(PRESENT).isNotNull, struct(unix_micros(col(tsOut)).as("t"), col(name).as("v")))
-            val p = last(known, ignoreNulls = true).over(wPrev)
-            val x = first(known, ignoreNulls = true).over(wNext)
-            d.withColumn(name,
-              when(col(PRESENT).isNotNull, col(name)).otherwise(
-                p.getField("v") + (x.getField("v") - p.getField("v")) *
-                  (t - p.getField("t")).cast("double") /
-                  (x.getField("t") - p.getField("t")).cast("double")))
-        }
+      def needsWindow(f: Fill): Boolean = f match {
+        case FillPrev | FillLinear | FillPrevOf(_) => true
+        case _ => false
       }
-      filled.drop(PRESENT)
+      val filled =
+        if (keys.isEmpty && perCol.exists(pc => needsWindow(pc._2)))
+          fillNoKeySegmented(spark, joined, perCol, n, tsOut)
+        else {
+          val wPrev = keyWindow(keys, tsOut).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wNext = keyWindow(keys, tsOut).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          perCol.foldLeft(joined) { case (d, (name, f)) =>
+            f match {
+              case NoFill | FillNull | FillPerColumn(_) => d
+              case FillConst(values) =>
+                values.get(name) match {
+                  // cast the fill constant to the aggregate's own type so a
+                  // FILL(0) on a count column stays long, not double
+                  case Some(v) => d.withColumn(name,
+                    when(col(PRESENT).isNotNull, col(name))
+                      .otherwise(lit(v).cast(d.schema(name).dataType)))
+                  case None => d
+                }
+              case FillPrev =>
+                // struct-wrap so a legitimately-null present value is carried, not skipped
+                d.withColumn(name,
+                  last(when(col(PRESENT).isNotNull, struct(col(name).as("v"))), ignoreNulls = true)
+                    .over(wPrev).getField("v"))
+              case FillPrevOf(src) =>
+                d.withColumn(name,
+                  when(col(PRESENT).isNotNull, col(name)).otherwise(
+                    last(when(col(PRESENT).isNotNull, struct(col(src).as("v"))), ignoreNulls = true)
+                      .over(wPrev).getField("v").cast(d.schema(name).dataType)))
+              case FillLinear =>
+                val t = unix_micros(col(tsOut))
+                val known = when(col(PRESENT).isNotNull, struct(unix_micros(col(tsOut)).as("t"), col(name).as("v")))
+                val p = last(known, ignoreNulls = true).over(wPrev)
+                val x = first(known, ignoreNulls = true).over(wNext)
+                d.withColumn(name,
+                  when(col(PRESENT).isNotNull, col(name)).otherwise(
+                    p.getField("v") + (x.getField("v") - p.getField("v")) *
+                      (t - p.getField("t")).cast("double") /
+                      (x.getField("t") - p.getField("t")).cast("double")))
+            }
+          }
+        }
+      filled.drop(PRESENT, IDX)
         .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
     }
+  }
+
+  /** Un-keyed FILL(PREV/LINEAR/PREV(src)) without the single-partition
+    * global window: the bucket spine is cut into ≤1024 index segments,
+    * carries run per-segment in parallel, and only the per-segment
+    * boundary values (≤ segments+1 rows) pass through one tiny global
+    * window — the asofRangeNoKey two-pass carry shape. At 1 s buckets
+    * over years this turns a ~30 M-row single task into 1024 parallel
+    * ones.
+    */
+  private def fillNoKeySegmented(spark: org.apache.spark.sql.SparkSession,
+                                 joined: DataFrame,
+                                 perCol: Seq[(String, Fill)],
+                                 n: Long, tsOut: String): DataFrame = {
+    val prevSrcs = perCol.flatMap {
+      case (name, FillPrev) => Some(name)
+      case (_, FillPrevOf(src)) => Some(src)
+      case (name, FillLinear) => Some(name)
+      case _ => None
+    }.distinct
+    val nextSrcs = perCol.collect { case (name, FillLinear) => name }.distinct
+
+    val segLen = math.max(4096L, n / 1024L + 1)
+    val nSegs = n / segLen + 1
+    val seg = joined.withColumn(SEG, (col(IDX) / lit(segLen)).cast("long"))
+
+    def tv(c: String) = struct(unix_micros(col(tsOut)).as("t"), col(c).as("v"))
+    // per-segment boundary values from present rows only (index-ordered)
+    val boundaryAggs =
+      prevSrcs.map(c => max_by(tv(c), col(IDX)).as(s"__last_$c")) ++
+        nextSrcs.map(c => min_by(tv(c), col(IDX)).as(s"__first_$c"))
+    val segStats = seg.filter(col(PRESENT).isNotNull).groupBy(col(SEG))
+      .agg(boundaryAggs.head, boundaryAggs.tail: _*)
+    // dense segment spine so empty segments still forward the carry;
+    // ≤ nSegs+1 rows through the one global window — bounded spine, not
+    // data (same pattern as AsofJoin.asofRangeNoKey)
+    val wCarryPrev = Window.orderBy(col(SEG).asc).rowsBetween(Window.unboundedPreceding, -1)
+    val wCarryNext = Window.orderBy(col(SEG).asc).rowsBetween(1, Window.unboundedFollowing)
+    var carry = spark.range(0, nSegs).select(col("id").as(SEG))
+      .join(segStats, Seq(SEG), "left")
+    prevSrcs.foreach { c =>
+      carry = carry.withColumn(s"__carryp_$c",
+        last(col(s"__last_$c"), ignoreNulls = true).over(wCarryPrev))
+    }
+    nextSrcs.foreach { c =>
+      carry = carry.withColumn(s"__carryn_$c",
+        first(col(s"__first_$c"), ignoreNulls = true).over(wCarryNext))
+    }
+    carry = carry.select(col(SEG) +:
+      (prevSrcs.map(c => col(s"__carryp_$c")) ++
+        nextSrcs.map(c => col(s"__carryn_$c"))): _*)
+
+    val j2 = seg.join(broadcast(carry), Seq(SEG), "left")
+    val wSegPrev = Window.partitionBy(col(SEG)).orderBy(col(tsOut).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSegNext = Window.partitionBy(col(SEG)).orderBy(col(tsOut).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def known(c: String) = when(col(PRESENT).isNotNull, tv(c))
+    def effPrev(c: String) =
+      coalesce(last(known(c), ignoreNulls = true).over(wSegPrev), col(s"__carryp_$c"))
+    def effNext(c: String) =
+      coalesce(first(known(c), ignoreNulls = true).over(wSegNext), col(s"__carryn_$c"))
+
+    val filled = perCol.foldLeft(j2) { case (d, (name, f)) =>
+      f match {
+        case NoFill | FillNull | FillPerColumn(_) => d
+        case FillConst(values) =>
+          values.get(name) match {
+            case Some(v) => d.withColumn(name,
+              when(col(PRESENT).isNotNull, col(name))
+                .otherwise(lit(v).cast(d.schema(name).dataType)))
+            case None => d
+          }
+        case FillPrev =>
+          d.withColumn(name, effPrev(name).getField("v"))
+        case FillPrevOf(src) =>
+          d.withColumn(name,
+            when(col(PRESENT).isNotNull, col(name)).otherwise(
+              effPrev(src).getField("v").cast(d.schema(name).dataType)))
+        case FillLinear =>
+          val t = unix_micros(col(tsOut))
+          val p = effPrev(name); val x = effNext(name)
+          d.withColumn(name,
+            when(col(PRESENT).isNotNull, col(name)).otherwise(
+              p.getField("v") + (x.getField("v") - p.getField("v")) *
+                (t - p.getField("t")).cast("double") /
+                (x.getField("t") - p.getField("t")).cast("double")))
+      }
+    }
+    filled.drop(SEG +: (prevSrcs.map(c => s"__carryp_$c") ++
+      nextSrcs.map(c => s"__carryn_$c")): _*)
   }
 
   /** SAMPLE BY <calendar unit> ALIGN TO CALENDAR TIME ZONE 'tz'

@@ -179,6 +179,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => ArrayBroadcastRule)
     e.injectResolutionRule(_ => TimestampArithRule)
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PromoteIntToDouble].getName, "__graft_promote"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PromoteIntToDouble(children.head)))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_flat"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FlattenDeep].getName, "__graft_flat"),

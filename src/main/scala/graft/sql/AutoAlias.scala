@@ -462,6 +462,17 @@ object AutoAlias {
             changed = true
           }
         }
+      } else {
+        // trailing OVER <named-window> (bare or double-quoted ident) —
+        // reference names `sum(x) OVER w` after the function too
+        val overIdx = lastTopLevelWord(e, "over")
+        if (overIdx >= 0) {
+          val after = e.substring(overIdx + 4).trim
+          if (after.matches("[A-Za-z_]\\w*|\"[^\"]+\"|`[^`]+`")) {
+            e = e.substring(0, overIdx).trim
+            changed = true
+          }
+        }
       }
       val l2 = e.toLowerCase
       for (suffix <- Seq("ignore nulls", "respect nulls"))

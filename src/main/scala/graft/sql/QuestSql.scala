@@ -57,6 +57,30 @@ object QuestSql {
     while (it.hasNext) if (!keep(it.next())) it.remove()
   }
 
+  /** Full dialect session-state reset for harnesses that tear tables
+    * down between cases (RefParity): forgets every live/mat view
+    * definition and per-table catalog registration, keeping only the
+    * static parquet tables' designated-ts entries. Without this, a
+    * leftover live view whose name appears in a later statement gets
+    * re-materialized on every query (refreshLiveViews scans by name) —
+    * state contaminates and compounds across cases. */
+  def resetSessionState(): Unit = {
+    liveViewDefs.clear(); matViewDefs.clear()
+    graft.Catalog.clearTableRegistries()
+    retainDesignatedTs(graft.Tables.designatedTs.keySet)
+  }
+
+  /** DROP TABLE: remove the view and every catalog registration, so a
+    * re-created namesake starts clean. The static parquet test tables
+    * keep their designated-ts entry (re-registration via registerAll
+    * does not re-derive it). */
+  private def dropAndUnregister(spark: SparkSession, name: String): Unit = {
+    spark.catalog.dropTempView(name)
+    graft.Catalog.unregisterTable(name)
+    val key = name.split('.').last.toLowerCase
+    if (!graft.Tables.designatedTs.contains(key)) tsRegistry.remove(key)
+  }
+
   /** `expr alias` (implicit, call-result only) → `expr AS alias` so op
     * forms see one alias spelling. */
   private def normalizeAliasSpelling(item: String): String = {
@@ -240,7 +264,25 @@ object QuestSql {
     "import_files", "export_files", "export_activity", "query_activity",
     "checkpoint_status", "materialized_views", "live_views", "read_parquet")
 
-  private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
+  /** Flags the session so dialect-only analyzer rules
+    * ([[graft.plans.RefWindowTypeRule]]) engage for this statement and
+    * disengage after — DataFrame-API queries in the same session keep
+    * Spark semantics. Save/restore handles the recursive calls
+    * (refreshLiveViews, materialized subqueries). */
+  private def withRefSemantics[A](spark: SparkSession)(f: => A): A = {
+    val key = "graft.dialect.refSemantics"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
+    withRefSemantics(spark) { sqlBound0(spark, query, named) }
+
+  private def sqlBound0(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     var q0 = expandDeclare(query.trim.stripSuffix(";"))
     // QuestDB shorthand: `SELECT * FROM` is optional — `trades WHERE ...
     // LATEST ON ... LIMIT n` is a complete query (reference SqlParser
@@ -1066,13 +1108,16 @@ object QuestSql {
       Some(status(spark, "OK"))
 
     case DropAllRe() =>
-      // reference DROP ALL: every table, mat view, and live view goes
+      // reference DROP ALL: every table, mat view, and live view goes —
+      // including each one's catalog registrations (declared columns,
+      // WAL state, designated ts), so a re-created namesake starts clean
       spark.catalog.listTables().collect().foreach { t =>
         if (!t.name.startsWith("__"))
           try spark.catalog.dropTempView(t.name) catch { case _: Exception => () }
       }
       liveViewDefs.clear(); matViewDefs.clear()
-      graft.Catalog.liveViewMeta.clear()
+      graft.Catalog.clearTableRegistries()
+      retainDesignatedTs(graft.Tables.designatedTs.keySet)
       graft.Catalog.invalidateMetaViews(spark)
       Some(status(spark, "OK"))
 
@@ -1305,6 +1350,10 @@ object QuestSql {
         val ttlM = """(?is)\bTTL\s+(\d+)\s+(\w+)""".r.findFirstMatchIn(tail)
         val walSp = if ("""(?is)\bBYPASS\s+WAL\b""".r.findFirstIn(tail).isDefined) "BYPASS WAL"
           else if ("""(?is)\bWAL\b""".r.findFirstIn(tail).isDefined) "WAL"
+          // reference default (cairo.wal.enabled.default=true,
+          // PropServerConfiguration.java:938): a partitioned table with
+          // a designated timestamp is WAL-enabled unless BYPASS spelled
+          else if (partM.isDefined && tsOpt.isDefined) "WAL"
           else "BYPASS WAL"
         val tailStr = partM.map(m2 => s" PARTITION BY ${m2.group(1).toUpperCase}").getOrElse("") +
           ttlM.map(m2 => s" TTL ${m2.group(1)} ${m2.group(2).toUpperCase}").getOrElse("") +
@@ -1386,10 +1435,10 @@ object QuestSql {
         val wal = Option(graft.Catalog.createMeta.get(unq(name).toLowerCase)).exists(_.walEnabled)
         if (!wal) throw new IllegalStateException(
           s"could not lock '${unq(name)}~' [reason='checkpointInProgress']")
-        graft.ops.Checkpoint.defer(() => spark.catalog.dropTempView(unq(name)))
+        graft.ops.Checkpoint.defer(() => dropAndUnregister(spark, unq(name)))
         Some(status(spark, "OK"))
       } else {
-        spark.catalog.dropTempView(unq(name))
+        dropAndUnregister(spark, unq(name))
         Some(status(spark, "OK"))
       }
     case RenameRe(from, to) =>
@@ -1494,8 +1543,26 @@ object QuestSql {
     def declaredScale(col0: String): Option[Int] = {
       val c = col0.split('.').last.toLowerCase
       import scala.jdk.CollectionConverters._
-      graft.Catalog.declaredCols.values.asScala.flatMap(_.get(c)).collectFirst {
-        case d if d.tpe.toUpperCase.startsWith("DECIMAL") =>
+      // only consult tables the statement actually references — a
+      // DECIMAL column of the same name declared in an unrelated table
+      // must not rescale avg() over some other table's DOUBLE column
+      val qLower = q0.toLowerCase
+      def referenced(table: String): Boolean = {
+        var i = qLower.indexOf(table)
+        while (i >= 0) {
+          val pre = i == 0 || { val ch = qLower.charAt(i - 1); !ch.isLetterOrDigit && ch != '_' }
+          val post = i + table.length >= qLower.length || {
+            val ch = qLower.charAt(i + table.length); !ch.isLetterOrDigit && ch != '_'
+          }
+          if (pre && post) return true
+          i = qLower.indexOf(table, i + 1)
+        }
+        false
+      }
+      graft.Catalog.declaredCols.asScala.collectFirst {
+        case (tbl, cols) if referenced(tbl) && cols.get(c).exists(
+            _.tpe.toUpperCase.startsWith("DECIMAL")) =>
+          val d = cols(c)
           """\(\s*\d+\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(d.tpe)
             .map(_.group(1).toInt).getOrElse(0)
       }
@@ -1547,6 +1614,45 @@ object QuestSql {
     q.replace("__AVGS__(", "avg(")
   }
 
+
+  /** Window `sum(X) OVER` → `sum(__graft_promote(X)) OVER`: the
+    * reference has only SumDouble/SumDecimal window variants
+    * (`functions/window/SumDoubleWindowFunctionFactory.java`), so an
+    * integral argument widens to DOUBLE. `__graft_promote`
+    * ([[graft.plans.PromoteIntToDouble]]) casts integral inputs and
+    * passes everything else through, so decimals keep SumDecimal
+    * semantics. GROUP BY sum is untouched (reference sum(INT) → LONG
+    * there). */
+  private def rewriteWindowSum(q0: String): String = {
+    val pat = java.util.regex.Pattern.compile("(?is)\\bsum\\s*\\(")
+    var q = q0
+    var from = 0
+    var m = pat.matcher(q)
+    while (m.find(from)) {
+      val open = m.end() - 1
+      var depth = 0; var i = open; var end = -1
+      while (i < q.length && end < 0) {
+        q.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case '\'' => var k = i + 1; while (k < q.length && q.charAt(k) != '\'') k += 1; i = k
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return q
+      val args = q.substring(open + 1, end)
+      val tail = q.substring(end + 1)
+      val overNext = """(?is)^\s*(?:(?:ignore|respect)\s+nulls\s+)?over\b""".r
+        .findFirstIn(tail).isDefined
+      if (overNext && !args.trim.toLowerCase.startsWith("__graft_promote") && args.trim.nonEmpty) {
+        q = q.substring(0, open + 1) + "__graft_promote(" + args + ")" + q.substring(end)
+        from = end + "__graft_promote()".length + 1
+      } else from = end + 1
+      m = pat.matcher(q)
+    }
+    q
+  }
 
   /** Reference long→timestamp cast semantics (micros since epoch).
     * Timestamp-target casts are emitted as `__QCAST__(... AS TIMESTAMP)`
@@ -1966,6 +2072,7 @@ object QuestSql {
     // (window variant) must stay inside the cast — balanced scan, since
     // a rewritten RANGE frame nests parens arbitrarily deep.
     q = rewriteAvgScale(q)
+    q = rewriteWindowSum(q)
     q = expandCalls(q, "geomean") { case Seq(x) =>
       s"exp(avg(ln($x)))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
@@ -3242,6 +3349,11 @@ object QuestSql {
           require(n == "1", s"calendar unit $unit supports stride 1 only")
           val f = s"date_trunc('${if (unit == "M") "month" else "year"}', $tsExpr)"
           (f, f)
+        case "w" =>
+          // weeks anchor at Monday: epoch Thu 1970-01-01 + 4 days
+          // (reference WeekTimestampSampler)
+          ("window.start",
+            s"window($tsExpr, '${strideOf(n, unit)}', '${strideOf(n, unit)}', '4 days')")
         case _ =>
           ("window.start", s"window($tsExpr, '${strideOf(n, unit)}')")
       }
@@ -3372,33 +3484,60 @@ object QuestSql {
 
       val whered = Option(where).map(base0.where).getOrElse(base0)
       // FROM/TO (reference: inclusive FROM, exclusive TO) bound both the
-      // data and the fill spine; each side is optional independently
+      // data and the fill spine; each side is optional independently.
+      // With a TIME ZONE the literals are local wall-clock — the data
+      // filter needs their UTC instants, while the grid anchor keeps the
+      // local values.
       val fromP = Option(fromLit).map(parsePoint)
       val toP = Option(toLit).map(parsePoint)
-      val ranged = (fromP, toP) match {
+      def filterBound(t: java.sql.Timestamp): java.sql.Timestamp = Option(tzLit) match {
+        case Some(z) => graft.ops.SampleBy.localToUtc(t, z)
+        case None => t
+      }
+      val ranged = (fromP.map(filterBound), toP.map(filterBound)) match {
         case (Some(f), Some(t)) => whered.where(col(tsName) >= lit(f) && col(tsName) < lit(t))
         case (Some(f), None) => whered.where(col(tsName) >= lit(f))
         case (None, Some(t)) => whered.where(col(tsName) < lit(t))
         case _ => whered
       }
+      val weekShiftUs0 = if (unit == "w") 4L * 86400000000L else 0L
+      def offsetShiftUs(off: String): Long = {
+        val m2 = """(-?)(\d{2}):(\d{2})""".r.findFirstMatchIn(off.trim).get
+        (m2.group(2).toLong * 3600 + m2.group(3).toLong * 60) * 1000000L *
+          (if (m2.group(1) == "-") -1 else 1)
+      }
       val range = (fromP, toP) match {
         case (Some(from), Some(to)) =>
-          val lastBucket = strideMonths match {
+          strideMonths match {
             case Some(sm) =>
-              // last bucket strictly before the exclusive TO bound
+              // last bucket strictly before the exclusive TO bound — on
+              // the FROM-anchored month grid (buckets carry FROM's
+              // day-of-month and time-of-day)
               val f = from.toLocalDateTime; val t = to.toLocalDateTime.minusNanos(1000)
-              val m0 = (f.getYear - 1970) * 12 + f.getMonthValue - 1
-              val m1 = (t.getYear - 1970) * 12 + t.getMonthValue - 1
-              java.sql.Timestamp.valueOf(java.time.LocalDate.of(1970, 1, 1)
-                .plusMonths(m0 + (m1 - m0).toLong / sm * sm).atStartOfDay())
+              var md = (t.getYear * 12 + t.getMonthValue) -
+                (f.getYear * 12 + f.getMonthValue)
+              if (md > 0 && f.plusMonths(md).isAfter(t)) md -= 1
+              Some((from, java.sql.Timestamp.valueOf(
+                f.plusMonths(math.max(md, 0).toLong / sm * sm))))
             case None =>
-              val fromUs = from.getTime * 1000L
+              // an explicit WITH OFFSET anchors the grid (calendar +
+              // offset, SampleByFillNullValueTest:697) and FROM only
+              // clips — ceil FROM to the grid; without it FROM is the
+              // anchor
+              val fromUs0 = from.getTime * 1000L
               val toUs = to.getTime * 1000L
-              val lastBucketUs = fromUs + ((toUs - 1 - fromUs) / strideUs) * strideUs
-              java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                lastBucketUs / 1000000L, lastBucketUs % 1000000L * 1000L))
+              val anchorUs = Option(offsetLit) match {
+                case Some(off) => offsetShiftUs(off) + weekShiftUs0
+                case None => fromUs0
+              }
+              val rem = (((anchorUs - fromUs0) % strideUs) + strideUs) % strideUs
+              val fromGridUs = fromUs0 + rem
+              val lastBucketUs = fromGridUs +
+                ((toUs - 1 - fromGridUs) / strideUs) * strideUs
+              def tsOf(us: Long) = java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L))
+              Some((tsOf(fromGridUs), tsOf(lastBucketUs)))
           }
-          Some((from, lastBucket))
         case _ => None // a single open bound narrows the data only
       }
 
@@ -3411,16 +3550,19 @@ object QuestSql {
           // FROM point — SampleByTest FROM/TO + OFFSET); otherwise the
           // WITH OFFSET shift reduced into the stride (Spark's window()
           // requires |start| < slide)
+          // weeks anchor at Monday (epoch Thu 1970-01-01 + 4 days —
+          // reference WeekTimestampSampler), composed with WITH OFFSET;
+          // an explicit FROM supersedes both (grid anchored AT the
+          // FROM point)
           val offsetEff: String =
             if (strideMonths.isEmpty) {
+              // WITH OFFSET anchors even when FROM is present (FROM then
+              // only clips — see the range computation above)
               val baseUs = (fromP, Option(offsetLit)) match {
-                case (Some(f), _) => ((f.getTime * 1000L % strideUs) + strideUs) % strideUs
                 case (_, Some(off)) =>
-                  val m2 = """(-?)(\d{2}):(\d{2})""".r.findFirstMatchIn(off.trim).get
-                  val us = (m2.group(2).toLong * 3600 + m2.group(3).toLong * 60) * 1000000L *
-                    (if (m2.group(1) == "-") -1 else 1)
-                  ((us % strideUs) + strideUs) % strideUs
-                case _ => 0L
+                  (((offsetShiftUs(off) + weekShiftUs0) % strideUs) + strideUs) % strideUs
+                case (Some(f), None) => ((f.getTime * 1000L % strideUs) + strideUs) % strideUs
+                case _ => weekShiftUs0 % strideUs
               }
               s"$baseUs microseconds"
             } else Option(offsetLit).map(offsetInterval).getOrElse("0 seconds")
@@ -3430,7 +3572,8 @@ object QuestSql {
             tz = Option(tzLit),
             tsOut = tsOut,
             rangeLo = if (range.isEmpty) fromP else None,
-            rangeHi = if (range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None)
+            rangeHi = if (range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None,
+            unit = Some(unit.head))
       }
       // project in select-list order
       val outNames = items.map {
