@@ -129,6 +129,12 @@ object RefParity {
           val m = msg(e)
           if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("Table or view not found"))
             Left(("skip_missing", m))
+          // bind-variable markers with no values: the JUnit body bound
+          // them through the API — an extraction gap, not a defect
+          else if (m.contains("UNBOUND_SQL_PARAMETER") ||
+              (m.contains("PARSE_SYNTAX_ERROR") &&
+                """\$\d+""".r.findFirstIn(c.query).isDefined))
+            Left(("skip_bind", m))
           else Left(("error", m))
       }
     exec() match {
@@ -156,9 +162,23 @@ object RefParity {
               }
             }
           case Some(diff) if diff.startsWith("HEADER_ONLY") => ("pass_values", diff)
-          case Some(diff) => ("mismatch", diff)
+          case Some(diff) => classifyMismatch(c, text, diff)
         }
     }
+  }
+
+  /** An empty result against a non-empty expectation, when the harvested
+    * setup never wrote any data (no INSERT/COPY/CTAS — the JUnit body
+    * ingested over a socket or builder API the extractor cannot see), is
+    * an extraction gap, not an engine defect. */
+  private def classifyMismatch(c: Case, actual: String, diff: String): (String, String) = {
+    val actualRows = actual.count(_ == '\n') - 1
+    val expectedRows = Option(c.expected).map(_.count(_ == '\n') - 1).getOrElse(0)
+    val wrote = c.ddls.exists(d =>
+      """(?i)^\s*(insert|copy)\b""".r.findFirstIn(d).isDefined ||
+        """(?i)^\s*create\s+table\s.*\bas\b""".r.findFirstIn(d).isDefined)
+    if (actualRows == 0 && expectedRows > 0 && !wrote) ("skip_nodata", diff)
+    else ("mismatch", diff)
   }
 
   /** None = match; Some(diff) = first difference. Accepts a values-only

@@ -613,7 +613,46 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | BinaryType | StringType => true
+    case _: DecimalType => true
     case _ => false
+  }
+
+  /** PostgreSQL `numeric` binary wire format (utils/adt/numeric.c
+    * NumericVar send/recv; reference cutlass/pgwire PGResponseSink
+    * numeric branch): int16 ndigits, int16 weight (base-10000 exponent
+    * of the first digit), int16 sign (0x0000/0x4000), int16 dscale,
+    * then ndigits base-10000 digits, big-endian.
+    */
+  private def numericBin(bd: java.math.BigDecimal): Array[Byte] = {
+    val sign = if (bd.signum() < 0) 0x4000 else 0x0000
+    val dscale = math.max(bd.scale(), 0)
+    val abs = bd.abs()
+    if (abs.unscaledValue().signum() == 0) {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.putShort(0); b.putShort(0); b.putShort(sign.toShort); b.putShort(dscale.toShort)
+      return b.array()
+    }
+    // integer = |value| · 10^(dscale + pad) with the fraction padded to
+    // whole base-10000 groups
+    val fracPad = (4 - dscale % 4) % 4
+    var x = abs.movePointRight(dscale).toBigIntegerExact
+      .multiply(java.math.BigInteger.TEN.pow(fracPad))
+    val fracGroups = (dscale + fracPad) / 4
+    val B10000 = java.math.BigInteger.valueOf(10000)
+    var digits = List.empty[Short]
+    while (x.signum() != 0) {
+      val qr = x.divideAndRemainder(B10000)
+      digits ::= qr(1).shortValueExact()
+      x = qr(0)
+    }
+    val weight = digits.length - fracGroups - 1
+    // trailing zero groups are implied
+    val trimmed = digits.reverse.dropWhile(_ == 0).reverse
+    val b = java.nio.ByteBuffer.allocate(8 + 2 * trimmed.length)
+    b.putShort(trimmed.length.toShort); b.putShort(weight.toShort)
+    b.putShort(sign.toShort); b.putShort(dscale.toShort)
+    trimmed.foreach(d => b.putShort(d))
+    b.array()
   }
 
   /** Binary result encodings (protocol `integer_datetimes=on` wire
@@ -642,6 +681,8 @@ class PgWireServer(engine: graft.Engine, port: Int = 0,
       case (d: java.time.LocalDate, _) =>
         alloc(4).putInt((d.toEpochDay - PgEpochDays).toInt).array()
       case (bytes: Array[Byte], BinaryType) => bytes
+      case (d: java.math.BigDecimal, _) => numericBin(d)
+      case (d: scala.math.BigDecimal, _) => numericBin(d.bigDecimal)
       case (other, dtt) => textOf(other, dtt).getBytes(UTF_8)
     }
   }

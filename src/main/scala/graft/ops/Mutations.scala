@@ -91,9 +91,23 @@ object Mutations {
   def dropColumn(spark: SparkSession, tableDir: String, name: String): Unit =
     rewrite(spark, tableDir)(_.drop(name))
 
-  /** ALTER ... ALTER COLUMN TYPE (reference ConvertOperatorImpl). */
+  /** ALTER ... ALTER COLUMN TYPE (reference ConvertOperatorImpl). A
+    * value outside the narrower type's range converts to NULL (the
+    * reference's overflow behavior), not Spark's saturating cast. */
   def alterColumnType(spark: SparkSession, tableDir: String, name: String, newType: String): Unit =
-    rewrite(spark, tableDir)(df => df.withColumn(name, col(name).cast(newType)))
+    rewrite(spark, tableDir) { df =>
+      val c = col(name)
+      def ranged(lo: Double, hi: Double) =
+        when(c.cast("double").between(lo, hi), c.cast(newType))
+      val casted = newType.toLowerCase match {
+        case "int" | "integer" => ranged(Int.MinValue.toDouble, Int.MaxValue.toDouble)
+        case "smallint" => ranged(Short.MinValue.toDouble, Short.MaxValue.toDouble)
+        case "tinyint" => ranged(Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
+        case "bigint" => ranged(Long.MinValue.toDouble, Long.MaxValue.toDouble)
+        case _ => c.cast(newType)
+      }
+      df.withColumn(name, casted)
+    }
 
   private def rewrite(spark: SparkSession, tableDir: String)(f: DataFrame => DataFrame): Unit = {
     val out = f(spark.read.parquet(tableDir)).persist()

@@ -78,6 +78,24 @@ object SampleBy {
     monthAdd(md - pmod(md, lit(n)))
   }
 
+  /** Fixed-width interval string → micros, parsed without a Spark job
+    * (each `spark.range(1)...head()` evaluation was a full driver job —
+    * measurable per-statement overhead on the interactive path). */
+  private val IntervalRe =
+    """(?i)^\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day|week)s?\s*$""".r
+  private def intervalUs(s: String): Long = s.trim match {
+    case IntervalRe(n, u) => n.toLong * (u.toLowerCase match {
+      case "microsecond" => 1L
+      case "millisecond" => 1000L
+      case "second" => 1000000L
+      case "minute" => 60000000L
+      case "hour" => 3600000000L
+      case "day" => 86400000000L
+      case "week" => 7L * 86400000000L
+    })
+    case other => throw new IllegalArgumentException(s"unsupported interval '$other'")
+  }
+
   /** The zone's standard (non-DST) offset in micros — the reference's
     * TimeZoneRules.getStandardOffset (last standard offset in the
     * rules, AbstractTimeZoneRules.java:70). */
@@ -117,14 +135,12 @@ object SampleBy {
                tsOut: String = "ts",
                rangeLo: Option[java.sql.Timestamp] = None,
                rangeHi: Option[java.sql.Timestamp] = None,
-               unit: Option[Char] = None): DataFrame = {
+               unit: Option[Char] = None,
+               anchor: Option[java.sql.Timestamp] = None): DataFrame = {
     val spark = df.sparkSession
     val strideMonthsOpt = monthsOf(bucket)
-    def evalUs(interval: String): Long = spark.range(1)
-      .select(unix_micros(lit(new java.sql.Timestamp(0L)) + expr(s"interval $interval")))
-      .head().getLong(0)
-    lazy val strideUs: Long = evalUs(bucket)
-    lazy val offsetUs: Long = evalUs(offset)
+    lazy val strideUs: Long = intervalUs(bucket)
+    lazy val offsetUs: Long = intervalUs(offset)
     // 'M' month-grained, 'd' day/week, 's' sub-day
     val unitKind: Char =
       if (strideMonthsOpt.isDefined) 'M'
@@ -133,8 +149,10 @@ object SampleBy {
         case Some(_) => 's'
         case None => if (strideUs % 86400000000L == 0) 'd' else 's'
       }
-    // the FROM point anchors the grid (month grids carry its day+time)
-    val explicitFrom = range.map(_._1).orElse(rangeLo)
+    // the FROM point anchors the grid (month grids carry its day+time);
+    // an explicit `anchor` also covers FROM-without-FILL, where no spine
+    // bounds are passed (FROM only filters + anchors there)
+    val explicitFrom = anchor.orElse(range.map(_._1)).orElse(rangeLo)
     val monthAnchor: java.time.LocalDateTime =
       explicitFrom.map(_.toLocalDateTime)
         .getOrElse(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
@@ -313,8 +331,10 @@ object SampleBy {
             }
           }
         }
+      // reference fill cursors emit bucket-major order: every key's row
+      // for bucket t before any row of bucket t+1
       filled.drop(PRESENT, IDX)
-        .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+        .orderBy((col(tsOut) +: keys.map(col)).map(_.asc): _*)
     }
   }
 

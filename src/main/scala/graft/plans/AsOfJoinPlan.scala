@@ -178,6 +178,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectResolutionRule(_ => ArrayBroadcastRule)
     e.injectResolutionRule(_ => TimestampArithRule)
+    e.injectResolutionRule(_ => RefArrayCastRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -27,3 +27,40 @@ case class PromoteIntToDouble(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PromoteIntToDouble =
     copy(child = newChild)
 }
+
+/** Reference array→VARCHAR rendering: `[[1.0,2.0],[3.0,4.0]]` — no
+  * spaces after commas (reference ArrayTypeDriver.arrayToStr), where
+  * Spark's cast produces `[1.0, 2.0]`. Applied only to dialect
+  * statements (gated on `graft.dialect.refSemantics`); output type is
+  * unchanged (string), so the post-resolution rewrite is safe. */
+object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private var counter = 0L
+  private def freshVar(): UnresolvedNamedLambdaVariable = synchronized {
+    counter += 1
+    UnresolvedNamedLambdaVariable(Seq(s"__acx$counter"))
+  }
+
+  private def fmt(e: Expression, dt: DataType): Expression = dt match {
+    case ArrayType(et, _) =>
+      val x = freshVar()
+      Concat(Seq(Literal("["),
+        ArrayJoin(ArrayTransform(e, LambdaFunction(fmt(x, et), Seq(x))),
+          Literal(","), Some(Literal("null"))),
+        Literal("]")))
+    case _ => Cast(e, StringType)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case c: Cast if c.dataType == StringType && c.child.resolved &&
+            c.child.dataType.isInstanceOf[ArrayType] =>
+          fmt(c.child, c.child.dataType)
+      }
+    }
+  }
+}

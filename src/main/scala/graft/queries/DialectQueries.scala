@@ -596,16 +596,19 @@ object DialectQueries extends QueryPack {
         |  SELECT event_id,
         |    CAST(8 + event_id % 17 AS INT) AS n,
         |    (event_id * 2654435761) % 4294967296 AS ip
-        |  FROM events WHERE event_id < 300)
+        |  FROM events WHERE event_id < 300),
+        |q AS (SELECT event_id, ip, ((4294967295 << (32 - n)) & 4294967295) AS mv FROM p)
         |SELECT event_id,
-        |  CAST(4294967040 AS BIGINT) AS m24,
-        |  ((4294967295 << (32 - n)) & 4294967295) AS mvar,
+        |  '255.255.255.0' AS m24,
+        |  CAST(mv >> 24 AS VARCHAR) || '.' || CAST((mv >> 16) % 256 AS VARCHAR)
+        |    || '.' || CAST((mv >> 8) % 256 AS VARCHAR) || '.' || CAST(mv % 256 AS VARCHAR) AS mvar,
         |  (event_id % 256) * 16777216 + 66051 AS ipl,
-        |  CAST((ip >> 24) % 256 AS VARCHAR) || '.' || CAST((ip >> 16) % 256 AS VARCHAR)
-        |    || '.' || CAST((ip >> 8) % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) AS dotted,
+        |  CASE WHEN ip = 0 THEN NULL ELSE
+        |    CAST((ip >> 24) % 256 AS VARCHAR) || '.' || CAST((ip >> 16) % 256 AS VARCHAR)
+        |      || '.' || CAST((ip >> 8) % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) END AS dotted,
         |  true AS in16,
         |  false AS out16
-        |FROM p ORDER BY event_id""".stripMargin,
+        |FROM q ORDER BY event_id""".stripMargin,
 
     "q_timestamp_ns" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) + event_id % 1000 AS ns FROM events)

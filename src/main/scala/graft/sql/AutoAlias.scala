@@ -249,8 +249,19 @@ object AutoAlias {
     // mask generic type args (ARRAY<double>) so '<'/'>' don't read as ops
     e = e.replaceAll("(?i)\\bARRAY\\s*<[^<>]*(?:<[^<>]*>)?[^<>]*>", "ARRAYT")
     val lower = e.toLowerCase
-    if (lower.startsWith("case") && (e.length == 4 || !isIdentChar(e.charAt(4))))
-      return "case"
+    if (lower.startsWith("case") && (e.length == 4 || !isIdentChar(e.charAt(4)))) {
+      // the reference rewrites CASE whose WHEN branches are equality
+      // tests over one common expression into its switch() function
+      // (SqlOptimiser rewriteCase) — the unaliased column is then named
+      // 'switch'; a general CASE stays 'case'
+      val whens = """(?is)\bWHEN\s+(.+?)\s+THEN\b""".r
+        .findAllMatchIn(e).map(_.group(1).trim).toList
+      val eqLhs = whens.flatMap { w =>
+        """(?s)^([\w.]+)\s*=\s*[^=<>].*$""".r.findFirstMatchIn(w).map(_.group(1))
+      }
+      return if (whens.nonEmpty && eqLhs.size == whens.size && eqLhs.distinct.size == 1)
+        "switch" else "case"
+    }
     val (hasOp, hasCastOp) = topLevelOps(e)
     if (hasOp) return "column"
     if (hasCastOp) return "cast"
@@ -262,6 +273,8 @@ object AutoAlias {
           // subscripts/slices were already lowered — the reference names
           // the `a[i]` AST node "[]"
           else if (name.equalsIgnoreCase("slice") || name.equalsIgnoreCase("try_element_at")) "[]"
+          // sentinel for rewritten operator expressions (ipv4 arithmetic)
+          else if (name == "__graft_col") "column"
           else name
       case _ =>
     }

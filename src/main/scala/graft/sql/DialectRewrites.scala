@@ -20,7 +20,8 @@ package graft.sql
 object DialectRewrites {
 
   def apply(q0: String): String = {
-    var q = doubleQuotedIdents(q0)
+    var q = stripComments(q0)
+    q = doubleQuotedIdents(q)
     q = mapOutside(q)(underscoreDigits)
     q = mapOutside(q)(decimalSuffix)
     q = mapOutside(q)(hexLiterals)
@@ -32,14 +33,33 @@ object DialectRewrites {
     q = mapOutside(q)(nanLiteral)
     q = ipv4Ops(q)
     q = arrayLiterals(q)
+    // PG array-literal text casts: '{-1,-2}'::double[] — the brace text
+    // parses as JSON (quoted elements coerce to the element type)
+    q = """(?i)('\{[^']*\}')\s*::\s*([a-z]+)\s*\[\s*\]""".r.replaceAllIn(q, m => {
+      val et = m.group(2).toLowerCase match {
+        case "double" | "real" => "double"
+        case "float" => "float"
+        case "long" | "bigint" => "bigint"
+        case "int" | "integer" => "int"
+        case other => other
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"from_json(translate(${m.group(1)}, '{}', '[]'), 'array<$et>')")
+    })
     q = mapOutside(q)(arrayTypeCasts)
     q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
-    // quoted-literal ::date / ::timestamp operands sit inside string
-    // literals, which mapOutside never shows tsColonCasts — handle the
-    // literal forms on the full text first
-    q = q.replaceAll("(?i)('(?:[^']|'')*')\\s*::\\s*date\\b", "CAST($1 AS DATE)")
+    // quoted-literal ::date / ::timestamp[_ns] operands sit inside
+    // string literals — and paren operands CONTAINING literals split
+    // across mapOutside segments — so handle those forms on the full
+    // text first (quote-aware paren operand)
+    locally {
+      val parenOp = """\((?:[^()']|'[^']*'|\([^()']*\))*\)"""
+      q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp_ns\\b", "__ns_cast($1)")
+      q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp\\b(?!_ns)", "__ts_us_cast($1)")
+      q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*date\\b", "CAST($1 AS DATE)")
+    }
     q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
     q = namedWindows(q)
@@ -82,6 +102,8 @@ object DialectRewrites {
     // the reference lexer needs no space between ')' and a keyword
     q = mapOutside(q)(s => s.replaceAll(
       "(?i)\\)(from|where|sample|order|group|limit|union|intersect|except|latest|align|and|or)\\b", ") $1"))
+    // ...nor between FROM/JOIN and an opening paren (`FROM(select ...)`)
+    q = mapOutside(q)(_.replaceAll("(?i)\\b(from|join)\\(", "$1 ("))
     q
   }
 
@@ -222,7 +244,7 @@ object DialectRewrites {
       val strict = !op.endsWith("=")
       val base =
         s"(CASE WHEN instr($netS, '/') > 0 THEN " +
-          s"((${long(ip)} & netmask($netS)) = (ipv4_str_to_long(split_part($netS, '/', 1)) & netmask($netS)))" +
+          s"((${long(ip)} & __netmask_num($netS)) = (ipv4_str_to_long(split_part($netS, '/', 1)) & __netmask_num($netS)))" +
           (if (strict) " AND CAST(split_part($NET, '/', 2) AS INT) < 32".replace("$NET", netS) else "") +
           s" ELSE ${if (strict) "false" else s"(${long(ip)} = ipv4_str_to_long($netS))"} END)"
       s = s.substring(0, m.start()) + base + s.substring(m.end())
@@ -242,14 +264,24 @@ object DialectRewrites {
         val hasLit = l.toUpperCase.startsWith("IPV4LIT(") || r.toUpperCase.startsWith("IPV4LIT(")
         if (hasLit) {
           found = true
+          // ipv4 value 0 IS the reference's null (Numbers.IPv4_NULL) —
+          // a null operand poisons arithmetic, and a 0 result renders
+          // empty. __graft_col keeps reference column naming ('column'
+          // for operator expressions) through AutoAlias.
+          def ipNull(x: String): String = {
+            val lx = long(x)
+            if (x.toUpperCase.startsWith("IPV4LIT(") || !x.matches("-?\\d+|'[^']*'"))
+              s"nullif($lx, 0)"
+            else lx
+          }
           val repl = op match {
             case ">=" | "<=" | "=" | "!=" | "<>" | "<" | ">" =>
               s"(${long(l)} $op ${long(r)})"
             case "&" | "|" | "^" =>
-              s"ipv4_long_to_str((${long(l)} $op ${long(r)}) & 4294967295)"
+              s"__graft_col(ipv4_long_to_str((${long(l)} $op ${long(r)}) & 4294967295))"
             case "+" | "-" =>
-              s"(CASE WHEN (${long(l)} $op ${long(r)}) BETWEEN 0 AND 4294967295 " +
-                s"THEN ipv4_long_to_str(${long(l)} $op ${long(r)}) END)"
+              s"__graft_col(CASE WHEN (${ipNull(l)} $op ${ipNull(r)}) BETWEEN 1 AND 4294967295 " +
+                s"THEN ipv4_long_to_str(${ipNull(l)} $op ${ipNull(r)}) END)"
           }
           s = s.substring(0, mm.start()) + repl + s.substring(mm.end())
         }
@@ -257,7 +289,7 @@ object DialectRewrites {
     }
     // unary ~ and leftover bare literals
     s = s.replaceAll("(?i)~\\s*IPV4LIT\\('([^']*)'\\)",
-      "ipv4_long_to_str(4294967295 ^ ipv4_str_to_long('$1'))")
+      "__graft_col(ipv4_long_to_str(4294967295 ^ ipv4_str_to_long('$1')))")
     s = s.replaceAll("(?i)IPV4LIT\\(('[^']*')\\)", "$1")
     s
   }
@@ -544,12 +576,24 @@ object DialectRewrites {
     val bound = java.util.regex.Pattern.compile(
       "(?i)'?(\\d+)'?\\s+(microsecond|millisecond|second|minute|hour|day)s?\\s+(PRECEDING|FOLLOWING)")
     var s = q0
-    val m = bound.matcher(s)
-    if (!m.find()) return s
+    val hasUnit = bound.matcher(s).find()
+    val hasBareRange =
+      """(?is)\bRANGE\s+(?:BETWEEN\s+)?\d+\s+(?:PRECEDING|FOLLOWING)""".r.findFirstIn(s).isDefined ||
+        """(?is)\bRANGE\s+BETWEEN\s+(?:UNBOUNDED\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+\d+\s+""".r.findFirstIn(s).isDefined
+    if (!hasUnit && !hasBareRange) return s
     // step 1: time bound → marked micros literal
     s = bound.matcher(s).replaceAll(mr =>
       "§US§" + (mr.group(1).toLong * unitUs(mr.group(2).toLowerCase)) +
         " " + mr.group(3))
+    // bare numeric RANGE bounds are MICROSECONDS in the reference (RANGE
+    // frames require designated-timestamp order) — mark them the same
+    // way. ROWS/GROUPS frames keep bare numbers as row counts.
+    s = s.replaceAll(
+      "(?is)\\b(RANGE\\s+(?:BETWEEN\\s+)?)(\\d+)(\\s+(?:PRECEDING|FOLLOWING))",
+      "$1§US§$2$3")
+    s = s.replaceAll(
+      "(?is)\\b(RANGE\\s+BETWEEN\\s+(?:§US§\\d+\\s+(?:PRECEDING|FOLLOWING)|UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW)\\s+AND\\s+)(\\d+)(\\s+(?:PRECEDING|FOLLOWING))",
+      "$1§US§$2$3")
     // step 2: wrap the ORDER BY key of every frame that got a marker
     val frame = java.util.regex.Pattern.compile(
       "(?is)(ORDER\\s+BY\\s+)(.+?)(\\s+ASC|\\s+DESC)?(\\s+RANGE\\s+(?:BETWEEN\\s+)?)(?=[^()]*§US§)")
@@ -558,6 +602,31 @@ object DialectRewrites {
         mr.group(1) + s"unix_micros(CAST(${mr.group(2)} AS TIMESTAMP))" +
           Option(mr.group(3)).getOrElse("") + mr.group(4)))
     s.replace("§US§", "")
+  }
+
+  /** Strip `/* ... */` blocks (incl. optimizer hints the reference
+    * accepts but later textual passes would mangle) and `-- ...` line
+    * tails, respecting string literals. */
+  private def stripComments(q: String): String = {
+    if (!q.contains("/*") && !q.contains("--")) return q
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < q.length && q.charAt(j) != '\'') j += 1
+        sb.append(q.substring(i, math.min(j + 1, q.length))); i = j + 1
+      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        val end = q.indexOf("*/", i + 2)
+        sb.append(' ')
+        i = if (end < 0) q.length else end + 2
+      } else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        val end = q.indexOf('\n', i)
+        i = if (end < 0) q.length else end
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Apply `f` to the segments outside single-quoted strings. */

@@ -280,7 +280,48 @@ object QuestSql {
   }
 
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
-    withRefSemantics(spark) { sqlBound0(spark, query, named) }
+    withRefSemantics(spark) { tagNsColumns(query, sqlBound0(spark, query, named)) }
+
+  /** Tag result columns that carry a TIMESTAMP_NS-declared column of a
+    * referenced table, so RefText prints the reference's 9-digit
+    * NSEC_UTC pattern (cairo TimestampDriver ns formatting). Name-based:
+    * the output column keeps the source column's name in the dialect's
+    * select-list conventions. */
+  private def tagNsColumns(q: String, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val qLower = q.toLowerCase
+    def referenced(table: String): Boolean = {
+      var i = qLower.indexOf(table)
+      while (i >= 0) {
+        val pre = i == 0 || { val ch = qLower.charAt(i - 1); !ch.isLetterOrDigit && ch != '_' }
+        val post = i + table.length >= qLower.length || {
+          val ch = qLower.charAt(i + table.length); !ch.isLetterOrDigit && ch != '_'
+        }
+        if (pre && post) return true
+        i = qLower.indexOf(table, i + 1)
+      }
+      false
+    }
+    var nsCols = Set.empty[String]
+    graft.Catalog.declaredCols.asScala.foreach { case (tbl, cols) =>
+      if (qLower.contains(tbl) && referenced(tbl))
+        nsCols ++= cols.collect {
+          case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") => n
+        }
+    }
+    if (nsCols.isEmpty) df
+    else {
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (nsCols(f.name.toLowerCase) &&
+            (f.dataType == org.apache.spark.sql.types.TimestampType ||
+              f.dataType == org.apache.spark.sql.types.LongType))
+          d.withMetadata(f.name, meta)
+        else d
+      }
+    }
+  }
 
   private def sqlBound0(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     var q0 = expandDeclare(query.trim.stripSuffix(";"))
@@ -1399,6 +1440,12 @@ object QuestSql {
             // integer into DATE (NTZ carrier) is epoch-millis
             case (TimestampNTZType, Some(t)) if integral(t) =>
               timestamp_millis(c.cast("long")).cast(TimestampNTZType).as(f.name)
+            // BYTE/SHORT/BOOLEAN carry no null in the reference
+            // (ColumnType nullability): an explicit NULL lands as 0/false
+            case (ByteType, _) | (ShortType, _) =>
+              coalesce(c.cast(f.dataType), lit(0).cast(f.dataType)).as(f.name)
+            case (BooleanType, _) =>
+              coalesce(c.cast(f.dataType), lit(false)).as(f.name)
             case _ => c.cast(f.dataType).as(f.name)
           }
         } else lit(null).cast(f.dataType).as(f.name)
@@ -1605,7 +1652,8 @@ object QuestSql {
               }
             } else m.end()
           val over = if (overEnd > m.end()) q.substring(m.end(), overEnd) else ""
-          val repl = s"CAST(__AVGS__($x)$over AS DECIMAL(38, $scale))"
+          // 128/256-bit scales clamp to Spark's 38-digit decimals
+          val repl = s"CAST(__AVGS__($x)$over AS DECIMAL(38, ${math.min(scale, 38)}))"
           q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
           from = m.start() + repl.length
           m = pat.matcher(q)
@@ -1952,6 +2000,22 @@ object QuestSql {
     // doubled the cast sites — a SELECT with a handful of numeric
     // timestamp casts exploded into a StackOverflow); restore them here.
     q = q.replace("__QCAST__(", "CAST(")
+    // reference datetime patterns treat T/Z as literals; Spark needs
+    // them quoted ('yyyy-MM-ddTHH:mm:ss' → yyyy-MM-dd'T'HH:mm:ss)
+    def fixDtPattern(fmt: String): String = {
+      val raw = stripQuotes(fmt)
+      var f = raw.replace("THH", "'T'HH")
+      if (f.endsWith("Z") && !f.endsWith("'Z'")) f = f.dropRight(1) + "'Z'"
+      if (f == raw) fmt else s"'${f.replace("'", "''")}'"
+    }
+    for (fn <- Seq("to_timestamp", "to_date")) {
+      q = expandCalls(q, fn) {
+        case Seq(x, fmt) if fmt.trim.startsWith("'") &&
+            (fmt.contains("THH") || stripQuotes(fmt.trim).endsWith("Z")) =>
+          s"$fn($x, ${fixDtPattern(fmt.trim)})"
+        case args => s"$fn(${args.mkString(", ")})"
+      }
+    }
     q = expandCalls(q, "timestamp_floor") { args => floorExpr(args, toUtc = false) }
     q = expandCalls(q, "timestamp_ceil") { case Seq(stride, ts) =>
       val us = strideToMicros(stripQuotes(stride))
@@ -2151,9 +2215,13 @@ object QuestSql {
     // ride as BIGINT or dotted strings). ipv4_contains expands FIRST so
     // the netmask()/ipv4_str_to_long() calls it emits expand below.
     q = expandCalls(q, "ipv4_contains") { case Seq(cidr, ip) =>
-      s"((ipv4_str_to_long($ip) & netmask($cidr)) = " +
-        s"(ipv4_str_to_long(split_part($cidr, '/', 1)) & netmask($cidr)))" }
+      s"((ipv4_str_to_long($ip) & __netmask_num($cidr)) = " +
+        s"(ipv4_str_to_long(split_part($cidr, '/', 1)) & __netmask_num($cidr)))" }
+    // user-facing netmask() returns an IPv4 value (dotted; 0 = null) —
+    // containment internals use the numeric __netmask_num form
     q = expandCalls(q, "netmask") { case Seq(s) =>
+      s"ipv4_long_to_str(__netmask_num($s))" }
+    q = expandCalls(q, "__netmask_num") { case Seq(s) =>
       s"(shiftleft(4294967295, 32 - CAST(split_part($s, '/', 2) AS INT)) & 4294967295)" }
     q = expandCalls(q, "ipv4_str_to_long") { case Seq(s) =>
       s"(CAST(split_part($s, '.', 1) AS BIGINT) * 16777216 + " +
@@ -2161,10 +2229,16 @@ object QuestSql {
         s"CAST(split_part($s, '.', 3) AS BIGINT) * 256 + " +
         s"CAST(split_part($s, '.', 4) AS BIGINT))" }
     q = expandCalls(q, "ipv4_long_to_str") { case Seq(ip) =>
-      s"concat_ws('.', CAST(pmod(shiftright($ip, 24), 256) AS STRING), " +
+      // 0 is the reference's IPv4 null (prints empty) — render as NULL
+      s"(CASE WHEN ($ip) IS NULL OR ($ip) = 0 THEN NULL ELSE " +
+        s"concat_ws('.', CAST(pmod(shiftright($ip, 24), 256) AS STRING), " +
         s"CAST(pmod(shiftright($ip, 16), 256) AS STRING), " +
         s"CAST(pmod(shiftright($ip, 8), 256) AS STRING), " +
-        s"CAST(pmod($ip, 256) AS STRING))" }
+        s"CAST(pmod($ip, 256) AS STRING)) END)" }
+    // alias-naming sentinel: __graft_col(e) = e, but AutoAlias names the
+    // wrapped operator expression 'column' (reference SqlUtil naming for
+    // rewritten ipv4 arithmetic)
+    q = expandCalls(q, "__graft_col") { case Seq(e) => s"($e)" }
     // nanosecond timestamp surface (reference TIMESTAMP_NS —
     // cairo/ColumnType.java:145-146, TimestampDriver ns variant). Spark's
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
@@ -3027,6 +3101,7 @@ object QuestSql {
   def rewrite(query: String): String = {
     var q = rewriteIntervalLiterals(query.trim.stripSuffix(";"))
     q = rewriteFnMacros(q)
+    q = rewriteWindowInAgg(q)
     q = rewriteLatestOn(q)
     q = rewriteSampleBy(q)
     q = rewriteNestedSampleBy(q)
@@ -3159,10 +3234,66 @@ object QuestSql {
         if (m.group(2) != null) s"(NOT $wrapped)" else wrapped)
     }.getOrElse(Regex.quoteReplacement(m.matched)))
 
+  /** Window function inside an aggregate — `max(avg(x) OVER ())` — runs
+    * the window over the pre-aggregation rows in the reference
+    * (WindowFunctionTest nested forms); Spark rejects the nesting.
+    * Hoist each window argument into a derived table:
+    * `SELECT k, max(__w1) FROM (SELECT *, avg(x) OVER () AS __w1 FROM t
+    * [WHERE ...]) GROUP BY k`. Simple single-relation shape only. */
+  private val WindowInAggRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+
+  private def rewriteWindowInAgg(q: String): String = q match {
+    case WindowInAggRe(sel, rel, where, groupBy, tail)
+        if """(?is)\b(max|min|sum|avg|count|first|last)\s*\(\s*\w+\s*\([^()]*\)\s*OVER\b""".r
+          .findFirstIn(sel).isDefined =>
+      val items = splitSelect(sel)
+      var hoisted = Vector.empty[String]
+      val aggHead = java.util.regex.Pattern.compile(
+        "(?is)\\b(max|min|sum|avg|count|first|last)\\s*\\(")
+      val rewrittenItems = items.map { item =>
+        val m = aggHead.matcher(item)
+        var out = item
+        var found = false
+        while (!found && m.find()) {
+          val open = m.end() - 1
+          var depth = 0; var i = open; var end = -1
+          while (i < out.length && end < 0) {
+            out.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (end > 0) {
+            val arg = out.substring(open + 1, end)
+            if ("""(?is)\bOVER\b""".r.findFirstIn(arg).isDefined) {
+              found = true
+              hoisted :+= arg.trim
+              out = out.substring(0, open + 1) + s"__w${hoisted.size}" + out.substring(end)
+            }
+          }
+          if (!found && end > 0) () // keep scanning from the matcher position
+        }
+        out
+      }
+      if (hoisted.isEmpty) q
+      else {
+        val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
+        val hoistSql = hoisted.zipWithIndex
+          .map { case (e, i) => s"$e AS __w${i + 1}" }.mkString(", ")
+        s"SELECT ${rewrittenItems.mkString(", ")} FROM " +
+          s"(SELECT *, $hoistSql FROM $rel$whereSql) GROUP BY $groupBy" +
+          Option(tail).map(" " + _).getOrElse("")
+      }
+    case _ => q
+  }
+
   // ---- LATEST ON ---------------------------------------------------------
 
   private val LatestOnRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+LATEST\s+ON\s+([\w.]+)\s+PARTITION\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+|\((?:[^()']|'[^']*'|\([^()']*\))*\))(?:\s+WHERE\s+(.*?))?\s+LATEST\s+ON\s+([\w.]+)\s+PARTITION\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
 
   private def rewriteLatestOn(q: String): String = q match {
     case LatestOnRe(sel, table, where, ts, keys, tail) =>
@@ -3372,7 +3503,7 @@ object QuestSql {
     * subqueries too (reference allows SAMPLE BY at any nesting —
     * `select * from (select ... sample by 1m)`). */
   private def rewriteNestedSampleBy(q: String): String = {
-    if (!"""(?i)\bSAMPLE\s+BY\b""".r.findFirstIn(q).isDefined) return q
+    if (!"""(?i)\b(SAMPLE\s+BY|LATEST\s+ON)\b""".r.findFirstIn(q).isDefined) return q
     val sb = new StringBuilder
     var i = 0
     while (i < q.length) {
@@ -3395,11 +3526,12 @@ object QuestSql {
         }
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         if (inner.trim.toLowerCase.startsWith("select") &&
-            """(?i)\bSAMPLE\s+BY\b""".r.findFirstIn(inner).isDefined) {
-          val rewritten = rewriteSampleBy(inner.trim) match {
-            case same if same == inner.trim => rewriteNestedSampleBy(inner)
-            case changed => rewriteNestedSampleBy(changed)
-          }
+            """(?i)\b(SAMPLE\s+BY|LATEST\s+ON)\b""".r.findFirstIn(inner).isDefined) {
+          // LATEST ON first (its result may still hold a SAMPLE BY tail)
+          val step = rewriteSampleBy(rewriteLatestOn(inner.trim))
+          val rewritten =
+            if (step == inner.trim) rewriteNestedSampleBy(inner)
+            else rewriteNestedSampleBy(step)
           sb.append('(').append(rewritten).append(')')
         } else sb.append(q.substring(i, j))
         i = j
@@ -3506,6 +3638,18 @@ object QuestSql {
         (m2.group(2).toLong * 3600 + m2.group(3).toLong * 60) * 1000000L *
           (if (m2.group(1) == "-") -1 else 1)
       }
+      def tsOfUs(us: Long) = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L))
+      // WITH OFFSET ⇒ the grid is calendar+offset and FROM only clips:
+      // ceil FROM up to the grid for every anchoring use
+      def ceilToGrid(f: java.sql.Timestamp): java.sql.Timestamp =
+        if (strideMonths.isDefined || offsetLit == null) f
+        else {
+          val fromUs0 = f.getTime * 1000L
+          val aUs = offsetShiftUs(offsetLit) + weekShiftUs0
+          val rem = (((aUs - fromUs0) % strideUs) + strideUs) % strideUs
+          tsOfUs(fromUs0 + rem)
+        }
       val range = (fromP, toP) match {
         case (Some(from), Some(to)) =>
           strideMonths match {
@@ -3534,9 +3678,7 @@ object QuestSql {
               val fromGridUs = fromUs0 + rem
               val lastBucketUs = fromGridUs +
                 ((toUs - 1 - fromGridUs) / strideUs) * strideUs
-              def tsOf(us: Long) = java.sql.Timestamp.from(
-                java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L))
-              Some((tsOf(fromGridUs), tsOf(lastBucketUs)))
+              Some((tsOfUs(fromGridUs), tsOfUs(lastBucketUs)))
           }
         case _ => None // a single open bound narrows the data only
       }
@@ -3566,14 +3708,24 @@ object QuestSql {
               }
               s"$baseUs microseconds"
             } else Option(offsetLit).map(offsetInterval).getOrElse("0 seconds")
+          // FROM/TO extend the bucket spine only when a FILL is present;
+          // without FILL they filter + anchor (SampleByTest FROM '...'
+          // WITH OFFSET — data rows only, no fabricated null buckets)
+          val hasFill = fill match {
+            case graft.ops.SampleBy.NoFill => false
+            case graft.ops.SampleBy.FillPerColumn(fs) =>
+              fs.exists(_ != graft.ops.SampleBy.NoFill)
+            case _ => true
+          }
           graft.ops.SampleBy.sampleBy(ranged, tsName, stride, keys, aggs, fill,
-            range = range,
+            range = if (hasFill) range else None,
             offset = offsetEff,
             tz = Option(tzLit),
             tsOut = tsOut,
-            rangeLo = if (range.isEmpty) fromP else None,
-            rangeHi = if (range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None,
-            unit = Some(unit.head))
+            rangeLo = if (hasFill && range.isEmpty) fromP.map(ceilToGrid) else None,
+            rangeHi = if (hasFill && range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None,
+            unit = Some(unit.head),
+            anchor = fromP.map(ceilToGrid))
       }
       // project in select-list order
       val outNames = items.map {
@@ -3601,7 +3753,7 @@ object QuestSql {
   // expresses, lowered through ops.Ema.
 
   private val EmaItemRe =
-    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|second|minute|hour|day|week)'\s*,\s*([\d.]+)\s*""" +
+    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|millisecond(?:s)?|second(?:s)?|minute(?:s)?|hour(?:s)?|day(?:s)?|week(?:s)?)'\s*,\s*([\d.]+)\s*""" +
       """(?:,\s*([\w.]+)\s*)?\)\s*over\s*\(\s*(?:partition\s+by\s+([\w.,\s]+?)\s+)?order\s+by\s+([\w.]+)\s*\)""" +
       """(?:\s+AS\s+`?(\w+)`?)?""").r
 
@@ -3640,7 +3792,8 @@ object QuestSql {
               case None => graft.ops.Ema.ema(base, ts, keys, price, a, alias)
             }
           case unit =>
-            val tau = (param * unitMicros(unit match {
+            val tau = (param * unitMicros(unit.stripSuffix("s") match {
+              case "millisecond" => "T"
               case "second" => "s"; case "minute" => "m"; case "hour" => "h"
               case "day" => "d"; case "week" => "w"
             })).toLong

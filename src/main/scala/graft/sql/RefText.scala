@@ -17,10 +17,17 @@ import org.apache.spark.sql.types._
   */
 object RefText {
 
+  /** Column metadata key flagging a TIMESTAMP_NS-declared column (set by
+    * the dialect layer): the value prints with the reference's 9-digit
+    * NSEC_UTC pattern instead of the 6-digit micro one. */
+  val NsMetaKey = "graft.ns"
+
   def print(df: DataFrame): String = {
     val schema = df.schema
     val sb = new StringBuilder
     sb.append(schema.fields.map(_.name).mkString("\t")).append('\n')
+    val ns = schema.fields.map(f =>
+      f.metadata.contains(NsMetaKey) && f.metadata.getBoolean(NsMetaKey))
     val rows = df.collect()
     var r = 0
     while (r < rows.length) {
@@ -28,13 +35,26 @@ object RefText {
       var i = 0
       while (i < schema.length) {
         if (i > 0) sb.append('\t')
-        appendValue(sb, row.get(i), schema(i).dataType)
+        if (ns(i) && row.get(i) != null && schema(i).dataType == TimestampType)
+          sb.append(formatNanos(microsOf(row.get(i)) * 1000L))
+        else if (ns(i) && row.get(i) != null && schema(i).dataType == LongType)
+          sb.append(formatNanos(row.get(i).asInstanceOf[Long])) // BIGINT nanos carrier
+        else appendValue(sb, row.get(i), schema(i).dataType)
         i += 1
       }
       sb.append('\n')
       r += 1
     }
     sb.toString
+  }
+
+  /** yyyy-MM-ddTHH:mm:ss.SSSSSSSSSZ (reference NSEC_UTC_PATTERN). */
+  def formatNanos(ns: Long): String = {
+    val sec = Math.floorDiv(ns, 1000000000L)
+    val frac = Math.floorMod(ns, 1000000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02dT" +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d.$frac%09dZ"
   }
 
   def appendValue(sb: StringBuilder, v: Any, dt: DataType): Unit = {
@@ -49,7 +69,15 @@ object RefText {
       case BooleanType => sb.append(v.toString)
       case ByteType | ShortType | IntegerType | LongType => sb.append(v.toString)
       case StringType =>
-        sb.append(v.toString)
+        val s = v.toString
+        // the canonical LONG256 carrier is 0x + 64 hex digits; the
+        // reference prints whole-byte minimal hex (Numbers.appendLong256
+        // / appendHex — value 1 renders "0x01", zero "0x00")
+        if (s.length == 66 && s.startsWith("0x") && isHex(s, 2)) {
+          var i = 2
+          while (i < 64 && s.charAt(i) == '0' && s.charAt(i + 1) == '0') i += 2
+          sb.append("0x").append(s.substring(i))
+        } else sb.append(s)
       case TimestampType =>
         sb.append(formatMicros(microsOf(v)))
       case TimestampNTZType =>
@@ -98,6 +126,16 @@ object RefText {
     case BooleanType => "false"
     case _: ArrayType => "null" // null arrays print the word
     case _ => ""
+  }
+
+  private def isHex(s: String, from: Int): Boolean = {
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return false
+      i += 1
+    }
+    true
   }
 
   private def microsOf(v: Any): Long = v match {

@@ -721,8 +721,9 @@ class NetworkSpec extends SparkSpec {
       c.startup()
       c.msg('P') { b =>
         c.cstr(b, "")
-        // numeric (OID 1700) has no binOf encoding; int8 does
-        c.cstr(b, "SELECT CAST(12.34 AS DECIMAL(10,2)) AS d, CAST(7 AS BIGINT) AS l")
+        // arrays have no binOf encoding; int8 does (numeric grew a real
+        // binary encoding — see the numeric round-trip test)
+        c.cstr(b, "SELECT array(1, 2) AS a, CAST(7 AS BIGINT) AS l")
         b.writeShort(0)
       }
       c.msg('B') { b =>
@@ -735,7 +736,7 @@ class NetworkSpec extends SparkSpec {
       c.msg('S') { _ => }
       c.out.flush()
       val ms = c.readUntilReady()
-      // RowDescription: decimal advertises format 0, bigint format 1
+      // RowDescription: array advertises format 0, bigint format 1
       val t = new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(ms.find(_._1 == 'T').get._2))
       assert(t.readShort() == 2)
@@ -745,13 +746,66 @@ class NetworkSpec extends SparkSpec {
         t.readShort().toInt
       }
       assert(fieldFmt() == 0 && fieldFmt() == 1)
-      // DataRow: text bytes for the decimal, 8-byte binary for the int8
+      // DataRow: text bytes for the array, 8-byte binary for the int8
       val d = new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(ms.find(_._1 == 'D').get._2))
       assert(d.readShort() == 2)
       val dl = d.readInt(); val db = new Array[Byte](dl); d.readFully(db)
-      assert(new String(db, "UTF-8") == "12.34")
+      assert(dl > 0)
       assert(d.readInt() == 8 && d.readLong() == 7L)
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("PGWire: numeric binary encoding round-trips exact BigDecimals") {
+    val engine = Engine(spark, sfDir)
+    val srv = new graft.http.PgWireServer(engine)
+    val port = srv.start()
+    val c = new PgClient(port)
+    try {
+      c.startup()
+      c.msg('P') { b =>
+        c.cstr(b, "")
+        c.cstr(b, "SELECT CAST('12345.6789' AS DECIMAL(18,4)) AS a, " +
+          "CAST('-0.001' AS DECIMAL(10,3)) AS b, " +
+          "CAST(0 AS DECIMAL(8,2)) AS z, " +
+          "CAST('98765432109876543210.12345' AS DECIMAL(38,5)) AS big")
+        b.writeShort(0)
+      }
+      c.msg('B') { b =>
+        c.cstr(b, ""); c.cstr(b, "")
+        b.writeShort(0); b.writeShort(0)
+        b.writeShort(1); b.writeShort(1) // all binary
+      }
+      c.msg('D') { b => b.writeByte('P'); c.cstr(b, "") }
+      c.msg('E') { b => c.cstr(b, ""); b.writeInt(0) }
+      c.msg('S') { _ => }
+      c.out.flush()
+      val ms = c.readUntilReady()
+      // numeric now advertises binary in RowDescription
+      val t = ms.find(_._1 == 'T').get._2
+      assert(t.takeRight(2).toSeq == Seq(0, 1).map(_.toByte))
+      // decode the PG numeric wire format back into BigDecimals
+      def decodeNumeric(d: java.io.DataInputStream): java.math.BigDecimal = {
+        val len = d.readInt(); assert(len >= 8)
+        val nd = d.readShort(); val weight = d.readShort()
+        val sign = d.readShort() & 0xFFFF; val dscale = d.readShort()
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < nd) {
+          val dig = java.math.BigDecimal.valueOf(d.readShort().toLong)
+          acc = acc.add(dig.movePointRight(4 * (weight - i)))
+          i += 1
+        }
+        if (sign == 0x4000) acc = acc.negate()
+        acc.setScale(dscale)
+      }
+      val d = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(ms.find(_._1 == 'D').get._2))
+      assert(d.readShort() == 4)
+      assert(decodeNumeric(d) == new java.math.BigDecimal("12345.6789"))
+      assert(decodeNumeric(d) == new java.math.BigDecimal("-0.001"))
+      assert(decodeNumeric(d) == new java.math.BigDecimal("0.00"))
+      assert(decodeNumeric(d) == new java.math.BigDecimal("98765432109876543210.12345"))
     } finally { c.close(); srv.stop() }
   }
 
