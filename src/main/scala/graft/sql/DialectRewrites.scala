@@ -21,9 +21,18 @@ object DialectRewrites {
 
   def apply(q0: String): String = {
     var q = stripComments(q0)
+    // the reference tokenizer doesn't need a space after a quoted
+    // literal (`FROM 'trades'SAMPLE BY`, `'UTC'with offset`) — insert
+    // one (sequential scan; a regex would mis-pair alternating quotes)
+    q = spaceAfterLiterals(q)
     q = doubleQuotedIdents(q)
     q = mapOutside(q)(underscoreDigits)
     q = mapOutside(q)(decimalSuffix)
+    // reference numeric literals with a '.' are DOUBLE (SqlParser float
+    // literals); Spark parses them as DECIMAL(p,s) — suffix D, skipping
+    // m-suffixed decimals (already 'BD' from decimalSuffix) and
+    // exponent forms (lookahead excludes a following letter)
+    q = mapOutside(q)(_.replaceAll("(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])", "$1D"))
     q = mapOutside(q)(hexLiterals)
     q = mapOutside(q)(inNull)
     // null-equality comparisons (reference null = null is true), but not
@@ -55,7 +64,10 @@ object DialectRewrites {
     // across mapOutside segments — so handle those forms on the full
     // text first (quote-aware paren operand)
     locally {
-      val parenOp = """\((?:[^()']|'[^']*'|\([^()']*\))*\)"""
+      // a paren operand directly preceded by an identifier is a function
+      // call — take the whole call as the cast operand, else
+      // `f(args)::timestamp` would glue into `f__ts_us_cast(args)`
+      val parenOp = """(?:[\w.]+)?\((?:[^()']|'[^']*'|\([^()']*\))*\)"""
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp_ns\\b", "__ns_cast($1)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp\\b(?!_ns)", "__ts_us_cast($1)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*date\\b", "CAST($1 AS DATE)")
@@ -807,9 +819,13 @@ object DialectRewrites {
         hi match {
           case Some(h) =>
             // negative upper bound counts from the end; degenerate or
-            // reversed ranges yield an empty slice, as in the reference
-            s"slice($acc, $lo, greatest((CASE WHEN ($h) < 0 THEN size($acc) + ($h) + 1 ELSE ($h) END) - ($lo), 0))"
-          case None => s"slice($acc, $lo, greatest(size($acc) - ($lo) + 1, 0))"
+            // reversed ranges yield an empty slice; a NULL bound yields
+            // NULL (greatest() would swallow it — CASE propagates)
+            val len = s"(CASE WHEN ($h) < 0 THEN size($acc) + ($h) + 1 ELSE ($h) END) - ($lo)"
+            s"slice($acc, $lo, CASE WHEN ($len) < 0 THEN 0 ELSE $len END)"
+          case None =>
+            val len = s"size($acc) - ($lo) + 1"
+            s"slice($acc, $lo, CASE WHEN ($len) < 0 THEN 0 ELSE $len END)"
         }
       } else if (ix.matches("-?\\d+"))
         s"try_element_at($acc, $ix)" // reference: out-of-bounds → null
@@ -904,17 +920,20 @@ object DialectRewrites {
     * as microseconds (reference cast) — simple operands only; string
     * literals keep Spark's cast. */
   private def tsColonCasts(s: String): String = {
+    // paren operands may be whole calls (`dateadd(...)::timestamp`) —
+    // include the optional leading identifier in the operand
+    val callOp = "(?:[\\w.]+)?\\((?:[^()]|\\([^()]*\\))*\\)"
     val s1 = s.replaceAll(
-      "(?i)([\\w.]+|'[^']*'|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp_ns\\b",
+      s"(?i)($callOp|[\\w.]+|'[^']*')\\s*::\\s*timestamp_ns\\b",
       "__ns_cast($1)")
     val s2 = s1.replaceAll(
-      "(?i)([\\w.]+|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*timestamp\\b(?!_ns)",
+      s"(?i)($callOp|[\\w.]+)\\s*::\\s*timestamp\\b(?!_ns)",
       "__ts_us_cast($1)")
     // DATE is a millisecond datetime in the reference — Spark's native
     // `::date` cast would truncate to days; route through the dialect
     // CAST pass (dateMsCast)
     s2.replaceAll(
-      "(?i)([\\w.]+|'[^']*'|\\((?:[^()]|\\([^()]*\\))*\\))\\s*::\\s*date\\b",
+      s"(?i)($callOp|[\\w.]+|'[^']*')\\s*::\\s*date\\b",
       "CAST($1 AS DATE)")
   }
 
@@ -997,21 +1016,50 @@ object DialectRewrites {
   /** Single-quoted table names after FROM/INTO/TABLE/JOIN →
     * backtick identifiers (`insert into 'tbl'`, `select * from 'tbl'`).
     * COPY statements keep their quoted file paths. */
+  /** Insert a space after a single-quoted literal directly followed by
+    * a letter (reference tokenizer tolerance). Sequential left-to-right
+    * scan with '' escape handling. */
+  private def spaceAfterLiterals(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      sb.append(c); i += 1
+      if (c == '\'') {
+        var done = false
+        while (i < s.length && !done) {
+          val ch = s.charAt(i); sb.append(ch); i += 1
+          if (ch == '\'') {
+            if (i < s.length && s.charAt(i) == '\'') { sb.append('\''); i += 1 }
+            else done = true
+          }
+        }
+        if (i < s.length && s.charAt(i).isLetter) sb.append(' ')
+      }
+    }
+    sb.toString
+  }
+
   private def quotedTableNames(s: String): String = {
     val fw = s.trim.takeWhile(c => c.isLetter).toLowerCase
     if (fw == "copy") return s
     val m = java.util.regex.Pattern.compile(
-      "(?i)\\b(from|into|join|table(?:\\s+if\\s+not\\s+exists)?)\\s+'([^']+)'(?!\\s*(?:\\(|\\.))").matcher(s)
+      // the `(` lookahead keeps call-like forms (`from 'f'(...)`) as
+      // literals — but a CREATE TABLE name IS followed by its column
+      // list, so the table keyword branch allows it
+      "(?i)\\b(from|into|join)\\s+'([^']+)'(?!\\s*(?:\\(|\\.))" +
+        "|(?i)\\b(table(?:\\s+if\\s+not\\s+exists)?)\\s+'([^']+)'(?!\\s*\\.)").matcher(s)
     val sb = new StringBuilder
     var last = 0
     while (m.find()) {
-      val name = m.group(2)
+      val kw = if (m.group(1) != null) m.group(1) else m.group(3)
+      val name = if (m.group(2) != null) m.group(2) else m.group(4)
       // timestamp/interval literals (SAMPLE BY ... FROM '2020-01-01') and
       // file paths are not table names
       val tableish = !name.matches("\\d{4}.*") && !name.contains("/") &&
         !name.contains("\\")
       sb.append(s.substring(last, m.start()))
-      if (tableish) sb.append(m.group(1)).append(" `").append(name).append('`')
+      if (tableish) sb.append(kw).append(" `").append(name).append('`')
       else sb.append(m.group(0))
       last = m.end()
     }

@@ -323,6 +323,15 @@ object QuestSql {
     }
   }
 
+  private val profOn = sys.env.contains("GRAFT_PROF")
+  private def prof[T](label: String)(f: => T): T =
+    if (!profOn) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[prof] ${(System.nanoTime() - t0) / 1e6}%8.2f ms  $label")
+      r
+    }
+
   private def sqlBound0(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     var q0 = expandDeclare(query.trim.stripSuffix(";"))
     // QuestDB shorthand: `SELECT * FROM` is optional — `trades WHERE ...
@@ -341,31 +350,51 @@ object QuestSql {
         (bareTableFn || clauseNext ||
           (try spark.catalog.tableExists(fw) catch { case _: Exception => false })))
       q0 = "SELECT * FROM " + q0
+    // `(subquery) LATEST ON ... / SAMPLE BY ... / WHERE ...` — the
+    // reference treats a parenthesized query as a relation any clause
+    // may follow (SqlParser query model); Spark needs the SELECT head
+    else if (q0.trim.startsWith("(")) {
+      val t = q0.trim
+      var depth = 0; var i = 0; var close = -1
+      while (i < t.length && close < 0) {
+        t.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0 &&
+          """(?i)^(latest|sample|where)\b""".r
+            .findFirstIn(t.substring(close + 1).trim).isDefined)
+        q0 = "SELECT * FROM " + t
+    }
     // PIVOT ... FOR c IN (SELECT ...): the reference expands the in-list
     // subquery at compile time — same here (dimension values, tiny)
-    q0 = expandPivotSubqueries(spark, q0)
+    q0 = prof("expandPivot")(expandPivotSubqueries(spark, q0))
     // reference-accepted spellings Spark's parser rejects (double-quoted
     // identifiers, 50_000 separators, ARRAY[..] literals, type[] casts,
     // sizeless VARCHAR/SYMBOL/UUID cast targets, at time zone, ...)
-    q0 = DialectRewrites(q0)
+    q0 = prof("DialectRewrites")(DialectRewrites(q0))
     // reference-style result-set naming for unaliased expressions
     // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
     // count, duplicate bases get numeric suffixes
-    q0 = AutoAlias.rewriteQuery(q0)
+    q0 = prof("AutoAlias")(AutoAlias.rewriteQuery(q0))
     // PG clients and BI tools probe these on connect — materialize fresh
     // (only the schema the query touches)
     val wantsInfo = """(?i)\binformation_schema\s*\.""".r.findFirstIn(q0).isDefined
     val wantsPg = """(?i)\bpg_catalog\s*\.""".r.findFirstIn(q0).isDefined
     if (wantsInfo || wantsPg)
       graft.Catalog.ensureMetaViews(spark, info = wantsInfo, pg = wantsPg)
-    refreshLiveViews(spark, q0)
+    prof("refreshLiveViews")(refreshLiveViews(spark, q0))
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
-    val qForms = rewriteTableFns(spark, rewriteTsAggs(spark,
-      rewriteFnMacros(rewriteIntervalLiterals(
-        if (named.isEmpty) q0 else substParams(q0, named)))))
-    val qSub = materializeDialectSubqueries(spark, qForms)
-    statementForm(spark, qSub)
+    val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
+      rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
+        if (named.isEmpty) q0 else substParams(q0, named)))))))
+    val qSub = prof("materializeSub")(materializeDialectSubqueries(spark, qForms))
+    prof("dialectForms")(statementForm(spark, qSub)
       .orElse(rangeLimitNegForm(spark, qSub))
       .orElse(showForm(spark, qSub))
       .orElse(asofForm(spark, qSub))
@@ -373,12 +402,12 @@ object QuestSql {
       .orElse(multiHorizonForm(spark, qSub))
       .orElse(horizonJoinForm(spark, qSub))
       .orElse(sampleByOpForm(spark, qSub))
-      .orElse(emaWindowForm(spark, qSub))
+      .orElse(emaWindowForm(spark, qSub)))
       .getOrElse {
         // the fallback re-derives from q0 to keep :name markers for
         // Spark's parameter binder — re-apply the table-fn substitution
-        val rewritten = materializeDialectSubqueries(spark, windowOrderTail(spark,
-          rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0)))))
+        val rewritten = prof("fb:rewrite")(materializeDialectSubqueries(spark, windowOrderTail(spark,
+          rewriteTableFns(spark, rewriteTsAggs(spark, rewrite(q0))))))
         // QuestDB comparisons are value-based, not three-valued: null =
         // null is TRUE, x != null is TRUE (reference docs; UuidTest
         // `cast(null as string) = cast(null as uuid)` → true). Lower =
@@ -394,7 +423,7 @@ object QuestSql {
           if (hit) org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed) else df
         }
         def run(q: String): DataFrame =
-          nullSafeEq(if (named.isEmpty) spark.sql(q) else spark.sql(q, named))
+          prof("fb:run")(nullSafeEq(prof("fb:spark.sql")(if (named.isEmpty) spark.sql(q) else spark.sql(q, named))))
         // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
         // optional" — `SELECT sym, avg(price) FROM trades` auto-groups on
         // the bare columns). Spark's analyzer classifies aggregate vs
@@ -629,7 +658,7 @@ object QuestSql {
   }
 
   private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
-    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON|SHOW\s+\w)\b""".r
+    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY)|SHOW\s+\w)\b""".r
         .findFirstIn(q).isDefined) return q
     val lower = q.toLowerCase
     val out = new StringBuilder
@@ -642,9 +671,17 @@ object QuestSql {
         while (j < q.length && q.charAt(j) != '\'') j += 1
         out.append(q.substring(i, math.min(j + 1, q.length))); i = j + 1
       } else if (c == '(') {
-        // preceded by FROM or JOIN?
+        // positions whose parenthesized SELECT may hold a dialect op:
+        // FROM/JOIN subqueries, CTE bodies (`WITH x AS (...)`), set-op
+        // operands, and a statement-leading paren. CREATE/INSERT keep
+        // their AS-bodies (statementForm handles those itself).
         val before = out.toString.trim.toLowerCase
+        val stmtKw = firstWord(q)
         val fromPos = before.endsWith("from") || before.endsWith("join")
+        val wrapPos = !fromPos && stmtKw != "create" && stmtKw != "insert" &&
+          (before.endsWith(" as") || before.isEmpty ||
+            before.endsWith("union") || before.endsWith("all") ||
+            before.endsWith("intersect") || before.endsWith("except"))
         var depth = 1
         var j = i + 1
         while (j < q.length && depth > 0) {
@@ -657,13 +694,14 @@ object QuestSql {
         }
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         val hasDialectOp =
-          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+ON|SHOW\s+\w)\b""".r
+          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY)|SHOW\s+\w)\b""".r
             .findFirstIn(inner).isDefined
-        if (fromPos && inner.trim.toLowerCase.startsWith("select") && hasDialectOp) {
+        if ((fromPos || wrapPos) && inner.trim.toLowerCase.startsWith("select") && hasDialectOp) {
           try {
             val view = s"__graft_sub_${subqueryCounter.incrementAndGet()}"
             sqlBound(spark, inner, Map.empty).createOrReplaceTempView(view)
-            out.append(view)
+            // CTE bodies / set-op operands must stay parenthesized
+            out.append(if (fromPos) view else s"(SELECT * FROM $view)")
             changed = true
           } catch {
             case _: Exception => out.append(q.substring(i, j))
@@ -1780,9 +1818,16 @@ object QuestSql {
     * replacement text itself contains a case-variant of the name (e.g.
     * reference `typeOf` lowering to Spark's `typeof`).
     */
+  private val callPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+
   private def expandCalls(q: String, name: String, insensitive: Boolean = true)(
       f: Seq[String] => String): String = {
-    val re = (if (insensitive) s"(?i)\\b$name\\s*\\(" else s"\\b$name\\s*\\(").r
+    // cheap reject before any regex work — with ~180 registered dialect
+    // functions this pre-scan is most of the planning-cost win
+    if (!containsWordIgnoreCase(q, name)) return q
+    val re = callPatterns.computeIfAbsent(s"$insensitive$name", _ =>
+      (if (insensitive) s"(?i)\\b$name\\s*\\(" else s"\\b$name\\s*\\(").r)
     var out = q
     var from = 0     // identity sites advance this; real rewrites rescan
     var budget = 1000
@@ -1801,7 +1846,11 @@ object QuestSql {
       }
       if (end < 0) return out // unbalanced — leave untouched
       val args = splitSelect(out.substring(open + 1, end))
-      val replacement = f(args)
+      // an arity the handler doesn't cover (e.g. Spark's own 2-arg
+      // datediff inside generated SQL) stays unexpanded
+      val replacement =
+        try f(args)
+        catch { case _: MatchError => out.substring(start, end + 1) }
       // identity rewrite: keep it and resume scanning INSIDE its args
       // (nested same-name calls still expand) without ever rematching
       // this site; a real rewrite rescans from the top so handlers can
@@ -1815,6 +1864,20 @@ object QuestSql {
       m = re.findFirstMatchIn(out.substring(from))
     }
     out
+  }
+
+  /** Case-insensitive substring containment without allocation-heavy
+    * toLowerCase on the full statement. */
+  private def containsWordIgnoreCase(q: String, w: String): Boolean = {
+    val n = w.length
+    if (n == 0 || q.length < n) return false
+    var i = 0
+    val max = q.length - n
+    while (i <= max) {
+      if (q.regionMatches(true, i, w, 0, n)) return true
+      i += 1
+    }
+    false
   }
 
   private def stripQuotes(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
@@ -2050,9 +2113,9 @@ object QuestSql {
         case u0 => s"(abs(${us(b)} - ${us(a)}) div ${unitMicros(u0)})"
       } }
     q = expandCalls(q, "to_timezone") { case Seq(ts, tz) =>
-      s"from_utc_timestamp(${tsUsCast(ts)}, $tz)" }
+      s"from_utc_timestamp(${tsUsCast(ts)}, ${normTzArg(tz)})" }
     q = expandCalls(q, "to_utc") { case Seq(ts, tz) =>
-      s"to_utc_timestamp(${tsUsCast(ts)}, $tz)" }
+      s"to_utc_timestamp(${tsUsCast(ts)}, ${normTzArg(tz)})" }
     // geo plane/latlon predicates (reference functions/geo: equirectangular
     // meters-per-degree approximation, midpoint latitude for distances,
     // center latitude for radius checks; NaN → false/NaN, negative radius
@@ -2344,7 +2407,10 @@ object QuestSql {
     q = expandCalls(q, "array_avg") { case Seq(a) =>
       s"(aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" +
         s" / NULLIF(size(${finite(a)}), 0))" }
-    q = expandCalls(q, "array_count") { case Seq(a) => s"size(${finite(a)})" }
+    // null array counts 0 (reference calculateCount over null cursor);
+    // Spark's size(null) is -1
+    q = expandCalls(q, "array_count") { case Seq(a) =>
+      s"coalesce(IF(($a) IS NULL, 0, size(${finite(a)})), 0)" }
     // running sum over every element in flattening order; null/NaN
     // slots emit the running sum unchanged (null before the first
     // finite value); all-null or empty input → null
@@ -3099,9 +3165,11 @@ object QuestSql {
     * SAMPLE BY without FILL, negative/range LIMIT).
     */
   def rewrite(query: String): String = {
-    var q = rewriteIntervalLiterals(query.trim.stripSuffix(";"))
+    var q = rewriteIntervalLiterals(
+      normalizeSampleByStride(query.trim.stripSuffix(";")))
     q = rewriteFnMacros(q)
     q = rewriteWindowInAgg(q)
+    q = rewriteLatestByDeprecated(q)
     q = rewriteLatestOn(q)
     q = rewriteSampleBy(q)
     q = rewriteNestedSampleBy(q)
@@ -3295,6 +3363,30 @@ object QuestSql {
   private val LatestOnRe =
     """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+|\((?:[^()']|'[^']*'|\([^()']*\))*\))(?:\s+WHERE\s+(.*?))?\s+LATEST\s+ON\s+([\w.]+)\s+PARTITION\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
 
+  /** Deprecated `LATEST BY k` spelling (reference SqlParser:4162):
+    * follows FROM directly, keys partition, designated ts orders, and —
+    * unlike LATEST ON — the WHERE clause applies AFTER the latest
+    * selection. */
+  private def rewriteLatestByDeprecated(q: String): String = {
+    val t = q.trim
+    if (!t.toLowerCase.startsWith("select")) return q
+    val at = topLevelIndexOf(t, Seq("latest by"))
+    if (at < 0) return q
+    val head = t.substring(0, at).trim // SELECT ... FROM <rel>
+    var rest = t.substring(at + 9).trim
+    val stopAt = topLevelIndexOf(rest, Seq("where", "order by", "limit"))
+    val keys = (if (stopAt < 0) rest else rest.substring(0, stopAt)).trim
+    val tail = if (stopAt < 0) "" else " " + rest.substring(stopAt).trim
+    if (keys.isEmpty || !keys.matches("""[\w.`]+(\s*,\s*[\w.`]+)*""")) return q
+    val fromAt = topLevelIndexOf(head, Seq("from"))
+    if (fromAt < 0) return q
+    val relHead = """[`']?([\w.]+)""".r
+      .findFirstMatchIn(head.substring(fromAt + 4).trim)
+      .map(_.group(1).split('.').last.toLowerCase).getOrElse("")
+    val ts = Option(tsRegistry.get(relHead)).getOrElse("ts")
+    s"SELECT * FROM ($head LATEST ON $ts PARTITION BY $keys)$tail"
+  }
+
   private def rewriteLatestOn(q: String): String = q match {
     case LatestOnRe(sel, table, where, ts, keys, tail) =>
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
@@ -3336,6 +3428,100 @@ object QuestSql {
         df.withColumn(f.name, timestamp_micros(col(f.name) / lit(1000L) cast "long"))
       case _ => df
     }
+
+  /** Normalize every `SAMPLE BY <stride>` spelling to the canonical
+    * `<n><unit>` the lowering regexes expect. The reference accepts a
+    * bare unit (`SAMPLE BY d` = 1 day, SqlParser implied-1 stride) and
+    * constant integer expressions (`300/10 h`, `(1+2)*10L m` —
+    * compile-time-folded in the reference); fold them here. */
+  private def normalizeSampleByStride(q: String): String = {
+    val m = java.util.regex.Pattern.compile("(?is)\\bSAMPLE\\s+BY\\s+").matcher(q)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(q.substring(last, m.end()))
+      // chunk = text up to the next clause keyword / close-paren at depth 0
+      var i = m.end(); var depth = 0; var end = -1
+      val stop = Set("align", "fill", "from", "to", "order", "limit",
+        "union", "intersect", "except", "latest", "where", "sample")
+      while (i < q.length && end < 0) {
+        val c = q.charAt(i)
+        if (c == '(') { depth += 1; i += 1 }
+        else if (c == ')') { if (depth == 0) end = i else { depth -= 1; i += 1 } }
+        else if (c == '\'') { end = i }
+        else if (depth == 0 && c.isLetter) {
+          val w = q.substring(i).takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+          if (stop(w.toLowerCase)) end = i else i += w.length
+        } else i += 1
+      }
+      if (end < 0) end = q.length
+      val chunk = q.substring(m.end(), end)
+      val t = chunk.trim
+      val folded =
+        if (t.matches("\\d+[UTsmhdwMy]")) None // already canonical
+        else if (t.matches("[0-9+\\-*/()\\sLl_]*[UTsmhdwMy]")) {
+          val unit = t.last.toString
+          val expr = t.dropRight(1).replaceAll("[Ll_]", "").trim
+          evalIntExpr(expr).map(n => s"$n$unit")
+        } else None
+      folded match {
+        case Some(norm) =>
+          sb.append(norm)
+          if (end < q.length && q.charAt(end) != ')') sb.append(' ')
+        case None => sb.append(chunk)
+      }
+      last = end
+    }
+    sb.append(q.substring(last))
+    sb.toString
+  }
+
+  /** Fold a constant integer arithmetic expression with parens; empty → 1. */
+  private def evalIntExpr(s0: String): Option[Long] = {
+    val s = s0.trim
+    if (s.isEmpty) return Some(1L)
+    var pos = 0
+    def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    def skipWs(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    def atom(): Long = {
+      skipWs()
+      if (peek == '(') { pos += 1; val v = expr(); skipWs(); require(peek == ')'); pos += 1; v }
+      else if (peek == '-') { pos += 1; -atom() }
+      else { val st = pos; while (pos < s.length && s.charAt(pos).isDigit) pos += 1
+             require(pos > st); s.substring(st, pos).toLong }
+    }
+    def term(): Long = {
+      var v = atom(); skipWs()
+      while (peek == '*' || peek == '/') {
+        val op = peek; pos += 1; val r = atom()
+        v = if (op == '*') v * r else v / r; skipWs()
+      }; v
+    }
+    def expr(): Long = {
+      var v = term(); skipWs()
+      while (peek == '+' || peek == '-') {
+        val op = peek; pos += 1; val r = term()
+        v = if (op == '+') v + r else v - r; skipWs()
+      }; v
+    }
+    try { val v = expr(); skipWs(); if (pos == s.length && v > 0) Some(v) else None }
+    catch { case _: Exception => None }
+  }
+
+  /** Resolve three-letter zone abbreviations the reference's tz database
+    * accepts but java.time rejects as bare IDs (EST, PST, ...) via
+    * ZoneId.SHORT_IDS; region IDs and offsets pass through. */
+  private[sql] def normTz(tz: String): String =
+    java.time.ZoneId.SHORT_IDS.getOrDefault(tz, tz)
+
+  /** normTz over a SQL expression argument — rewrites quoted literals
+    * only, leaves column/expr operands alone. */
+  private def normTzArg(e: String): String = {
+    val t = e.trim
+    if (t.length > 2 && t.head == '\'' && t.last == '\'')
+      "'" + normTz(t.substring(1, t.length - 1)) + "'"
+    else e
+  }
 
   private[sql] def strideOf(n: String, unit: String): String = unit match {
     case "U" => s"$n microseconds"
@@ -3449,26 +3635,83 @@ object QuestSql {
     }
   }
 
+  /** Top-level split of the plain SAMPLE BY form — handles arbitrary
+    * FROM contents (comma joins, backticked/quoted tables, deep
+    * subqueries) that defeat the anchored regexes: SELECT <sel> FROM
+    * <rel> [WHERE <w>] SAMPLE BY n unit [ALIGN TO CALENDAR] [tail]. */
+  private def sampleBySplit(q: String): Option[(String, String, String, String, String, String)] = {
+    val t = q.trim
+    if (!t.toLowerCase.startsWith("select")) return None
+    val sbPat = java.util.regex.Pattern.compile("(?is)\\bSAMPLE\\s+BY\\s+(\\d+)([UTsmhdwMy])\\b")
+    // locate a top-level SAMPLE BY (outside parens/quotes)
+    var depth = 0; var i = 0; var at = -1
+    while (i < t.length && at < 0) {
+      t.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k + 1
+        case c if depth == 0 && (c == 's' || c == 'S') =>
+          val m = sbPat.matcher(t); if (m.find(i) && m.start == i) at = i else i += 1
+        case _ => i += 1
+      }
+    }
+    if (at < 0) return None
+    val m = sbPat.matcher(t); m.find(at)
+    val (n, unit) = (m.group(1), m.group(2))
+    var rest = t.substring(m.end).trim
+    // the plain rewrite only covers the no-FILL / calendar-aligned form
+    val alignCal = """(?is)^ALIGN\s+TO\s+CALENDAR(?![\s]+TIME|\s+WITH)\s*""".r
+    rest = alignCal.replaceFirstIn(rest, "")
+    val tail =
+      if (rest.isEmpty) null
+      else if ("""(?is)^(ORDER\s+BY|LIMIT)\b""".r.findFirstIn(rest).isDefined) rest
+      else return None // FILL / FROM-TO / TZ forms: op lowering handles
+    val head = t.substring(0, at)
+    val fromAt = topLevelIndexOf(head, Seq("from"))
+    if (fromAt < 0) return None
+    val sel = head.substring(6, fromAt).trim
+    val afterFrom = head.substring(fromAt + 4)
+    val whereAt = topLevelIndexOf(afterFrom, Seq("where"))
+    val (rel, where) =
+      if (whereAt < 0) (afterFrom.trim, null)
+      else (afterFrom.substring(0, whereAt).trim, afterFrom.substring(whereAt + 5).trim)
+    if (rel.isEmpty || sel.isEmpty) return None
+    Some((sel, rel, where, n, unit, tail))
+  }
+
   private def rewriteSampleBy(q0: String): String = (q0 match {
     case SampleByRe(sel, table, where, n, unit, tail) =>
       Some((sel, table, where, n, unit, tail))
-    case other => sampleByPieces(other)
+    case other => sampleByPieces(other).orElse(sampleBySplit(other))
   }) match {
     case Some((sel, table, where, n, unit, tail)) =>
       val items = splitSelect(sel)
       // bare identifiers = group keys; the designated ts item becomes the bucket
       val isBare = (s: String) => s.matches("""[\w.]+""")
-      val tsName =
-        if (table.startsWith("(")) {
-          // derived table: the designation tail was already stripped —
-          // recover the key from the select list's conventional names
+      val tsName = {
+        def conventional = {
           val conv = Set("ts", "k", "timestamp", "time")
           items.map(_.trim).find(i => isBare(i) && conv(i.split('.').last.toLowerCase))
-            .map(_.split('.').last).getOrElse("ts")
-        } else Option(tsRegistry.get(table.split('.').last.toLowerCase)).getOrElse("ts")
+            .map(_.split('.').last)
+        }
+        if (table.startsWith("(")) conventional.getOrElse("ts")
+        else {
+          // first table token of the relation (strip backticks/quotes)
+          val headTbl = """[`']?([\w.]+)""".r.findFirstMatchIn(table.trim)
+            .map(_.group(1).split('.').last.toLowerCase).getOrElse("")
+          Option(tsRegistry.get(headTbl)).orElse(conventional).getOrElse("ts")
+        }
+      }
       val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
+      // aliased spelling `a.ts AS time` — bucket on the qualified column,
+      // emit under the alias
+      val AliasedTs = """(?is)^([\w.]+)\s+AS\s+`?(\w+)`?$""".r
+      val tsAliased = if (tsItem.isDefined) None else items.collectFirst {
+        case it @ AliasedTs(base, alias)
+            if base == tsName || base.endsWith(s".$tsName") => (it, base, alias)
+      }
       val keys = items.filter(i => isBare(i) && !tsItem.contains(i))
-      val tsExpr0 = tsItem.getOrElse(tsName)
+      val tsExpr0 = tsItem.orElse(tsAliased.map(_._2)).getOrElse(tsName)
       // a TIMESTAMP_NS key rides as BIGINT nanos — bucket on the µs view
       // (runtime type dispatch; folds away in codegen for ts columns)
       val tsExpr = s"IF(typeof($tsExpr0) IN ('bigint', 'int'), " +
@@ -3490,6 +3733,7 @@ object QuestSql {
       }
       val outItems = items.map {
         case i if tsItem.contains(i) => s"$bucketOut AS ${i.split('.').last}"
+        case i if tsAliased.exists(_._1 == i) => s"$bucketOut AS ${tsAliased.get._3}"
         case i => i
       }
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
@@ -3503,7 +3747,7 @@ object QuestSql {
     * subqueries too (reference allows SAMPLE BY at any nesting —
     * `select * from (select ... sample by 1m)`). */
   private def rewriteNestedSampleBy(q: String): String = {
-    if (!"""(?i)\b(SAMPLE\s+BY|LATEST\s+ON)\b""".r.findFirstIn(q).isDefined) return q
+    if (!"""(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b""".r.findFirstIn(q).isDefined) return q
     val sb = new StringBuilder
     var i = 0
     while (i < q.length) {
@@ -3526,9 +3770,9 @@ object QuestSql {
         }
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         if (inner.trim.toLowerCase.startsWith("select") &&
-            """(?i)\b(SAMPLE\s+BY|LATEST\s+ON)\b""".r.findFirstIn(inner).isDefined) {
+            """(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b""".r.findFirstIn(inner).isDefined) {
           // LATEST ON first (its result may still hold a SAMPLE BY tail)
-          val step = rewriteSampleBy(rewriteLatestOn(inner.trim))
+          val step = rewriteSampleBy(rewriteLatestOn(rewriteLatestByDeprecated(inner.trim)))
           val rewritten =
             if (step == inner.trim) rewriteNestedSampleBy(inner)
             else rewriteNestedSampleBy(step)
@@ -3588,7 +3832,17 @@ object QuestSql {
         case "NULL" => graft.ops.SampleBy.FillNull
         case "PREV" => graft.ops.SampleBy.FillPrev
         case "LINEAR" => graft.ops.SampleBy.FillLinear
-        case v => graft.ops.SampleBy.FillConst(Map(name -> (v.toDouble: Any)))
+        case v =>
+          // constant fill: plain numeric, else fold a constant SQL
+          // expression (`cast('42' as DECIMAL(19,0))`, reference
+          // compile-time fill value resolution)
+          val value: Any =
+            try v.toDouble
+            catch {
+              case _: NumberFormatException =>
+                spark.sql(s"SELECT ${tok.trim}").collect()(0).get(0)
+            }
+          graft.ops.SampleBy.FillConst(Map(name -> value))
       }
       val fill = Option(fillSpec).map(_.trim).filter(_.nonEmpty) match {
         case None => graft.ops.SampleBy.NoFill
@@ -3622,7 +3876,7 @@ object QuestSql {
       // local values.
       val fromP = Option(fromLit).map(parsePoint)
       val toP = Option(toLit).map(parsePoint)
-      def filterBound(t: java.sql.Timestamp): java.sql.Timestamp = Option(tzLit) match {
+      def filterBound(t: java.sql.Timestamp): java.sql.Timestamp = Option(tzLit).map(normTz) match {
         case Some(z) => graft.ops.SampleBy.localToUtc(t, z)
         case None => t
       }
@@ -3720,7 +3974,7 @@ object QuestSql {
           graft.ops.SampleBy.sampleBy(ranged, tsName, stride, keys, aggs, fill,
             range = if (hasFill) range else None,
             offset = offsetEff,
-            tz = Option(tzLit),
+            tz = Option(tzLit).map(normTz),
             tsOut = tsOut,
             rangeLo = if (hasFill && range.isEmpty) fromP.map(ceilToGrid) else None,
             rangeHi = if (hasFill && range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None,

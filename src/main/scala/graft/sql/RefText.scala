@@ -122,6 +122,8 @@ object RefText {
     * handling per branch). */
   private def nullText(dt: DataType): String = dt match {
     case DoubleType | FloatType | IntegerType | LongType => "null"
+    // NULL decimals print as nothing (reference CursorPrinter
+    // putDecimal*Value skips the sink entirely on the null sentinel)
     case ByteType | ShortType => "0" // reference BYTE/SHORT have no null
     case BooleanType => "false"
     case _: ArrayType => "null" // null arrays print the word
