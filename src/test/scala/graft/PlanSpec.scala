@@ -117,6 +117,32 @@ class PlanSpec extends SparkSpec {
     assert(!spineBroadcast(planFor("1 second", "2024-03-01 00:00:00")))
   }
 
+  test("un-keyed FILL(PREV) carry is segmented, not one global window over data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.{col, avg}
+    val ev = Tables.events(spark, sfDir).limit(500)
+    val df = ops.SampleBy.sampleBy(ev, "ts", "1 hour", Seq.empty,
+      Seq("v" -> avg(col("value"))), ops.SampleBy.FillPrev,
+      range = Some((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))))
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w
+    }
+    // the per-bucket carry must partition by the segment column; only the
+    // bounded segment-spine prefix-merge (≤ nSegs rows) may be global
+    assert(windows.exists(w => w.partitionSpec.nonEmpty &&
+      w.partitionSpec.exists(_.toString.contains("__graft_seg"))),
+      "expected a __seg-partitioned carry window")
+    // correctness vs a single-key run of the keyed path
+    val keyed = ops.SampleBy.sampleBy(ev.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+      "ts", "1 hour", Seq("one"), Seq("v" -> avg(col("value"))), ops.SampleBy.FillPrev,
+      range = Some((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))).drop("one")
+    def dump(d: org.apache.spark.sql.DataFrame) = d.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(dump(df).sameElements(dump(keyed)), "segmented fill diverges from keyed fill")
+  }
+
   test("fused GROUPS-frame aggregates: few window passes, one shuffle") {
     for (q <- Seq("q_window_groups_frame", "q_window_groups_minmax")) {
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
