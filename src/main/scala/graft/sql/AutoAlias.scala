@@ -127,7 +127,11 @@ object AutoAlias {
                     bareRef: Option[String], autoBase: Option[String])
     val parsed = items.map { raw =>
       val t = raw.trim
-      if (t.isEmpty || t == "*" || t.endsWith(".*"))
+      // generator functions emit multiple columns — a single AS alias
+      // would be an arity mismatch (UDTF_ALIAS_NUMBER_MISMATCH)
+      val generator = """(?is)^(inline|inline_outer|posexplode|posexplode_outer|stack|json_tuple)\s*\(""".r
+        .findFirstIn(t).isDefined
+      if (t.isEmpty || t == "*" || t.endsWith(".*") || generator)
         Item(raw, None, None, None)
       else explicitAliasOf(t) match {
         case Some(a) => Item(raw, Some(a), None, None)

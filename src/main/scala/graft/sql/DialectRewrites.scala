@@ -55,6 +55,11 @@ object DialectRewrites {
       java.util.regex.Matcher.quoteReplacement(
         s"from_json(translate(${m.group(1)}, '{}', '[]'), 'array<$et>')")
     })
+    // `JOIN t ON (col[, col...])` with bare column names = match on
+    // same-named columns (reference SqlParser join-column shorthand) —
+    // Spark spells it USING. Time-series joins (ASOF/LT/...) keep their
+    // own ON(col) spelling for the dedicated op parsers.
+    q = mapOutside(q)(joinOnCols)
     q = mapOutside(q)(arrayTypeCasts)
     q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
@@ -76,6 +81,7 @@ object DialectRewrites {
     q = atTimeZone(q)
     q = namedWindows(q)
     q = timeRangeFrames(q)
+    q = unnestAll(q)
     q = unnestColumns(q)
     q = unnestPg(q)
     q = pivotGroupBy(q)
@@ -171,6 +177,153 @@ object DialectRewrites {
     * function) → LATERAL VIEW explode(from_json(...)). One declared
     * column makes the elements scalars (`u.val`); several make them
     * objects (`u.a`, `u.b`). */
+  /** Unified UNNEST lowering for the spellings the narrower passes
+    * can't express: per-argument `COLUMNS(name TYPE, ...)` JSON typed
+    * extraction (reference griffin/unnest JsonUnnest), JOIN-context
+    * (`CROSS JOIN UNNEST(...)`), and alias column lists over any mix.
+    * Plain comma/FROM forms without COLUMNS fall through to
+    * [[unnestColumns]] / [[unnestPg]]. */
+  private def unnestAll(q0: String): String = {
+    var s = q0
+    val kw = java.util.regex.Pattern.compile("(?i)\\bUNNEST\\s*\\(")
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      val m = kw.matcher(s)
+      var done = false
+      while (!done && m.find()) {
+        val open = m.end() - 1
+        var depth = 0; var j = open; var close = -1
+        while (j < s.length && close < 0) {
+          s.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case '\'' => var k = j + 1; while (k < s.length && s.charAt(k) != '\'') k += 1; j = k
+            case _ =>
+          }
+          j += 1
+        }
+        if (close < 0) done = true
+        else {
+          val args = splitBalancedCommas(s.substring(open + 1, close)).map(_.trim)
+          // arg = expr [COLUMNS(name TYPE, ...)]
+          val colsPat = """(?is)^(.*?)\s+COLUMNS\s*\((.*)\)\s*$""".r
+          val parsed: Seq[(String, Option[Seq[(String, String)]])] = args.map {
+            case colsPat(e, decls) =>
+              val ds = splitBalancedCommas(decls).map(_.trim).filter(_.nonEmpty).map { d =>
+                val parts = d.split("\\s+", 2)
+                val raw = parts(0)
+                val nm0 =
+                  if (raw.startsWith("'") || raw.startsWith("\"") || raw.startsWith("`"))
+                    raw.substring(1, raw.length - 1)
+                  else raw
+                val nm = if (nm0.matches("\\w+")) nm0 else s"`$nm0`"
+                (nm, jsonType(parts.lift(1).getOrElse("string")))
+              }
+              (e.trim, Some(ds))
+            case e => (e.trim, None)
+          }
+          // context before UNNEST
+          val before = s.substring(0, m.start())
+          val joinM = """(?is)((?:cross\s+|left\s+(?:outer\s+)?|inner\s+)?join)\s*$""".r
+            .findFirstMatchIn(before)
+          val commaCtx = before.trim.endsWith(",")
+          val fromCtx = !commaCtx && joinM.isEmpty &&
+            """(?is)\bfrom\s*$""".r.findFirstIn(before).isDefined
+          val hasColumns = parsed.exists(_._2.isDefined)
+          if (!hasColumns && joinM.isEmpty) done = true // simpler passes handle
+          else {
+            // tail: [WITH ORDINALITY] [[AS] alias[(cols)]]
+            val tail = s.substring(close + 1)
+            val tailM = ("""(?is)^(\s+WITH\s+ORDINALITY)?""" +
+              """(?:\s+(?:AS\s+)?([A-Za-z_]\w*)\s*(\(\s*[^()]*?\s*\))?)?""").r
+              .findFirstMatchIn(tail).get
+            val withOrd = tailM.group(1) != null
+            val aliasOpt = Option(tailM.group(2)).filterNot(a => Set(
+              "with", "columns", "order", "group", "where", "limit", "sample",
+              "union", "except", "intersect", "join", "left", "right", "inner",
+              "cross", "on", "using", "lateral", "as", "having", "window",
+              "latest").contains(a.toLowerCase))
+            val aliasCols = if (aliasOpt.isEmpty) None else Option(tailM.group(3))
+              .map(_.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq)
+            val tailEnd = close + 1 + (
+              if (aliasOpt.isEmpty) Option(tailM.group(1)).map(_ => tailM.end(1)).getOrElse(0)
+              else tailM.end)
+            // per-arg array expression + its output fields
+            case class Part(arr: String, fields: Seq[(String, Option[String])])
+            // fields: (outName, Some(structField) | None = the element itself)
+            var autoIdx = 0
+            val parts = parsed.map {
+              case (e, None) =>
+                autoIdx += 1
+                Part(e, Seq((if (parsed.length == 1) "value" else s"value$autoIdx", None)))
+              case (e, Some(ds)) if ds.length == 1 =>
+                autoIdx += 1
+                val (cn, ct) = ds.head
+                val arr = s"(CASE WHEN regexp_like($e, '^\\\\s*\\\\[\\\\s*\\\\{')" +
+                  s" THEN from_json($e, 'array<struct<$cn:$ct>>').$cn" +
+                  s" ELSE from_json($e, 'array<$ct>') END)"
+                Part(arr, Seq((cn, None)))
+              case (e, Some(ds)) =>
+                val st = ds.map { case (n, t) => s"${n.stripPrefix("`").stripSuffix("`")}:$t" }.mkString(",")
+                Part(s"from_json($e, 'array<struct<$st>>')",
+                  ds.map { case (n, _) => (n, Some(n)) })
+            }
+            val flatNames0 = parts.flatMap(_.fields.map(_._1))
+            val flatNames = aliasCols match {
+              case Some(cs) if cs.length == flatNames0.length ||
+                  (withOrd && cs.length == flatNames0.length + 1) => cs
+              case _ => flatNames0 ++ (if (withOrd) Seq("ordinality") else Seq())
+            }
+            val ordName = if (withOrd)
+              Some(flatNames.lift(flatNames0.length).getOrElse("ordinality")) else None
+            val outNames = flatNames.take(flatNames0.length)
+            val outer = joinM.exists(_.group(1).toLowerCase.startsWith("left"))
+            val body: String = {
+              val single = parts.length == 1 && parts.head.fields.length == 1 &&
+                parts.head.fields.head._2.isEmpty && ordName.isEmpty
+              if (single) s"explode(${parts.head.arr})"
+              else {
+                val sizes = parts.map(p => s"size(${p.arr})")
+                val sizeExpr = if (sizes.length == 1) sizes.head
+                  else s"greatest(${sizes.mkString(", ")})"
+                var fi = -1
+                val fieldsSql = parts.flatMap { p =>
+                  p.fields.map { case (_, fld) =>
+                    fi += 1
+                    val el = s"try_element_at(${p.arr}, CAST(__i AS INT))"
+                    val v = fld.map(f => s"$el.$f").getOrElse(el)
+                    s"$v AS __f$fi"
+                  }
+                } ++ ordName.map(_ => "__i AS __ford")
+                s"inline(transform(sequence(1, $sizeExpr), __i -> " +
+                  s"struct(${fieldsSql.mkString(", ")})))"
+              }
+            }
+            val genColsSeq = outNames ++ ordName.toSeq
+            val genCols = genColsSeq.mkString(", ")
+            val repl =
+              if (fromCtx) {
+                val aliased = if (genColsSeq.length == 1) s"$body AS $genCols"
+                  else s"$body AS ($genCols)"
+                s"(SELECT $aliased)" + aliasOpt.map(a => s" $a").getOrElse("")
+              } else {
+                val alias = aliasOpt.getOrElse("__unnest")
+                s" LATERAL VIEW ${if (outer) "OUTER " else ""}$body $alias AS $genCols"
+              }
+            val replStart = joinM.map(_.start).getOrElse {
+              if (commaCtx) before.lastIndexOf(',') else m.start()
+            }
+            s = s.substring(0, replStart) + repl + s.substring(tailEnd)
+            changed = true; done = true
+          }
+        }
+      }
+    }
+    s
+  }
+
   private def unnestColumns(q0: String): String = {
     val pat = java.util.regex.Pattern.compile(
       "(?is),?\\s*UNNEST\\s*\\(\\s*(.+?)\\s+COLUMNS\\s*\\(([^)]*)\\)\\s*\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)")
@@ -312,16 +465,67 @@ object DialectRewrites {
     * 1-based position. */
   private def unnestPg(q0: String): String = {
     var s = q0
-    // WITH ORDINALITY form
+    val reservedAlias = Set("with", "columns", "order", "group", "where", "limit",
+      "sample", "union", "except", "intersect", "join", "left", "right",
+      "inner", "cross", "on", "using", "lateral", "as", "having", "window", "latest")
+    // un-correlated FROM position: `FROM UNNEST(exprs) [WITH ORDINALITY]
+    // [[AS] alias[(cols)]]` — a derived table (reference griffin UNNEST
+    // standalone form; default names value / value1..N / ordinality)
+    val fromForm = java.util.regex.Pattern.compile(
+      "(?is)\\bFROM\\s+UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)" +
+        "(\\s+WITH\\s+ORDINALITY)?" +
+        "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*([^()]+?)\\s*\\))?)?")
+    var m = fromForm.matcher(s)
+    var searchFrom = 0
+    while (m.find(searchFrom)) {
+      val exprs = splitBalancedCommas(m.group(1)).map(_.trim)
+      val withOrd = m.group(2) != null
+      val aliasOpt = Option(m.group(3)).filterNot(a => reservedAlias(a.toLowerCase))
+      val colsOpt = if (aliasOpt.isEmpty) None else Option(m.group(4))
+        .map(_.split(",").map(_.trim).toSeq)
+      val defaults =
+        if (exprs.length == 1) Seq("value") else exprs.indices.map(i => s"value${i + 1}")
+      val cols = colsOpt.getOrElse(defaults) ++ (if (withOrd) Seq() else Seq())
+      val vCols = cols.take(exprs.length)
+      val oCol = if (withOrd) Some(cols.lift(exprs.length).getOrElse("ordinality")) else None
+      val body =
+        if (exprs.length == 1 && oCol.isEmpty) s"explode(${exprs.head}) AS ${vCols.head}"
+        else {
+          val struct =
+            s"transform(sequence(1, ${if (exprs.length == 1) s"size(${exprs.head})"
+              else s"greatest(${exprs.map(e => s"size($e)").mkString(", ")})"}), __i -> " +
+              s"struct(${exprs.zip(vCols).map { case (e, c) => s"try_element_at($e, CAST(__i AS INT)) AS $c" }.mkString(", ")}" +
+              oCol.map(o => s", __i AS $o").getOrElse("") + "))"
+          s"inline($struct)"
+        }
+      val aliasSql = aliasOpt.map(a => s" $a").getOrElse("")
+      val repl = s"FROM (SELECT $body)$aliasSql"
+      val matchEnd = if (aliasOpt.isEmpty && m.group(3) != null)
+        m.start(3) // the "alias" was really a clause keyword — keep it
+      else m.end()
+      s = s.substring(0, m.start()) + repl + s.substring(matchEnd)
+      searchFrom = m.start() + repl.length
+      m = fromForm.matcher(s)
+    }
+    // correlated WITH ORDINALITY: inline so the view's columns flatten
+    // for SELECT * and resolve as alias.col
     val ord = java.util.regex.Pattern.compile(
-      "(?is),?\\s*UNNEST\\s*\\(\\s*([^()]+?)\\s*\\)\\s+WITH\\s+ORDINALITY\\s+(\\w+)\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)")
-    var m = ord.matcher(s)
-    while (m.find()) {
-      val (expr, alias, vcol, ocol) = (m.group(1), m.group(2), m.group(3), m.group(4))
-      // one struct element per value, carrying the 1-based ordinal
-      val repl = s" LATERAL VIEW explode(transform($expr, (__x, __i) ->" +
-        s" struct(__x AS $vcol, __i + 1 AS $ocol))) ${alias}_lv AS $alias"
-      s = s.substring(0, m.start()) + repl + s.substring(m.end())
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)\\s+WITH\\s+ORDINALITY" +
+        "(?:\\s+(?:AS\\s+)?(\\w+)\\s*(?:\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?)?")
+    m = ord.matcher(s)
+    var ordFrom = 0
+    while (m.find(ordFrom)) {
+      val expr = m.group(1)
+      val aliasOpt = Option(m.group(2)).filterNot(a => reservedAlias(a.toLowerCase))
+      val (vcol, ocol) =
+        if (aliasOpt.isDefined && m.group(3) != null) (m.group(3), m.group(4))
+        else ("value", "ordinality")
+      val alias = aliasOpt.getOrElse("__unnest_ord")
+      val matchEnd = if (aliasOpt.isEmpty && m.group(2) != null) m.start(2) else m.end()
+      val repl = s" LATERAL VIEW inline(transform($expr, (__x, __i) ->" +
+        s" struct(__x, __i + 1))) $alias AS $vcol, $ocol"
+      s = s.substring(0, m.start()) + repl + s.substring(matchEnd)
+      ordFrom = m.start() + repl.length
       m = ord.matcher(s)
     }
     // `, UNNEST(expr) [AS] u(col)` / `, UNNEST(expr) [AS] u` — single
@@ -332,34 +536,34 @@ object DialectRewrites {
     // `, UNNEST(a, b) u(x, y)` — one struct row per zipped slot, the
     // alias IS the struct so `u.x` resolves (reference griffin UNNEST)
     val multi = java.util.regex.Pattern.compile(
-      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)\\s*" +
-        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(\\s*([^()]+)\\s*\\)" +
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)\\s*" +
+        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*([^()]+)\\s*\\))?" +
         "(?!\\s*\\()(?!\\s+(?:WITH|COLUMNS)\\b)")
     m = multi.matcher(s)
     while (m.find()) {
       val exprs = splitBalancedCommas(m.group(1)).map(_.trim)
-      val cols = m.group(3).split(",").map(_.trim).toSeq
-      if (exprs.length < 2 || exprs.length != cols.length) m.region(m.end(), s.length)
+      val cols0 = Option(m.group(3)).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(exprs.indices.map(i => s"value${i + 1}"))
+      if (exprs.length < 2 || exprs.length != cols0.length ||
+          reservedAlias(m.group(2).toLowerCase)) m.region(m.end(), s.length)
       else {
         val alias = m.group(2)
         def bq(c: String) =
-          if (c.startsWith("\"") || c.startsWith("`")) "`" + c.substring(1, c.length - 1) + "`" else c
-        // zip_with pads the shorter side with nulls pairwise; 3+ arrays
-        // index over the longest
+          if (c.startsWith("\"") || c.startsWith("`"))
+            "`" + c.substring(1, c.length - 1) + "`" else c
+        val cols = cols0.map(bq)
+        // index over the longest array, null-padding the shorter ones;
+        // inline flattens the struct so SELECT * and alias.col both work
         val body =
-          if (exprs.length == 2)
-            s"zip_with(${exprs(0)}, ${exprs(1)}, (__z0, __z1) -> " +
-              s"struct(__z0 AS ${bq(cols(0))}, __z1 AS ${bq(cols(1))}))"
-          else // 3+: zip indices over the longest array
-            s"transform(sequence(1, greatest(${exprs.map(e => s"size($e)").mkString(", ")})), __i -> " +
-              s"struct(${exprs.zip(cols).map { case (e, c) => s"try_element_at($e, CAST(__i AS INT)) AS ${bq(c)}" }.mkString(", ")}))"
-        val repl = s" LATERAL VIEW explode($body) ${alias}_lv AS $alias"
+          s"transform(sequence(1, greatest(${exprs.map(e => s"size($e)").mkString(", ")})), __i -> " +
+            s"struct(${exprs.zip(cols).map { case (e, c) => s"try_element_at($e, CAST(__i AS INT)) AS $c" }.mkString(", ")}))"
+        val repl = s" LATERAL VIEW inline($body) $alias AS ${cols.mkString(", ")}"
         s = s.substring(0, m.start()) + repl + s.substring(m.end())
         m = multi.matcher(s)
       }
     }
     val single = java.util.regex.Pattern.compile(
-      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)\\s*" +
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)\\s*" +
         "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*(\"[^\"]+\"|`[^`]+`|[A-Za-z_]\\w*)\\s*\\))?" +
         "(?!\\s*\\()(?!\\s+(?:WITH|COLUMNS)\\b)")
     m = single.matcher(s)
@@ -383,7 +587,7 @@ object DialectRewrites {
     // aliasless correlated form: `FROM t, UNNEST(t.arr)` → PG default
     // column name `value`
     val bare = java.util.regex.Pattern.compile(
-      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\([^()]*\\))+?)\\s*\\)" +
+      "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)" +
         "(?!\\s*\\()(?!\\s*(?:AS\\b|WITH\\b|COLUMNS\\b))")
     m = bare.matcher(s)
     while (m.find()) {
@@ -1039,6 +1243,23 @@ object DialectRewrites {
     }
     sb.toString
   }
+
+  private val onColsRe =
+    ("(?i)\\b(JOIN\\s+(?:`[^`]+`|'[^']+'|[\\w.]+)(?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?\\s+)" +
+      "ON\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*\\)" +
+      "(?!\\s*(?:[=<>!.]|AND\\b|OR\\b))").r
+
+  /** `JOIN t ON (sym)` → `JOIN t USING (sym)` — but not for the
+    * time-series join kinds whose own parsers read ON(col). */
+  private def joinOnCols(s: String): String =
+    onColsRe.replaceAllIn(s, m => {
+      val before = s.substring(0, m.start).trim.toLowerCase
+      val special = Seq("asof", "lt", "splice", "window", "horizon")
+        .exists(k => before.endsWith(k))
+      java.util.regex.Matcher.quoteReplacement(
+        if (special) m.matched
+        else m.group(1) + "USING (" + m.group(2) + ")")
+    })
 
   private def quotedTableNames(s: String): String = {
     val fw = s.trim.takeWhile(c => c.isLetter).toLowerCase

@@ -823,7 +823,7 @@ object QuestSql {
   private val CreateMatViewRe =
     ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?('[^']+'|(?:`[^`]+`|[\w.])+)""" +
       """(?:\s+WITH\s+BASE\s+[`']?([\w.]+)[`']?)?""" +
-      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+|PERIOD\s*\([^)]*\)))?(?:\s+(DEFERRED))?(?:\s+START\s+'[^']*'(?:\s+TIME\s+ZONE\s+'[^']*')?)?)?""" +
+      """(?:\s+REFRESH(?:\s+(IMMEDIATE|INCREMENTAL|MANUAL|EVERY\s+\w+))?(?:\s+PERIOD\s*\([^)]*\))?(?:\s+(DEFERRED))?(?:\s+START\s+'[^']*'(?:\s+TIME\s+ZONE\s+'[^']*')?)?)?""" +
       """\s+AS\s+(?:\((.*)\)|(SELECT\s.*?))\s*(?:TIMESTAMP\s*\(\s*[\w.]+\s*\))?\s*(?:PARTITION\s+BY\s+\w+)?\s*(?:TTL\s+\w+\s+\w+)?\s*$""").r
   // ---- live views (reference SqlParser.parseCreateLiveView:
   // `CREATE LIVE VIEW name FLUSH EVERY <dur> [IN MEMORY <dur>]
@@ -1979,7 +1979,24 @@ object QuestSql {
           val df = spark.table(table)
           Some(tsOfRel(table, df)).filter(df.columns.contains(_))
         } catch { case _: Exception => None }
-      tsOpt.foreach { ts =>
+      // joined FROM: a bare ts is ambiguous — qualify with the head
+      // relation (its alias when spelled)
+      val tsQualified = tsOpt.map { ts =>
+        val fromTail = if (fromAt < 0) "" else q.substring(fromAt + 4)
+        val hasJoin = topLevelIndexOf(fromTail,
+          Seq("join", ",")) >= 0 && topLevelIndexOf(fromTail, Seq("join")) >= 0
+        if (!hasJoin) ts
+        else {
+          val aliasM = ("""(?is)^\s*""" + java.util.regex.Pattern.quote(table) +
+            """\s+(?:AS\s+)?([A-Za-z_]\w*)\b""").r.findFirstMatchIn(fromTail)
+          val qual = aliasM.map(_.group(1))
+            .filterNot(a => Set("join", "on", "using", "where", "sample", "latest",
+              "left", "right", "inner", "cross", "full", "asof", "lt", "splice").contains(a.toLowerCase))
+            .getOrElse(table)
+          s"$qual.$ts"
+        }
+      }
+      tsQualified.foreach { ts =>
         q = expandCalls(q, "first_not_null") { case Seq(x) =>
           s"min_by($x, CASE WHEN ($x) IS NOT NULL THEN $ts END)" }
         q = expandCalls(q, "last_not_null") { case Seq(x) =>
