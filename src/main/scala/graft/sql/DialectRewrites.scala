@@ -84,6 +84,7 @@ object DialectRewrites {
     q = unnestAll(q)
     q = unnestColumns(q)
     q = unnestPg(q)
+    q = threadLateralOuterRefs(q)
     q = pivotGroupBy(q)
     q = quotedTableNames(q)
     // inner-subquery designated-timestamp tails — `from (select ...)
@@ -177,6 +178,127 @@ object DialectRewrites {
     * function) → LATERAL VIEW explode(from_json(...)). One declared
     * column makes the elements scalars (`u.val`); several make them
     * objects (`u.a`, `u.b`). */
+  /** Spark resolves a lateral subquery's outer references only one
+    * level up; the reference resolves them transitively (LateralJoinTest
+    * nested forms, e.g. an innermost lateral filtering on the top
+    * table). A PLAIN derived table inside a lateral body CAN reference
+    * the level above — so thread deep references through a one-row
+    * carrier subquery prepended to the enclosing lateral's FROM, and
+    * iterate to a fixpoint for deeper nesting. */
+  private[sql] def threadLateralOuterRefs(q0: String): String = {
+    if ("""(?i)\bLATERAL\b""".r.findAllIn(q0).size < 2) return q0
+    var s = q0
+    var guard = 0
+    var changed = true
+    val reserved = Set("select", "from", "join", "on", "using", "where", "group",
+      "order", "limit", "having", "union", "intersect", "except", "as", "and",
+      "or", "not", "case", "when", "then", "else", "end", "by", "asc", "desc",
+      "left", "right", "inner", "cross", "full", "outer", "lateral", "with",
+      "window", "sample", "latest", "null", "true", "false", "struct", "in")
+    def relTokens(text: String): Set[String] = {
+      val out = scala.collection.mutable.Set[String]()
+      // FROM/JOIN targets + their aliases
+      val fj = """(?is)\b(?:from|join)\s+([A-Za-z_][\w.]*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?""".r
+      fj.findAllMatchIn(text).foreach { m =>
+        out += m.group(1).split('.').head.toLowerCase
+        Option(m.group(2)).map(_.toLowerCase).filterNot(reserved).foreach(out += _)
+      }
+      // `) alias` (derived tables, lateral aliases)
+      val pa = """(?is)\)\s*(?:as\s+)?([A-Za-z_]\w*)""".r
+      pa.findAllMatchIn(text).foreach { m =>
+        val a = m.group(1).toLowerCase
+        if (!reserved(a)) out += a
+      }
+      out.toSet
+    }
+    def lateralSpans(text: String): Seq[(Int, Int)] = {
+      val pat = java.util.regex.Pattern.compile("(?i)\\bLATERAL\\s*\\(")
+      val m = pat.matcher(text)
+      val spans = scala.collection.mutable.Buffer[(Int, Int)]()
+      while (m.find()) {
+        val open = m.end() - 1
+        var depth = 0; var j = open; var close = -1
+        while (j < text.length && close < 0) {
+          text.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case '\'' => var k = j + 1; while (k < text.length && text.charAt(k) != '\'') k += 1; j = k
+            case _ =>
+          }
+          j += 1
+        }
+        if (close > 0) spans += ((open + 1, close)) // body bounds
+      }
+      spans.toSeq
+    }
+    while (changed && guard < 8) {
+      changed = false; guard += 1
+      val spans = lateralSpans(s)
+      // outermost-first: pick the first body containing a nested lateral
+      // with refs bound outside that body
+      val target = spans.find { case (lo, hi) =>
+        val body = s.substring(lo, hi)
+        lateralSpans(body).nonEmpty && {
+          val defined = relTokens(body)
+          lateralSpans(body).exists { case (ilo, ihi) =>
+            val inner = body.substring(ilo, ihi)
+            """\b([A-Za-z_]\w*)\.[A-Za-z_]\w*""".r.findAllMatchIn(inner)
+              .exists(m => !defined(m.group(1).toLowerCase) &&
+                !reserved(m.group(1).toLowerCase))
+          }
+        }
+      }
+      target.foreach { case (lo, hi) =>
+        val body = s.substring(lo, hi)
+        val defined = relTokens(body)
+        // all deep refs anywhere in the body's nested laterals
+        val deepRefs = lateralSpans(body).flatMap { case (ilo, ihi) =>
+          """\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b(?!\s*\()""".r
+            .findAllMatchIn(body.substring(ilo, ihi))
+            .filter(m => !defined(m.group(1).toLowerCase) &&
+              !reserved(m.group(1).toLowerCase))
+            .map(m => (m.group(1), m.group(2)))
+        }.distinct
+        if (deepRefs.nonEmpty) {
+          val carrier = deepRefs.map { case (t, c) => s"$t.$c AS __thr_${t}_$c" }
+            .mkString(", ")
+          var newBody = body
+          deepRefs.foreach { case (t, c) =>
+            newBody = newBody.replaceAll(
+              s"\\b${java.util.regex.Pattern.quote(t)}\\.${java.util.regex.Pattern.quote(c)}\\b",
+              s"__thr.__thr_${t}_$c")
+          }
+          // prepend the carrier to the body's first FROM at depth 0
+          val fromAt = {
+            val lower = newBody.toLowerCase
+            var i = 0; var depth = 0; var at = -1
+            while (i < lower.length && at < 0) {
+              lower.charAt(i) match {
+                case '(' => depth += 1; i += 1
+                case ')' => depth -= 1; i += 1
+                case '\'' => var k = i + 1; while (k < lower.length && lower.charAt(k) != '\'') k += 1; i = k + 1
+                case _ =>
+                  if (depth == 0 && lower.startsWith("from", i) &&
+                      (i + 4 >= lower.length || !lower.charAt(i + 4).isLetterOrDigit) &&
+                      (i == 0 || !lower.charAt(i - 1).isLetterOrDigit)) at = i
+                  else i += 1
+              }
+            }
+            at
+          }
+          if (fromAt >= 0) {
+            newBody = newBody.substring(0, fromAt) +
+              s"FROM (SELECT $carrier) __thr CROSS JOIN " +
+              newBody.substring(fromAt + 4).trim
+            s = s.substring(0, lo) + newBody + s.substring(hi)
+            changed = true
+          }
+        }
+      }
+    }
+    s
+  }
+
   /** Unified UNNEST lowering for the spellings the narrower passes
     * can't express: per-argument `COLUMNS(name TYPE, ...)` JSON typed
     * extraction (reference griffin/unnest JsonUnnest), JOIN-context
