@@ -342,11 +342,17 @@ object Catalog {
     val rows = liveViewReg.asScala.toSeq.sortBy(_._1).map { case (n, (dir, seam)) =>
       val m = Option(liveViewMeta.get(n))
       val cnt = try spark.table(n).count() catch { case _: Exception => 0L }
+      // interval units render as reference ChronoUnit names
+      def unitName(u: String): String = u match {
+        case null => null
+        case "ms" => "MILLISECOND"; case "s" => "SECOND"; case "m" => "MINUTE"
+        case "h" => "HOUR"; case "d" => "DAY"; case other => other.toUpperCase
+      }
       org.apache.spark.sql.Row(
         n, n + "~", m.map(_.base).orNull, m.map(_.sql).orNull,
         "active", null,
-        m.map(_.flushN).getOrElse(0L), m.map(_.flushUnit).orNull,
-        m.map(_.memN).getOrElse(0L), m.map(_.memUnit).orNull,
+        m.map(_.flushN).getOrElse(0L), m.map(u => unitName(u.flushUnit)).orNull,
+        m.map(_.memN).getOrElse(0L), m.map(u => unitName(u.memUnit)).orNull,
         0L, cnt,
         0L, 0L, 0L, 0L, seam(), seam(), seam(),
         null, 0L, 0L, 0L, 0L, 0L,

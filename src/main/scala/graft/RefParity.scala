@@ -116,7 +116,8 @@ object RefParity {
           // a setup statement referencing a table no earlier statement
           // created = the JUnit body built it dynamically and the
           // extractor could not see it — same bucket as skip_missing
-          if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("Table or view not found"))
+          if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("Table or view not found") ||
+              m.contains("does not exist"))
             return ("skip_missing", s"ddl: ${ddl.take(200)} -> $m")
           return (if (c.tier == "run") "run_error" else "setup_error",
             s"ddl: ${ddl.take(200)} -> ${msg(e)}")
