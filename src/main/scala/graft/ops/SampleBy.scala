@@ -323,11 +323,14 @@ object SampleBy {
                 val known = when(col(PRESENT).isNotNull, struct(unix_micros(col(tsOut)).as("t"), col(name).as("v")))
                 val p = last(known, ignoreNulls = true).over(wPrev)
                 val x = first(known, ignoreNulls = true).over(wNext)
+                // interpolation computes in double but the column keeps
+                // its own type (reference LongInterpolator stays LONG)
                 d.withColumn(name,
                   when(col(PRESENT).isNotNull, col(name)).otherwise(
-                    p.getField("v") + (x.getField("v") - p.getField("v")) *
+                    (p.getField("v") + (x.getField("v") - p.getField("v")) *
                       (t - p.getField("t")).cast("double") /
-                      (x.getField("t") - p.getField("t")).cast("double")))
+                      (x.getField("t") - p.getField("t")).cast("double"))
+                      .cast(d.schema(name).dataType)))
             }
           }
         }
@@ -420,9 +423,10 @@ object SampleBy {
           val p = effPrev(name); val x = effNext(name)
           d.withColumn(name,
             when(col(PRESENT).isNotNull, col(name)).otherwise(
-              p.getField("v") + (x.getField("v") - p.getField("v")) *
+              (p.getField("v") + (x.getField("v") - p.getField("v")) *
                 (t - p.getField("t")).cast("double") /
-                (x.getField("t") - p.getField("t")).cast("double")))
+                (x.getField("t") - p.getField("t")).cast("double"))
+                .cast(d.schema(name).dataType)))
       }
     }
     filled.drop(SEG +: (prevSrcs.map(c => s"__carryp_$c") ++

@@ -1513,9 +1513,14 @@ object QuestSql {
             t == ByteType || t == ShortType || t == IntegerType || t == LongType
           (f.dataType, srcType.get(f.name.toLowerCase)) match {
             // integer into TIMESTAMP is epoch-micros in the reference,
-            // not epoch-seconds (WindowFunctionTest `insert values (1, …)`)
+            // not epoch-seconds (WindowFunctionTest `insert values (1, …)`);
+            // into a declared TIMESTAMP_NS column the integer is NANOS
             case (TimestampType, Some(t)) if integral(t) =>
-              timestamp_micros(c.cast("long")).as(f.name)
+              val declaredNs = Option(graft.Catalog.declaredCols.get(name.toLowerCase))
+                .exists(_.get(f.name.toLowerCase)
+                  .exists(_.tpe.toUpperCase.startsWith("TIMESTAMP_NS")))
+              if (declaredNs) timestamp_micros((c.cast("long") / lit(1000L)).cast("long")).as(f.name)
+              else timestamp_micros(c.cast("long")).as(f.name)
             // integer into DATE (NTZ carrier) is epoch-millis
             case (TimestampNTZType, Some(t)) if integral(t) =>
               timestamp_millis(c.cast("long")).cast(TimestampNTZType).as(f.name)
@@ -2791,6 +2796,11 @@ object QuestSql {
     def listPick(s: String, args: Seq[String]): String =
       s"element_at(array(${args.mkString(", ")}), CAST(floor(${uSql(s)} * ${args.size}) AS INT) + 1)"
     def strBody(name: String): PartialFunction[Seq[String], String] = {
+      case args if args.forall(_.trim.isEmpty) =>
+        // no-arg form: random content, length 4..16 (reference
+        // RndVarcharFunctionFactory default range; run-tier values)
+        val s = seedOf(name)
+        s"substring(md5(concat('${s}_s', cast(x as string))), 1, ${intIn(s + "_len", "4", "16", "INT")})"
       case args if args.nonEmpty && args.head.trim.startsWith("'") =>
         listPick(seedOf(name), args)
       case Seq(lo, hi) =>
