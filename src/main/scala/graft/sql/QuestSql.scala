@@ -1042,7 +1042,12 @@ object QuestSql {
     sparkTypeOf0(t)
   }
 
-  private def sparkTypeOf0(t: String): String = t.trim.toUpperCase match {
+  private def sparkTypeOf0(t0: String): String = (
+    // sized string-modeled types: GEOHASH(5b), VARCHAR(32), CHAR(4)
+    if ("""(?i)^(GEOHASH|VARCHAR|CHAR|SYMBOL)\s*\(""".r.findFirstIn(t0.trim).isDefined)
+      t0.trim.takeWhile(_ != '(')
+    else t0
+  ).trim.toUpperCase match {
     case "INT" | "INTEGER" => "int"
     case "LONG" => "bigint"
     case "SHORT" => "smallint"
@@ -1278,9 +1283,14 @@ object QuestSql {
           Some(status(spark, "OK"))
         case AlterAddRe(cols) =>
           val added = splitSelect(cols).foldLeft(t) { (d, spec) =>
-            val parts = spec.trim.split("\\s+", 2)
-            require(parts.length == 2, s"ADD COLUMN needs 'name type', got '$spec'")
-            d.withColumn(parts(0), lit(null).cast(sparkTypeOf(parts(1))))
+            // `name TYPE[(args)] [INDEX [TYPE POSTING [INCLUDE(...)]]|
+            // CACHE|NOCACHE|CAPACITY n ...]` — storage options are
+            // metadata-only here
+            val m = """(?is)^\s*(\w+)\s+(\w+(?:\s*\([^)]*\))?)""".r
+              .findFirstMatchIn(spec.trim)
+              .getOrElse(throw new IllegalArgumentException(
+                s"ADD COLUMN needs 'name type', got '$spec'"))
+            d.withColumn(m.group(1), lit(null).cast(sparkTypeOf(m.group(2))))
           }
           added.createOrReplaceTempView(name)
           Some(status(spark, "OK"))
@@ -2099,7 +2109,10 @@ object QuestSql {
     q = expandCalls(q, "cast") { case Seq(inner) =>
       val m = """(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$""".r.findFirstMatchIn(inner)
       val mn = """(?is)^(.*\S)\s+AS\s+TIMESTAMP_NS\s*$""".r.findFirstMatchIn(inner)
-      val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)c\s*\)\s*$""".r.findFirstMatchIn(inner)
+      // GEOHASH(Nc) chars; GEOHASH(Nb) bits = N/5 chars (reference
+      // ColumnType.getGeoHashBits — sub-5-bit tails truncate)
+      val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)\s*([cb])\s*\)\s*$""".r
+        .findFirstMatchIn(inner)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
       // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
@@ -2114,7 +2127,9 @@ object QuestSql {
       } else (m, mn, g, l256, dt) match {
         case (Some(t), _, _, _, _) => tsUsCast(t.group(1))
         case (_, Some(t), _, _, _) => nsCast(t.group(1))
-        case (_, _, Some(gh), _, _) => geoCast(gh.group(1), gh.group(2).toInt)
+        case (_, _, Some(gh), _, _) =>
+          val n = gh.group(2).toInt
+          geoCast(gh.group(1), if (gh.group(3).equalsIgnoreCase("b")) n / 5 else n)
         case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
           s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
         case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
@@ -4074,7 +4089,76 @@ object QuestSql {
           graft.ops.Limits.tail(ordered, (-l).toInt, Seq(col(tsOut)))
         case _ => ordered
       })
-    case _ => None
+    case _ => sampleByOpMultiRel(spark, q)
+  }
+
+  /** Op-form SAMPLE BY over a multi-relation FROM (comma joins, JOIN
+    * chains): project the qualified columns the select list needs into a
+    * derived table with unqualified names, then re-enter the single-rel
+    * op form. */
+  private def sampleByOpMultiRel(spark: SparkSession, q: String): Option[DataFrame] = {
+    val t = q.trim
+    if (!t.toLowerCase.startsWith("select")) return None
+    val sbPat = java.util.regex.Pattern.compile("(?is)\\bSAMPLE\\s+BY\\s+(\\d+)([UTsmhdwMy])\\b")
+    // top-level SAMPLE BY with op-form markers after it
+    var depth = 0; var i = 0; var at = -1
+    while (i < t.length && at < 0) {
+      t.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k + 1
+        case c if depth == 0 && (c == 's' || c == 'S') =>
+          val m = sbPat.matcher(t); if (m.find(i) && m.start == i) at = i else i += 1
+        case _ => i += 1
+      }
+    }
+    if (at < 0) return None
+    val rest = t.substring(at)
+    if (!"""(?is)\b(FILL|ALIGN|FROM\s+'|TO\s+')""".r.findFirstIn(rest).isDefined) return None
+    val head = t.substring(0, at)
+    val fromAt = topLevelIndexOf(head, Seq("from"))
+    if (fromAt < 0) return None
+    val sel = head.substring(6, fromAt).trim
+    val afterFrom = head.substring(fromAt + 4)
+    val whereAt = topLevelIndexOf(afterFrom, Seq("where"))
+    val (rel, where) =
+      if (whereAt < 0) (afterFrom.trim, None)
+      else (afterFrom.substring(0, whereAt).trim, Some(afterFrom.substring(whereAt + 5).trim))
+    // only engage for genuinely multi-relation FROMs the anchored regex
+    // can't parse
+    val multi = topLevelIndexOf(rel, Seq("join")) >= 0 || {
+      var d = 0; var j = 0; var comma = false
+      while (j < rel.length) {
+        rel.charAt(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => comma = true
+          case _ =>
+        }
+        j += 1
+      }
+      comma
+    }
+    if (!multi) return None
+    // qualified refs the outer select needs
+    val refs = """\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b""".r.findAllMatchIn(sel)
+      .map(m => (m.group(1), m.group(2))).toSeq.distinct
+    if (refs.isEmpty) return None
+    val counts = refs.groupBy(_._2).view.mapValues(_.size).toMap
+    def outName(t0: String, c: String) = if (counts(c) > 1) s"${t0}_$c" else c
+    val proj = refs.map { case (t0, c) => s"$t0.$c AS ${outName(t0, c)}" }.mkString(", ")
+    var sel2 = sel
+    refs.foreach { case (t0, c) =>
+      sel2 = sel2.replaceAll(
+        s"\\b${java.util.regex.Pattern.quote(t0)}\\.${java.util.regex.Pattern.quote(c)}\\b",
+        outName(t0, c))
+    }
+    val inner = s"SELECT $proj FROM $rel" + where.map(w => s" WHERE $w").getOrElse("")
+    val rewritten = s"SELECT $sel2 FROM ($inner) $rest"
+    rewritten match {
+      case SampleByFullRe(_*) => sampleByOpForm(spark, rewritten)
+      case _ => None
+    }
   }
 
   // ---- EMA / VWEMA window spellings ----------------------------------------
