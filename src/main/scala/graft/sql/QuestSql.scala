@@ -2022,7 +2022,7 @@ object QuestSql {
       case args if args.forall(_.trim.isEmpty) => "count(*)"
       case args => s"count(${args.mkString(", ")})"
     }
-    val needsTs = """(?i)\b(first|last|first_not_null|last_not_null)\s*\(""".r
+    val needsTs = """(?i)\b(first|last|first_not_null|last_not_null|nth_value)\s*\(""".r
       .findFirstIn(q).isDefined
     if (needsTs) {
       val fromAt = topLevelIndexOf(q, Seq("from"))
@@ -2051,6 +2051,23 @@ object QuestSql {
             .getOrElse(table)
           s"$qual.$ts"
         }
+      }
+      // nth_value over an unordered window = table order in the
+      // reference; Spark demands ORDER BY — inject the designated ts
+      tsQualified.foreach { ts =>
+        // only the window attached to the nth_value call itself — adding
+        // ORDER BY to other windows would change their default frame
+        q = java.util.regex.Pattern.compile(
+          "(?is)\\b(nth_value\\s*\\((?:[^()]|\\([^()]*\\))*\\)\\s*OVER\\s*\\()([^()]*)\\)")
+          .matcher(q).replaceAll(mr => {
+            val c = mr.group(2)
+            java.util.regex.Matcher.quoteReplacement(
+              if ("""(?i)\border\s+by\b""".r.findFirstIn(c).isDefined) mr.group()
+              // whole-partition frame: the ordered default (running
+              // range) would null the leading rows
+              else s"${mr.group(1)}${c.trim} ORDER BY $ts " +
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+          })
       }
       tsQualified.foreach { ts =>
         q = expandCalls(q, "first_not_null") { case Seq(x) =>
@@ -4168,7 +4185,7 @@ object QuestSql {
   // expresses, lowered through ops.Ema.
 
   private val EmaItemRe =
-    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|millisecond(?:s)?|second(?:s)?|minute(?:s)?|hour(?:s)?|day(?:s)?|week(?:s)?)'\s*,\s*([\d.]+)\s*""" +
+    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|millisecond(?:s)?|second(?:s)?|minute(?:s)?|hour(?:s)?|day(?:s)?|week(?:s)?)'\s*,\s*([\d.]+)[DdFf]?\s*""" +
       """(?:,\s*([\w.]+)\s*)?\)\s*over\s*\(\s*(?:partition\s+by\s+([\w.,\s]+?)\s+)?order\s+by\s+([\w.]+)\s*\)""" +
       """(?:\s+AS\s+`?(\w+)`?)?""").r
 
