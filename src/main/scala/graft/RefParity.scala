@@ -207,7 +207,7 @@ object RefParity {
     * (GlobFilesFunctionFactoryTest.setupTestFiles) under ./glob_fixture
     * and point the copy root at it, so the harvested glob() count
     * assertions see the same filesystem the reference tests did. */
-  private def setupGlobFixture(): Unit = {
+  private[graft] def setupGlobFixture(): Unit = {
     val root = new java.io.File("glob_fixture").getAbsoluteFile
     def mk(rel: String, size: Int): Unit = {
       val f = new java.io.File(root, rel)
@@ -273,7 +273,7 @@ object RefParity {
 
   private var sinceCacheClear = 0
 
-  private def cleanup(spark: org.apache.spark.sql.SparkSession, baseline: Set[String]): Unit = {
+  private[graft] def cleanup(spark: org.apache.spark.sql.SparkSession, baseline: Set[String]): Unit = {
     spark.catalog.listTables().collect().foreach { t =>
       if (!baseline(t.name.toLowerCase)) {
         try spark.catalog.dropTempView(t.name)

@@ -1,0 +1,42 @@
+package graft
+
+/** Regression gate over the reference-parity corpus: replay a fixed
+  * deterministic sample of the harvested (ddl, query, expected) cases
+  * (tools/refparity_corpus.jsonl, see tools/refparity_extract.py) and
+  * pin the pass count, so dialect work cannot silently regress parity.
+  *
+  * Stride sampling keeps `sbt test` fast while touching every test
+  * family; the full 11,800-case sweep runs via tools/refparity_run.sh.
+  */
+class RefParitySpec extends SparkSpec {
+
+  test("sampled reference-parity corpus stays above the pinned pass count") {
+    val corpus = "/root/repo/tools/refparity_corpus.jsonl"
+    assume(new java.io.File(corpus).exists())
+    RefParity.setupGlobFixture()
+    val engine = Engine(spark, sfDir)
+    val baseline = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
+    val stride = 79 // ~150 cases spread across every harvested file
+    val cases = scala.io.Source.fromFile(corpus).getLines().zipWithIndex
+      .filter { case (_, i) => i % stride == 0 }
+      .map { case (l, _) => RefParity.parseCase(l) }
+      .toVector
+    var passing = 0
+    val failures = scala.collection.mutable.Buffer[String]()
+    cases.foreach { c =>
+      val (cat, detail) =
+        try RefParity.runCase(engine, c)
+        catch { case e: Throwable => ("error", e.toString.take(120)) }
+      if (Set("pass", "run_pass", "pass_values")(cat) ||
+          cat.startsWith("skip")) passing += 1
+      else failures += s"${c.file}:${c.line} $cat ${detail.take(90)}"
+      RefParity.cleanup(spark, baseline)
+    }
+    // r8 level: 127/150 of this sample pass or legitimately skip; keep a
+    // small slack for environment jitter, never for regressions
+    val pinned = 123
+    assert(passing >= pinned,
+      s"parity sample regressed: $passing/${cases.size} (pinned ≥ $pinned)\n" +
+        failures.take(12).mkString("\n"))
+  }
+}
