@@ -191,8 +191,20 @@ object SampleBy {
         val flLocal = unix_micros(monthBucketAnchored(lts, strideMonthsOpt.get, monthAnchor))
         timestamp_micros(flLocal - offAtUs(flLocal - off1, zone))
     }).as(tsOut)
-    val base = df.groupBy((bucketCol +: keys.map(col)): _*)
-      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    // per-(bucket,key) first scan position rides through the aggregate:
+    // the reference cursor emits each bucket's PRESENT rows in scan
+    // order, then the gap-filled keys — __graft_app reproduces that
+    val APP = "__graft_app"
+    val dfM =
+      if (keys.isEmpty) df
+      else df.withColumn("__graft_mono",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val aggsApp =
+      if (keys.isEmpty) aggs
+      else aggs :+ (APP -> min(col("__graft_mono")))
+    val base = dfM.groupBy((bucketCol +: keys.map(col)): _*)
+      .agg(aggsApp.head._2.as(aggsApp.head._1),
+        aggsApp.tail.map { case (n, c) => c.as(n) }: _*)
 
     val aggNames = aggs.map(_._1)
     // normalize to one strategy per aggregate column
@@ -204,9 +216,29 @@ object SampleBy {
       case f => aggNames.map(_ -> f)
     }
 
+    // reference cursors stream buckets in time order; keys within a
+    // bucket follow GLOBAL first-appearance order (the scan order of a
+    // ts-ordered table), not key collation
+    def refOrder(result: DataFrame): DataFrame =
+      if (keys.isEmpty) result.orderBy(col(tsOut).asc)
+      else {
+        // present rows first (per-bucket scan order via APP), filled
+        // rows after in global first-appearance order
+        val fs = dfM.select((keys.map(col) :+ col("__graft_mono")): _*)
+          .groupBy(keys.map(col): _*)
+          .agg(min(col("__graft_mono")).as("__graft_fs"))
+        val withApp =
+          if (result.columns.contains(APP)) result
+          else result.withColumn(APP, org.apache.spark.sql.functions.lit(null).cast("long"))
+        withApp.join(broadcast(fs), keys, "left")
+          .orderBy((col(tsOut).asc +: col(APP).isNull.asc +:
+            coalesce(col(APP), col("__graft_fs")).asc +: keys.map(col(_).asc)): _*)
+          .drop("__graft_fs", APP)
+      }
+
     if (perCol.forall(_._2 == NoFill) && range.isEmpty &&
         rangeLo.isEmpty && rangeHi.isEmpty)
-      base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+      refOrder(base)
     else {
       // Bound frames: explicit FROM/TO literals arrive as local
       // wall-clock; under a TIME ZONE the super-day grid lives in the
@@ -234,7 +266,7 @@ object SampleBy {
         }
       }
       if (bounds.isEmpty) // empty input -> empty (correctly-shaped) result
-        return base.orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+        return refOrder(base)
       val (from, to) = bounds.get
       // distributed spine: range + offset arithmetic, not a single
       // exploded array. The bucket index rides along so the un-keyed
@@ -336,8 +368,7 @@ object SampleBy {
         }
       // reference fill cursors emit bucket-major order: every key's row
       // for bucket t before any row of bucket t+1
-      filled.drop(PRESENT, IDX)
-        .orderBy((col(tsOut) +: keys.map(col)).map(_.asc): _*)
+      refOrder(filled.drop(PRESENT, IDX))
     }
   }
 
@@ -444,9 +475,9 @@ object SampleBy {
                          tsOut: String = "ts"): DataFrame = {
     val bucket = to_utc_timestamp(
       date_trunc(unit, from_utc_timestamp(col(ts), tz)), tz).as(tsOut)
-    df.groupBy((bucket +: keys.map(col)): _*)
-      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
-      .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+    refOrderOf(df, df.groupBy((bucket +: keys.map(col)): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*),
+      keys, tsOut)
   }
 
   /** SAMPLE BY ... ALIGN TO FIRST OBSERVATION (reference
@@ -473,10 +504,25 @@ object SampleBy {
       }
     val off = unix_micros(col(ts)) - col(anchorUs)
     val bucketCol = timestamp_micros(col(anchorUs) + (off - off % lit(strideMicros))).as(tsOut)
-    withAnchor.groupBy((bucketCol +: keys.map(col)): _*)
-      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
-      .orderBy((keys.map(col) :+ col(tsOut)).map(_.asc): _*)
+    refOrderOf(df, withAnchor.groupBy((bucketCol +: keys.map(col)): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*),
+      keys, tsOut)
   }
+
+  /** bucket-major, keys by global first appearance — see refOrder in
+    * [[sampleBy]]. */
+  private def refOrderOf(src: DataFrame, result: DataFrame,
+                         keys: Seq[String], tsOut: String): DataFrame =
+    if (keys.isEmpty) result.orderBy(col(tsOut).asc)
+    else {
+      val fs = src.select((keys.map(col) :+
+          org.apache.spark.sql.functions.monotonically_increasing_id().as("__graft_mono")): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("__graft_mono")).as("__graft_fs"))
+      result.join(broadcast(fs), keys, "left")
+        .orderBy((col(tsOut).asc +: col("__graft_fs").asc +: keys.map(col(_).asc)): _*)
+        .drop("__graft_fs")
+    }
 
   private def keyWindow(keys: Seq[String], tsOut: String) =
     if (keys.isEmpty) Window.partitionBy().orderBy(col(tsOut).asc)

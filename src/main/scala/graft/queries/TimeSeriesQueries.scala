@@ -182,6 +182,7 @@ object TimeSeriesQueries extends QueryPack {
       SampleBy.sampleByCalendarTz(Tables.events(s, dir), "ts", "day",
         "America/New_York", Seq("event_type"),
         Seq("n" -> count(lit(1)), "sum_v" -> sumDec(col("value"))))
+        .orderBy(col("event_type"), col("ts"))
     }),
 
     "q_ema" -> ((s, dir) => {

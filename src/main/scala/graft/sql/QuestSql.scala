@@ -1645,6 +1645,72 @@ object QuestSql {
       s" ELSE substring(CAST($x AS STRING), 1, $chars) END)"
   }
 
+  /** Reference datetime pattern → Spark/Java pattern. The reference's
+    * format compiler (std/datetime/millitime/DateFormatCompiler.java
+    * static init; micro/nano compilers add U=micros, N=nanos) treats any
+    * unrecognized character as a LITERAL — `yyyy-MM-ddTHH:mm:ss` is
+    * legal there but Java rejects the bare T. Tokenizes greedily over
+    * the reference op table, maps fraction runs (SSS/UUU/NNN…) to one
+    * Spark fraction-of-second run, and quotes leftover letters. */
+  private[sql] def refDateFmt(fmt: String): String = {
+    val known = Set("G", "y", "yy", "yyy", "yyyy", "M", "MM", "MMM", "MMMM",
+      "d", "dd", "D", "w", "W", "E", "EE", "u", "a", "H", "HH", "k", "kk",
+      "K", "KK", "h", "hh", "m", "mm", "s", "ss", "S", "SSS",
+      "z", "zz", "zzz", "Z", "x", "xx", "xxx",
+      "U", "UUU", "N", "NNN", "N9")
+    val out = new StringBuilder
+    var i = 0
+    var frac = 0 // pending fraction-of-second digit count (S/U/N runs)
+    def flushFrac(): Unit = { if (frac > 0) { out ++= "S" * frac; frac = 0 } }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c.isLetter) {
+        // longest known token starting here
+        var len = math.min(4, fmt.length - i)
+        while (len > 0 && !known(fmt.substring(i, i + len))) len -= 1
+        if (len == 0) { // literal letter — quote it for Java
+          flushFrac(); out += '\''; out += c; out += '\''; i += 1
+        } else {
+          val tok = fmt.substring(i, i + len)
+          tok.charAt(0) match {
+            case 'S' => frac += len
+            case 'U' => frac += (if (tok == "U") 1 else 3)
+            case 'N' => frac += (if (tok == "N") 1 else if (tok == "N9") 9 else 3)
+            case _ =>
+              flushFrac()
+              out ++= (tok match {
+                case "E" => "EEE"    // short day name
+                case "EE" => "EEEE"  // long day name
+                case "Z" => "X"      // RFC822 / literal Z
+                case "zz" => "z"
+                case "zzz" => "zzzz"
+                case t => t
+              })
+          }
+          i += len
+        }
+      } else { flushFrac(); out += c; i += 1 }
+    }
+    flushFrac()
+    out.toString
+  }
+
+  /** to_timestamp_ns(s, fmt) with an explicit reference pattern: parse
+    * the non-fraction part with the translated pattern at second
+    * resolution, then add the right-padded fraction digits as nanos. */
+  private def nsParseFmtExpr(s: String, refFmt: String): String = {
+    val full = refDateFmt(refFmt)
+    // strip the fraction run and any trailing zone tokens; the value has
+    // its T/Z literals blanked to match
+    val noFrac = full.takeWhile(_ != 'S').replace("'T'", " ")
+      .reverse.dropWhile(c => c == 'X' || c == 'x' || c == 'z' || c == ' ').reverse
+      .stripSuffix(".").trim
+    val base = s"translate($s, 'TZ', ' ')"
+    s"(unix_timestamp(trim(substring_index($base, '.', 1)), '${noFrac.replace("'", "''")}') * 1000000000" +
+      s" + CAST(CASE WHEN instr($base, '.') > 0" +
+      s" THEN rpad(trim(substring_index($base, '.', -1)), 9, '0') ELSE '0' END AS BIGINT))"
+  }
+
   /** ISO / space-separated timestamp string → BIGINT nanos-since-epoch
     * (accepts 'yyyy-MM-dd HH:mm:ss.f' and 'yyyy-MM-ddTHH:mm:ss.fZ'). */
   private def nsParseExpr(s0: String): String = {
@@ -2159,18 +2225,18 @@ object QuestSql {
     // timestamp casts exploded into a StackOverflow); restore them here.
     q = q.replace("__QCAST__(", "CAST(")
     // reference datetime patterns treat T/Z as literals; Spark needs
-    // them quoted ('yyyy-MM-ddTHH:mm:ss' → yyyy-MM-dd'T'HH:mm:ss)
+    // them quoted ('yyyy-MM-ddTHH:mm:ss' → yyyy-MM-dd'T'HH:mm:ss); the
+    // full reference token table translates via refDateFmt
     def fixDtPattern(fmt: String): String = {
       val raw = stripQuotes(fmt)
-      var f = raw.replace("THH", "'T'HH")
-      if (f.endsWith("Z") && !f.endsWith("'Z'")) f = f.dropRight(1) + "'Z'"
+      val f = refDateFmt(raw)
       if (f == raw) fmt else s"'${f.replace("'", "''")}'"
     }
     for (fn <- Seq("to_timestamp", "to_date")) {
       q = expandCalls(q, fn) {
-        case Seq(x, fmt) if fmt.trim.startsWith("'") &&
-            (fmt.contains("THH") || stripQuotes(fmt.trim).endsWith("Z")) =>
-          s"$fn($x, ${fixDtPattern(fmt.trim)})"
+        case Seq(x, fmt) if fmt.trim.startsWith("'") =>
+          val fixed = fixDtPattern(fmt.trim)
+          if (fixed == fmt.trim) s"$fn($x, ${fmt.trim})" else s"$fn($x, $fixed)"
         case args => s"$fn(${args.mkString(", ")})"
       }
     }
@@ -2237,8 +2303,10 @@ object QuestSql {
     q = expandCalls(q, "to_lowercase") { case Seq(s) => s"lower($s)" }
     q = expandCalls(q, "strpos") { case Seq(s, sub) => s"instr($s, $sub)" }
     q = expandCalls(q, "sha256") { case Seq(s) => s"sha2($s, 256)" }
-    q = expandCalls(q, "to_str") { case Seq(ts, fmt) => s"date_format($ts, $fmt)" }
-    q = expandCalls(q, "to_char") { case Seq(ts, fmt) => s"date_format($ts, $fmt)" }
+    q = expandCalls(q, "to_str") { case Seq(ts, fmt) =>
+      s"date_format($ts, ${if (fmt.trim.startsWith("'")) s"'${refDateFmt(stripQuotes(fmt.trim)).replace("'", "''")}'" else fmt})" }
+    q = expandCalls(q, "to_char") { case Seq(ts, fmt) =>
+      s"date_format($ts, ${if (fmt.trim.startsWith("'")) s"'${refDateFmt(stripQuotes(fmt.trim)).replace("'", "''")}'" else fmt})" }
     q = expandCalls(q, "week_of_year") { case Seq(ts) => s"weekofyear($ts)" }
     q = expandCalls(q, "systimestamp") { _ => "current_timestamp()" }
     q = expandCalls(q, "sysdate") { _ => "current_timestamp()" }
@@ -2403,10 +2471,10 @@ object QuestSql {
     // five expand to codegen'd builtins (session tz is UTC, matching the
     // naive-timestamp oracle).
     q = expandCalls(q, "to_timestamp_ns") { case args @ (_ +: _) if args.size <= 2 =>
-      if (args.size == 2 && !args(1).contains(".")) {
-        // explicit second-resolution format: parse with it directly
-        // (reference format tokens yyyy/MM/dd/HH/mm/ss match Spark's)
-        s"(unix_timestamp(${args.head}, ${args(1)}) * 1000000000)"
+      if (args.size == 2 && args(1).trim.startsWith("'")) {
+        // explicit reference pattern: translate tokens (bare T/Z
+        // literals, SSSUUUNNN fraction runs) and parse at ns precision
+        nsParseFmtExpr(args.head, stripQuotes(args(1)))
       } else nsParseExpr(args.head) }
     q = expandCalls(q, "__ns_cast") { case Seq(x) => nsCast(x) }
     q = expandCalls(q, "timestamp_to_ns") { case Seq(ts) => s"(unix_micros($ts) * 1000)" }
@@ -2606,7 +2674,11 @@ object QuestSql {
     // leaves no dangling qualifier.
     q = q.replaceAll(
       "(?i)\\bpg_catalog\\s*\\.\\s*(pg_get_userbyid|pg_table_is_visible)\\s*\\(", "$1(")
-    q = expandCalls(q, "pg_catalog\\s*\\.\\s*age") { _ => "CAST(0 AS BIGINT)" }
+    // age() exists only under the pg_catalog prefix (reference
+    // PrefixedAgeFunctionFactory) — rewrite through a sentinel name so
+    // expandCalls' literal pre-scan sees it (a regex name never matches)
+    q = q.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*age\\s*\\(", "__pg_age(")
+    q = expandCalls(q, "__pg_age") { _ => "CAST(0 AS BIGINT)" }
     q = expandCalls(q, "pg_get_userbyid") { _ => "'public'" }
     q = expandCalls(q, "pg_table_is_visible") { _ => "true" }
     q = expandCalls(q, "current_data_id") { _ => "CAST(NULL AS STRING)" }
@@ -3503,7 +3575,7 @@ object QuestSql {
   // ---- shared parsing helpers ----------------------------------------------
 
   /** A relation reference: table name or one-level-nested subquery. */
-  private val Rel = """([\w.]+|\((?:[^()]|\([^()]*\))*\))"""
+  private val Rel = """(`[^`]+`|[\w.]+|\((?:[^()]|\([^()]*\))*\))"""
 
   /** Resolve a relation reference: table name, or a parenthesized
     * subquery run back through the dialect.
@@ -3581,7 +3653,7 @@ object QuestSql {
     val s = s0.trim
     if (s.isEmpty) return Some(1L)
     var pos = 0
-    def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    def peek: Char = if (pos < s.length) s.charAt(pos) else '\u0000'
     def skipWs(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
     def atom(): Long = {
       skipWs()
@@ -3848,9 +3920,40 @@ object QuestSql {
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
       val groupKeys = (bucketGroup +: keys).mkString(", ")
       val tailSql = Option(tail).map(" " + _).getOrElse("")
-      s"SELECT ${outItems.mkString(", ")} FROM $table$whereSql GROUP BY $groupKeys$tailSql"
+      val lowered =
+        s"SELECT ${outItems.mkString(", ")} FROM $table$whereSql GROUP BY $groupKeys$tailSql"
+      if (tail != null) lowered
+      else {
+        // no explicit ORDER BY: the reference cursor streams buckets in
+        // time order, keys per bucket in global first-appearance order
+        // (scan order of a ts-ordered table) — emit ts, then per-key
+        // earliest bucket via a window over the aggregated rows
+        val tsOutName = tsItem.map(_.split('.').last)
+          .orElse(tsAliased.map(_._3)).getOrElse(tsName)
+        def outName(i: String): String = {
+          val a = """(?is)^.*\s+AS\s+`?(\w+)`?\s*$""".r.findFirstMatchIn(i)
+          a.map(_.group(1)).getOrElse(i.split('.').last.trim)
+        }
+        val names = items.map {
+          case i if tsItem.contains(i) => tsOutName
+          case i if tsAliased.exists(_._1 == i) => tsAliased.get._3
+          case i => outName(i)
+        }
+        if (keys.isEmpty) s"$lowered ORDER BY ${quoteIdent(tsOutName)}"
+        else {
+          val keyNames = keys.map(k => quoteIdent(k.split('.').last))
+          val inner = s"SELECT ${outItems.mkString(", ")}, " +
+            s"MIN(MIN($tsExpr)) OVER (PARTITION BY ${keyNames.mkString(", ")}) AS __graft_fs " +
+            s"FROM $table$whereSql GROUP BY $groupKeys"
+          s"SELECT ${names.map(quoteIdent).mkString(", ")} FROM ($inner) " +
+            s"ORDER BY ${quoteIdent(tsOutName)}, __graft_fs, ${keyNames.mkString(", ")}"
+        }
+      }
     case _ => q0
   }
+
+  private def quoteIdent(n: String): String =
+    if (n.matches("\\w+")) s"`$n`" else n
 
   /** Apply the plain SAMPLE BY → GROUP BY lowering to parenthesized
     * subqueries too (reference allows SAMPLE BY at any nesting —
@@ -3918,7 +4021,8 @@ object QuestSql {
   private def sampleByOpForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case SampleByFullRe(sel, rel, where, n, unit, fromLit, toLit, fillSpec,
                         alignKind, tzLit, offsetLit, order, lim1, lim2)
-        if fillSpec != null || fromLit != null || alignKind != null =>
+        if fillSpec != null || fromLit != null || alignKind != null ||
+          order == null =>
       val (base0, relName) = resolveRel(spark, rel)
       val tsName = tsOfRel(relName, base0)
       val items = splitSelect(sel).map(normalizeAliasSpelling)

@@ -127,9 +127,14 @@ class CatalogSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows.head.getString(0).endsWith("a.txt") && rows.head.getLong(1) == 2048L)
     assert(rows.head.getString(2) == "2.0 KiB" && rows(1).getString(2) == "3 B")
-    // unset copy roots → empty listings, not errors
-    assert(engine.sql("SELECT * FROM import_files()").count() == 0)
-    assert(engine.sql("SELECT * FROM export_files()").count() == 0)
+    // unset copy roots → empty listings, not errors (clear the roots for
+    // this check — RefParitySpec's glob fixture may have set them)
+    val savedRoot = System.getProperty("graft.copy.input.root")
+    try {
+      System.clearProperty("graft.copy.input.root")
+      assert(engine.sql("SELECT * FROM import_files()").count() == 0)
+      assert(engine.sql("SELECT * FROM export_files()").count() == 0)
+    } finally if (savedRoot != null) System.setProperty("graft.copy.input.root", savedRoot)
     assert(engine.sql("SELECT pg_advisory_unlock_all() AS x").head().isNullAt(0))
   }
 
