@@ -414,7 +414,7 @@ object DialectQueries extends QueryPack {
           "SELECT x, " +
             "rnd_symbol_weighted('hot', 6.0, 'warm', 3.0, 'cold', 1.0) AS ws, " +
             "rnd_symbol_zipf('a', 'b', 'c', 'd', 1.5) AS zs, " +
-            "rnd_double_array(4) AS da " +
+            "rnd_double_array(1, 0, 0, 4) AS da " +
             "FROM long_sequence(400) ORDER BY x")
         .select(col("x"), col("ws"), col("zs"),
           element_at(col("da"), 1).as("da1"), element_at(col("da"), 2).as("da2"),
@@ -768,8 +768,9 @@ object DialectQueries extends QueryPack {
         1.0 / math.pow(4.0, 1.5)))
       val uw = dUniform("rnd_symbol_weighted#1")
       val uz = dUniform("rnd_symbol_zipf#1")
+      // fixed-dims form: element salt is seed_v ‖ x ‖ '_' ‖ loop index
       val das = (1 to 4).map(i =>
-        s"${dUniform(s"rnd_double_array#1_$i")} AS da$i").mkString(", ")
+        s"${dUniformSuffix("rnd_double_array#1_v", s"_$i")} AS da$i").mkString(", ")
       s"SELECT x, " +
         s"CASE WHEN $uw < CAST(${w(0)} AS DOUBLE) THEN 'hot' " +
         s"WHEN $uw < CAST(${w(1)} AS DOUBLE) THEN 'warm' ELSE 'cold' END AS ws, " +
@@ -805,6 +806,13 @@ object DialectQueries extends QueryPack {
   private def dUniform(seed: String): String = {
     val terms = (1 to 8).map { i =>
       s"(strpos('0123456789abcdef', substring(md5('$seed' || CAST(x AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
+    }
+    s"((${terms.mkString(" + ")}) / ${math.pow(16.0, 8)})"
+  }
+
+  private def dUniformSuffix(seed: String, suffix: String): String = {
+    val terms = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5('$seed' || CAST(x AS VARCHAR) || '$suffix'), $i, 1)) - 1) * ${math.pow(16.0, 8 - i)}"
     }
     s"((${terms.mkString(" + ")}) / ${math.pow(16.0, 8)})"
   }

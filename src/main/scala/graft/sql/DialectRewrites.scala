@@ -1206,6 +1206,14 @@ object DialectRewrites {
       s = s.replaceAll("(?i)(ARRAY<[^<>]+>)\\s*\\[\\s*\\]", "ARRAY<$1>")
       s = s.replaceAll("(?i)ARRAY<(ARRAY<[^<>]+>)\\s*\\[\\s*\\]>", "ARRAY<ARRAY<$1>>")
     }
+    // a NULL/NaN scalar cast to an array type is the NULL array in the
+    // reference (ArrayTest: null::double[] = NaN::double[] → true);
+    // Spark cannot cast DOUBLE → ARRAY, so collapse the chain to a
+    // typed NULL before the generic cast pass sees it
+    s = s.replaceAll(
+      "(?i)(?:\\bCAST\\s*\\(\\s*NULL\\s+AS\\s+[a-z_]+\\s*\\)|\\bnull|\\bnan)" +
+        "(?:\\s*::\\s*[a-z_]+)*\\s*::\\s*(ARRAY<[\\w<>]+>)",
+      "CAST(NULL AS $1)")
     s
   }
 

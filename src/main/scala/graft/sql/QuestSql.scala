@@ -84,9 +84,18 @@ object QuestSql {
   /** `expr alias` (implicit, call-result only) → `expr AS alias` so op
     * forms see one alias spelling. */
   private def normalizeAliasSpelling(item: String): String = {
-    val m = """(?is)^(.*\))\s+`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(item.trim)
+    val t = item.trim
+    val m = """(?is)^(.*[\w.'")\]])\s+`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(t)
+    // words that end an EXPRESSION fragment, not an operand — a trailing
+    // identifier after one of these is part of the syntax, not an alias
+    val exprTail = Set("distinct", "all", "and", "or", "not", "like", "ilike",
+      "in", "is", "between", "escape", "over", "within", "by", "as", "then",
+      "when", "else", "case", "interval", "from", "null", "nulls", "first",
+      "last", "asc", "desc", "respect", "ignore")
     m match {
-      case Some(g) if !g.group(2).equalsIgnoreCase("as") =>
+      case Some(g) if !g.group(2).equalsIgnoreCase("as") &&
+          !exprTail(g.group(2).toLowerCase) &&
+          !exprTail(g.group(1).split("[^\\w]+").lastOption.getOrElse("").toLowerCase) =>
         s"${g.group(1)} AS ${g.group(2)}"
       case _ => item
     }
@@ -1011,7 +1020,8 @@ object QuestSql {
       // table-level index/constraint entries carry no column
       _.matches("(?is)^\\s*index\\s*\\(.*\\)\\s*$")
     ).map { item =>
-      val m = """(?is)^\s*(`[^`]+`|\w+)\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?(?:\s*\[\s*\])*)\s*(.*)$""".r
+      val m = ("""(?is)^\s*(`[^`]+`|"[^"]+"|[\p{L}\p{N}_$]+)""" +
+        """\s+([A-Za-z_0-9]+(?:\s*\([^)]*\))?(?:\s*\[\s*\])*)\s*(.*)$""").r
         .findFirstMatchIn(item)
         .getOrElse(throw new IllegalArgumentException(s"bad column def: '$item'"))
       val tpe = m.group(2).trim.replaceAll("\\s+", "")
@@ -1030,7 +1040,7 @@ object QuestSql {
         }
         else if (up.startsWith("VARCHAR") || up.startsWith("CHAR")) "string"
         else sparkTypeOf(up)
-      (m.group(1).replace("`", ""), spk, up, m.group(3).trim)
+      (m.group(1).replace("`", "").stripPrefix("\"").stripSuffix("\""), spk, up, m.group(3).trim)
     }
 
   /** Reference type name → Spark SQL type for ALTER/ADD columns.
@@ -2063,13 +2073,34 @@ object QuestSql {
     * string predicate, the same plan a hand-written prefix filter gets.
     */
   private[graft] def rewriteWithin(q: String): String = {
-    val re = """(?i)([\w.]+)\s+within\s*\(([^()]*)\)""".r
-    re.replaceAllIn(q, m => {
-      val colRef = m.group(1)
-      val conds = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+    // balanced-paren arg scan: prefixes may be calls themselves
+    // (make_geohash(...), cast(... as geohash(Nc)))
+    val re = """(?i)([\w.]+|'[^']*')\s+within\s*\(""".r
+    var out = q
+    var m = re.findFirstMatchIn(out)
+    var budget = 64
+    while (m.isDefined && budget > 0) {
+      budget -= 1
+      val colRef = m.get.group(1)
+      val open = m.get.end - 1
+      var depth = 0; var i = open; var end = -1
+      while (i < out.length && end < 0) {
+        out.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return out
+      val conds = splitSelect(out.substring(open + 1, end))
+        .map(_.trim).filter(_.nonEmpty)
         .map(p => s"startswith($colRef, $p)")
-      Regex.quoteReplacement("(" + conds.mkString(" OR ") + ")")
-    })
+      val repl = if (conds.isEmpty) "(false)" else "(" + conds.mkString(" OR ") + ")"
+      out = out.substring(0, m.get.start) + repl + out.substring(end + 1)
+      m = re.findFirstMatchIn(out)
+    }
+    out
   }
 
   /** Reference aggregate spellings. `count()` / `count_distinct(x)` are
@@ -2374,7 +2405,7 @@ object QuestSql {
     q = expandCalls(q, "starts_with") { case Seq(s, p) =>
       s"(left($s, length($p)) = ($p))" }
     q = expandCalls(q, "make_geohash") { case Seq(lon, lat, bits) =>
-      s"geohash_encode($lat, $lon, $bits)" }
+      s"geohash_encode(CAST($lat AS DOUBLE), CAST($lon AS DOUBLE), $bits)" }
     q = expandCalls(q, "json_extract") { case Seq(doc, path) =>
       s"get_json_object($doc, $path)" }
     q = expandCalls(q, "timestamp_floor_utc") { args => floorExpr(args, toUtc = true) }
@@ -2409,8 +2440,27 @@ object QuestSql {
         s" ELSE concat(repeat('█', $whole)," +
         s" CASE WHEN $whole < $w AND $fracIdx > 0 THEN substring('▁▂▃▄▅▆▇█', $fracIdx, 1) ELSE '' END) END)" }
     q = expandCalls(q, "transpose") { case Seq(m0) =>
-      s"transform(sequence(1, size(element_at($m0, 1))), __i -> " +
-        s"transform($m0, __r -> element_at(__r, __i)))" }
+      // rank dispatch is static in Spark: a declared 1-D column
+      // transposes to itself (reference transpose on a vector is
+      // identity); anything else takes the 2-D path
+      if (declaredArrayDims(q, m0).contains(1)) s"($m0)"
+      else {
+        // seqTo(n): [1..n], empty when n ≤ 0 (size of an empty/null row
+        // is 0/-1 — a plain sequence(1, 0) would step DOWN to [1, 0])
+        val n = s"size(element_at($m0, 1))"
+        s"(CASE WHEN ($m0) IS NULL THEN NULL ELSE " +
+          s"transform(slice(sequence(1, greatest($n, 1)), 1, greatest($n, 0)), __i -> " +
+          s"transform($m0, __r -> element_at(__r, __i))) END)"
+      } }
+    q = expandCalls(q, "matmul") { case Seq(a, b) =>
+      // (n×k)·(k×m) over 2-D arrays (reference MatMulFunctionFactory);
+      // null operand → null, empty inner dim → empty rows
+      val n = s"size(element_at($b, 1))"
+      s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN NULL ELSE " +
+        s"transform($a, __ar -> " +
+        s"transform(slice(sequence(1, greatest($n, 1)), 1, greatest($n, 0)), __j -> " +
+        s"aggregate(zip_with(__ar, transform($b, __br -> element_at(__br, __j)), " +
+        s"(__x, __y) -> __x * __y), 0D, (__acc, __v) -> __acc + __v))) END)" }
     q = expandCalls(q, "string_distinct_agg") { case Seq(x, sep) =>
       s"array_join(array_distinct(collect_list($x)), $sep)" }
     q = expandCalls(q, "isOrdered") { case Seq(x) =>
@@ -2619,17 +2669,34 @@ object QuestSql {
           s"ELSE concat(slice($a, 1 - ($n), GREATEST(size($a) + ($n), 0)), " +
           s"array_repeat(CAST(($f) AS DOUBLE), LEAST(-($n), size($a)))) END)" }
     q = expandCalls(q, "dim_length") { case Seq(a, d) =>
+      def at(k: Int) = k match {
+        case 1 => s"size($a)"
+        case 2 => s"size(get($a, 0))"
+        case _ => s"size(get(get($a, 0), 0))"
+      }
       d.trim match {
-        case "1" => s"size($a)"
-        case "2" => s"size(get($a, 0))"
-        case "3" => s"size(get(get($a, 0), 0))"
-        case other => throw new IllegalArgumentException(s"dim_length: constant dim 1-3 expected, got '$other'")
+        case "1" | "2" | "3" => at(d.trim.toInt)
+        case other =>
+          // non-constant dim: runtime CASE bounded by the DECLARED rank
+          // (branches past the static rank would not analyze)
+          declaredArrayDims(q, a) match {
+            case Some(r) =>
+              val branches = (1 to math.min(r, 3)).map(k => s"WHEN ${k} THEN ${at(k)}").mkString(" ")
+              s"(CASE CAST($other AS INT) $branches END)"
+            case None =>
+              throw new IllegalArgumentException(s"dim_length: constant dim 1-3 expected, got '$other'")
+          }
       } }
-    q = expandCalls(q, "dot_product") { case Seq(a, b) =>
+    q = expandCalls(q, "dot_product") { case Seq(a0, b0) =>
       // N-dim args dot over the flattened views (reference iterates all
-      // dims); __graft_flat is identity on 1-D
-      s"vec_dot(CAST(__graft_flat($a) AS ARRAY<DOUBLE>), " +
-        s"CAST(__graft_flat($b) AS ARRAY<DOUBLE>))" }
+      // dims); __graft_flat is identity on 1-D. A numeric-literal side
+      // broadcasts (reference scalar overloads: sum(arr[i] * k))
+      def isNum(x: String) = x.trim.matches("-?\\d+(\\.\\d+)?([eE]-?\\d+)?")
+      val (a, b) = (a0.trim, b0.trim)
+      def flat(x: String) = s"CAST(__graft_flat($x) AS ARRAY<DOUBLE>)"
+      if (isNum(b)) s"vec_dot(${flat(a)}, transform(${flat(a)}, __s -> CAST($b AS DOUBLE)))"
+      else if (isNum(a)) s"vec_dot(${flat(b)}, transform(${flat(b)}, __s -> CAST($a AS DOUBLE)))"
+      else s"vec_dot(${flat(a)}, ${flat(b)})" }
     // uuid / long128 construction from long halves (reference
     // uuid/LongsToUuidFunctionFactory — new UUID(hi, lo) string form)
     def hex16(x: String): String = s"lower(lpad(hex(CAST(($x) AS BIGINT)), 16, '0'))"
@@ -2827,6 +2894,16 @@ object QuestSql {
 
   private[sql] def rewriteGeneratorFns(q0: String): String = {
     var q = q0
+    // bare `SELECT rnd_*()` with no FROM: the reference evaluates one
+    // row; the md5-deterministic stream here needs the long_sequence x
+    // column, so supply a one-row generator
+    if (q.trim.toUpperCase.startsWith("SELECT") &&
+        topLevelIndexOf(q, Seq("from")) < 0 &&
+        """(?i)\brnd_\w+\s*\(""".r.findFirstIn(q).isDefined) {
+      val cut = topLevelIndexOf(q, Seq("order", "limit"))
+      q = if (cut < 0) s"$q FROM long_sequence(1)"
+          else s"${q.substring(0, cut)} FROM long_sequence(1) ${q.substring(cut)}"
+    }
     val ord = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def seedOf(name: String): String = {
       val k = ord(name) + 1; ord(name) = k; s"$name#$k"
@@ -3023,12 +3100,56 @@ object QuestSql {
       cumCase(seedOf("rnd_symbol_zipf"), syms,
         syms.indices.map(i => 1.0 / math.pow((i + 1).toDouble, alpha)))
     }
-    q = expandCalls(q, "rnd_double_array") { case Seq(n) =>
-      val nn = n.trim.toInt
-      require(nn >= 1 && nn <= 64, s"rnd_double_array: n in [1,64], got $nn")
+    // rnd_double_array — reference RndDoubleArrayFunctionFactory:60-107:
+    //   (nDims) / (nDims, nanRate) / (nDims, nanRate, maxDimLen) /
+    //   (nDims, nanRate, 0, dim1Len, dim2Len, ...) — nested DOUBLE[]…[]
+    // with NaN frequency 1/(nanRate+1). Dim lengths here are
+    // deterministic per call site (md5 of the seed) instead of drawn
+    // from the reference PRNG — value parity is out of scope (run tier).
+    q = expandCalls(q, "rnd_double_array") { case args @ (_ +: _) =>
+      def lit(a: String): Int = {
+        val t = a.trim.replaceAll("(?i)::\\s*\\w+$", "").replaceAll("^'|'$", "")
+        t.toInt
+      }
+      val nDims = lit(args.head)
+      require(nDims >= 1 && nDims <= 32, s"rnd_double_array: nDims in [1,32], got $nDims")
+      val nanRate = if (args.size >= 2) lit(args(1)) else 0
       val s = seedOf("rnd_double_array")
-      s"array(${(1 to nn).map(i => uSql(s"${s}_$i")).mkString(", ")})"
+      val lens: Seq[Int] =
+        if (args.size >= 4 && lit(args(2)) == 0) args.drop(3).map(lit)
+        else {
+          val maxLen = math.min(if (args.size >= 3) lit(args(2)) else 16, 8)
+          require(maxLen >= 1, s"maxDimLength must be a positive integer [maxDimLength=$maxLen]")
+          (1 to nDims).map(i => 1 + math.abs((s + i).hashCode) % maxLen)
+        }
+      require(lens.size == nDims, "dim count mismatch")
+      // element: uniform [0,1) from md5(seed ‖ x ‖ loop indices), NaN'd
+      // at 1/(nanRate+1) from an independent salt
+      def u(salt: String, tag: String): String = {
+        val terms = (1 to 8).map { i =>
+          s"(locate(substring(md5(concat('${s}_$tag', cast(x as string), $salt)), $i, 1), '0123456789abcdef') - 1) * ${math.pow(16.0, 8 - i)}"
+        }
+        s"((${terms.mkString(" + ")}) / ${math.pow(16.0, 8)})"
+      }
+      def build(depth: Int, salt: String): String =
+        if (depth == nDims) {
+          val e = u(salt, "v")
+          if (nanRate <= 0) e
+          else s"(CASE WHEN ${u(salt, "nan")} * ${nanRate + 1}.0 < 1.0 THEN double('NaN') ELSE $e END)"
+        } else {
+          val v = s"i$depth"
+          s"transform(sequence(1, ${lens(depth)}), $v -> ${build(depth + 1, s"$salt, '_', $v")})"
+        }
+      build(0, "''")
     }
+    // list('A', 'B', ...) cycles its constants row by row (reference
+    // rnd/ListFunctionFactory.Func.next — sequential, not random).
+    // HORIZON JOIN's `LIST (offsets)` clause spells the same word — that
+    // grammar owns it there
+    if (!"""(?i)\bHORIZON\s+JOIN\b""".r.findFirstIn(q).isDefined)
+      q = expandCalls(q, "list") { case args if args.nonEmpty =>
+        s"element_at(array(${args.mkString(", ")}), CAST(pmod(x - 1, ${args.size}) AS INT) + 1)"
+      }
     q = expandCalls(q, "rnd_interval") { _ =>
       val s = seedOf("rnd_interval")
       val lo = s"timestamp_micros(CAST(floor(${uSql(s)} * 2678400000000.0) + 1704067200000000 AS BIGINT))"
@@ -3955,11 +4076,39 @@ object QuestSql {
   private def quoteIdent(n: String): String =
     if (n.matches("\\w+")) s"`$n`" else n
 
+  /** Aggregate-call detector for SAMPLE BY select-item classification
+    * (reference: any select item without an aggregate is a group key). */
+  private val sqlAggFnRe = ("(?i)\\b(sum|count|avg|min|max|first|last|first_value|" +
+    "last_value|min_by|max_by|ksum|nsum|vwap|twap|wavg|weighted_avg|weighted_stddev|" +
+    "stddev|stddev_samp|stddev_pop|variance|var_pop|var_samp|corr|covar_pop|covar_samp|" +
+    "count_distinct|approx_count_distinct|approx_percentile|hdr_approx_percentile|mode|" +
+    "haversine_dist|string_distinct_agg|array_agg|collect_list|collect_set|array_cum_sum|" +
+    "skewness|kurtosis|regr_slope|regr_intercept|regr_r2|l2price|mid|spread_bps|" +
+    "wmid|vwab|isordered|bool_and|bool_or|every|some_agg|any_value|sparkline)\\s*\\(").r
+
+  /** Declared array rank of a bare column reference, looked up in the
+    * declared-column registry of tables the statement references (the
+    * same scoping as rewriteAvgScale). None for expressions, unknown
+    * columns, or non-array declarations. */
+  private def declaredArrayDims(q: String, col0: String): Option[Int] = {
+    val c = col0.trim
+    if (!c.matches("[\\w.]+")) return None
+    val name = c.split('.').last.toLowerCase
+    val qLower = q.toLowerCase
+    import scala.jdk.CollectionConverters._
+    graft.Catalog.declaredCols.asScala.collectFirst {
+      case (tbl, cols) if qLower.contains(tbl) && cols.contains(name) &&
+          cols(name).tpe.endsWith("[]") =>
+        cols(name).tpe.sliding(2).count(_ == "[]")
+    }
+  }
+
   /** Apply the plain SAMPLE BY → GROUP BY lowering to parenthesized
     * subqueries too (reference allows SAMPLE BY at any nesting —
     * `select * from (select ... sample by 1m)`). */
   private def rewriteNestedSampleBy(q: String): String = {
-    if (!"""(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b""".r.findFirstIn(q).isDefined) return q
+    if (!"""(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|LIMIT\s+-\d|LIMIT\s+\d+\s*,""".r
+        .findFirstIn(q).isDefined) return q
     val sb = new StringBuilder
     var i = 0
     while (i < q.length) {
@@ -3982,9 +4131,11 @@ object QuestSql {
         }
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         if (inner.trim.toLowerCase.startsWith("select") &&
-            """(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b""".r.findFirstIn(inner).isDefined) {
+            """(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|LIMIT\s+-\d|LIMIT\s+\d+\s*,"""
+              .r.findFirstIn(inner).isDefined) {
           // LATEST ON first (its result may still hold a SAMPLE BY tail)
-          val step = rewriteSampleBy(rewriteLatestOn(rewriteLatestByDeprecated(inner.trim)))
+          val step = rewriteRangeLimit(rewriteNegativeLimit(
+            rewriteSampleBy(rewriteLatestOn(rewriteLatestByDeprecated(inner.trim)))))
           val rewritten =
             if (step == inner.trim) rewriteNestedSampleBy(inner)
             else rewriteNestedSampleBy(step)
@@ -4023,14 +4174,35 @@ object QuestSql {
                         alignKind, tzLit, offsetLit, order, lim1, lim2)
         if fillSpec != null || fromLit != null || alignKind != null ||
           order == null =>
-      val (base0, relName) = resolveRel(spark, rel)
-      val tsName = tsOfRel(relName, base0)
+      val (base1, relName) = resolveRel(spark, rel)
+      val tsName = tsOfRel(relName, base1)
       val items = splitSelect(sel).map(normalizeAliasSpelling)
       val isBare = (s: String) => s.matches("""[\w.]+""")
       val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
-      val keys = items.filter(i => isBare(i) && !tsItem.contains(i)).map(_.split('.').last)
       val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
-      val aggs = items.filterNot(i => isBare(i)).map {
+      // `ts AS time` designates the bucket under an alias, not a key
+      val AliasedTsOp = """(?is)^([\w.]+)\s+AS\s+`?(\w+)`?$""".r
+      val tsAliasedOp = if (tsItem.isDefined) None else items.collectFirst {
+        case it @ AliasedTsOp(b, alias) if b == tsName || b.endsWith(s".$tsName") =>
+          (it, b, alias)
+      }
+      // non-aggregate expression items are GROUP KEYS in the reference
+      // (SampleByFillPrevTest `x::STRING k`, `concat(a, b) k`, aliased
+      // symbols) — pre-project them so the op path sees bare key columns
+      def hasAggCall(e: String) = sqlAggFnRe.findFirstIn(e).isDefined
+      val exprKeys = items.filterNot(i => isBare(i) || tsItem.contains(i) ||
+          tsAliasedOp.exists(_._1 == i))
+        .filterNot(hasAggCall).map {
+          case it @ AggAs(e, name) => (it, e, name)
+          case it => (it, it, it.replaceAll("\\W", "_"))
+        }
+      val base0 = exprKeys.foldLeft(base1) { case (d, (_, e, name)) =>
+        d.withColumn(name, expr(e)) // dialect passes already ran on q
+      }
+      val keys = items.filter(i => isBare(i) && !tsItem.contains(i)).map(_.split('.').last) ++
+        exprKeys.map(_._3)
+      val aggs = items.filterNot(i => isBare(i) || exprKeys.exists(_._1 == i) ||
+          tsAliasedOp.exists(_._1 == i)).map {
         case AggAs(e, name) => name -> expr(e)
         case e => e.replaceAll("\\W", "_") -> expr(e)
       }
@@ -4150,7 +4322,8 @@ object QuestSql {
         case _ => None // a single open bound narrows the data only
       }
 
-      val tsOut = tsItem.map(_.split('.').last).getOrElse(tsName)
+      val tsOut = tsItem.map(_.split('.').last)
+        .orElse(tsAliasedOp.map(_._3)).getOrElse(tsName)
       val out = Option(alignKind).map(_.toUpperCase.replaceAll("\\s+", " ")) match {
         case Some("FIRST OBSERVATION") =>
           graft.ops.SampleBy.sampleByFirstObs(ranged, tsName, strideUs, keys, aggs, tsOut)
@@ -4197,6 +4370,7 @@ object QuestSql {
       // project in select-list order
       val outNames = items.map {
         case i if tsItem.contains(i) => tsOut
+        case i if tsAliasedOp.exists(_._1 == i) => tsOut
         case i if isBare(i) => i.split('.').last
         case i => i match { case AggAs(_, name) => name; case e => e.replaceAll("\\W", "_") }
       }
@@ -4645,9 +4819,17 @@ object QuestSql {
       val orderedNames = cols.mkString(", ")
       s"SELECT * FROM ($prefix$flipped LIMIT $n) ORDER BY $orderedNames"
     case NegLimitNoOrderRe(prefix, table, n) =>
-      // no ORDER BY: the reference implies designated-ts order
-      val ts = Option(tsRegistry.get(table.split('.').last.toLowerCase)).getOrElse("ts")
-      s"SELECT * FROM ($prefix ORDER BY $ts DESC LIMIT $n) ORDER BY $ts"
+      // no ORDER BY: the reference implies designated-ts order; a table
+      // with no designated ts slices the tail of the INSERTION order
+      // (griffin LimitRecordCursor over the storage scan)
+      Option(tsRegistry.get(table.split('.').last.toLowerCase)) match {
+        case Some(ts) =>
+          s"SELECT * FROM ($prefix ORDER BY $ts DESC LIMIT $n) ORDER BY $ts"
+        case None =>
+          s"SELECT * EXCEPT (__graft_rid) FROM (" +
+            s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM ($prefix) " +
+            s"ORDER BY __graft_rid DESC LIMIT $n) ORDER BY __graft_rid"
+      }
     case _ => q
   }
 

@@ -15,7 +15,7 @@ for p in $OPENS; do FLAGS="$FLAGS --add-opens=$p=ALL-UNNAMED"; done
 DIR=/tmp/refparity_shard_$TAG
 rm -rf "$DIR"; mkdir -p "$DIR"
 cd "$DIR"
-exec java $FLAGS -Xmx8g -Dspark.ui.enabled=false \
+exec java $FLAGS -Xmx8g -Dfile.encoding=UTF-8 -Dspark.ui.enabled=false \
   -cp "$CP" graft.RefParity /root/repo/tools/refparity_corpus.jsonl \
   /tmp/refparity_report_$TAG.jsonl "$I/$N" $FILTER \
   2> /tmp/refparity_log_$TAG.txt
