@@ -101,7 +101,8 @@ object Catalog {
   private[graft] def columnsOf(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val key = table.split('.').last.toLowerCase
-    val designated = Tables.designatedTs.get(key)
+    val designated = graft.sql.QuestSql.designatedTsOf(key)
+      .orElse(Tables.designatedTs.get(key))
     val decls = Option(declaredCols.get(key)).getOrElse(Map.empty)
     spark.table(table).schema.fields.toSeq.map { f =>
       val d = decls.get(f.name.toLowerCase)
@@ -110,7 +111,7 @@ object Catalog {
       val isSymbol = tpe.startsWith("SYMBOL")
       val indexed = knobs.contains("INDEX")
       val idxCap = """INDEX\s+CAPACITY\s+(\d+)""".r.findFirstMatchIn(knobs)
-        .map(_.group(1).toInt).getOrElse(256)
+        .map(_.group(1).toInt).getOrElse(if (indexed) 256 else 0)
       val symCap = """(?<!INDEX )CAPACITY\s+(\d+)""".r.findFirstMatchIn(knobs)
         .map(_.group(1).toInt).getOrElse(if (isSymbol) 128 else 0)
       val cached = isSymbol && !knobs.contains("NOCACHE")
@@ -728,6 +729,11 @@ object Catalog {
         val parq = d.map(_.knobs).getOrElse("") match {
           case k if k.toUpperCase.startsWith("PARQUET(") =>
             " PARQUET(" + k.substring(8, k.lastIndexOf(')')).toLowerCase + ")"
+          // covering-index clause echoes as declared (reference
+          // ShowCreateTable renders INDEX TYPE ... INCLUDE (...))
+          case k if k.toUpperCase.startsWith("INDEX") =>
+            " " + k.trim.replaceAll("\\s+", " ").replaceAll("\\(\\s*", "(")
+              .replaceAll("\\s*\\)", ")").replaceAll(",\\s*", ", ")
           case _ => ""
         }
         s"\t${f.name} $tpe$parq"

@@ -23,6 +23,9 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader otherwise rejects; read as long, Tables normalizes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference array functions are null-in-null-out: array_length of
+      // a null array is null, not legacy Spark's -1
+      .config("spark.sql.legacy.sizeOfNull", "false")
       // write timestamps as micros (not INT96) so the oracle reads the
       // exact same values back
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -628,12 +628,12 @@ object DialectQueries extends QueryPack {
 
     "q_show_columns" ->
       """SELECT * FROM (VALUES
-        |  ('event_id', 'LONG', false, 256, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
-        |  ('ts', 'TIMESTAMP', false, 256, false, 0, CAST(0 AS BIGINT), true, false, '', ''),
-        |  ('user_id', 'LONG', false, 256, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
-        |  ('event_type', 'VARCHAR', false, 256, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
-        |  ('value', 'DOUBLE', false, 256, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
-        |  ('props', 'VARCHAR', false, 256, false, 0, CAST(0 AS BIGINT), false, false, '', '')
+        |  ('event_id', 'LONG', false, 0, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
+        |  ('ts', 'TIMESTAMP', false, 0, false, 0, CAST(0 AS BIGINT), true, false, '', ''),
+        |  ('user_id', 'LONG', false, 0, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
+        |  ('event_type', 'VARCHAR', false, 0, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
+        |  ('value', 'DOUBLE', false, 0, false, 0, CAST(0 AS BIGINT), false, false, '', ''),
+        |  ('props', 'VARCHAR', false, 0, false, 0, CAST(0 AS BIGINT), false, false, '', '')
         |) t("column", "type", "indexed", "indexBlockCapacity", "symbolCached",
         |    "symbolCapacity", "symbolTableSize", "designated", "upsertKey",
         |    "indexType", "indexInclude")

@@ -40,6 +40,11 @@ object DialectRewrites {
     val fw0 = q0.trim.takeWhile(_.isLetter).toLowerCase
     if (fw0 != "update" && fw0 != "insert") q = mapOutside(q)(eqNull)
     q = mapOutside(q)(nanLiteral)
+    // underscore digit-group separators in numerals (reference numeric
+    // literals: 1_000_000, 3_600_000_000L) — only inside numbers that
+    // do not continue an identifier
+    q = mapOutside(q)(s =>
+      """(?<![\w.])\d[\d_]*\d""".r.replaceAllIn(s, m => m.matched.replace("_", "")))
     q = ipv4Ops(q)
     q = arrayLiterals(q)
     // PG array-literal text casts: '{-1,-2}'::double[] — the brace text
@@ -61,6 +66,18 @@ object DialectRewrites {
     // own ON(col) spelling for the dedicated op parsers.
     q = mapOutside(q)(joinOnCols)
     q = mapOutside(q)(arrayTypeCasts)
+    // reference DECIMAL256 precision reaches 76; Spark caps at 38 —
+    // clamp oversized CAST targets (::decimal(70,5) / AS DECIMAL(70,5))
+    // keeping the integral digit budget. Column DECLARATIONS keep their
+    // spelled precision — the decl parser caps those itself and echoes
+    // the original in catalog output.
+    q = mapOutside(q)(s =>
+      """(?i)(::\s*|\bAS\s+)(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+        .replaceAllIn(s, m => {
+          val (p, sc) = (m.group(3).toInt, m.group(4).toInt)
+          if (p <= 38) m.matched
+          else s"${m.group(1)}${m.group(2)}(38,${math.min(sc, 37)})"
+        }))
     q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
@@ -80,6 +97,7 @@ object DialectRewrites {
     q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
     q = namedWindows(q)
+    q = emptyFrames(q)
     q = timeRangeFrames(q)
     q = unnestAll(q)
     q = unnestColumns(q)
@@ -901,6 +919,40 @@ object DialectRewrites {
       }
     }
     q
+  }
+
+  /** Frames whose start bound sits after the end bound (`ROWS BETWEEN 1
+    * PRECEDING AND 2 PRECEDING`) are legal in the reference and yield
+    * NULL for every row; Spark rejects them at analysis. Rewrite the
+    * whole windowed call to a never-taken CASE that keeps the result
+    * type from a valid default frame. */
+  private def emptyFrames(q0: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)([\\w.]+\\s*\\((?:[^()]|\\([^()]*\\))*\\)(?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?)" +
+        "\\s+OVER\\s*\\(([^()]*?)\\s*(?:ROWS|GROUPS|RANGE)\\s+BETWEEN\\s+" +
+        "(\\d+)\\s+(PRECEDING|FOLLOWING)\\s+AND\\s+(\\d+)\\s+(PRECEDING|FOLLOWING)\\s*([^()]*)\\)")
+    var s = q0
+    var m = pat.matcher(s)
+    var guard = 0
+    while (m.find() && guard < 64) {
+      guard += 1
+      val (lo, d1, hi, d2) = (m.group(3).toLong, m.group(4).toUpperCase,
+        m.group(5).toLong, m.group(6).toUpperCase)
+      val empty = (d1, d2) match {
+        case ("PRECEDING", "PRECEDING") => lo < hi
+        case ("FOLLOWING", "FOLLOWING") => lo > hi
+        case ("FOLLOWING", "PRECEDING") => true
+        case _ => false
+      }
+      if (empty) {
+        val spec = (m.group(2) + " " + m.group(7)).trim
+        s = s.substring(0, m.start()) +
+          s"CASE WHEN 1=0 THEN ${m.group(1)} OVER ($spec) END" +
+          s.substring(m.end())
+        m = pat.matcher(s)
+      } // non-empty frames stay; the matcher continues past this site
+    }
+    s
   }
 
   /** Window RANGE frames with time-unit bounds (reference

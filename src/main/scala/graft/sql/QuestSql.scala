@@ -1863,7 +1863,19 @@ object QuestSql {
       val tail = q.substring(end + 1)
       val overNext = """(?is)^\s*(?:(?:ignore|respect)\s+nulls\s+)?over\b""".r
         .findFirstIn(tail).isDefined
-      if (overNext && !args.trim.toLowerCase.startsWith("__graft_promote") && args.trim.nonEmpty) {
+      // a DECLARED decimal argument never promotes (SumDecimal) — skip
+      // the wrapper there: promote + the avg-rescale CAST in one select
+      // trips Spark's window extraction (_w0 MISSING_ATTRIBUTES)
+      val declaredDecimal = args.trim.matches("[\\w.]+") && {
+        val n = args.trim.split('.').last.toLowerCase
+        import scala.jdk.CollectionConverters._
+        graft.Catalog.declaredCols.asScala.exists { case (tbl, cols) =>
+          q0.toLowerCase.contains(tbl) &&
+            cols.get(n).exists(_.tpe.toUpperCase.startsWith("DECIMAL"))
+        }
+      }
+      if (overNext && !args.trim.toLowerCase.startsWith("__graft_promote") &&
+          args.trim.nonEmpty && !declaredDecimal) {
         q = q.substring(0, open + 1) + "__graft_promote(" + args + ")" + q.substring(end)
         from = end + "__graft_promote()".length + 1
       } else from = end + 1
@@ -3150,6 +3162,19 @@ object QuestSql {
       q = expandCalls(q, "list") { case args if args.nonEmpty =>
         s"element_at(array(${args.mkString(", ")}), CAST(pmod(x - 1, ${args.size}) AS INT) + 1)"
       }
+    // rnd_bin([lo, hi, nullRate]) — random BINARY of lo..hi bytes
+    // (reference rnd/RndBinFunctionFactory; default 10..32). Length is
+    // deterministic per call site, bytes from the md5 stream.
+    q = expandCalls(q, "rnd_bin") { case args if args.isEmpty || args.size == 3 =>
+      val s = seedOf("rnd_bin")
+      val (lo, hi, rate) =
+        if (args.isEmpty) (10, 32, "0")
+        else (args(0).trim.toInt, args(1).trim.toInt, args(2).trim)
+      val len = lo + math.abs(s.hashCode) % math.max(hi - lo + 1, 1)
+      val hexes = (0 until (len + 15) / 16).map(i =>
+        s"md5(concat('${s}_$i', cast(x as string)))").mkString("concat(", ", ", ")")
+      nullify(rate, s"unhex(substring($hexes, 1, ${len * 2}))", "BINARY", s)
+    }
     q = expandCalls(q, "rnd_interval") { _ =>
       val s = seedOf("rnd_interval")
       val lo = s"timestamp_micros(CAST(floor(${uSql(s)} * 2678400000000.0) + 1704067200000000 AS BIGINT))"
