@@ -40,6 +40,9 @@ object DialectRewrites {
     val fw0 = q0.trim.takeWhile(_.isLetter).toLowerCase
     if (fw0 != "update" && fw0 != "insert") q = mapOutside(q)(eqNull)
     q = mapOutside(q)(nanLiteral)
+    // the reference parser takes unquoted unicode identifiers
+    // (EngineMigrationTest table names); Spark requires backquotes
+    q = quoteUnicodeIdents(q)
     // underscore digit-group separators in numerals (reference numeric
     // literals: 1_000_000, 3_600_000_000L) — only inside numbers that
     // do not continue an identifier
@@ -932,6 +935,45 @@ object DialectRewrites {
     * NULL for every row; Spark rejects them at analysis. Rewrite the
     * whole windowed call to a never-taken CASE that keeps the result
     * type from a valid default frame. */
+  /** The reference parser takes unquoted unicode identifiers; Spark's
+    * temp-view names cannot even be CREATED with them. Mangle every
+    * non-ASCII identifier to the reversible ASCII form `__ux<hex>`
+    * ([[graft.sql.RefText]] demangles on output), skipping quoted
+    * strings and backquoted spans (whose content mangles too — the
+    * backquotes only marked the identifier). */
+  private[sql] def quoteUnicodeIdents(q0: String): String = {
+    if (!q0.exists(_ > 127.toChar)) return q0
+    val sb = new StringBuilder
+    var i = 0
+    def mangle(word: String): String =
+      if (word.exists(_ > 127.toChar))
+        "__ux" + word.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+      else word
+    while (i < q0.length) {
+      q0.charAt(i) match {
+        case '\'' =>
+          var j = i + 1
+          while (j < q0.length && q0.charAt(j) != '\'') j += 1
+          sb.append(q0.substring(i, math.min(j + 1, q0.length))); i = j + 1
+        case '`' =>
+          var j = i + 1
+          while (j < q0.length && q0.charAt(j) != '`') j += 1
+          val inner = q0.substring(i + 1, math.min(j, q0.length))
+          if (inner.exists(_ > 127.toChar)) sb.append(mangle(inner))
+          else sb.append(q0.substring(i, math.min(j + 1, q0.length)))
+          i = j + 1
+        case c if Character.isLetterOrDigit(c) || c == '_' =>
+          var j = i
+          while (j < q0.length && (Character.isLetterOrDigit(q0.charAt(j)) || q0.charAt(j) == '_'))
+            j += 1
+          sb.append(mangle(q0.substring(i, j)))
+          i = j
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   private def emptyFrames(q0: String): String = {
     val pat = java.util.regex.Pattern.compile(
       "(?is)([\\w.]+\\s*\\((?:[^()]|\\([^()]*\\))*\\)(?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?)" +

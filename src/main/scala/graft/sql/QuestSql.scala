@@ -327,7 +327,9 @@ object QuestSql {
     // literal-only ns queries (generate_series over ::timestamp_ns
     // bounds, no tables): the ns-ness is spelled in the text itself
     if (nsCols.isEmpty && usTsCols.isEmpty &&
-        qLower.contains("timestamp_ns")) {
+        (qLower.contains("timestamp_ns") ||
+          // 7-9 fractional digits in a literal = ns-precision input
+          """\.\d{7,9}z?'""".r.findFirstIn(qLower).isDefined)) {
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
       return df.schema.fields.foldLeft(df) { (d, f) =>
@@ -806,8 +808,14 @@ object QuestSql {
   /** Table identifier: dotted word or backtick-quoted. */
   private val Ident = """((?:`[^`]+`|[\w.])+)"""
 
-  private def unq(name: String): String =
-    name.replace("`", "").stripPrefix("'").stripSuffix("'")
+  private def unq(name: String): String = {
+    val n = name.replace("`", "").stripPrefix("'").stripSuffix("'")
+    // names Spark temp views cannot carry (unicode, spaces) mangle to
+    // the reversible ASCII form (see DialectRewrites.quoteUnicodeIdents)
+    if (n.exists(c => c > 127.toChar || c == ' '))
+      "__ux" + n.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    else n
+  }
 
   private val CreateViewRe =
     ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
@@ -1766,7 +1774,13 @@ object QuestSql {
     * strings parse. Uses the __QCAST__ sentinel — called from the cast
     * expansion pass. */
   private def nsCast(x0: String): String = {
-    val x = x0.trim
+    val x = {
+      var t = x0.trim
+      while (t.startsWith("(") && t.endsWith(")") &&
+          t.substring(1, t.length - 1).matches("\\s*-?\\d+[Ll]?\\s*"))
+        t = t.substring(1, t.length - 1).trim
+      t
+    }
     if (x.matches("-?\\d+[Ll]?")) s"CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT)"
     else if (x.startsWith("'")) nsParseExpr(x)
     else
@@ -2343,8 +2357,26 @@ object QuestSql {
     }
     q = expandCalls(q, "timestamp_floor") { args => floorExpr(args, toUtc = false) }
     q = expandCalls(q, "timestamp_ceil") { case Seq(stride, ts) =>
-      val us = strideToMicros(stripQuotes(stride))
-      s"timestamp_micros(CAST(unix_micros($ts) + (($us - unix_micros($ts) % $us) % $us) AS BIGINT))" }
+      val su = """(\d+)?\s*([UTsmhdwMyn])""".r.findFirstMatchIn(stripQuotes(stride).trim)
+        .getOrElse(throw new IllegalArgumentException(s"bad stride '${stripQuotes(stride)}'"))
+      val nC = Option(su.group(1)).map(_.toLong).getOrElse(1L)
+      su.group(2) match {
+        case "M" | "y" =>
+          // ceil to the next calendar grid point unless already on it
+          val nm = (if (su.group(2) == "M") 1 else 12) * nC
+          val t = s"CAST($ts AS TIMESTAMP)"
+          val months = s"((year($t) - 1970) * 12 + month($t) - 1)"
+          val fl = s"(CAST(floor($months / $nm) AS BIGINT) * $nm)"
+          val floor = s"make_timestamp(1970 + CAST(floor($fl / 12) AS INT), CAST($fl % 12 AS INT) + 1, 1, 0, 0, 0)"
+          s"(CASE WHEN $floor = $t THEN $t ELSE add_months($floor, $nm) END)"
+        case "n" =>
+          val nsOf = s"(CASE WHEN typeof($ts) = 'bigint' THEN CAST($ts AS BIGINT) " +
+            s"ELSE unix_micros(CAST($ts AS TIMESTAMP)) * 1000 END)"
+          s"($nsOf + (($nC - $nsOf % $nC) % $nC))"
+        case _ =>
+          val us = strideToMicros(stripQuotes(stride))
+          s"timestamp_micros(CAST(unix_micros($ts) + (($us - unix_micros($ts) % $us) % $us) AS BIGINT))"
+      } }
     q = expandCalls(q, "dateadd") { case Seq(unit, n, ts) =>
       val t = s"CAST($ts AS TIMESTAMP)"
       stripQuotes(unit) match {
@@ -3364,7 +3396,11 @@ object QuestSql {
     val NsLit = """(?is)^CAST\s*\(\s*\(?\s*(-?\d+)\s*\)?\s+AS\s+BIGINT\s*\)$""".r
     // ns string parses (nsParseExpr output) carry the 9-digit rpad
     def isNsParse(a: String) = a.contains("rpad(") && a.contains("9, '0'")
-    val nsMode = args0.map(_.trim).exists(a =>
+    // calendar (M/y) strides step by add_months whatever the precision —
+    // the generic month branch below handles them
+    val calendarStep = args0.lift(2).map(_.trim).exists(s =>
+      s.startsWith("'") && """^-?\d*[My]$""".r.findFirstIn(stripQuotes(s)).isDefined)
+    val nsMode = !calendarStep && args0.map(_.trim).exists(a =>
       NsLit.findFirstMatchIn(a).isDefined || a.contains("1000000000") || isNsParse(a))
     var foldedTs = false
     val args = args0.map(_.trim).map {
@@ -3422,14 +3458,16 @@ object QuestSql {
       def tsExpr(a: String): String =
         if (a.trim.matches("-?\\d+[Ll]?"))
           s"timestamp_micros(CAST(${a.trim.stripSuffix("L").stripSuffix("l")} AS BIGINT))"
+        else if (isNsParse(a) || a.contains("1000000000"))
+          s"timestamp_micros(CAST(($a) div 1000 AS BIGINT))" // ns BIGINT parse
         else s"CAST($a AS TIMESTAMP)"
       val lo = s"unix_micros(${tsExpr(args(0))})"
       val hi = s"unix_micros(${tsExpr(args(1))})"
       if (unit == "M" || unit == "y") {
         val months = (if (unit == "y") nUnits * 12 else nUnits) * sgn
-        val base = if (sgn >= 0) args(0) else args(1)
-        val n = s"CAST(floor(months_between(CAST(${if (sgn >= 0) args(1) else args(0)} AS TIMESTAMP), CAST($base AS TIMESTAMP)) / ($months)) AS INT)"
-        s"(SELECT CAST(add_months(CAST($base AS TIMESTAMP), __x * ($months)) AS TIMESTAMP) AS generate_series" +
+        val base = tsExpr(if (sgn >= 0) args(0) else args(1))
+        val n = s"CAST(floor(months_between(${tsExpr(if (sgn >= 0) args(1) else args(0))}, $base) / ($months)) AS INT)"
+        s"(SELECT CAST(add_months($base, __x * ($months)) AS TIMESTAMP) AS generate_series" +
           s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
       } else {
         val us = nUnits * unitMicros(unit) * sgn
@@ -4932,7 +4970,8 @@ object QuestSql {
 
   private val NegLimitRe = """(?is)^(.*\bORDER\s+BY\s+)([\w.,\s]+?)\s+LIMIT\s+-(\d+)\s*$""".r
   private val NegLimitNoOrderRe =
-    """(?is)^(SELECT\s+.*?\s+FROM\s+([\w.]+)(?:\s+WHERE\s+.*?)?)\s+LIMIT\s+-(\d+)\s*$""".r
+    ("""(?is)^(SELECT\s+.*?\s+FROM\s+([\w.]+|\((?:[^()]|\([^()]*\)|\([^()]*\([^()]*\)[^()]*\))*\))""" +
+      """(?:\s+WHERE\s+.*?)?)\s+LIMIT\s+-(\d+)\s*$""").r
 
   private val NegLimitSelRe =
     """(?is)^SELECT\s+(.*?)\s+FROM\s+(.*?)\s+ORDER\s+BY\s+([\w.,\s]+?)\s+LIMIT\s+-(\d+)\s*$""".r
@@ -4971,7 +5010,17 @@ object QuestSql {
             s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM ($prefix) " +
             s"ORDER BY __graft_rid DESC LIMIT $n) ORDER BY __graft_rid"
       }
-    case _ => q
+    case other =>
+      // catch-all: any SELECT with a top-level trailing `LIMIT -n` (the
+      // named regexes miss deep FROM-subquery nesting) slices the tail
+      // in emission order
+      """(?is)^(SELECT\s+.*\S)\s+LIMIT\s+-(\d+)\s*$""".r.findFirstMatchIn(other.trim) match {
+        case Some(m) if m.group(1).count(_ == '(') == m.group(1).count(_ == ')') =>
+          s"SELECT * EXCEPT (__graft_rid) FROM (" +
+            s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM (${m.group(1)}) " +
+            s"ORDER BY __graft_rid DESC LIMIT ${m.group(2)}) ORDER BY __graft_rid"
+        case _ => other
+      }
   }
 
   /** `LIMIT lo,hi` → `LIMIT (hi-lo) OFFSET lo` (reference range limit). */

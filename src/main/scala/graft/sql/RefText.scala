@@ -22,10 +22,19 @@ object RefText {
     * NSEC_UTC pattern instead of the 6-digit micro one. */
   val NsMetaKey = "graft.ns"
 
+  /** Reverse of DialectRewrites.quoteUnicodeIdents' `__ux<hex>` ASCII
+    * mangling for non-ASCII identifiers. */
+  private def demangle(name: String): String =
+    if (!name.startsWith("__ux")) name
+    else try {
+      val hex = name.drop(4)
+      new String(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")
+    } catch { case _: Exception => name }
+
   def print(df: DataFrame): String = {
     val schema = df.schema
     val sb = new StringBuilder
-    sb.append(schema.fields.map(_.name).mkString("\t")).append('\n')
+    sb.append(schema.fields.map(f => demangle(f.name)).mkString("\t")).append('\n')
     val ns = schema.fields.map(f =>
       f.metadata.contains(NsMetaKey) && f.metadata.getBoolean(NsMetaKey))
     val rows = df.collect()
