@@ -1711,7 +1711,15 @@ object QuestSql {
     def flushFrac(): Unit = { if (frac > 0) { out ++= "S" * frac; frac = 0 } }
     while (i < fmt.length) {
       val c = fmt.charAt(i)
-      if (c.isLetter) {
+      if (c == '\'') {
+        // already-quoted literal run: copy verbatim (keeps the pass
+        // idempotent — expandCalls re-applies until a fixpoint)
+        flushFrac()
+        var j = i + 1
+        while (j < fmt.length && fmt.charAt(j) != '\'') j += 1
+        out ++= fmt.substring(i, math.min(j + 1, fmt.length))
+        i = j + 1
+      } else if (c.isLetter) {
         // longest known token starting here
         var len = math.min(4, fmt.length - i)
         while (len > 0 && !known(fmt.substring(i, i + len))) len -= 1
@@ -2344,8 +2352,13 @@ object QuestSql {
     // full reference token table translates via refDateFmt
     def fixDtPattern(fmt: String): String = {
       val raw = stripQuotes(fmt)
-      val f = refDateFmt(raw)
-      if (f == raw) fmt else s"'${f.replace("'", "''")}'"
+      // a quote in the pattern = this site was already translated (the
+      // expandCalls fixpoint loop re-visits rewritten sites)
+      if (raw.contains("'")) fmt
+      else {
+        val f = refDateFmt(raw)
+        if (f == raw) fmt else s"'${f.replace("'", "''")}'"
+      }
     }
     for (fn <- Seq("to_timestamp", "to_date")) {
       q = expandCalls(q, fn) {
