@@ -38,7 +38,7 @@ object DialectRewrites {
     // null-equality comparisons (reference null = null is true), but not
     // in UPDATE/INSERT assignment contexts
     val fw0 = q0.trim.takeWhile(_.isLetter).toLowerCase
-    if (fw0 != "update" && fw0 != "insert") q = mapOutside(q)(eqNull)
+    if (fw0 != "update" && fw0 != "insert") { q = mapOutside(q)(eqNull); q = inListNulls(q) }
     q = mapOutside(q)(nanLiteral)
     // the reference parser takes unquoted unicode identifiers
     // (EngineMigrationTest table names); Spark requires backquotes
@@ -1171,6 +1171,56 @@ object DialectRewrites {
   private def eqNull(s0: String): String = {
     var s = s0.replaceAll("(?i)(?<![<>!=])\\s*(!=|<>)\\s*null\\b", " IS NOT NULL")
     s = s.replaceAll("(?i)(?<![<>!=:])\\s*=\\s*null\\b", " IS NULL")
+    // value-based ordering comparisons: null >= null and null <= null
+    // are TRUE in the reference (the = half), strict </> stay false
+    s = s.replaceAll("(?i)\\s*(>=|<=)\\s*null\\b(?!\\s*::)", " IS NULL")
+    s
+  }
+
+  /** IN lists with NULL elements match null values in the reference
+    * (value-based equality); Spark's three-valued IN never does. A NOT
+    * IN over such a list keeps non-null non-members. `x IN null[::t]`
+    * is a bare null-membership test. */
+  private[sql] def inListNulls(q0: String): String = {
+    var s = q0.replaceAll("(?i)([\\w.]+)\\s+IN\\s+null(\\s*::\\s*\\w+)?\\b", "$1 IS NULL")
+    def isNullLit(a: String) =
+      a.trim.matches("(?i)null(\\s*::\\s*\\w+)?") ||
+        a.trim.matches("(?i)CAST\\s*\\(\\s*NULL\\s+AS\\s+\\w+\\s*\\)")
+    val pat = java.util.regex.Pattern.compile("(?i)\\b(NOT\\s+)?IN\\s*\\(")
+    var m = pat.matcher(s)
+    var guard = 0
+    while (m.find() && guard < 64) {
+      guard += 1
+      val open = m.end() - 1
+      var depth = 0; var i = open; var end = -1
+      while (i < s.length && end < 0) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case '\'' => var k = i + 1; while (k < s.length && s.charAt(k) != '\'') k += 1; i = k
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return s
+      val inner = s.substring(open + 1, end)
+      val args = graft.sql.QuestSql.splitSelect(inner)
+      if (!inner.trim.toLowerCase.startsWith("select") && args.exists(isNullLit)) {
+        val opStart = operandStart(s, m.start())
+        val operand = s.substring(opStart, m.start()).trim
+        if (operand.nonEmpty) {
+          val nonNull = args.filterNot(isNullLit)
+          val not = m.group(1) != null
+          val repl =
+            if (not && nonNull.isEmpty) s"($operand IS NOT NULL)"
+            else if (not) s"($operand IS NOT NULL AND $operand NOT IN (${nonNull.mkString(", ")}))"
+            else if (nonNull.isEmpty) s"($operand IS NULL)"
+            else s"($operand IN (${nonNull.mkString(", ")}) OR $operand IS NULL)"
+          s = s.substring(0, opStart) + repl + s.substring(end + 1)
+          m = pat.matcher(s)
+        }
+      }
+    }
     s
   }
 

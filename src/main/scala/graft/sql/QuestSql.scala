@@ -368,6 +368,14 @@ object QuestSql {
 
   private def sqlBound0(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
     var q0 = expandDeclare(query.trim.stripSuffix(";"))
+    // a statement that is nothing but comments compiles to an empty
+    // zero-column result in the reference
+    if (q0.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("--[^\n]*", "").trim.isEmpty)
+      return spark.emptyDataFrame
+    // single-quoted select-item aliases (`sym AS 'sym'`) are identifier
+    // quotes in the reference; Spark wants backticks
+    if (!firstWord(q0).equalsIgnoreCase("copy"))
+      q0 = q0.replaceAll("(?i)\\bAS\\s+'([^']+)'", "AS `$1`")
     // QuestDB shorthand: `SELECT * FROM` is optional — `trades WHERE ...
     // LATEST ON ... LIMIT n` is a complete query (reference SqlParser
     // parses a bare table as the model's FROM). Engage only when the
