@@ -290,6 +290,9 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, (String, () => Long)]()
   private val matViewReg =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** name → (base table, stored SELECT) for matViews()/views() columns. */
+  private[graft] val matViewMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Declarative pieces of a live view, for live_views() and SHOW CREATE
     * LIVE VIEW (reference LiveViewsFunctionFactory /
@@ -406,11 +409,35 @@ object Catalog {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** materialized_views() — registered streaming SAMPLE BY views. */
+  /** materialized_views() — reference MatViewsFunctionFactory column
+    * head (view_name, refresh_type, base_table_name, refresh
+    * timestamps, view_sql, dir, invalidation, status). */
   def matViews(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    matViewReg.asScala.toSeq.map { case (n, (b, r)) => (n, b, r) }
-      .toDF("view_name", "bucket", "refresh_type")
+    matViewReg.asScala.toSeq.map { case (n, (b, r)) =>
+      val (base, sql) = Option(matViewMeta.get(n)).getOrElse((null, null))
+      (n, r, base, null: java.sql.Timestamp, null: java.sql.Timestamp,
+        sql, n, null: String, "valid", b)
+    }.toDF("view_name", "refresh_type", "base_table_name",
+      "last_refresh_start_timestamp", "last_refresh_finish_timestamp",
+      "view_sql", "view_table_dir_name", "invalidation_reason",
+      "view_status", "bucket")
+  }
+
+  /** views() — every registered view (materialized + live), reference
+    * ViewsFunctionFactory column set. */
+  def views(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mats = matViewReg.asScala.keys.toSeq.map { n =>
+      val (_, sql) = Option(matViewMeta.get(n)).getOrElse((null, null))
+      (n, sql, n, null: String, "valid", null: java.sql.Timestamp)
+    }
+    val lives = liveViewReg.asScala.keys.toSeq.map { n =>
+      val sql = Option(liveViewMeta.get(n)).map(_.sql).orNull
+      (n, sql, n, null: String, "valid", null: java.sql.Timestamp)
+    }
+    (mats ++ lives).toDF("view_name", "view_sql", "view_table_dir_name",
+      "invalidation_reason", "view_status", "view_status_update_time")
   }
 
   /** wal_tables() — ingest-dir tables (the WAL-apply analogue: day

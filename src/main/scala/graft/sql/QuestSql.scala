@@ -268,7 +268,7 @@ object QuestSql {
   private val BareTableFns = Set(
     "generate_series", "long_sequence", "tables", "all_tables", "wal_tables",
     "table_columns", "table_partitions", "wal_transactions", "functions",
-    "keywords", "pg_get_keywords", "reader_pool", "writer_pool",
+    "keywords", "pg_get_keywords", "views", "reader_pool", "writer_pool",
     "memory_metrics", "table_writer_metrics", "table_storage", "files",
     "import_files", "export_files", "export_activity", "query_activity",
     "checkpoint_status", "materialized_views", "live_views", "read_parquet")
@@ -1180,6 +1180,11 @@ object QuestSql {
       val bucket = """(?is)SAMPLE\s+BY\s+(\w+)""".r.findFirstMatchIn(inner)
         .map(_.group(1)).getOrElse("")
       graft.Catalog.registerMatView(key, bucket, kind)
+      graft.Catalog.matViewMeta.put(key, (
+        Option(base).getOrElse(
+          """(?is)\bFROM\s+[`']?([\w.]+)""".r.findFirstMatchIn(inner)
+            .map(_.group(1)).orNull),
+        inner))
       Some(status(spark, "OK"))
 
     case RefreshMatViewRe(name, kindRaw, from, to) =>
@@ -1481,6 +1486,20 @@ object QuestSql {
       }
       val exists = try spark.catalog.tableExists(name) catch { case _: Exception => false }
       if (ifNot != null && exists) Some(status(spark, "OK"))
+      else if (colsBody.trim.matches("(?is)^like\\s+[`']?[\\w.]+[`']?$")) {
+        // CREATE TABLE x (LIKE y): clone y's schema, designated ts and
+        // declared-column registrations (reference parseCreateTableLike)
+        val src = colsBody.trim.split("\\s+").last.replaceAll("[`']", "")
+        val tpl = spark.table(src)
+        tpl.limit(0).createOrReplaceTempView(unq(name))
+        designatedTsOf(unq(src)).foreach(registerDesignatedTs(unq(name), _))
+        Option(graft.Catalog.declaredCols.get(unq(src).toLowerCase)).foreach { cols =>
+          graft.Catalog.registerDeclaredCols(unq(name),
+            cols.toSeq.map { case (n, d) => (n, d.tpe, d.knobs) })
+        }
+        graft.Catalog.invalidateMetaViews(spark)
+        Some(status(spark, "OK"))
+      }
       else {
         val colsF = parseColumnDefsFull(colsBody)
         val cols = colsF.map { case (n, t, _, _) => (n, t) }
@@ -3307,7 +3326,7 @@ object QuestSql {
   // materialized_views(), table_storage()) ----------------------------------
 
   private val TableFnRe =
-    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics|import_files|export_files|export_activity)\s*\(\s*\)""".r
+    """(?i)\b(tables|wal_tables|functions|keywords|pg_get_keywords|live_views|materialized_views|views|table_storage|checkpoint_status|all_tables|query_activity|reader_pool|writer_pool|memory_metrics|table_writer_metrics|import_files|export_files|export_activity)\s*\(\s*\)""".r
   // long_sequence(n[, seed0, seed1]) — reference LongSequenceFunctionFactory.
   // Seeds are accepted and ignored: the rnd_* stream here is
   // md5-deterministic by construction (see rewriteGeneratorFns)
@@ -3524,6 +3543,7 @@ object QuestSql {
         case "keywords" => graft.Catalog.keywords(spark)
         case "live_views" => graft.Catalog.liveViews(spark)
         case "materialized_views" => graft.Catalog.matViews(spark)
+        case "views" => graft.Catalog.views(spark)
         case "table_storage" => graft.Catalog.tableStorage(spark)
         case "checkpoint_status" => graft.ops.Checkpoint.status(spark)
         case "all_tables" => graft.Catalog.allTables(spark)
