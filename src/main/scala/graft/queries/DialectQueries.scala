@@ -702,7 +702,8 @@ object DialectQueries extends QueryPack {
         |SELECT event_id,
         |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
         |    || '-' || substr(l, 1, 4) || '-' || substr(l, 5, 12) AS u,
-        |  '0x' || h || l AS l128,
+        |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+        |    || '-' || substr(l, 1, 4) || '-' || substr(l, 5, 12) AS l128,
         |  event_type AS rt,
         |  'admin' AS cu, 'qdb' AS cdb, 'public' AS cs, 'public' AS css
         |FROM d ORDER BY event_id""".stripMargin,

@@ -2621,13 +2621,43 @@ object QuestSql {
     // sparkline(x) — per-group block chart in row order (reference
     // groupby/SparklineGroupByFunction.charForValue: clamp, scale to 8
     // levels over the group's min..max)
-    q = expandCalls(q, "sparkline") { case Seq(x) =>
+    // twap(price, ts) — reference TwapGroupByFunction: area under the
+    // step function, sum(price_i * (ts_{i+1} - ts_i)) / (ts_last -
+    // ts_first); same-timestamp groups fall back to the plain average
+    q = expandCalls(q, "twap") { case Seq(p, ts) =>
+      val srt = s"array_sort(collect_list(named_struct(" +
+        s"'t', unix_micros(CAST($ts AS TIMESTAMP)), 'p', CAST($p AS DOUBLE))))"
+      s"(CASE WHEN size($srt) <= 1 OR element_at($srt, -1).t = element_at($srt, 1).t" +
+        s" THEN avg(CAST($p AS DOUBLE))" +
+        s" ELSE aggregate(zip_with(slice($srt, 1, size($srt) - 1), slice($srt, 2, size($srt) - 1)," +
+        s" (__a, __b) -> __a.p * (__b.t - __a.t)), 0D, (__acc, __v) -> __acc + __v)" +
+        s" / (element_at($srt, -1).t - element_at($srt, 1).t) END)" }
+    q = expandCalls(q, "sparkline") { case args if args.nonEmpty && args.size <= 4 =>
+      // sparkline(D) / sparkline(D, min, max, width) — reference
+      // Sparkline[WithParams]GroupByFunctionFactory. Zero range renders
+      // FULL blocks (charForValue range==0 branch); width < n
+      // subsamples by bucket average, width >= n is one char per value.
+      val x = args(0)
+      def opt(i: Int) = args.lift(i).map(_.trim).filterNot(_.equalsIgnoreCase("NULL"))
       val cl = s"collect_list(CAST($x AS DOUBLE))"
+      val mn = opt(1).map(a => s"CAST($a AS DOUBLE)").getOrElse(s"array_min($cl)")
+      val mx = opt(2).map(a => s"CAST($a AS DOUBLE)").getOrElse(s"array_max($cl)")
+      val vals = opt(3) match {
+        case None => cl
+        case Some(w0) =>
+          val w = s"CAST($w0 AS INT)"
+          val from = s"CAST(floor(__i * size($cl) / $w) AS INT)"
+          val to = s"CAST(floor((__i + 1) * size($cl) / $w) AS INT)"
+          s"(CASE WHEN $w >= size($cl) THEN $cl ELSE " +
+            s"transform(sequence(0, $w - 1), __i -> " +
+            s"aggregate(slice($cl, $from + 1, $to - $from), 0D, (__a, __v) -> __a + __v)" +
+            s" / ($to - $from)) END)"
+      }
       s"(CASE WHEN size($cl) = 0 THEN NULL" +
-        s" WHEN array_min($cl) = array_max($cl) THEN repeat('▁', size($cl))" +
-        s" ELSE concat_ws('', transform($cl, v -> substring('▁▂▃▄▅▆▇█'," +
-        s" least(CAST(floor((least(greatest(v, array_min($cl)), array_max($cl)) - array_min($cl))" +
-        s" / (array_max($cl) - array_min($cl)) * 7) AS INT), 7) + 1, 1))) END)" }
+        s" ELSE concat_ws('', transform($vals, v -> " +
+        s"CASE WHEN ($mx) = ($mn) THEN '█' ELSE substring('▁▂▃▄▅▆▇█'," +
+        s" least(CAST(floor((least(greatest(v, $mn), $mx) - ($mn))" +
+        s" / (($mx) - ($mn)) * 7) AS INT), 7) + 1, 1) END)) END)" }
     // ipv4 (reference functions/math IPv4*NetmaskFunctionFactory and the
     // `<<`/`<<=` containment operators — function forms here; addresses
     // ride as BIGINT or dotted strings). ipv4_contains expands FIRST so
@@ -2851,7 +2881,11 @@ object QuestSql {
       s"concat(substr($h, 1, 8), '-', substr($h, 9, 4), '-', substr($h, 13, 4), '-', " +
         s"substr($l, 1, 4), '-', substr($l, 5, 12))" }
     q = expandCalls(q, "to_long128") { case Seq(lo, hi) =>
-      s"concat('0x', ${hex16(hi)}, ${hex16(lo)})" }
+      // reference Long128 text form is the dashed 8-4-4-4-12 hex
+      // grouping (Long128Tests expected output), hi limb first
+      val h = hex16(hi); val l = hex16(lo)
+      s"concat(substr($h, 1, 8), '-', substr($h, 9, 4), '-', substr($h, 13, 4), '-', " +
+        s"substr($l, 1, 4), '-', substr($l, 5, 12))" }
     q = expandCalls(q, "from_base64") { case Seq(s) => s"unbase64($s)" }
     // PG-compat identity functions (reference functions/catalogue/
     // CurrentUser/CurrentDatabase/CurrentSchema*FunctionFactory — fixed
