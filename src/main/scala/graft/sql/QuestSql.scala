@@ -376,6 +376,13 @@ object QuestSql {
     // quotes in the reference; Spark wants backticks
     if (!firstWord(q0).equalsIgnoreCase("copy"))
       q0 = q0.replaceAll("(?i)\\bAS\\s+'([^']+)'", "AS `$1`")
+    // optimizer hints are advisory — the op-form parsers don't speak them
+    q0 = q0.replaceAll("(?s)/\\*\\+.*?\\*/", " ").trim
+    // a bare quoted table name is a complete query (keywords-as-names:
+    // SELECT * FROM "table")
+    """^["']([^"']+)["']\s*$""".r.findFirstMatchIn(q0).foreach { m =>
+      q0 = s"SELECT * FROM `${m.group(1)}`"
+    }
     // QuestDB shorthand: `SELECT * FROM` is optional — `trades WHERE ...
     // LATEST ON ... LIMIT n` is a complete query (reference SqlParser
     // parses a bare table as the model's FROM). Engage only when the
@@ -4776,15 +4783,49 @@ object QuestSql {
   // ---- ASOF / LT / SPLICE JOIN ---------------------------------------------
 
   private val AsofRe = (
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """\s+(ASOF|LT|SPLICE)\s+JOIN\s+""" + Rel +
-      """(?:\s+ON\s+\(?([\w.,\s]+?)\)?)?(?:\s+TOLERANCE\s+(\d+)([UTsmhdw]))?""" +
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel +
+      """(?:\s+(?:AS\s+)?(?!ASOF\b|LT\b|SPLICE\b)(\w+))?\s+(ASOF|LT|SPLICE)\s+JOIN\s+""" + Rel +
+      """(?:\s+(?:AS\s+)?(?!ON\b|TOLERANCE\b|WHERE\b|ORDER\b|LIMIT\b)(\w+))?""" +
+      """(?:\s+ON\s+\(?([\w.,\s=]+?)\)?)?(?:\s+TOLERANCE\s+(\d+)([UTsmhdw]))?""" +
       WhereTail + """\s*$""").r
 
   private def asofForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
-    case AsofRe(sel, master, kind, slave, onKeys, tolN, tolUnit, where, order, lim1, lim2) =>
+    case AsofRe(sel0, master, mAlias, kind, slave, sAlias, onKeys0, tolN, tolUnit,
+                where0, order0, lim1, lim2) =>
       val (m, mName) = resolveRel(spark, master)
-      val (s, sName) = resolveRel(spark, slave)
-      val keys = Option(onKeys).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+      val (s0, sName) = resolveRel(spark, slave)
+      // `ON m.k = s.j` equality pairs: rename the slave side onto the
+      // master's key name (reference join-column equivalence); bare
+      // names are same-named keys
+      var s = s0
+      val keys = Option(onKeys0).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+        .filter(_.nonEmpty).map { k =>
+          if (k.contains("=")) {
+            val Array(l, r) = k.split("=").map(_.trim.split('.').last)
+            if (!r.equalsIgnoreCase(l) && s.columns.exists(_.equalsIgnoreCase(r)))
+              s = s.withColumnRenamed(r, l)
+            l
+          } else k.split('.').last
+        }
+      // strip alias qualifiers from the select list / WHERE / ORDER;
+      // slave columns that clash with master carry the 1-suffix
+      def strip(text0: String): String = {
+        if (text0 == null) return null
+        var text = text0
+        for (al <- Option(mAlias))
+          text = text.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)", "$1")
+        for (al <- Option(sAlias))
+          text = java.util.regex.Pattern.compile(
+            "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)").matcher(text)
+            .replaceAll { mr =>
+              val c = mr.group(1)
+              if (m.columns.exists(_.equalsIgnoreCase(c)) && !keys.exists(_.equalsIgnoreCase(c)))
+                c + "1"
+              else c
+            }
+        text
+      }
+      val (sel, where, order) = (strip(sel0), strip(where0), strip(order0))
       val mTs = tsOfRel(mName, m)
       val sTs = tsOfRel(sName, s)
       val tol = Option(tolN).map(_.toLong * unitMicros(tolUnit))
@@ -4800,7 +4841,8 @@ object QuestSql {
           graft.ops.AsofJoin.asofKeyed(m, renamed, mTs, sTsR, keys, sPay,
             strict = k == "LT", toleranceMicros = tol)
       }
-      val shaped = if (sel.trim == "*") out else out.selectExpr(splitSelect(sel): _*)
+      val shaped = if (sel.trim == "*") out
+        else out.selectExpr(splitSelect(sel).map(normalizeAliasSpelling): _*)
       Some(applyWhereTail(shaped, where, order, lim1, lim2))
     case _ => None
   }
