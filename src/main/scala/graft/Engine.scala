@@ -38,6 +38,12 @@ object Engine {
     * FunctionFactory registry analogue — SURVEY §2.10).
     */
   def registerFunctions(spark: SparkSession): Unit = {
+    // rnd_* lowerings salt their md5 stream with the long_sequence `x`
+    // column; over other relations the name must still resolve — a
+    // session variable is the fallback (column resolution wins when a
+    // real `x` exists), making rnd_double() legal in any WHERE clause
+    try spark.sql("DECLARE OR REPLACE VARIABLE x BIGINT DEFAULT 0")
+    catch { case _: Exception => () }
     graft.functions.GeoHashEncodeExpr.register(spark)
     graft.functions.Long256AddExpr.register(spark)
     graft.functions.Long256Bin.register(spark)
