@@ -39,10 +39,11 @@ object Engine {
     */
   def registerFunctions(spark: SparkSession): Unit = {
     // rnd_* lowerings salt their md5 stream with the long_sequence `x`
-    // column; over other relations the name must still resolve — a
-    // session variable is the fallback (column resolution wins when a
-    // real `x` exists), making rnd_double() legal in any WHERE clause
-    try spark.sql("DECLARE OR REPLACE VARIABLE x BIGINT DEFAULT 0")
+    // column; statements with no such column swap the salt to this
+    // session variable (rewriteGeneratorFns), making rnd_double()
+    // legal in any WHERE clause. NEVER name it `x`: a variable named
+    // after a real column hijacks resolution inside HOF lambdas.
+    try spark.sql("DECLARE OR REPLACE VARIABLE __rnd_salt BIGINT DEFAULT 0")
     catch { case _: Exception => () }
     graft.functions.GeoHashEncodeExpr.register(spark)
     graft.functions.Long256AddExpr.register(spark)

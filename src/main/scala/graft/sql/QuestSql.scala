@@ -3084,13 +3084,17 @@ object QuestSql {
     // bare `SELECT rnd_*()` with no FROM: the reference evaluates one
     // row; the md5-deterministic stream here needs the long_sequence x
     // column, so supply a one-row generator
+    val hasRnd = """(?i)\brnd_\w+\s*\(""".r.findFirstIn(q).isDefined
     if (q.trim.toUpperCase.startsWith("SELECT") &&
-        topLevelIndexOf(q, Seq("from")) < 0 &&
-        """(?i)\brnd_\w+\s*\(""".r.findFirstIn(q).isDefined) {
+        topLevelIndexOf(q, Seq("from")) < 0 && hasRnd) {
       val cut = topLevelIndexOf(q, Seq("order", "limit"))
       q = if (cut < 0) s"$q FROM long_sequence(1)"
           else s"${q.substring(0, cut)} FROM long_sequence(1) ${q.substring(cut)}"
     }
+    // rnd_* over a relation with no `x` column: salt from the session
+    // variable instead (constant per query — run-tier semantics)
+    val saltFallback = hasRnd && !containsWordIgnoreCase(q, "long_sequence") &&
+      !containsWordIgnoreCase(q, "generate_series")
     val ord = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def seedOf(name: String): String = {
       val k = ord(name) + 1; ord(name) = k; s"$name#$k"
@@ -3355,6 +3359,7 @@ object QuestSql {
       val lo = s"timestamp_micros(CAST(floor(${uSql(s)} * 2678400000000.0) + 1704067200000000 AS BIGINT))"
       s"named_struct('lo', $lo, 'hi', timestamp_micros(unix_micros($lo) + CAST(floor(${uSql(s + "_w")} * 3600000000.0) AS BIGINT)))"
     }
+    if (saltFallback) q = q.replace("cast(x as string)", "cast(__rnd_salt as string)")
     q
   }
 
