@@ -43,6 +43,15 @@ object DialectRewrites {
     // the reference parser takes unquoted unicode identifiers
     // (EngineMigrationTest table names); Spark requires backquotes
     q = quoteUnicodeIdents(q)
+    // bare 0x hex literals: long ones are LONG256/LONG128 values (ride
+    // as canonical strings), short ones are numbers — Spark parses
+    // neither
+    q = mapOutside(q)(s => {
+      var t = s.replaceAll("(?<![\\w'])0[xX]([0-9a-fA-F]{17,})\\b", "'0x$1'")
+      t = """(?<![\w'])0[xX]([0-9a-fA-F]{1,16})\b""".r.replaceAllIn(t,
+        m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString)
+      t
+    })
     // underscore digit-group separators in numerals (reference numeric
     // literals: 1_000_000, 3_600_000_000L) — only inside numbers that
     // do not continue an identifier

@@ -289,7 +289,13 @@ object QuestSql {
   }
 
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
-    withRefSemantics(spark) { tagNsColumns(query, sqlBound0(spark, query, named)) }
+    withRefSemantics(spark) {
+      val df = sqlBound0(spark, query, named)
+      // the LATEST ON helper rank must never surface, whichever nesting
+      // path produced it
+      tagNsColumns(query,
+        if (df.columns.contains("__rn")) df.drop("__rn") else df)
+    }
 
   /** Tag result columns that carry a TIMESTAMP_NS-declared column of a
     * referenced table, so RefText prints the reference's 9-digit
