@@ -110,6 +110,7 @@ object DialectRewrites {
     q = atTimeZone(q)
     q = namedWindows(q)
     q = emptyFrames(q)
+    q = lagLeadFrames(q)
     q = timeRangeFrames(q)
     q = unnestAll(q)
     q = unnestColumns(q)
@@ -983,6 +984,25 @@ object DialectRewrites {
     sb.toString
   }
 
+  /** lag/lead take (and ignore) frame clauses in the reference; Spark
+    * rejects them — strip the frame from their OVER spec. */
+  private def lagLeadFrames(q0: String): String = {
+    if (!"""(?i)\b(lag|lead)\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)\\b(lag|lead)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+        "((?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?\\s+OVER\\s*\\()([^()]*)\\)")
+    val m = pat.matcher(q0)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val spec = m.group(4).replaceAll(
+        "(?is)\\s*(?:ROWS|RANGE|GROUPS)\\s+(?:BETWEEN\\s+.*?|UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW|\\S+\\s+PRECEDING)\\s*$", "")
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}(${m.group(2)})${m.group(3)}$spec)"))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private def emptyFrames(q0: String): String = {
     val pat = java.util.regex.Pattern.compile(
       "(?is)([\\w.]+\\s*\\((?:[^()]|\\([^()]*\\))*\\)(?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?)" +
@@ -1384,12 +1404,12 @@ object DialectRewrites {
     var s = s0
     s = s.replaceAll("(?i)::\\s*varchar\\b(?!\\s*\\()", "::STRING")
     s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
-    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|ipv4)\\b", "::STRING")
+    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|long256|ipv4)\\b", "::STRING")
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
     // empty char is the reference's null char
     s = s.replaceAll("(?i)\\bcast\\s*\\(\\s*''\\s+as\\s+char\\s*\\)", "CAST(NULL AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
-    s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128|ipv4)\\s*\\)", "AS STRING)")
+    s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128|long256|ipv4)\\s*\\)", "AS STRING)")
     // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
     val decP = java.util.regex.Pattern.compile("(?i)\\b(DECIMAL|NUMERIC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)")
     val dm = decP.matcher(s)

@@ -3874,12 +3874,12 @@ object QuestSql {
     * `SELECT k, max(__w1) FROM (SELECT *, avg(x) OVER () AS __w1 FROM t
     * [WHERE ...]) GROUP BY k`. Simple single-relation shape only. */
   private val WindowInAggRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
 
   private def rewriteWindowInAgg(q: String): String = q match {
     case WindowInAggRe(sel, rel, where, groupBy, tail)
-        if """(?is)\b(max|min|sum|avg|count|first|last)\s*\(\s*\w+\s*\([^()]*\)\s*OVER\b""".r
-          .findFirstIn(sel).isDefined =>
+        if """(?is)\b(max|min|sum|avg|count|first|last)\s*\(""".r.findFirstIn(sel).isDefined &&
+          """(?is)\bOVER\b""".r.findFirstIn(sel).isDefined =>
       val items = splitSelect(sel)
       var hoisted = Vector.empty[String]
       val aggHead = java.util.regex.Pattern.compile(
@@ -3916,8 +3916,9 @@ object QuestSql {
         val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
         val hoistSql = hoisted.zipWithIndex
           .map { case (e, i) => s"$e AS __w${i + 1}" }.mkString(", ")
+        val groupSql = Option(groupBy).map(g => s" GROUP BY $g").getOrElse("")
         s"SELECT ${rewrittenItems.mkString(", ")} FROM " +
-          s"(SELECT *, $hoistSql FROM $rel$whereSql) GROUP BY $groupBy" +
+          s"(SELECT *, $hoistSql FROM $rel$whereSql)$groupSql" +
           Option(tail).map(" " + _).getOrElse("")
       }
     case _ => q
