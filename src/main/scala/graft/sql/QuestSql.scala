@@ -3034,9 +3034,12 @@ object QuestSql {
       val off = m.group(2).toLowerCase match {
         case "today" => 0; case "tomorrow" => 1; case "yesterday" => -1
       }
+      // ns BIGINT carriers compare on their µs timestamp view
+      val cc = s"IF(typeof($c) = 'bigint', " +
+        s"timestamp_micros(CAST(($c) AS BIGINT) div 1000), CAST($c AS TIMESTAMP))"
       val lo = s"date_add(current_date(), $off)"
       Regex.quoteReplacement(
-        s"($c >= CAST($lo AS TIMESTAMP) AND $c < CAST(date_add($lo, 1) AS TIMESTAMP))")
+        s"($cc >= CAST($lo AS TIMESTAMP) AND $cc < CAST(date_add($lo, 1) AS TIMESTAMP))")
     })
     // value-position day intervals (reference Today/Tomorrow/Yesterday
     // return an interval value) — AFTER the predicate rewrite above so
@@ -3370,7 +3373,7 @@ object QuestSql {
   }
 
   private val DayIntervalRe =
-    """(?i)\b([\w.]+)\s+IN\s+(today|tomorrow|yesterday)\s*\(\s*\)""".r
+    """(?i)\b([\w.]+(?:\s*\(\s*\))?)\s+IN\s+(today|tomorrow|yesterday)\s*\(\s*\)""".r
 
   // ---- catalog table functions (reference functions/catalogue +
   // functions/table: tables(), table_columns('t'), table_partitions('t'),
@@ -4737,7 +4740,7 @@ object QuestSql {
 
   private val EmaItemRe =
     ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|millisecond(?:s)?|second(?:s)?|minute(?:s)?|hour(?:s)?|day(?:s)?|week(?:s)?)'\s*,\s*([\d.]+)[DdFf]?\s*""" +
-      """(?:,\s*([\w.]+)\s*)?\)\s*over\s*\(\s*(?:partition\s+by\s+([\w.,\s]+?)\s+)?order\s+by\s+([\w.]+)\s*\)""" +
+      """(?:,\s*((?:[^()]|\([^()]*\))+?)\s*)?\)\s*over\s*\(\s*(?:partition\s+by\s+([\w.,\s]+?)\s+)?order\s+by\s+([\w.]+)\s*\)""" +
       """(?:\s+AS\s+`?(\w+)`?)?""").r
 
   private def emaWindowForm(spark: SparkSession, q: String): Option[DataFrame] = {
@@ -4746,48 +4749,57 @@ object QuestSql {
     q match {
       case SelRe(sel, rel, where, order) if EmaItemRe.findFirstIn(sel).isDefined =>
         val items = splitSelect(sel)
-        val emaIdx = items.indexWhere(i => EmaItemRe.findFirstMatchIn(i.trim)
-          .exists(_.matched.length >= i.trim.length - 1))
-        if (emaIdx < 0) return None
-        if (!items.zipWithIndex.forall { case (i, ix) =>
-          ix == emaIdx || i.trim.matches("[\\w.]+") }) return None
-        val m = EmaItemRe.findFirstMatchIn(items(emaIdx).trim).get
-        val (price, mode, param, vol, partBy, ts, alias) =
-          (m.group(1), m.group(2).toLowerCase, m.group(3).toDouble,
-            Option(m.group(4)), Option(m.group(5)), m.group(6),
-            Option(m.group(7)).getOrElse("avg"))
+        // any number of EMA/VWEMA items; every other item must be a bare
+        // column (volume may be any expression — pre-projected)
+        val parsed = items.map { i =>
+          EmaItemRe.findFirstMatchIn(i.trim).filter(_.matched.length >= i.trim.length - 1)
+        }
+        if (!parsed.exists(_.isDefined)) return None
+        if (!items.zip(parsed).forall { case (i, p) =>
+          p.isDefined || i.trim.matches("[\\w.]+") }) return None
         val (base0, _) = resolveRel(spark, rel)
         val base1 = Option(where).map(base0.where).getOrElse(base0)
-        // the fold reads raw doubles
-        val base = (Seq(price) ++ vol).foldLeft(base1)(
-          (d, c) => d.withColumn(c, col(c).cast("double")))
-        val keys = partBy.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val out = mode match {
-          case "alpha" =>
-            vol match {
-              case Some(v) => graft.ops.Ema.vwema(base, ts, keys, price, v, param, alias)
-              case None => graft.ops.Ema.ema(base, ts, keys, price, param, alias)
+        var df = base1
+        var emaIx = 0
+        val names = items.zip(parsed).map {
+          case (i, None) => i.trim.split('.').last
+          case (_, Some(m)) =>
+            emaIx += 1
+            val (price, mode, param, vol0, partBy, ts) =
+              (m.group(1), m.group(2).toLowerCase, m.group(3).toDouble,
+                Option(m.group(4)).map(_.trim), Option(m.group(5)), m.group(6))
+            val alias = Option(m.group(7)).getOrElse(if (emaIx == 1) "avg" else s"avg${emaIx - 1}")
+            df = df.withColumn(price, col(price).cast("double"))
+            val vol = vol0.map { v =>
+              if (v.matches("[\\w.]+")) { df = df.withColumn(v, col(v).cast("double")); v }
+              else { val t = s"__vol$emaIx"; df = df.withColumn(t, expr(v).cast("double")); t }
             }
-          case "period" =>
-            val a = 2.0 / (param + 1.0)
-            vol match {
-              case Some(v) => graft.ops.Ema.vwema(base, ts, keys, price, v, a, alias)
-              case None => graft.ops.Ema.ema(base, ts, keys, price, a, alias)
+            val keys = partBy.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            df = mode match {
+              case "alpha" => vol match {
+                case Some(v) => graft.ops.Ema.vwema(df, ts, keys, price, v, param, alias)
+                case None => graft.ops.Ema.ema(df, ts, keys, price, param, alias)
+              }
+              case "period" =>
+                val a = 2.0 / (param + 1.0)
+                vol match {
+                  case Some(v) => graft.ops.Ema.vwema(df, ts, keys, price, v, a, alias)
+                  case None => graft.ops.Ema.ema(df, ts, keys, price, a, alias)
+                }
+              case unit =>
+                val tau = (param * unitMicros(unit.stripSuffix("s") match {
+                  case "millisecond" => "T"
+                  case "second" => "s"; case "minute" => "m"; case "hour" => "h"
+                  case "day" => "d"; case "week" => "w"; case u => u
+                })).toLong
+                graft.ops.Ema.emaDecay(df, ts, keys, price, vol, tau, alias)
             }
-          case unit =>
-            val tau = (param * unitMicros(unit.stripSuffix("s") match {
-              case "millisecond" => "T"
-              case "second" => "s"; case "minute" => "m"; case "hour" => "h"
-              case "day" => "d"; case "week" => "w"
-            })).toLong
-            graft.ops.Ema.emaDecay(base, ts, keys, price, vol, tau, alias)
+            alias
         }
-        val names = items.zipWithIndex.map { case (i, ix) =>
-          if (ix == emaIdx) alias else i.trim.split('.').last
-        }
-        val projected = out.select(names.map(col): _*)
+        val ts0 = parsed.flatten.head.group(6)
+        val projected = df.select(names.map(col): _*)
         Some(Option(order).map(o => projected.orderBy(o.split(",").map(c => col(c.trim)): _*))
-          .getOrElse(projected.orderBy(col(ts))))
+          .getOrElse(projected.orderBy(col(ts0))))
       case _ => None
     }
   }

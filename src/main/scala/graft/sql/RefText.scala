@@ -122,6 +122,15 @@ object RefText {
         val bytes = v.asInstanceOf[Array[Byte]]
         var i = 0
         while (i < bytes.length) { sb.append(f"${bytes(i)}%02x"); i += 1 }
+      case st: StructType if st.fields.length == 2 &&
+          st.fields(0).name == "lo" && st.fields(1).name == "hi" =>
+        // INTERVAL value (reference IntervalFunction print: quoted
+        // millisecond instants in parens)
+        val row = v.asInstanceOf[org.apache.spark.sql.Row]
+        def end(i: Int): String =
+          if (row.isNullAt(i)) "null"
+          else "'" + formatMillis(Math.floorDiv(microsOf(row.get(i)), 1000L)) + "'"
+        sb.append('(').append(end(0)).append(", ").append(end(1)).append(')')
       case _ => sb.append(v.toString)
     }
   }
