@@ -59,7 +59,14 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
       p.transformExpressionsUp {
         case c: Cast if c.dataType == StringType && c.child.resolved &&
             c.child.dataType.isInstanceOf[ArrayType] =>
-          fmt(c.child, c.child.dataType)
+          c.child.dataType match {
+            case ArrayType(_: ArrayType, _) =>
+              // a 2-D array with zero total elements prints "[]"
+              // (reference arrayToStr over an empty view)
+              If(EqualTo(Size(Flatten(c.child)), Literal(0)),
+                Literal("[]"), fmt(c.child, c.child.dataType))
+            case _ => fmt(c.child, c.child.dataType)
+          }
       }
     }
   }

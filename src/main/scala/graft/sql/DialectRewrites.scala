@@ -1393,6 +1393,13 @@ object DialectRewrites {
       "(?i)(?:\\bCAST\\s*\\(\\s*NULL\\s+AS\\s+[a-z_]+\\s*\\)|\\bnull|\\bnan)" +
         "(?:\\s*::\\s*[a-z_]+)*\\s*::\\s*(ARRAY<[\\w<>]+>)",
       "CAST(NULL AS $1)")
+    // a numeric literal cast to an array wraps as a one-element vector
+    // (reference scalar→array promotion: 1.0::double[] = [1.0]); the
+    // double-literal pass may already have wrapped the literal in CAST
+    s = s.replaceAll(
+      "(?i)(?<![\\w.])(-?\\d+(?:\\.\\d+)?[DdFfLl]?|CAST\\s*\\(\\s*-?\\d+(?:\\.\\d+)?\\s+AS\\s+\\w+\\s*\\))" +
+        "\\s*::\\s*ARRAY<([a-z]+)>(?!>)",
+      "array(CAST($1 AS $2))")
     s
   }
 

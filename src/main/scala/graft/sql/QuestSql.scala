@@ -1627,6 +1627,9 @@ object QuestSql {
                 .exists(_.get(f.name.toLowerCase)
                   .exists(_.tpe.toUpperCase.startsWith("IPV4"))) =>
               nullif(c.cast(f.dataType), lit("0.0.0.0")).as(f.name)
+            // PG brace text into an array column ('{1.0, 2.0}')
+            case (at: ArrayType, Some(StringType)) =>
+              from_json(translate(c, "{}", "[]"), at).as(f.name)
             case _ => c.cast(f.dataType).as(f.name)
           }
         } else lit(null).cast(f.dataType).as(f.name)
@@ -2567,7 +2570,22 @@ object QuestSql {
     // l2price(target, size1, price1, ...) — unrolled book sweep
     // (reference finance/LevelTwoPriceFunctionFactory): first level whose
     // cumulative size covers target prices the fill; shortfall → NaN
-    q = expandCalls(q, "l2price") { case target +: pairs if pairs.length >= 2 && pairs.length % 2 == 0 =>
+    q = expandCalls(q, "l2price") {
+      case Seq(target, sizes, prices)
+          if declaredArrayDims(q, sizes).isDefined ||
+            declaredArrayDims(q, prices).isDefined =>
+        // array book form (reference l2price(D, D[], D[])): sweep the
+        // levels until the target fills; avg price of consumed liquidity
+        val t = s"CAST($target AS DOUBLE)"
+        s"(aggregate(zip_with(CAST($sizes AS ARRAY<DOUBLE>), CAST($prices AS ARRAY<DOUBLE>), " +
+          s"(__s, __p) -> named_struct('s', __s, 'p', __p)), " +
+          s"named_struct('rem', $t, 'cost', 0D), " +
+          s"(__acc, __x) -> named_struct(" +
+          s"'rem', greatest(__acc.rem - __x.s, 0D), " +
+          s"'cost', __acc.cost + least(__acc.rem, __x.s) * __x.p), " +
+          s"__acc -> CASE WHEN __acc.rem > 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE __acc.cost / $t END))"
+      case target +: pairs if pairs.length >= 2 && pairs.length % 2 == 0 =>
       val t = s"CAST($target AS DOUBLE)"
       val sizes = pairs.grouped(2).map(_.head).toSeq
       val vals = pairs.grouped(2).map(_.last).toSeq

@@ -109,8 +109,19 @@ object RefText {
         }
         sb.append(bd.toPlainString)
       case ArrayType(et, _) =>
-        sb.append('[')
         val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        // an N-dim array with zero total elements prints "[]" whatever
+        // its dim vector (reference arrayToStr on an empty view)
+        def zeroCount(x: Any, t: DataType): Boolean = (x, t) match {
+          case (s: scala.collection.Seq[Any], ArrayType(inner, _)) =>
+            s.forall(e => e != null && zeroCount(e, inner))
+          case (s: scala.collection.Seq[Any], _) => s.isEmpty
+          case _ => false
+        }
+        if (et.isInstanceOf[ArrayType] && seq.nonEmpty && zeroCount(seq, ArrayType(et))) {
+          sb.append("[]"); return
+        }
+        sb.append('[')
         var i = 0
         while (i < seq.length) {
           if (i > 0) sb.append(',')
