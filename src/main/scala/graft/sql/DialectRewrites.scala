@@ -61,7 +61,7 @@ object DialectRewrites {
     q = arrayLiterals(q)
     // PG array-literal text casts: '{-1,-2}'::double[] — the brace text
     // parses as JSON (quoted elements coerce to the element type)
-    q = """(?i)('\{[^']*\}')\s*::\s*([a-z]+)\s*\[\s*\]""".r.replaceAllIn(q, m => {
+    q = """(?i)('\{[^']*\}')\s*::\s*([a-z]+)\s*((?:\[\s*\]\s*)+)""".r.replaceAllIn(q, m => {
       val et = m.group(2).toLowerCase match {
         case "double" | "real" => "double"
         case "float" => "float"
@@ -69,8 +69,11 @@ object DialectRewrites {
         case "int" | "integer" => "int"
         case other => other
       }
+      val dims = m.group(3).count(_ == '[')
+      val tpe = (1 to dims).foldLeft(et)((t, _) => s"array<$t>")
+      // outer no-op CAST keeps the reference's 'cast' output naming
       java.util.regex.Matcher.quoteReplacement(
-        s"from_json(translate(${m.group(1)}, '{}', '[]'), 'array<$et>')")
+        s"CAST(from_json(translate(${m.group(1)}, '{}', '[]'), '$tpe') AS $tpe)")
     })
     // `JOIN t ON (col[, col...])` with bare column names = match on
     // same-named columns (reference SqlParser join-column shorthand) —

@@ -2625,6 +2625,9 @@ object QuestSql {
           s"transform(slice(sequence(1, greatest($n, 1)), 1, greatest($n, 0)), __i -> " +
           s"transform($m0, __r -> element_at(__r, __i))) END)"
       } }
+    // reference flatten() is full row-major flattening over every dim
+    // (ArrayFlattenFunctionFactory) — Spark's removes one level only
+    q = expandCalls(q, "flatten") { case Seq(a) => s"__graft_flat($a)" }
     q = expandCalls(q, "matmul") { case Seq(a, b) =>
       // (n×k)·(k×m) over 2-D arrays (reference MatMulFunctionFactory);
       // null operand → null, empty inner dim → empty rows
@@ -2823,7 +2826,8 @@ object QuestSql {
       s"filter($a, x -> x IS NOT NULL AND NOT isnan(CAST(x AS DOUBLE)))"
     }
     q = expandCalls(q, "array_sum") { case Seq(a) =>
-      s"aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" }
+      s"(CASE WHEN ($a) IS NULL THEN CAST(NULL AS DOUBLE) ELSE " +
+        s"aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) END)" }
     q = expandCalls(q, "array_avg") { case Seq(a) =>
       s"(aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" +
         s" / NULLIF(size(${finite(a)}), 0))" }
