@@ -293,6 +293,9 @@ object Catalog {
   /** name → (base table, stored SELECT) for matViews()/views() columns. */
   private[graft] val matViewMeta =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** plain CREATE VIEW registry (views() lists them too). */
+  private[graft] val plainViewReg =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Declarative pieces of a live view, for live_views() and SHOW CREATE
     * LIVE VIEW (reference LiveViewsFunctionFactory /
@@ -326,6 +329,7 @@ object Catalog {
     createMeta.remove(name); declaredCols.remove(name); createTails.remove(name)
     walState.remove(name); walTxnLog.remove(name); walTxnCounter.remove(name)
     matViewReg.remove(name); liveViewReg.remove(name); liveViewMeta.remove(name)
+    matViewMeta.remove(name); plainViewReg.remove(name)
   }
 
   /** DROP ALL: clear every per-table registry wholesale. */
@@ -333,6 +337,7 @@ object Catalog {
     createMeta.clear(); declaredCols.clear(); createTails.clear()
     walState.clear(); walTxnLog.clear(); walTxnCounter.clear()
     matViewReg.clear(); liveViewReg.clear(); liveViewMeta.clear()
+    matViewMeta.clear(); plainViewReg.clear()
   }
 
   /** live_views() — the reference's 53-column shape
@@ -436,8 +441,12 @@ object Catalog {
       val sql = Option(liveViewMeta.get(n)).map(_.sql).orNull
       (n, sql, n, null: String, "valid", null: java.sql.Timestamp)
     }
-    (mats ++ lives).toDF("view_name", "view_sql", "view_table_dir_name",
-      "invalidation_reason", "view_status", "view_status_update_time")
+    val plains = plainViewReg.asScala.toSeq.map { case (n, sql) =>
+      (n, sql, n, null: String, "valid", null: java.sql.Timestamp)
+    }
+    (mats ++ lives ++ plains).distinct.toDF("view_name", "view_sql",
+      "view_table_dir_name", "invalidation_reason", "view_status",
+      "view_status_update_time")
   }
 
   /** wal_tables() — ingest-dir tables (the WAL-apply analogue: day

@@ -1190,6 +1190,13 @@ object QuestSql {
       matViewDefs.put(key, MatViewDef(inner, Option(base), kind, deferred != null))
       val df0 = sqlBound(spark, inner, Map.empty)
       materializeMatView(spark, name, if (deferred != null) df0.limit(0) else df0)
+      // REFRESH IMMEDIATE (the default) and timer kinds refresh on base
+      // commit in the reference (MatViewRefreshJob) — serve them fresh
+      // through the live-view rebind; MANUAL/DEFERRED stay pinned until
+      // an explicit REFRESH
+      if (deferred == null && (kind == "IMMEDIATE" || kind.startsWith("EVERY") ||
+          kind.startsWith("PERIOD")))
+        liveViewDefs.put(key, inner)
       val bucket = """(?is)SAMPLE\s+BY\s+(\w+)""".r.findFirstMatchIn(inner)
         .map(_.group(1)).getOrElse("")
       graft.Catalog.registerMatView(key, bucket, kind)
@@ -1281,6 +1288,7 @@ object QuestSql {
     case DropMatViewRe(name) =>
       val key = name.split('.').last.toLowerCase
       matViewDefs.remove(key)
+      liveViewDefs.remove(key)
       graft.Catalog.unregisterMatView(key)
       spark.catalog.dropTempView(name)
       Some(status(spark, "OK"))
@@ -1470,6 +1478,7 @@ object QuestSql {
       Some(status(spark, "OK"))
     case CreateViewRe(name, inner) =>
       sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
+      graft.Catalog.plainViewReg.put(unq(name).toLowerCase, inner.trim)
       Some(status(spark, "OK"))
     case CreateTableAsRe(name, inner, castTail, ts) =>
       val df0 = sqlBound(spark, inner, Map.empty)

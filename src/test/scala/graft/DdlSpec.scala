@@ -136,8 +136,10 @@ class DdlSpec extends SparkSpec {
   }
 
   test("CREATE MATERIALIZED VIEW pins rows until REFRESH; DROP removes") {
+    // REFRESH MANUAL pins; IMMEDIATE (the reference default) refreshes
+    // on base commit and serves fresh
     engine.sql("CREATE TABLE mv_base AS (SELECT * FROM events LIMIT 100) TIMESTAMP(ts)")
-    engine.sql("CREATE MATERIALIZED VIEW mv_cnt WITH BASE mv_base REFRESH IMMEDIATE AS " +
+    engine.sql("CREATE MATERIALIZED VIEW mv_cnt WITH BASE mv_base REFRESH MANUAL AS " +
       "(SELECT event_type, count(*) AS n FROM mv_base GROUP BY event_type)")
     val before = spark.table("mv_cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(before.values.sum == 100)
