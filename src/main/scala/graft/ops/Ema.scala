@@ -36,8 +36,15 @@ object Ema {
       it.map { r =>
         val k = keyIdx.map(r.get)
         if (curKey == null || k != curKey) { curKey = k; hasState = false }
+        // a row participates only when price is finite and volume is
+        // finite AND positive (reference VwemaDoubleWindowFunction:
+        // volume <= 0 keeps the previous VWEMA)
+        val participating = !r.isNullAt(pIdx) && !r.isNullAt(vIdx) && {
+          val p = r.getDouble(pIdx); val v = r.getDouble(vIdx)
+          java.lang.Double.isFinite(p) && java.lang.Double.isFinite(v) && v > 0
+        }
         val y: Any =
-          if (r.isNullAt(pIdx) || r.isNullAt(vIdx)) {
+          if (!participating) {
             if (hasState && den != 0.0) num / den else null
           } else {
             val p = r.getDouble(pIdx); val v = r.getDouble(vIdx)

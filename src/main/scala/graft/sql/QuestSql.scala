@@ -4779,7 +4779,7 @@ object QuestSql {
       """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+([\w.,\s]+?))?\s*$""").r
     q match {
       case SelRe(sel, rel, where, order) if EmaItemRe.findFirstIn(sel).isDefined =>
-        val items = splitSelect(sel)
+        val items = splitSelect(sel).map(normalizeAliasSpelling)
         // any number of EMA/VWEMA items; every other item must be a bare
         // column (volume may be any expression — pre-projected)
         val parsed = items.map { i =>

@@ -187,7 +187,9 @@ class DdlSpec extends SparkSpec {
 
   test("REFRESH MATERIALIZED VIEW RANGE replaces only the window") {
     engine.sql("CREATE TABLE mvr_base AS (SELECT * FROM events) TIMESTAMP(ts)")
-    engine.sql("CREATE MATERIALIZED VIEW mvr_daily AS " +
+    // MANUAL so the window surgery below is observable (IMMEDIATE — the
+    // reference default — serves fresh on every base commit)
+    engine.sql("CREATE MATERIALIZED VIEW mvr_daily REFRESH MANUAL AS " +
       "(SELECT ts, count(*) AS n FROM mvr_base SAMPLE BY 1d)")
     val before = spark.table("mvr_daily").orderBy(col("ts")).collect()
     assert(before.length > 3)
