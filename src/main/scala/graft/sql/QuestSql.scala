@@ -2768,7 +2768,13 @@ object QuestSql {
     q = expandCalls(q, "interval_start") { case Seq(iv) => s"($iv).lo" }
     q = expandCalls(q, "interval_end") { case Seq(iv) => s"($iv).hi" }
     q = expandCalls(q, "interval") { case Seq(lo, hi) =>
-      s"named_struct('lo', CAST($lo AS TIMESTAMP), 'hi', CAST($hi AS TIMESTAMP))" }
+      // integral endpoints are micros-since-epoch (reference
+      // IntervalFunctionFactory); a null endpoint nulls the interval
+      def ep(a: String) = s"(CASE WHEN typeof($a) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+        s" THEN timestamp_micros(CAST(CAST($a AS STRING) AS BIGINT)) ELSE CAST($a AS TIMESTAMP) END)"
+      s"(CASE WHEN CAST($lo AS STRING) IS NULL OR CAST($hi AS STRING) IS NULL" +
+        s" THEN CAST(NULL AS STRUCT<lo: TIMESTAMP, hi: TIMESTAMP>)" +
+        s" ELSE named_struct('lo', ${ep(lo)}, 'hi', ${ep(hi)}) END)" }
     // LONG256 construction (reference long256/LongsToLong256FunctionFactory
     // — limbs least-significant first) → canonical 0x + 64-hex-digit form;
     // long256_add / long256_str are registered native functions
@@ -3404,7 +3410,8 @@ object QuestSql {
   }
 
   private val DayIntervalRe =
-    """(?i)\b([\w.]+(?:\s*\(\s*\))?)\s+IN\s+(today|tomorrow|yesterday)\s*\(\s*\)""".r
+    ("""(?i)(\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)|[\w.]+(?:\s*\(\s*\))?)""" +
+      """\s+IN\s+(today|tomorrow|yesterday)\s*\(\s*\)""").r
 
   // ---- catalog table functions (reference functions/catalogue +
   // functions/table: tables(), table_columns('t'), table_partitions('t'),
