@@ -86,12 +86,27 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  private def integralLeaves(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => integralLeaves(et)
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val ref = conf.getConfString("graft.dialect.refSemantics", "false").toBoolean
     plan.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
+        // reference arrays are DOUBLE-element only — an ARRAY[1, 2]
+        // literal of integral leaves widens (dialect statements only)
+        case ca: CreateArray if ref && ca.resolved && ca.children.nonEmpty &&
+            integralLeaves(ca.dataType) =>
+          // cast the CHILDREN (not the node) so the rewritten array no
+          // longer matches — analyzer batches run to fixpoint
+          CreateArray(ca.children.map(c => Cast(c, doubled(c.dataType))))
         case e @ (_: BinaryArithmetic | _: UnaryMinus | _: BinaryComparison) => rewriteExpr(e)
       }
     }
+  }
 }
 
 /** Timestamp ± integer arithmetic (reference semantics: a TIMESTAMP is

@@ -1201,8 +1201,8 @@ object DialectRewrites {
     s0.replaceAll("(?i)\\b(not\\s+)?in\\s+null\\b", "IS $1NULL")
 
   private def eqNull(s0: String): String = {
-    var s = s0.replaceAll("(?i)(?<![<>!=])\\s*(!=|<>)\\s*null\\b", " IS NOT NULL")
-    s = s.replaceAll("(?i)(?<![<>!=:])\\s*=\\s*null\\b", " IS NULL")
+    var s = s0.replaceAll("(?i)(?<![<>!=])\\s*(!=|<>)\\s*null\\b(?!\\s*::)", " IS NOT NULL")
+    s = s.replaceAll("(?i)(?<![<>!=:])\\s*=\\s*null\\b(?!\\s*::)", " IS NULL")
     // value-based ordering comparisons: null >= null and null <= null
     // are TRUE in the reference (the = half), strict </> stay false
     s = s.replaceAll("(?i)\\s*(>=|<=)\\s*null\\b(?!\\s*::)", " IS NULL")

@@ -2582,7 +2582,9 @@ object QuestSql {
     q = expandCalls(q, "l2price") {
       case Seq(target, sizes, prices)
           if declaredArrayDims(q, sizes).isDefined ||
-            declaredArrayDims(q, prices).isDefined =>
+            declaredArrayDims(q, prices).isDefined ||
+            sizes.trim.matches("(?is)^(element_at|slice|try_element_at)\\(.*") ||
+            prices.trim.matches("(?is)^(element_at|slice|try_element_at)\\(.*") =>
         // array book form (reference l2price(D, D[], D[])): sweep the
         // levels until the target fills; avg price of consumed liquidity
         val t = s"CAST($target AS DOUBLE)"
@@ -2890,10 +2892,23 @@ object QuestSql {
       case args if args.size >= 2 =>
         val (a, n) = (args(0), args(1))
         val f = if (args.size > 2) args(2) else "CAST('NaN' AS DOUBLE)"
-        s"(CASE WHEN ($n) >= 0 THEN concat(array_repeat(CAST(($f) AS DOUBLE), LEAST(($n), size($a))), " +
-          s"slice($a, 1, GREATEST(size($a) - ($n), 0))) " +
-          s"ELSE concat(slice($a, 1 - ($n), GREATEST(size($a) + ($n), 0)), " +
-          s"array_repeat(CAST(($f) AS DOUBLE), LEAST(-($n), size($a)))) END)" }
+        def shift1d(arr: String): String =
+          s"(CASE WHEN ($n) >= 0 THEN concat(array_repeat(CAST(($f) AS DOUBLE), LEAST(($n), size($arr))), " +
+            s"slice($arr, 1, GREATEST(size($arr) - ($n), 0))) " +
+            s"ELSE concat(slice($arr, 1 - ($n), GREATEST(size($arr) + ($n), 0)), " +
+            s"array_repeat(CAST(($f) AS DOUBLE), LEAST(-($n), size($arr)))) END)"
+        // a 2-D argument shifts within each row (reference shift over
+        // the last dim)
+        val base2d = a.trim match {
+          case bare if bare.matches("[\\w.]+") => Some(bare).filter(declaredArrayDims(q, _).contains(2))
+          case s2 => """(?is)^slice\(\s*([\w.]+)""".r.findFirstMatchIn(s2)
+            .map(_.group(1)).filter(declaredArrayDims(q, _).contains(2)).map(_ => s2)
+        }
+        base2d match {
+          case Some(_) => s"transform($a, __row -> ${shift1d("__row")})"
+          case None => shift1d(a)
+        }
+    }
     q = expandCalls(q, "dim_length") { case Seq(a, d) =>
       def at(k: Int) = k match {
         case 1 => s"size($a)"
@@ -2917,10 +2932,19 @@ object QuestSql {
       // N-dim args dot over the flattened views (reference iterates all
       // dims); __graft_flat is identity on 1-D. A numeric-literal side
       // broadcasts (reference scalar overloads: sum(arr[i] * k))
-      def isNum(x: String) = x.trim.matches("-?\\d+(\\.\\d+)?([eE]-?\\d+)?")
+      def isNum(x: String) = x.trim.matches("-?\\d+(\\.\\d+)?([eE]-?\\d+)?[DdFf]?") ||
+        x.trim.matches("(?is)CAST\\s*\\(\\s*-?[\\d.]+\\s+AS\\s+\\w+\\s*\\)")
+      def isNullLit(x0: String): Boolean = {
+        var x = x0.trim
+        while (x.startsWith("(") && x.endsWith(")")) x = x.substring(1, x.length - 1).trim
+        x.equalsIgnoreCase("null") ||
+          x.matches("(?is)null\\s*(::\\s*\\w+)*") ||
+          x.matches("(?is)(CAST|__QCAST__)\\s*\\(\\s*\\(?\\s*NULL\\s*\\)?\\s+AS\\s+\\w+\\s*\\)")
+      }
       val (a, b) = (a0.trim, b0.trim)
       def flat(x: String) = s"CAST(__graft_flat($x) AS ARRAY<DOUBLE>)"
-      if (isNum(b)) s"vec_dot(${flat(a)}, transform(${flat(a)}, __s -> CAST($b AS DOUBLE)))"
+      if (isNullLit(a) || isNullLit(b)) "CAST(NULL AS DOUBLE)" // null side nulls the dot
+      else if (isNum(b)) s"vec_dot(${flat(a)}, transform(${flat(a)}, __s -> CAST($b AS DOUBLE)))"
       else if (isNum(a)) s"vec_dot(${flat(b)}, transform(${flat(b)}, __s -> CAST($a AS DOUBLE)))"
       else s"vec_dot(${flat(a)}, ${flat(b)})" }
     // uuid / long128 construction from long halves (reference
