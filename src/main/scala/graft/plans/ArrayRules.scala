@@ -94,15 +94,9 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val ref = conf.getConfString("graft.dialect.refSemantics", "false").toBoolean
+    val _ = ref // user-literal widening is textual (DialectRewrites)
     plan.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
-        // reference arrays are DOUBLE-element only — an ARRAY[1, 2]
-        // literal of integral leaves widens (dialect statements only)
-        case ca: CreateArray if ref && ca.resolved && ca.children.nonEmpty &&
-            integralLeaves(ca.dataType) =>
-          // cast the CHILDREN (not the node) so the rewritten array no
-          // longer matches — analyzer batches run to fixpoint
-          CreateArray(ca.children.map(c => Cast(c, doubled(c.dataType))))
         case e @ (_: BinaryArithmetic | _: UnaryMinus | _: BinaryComparison) => rewriteExpr(e)
       }
     }

@@ -1363,6 +1363,11 @@ object DialectRewrites {
           case c => sb.append(c); i += 1
         }
       }
+      // reference arrays are DOUBLE-element only: widen bare integer
+      // literals inside the converted region so ARRAY[1, 2] = [1.0, 2.0]
+      val region = sb.substring(idx, sb.length)
+        .replaceAll("(?<![\\w.])(-?\\d+)(?![\\w.DdFfLl])", "$1.0")
+      sb.replace(idx, sb.length, region)
       sb.append(s.substring(math.min(i, s.length)))
       s = sb.toString
       idx = findArrayLit(s, idx + 6)
