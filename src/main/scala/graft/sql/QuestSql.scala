@@ -547,8 +547,54 @@ object QuestSql {
                 try run(insertGroupBy(rewritten, keys))
                 catch { case _: org.apache.spark.sql.AnalysisException => lateralOr(fixPlan()) }
             } else lateralOr(fixPlan())
+          // set-op operands of incompatible types: the reference coerces
+          // (rank-promotes arrays, else falls to strings) where Spark
+          // refuses — resolve each operand and unify
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "INCOMPATIBLE_COLUMN_TYPE" =>
+            unionCoerced(spark, rewritten, run).getOrElse(throw e)
         }
       }
+  }
+
+  /** UNION [ALL] operands whose column types Spark cannot unify: the
+    * reference rank-promotes arrays (1-D beside 2-D becomes [[...]])
+    * and otherwise converts both sides to their text form. Splits the
+    * top-level set op, evaluates each operand, unifies per column. */
+  private def unionCoerced(spark: SparkSession, q: String,
+                           run: String => DataFrame): Option[DataFrame] = {
+    val at = topLevelIndexOf(q, Seq("union"))
+    if (at < 0) return None
+    val left = q.substring(0, at).trim
+    var rest = q.substring(at).trim
+    val all = """(?is)^UNION\s+ALL\b""".r.findFirstIn(rest).isDefined
+    rest = rest.replaceFirst("(?is)^UNION\\s+(ALL\\s+)?", "")
+    import org.apache.spark.sql.types._
+    try {
+      var l = run(left)
+      var r = unionCoerced(spark, rest, run).getOrElse(run(rest))
+      def depth(dt: DataType): Int = dt match {
+        case ArrayType(et, _) => 1 + depth(et); case _ => 0
+      }
+      val cols = l.schema.fields.zip(r.schema.fields).zipWithIndex.map {
+        case ((lf, rf), i) =>
+          if (lf.dataType == rf.dataType) (col(l.columns(i)), col(r.columns(i)))
+          else {
+            val (dl, dr) = (depth(lf.dataType), depth(rf.dataType))
+            if (dl > 0 && dr > 0 && dl != dr) {
+              // rank promotion: wrap the shallower side
+              if (dl < dr) ((1 to (dr - dl)).foldLeft(col(l.columns(i)))((c, _) => array(c)),
+                col(r.columns(i)))
+              else (col(l.columns(i)),
+                (1 to (dl - dr)).foldLeft(col(r.columns(i)))((c, _) => array(c)))
+            } else (col(l.columns(i)).cast("string"), col(r.columns(i)).cast("string"))
+          }
+      }
+      val lNames = l.columns
+      val l2 = l.select(cols.map(_._1).zip(lNames).map { case (c, n) => c.as(n) }: _*)
+      val r2 = r.select(cols.map(_._2).zip(lNames).map { case (c, n) => c.as(n) }: _*)
+      Some(if (all) l2.union(r2) else l2.union(r2).distinct())
+    } catch { case _: Exception => None }
   }
 
   /** Implicit GROUP BY inside `LATERAL (SELECT bare, agg(...) ...)`
@@ -2882,11 +2928,18 @@ object QuestSql {
     // insertion_point: 1-based binary-search slot in a sorted array
     // (reference binarySearchDoubleValue1DArray): default = after the
     // last equal element; 3-arg ahead=true = before the first equal
-    q = expandCalls(q, "insertion_point") {
-      case Seq(a, v) => s"(size(filter($a, x -> x <= ($v))) + 1)"
-      case Seq(a, v, ahead) =>
-        s"(CASE WHEN $ahead THEN size(filter($a, x -> x < ($v)))" +
-          s" ELSE size(filter($a, x -> x <= ($v))) END + 1)"
+    // insertion_point respects the array's own sort direction (reference
+    // binary search over asc OR desc vectors)
+    q = expandCalls(q, "insertion_point") { case args if args.size == 2 || args.size == 3 =>
+      val (a, v) = (args(0), args(1))
+      val ahead = args.lift(2).map(_.trim.toLowerCase)
+      val desc = s"(size($a) > 1 AND element_at($a, 1) > element_at($a, -1))"
+      def cnt(op: String) = s"size(filter($a, x -> x $op ($v)))"
+      val (ascCnt, descCnt) = ahead match {
+        case Some("true") => (cnt("<"), cnt(">"))
+        case _ => (cnt("<="), cnt(">="))
+      }
+      s"(CASE WHEN $desc THEN $descCnt ELSE $ascCnt END + 1)"
     }
     q = expandCalls(q, "shift") {
       case args if args.size >= 2 =>
