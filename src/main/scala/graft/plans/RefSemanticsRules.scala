@@ -57,6 +57,15 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
     if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
     plan.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
+        // reference TIMESTAMP→LONG is epoch MICROS (ColumnType cast
+        // matrix), DATE(ntz carrier)→LONG is epoch millis — Spark casts
+        // to seconds
+        case c: Cast if c.dataType == LongType && c.child.resolved &&
+            c.child.dataType == TimestampType =>
+          UnixMicros(c.child)
+        case c: Cast if c.dataType == LongType && c.child.resolved &&
+            c.child.dataType == TimestampNTZType =>
+          IntegralDivide(UnixMicros(Cast(c.child, TimestampType)), Literal(1000L))
         case c: Cast if c.dataType == StringType && c.child.resolved &&
             c.child.dataType.isInstanceOf[ArrayType] =>
           c.child.dataType match {
