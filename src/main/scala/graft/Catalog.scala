@@ -93,6 +93,13 @@ object Catalog {
     declaredCols.put(table.toLowerCase,
       cols.map { case (n, t, k) => n.toLowerCase -> ColDecl(t, k) }.toMap)
 
+  /** Every declared type spelling (uppercased) for a column name across
+    * all registered tables — provenance hints for output formatting. */
+  private[graft] def declaredTypesOf(colLower: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    declaredCols.values.asScala.flatMap(_.get(colLower)).map(_.tpe.toUpperCase).toSet
+  }
+
   /** table_columns(t) — the reference's 11-column shape
     * (catalogue/TableColumnsFunctionFactory). */
   def tableColumns(spark: SparkSession, table: String): DataFrame =

@@ -195,10 +195,14 @@ object SampleBy {
     // the reference cursor emits each bucket's PRESENT rows in scan
     // order, then the gap-filled keys — __graft_app reproduces that
     val APP = "__graft_app"
+    // scan position = designated-ts micros (a reference table is
+    // ts-ordered, so scan order IS ts order); deterministic across
+    // shuffles/multi-partition reads where monotonically_increasing_id
+    // is not — remaining same-ts ties break on the key columns in
+    // refOrder's orderBy tail
     val dfM =
       if (keys.isEmpty) df
-      else df.withColumn("__graft_mono",
-        org.apache.spark.sql.functions.monotonically_increasing_id())
+      else df.withColumn("__graft_mono", unix_micros(col(ts)))
     val aggsApp =
       if (keys.isEmpty) aggs
       else aggs :+ (APP -> min(col("__graft_mono")))

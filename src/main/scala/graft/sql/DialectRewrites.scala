@@ -27,6 +27,13 @@ object DialectRewrites {
     q = spaceAfterLiterals(q)
     q = doubleQuotedIdents(q)
     q = mapOutside(q)(underscoreDigits)
+    // underscore digit-group separators in numerals (reference numeric
+    // literals: 1_000_000, 3_600_000_000L) — must run BEFORE the
+    // decimal-literal D-suffix pass below, whose lookbehind rejects `_`
+    // (else 1__000.5 would lose its separators without gaining the
+    // DOUBLE typing)
+    q = mapOutside(q)(s =>
+      """(?<![\w.])\d[\d_]*\d""".r.replaceAllIn(s, m => m.matched.replace("_", "")))
     q = mapOutside(q)(decimalSuffix)
     // reference numeric literals with a '.' are DOUBLE (SqlParser float
     // literals); Spark parses them as DECIMAL(p,s) — suffix D, skipping
@@ -52,11 +59,6 @@ object DialectRewrites {
         m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString)
       t
     })
-    // underscore digit-group separators in numerals (reference numeric
-    // literals: 1_000_000, 3_600_000_000L) — only inside numbers that
-    // do not continue an identifier
-    q = mapOutside(q)(s =>
-      """(?<![\w.])\d[\d_]*\d""".r.replaceAllIn(s, m => m.matched.replace("_", "")))
     q = ipv4Ops(q)
     q = arrayLiterals(q)
     // PG array-literal text casts: '{-1,-2}'::double[] — the brace text

@@ -381,7 +381,7 @@ object QuestSql {
     // single-quoted select-item aliases (`sym AS 'sym'`) are identifier
     // quotes in the reference; Spark wants backticks
     if (!firstWord(q0).equalsIgnoreCase("copy"))
-      q0 = q0.replaceAll("(?i)\\bAS\\s+'([^']+)'", "AS `$1`")
+      q0 = rewriteQuotedAliases(q0)
     // optimizer hints are advisory — the op-form parsers don't speak them
     q0 = q0.replaceAll("(?s)/\\*\\+.*?\\*/", " ").trim
     // a bare quoted table name is a complete query (keywords-as-names:
@@ -559,11 +559,13 @@ object QuestSql {
 
   /** UNION [ALL] operands whose column types Spark cannot unify: the
     * reference rank-promotes arrays (1-D beside 2-D becomes [[...]])
-    * and otherwise converts both sides to their text form. Splits the
-    * top-level set op, evaluates each operand, unifies per column. */
+    * and otherwise converts both sides to their text form. Splits on the
+    * LAST top-level set op (left-associative, like the reference and
+    * standard SQL: `a UNION ALL b UNION c` dedupes everything), evaluates
+    * each operand, unifies per column. */
   private def unionCoerced(spark: SparkSession, q: String,
                            run: String => DataFrame): Option[DataFrame] = {
-    val at = topLevelIndexOf(q, Seq("union"))
+    val at = topLevelLastIndexOf(q, Seq("union"))
     if (at < 0) return None
     val left = q.substring(0, at).trim
     var rest = q.substring(at).trim
@@ -571,8 +573,8 @@ object QuestSql {
     rest = rest.replaceFirst("(?is)^UNION\\s+(ALL\\s+)?", "")
     import org.apache.spark.sql.types._
     try {
-      var l = run(left)
-      var r = unionCoerced(spark, rest, run).getOrElse(run(rest))
+      var l = unionCoerced(spark, left, run).getOrElse(run(left))
+      var r = run(rest)
       def depth(dt: DataType): Int = dt match {
         case ArrayType(et, _) => 1 + depth(et); case _ => 0
       }
@@ -816,6 +818,55 @@ object QuestSql {
     if (changed) out.toString else q
   }
 
+  /** `expr AS 'alias'` — single-quoted aliases are identifier quotes in
+    * the reference; Spark wants backticks. Quote-aware sequential scan:
+    * the AS keyword is only recognized in code context, so a string
+    * literal containing " AS " (e.g. concat('x AS ', y)) is copied
+    * through untouched. */
+  private[graft] def rewriteQuotedAliases(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def copyLiteral(): Unit = { // cursor on the opening quote
+      val start = i; i += 1
+      var closed = false
+      while (i < q.length && !closed) {
+        if (q.charAt(i) == '\'') {
+          if (i + 1 < q.length && q.charAt(i + 1) == '\'') i += 2
+          else { closed = true; i += 1 }
+        } else i += 1
+      }
+      sb.append(q.substring(start, i))
+    }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') copyLiteral()
+      else if ((c == 'a' || c == 'A') && i + 2 < q.length &&
+          (q.charAt(i + 1) == 's' || q.charAt(i + 1) == 'S') &&
+          q.charAt(i + 2).isWhitespace &&
+          (i == 0 || (!Character.isLetterOrDigit(q.charAt(i - 1)) &&
+            q.charAt(i - 1) != '_'))) {
+        var j = i + 2
+        while (j < q.length && q.charAt(j).isWhitespace) j += 1
+        if (j < q.length && q.charAt(j) == '\'') {
+          var k = j + 1
+          var closed = false
+          val alias = new StringBuilder
+          while (k < q.length && !closed) {
+            if (q.charAt(k) == '\'') {
+              if (k + 1 < q.length && q.charAt(k + 1) == '\'') { alias.append('\''); k += 2 }
+              else { closed = true; k += 1 }
+            } else { alias.append(q.charAt(k)); k += 1 }
+          }
+          if (closed && alias.nonEmpty) {
+            sb.append(q.substring(i, j)).append('`').append(alias).append('`')
+            i = k
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Index of the first occurrence of any keyword at paren depth 0 and
     * outside single-quoted strings, case-insensitive; -1 if absent.
     */
@@ -850,6 +901,42 @@ object QuestSql {
       }
     }
     -1
+  }
+
+  /** Like [[topLevelIndexOf]] but returns the LAST occurrence; -1 if
+    * absent. Used to fold set-op chains left-associatively. */
+  private def topLevelLastIndexOf(q: String, keywords: Seq[String]): Int = {
+    val lower = q.toLowerCase
+    var i = 0
+    var depth = 0
+    var last = -1
+    while (i < lower.length) {
+      lower.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          var j = i + 1
+          var end = -1
+          while (j < lower.length && end < 0) {
+            if (lower.charAt(j) == '\'') {
+              if (j + 1 < lower.length && lower.charAt(j + 1) == '\'') j += 2 else end = j
+            } else j += 1
+          }
+          i = if (end < 0) lower.length else end + 1
+        case _ =>
+          if (depth == 0) {
+            val hit = keywords.exists { k =>
+              lower.startsWith(k, i) &&
+                (i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))) &&
+                (i + k.length >= lower.length ||
+                  !Character.isLetterOrDigit(lower.charAt(i + k.length)))
+            }
+            if (hit) last = i
+          }
+          i += 1
+      }
+    }
+    last
   }
 
   /** Splice `GROUP BY cols` before the statement's top-level

@@ -37,6 +37,17 @@ object RefText {
     sb.append(schema.fields.map(f => demangle(f.name)).mkString("\t")).append('\n')
     val ns = schema.fields.map(f =>
       f.metadata.contains(NsMetaKey) && f.metadata.getBoolean(NsMetaKey))
+    // provenance gate on LONG256 hex-trimming: a column whose name is
+    // declared in some table as a plain string type (and nowhere as
+    // LONG256) keeps its text verbatim even when a value happens to
+    // look like the 66-char canonical carrier
+    val keep = schema.fields.map { f =>
+      val n = f.name.toLowerCase
+      val decls = graft.Catalog.declaredTypesOf(n)
+      decls.nonEmpty && !decls.exists(_.startsWith("LONG256")) &&
+        decls.forall(t => t.startsWith("STRING") || t.startsWith("VARCHAR") ||
+          t.startsWith("SYMBOL") || t.startsWith("CHAR"))
+    }
     val rows = df.collect()
     var r = 0
     while (r < rows.length) {
@@ -48,7 +59,7 @@ object RefText {
           sb.append(formatNanos(microsOf(row.get(i)) * 1000L))
         else if (ns(i) && row.get(i) != null && schema(i).dataType == LongType)
           sb.append(formatNanos(row.get(i).asInstanceOf[Long])) // BIGINT nanos carrier
-        else appendValue(sb, row.get(i), schema(i).dataType)
+        else appendValue(sb, row.get(i), schema(i).dataType, keep(i))
         i += 1
       }
       sb.append('\n')
@@ -66,7 +77,7 @@ object RefText {
       f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d.$frac%09dZ"
   }
 
-  def appendValue(sb: StringBuilder, v: Any, dt: DataType): Unit = {
+  def appendValue(sb: StringBuilder, v: Any, dt: DataType, verbatimStr: Boolean = false): Unit = {
     if (v == null) { sb.append(nullText(dt)); return }
     dt match {
       case DoubleType =>
@@ -82,7 +93,7 @@ object RefText {
         // the canonical LONG256 carrier is 0x + 64 hex digits; the
         // reference prints whole-byte minimal hex (Numbers.appendLong256
         // / appendHex — value 1 renders "0x01", zero "0x00")
-        if (s.length == 66 && s.startsWith("0x") && isHex(s, 2)) {
+        if (!verbatimStr && s.length == 66 && s.startsWith("0x") && isHex(s, 2)) {
           var i = 2
           while (i < 64 && s.charAt(i) == '0' && s.charAt(i + 1) == '0') i += 2
           sb.append("0x").append(s.substring(i))
