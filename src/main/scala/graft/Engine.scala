@@ -49,6 +49,7 @@ object Engine {
     graft.functions.Long256AddExpr.register(spark)
     graft.functions.Long256Bin.register(spark)
     graft.functions.DotProductExpr.register(spark)
+    graft.functions.QdbStrExpr.register(spark)
     graft.functions.TopKPairsAgg.register(spark)
     graft.functions.Decimal256Ops.register(spark)
     graft.functions.Decimal256Agg.register(spark)

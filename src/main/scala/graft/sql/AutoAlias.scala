@@ -217,6 +217,16 @@ object AutoAlias {
       else Some(name)
     } else if (t.matches("\"[^\"]+\"") || t.matches("`[^`]+`")) {
       Some(t.substring(1, t.length - 1))
+    } else if (t.matches("(?:[A-Za-z_][\\w$]*|`[^`]+`)(?:\\.(?:[A-Za-z_][\\w$]*|`[^`]+`))+")) {
+      // dotted ref with backtick-quoted segments (u.`select`, u.`a.b`) —
+      // split on the last dot OUTSIDE backticks
+      var i = 0; var lastDot = -1
+      while (i < t.length) t.charAt(i) match {
+        case '`' => i = t.indexOf('`', i + 1) + 1
+        case '.' => lastDot = i; i += 1
+        case _ => i += 1
+      }
+      Some(t.substring(lastDot + 1).stripPrefix("`").stripSuffix("`"))
     } else None
   }
 
@@ -376,6 +386,7 @@ object AutoAlias {
       lower.charAt(i) match {
         case '\'' => i = skipString(lower, i)
         case '"' => i = skipQuoted(lower, i, '"')
+        case '`' => i = skipQuoted(lower, i, '`')
         case _ =>
           if (lower.startsWith(kw, i) &&
               (i == 0 || !isIdentChar(lower.charAt(i - 1))) &&

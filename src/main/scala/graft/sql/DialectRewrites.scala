@@ -367,21 +367,23 @@ object DialectRewrites {
           val args = splitBalancedCommas(s.substring(open + 1, close)).map(_.trim)
           // arg = expr [COLUMNS(name TYPE, ...)]
           val colsPat = """(?is)^(.*?)\s+COLUMNS\s*\((.*)\)\s*$""".r
-          val parsed: Seq[(String, Option[Seq[(String, String)]])] = args.map {
-            case colsPat(e, decls) =>
-              val ds = splitBalancedCommas(decls).map(_.trim).filter(_.nonEmpty).map { d =>
-                val parts = d.split("\\s+", 2)
-                val raw = parts(0)
-                val nm0 =
-                  if (raw.startsWith("'") || raw.startsWith("\"") || raw.startsWith("`"))
-                    raw.substring(1, raw.length - 1)
-                  else raw
-                val nm = if (nm0.matches("\\w+")) nm0 else s"`$nm0`"
-                (nm, jsonType(parts.lift(1).getOrElse("string")))
-              }
-              (e.trim, Some(ds))
-            case e => (e.trim, None)
-          }
+          val parsed: Seq[(String, Option[Seq[(String, String => String)]])] =
+            args.map {
+              case colsPat(e, decls) =>
+                val ds = splitBalancedCommas(decls).map(_.trim).filter(_.nonEmpty).map { d =>
+                  val parts = d.split("\\s+", 2)
+                  val raw = parts(0)
+                  val nm0 =
+                    if (raw.startsWith("'") || raw.startsWith("\"") || raw.startsWith("`"))
+                      raw.substring(1, raw.length - 1)
+                    else raw
+                  val nm = if (nm0.matches("\\w+") && !SqlReserved(nm0.toLowerCase)) nm0
+                    else s"`$nm0`"
+                  (nm, jsonElemConv(parts.lift(1).getOrElse("string")))
+                }
+                (e.trim, Some(ds))
+              case e => (e.trim, None)
+            }
           // context before UNNEST
           val before = s.substring(0, m.start())
           val joinM = """(?is)((?:cross\s+|left\s+(?:outer\s+)?|inner\s+)?join)\s*$""".r
@@ -408,25 +410,35 @@ object DialectRewrites {
             val tailEnd = close + 1 + (
               if (aliasOpt.isEmpty) Option(tailM.group(1)).map(_ => tailM.end(1)).getOrElse(0)
               else tailM.end)
-            // per-arg array expression + its output fields
-            case class Part(arr: String, fields: Seq[(String, Option[String])])
-            // fields: (outName, Some(structField) | None = the element itself)
+            // per-arg array expression + its output fields.
+            // Decl-bearing args always parse as array<string> (the JSON
+            // parser hands objects through as their raw text and decodes
+            // scalars), then each element dispatches at runtime: object
+            // text → get_json_object field extraction, scalar text →
+            // direct conversion. This is the reference's per-element
+            // model — mixed arrays like [null, {"a":1}, 2] behave.
+            // fields: (outName, value-from-element fn); direct = the
+            // element IS the value (explode fast path eligible)
+            case class Part(arr: String, fields: Seq[(String, String => String)],
+                            direct: Boolean)
             var autoIdx = 0
             val parts = parsed.map {
               case (e, None) =>
                 autoIdx += 1
-                Part(e, Seq((if (parsed.length == 1) "value" else s"value$autoIdx", None)))
+                Part(e, Seq(((if (parsed.length == 1) "value" else s"value$autoIdx"),
+                  (x: String) => x)), direct = true)
               case (e, Some(ds)) if ds.length == 1 =>
-                autoIdx += 1
-                val (cn, ct) = ds.head
-                val arr = s"(CASE WHEN regexp_like($e, '^\\\\s*\\\\[\\\\s*\\\\{')" +
-                  s" THEN from_json($e, 'array<struct<$cn:$ct>>').$cn" +
-                  s" ELSE from_json($e, 'array<$ct>') END)"
-                Part(arr, Seq((cn, None)))
+                val (cn, conv) = ds.head
+                val get = conv(s"get_json_object(__je, '${jsonPath(cn)}')")
+                val arr = s"transform(from_json($e, 'array<string>'), __je -> " +
+                  s"CASE WHEN __je RLIKE '^\\\\s*\\\\{' THEN $get ELSE ${conv("__je")} END)"
+                Part(arr, Seq((cn, (x: String) => x)), direct = true)
               case (e, Some(ds)) =>
-                val st = ds.map { case (n, t) => s"${n.stripPrefix("`").stripSuffix("`")}:$t" }.mkString(",")
-                Part(s"from_json($e, 'array<struct<$st>>')",
-                  ds.map { case (n, _) => (n, Some(n)) })
+                val raw = s"from_json($e, 'array<string>')"
+                Part(raw, ds.map { case (n, conv) =>
+                  (n, (el: String) => s"(CASE WHEN $el RLIKE '^\\\\s*\\\\{'" +
+                    s" THEN ${conv(s"get_json_object($el, '${jsonPath(n)}')")} END)")
+                }, direct = false)
             }
             val flatNames0 = parts.flatMap(_.fields.map(_._1))
             val flatNames = aliasCols match {
@@ -440,7 +452,7 @@ object DialectRewrites {
             val outer = joinM.exists(_.group(1).toLowerCase.startsWith("left"))
             val body: String = {
               val single = parts.length == 1 && parts.head.fields.length == 1 &&
-                parts.head.fields.head._2.isEmpty && ordName.isEmpty
+                parts.head.direct && ordName.isEmpty
               if (single) s"explode(${parts.head.arr})"
               else {
                 val sizes = parts.map(p => s"size(${p.arr})")
@@ -448,18 +460,28 @@ object DialectRewrites {
                   else s"greatest(${sizes.mkString(", ")})"
                 var fi = -1
                 val fieldsSql = parts.flatMap { p =>
-                  p.fields.map { case (_, fld) =>
+                  p.fields.map { case (_, fn) =>
                     fi += 1
                     val el = s"try_element_at(${p.arr}, CAST(__i AS INT))"
-                    val v = fld.map(f => s"$el.$f").getOrElse(el)
-                    s"$v AS __f$fi"
+                    s"${fn(el)} AS __f$fi"
                   }
                 } ++ ordName.map(_ => "__i AS __ford")
                 s"inline(transform(sequence(1, $sizeExpr), __i -> " +
                   s"struct(${fieldsSql.mkString(", ")})))"
               }
             }
-            val genColsSeq = outNames ++ ordName.toSeq
+            // Spark's LATERAL VIEW colName grammar keeps the backticks
+            // inside a dotted quoted alias (`a.b` becomes a name that
+            // literally contains backticks) — mangle such names to the
+            // __ux<hex> convention RefText.demangle reverses, and
+            // rewrite the statement's references below
+            val genColsSeq0 = outNames ++ ordName.toSeq
+            val genColsSeq = genColsSeq0.map { n =>
+              val inner = n.stripPrefix("`").stripSuffix("`")
+              if (n.startsWith("`") && !inner.matches("\\w+"))
+                "__ux" + inner.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+              else n
+            }
             val genCols = genColsSeq.mkString(", ")
             val repl =
               if (fromCtx) {
@@ -473,7 +495,13 @@ object DialectRewrites {
             val replStart = joinM.map(_.start).getOrElse {
               if (commaCtx) before.lastIndexOf(',') else m.start()
             }
-            s = s.substring(0, replStart) + repl + s.substring(tailEnd)
+            // tailEnd swallowed the whitespace after the alias — re-pad
+            // so the replacement never glues onto the next token
+            // (`u AS valLIMIT 2`)
+            s = s.substring(0, replStart) + repl + " " + s.substring(tailEnd)
+            genColsSeq0.zip(genColsSeq).foreach { case (orig, m) =>
+              if (orig != m) s = s.replace(orig, m)
+            }
             changed = true; done = true
           }
         }
@@ -497,22 +525,24 @@ object DialectRewrites {
         val raw = parts(0)
         val nm0 = if (raw.startsWith("'") || raw.startsWith("\""))
           raw.substring(1, raw.length - 1) else raw
-        val nm = if (nm0.matches("\\w+")) nm0 else s"`$nm0`"
-        (nm, jsonType(parts.lift(1).getOrElse("string")))
+        val nm = if (nm0.matches("\\w+") && !SqlReserved(nm0.toLowerCase)) nm0
+          else s"`$nm0`"
+        (nm, jsonElemConv(parts.lift(1).getOrElse("string")), jsonType(parts.lift(1).getOrElse("string")))
       }
       val alias = m.group(3)
       val repl =
         if (cols.length == 1) {
           // scalar elements OR single-field objects (reference extracts
-          // the declared field from object arrays)
-          val (cn, ct) = cols(0)
-          val arr = s"(CASE WHEN regexp_like($expr, '^\\\\s*\\\\[\\\\s*\\\\{')" +
-            s" THEN from_json($expr, 'array<struct<$cn:$ct>>').$cn" +
-            s" ELSE from_json($expr, 'array<$ct>') END)"
+          // the declared field from object arrays) — per-element runtime
+          // dispatch over the raw JSON text, as in unnestAll
+          val (cn, conv, _) = cols(0)
+          val get = conv(s"get_json_object(__je, '${jsonPath(cn)}')")
+          val arr = s"transform(from_json($expr, 'array<string>'), __je -> " +
+            s"CASE WHEN __je RLIKE '^\\\\s*\\\\{' THEN $get ELSE ${conv("__je")} END)"
           s" LATERAL VIEW explode($arr) $alias AS $cn"
         }
         else {
-          val st = cols.map { case (n, t) => s"$n:$t" }.mkString(",")
+          val st = cols.map { case (n, _, t) => s"$n:$t" }.mkString(",")
           s" LATERAL VIEW explode(from_json($expr, 'array<struct<$st>>')) ${alias}_lv AS $alias"
         }
       s = s.substring(0, m.start()) + repl + s.substring(m.end())
@@ -520,6 +550,52 @@ object DialectRewrites {
     }
     s
   }
+
+  /** Element converter for an UNNEST COLUMNS decl, over the raw text of
+    * one JSON element (scalars arrive decoded, objects as JSON text).
+    * Follows reference unnest/JsonUnnest semantics: a JSON NUMBER is
+    * epoch MICROS for TIMESTAMP and epoch MILLIS for DATE; integral
+    * targets truncate fractional numbers. */
+  private def jsonElemConv(t: String): String => String = {
+    def intish(sparkT: String): String => String = x =>
+      s"coalesce(CAST($x AS $sparkT), CAST(CAST($x AS DOUBLE) AS $sparkT))"
+    t.trim.toLowerCase match {
+      case "int" | "integer" => intish("INT")
+      case "long" | "bigint" => intish("BIGINT")
+      case "short" => intish("SMALLINT")
+      case "byte" => intish("TINYINT")
+      case "float" => x => s"CAST($x AS FLOAT)"
+      case "double" => x => s"CAST($x AS DOUBLE)"
+      // only JSON literal true is true; numbers and other strings are
+      // false (reference JsonUnnest boolean coercion)
+      case "boolean" => x =>
+        s"(CASE WHEN $x IS NULL THEN CAST(NULL AS BOOLEAN) ELSE lower($x) = 'true' END)"
+      case "timestamp" | "timestamp_ns" => x =>
+        s"(CASE WHEN $x RLIKE '^-?[0-9]+$$' THEN timestamp_micros(CAST($x AS BIGINT))" +
+          s" ELSE CAST($x AS TIMESTAMP) END)"
+      case "date" => x =>
+        s"(CASE WHEN $x RLIKE '^-?[0-9]+$$'" +
+          s" THEN CAST(timestamp_millis(CAST($x AS BIGINT)) AS TIMESTAMP_NTZ)" +
+          s" ELSE CAST(CAST($x AS TIMESTAMP) AS TIMESTAMP_NTZ) END)"
+      case _ => x => x
+    }
+  }
+
+  /** get_json_object path for a declared field name (bracket form for
+    * names a dotted path would mis-traverse). Returned text embeds in a
+    * single-quoted SQL literal, so inner quotes arrive pre-doubled. */
+  private def jsonPath(nm: String): String = {
+    val n = nm.stripPrefix("`").stripSuffix("`")
+    if (n.matches("[A-Za-z_]\\w*")) s"$$.$n" else s"$$[''$n'']"
+  }
+
+  /** Words that cannot stand unquoted as a generated column alias. */
+  private val SqlReserved = Set(
+    "select", "from", "where", "group", "order", "by", "limit", "union",
+    "join", "on", "using", "case", "when", "then", "else", "end", "and",
+    "or", "not", "null", "true", "false", "cast", "as", "distinct",
+    "having", "window", "lateral", "cross", "left", "right", "full",
+    "inner", "outer", "table", "values", "insert", "update", "delete")
 
   private def jsonType(t: String): String = t.trim.toLowerCase match {
     case "int" | "integer" => "int"
@@ -1462,9 +1538,15 @@ object DialectRewrites {
     // DATE is a millisecond datetime in the reference — Spark's native
     // `::date` cast would truncate to days; route through the dialect
     // CAST pass (dateMsCast)
-    s2.replaceAll(
+    val s3 = s2.replaceAll(
       s"(?i)($callOp|[\\w.]+|'[^']*')\\s*::\\s*date\\b",
       "CAST($1 AS DATE)")
+    // ::varchar/::string over columns/calls routes through the dialect
+    // CAST pass too, so timestamp operands render the reference UTC
+    // pattern instead of Spark's space-separated default
+    s3.replaceAll(
+      s"(?i)($callOp|[\\w.]+)\\s*::\\s*(?:varchar|string)\\b",
+      "CAST($1 AS VARCHAR)")
   }
 
   /** `::timestamp with time zone` → `::timestamp`;

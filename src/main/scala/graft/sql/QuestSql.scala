@@ -2484,6 +2484,12 @@ object QuestSql {
     // reference concat skips nulls (ConcatFunctionFactory appends
     // nothing for a null arg); Spark's concat nulls the whole result
     q = expandCalls(q, "concat") { args => s"concat_ws('', ${args.mkString(", ")})" }
+    // reference length() of a null string/binary is -1, not null
+    // (functions/str/LengthFunctionFactories); sentinel avoids
+    // self-re-expansion
+    q = expandCalls(q, "length") { case Seq(x) => s"coalesce(__len__($x), -1)"
+                                   case args => s"__len__(${args.mkString(", ")})" }
+    q = q.replace("__len__(", "length(")
     q = expandCalls(q, "mid") { case Seq(b, a) => s"((${d(b)} + ${d(a)}) / 2.0)" }
     q = expandCalls(q, "spread") { case Seq(b, a) => s"(${d(a)} - ${d(b)})" }
     q = expandCalls(q, "spread_bps") { case Seq(b, a) =>
@@ -2506,6 +2512,7 @@ object QuestSql {
         .findFirstMatchIn(inner)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
+      val sv = """(?is)^(.*\S)\s+AS\s+(?:STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
       // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
       // nullability; NullLiteralsTest): null input lands as false / 0
       val nn = """(?is)^(.*\S)\s+AS\s+(BOOLEAN|BYTE|SHORT)\s*$""".r.findFirstMatchIn(inner)
@@ -2524,6 +2531,15 @@ object QuestSql {
         case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
           s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
         case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
+        case _ if sv.isDefined =>
+          // timestamp→string renders the reference USEC/MSEC UTC pattern
+          // (Numbers/TimestampFormatUtils), not Spark's space-separated
+          // default. qdb_str dispatches on the resolved type at plan
+          // time (RuntimeReplaceable), so non-timestamp operands cast
+          // natively with no analysis failure.
+          val x = sv.get.group(1)
+          if (x.startsWith("'") || x.matches("-?\\d+(\\.\\d+)?[LlDd]?")) s"cast($inner)"
+          else s"qdb_str($x)"
         case _ => s"cast($inner)"
       }
     }
