@@ -486,26 +486,22 @@ object SampleBy {
 
   /** SAMPLE BY ... ALIGN TO FIRST OBSERVATION (reference
     * `SqlOptimiser.java:9019` exception path): buckets are anchored at
-    * each key group's first observed timestamp instead of the calendar —
+    * the table's GLOBAL first observed timestamp (the first row of the
+    * ts-ordered scan — SampleByNanoTimestampTest asserts a filtered key
+    * still buckets on the other key's earlier anchor), not per key —
     * bucket(ts) = first_ts + floor((ts − first_ts) / stride) · stride.
     *
-    * Plan: one keyed aggregate for the anchors (tiny), joined back
-    * (auto-broadcast when small), then the usual bucket group-by — the
-    * raw table is touched twice but shuffled on the keys only once per
-    * pass; no window over the fact table.
+    * Plan: one global min (tiny, broadcast), then the usual bucket
+    * group-by; no window over the fact table.
     */
   def sampleByFirstObs(df: DataFrame, ts: String, strideMicros: Long,
                        keys: Seq[String], aggs: Seq[(String, Column)],
                        tsOut: String = "ts"): DataFrame = {
     val anchorUs = "__graft_anchor_us"
-    val withAnchor =
-      if (keys.isEmpty) {
-        val a = df.agg(min(unix_micros(col(ts))).as(anchorUs))
-        df.crossJoin(broadcast(a))
-      } else {
-        val a = df.groupBy(keys.map(col): _*).agg(min(unix_micros(col(ts))).as(anchorUs))
-        df.join(a, keys)
-      }
+    val withAnchor = {
+      val a = df.agg(min(unix_micros(col(ts))).as(anchorUs))
+      df.crossJoin(broadcast(a))
+    }
     val off = unix_micros(col(ts)) - col(anchorUs)
     val bucketCol = timestamp_micros(col(anchorUs) + (off - off % lit(strideMicros))).as(tsOut)
     refOrderOf(df, withAnchor.groupBy((bucketCol +: keys.map(col)): _*)

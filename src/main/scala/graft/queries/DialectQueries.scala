@@ -503,11 +503,11 @@ object DialectQueries extends QueryPack {
         |ORDER BY ts""".stripMargin,
 
     "q_sample_by_first_obs" ->
-      """WITH a AS (SELECT user_id, min(epoch_us(ts)) AS anchor FROM events GROUP BY user_id)
+      """WITH a AS (SELECT min(epoch_us(ts)) AS anchor FROM events)
         |SELECT e.user_id,
         |  make_timestamp(a.anchor + ((epoch_us(e.ts) - a.anchor) // 86400000000) * 86400000000) AS ts,
         |  count(*) AS n
-        |FROM events e JOIN a USING (user_id)
+        |FROM events e CROSS JOIN a
         |GROUP BY 1, 2 ORDER BY user_id, ts""".stripMargin,
 
     "q_sql_alter" ->

@@ -432,6 +432,10 @@ object QuestSql {
     // identifiers, 50_000 separators, ARRAY[..] literals, type[] casts,
     // sizeless VARCHAR/SYMBOL/UUID cast targets, at time zone, ...)
     q0 = prof("DialectRewrites")(DialectRewrites(q0))
+    // CTAS ns provenance must be read BEFORE the fn-macro pass erases
+    // the spellings (to_timestamp_ns / timestamp_sequence_ns expand to
+    // plain arithmetic)
+    preRegisterCtasNs(q0)
     // reference-style result-set naming for unaliased expressions
     // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
     // count, duplicate bases get numeric suffixes
@@ -445,6 +449,9 @@ object QuestSql {
     prof("refreshLiveViews")(refreshLiveViews(spark, q0))
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
+    // key-predicate pushdown past SAMPLE BY FILL must precede BOTH the
+    // forms path and the fallback (which re-derives from q0)
+    q0 = pushFilterIntoSampleBy(q0)
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
         if (named.isEmpty) q0 else substParams(q0, named)))))))
@@ -2596,7 +2603,9 @@ object QuestSql {
       stripQuotes(unit) match {
         case "M" => s"($t + make_interval(0, $n))"
         case "y" => s"($t + make_interval($n))"
-        case u => s"timestamp_micros(CAST(unix_micros($t) + ($n) * ${unitMicros(u)} AS BIGINT))"
+        // widen n BEFORE the multiply — an INT count times unit-micros
+        // overflows 32 bits past ~35 minutes (reference multiplies long)
+        case u => s"timestamp_micros(CAST(unix_micros($t) + CAST($n AS BIGINT) * ${unitMicros(u)} AS BIGINT))"
       } }
     q = expandCalls(q, "datediff") { case Seq(unit, a, b) =>
       // Reference getPeriodBetween (std/datetime/microtime/Micros.java:764):
@@ -3341,7 +3350,11 @@ object QuestSql {
     q = expandCalls(q, "timestamp_sequence_ns") { case Seq(start, step) =>
       val startNs =
         if (start.trim.matches("-?\\d+")) start.trim
-        else s"(unix_micros(CAST(translate(replace($start, 'Z', ''), 'T', ' ') AS TIMESTAMP)) * 1000)"
+        // a BIGINT operand is already an ns carrier (to_timestamp_ns &
+        // friends); strings/timestamps parse via the micro view
+        else s"(CASE WHEN typeof($start) = 'bigint' THEN CAST($start AS BIGINT)" +
+          s" ELSE unix_micros(CAST(translate(replace(CAST($start AS STRING), 'Z', ''), 'T', ' ')" +
+          s" AS TIMESTAMP)) * 1000 END)"
       s"CAST(($startNs) + (x - 1) * CAST($step AS BIGINT) AS BIGINT)"
     }
 
@@ -4331,6 +4344,125 @@ object QuestSql {
   }
 
   /** Split a select list on top-level commas. */
+  /** `select * from (… SAMPLE BY … FILL(…)) where <key-only predicate>`:
+    * the reference pushes key-column predicates beneath the fill
+    * cartesian (PR #6946 — filtered keys never enter the grid, so the
+    * fill spine spans only the surviving data). Predicates touching the
+    * designated ts or aggregate outputs stay outside (they filter
+    * bucket labels, SampleByNanoTimestampTest first-obs cases). */
+  private def pushFilterIntoSampleBy(q: String): String = {
+    val m = """(?is)^\s*select\s+\*\s+from\s*\(""".r.findFirstMatchIn(q).getOrElse(return q)
+    var i = m.end - 1; var depth = 0; var close = -1
+    while (i < q.length && close < 0) {
+      q.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case '\'' =>
+          var k = i + 1
+          while (k < q.length && q.charAt(k) != '\'') k += 1
+          i = k
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return q
+    val inner = q.substring(m.end, close)
+    val sbAt = topLevelIndexOf(inner, Seq("sample by"))
+    if (sbAt < 0 || !"""(?i)\bfill\s*\(""".r.findFirstIn(inner.substring(sbAt)).isDefined)
+      return q
+    val tail = q.substring(close + 1).trim
+    val wm = """(?is)^where\s+(.+)$""".r.findFirstMatchIn(tail).getOrElse(return q)
+    val pred = wm.group(1).trim
+    if ("""(?is)\border\s+by\b|\blimit\b|\bunion\b|\bsample\b""".r.findFirstIn(pred).isDefined)
+      return q
+    // bare key items of the inner select list (top-level FROM bounds it)
+    val innerLow = inner.toLowerCase
+    val selAt = innerLow.indexOf("select")
+    if (selAt < 0) return q
+    val fromAt = topLevelIndexOf(inner, Seq("from"))
+    if (fromAt <= selAt) return q
+    val items = splitSelect(inner.substring(selAt + 6, fromAt)).map(_.trim)
+    val bare = items.filter(_.matches("[A-Za-z_]\\w*")).map(_.toLowerCase).toSet
+    val fromTbl = """(?is)\bfrom\s+([\w.]+)""".r.findFirstMatchIn(inner).map(_.group(1))
+    val tsName = fromTbl.flatMap(t => designatedTsOf(t.split('.').last.toLowerCase))
+      .map(_.toLowerCase)
+    val kw = Set("and", "or", "not", "in", "is", "null", "true", "false",
+      "between", "like", "ilike", "cast", "as")
+    val predNoLits = pred.replaceAll("'(?:[^']|'')*'", " ")
+    val refs = "[A-Za-z_]\\w*".r.findAllIn(predNoLits).map(_.toLowerCase)
+      .filterNot(kw).toSeq.distinct
+    if (refs.isEmpty || !refs.forall(r => bare(r) && !tsName.contains(r))) return q
+    // splice the predicate beneath the SAMPLE BY
+    val hasWhere = topLevelIndexOf(inner.substring(0, sbAt), Seq("where")) >= 0
+    val inner2 =
+      if (hasWhere) inner.substring(0, sbAt) + s"AND ($pred) " + inner.substring(sbAt)
+      else inner.substring(0, sbAt) + s"WHERE $pred " + inner.substring(sbAt)
+    q.substring(0, m.end) + inner2 + ")"
+  }
+
+  /** CTAS over a ns-flavored defining query: register the select items
+    * whose expressions spell ns-ness (::timestamp_ns → __ns_cast,
+    * to_timestamp_ns, timestamp_sequence_ns) as TIMESTAMP_NS declared
+    * columns, so tagNsColumns sees table-based ns provenance and
+    * RefText prints the 9-digit pattern (the reference keeps the column
+    * type through CTAS; this dialect keeps only the text). Runs on the
+    * statement BEFORE the fn-macro pass, which erases the spellings. */
+  private[sql] def preRegisterCtasNs(q: String): Unit = {
+    val head = """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(""".r
+    head.findFirstMatchIn(q).foreach { m =>
+      // balanced inner text from the matched '('
+      var i = m.end - 1; var depth = 0; var close = -1
+      while (i < q.length && close < 0) {
+        q.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case '\'' =>
+            var k = i + 1
+            while (k < q.length && q.charAt(k) != '\'') k += 1
+            i = k
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0)
+        registerCtasNsCols(unq(m.group(1)).split('.').last,
+          q.substring(m.end, close))
+    }
+  }
+
+  private def registerCtasNsCols(name: String, inner0: String): Unit = {
+    val marks = "(?i)timestamp_ns\\b|timestamp_sequence_ns|__ns_cast".r
+    if (marks.findFirstIn(inner0).isEmpty) return
+    val inner = inner0.trim.stripPrefix("(").trim
+    val low = inner.toLowerCase
+    if (!low.startsWith("select")) return
+    // top-level FROM terminates the first select list
+    var j = "select".length; var depth = 0; var fromAt = -1
+    while (j < inner.length && fromAt < 0) {
+      inner.charAt(j) match {
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case '\'' =>
+          var k = j + 1
+          while (k < inner.length && inner.charAt(k) != '\'') k += 1
+          j = k + 1
+        case c if depth == 0 && (c == 'f' || c == 'F') &&
+            low.startsWith("from", j) && !Character.isLetterOrDigit(inner.charAt(j - 1)) &&
+            (j + 4 >= inner.length || !Character.isLetterOrDigit(inner.charAt(j + 4))) =>
+          fromAt = j
+        case _ => j += 1
+      }
+    }
+    val list = inner.substring("select".length, if (fromAt < 0) inner.length else fromAt)
+    val nsNames = splitSelect(list).filter(_.nonEmpty)
+      .filter(it => marks.findFirstIn(it).isDefined)
+      .flatMap(it => AutoAlias.explicitAliasOf(it))
+      .map(_.toLowerCase)
+    if (nsNames.nonEmpty)
+      graft.Catalog.registerDeclaredCols(name,
+        nsNames.map(n => (n, "TIMESTAMP_NS", "")))
+  }
+
   private[sql] def splitSelect(sel: String): Seq[String] = {
     val out = collection.mutable.Buffer[String]()
     var depth = 0; val cur = new StringBuilder

@@ -392,16 +392,19 @@ class QuestSqlSpec extends SparkSpec {
     assert(hours.toSeq == Seq(2))
   }
 
-  test("SAMPLE BY ALIGN TO FIRST OBSERVATION anchors buckets per key") {
+  test("SAMPLE BY ALIGN TO FIRST OBSERVATION anchors buckets at the global first row") {
     val out = engine.sql(
       "SELECT user_id, ts, count(*) AS n FROM events SAMPLE BY 1d ALIGN TO FIRST OBSERVATION")
-    // each user's first bucket starts exactly at their first event
-    val firstBuckets = out.groupBy(col("user_id")).agg(min(col("ts")).as("b")).collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
-    val firstEvents = Tables.events(spark, sfDir).groupBy(col("user_id"))
-      .agg(min(col("ts")).as("f")).collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
-    assert(firstBuckets == firstEvents)
+    // the grid anchor is the table's first observation — every bucket
+    // sits a whole number of strides after it, for every key
+    // (reference SampleByNanoTimestampTest: a filtered key buckets on
+    // the other key's earlier anchor)
+    val anchor = Tables.events(spark, sfDir).agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val offGrid = out.select(((unix_micros(col("ts")) - lit(anchor)) % lit(86400000000L)).as("m"))
+      .where(col("m") =!= 0L).count()
+    assert(offGrid == 0L)
+    val minBucket = out.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    assert(minBucket == anchor)
   }
 
   test("positional and named bind variables") {
