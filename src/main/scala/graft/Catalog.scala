@@ -93,6 +93,15 @@ object Catalog {
     declaredCols.put(table.toLowerCase,
       cols.map { case (n, t, k) => n.toLowerCase -> ColDecl(t, k) }.toMap)
 
+  /** DEDUP UPSERT KEYS per table (reference WAL dedup): the dialect
+    * INSERT path replaces existing rows on key collision. */
+  private[graft] val dedupKeysReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  def registerDedupKeys(table: String, keys: Seq[String]): Unit =
+    dedupKeysReg.put(table.toLowerCase, keys)
+  def dedupKeysOf(table: String): Seq[String] =
+    Option(dedupKeysReg.get(table.toLowerCase)).getOrElse(Nil)
+
   /** Every declared type spelling (uppercased) for a column name across
     * all registered tables — provenance hints for output formatting. */
   private[graft] def declaredTypesOf(colLower: String): Set[String] = {
@@ -334,6 +343,7 @@ object Catalog {
   private[graft] def unregisterTable(name0: String): Unit = {
     val name = name0.split('.').last.toLowerCase
     createMeta.remove(name); declaredCols.remove(name); createTails.remove(name)
+    dedupKeysReg.remove(name)
     walState.remove(name); walTxnLog.remove(name); walTxnCounter.remove(name)
     matViewReg.remove(name); liveViewReg.remove(name); liveViewMeta.remove(name)
     matViewMeta.remove(name); plainViewReg.remove(name)
@@ -342,6 +352,7 @@ object Catalog {
   /** DROP ALL: clear every per-table registry wholesale. */
   private[graft] def clearTableRegistries(): Unit = {
     createMeta.clear(); declaredCols.clear(); createTails.clear()
+    dedupKeysReg.clear()
     walState.clear(); walTxnLog.clear(); walTxnCounter.clear()
     matViewReg.clear(); liveViewReg.clear(); liveViewMeta.clear()
     matViewMeta.clear(); plainViewReg.clear()

@@ -1376,8 +1376,28 @@ object QuestSql {
       val flushUs = durationMicros(flushN.toLong, flushUnit)
       if (flushUs < 100000L) // reference SqlParser parity
         throw new IllegalArgumentException("live view FLUSH EVERY must be at least 100ms")
-      liveViewDefs.put(key, inner)
-      sqlBound(spark, inner, Map.empty).createOrReplaceTempView(key)
+      // START FROM '<ts>' anchors the view: base rows with designated
+      // ts below the anchor never enter it, whenever they arrive
+      // (LiveViewStartFromReplayTest — a later upsert below the anchor
+      // stays invisible). NOW/BEGINNING need no filter here: serving is
+      // always-fresh, so BEGINNING is the identity and NOW's wall-clock
+      // fence is the registration below.
+      val innerStored = Option(startFrom).filter(_.startsWith("'")).map { lit =>
+        val baseRel = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(inner)
+        baseRel match {
+          case Some(bm) =>
+            val b = unq(bm.group(1))
+            val bn = b.split('.').last
+            val ts = designatedTsOf(bn.toLowerCase)
+              .orElse(graft.Tables.designatedTs.get(bn.toLowerCase)).getOrElse("ts")
+            inner.substring(0, bm.start(1)) +
+              s"(SELECT * FROM $bn WHERE $ts >= $lit) $bn" +
+              inner.substring(bm.end(1))
+          case None => inner
+        }
+      }.getOrElse(inner)
+      liveViewDefs.put(key, innerStored)
+      sqlBound(spark, innerStored, Map.empty).createOrReplaceTempView(key)
       // always-fresh serving: the seam is "now" at every listing
       graft.Catalog.registerLiveView(key, s"<session flush=${flushUs}us>",
         () => System.currentTimeMillis() * 1000L)
@@ -1713,6 +1733,8 @@ object QuestSql {
             s"\nDEDUP UPSERT KEYS(${m2.group(1).split(",").map(_.trim).mkString(",")})")
             .getOrElse("")
         graft.Catalog.registerCreateTail(unq(name), tailStr)
+        dedupKeysM.foreach(m2 => graft.Catalog.registerDedupKeys(unq(name),
+          m2.group(1).split(",").map(k => unq(k.trim)).toSeq))
         graft.Catalog.setCreateFormat(unq(name),
           """(?is)\bFORMAT\s+PARQUET\b""".r.findFirstIn(tail).isDefined)
         val maxUnc = """(?is)maxUncommittedRows\s*=\s*(\d+)""".r
@@ -1795,13 +1817,32 @@ object QuestSql {
         case None =>
           (incoming.count(), null: java.sql.Timestamp, null: java.sql.Timestamp)
       }
+      // WAL DEDUP UPSERT KEYS: the incoming batch replaces existing rows
+      // on key collision (reference WAL dedup merge on commit)
+      val dk = graft.Catalog.dedupKeysOf(name)
+        .filter(k => target.columns.exists(_.equalsIgnoreCase(k)))
+      val base = if (dk.nonEmpty)
+        target.join(broadcast(incoming.select(dk.map(col): _*).distinct()), dk, "left_anti")
+      else target
       // the reference keeps a designated-ts table physically ordered by
       // ts (O3 inserts merge-sort on commit) — mirror that so bare scans
       // return ts order (ParquetWriteTest SELECT * after O3 insert)
-      val unioned = target.unionByName(incoming)
-      val stored = tsCol match {
+      val unioned = base.unionByName(incoming)
+      val stored0 = tsCol match {
         case Some(c) => unioned.orderBy(col(c).asc_nulls_first)
         case None => unioned
+      }
+      // TTL eviction on commit (reference partition TTL): a partition is
+      // dropped once its whole range is older than max(ts) - TTL
+      val stored = (Option(graft.Catalog.createMeta.get(name.toLowerCase)), tsCol) match {
+        case (Some(m), Some(c)) if m.ttl.isDefined && m.partitionBy.isDefined && mxTs != null =>
+          val (tn, tu) = m.ttl.get
+          val part = m.partitionBy.get.toUpperCase
+          if (part == "NONE") stored0
+          else stored0.where(
+            expr(s"date_trunc('$part', `$c`) + INTERVAL 1 $part") >
+              (lit(mxTs) - expr(s"INTERVAL $tn $tu")))
+        case _ => stored0
       }
       stored.createOrReplaceTempView(name)
       graft.Catalog.bumpWalTxn(name, mnTs, mxTs, n)
