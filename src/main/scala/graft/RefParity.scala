@@ -130,6 +130,12 @@ object RefParity {
           val m = msg(e)
           if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("Table or view not found"))
             Left(("skip_missing", m))
+          // read_parquet over a file the harvested setup never wrote:
+          // the JUnit body produced it through the copy/export API the
+          // extractor cannot see — an extraction gap, not a defect
+          else if (m.contains("PATH_NOT_FOUND") &&
+              """(?i)read_parquet|parquet_scan""".r.findFirstIn(c.query).isDefined)
+            Left(("skip_missing", m))
           // bind-variable markers with no values: the JUnit body bound
           // them through the API — an extraction gap, not a defect
           else if (m.contains("UNBOUND_SQL_PARAMETER") ||

@@ -34,6 +34,10 @@ object DialectRewrites {
     // DOUBLE typing)
     q = mapOutside(q)(s =>
       """(?<![\w.])\d[\d_]*\d""".r.replaceAllIn(s, m => m.matched.replace("_", "")))
+    // parenthesized integer multiply chains fold exactly (the reference
+    // folds constants in LONG; Spark would multiply INT*INT with 32-bit
+    // wraparound — ParquetTest row-group filter constants)
+    q = mapOutside(q)(foldIntProducts)
     q = mapOutside(q)(decimalSuffix)
     // reference numeric literals with a '.' are DOUBLE (SqlParser float
     // literals); Spark parses them as DECIMAL(p,s) — suffix D, skipping
@@ -1232,6 +1236,36 @@ object DialectRewrites {
     sb.toString
   }
 
+  /** Fold `( int * int [* int …] )` chains to one exact literal (BigInt
+    * arithmetic; L-suffixed when outside int range). Innermost-first so
+    * nested products like (-a * (-b * -c)) collapse fully. */
+  private def foldIntProducts(s0: String): String = {
+    val pat = """\(\s*(-?\d+)[Ll]?(?:\s*\*\s*(-?\d+)[Ll]?)+\s*\)""".r
+    var s = s0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      guard += 1
+      val next = pat.replaceAllIn(s, m => {
+        val factors = """-?\d+""".r.findAllIn(m.matched).map(BigInt(_)).toList
+        val prod = factors.product
+        val anyLongFactor = factors.exists(!_.isValidInt) ||
+          "[Ll]".r.findFirstIn(m.matched).isDefined
+        // fold only when 32-bit math would diverge (overflow or a long
+        // factor) — an in-range product computes identically in Spark
+        // and folding it would change the auto-derived column name
+        val lit =
+          if (prod.isValidInt && !anyLongFactor) m.matched
+          else if (prod.isValidLong) prod.toString + "L"
+          else m.matched // overflows LONG too — leave for the engine
+        java.util.regex.Matcher.quoteReplacement(lit)
+      })
+      changed = next != s
+      s = next
+    }
+    s
+  }
+
   /** `50_000` → `50000` (reference Java-style digit separators). */
   private def underscoreDigits(s: String): String =
     s.replaceAll("(?<=\\d)_(?=\\d)", "")
@@ -1429,22 +1463,33 @@ object DialectRewrites {
       val sb = new StringBuilder(s.substring(0, idx))
       sb.append("array(")
       var depth = 1
+      var maxDepth = 1
+      var hasString = false
       var i = open + 1
       while (i < s.length && depth > 0) {
         s.charAt(i) match {
           case '\'' =>
+            hasString = true
             var j = i + 1
             while (j < s.length && s.charAt(j) != '\'') j += 1
             sb.append(s.substring(i, math.min(j + 1, s.length))); i = j + 1
-          case '[' => depth += 1; sb.append("array("); i += 1
+          case '[' => depth += 1; maxDepth = math.max(maxDepth, depth); sb.append("array("); i += 1
           case ']' => depth -= 1; sb.append(')'); i += 1
           case c => sb.append(c); i += 1
         }
       }
       // reference arrays are DOUBLE-element only: widen bare integer
       // literals inside the converted region so ARRAY[1, 2] = [1.0, 2.0]
-      val region = sb.substring(idx, sb.length)
+      var region = sb.substring(idx, sb.length)
         .replaceAll("(?<![\\w.])(-?\\d+)(?![\\w.DdFfLl])", "$1.0")
+      // non-literal elements (column refs: ARRAY[x]) widen through a
+      // whole-array cast — skipped when strings are present (not a
+      // reference array then)
+      if (!hasString && """[A-Za-z_]""".r.findFirstIn(
+          region.replaceAll("(?i)\\barray\\b", "")).isDefined) {
+        val t = (1 to maxDepth).foldLeft("double")((acc, _) => s"array<$acc>")
+        region = s"CAST($region AS $t)"
+      }
       sb.replace(idx, sb.length, region)
       sb.append(s.substring(math.min(i, s.length)))
       s = sb.toString

@@ -1239,8 +1239,10 @@ object QuestSql {
     * `TYPE[]` / `TYPE[][]` array suffixes nest (reference N-dim arrays). */
   private def sparkTypeOf(t0: String): String = {
     val t = t0.trim
-    if (t.endsWith("[]"))
-      return s"array<${sparkTypeOf(t.dropRight(2))}>"
+    if (t.endsWith("]")) {
+      val m = """(?s)^(.*?)\s*\[\s*\]$""".r.findFirstMatchIn(t)
+      if (m.isDefined) return s"array<${sparkTypeOf(m.get.group(1))}>"
+    }
     sparkTypeOf0(t)
   }
 
@@ -1521,7 +1523,7 @@ object QuestSql {
             // `name TYPE[(args)] [INDEX [TYPE POSTING [INCLUDE(...)]]|
             // CACHE|NOCACHE|CAPACITY n ...]` — storage options are
             // metadata-only here
-            val m = """(?is)^\s*(\w+)\s+(\w+(?:\s*\([^)]*\))?)""".r
+            val m = """(?is)^\s*(\w+)\s+(\w+(?:\s*\([^)]*\))?(?:\s*\[\s*\])*)""".r
               .findFirstMatchIn(spec.trim)
               .getOrElse(throw new IllegalArgumentException(
                 s"ADD COLUMN needs 'name type', got '$spec'"))
@@ -1540,7 +1542,7 @@ object QuestSql {
           Some(status(spark, "OK"))
         case AlterColTypeRe(c, typ) =>
           require(t.columns.exists(_.equalsIgnoreCase(c)), s"column '$c' does not exist")
-          t.withColumn(c, col(c).cast(sparkTypeOf(typ))).createOrReplaceTempView(name)
+          t.withColumn(c, alterTypeCast(t, c, typ)).createOrReplaceTempView(name)
           Some(status(spark, "OK"))
         case other => throw new IllegalArgumentException(s"ALTER TABLE: unsupported '$other'")
       }
@@ -1761,7 +1763,12 @@ object QuestSql {
       // colN); a column list maps positions onto the named subset and
       // nulls the rest (reference InsertModel column list)
       val listed: Seq[String] =
-        if (colList == null || colList.trim.isEmpty) target.columns.toSeq
+        if (colList == null || colList.trim.isEmpty)
+          // bare VALUES may carry FEWER values than columns — the
+          // remaining (later-ADDed) columns land null (reference
+          // InsertModel positional mapping, ParquetTest)
+          target.columns.toSeq.take(
+            math.max(incoming0.columns.length, 1))
         else colList.split(",").map(c => unq(c.trim)).toSeq
       require(incoming0.columns.length == listed.length,
         s"INSERT column count ${incoming0.columns.length} != ${listed.length}")
@@ -1823,6 +1830,7 @@ object QuestSql {
         .filter(k => target.columns.exists(_.equalsIgnoreCase(k)))
       val base = if (dk.nonEmpty)
         target.join(broadcast(incoming.select(dk.map(col): _*).distinct()), dk, "left_anti")
+          .select(target.columns.map(col): _*) // USING join fronts the keys — restore declared order
       else target
       // the reference keeps a designated-ts table physically ordered by
       // ts (O3 inserts merge-sort on commit) — mirror that so bare scans
@@ -4385,6 +4393,38 @@ object QuestSql {
   }
 
   /** Split a select list on top-level commas. */
+  /** ALTER COLUMN … TYPE conversion with reference ColumnType rules the
+    * plain Spark cast misses: numeric → integral narrows to NULL out of
+    * range (not wrap, ParquetWriteTest DOUBLE→INT 1e15 → null), numeric
+    * → TIMESTAMP reads MICROS (not seconds), numeric → DATE reads
+    * MILLIS into the NTZ carrier. */
+  private def alterTypeCast(t: DataFrame, c: String, typ: String): Column = {
+    import org.apache.spark.sql.types._
+    val src = t.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    val numericSrc = src.exists {
+      case _: NumericType => true
+      case _ => false
+    }
+    val up = typ.trim.toUpperCase
+    val v = col(c)
+    def ranged(lo: Long, hi: Long, sparkT: String): Column =
+      when(v.isNull || v < lit(lo).cast("double") || v > lit(hi).cast("double"),
+        lit(null).cast(sparkT))
+        .otherwise(v.cast(sparkT))
+    (up, numericSrc) match {
+      case ("INT" | "INTEGER", true) => ranged(Int.MinValue, Int.MaxValue, "int")
+      case ("SHORT", true) => ranged(Short.MinValue, Short.MaxValue, "smallint")
+      case ("BYTE", true) => ranged(Byte.MinValue, Byte.MaxValue, "tinyint")
+      case ("LONG" | "BIGINT", true) => ranged(Long.MinValue, Long.MaxValue, "bigint")
+      case ("TIMESTAMP", true) => timestamp_micros(v.cast("bigint"))
+      case ("DATE", true) => timestamp_millis(v.cast("bigint")).cast(TimestampNTZType)
+      case ("DATE", false) if src.contains(TimestampType) =>
+        // µs timestamp → ms datetime carrier
+        timestamp_millis((unix_micros(v) / lit(1000L)).cast("long")).cast(TimestampNTZType)
+      case _ => v.cast(sparkTypeOf(typ))
+    }
+  }
+
   /** `select * from (… SAMPLE BY … FILL(…)) where <key-only predicate>`:
     * the reference pushes key-column predicates beneath the fill
     * cartesian (PR #6946 — filtered keys never enter the grid, so the
