@@ -93,6 +93,17 @@ object Catalog {
     declaredCols.put(table.toLowerCase,
       cols.map { case (n, t, k) => n.toLowerCase -> ColDecl(t, k) }.toMap)
 
+  /** Replace one column's storage knobs (ALTER COLUMN ADD/DROP INDEX),
+    * keeping its declared type; creates the decl from the live schema
+    * when the table had no explicit column list. */
+  private[graft] def updateColKnobs(table: String, col0: String, knobs: String): Unit = {
+    val key = table.split('.').last.toLowerCase
+    val c = col0.toLowerCase
+    val cur = Option(declaredCols.get(key)).getOrElse(Map.empty)
+    val tpe = cur.get(c).map(_.tpe).getOrElse("SYMBOL")
+    declaredCols.put(key, cur + (c -> ColDecl(tpe, knobs)))
+  }
+
   /** DEDUP UPSERT KEYS per table (reference WAL dedup): the dialect
     * INSERT path replaces existing rows on key collision. */
   private[graft] val dedupKeysReg =

@@ -65,7 +65,7 @@ object QuestSql {
     * re-materialized on every query (refreshLiveViews scans by name) —
     * state contaminates and compounds across cases. */
   def resetSessionState(): Unit = {
-    liveViewDefs.clear(); matViewDefs.clear()
+    liveViewDefs.clear(); matViewDefs.clear(); matViewDirty.clear()
     graft.Catalog.clearTableRegistries()
     retainDesignatedTs(graft.Tables.designatedTs.keySet)
   }
@@ -447,6 +447,7 @@ object QuestSql {
     if (wantsInfo || wantsPg)
       graft.Catalog.ensureMetaViews(spark, info = wantsInfo, pg = wantsPg)
     prof("refreshLiveViews")(refreshLiveViews(spark, q0))
+    prof("refreshMatViews")(refreshDirtyMatViews(spark, q0))
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
     // key-predicate pushdown past SAMPLE BY FILL must precede BOTH the
@@ -768,7 +769,7 @@ object QuestSql {
   }
 
   private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
-    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY)|SHOW\s+\w)\b""".r
+    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|(?i)\bSHOW\s+\w""".r
         .findFirstIn(q).isDefined) return q
     val lower = q.toLowerCase
     val out = new StringBuilder
@@ -804,7 +805,7 @@ object QuestSql {
         }
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         val hasDialectOp =
-          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY)|SHOW\s+\w)\b""".r
+          """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|(?i)\bSHOW\s+\w""".r
             .findFirstIn(inner).isDefined
         val innerHead = inner.trim.toLowerCase
         if ((fromPos || wrapPos) &&
@@ -816,6 +817,12 @@ object QuestSql {
             out.append(if (fromPos) view else s"(SELECT * FROM $view)")
             changed = true
           } catch {
+            // a missing table fails the outer query identically —
+            // propagate so callers classify it as such rather than as
+            // a parse error over the unmaterialized dialect text
+            case e: Exception
+                if Option(e.getMessage).exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
+              throw e
             case _: Exception => out.append(q.substring(i, j))
           }
         } else out.append(q.substring(i, j))
@@ -1022,6 +1029,124 @@ object QuestSql {
     refreshKind: String, deferred: Boolean)
   private val matViewDefs =
     new java.util.concurrent.ConcurrentHashMap[String, MatViewDef]()
+
+  /** Dirty designated-ts ranges per auto-refresh mat view (micros,
+    * half-open; [[FullRange]] = recompute everything). Marked by the
+    * dialect's own write sites, consumed lazily at the next read of the
+    * view — the Spark re-expression of reference MatViewRefreshJob's
+    * WalTxnRangeLoader walk (cairo/mv/MatViewRefreshJob.java:77,
+    * WalTxnRangeLoader.java): refresh cost scales with the data touched
+    * since the last read, never with the base table. A clean view
+    * serves its pinned checkpoint with NO base scan. */
+  private val FullRange: (Long, Long) = (Long.MinValue, Long.MaxValue)
+  private val matViewDirty =
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Long, Long)]]()
+
+  private def autoRefresh(d: MatViewDef): Boolean =
+    !d.deferred && (d.refreshKind == "IMMEDIATE" ||
+      d.refreshKind.startsWith("EVERY") || d.refreshKind.startsWith("PERIOD"))
+
+  /** Mark every auto-refresh mat view over `baseTable` dirty for
+    * [lo, hi) (micros). Call with [[FullRange]] for non-ranged
+    * mutations (UPDATE / TRUNCATE / ALTER / COPY). */
+  private[sql] def markMatViewsDirty(baseTable: String, lo: Long, hi: Long): Unit = {
+    if (matViewDefs.isEmpty) return
+    val b = baseTable.split('.').last.toLowerCase
+    matViewDefs.forEach { (key, d) =>
+      if (autoRefresh(d)) {
+        val depBase = Option(graft.Catalog.matViewMeta.get(key)).map(_._1)
+          .orElse(d.base).getOrElse("")
+        if (depBase != null && depBase.split('.').last.equalsIgnoreCase(b))
+          matViewDirty.merge(key, List((lo, hi)),
+            (a, nw) => if (a.size >= 32) List(FullRange) else a ++ nw)
+      }
+    }
+  }
+
+  private def microsOfTs(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** Lazily refresh the dirty auto-refresh mat views a statement
+    * references: clean views serve the pinned checkpoint untouched;
+    * dirty plain-SAMPLE-BY views recompute ONLY the bucket-aligned
+    * dirty ranges and splice them into the store; anything else (tz /
+    * offset / fill / first-observation / calendar strides / unknown ts)
+    * falls back to a full recompute. */
+  private def refreshDirtyMatViews(spark: SparkSession, q: String): Unit = {
+    if (matViewDirty.isEmpty) return
+    if ("""(?is)^\s*(?:CREATE|DROP|REFRESH)\s+MATERIALIZED""".r.findFirstIn(q).isDefined)
+      return
+    val keys = new java.util.ArrayList(matViewDirty.keySet())
+    keys.forEach { key =>
+      if (("""(?i)\b""" + java.util.regex.Pattern.quote(key) + """\b""").r
+          .findFirstIn(q).isDefined) {
+        val d = matViewDefs.get(key)
+        val ranges = matViewDirty.remove(key)
+        if (d != null && ranges != null && ranges.nonEmpty) {
+          try incrementalMatRefresh(spark, key, d, ranges)
+          catch {
+            case _: Throwable =>
+              try materializeMatView(spark, key, sqlBound(spark, d.inner, Map.empty))
+              catch { case _: Throwable => () }
+          }
+        }
+      }
+    }
+  }
+
+  private def incrementalMatRefresh(spark: SparkSession, key: String,
+      d: MatViewDef, ranges0: List[(Long, Long)]): Unit = {
+    val inner = d.inner
+    val bucketLit = """(?is)\bSAMPLE\s+BY\s+(\w+)""".r.findFirstMatchIn(inner).map(_.group(1))
+    // only the plain epoch-aligned SAMPLE BY shape refreshes surgically
+    val plain = bucketLit.isDefined &&
+      !"""(?is)\bTIME\s+ZONE\b|\bWITH\s+OFFSET\b|\bFIRST\s+OBSERVATION\b|\bFILL\s*\(|\bSAMPLE\s+BY\s+\w+\s+FROM\b""".r
+        .findFirstIn(inner).isDefined
+    val baseName = Option(graft.Catalog.matViewMeta.get(key)).map(_._1)
+      .orElse(d.base).orNull
+    val tsCol = Option(baseName)
+      .flatMap(b => designatedTsOf(b.split('.').last.toLowerCase))
+    lazy val view = spark.table(key)
+    val viewTs = tsCol.flatMap(t => view.schema.fields
+        .find(_.name.equalsIgnoreCase(t)).map(_.name))
+      .orElse(view.schema.fields
+        .find(_.dataType == org.apache.spark.sql.types.TimestampType).map(_.name))
+    val full = ranges0.contains(FullRange) || !plain || baseName == null ||
+      tsCol.isEmpty || viewTs.isEmpty
+    if (full) {
+      materializeMatView(spark, key, sqlBound(spark, inner, Map.empty))
+      return
+    }
+    val strideUs = strideToMicros(bucketLit.get) // throws on M/y → full via caller
+    // bucket-align, sort, merge overlaps
+    val aligned = ranges0.map { case (lo, hi) =>
+      val lo2 = lo - Math.floorMod(lo, strideUs)
+      val rem = Math.floorMod(hi, strideUs)
+      (lo2, if (rem == 0) hi else hi + (strideUs - rem))
+    }.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((alo, ahi) :: rest, (lo, hi)) if lo <= ahi =>
+        (alo, math.max(ahi, hi)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+    val bn = baseName.split('.').last
+    val ts = tsCol.get
+    val pred = aligned.map { case (lo, hi) =>
+      s"($ts >= timestamp_micros(${lo}L) AND $ts < timestamp_micros(${hi}L))"
+    }.mkString(" OR ")
+    val bm = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(inner).getOrElse(
+      throw new IllegalStateException("no FROM in mat view definition"))
+    val innerRanged = inner.substring(0, bm.start(1)) +
+      s"(SELECT * FROM $bn WHERE $pred) $bn" + inner.substring(bm.end(1))
+    val fresh = sqlBound(spark, innerRanged, Map.empty)
+    val vts = viewTs.get
+    val cond = aligned.map { case (lo, hi) =>
+      unix_micros(col(vts)) >= lo && unix_micros(col(vts)) < hi
+    }.reduce(_ || _)
+    val keep = view.where(!cond)
+    materializeMatView(spark, key,
+      keep.unionByName(fresh.selectExpr(view.columns.map(c => s"`$c`").toIndexedSeq: _*))
+        .orderBy(col(vts).asc_nulls_first))
+  }
 
   private val CreateMatViewRe =
     ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?('[^']+'|(?:`[^`]+`|[\w.])+)""" +
@@ -1333,12 +1458,11 @@ object QuestSql {
       val df0 = sqlBound(spark, inner, Map.empty)
       materializeMatView(spark, name, if (deferred != null) df0.limit(0) else df0)
       // REFRESH IMMEDIATE (the default) and timer kinds refresh on base
-      // commit in the reference (MatViewRefreshJob) — serve them fresh
-      // through the live-view rebind; MANUAL/DEFERRED stay pinned until
-      // an explicit REFRESH
-      if (deferred == null && (kind == "IMMEDIATE" || kind.startsWith("EVERY") ||
-          kind.startsWith("PERIOD")))
-        liveViewDefs.put(key, inner)
+      // commit in the reference (MatViewRefreshJob). Here the dialect's
+      // write sites mark dirty ranges and the next read splices only the
+      // touched buckets (refreshDirtyMatViews) — a clean view serves its
+      // pinned rows with no base scan. MANUAL/DEFERRED stay pinned until
+      // an explicit REFRESH.
       val bucket = """(?is)SAMPLE\s+BY\s+(\w+)""".r.findFirstMatchIn(inner)
         .map(_.group(1)).getOrElse("")
       graft.Catalog.registerMatView(key, bucket, kind)
@@ -1366,6 +1490,7 @@ object QuestSql {
             val keep = spark.table(name).where(col(tsCol) < lo || col(tsCol) > hi)
             materializeMatView(spark, name, keep.unionByName(fresh))
           } else materializeMatView(spark, name, fresh0) // FULL | INCREMENTAL
+          matViewDirty.remove(key)
           import spark.implicits._
           Some(Seq((name, rows)).toDF("view_name", "rows"))
       }
@@ -1441,7 +1566,7 @@ object QuestSql {
         if (!t.name.startsWith("__"))
           try spark.catalog.dropTempView(t.name) catch { case _: Exception => () }
       }
-      liveViewDefs.clear(); matViewDefs.clear()
+      liveViewDefs.clear(); matViewDefs.clear(); matViewDirty.clear()
       graft.Catalog.clearTableRegistries()
       retainDesignatedTs(graft.Tables.designatedTs.keySet)
       graft.Catalog.invalidateMetaViews(spark)
@@ -1450,12 +1575,14 @@ object QuestSql {
     case DropMatViewRe(name) =>
       val key = name.split('.').last.toLowerCase
       matViewDefs.remove(key)
+      matViewDirty.remove(key)
       liveViewDefs.remove(key)
       graft.Catalog.unregisterMatView(key)
       spark.catalog.dropTempView(name)
       Some(status(spark, "OK"))
 
     case AlterRe(name, action) =>
+      markMatViewsDirty(name, FullRange._1, FullRange._2)
       val t = spark.table(name)
       graft.Catalog.invalidateMetaViews(spark)
       action match {
@@ -1501,7 +1628,17 @@ object QuestSql {
             }
           }
           Some(status(spark, "OK"))
-        case AlterAckRe(_*) => Some(status(spark, "OK"))
+        case AlterAckRe(_*) =>
+          // ADD/DROP INDEX flips the declared-column knob so
+          // table_columns()/SHOW COLUMNS answer indexed-ness
+          // (reference AlterOperationBuilder.ofAddIndex)
+          """(?is)^ALTER\s+COLUMN\s+(\w+)\s+(ADD|DROP)\s+INDEX(.*)$""".r
+            .findFirstMatchIn(action.trim).foreach { im =>
+              graft.Catalog.updateColKnobs(name, im.group(1),
+                if (im.group(2).equalsIgnoreCase("ADD")) "INDEX" + im.group(3).toUpperCase
+                else "")
+            }
+          Some(status(spark, "OK"))
         case AlterDropPartRe(_, list, whereCond) =>
           // session-view tables: partition drop = remove the rows whose
           // designated ts falls in the named partitions (the durable
@@ -1591,6 +1728,7 @@ object QuestSql {
         updated.createOrReplaceTempView(name)
         affected
       }
+      markMatViewsDirty(name, FullRange._1, FullRange._2)
       Some(Seq(n).toDF("rows_updated"))
 
     case SessionNoopRe() =>
@@ -1854,6 +1992,9 @@ object QuestSql {
       }
       stored.createOrReplaceTempView(name)
       graft.Catalog.bumpWalTxn(name, mnTs, mxTs, n)
+      if (mnTs != null && mxTs != null)
+        markMatViewsDirty(name, microsOfTs(mnTs), microsOfTs(mxTs) + 1)
+      else markMatViewsDirty(name, FullRange._1, FullRange._2)
       import spark.implicits._
       Some(Seq(n).toDF("rows_inserted"))
     case DropRe(name) =>
@@ -1889,6 +2030,7 @@ object QuestSql {
       }
     case TruncateRe(name) =>
       spark.table(name).limit(0).createOrReplaceTempView(unq(name))
+      markMatViewsDirty(unq(name), FullRange._1, FullRange._2)
       Some(status(spark, "OK"))
     case CopyFromRe(name, path, header) =>
       val df = spark.read

@@ -153,6 +153,34 @@ class QuestSqlSpec extends SparkSpec {
       .head().getLong(0) > 0)
   }
 
+  test("IMMEDIATE mat view serves pinned rows; dirty ranges splice incrementally") {
+    engine.sql("CREATE TABLE mvi_base AS (SELECT ts, user_id, value FROM events " +
+      "WHERE event_id < 2000) TIMESTAMP(ts)")
+    engine.sql("CREATE MATERIALIZED VIEW mvi_daily REFRESH IMMEDIATE AS " +
+      "(SELECT ts, count(*) AS n, sum(value) AS s FROM mvi_base SAMPLE BY 1d)")
+    val before = engine.sql("SELECT ts, n FROM mvi_daily ORDER BY ts").collect()
+    assert(before.nonEmpty)
+    // a ranged INSERT marks one day dirty; the next read splices only
+    // that bucket and the counts reflect it
+    engine.sql("INSERT INTO mvi_base (ts, user_id, value) VALUES " +
+      "('2024-01-05T01:00:00.000000Z', 999, 42.0)")
+    val after = engine.sql("SELECT ts, n FROM mvi_daily ORDER BY ts").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val day = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val beforeMap = before.map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(after(day) == beforeMap.getOrElse(day, 0L) + 1)
+    assert((after - day) == (beforeMap - day)) // untouched buckets identical
+    // serving is MATERIALIZED: a base mutation the dialect never saw
+    // (no dirty marker) must NOT appear — reads serve the pinned store
+    // instead of re-running the defining query over the base
+    spark.table("mvi_base").limit(0).createOrReplaceTempView("mvi_base")
+    val again = engine.sql("SELECT ts, n FROM mvi_daily ORDER BY ts").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(again == after)
+    engine.sql("DROP MATERIALIZED VIEW mvi_daily")
+    engine.sql("DROP TABLE mvi_base")
+  }
+
   test("glob / timestamp_shuffle / pg_postmaster_start_time") {
     val g = engine.sql(
       "SELECT glob(event_type, 'cl*') AS a, glob(event_type, 'c???k') AS b, " +
