@@ -623,8 +623,14 @@ object DialectRewrites {
     *     mirrored `>>=` / `>>`)
     */
   private def ipv4Ops(q0: String): String = {
-    if (!"""(?i)\bipv4\s+'|<<=?|>>=?""".r.findFirstIn(q0).isDefined) return q0
+    if (!"""(?i)\bipv4\s+'|<<=?|>>=?|'(?:\d+\.){3}\d+(?:/\d+)?'\s*[&|^+\-]|[&|^]\s*'(?:\d+\.){3}\d+|\bin\s+'(?:\d+\.){3}\d+""".r
+        .findFirstIn(q0).isDefined) return q0
     var s = q0
+    // `col IN '<ip>'` is equality; `col IN '<net>/<cidr>'` is subnet
+    // containment (reference EqIPv4StrFunctionFactory / the IN-string
+    // form of containment)
+    s = s.replaceAll("(?i)([\\w.]+)\\s+in\\s+('(?:\\d+\\.){3}\\d+/\\d+')", "$1 <<= $2")
+    s = s.replaceAll("(?i)([\\w.]+)\\s+in\\s+('(?:\\d+\\.){3}\\d+')", "$1 = $2")
     def long(operand: String): String = {
       val t = operand.trim
       if (t.matches("-?\\d+")) t
@@ -634,6 +640,9 @@ object DialectRewrites {
     }
     // normalize typed literals
     s = s.replaceAll("(?i)\\bipv4\\s+('(?:\\d+\\.){3}\\d+')", "IPV4LIT($1)")
+    // containment against NULL is NULL (reference three-state here)
+    s = s.replaceAll("(?i)([\\w.]+|'[^']*')\\s*(?:<<=|<<|>>=|>>)\\s*null\\b",
+      "CAST(NULL AS BOOLEAN)")
     // containment: lhs op 'net/cidr' (and reversed)
     val contain = java.util.regex.Pattern.compile(
       "(?i)('[^']*'\\s*::\\s*\\w+|[\\w.]+|IPV4LIT\\('[^']*'\\)|'[^']*'|:\\w+|\\$\\d+)" +
@@ -664,7 +673,21 @@ object DialectRewrites {
       val mm = bin.matcher(s)
       while (!found && mm.find()) {
         val (l, op, r) = (mm.group(1), mm.group(2), mm.group(3))
-        val hasLit = l.toUpperCase.startsWith("IPV4LIT(") || r.toUpperCase.startsWith("IPV4LIT(")
+        def dotted(x: String) = x.matches("'(\\d+\\.){3}\\d+(/\\d+)?'")
+        def intLit(x: String) = x.matches("-?\\d+")
+        // a bare identifier declared IPV4 in some in-session table is an
+        // ip operand (string carrier — plain & would fail to type)
+        def declIp(x: String) = x.matches("[\\w.]+") && !intLit(x) &&
+          graft.Catalog.declaredTypesOf(x.split('.').last.toLowerCase)
+            .exists(_.startsWith("IPV4"))
+        def ipish(x: String) = x.toUpperCase.startsWith("IPV4LIT(") || dotted(x) || declIp(x)
+        // plain dotted-quad string literals and declared ipv4 columns
+        // engage the arithmetic ops (reference: '1.1.1.1' & '0.0.1.1')
+        // — but never comparisons between strings, which stay lexical
+        val arith = Set("&", "|", "^", "+", "-")(op)
+        val hasLit = l.toUpperCase.startsWith("IPV4LIT(") || r.toUpperCase.startsWith("IPV4LIT(") ||
+          (arith && ((ipish(l) && (ipish(r) || intLit(r))) ||
+            (ipish(r) && (ipish(l) || intLit(l)))))
         if (hasLit) {
           found = true
           // ipv4 value 0 IS the reference's null (Numbers.IPv4_NULL) —
@@ -699,6 +722,30 @@ object DialectRewrites {
     // unary ~ and leftover bare literals
     s = s.replaceAll("(?i)~\\s*IPV4LIT\\('([^']*)'\\)",
       "__graft_col(ipv4_long_to_str(4294967295 ^ ipv4_str_to_long('$1')))")
+    // unary ~ over a netmask() call or a declared-ipv4 column — only in
+    // truly unary position (`a ~ 'pat'` is the regex-match operator)
+    locally {
+      val un = java.util.regex.Pattern.compile("(?i)~\\s*(netmask\\([^()]*\\)|[\\w.]+)")
+      val um = un.matcher(s)
+      val sb = new StringBuilder
+      var last = 0
+      while (um.find()) {
+        val opnd = um.group(1)
+        val prev = s.substring(0, um.start()).reverse.dropWhile(_.isWhitespace).headOption
+        val unary = prev.forall(c => !Character.isLetterOrDigit(c) && c != '\'' && c != ')' && c != '`')
+        val isNetmask = opnd.toLowerCase.startsWith("netmask(")
+        val isIpCol = opnd.matches("[\\w.]+") && !opnd.matches("-?\\d+") &&
+          graft.Catalog.declaredTypesOf(opnd.split('.').last.toLowerCase)
+            .exists(_.startsWith("IPV4"))
+        sb.append(s.substring(last, um.start()))
+        if (unary && (isNetmask || isIpCol))
+          sb.append(s"__graft_col(ipv4_long_to_str(4294967295 ^ ipv4_str_to_long($opnd)))")
+        else sb.append(um.group(0))
+        last = um.end()
+      }
+      sb.append(s.substring(last))
+      s = sb.toString
+    }
     s = s.replaceAll("(?i)IPV4LIT\\(('[^']*')\\)", "$1")
     s
   }

@@ -2711,6 +2711,7 @@ object QuestSql {
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
       val sv = """(?is)^(.*\S)\s+AS\s+(?:STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
+      val iv = """(?is)^(.*\S)\s+AS\s+IPV4\s*$""".r.findFirstMatchIn(inner)
       // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
       // nullability; NullLiteralsTest): null input lands as false / 0
       val nn = """(?is)^(.*\S)\s+AS\s+(BOOLEAN|BYTE|SHORT)\s*$""".r.findFirstMatchIn(inner)
@@ -2729,6 +2730,13 @@ object QuestSql {
         case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
           s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
         case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
+        case _ if iv.isDefined =>
+          // IPV4 rides its dotted-string carrier: numerics render via
+          // ipv4_long_to_str, strings pass through; 0.0.0.0 IS the null
+          val x = iv.get.group(1)
+          s"(CASE WHEN typeof($x) IN ('int', 'bigint')" +
+            s" THEN nullif(ipv4_long_to_str(CAST($x AS BIGINT) & 4294967295), '0.0.0.0')" +
+            s" ELSE nullif(__QCAST__(($x) AS STRING), '0.0.0.0') END)"
         case _ if sv.isDefined =>
           // timestamp→string renders the reference USEC/MSEC UTC pattern
           // (Numbers/TimestampFormatUtils), not Spark's space-separated
@@ -3654,6 +3662,10 @@ object QuestSql {
       s"concat(substring($h, 1, 8), '-', substring($h, 9, 4), '-4', substring($h, 14, 3), " +
         s"'-8', substring($h, 18, 3), '-', substring($h, 21, 12))"
     }
+    // the reference accepts the generator as a bare word (rnd_ipv4 col1)
+    // — guards exclude the seed literals its own expansion emits
+    // ('rnd_ipv4#1') and call forms
+    q = q.replaceAll("(?i)(?<!')\\brnd_ipv4\\b(?!\\s*[(#])", "rnd_ipv4()")
     q = expandCalls(q, "rnd_ipv4") { _ =>
       val ip = s"CAST(floor(${uSql(seedOf("rnd_ipv4"))} * 4294967296.0) AS BIGINT)"
       s"concat(CAST(pmod(shiftright($ip, 24), 256) AS STRING), '.', " +
