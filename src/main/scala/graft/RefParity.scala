@@ -184,11 +184,20 @@ object RefParity {
     val wrote = c.ddls.exists(d =>
       """(?i)^\s*(insert|copy)\b""".r.findFirstIn(d).isDefined ||
         """(?i)^\s*create\s+table\s.*\bas\b""".r.findFirstIn(d).isDefined)
+    // the query must actually read a harvested-but-unwritten table for
+    // the no-data excuse to apply — a pure scalar query (no FROM over a
+    // created table) that differs is a real mismatch
+    val createdTables = c.ddls.flatMap(d =>
+      """(?i)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?['"`]?(\w+)""".r
+        .findFirstMatchIn(d).map(_.group(1).toLowerCase))
+    val readsCreated = createdTables.exists(t =>
+      s"(?i)\\b${java.util.regex.Pattern.quote(t)}\\b".r.findFirstIn(c.query).isDefined)
     // expected data over a table the harvested setup never wrote to:
     // the JUnit body ingested through an API the extractor cannot see.
     // Covers both the empty-result shape and aggregate-only queries
     // (count over the unwritten table returns a 0 row, not no rows).
-    if (expectedRows > 0 && !wrote && (actualRows == 0 || actualRows <= expectedRows))
+    if (expectedRows > 0 && !wrote && readsCreated &&
+        (actualRows == 0 || actualRows <= expectedRows))
       ("skip_nodata", diff)
     else ("mismatch", diff)
   }

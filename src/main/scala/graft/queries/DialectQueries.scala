@@ -204,6 +204,7 @@ object DialectQueries extends QueryPack {
       // ipv4 function family: netmask from CIDR, dotted↔long casts,
       // subnet containment (the reference's << / <<= in function form)
       Tables.registerAll(s, dir)
+      graft.Engine.registerFunctions(s) // expression casts lower to qdb_str
       QuestSql.sql(s,
         "SELECT event_id, " +
           "netmask('10.1.2.3/24') AS m24, " +

@@ -124,7 +124,6 @@ object DialectRewrites {
     q = unnestAll(q)
     q = unnestColumns(q)
     q = unnestPg(q)
-    q = threadLateralOuterRefs(q)
     q = pivotGroupBy(q)
     q = quotedTableNames(q)
     // inner-subquery designated-timestamp tails — `from (select ...)

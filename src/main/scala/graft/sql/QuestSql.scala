@@ -440,6 +440,16 @@ object QuestSql {
     // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
     // count, duplicate bases get numeric suffixes
     q0 = prof("AutoAlias")(AutoAlias.rewriteQuery(q0))
+    // lateral-join parity: decorrelate bodies Spark's lateral planner
+    // cannot host (deep refs, correlated set-ops, dialect operators) and
+    // align empty-group semantics with the reference's count driver
+    q0 = prof("LateralRewrites")(LateralRewrites(q0,
+      sub => try {
+        val v = s"__graft_lat_${subqueryCounter.incrementAndGet()}"
+        sqlBound(spark, sub, Map.empty).createOrReplaceTempView(v)
+        Some(v)
+      } catch { case _: Exception => None },
+      t => try Some(spark.table(t).columns.toSeq) catch { case _: Exception => None }))
     // PG clients and BI tools probe these on connect — materialize fresh
     // (only the schema the query touches)
     val wantsInfo = """(?i)\binformation_schema\s*\.""".r.findFirstIn(q0).isDefined
@@ -480,8 +490,29 @@ object QuestSql {
           import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
           val plan = df.queryExecution.analyzed
           var hit = false
-          val fixed = plan.transformAllExpressions {
+          // descend into subquery plans too: a correlated LATERAL body's
+          // correlation equality must match null keys (reference
+          // LateralJoinTest null-id cases). Restricted to equalities with
+          // an outer reference on exactly one side, in limit-free
+          // subqueries — Spark's decorrelation of EqualNullSafe under
+          // Limit/Aggregate diverges from the plain-equality plan
+          import org.apache.spark.sql.catalyst.expressions.OuterReference
+          import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+          def fixSub(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+              : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+            if (p.exists(n => n.isInstanceOf[GlobalLimit] || n.isInstanceOf[LocalLimit])) p
+            else p.transformAllExpressions {
+              case EqualTo(l, r)
+                  if l.exists(_.isInstanceOf[OuterReference]) !=
+                    r.exists(_.isInstanceOf[OuterReference]) =>
+                hit = true; EqualNullSafe(l, r)
+            }
+          val fixed0 = plan.transformAllExpressions {
             case EqualTo(l, r) => hit = true; EqualNullSafe(l, r)
+          }
+          val fixed = fixed0.transformAllExpressions {
+            case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              sub.withNewPlan(fixSub(sub.plan))
           }
           if (hit) org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed) else df
         }
