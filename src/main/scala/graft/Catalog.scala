@@ -794,11 +794,28 @@ object Catalog {
         val parq = d.map(_.knobs).getOrElse("") match {
           case k if k.toUpperCase.startsWith("PARQUET(") =>
             " PARQUET(" + k.substring(8, k.lastIndexOf(')')).toLowerCase + ")"
-          // covering-index clause echoes as declared (reference
-          // ShowCreateTable renders INDEX TYPE ... INCLUDE (...))
+          // covering-index clause: the reference stores include columns
+          // by resolved column identity (actual case) and always carries
+          // the designated timestamp (ShowCreateTable renders the stored
+          // metadata, not the declared text)
           case k if k.toUpperCase.startsWith("INDEX") =>
-            " " + k.trim.replaceAll("\\s+", " ").replaceAll("\\(\\s*", "(")
+            val canon = k.trim.replaceAll("\\s+", " ").replaceAll("\\(\\s*", "(")
               .replaceAll("\\s*\\)", ")").replaceAll(",\\s*", ", ")
+            val incM = """(?i)INCLUDE\s*\(([^)]*)\)""".r.findFirstMatchIn(canon)
+            val fixed = incM match {
+              case Some(m) =>
+                val actual = spark.table(table).schema.fields.map(_.name)
+                def resolve(c: String) =
+                  actual.find(_.equalsIgnoreCase(c.trim)).getOrElse(c.trim)
+                val ts = graft.sql.QuestSql.designatedTsOf(name)
+                var items = m.group(1).split(",").map(c => resolve(c)).toSeq
+                ts.filterNot(t => items.exists(_.equalsIgnoreCase(t)))
+                  .foreach(t => items = items :+ t)
+                canon.substring(0, m.start) + s"INCLUDE (${items.mkString(", ")})" +
+                  canon.substring(m.end)
+              case None => canon
+            }
+            " " + fixed
           case _ => ""
         }
         s"\t${f.name} $tpe$parq"

@@ -63,6 +63,25 @@ object DialectRewrites {
         m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString)
       t
     })
+    // `fn(...) OVER (spec)::type` — the generic colon-cast passes would
+    // capture only the window spec parens as the operand; wrap the whole
+    // window call first (WindowFunctionTest row_number()::string)
+    q = """(?i)([\w]+\s*\((?:[^()']|'[^']*'|\([^()]*\))*\)(?:\s+(?:ignore|respect)\s+nulls)?\s+OVER\s+(?:\((?:[^()']|'[^']*'|\([^()]*\))*\)|[A-Za-z_]\w*))\s*::\s*(\w+)""".r
+      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)} AS ${m.group(2)})"))
+    // a bare select-item alias that collides with a Spark operator
+    // keyword (`a / b div`) — the reference accepts any identifier;
+    // backtick it so Spark doesn't read the integer-division operator
+    q = mapOutside(q)(_.replaceAll("(?i)(\\S\\s+)div(\\s*(?:,|$)|\\s+from\\b)", "$1`div`$2"))
+    // integer-content string literals in arithmetic stay integral in the
+    // reference ('2' - 1 = 1, not 1.0); Spark coerces strings to DOUBLE
+    q = q.replaceAll("'(-?\\d+)'(\\s*[-+*/%]\\s*)", "$1$2")
+      .replaceAll("([-+*/%]\\s*)'(-?\\d+)'", "$1$2")
+    // ::ipv4 casts: a dotted literal is already canonical; a number
+    // renders dotted (must run before the generic colon-cast passes so
+    // chained casts like '1.1.1.1'::ipv4::string keep left association)
+    q = q.replaceAll("(?i)('(?:\\d+\\.){3}\\d+')\\s*::\\s*ipv4\\b", "$1")
+    q = q.replaceAll("(?i)(?<![\\w.])(\\d+)\\s*::\\s*ipv4\\b", "ipv4_long_to_str($1)")
     q = ipv4Ops(q)
     q = arrayLiterals(q)
     // PG array-literal text casts: '{-1,-2}'::double[] — the brace text
@@ -118,6 +137,7 @@ object DialectRewrites {
     q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
     q = namedWindows(q)
+    q = nestedWindows(q)
     q = emptyFrames(q)
     q = lagLeadFrames(q)
     q = timeRangeFrames(q)
@@ -654,7 +674,10 @@ object DialectRewrites {
       val netS = if (net.toUpperCase.startsWith("IPV4LIT(")) net.substring(8, net.length - 1) else net
       val strict = !op.endsWith("=")
       val base =
-        s"(CASE WHEN instr($netS, '/') > 0 THEN " +
+        s"(CASE WHEN instr($netS, '/') > 0 AND CAST(split_part($netS, '/', 2) AS INT) = 0 THEN true " +
+          // a /0 prefix matches every address, null included (reference
+          // IPv4Test containment against the whole space)
+          s"WHEN instr($netS, '/') > 0 THEN " +
           s"((${long(ip)} & __netmask_num($netS)) = (ipv4_str_to_long(split_part($netS, '/', 1)) & __netmask_num($netS)))" +
           (if (strict) " AND CAST(split_part($NET, '/', 2) AS INT) < 32".replace("$NET", netS) else "") +
           s" ELSE ${if (strict) "false" else s"(${long(ip)} = ipv4_str_to_long($netS))"} END)"
@@ -1023,7 +1046,20 @@ object DialectRewrites {
               if (!ref.equalsIgnoreCase("partition") && !ref.equalsIgnoreCase("order") &&
                   !ref.equalsIgnoreCase("rows") && !ref.equalsIgnoreCase("range") &&
                   !ref.equalsIgnoreCase("groups")) {
-                body = out.getOrElse(ref, defs(ref)) + " " + rest.trim
+                // standard inheritance: the refining spec's ORDER BY /
+                // frame replace the base's, the PARTITION BY carries over
+                val base = out.getOrElse(ref, defs(ref))
+                def piece(t: String, re: String): Option[String] =
+                  re.r.findFirstMatchIn(t).map(_.group(1).trim)
+                val part = "(?is)(PARTITION\\s+BY\\s+.*?)(?=ORDER\\s+BY|ROWS\\b|RANGE\\b|GROUPS\\b|$)"
+                val ord = "(?is)(ORDER\\s+BY\\s+.*?)(?=ROWS\\b|RANGE\\b|GROUPS\\b|$)"
+                val frame = "(?is)((?:ROWS|RANGE|GROUPS)\\b.*)$"
+                val r = rest.trim
+                body = Seq(
+                  piece(r, part).orElse(piece(base, part)),
+                  piece(r, ord).orElse(piece(base, ord)),
+                  piece(r, frame).orElse(piece(base, frame))
+                ).flatten.mkString(" ")
                 changed = true
               }
             case _ =>
@@ -1056,6 +1092,15 @@ object DialectRewrites {
           } else name0
           out(name) = body
         }
+        // `OVER MyWindow` must match a `WINDOW mywindow AS` definition —
+        // Spark resolves named windows case-sensitively, the reference
+        // doesn't; normalize references to the defined spelling
+        var caseFixed = q
+        out.keys.foreach { n =>
+          caseFixed = caseFixed.replaceAll(s"(?i)\\bOVER\\s+$n\\b",
+            java.util.regex.Matcher.quoteReplacement(s"OVER $n"))
+        }
+        if (caseFixed != q) { q = caseFixed; changed = true }
         if (!changed) { searchFrom = pos; km = kw.matcher(q) }
         else {
           val rebuilt = q.substring(0, clauseStart) + "WINDOW " +
@@ -1069,6 +1114,75 @@ object DialectRewrites {
       }
     }
     q
+  }
+
+  /** `sum(<window call>) OVER (...)` — a window aggregate over another
+    * window function's result (reference allows nesting; Spark doesn't).
+    * Hoist the inner expression into a derived table and aggregate the
+    * hoisted column (WindowFunctionTest nested-window cases). Select
+    * aliases referenced by the inner expression are substituted so the
+    * hoisted expression resolves against the base table. */
+  private[sql] def nestedWindows(q0: String): String = {
+    if ("(?i)\\bover\\b".r.findAllIn(q0).size < 2) return q0
+    val m0 = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*)$""".r.findFirstMatchIn(q0)
+      .getOrElse(return q0)
+    val (selText, fromText) = (m0.group(1), m0.group(2))
+    if ("""(?i)\b(group\s+by|sample\s+by|union|intersect|except)\b""".r
+        .findFirstIn(q0).isDefined) return q0
+    if (fromText.contains("(")) return q0 // keep to simple FROMs
+    // locate outer agg calls whose args contain a window call
+    val aggPat = java.util.regex.Pattern.compile("(?i)\\b(sum|avg|min|max|count|first|last)\\s*\\(")
+    val items = QuestSql.splitSelect(selText)
+    val aliasDefs = items.flatMap { it =>
+      """(?is)^(.*?)\s+(?:AS\s+)?([A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(it)
+        .filterNot(m => Set("asc", "desc", "nulls", "first", "last", "end")(m.group(2).toLowerCase))
+        .map(m => m.group(2) -> m.group(1).trim)
+    }.toMap
+    var hoisted = scala.collection.mutable.LinkedHashMap[String, String]()
+    var counter = 0
+    def rewriteItem(item: String): String = {
+      var s = item
+      var moved = true
+      while (moved) {
+        moved = false
+        val am = aggPat.matcher(s)
+        var found = false
+        while (!found && am.find()) {
+          val open = s.indexOf('(', am.start())
+          var depth = 0; var j = open; var close = -1
+          while (j < s.length && close < 0) {
+            s.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0 &&
+              """(?i)\bover\b""".r.findFirstIn(s.substring(open, close)).isDefined &&
+              """(?i)^\s*over\b""".r.findFirstIn(s.substring(close + 1)).isDefined) {
+            var inner = s.substring(open + 1, close)
+            // resolve select aliases used by the hoisted expression
+            aliasDefs.foreach { case (a, e) =>
+              if (!e.equalsIgnoreCase(a))
+                inner = inner.replaceAll(s"(?i)(?<![.\\w`])${java.util.regex.Pattern.quote(a)}\\b(?!\\s*\\()",
+                  java.util.regex.Matcher.quoteReplacement(e))
+            }
+            val name = hoisted.collectFirst { case (n, e) if e == inner => n }
+              .getOrElse { counter += 1; val n = s"__gw$counter"; hoisted(n) = inner; n }
+            s = s.substring(0, open + 1) + name + s.substring(close)
+            found = true; moved = true
+          }
+        }
+      }
+      s
+    }
+    val newItems = items.map(rewriteItem)
+    if (hoisted.isEmpty) return q0
+    val sub = "SELECT *, " +
+      hoisted.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+      s" FROM $fromText"
+    s"SELECT ${newItems.mkString(", ")} FROM ($sub)"
   }
 
   /** Frames whose start bound sits after the end bound (`ROWS BETWEEN 1
@@ -1473,32 +1587,51 @@ object DialectRewrites {
   private def isIdentCh(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
-  private def subscriptExpr(base: String, idxList: String): String =
+  private val subscriptVar = new java.util.concurrent.atomic.AtomicLong()
+
+  private def subscriptExpr(base: String, idxList: String): String = {
     // balanced split: an index can itself be a rewritten call with commas
     // (`arr1[arr2[2]::int]` → `arr1[CAST(element_at(arr2, 2) AS INT)]`)
-    splitBalancedCommas(idxList).map(_.trim).filter(_.nonEmpty).foldLeft(base) { (acc, ix) =>
-      if (ix.contains(":") && !ix.toUpperCase.contains("CAST(") &&
-          !ix.contains("::")) {
-        val parts = ix.split(":", -1)
-        val lo = if (parts(0).trim.isEmpty) "1" else parts(0).trim
-        val hi = parts.lift(1).map(_.trim).filter(_.nonEmpty)
-        hi match {
-          case Some(h) =>
-            // negative upper bound counts from the end; degenerate or
-            // reversed ranges yield an empty slice; a NULL bound yields
-            // NULL (greatest() would swallow it — CASE propagates)
-            val len = s"(CASE WHEN ($h) < 0 THEN size($acc) + ($h) + 1 ELSE ($h) END) - ($lo)"
-            s"slice($acc, $lo, CASE WHEN ($len) < 0 THEN 0 ELSE $len END)"
-          case None =>
-            val len = s"size($acc) - ($lo) + 1"
-            s"slice($acc, $lo, CASE WHEN ($len) < 0 THEN 0 ELSE $len END)"
-        }
-      } else if (ix.matches("-?\\d+"))
-        s"try_element_at($acc, $ix)" // reference: out-of-bounds → null
-      else // computed index: element_at needs INT, not the BIGINT a
-           // `::long` cast or arithmetic produces
-        s"try_element_at($acc, CAST(($ix) AS INT))"
+    val ixs = splitBalancedCommas(idxList).map(_.trim).filter(_.nonEmpty).toList
+    def isSlice(ix: String): Boolean =
+      ix.contains(":") && !ix.toUpperCase.contains("CAST(") && !ix.contains("::")
+    def sliceOf(cur: String, ix: String): String = {
+      val parts = ix.split(":", -1)
+      val lo0 = if (parts(0).trim.isEmpty) "1" else parts(0).trim
+      val hi = parts.lift(1).map(_.trim).filter(_.nonEmpty)
+      // negative bounds count from the end; degenerate or reversed
+      // ranges yield an empty slice; a NULL bound yields NULL (CASE
+      // propagates where greatest() would swallow it)
+      val lo = s"(CASE WHEN ($lo0) < 0 THEN size($cur) + ($lo0) + 1 ELSE ($lo0) END)"
+      val len = hi match {
+        case Some(h) =>
+          s"(CASE WHEN ($h) < 0 THEN size($cur) + ($h) + 1 ELSE ($h) END) - ($lo)"
+        case None => s"size($cur) - ($lo) + 1"
+      }
+      s"slice($cur, CASE WHEN ($lo) < 1 THEN 1 ELSE $lo END, " +
+        s"CASE WHEN ($len) < 0 THEN 0 ELSE $len END)"
     }
+    // an element access reduces the rank in place; a SLICE keeps the
+    // dimension, so every later index applies one dimension deeper —
+    // nest it inside a transform() over the sliced axis (reference
+    // ArrayTest multi-dim slicing: arr[1:, 1:, 2:4])
+    def build(rest: List[String], cur: String): String = rest match {
+      case Nil => cur
+      case ix :: tail if isSlice(ix) =>
+        val sliced = sliceOf(cur, ix)
+        if (tail.isEmpty) sliced
+        else {
+          val v = s"__sx${subscriptVar.incrementAndGet()}"
+          s"transform($sliced, $v -> ${build(tail, v)})"
+        }
+      case ix :: tail if ix.matches("-?\\d+") =>
+        build(tail, s"try_element_at($cur, $ix)") // out-of-bounds → null
+      case ix :: tail => // computed index: element_at needs INT, not the
+                         // BIGINT a `::long` cast or arithmetic produces
+        build(tail, s"try_element_at($cur, CAST(($ix) AS INT))")
+    }
+    build(ixs, base)
+  }
 
   /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */
   private[sql] def arrayLiterals(s0: String): String = {

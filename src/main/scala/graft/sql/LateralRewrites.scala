@@ -354,9 +354,10 @@ object LateralRewrites {
             else unqualOuter.contains(it.toLowerCase)
           }
           if (po.nonEmpty) {
-            val repl =
-              if (loc.nonEmpty) m.group(1) + loc.mkString(", ") + m.group(3)
-              else m.group(1).replaceAll("(?is)\\s*PARTITION\\s+BY\\s+$", " ") + m.group(3)
+            // all keys pruned → a single constant partition (the whole
+            // match is one group per invocation)
+            val repl = m.group(1) + (if (loc.nonEmpty) loc.mkString(", ") else "1") +
+              m.group(3)
             val newBody = body.substring(0, m.start) + repl + body.substring(m.end)
             return Some(s.substring(0, sp.bodyLo) + newBody + s.substring(sp.bodyHi))
           }
@@ -380,7 +381,7 @@ object LateralRewrites {
         }
         if (!corrSetOp || deep) {
           decorrelate(s, sp, body, bodyDefined, unqualOuter,
-            viaView = hasDialectOp, runSub).foreach(r => return Some(r))
+            viaView = hasDialectOp, runSub, colsOf).foreach(r => return Some(r))
         }
       }
 
@@ -575,7 +576,8 @@ object LateralRewrites {
                           bodyDefined: Set[String],
                           unqualOuter: Map[String, (String, Int)],
                           viaView: Boolean,
-                          runSub: String => Option[String]): Option[String] = {
+                          runSub: String => Option[String],
+                          colsOf: String => Option[Seq[String]] = _ => None): Option[String] = {
     // an unaliased lateral merges its columns into the preceding
     // relation's namespace in the reference — decorrelation would break
     // that resolution; the carrier-threading fallback handles it
@@ -691,6 +693,32 @@ object LateralRewrites {
       val countCols = countItemNames(body)
       out = coalesceRefs(out, sp.alias, countCols,
         sp.joinStart, sp.joinStart + joinSql.length)
+    }
+    // a bare `SELECT *` at the top level would now leak the __ck_i key
+    // columns — expand it to `<left rel>.*, alias.<names>` with the
+    // reference's duplicate-name suffixing (ts → ts1). Only when THIS
+    // span sits at the top level (paren depth 0).
+    val topLevelSpan = {
+      val before = blankQuoted(s.substring(0, sp.joinStart))
+      before.count(_ == '(') == before.count(_ == ')')
+    }
+    val starM = (if (topLevelSpan)
+      """(?is)^(\s*SELECT\s+)\*(\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+(?!\bleft\b|\bjoin\b|\bcross\b|\binner\b)(\w+))?\s)""".r
+        .findFirstMatchIn(out)
+    else None)
+    starM.foreach { m =>
+      val leftRel = Option(m.group(4)).getOrElse(m.group(3))
+      val leftCols = colsOf(m.group(3)).getOrElse(Seq.empty).map(_.toLowerCase)
+      if (leftCols.nonEmpty && names.nonEmpty && names.forall(_.nonEmpty)) {
+        val rhs = names.map { n =>
+          val bare = n.stripPrefix("`").stripSuffix("`")
+          if (leftCols.contains(bare.toLowerCase))
+            s"${sp.alias}.$n AS ${bare}1"
+          else s"${sp.alias}.$n"
+        }
+        out = out.substring(0, m.start) + m.group(1) +
+          s"$leftRel.*, " + rhs.mkString(", ") + m.group(2) + out.substring(m.end)
+      }
     }
     Some(out)
   }

@@ -715,8 +715,15 @@ object QuestSql {
     // resolve (WindowFunctionTest `over()` / `WINDOW w AS ()`)
     if ("""(?i)(\bover\s*\(\s*\))|(\bwindow\s+\w+\s+as\s*\(\s*\))""".r.findFirstIn(q).isDefined) {
       val fromAt0 = topLevelIndexOf(q, Seq("from"))
-      val table0 = if (fromAt0 < 0) "" else q.substring(fromAt0 + 4).trim
-        .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+      val table0 = {
+        val t = if (fromAt0 < 0) "" else q.substring(fromAt0 + 4).trim
+          .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+        // a derived-table FROM (e.g. the nested-window hoist) hides the
+        // base table — fall back to the innermost FROM's table name
+        if (t.nonEmpty) t
+        else """(?is)\bFROM\s+([A-Za-z_][\w.]*)""".r.findFirstMatchIn(q)
+          .map(_.group(1)).getOrElse("")
+      }
       val ts0 =
         if (table0.isEmpty) None
         else Option(tsRegistry.get(table0.split('.').last.toLowerCase)).orElse {
@@ -4088,8 +4095,11 @@ object QuestSql {
     val step1b = LongSeqRe.replaceAllIn(step1, m => {
       val n = evalLongExpr(m.group(1)).getOrElse(
         throw new IllegalArgumentException(s"long_sequence: non-constant count '${m.group(1)}'"))
-      val view = s"__graft_ls_$n"
-      graft.functions.Generators.longSequence(spark, n).createOrReplaceTempView(view)
+      // a non-positive count yields an empty sequence (reference
+      // LongSequenceFunctionFactory clamps, SqlCodeGeneratorTest)
+      val view = s"__graft_ls_$n".replace("-", "m")
+      graft.functions.Generators.longSequence(spark, math.max(n, 0L))
+        .createOrReplaceTempView(view)
       view
     })
     val step2 = GenSeriesRe.replaceAllIn(step1b, m => {
@@ -4425,7 +4435,29 @@ object QuestSql {
     case LatestOnRe(sel, table, where, ts, keys, tail) =>
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
       val keyList = keys.split(",").map(_.trim).mkString(", ")
-      val tailSql = Option(tail).map(" " + _).getOrElse("")
+      // the reference cursor's emission order depends on the chosen
+      // LatestBy* plan: a symbol-key filter (sym IN (...) / sym = ...)
+      // iterates the filter keys (key order); otherwise the time index
+      // is walked (designated-ts order). Restore whichever applies when
+      // the statement doesn't order explicitly — unless the projection
+      // aggregates (no row order to restore, and ORDER BY ts wouldn't
+      // resolve over the aggregate).
+      val tsOut = ts.split('.').last
+      val keyCols = keys.split(",").map(_.trim.split('.').last)
+      val keyFiltered = Option(where).exists(w => keyCols.exists(k =>
+        s"(?i)\\b${java.util.regex.Pattern.quote(k)}\\s+(IN\\b|=)".r.findFirstIn(w).isDefined))
+      val selAgg = """(?i)\b(count|sum|avg|min|max|first|last)\s*\(""".r
+        .findFirstIn(sel).isDefined
+      val implicitOrder =
+        if (selAgg) ""
+        else if (keyFiltered) s" ORDER BY ${keyCols.mkString(", ")}"
+        else s" ORDER BY $tsOut"
+      val tailSql = Option(tail) match {
+        case Some(t) if t.trim.toUpperCase.startsWith("LIMIT") =>
+          s"$implicitOrder $t"
+        case Some(t) => " " + t
+        case None => implicitOrder
+      }
       val outer = if (sel.trim == "*") "* EXCEPT (__rn)" else sel
       s"""SELECT $outer FROM (
          |  SELECT *, row_number() OVER (PARTITION BY $keyList ORDER BY $ts DESC) AS __rn
@@ -5727,7 +5759,7 @@ object QuestSql {
 
   private val NegLimitRe = """(?is)^(.*\bORDER\s+BY\s+)([\w.,\s]+?)\s+LIMIT\s+-(\d+)\s*$""".r
   private val NegLimitNoOrderRe =
-    ("""(?is)^(SELECT\s+.*?\s+FROM\s+([\w.]+|\((?:[^()]|\([^()]*\)|\([^()]*\([^()]*\)[^()]*\))*\))""" +
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s+(([\w.]+|\((?:[^()]|\([^()]*\)|\([^()]*\([^()]*\)[^()]*\))*\))""" +
       """(?:\s+WHERE\s+.*?)?)\s+LIMIT\s+-(\d+)\s*$""").r
 
   private val NegLimitSelRe =
@@ -5755,17 +5787,22 @@ object QuestSql {
       }.mkString(", ")
       val orderedNames = cols.mkString(", ")
       s"SELECT * FROM ($prefix$flipped LIMIT $n) ORDER BY $orderedNames"
-    case NegLimitNoOrderRe(prefix, table, n) =>
+    case NegLimitNoOrderRe(sel, fromWhere, table, n) =>
       // no ORDER BY: the reference implies designated-ts order; a table
       // with no designated ts slices the tail of the INSERTION order
-      // (griffin LimitRecordCursor over the storage scan)
+      // (griffin LimitRecordCursor over the storage scan). The slice
+      // keeps `*` so the order key survives a narrowing projection.
+      // alias the slice back to the table name so qualified select
+      // items (`t2.k x`) keep resolving
+      val relAlias =
+        if (table.matches("[\\w.]+")) " " + table.split('.').last else ""
       Option(tsRegistry.get(table.split('.').last.toLowerCase)) match {
         case Some(ts) =>
-          s"SELECT * FROM ($prefix ORDER BY $ts DESC LIMIT $n) ORDER BY $ts"
+          s"SELECT $sel FROM (SELECT * FROM $fromWhere ORDER BY $ts DESC LIMIT $n)$relAlias ORDER BY $ts"
         case None =>
-          s"SELECT * EXCEPT (__graft_rid) FROM (" +
-            s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM ($prefix) " +
-            s"ORDER BY __graft_rid DESC LIMIT $n) ORDER BY __graft_rid"
+          s"SELECT $sel FROM (" +
+            s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM (SELECT * FROM $fromWhere) " +
+            s"ORDER BY __graft_rid DESC LIMIT $n)$relAlias ORDER BY __graft_rid"
       }
     case other =>
       // catch-all: any SELECT with a top-level trailing `LIMIT -n` (the
