@@ -138,6 +138,7 @@ object DialectRewrites {
     q = atTimeZone(q)
     q = namedWindows(q)
     q = nestedWindows(q)
+    q = windowSpecAliases(q)
     q = emptyFrames(q)
     q = lagLeadFrames(q)
     q = timeRangeFrames(q)
@@ -1116,6 +1117,51 @@ object DialectRewrites {
     q
   }
 
+  /** Select-item aliases referenced inside a window spec (`d.y AS z …
+    * OVER (ORDER BY z)`) — the reference resolves them, Spark doesn't.
+    * Substitute the defining expression into the spec. */
+  private def windowSpecAliases(q0: String): String = {
+    if (!"""(?i)\bover\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    val m0 = """(?is)^\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+FROM\s""".r
+      .findFirstMatchIn(q0).getOrElse(return q0)
+    val items = QuestSql.splitSelect(m0.group(1))
+    val defs = items.flatMap { it =>
+      """(?is)^(.*?)\s+(?:AS\s+)?([A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(it)
+        .filterNot(m => Set("asc", "desc", "nulls", "first", "last", "end")(m.group(2).toLowerCase))
+        .map(m => m.group(2) -> m.group(1).trim)
+    }.filter { case (a, e) =>
+      !e.equalsIgnoreCase(a) && !e.toLowerCase.endsWith("." + a.toLowerCase) &&
+        !"""(?i)\bover\b""".r.findFirstIn(e).isDefined &&
+        !"""(?i)\b(count|sum|avg|min|max|first|last)\s*\(""".r.findFirstIn(e).isDefined
+    }.toMap
+    if (defs.isEmpty) return q0
+    val pat = java.util.regex.Pattern.compile("(?is)\\bOVER\\s*\\(")
+    var s = q0
+    var search = 0
+    var m = pat.matcher(s)
+    while (m.find(search)) {
+      var depth = 0; var i = m.end() - 1; var close = -1
+      while (i < s.length && close < 0) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) return s
+      var spec = s.substring(m.end(), close)
+      defs.foreach { case (a, e) =>
+        spec = spec.replaceAll(s"(?i)(?<![.\\w`])${java.util.regex.Pattern.quote(a)}\\b(?!\\s*\\()",
+          java.util.regex.Matcher.quoteReplacement(s"($e)"))
+      }
+      s = s.substring(0, m.end()) + spec + s.substring(close)
+      search = m.end() + spec.length + 1
+      m = pat.matcher(s)
+    }
+    s
+  }
+
   /** `sum(<window call>) OVER (...)` — a window aggregate over another
     * window function's result (reference allows nesting; Spark doesn't).
     * Hoist the inner expression into a derived table and aggregate the
@@ -1232,9 +1278,9 @@ object DialectRewrites {
   /** lag/lead take (and ignore) frame clauses in the reference; Spark
     * rejects them — strip the frame from their OVER spec. */
   private def lagLeadFrames(q0: String): String = {
-    if (!"""(?i)\b(lag|lead)\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    if (!"""(?i)\b(lag|lead|row_number|rank|dense_rank|ntile)\s*\(""".r.findFirstIn(q0).isDefined) return q0
     val pat = java.util.regex.Pattern.compile(
-      "(?is)\\b(lag|lead)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+      "(?is)\\b(lag|lead|row_number|rank|dense_rank|ntile)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
         "((?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?\\s+OVER\\s*\\()([^()]*)\\)")
     val m = pat.matcher(q0)
     val sb = new StringBuffer

@@ -792,11 +792,22 @@ object QuestSql {
     while (m.find() && guard < 8) {
       guard += 1
       val vals =
-        try sql(spark, m.group(2)).collect().toSeq.map(_.get(0))
+        try sql(spark, m.group(2)).collect().toSeq.map(_.get(0)).distinct
         catch { case _: Exception => return s }
       val lits = vals.map {
         case null => "NULL"
         case x: String => "'" + x.replace("'", "''") + "'"
+        // timestamp dimension values render the reference USEC pattern —
+        // it becomes both the comparison literal and the column name
+        case t: java.sql.Timestamp =>
+          "'" + java.time.Instant.ofEpochMilli(t.getTime)
+            .plusNanos((t.getNanos % 1000000).toLong)
+            .atZone(java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")) + "'"
+        case t: java.time.LocalDateTime =>
+          "'" + t.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")) + "'"
         case x => x.toString
       }
       s = s.substring(0, m.start()) + m.group(1) + "(" + lits.mkString(", ") + ")" +
@@ -806,9 +817,14 @@ object QuestSql {
     s
   }
 
+  /** EMA/VWEMA window spellings (`avg(x, 'second', 1[, vol]) over`)
+    * only lower at top level — a subquery holding one must pre-plan. */
+  private val EmaSubRe =
+    """(?i)\bavg\s*\([^()]*,\s*'[a-z]+'\s*,[^()]*\)\s*over\b""".r
+
   private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
-    if (!"""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|(?i)\bSHOW\s+\w""".r
-        .findFirstIn(q).isDefined) return q
+    if (!("""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|(?i)\bSHOW\s+\w""".r
+        .findFirstIn(q).isDefined || EmaSubRe.findFirstIn(q).isDefined)) return q
     val lower = q.toLowerCase
     val out = new StringBuilder
     var i = 0
@@ -844,7 +860,7 @@ object QuestSql {
         val inner = q.substring(i + 1, math.max(i + 1, j - 1))
         val hasDialectOp =
           """(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|(?i)\bSHOW\s+\w""".r
-            .findFirstIn(inner).isDefined
+            .findFirstIn(inner).isDefined || EmaSubRe.findFirstIn(inner).isDefined
         val innerHead = inner.trim.toLowerCase
         if ((fromPos || wrapPos) &&
             (innerHead.startsWith("select") || innerHead.startsWith("show")) && hasDialectOp) {
