@@ -179,6 +179,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => ArrayBroadcastRule)
     e.injectResolutionRule(_ => TimestampArithRule)
     e.injectResolutionRule(_ => RefArrayCastRule)
+    e.injectResolutionRule(_ => RefDoubleSortNullsRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -80,3 +80,34 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
     }
   }
 }
+
+/** Reference double/float sort placement: null doubles ride as NaN in
+  * the reference's sort (NaN compares greater than every value —
+  * OrderByEncodeSortTest), so ASC puts nulls LAST and DESC puts them
+  * FIRST. Spark's default is the opposite (nulls first on ASC). The
+  * reference grammar has no NULLS FIRST/LAST spelling, so overriding
+  * the default never fights an explicit request. Dialect queries only. */
+object RefDoubleSortNullsRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp {
+      case s: Sort =>
+        val fixed = s.order.map { so =>
+          if (so.child.resolved &&
+              (so.child.dataType == DoubleType || so.child.dataType == FloatType)) {
+            so.direction match {
+              case Ascending if so.nullOrdering == NullsFirst =>
+                so.copy(nullOrdering = NullsLast)
+              case Descending if so.nullOrdering == NullsLast =>
+                so.copy(nullOrdering = NullsFirst)
+              case _ => so
+            }
+          } else so
+        }
+        if (fixed == s.order) s else s.copy(order = fixed)
+    }
+  }
+}

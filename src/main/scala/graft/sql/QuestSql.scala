@@ -425,6 +425,10 @@ object QuestSql {
             .findFirstIn(t.substring(close + 1).trim).isDefined)
         q0 = "SELECT * FROM " + t
     }
+    // bare table names as set-operation operands (`events1 except
+    // events2` — reference treats a table name as a full query;
+    // UnionAllCastTest). Also inside a statement-leading paren.
+    q0 = prof("bareSetOps")(expandBareSetOperands(spark, q0))
     // PIVOT ... FOR c IN (SELECT ...): the reference expands the in-list
     // subquery at compile time — same here (dimension values, tiny)
     q0 = prof("expandPivot")(expandPivotSubqueries(spark, q0))
@@ -821,6 +825,66 @@ object QuestSql {
     * only lower at top level — a subquery holding one must pre-plan. */
   private val EmaSubRe =
     """(?i)\bavg\s*\([^()]*,\s*'[a-z]+'\s*,[^()]*\)\s*over\b""".r
+
+  /** `t1 EXCEPT t2` / `(t1 UNION ALL t2) WHERE ...` — bare table names
+    * as set-op operands become `SELECT * FROM t` (reference SqlParser
+    * treats any table name as a query). */
+  private def expandBareSetOperands(spark: SparkSession, q0: String): String = {
+    if (!"""(?i)\b(union|intersect|except)\b""".r.findFirstIn(q0).isDefined) return q0
+    def tableExists(n: String): Boolean =
+      try spark.catalog.tableExists(n) catch { case _: Exception => false }
+    def fixRegion(t: String): String = {
+      val opPat = "(?is)\\b(union\\s+all|union|intersect\\s+all|intersect|except\\s+all|except)\\b"
+      // split on top-level set-op keywords
+      val parts = scala.collection.mutable.Buffer[String]()
+      val ops = scala.collection.mutable.Buffer[String]()
+      var rest = t
+      var at = topLevelIndexOf(rest, Seq("union", "intersect", "except"))
+      if (at < 0) return t
+      while (at >= 0) {
+        parts += rest.substring(0, at)
+        val m = opPat.r.findFirstMatchIn(rest.substring(at)).get
+        ops += m.group(1)
+        rest = rest.substring(at + m.end)
+        at = topLevelIndexOf(rest, Seq("union", "intersect", "except"))
+      }
+      parts += rest
+      // a trailing clause on the last operand stays outside the expansion
+      val fixedParts = parts.zipWithIndex.map { case (p, i) =>
+        val st = p.trim
+        val m = """(?is)^([A-Za-z_][\w.]*)(\s+(?:order|where|limit|sample|latest)\b.*)?$""".r
+          .findFirstMatchIn(st)
+        m match {
+          case Some(mm) if !StatementKeywords(mm.group(1).toLowerCase) &&
+              tableExists(mm.group(1)) =>
+            s" SELECT * FROM ${mm.group(1)}" + Option(mm.group(2)).getOrElse("") + " "
+          case _ => p
+        }
+      }
+      fixedParts.zip(ops :+ "").map { case (p, o) => p + (if (o.nonEmpty) s" $o " else "") }
+        .mkString
+    }
+    var q = fixRegion(q0)
+    // statement-leading paren region (`(t1 except t2) order by 1`)
+    if (q.trim.startsWith("(")) {
+      val t = q.trim
+      var depth = 0; var i = 0; var close = -1
+      while (i < t.length && close < 0) {
+        t.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0) {
+        val inner = fixRegion(t.substring(1, close))
+        q = "(" + inner + ")" + t.substring(close + 1)
+      }
+    }
+    q
+  }
 
   private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
     if (!("""(?i)\b(WINDOW\s+JOIN|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|HORIZON\s+JOIN|SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|(?i)\bSHOW\s+\w""".r
