@@ -30,17 +30,23 @@ object Generators {
     */
   def generateSeries(spark: SparkSession, lo: Long, hi: Long, step: Long = 1): DataFrame = {
     require(step != 0, "generate_series step must be non-zero")
-    val n = math.max((hi - lo) / step + 1, 0)
-    spark.range(0, n).select((lit(lo) + col("id") * lit(step)).as("generate_series"))
+    // bounds are an unordered range: the step's sign picks the
+    // direction (reference GenerateSeriesFunctionFactory bound swap)
+    val base = if (step >= 0) math.min(lo, hi) else math.max(lo, hi)
+    val bound = if (step >= 0) math.max(lo, hi) else math.min(lo, hi)
+    val n = math.max((bound - base) / step + 1, 0)
+    spark.range(0, n).select((lit(base) + col("id") * lit(step)).as("generate_series"))
   }
 
   /** generate_series over timestamps (µs epoch + stride). */
   def generateSeriesTs(spark: SparkSession, loMicros: Long, hiMicros: Long,
                        stepMicros: Long): DataFrame = {
     require(stepMicros != 0, "generate_series step must be non-zero")
-    val n = math.max((hiMicros - loMicros) / stepMicros + 1, 0)
+    val base = if (stepMicros >= 0) math.min(loMicros, hiMicros) else math.max(loMicros, hiMicros)
+    val bound = if (stepMicros >= 0) math.max(loMicros, hiMicros) else math.min(loMicros, hiMicros)
+    val n = math.max((bound - base) / stepMicros + 1, 0)
     spark.range(0, n)
-      .select(timestamp_micros(lit(loMicros) + col("id") * lit(stepMicros)).as("generate_series"))
+      .select(timestamp_micros(lit(base) + col("id") * lit(stepMicros)).as("generate_series"))
   }
 
   /** Uniform [0,1) from the first 8 hex digits of md5(seed ‖ counter) —

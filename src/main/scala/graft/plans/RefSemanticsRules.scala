@@ -96,15 +96,25 @@ object RefDoubleSortNullsRule extends org.apache.spark.sql.catalyst.rules.Rule[
     plan.resolveOperatorsUp {
       case s: Sort =>
         val fixed = s.order.map { so =>
-          if (so.child.resolved &&
+          val alreadyWrapped = so.child match {
+            case If(Or(_: IsNaN, _), Literal(null, _), _) => true
+            case _ => false
+          }
+          if (!alreadyWrapped && so.child.resolved &&
               (so.child.dataType == DoubleType || so.child.dataType == FloatType)) {
-            so.direction match {
-              case Ascending if so.nullOrdering == NullsFirst =>
-                so.copy(nullOrdering = NullsLast)
-              case Descending if so.nullOrdering == NullsLast =>
-                so.copy(nullOrdering = NullsFirst)
-              case _ => so
+            // non-finite values are the null carrier in the reference
+            // (NaN/±Infinity print as null and sort with the nulls) —
+            // fold them into the null key
+            val c = so.child
+            val nonFinite = Or(IsNaN(c),
+              Or(EqualTo(c, Cast(Literal(Double.PositiveInfinity), c.dataType)),
+                EqualTo(c, Cast(Literal(Double.NegativeInfinity), c.dataType))))
+            val key = If(nonFinite, Literal(null, c.dataType), c)
+            val nullOrd = so.direction match {
+              case Ascending => NullsLast
+              case Descending => NullsFirst
             }
+            so.copy(child = key, nullOrdering = nullOrd)
           } else so
         }
         if (fixed == s.order) s else s.copy(order = fixed)

@@ -339,7 +339,10 @@ object QuestSql {
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
       return df.schema.fields.foldLeft(df) { (d, f) =>
-        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        if (f.dataType == org.apache.spark.sql.types.TimestampType ||
+            // generate_series over ns bounds rides the BIGINT carrier
+            (f.dataType == org.apache.spark.sql.types.LongType &&
+              f.name.equalsIgnoreCase("generate_series")))
           d.withMetadata(f.name, meta)
         else d
       }
@@ -429,6 +432,10 @@ object QuestSql {
     // events2` — reference treats a table name as a full query;
     // UnionAllCastTest). Also inside a statement-leading paren.
     q0 = prof("bareSetOps")(expandBareSetOperands(spark, q0))
+    // CTAS `, cast(col as type), index(col)` tails fold into the inner
+    // select BEFORE the cast macros expand them beyond the DDL grammar
+    // (reference parseCreateTable cast list; CreateTableTest)
+    q0 = prof("ctasCastTail")(normalizeCtasCastTail(spark, q0))
     // PIVOT ... FOR c IN (SELECT ...): the reference expands the in-list
     // subquery at compile time — same here (dimension values, tiny)
     q0 = prof("expandPivot")(expandPivotSubqueries(spark, q0))
@@ -825,6 +832,61 @@ object QuestSql {
     * only lower at top level — a subquery holding one must pre-plan. */
   private val EmaSubRe =
     """(?i)\bavg\s*\([^()]*,\s*'[a-z]+'\s*,[^()]*\)\s*over\b""".r
+
+  /** `CREATE TABLE t AS (sel), cast(c AS T), index(c), ...` — fold the
+    * cast list into the select (preserving column order) and drop the
+    * index hints, before the cast macro passes mangle the tail. */
+  private def normalizeCtasCastTail(spark: SparkSession, q0: String): String = {
+    if (!"""(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\b""".r.findFirstIn(q0).isDefined ||
+        !"""(?is)\)\s*,\s*(?:INDEX|CAST)\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    val asM = """(?is)\bAS\s*\(""".r.findFirstMatchIn(q0).getOrElse(return q0)
+    val open = q0.indexOf('(', asM.start)
+    var depth = 0; var i = open; var close = -1
+    while (i < q0.length && close < 0) {
+      q0.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case '\'' => var k = i + 1; while (k < q0.length && q0.charAt(k) != '\'') k += 1; i = k
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return q0
+    val inner = q0.substring(open + 1, close)
+    var rest = q0.substring(close + 1)
+    val casts = scala.collection.mutable.LinkedHashMap[String, String]()
+    var changed = true
+    while (changed) {
+      changed = false
+      val cm = """(?is)^\s*,\s*CAST\s*\(\s*(\w+)\s+AS\s+([\w()\[\]\s]+?)\s*\)""".r
+        .findFirstMatchIn(rest)
+      val im = """(?is)^\s*,\s*INDEX\s*\((?:[^()]|\([^()]*\))*\)""".r.findFirstMatchIn(rest)
+      (cm, im) match {
+        case (Some(m), _) if im.forall(_.start >= m.start) =>
+          casts(m.group(1).toLowerCase) = m.group(2).trim
+          rest = rest.substring(m.end); changed = true
+        case (_, Some(m)) =>
+          rest = rest.substring(m.end); changed = true
+        case _ =>
+      }
+    }
+    if (casts.isEmpty &&
+        !"""(?is)^\s*(?:TIMESTAMP\s*\(|PARTITION\b|TTL\b|WAL\b|BYPASS\b|WITH\b|DEDUP\b|IN\s+VOLUME\b|$)""".r
+          .findFirstIn(rest.trim + (if (rest.trim.isEmpty) "$" else "")).isDefined) return q0
+    val newInner =
+      if (casts.isEmpty) inner
+      else try {
+        val cols = sqlBound(spark, inner, Map.empty).columns
+        val items = cols.map { c =>
+          casts.get(c.toLowerCase) match {
+            case Some(t) => s"CAST($c AS $t) AS $c"
+            case None => s"`$c`"
+          }
+        }
+        s"SELECT ${items.mkString(", ")} FROM ($inner) __ctas_cast"
+      } catch { case _: Exception => return q0 }
+    q0.substring(0, open + 1) + newInner + ")" + rest
+  }
 
   /** `t1 EXCEPT t2` / `(t1 UNION ALL t2) WHERE ...` — bare table names
     * as set-op operands become `SELECT * FROM t` (reference SqlParser
@@ -4078,7 +4140,9 @@ object QuestSql {
         if (stepNs >= 0) (s"LEAST(($lo), ($hi))", s"GREATEST(($lo), ($hi))")
         else (s"GREATEST(($lo), ($hi))", s"LEAST(($lo), ($hi))")
       val n = s"CAST(floor(CAST(($bound) - ($base) AS DOUBLE) / ($stepNs)) AS INT)"
-      return s"(SELECT timestamp_micros(CAST((($base) + __x * ($stepNs)) div 1000 AS BIGINT)) AS generate_series" +
+      // the series rides the BIGINT-nanos carrier so sub-µs residues
+      // survive (tagNsColumns marks it; RefText prints 9 digits)
+      return s"(SELECT CAST(($base) + CAST(__x AS BIGINT) * ($stepNs) AS BIGINT) AS generate_series" +
         s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
     }
     val stepRaw = args.lift(2)
@@ -4112,27 +4176,38 @@ object QuestSql {
       val hi = s"unix_micros(${tsExpr(args(1))})"
       if (unit == "M" || unit == "y") {
         val months = (if (unit == "y") nUnits * 12 else nUnits) * sgn
-        val base = tsExpr(if (sgn >= 0) args(0) else args(1))
-        val n = s"CAST(floor(months_between(${tsExpr(if (sgn >= 0) args(1) else args(0))}, $base) / ($months)) AS INT)"
+        val e0 = tsExpr(args(0)); val e1 = tsExpr(args(1))
+        val base = if (sgn >= 0) s"LEAST($e0, $e1)" else s"GREATEST($e0, $e1)"
+        val bound = if (sgn >= 0) s"GREATEST($e0, $e1)" else s"LEAST($e0, $e1)"
+        val n = s"CAST(floor(months_between($bound, $base) / ($months)) AS INT)"
         s"(SELECT CAST(add_months($base, __x * ($months)) AS TIMESTAMP) AS generate_series" +
           s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
       } else {
         val us = nUnits * unitMicros(unit) * sgn
-        val base = if (sgn >= 0) lo else hi
-        val bound = if (sgn >= 0) hi else lo
+        val base = if (sgn >= 0) s"LEAST(($lo), ($hi))" else s"GREATEST(($lo), ($hi))"
+        val bound = if (sgn >= 0) s"GREATEST(($lo), ($hi))" else s"LEAST(($lo), ($hi))"
         val n = s"CAST(floor(CAST(($bound) - ($base) AS DOUBLE) / ($us)) AS INT)"
-        s"(SELECT timestamp_micros(CAST(($base) + __x * ($us) AS BIGINT)) AS generate_series" +
+        s"(SELECT timestamp_micros(CAST(($base) + CAST(__x AS BIGINT) * ($us) AS BIGINT)) AS generate_series" +
           s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
       }
     } else {
       val lo = args(0)
       val hi = args(1)
       val st = stepRaw.getOrElse("1")
-      // negative step starts at the upper bound and descends
-      val base = s"(CASE WHEN ($st) < 0 THEN ($hi) ELSE ($lo) END)"
-      val bound = s"(CASE WHEN ($st) < 0 THEN ($lo) ELSE ($hi) END)"
+      // the bounds are an unordered range; a negative step starts at the
+      // numeric maximum and descends (reference bound swap)
+      val base = s"(CASE WHEN ($st) < 0 THEN GREATEST(($lo), ($hi)) ELSE LEAST(($lo), ($hi)) END)"
+      val bound = s"(CASE WHEN ($st) < 0 THEN LEAST(($lo), ($hi)) ELSE GREATEST(($lo), ($hi)) END)"
       val n = s"CAST(floor(CAST(($bound) - ($base) AS DOUBLE) / ($st)) AS INT)"
-      s"(SELECT $base + __x * ($st) AS generate_series" +
+      // fractional steps accumulate iteratively in the reference
+      // (cursor does cur += step), whose float error differs from
+      // base + k*step — replay the additions for value parity
+      val value =
+        if (st.contains("."))
+          s"aggregate(CASE WHEN __x > 0 THEN sequence(1, __x) ELSE array() END, " +
+            s"CAST($base AS DOUBLE), (acc, i) -> acc + ($st))"
+        else s"$base + __x * ($st)"
+      s"(SELECT $value AS generate_series" +
         s" FROM (SELECT explode(CASE WHEN $n >= 0 THEN sequence(0, $n) ELSE array() END) AS __x))"
     }
   }
@@ -5903,6 +5978,9 @@ object QuestSql {
   private def rewriteRangeLimit(q: String): String = q match {
     case RangeLimitRe(prefix, lo, hi) if hi.toLong >= lo.toLong =>
       s"$prefix${hi.toLong - lo.toLong} OFFSET $lo"
+    case RangeLimitRe(prefix, lo, hi) =>
+      // reversed bounds slice [hi, lo) (reference LIMIT 5,3 → rows 4..5)
+      s"$prefix${lo.toLong - hi.toLong} OFFSET $hi"
     case _ => q
   }
 
@@ -5921,8 +5999,10 @@ object QuestSql {
       val base = sql(spark, prefix.trim)
       val n = base.count()
       def abs(v: Long): Long = math.max(if (v < 0) n + v else v, 0L)
-      val lo = abs(loS.toLong)
-      val hi = math.min(abs(hiS.toLong), n)
+      val b0 = abs(loS.toLong)
+      val b1 = math.min(abs(hiS.toLong), n)
+      // reversed bounds slice the swapped range (reference LIMIT -2,-4)
+      val (lo, hi) = if (b1 >= b0) (b0, b1) else (b1, math.min(b0, n))
       if (hi <= lo) Some(base.limit(0))
       else Some(base.offset(lo.toInt).limit((hi - lo).toInt))
     case _ => None
