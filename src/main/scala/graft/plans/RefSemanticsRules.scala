@@ -95,7 +95,7 @@ object RefDoubleSortNullsRule extends org.apache.spark.sql.catalyst.rules.Rule[
     if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
     plan.resolveOperatorsUp {
       case s: Sort =>
-        val fixed = s.order.map { so =>
+        val fixed = s.order.flatMap { so =>
           val alreadyWrapped = so.child match {
             case If(Or(_: IsNaN, _), Literal(null, _), _) => true
             case _ => false
@@ -114,8 +114,16 @@ object RefDoubleSortNullsRule extends org.apache.spark.sql.catalyst.rules.Rule[
               case Ascending => NullsLast
               case Descending => NullsFirst
             }
-            so.copy(child = key, nullOrdering = nullOrd)
-          } else so
+            // IEEE total order puts -0.0 before 0.0 (the reference's
+            // bit-pattern sort); Spark's comparator treats them equal —
+            // break the tie on the rendered sign (SQL Divide nulls on
+            // zero, so 1/x can't serve as the key)
+            val tie = If(nonFinite, Literal(null, IntegerType),
+              If(StartsWith(Cast(c, StringType), Literal("-")),
+                Literal(0), Literal(1)))
+            Seq(so.copy(child = key, nullOrdering = nullOrd),
+              so.copy(child = tie, nullOrdering = nullOrd))
+          } else Seq(so)
         }
         if (fixed == s.order) s else s.copy(order = fixed)
     }

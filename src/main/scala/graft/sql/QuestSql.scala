@@ -745,14 +745,26 @@ object QuestSql {
         }
       ts0.foreach { t =>
         // only order-REQUIRING functions get the injected key: an
-        // aggregate over () stays a whole-partition window
-        val orderFns = "lead|lag|row_number|rank|dense_rank|ntile|nth_value" +
-          "|cume_dist|percent_rank|first_value|last_value"
+        // aggregate over () stays a whole-partition window. Value
+        // functions (first/last/nth) additionally need the FULL frame —
+        // with just ORDER BY their default frame stops at CURRENT ROW,
+        // but the reference's `last_value() over ()` reads the whole
+        // scan (WindowDecimalFunctionTest)
+        val orderFns = "lead|lag|row_number|rank|dense_rank|ntile" +
+          "|cume_dist|percent_rank"
+        val valueFns = "first_value|last_value|nth_value"
         q = q.replaceAll(
           s"(?i)\\b($orderFns)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
             "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
           s"$$1($$2)$$3 OVER (ORDER BY $t)")
-        q = q.replaceAll("(?i)\\bwindow\\s+(\\w+)\\s+as\\s*\\(\\s*\\)", s"WINDOW $$1 AS (ORDER BY $t)")
+        q = q.replaceAll(
+          s"(?i)\\b($valueFns)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+            "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
+          s"$$1($$2)$$3 OVER (ORDER BY $t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+        // a named empty window serves aggregates and value functions
+        // alike: full frame in scan order keeps both whole-partition
+        q = q.replaceAll("(?i)\\bwindow\\s+(\\w+)\\s+as\\s*\\(\\s*\\)",
+          s"WINDOW $$1 AS (ORDER BY $t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
       }
     }
     if (!"""(?i)\bover\s*[\s(]""".r.findFirstIn(q).isDefined) return q
@@ -1564,7 +1576,7 @@ object QuestSql {
     case "DOUBLE" => "double"
     case "FLOAT" | "REAL" => "float"
     case "BOOLEAN" => "boolean"
-    case "STRING" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "LONG128" | "IPV4" | "GEOHASH" => "string"
+    case "STRING" | "TEXT" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "LONG128" | "IPV4" | "GEOHASH" => "string"
     case "TIMESTAMP" | "TIMESTAMP_NS" => "timestamp"
     // reference DATE is a millisecond datetime; TIMESTAMP_NTZ carries it
     // so time-of-day survives and RefText prints the millis pattern
