@@ -5244,7 +5244,7 @@ object QuestSql {
     """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel +
       """(?:\s+WHERE\s+(.*?))?\s+SAMPLE\s+BY\s+(\d+)([UTsmhdwMy])""" +
       """(?:\s+FROM\s+'([^']+)')?(?:\s+TO\s+'([^']+)')?""" +
-      """(?:\s+FILL\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
+      """(?:\s+FILL\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\))?""" +
       """(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)(?:\s+TIME\s+ZONE\s+'([^']+)')?(?:\s+WITH\s+OFFSET\s+'([^']+)')?)?""" +
       """\s*(?:ORDER\s+BY\s+([\w.,\s]+?))?(?:\s+LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?\s*$""").r
 
@@ -5335,9 +5335,11 @@ object QuestSql {
               case None => fillOf(tok, name)
             }
           if (toks0.size == 1) fillOf2(toks0.head, aggs.head._1) match {
-            // a single constant still applies to every aggregate
-            case graft.ops.SampleBy.FillConst(_) =>
-              graft.ops.SampleBy.FillConst(aggs.map(_._1 -> (toks0.head.toDouble: Any)).toMap)
+            // a single constant still applies to every aggregate (reuse
+            // the evaluated value — it may be a string or decimal)
+            case graft.ops.SampleBy.FillConst(m0) =>
+              val v = m0.values.head
+              graft.ops.SampleBy.FillConst(aggs.map(_._1 -> v).toMap)
             case f => f
           }
           else graft.ops.SampleBy.FillPerColumn(
@@ -5406,8 +5408,11 @@ object QuestSql {
               }
               val rem = (((anchorUs - fromUs0) % strideUs) + strideUs) % strideUs
               val fromGridUs = fromUs0 + rem
+              // floorDiv keeps an empty [from, to) range empty — with
+              // truncating division FROM x TO x yielded one bucket
+              // (reference: TO is exclusive, SampleByFillTest)
               val lastBucketUs = fromGridUs +
-                ((toUs - 1 - fromGridUs) / strideUs) * strideUs
+                Math.floorDiv(toUs - 1 - fromGridUs, strideUs) * strideUs
               Some((tsOfUs(fromGridUs), tsOfUs(lastBucketUs)))
           }
         case _ => None // a single open bound narrows the data only

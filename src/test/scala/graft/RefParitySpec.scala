@@ -32,9 +32,10 @@ class RefParitySpec extends SparkSpec {
       else failures += s"${c.file}:${c.line} $cat ${detail.take(90)}"
       RefParity.cleanup(spark, baseline)
     }
-    // r8 level: 127/150 of this sample pass or legitimately skip; keep a
+    info(s"parity sample: $passing/${cases.size} pass-or-skip")
+    // r9 level: 137/150 of this sample pass or legitimately skip; keep a
     // small slack for environment jitter, never for regressions
-    val pinned = 123
+    val pinned = 133
     assert(passing >= pinned,
       s"parity sample regressed: $passing/${cases.size} (pinned ≥ $pinned)\n" +
         failures.take(12).mkString("\n"))
