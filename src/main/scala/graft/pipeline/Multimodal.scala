@@ -998,7 +998,18 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  private def mp3Bytes(brIdx: Int, srIdx: Int, frames: Int): Array[Byte] = {
+  private def mp3Bytes(brIdx: Int, srIdx: Int, frames: Int): Array[Byte] =
+    mp3BytesSide(brIdx, srIdx, frames, 0, 0)
+
+  /** Like [[mp3Bytes]] but with real Layer III side information per
+    * frame (ISO/IEC 11172-3 2.4.1.7, single-channel layout: 17 bytes —
+    * main_data_begin 9, private 5, scfsi 4, then two 59-bit granules of
+    * part2_3_length 12 / big_values 9 / global_gain 8 / ...). Granule 0
+    * carries the given big_values and global_gain so a side-info parse
+    * has closed-form ground truth.
+    */
+  private def mp3BytesSide(brIdx: Int, srIdx: Int, frames: Int,
+                           gain: Int, bigValues: Int): Array[Byte] = {
     val br = Mp3BitrateV1L3(brIdx) * 1000
     val sr = Mp3RateV1(srIdx)
     val flen = 144 * br / sr // no padding bit
@@ -1012,10 +1023,104 @@ object Multimodal {
       frame(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
       frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
       frame(3) = 0xc0.toByte // mono
+      // side info bit writer over frame(4..20)
+      var bit = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) != 0) frame(4 + bit / 8) =
+            (frame(4 + bit / 8) | (0x80 >> (bit % 8))).toByte
+          bit += 1; i -= 1
+        }
+      }
+      put(0, 9)  // main_data_begin
+      put(0, 5)  // private_bits (mono)
+      put(0, 4)  // scfsi
+      put(0, 12) // granule 0: part2_3_length
+      put(bigValues, 9)
+      put(gain, 8)
+      // remaining granule-0 fields (30 bits) + granule 1 (59) stay zero
       outBuf.put(frame)
       f += 1
     }
     outBuf.array()
+  }
+
+  /** Fixture synthesizer with side-info payloads (gain / big_values
+    * columns drive granule 0). */
+  def synthMp3Side(df: DataFrame, brIdxCol: String, srIdxCol: String,
+                   framesCol: String, gainCol: String, bvCol: String,
+                   out: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val idx = Seq(brIdxCol, srIdxCol, framesCol, gainCol, bvCol).map(c => df.columns.indexOf(c))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = mp3BytesSide(r.getInt(idx(0)), r.getInt(idx(1)),
+          r.getInt(idx(2)), r.getInt(idx(3)), r.getInt(idx(4)))
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** MPEG-1 Layer III side-information parse: skip ID3v2, sync to the
+    * first frame header, then read the side-info bit fields (reference
+    * byte-walk discipline — pure JDK, no codec). Returns
+    * `struct(main_data_begin, big_values, global_gain, frames, rate)`
+    * from granule 0 of the first frame plus the full-stream frame walk.
+    */
+  def mp3SideInfo(df: DataFrame, bytesCol: String,
+                  out: String = "mp3_side"): DataFrame = {
+    val sideSchema = StructType(Seq(
+      StructField("main_data_begin", IntegerType),
+      StructField("big_values", IntegerType),
+      StructField("global_gain", IntegerType),
+      StructField("frames", LongType),
+      StructField("rate", IntegerType)))
+    val outSchema = StructType(df.schema.fields :+ StructField(out, sideSchema))
+    val bi = df.columns.indexOf(bytesCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bi)
+        Row.fromSeq(r.toSeq :+ mp3SideInfoOne(bytes))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private[graft] def mp3SideInfoOne(bytes: Array[Byte]): Row = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + sz
+      if (off < 0 || off > bytes.length) return Row(null, null, null, 0L, null)
+    }
+    // hunt the first valid MPEG-1 Layer III sync
+    while (off + 21 <= bytes.length &&
+        !((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xfe) == 0xfa))
+      off += 1
+    if (off + 21 > bytes.length) return Row(null, null, null, 0L, null)
+    val mode = (bytes(off + 3) >> 6) & 3
+    val mono = mode == 3
+    var bit = (off + 4) * 8
+    def get(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        v = (v << 1) | ((bytes(bit / 8) >> (7 - bit % 8)) & 1)
+        bit += 1; i += 1
+      }
+      v
+    }
+    val mdb = get(9)
+    get(if (mono) 5 else 3) // private bits
+    get(if (mono) 4 else 8) // scfsi
+    get(12)                 // granule 0 part2_3_length (channel 0)
+    val bv = get(9)
+    val gain = get(8)
+    val walk = decodeMp3One(bytes)
+    val (frames, rate) =
+      if (walk.get(5) == "mp3") (walk.getLong(3) / 1152L, walk.getInt(0))
+      else (0L, 0)
+    Row(mdb, bv, gain, frames, rate)
   }
 
   /** Fixture synthesizer: a real FLAC `fLaC` + STREAMINFO header per

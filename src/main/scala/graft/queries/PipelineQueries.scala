@@ -472,6 +472,32 @@ object PipelineQueries extends QueryPack {
       mp3.unionByName(flac).orderBy(col("format"), col("event_id"))
     }),
 
+    "q_mp3_sideinfo" -> ((s, dir) => {
+      // MPEG-1 Layer III side-information parse, oracle-gated: the
+      // synthesizer writes real 17-byte mono side info (granule-0
+      // big_values / global_gain from id-derived parameters) and the
+      // bit-field walk must recover exactly the closed-form values the
+      // oracle states (ISO/IEC 11172-3 2.4.1.7; the remaining stub seam
+      // is only the perceptual filter-bank synthesis)
+      val src = Tables.events(s, dir).filter(col("event_id") < 150)
+        .select(col("event_id"),
+          (lit(9) + col("event_id") % 3).cast("int").as("br_idx"),
+          (col("event_id") % 3).cast("int").as("sr_idx"),
+          (lit(10) + col("event_id") % 20).cast("int").as("frames"),
+          (lit(100) + col("event_id") % 150).cast("int").as("gain"),
+          (col("event_id") % 288).cast("int").as("bv"))
+      Multimodal.mp3SideInfo(
+        Multimodal.synthMp3Side(src, "br_idx", "sr_idx", "frames", "gain", "bv"),
+        "payload")
+        .select(col("event_id"),
+          col("mp3_side.main_data_begin").as("main_data_begin"),
+          col("mp3_side.big_values").as("big_values"),
+          col("mp3_side.global_gain").as("global_gain"),
+          col("mp3_side.frames").as("n_frames"),
+          col("mp3_side.rate").as("sample_rate"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_g711_audio" -> ((s, dir) => {
       // real compressed-codec decode, oracle-gated: G.711 µ-law and
       // A-law WAV payloads are synthesized at id-derived amplitudes,
@@ -1407,6 +1433,22 @@ object PipelineQueries extends QueryPack {
         |  'mp3' AS format
         |FROM p
         |ORDER BY format, event_id""".stripMargin,
+
+    "q_mp3_sideinfo" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CAST(10 + event_id % 20 AS INT) AS frames,
+        |    CAST(100 + event_id % 150 AS INT) AS gain,
+        |    CAST(event_id % 288 AS INT) AS bv
+        |  FROM events WHERE event_id < 150)
+        |SELECT event_id,
+        |  0 AS main_data_begin,
+        |  bv AS big_values,
+        |  gain AS global_gain,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(sr AS INT) AS sample_rate
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q_g711_audio" ->
       """WITH p AS (

@@ -569,6 +569,21 @@ class PipelineSpec extends SparkSpec {
     // flac: truncated STREAMINFO falls back
     val shortFlac = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ new Array[Byte](30)
     assert(Multimodal.decodeAudioOne(shortFlac).getString(5) == "stub")
+    // side-info parse falls back to nulls on garbage, never throws
+    val side = Multimodal.mp3SideInfoOne(evilId3)
+    assert(side.isNullAt(0) && side.getLong(3) == 0L)
+  }
+
+  test("mp3 side-information round-trips through the bit fields") {
+    val src = Seq((1L, 9, 0, 3, 210, 123), (2L, 10, 1, 5, 255, 287), (3L, 11, 2, 2, 0, 0))
+      .toDF("event_id", "br_idx", "sr_idx", "frames", "gain", "bv")
+    val out = Multimodal.mp3SideInfo(
+      Multimodal.synthMp3Side(src, "br_idx", "sr_idx", "frames", "gain", "bv"),
+      "payload")
+      .select($"event_id", $"mp3_side.*").orderBy($"event_id").collect()
+    assert(out(0).getInt(2) == 123 && out(0).getInt(3) == 210 && out(0).getLong(4) == 3L)
+    assert(out(1).getInt(2) == 287 && out(1).getInt(3) == 255 && out(1).getInt(5) == 48000)
+    assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
 
   test("multimodal resize + feature-extract feed the ANN pipeline end-to-end") {
