@@ -340,9 +340,10 @@ object QuestSql {
         .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
       return df.schema.fields.foldLeft(df) { (d, f) =>
         if (f.dataType == org.apache.spark.sql.types.TimestampType ||
-            // generate_series over ns bounds rides the BIGINT carrier
+            // ns-producing functions ride the BIGINT carrier
             (f.dataType == org.apache.spark.sql.types.LongType &&
-              f.name.equalsIgnoreCase("generate_series")))
+              Set("generate_series", "timestamp_floor", "timestamp_floor_utc",
+                "timestamp_ceil", "timestamp_ceil_utc")(f.name.toLowerCase)))
           d.withMetadata(f.name, meta)
         else d
       }
@@ -2567,25 +2568,75 @@ object QuestSql {
     val su = """(\d+)?\s*([UTsmhdwMyn])""".r.findFirstMatchIn(stripQuotes(stride).trim)
       .getOrElse(throw new IllegalArgumentException(s"bad stride '${stripQuotes(stride)}'"))
     val nStride = Option(su.group(1)).map(_.toLong).getOrElse(1L)
+    val origin0 = args.lift(2).map(_.trim).filter(_ != "null")
     su.group(2) match {
       case "M" | "y" =>
-        // calendar stride: floor months-since-epoch to the grid
-        // (reference MonthTimestampSampler)
         val nm = (if (su.group(2) == "M") 1 else 12) * nStride
-        val months = s"((year($local) - 1970) * 12 + month($local) - 1)"
-        val fl = s"(CAST(floor($months / $nm) AS BIGINT) * $nm)"
-        val f = s"make_timestamp(1970 + CAST(floor($fl / 12) AS INT), CAST($fl % 12 AS INT) + 1, 1, 0, 0, 0)"
+        val f = origin0 match {
+          case Some(o) =>
+            // anchored calendar stride: whole months since the origin,
+            // floored to the grid, re-applied to the origin so its
+            // day-of-month and time-of-day carry
+            // (TimestampFloorFromFunctionFactoryTest)
+            val org = s"CAST($o AS TIMESTAMP)"
+            val md = s"(CAST(floor(floor(months_between($local, $org)) / $nm) AS INT) * $nm)"
+            // add_months returns a DATE — re-apply the origin's
+            // time-of-day on top of the stepped midnight
+            s"(CAST(add_months($org, $md) AS TIMESTAMP) + ($org - CAST(CAST($org AS DATE) AS TIMESTAMP)))"
+          case None =>
+            // epoch-anchored: floor months-since-epoch to the grid
+            // (reference MonthTimestampSampler)
+            val months = s"((year($local) - 1970) * 12 + month($local) - 1)"
+            val fl = s"(CAST(floor($months / $nm) AS BIGINT) * $nm)"
+            s"make_timestamp(1970 + CAST(floor($fl / 12) AS INT), CAST($fl % 12 AS INT) + 1, 1, 0, 0, 0)"
+        }
         return tz match {
           case Some(z) if toUtc => s"to_utc_timestamp($f, $z)"
           case _ => f
         }
       case "n" =>
-        // nanosecond stride: BIGINT operands are ns carriers; timestamp
-        // operands floor their ns view (sub-µs digits are zero there)
-        val nsOf = s"(CASE WHEN typeof($ts) = 'bigint' THEN CAST($ts AS BIGINT) " +
-          s"ELSE unix_micros(CAST($ts AS TIMESTAMP)) * 1000 END)"
-        return s"($nsOf - pmod($nsOf, $nStride))"
+        // nanosecond stride: BIGINT operands are ns carriers; string
+        // literals parse their full 9-digit residue; timestamp operands
+        // floor their ns view. The RESULT type follows the operands:
+        // µs-precision inputs return a µs TIMESTAMP (truncated), ns
+        // inputs keep the BIGINT-nanos carrier.
+        def nsOf(x: String): String =
+          if (x.trim.startsWith("'")) nsParseExpr(x)
+          else s"(CASE WHEN typeof($x) = 'bigint' THEN CAST($x AS BIGINT) " +
+            s"ELSE unix_micros(CAST($x AS TIMESTAMP)) * 1000 END)"
+        def nsPrec(x: String): Boolean =
+          """\.\d{7,9}Z?'""".r.findFirstIn(x).isDefined || !x.trim.startsWith("'")
+        val v = nsOf(ts)
+        val resNs = origin0 match {
+          case Some(o) =>
+            val a = nsOf(o)
+            s"(($a) + floor((($v) - ($a)) / $nStride) * $nStride)"
+          case None => s"($v - pmod($v, $nStride))"
+        }
+        return if (nsPrec(ts) || origin0.exists(nsPrec))
+          resNs
+        else s"timestamp_micros(CAST($resNs div 1000 AS BIGINT))"
       case _ => ()
+    }
+    // a ns-precision ANCHOR (7-9 fractional digits) keeps the whole
+    // computation in nanos whatever the stride unit — the result type
+    // follows the anchor (reference TimestampFloorFrom ns overloads); a
+    // ns ts with a µs stride and no ns anchor truncates to µs first
+    def nsLit(x: Option[String]): Boolean =
+      x.exists(t => """\.\d{7,9}Z?'""".r.findFirstIn(t).isDefined)
+    if (nsLit(origin0)) {
+      val strideNs = strideToMicros(stripQuotes(stride)) * 1000L
+      def nsOf(x: String): String =
+        if (x.trim.startsWith("'")) nsParseExpr(x)
+        else s"(CASE WHEN typeof($x) = 'bigint' THEN CAST($x AS BIGINT) " +
+          s"ELSE unix_micros(CAST($x AS TIMESTAMP)) * 1000 END)"
+      val v = nsOf(ts)
+      return origin0 match {
+        case Some(o) =>
+          val a = nsOf(o)
+          s"(($a) + floor((($v) - ($a)) / ${strideNs}L) * ${strideNs}L)"
+        case None => s"($v - pmod($v, ${strideNs}L))"
+      }
     }
     val us = strideToMicros(stripQuotes(stride))
     val originUs = args.lift(2).map(_.trim).filter(_ != "null") match {
