@@ -7,7 +7,11 @@ object Dbg {
     val eng = Engine(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     args.foreach { q =>
       println("== " + q)
-      try eng.sql(q).show(10, false)
+      try {
+        val df = eng.sql(q)
+        if (sys.env.contains("DBG_PLAN")) println(df.queryExecution.analyzed.toString)
+        df.show(10, false)
+      }
       catch { case e: Throwable => println("ERR: " + e.toString.replace('\n',' ').take(600)) }
     }
   }

@@ -34,7 +34,17 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
   private def rebuild(op: BinaryArithmetic, l: Expression, r: Expression): Expression =
     op.withNewChildren(Seq(l, r))
 
-  /** scalar ⊕ array / array ⊕ scalar / array ⊕ array (same depth).
+  private def depth(dt: DataType): Int = dt match {
+    case ArrayType(et, _) => 1 + depth(et)
+    case _ => 0
+  }
+
+  /** scalar ⊕ array / array ⊕ scalar / array ⊕ array. Rank-mismatched
+    * operands broadcast numpy-style over TRAILING dims (reference
+    * `cairo/arr/DerivedArrayView.broadcast`: the lower-rank operand is
+    * repeated along the leading dims): a 4×3 matrix ⊕ a 3-vector
+    * applies the vector to every ROW — so the deeper side is descended
+    * with transform() until ranks match, then zip_with pairs elements.
     * Element types are threaded explicitly: a fresh lambda variable's
     * own dataType is unknown until ResolveLambdaVariables binds it. */
   private def broadcast(op: BinaryArithmetic, l: Expression, lt: DataType,
@@ -44,6 +54,14 @@ object ArrayBroadcastRule extends Rule[LogicalPlan] {
         val x = freshVar()
         ArrayTransform(l, LambdaFunction(broadcast(op, x, let, r, rt), Seq(x)))
       case (_, ArrayType(ret, _)) if isNum(lt) && isNumArray(rt) =>
+        val x = freshVar()
+        ArrayTransform(r, LambdaFunction(broadcast(op, l, lt, x, ret), Seq(x)))
+      case (ArrayType(let, _), _) if isNumArray(lt) && isNumArray(rt) &&
+          depth(lt) > depth(rt) =>
+        val x = freshVar()
+        ArrayTransform(l, LambdaFunction(broadcast(op, x, let, r, rt), Seq(x)))
+      case (_, ArrayType(ret, _)) if isNumArray(lt) && isNumArray(rt) &&
+          depth(rt) > depth(lt) =>
         val x = freshVar()
         ArrayTransform(r, LambdaFunction(broadcast(op, l, lt, x, ret), Seq(x)))
       case (ArrayType(let, _), ArrayType(ret, _)) if isNumArray(lt) && isNumArray(rt) =>

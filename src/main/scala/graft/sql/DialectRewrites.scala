@@ -1294,6 +1294,63 @@ object DialectRewrites {
     sb.toString
   }
 
+  /** `first_value`/`last_value` over sliding time-RANGE frames
+    * (`RANGE [BETWEEN] K PRECEDING [AND CURRENT ROW]`) → the O(n)
+    * running-frame aggregates in [[graft.functions.RangeWindow]].
+    *
+    * Spark's SlidingWindowFunctionFrame re-aggregates the whole frame
+    * buffer whenever the lower bound moves — O(rows × frame), which
+    * times out on the reference's 400k-row window tests (and would be a
+    * scale-killer on any real time series). The replacement runs the
+    * same semantics over `RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    * ROW` (incremental in Spark, peers included per RANGE semantics)
+    * with the in-frame pruning done inside the aggregate's deque —
+    * reference `functions/window/FirstValueDoubleWindowFunctionFactory
+    * .java` uses the same ring-buffer scheme.
+    *
+    * Invoked from QuestSql AFTER AutoAlias so the reference default
+    * column names (`first_value`, `first_value_ignore_nulls`, …) are
+    * already pinned as explicit aliases. Expects timeRangeFrames to
+    * have normalized the order key (unix_micros-wrapped) and the bound
+    * (plain µs integer). DESC order is handled by negating the key fed
+    * to the aggregate.
+    */
+  def slidingValueFrames(q0: String): String = {
+    if (!"""(?i)\brange\s+(?:between\s+\d+\s+preceding\s+and\s+current\s+row|\d+\s+preceding)"""
+        .r.findFirstIn(q0).isDefined) return q0
+    // tokens: up-to-2-deep paren nesting with quoted strings
+    val n2 = "(?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))"
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\b(first_value|last_value|min|max)\\s*\\(\\s*(" + n2 + "+?)\\s*\\)\\s*" +
+        "(?:(ignore|respect)\\s+nulls\\s*)?" +
+        "over\\s*\\(\\s*((?:partition\\s+by\\s+" + n2 + "+?\\s+)?)" +
+        "order\\s+by\\s+(" + n2 + "+?)(\\s+asc|\\s+desc)?\\s+" +
+        "range\\s+(?:between\\s+(\\d+)\\s+preceding\\s+and\\s+current\\s+row|(\\d+)\\s+preceding)\\s*\\)")
+    val m = pat.matcher(q0)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val fn = m.group(1).toLowerCase
+      val arg = m.group(2)
+      val ig = m.group(3) != null && m.group(3).equalsIgnoreCase("ignore")
+      val part = m.group(4)
+      val key = m.group(5)
+      val desc = m.group(6) != null && m.group(6).trim.equalsIgnoreCase("desc")
+      val bound = Option(m.group(7)).getOrElse(m.group(8))
+      val mode = fn match {
+        case "first_value" => if (ig) "first_in" else "first"
+        case "last_value"  => if (ig) "last_in" else "last"
+        case other         => other // min | max
+      }
+      val keyArg = if (desc) s"(0 - ($key))" else s"($key)"
+      val repl = s"__w_slide(($arg), CAST($keyArg AS BIGINT), ${bound}L, '$mode') " +
+        s"OVER (${part}ORDER BY $key${if (desc) " DESC" else ""} " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private def emptyFrames(q0: String): String = {
     val pat = java.util.regex.Pattern.compile(
       "(?is)([\\w.]+\\s*\\((?:[^()]|\\([^()]*\\))*\\)(?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?)" +

@@ -452,6 +452,9 @@ object QuestSql {
     // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
     // count, duplicate bases get numeric suffixes
     q0 = prof("AutoAlias")(AutoAlias.rewriteQuery(q0))
+    // sliding time-RANGE first/last_value → O(n) running-frame
+    // aggregates (after AutoAlias so reference default names are pinned)
+    q0 = prof("slidingValueFrames")(DialectRewrites.slidingValueFrames(q0))
     // lateral-join parity: decorrelate bodies Spark's lateral planner
     // cannot host (deep refs, correlated set-ops, dialect operators) and
     // align empty-group semantics with the reference's count driver
@@ -3442,8 +3445,11 @@ object QuestSql {
                                    // the reference's calculateRecursive
       s"filter($a, x -> x IS NOT NULL AND NOT isnan(CAST(x AS DOUBLE)))"
     }
+    // empty or all-null/NaN input sums to NULL, not 0 (reference
+    // DoubleArraySumFunctionFactory returns NaN when no finite element
+    // was seen; NaN prints as null)
     q = expandCalls(q, "array_sum") { case Seq(a) =>
-      s"(CASE WHEN ($a) IS NULL THEN CAST(NULL AS DOUBLE) ELSE " +
+      s"(CASE WHEN ($a) IS NULL OR size(${finite(a)}) = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
         s"aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) END)" }
     q = expandCalls(q, "array_avg") { case Seq(a) =>
       s"(aggregate(${finite(a)}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))" +
