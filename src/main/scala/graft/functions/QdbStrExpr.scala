@@ -25,6 +25,10 @@ case class QdbStrExpr(child: Expression)
     case TimestampNTZType =>
       DateFormatClass(Cast(child, TimestampType, Some("UTC")),
         Literal("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), Some("UTC"))
+    case _: ArrayType =>
+      // reference array rendering: no space after commas, empty N-dim
+      // prints "[]" (ArrayTypeDriver.arrayToStr)
+      graft.plans.RefArrayCastRule.arrayToRefString(child)
     case _ => Cast(child, StringType, Some("UTC"))
   }
 

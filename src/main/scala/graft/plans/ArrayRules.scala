@@ -179,3 +179,113 @@ case class FlattenDeep(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): FlattenDeep =
     copy(child = newChild)
 }
+
+/** `__graft_arrd(x)` — widen every numeric leaf of an (arbitrarily
+  * nested) array to DOUBLE (reference arrays are DOUBLE-element only).
+  * Rank-agnostic, so `ARRAY[vec1, vec2]` built from 1-D array columns
+  * widens to array<array<double>> without the textual pass having to
+  * know the element rank. */
+case class WidenArrayToDouble(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  private def doubled(dt: DataType): DataType = dt match {
+    case ArrayType(et, n) => ArrayType(doubled(et), n)
+    case _: NumericType => DoubleType
+    case other => other
+  }
+  override lazy val replacement: Expression =
+    if (doubled(child.dataType) == child.dataType) child
+    else Cast(child, doubled(child.dataType))
+  override protected def withNewChildInternal(newChild: Expression): WidenArrayToDouble =
+    copy(child = newChild)
+}
+
+/** `__graft_shift(arr, n, fill)` — reference array shift
+  * (`ShiftDoubleArrayFunctionFactory`): positive n shifts right filling
+  * the head, negative left filling the tail; a 2-D argument shifts
+  * within each row (last dim). Rank dispatch happens here on the
+  * child's resolved type — the textual macro cannot see through
+  * transpose()/slice() compositions. */
+case class ArrayShiftExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val n = Cast(second, IntegerType)
+    def shift1d(arr: Expression, et: DataType): Expression = {
+      def fillArr(cnt: Expression) = ArrayRepeat(Cast(third, et), cnt)
+      val sz = Size(arr, legacySizeOfNull = false)
+      CaseWhen(Seq((
+        GreaterThanOrEqual(n, Literal(0)),
+        Concat(Seq(fillArr(Least(Seq(n, sz))),
+          Slice(arr, Literal(1), Greatest(Seq(Subtract(sz, n), Literal(0)))))))),
+        Some(Concat(Seq(
+          Slice(arr, Subtract(Literal(1), n), Greatest(Seq(Add(sz, n), Literal(0)))),
+          fillArr(Least(Seq(UnaryMinus(n), sz)))))))
+    }
+    // reference shift is double-array-only: widen numeric elements so a
+    // FLOAT[] input yields exact double results
+    first.dataType match {
+      case ArrayType(ArrayType(et: NumericType, cn1), cn2) =>
+        val inner = ArrayType(DoubleType, cn1)
+        val v = NamedLambdaVariable("__shr", inner, cn2)
+        ArrayTransform(Cast(first, ArrayType(inner, cn2)),
+          LambdaFunction(shift1d(v, DoubleType), Seq(v)))
+      case ArrayType(et: NumericType, cn) =>
+        shift1d(Cast(first, ArrayType(DoubleType, cn)), DoubleType)
+      case ArrayType(inner @ ArrayType(et, _), cn2) =>
+        val v = NamedLambdaVariable("__shr", inner, cn2)
+        ArrayTransform(first, LambdaFunction(shift1d(v, et), Seq(v)))
+      case ArrayType(et, _) => shift1d(first, et)
+      case _ => first
+    }
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): ArrayShiftExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** `__graft_mat2dl(x)` / `__graft_mat2dr(x)` — matmul operand rank
+  * promotion (reference MatMulFunctionFactory accepts 1-D operands: a
+  * 1-D LEFT is a 1×m row vector, a 1-D RIGHT a k×1 column vector, so
+  * `matmul(mat(n×k), vec(k))` yields an n×1 column). 2-D operands pass
+  * through; the promotion composes with the textual matmul macro. */
+case class PromoteMat2D(child: Expression, rightSide: Boolean)
+    extends UnaryExpression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(_: ArrayType, _) => child
+    case ArrayType(et, cn) =>
+      if (rightSide) {
+        val v = NamedLambdaVariable("__m2d", et, cn)
+        ArrayTransform(child, LambdaFunction(CreateArray(Seq(v)), Seq(v)))
+      } else CreateArray(Seq(child))
+    case _ => child
+  }
+  override protected def withNewChildInternal(newChild: Expression): PromoteMat2D =
+    copy(child = newChild)
+}
+
+/** `__dim_length(a, d)` — length of dim `d` (1-based) with a RUNTIME
+  * dim value (reference `DimLengthFunctionFactory` takes any int
+  * expression; `dim_length(a, n)` / `dim_length(a, NULL)` are legal and
+  * yield null for null/out-of-range dims). The child's STATIC rank
+  * bounds a CASE over the dim, so every branch type-checks; constant
+  * dims are folded by the optimizer to a single size() call. */
+case class DimLengthExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    def rank(dt: DataType): Int = dt match {
+      case ArrayType(et, _) => 1 + rank(et); case _ => 0
+    }
+    val r = rank(left.dataType)
+    if (r == 0) Literal(null, IntegerType)
+    else {
+      val dimInt = Cast(right, IntegerType)
+      def lenAt(k: Int): Expression = {
+        val e = (2 to k).foldLeft(left)((acc, _) => GetArrayItem(acc, Literal(0), false))
+        Size(e, legacySizeOfNull = false)
+      }
+      CaseWhen((1 to r).map(k => (EqualTo(dimInt, Literal(k)), lenAt(k))), None)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DimLengthExpr =
+    copy(left = l, right = r)
+}

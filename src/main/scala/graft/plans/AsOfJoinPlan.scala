@@ -192,5 +192,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FlattenDeep].getName, "__graft_flat"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FlattenDeep(children.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_arrd"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WidenArrayToDouble].getName, "__graft_arrd"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WidenArrayToDouble(children.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_shift"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ArrayShiftExpr].getName, "__graft_shift"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayShiftExpr(children.head, children(1), children(2))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_mat2dl"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PromoteMat2D].getName, "__graft_mat2dl"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PromoteMat2D(children.head, rightSide = false)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_mat2dr"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PromoteMat2D].getName, "__graft_mat2dr"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PromoteMat2D(children.head, rightSide = true)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__dim_length"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DimLengthExpr].getName, "__dim_length"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DimLengthExpr(children.head, children(1))))
   }
 }

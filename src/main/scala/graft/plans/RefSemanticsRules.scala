@@ -53,6 +53,37 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
     case _ => Cast(e, StringType)
   }
 
+  /** Reference-format rendering of a resolved array expression — shared
+    * with [[graft.functions.QdbStrExpr]], which hosts the `::string` /
+    * `::varchar` cast macro path. Lambda variables are built RESOLVED
+    * (typed NamedLambdaVariable) so the result is usable inside a
+    * RuntimeReplaceable's `replacement`, where the analyzer consults
+    * `nullable` before lambda resolution would run. */
+  def arrayToRefString(e: Expression): Expression = {
+    def fmtR(e0: Expression, dt: DataType): Expression = dt match {
+      case ArrayType(et, cn) =>
+        val x = NamedLambdaVariable("__acr", et, cn)
+        Concat(Seq(Literal("["),
+          ArrayJoin(ArrayTransform(e0, LambdaFunction(fmtR(x, et), Seq(x))),
+            Literal(","), Some(Literal("null"))),
+          Literal("]")))
+      case _ => Cast(e0, StringType)
+    }
+    e.dataType match {
+      case at @ ArrayType(_: ArrayType, _) =>
+        // a 2-D array with zero total elements prints "[]" (reference
+        // arrayToStr over an empty view)
+        If(EqualTo(Size(Flatten(e)), Literal(0)), Literal("[]"), fmtR(e, at))
+      case at: ArrayType => fmtR(e, at)
+      case _ => Cast(e, StringType)
+    }
+  }
+
+  private def rank(dt: DataType): Int = dt match {
+    case ArrayType(et, _) => 1 + rank(et)
+    case _ => 0
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
     plan.resolveOperatorsUp { case p =>
@@ -68,14 +99,23 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
           IntegralDivide(UnixMicros(Cast(c.child, TimestampType)), Literal(1000L))
         case c: Cast if c.dataType == StringType && c.child.resolved &&
             c.child.dataType.isInstanceOf[ArrayType] =>
-          c.child.dataType match {
-            case ArrayType(_: ArrayType, _) =>
-              // a 2-D array with zero total elements prints "[]"
-              // (reference arrayToStr over an empty view)
-              If(EqualTo(Size(Flatten(c.child)), Literal(0)),
-                Literal("[]"), fmt(c.child, c.child.dataType))
-            case _ => fmt(c.child, c.child.dataType)
-          }
+          arrayToRefString(c.child)
+        // string → array parses the reference/PG brace literal
+        // (`'{"1","2"}'::double[]` → [1.0,2.0], unparseable → null);
+        // braces/quotes map onto JSON and ride the codegen'd JSON reader
+        case c: Cast if c.dataType.isInstanceOf[ArrayType] && c.child.resolved &&
+            c.child.dataType == StringType =>
+          JsonToStructs(c.dataType, Map.empty[String, String],
+            StringTranslate(c.child, Literal("{}\""), Literal("[]")), Some("UTC"))
+        // scalar / lower-rank array → array promotes by wrapping
+        // (reference scalar→array broadcast: 1.0::double[][] = [[1.0]],
+        // ARRAY[1.0,2.0]::double[][] = [[1.0,2.0]]); one wrap per
+        // analyzer pass until ranks meet, then Spark's array cast takes
+        // over element conversion
+        case c: Cast if c.dataType.isInstanceOf[ArrayType] && c.child.resolved &&
+            c.child.dataType != NullType && c.child.dataType != StringType &&
+            rank(c.child.dataType) < rank(c.dataType) =>
+          c.withNewChildren(Seq(CreateArray(Seq(c.child))))
       }
     }
   }

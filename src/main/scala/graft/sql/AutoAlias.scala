@@ -29,7 +29,12 @@ object AutoAlias {
     * implicit alias themselves. */
   private val NotAliasTokens = Set(
     "end", "null", "true", "false", "preceding", "following", "nulls",
-    "first", "last", "row", "unbounded")
+    "unbounded")
+  // alias-legal words that only act as syntax after a specific
+  // predecessor (`nulls FIRST/LAST`, `current ROW`) — `arr[1] first`
+  // is a valid implicit alias (reference ArrayTest)
+  private val ContextualNotAlias = Map(
+    "first" -> "nulls", "last" -> "nulls", "row" -> "current")
 
   private val StatementStart = Set(
     "create", "insert", "update", "alter", "drop", "rename", "truncate",
@@ -196,6 +201,7 @@ object AutoAlias {
     if (NotAliasTokens(lastLower) || ContinuationKw(lastLower)) return None
     val prev = toks(toks.length - 2)
     val prevLower = prev.toLowerCase
+    if (ContextualNotAlias.get(lastLower).contains(prevLower)) return None
     // `expr AS alias`
     if (prevLower == "as") return Some(stripIdentQuotes(last))
     // implicit alias: the expression before it must be complete
@@ -289,6 +295,10 @@ object AutoAlias {
           else if (name.equalsIgnoreCase("slice") || name.equalsIgnoreCase("try_element_at")) "[]"
           // sentinel for rewritten operator expressions (ipv4 arithmetic)
           else if (name == "__graft_col") "column"
+          // sentinels from the array lowering: ARRAY[..] literals keep
+          // the reference's 'ARRAY' node name, multi-dim slices '[]'
+          else if (name == "__graft_arr") "ARRAY"
+          else if (name == "__graft_slice") "[]"
           else name
       case _ =>
     }

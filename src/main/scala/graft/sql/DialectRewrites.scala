@@ -96,9 +96,11 @@ object DialectRewrites {
       }
       val dims = m.group(3).count(_ == '[')
       val tpe = (1 to dims).foldLeft(et)((t, _) => s"array<$t>")
-      // outer no-op CAST keeps the reference's 'cast' output naming
+      // outer no-op CAST keeps the reference's 'cast' output naming;
+      // double-quoted elements ('{"1","2"}', PG text-array style) shed
+      // their quotes so the JSON reader coerces them numerically
       java.util.regex.Matcher.quoteReplacement(
-        s"CAST(from_json(translate(${m.group(1)}, '{}', '[]'), '$tpe') AS $tpe)")
+        s"""CAST(from_json(translate(${m.group(1)}, '{}"', '[]'), '$tpe') AS $tpe)""")
     })
     // `JOIN t ON (col[, col...])` with bare column names = match on
     // same-named columns (reference SqlParser join-column shorthand) —
@@ -118,6 +120,10 @@ object DialectRewrites {
           if (p <= 38) m.matched
           else s"${m.group(1)}${m.group(2)}(38,${math.min(sc, 37)})"
         }))
+    // quoted integer subscripts (`arr['2']` — reference coerces STRING
+    // indices) must unquote BEFORE the outside-strings scan, whose
+    // segment split at the quote would hide the subscript
+    q = q.replaceAll("\\[\\s*'(-?\\d+)'\\s*\\]", "[$1]")
     q = mapOutside(q)(arraySubscripts)
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
@@ -1696,12 +1702,19 @@ object DialectRewrites {
     // balanced split: an index can itself be a rewritten call with commas
     // (`arr1[arr2[2]::int]` → `arr1[CAST(element_at(arr2, 2) AS INT)]`)
     val ixs = splitBalancedCommas(idxList).map(_.trim).filter(_.nonEmpty).toList
+    // non-literal slice bounds can be NULL at runtime — the reference
+    // returns a NULL array for a null-bounded slice (ArrayTest
+    // arr[1:2, 1:n] with null n), where slice()'s null only nulls the
+    // sliced axis; collected here and guarded around the whole access
+    val nullableBounds = scala.collection.mutable.Buffer[String]()
     def isSlice(ix: String): Boolean =
       ix.contains(":") && !ix.toUpperCase.contains("CAST(") && !ix.contains("::")
     def sliceOf(cur: String, ix: String): String = {
       val parts = ix.split(":", -1)
       val lo0 = if (parts(0).trim.isEmpty) "1" else parts(0).trim
       val hi = parts.lift(1).map(_.trim).filter(_.nonEmpty)
+      if (!lo0.matches("-?\\d+")) nullableBounds += lo0
+      hi.filterNot(_.matches("-?\\d+")).foreach(nullableBounds += _)
       // negative bounds count from the end; degenerate or reversed
       // ranges yield an empty slice; a NULL bound yields NULL (CASE
       // propagates where greatest() would swallow it)
@@ -1731,9 +1744,20 @@ object DialectRewrites {
         build(tail, s"try_element_at($cur, $ix)") // out-of-bounds → null
       case ix :: tail => // computed index: element_at needs INT, not the
                          // BIGINT a `::long` cast or arithmetic produces
+                         // (a quoted index like arr['2'] coerces too —
+                         // reference casts STRING subscripts to int)
         build(tail, s"try_element_at($cur, CAST(($ix) AS INT))")
     }
-    build(ixs, base)
+    val out0 = build(ixs, base)
+    val out =
+      if (nullableBounds.isEmpty) out0
+      else s"IF(${nullableBounds.map(b => s"($b) IS NULL").mkString(" OR ")}, NULL, $out0)"
+    // multi-dim slices lower to transform(...) and guarded accesses to
+    // IF(...) — tag them so the default column name stays the
+    // reference's '[]' (AutoAlias)
+    if (out.startsWith("transform(") || out.startsWith("IF("))
+      s"__graft_slice($out)"
+    else out
   }
 
   /** `ARRAY[a, b, [c]]` → `array(a, b, array(c))`. */
@@ -1744,33 +1768,58 @@ object DialectRewrites {
       val open = s.indexOf('[', idx)
       val sb = new StringBuilder(s.substring(0, idx))
       sb.append("array(")
-      var depth = 1
+      // bracket kinds: a '[' directly after an identifier/')'/']' is a
+      // SUBSCRIPT (ARRAY[[a[1], a[2]]] — reference ArrayTest inserts
+      // element accesses inside literals), kept verbatim for the later
+      // subscript pass; any other '[' opens a nested literal dim
+      var stack: List[Boolean] = List(false) // false = literal bracket
+      var litDepth = 1
       var maxDepth = 1
       var hasString = false
       var i = open + 1
-      while (i < s.length && depth > 0) {
+      while (i < s.length && stack.nonEmpty) {
         s.charAt(i) match {
           case '\'' =>
             hasString = true
             var j = i + 1
             while (j < s.length && s.charAt(j) != '\'') j += 1
             sb.append(s.substring(i, math.min(j + 1, s.length))); i = j + 1
-          case '[' => depth += 1; maxDepth = math.max(maxDepth, depth); sb.append("array("); i += 1
-          case ']' => depth -= 1; sb.append(')'); i += 1
+          case '[' =>
+            var k = sb.length - 1
+            while (k >= 0 && sb.charAt(k).isWhitespace) k -= 1
+            val sub = k >= 0 && (isIdentCh(sb.charAt(k)) ||
+              sb.charAt(k) == ')' || sb.charAt(k) == ']')
+            stack = sub :: stack
+            if (sub) sb.append('[')
+            else {
+              litDepth += 1; maxDepth = math.max(maxDepth, litDepth)
+              sb.append("array(")
+            }
+            i += 1
+          case ']' =>
+            val sub = stack.head; stack = stack.tail
+            if (sub) sb.append(']') else { litDepth -= 1; sb.append(')') }
+            i += 1
           case c => sb.append(c); i += 1
         }
       }
       // reference arrays are DOUBLE-element only: widen bare integer
       // literals inside the converted region so ARRAY[1, 2] = [1.0, 2.0]
+      // (subscript indices/slice bounds kept inside the literal must
+      // stay integral — exclude digits adjacent to '[' ':' ']')
       var region = sb.substring(idx, sb.length)
-        .replaceAll("(?<![\\w.])(-?\\d+)(?![\\w.DdFfLl])", "$1.0")
+        .replaceAll("(?<![\\w.\\[:])(-?\\d+)(?![\\w.:\\]DdFfLl])", "$1.0")
       // non-literal elements (column refs: ARRAY[x]) widen through a
       // whole-array cast — skipped when strings are present (not a
       // reference array then)
       if (!hasString && """[A-Za-z_]""".r.findFirstIn(
           region.replaceAll("(?i)\\barray\\b", "")).isDefined) {
-        val t = (1 to maxDepth).foldLeft("double")((acc, _) => s"array<$acc>")
-        region = s"CAST($region AS $t)"
+        // __graft_arrd widens numeric leaves to double at PLAN time (it
+        // sees element ranks — ARRAY[vec1, vec2] of 1-D columns is
+        // legal); __graft_arr = identity, keeps the reference's 'ARRAY'
+        // default column name (SqlParser names the literal node ARRAY,
+        // and the widening cast is ours, not the user's)
+        region = s"__graft_arr(__graft_arrd($region))"
       }
       sb.replace(idx, sb.length, region)
       sb.append(s.substring(math.min(i, s.length)))

@@ -632,17 +632,34 @@ object QuestSql {
       def depth(dt: DataType): Int = dt match {
         case ArrayType(et, _) => 1 + depth(et); case _ => 0
       }
+      def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
       val cols = l.schema.fields.zip(r.schema.fields).zipWithIndex.map {
         case ((lf, rf), i) =>
-          if (lf.dataType == rf.dataType) (col(l.columns(i)), col(r.columns(i)))
+          if (DataType.equalsStructurally(lf.dataType, rf.dataType, ignoreNullability = true))
+            (col(l.columns(i)), col(r.columns(i)))
           else {
             val (dl, dr) = (depth(lf.dataType), depth(rf.dataType))
-            if (dl > 0 && dr > 0 && dl != dr) {
-              // rank promotion: wrap the shallower side
-              if (dl < dr) ((1 to (dr - dl)).foldLeft(col(l.columns(i)))((c, _) => array(c)),
+            if ((dl > 0 || dr > 0) && dl != dr &&
+                (dl > 0 || isNumeric(lf.dataType)) &&
+                (dr > 0 || isNumeric(rf.dataType))) {
+              // rank promotion: wrap the shallower side (a numeric
+              // scalar beside an array becomes a 1-element vector —
+              // reference UNION promotion, ArrayTest `ARRAY[..] UNION
+              // ALL SELECT 3.0` → [3.0]), then cast to the deeper type
+              def nullify(dt: DataType): DataType = dt match {
+                case ArrayType(et, _) => ArrayType(nullify(et), containsNull = true)
+                case other => other
+              }
+              def wrap(c0: org.apache.spark.sql.Column, times: Int,
+                       target: DataType): org.apache.spark.sql.Column =
+                when(c0.isNull, lit(null))
+                  .otherwise((1 to times).foldLeft(c0)((c, _) => array(c)))
+                  .cast(nullify(target)) // a non-nullable-element target
+                                         // would reject the wrap of a
+                                         // nullable column
+              if (dl < dr) (wrap(col(l.columns(i)), dr - dl, rf.dataType),
                 col(r.columns(i)))
-              else (col(l.columns(i)),
-                (1 to (dl - dr)).foldLeft(col(r.columns(i)))((c, _) => array(c)))
+              else (col(l.columns(i)), wrap(col(r.columns(i)), dl - dr, lf.dataType))
             } else (col(l.columns(i)).cast("string"), col(r.columns(i)).cast("string"))
           }
       }
@@ -3242,9 +3259,13 @@ object QuestSql {
     // reference flatten() is full row-major flattening over every dim
     // (ArrayFlattenFunctionFactory) — Spark's removes one level only
     q = expandCalls(q, "flatten") { case Seq(a) => s"__graft_flat($a)" }
-    q = expandCalls(q, "matmul") { case Seq(a, b) =>
+    q = expandCalls(q, "matmul") { case Seq(a0, b0) =>
       // (n×k)·(k×m) over 2-D arrays (reference MatMulFunctionFactory);
-      // null operand → null, empty inner dim → empty rows
+      // 1-D operands rank-promote (left → 1×m row, right → k×1 column,
+      // so mat·vec yields an n×1 column); null operand → null, empty
+      // inner dim → empty rows
+      val a = s"__graft_mat2dl($a0)"
+      val b = s"__graft_mat2dr($b0)"
       val n = s"size(element_at($b, 1))"
       s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN NULL ELSE " +
         s"transform($a, __ar -> " +
@@ -3335,6 +3356,8 @@ object QuestSql {
     // wrapped operator expression 'column' (reference SqlUtil naming for
     // rewritten ipv4 arithmetic)
     q = expandCalls(q, "__graft_col") { case Seq(e) => s"($e)" }
+    q = expandCalls(q, "__graft_arr") { case Seq(e) => s"($e)" }
+    q = expandCalls(q, "__graft_slice") { case Seq(e) => s"($e)" }
     // nanosecond timestamp surface (reference TIMESTAMP_NS —
     // cairo/ColumnType.java:145-146, TimestampDriver ns variant). Spark's
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
@@ -3503,24 +3526,11 @@ object QuestSql {
     }
     q = expandCalls(q, "shift") {
       case args if args.size >= 2 =>
-        val (a, n) = (args(0), args(1))
+        // rank dispatch (1-D vs per-row 2-D) happens in the plan-level
+        // __graft_shift, which sees resolved types through
+        // transpose()/slice() compositions
         val f = if (args.size > 2) args(2) else "CAST('NaN' AS DOUBLE)"
-        def shift1d(arr: String): String =
-          s"(CASE WHEN ($n) >= 0 THEN concat(array_repeat(CAST(($f) AS DOUBLE), LEAST(($n), size($arr))), " +
-            s"slice($arr, 1, GREATEST(size($arr) - ($n), 0))) " +
-            s"ELSE concat(slice($arr, 1 - ($n), GREATEST(size($arr) + ($n), 0)), " +
-            s"array_repeat(CAST(($f) AS DOUBLE), LEAST(-($n), size($arr)))) END)"
-        // a 2-D argument shifts within each row (reference shift over
-        // the last dim)
-        val base2d = a.trim match {
-          case bare if bare.matches("[\\w.]+") => Some(bare).filter(declaredArrayDims(q, _).contains(2))
-          case s2 => """(?is)^slice\(\s*([\w.]+)""".r.findFirstMatchIn(s2)
-            .map(_.group(1)).filter(declaredArrayDims(q, _).contains(2)).map(_ => s2)
-        }
-        base2d match {
-          case Some(_) => s"transform($a, __row -> ${shift1d("__row")})"
-          case None => shift1d(a)
-        }
+        s"__graft_shift((${args(0)}), (${args(1)}), ($f))"
     }
     q = expandCalls(q, "dim_length") { case Seq(a, d) =>
       def at(k: Int) = k match {
@@ -3531,15 +3541,10 @@ object QuestSql {
       d.trim match {
         case "1" | "2" | "3" => at(d.trim.toInt)
         case other =>
-          // non-constant dim: runtime CASE bounded by the DECLARED rank
-          // (branches past the static rank would not analyze)
-          declaredArrayDims(q, a) match {
-            case Some(r) =>
-              val branches = (1 to math.min(r, 3)).map(k => s"WHEN ${k} THEN ${at(k)}").mkString(" ")
-              s"(CASE CAST($other AS INT) $branches END)"
-            case None =>
-              throw new IllegalArgumentException(s"dim_length: constant dim 1-3 expected, got '$other'")
-          }
+          // non-constant dim (column, NULL::int, expression): the
+          // plan-level __dim_length sees the child's STATIC rank and
+          // CASEs over the runtime dim — null/out-of-range dims → null
+          s"__dim_length($a, $other)"
       } }
     q = expandCalls(q, "dot_product") { case Seq(a0, b0) =>
       // N-dim args dot over the flattened views (reference iterates all
@@ -3994,6 +3999,10 @@ object QuestSql {
         t.toInt
       }
       val nDims = lit(args.head)
+      // the reference returns a NULL array for 0 dims (ArrayTest
+      // rnd_double_array(0, ...) prints null); >32 dims is an error
+      if (nDims == 0) "CAST(NULL AS ARRAY<DOUBLE>)"
+      else {
       require(nDims >= 1 && nDims <= 32, s"rnd_double_array: nDims in [1,32], got $nDims")
       val nanRate = if (args.size >= 2) lit(args(1)) else 0
       val s = seedOf("rnd_double_array")
@@ -4023,6 +4032,7 @@ object QuestSql {
           s"transform(sequence(1, ${lens(depth)}), $v -> ${build(depth + 1, s"$salt, '_', $v")})"
         }
       build(0, "''")
+      }
     }
     // list('A', 'B', ...) cycles its constants row by row (reference
     // rnd/ListFunctionFactory.Func.next — sequential, not random).
