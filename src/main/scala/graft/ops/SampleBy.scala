@@ -82,7 +82,7 @@ object SampleBy {
     * (each `spark.range(1)...head()` evaluation was a full driver job —
     * measurable per-statement overhead on the interactive path). */
   private val IntervalRe =
-    """(?i)^\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day|week)s?\s*$""".r
+    """(?i)^\s*(-?\d+)\s*(microsecond|millisecond|second|minute|hour|day|week)s?\s*$""".r
   private def intervalUs(s: String): Long = s.trim match {
     case IntervalRe(n, u) => n.toLong * (u.toLowerCase match {
       case "microsecond" => 1L
@@ -136,7 +136,9 @@ object SampleBy {
                rangeLo: Option[java.sql.Timestamp] = None,
                rangeHi: Option[java.sql.Timestamp] = None,
                unit: Option[Char] = None,
-               anchor: Option[java.sql.Timestamp] = None): DataFrame = {
+               anchor: Option[java.sql.Timestamp] = None,
+               gridAnchorUs: Option[Long] = None,
+               clampUs: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val strideMonthsOpt = monthsOf(bucket)
     lazy val strideUs: Long = intervalUs(bucket)
@@ -158,7 +160,23 @@ object SampleBy {
         .getOrElse(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
 
     val bucketCol = ((tz, unitKind) match {
-      case (None, 'M') => monthBucketAnchored(col(ts), strideMonthsOpt.get, monthAnchor)
+      case (None, 'M') =>
+        // WITH OFFSET on a month grid: floor in the shifted frame and
+        // shift back (reference SampleByTest 1M OFFSET '-00:05' →
+        // buckets at 2023-12-31T23:55, …)
+        if (offsetUs == 0L) monthBucketAnchored(col(ts), strideMonthsOpt.get, monthAnchor)
+        else timestamp_micros(unix_micros(monthBucketAnchored(
+          timestamp_micros(unix_micros(col(ts)) - lit(offsetUs)),
+          strideMonthsOpt.get, monthAnchor)) + lit(offsetUs))
+      case (None, _) if gridAnchorUs.isDefined =>
+        // explicit FROM + WITH OFFSET: the grid anchors at
+        // floor-to-day(FROM) + offset, and rows before the first grid
+        // point at/after FROM fold into that first bucket (reference
+        // SampleByTest FROM + ALIGN TO CALENDAR WITH OFFSET: first
+        // bucket 2021-03-01T00:15 absorbs the 00:00 row)
+        val us = unix_micros(col(ts))
+        val fl = us - pmod(us - lit(gridAnchorUs.get), lit(strideUs))
+        timestamp_micros(clampUs.map(c => greatest(fl, lit(c))).getOrElse(fl))
       case (None, _) => window(col(ts), bucket, bucket, offset).getField("start")
       case (Some(zone), 's') =>
         // reference sub-day tz floor (CommonUtils.getFloorUtcTzOffset):
@@ -305,7 +323,7 @@ object SampleBy {
         case None =>
           val fromUs = from.getTime * 1000L + from.getNanos / 1000 % 1000
           val toUs = to.getTime * 1000L + to.getNanos / 1000 % 1000
-          val cnt = (toUs - fromUs) / strideUs + 1
+          val cnt = math.max((toUs - fromUs) / strideUs + 1, 0L)
           (cnt, spark.range(0, cnt).select(col("id").as(IDX),
             spineTs(timestamp_micros(lit(fromUs) + col("id") * lit(strideUs))).as(tsOut)))
       }
@@ -370,9 +388,18 @@ object SampleBy {
             }
           }
         }
+      // FILL(LINEAR) never extrapolates: spine buckets outside the data
+      // range interpolate to null and are DROPPED, not emitted
+      // (reference SampleByTest FROM..TO FILL(LINEAR) stops at the last
+      // data bucket)
+      val clipped =
+        if (perCol.nonEmpty && perCol.forall(_._2 == FillLinear))
+          filled.filter(col(PRESENT).isNotNull ||
+            perCol.map(pc => col(pc._1).isNotNull).reduce(_ || _))
+        else filled
       // reference fill cursors emit bucket-major order: every key's row
       // for bucket t before any row of bucket t+1
-      refOrder(filled.drop(PRESENT, IDX))
+      refOrder(clipped.drop(PRESENT, IDX))
     }
   }
 

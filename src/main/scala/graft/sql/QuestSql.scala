@@ -5439,15 +5439,28 @@ object QuestSql {
       }
       def tsOfUs(us: Long) = java.sql.Timestamp.from(
         java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L))
-      // WITH OFFSET ⇒ the grid is calendar+offset and FROM only clips:
-      // ceil FROM up to the grid for every anchoring use
+      // WITH OFFSET + FROM ⇒ the grid anchors at FROM+offset (reference
+      // SampleByTest: 27m FROM '2021-03-01' OFFSET '+00:15' buckets at
+      // 00:15, 00:42, … — and 10s FROM '…23:59:55' OFFSET '00:05'
+      // buckets at :55/:05, both = FROM+offset grids) and FROM only
+      // clips: ceil FROM up to the grid for every anchoring use
+      def dayGridAnchorUs(f: java.sql.Timestamp): Long =
+        f.getTime * 1000L + offsetShiftUs(offsetLit)
       def ceilToGrid(f: java.sql.Timestamp): java.sql.Timestamp =
         if (strideMonths.isDefined || offsetLit == null) f
         else {
           val fromUs0 = f.getTime * 1000L
-          val aUs = offsetShiftUs(offsetLit) + weekShiftUs0
+          val aUs = dayGridAnchorUs(f)
           val rem = (((aUs - fromUs0) % strideUs) + strideUs) % strideUs
           tsOfUs(fromUs0 + rem)
+        }
+      // explicit day-anchored grid + first-bucket clamp for the op layer
+      val (gridAnchorOpt, clampOpt): (Option[Long], Option[Long]) =
+        (fromP, Option(offsetLit)) match {
+          case (Some(f), Some(_)) if strideMonths.isEmpty =>
+            (Some(dayGridAnchorUs(f)),
+              Some(ceilToGrid(f).getTime * 1000L))
+          case _ => (None, None)
         }
       val range = (fromP, toP) match {
         case (Some(from), Some(to)) =>
@@ -5470,7 +5483,7 @@ object QuestSql {
               val fromUs0 = from.getTime * 1000L
               val toUs = to.getTime * 1000L
               val anchorUs = Option(offsetLit) match {
-                case Some(off) => offsetShiftUs(off) + weekShiftUs0
+                case Some(_) => dayGridAnchorUs(from)
                 case None => fromUs0
               }
               val rem = (((anchorUs - fromUs0) % strideUs) + strideUs) % strideUs
@@ -5489,7 +5502,35 @@ object QuestSql {
         .orElse(tsAliasedOp.map(_._3)).getOrElse(tsName)
       val out = Option(alignKind).map(_.toUpperCase.replaceAll("\\s+", " ")) match {
         case Some("FIRST OBSERVATION") =>
-          graft.ops.SampleBy.sampleByFirstObs(ranged, tsName, strideUs, keys, aggs, tsOut)
+          val hasFillFO = fill match {
+            case graft.ops.SampleBy.NoFill => false
+            case graft.ops.SampleBy.FillPerColumn(fs) =>
+              fs.exists(_ != graft.ops.SampleBy.NoFill)
+            case _ => true
+          }
+          if (!hasFillFO || strideMonths.isDefined || strideUs <= 0L)
+            graft.ops.SampleBy.sampleByFirstObs(ranged, tsName, strideUs, keys, aggs, tsOut)
+          else {
+            // FILL over a first-observation grid: anchor the normal
+            // fill machinery at the GLOBAL first observation (reference
+            // SampleByTest sample by 5m fill(linear) align to first
+            // observation — spine steps firstObs + k·stride up to the
+            // last data bucket). Two scalar aggregates bound the spine;
+            // the spine itself stays distributed.
+            val mm = ranged.agg(min(col(tsName)), max(col(tsName))).head()
+            if (mm.isNullAt(0))
+              graft.ops.SampleBy.sampleByFirstObs(ranged, tsName, strideUs, keys, aggs, tsOut)
+            else {
+              val aTs = mm.getTimestamp(0); val bTs = mm.getTimestamp(1)
+              val aUs = aTs.getTime * 1000L + aTs.getNanos / 1000 % 1000
+              val bUs = bTs.getTime * 1000L + bTs.getNanos / 1000 % 1000
+              val lastUs = aUs + Math.floorDiv(bUs - aUs, strideUs) * strideUs
+              graft.ops.SampleBy.sampleBy(ranged, tsName, stride, keys, aggs, fill,
+                range = Some((tsOfUs(aUs), tsOfUs(lastUs))),
+                tsOut = tsOut, unit = Some(unit.head),
+                gridAnchorUs = Some(aUs))
+            }
+          }
         case _ =>
           // the grid anchor: an explicit FROM wins (buckets start AT the
           // FROM point — SampleByTest FROM/TO + OFFSET); otherwise the
@@ -5510,7 +5551,9 @@ object QuestSql {
                 case _ => weekShiftUs0 % strideUs
               }
               s"$baseUs microseconds"
-            } else Option(offsetLit).map(offsetInterval).getOrElse("0 seconds")
+            } else Option(offsetLit)
+              .map(off => s"${offsetShiftUs(off) + weekShiftUs0} microseconds")
+              .getOrElse("0 seconds")
           // FROM/TO extend the bucket spine only when a FILL is present;
           // without FILL they filter + anchor (SampleByTest FROM '...'
           // WITH OFFSET — data rows only, no fabricated null buckets)
@@ -5528,7 +5571,9 @@ object QuestSql {
             rangeLo = if (hasFill && range.isEmpty) fromP.map(ceilToGrid) else None,
             rangeHi = if (hasFill && range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None,
             unit = Some(unit.head),
-            anchor = fromP.map(ceilToGrid))
+            anchor = fromP.map(ceilToGrid),
+            gridAnchorUs = if (tzLit == null) gridAnchorOpt else None,
+            clampUs = if (tzLit == null) clampOpt else None)
       }
       // project in select-list order
       val outNames = items.map {
