@@ -12,7 +12,12 @@ object Dbg {
         if (sys.env.contains("DBG_PLAN")) println(df.queryExecution.analyzed.toString)
         df.show(10, false)
       }
-      catch { case e: Throwable => println("ERR: " + e.toString.replace('\n',' ').take(600)) }
+      catch { case e: Throwable =>
+        println("ERR: " + e.toString.replace('\n',' ').take(600))
+        if (sys.env.contains("DBG_TRACE"))
+          e.getStackTrace.filterNot(_.getClassName.startsWith("java.util.regex"))
+            .take(25).foreach(f => println("  at " + f))
+      }
     }
   }
 }

@@ -178,6 +178,19 @@ object DialectRewrites {
       "(?i)\\b(union\\s+all|union|intersect(?:\\s+all)?|except(?:\\s+all)?)\\s+" +
         "([A-Za-z_]\\w*)\\s+(where|latest|sample)\\b",
       "$1 SELECT * FROM $2 $3"))
+    // parenthesized bare-table set operands: `(x union x)` /
+    // `(a except all b)` are full queries in the reference (SampleByTest
+    // where-IN subqueries, UnionAllCastTest paren heads)
+    q = mapOutside(q)(_.replaceAll(
+      "(?i)\\(\\s*([A-Za-z_]\\w*)\\s+(union\\s+all|union|intersect(?:\\s+all)?|except(?:\\s+all)?)\\s+" +
+        "([A-Za-z_]\\w*)\\s*([)\\s])",
+      "(SELECT * FROM $1 $2 SELECT * FROM $3$4"))
+    // function-call BETWEEN (reference `x BETWEEN('a','b')` =
+    // `x BETWEEN 'a' AND 'b'`) — full-text: the operands are string
+    // literals, which mapOutside segments would split
+    q = q.replaceAll(
+      "(?i)\\bbetween\\s*\\(\\s*('[^']*'|[\\w.]+)\\s*,\\s*('[^']*'|[\\w.]+)\\s*\\)",
+      "BETWEEN $1 AND $2")
     // LIMIT lo,hi inside a subquery (reference row-range slice; the
     // top-level form is handled by the range-limit operator): rows
     // lo+1..hi = OFFSET lo LIMIT hi-lo

@@ -109,7 +109,19 @@ object QuestSql {
       if (df.columns.contains("ts")) "ts"
       else df.schema.fields
         .find(_.dataType == org.apache.spark.sql.types.TimestampType)
-        .map(_.name).getOrElse("ts")
+        .map(_.name)
+        .orElse {
+          // ns-carrier designated ts (BIGINT nanos): a long column whose
+          // name is some table's registered designated timestamp —
+          // `(x latest on k …) sample by` materializes to a view whose
+          // ts column kept the base table's name
+          import scala.jdk.CollectionConverters._
+          val known = tsRegistry.values().asScala.toSet
+          df.schema.fields.find(f =>
+            f.dataType == org.apache.spark.sql.types.LongType &&
+              known.contains(f.name)).map(_.name)
+        }
+        .getOrElse("ts")
     }
   }
 
@@ -376,8 +388,77 @@ object QuestSql {
       r
     }
 
+  /** Table names CONTAINING dots (reference `'sys.telemetry_wal'` — a
+    * single name, not schema.table; CreateTableTest/SampleByTest).
+    * Spark temp views reject multi-part names, so dotted names mangle
+    * to `__dot__` consistently across creation and every reference
+    * spelling (quoted, double-quoted, backticked, bare). */
+  private val dottedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def mangleDottedTables(q0: String): String = {
+    var q = q0
+    """(?is)\bcreate\s+table(?:\s+if\s+not\s+exists)?\s+['"`]([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)['"`]""".r
+      .findAllMatchIn(q).foreach(m => dottedTables.add(m.group(1).toLowerCase))
+    if (dottedTables.isEmpty) return q
+    if (!q.contains(".")) return q
+    // quoted spellings — only names the session actually created
+    q = """['"`]([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)['"`]""".r.replaceAllIn(q, m =>
+      if (dottedTables.contains(m.group(1).toLowerCase))
+        java.util.regex.Matcher.quoteReplacement(m.group(1).replace(".", "__dot__"))
+      else java.util.regex.Matcher.quoteReplacement(m.matched))
+    // bare spellings
+    dottedTables.forEach { n =>
+      q = q.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(n.replace(".", "__dot__")))
+    }
+    q
+  }
+
+  /** SAMPLE BY FROM/TO bounds may be constant EXPRESSIONS (reference
+    * `FROM timestamp_floor('2s', '…') TO timestamp_floor(…)`,
+    * SampleByTest telemetry): fold them to timestamp literals before
+    * the op-form parsers, which expect literal bounds. Non-constant or
+    * failing expressions are left untouched (the fallback errors as
+    * before). */
+  private def evalSampleByBounds(spark: SparkSession, q0: String): String = {
+    if (!"""(?i)\bsample\s+by\b""".r.findFirstIn(q0).isDefined) return q0
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\b(FROM|TO)\\s+(timestamp_floor\\s*\\((?:[^()']|'[^']*'|\\([^()]*\\))*\\))")
+    val m = pat.matcher(q0)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val repl =
+        try {
+          val v = sqlBound(spark, s"SELECT ${m.group(2)}", Map.empty).head().get(0)
+          v match {
+            case t: java.sql.Timestamp =>
+              val fmt = java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+              m.group(1) + " '" + t.toLocalDateTime.format(fmt) + "'"
+            case _ => m.group(0)
+          }
+        } catch { case _: Exception => m.group(0) }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Designated-timestamp names declared on DERIVED tables in the
+    * current statement (`from (select …) timestamp(col)`), captured
+    * before DialectRewrites drops the tail — the textual SAMPLE BY
+    * lowering uses them to identify the bucket column when its name is
+    * unconventional (SampleByTest nAS_ControlPlane). */
+  private val innerDesignations = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   private def sqlBound0(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
-    var q0 = expandDeclare(query.trim.stripSuffix(";"))
+    var q0 = mangleDottedTables(expandDeclare(query.trim.stripSuffix(";")))
+    // accumulate across the statement's recursive sub-evaluations (the
+    // tails are dropped before subquery materialization re-enters here)
+    innerDesignations.set(innerDesignations.get ++
+      """(?is)\)\s*timestamp\s*\(\s*([\w.]+)\s*\)""".r.findAllMatchIn(q0)
+        .map(_.group(1).split('.').last.toLowerCase))
     // a statement that is nothing but comments compiles to an empty
     // zero-column result in the reference
     if (q0.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("--[^\n]*", "").trim.isEmpty)
@@ -478,6 +559,7 @@ object QuestSql {
     // key-predicate pushdown past SAMPLE BY FILL must precede BOTH the
     // forms path and the fallback (which re-derives from q0)
     q0 = pushFilterIntoSampleBy(q0)
+    q0 = evalSampleByBounds(spark, q0)
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
         if (named.isEmpty) q0 else substParams(q0, named)))))))
@@ -4061,6 +4143,12 @@ object QuestSql {
       s"named_struct('lo', $lo, 'hi', timestamp_micros(unix_micros($lo) + CAST(floor(${uSql(s + "_w")} * 3600000000.0) AS BIGINT)))"
     }
     if (saltFallback) q = q.replace("cast(x as string)", "cast(__rnd_salt as string)")
+    // a generate_series FROM exposes no `x` — salt the rnd_* stream with
+    // the series value itself (per-row variation, SampleByTest telemetry
+    // inserts)
+    else if (hasRnd && !containsWordIgnoreCase(q, "long_sequence") &&
+        containsWordIgnoreCase(q, "generate_series"))
+      q = q.replace("cast(x as string)", "cast(generate_series as string)")
     q
   }
 
@@ -4490,6 +4578,13 @@ object QuestSql {
     */
   private def basePrecision(s: String): (java.time.LocalDateTime, java.time.LocalDateTime) = {
     import java.time._
+    // an explicit zone offset tail (`…T00:31:02+01:00`) converts to the
+    // UTC wall clock (reference interval literals accept offsets)
+    """([+-]\d{2}:\d{2})$""".r.findFirstMatchIn(s.trim).foreach { m =>
+      val odt = OffsetDateTime.parse(s.trim.replace(' ', 'T'))
+      val utc = odt.withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime
+      return (utc, utc.plusSeconds(1))
+    }
     val t = s.stripSuffix("Z").replace(' ', 'T') // UTC session — Z is a no-op
     t.length match {
       case 4 =>
@@ -4571,10 +4666,34 @@ object QuestSql {
     IntervalLit.replaceAllIn(q, m => scala.util.Try {
       val ranges = intervalRanges(m.group(3))
       val c = m.group(1)
-      val body = ranges
+      def usOf(s: String): Long = {
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      }
+      // a long regular repeat (`lo;dur;period;count`) compacts to a
+      // bounded range + modulo residual instead of a count-term OR
+      // chain — the chain blows the downstream regex passes' stacks at
+      // count≈48 and bloats the plan; the range conjuncts still push
+      // down to the scan
+      lazy val compact: Option[String] =
+        if (ranges.size <= 8) None
+        else scala.util.Try {
+          val lo0 = usOf(ranges.head._1); val hi0 = usOf(ranges.head._2)
+          val period = usOf(ranges(1)._1) - lo0
+          val dur = hi0 - lo0
+          val regular = period > 0 && dur > 0 && dur <= period &&
+            ranges.zipWithIndex.forall { case ((l, h), i) =>
+              usOf(l) == lo0 + i.toLong * period && usOf(h) == hi0 + i.toLong * period
+            }
+          if (!regular) None
+          else Some(s"($c >= TIMESTAMP '${ranges.head._1}' AND " +
+            s"$c < TIMESTAMP '${ranges.last._2}' AND " +
+            s"pmod(unix_micros($c) - ${lo0}L, ${period}L) < ${dur}L)")
+        }.toOption.flatten
+      val body = compact.getOrElse(ranges
         .map { case (lo, hi) => s"($c >= TIMESTAMP '$lo' AND $c < TIMESTAMP '$hi')" }
-        .mkString(" OR ")
-      val wrapped = if (ranges.size > 1) s"($body)" else body
+        .mkString(" OR "))
+      val wrapped = if (ranges.size > 1 && compact.isEmpty) s"($body)" else body
       Regex.quoteReplacement(
         if (m.group(2) != null) s"(NOT $wrapped)" else wrapped)
     }.getOrElse(Regex.quoteReplacement(m.matched)))
@@ -5145,7 +5264,10 @@ object QuestSql {
           items.map(_.trim).find(i => isBare(i) && conv(i.split('.').last.toLowerCase))
             .map(_.split('.').last)
         }
-        if (table.startsWith("(")) conventional.getOrElse("ts")
+        def declaredInner = items.map(_.trim).find(i =>
+          isBare(i) && innerDesignations.get.contains(i.split('.').last.toLowerCase))
+          .map(_.split('.').last)
+        if (table.startsWith("(")) conventional.orElse(declaredInner).getOrElse("ts")
         else {
           // first table token of the relation (strip backticks/quotes)
           val headTbl = """[`']?([\w.]+)""".r.findFirstMatchIn(table.trim)
@@ -5161,7 +5283,18 @@ object QuestSql {
         case it @ AliasedTs(base, alias)
             if base == tsName || base.endsWith(s".$tsName") => (it, base, alias)
       }
-      val keys = items.filter(i => isBare(i) && !tsItem.contains(i))
+      // group keys: every non-aggregate item (reference auto-grouping) —
+      // bare columns, aliased columns (`c alias` / `c AS alias`) and
+      // constants; (groupExpr, outputName) pairs
+      val keyPairs: Seq[(String, String)] = items.flatMap {
+        case i if tsItem.contains(i) || tsAliased.exists(_._1 == i) => None
+        case i if isBare(i) => Some((i, i.split('.').last))
+        case i if sqlAggFnRe.findFirstIn(i).isEmpty && !i.contains("(") =>
+          """(?is)^(.+?)\s+(?:AS\s+)?`?(\w+)`?$""".r.findFirstMatchIn(i.trim)
+            .map(m => (m.group(1).trim, m.group(2)))
+        case _ => None
+      }
+      val keys = keyPairs.map(_._1)
       val tsExpr0 = tsItem.orElse(tsAliased.map(_._2)).getOrElse(tsName)
       // a TIMESTAMP_NS key rides as BIGINT nanos — bucket on the µs view
       // (runtime type dispatch; folds away in codegen for ts columns)
@@ -5211,7 +5344,13 @@ object QuestSql {
           .orElse(tsAliased.map(_._3)).getOrElse(tsName)
         def outName(i: String): String = {
           val a = """(?is)^.*\s+AS\s+`?(\w+)`?\s*$""".r.findFirstMatchIn(i)
-          a.map(_.group(1)).getOrElse(i.split('.').last.trim)
+          a.map(_.group(1)).getOrElse {
+            val t = i.trim
+            // implicit alias (`col alias`, `'lit' alias`, `agg(x) alias`)
+            if (t.matches("""(?s)[\w.']+\s+\w+""") ||
+                t.matches("""(?s).*\)\s+\w+""")) t.split("\\s+").last
+            else t.split('.').last.trim
+          }
         }
         val names = items.map {
           case i if tsItem.contains(i) => tsOutName
@@ -5220,9 +5359,12 @@ object QuestSql {
         }
         if (keys.isEmpty) s"$lowered ORDER BY ${quoteIdent(tsOutName)}"
         else {
-          val keyNames = keys.map(k => quoteIdent(k.split('.').last))
+          val keyNames = keyPairs.map(p => quoteIdent(p._2))
+          // partition by the GROUP EXPRESSIONS — the output aliases are
+          // lateral in this select and Spark rejects them in windows
+          val keyExprs = keyPairs.map(_._1)
           val inner = s"SELECT ${outItems.mkString(", ")}, " +
-            s"MIN(MIN($tsExpr)) OVER (PARTITION BY ${keyNames.mkString(", ")}) AS __graft_fs " +
+            s"MIN(MIN($tsExpr)) OVER (PARTITION BY ${keyExprs.mkString(", ")}) AS __graft_fs " +
             s"FROM $table$whereSql GROUP BY $groupKeys"
           s"SELECT ${names.map(quoteIdent).mkString(", ")} FROM ($inner) " +
             s"ORDER BY ${quoteIdent(tsOutName)}, __graft_fs, ${keyNames.mkString(", ")}"
