@@ -40,6 +40,9 @@ object RefParity {
     setupGlobFixture()
     val spark = Sessions.local()
     val engine = Engine(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    // catalog listings must mirror the replayed session: the fixture
+    // parquet views are not tables the harvested test created
+    spark.conf.set("graft.catalog.hideBaseline", "true")
     val baseline = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
 
     val cases = scala.io.Source.fromFile(corpus).getLines().zipWithIndex

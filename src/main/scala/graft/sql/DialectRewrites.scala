@@ -49,7 +49,7 @@ object DialectRewrites {
     // null-equality comparisons (reference null = null is true), but not
     // in UPDATE/INSERT assignment contexts
     val fw0 = q0.trim.takeWhile(_.isLetter).toLowerCase
-    if (fw0 != "update" && fw0 != "insert") { q = mapOutside(q)(eqNull); q = inListNulls(q) }
+    if (fw0 != "update" && fw0 != "insert") q = mapOutside(q)(eqNull)
     q = mapOutside(q)(nanLiteral)
     // the reference parser takes unquoted unicode identifiers
     // (EngineMigrationTest table names); Spark requires backquotes
@@ -152,6 +152,10 @@ object DialectRewrites {
     q = unnestColumns(q)
     q = unnestPg(q)
     q = pivotGroupBy(q)
+    // AFTER pivotGroupBy: a PIVOT's `FOR c IN (1, NULL)` value list is
+    // consumed by the pivot lowering — the null-compat predicate rewrite
+    // here must only see real IN predicates
+    if (fw0 != "update" && fw0 != "insert") q = inListNulls(q)
     q = quotedTableNames(q)
     // inner-subquery designated-timestamp tails — `from (select ...)
     // timestamp(ts) where ...` (reference allows designating ts on any
@@ -205,51 +209,175 @@ object DialectRewrites {
     q
   }
 
-  /** Reference `PIVOT (agg FOR col IN (...) GROUP BY keys)` carries an
-    * explicit key list; Spark's PIVOT groups by all non-pivot columns.
-    * Pre-project the source to exactly (keys, pivot col, agg columns)
-    * and drop the GROUP BY from the clause. */
+  /** Reference `PIVOT (aggs FOR c1 IN (…) [c2 IN (…)] GROUP BY keys
+    * [ORDER BY …] [LIMIT n])` → conditional aggregation (one FILTERed
+    * aggregate per value-combination × aggregate), the same lowering
+    * the reference's SqlOptimiser.rewritePivot performs over its model.
+    * Direct conditional aggregation (not Spark's PIVOT clause) because
+    * the reference's surface is wider: NULL pivot values (null-safe
+    * compare), expression pivot columns (`year - 2000`), several FOR
+    * clauses (label cross-product), aggregate EXPRESSIONS
+    * (`SUM(v+1)+10`), duplicate-label `_2` disambiguation, and
+    * matching-rows-only semantics (groups with no matching row are NOT
+    * emitted — the source pre-filters on the value set). Rows stream in
+    * first-appearance order of the keys, like every reference group-by
+    * cursor. Plan shape: single hash aggregate with map-side partials —
+    * identical to what Spark's own PIVOT lowers to. */
   private def pivotGroupBy(q0: String): String = {
+    val rel3 = "(?:`[^`]+`|[\\w.])+|\\((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*\\)"
     val pat = java.util.regex.Pattern.compile(
-      "(?is)\\b(FROM\\s+)((?:`[^`]+`|[\\w.])+)(\\s+PIVOT\\s*\\(\\s*)(.+?)(\\s+FOR\\s+)([\\w`]+)(\\s+IN\\s*\\((?:[^()]|\\([^()]*\\))*\\))\\s+GROUP\\s+BY\\s+([\\w`.,\\s]+?)\\s*\\)")
+      "(?is)\\b(FROM\\s+)(" + rel3 + ")(\\s+PIVOT\\s*\\(\\s*)(.+?)" +
+        "((?:\\s+FOR\\s+.+?IN\\s*\\((?:[^()]|\\([^()]*\\))*\\))+)" +
+        "\\s+GROUP\\s+BY\\s+([\\w`.,\\s]+?)" +
+        "(\\s+ORDER\\s+BY\\s+[\\w`.,\\s]+?)?(\\s+LIMIT\\s+\\d+)?\\s*\\)")
     var s = q0
     var m = pat.matcher(s)
     var guard = 0
     while (m.find() && guard < 16) {
       guard += 1
-      val (from, rel, pivotKw, agg, forKw, forCol, inList, keys) =
-        (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
-          m.group(6), m.group(7), m.group(8))
-      // columns the aggregate reads: bare identifiers inside its parens
-      val aggCols = "\\(([^()]*)\\)".r.findAllMatchIn(agg)
-        .flatMap(_.group(1).split(",")).map(_.trim)
-        .filter(_.matches("[A-Za-z_][\\w.]*")).toSeq.distinct
-      val keyCols = keys.split(",").map(_.trim).toSeq
-      val proj = (keyCols ++ Seq(forCol) ++ aggCols).distinct
-      // a single aliased aggregate: the reference names columns
-      // `<value>_<alias>`; Spark drops a single agg's alias, so strip it
-      // and re-alias in an outer projection over the known value list
-      val aliasM = "(?is)^(.*?)\\s+AS\\s+([\\w`]+)\\s*$".r.findFirstMatchIn(agg.trim)
-        .filter(_ => !agg.contains(","))
-      val pivotCore = s"(SELECT ${proj.mkString(", ")} FROM $rel)$pivotKw" +
-        s"${aliasM.map(_.group(1)).getOrElse(agg)}$forKw$forCol$inList)"
-      val repl = aliasM match {
-        case Some(am) =>
-          val alias = am.group(2).replace("`", "")
-          val vals = inList.trim
-            .replaceAll("(?is)^\\s*IN\\s*\\(", "").stripSuffix(")")
-            .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          val renames = vals.map { v =>
-            val nm = if (v.startsWith("'")) v.substring(1, v.length - 1) else v
-            s"`$nm` AS `${nm}_$alias`"
-          }
-          s"$from(SELECT ${keyCols.mkString(", ")}, ${renames.mkString(", ")} FROM $pivotCore)"
-        case None => s"$from$pivotCore"
+      val (from, rel, aggsTxt, forsTxt, keys) =
+        (m.group(1), m.group(2), m.group(4), m.group(5), m.group(6))
+      val orderTail = Option(m.group(7)).map(_.trim)
+      val limitTail = Option(m.group(8)).map(_.trim).getOrElse("")
+      // aggregates: top-level comma split, each `expr [AS alias]`
+      val aggs = splitTopCommas(aggsTxt).map { a =>
+        "(?is)^(.*?)\\s+AS\\s+[`\"]?([\\w.]+)[`\"]?\\s*$".r.findFirstMatchIn(a.trim)
+          .map(am => (am.group(1).trim, Some(am.group(2))))
+          .getOrElse((a.trim, None))
       }
+      // FOR clauses: (pivot expression, value literals)
+      val forPat = java.util.regex.Pattern.compile(
+        "(?is)(?:\\bFOR\\s+)?(.+?)\\s+IN\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)")
+      val fm = forPat.matcher(forsTxt.trim.replaceAll("(?is)^FOR\\s+", ""))
+      val fors = scala.collection.mutable.Buffer[(String, Seq[String])]()
+      while (fm.find())
+        fors += ((fm.group(1).trim, splitTopCommas(fm.group(2)).map(_.trim)))
+      def valueLabel(v: String): String = {
+        val t = v.trim
+        val raw =
+          if (t.equalsIgnoreCase("null")) "NULL"
+          else if (t.startsWith("'")) {
+            val c = t.substring(1, t.length - 1).replace("''", "'")
+            // double quotes are identifier quotes in the reference — a
+            // '"in"' value labels as `in` (PivotTest dedup cases)
+            if (c.length >= 2 && c.startsWith("\"") && c.endsWith("\""))
+              c.substring(1, c.length - 1)
+            else c
+          }
+          // numeric literals label without our D/L widening suffixes
+          else if (t.matches("-?\\d+(\\.\\d+)?[DdLl]")) t.substring(0, t.length - 1)
+          else t
+        // labels trim trailing whitespace (reference createColumnAlias;
+        // the `_2` dedup then separates 'in' from 'in '), and an empty
+        // value gets the default item name
+        val trimmed = raw.replaceAll("\\s+$", "")
+        if (trimmed.isEmpty) "column" else trimmed
+      }
+      // value combinations (cross product across FOR clauses)
+      def combos(rest: Seq[(String, Seq[String])]): Seq[(String, Seq[String])] =
+        rest match {
+          case Seq() => Seq(("", Nil))
+          case (col, vals) +: tail =>
+            val sub = combos(tail)
+            vals.flatMap(v => sub.map { case (lbl, conds) =>
+              val l = valueLabel(v)
+              ((if (lbl.isEmpty) l else l + "_" + lbl),
+                (s"($col) <=> ($v)") +: conds)
+            })
+        }
+      val combosAll = combos(fors.toSeq)
+      // FILTER injection: every AGGREGATE call inside the expression
+      // gets the combination's condition (non-aggregate calls —
+      // coalesce/abs wrappers — are scanned through, reference
+      // `coalesce(0, SUM(x))` / `abs(SUM(x))` forms)
+      val aggHeads = Set("sum", "count", "avg", "min", "max", "first", "last",
+        "first_value", "last_value", "ksum", "nsum", "stddev", "stddev_samp",
+        "stddev_pop", "variance", "var_samp", "var_pop", "count_distinct",
+        "string_agg", "vwap", "wavg", "min_by", "max_by", "arg_min", "arg_max",
+        "mode", "median", "approx_count_distinct", "covar_samp", "covar_pop", "corr")
+      def withFilter(aggExpr: String, cond: String): String = {
+        val heads = java.util.regex.Pattern.compile(
+          "(?i)\\b([A-Za-z_][\\w$]*)\\s*\\(")
+        val hm = heads.matcher(aggExpr)
+        val out = new StringBuilder
+        var last = 0
+        while (hm.find()) {
+          if (hm.start() >= last && aggHeads(hm.group(1).toLowerCase)) {
+            // balanced close of this call
+            var depth = 0; var i = hm.end() - 1; var close = -1
+            while (i < aggExpr.length && close < 0) {
+              aggExpr.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) close = i
+                case _ =>
+              }
+              i += 1
+            }
+            if (close > 0) {
+              out.append(aggExpr.substring(last, close + 1))
+              out.append(s" FILTER (WHERE $cond)")
+              last = close + 1
+            }
+          }
+        }
+        out.append(aggExpr.substring(last))
+        out.toString
+      }
+      val multiAgg = aggs.size > 1
+      // labels with case-insensitive `_2`-style dedup (reference
+      // rewritePivot duplicate handling)
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val items = combosAll.flatMap { case (lbl, conds) =>
+        val cond = conds.mkString(" AND ")
+        aggs.map { case (aggExpr, alias) =>
+          // reference labels spell count() argless and the null value
+          // lowercase when an agg suffix follows (PivotTest multi-agg)
+          val aggLbl = aggExpr.replaceAll("\\(\\s*\\*\\s*\\)", "()")
+          val suffix = alias.map("_" + _)
+            .getOrElse(if (multiAgg) "_" + aggLbl else "")
+          val lblAdj = if (suffix.nonEmpty && lbl == "NULL") "null" else lbl
+          val base = lblAdj + suffix
+          val k = base.toLowerCase
+          val n = seen.getOrElse(k, 0) + 1
+          seen(k) = n
+          val name = if (n == 1) base else s"${base}_$n"
+          s"${withFilter(aggExpr, cond)} AS `${name.replace("`", "")}`"
+        }
+      }
+      // matching-rows-only: the source filters on the union of value
+      // sets, so keys with no matching row vanish (reference semantics)
+      val whereSql = fors.map { case (col, vals) =>
+        vals.map(v => s"($col) <=> ($v)").mkString("(", " OR ", ")")
+      }.mkString(" AND ")
+      val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // first-appearance key order (reference group-by cursors stream
+      // keys in scan order); an explicit ORDER BY in the clause wins
+      val order = orderTail.getOrElse("ORDER BY min(__gpos)")
+      val repl = s"$from(SELECT ${keyCols.mkString(", ")}, ${items.mkString(", ")} " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __gpos FROM $rel) " +
+        s"WHERE $whereSql GROUP BY ${keyCols.mkString(", ")} $order $limitTail)"
       s = s.substring(0, m.start()) + repl + s.substring(m.end())
       m = pat.matcher(s)
     }
     s
+  }
+
+  /** Top-level comma split (parens- and quote-aware). */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => var j = i + 1; while (j < s.length && s.charAt(j) != '\'') j += 1; i = j
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** `FROM t, UNNEST(expr COLUMNS(a TYPE, ...)) u` — JSON-array unnest

@@ -300,13 +300,32 @@ object QuestSql {
     }
   }
 
+  /** Duplicate output names never survive in the reference
+    * (SqlUtil.createColumnAlias appends numeric suffixes: the second
+    * `grp` of a `SELECT *` over a self-join becomes `grp1`). */
+  private[sql] def dedupOutputColumns(df: DataFrame): DataFrame = {
+    val names = df.columns
+    if (names.map(_.toLowerCase).distinct.length == names.length) return df
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
+    val renamed = names.map { n =>
+      val k = n.toLowerCase
+      val c = seen.getOrElse(k, 0)
+      seen(k) = c + 1
+      var out = if (c == 0) n else n + c
+      while (!used.add(out.toLowerCase)) { seen(k) += 1; out = n + (seen(k) - 1) }
+      out
+    }
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
     withRefSemantics(spark) {
       val df = sqlBound0(spark, query, named)
       // the LATEST ON helper rank must never surface, whichever nesting
       // path produced it
-      tagNsColumns(query,
-        if (df.columns.contains("__rn")) df.drop("__rn") else df)
+      dedupOutputColumns(tagNsColumns(query,
+        if (df.columns.contains("__rn")) df.drop("__rn") else df))
     }
 
   /** Tag result columns that carry a TIMESTAMP_NS-declared column of a
@@ -628,6 +647,27 @@ object QuestSql {
           // a correlated LATERAL subquery raises MISSING_GROUP_BY as a
           // plain AnalysisException (no plan attached) — fix the lateral
           // bodies textually and retry
+          // ORDER BY over a dedup-suffixed duplicate column (`grp1`
+          // after SELECT * across a join of same-named outputs —
+          // reference createColumnAlias renames the second `grp` to
+          // `grp1`): run without the ORDER BY, rename duplicates, then
+          // sort on the renamed frame
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null && e.getCondition.startsWith("UNRESOLVED_COLUMN") &&
+                """`(\w*?\d)`""".r.findFirstIn(Option(e.getMessage).getOrElse("")).isDefined &&
+                topLevelIndexOf(rewritten, Seq("order by")) >= 0 => {
+            val at = topLevelIndexOf(rewritten, Seq("order by"))
+            val head = rewritten.substring(0, at).trim
+            val tail = rewritten.substring(at).trim
+              .replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
+            val items = tail.split(",").map(_.trim).filter(_.nonEmpty)
+            val sorted = dedupOutputColumns(run(head)).orderBy(items.map { it =>
+              val desc = it.toLowerCase.endsWith(" desc")
+              val nm = it.replaceAll("(?i)\\s+(asc|desc)$", "").trim
+              if (desc) col(nm).desc else col(nm).asc
+            }.toIndexedSeq: _*)
+            sorted
+          }
           case e: org.apache.spark.sql.AnalysisException
               if e.getCondition == "MISSING_GROUP_BY" &&
                 !e.isInstanceOf[org.apache.spark.sql.catalyst.ExtendedAnalysisException] &&
@@ -910,8 +950,12 @@ object QuestSql {
     * pivot column set is resolved at compile time). */
   private def expandPivotSubqueries(spark: SparkSession, q0: String): String = {
     if (!"""(?i)\bPIVOT\b""".r.findFirstIn(q0).isDefined) return q0
+    // `FOR c IN (SELECT …)` plus FOLLOW-ON clauses of a multi-FOR pivot
+    // (`FOR a IN (SELECT …) b IN (SELECT …)`) — the optional-FOR branch
+    // only engages right after a ')' (the previous clause's close), so
+    // ordinary WHERE … IN (SELECT …) predicates stay untouched
     val pat = java.util.regex.Pattern.compile(
-      "(?is)(\\bFOR\\s+[\\w.]+\\s+IN\\s*)\\(\\s*(SELECT\\b(?:[^()]|\\([^()]*\\))*?)\\s*\\)")
+      "(?is)((?:\\bFOR|\\))\\s+[\\w.]+\\s+IN\\s*)\\(\\s*(SELECT\\b(?:[^()]|\\([^()]*\\))*?)\\s*\\)")
     var s = q0
     var m = pat.matcher(s)
     var guard = 0
@@ -920,20 +964,20 @@ object QuestSql {
       val vals =
         try sql(spark, m.group(2)).collect().toSeq.map(_.get(0)).distinct
         catch { case _: Exception => return s }
+      def tsLit(ldt: java.time.LocalDateTime, msec: Boolean): String = {
+        // DATE dimensions (ntz carrier) label in the reference's msec
+        // pattern, TIMESTAMP ones in the µs pattern (PivotTest)
+        val p = if (msec) "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+                else "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+        "'" + ldt.format(java.time.format.DateTimeFormatter.ofPattern(p)) + "'"
+      }
       val lits = vals.map {
         case null => "NULL"
         case x: String => "'" + x.replace("'", "''") + "'"
-        // timestamp dimension values render the reference USEC pattern —
-        // it becomes both the comparison literal and the column name
-        case t: java.sql.Timestamp =>
-          "'" + java.time.Instant.ofEpochMilli(t.getTime)
-            .plusNanos((t.getNanos % 1000000).toLong)
-            .atZone(java.time.ZoneOffset.UTC)
-            .format(java.time.format.DateTimeFormatter
-              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")) + "'"
-        case t: java.time.LocalDateTime =>
-          "'" + t.format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")) + "'"
+        // timestamp dimension values become both the comparison literal
+        // and the column name
+        case t: java.sql.Timestamp => tsLit(t.toLocalDateTime, msec = false)
+        case t: java.time.LocalDateTime => tsLit(t, msec = true)
         case x => x.toString
       }
       s = s.substring(0, m.start()) + m.group(1) + "(" + lits.mkString(", ") + ")" +
