@@ -131,6 +131,10 @@ object TimestampArithRule extends Rule[LogicalPlan] {
 
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
+    // `ts + x/60*840000` — Spark's `/` promotes integers to DOUBLE where
+    // the reference divides integrally; the micros delta truncates back
+    // (reference timestamp arithmetic is long-valued)
+    case DoubleType | FloatType => true
     case _ => false
   }
   private def isTs(dt: DataType): Boolean = dt match {

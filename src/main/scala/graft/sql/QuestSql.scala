@@ -66,6 +66,7 @@ object QuestSql {
     * state contaminates and compounds across cases. */
   def resetSessionState(): Unit = {
     liveViewDefs.clear(); matViewDefs.clear(); matViewDirty.clear()
+    pinnedViewDefs.clear()
     graft.Catalog.clearTableRegistries()
     retainDesignatedTs(graft.Tables.designatedTs.keySet)
   }
@@ -317,6 +318,41 @@ object QuestSql {
       out
     }
     df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  /** Plain views are DEFINITIONS, re-evaluated per read (reference
+    * CreateViewOperation: a view resolves against the current state of
+    * its base tables) — a Spark temp view freezes the plan it was
+    * created from, so a base-table INSERT (which swaps the base temp
+    * view) would otherwise leave the view stale. Refresh every
+    * referenced view's temp view from its registered definition; while
+    * a checkpoint is active, pinned definitions win (post-checkpoint
+    * ALTER/DROP VIEW must not affect reads until RELEASE). */
+  private val pinnedViewDefs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val viewRefreshGuard = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+  private def refreshPlainViews(spark: SparkSession, q: String): Unit = {
+    if (graft.Catalog.plainViewReg.isEmpty && pinnedViewDefs.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    val names = (graft.Catalog.plainViewReg.keySet.asScala ++
+      pinnedViewDefs.keySet.asScala).toSet -- viewRefreshGuard.get
+    val qLower = q.toLowerCase
+    names.foreach { n =>
+      if (("""(?<![\w])""" + java.util.regex.Pattern.quote(n) + """(?![\w])""").r
+          .findFirstIn(qLower).isDefined) {
+        val d =
+          if (graft.ops.Checkpoint.active && pinnedViewDefs.containsKey(n))
+            pinnedViewDefs.get(n)
+          else graft.Catalog.plainViewReg.get(n)
+        if (d != null) {
+          viewRefreshGuard.set(viewRefreshGuard.get + n)
+          try sqlBound(spark, d, Map.empty).createOrReplaceTempView(n)
+          catch { case _: Exception => () }
+          finally viewRefreshGuard.set(viewRefreshGuard.get - n)
+        }
+      }
+    }
   }
 
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
@@ -572,6 +608,7 @@ object QuestSql {
     if (wantsInfo || wantsPg)
       graft.Catalog.ensureMetaViews(spark, info = wantsInfo, pg = wantsPg)
     prof("refreshLiveViews")(refreshLiveViews(spark, q0))
+    prof("refreshPlainViews")(refreshPlainViews(spark, q0))
     prof("refreshMatViews")(refreshDirtyMatViews(spark, q0))
     // dialect forms build DataFrames directly → substitute literals;
     // the pass-through keeps markers and uses Spark's parameter binder
@@ -1327,6 +1364,10 @@ object QuestSql {
   private val CreateViewRe =
     ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
       """\s+AS\s+(.*)$""").r
+  private val DropViewRe =
+    ("""(?is)^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?""" + Ident + """\s*$""").r
+  private val AlterViewAsRe =
+    ("""(?is)^ALTER\s+VIEW\s+""" + Ident + """\s+AS\s+(.*)$""").r
 
   private val CreateTableAsRe =
     ("""(?is)^CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" + Ident +
@@ -1775,10 +1816,17 @@ object QuestSql {
       })
       if (v.equalsIgnoreCase("CREATE")) {
         val dir = graft.ops.Checkpoint.create(spark)
+        // pin view DEFINITIONS (not plans): reads during the checkpoint
+        // evaluate the definition as of CREATE over live data
+        // (reference CheckpointTest: post-checkpoint inserts show
+        // through a view, post-checkpoint ALTER VIEW does not)
+        pinnedViewDefs.clear()
+        pinnedViewDefs.putAll(graft.Catalog.plainViewReg)
         import spark.implicits._
         Some(Seq(dir).toDF("checkpoint_dir"))
       } else {
         graft.ops.Checkpoint.release()
+        pinnedViewDefs.clear()
         Some(status(spark, "OK"))
       }
     case CreateMatViewRe(name0, base, refreshTail, innerParen, innerBare) =>
@@ -2115,9 +2163,26 @@ object QuestSql {
           matViewDefs.put(key, d.copy(refreshKind = kind.toUpperCase))
       }
       Some(status(spark, "OK"))
+    // view DDL updates the CATALOG immediately; reads go through
+    // refreshPlainViews, which re-evaluates the registered definition
+    // per query and pins the checkpoint-time definition while a
+    // checkpoint is active (reference CheckpointTest semantics)
     case CreateViewRe(name, inner) =>
-      sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
+      if (!(graft.ops.Checkpoint.active && pinnedViewDefs.containsKey(unq(name).toLowerCase)))
+        sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
       graft.Catalog.plainViewReg.put(unq(name).toLowerCase, inner.trim)
+      Some(status(spark, "OK"))
+    case DropViewRe(name) =>
+      graft.Catalog.plainViewReg.remove(unq(name).toLowerCase)
+      if (graft.ops.Checkpoint.active && pinnedViewDefs.containsKey(unq(name).toLowerCase))
+        graft.ops.Checkpoint.defer(() =>
+          { try spark.catalog.dropTempView(unq(name)) catch { case _: Exception => () } })
+      else { try spark.catalog.dropTempView(unq(name)) catch { case _: Exception => () } }
+      Some(status(spark, "OK"))
+    case AlterViewAsRe(name, inner) =>
+      graft.Catalog.plainViewReg.put(unq(name).toLowerCase, inner.trim)
+      if (!(graft.ops.Checkpoint.active && pinnedViewDefs.containsKey(unq(name).toLowerCase)))
+        sqlBound(spark, inner.trim, Map.empty).createOrReplaceTempView(unq(name))
       Some(status(spark, "OK"))
     case CreateTableAsRe(name, inner, castTail, ts) =>
       val df0 = sqlBound(spark, inner, Map.empty)
@@ -2339,34 +2404,30 @@ object QuestSql {
     case DropRe(name) =>
       // reference checkpoint gate (CheckpointTest): while a checkpoint is
       // in progress a non-WAL table cannot be dropped (lock error); a WAL
-      // table's drop is a queued WAL op that applies only after RELEASE
+      // table's drop applies IMMEDIATELY — the metadata deregisters and
+      // tables() stops listing it — because the snapshot already
+      // hard-linked the data (the reference's queued WAL op deregisters
+      // the token up front the same way)
       if (graft.ops.Checkpoint.active) {
         val wal = Option(graft.Catalog.createMeta.get(unq(name).toLowerCase)).exists(_.walEnabled)
         if (!wal) throw new IllegalStateException(
           s"could not lock '${unq(name)}~' [reason='checkpointInProgress']")
-        graft.ops.Checkpoint.defer(() => dropAndUnregister(spark, unq(name)))
-        Some(status(spark, "OK"))
-      } else {
-        dropAndUnregister(spark, unq(name))
-        Some(status(spark, "OK"))
       }
+      dropAndUnregister(spark, unq(name))
+      Some(status(spark, "OK"))
     case RenameRe(from, to) =>
       if (graft.ops.Checkpoint.active) {
         val wal = Option(graft.Catalog.createMeta.get(unq(from).toLowerCase)).exists(_.walEnabled)
         if (!wal) throw new IllegalStateException(
           s"could not lock '${unq(from)}~' [reason='checkpointInProgress']")
-        graft.ops.Checkpoint.defer { () =>
-          spark.table(from).createOrReplaceTempView(unq(to))
-          Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
-          spark.catalog.dropTempView(unq(from))
-        }
-        Some(status(spark, "OK"))
-      } else {
-        spark.table(from).createOrReplaceTempView(unq(to))
-        Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
-        spark.catalog.dropTempView(unq(from))
-        Some(status(spark, "OK"))
       }
+      spark.table(from).createOrReplaceTempView(unq(to))
+      Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
+      Option(graft.Catalog.createMeta.get(unq(from).toLowerCase))
+        .foreach(m => graft.Catalog.registerCreateMeta(unq(to), m))
+      spark.catalog.dropTempView(unq(from))
+      graft.Catalog.unregisterTable(unq(from))
+      Some(status(spark, "OK"))
     case TruncateRe(name) =>
       spark.table(name).limit(0).createOrReplaceTempView(unq(name))
       markMatViewsDirty(unq(name), FullRange._1, FullRange._2)
