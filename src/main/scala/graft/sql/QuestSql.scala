@@ -948,6 +948,9 @@ object QuestSql {
       }
     }
     if (!"""(?i)\bover\s*[\s(]""".r.findFirstIn(q).isDefined) return q
+    // DISTINCT collapses to a set — an appended scan-order ORDER BY
+    // would reference columns outside the distinct output
+    if ("""(?is)^\s*SELECT\s+DISTINCT\b""".r.findFirstIn(q).isDefined) return q
     if (topLevelIndexOf(q, Seq("order by", "group by", "union", "intersect",
         "except", "sample by", "latest on")) >= 0) return q
     val fromAt = topLevelIndexOf(q, Seq("from"))
@@ -2660,8 +2663,17 @@ object QuestSql {
           // 128/256-bit scales exceed Spark's 38-digit decimals: compute
           // at scale 20 and pad the zero tail textually — exact whenever
           // the true quotient fits 20 decimals (the DECIMAL256 corpus)
+          // compute at a HIGHER intermediate scale than the target —
+          // Spark's avg over decimal(p, s) yields scale s+4, so a
+          // low-scale input truncates before the final cast (reference
+          // 1m,2m,4m avg at scale 5 = 2.33333, not 2.33330) — and
+          // rescale HALF_EVEN (reference Decimals.round: 0.5 at scale 0
+          // prints 0, not 1)
+          val is = math.min(math.max(scale + 6, 10), 20)
+          val ip = math.min(38, is + 18)
           val repl =
-            if (scale <= 37) s"CAST(__AVGS__($x)$over AS DECIMAL(38, $scale))"
+            if (scale <= 37)
+              s"CAST(bround(__AVGS__(CAST(($x) AS DECIMAL($ip, $is)))$over, $scale) AS DECIMAL(38, $scale))"
             else s"concat(CAST(CAST(__AVGS__($x)$over AS DECIMAL(38, 20)) AS STRING), " +
               s"repeat('0', ${scale - 20}))"
           q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
@@ -2977,14 +2989,17 @@ object QuestSql {
   private[graft] def rewriteGeoLiterals(q: String): String = mapOutsideStrings(q) { s =>
     val bin = "##([01]+)".r.replaceAllIn(s, m => {
       val bits = m.group(1)
-      if (bits.length % 5 != 0)
-        throw new IllegalArgumentException(
-          s"geohash bit literal ##$bits: ${bits.length} bits is not a whole number " +
-            "of base32 chars (5 bits each)")
-      val chars = bits.grouped(5)
-        .map(g => "0123456789bcdefghjkmnpqrstuvwxyz".charAt(Integer.parseInt(g, 2)))
-        .mkString
-      s"'$chars'"
+      // whole 5-bit groups spell base32 chars; sub-char precisions keep
+      // the BIT-string spelling — bit-granularity geohash columns carry
+      // their binary rendering (the reference prints geohash(7b) as
+      // '1111111'), so `within(##111111)` stays a prefix predicate
+      if (bits.length % 5 != 0) s"'$bits'"
+      else {
+        val chars = bits.grouped(5)
+          .map(g => "0123456789bcdefghjkmnpqrstuvwxyz".charAt(Integer.parseInt(g, 2)))
+          .mkString
+        s"'$chars'"
+      }
     })
     // base32 alphabet excludes a, i, l, o; require a boundary before #
     // so we never touch ## (handled above) or mid-token #
@@ -3161,11 +3176,16 @@ object QuestSql {
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
       val sv = """(?is)^(.*\S)\s+AS\s+(?:STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
+      // explicit double casts keep their user-intent marker so the
+      // integer-division rule skips them (reference: explicit
+      // cast-to-double divides fractionally, bare int/int integrally)
+      val dbl = """(?is)^(.*\S)\s+AS\s+DOUBLE\s*$""".r.findFirstMatchIn(inner)
       val iv = """(?is)^(.*\S)\s+AS\s+IPV4\s*$""".r.findFirstMatchIn(inner)
       // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
       // nullability; NullLiteralsTest): null input lands as false / 0
       val nn = """(?is)^(.*\S)\s+AS\s+(BOOLEAN|BYTE|SHORT)\s*$""".r.findFirstMatchIn(inner)
-      if (nn.isDefined) {
+      if (dbl.isDefined) s"__graft_dbl((${dbl.get.group(1)}))"
+      else if (nn.isDefined) {
         val t = nn.get
         val (x, tpe) = (t.group(1), t.group(2).toUpperCase)
         val sparkT = if (tpe == "BOOLEAN") "BOOLEAN" else if (tpe == "BYTE") "TINYINT" else "SMALLINT"
@@ -3194,7 +3214,8 @@ object QuestSql {
           // time (RuntimeReplaceable), so non-timestamp operands cast
           // natively with no analysis failure.
           val x = sv.get.group(1)
-          if (x.startsWith("'") || x.matches("-?\\d+(\\.\\d+)?[LlDd]?")) s"cast($inner)"
+          if (x.startsWith("'") || x.matches("-?\\d+(\\.\\d+)?[LlDd]?"))
+            s"__QCAST__(($x) AS STRING)" // sizeless VARCHAR would not parse
           else s"qdb_str($x)"
         case _ => s"cast($inner)"
       }
@@ -4272,7 +4293,7 @@ object QuestSql {
   // Seeds are accepted and ignored: the rnd_* stream here is
   // md5-deterministic by construction (see rewriteGeneratorFns)
   private val LongSeqRe =
-    """(?i)\blong_sequence\s*\(\s*([\d\s+*/-]+?)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
+    """(?i)\blong_sequence\s*\(\s*([\d\s+*/Ll-]+?)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)""".r
 
   /** Constant-fold an integer arithmetic expression (reference accepts
     * arithmetic in generator args: `long_sequence(4 * 24 * 60)`). */
@@ -6368,15 +6389,22 @@ object QuestSql {
     * LIMIT keeps its reverse-top-k lowering in ops.Limits).
     */
   private val NegRangeLimitRe =
-    """(?is)^(.*?)\bLIMIT\s+(-\d+|\d+)\s*,\s*(-\d+|\d+)\s*$""".r
+    """(?is)^(.*?)\bLIMIT\s+(-?\d+(?:\s*[-+]\s*\d+)*)\s*,\s*(-?\d+(?:\s*[-+]\s*\d+)*)\s*$""".r
 
   private def rangeLimitNegForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
-    case NegRangeLimitRe(prefix, loS, hiS) if loS.startsWith("-") || hiS.startsWith("-") =>
+    case NegRangeLimitRe(prefix, loS, hiS) if loS.contains("-") || hiS.contains("-") =>
       val base = sql(spark, prefix.trim)
       val n = base.count()
-      def abs(v: Long): Long = math.max(if (v < 0) n + v else v, 0L)
-      val b0 = abs(loS.toLong)
-      val b1 = math.min(abs(hiS.toLong), n)
+      // constant arithmetic bounds (`LIMIT -9223372036854775807-1, -1`);
+      // BigInt keeps Long.MinValue-ish bounds from wrapping in the
+      // end-relative shift
+      def evalB(s: String): BigInt =
+        s.replaceAll("\\s+", "").split("(?=[-+])").filter(_.nonEmpty)
+          .map(BigInt(_)).sum
+      def abs(v: BigInt): Long =
+        (if (v < 0) (BigInt(n) + v).max(0) else v.min(BigInt(n))).toLong
+      val b0 = abs(evalB(loS))
+      val b1 = math.min(abs(evalB(hiS)), n)
       // reversed bounds slice the swapped range (reference LIMIT -2,-4)
       val (lo, hi) = if (b1 >= b0) (b0, b1) else (b1, math.min(b0, n))
       if (hi <= lo) Some(base.limit(0))

@@ -85,10 +85,11 @@ class QuestSqlSpec extends SparkSpec {
     // within_radius etc. must NOT be eaten by the infix rewrite
     val wr = "SELECT within_radius(x, y, 0, 0, 5) AS r"
     assert(QuestSql.rewriteWithin(wr) == wr)
-    // sub-char bit precision is rejected, not truncated
-    intercept[IllegalArgumentException] {
-      QuestSql.rewriteGeoLiterals("WHERE g within(##0101)")
-    }
+    // sub-char bit precision keeps the BIT-string spelling (bit-typed
+    // geohash columns print binary — reference geohash(7b) within
+    // ##111111 is a bit-prefix predicate)
+    assert(QuestSql.rewriteGeoLiterals("WHERE g within(##0101)")
+      == "WHERE g within('0101')")
     // end-to-end: geohash column + within over # literals
     val r = engine.sql(
       "SELECT count(*) AS n FROM (SELECT geohash_encode(lat, lon, 4) AS g " +
