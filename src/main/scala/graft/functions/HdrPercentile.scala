@@ -61,9 +61,10 @@ object HdrPercentile {
     def zero: Buf = Buf(Map.empty, 0L, 0.0, 0.5, 1, isLong = true, seen = false)
 
     private def record(b0: Buf, v: Double): Buf = {
-      if (v < 0)
-        throw new IllegalArgumentException(
-          "approx_percentile does not support negative values")
+      // negative inputs are SKIPPED, not errors (reference
+      // ApproxMedianLongGroupByFunctionFactoryTest: median of (1, -1)
+      // is 1 — the HDR histogram records the non-negative domain)
+      if (v < 0) return b0
       val mag = magnitudeOf(b0.digits)
       val half = 1L << (mag - 1)
       if (b0.isLong) {

@@ -379,7 +379,15 @@ object QuestSql {
         val post = i + table.length >= qLower.length || {
           val ch = qLower.charAt(i + table.length); !ch.isLetterOrDigit && ch != '_'
         }
-        if (pre && post) return true
+        if (pre && post) {
+          // short table names collide with column names (a CTAS body's
+          // `x - 1` must not count as referencing TABLE x and inherit
+          // its ns tagging) — require a relation-ish context for them
+          if (table.length > 3) return true
+          val ctx = qLower.substring(math.max(0, i - 12), i)
+          if ("""(from|join|into|update|table)\s+$|,\s*$""".r.findFirstIn(ctx).isDefined ||
+              i == 0) return true
+        }
         i = qLower.indexOf(table, i + 1)
       }
       false
@@ -395,6 +403,12 @@ object QuestSql {
           case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP") &&
             !d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") => n
         }
+        // a CTAS table declares no µs columns explicitly, but its
+        // registered designated ts is µs unless it IS an ns column
+        // (LtTimestampFunctionFactoryTest: mixed ts + ts_ns via CTAS)
+        Option(tsRegistry.get(tbl)).map(_.toLowerCase)
+          .filterNot(n => cols.get(n).exists(_.tpe.toUpperCase.startsWith("TIMESTAMP_NS")))
+          .foreach(usTsCols += _)
       }
     }
     // literal-only ns queries (generate_series over ::timestamp_ns
@@ -466,6 +480,55 @@ object QuestSql {
         java.util.regex.Matcher.quoteReplacement(n.replace(".", "__dot__")))
     }
     q
+  }
+
+  /** Mixed-unit timestamp comparisons (`ts <= ts_ns`,
+    * LtTimestampFunctionFactoryTest): a TIMESTAMP_NS column rides as a
+    * BIGINT nanos carrier, so comparing it with a µs TIMESTAMP needs a
+    * unit bridge — scale the µs side to nanos (exact; the reverse
+    * direction would truncate). Name-based over the referenced tables'
+    * declared column types, like tagNsColumns. */
+  private def nsMixedComparisons(q0: String): String = {
+    import scala.jdk.CollectionConverters._
+    if (!q0.contains("_ns") || graft.Catalog.declaredCols.isEmpty) return q0
+    val qLower = q0.toLowerCase
+    var nsCols = Set.empty[String]; var usCols = Set.empty[String]
+    graft.Catalog.declaredCols.asScala.foreach { case (tbl, cols) =>
+      if (qLower.contains(tbl)) {
+        nsCols ++= cols.collect {
+          case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") => n.toLowerCase }
+        usCols ++= cols.collect {
+          case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP") &&
+            !d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") => n.toLowerCase }
+      }
+    }
+    // CTAS tables declare no µs columns — their DESIGNATED ts is still
+    // known through the registry
+    graft.Catalog.declaredCols.asScala.keys.foreach { tbl =>
+      if (qLower.contains(tbl))
+        Option(tsRegistry.get(tbl)).map(_.toLowerCase)
+          .filterNot(nsCols).foreach(usCols += _)
+    }
+    if (nsCols.isEmpty || usCols.isEmpty) return q0
+    val cmp = java.util.regex.Pattern.compile(
+      "([\\w.]+)\\s*(<=|>=|!=|<>|=|<|>)\\s*([\\w.]+)")
+    val m = cmp.matcher(q0)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      def kind(x: String): Int = {
+        val n = x.split('.').last.toLowerCase
+        if (nsCols(n)) 2 else if (usCols(n)) 1 else 0
+      }
+      val (l, op, r) = (m.group(1), m.group(2), m.group(3))
+      val repl = (kind(l), kind(r)) match {
+        case (1, 2) => s"(unix_micros($l) * 1000) $op $r"
+        case (2, 1) => s"$l $op (unix_micros($r) * 1000)"
+        case _ => m.group(0)
+      }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
   /** SAMPLE BY FROM/TO bounds may be constant EXPRESSIONS (reference
@@ -591,6 +654,7 @@ object QuestSql {
     // sliding time-RANGE first/last_value → O(n) running-frame
     // aggregates (after AutoAlias so reference default names are pinned)
     q0 = prof("slidingValueFrames")(DialectRewrites.slidingValueFrames(q0))
+    q0 = prof("nsMixedComparisons")(nsMixedComparisons(q0))
     // lateral-join parity: decorrelate bodies Spark's lateral planner
     // cannot host (deep refs, correlated set-ops, dialect operators) and
     // align empty-group semantics with the reference's count driver
@@ -3400,7 +3464,25 @@ object QuestSql {
     q = expandCalls(q, "starts_with") { case Seq(s, p) =>
       s"(left($s, length($p)) = ($p))" }
     q = expandCalls(q, "make_geohash") { case Seq(lon, lat, bits) =>
-      s"geohash_encode(CAST($lat AS DOUBLE), CAST($lon AS DOUBLE), $bits)" }
+      // reference make_geohash(lon, lat, BITS): the precision is in
+      // BITS — whole 5-bit groups spell base32 chars, sub-char
+      // precisions keep the binary rendering; out-of-range coordinates
+      // yield null (GeoHashFromCoordinatesFunctionFactory)
+      val guard = s"abs(CAST($lat AS DOUBLE)) > 90.0D OR abs(CAST($lon AS DOUBLE)) > 180.0D"
+      def enc(chars: Long) =
+        s"geohash_encode(CAST($lat AS DOUBLE), CAST($lon AS DOUBLE), $chars)"
+      bits.trim.toLongOption match {
+        case Some(b) if b % 5 == 0 =>
+          s"(CASE WHEN $guard THEN NULL ELSE ${enc(b / 5)} END)"
+        case Some(b) =>
+          val full = (b + 4) / 5
+          val toBits = s"array_join(transform(split(${enc(full)}, ''), __gc -> " +
+            s"IF(__gc = '', '', lpad(bin(locate(__gc, '0123456789bcdefghjkmnpqrstuvwxyz') - 1), 5, '0'))), '')"
+          s"(CASE WHEN $guard THEN NULL ELSE substring($toBits, 1, $b) END)"
+        case None =>
+          s"(CASE WHEN $guard THEN NULL ELSE " +
+            s"geohash_encode(CAST($lat AS DOUBLE), CAST($lon AS DOUBLE), CAST(($bits) / 5 AS INT)) END)"
+      } }
     q = expandCalls(q, "json_extract") { case Seq(doc, path) =>
       s"get_json_object($doc, $path)" }
     q = expandCalls(q, "timestamp_floor_utc") { args => floorExpr(args, toUtc = true) }
@@ -3629,7 +3711,11 @@ object QuestSql {
     // the native hash aggregate.
     q = expandCalls(q, "arg_max") { case Seq(a, b) => s"max_by($a, $b)" }
     q = expandCalls(q, "arg_min") { case Seq(a, b) => s"min_by($a, $b)" }
-    q = expandCalls(q, "approx_median") { case Seq(x) => s"approx_percentile($x, 0.5)" }
+    q = expandCalls(q, "approx_median") {
+      case Seq(x) => s"approx_percentile($x, 0.5)"
+      // 2-arg form carries the HDR significant-digit precision
+      case Seq(x, prec) => s"approx_percentile($x, 0.5, $prec)"
+    }
     // reference HdrHistogram semantics (precision default 1); typeof()
     // constant-folds per column so the udaf picks the long vs double
     // histogram exactly like the reference factories
@@ -5242,11 +5328,14 @@ object QuestSql {
 
   private[sql] def splitSelect(sel: String): Seq[String] = {
     val out = collection.mutable.Buffer[String]()
-    var depth = 0; val cur = new StringBuilder
+    var depth = 0; var inQ = false; val cur = new StringBuilder
     sel.foreach {
-      case '(' => depth += 1; cur.append('(')
-      case ')' => depth -= 1; cur.append(')')
-      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      // quote-aware: a ',' INSIDE a string literal is content, not a
+      // separator (string_distinct_agg(s, ',') has two args, not three)
+      case '\'' => inQ = !inQ; cur.append('\'')
+      case '(' if !inQ => depth += 1; cur.append('(')
+      case ')' if !inQ => depth -= 1; cur.append(')')
+      case ',' if depth == 0 && !inQ => out += cur.toString.trim; cur.clear()
       case c => cur.append(c)
     }
     if (cur.nonEmpty) out += cur.toString.trim
