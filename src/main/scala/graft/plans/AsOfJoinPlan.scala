@@ -181,6 +181,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => RefArrayCastRule)
     e.injectResolutionRule(_ => RefDoubleSortNullsRule)
     e.injectResolutionRule(_ => RefIntegerDivideRule)
+    e.injectResolutionRule(_ => RefInListCoercionRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -151,6 +151,65 @@ object RefIntegerDivideRule extends org.apache.spark.sql.catalyst.rules.Rule[
   }
 }
 
+/** Reference IN-list coercion: every list item converts to the tested
+  * expression's type (value-based membership — InTest
+  * `d in (1::byte, '7'::string, …)` over a DOUBLE matches 1.0 and 7.0).
+  * Spark's coercion finds a common type (often STRING) and compares in
+  * it instead. Dialect-gated; fires only on heterogeneous lists over a
+  * primitive test expression. */
+object RefInListCoercionRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def primitive(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | TimestampType | TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case in @ In(v, list)
+            if v.resolved && list.forall(_.resolved) && primitive(v.dataType) &&
+              list.exists(e => e.dataType != v.dataType && e.dataType != NullType) =>
+          In(v, list.map {
+            case e if e.dataType == v.dataType || e.dataType == NullType => e
+            // timestamp items against an integral column compare in
+            // MICROS (reference epoch-micros longs), not Spark's seconds
+            case e if e.dataType == TimestampType &&
+                (v.dataType == LongType || v.dataType == IntegerType) =>
+              Cast(UnixMicros(e), v.dataType)
+            case e => Cast(e, v.dataType)
+          })
+        // Spark's coercion may get there first and wrap the TESTED side
+        // instead (In(cast(d AS string), strings…)) — unwrap and convert
+        // the list to the column's native type
+        case in @ In(Cast(v, _, _, _), list)
+            if v.resolved && list.forall(_.resolved) && primitive(v.dataType) &&
+              !v.dataType.isInstanceOf[StringType] =>
+          In(v, list.map { e0 =>
+            // the coercion also string-wrapped the items — unwrap to
+            // recover their native types before converting
+            val e = e0 match {
+              case Cast(i, st, _, _) if st.isInstanceOf[StringType] && i.resolved => i
+              case x => x
+            }
+            e match {
+              case x if x.dataType == v.dataType || x.dataType == NullType => x
+              // timestamp items against an integral column compare in
+              // MICROS (reference epoch-micros longs), not Spark's seconds
+              case x if x.dataType == TimestampType &&
+                  (v.dataType == LongType || v.dataType == IntegerType) =>
+                Cast(UnixMicros(x), v.dataType)
+              case x => Cast(x, v.dataType)
+            }
+          })
+      }
+    }
+  }
+}
+
 /** Reference double/float sort placement: null doubles ride as NaN in
   * the reference's sort (NaN compares greater than every value —
   * OrderByEncodeSortTest), so ASC puts nulls LAST and DESC puts them

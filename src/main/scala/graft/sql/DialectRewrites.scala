@@ -2076,6 +2076,14 @@ object DialectRewrites {
   private def sizelessTypes(s0: String): String = {
     var s = s0
     s = s.replaceAll("(?i)::\\s*varchar\\b(?!\\s*\\()", "::STRING")
+    // numeric ::char is a CHARACTER-CODE cast in the reference
+    // (`(x-1)::char` = the char at that code; code 0 prints empty —
+    // InTest `ch in ('')`); other operands keep the string cast
+    s = s.replaceAll(
+      "(?i)(?<![:\\w])(\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|-?\\d+|[\\w.]+)(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
+      "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint') " +
+        "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
+        "ELSE CAST($1 AS STRING) END)")
     s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
     s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|long256|ipv4)\\b", "::STRING")
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
