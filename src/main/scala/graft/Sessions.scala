@@ -7,7 +7,13 @@ import org.apache.spark.sql.SparkSession
   * is local-mode-specific except the caller-provided master/parallelism.
   */
 object Sessions {
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    // session.timeZone=UTC covers Catalyst, but collected
+    // java.sql.Timestamp values rendered back into SQL text (pivot
+    // labels, folded SAMPLE BY bounds) go through toLocalDateTime,
+    // which uses the JVM default zone — pin it so a non-UTC driver JVM
+    // can't shift literals by its zone offset
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     SparkSession.builder()
       .master(master)
       .withExtensions(new graft.plans.GraftExtensions)
@@ -30,6 +36,7 @@ object Sessions {
       // exact same values back
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+  }
 
   def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
     val s = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()

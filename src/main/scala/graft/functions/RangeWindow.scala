@@ -135,17 +135,39 @@ case class SlidingRangeAgg(value: Expression, key: Expression,
     b
   }
 
-  /** Ordered-concatenation merge — the window path never merges, but a
-    * grouped-aggregate use must still be correct for `last`; deque
-    * modes re-insert entry by entry (entries are already key-ordered
-    * within each side and shards of a group are key-disjoint in the
-    * only planner path that reaches here). */
+  /** Key-sorted merge — the window path never merges, but `__w_slide`
+    * is a registered session function, so a grouped/partial-aggregate
+    * use must still be correct for every mode under Spark's ARBITRARY
+    * partition merge order. Each side's deque is key-sorted, so a
+    * two-pointer merge keeps the merged deque key-sorted even when
+    * shard key-ranges interleave; the min/max modes re-apply the
+    * pop-from-back dominance rule entry by entry, restoring the
+    * monotonic-deque invariant (either side's surviving tail may be
+    * dominated by the other side's values). */
   override def merge(b: SlideBuf, o: SlideBuf): SlideBuf = {
     if (!o.seen) return b
     if (!b.seen) return o
     val (lo, hi) = if (b.curKey <= o.curKey) (b, o) else (o, b)
-    val ki = hi.ks.iterator(); val vi = hi.vs.iterator()
-    while (ki.hasNext) { lo.ks.addLast(ki.next()); lo.vs.addLast(vi.next()) }
+    if (!hi.ks.isEmpty || !lo.ks.isEmpty) {
+      val mks = new java.util.ArrayDeque[java.lang.Long]()
+      val mvs = new java.util.ArrayDeque[Any]()
+      val popLe = mode == "max"; val deque = mode == "min" || popLe
+      def push(k: java.lang.Long, v: Any): Unit = {
+        if (deque) {
+          while (!mvs.isEmpty && {
+            val c = ord.compare(mvs.peekLast, v); if (popLe) c <= 0 else c >= 0
+          }) { mvs.pollLast(); mks.pollLast() }
+        }
+        mks.addLast(k); mvs.addLast(v)
+      }
+      while (!lo.ks.isEmpty || !hi.ks.isEmpty) {
+        val takeLo = !lo.ks.isEmpty && (hi.ks.isEmpty ||
+          lo.ks.peekFirst.longValue <= hi.ks.peekFirst.longValue)
+        if (takeLo) push(lo.ks.pollFirst(), lo.vs.pollFirst())
+        else push(hi.ks.pollFirst(), hi.vs.pollFirst())
+      }
+      lo.ks.addAll(mks); lo.vs.addAll(mvs)
+    }
     if (hi.has && (!lo.has || hi.candKey >= lo.candKey)) {
       lo.candKey = hi.candKey; lo.candV = hi.candV; lo.has = true
     }

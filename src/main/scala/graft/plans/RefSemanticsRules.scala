@@ -184,15 +184,23 @@ object RefInListCoercionRule extends org.apache.spark.sql.catalyst.rules.Rule[
           })
         // Spark's coercion may get there first and wrap the TESTED side
         // instead (In(cast(d AS string), strings…)) — unwrap and convert
-        // the list to the column's native type
-        case in @ In(Cast(v, _, _, _), list)
-            if v.resolved && list.forall(_.resolved) && primitive(v.dataType) &&
+        // the list to the column's native type. Only ANALYZER-inserted
+        // casts unwrap: a user-written `x::int IN (1,2)` carries the
+        // parser's USER_SPECIFIED_CAST tag and must keep cast-then-
+        // compare semantics (the reference applies the explicit cast
+        // before membership).
+        case in @ In(c @ Cast(v, _, _, _), list)
+            if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+              v.resolved && list.forall(_.resolved) && primitive(v.dataType) &&
               !v.dataType.isInstanceOf[StringType] =>
           In(v, list.map { e0 =>
             // the coercion also string-wrapped the items — unwrap to
-            // recover their native types before converting
+            // recover their native types before converting (user casts
+            // on items stay applied)
             val e = e0 match {
-              case Cast(i, st, _, _) if st.isInstanceOf[StringType] && i.resolved => i
+              case ci @ Cast(i, st, _, _)
+                  if st.isInstanceOf[StringType] && i.resolved &&
+                    ci.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => i
               case x => x
             }
             e match {

@@ -1622,7 +1622,7 @@ object DialectRewrites {
   }
 
   /** Apply `f` to the segments outside single-quoted strings. */
-  private def mapOutside(s: String)(f: String => String): String = {
+  private[sql] def mapOutside(s: String)(f: String => String): String = {
     val sb = new StringBuilder
     var i = 0
     var start = 0

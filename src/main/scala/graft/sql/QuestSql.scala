@@ -67,6 +67,7 @@ object QuestSql {
   def resetSessionState(): Unit = {
     liveViewDefs.clear(); matViewDefs.clear(); matViewDirty.clear()
     pinnedViewDefs.clear()
+    dottedTables.clear()
     graft.Catalog.clearTableRegistries()
     retainDesignatedTs(graft.Tables.designatedTs.keySet)
   }
@@ -78,6 +79,9 @@ object QuestSql {
   private def dropAndUnregister(spark: SparkSession, name: String): Unit = {
     spark.catalog.dropTempView(name)
     graft.Catalog.unregisterTable(name)
+    // a dropped dotted name stops mangling later statements' text
+    if (name.contains("__dot__"))
+      dottedTables.remove(name.toLowerCase.replace("__dot__", "."))
     val key = name.split('.').last.toLowerCase
     if (!graft.Tables.designatedTs.contains(key)) tsRegistry.remove(key)
   }
@@ -474,10 +478,12 @@ object QuestSql {
       if (dottedTables.contains(m.group(1).toLowerCase))
         java.util.regex.Matcher.quoteReplacement(m.group(1).replace(".", "__dot__"))
       else java.util.regex.Matcher.quoteReplacement(m.matched))
-    // bare spellings
+    // bare spellings — outside string literals only (a dotted name
+    // inside a string is content, e.g. an error-message assertion)
     dottedTables.forEach { n =>
-      q = q.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(n.replace(".", "__dot__")))
+      q = DialectRewrites.mapOutside(q)(
+        _.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(n.replace(".", "__dot__"))))
     }
     q
   }
@@ -2686,6 +2692,18 @@ object QuestSql {
             .map(_.group(1).toInt).getOrElse(0)
       }
     }
+    // declared (precision - scale) = integral digits the intermediate
+    // cast must preserve; unknown declarations assume 18 (the long
+    // range) as before
+    def declaredIntDigits(col0: String): Int = {
+      val c = col0.split('.').last.toLowerCase
+      import scala.jdk.CollectionConverters._
+      graft.Catalog.declaredCols.asScala.collectFirst {
+        case (_, cols) if cols.get(c).exists(_.tpe.toUpperCase.startsWith("DECIMAL")) =>
+          """\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(cols(c).tpe)
+            .map(mm => mm.group(1).toInt - mm.group(2).toInt).getOrElse(18)
+      }.getOrElse(18)
+    }
     val pat = java.util.regex.Pattern.compile(
       "(?is)\\bavg\\s*\\(\\s*([\\w.]+)\\s*(?:,\\s*(\\d+)\\s*)?\\)")
     var q = q0
@@ -2733,11 +2751,19 @@ object QuestSql {
           // 1m,2m,4m avg at scale 5 = 2.33333, not 2.33330) — and
           // rescale HALF_EVEN (reference Decimals.round: 0.5 at scale 0
           // prints 0, not 1)
-          val is = math.min(math.max(scale + 6, 10), 20)
-          val ip = math.min(38, is + 18)
+          // the intermediate must hold the input's INTEGRAL digits —
+          // capping them at 18 silently nulls legitimate low-scale,
+          // large-magnitude values (decimal(38,5) ≥ 1e18) under
+          // non-ANSI overflow-to-null; only RAISE the scale, and fall
+          // back to the direct form when the widened type can't fit
+          val intDig = math.max(declaredIntDigits(x), 1)
+          val is0 = math.min(math.max(scale + 6, 10), 20)
+          val is = math.max(scale, math.min(is0, 38 - intDig))
           val repl =
-            if (scale <= 37)
-              s"CAST(bround(__AVGS__(CAST(($x) AS DECIMAL($ip, $is)))$over, $scale) AS DECIMAL(38, $scale))"
+            if (scale <= 37 && is + intDig <= 38)
+              s"CAST(bround(__AVGS__(CAST(($x) AS DECIMAL(${is + intDig}, $is)))$over, $scale) AS DECIMAL(38, $scale))"
+            else if (scale <= 37)
+              s"CAST(bround(__AVGS__($x)$over, $scale) AS DECIMAL(38, $scale))"
             else s"concat(CAST(CAST(__AVGS__($x)$over AS DECIMAL(38, 20)) AS STRING), " +
               s"repeat('0', ${scale - 20}))"
           q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
@@ -6417,8 +6443,17 @@ object QuestSql {
         else if (c.toUpperCase.endsWith(" ASC")) c.dropRight(4) + " DESC"
         else c + " DESC"
       }.mkString(", ")
-      s"SELECT $sel FROM (SELECT * FROM $rest ORDER BY $flipped LIMIT $n" +
-        s") ORDER BY ${cols.mkString(", ")}"
+      if (sel.trim.toUpperCase.startsWith("DISTINCT")) {
+        // DISTINCT must run BEFORE the tail slice (reference pipeline:
+        // distinct → order → limit; slicing the base rows first would
+        // lose distinct values whose last occurrence falls outside the
+        // tail — DistinctWithLimitTest). DISTINCT's order keys are in
+        // its projection by dialect rule, so the inner ORDER resolves.
+        s"SELECT * FROM (SELECT $sel FROM $rest ORDER BY $flipped LIMIT $n" +
+          s") ORDER BY ${cols.mkString(", ")}"
+      } else
+        s"SELECT $sel FROM (SELECT * FROM $rest ORDER BY $flipped LIMIT $n" +
+          s") ORDER BY ${cols.mkString(", ")}"
     case NegLimitRe(prefix, orderCols, n) =>
       val cols = orderCols.split(",").map(_.trim)
       val flipped = cols.map { c =>
@@ -6437,12 +6472,35 @@ object QuestSql {
       // items (`t2.k x`) keep resolving
       val relAlias =
         if (table.matches("[\\w.]+")) " " + table.split('.').last else ""
-      Option(tsRegistry.get(table.split('.').last.toLowerCase)) match {
+      val tsOpt = Option(tsRegistry.get(table.split('.').last.toLowerCase))
+      if (sel.trim.toUpperCase.startsWith("DISTINCT")) {
+        // DISTINCT … LIMIT -n: the reference emits distinct rows in
+        // FIRST-APPEARANCE order, then slices the tail
+        // (LimitRecordCursorFactory over DistinctRecordCursor). Spark's
+        // DISTINCT hash-shuffles and loses appearance order, so lower to
+        // group-by-all + min(appearance key): the key is the designated
+        // ts when the table has one (scan order IS ts order), else a
+        // scan-position id made deterministic by coalescing the scan to
+        // one task first (parity surface only — a keyless tail slice
+        // needs a total order by definition).
+        val items = splitSelect(sel.trim.drop("DISTINCT".length).trim)
+        val ridSrc = tsOpt match {
+          case Some(ts) => s"SELECT *, unix_micros($ts) AS __graft_rid FROM $fromWhere"
+          case None =>
+            s"SELECT *, monotonically_increasing_id() AS __graft_rid " +
+              s"FROM (SELECT /*+ COALESCE(1) */ * FROM $fromWhere)"
+        }
+        s"SELECT * EXCEPT (__graft_ord) FROM (" +
+          s"SELECT ${items.mkString(", ")}, min(__graft_rid) AS __graft_ord " +
+          s"FROM ($ridSrc)$relAlias GROUP BY ALL " +
+          s"ORDER BY __graft_ord DESC LIMIT $n) ORDER BY __graft_ord"
+      } else tsOpt match {
         case Some(ts) =>
           s"SELECT $sel FROM (SELECT * FROM $fromWhere ORDER BY $ts DESC LIMIT $n)$relAlias ORDER BY $ts"
         case None =>
           s"SELECT $sel FROM (" +
-            s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM (SELECT * FROM $fromWhere) " +
+            s"SELECT *, monotonically_increasing_id() AS __graft_rid " +
+            s"FROM (SELECT /*+ COALESCE(1) */ * FROM $fromWhere) " +
             s"ORDER BY __graft_rid DESC LIMIT $n)$relAlias ORDER BY __graft_rid"
       }
     case other =>
@@ -6452,7 +6510,8 @@ object QuestSql {
       """(?is)^(SELECT\s+.*\S)\s+LIMIT\s+-(\d+)\s*$""".r.findFirstMatchIn(other.trim) match {
         case Some(m) if m.group(1).count(_ == '(') == m.group(1).count(_ == ')') =>
           s"SELECT * EXCEPT (__graft_rid) FROM (" +
-            s"SELECT *, monotonically_increasing_id() AS __graft_rid FROM (${m.group(1)}) " +
+            s"SELECT /*+ COALESCE(1) */ *, monotonically_increasing_id() AS __graft_rid " +
+            s"FROM (${m.group(1)}) " +
             s"ORDER BY __graft_rid DESC LIMIT ${m.group(2)}) ORDER BY __graft_rid"
         case _ => other
       }

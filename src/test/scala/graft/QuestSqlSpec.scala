@@ -534,6 +534,32 @@ class QuestSqlSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == all.map(_.getLong(0)).toSeq)
   }
 
+  test("DISTINCT with negative LIMIT slices tail of first-appearance order") {
+    // reference DistinctWithLimitTest.java:84 — distinct runs BEFORE
+    // the tail slice, emission order is first appearance
+    engine.sql("CREATE TABLE dlim AS (SELECT x AS id, cast(x AS double) AS reading FROM long_sequence(9))")
+    try {
+      val r = engine.sql("SELECT DISTINCT id, reading FROM dlim LIMIT -2").collect()
+      assert(r.map(x => (x.getLong(0), x.getDouble(1))).toSeq == Seq((8L, 8.0), (9L, 9.0)))
+      // distinct over repeats: values whose LAST occurrence is in the
+      // tail but FIRST occurrence is early must be excluded from the
+      // tail slice (1,2,0,1,2,0,1,2,0 → distinct first-appearance
+      // 1,2,0 → tail 2 = 2,0)
+      engine.sql("CREATE TABLE dlim2 AS (SELECT x % 3 AS id FROM long_sequence(9))")
+      val r2 = engine.sql("SELECT DISTINCT id FROM dlim2 LIMIT -2").collect()
+      assert(r2.map(_.getLong(0)).toSeq == Seq(2L, 0L))
+      // DISTINCT + ORDER BY + LIMIT -n: distinct, order, then tail
+      val r3 = engine.sql("SELECT DISTINCT id FROM dlim2 ORDER BY id LIMIT -2").collect()
+      assert(r3.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // virtual column beside distinct
+      val r4 = engine.sql(
+        "SELECT DISTINCT id, 42*42 the_answer FROM dlim LIMIT -2").collect()
+      assert(r4.map(x => (x.getLong(0), x.getInt(1))).toSeq == Seq((8L, 1764), (9L, 1764)))
+    } finally {
+      engine.sql("DROP TABLE dlim"); engine.sql("DROP TABLE dlim2")
+    }
+  }
+
   test("generator long tail: pool strings, intervals, floats, varchar, nanRate nulls") {
     // pool form rnd_symbol(count, lo, hi, 0): cardinality bounded by
     // count, lengths within [lo, hi]

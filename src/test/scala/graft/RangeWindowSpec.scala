@@ -72,4 +72,50 @@ class RangeWindowSpec extends SparkSpec {
       assert(df.schema("m").dataType.typeName == "timestamp")
     } finally spark.sql("drop table if exists rw_tab")
   }
+
+  test("SlidingRangeAgg.merge: random shards, random merge order, all six modes") {
+    // __w_slide is session-registered, so grouped/partial-aggregate use
+    // reaches merge() with Spark's ARBITRARY partition merge order —
+    // the sorted two-pointer merge + dominance re-application must
+    // match a brute-force oracle for every mode
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.functions.{SlidingRangeAgg, SlideBuf}
+    val rnd = new scala.util.Random(20260815L)
+    val bound = 50L
+    for (trial <- 1 to 60; mode <- Seq("first", "first_in", "last", "last_in", "min", "max")) {
+      val n = 1 + rnd.nextInt(150)
+      // strictly increasing keys so shard key-ranges are disjoint
+      val keys = Array.iterate(100L, n)(_ + 1 + rnd.nextInt(5))
+      val vals: Array[Any] = Array.fill(n)(
+        if (rnd.nextDouble() < 0.25) null else rnd.nextInt(40).toDouble)
+      val agg = SlidingRangeAgg(
+        BoundReference(0, DoubleType, nullable = true),
+        BoundReference(1, LongType, nullable = false), bound, mode)
+      // split into 1..6 contiguous shards, update each into its own buffer
+      val cuts = (0 +: Seq.fill(rnd.nextInt(5))(rnd.nextInt(n)) :+ n).distinct.sorted
+      val bufs: Seq[SlideBuf] = cuts.zip(cuts.tail).map { case (a, b) =>
+        val buf = agg.createAggregationBuffer()
+        (a until b).foreach(i => agg.update(buf, InternalRow(vals(i), keys(i))))
+        buf
+      }
+      // merge in a random order
+      val merged = rnd.shuffle(bufs).reduce((x, y) => agg.merge(x, y))
+      val got = agg.eval(merged)
+      // brute force over the frame ending at the max key
+      val curKey = keys.last
+      val inFrame = (0 until n).filter(i => keys(i) >= curKey - bound)
+      val want: Any = mode match {
+        case "first"    => inFrame.headOption.map(vals).orNull
+        case "first_in" => inFrame.find(vals(_) != null).map(vals).orNull
+        case "last"     => inFrame.lastOption.map(vals).orNull
+        case "last_in"  => inFrame.reverse.find(vals(_) != null).map(vals).orNull
+        case "min"      => val xs = inFrame.map(vals).filter(_ != null); if (xs.isEmpty) null else xs.map(_.asInstanceOf[Double]).min
+        case "max"      => val xs = inFrame.map(vals).filter(_ != null); if (xs.isEmpty) null else xs.map(_.asInstanceOf[Double]).max
+      }
+      assert(got == want, s"trial=$trial mode=$mode shards=${cuts.size - 1}: got $got want $want " +
+        s"keys=${keys.mkString(",")} vals=${vals.mkString(",")}")
+    }
+  }
 }
