@@ -33,9 +33,9 @@ class RefParitySpec extends SparkSpec {
       RefParity.cleanup(spark, baseline)
     }
     info(s"parity sample: $passing/${cases.size} pass-or-skip")
-    // r9 level: 137/150 of this sample pass or legitimately skip; keep a
+    // r11 level: 141/150 of this sample pass or legitimately skip; keep a
     // small slack for environment jitter, never for regressions
-    val pinned = 133
+    val pinned = 138
     assert(passing >= pinned,
       s"parity sample regressed: $passing/${cases.size} (pinned ≥ $pinned)\n" +
         failures.take(12).mkString("\n"))
