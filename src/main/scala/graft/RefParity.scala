@@ -143,7 +143,8 @@ object RefParity {
           // them through the API — an extraction gap, not a defect
           else if (m.contains("UNBOUND_SQL_PARAMETER") ||
               (m.contains("PARSE_SYNTAX_ERROR") &&
-                """\$\d+""".r.findFirstIn(c.query).isDefined))
+                ("""\$\d+""".r.findFirstIn(c.query).isDefined ||
+                  """(?<![:\w]):[A-Za-z_]\w*""".r.findFirstIn(c.query).isDefined)))
             Left(("skip_bind", m))
           else Left(("error", m))
       }

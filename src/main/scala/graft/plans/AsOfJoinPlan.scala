@@ -225,6 +225,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PromoteMat2D(children.head, rightSide = true)))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__ref_round"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RefRoundExpr].getName, "__ref_round"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RefRoundExpr(children.head, children(1), children(2))))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__dim_length"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DimLengthExpr].getName, "__dim_length"),

@@ -569,9 +569,14 @@ object DialectQueries extends QueryPack {
         |           + pow((value % 90 - (0.0)) * 111320.0, 2) <= (5000000.0) * (5000000.0)) AS near_origin,
         |  ((250.0) >= 0 AND pow((value) - (500.0), 2) + pow((CAST(user_id AS DOUBLE)) - (500.0), 2)
         |           <= (250.0) * (250.0)) AS in_circle,
-        |  (sign(value / 7.0) * ceil(abs(value / 7.0) * pow(10, 2)) / pow(10, 2)) AS r_up,
-        |  (sign(value / 7.0) * floor(abs(value / 7.0) * pow(10, 2)) / pow(10, 2)) AS r_down,
-        |  round(value / 7.0, 2) AS r_he,
+  |  (sign(value / 7.0) * trunc(abs(value / 7.0) * 100 + 1 - 1e-15) * 0.01) AS r_up,
+  |  (sign(value / 7.0) * trunc((abs(value / 7.0) + 1e-15) * 100) * 0.01) AS r_down,
+  |  (sign(value / 7.0) * (CASE
+  |     WHEN (CAST(trunc(abs(value / 7.0) * 100 * 100.0 + 1e-15) AS BIGINT) % 100) < 50
+  |       OR ((CAST(trunc(abs(value / 7.0) * 100 * 100.0 + 1e-15) AS BIGINT) % 100) = 50
+  |           AND CAST(trunc(abs(value / 7.0) * 100) AS BIGINT) % 2 = 0)
+  |     THEN trunc((abs(value / 7.0) + 1e-15) * 100) * 0.01
+  |     ELSE trunc(abs(value / 7.0) * 100 + 1 - 1e-15) * 0.01 END)) AS r_he,
         |  upper(event_type) AS etype_u,
         |  CAST(strpos(event_type, 'ick') AS INT) AS ick_pos,
         |  sha256(event_type) AS etype_sha,

@@ -26,6 +26,10 @@ object DialectRewrites {
     // one (sequential scan; a regex would mis-pair alternating quotes)
     q = spaceAfterLiterals(q)
     q = doubleQuotedIdents(q)
+    // single-quoted identifier USAGE with member access (`'alias'.col` —
+    // reference identifier quoting; SqlCodeGeneratorTest:433): a string
+    // literal is never dereferenced, so the dot disambiguates
+    q = q.replaceAll("'([A-Za-z_][\\w ]*)'(\\s*\\.\\s*[A-Za-z_`])", "`$1`$2")
     q = mapOutside(q)(underscoreDigits)
     // underscore digit-group separators in numerals (reference numeric
     // literals: 1_000_000, 3_600_000_000L) — must run BEFORE the
@@ -2254,8 +2258,17 @@ object DialectRewrites {
 
   /** `JOIN t ON (sym)` → `JOIN t USING (sym)` — but not for the
     * time-series join kinds whose own parsers read ON(col). */
-  private def joinOnCols(s: String): String =
-    onColsRe.replaceAllIn(s, m => {
+  // `JOIN t ON col` without parens — same join-column shorthand
+  // (LatestByTest `join rr on id`). The lookahead pins the next token to
+  // a clause boundary so `ON a = b` expressions stay untouched;
+  // true/false/null literals are boolean conditions, not column names.
+  private val onBareColRe =
+    ("(?i)\\b(JOIN\\s+(?:`[^`]+`|'[^']+'|[\\w.]+)(?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?\\s+)" +
+      "ON\\s+(?!(?:true|false|null)\\b)([A-Za-z_]\\w*)" +
+      "(?=\\s*(?:$|\\)|,|;|(?i:WHERE|GROUP|ORDER|LIMIT|SAMPLE|LATEST|UNION|EXCEPT|INTERSECT|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ASOF|LT|SPLICE|WINDOW|HORIZON)\\b))").r
+
+  private def joinOnCols(s: String): String = {
+    val s1 = onColsRe.replaceAllIn(s, m => {
       val before = s.substring(0, m.start).trim.toLowerCase
       val special = Seq("asof", "lt", "splice", "window", "horizon")
         .exists(k => before.endsWith(k))
@@ -2263,6 +2276,15 @@ object DialectRewrites {
         if (special) m.matched
         else m.group(1) + "USING (" + m.group(2) + ")")
     })
+    onBareColRe.replaceAllIn(s1, m => {
+      val before = s1.substring(0, m.start).trim.toLowerCase
+      val special = Seq("asof", "lt", "splice", "window", "horizon")
+        .exists(k => before.endsWith(k))
+      java.util.regex.Matcher.quoteReplacement(
+        if (special) m.matched
+        else m.group(1) + "USING (" + m.group(2) + ")")
+    })
+  }
 
   private def quotedTableNames(s: String): String = {
     val fw = s.trim.takeWhile(c => c.isLetter).toLowerCase

@@ -362,10 +362,12 @@ object QuestSql {
   private def sqlBound(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame =
     withRefSemantics(spark) {
       val df = sqlBound0(spark, query, named)
-      // the LATEST ON helper rank must never surface, whichever nesting
-      // path produced it
+      // the LATEST ON helper rank must never surface in USER results —
+      // but when the query text itself references __rn, this is a nested
+      // materialization of the latest-on rewrite's own scaffolding and
+      // the outer level still needs the column
       dedupOutputColumns(tagNsColumns(query,
-        if (df.columns.contains("__rn")) df.drop("__rn") else df))
+        if (df.columns.contains("__rn") && !query.contains("__rn")) df.drop("__rn") else df))
     }
 
   /** Tag result columns that carry a TIMESTAMP_NS-declared column of a
@@ -454,7 +456,14 @@ object QuestSql {
 
   private val profOn = sys.env.contains("GRAFT_PROF")
   private def prof[T](label: String)(f: => T): T =
-    if (!profOn) f else {
+    if (!profOn) {
+      if (System.getenv("GRAFT_DEBUG") == null) f
+      else try f catch {
+        case e: Throwable =>
+          System.err.println(s"[graft-dbg] stage $label threw: ${e.toString.take(200)}")
+          throw e
+      }
+    } else {
       val t0 = System.nanoTime()
       val r = f
       System.err.println(f"[prof] ${(System.nanoTime() - t0) / 1e6}%8.2f ms  $label")
@@ -591,8 +600,10 @@ object QuestSql {
     // quotes in the reference; Spark wants backticks
     if (!firstWord(q0).equalsIgnoreCase("copy"))
       q0 = rewriteQuotedAliases(q0)
-    // optimizer hints are advisory — the op-form parsers don't speak them
-    q0 = q0.replaceAll("(?s)/\\*\\+.*?\\*/", " ").trim
+    // optimizer hints are advisory — the op-form parsers don't speak
+    // them. Our own scan-order scaffolding (COALESCE(1) before a
+    // sequential id) must survive nested re-entry, so keep those.
+    q0 = q0.replaceAll("(?si)/\\*\\+\\s*(?!coalesce).*?\\*/", " ").trim
     // a bare quoted table name is a complete query (keywords-as-names:
     // SELECT * FROM "table")
     """^["']([^"']+)["']\s*$""".r.findFirstMatchIn(q0).foreach { m =>
@@ -660,6 +671,8 @@ object QuestSql {
     // sliding time-RANGE first/last_value → O(n) running-frame
     // aggregates (after AutoAlias so reference default names are pinned)
     q0 = prof("slidingValueFrames")(DialectRewrites.slidingValueFrames(q0))
+    // LATEST ON … SAMPLE BY …: latest-selection first, sampling second
+    q0 = prof("latestThenSample")(rewriteLatestThenSampleBy(q0))
     q0 = prof("nsMixedComparisons")(nsMixedComparisons(q0))
     // lateral-join parity: decorrelate bodies Spark's lateral planner
     // cannot host (deep refs, correlated set-ops, dialect operators) and
@@ -686,6 +699,10 @@ object QuestSql {
     // forms path and the fallback (which re-derives from q0)
     q0 = pushFilterIntoSampleBy(q0)
     q0 = evalSampleByBounds(spark, q0)
+    // set-op operands holding dialect ops are evaluated per-operand into
+    // views BEFORE the whole-query form matchers (which would otherwise
+    // mis-anchor across the union) — SqlCodeGeneratorTest:8264/8297
+    q0 = prof("setOpOperands")(materializeSetOpDialectOperands(spark, q0))
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
         if (named.isEmpty) q0 else substParams(q0, named)))))))
@@ -739,8 +756,11 @@ object QuestSql {
           }
           if (hit) org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed) else df
         }
-        def run(q: String): DataFrame =
+        def run(q: String): DataFrame = {
+          if (System.getenv("GRAFT_DEBUG") != null)
+            System.err.println(s"[graft-dbg] fb:run: $q")
           prof("fb:run")(nullSafeEq(prof("fb:spark.sql")(if (named.isEmpty) spark.sql(q) else spark.sql(q, named))))
+        }
         // QuestDB implicit GROUP BY (reference SqlOptimiser: "GROUP BY is
         // optional" — `SELECT sym, avg(price) FROM trades` auto-groups on
         // the bare columns). Spark's analyzer classifies aggregate vs
@@ -1195,26 +1215,103 @@ object QuestSql {
       fixedParts.zip(ops :+ "").map { case (p, o) => p + (if (o.nonEmpty) s" $o " else "") }
         .mkString
     }
-    var q = fixRegion(q0)
-    // statement-leading paren region (`(t1 except t2) order by 1`)
-    if (q.trim.startsWith("(")) {
-      val t = q.trim
-      var depth = 0; var i = 0; var close = -1
-      while (i < t.length && close < 0) {
-        t.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = i
-          case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k
-          case _ =>
-        }
-        i += 1
+    // recurse into every parenthesized region (a bare-table set operand
+    // may sit inside a FROM subquery or CTE body — UnionTest
+    // `select t from (select t from x union all y)`), then fix the
+    // current level
+    def walk(t: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '\'') {
+          var j = i + 1
+          while (j < t.length && t.charAt(j) != '\'') j += 1
+          sb.append(t.substring(i, math.min(j + 1, t.length))); i = j + 1
+        } else if (c == '(') {
+          var depth = 1; var j = i + 1
+          while (j < t.length && depth > 0) {
+            t.charAt(j) match {
+              case '\'' => var k = j + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; j = k + 1
+              case '(' => depth += 1; j += 1
+              case ')' => depth -= 1; j += 1
+              case _ => j += 1
+            }
+          }
+          val inner = t.substring(i + 1, math.max(i + 1, j - 1))
+          sb.append('(').append(walk(inner)).append(')')
+          i = j
+        } else { sb.append(c); i += 1 }
       }
-      if (close > 0) {
-        val inner = fixRegion(t.substring(1, close))
-        q = "(" + inner + ")" + t.substring(close + 1)
-      }
+      fixRegion(sb.toString)
     }
-    q
+    walk(q0)
+  }
+
+  /** `… LATEST ON ts PARTITION BY k SAMPLE BY …`: the reference applies
+    * the latest-row selection FIRST and samples its result
+    * (SqlCodeGeneratorTest:5591). Push the latest-on into a subquery so
+    * the SAMPLE BY forms see a plain relation. */
+  private val LatestThenSampleRe =
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w."]+|\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))""" +
+      """(?:\s+WHERE\s+(.*?))?\s+LATEST\s+ON\s+([\w.]+)\s+PARTITION\s+BY\s+([\w.,\s]+?)""" +
+      """\s+(SAMPLE\s+BY\s+.*)$""").r
+  private def rewriteLatestThenSampleBy(q: String): String = q match {
+    case LatestThenSampleRe(sel, rel, where, ts, keys, tail) =>
+      val w = Option(where).map(x => s" WHERE $x").getOrElse("")
+      s"SELECT $sel FROM (SELECT * FROM $rel$w LATEST ON $ts PARTITION BY ${keys.trim}) $tail"
+    case _ => q
+  }
+
+  /** Top-level set operations whose operands hold dialect operators the
+    * plain-SQL path cannot lower (op-form SAMPLE BY, LATEST ON,
+    * time-series joins): evaluate each operand through the full dialect
+    * pipeline into a temp view and reassemble a plain positional set
+    * operation (SqlCodeGeneratorTest:8264 — SAMPLE BY UNION ALL branch).
+    * A trailing ORDER BY/LIMIT on the last operand binds to the whole
+    * result, as in the reference's model. */
+  private val SetOpDialectOpRe =
+    """(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY)|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|WINDOW\s+JOIN|HORIZON\s+JOIN)\b""".r
+  private def materializeSetOpDialectOperands(spark: SparkSession, q0: String): String = {
+    val q = q0.trim
+    if (SetOpDialectOpRe.findFirstIn(q).isEmpty) return q0
+    if (!firstWord(q).equalsIgnoreCase("select")) return q0
+    var at = topLevelIndexOf(q, Seq("union", "intersect", "except"))
+    if (at < 0) return q0
+    val opPat = "(?is)^(union\\s+all|union|intersect\\s+all|intersect|except\\s+all|except)\\b".r
+    val parts = scala.collection.mutable.Buffer[String]()
+    val ops = scala.collection.mutable.Buffer[String]()
+    var rest = q
+    while (at >= 0) {
+      parts += rest.substring(0, at)
+      val m = opPat.findFirstMatchIn(rest.substring(at)).get
+      ops += m.group(1)
+      rest = rest.substring(at + m.end)
+      at = topLevelIndexOf(rest, Seq("union", "intersect", "except"))
+    }
+    var tail = ""
+    val tailAt = topLevelIndexOf(rest, Seq("order by", "limit"))
+    if (tailAt >= 0) { tail = rest.substring(tailAt); rest = rest.substring(0, tailAt) }
+    parts += rest
+    if (!parts.exists(p => SetOpDialectOpRe.findFirstIn(p).isDefined)) return q0
+    try {
+      val views = parts.map { op =>
+        val v = s"__graft_setop_${subqueryCounter.incrementAndGet()}"
+        sqlBound(spark, op.trim, Map.empty).createOrReplaceTempView(v)
+        v
+      }
+      views.zip(ops.toSeq :+ "").map { case (v, o) =>
+        s"SELECT * FROM $v" + (if (o.nonEmpty) s" $o " else " ")
+      }.mkString + tail
+    } catch {
+      case e: Exception
+          if Option(e.getMessage).exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
+        throw e
+      case e: Exception =>
+        if (System.getenv("GRAFT_DEBUG") != null)
+          System.err.println(s"[graft-dbg] setop materialize failed: $e")
+        q0
+    }
   }
 
   private def materializeDialectSubqueries(spark: SparkSession, q: String): String = {
@@ -1272,7 +1369,10 @@ object QuestSql {
             case e: Exception
                 if Option(e.getMessage).exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
               throw e
-            case _: Exception => out.append(q.substring(i, j))
+            case e: Exception =>
+              if (System.getenv("GRAFT_DEBUG") != null)
+                System.err.println(s"[graft-dbg] sub materialize failed: $e")
+              out.append(q.substring(i, j))
           }
         } else out.append(q.substring(i, j))
         i = j
@@ -3408,12 +3508,15 @@ object QuestSql {
     q = expandCalls(q, "within_box") { case Seq(x, y, minx, miny, maxx, maxy) =>
       s"(($x) BETWEEN ($minx) AND ($maxx) AND ($y) BETWEEN ($miny) AND ($maxy))" }
     // rounding modes (reference functions/math Round{Up,Down,HalfEven}):
-    // up = away from zero, down = toward zero, half_even = banker's
+    // up = away from zero, down = toward zero, half_even = banker's —
+    // via the reference's pow10-LUT double scheme so artifacts match
+    // (functions/RefRound.scala)
     q = expandCalls(q, "round_up") { case Seq(x, n) =>
-      s"(sign(CAST($x AS DOUBLE)) * ceil(abs(CAST($x AS DOUBLE)) * pow(10, $n)) / pow(10, $n))" }
+      s"__ref_round(1, CAST($x AS DOUBLE), CAST($n AS INT))" }
     q = expandCalls(q, "round_down") { case Seq(x, n) =>
-      s"(sign(CAST($x AS DOUBLE)) * floor(abs(CAST($x AS DOUBLE)) * pow(10, $n)) / pow(10, $n))" }
-    q = expandCalls(q, "round_half_even") { case Seq(x, n) => s"bround(CAST($x AS DOUBLE), $n)" }
+      s"__ref_round(2, CAST($x AS DOUBLE), CAST($n AS INT))" }
+    q = expandCalls(q, "round_half_even") { case Seq(x, n) =>
+      s"__ref_round(3, CAST($x AS DOUBLE), CAST($n AS INT))" }
     // strings / hashes / dates with non-Spark names
     q = expandCalls(q, "to_uppercase") { case Seq(s) => s"upper($s)" }
     q = expandCalls(q, "to_lowercase") { case Seq(s) => s"lower($s)" }
@@ -4996,7 +5099,7 @@ object QuestSql {
   // ---- LATEST ON ---------------------------------------------------------
 
   private val LatestOnRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+|\((?:[^()']|'[^']*'|\([^()']*\))*\))(?:\s+WHERE\s+(.*?))?\s+LATEST\s+ON\s+([\w.]+)\s+PARTITION\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+|\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))(?:\s+WHERE\s+(.*?))?\s+LATEST\s+ON\s+([\w.]+)\s+PARTITION\s+BY\s+([\w.,\s]+?)\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
 
   /** Deprecated `LATEST BY k` spelling (reference SqlParser:4162):
     * follows FROM directly, keys partition, designated ts orders, and —
@@ -5022,7 +5125,80 @@ object QuestSql {
     s"SELECT * FROM ($head LATEST ON $ts PARTITION BY $keys)$tail"
   }
 
-  private def rewriteLatestOn(q: String): String = q match {
+  /** Split a leading `WITH name AS (...) [, name AS (...)]*` prologue
+    * from the main query (quote/paren-aware), so whole-query rewrites
+    * apply to the main body of a CTE statement. */
+  private[graft] def splitWithPrologue(q: String): (String, String) = {
+    val t = q
+    if (!t.trim.toLowerCase.startsWith("with")) return ("", q)
+    var i = t.toLowerCase.indexOf("with") + 4
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    var more = true
+    while (more) {
+      skipWs()
+      // RECURSIVE keyword / cte name (possibly quoted)
+      while (i < t.length && !t.charAt(i).isWhitespace && t.charAt(i) != '(') i += 1
+      skipWs()
+      // optional column list then AS
+      if (i < t.length && t.charAt(i) == '(') { i = skipParen(t, i) ; skipWs() }
+      if (i + 2 <= t.length && t.substring(i, math.min(i + 2, t.length)).equalsIgnoreCase("as")) {
+        i += 2; skipWs()
+      }
+      if (i < t.length && t.charAt(i) == '(') i = skipParen(t, i)
+      skipWs()
+      if (i < t.length && t.charAt(i) == ',') { i += 1; more = true } else more = false
+    }
+    (t.substring(0, i), t.substring(i))
+  }
+  /** Index just past the parenthesized group starting at `at`. */
+  private def skipParen(t: String, at: Int): Int = {
+    var depth = 0; var i = at
+    while (i < t.length) {
+      t.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i + 1
+        case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k
+        case _ =>
+      }
+      i += 1
+    }
+    i
+  }
+
+  private def rewriteLatestOn(q: String): String = {
+    val (pro, main) = splitWithPrologue(q)
+    if (pro.isEmpty) rewriteLatestOn0(q)
+    else {
+      val r = rewriteLatestOn0(main.trim)
+      if (r == main.trim) q else pro + " " + r
+    }
+  }
+
+  private def rewriteLatestOn0(q: String): String = q match {
+    case LatestOnRe(sel, table, where, ts, keys, tail)
+        if table.trim.startsWith("(") =>
+      // LATEST ON over a derived relation: the reference scans the base
+      // cursor forward, keeps the LAST row per key with ts >= previous
+      // (LatestByLightRecordCursorFactory.buildMapForUnorderedSubQuery),
+      // and emits in key-first-seen order (ordered map iteration).
+      // Winner = max by (ts, scan position); emission = min position of
+      // the key. Scan position comes from a single-partition sequential
+      // id — this path is inherently scan-order-defined, so the
+      // coalesce(1) is the semantics, not a bottleneck choice.
+      val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
+      val keyList = keys.split(",").map(_.trim).mkString(", ")
+      val tailSql = Option(tail) match {
+        case Some(t) if t.trim.toUpperCase.startsWith("LIMIT") =>
+          s" ORDER BY __graft_first $t"
+        case Some(t) => " " + t
+        case None => " ORDER BY __graft_first"
+      }
+      val outer = if (sel.trim == "*") "* EXCEPT (__rn, __graft_pos, __graft_first)" else sel
+      s"""SELECT $outer FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $keyList ORDER BY $ts DESC, __graft_pos DESC) AS __rn,
+         |    min(__graft_pos) OVER (PARTITION BY $keyList) AS __graft_first
+         |  FROM (SELECT /*+ COALESCE(1) */ *, monotonically_increasing_id() AS __graft_pos FROM $table)$whereSql
+         |) WHERE __rn = 1$tailSql""".stripMargin
     case LatestOnRe(sel, table, where, ts, keys, tail) =>
       val whereSql = Option(where).map(w => s" WHERE $w").getOrElse("")
       val keyList = keys.split(",").map(_.trim).mkString(", ")
@@ -5644,6 +5820,25 @@ object QuestSql {
     }
   }
 
+  /** Apply `f` to each top-level set-operation operand of `q` (or to all
+    * of `q` when it holds no set op), preserving the operator spellings. */
+  private def mapSetOperands(q: String)(f: String => String): String = {
+    var at = topLevelIndexOf(q, Seq("union", "intersect", "except"))
+    if (at < 0) return f(q)
+    val opPat = "(?is)^(union\\s+all|union|intersect\\s+all|intersect|except\\s+all|except)\\b".r
+    val sb = new StringBuilder
+    var rest = q
+    while (at >= 0) {
+      sb.append(f(rest.substring(0, at)))
+      val m = opPat.findFirstMatchIn(rest.substring(at)).get
+      sb.append(' ').append(m.group(1)).append(' ')
+      rest = rest.substring(at + m.end)
+      at = topLevelIndexOf(rest, Seq("union", "intersect", "except"))
+    }
+    sb.append(f(rest))
+    sb.toString
+  }
+
   /** Apply the plain SAMPLE BY → GROUP BY lowering to parenthesized
     * subqueries too (reference allows SAMPLE BY at any nesting —
     * `select * from (select ... sample by 1m)`). */
@@ -5674,13 +5869,24 @@ object QuestSql {
         if (inner.trim.toLowerCase.startsWith("select") &&
             """(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY))\b|LIMIT\s+-\d|LIMIT\s+\d+\s*,"""
               .r.findFirstIn(inner).isDefined) {
-          // LATEST ON first (its result may still hold a SAMPLE BY tail)
-          val step = rewriteRangeLimit(rewriteNegativeLimit(
-            rewriteSampleBy(rewriteLatestOn(rewriteLatestByDeprecated(inner.trim)))))
-          val rewritten =
-            if (step == inner.trim) rewriteNestedSampleBy(inner)
-            else rewriteNestedSampleBy(step)
-          sb.append('(').append(rewritten).append(')')
+          // a set operation over dialect-op operands cannot be lowered
+          // textually (each operand's row order must survive the union;
+          // a trailing ORDER BY would bind to the whole result) — leave
+          // the region for per-operand view materialization
+          if (topLevelIndexOf(inner, Seq("union", "intersect", "except")) >= 0 &&
+              SetOpDialectOpRe.findFirstIn(inner).isDefined) {
+            sb.append('(').append(inner).append(')')
+          } else {
+            // LATEST ON first (its result may still hold a SAMPLE BY
+            // tail); a set operation in the region rewrites per-operand
+            // — the whole-query regexes would mis-anchor across the UNION
+            val step = mapSetOperands(inner.trim)(op => rewriteRangeLimit(rewriteNegativeLimit(
+              rewriteSampleBy(rewriteLatestOn(rewriteLatestByDeprecated(op.trim))))))
+            val rewritten =
+              if (step == inner.trim) rewriteNestedSampleBy(inner)
+              else rewriteNestedSampleBy(step)
+            sb.append('(').append(rewritten).append(')')
+          }
         } else sb.append(q.substring(i, j))
         i = j
       } else { sb.append(c); i += 1 }
@@ -5737,11 +5943,17 @@ object QuestSql {
           case it @ AggAs(e, name) => (it, e, name)
           case it => (it, it, it.replaceAll("\\W", "_"))
         }
+      // a key alias reusing the designated timestamp's name (`sym
+      // timestamp`, SqlCodeGeneratorTest:7417) must not overwrite the
+      // bucket source before bucketing — key under a sentinel, restore
+      // the user name in the final projection
+      val keyName = (n: String) =>
+        if (n.equalsIgnoreCase(tsName)) s"__graft_k_$n" else n
       val base0 = exprKeys.foldLeft(base1) { case (d, (_, e, name)) =>
-        d.withColumn(name, expr(e)) // dialect passes already ran on q
+        d.withColumn(keyName(name), expr(e)) // dialect passes already ran on q
       }
       val keys = items.filter(i => isBare(i) && !tsItem.contains(i)).map(_.split('.').last) ++
-        exprKeys.map(_._3)
+        exprKeys.map(k => keyName(k._3))
       val aggs = items.filterNot(i => isBare(i) || exprKeys.exists(_._1 == i) ||
           tsAliasedOp.exists(_._1 == i)).map {
         case AggAs(e, name) => name -> expr(e)
@@ -5881,8 +6093,15 @@ object QuestSql {
         case _ => None // a single open bound narrows the data only
       }
 
-      val tsOut = tsItem.map(_.split('.').last)
+      val tsOut0 = tsItem.map(_.split('.').last)
         .orElse(tsAliasedOp.map(_._3)).getOrElse(tsName)
+      // when the designated timestamp is NOT selected but a select-list
+      // alias reuses its name (`max(ts) ts`, SqlCodeGeneratorTest:5080),
+      // keep the internal bucket column under a sentinel so the
+      // aggregate's alias survives; the final projection drops the bucket
+      val tsOut = if (tsItem.isEmpty && tsAliasedOp.isEmpty &&
+          (aggs.exists(_._1 == tsOut0) || keys.contains(tsOut0)))
+        "__graft_bucket" else tsOut0
       val out = Option(alignKind).map(_.toUpperCase.replaceAll("\\s+", " ")) match {
         case Some("FIRST OBSERVATION") =>
           val hasFillFO = fill match {
@@ -5965,14 +6184,20 @@ object QuestSql {
         case i if isBare(i) => i.split('.').last
         case i => i match { case AggAs(_, name) => name; case e => e.replaceAll("\\W", "_") }
       }
-      val projected = out.select(outNames.map(col): _*)
+      val outCols = items.zip(outNames).map {
+        case (i, n) if exprKeys.exists(_._1 == i) && keyName(n) != n =>
+          col(keyName(n)).as(n)
+        case (_, n) => col(n)
+      }
+      val projected = out.select(outCols: _*)
       val ordered = Option(order).map(o => applyWhereTail(projected, null, o, null, null)).getOrElse(projected)
       Some((Option(lim1).map(_.toLong), Option(lim2).map(_.toLong)) match {
         case (Some(l), None) if l >= 0 => ordered.limit(l.toInt)
         case (Some(lo), Some(hi)) if lo >= 0 && hi >= lo =>
           ordered.offset(lo.toInt).limit((hi - lo).toInt)
         case (Some(l), None) => // negative: the result's tail in bucket order
-          graft.ops.Limits.tail(ordered, (-l).toInt, Seq(col(tsOut)))
+          val tailKey = if (outNames.contains(tsOut)) tsOut else outNames.head
+          graft.ops.Limits.tail(ordered, (-l).toInt, Seq(col(tailKey)))
         case _ => ordered
       })
     case _ => sampleByOpMultiRel(spark, q)
