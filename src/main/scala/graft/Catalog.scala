@@ -192,6 +192,16 @@ object Catalog {
     declaredCols.put(table.toLowerCase,
       cols.map { case (n, t, k) => n.toLowerCase -> ColDecl(t, k) }.toMap)
 
+  /** Record a single column's declared type when no explicit decl exists
+    * (CTAS provenance — e.g. an `::ipv4` select item). Never overwrites
+    * an explicit declaration. */
+  private[graft] def mergeDeclaredCol(table: String, col: String, tpe: String): Unit = {
+    val key = table.split('.').last.toLowerCase
+    val cur = Option(declaredCols.get(key)).getOrElse(Map.empty)
+    if (!cur.contains(col.toLowerCase))
+      declaredCols.put(key, cur + (col.toLowerCase -> ColDecl(tpe, "")))
+  }
+
   /** Replace one column's storage knobs (ALTER COLUMN ADD/DROP INDEX),
     * keeping its declared type; creates the decl from the live schema
     * when the table had no explicit column list. */

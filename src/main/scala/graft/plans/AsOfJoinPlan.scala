@@ -182,6 +182,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => RefDoubleSortNullsRule)
     e.injectResolutionRule(_ => RefIntegerDivideRule)
     e.injectResolutionRule(_ => RefInListCoercionRule)
+    e.injectResolutionRule(_ => RefTsNumberCompareRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -151,6 +151,40 @@ object RefIntegerDivideRule extends org.apache.spark.sql.catalyst.rules.Rule[
   }
 }
 
+/** Reference timestamp↔number comparisons are value-based: a TIMESTAMP
+  * compares as its epoch micros (`ts at time zone 'EST' > 0`,
+  * TimestampAtTimeZoneTest:115). Spark rejects the type pair outright,
+  * so rewriting only the mismatched shape rescues exactly the queries
+  * that would otherwise fail analysis. Dialect-gated. */
+object RefTsNumberCompareRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isNum(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+  private def micros(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.UnixMicros(e)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case c: BinaryComparison
+            if c.left.resolved && c.right.resolved &&
+              c.left.dataType == TimestampType && isNum(c.right.dataType) =>
+          c.withNewChildren(Seq(micros(c.left), Cast(c.right, LongType)))
+        case c: BinaryComparison
+            if c.left.resolved && c.right.resolved &&
+              isNum(c.left.dataType) && c.right.dataType == TimestampType =>
+          c.withNewChildren(Seq(Cast(c.left, LongType), micros(c.right)))
+      }
+    }
+  }
+}
+
 /** Reference IN-list coercion: every list item converts to the tested
   * expression's type (value-based membership — InTest
   * `d in (1::byte, '7'::string, …)` over a DOUBLE matches 1.0 and 7.0).

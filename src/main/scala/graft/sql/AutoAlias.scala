@@ -289,7 +289,8 @@ object AutoAlias {
     val fn = """(?s)^([A-Za-z_][\w$]*)\s*\(.*\)$""".r
     e match {
       case fn(name) if balancedFromFirstParen(e) =>
-        return if (name.equalsIgnoreCase("cast") || name == "__ts_us_cast") "cast"
+        return if (name.equalsIgnoreCase("cast") || name == "__ts_us_cast" ||
+            name == "__ns_at_tz" || name == "__ns_cast") "cast"
           // subscripts/slices were already lowered — the reference names
           // the `a[i]` AST node "[]"
           else if (name.equalsIgnoreCase("slice") || name.equalsIgnoreCase("try_element_at")) "[]"

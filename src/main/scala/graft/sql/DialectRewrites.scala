@@ -89,6 +89,12 @@ object DialectRewrites {
     // chained casts like '1.1.1.1'::ipv4::string keep left association)
     q = q.replaceAll("(?i)('(?:\\d+\\.){3}\\d+')\\s*::\\s*ipv4\\b", "$1")
     q = q.replaceAll("(?i)(?<![\\w.])(\\d+)\\s*::\\s*ipv4\\b", "ipv4_long_to_str($1)")
+    // general `expr::ipv4` — typed-dispatch macro the engine expands
+    // (numerics render dotted, strings pass through, 0.0.0.0 is null);
+    // must precede ipv4Ops so operator operands are recognizable
+    q = q.replaceAll(
+      "(?i)(?<![:\\w])((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|[\\w.]+|'[^']*')\\s*::\\s*ipv4\\b",
+      "__ipv4_cast($1)")
     q = ipv4Ops(q)
     q = arrayLiterals(q)
     // PG array-literal text casts: '{-1,-2}'::double[] — the brace text
@@ -114,6 +120,16 @@ object DialectRewrites {
     // Spark spells it USING. Time-series joins (ASOF/LT/...) keep their
     // own ON(col) spelling for the dedicated op parsers.
     q = mapOutside(q)(joinOnCols)
+    // rank-family window calls over an EMPTY spec run in scan order in
+    // the reference (row_number() over ()); Spark demands an ordering —
+    // a partition-local sequential id restores the scan order
+    // NOT mapOutside: the call arguments may span string literals
+    // ('30m' stride args) and the regex is quote-aware itself
+    q = q.replaceAll(
+      "(?i)\\b(row_number\\s*\\(\\s*\\)|rank\\s*\\(\\s*\\)|dense_rank\\s*\\(\\s*\\)|ntile\\s*\\([^()]*\\)" +
+        "|(?:lag|lead)\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))*\\))" +
+        "\\s+over\\s*\\(\\s*\\)",
+      "$1 OVER (ORDER BY monotonically_increasing_id())")
     q = mapOutside(q)(arrayTypeCasts)
     // reference DECIMAL256 precision reaches 76; Spark caps at 38 —
     // clamp oversized CAST targets (::decimal(70,5) / AS DECIMAL(70,5))
@@ -809,8 +825,18 @@ object DialectRewrites {
     *     mirrored `>>=` / `>>`)
     */
   private def ipv4Ops(q0: String): String = {
-    if (!"""(?i)\bipv4\s+'|<<=?|>>=?|'(?:\d+\.){3}\d+(?:/\d+)?'\s*[&|^+\-]|[&|^]\s*'(?:\d+\.){3}\d+|\bin\s+'(?:\d+\.){3}\d+""".r
-        .findFirstIn(q0).isDefined) return q0
+    val textualGate =
+      """(?i)\bipv4\s+'|<<=?|>>=?|'(?:\d+\.){3}\d+(?:/\d+)?'\s*[&|^+\-]|[&|^]\s*'(?:\d+\.){3}\d+|\bin\s+'(?:\d+\.){3}\d+""".r
+        .findFirstIn(q0).isDefined
+    // bitwise ops over DECLARED ipv4 columns need no literal in the text
+    // (IPv4Test `select ip & ip2 from test`)
+    lazy val declGate = """[&|^~]""".r.findFirstIn(q0).isDefined && {
+      val low = q0.toLowerCase
+      """[A-Za-z_]\w*""".r.findAllIn(low).exists(w =>
+        graft.Catalog.declaredTypesOf(w).exists(_.startsWith("IPV4")))
+    }
+    if (!textualGate && !declGate &&
+        !"""(?i)__ipv4_cast\(|\bas\s+ipv4\s*\)""".r.findFirstIn(q0).isDefined) return q0
     var s = q0
     // `col IN '<ip>'` is equality; `col IN '<net>/<cidr>'` is subnet
     // containment (reference EqIPv4StrFunctionFactory / the IN-string
@@ -845,15 +871,22 @@ object DialectRewrites {
           // a /0 prefix matches every address, null included (reference
           // IPv4Test containment against the whole space)
           s"WHEN instr($netS, '/') > 0 THEN " +
-          s"((${long(ip)} & __netmask_num($netS)) = (ipv4_str_to_long(split_part($netS, '/', 1)) & __netmask_num($netS)))" +
+          // a null address is stored 0 and participates in the masked
+          // compare (reference Numbers.IPV4_NULL; IPv4Test /1 subnets
+          // whose masked prefix is 0 match the null row)
+          s"((coalesce(${long(ip)}, 0) & __netmask_num($netS)) = (ipv4_str_to_long(split_part($netS, '/', 1)) & __netmask_num($netS)))" +
           (if (strict) " AND CAST(split_part($NET, '/', 2) AS INT) < 32".replace("$NET", netS) else "") +
           s" ELSE ${if (strict) "false" else s"(${long(ip)} = ipv4_str_to_long($netS))"} END)"
       s = s.substring(0, m.start()) + base + s.substring(m.end())
       m = contain.matcher(s)
     }
-    // binary ops with at least one IPV4LIT side
+    // binary ops with at least one ipv4 side — operands may be typed
+    // literals, dotted strings, declared columns, or cast calls
+    // (`ip & cast(s as ipv4)`, IPv4Test:1081)
+    val ipCall = "__ipv4_cast\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)" +
+      "|cast\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*?as\\s+ipv4\\s*\\)"
     val bin = java.util.regex.Pattern.compile(
-      "(?i)(IPV4LIT\\('[^']*'\\)|'[^']*'|[\\w.]+)\\s*(>=|<=|!=|<>|=|<|>|&|\\||\\^|\\+|-)\\s*(IPV4LIT\\('[^']*'\\)|'[^']*'|[\\w.]+)")
+      s"(?i)($ipCall|IPV4LIT\\('[^']*'\\)|'[^']*'|[\\w.]+)\\s*(>=|<=|!=|<>|=|<|>|&|\\||\\^|\\+|-)\\s*($ipCall|IPV4LIT\\('[^']*'\\)|'[^']*'|[\\w.]+)")
     var guard = 0
     var found = true
     while (found && guard < 64) {
@@ -869,7 +902,9 @@ object DialectRewrites {
         def declIp(x: String) = x.matches("[\\w.]+") && !intLit(x) &&
           graft.Catalog.declaredTypesOf(x.split('.').last.toLowerCase)
             .exists(_.startsWith("IPV4"))
-        def ipish(x: String) = x.toUpperCase.startsWith("IPV4LIT(") || dotted(x) || declIp(x)
+        def ipish(x: String) = x.toUpperCase.startsWith("IPV4LIT(") || dotted(x) ||
+          declIp(x) || x.toUpperCase.startsWith("__IPV4_CAST(") ||
+          """(?is)^cast\s*\(.*as\s+ipv4\s*\)$""".r.findFirstIn(x).isDefined
         // plain dotted-quad string literals and declared ipv4 columns
         // engage the arithmetic ops (reference: '1.1.1.1' & '0.0.1.1')
         // — but never comparisons between strings, which stay lexical
@@ -893,7 +928,10 @@ object DialectRewrites {
             x.matches("'(\\d+\\.){3}\\d+(/\\d+)?'")
           val repl = op match {
             case ">=" | "<=" | "=" | "!=" | "<>" | "<" | ">" =>
-              s"(${long(l)} $op ${long(r)})"
+              // 0.0.0.0 IS the ipv4 null — a null side makes the
+              // comparison null (prints false), IPv4Test:922
+              def cmpSide(x: String) = if (ipish(x)) s"nullif(${long(x)}, 0)" else long(x)
+              s"(${cmpSide(l)} $op ${cmpSide(r)})"
             case "&" | "|" | "^" =>
               s"__graft_col(ipv4_long_to_str((${long(l)} $op ${long(r)}) & 4294967295))"
             case "-" if isIpOperand(l) && isIpOperand(r) =>
@@ -920,8 +958,17 @@ object DialectRewrites {
       var last = 0
       while (um.find()) {
         val opnd = um.group(1)
-        val prev = s.substring(0, um.start()).reverse.dropWhile(_.isWhitespace).headOption
-        val unary = prev.forall(c => !Character.isLetterOrDigit(c) && c != '\'' && c != ')' && c != '`')
+        val prevText = s.substring(0, um.start()).reverse.dropWhile(_.isWhitespace).reverse
+        val prev = prevText.lastOption
+        // a preceding KEYWORD still leaves ~ in unary position
+        // (`select ~ip`, `when ~ip`) — only an identifier/literal/paren
+        // before it makes it the regex-match operator
+        val prevWord = prevText.reverse.takeWhile(c =>
+          Character.isLetterOrDigit(c) || c == '_').reverse.toLowerCase
+        val kw = Set("select", "where", "and", "or", "not", "when", "then",
+          "else", "on", "having", "by", "case", "in", "distinct", "all", "as")
+        val unary = prev.forall(c => !Character.isLetterOrDigit(c) && c != '\'' && c != ')' && c != '`') ||
+          kw(prevWord)
         val isNetmask = opnd.toLowerCase.startsWith("netmask(")
         val isIpCol = opnd.matches("[\\w.]+") && !opnd.matches("-?\\d+") &&
           graft.Catalog.declaredTypesOf(opnd.split('.').last.toLowerCase)
@@ -1761,7 +1808,9 @@ object DialectRewrites {
     s = s.replaceAll("(?i)(?<![<>!=:])\\s*=\\s*null\\b(?!\\s*::)", " IS NULL")
     // value-based ordering comparisons: null >= null and null <= null
     // are TRUE in the reference (the = half), strict </> stay false
-    s = s.replaceAll("(?i)\\s*(>=|<=)\\s*null\\b(?!\\s*::)", " IS NULL")
+    // the lookbehind keeps the ipv4 containment operators (<<= / >>=)
+    // out of this rule
+    s = s.replaceAll("(?i)(?<![<>])\\s*(>=|<=)\\s*null\\b(?!\\s*::)", " IS NULL")
     s
   }
 
@@ -2089,12 +2138,19 @@ object DialectRewrites {
         "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
         "ELSE CAST($1 AS STRING) END)")
     s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
-    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|long256|ipv4)\\b", "::STRING")
+    // symbol casts dispatch on the operand type (timestamps render their
+    // RAW LONG — CastTest (d)::SYMBOL over timestamps yields -1, not ISO)
+    s = s.replaceAll(
+      "(?i)(?<![:\\w])((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)|[\\w.]+|'[^']*')\\s*::\\s*symbol\\b",
+      "__sym_cast($1)")
+    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|long256)\\b", "::STRING")
+    s = s.replaceAll("(?i)::\\s*regclass\\b", "") // regclass IS the name string
+    s = s.replaceAll("(?i)::\\s*ipv4\\b", "::STRING") // leftover odd operands
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
     // empty char is the reference's null char
     s = s.replaceAll("(?i)\\bcast\\s*\\(\\s*''\\s+as\\s+char\\s*\\)", "CAST(NULL AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
-    s = s.replaceAll("(?i)\\bas\\s+(symbol|uuid|long128|long256|ipv4)\\s*\\)", "AS STRING)")
+    s = s.replaceAll("(?i)\\bas\\s+(uuid|long128|long256)\\s*\\)", "AS STRING)")
     // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
     val decP = java.util.regex.Pattern.compile("(?i)\\b(DECIMAL|NUMERIC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)")
     val dm = decP.matcher(s)
@@ -2172,8 +2228,15 @@ object DialectRewrites {
       val opStart = operandStart(s, opEnd)
       val operand = s.substring(opStart, opEnd)
       val tz = m.group(1)
-      s = s.substring(0, opStart) + s"from_utc_timestamp($operand, $tz)" +
-        s.substring(m.end())
+      // an ns-precision operand rides the BIGINT nanos carrier — shift
+      // by the zone offset in nanos instead of from_utc_timestamp
+      // (TimestampAtTimeZoneTest ::timestamp_ns at time zone)
+      val isNs = """(?i)::\s*timestamp_ns\b|to_timestamp_ns\s*\(|__ns_cast\s*\(""".r
+        .findFirstIn(operand).isDefined
+      val repl =
+        if (isNs) s"__ns_at_tz($operand, $tz)"
+        else s"from_utc_timestamp($operand, $tz)"
+      s = s.substring(0, opStart) + repl + s.substring(m.end())
       m = pat.matcher(s)
     }
     s

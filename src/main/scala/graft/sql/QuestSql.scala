@@ -40,6 +40,10 @@ object QuestSql {
   // ---- designated timestamps ----------------------------------------------
 
   private val tsRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** CTAS tables WITHOUT a designated timestamp whose select list still
+    * yields a recognizable time column (timestamp_sequence alias) — the
+    * deprecated LATEST BY grammar orders by it (IPv4Test latest by). */
+  private val fallbackTsRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
   graft.Tables.designatedTs.foreach { case (t, c) => tsRegistry.put(t, c) }
 
   /** Register a table's designated timestamp (QuestDB `timestamp(c)`). */
@@ -84,6 +88,7 @@ object QuestSql {
       dottedTables.remove(name.toLowerCase.replace("__dot__", "."))
     val key = name.split('.').last.toLowerCase
     if (!graft.Tables.designatedTs.contains(key)) tsRegistry.remove(key)
+    fallbackTsRegistry.remove(key)
   }
 
   /** `expr alias` (implicit, call-result only) → `expr AS alias` so op
@@ -426,11 +431,26 @@ object QuestSql {
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
       return df.schema.fields.foldLeft(df) { (d, f) =>
+        // select-list aliases bound directly to an ns expression
+        // (`'…'::timestamp_ns time`, TimestampAtTimeZoneTest:150) —
+        // 'at' and clause keywords are not aliases
+        val nsAliases =
+          """(?i)(?:::\s*timestamp_ns|to_timestamp_ns\s*\((?:[^()']|'[^']*')*\))\s+(?:as\s+)?`?([A-Za-z_]\w*)`?""".r
+            .findAllMatchIn(q).map(_.group(1).toLowerCase)
+            .filterNot(Set("at", "from", "where", "and", "or", "order", "group",
+              "limit", "union", "intersect", "except", "sample", "latest", "join",
+              "left", "right", "inner", "cross", "on", "asof", "lt", "splice",
+              "window", "horizon", "between", "in", "is", "not", "then", "else",
+              "when", "end")).toSet
         if (f.dataType == org.apache.spark.sql.types.TimestampType ||
-            // ns-producing functions ride the BIGINT carrier
+            // ns-producing functions ride the BIGINT carrier ('cast' and
+            // 'column' are the reference default names for unaliased
+            // cast/operator items over ns expressions)
             (f.dataType == org.apache.spark.sql.types.LongType &&
-              Set("generate_series", "timestamp_floor", "timestamp_floor_utc",
-                "timestamp_ceil", "timestamp_ceil_utc")(f.name.toLowerCase)))
+              (Set("generate_series", "timestamp_floor", "timestamp_floor_utc",
+                "timestamp_ceil", "timestamp_ceil_utc", "cast", "column",
+                "date_trunc")(f.name.toLowerCase) ||
+                nsAliases(f.name.toLowerCase))))
           d.withMetadata(f.name, meta)
         else d
       }
@@ -664,6 +684,7 @@ object QuestSql {
     // the spellings (to_timestamp_ns / timestamp_sequence_ns expand to
     // plain arithmetic)
     preRegisterCtasNs(q0)
+    preRegisterCtasIpv4(q0)
     // reference-style result-set naming for unaliased expressions
     // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
     // count, duplicate bases get numeric suffixes
@@ -3061,7 +3082,14 @@ object QuestSql {
     val v = s"unix_micros($local)"
     val floored = s"timestamp_micros(CAST($base + floor(CAST(($v) - $base AS DOUBLE) / $us) * $us AS BIGINT))"
     tz match {
-      case Some(z) if toUtc => s"to_utc_timestamp($floored, $z)"
+      case Some(z) if toUtc =>
+        // back-convert with the offset of the ORIGINAL UTC input — not
+        // the (ambiguous) floored local value — so fall-back keeps
+        // distinct buckets distinct (reference floorWithTz returnUtc;
+        // TimestampFloorFromOffsetUtcFunctionFactoryTest)
+        val off = s"(unix_micros(from_utc_timestamp(CAST($ts AS TIMESTAMP), $z))" +
+          s" - unix_micros(CAST($ts AS TIMESTAMP)))"
+        s"timestamp_micros(unix_micros($floored) - $off)"
       case _ => floored
     }
   }
@@ -3365,7 +3393,8 @@ object QuestSql {
         .findFirstMatchIn(inner)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
-      val sv = """(?is)^(.*\S)\s+AS\s+(?:STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
+      val sv = """(?is)^(.*\S)\s+AS\s+(STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
+      val sy = """(?is)^(.*\S)\s+AS\s+SYMBOL\s*$""".r.findFirstMatchIn(inner)
       // explicit double casts keep their user-intent marker so the
       // integer-division rule skips them (reference: explicit
       // cast-to-double divides fractionally, bare int/int integrally)
@@ -3397,6 +3426,14 @@ object QuestSql {
           s"(CASE WHEN typeof($x) IN ('int', 'bigint')" +
             s" THEN nullif(ipv4_long_to_str(CAST($x AS BIGINT) & 4294967295), '0.0.0.0')" +
             s" ELSE nullif(__QCAST__(($x) AS STRING), '0.0.0.0') END)"
+        case _ if sy.isDefined =>
+          // symbol casts of datetimes render the RAW LONG (reference
+          // CastTimestampToSymbol / CastDateToSymbol — CastTest
+          // (d)::SYMBOL shows -1, not the ISO text); others ride string
+          val x = sy.get.group(1)
+          s"(CASE WHEN typeof($x) = 'timestamp' THEN CAST(unix_micros(__QCAST__(($x) AS TIMESTAMP)) AS STRING)" +
+            s" WHEN typeof($x) = 'timestamp_ntz' THEN CAST(unix_millis(__QCAST__(($x) AS TIMESTAMP)) AS STRING)" +
+            s" ELSE __QCAST__(($x) AS STRING) END)"
         case _ if sv.isDefined =>
           // timestamp→string renders the reference USEC/MSEC UTC pattern
           // (Numbers/TimestampFormatUtils), not Spark's space-separated
@@ -3404,8 +3441,20 @@ object QuestSql {
           // time (RuntimeReplaceable), so non-timestamp operands cast
           // natively with no analysis failure.
           val x = sv.get.group(1)
+          val tgtVarchar = sv.get.group(2).equalsIgnoreCase("VARCHAR")
+          // CONSTANT datetime casts fold to the raw long text in the
+          // reference's VARCHAR factories and in date-to-str — only
+          // timestamp/ns to STRING keep the ISO pattern (CastTest
+          // {Date,Timestamp,TimestampNs}To{Str,Varchar}Const)
+          val constDt = """(?is)^cast\s*\(\s*(-?\d+)[lL]?\s+as\s+(date|timestamp|timestamp_ns)\s*\)$"""
+            .r.findFirstMatchIn(x)
           if (x.startsWith("'") || x.matches("-?\\d+(\\.\\d+)?[LlDd]?"))
             s"__QCAST__(($x) AS STRING)" // sizeless VARCHAR would not parse
+          else if (constDt.exists(cm => tgtVarchar || cm.group(2).equalsIgnoreCase("date")))
+            s"'${constDt.get.group(1)}'"
+          else if ("""(?i)::\s*timestamp_ns\b|to_timestamp_ns\s*\(|__ns_cast\s*\(|__ns_at_tz\s*\(|as\s+timestamp_ns\s*\)"""
+              .r.findFirstIn(x).isDefined)
+            s"__ns_str($x)" // BIGINT nanos carrier renders the 9-digit pattern
           else s"qdb_str($x)"
         case _ => s"cast($inner)"
       }
@@ -3750,6 +3799,36 @@ object QuestSql {
     // `<<`/`<<=` containment operators — function forms here; addresses
     // ride as BIGINT or dotted strings). ipv4_contains expands FIRST so
     // the netmask()/ipv4_str_to_long() calls it emits expand below.
+    // date_trunc over the BIGINT nanos carrier truncates in ns and keeps
+    // the carrier (TimestampAtTimeZoneTest:104) — sub-µs units already
+    // ride exact in the carrier
+    q = expandCalls(q, "date_trunc") {
+      case Seq(u, x) if """(?i)__ns_cast\s*\(|__ns_at_tz\s*\(|::\s*timestamp_ns\b|to_timestamp_ns\s*\("""
+          .r.findFirstIn(x).isDefined =>
+        s"(unix_micros(__dtrunc__($u, timestamp_micros(($x) div 1000))) * 1000)"
+      case args => s"__dtrunc__(${args.mkString(", ")})" // sentinel: no self-re-expansion
+    }
+    q = q.replace("__dtrunc__(", "date_trunc(")
+    // ns-carrier AT TIME ZONE: shift the BIGINT nanos by the zone offset
+    // at that instant (offset derived at µs precision, scaled to ns)
+    q = expandCalls(q, "__ns_at_tz") { case Seq(x, tz) =>
+      s"(($x) + (unix_micros(from_utc_timestamp(timestamp_micros(($x) div 1000), $tz))" +
+        s" - (($x) div 1000)) * 1000)" }
+    // ns-carrier to string: the reference NSEC_UTC pattern
+    q = expandCalls(q, "__ns_str") { case Seq(x) =>
+      s"concat(date_format(timestamp_micros((($x) div 1000000000) * 1000000)," +
+        s" 'yyyy-MM-dd''T''HH:mm:ss.'), lpad(CAST(pmod($x, 1000000000) AS STRING), 9, '0'), 'Z')" }
+    // `expr::symbol` — same typed dispatch as CAST(… AS SYMBOL)
+    q = expandCalls(q, "__sym_cast") { case Seq(x) =>
+      s"(CASE WHEN typeof($x) = 'timestamp' THEN CAST(unix_micros(CAST(($x) AS TIMESTAMP)) AS STRING)" +
+        s" WHEN typeof($x) = 'timestamp_ntz' THEN CAST(unix_millis(CAST(($x) AS TIMESTAMP)) AS STRING)" +
+        s" ELSE CAST(($x) AS STRING) END)" }
+    // general cast-to-ipv4 (DialectRewrites routes `expr::ipv4` here):
+    // numerics render dotted, strings pass through, 0.0.0.0 is the null
+    q = expandCalls(q, "__ipv4_cast") { case Seq(x) =>
+      s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+        s" THEN nullif(ipv4_long_to_str(CAST($x AS BIGINT) & 4294967295), '0.0.0.0')" +
+        s" ELSE nullif(CAST(($x) AS STRING), '0.0.0.0') END)" }
     q = expandCalls(q, "ipv4_contains") { case Seq(cidr, ip) =>
       s"((ipv4_str_to_long($ip) & __netmask_num($cidr)) = " +
         s"(ipv4_str_to_long(split_part($cidr, '/', 1)) & __netmask_num($cidr)))" }
@@ -5121,7 +5200,8 @@ object QuestSql {
     val relHead = """[`']?([\w.]+)""".r
       .findFirstMatchIn(head.substring(fromAt + 4).trim)
       .map(_.group(1).split('.').last.toLowerCase).getOrElse("")
-    val ts = Option(tsRegistry.get(relHead)).getOrElse("ts")
+    val ts = Option(tsRegistry.get(relHead))
+      .orElse(Option(fallbackTsRegistry.get(relHead))).getOrElse("ts")
     s"SELECT * FROM ($head LATEST ON $ts PARTITION BY $keys)$tail"
   }
 
@@ -5472,6 +5552,43 @@ object QuestSql {
     * RefText prints the 9-digit pattern (the reference keeps the column
     * type through CTAS; this dialect keeps only the text). Runs on the
     * statement BEFORE the fn-macro pass, which erases the spellings. */
+  /** CTAS select items producing ipv4 values (`expr::ipv4` → __ipv4_cast,
+    * rnd_ipv4, netmask) register the alias as a declared IPV4 column so
+    * later queries engage the ipv4 operator rewrites (IPv4Test
+    * `create table test as (select rnd_int(...)::ipv4 ip ...)`). */
+  private[sql] def preRegisterCtasIpv4(q: String): Unit = {
+    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(""".r
+        .findFirstIn(q).isEmpty) return
+    val head = """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(""".r
+    head.findFirstMatchIn(q).foreach { m =>
+      val inner0 = q.substring(m.end).trim
+      if (inner0.toLowerCase.startsWith("select")) {
+        // select list ends at the top-level FROM
+        val fromAt = topLevelIndexOf(inner0, Seq("from"))
+        val selList = if (fromAt > 0) inner0.substring("select".length, fromAt) else return
+        splitSelect(selList).foreach { item =>
+          if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(""".r.findFirstIn(item).isDefined) {
+            """(?is)^(.*\S)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(item.trim)
+              .filter(mm => mm.group(1).contains("("))
+              .foreach { mm =>
+                graft.Catalog.mergeDeclaredCol(
+                  unq(m.group(1)).split('.').last, mm.group(2), "IPV4")
+              }
+          }
+          if ("""(?i)\btimestamp_sequence\s*\(""".r.findFirstIn(item).isDefined) {
+            """(?is)^(.*\S)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(item.trim)
+              .filter(mm => mm.group(1).contains("("))
+              .foreach { mm =>
+                val tbl = unq(m.group(1)).split('.').last.toLowerCase
+                if (!tsRegistry.containsKey(tbl))
+                  fallbackTsRegistry.put(tbl, mm.group(2))
+              }
+          }
+        }
+      }
+    }
+  }
+
   private[sql] def preRegisterCtasNs(q: String): Unit = {
     val head = """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(""".r
     head.findFirstMatchIn(q).foreach { m =>
