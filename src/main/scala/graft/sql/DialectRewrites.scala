@@ -120,16 +120,6 @@ object DialectRewrites {
     // Spark spells it USING. Time-series joins (ASOF/LT/...) keep their
     // own ON(col) spelling for the dedicated op parsers.
     q = mapOutside(q)(joinOnCols)
-    // rank-family window calls over an EMPTY spec run in scan order in
-    // the reference (row_number() over ()); Spark demands an ordering —
-    // a partition-local sequential id restores the scan order
-    // NOT mapOutside: the call arguments may span string literals
-    // ('30m' stride args) and the regex is quote-aware itself
-    q = q.replaceAll(
-      "(?i)\\b(row_number\\s*\\(\\s*\\)|rank\\s*\\(\\s*\\)|dense_rank\\s*\\(\\s*\\)|ntile\\s*\\([^()]*\\)" +
-        "|(?:lag|lead)\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))*\\))" +
-        "\\s+over\\s*\\(\\s*\\)",
-      "$1 OVER (ORDER BY monotonically_increasing_id())")
     q = mapOutside(q)(arrayTypeCasts)
     // reference DECIMAL256 precision reaches 76; Spark caps at 38 —
     // clamp oversized CAST targets (::decimal(70,5) / AS DECIMAL(70,5))
@@ -166,6 +156,24 @@ object DialectRewrites {
     q = mapOutside(q)(tsColonCasts)
     q = atTimeZone(q)
     q = namedWindows(q)
+    // sequence-family window calls over an EMPTY spec run in scan order
+    // in the reference (row_number() over ()); Spark demands an ordering
+    // — a partition-local sequential id restores the scan order. Runs
+    // AFTER namedWindows so `OVER w ... WINDOW w AS ()` inlines first.
+    // NOT mapOutside: the call arguments may span string literals
+    // ('30m' stride args) and the regex is quote-aware itself.
+    q = q.replaceAll(
+      "(?i)\\b(row_number\\s*\\(\\s*\\)|ntile\\s*\\([^()]*\\)" +
+        "|(?:lag|lead)\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))*\\))" +
+        "\\s+over\\s*\\(\\s*\\)",
+      "$1 OVER (ORDER BY monotonically_increasing_id())")
+    // rank/dense_rank over an EMPTY spec have NO ordering — every row is
+    // a peer and ranks 1 (WindowFunctionTest:10806); a constant key
+    // satisfies Spark's ordered-window requirement with all-peers
+    q = q.replaceAll(
+      "(?i)\\b(rank\\s*\\(\\s*\\)|dense_rank\\s*\\(\\s*\\))\\s+over\\s*\\(\\s*\\)",
+      "$1 OVER (ORDER BY 1)")
+    q = excludeCurrentRow(q)
     q = nestedWindows(q)
     q = windowSpecAliases(q)
     q = emptyFrames(q)
@@ -1219,6 +1227,59 @@ object DialectRewrites {
     *    PARTITION BY key;
     *  - reserved definition names (`WINDOW window AS ...`) renamed.
     */
+  /** Window EXCLUDE CURRENT ROW (reference window framing):
+    *   - a ROWS frame ending at CURRENT ROW shifts its end to 1
+    *     PRECEDING (same set, WindowFunctionTest:10138)
+    *   - a frame already ending before the current row is unchanged
+    *   - a RANGE frame ending at CURRENT ROW keeps the current row's
+    *     PEERS but drops the row itself — decompose sum/count/avg as
+    *     frame-total minus the current row's contribution
+    *     (WindowExcludeCurrentRowTest).
+    */
+  private def excludeCurrentRow(q0: String): String = {
+    if ("""(?i)EXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS)""".r.findFirstIn(q0).isEmpty) return q0
+    var q = q0
+    q = q.replaceAll("(?i)\\s+EXCLUDE\\s+NO\\s+OTHERS", "")
+    q = q.replaceAll(
+      "(?i)(ROWS\\s+BETWEEN\\s+(?:\\d+|UNBOUNDED)\\s+PRECEDING\\s+AND)\\s+CURRENT\\s+ROW\\s+EXCLUDE\\s+CURRENT\\s+ROW",
+      "$1 1 PRECEDING")
+    q = q.replaceAll(
+      "(?i)((?:ROWS|RANGE)\\s+BETWEEN\\s+(?:\\d+|UNBOUNDED)\\s*\\w*\\s+PRECEDING\\s+AND\\s+\\d+\\s*\\w*\\s+PRECEDING)\\s+EXCLUDE\\s+CURRENT\\s+ROW",
+      "$1")
+    def decomp(agg: String, arg: String, over: String): String = {
+      val a = arg.trim
+      agg.toLowerCase match {
+        case "count" if a == "*" => s"(count(*) OVER $over - 1)"
+        case "count" =>
+          s"(count($a) OVER $over - (CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END))"
+        case "avg" =>
+          s"(CASE WHEN count(*) OVER $over > 1 THEN (sum($a) OVER $over - coalesce($a, 0))" +
+            s" / nullif(count($a) OVER $over - (CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END), 0)" +
+            s" ELSE NULL END)"
+        case _ =>
+          s"(CASE WHEN count(*) OVER $over > 1 THEN sum($a) OVER $over - coalesce($a, 0)" +
+            s" ELSE NULL END)"
+      }
+    }
+    // named windows: clean the definition, decompose each use
+    val defRe =
+      """(?i)\b(\w+)\s+AS\s*\(\s*([^()]*?RANGE[^()]*?CURRENT\s+ROW)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""".r
+    val excludedNames = defRe.findAllMatchIn(q).map(_.group(1)).toList
+    q = defRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} AS (${m.group(2)})"))
+    excludedNames.foreach { n =>
+      val useRe = ("(?i)\\b(sum|count|avg)\\s*\\(\\s*([^()*]*|\\*)\\s*\\)\\s+OVER\\s+" + n + "\\b").r
+      q = useRe.replaceAllIn(q, m =>
+        java.util.regex.Matcher.quoteReplacement(decomp(m.group(1), m.group(2), n)))
+    }
+    // inline RANGE-to-current specs
+    val inlineRe =
+      """(?i)\b(sum|count|avg)\s*\(\s*([^()*]*|\*)\s*\)\s+OVER\s*\(\s*([^()]*?RANGE[^()]*?CURRENT\s+ROW)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""".r
+    q = inlineRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(decomp(m.group(1), m.group(2), s"(${m.group(3)})")))
+    q
+  }
+
   private def namedWindows(q0: String): String = {
     val kw = java.util.regex.Pattern.compile(
       "(?i)\\bWINDOW\\s+(?!JOIN\\b)[A-Za-z_]\\w*\\s+AS\\s*\\(")
@@ -1626,7 +1687,7 @@ object DialectRewrites {
     if (!hasUnit && !hasBareRange) return s
     // step 1: time bound → marked micros literal
     s = bound.matcher(s).replaceAll(mr =>
-      "§US§" + (mr.group(1).toLong * unitUs(mr.group(2).toLowerCase)) +
+      "§UU§" + (mr.group(1).toLong * unitUs(mr.group(2).toLowerCase)) +
         " " + mr.group(3))
     // bare numeric RANGE bounds are MICROSECONDS in the reference (RANGE
     // frames require designated-timestamp order) — mark them the same
@@ -1635,16 +1696,51 @@ object DialectRewrites {
       "(?is)\\b(RANGE\\s+(?:BETWEEN\\s+)?)(\\d+)(\\s+(?:PRECEDING|FOLLOWING))",
       "$1§US§$2$3")
     s = s.replaceAll(
-      "(?is)\\b(RANGE\\s+BETWEEN\\s+(?:§US§\\d+\\s+(?:PRECEDING|FOLLOWING)|UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW)\\s+AND\\s+)(\\d+)(\\s+(?:PRECEDING|FOLLOWING))",
+      "(?is)\\b(RANGE\\s+BETWEEN\\s+(?:§U[SU]§\\d+\\s+(?:PRECEDING|FOLLOWING)|UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW)\\s+AND\\s+)(\\d+)(\\s+(?:PRECEDING|FOLLOWING))",
       "$1§US§$2$3")
     // step 2: wrap the ORDER BY key of every frame that got a marker
     val frame = java.util.regex.Pattern.compile(
-      "(?is)(ORDER\\s+BY\\s+)(.+?)(\\s+ASC|\\s+DESC)?(\\s+RANGE\\s+(?:BETWEEN\\s+)?)(?=[^()]*§US§)")
-    s = frame.matcher(s).replaceAll(mr =>
-      java.util.regex.Matcher.quoteReplacement(
-        mr.group(1) + s"unix_micros(CAST(${mr.group(2)} AS TIMESTAMP))" +
-          Option(mr.group(3)).getOrElse("") + mr.group(4)))
-    s.replace("§US§", "")
+      // the key must not cross a paren boundary — a WINDOW clause holds
+      // several parenthesized definitions and a greedy middle would
+      // bridge one definition's ORDER BY to the next one's RANGE
+      // (WindowExcludeCurrentRowTest:138)
+      "(?is)(ORDER\\s+BY\\s+)([^()]+?)(\\s+ASC|\\s+DESC)?(\\s+RANGE\\s+(?:BETWEEN\\s+)?)(?=[^()]*§U[SU]§)")
+    // manual loop: a ns-declared key orders in NANOS (BIGINT carrier or
+    // ns-view of a µs store) and its bounds scale ×1000; µs keys wrap in
+    // unix_micros with bounds as marked (WindowFunctionTest timestamp_ns
+    // range frames; WindowRangeFrameOverflowTest)
+    val fm = frame.matcher(s)
+    val fsb = new java.lang.StringBuilder
+    var cursor = 0
+    while (fm.find(cursor)) {
+      val key = fm.group(2).trim
+      val isNs = key.matches("[\\w.]+") &&
+        graft.Catalog.declaredTypesOf(key.split('.').last.toLowerCase)
+          .exists(_.toUpperCase.startsWith("TIMESTAMP_NS"))
+      val keyExpr =
+        if (isNs)
+          s"(CASE WHEN typeof($key) = 'bigint' THEN CAST($key AS BIGINT)" +
+            s" ELSE unix_micros(CAST($key AS TIMESTAMP)) * 1000 END)"
+        else s"unix_micros(CAST($key AS TIMESTAMP))"
+      fsb.append(s, cursor, fm.start())
+      fsb.append(fm.group(1)).append(keyExpr)
+        .append(Option(fm.group(3)).getOrElse("")).append(fm.group(4))
+      cursor = fm.end()
+      if (isNs) {
+        // scale this frame's marked bounds (they sit before the spec's
+        // closing paren — the lookahead guarantees [^()]* to the marker)
+        var specEnd = cursor
+        while (specEnd < s.length && s.charAt(specEnd) != '(' && s.charAt(specEnd) != ')')
+          specEnd += 1
+        val scaled = "§UU§(\\d+)".r.replaceAllIn(s.substring(cursor, specEnd),
+          m2 => "§UU§" + (m2.group(1).toLong * 1000L))
+        fsb.append(scaled)
+        cursor = specEnd
+      }
+    }
+    fsb.append(s, cursor, s.length)
+    s = fsb.toString
+    s.replace("§US§", "").replace("§UU§", "")
   }
 
   /** Strip `/* ... */` blocks (incl. optimizer hints the reference

@@ -1053,7 +1053,22 @@ object QuestSql {
             "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
           s"$$1($$2)$$3 OVER (ORDER BY $t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
         // a named empty window serves aggregates and value functions
-        // alike: full frame in scan order keeps both whole-partition
+        // alike: full frame in scan order keeps both whole-partition —
+        // but rank-family USES of it must not inherit the full frame
+        // (row_number/rank demand their own default frame; the reference
+        // ranks an unordered window with every row a peer —
+        // WindowFunctionTest:9389). Rewrite those uses first.
+        val emptyWins = """(?i)\bwindow\s+(\w+)\s+as\s*\(\s*\)""".r
+          .findAllMatchIn(q).map(_.group(1)).toSeq
+        emptyWins.foreach { w =>
+          q = q.replaceAll(
+            s"(?i)\\b(rank|dense_rank)\\s*\\(\\s*\\)\\s*over\\s+$w\\b",
+            "$1() OVER (ORDER BY 1)")
+          q = q.replaceAll(
+            s"(?i)\\b(row_number|ntile|lead|lag|cume_dist|percent_rank)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+              s"((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s+$w\\b",
+            s"$$1($$2)$$3 OVER (ORDER BY $t)")
+        }
         q = q.replaceAll("(?i)\\bwindow\\s+(\\w+)\\s+as\\s*\\(\\s*\\)",
           s"WINDOW $$1 AS (ORDER BY $t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
       }
@@ -4147,6 +4162,8 @@ object QuestSql {
         s"WHEN $t = 'double' THEN 'DOUBLE' WHEN $t = 'float' THEN 'FLOAT' " +
         s"WHEN $t = 'string' THEN 'STRING' WHEN $t = 'boolean' THEN 'BOOLEAN' " +
         s"WHEN $t = 'timestamp' THEN 'TIMESTAMP' WHEN $t = 'date' THEN 'DATE' " +
+        // DATE rides the TIMESTAMP_NTZ carrier here (dateMsCast)
+        s"WHEN $t = 'timestamp_ntz' THEN 'DATE' " +
         s"WHEN $t = 'binary' THEN 'BINARY' WHEN $t LIKE 'decimal%' THEN 'DECIMAL' " +
         s"WHEN $t LIKE 'array%' THEN 'ARRAY' ELSE upper($t) END)" }
     // switch(value, case1, result1, ..., [default]) — reference
