@@ -203,24 +203,36 @@ object SampleBy {
         val fl = local - pmod(local - lit(anchorLocalUs), lit(strideUs))
         timestamp_micros(fl - offAtUs(fl - off1, zone))
       case (Some(zone), 'M') =>
+        // WITH OFFSET under a TZ: floor the LOCAL value in the
+        // offset-shifted frame and shift back, as in the no-tz month
+        // grid (SampleByFillNullValueTest 1M TZ Berlin OFFSET '06:00')
         val us = unix_micros(col(ts))
         val off1 = offAtUs(us, zone)
-        val lts = timestamp_micros(us + off1) // local naive
-        val flLocal = unix_micros(monthBucketAnchored(lts, strideMonthsOpt.get, monthAnchor))
+        val lts0 = us + off1 // local naive micros
+        val flLocal =
+          if (offsetUs == 0L)
+            unix_micros(monthBucketAnchored(timestamp_micros(lts0), strideMonthsOpt.get, monthAnchor))
+          else
+            unix_micros(monthBucketAnchored(timestamp_micros(lts0 - lit(offsetUs)),
+              strideMonthsOpt.get, monthAnchor)) + lit(offsetUs)
         timestamp_micros(flLocal - offAtUs(flLocal - off1, zone))
     }).as(tsOut)
     // per-(bucket,key) first scan position rides through the aggregate:
     // the reference cursor emits each bucket's PRESENT rows in scan
     // order, then the gap-filled keys — __graft_app reproduces that
     val APP = "__graft_app"
-    // scan position = designated-ts micros (a reference table is
-    // ts-ordered, so scan order IS ts order); deterministic across
-    // shuffles/multi-partition reads where monotonically_increasing_id
-    // is not — remaining same-ts ties break on the key columns in
-    // refOrder's orderBy tail
+    // scan position = (designated-ts micros, partition-local id): the
+    // PRIMARY component is the deterministic ts (a reference table is
+    // ts-ordered, so scan order IS ts order); the id only breaks
+    // SAME-ts ties in insertion order (SampleByFillNullValueTest keyed
+    // fill emits London,Paris,Berlin — their shared bucket ts cannot).
+    // The tie-break is exact on a single-partition scan and best-effort
+    // across shuffles, where the primary ts keeps the order stable.
     val dfM =
       if (keys.isEmpty) df
-      else df.withColumn("__graft_mono", unix_micros(col(ts)))
+      else df.withColumn("__graft_mono",
+        struct(unix_micros(col(ts)).as("t"),
+          org.apache.spark.sql.functions.monotonically_increasing_id().as("m")))
     val aggsApp =
       if (keys.isEmpty) aggs
       else aggs :+ (APP -> min(col("__graft_mono")))
@@ -336,9 +348,20 @@ object SampleBy {
       val grid =
         if (keys.isEmpty) spine
         else base.select(keys.map(col): _*).distinct().crossJoin(spineSide)
-      val joined = grid.join(
-        base.withColumn(PRESENT, lit(1)),
-        (keys :+ tsOut).toSeq, "left")
+      // null-SAFE key equality: a NULL series key is a legitimate group
+      // (SampleByFillNullValueTest null city) and plain equi-join keys
+      // would drop its present rows onto the fill path
+      val joined = {
+        val b = base.withColumn(PRESENT, lit(1)).as("__b")
+        val g = grid.as("__g")
+        val cond = (keys :+ tsOut)
+          .map(k => col(s"__g.$k") <=> col(s"__b.$k")).reduce(_ && _)
+        val bRest = base.columns.filterNot(c => keys.contains(c) || c == tsOut)
+        g.join(b, cond, "left").select(
+          (grid.columns.map(k => col(s"__g.$k").as(k)) ++
+            bRest.map(c => col(s"__b.$c").as(c)) :+
+            col(s"__b.$PRESENT").as(PRESENT)): _*)
+      }
 
       def needsWindow(f: Fill): Boolean = f match {
         case FillPrev | FillLinear | FillPrevOf(_) => true

@@ -47,7 +47,12 @@ object DialectRewrites {
     // literals); Spark parses them as DECIMAL(p,s) — suffix D, skipping
     // m-suffixed decimals (already 'BD' from decimalSuffix) and
     // exponent forms (lookahead excludes a following letter)
-    q = mapOutside(q)(_.replaceAll("(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])", "$1D"))
+    // a literal about to be cast to DECIMAL keeps its exact digits —
+    // the D (double) typing would round 18-digit mantissas
+    // (CaseFunctionFactoryTest decimal branches)
+    q = mapOutside(q)(_.replaceAll(
+      "(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])(?!\\s*(?:[aA][sS]\\s+(?:DECIMAL|NUMERIC|decimal|numeric)|::\\s*(?:decimal|DECIMAL|numeric|NUMERIC)))",
+      "$1D"))
     q = mapOutside(q)(hexLiterals)
     q = mapOutside(q)(inNull)
     // null-equality comparisons (reference null = null is true), but not
@@ -174,6 +179,11 @@ object DialectRewrites {
       "(?i)\\b(rank\\s*\\(\\s*\\)|dense_rank\\s*\\(\\s*\\))\\s+over\\s*\\(\\s*\\)",
       "$1 OVER (ORDER BY 1)")
     q = excludeCurrentRow(q)
+    // constant-expression OFFSET (reference folds at compile time):
+    // WITH OFFSET cast('10:00' AS STRING) → WITH OFFSET '10:00'
+    q = q.replaceAll(
+      "(?i)(WITH\\s+OFFSET\\s+)cast\\s*\\(\\s*('[^']*')\\s+AS\\s+(?:STRING|VARCHAR|SYMBOL)\\s*\\)",
+      "$1$2")
     q = nestedWindows(q)
     q = windowSpecAliases(q)
     q = emptyFrames(q)
@@ -2232,7 +2242,9 @@ object DialectRewrites {
       "(?i)(?<![:\\w])(\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|-?\\d+|[\\w.]+)(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
       "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint') " +
         "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
-        "ELSE CAST($1 AS STRING) END)")
+        // a string truncates to its FIRST char; the empty string is the
+        // null char (SqlCompilerImplTest cast('ab' as char) <= 'a')
+        "ELSE nullif(substring(CAST($1 AS STRING), 1, 1), '') END)")
     s = s.replaceAll("(?i)::\\s*char\\b(?!\\s*\\()", "::STRING")
     // symbol casts dispatch on the operand type (timestamps render their
     // RAW LONG — CastTest (d)::SYMBOL over timestamps yields -1, not ISO)
@@ -2243,9 +2255,10 @@ object DialectRewrites {
     s = s.replaceAll("(?i)::\\s*regclass\\b", "") // regclass IS the name string
     s = s.replaceAll("(?i)::\\s*ipv4\\b", "::STRING") // leftover odd operands
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
-    // empty char is the reference's null char
+    // empty char is the reference's null char; other CHAR cast targets
+    // keep their spelling — the engine's cast macro truncates strings to
+    // the first char (CastTest / SqlCompilerImplTest)
     s = s.replaceAll("(?i)\\bcast\\s*\\(\\s*''\\s+as\\s+char\\s*\\)", "CAST(NULL AS STRING)")
-    s = s.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+(uuid|long128|long256)\\s*\\)", "AS STRING)")
     // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
     val decP = java.util.regex.Pattern.compile("(?i)\\b(DECIMAL|NUMERIC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)")

@@ -2003,7 +2003,7 @@ object QuestSql {
   // REINDEX TABLE t [COLUMN c] [LOCK EXCLUSIVE] (SqlCompilerImpl.compileReindex);
   // symbol indexes are Spark-side shuffle/bucket concerns, so validate + ack
   private val ReindexRe =
-    """(?is)^REINDEX\s+TABLE\s+([\w.]+)(?:\s+COLUMN\s+[\w.]+)?(?:\s+LOCK\s+EXCLUSIVE)?\s*$""".r
+    """(?is)^REINDEX\s+TABLE\s+([\w.]+)(?:\s+COLUMN\s+[\w.]+)?(?:\s+PARTITION\s+'[^']*')?(?:\s+LOCK\s+EXCLUSIVE)?\s*$""".r
   // CANCEL QUERY <id> (SqlCompilerImpl.compileCancel + query_activity())
   private val CancelQueryRe = """(?is)^CANCEL\s+QUERY\s+(\d+)\s*$""".r
 
@@ -2556,6 +2556,16 @@ object QuestSql {
                 .exists(_.get(f.name.toLowerCase)
                   .exists(_.tpe.toUpperCase.startsWith("IPV4"))) =>
               nullif(c.cast(f.dataType), lit("0.0.0.0")).as(f.name)
+            // LONG256 input normalizes to the canonical lowercase 0x
+            // form whatever the spelling (0X…, bare hex —
+            // SqlCompilerImplTest long256 inserts)
+            case (StringType, _) if Option(graft.Catalog.declaredCols.get(name.toLowerCase))
+                .exists(_.get(f.name.toLowerCase)
+                  .exists(_.tpe.toUpperCase.startsWith("LONG256"))) =>
+              when(c.isNull, lit(null).cast(StringType))
+                .otherwise(concat(lit("0x"),
+                  lower(regexp_replace(c.cast(StringType), "^(?i)0x", ""))))
+                .as(f.name)
             // PG brace text into an array column ('{1.0, 2.0}')
             case (at: ArrayType, Some(StringType)) =>
               from_json(translate(c, "{}", "[]"), at).as(f.name)
@@ -3410,6 +3420,7 @@ object QuestSql {
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
       val sv = """(?is)^(.*\S)\s+AS\s+(STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
       val sy = """(?is)^(.*\S)\s+AS\s+SYMBOL\s*$""".r.findFirstMatchIn(inner)
+      val ch = """(?is)^(.*\S)\s+AS\s+CHAR\s*$""".r.findFirstMatchIn(inner)
       // explicit double casts keep their user-intent marker so the
       // integer-division rule skips them (reference: explicit
       // cast-to-double divides fractionally, bare int/int integrally)
@@ -3441,6 +3452,13 @@ object QuestSql {
           s"(CASE WHEN typeof($x) IN ('int', 'bigint')" +
             s" THEN nullif(ipv4_long_to_str(CAST($x AS BIGINT) & 4294967295), '0.0.0.0')" +
             s" ELSE nullif(__QCAST__(($x) AS STRING), '0.0.0.0') END)"
+        case _ if ch.isDefined =>
+          // CHAR cast: numerics are char CODES (0 = the null char);
+          // strings truncate to their first char
+          val x = ch.get.group(1)
+          s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+            s" THEN IF(CAST($x AS INT) = 0, '', chr(CAST($x AS INT)))" +
+            s" ELSE nullif(substring(__QCAST__(($x) AS STRING), 1, 1), '') END)"
         case _ if sy.isDefined =>
           // symbol casts of datetimes render the RAW LONG (reference
           // CastTimestampToSymbol / CastDateToSymbol — CastTest
@@ -6160,7 +6178,12 @@ object QuestSql {
         case (None, Some(t)) => whered.where(col(tsName) < lit(t))
         case _ => whered
       }
-      val weekShiftUs0 = if (unit == "w") 4L * 86400000000L else 0L
+      // weeks anchor at Monday — except under TIME ZONE *with* OFFSET,
+      // where the reference's offset sampler keeps the epoch (Thursday)
+      // grid (SampleByFillNullValueTest 1w TZ Berlin OFFSET '06:00' →
+      // Thursday buckets; the no-offset tz week stays Monday)
+      val weekShiftUs0 =
+        if (unit == "w" && !(tzLit != null && offsetLit != null)) 4L * 86400000000L else 0L
       def offsetShiftUs(off: String): Long = {
         val m2 = """(-?)(\d{2}):(\d{2})""".r.findFirstMatchIn(off.trim).get
         (m2.group(2).toLong * 3600 + m2.group(3).toLong * 60) * 1000000L *
@@ -6216,7 +6239,17 @@ object QuestSql {
                 case None => fromUs0
               }
               val rem = (((anchorUs - fromUs0) % strideUs) + strideUs) % strideUs
-              val fromGridUs = fromUs0 + rem
+              // under TZ *with* OFFSET the spine anchors at
+              // floor-to-day(FROM) + offset exactly — one bucket before
+              // FROM for negative offsets, after it for positive ones
+              // (SampleByFillNullValueTest 1d '-00:30' → the 23:30
+              // bucket, '06:00' → the 06:00 bucket; SampleByFillTest 1h
+              // '00:30' → the 00:30 bucket); otherwise FROM ceils up
+              val fromGridUs =
+                if (tzLit != null && offsetLit != null)
+                  Math.floorDiv(fromUs0, 86400000000L) * 86400000000L +
+                    offsetShiftUs(offsetLit)
+                else fromUs0 + rem
               // floorDiv keeps an empty [from, to) range empty — with
               // truncating division FROM x TO x yielded one bucket
               // (reference: TO is exclusive, SampleByFillTest)
