@@ -95,15 +95,18 @@ object Ema {
 
   /** Time-decay EMA / VWEMA (reference EmaDoubleWindowFunctionFactory
     * time-unit modes): per-row `α_i = 1 - exp(-Δt/τ)`, first row of a
-    * series seeds with its value. `volumeCol = None` → plain EMA. */
+    * series seeds with its value. `volumeCol = None` → plain EMA.
+    * Rows fold in `ts` (window ORDER BY) order, but Δt reads the
+    * DESIGNATED timestamp `timeCol` — the window may order by any key
+    * (VwemaWindowFunctionTest sort_key). */
   def emaDecay(df: DataFrame, ts: String, keys: Seq[String],
                priceCol: String, volumeCol: Option[String], tauUs: Long,
-               out: String): DataFrame = {
+               out: String, timeCol: Option[String] = None): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(out, DoubleType, nullable = true))
     val keyIdx = keys.map(df.columns.indexOf(_))
     val pIdx = df.columns.indexOf(priceCol)
     val vIdx = volumeCol.map(df.columns.indexOf(_))
-    val tIdx = df.columns.indexOf(ts)
+    val tIdx = df.columns.indexOf(timeCol.getOrElse(ts))
     val sortCols = (keys :+ ts).map(col)
     val partitioned =
       if (keys.isEmpty) df.repartitionByRange(1, col(ts)).sortWithinPartitions(col(ts))
@@ -121,8 +124,16 @@ object Ema {
           case l: java.lang.Long => l.longValue()
           case _ => 0L
         }
+        // vwema participation requires a FINITE POSITIVE volume — a
+        // zero/negative volume keeps the previous value and does not
+        // seed the state (reference VwemaDoubleWindowFunction)
+        val invalid = r.isNullAt(pIdx) || vIdx.exists(r.isNullAt) ||
+          vIdx.exists { vi =>
+            val v = r.getDouble(vi)
+            !java.lang.Double.isFinite(v) || v <= 0
+          } || !java.lang.Double.isFinite(r.getDouble(pIdx))
         val y: Any =
-          if (r.isNullAt(pIdx) || vIdx.exists(r.isNullAt)) {
+          if (invalid) {
             if (hasState) (if (vIdx.isDefined) { if (den != 0.0) num / den else null } else state)
             else null
           } else {

@@ -6446,7 +6446,7 @@ object QuestSql {
   // expresses, lowered through ops.Ema.
 
   private val EmaItemRe =
-    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|millisecond(?:s)?|second(?:s)?|minute(?:s)?|hour(?:s)?|day(?:s)?|week(?:s)?)'\s*,\s*([\d.]+)[DdFf]?\s*""" +
+    ("""(?i)avg\s*\(\s*([\w.]+)\s*,\s*'(alpha|period|microsecond(?:s)?|millisecond(?:s)?|second(?:s)?|minute(?:s)?|hour(?:s)?|day(?:s)?|week(?:s)?)'\s*,\s*([\d.]+)[DdFf]?\s*""" +
       """(?:,\s*((?:[^()]|\([^()]*\))+?)\s*)?\)\s*over\s*\(\s*(?:partition\s+by\s+([\w.,\s]+?)\s+)?order\s+by\s+([\w.]+)\s*\)""" +
       """(?:\s+AS\s+`?(\w+)`?)?""").r
 
@@ -6495,18 +6495,25 @@ object QuestSql {
                 }
               case unit =>
                 val tau = (param * unitMicros(unit.stripSuffix("s") match {
-                  case "millisecond" => "T"
+                  case "microsecond" => "U"; case "millisecond" => "T"
                   case "second" => "s"; case "minute" => "m"; case "hour" => "h"
                   case "day" => "d"; case "week" => "w"; case u => u
                 })).toLong
-                graft.ops.Ema.emaDecay(df, ts, keys, price, vol, tau, alias)
+                // Δt reads the designated ts even when the window orders
+                // by another key (VwemaWindowFunctionTest sort_key)
+                val timeCol = Some(tsOfRel(rel, base0)).filter(df.columns.contains)
+                graft.ops.Ema.emaDecay(df, ts, keys, price, vol, tau, alias, timeCol)
             }
             alias
         }
         val ts0 = parsed.flatten.head.group(6)
         val projected = df.select(names.map(col): _*)
+        // implicit result order is the SCAN order (designated ts), not
+        // the window's ORDER BY key (VwemaWindowFunctionTest sort_key)
+        val scanTs = tsOfRel(rel, base0)
+        val resultKey = if (projected.columns.contains(scanTs)) scanTs else ts0
         Some(Option(order).map(o => projected.orderBy(o.split(",").map(c => col(c.trim)): _*))
-          .getOrElse(projected.orderBy(col(ts0))))
+          .getOrElse(projected.orderBy(col(resultKey))))
       case _ => None
     }
   }
