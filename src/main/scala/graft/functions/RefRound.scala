@@ -90,6 +90,12 @@ object RefRound {
   def roundZero(v: Double): Double =
     if (java.lang.Double.isFinite(v)) java.lang.Math.round(v).toDouble else Double.NaN
 
+  // double: -0.0 maps to +0.0, otherwise Math.signum (NaN in, NaN out);
+  // float keeps Math.signum exactly, -0.0f included (reference
+  // SignDoubleFunctionFactory vs SignFloatFunctionFactory)
+  def signD(v: Double): Double = if (v == 0.0) 0.0 else math.signum(v)
+  def signF(v: Float): Float = math.signum(v)
+
   def dispatch(mode: Int, v: Double, s: Int): Double = mode match {
     case 1 => roundUp(v, s)
     case 2 => roundDown(v, s)
@@ -97,6 +103,41 @@ object RefRound {
     case 4 => roundHalfUp(v, s)
     case _ => roundZero(v)
   }
+}
+
+/** Reference `sign()` (functions/math/Sign*FunctionFactory): the result
+  * keeps the operand's integer type (sign of an INT is an INT), doubles
+  * return exactly -1.0/0.0/1.0 (both zeros map to +0.0, NaN stays NaN).
+  * Spark's signum always widens to DOUBLE and keeps -0.0. */
+case class RefSignExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = child.dataType match {
+    case ByteType | ShortType | IntegerType => IntegerType
+    case LongType => LongType
+    case FloatType => FloatType
+    case _ => DoubleType
+  }
+  override protected def nullSafeEval(v: Any): Any = v match {
+    // value-based dispatch (interpreted eval may receive a narrower
+    // boxed type than the declared child type), result in dataType
+    case f: Float => RefRound.signF(f)
+    case d: Double => RefRound.signD(d)
+    case n: java.lang.Number =>
+      val s = java.lang.Long.signum(n.longValue())
+      if (dataType == LongType) s.toLong else s
+    case other => other
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType =>
+        defineCodeGen(ctx, ev, c => s"java.lang.Integer.signum((int)($c))")
+      case LongType => defineCodeGen(ctx, ev, c => s"java.lang.Long.signum($c)")
+      case FloatType => defineCodeGen(ctx, ev, c => s"graft.functions.RefRound.signF($c)")
+      case _ => defineCodeGen(ctx, ev, c => s"graft.functions.RefRound.signD($c)")
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `__ref_round(mode, value, scale)` — codegen-friendly scalar over the

@@ -44,7 +44,9 @@ object WindowJoin {
                  aggs: Seq[(String, Column)]): DataFrame = {
     val gCols = master.columns :+ N
     val m = gCols.foldLeft(distinctMasters(master))((d, c) => d.withColumnRenamed(c, s"__m_$c"))
-    val cond = keys.map(k => m(s"__m_$k") === slave(k)).reduce(_ && _) &&
+    // no-key window join matches on the time range alone
+    val cond = keys.map(k => m(s"__m_$k") === slave(k))
+      .reduceOption(_ && _).getOrElse(lit(true)) &&
       col(slaveTs) >= col(s"__m_$masterTs") + expr(s"interval $loMicros microseconds") &&
       col(slaveTs) <= col(s"__m_$masterTs") + expr(s"interval $hiMicros microseconds")
     reExpand(
@@ -71,7 +73,9 @@ object WindowJoin {
     val dm = distinctMasters(master)
     val gCols = master.columns.toSeq :+ N
     val m = gCols.foldLeft(dm)((d, c) => d.withColumnRenamed(c, s"__m_$c"))
-    val cond = keys.map(k => m(s"__m_$k") === slave(k)).reduce(_ && _) &&
+    // no-key window join matches on the time range alone
+    val cond = keys.map(k => m(s"__m_$k") === slave(k))
+      .reduceOption(_ && _).getOrElse(lit(true)) &&
       col(slaveTs) >= col(s"__m_$masterTs") + expr(s"interval $loMicros microseconds") &&
       col(slaveTs) <= col(s"__m_$masterTs") + expr(s"interval $hiMicros microseconds")
     val inWindow = m.join(slave, cond, "left")

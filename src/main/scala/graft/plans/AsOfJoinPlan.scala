@@ -226,6 +226,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PromoteMat2D(children.head, rightSide = true)))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("__ref_sign"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RefSignExpr].getName, "__ref_sign"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RefSignExpr(children.head)))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__ref_round"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.RefRoundExpr].getName, "__ref_round"),

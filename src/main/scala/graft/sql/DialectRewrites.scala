@@ -42,6 +42,9 @@ object DialectRewrites {
     // folds constants in LONG; Spark would multiply INT*INT with 32-bit
     // wraparound — ParquetTest row-group filter constants)
     q = mapOutside(q)(foldIntProducts)
+    // parenthesized SAMPLE BY stride (`sample by (1m)`) — normalize
+    // BEFORE the decimal m-suffix pass reads `(1m)` as a decimal literal
+    q = q.replaceAll("(?i)\\b(SAMPLE\\s+BY)\\s*\\(\\s*(\\d*\\s*[UTsmhdwMy])\\s*\\)", "$1 $2")
     q = mapOutside(q)(decimalSuffix)
     // reference numeric literals with a '.' are DOUBLE (SqlParser float
     // literals); Spark parses them as DECIMAL(p,s) — suffix D, skipping
@@ -54,6 +57,18 @@ object DialectRewrites {
       "(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])(?!\\s*(?:[aA][sS]\\s+(?:DECIMAL|NUMERIC|decimal|numeric)|::\\s*(?:decimal|DECIMAL|numeric|NUMERIC)))",
       "$1D"))
     q = mapOutside(q)(hexLiterals)
+    // the reference's numeric parser rejects Infinity/NaN words — such
+    // casts land null, while Spark would read real infinities
+    q = q.replaceAll(
+      "(?i)\\bcast\\s*\\(\\s*'(-?Infinity|NaN)'\\s+as\\s+(float|double)\\s*\\)",
+      "CAST(NULL AS $2)")
+    q = q.replaceAll(
+      "(?i)'(-?Infinity|NaN)'\\s*::\\s*(float|double)\\b",
+      "CAST(NULL AS $2)")
+    // scientific-notation FLOAT literals (1.4E-45F) — Spark's F suffix
+    // only parses on plain decimals (SignFunctionFactoryTest)
+    q = mapOutside(q)(_.replaceAll(
+      "(?i)(?<![\\w.])(\\d+(?:\\.\\d+)?E[+-]?\\d+)F\\b", "CAST($1 AS FLOAT)"))
     q = mapOutside(q)(inNull)
     // null-equality comparisons (reference null = null is true), but not
     // in UPDATE/INSERT assignment contexts
@@ -102,6 +117,14 @@ object DialectRewrites {
       "__ipv4_cast($1)")
     q = ipv4Ops(q)
     q = arrayLiterals(q)
+    // PG quantified comparisons over array operands
+    // (AllNotEqStrFunctionFactoryTest `a <> all('{x,y}'::text[])`)
+    q = q.replaceAll(
+      "(?i)([\\w.]+|'[^']*')\\s*(?:<>|!=)\\s*all\\s*\\(((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*)\\)",
+      "(NOT array_contains(($2), $1))")
+    q = q.replaceAll(
+      "(?i)([\\w.]+|'[^']*')\\s*=\\s*any\\s*\\(((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*)\\)",
+      "(array_contains(($2), $1))")
     // PG array-literal text casts: '{-1,-2}'::double[] — the brace text
     // parses as JSON (quoted elements coerce to the element type)
     q = """(?i)('\{[^']*\}')\s*::\s*([a-z]+)\s*((?:\[\s*\]\s*)+)""".r.replaceAllIn(q, m => {
@@ -110,6 +133,7 @@ object DialectRewrites {
         case "float" => "float"
         case "long" | "bigint" => "bigint"
         case "int" | "integer" => "int"
+        case "text" | "varchar" | "symbol" => "string"
         case other => other
       }
       val dims = m.group(3).count(_ == '[')

@@ -466,7 +466,10 @@ object QuestSql {
       df.schema.fields.foldLeft(df) { (d, f) =>
         val tsType = f.dataType == org.apache.spark.sql.types.TimestampType ||
           f.dataType == org.apache.spark.sql.types.LongType
-        if (tsType && (nsCols(f.name.toLowerCase) ||
+        // a name declared ns in ONE referenced table but µs in another
+        // is ambiguous (WindowJoinTest master.ts µs vs slave.ts ns) —
+        // µs wins for the selected output
+        if (tsType && ((nsCols(f.name.toLowerCase) && !usTsCols(f.name.toLowerCase)) ||
             (allNs && f.dataType == org.apache.spark.sql.types.TimestampType)))
           d.withMetadata(f.name, meta)
         else d
@@ -3593,6 +3596,19 @@ object QuestSql {
     // up = away from zero, down = toward zero, half_even = banker's —
     // via the reference's pow10-LUT double scheme so artifacts match
     // (functions/RefRound.scala)
+    // CONSTANT round(x, n) folds with the reference's pow10-LUT double
+    // scheme (RoundDoubleFunctionFactoryConstTest: artifacts and the
+    // |scale|>=18 null); runtime round keeps Spark's exact rounding
+    q = expandCalls(q, "round") {
+      case Seq(x, n) if x.trim.matches("-?\\d+(\\.\\d+)?[DdFf]?") &&
+          n.trim.matches("-?\\d+") =>
+        val v = x.trim.replaceAll("[DdFf]$", "").toDouble
+        val r = graft.functions.RefRound.roundHalfUp(v, n.trim.toInt)
+        if (r.isNaN) "CAST(NULL AS DOUBLE)"
+        else s"CAST('$r' AS DOUBLE)" // string form round-trips exactly (incl -0.0, E-notation)
+      case args => s"__round__(${args.mkString(", ")})"
+    }
+    q = q.replace("__round__(", "round(")
     q = expandCalls(q, "round_up") { case Seq(x, n) =>
       s"__ref_round(1, CAST($x AS DOUBLE), CAST($n AS INT))" }
     q = expandCalls(q, "round_down") { case Seq(x, n) =>
@@ -3620,11 +3636,26 @@ object QuestSql {
       s"CAST(pmod(dayofweek($ts) + 5, 7) + 1 AS INT)" }
     q = expandCalls(q, "day_of_week_sunday_first") { case Seq(ts) =>
       s"CAST(dayofweek($ts) AS INT)" }
-    q = expandCalls(q, "days_in_month") { case Seq(ts) => s"day(last_day($ts))" }
-    q = expandCalls(q, "is_leap_year") { case Seq(ts) =>
+    // calendar predicates accept the BIGINT nanos carrier too
+    // (IsEndOfMonthFunctionFactoryTest ::timestamp_ns operands)
+    def calTs(x: String): String =
+      if ("""(?i)__ns_cast\s*\(|__ns_at_tz\s*\(|::\s*timestamp_ns\b|to_timestamp_ns\s*\("""
+          .r.findFirstIn(x).isDefined) s"timestamp_micros(($x) div 1000)"
+      else x
+    // sign keeps the operand's integer type and maps both double zeros
+    // to +0.0 (reference Sign*FunctionFactory; SignFunctionFactoryTest)
+    q = expandCalls(q, "sign") { case Seq(x) => s"__ref_sign($x)"
+                                 case args => s"__sign__(${args.mkString(", ")})" }
+    q = q.replace("__sign__(", "sign(")
+    q = expandCalls(q, "days_in_month") { case Seq(ts) => s"day(last_day(${calTs(ts)}))" }
+    q = expandCalls(q, "is_leap_year") { case Seq(ts0) =>
+      val ts = calTs(ts0)
       s"((year($ts) % 4 = 0 AND year($ts) % 100 != 0) OR year($ts) % 400 = 0)" }
-    q = expandCalls(q, "is_end_of_month") { case Seq(ts) =>
-      s"(day($ts) = day(last_day($ts)))" }
+    q = expandCalls(q, "is_end_of_month") { case Seq(ts0) =>
+      // a null operand is FALSE, not null (reference
+      // IsEndOfMonthFunctionFactory boolean has no null)
+      val ts = calTs(ts0)
+      s"(($ts) IS NOT NULL AND day($ts) = day(last_day($ts)))" }
     q = expandCalls(q, "micros") { case Seq(ts) =>
       s"CAST(pmod(unix_micros($ts), 1000) AS INT)" }
     q = expandCalls(q, "millis") { case Seq(ts) =>
@@ -5382,7 +5413,11 @@ object QuestSql {
     * bare unit (`SAMPLE BY d` = 1 day, SqlParser implied-1 stride) and
     * constant integer expressions (`300/10 h`, `(1+2)*10L m` —
     * compile-time-folded in the reference); fold them here. */
-  private def normalizeSampleByStride(q: String): String = {
+  private def normalizeSampleByStride(q0: String): String = {
+    // parenthesized stride (`sample by (1m)`, SqlOptimiserTest) — the
+    // parens are grouping, not a call
+    val q = q0.replaceAll(
+      "(?i)\\b(SAMPLE\\s+BY)\\s*\\(\\s*(\\d*\\s*[UTsmhdwMy])\\s*\\)", "$1 $2")
     val m = java.util.regex.Pattern.compile("(?is)\\bSAMPLE\\s+BY\\s+").matcher(q)
     val sb = new StringBuilder
     var last = 0
@@ -6590,7 +6625,7 @@ object QuestSql {
   //   RANGE BETWEEN <n><u> PRECEDING AND <n><u> FOLLOWING [INCLUDE PREVAILING]
   private val WindowJoinRe = (
     """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """(?:\s+(?:AS\s+)?(?!WINDOW\b)(\w+))?\s+WINDOW\s+JOIN\s+""" + Rel +
-      """(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+\(?([\w.,\s]+?)\)?\s+RANGE\s+BETWEEN\s+(?:(\d+)([UTsmhdw])?\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+(?:(\d+)([UTsmhdw])?\s+FOLLOWING|CURRENT\s+ROW)(\s+INCLUDE\s+PREVAILING)?""" +
+      """(?:\s+(?:AS\s+)?(?!ON\b|RANGE\b)(\w+))?(?:\s+ON\s+\(?([\w.]+\s*=\s*[\w.]+|[\w.,\s]+?)\)?)?\s+RANGE\s+BETWEEN\s+(?:(\d+)([UTsmhdw])?\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+(?:(\d+)([UTsmhdw])?\s+FOLLOWING|CURRENT\s+ROW)(\s+(?:INCLUDE|EXCLUDE)\s+PREVAILING)?""" +
       WhereTail + """\s*$""").r
 
   private def windowJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
@@ -6599,17 +6634,45 @@ object QuestSql {
       // strip table-alias qualifiers: the lowering joins flat columns
       // (slave clash columns get a 1-suffix)
       var sel = sel0
-      for (al <- Seq(Option(mAlias), Option(sAlias)).flatten)
-        sel = sel.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.", "")
-      val keys = onKeys.split(",").map(_.trim.replaceAll("^.*\\.", "")).toSeq
+      var whereS = where
+      var orderS = order
+      for (al <- Seq(Option(mAlias), Option(sAlias)).flatten) {
+        val pat = "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\."
+        sel = sel.replaceAll(pat, "")
+        if (whereS != null) whereS = whereS.replaceAll(pat, "")
+        if (orderS != null) orderS = orderS.replaceAll(pat, "")
+      }
+      // `ON s.k = m.j` names differing key columns — the slave side
+      // renames onto the master's name so the equi-key lowering applies
+      // (WindowJoinTest `ON p.sym = t.symbol`)
+      val eqForm = Option(onKeys).filter(_.contains("="))
+        .map { k =>
+          val Array(l, r) = k.split("=").map(_.trim)
+          val sSide = if (Option(sAlias).exists(a => l.startsWith(a + "."))) l else r
+          val mSide = if (sSide eq l) r else l
+          (sSide.replaceAll("^.*\\.", ""), mSide.replaceAll("^.*\\.", ""))
+        }
+      val keys = eqForm match {
+        case Some((_, mk)) => Seq(mk)
+        case None =>
+          Option(onKeys).map(_.split(",").map(_.trim.replaceAll("^.*\\.", "")).toSeq).getOrElse(Nil)
+      }
+      val (m, mName) = resolveRel(spark, master)
+      // `alias.*` expands to the master's columns (t.* over the join)
+      if (sel.trim == "*" || splitSelect(sel).exists(_.trim == "*"))
+        sel = splitSelect(sel).flatMap(i =>
+          if (i.trim == "*") m.columns.toSeq else Seq(i)).mkString(", ")
       val items = splitSelect(sel).map(normalizeAliasSpelling)
       val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
       val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
         case AggAs(e, name) => name -> expr(e)
         case e => e.replaceAll("\\W", "_") -> expr(e)
       }
-      val (m, mName) = resolveRel(spark, master)
-      val (s, sName) = resolveRel(spark, slave)
+      val (s0, sName) = resolveRel(spark, slave)
+      val s = eqForm match {
+        case Some((sk, mk)) if sk != mk => s0.withColumnRenamed(sk, mk)
+        case _ => s0
+      }
       val mTs = tsOfRel(mName, m)
       val sTs = tsOfRel(sName, s)
       // clash-suffix slave columns (except keys) so agg expressions can
@@ -6619,7 +6682,7 @@ object QuestSql {
       val lo = Option(loN).map(n => -n.toLong * Option(loU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
       val hi = Option(hiN).map(n => n.toLong * Option(hiU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
       val out =
-        if (prevailing != null) {
+        if (prevailing != null && prevailing.toUpperCase.contains("INCLUDE")) {
           val payload = renamed.columns.filterNot(keys.contains).toSeq
           graft.ops.WindowJoin.windowJoinPrevailing(m, renamed, mTs, sTsR, keys,
             payload, lo, hi, aggs)
@@ -6635,7 +6698,7 @@ object QuestSql {
       val shaped =
         if (outNames.forall(out.columns.contains)) out.select(outNames.map(col): _*)
         else out
-      Some(applyWhereTail(shaped, where, order, lim1, lim2))
+      Some(applyWhereTail(shaped, whereS, orderS, lim1, lim2))
     case _ => None
   }
 
