@@ -116,6 +116,11 @@ object DialectRewrites {
       "(?i)(?<![:\\w])((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|[\\w.]+|'[^']*')\\s*::\\s*ipv4\\b",
       "__ipv4_cast($1)")
     q = ipv4Ops(q)
+    // binary regex-match operators over string literals (`s ~ 'pat'`,
+    // LiveViewTest regex filters); unary ipv4 ~ takes ident operands so
+    // the quoted-pattern requirement keeps them disjoint
+    q = q.replaceAll("(?<=[\\w.')\\]`])\\s*!~\\s*('[^']*')", " NOT RLIKE $1")
+    q = q.replaceAll("(?<=[\\w.')\\]`])\\s*~\\s*('[^']*')", " RLIKE $1")
     q = arrayLiterals(q)
     // PG quantified comparisons over array operands
     // (AllNotEqStrFunctionFactoryTest `a <> all('{x,y}'::text[])`)

@@ -2196,6 +2196,14 @@ object QuestSql {
           graft.Catalog.setTableFormat(spark, unq(name),
             fmt.equalsIgnoreCase("parquet"))
           Some(status(spark, "OK"))
+        case ConvertPartRe(fmt, list, where)
+            // partition conversion requires a WAL table — on a non-WAL
+            // table the statement validates and does nothing
+            // (CoveringIndexTest t_repro_nowal: isParquet stays false)
+            if Option(graft.Catalog.createMeta.get(unq(name).toLowerCase))
+              .exists(!_.walEnabled) =>
+          spark.table(name) // validate existence
+          Some(status(spark, "OK"))
         case ConvertPartRe(fmt, list, where) =>
           val parquet = fmt.equalsIgnoreCase("parquet")
           if (list != null) {
@@ -2228,6 +2236,16 @@ object QuestSql {
           }
           Some(status(spark, "OK"))
         case AlterAckRe(_*) =>
+          // DEDUP ENABLE registers the upsert keys so later INSERTs
+          // replace on collision (LiveViewDedupBaseTest ALTER-then-
+          // insert); DISABLE clears them
+          """(?is)^DEDUP\s+ENABLE\s+UPSERT\s+KEYS\s*\(([^)]*)\)""".r
+            .findFirstMatchIn(action.trim).foreach { m2 =>
+              graft.Catalog.registerDedupKeys(unq(name),
+                m2.group(1).split(",").map(_.trim.toLowerCase).toSeq)
+            }
+          if (action.trim.toUpperCase.startsWith("DEDUP DISABLE"))
+            graft.Catalog.registerDedupKeys(unq(name), Nil)
           // ADD/DROP INDEX flips the declared-column knob so
           // table_columns()/SHOW COLUMNS answer indexed-ness
           // (reference AlterOperationBuilder.ofAddIndex)
@@ -2596,10 +2614,21 @@ object QuestSql {
         target.join(broadcast(incoming.select(dk.map(col): _*).distinct()), dk, "left_anti")
           .select(target.columns.map(col): _*) // USING join fronts the keys — restore declared order
       else target
+      // intra-batch key collisions keep the LAST row of the batch
+      // (reference WAL dedup merge; LiveViewDedupBaseTest same-commit
+      // duplicates)
+      val incomingDeduped = if (dk.nonEmpty) {
+        val pos = org.apache.spark.sql.functions.monotonically_increasing_id()
+        val all = incoming.columns.toSeq
+        incoming.withColumn("__graft_ins_pos", pos)
+          .groupBy(dk.map(col): _*)
+          .agg(max_by(struct(all.map(col): _*), col("__graft_ins_pos")).as("__row"))
+          .select(all.map(c => col(s"__row.$c").as(c)): _*)
+      } else incoming
       // the reference keeps a designated-ts table physically ordered by
       // ts (O3 inserts merge-sort on commit) — mirror that so bare scans
       // return ts order (ParquetWriteTest SELECT * after O3 insert)
-      val unioned = base.unionByName(incoming)
+      val unioned = base.unionByName(incomingDeduped)
       val stored0 = tsCol match {
         case Some(c) => unioned.orderBy(col(c).asc_nulls_first)
         case None => unioned
