@@ -229,6 +229,50 @@ object Catalog {
     declaredCols.values.asScala.flatMap(_.get(colLower)).map(_.tpe.toUpperCase).toSet
   }
 
+  // ---- write-time symbol dictionaries --------------------------------
+  // The reference answers symbolTableSize from the symbol map the WRITER
+  // maintains (ShowColumnsRecordCursorFactory.java:140
+  // `staticSymbolTable.getSymbolCount() + (containsNullValue ? 1 : 0)`) —
+  // O(1) metadata, never a data scan. Mirror that: every dialect write
+  // path (INSERT/UPDATE/COPY) folds its batch's distinct symbol values
+  // into this registry in the same pass it already makes for the WAL
+  // txn bounds, so a metadata probe against a 100 TB table reads a
+  // driver-side map instead of launching a scan.
+  private[graft] final class SymDict {
+    val values: java.util.Set[String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var hasNull: Boolean = false
+    def size: Long = values.size.toLong + (if (hasNull) 1L else 0L)
+  }
+  private[graft] val symbolDictReg =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, SymDict]]()
+  private def dictKey(table: String) = table.split('.').last.toLowerCase
+  private[graft] def noteSymbolValues(table: String, col: String,
+                                      vals: Iterable[String], sawNull: Boolean): Unit = {
+    val m = symbolDictReg.computeIfAbsent(dictKey(table),
+      _ => new java.util.concurrent.ConcurrentHashMap[String, SymDict]())
+    val d = m.computeIfAbsent(col.toLowerCase, _ => new SymDict)
+    vals.foreach(d.values.add)
+    if (sawNull) d.hasNull = true
+  }
+  /** DROP + TRUNCATE reset the symbol maps (reference TableWriter
+    * truncate() truncates its SymbolMapWriters). */
+  private[graft] def clearSymbolDicts(table: String): Unit =
+    symbolDictReg.remove(dictKey(table))
+  private[graft] def renameSymbolDicts(from: String, to: String): Unit =
+    Option(symbolDictReg.remove(dictKey(from)))
+      .foreach(symbolDictReg.put(dictKey(to), _))
+  private[graft] def dropSymbolDictCol(table: String, col: String): Unit =
+    Option(symbolDictReg.get(dictKey(table))).foreach(_.remove(col.toLowerCase))
+  private[graft] def renameSymbolDictCol(table: String, from: String, to: String): Unit =
+    Option(symbolDictReg.get(dictKey(table))).foreach { m =>
+      Option(m.remove(from.toLowerCase)).foreach(m.put(to.toLowerCase, _))
+    }
+  private def symbolTableSizeOf(table: String, col: String): Long =
+    Option(symbolDictReg.get(dictKey(table)))
+      .flatMap(m => Option(m.get(col.toLowerCase)))
+      .map(_.size).getOrElse(0L)
+
   /** table_columns(t) — the reference's 11-column shape
     * (catalogue/TableColumnsFunctionFactory). */
   def tableColumns(spark: SparkSession, table: String): DataFrame =
@@ -251,11 +295,7 @@ object Catalog {
       val symCap = """(?<!INDEX )CAPACITY\s+(\d+)""".r.findFirstMatchIn(knobs)
         .map(_.group(1).toInt).getOrElse(if (isSymbol) 128 else 0)
       val cached = isSymbol && !knobs.contains("NOCACHE")
-      val symSize =
-        if (isSymbol)
-          try spark.table(table).selectExpr(s"count(distinct `${f.name}`)").collect()(0).getLong(0)
-          catch { case _: Exception => 0L }
-        else 0L
+      val symSize = if (isSymbol) symbolTableSizeOf(key, f.name) else 0L
       (f.name, tpe, indexed, idxCap, cached, if (isSymbol) symCap else 0,
         symSize, designated.contains(f.name), false,
         if (indexed) "BITMAP" else "", "")
@@ -464,7 +504,7 @@ object Catalog {
     val name = name0.split('.').last.toLowerCase
     createMeta.remove(name); declaredCols.remove(name); createTails.remove(name)
     tableIds.remove(name)
-    dedupKeysReg.remove(name)
+    dedupKeysReg.remove(name); symbolDictReg.remove(name)
     walState.remove(name); walTxnLog.remove(name); walTxnCounter.remove(name)
     matViewReg.remove(name); liveViewReg.remove(name); liveViewMeta.remove(name)
     matViewMeta.remove(name); plainViewReg.remove(name)
@@ -473,7 +513,7 @@ object Catalog {
   /** DROP ALL: clear every per-table registry wholesale. */
   private[graft] def clearTableRegistries(): Unit = {
     createMeta.clear(); declaredCols.clear(); createTails.clear()
-    dedupKeysReg.clear()
+    dedupKeysReg.clear(); symbolDictReg.clear()
     walState.clear(); walTxnLog.clear(); walTxnCounter.clear()
     matViewReg.clear(); liveViewReg.clear(); liveViewMeta.clear()
     matViewMeta.clear(); plainViewReg.clear()

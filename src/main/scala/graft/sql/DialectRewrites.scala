@@ -201,12 +201,20 @@ object DialectRewrites {
         "|(?:lag|lead)\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))*\\))" +
         "\\s+over\\s*\\(\\s*\\)",
       "$1 OVER (ORDER BY monotonically_increasing_id())")
-    // rank/dense_rank over an EMPTY spec have NO ordering — every row is
-    // a peer and ranks 1 (WindowFunctionTest:10806); a constant key
-    // satisfies Spark's ordered-window requirement with all-peers
+    // rank-family over an EMPTY spec have NO ordering — every row is a
+    // peer: rank/dense_rank emit 1 (WindowFunctionTest:10806),
+    // percent_rank 0.0 and cume_dist 1.0 (PercentRankFunctionTest
+    // "no order by, all rows are peers"); a constant key satisfies
+    // Spark's ordered-window requirement with all-peers semantics
     q = q.replaceAll(
-      "(?i)\\b(rank\\s*\\(\\s*\\)|dense_rank\\s*\\(\\s*\\))\\s+over\\s*\\(\\s*\\)",
+      "(?i)\\b((?:rank|dense_rank|percent_rank|cume_dist)\\s*\\(\\s*\\))\\s+over\\s*\\(\\s*\\)",
       "$1 OVER (ORDER BY 1)")
+    // same family over PARTITION BY with no ORDER BY: all-peers within
+    // each partition (PercentRankFunctionTest:269)
+    q = q.replaceAll(
+      "(?i)\\b((?:rank|dense_rank|percent_rank|cume_dist)\\s*\\(\\s*\\))\\s+over\\s*" +
+        "\\(\\s*(partition\\s+by\\s+(?:(?!\\border\\s+by\\b)(?:[^()]|\\([^()]*\\)))*?)\\s*\\)",
+      "$1 OVER ($2 ORDER BY 1)")
     q = excludeCurrentRow(q)
     // constant-expression OFFSET (reference folds at compile time):
     // WITH OFFSET cast('10:00' AS STRING) → WITH OFFSET '10:00'
@@ -1285,37 +1293,52 @@ object DialectRewrites {
     q = q.replaceAll(
       "(?i)((?:ROWS|RANGE)\\s+BETWEEN\\s+(?:\\d+|UNBOUNDED)\\s*\\w*\\s+PRECEDING\\s+AND\\s+\\d+\\s*\\w*\\s+PRECEDING)\\s+EXCLUDE\\s+CURRENT\\s+ROW",
       "$1")
-    def decomp(agg: String, arg: String, over: String): String = {
+    // For a RANGE frame ending at CURRENT ROW, the reference's EXCLUDE
+    // CURRENT ROW drops the current row's entire tie group — the frame's
+    // high bound becomes exclusive of the current designated-ts value
+    // (WindowExcludeCurrentRowTest.java:99 "row 3 sees only row 1 under
+    // RANGE but rows 1 and 2 under ROWS"). Spark expresses the tie group
+    // as RANGE BETWEEN CURRENT ROW AND CURRENT ROW, so decompose each
+    // aggregate as frame-total minus peer-group-total.
+    def peersOf(body: String): String = {
+      val idx = body.toUpperCase(java.util.Locale.ROOT).indexOf("RANGE")
+      val prefix = if (idx >= 0) body.substring(0, idx) else body
+      s"($prefix RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+    }
+    def decomp(agg: String, arg: String, over: String, peers: String): String = {
       val a = arg.trim
       agg.toLowerCase match {
-        case "count" if a == "*" => s"(count(*) OVER $over - 1)"
+        case "count" if a == "*" => s"(count(*) OVER $over - count(*) OVER $peers)"
         case "count" =>
-          s"(count($a) OVER $over - (CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END))"
+          s"(count($a) OVER $over - count($a) OVER $peers)"
         case "avg" =>
-          s"(CASE WHEN count(*) OVER $over > 1 THEN (sum($a) OVER $over - coalesce($a, 0))" +
-            s" / nullif(count($a) OVER $over - (CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END), 0)" +
-            s" ELSE NULL END)"
+          s"((sum($a) OVER $over - coalesce(sum($a) OVER $peers, 0))" +
+            s" / nullif(count($a) OVER $over - count($a) OVER $peers, 0))"
         case _ =>
-          s"(CASE WHEN count(*) OVER $over > 1 THEN sum($a) OVER $over - coalesce($a, 0)" +
-            s" ELSE NULL END)"
+          // NULL when the excluded set has no non-null contributor: covers
+          // the single-row frame AND the all-NULL-peers frame (sum over an
+          // all-NULL set is NULL, not 0 — WindowExcludeCurrentRowTest:138)
+          s"(CASE WHEN count($a) OVER $over - count($a) OVER $peers = 0 THEN NULL" +
+            s" ELSE sum($a) OVER $over - coalesce(sum($a) OVER $peers, 0) END)"
       }
     }
     // named windows: clean the definition, decompose each use
     val defRe =
       """(?i)\b(\w+)\s+AS\s*\(\s*([^()]*?RANGE[^()]*?CURRENT\s+ROW)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""".r
-    val excludedNames = defRe.findAllMatchIn(q).map(_.group(1)).toList
+    val excludedDefs = defRe.findAllMatchIn(q).map(m => m.group(1) -> m.group(2)).toList
     q = defRe.replaceAllIn(q, m =>
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} AS (${m.group(2)})"))
-    excludedNames.foreach { n =>
+    excludedDefs.foreach { case (n, body) =>
       val useRe = ("(?i)\\b(sum|count|avg)\\s*\\(\\s*([^()*]*|\\*)\\s*\\)\\s+OVER\\s+" + n + "\\b").r
       q = useRe.replaceAllIn(q, m =>
-        java.util.regex.Matcher.quoteReplacement(decomp(m.group(1), m.group(2), n)))
+        java.util.regex.Matcher.quoteReplacement(decomp(m.group(1), m.group(2), n, peersOf(body))))
     }
     // inline RANGE-to-current specs
     val inlineRe =
       """(?i)\b(sum|count|avg)\s*\(\s*([^()*]*|\*)\s*\)\s+OVER\s*\(\s*([^()]*?RANGE[^()]*?CURRENT\s+ROW)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""".r
     q = inlineRe.replaceAllIn(q, m =>
-      java.util.regex.Matcher.quoteReplacement(decomp(m.group(1), m.group(2), s"(${m.group(3)})")))
+      java.util.regex.Matcher.quoteReplacement(
+        decomp(m.group(1), m.group(2), s"(${m.group(3)})", peersOf(m.group(3)))))
     q
   }
 

@@ -1044,8 +1044,10 @@ object QuestSql {
         // with just ORDER BY their default frame stops at CURRENT ROW,
         // but the reference's `last_value() over ()` reads the whole
         // scan (WindowDecimalFunctionTest)
-        val orderFns = "lead|lag|row_number|rank|dense_rank|ntile" +
-          "|cume_dist|percent_rank"
+        // percent_rank/cume_dist/rank/dense_rank over () are all-peers
+        // (constant key — DialectRewrites handles them); the rest need a
+        // real scan-order key
+        val orderFns = "lead|lag|row_number|ntile"
         val valueFns = "first_value|last_value|nth_value"
         q = q.replaceAll(
           s"(?i)\\b($orderFns)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
@@ -1065,10 +1067,10 @@ object QuestSql {
           .findAllMatchIn(q).map(_.group(1)).toSeq
         emptyWins.foreach { w =>
           q = q.replaceAll(
-            s"(?i)\\b(rank|dense_rank)\\s*\\(\\s*\\)\\s*over\\s+$w\\b",
+            s"(?i)\\b(rank|dense_rank|percent_rank|cume_dist)\\s*\\(\\s*\\)\\s*over\\s+$w\\b",
             "$1() OVER (ORDER BY 1)")
           q = q.replaceAll(
-            s"(?i)\\b(row_number|ntile|lead|lag|cume_dist|percent_rank)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+            s"(?i)\\b(row_number|ntile|lead|lag)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
               s"((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s+$w\\b",
             s"$$1($$2)$$3 OVER (ORDER BY $t)")
         }
@@ -1094,9 +1096,54 @@ object QuestSql {
           if (f.exists(_.name == "ts")) Some("ts") else None
         } catch { case _: Exception => None }
       }
+    // Equal designated-ts rows emit in INSERTION order in the reference
+    // (scan order of the ts-sorted store is a stable sort —
+    // WindowExcludeCurrentRowTest.java:99 emits a,b,a within the tie).
+    // ORDER BY ts alone leaves tie order to the window exchange; wrap the
+    // base table with a partition-local scan position and break ties on
+    // it. Skip when the select list has a `*` (the extra column would
+    // leak into the output) or the table carries an alias.
+    def withTieBreak(t: String): Option[String] = {
+      val afterFrom = q.substring(fromAt + 4)
+      val lead = afterFrom.takeWhile(_.isWhitespace)
+      val rest = afterFrom.drop(lead.length + table.length)
+      val nextWord = rest.trim.takeWhile(c => c.isLetterOrDigit || c == '_')
+        .toLowerCase
+      val stopWords = Set("", "where", "window", "limit", "as")
+      val selHead = q.substring(0, fromAt)
+      // a `*` only blocks the wrap as a select ITEM (`*` / `t.*`), not
+      // inside a call like count(*)
+      def topItems(s: String): Seq[String] = {
+        val out = scala.collection.mutable.Buffer[String]()
+        var depth = 0; var start = 0; var i = 0
+        while (i < s.length) {
+          s.charAt(i) match {
+            case '\'' => var j = i + 1; while (j < s.length && s.charAt(j) != '\'') j += 1; i = j
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+            case _ =>
+          }
+          i += 1
+        }
+        out += s.substring(start)
+        out.toSeq
+      }
+      val starItem = """(?is)^\s*SELECT\s+(.*)$""".r.findFirstMatchIn(selHead)
+        .exists(m => topItems(m.group(1)).exists { it =>
+          val s = it.trim; s == "*" || s.endsWith(".*")
+        })
+      if (starItem || !stopWords(nextWord) || nextWord == "as") None
+      else Some(q.substring(0, fromAt) +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __graft_pos FROM $table) AS $table" +
+        rest)
+    }
     ts match {
       case Some(t) if """(?i)\blimit\b""".r.findFirstIn(q).isEmpty =>
-        s"$q ORDER BY $t"
+        withTieBreak(t) match {
+          case Some(wq) => s"$wq ORDER BY $t, __graft_pos"
+          case None => s"$q ORDER BY $t"
+        }
       case Some(t) =>
         topLevelIndexOf(q, Seq("limit")) match {
           case -1 => q
@@ -2290,9 +2337,11 @@ object QuestSql {
           names.foreach(c => require(t.columns.exists(_.equalsIgnoreCase(c)),
             s"column '$c' does not exist in $name"))
           t.drop(names: _*).createOrReplaceTempView(name)
+          names.foreach(graft.Catalog.dropSymbolDictCol(name, _))
           Some(status(spark, "OK"))
         case AlterRenameColRe(from, to) =>
           t.withColumnRenamed(from, to).createOrReplaceTempView(name)
+          graft.Catalog.renameSymbolDictCol(name, from, to)
           Some(status(spark, "OK"))
         case AlterColTypeRe(c, typ) =>
           require(t.columns.exists(_.equalsIgnoreCase(c)), s"column '$c' does not exist")
@@ -2310,6 +2359,27 @@ object QuestSql {
         }
       }
       import spark.implicits._
+      // UPDATE can mint new symbol values — fold the distinct SET
+      // results for declared SYMBOL columns into the write-time symbol
+      // dictionary in the same pass that counts affected rows
+      val symAssigns = assigns.filter { case (c, _) =>
+        Option(graft.Catalog.declaredCols.get(name.split('.').last.toLowerCase))
+          .exists(_.get(c.toLowerCase).exists(_.tpe.toUpperCase.startsWith("SYMBOL")))
+      }
+      def countAndNoteSymbols(affectedRows: DataFrame): Long =
+        if (symAssigns.isEmpty) affectedRows.count()
+        else {
+          val aggs = count(lit(1)) +: symAssigns.flatMap { case (_, e) =>
+            Seq(collect_set(expr(e).cast("string")), max(expr(e).isNull)) }
+          val r = affectedRows.agg(aggs.head, aggs.tail: _*).collect()(0)
+          symAssigns.zipWithIndex.foreach { case ((c, _), i) =>
+            val off = 1 + i * 2
+            val vals = Option(r.getSeq[String](off)).getOrElse(Seq.empty)
+            val sawNull = !r.isNullAt(off + 1) && r.getBoolean(off + 1)
+            if (vals.nonEmpty || sawNull) graft.Catalog.noteSymbolValues(name, c, vals, sawNull)
+          }
+          r.getLong(0)
+        }
       val n = if (fromTbl == null) {
         val cond = Option(where).map(expr(_)).getOrElse(lit(true))
         val updated = t.select(t.columns.map { c =>
@@ -2320,7 +2390,7 @@ object QuestSql {
             case None => col(c)
           }
         }: _*)
-        val affected = t.filter(cond).count()
+        val affected = countAndNoteSymbols(t.filter(cond))
         updated.createOrReplaceTempView(name)
         affected
       } else {
@@ -2341,7 +2411,7 @@ object QuestSql {
             case None => col(s"$tAlias.$c").as(c)
           }
         }: _*)
-        val affected = joined.filter(hit).count()
+        val affected = countAndNoteSymbols(joined.filter(hit))
         updated.createOrReplaceTempView(name)
         affected
       }
@@ -2594,17 +2664,37 @@ object QuestSql {
           }
         } else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-      // single pass: row count plus the batch's designated-ts bounds
-      // (feeds wal_transactions()'s per-commit min/max)
+      // single pass: row count, the batch's designated-ts bounds (feeds
+      // wal_transactions()'s per-commit min/max), and each declared
+      // SYMBOL column's distinct batch values (feeds the write-time
+      // symbol dictionary — symbolTableSize is O(1) metadata, reference
+      // SymbolMapWriter). collect_set is bounded by the batch's symbol
+      // cardinality, the same contract as the reference's symbol map.
       val tsCol = designatedTsOf(name)
         .filter(c => incoming.columns.exists(_.equalsIgnoreCase(c)))
+      val symCols = target.columns.filter { c =>
+        Option(graft.Catalog.declaredCols.get(name.toLowerCase))
+          .exists(_.get(c.toLowerCase).exists(_.tpe.toUpperCase.startsWith("SYMBOL")))
+      }.toSeq
+      val baseAggs = tsCol match {
+        case Some(c) => Seq(count(lit(1)),
+          min(col(c).cast("timestamp")), max(col(c).cast("timestamp")))
+        case None => Seq(count(lit(1)))
+      }
+      val symAggs = symCols.flatMap(c => Seq(
+        collect_set(col(c).cast("string")), max(col(c).isNull)))
+      val aggRow = incoming
+        .agg(baseAggs.head, (baseAggs.tail ++ symAggs): _*).collect()(0)
       val (n, mnTs, mxTs) = tsCol match {
-        case Some(c) =>
-          val r = incoming.agg(count(lit(1)),
-            min(col(c).cast("timestamp")), max(col(c).cast("timestamp"))).collect()(0)
-          (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getAs[java.sql.Timestamp](2))
-        case None =>
-          (incoming.count(), null: java.sql.Timestamp, null: java.sql.Timestamp)
+        case Some(_) => (aggRow.getLong(0),
+          aggRow.getAs[java.sql.Timestamp](1), aggRow.getAs[java.sql.Timestamp](2))
+        case None => (aggRow.getLong(0), null: java.sql.Timestamp, null: java.sql.Timestamp)
+      }
+      symCols.zipWithIndex.foreach { case (c, i) =>
+        val off = baseAggs.length + i * 2
+        val vals = Option(aggRow.getSeq[String](off)).getOrElse(Seq.empty)
+        val sawNull = !aggRow.isNullAt(off + 1) && aggRow.getBoolean(off + 1)
+        if (vals.nonEmpty || sawNull) graft.Catalog.noteSymbolValues(name, c, vals, sawNull)
       }
       // WAL DEDUP UPSERT KEYS: the incoming batch replaces existing rows
       // on key collision (reference WAL dedup merge on commit)
@@ -2676,11 +2766,14 @@ object QuestSql {
       Option(tsRegistry.get(unq(from).toLowerCase)).foreach(registerDesignatedTs(unq(to), _))
       Option(graft.Catalog.createMeta.get(unq(from).toLowerCase))
         .foreach(m => graft.Catalog.registerCreateMeta(unq(to), m))
+      graft.Catalog.renameSymbolDicts(unq(from), unq(to))
       spark.catalog.dropTempView(unq(from))
       graft.Catalog.unregisterTable(unq(from))
       Some(status(spark, "OK"))
     case TruncateRe(name) =>
       spark.table(name).limit(0).createOrReplaceTempView(unq(name))
+      // truncate resets the symbol maps (reference TableWriter.truncate)
+      graft.Catalog.clearSymbolDicts(unq(name))
       markMatViewsDirty(unq(name), FullRange._1, FullRange._2)
       Some(status(spark, "OK"))
     case CopyFromRe(name, path, header) =>
@@ -2691,7 +2784,23 @@ object QuestSql {
         .csv(path)
       df.createOrReplaceTempView(name)
       import spark.implicits._
-      Some(Seq(df.count()).toDF("rows_imported"))
+      // import replaces the table — rebuild the symbol dictionary from
+      // the imported batch in the same pass that counts rows
+      graft.Catalog.clearSymbolDicts(unq(name))
+      val copySymCols = df.columns.filter { c =>
+        Option(graft.Catalog.declaredCols.get(unq(name).toLowerCase))
+          .exists(_.get(c.toLowerCase).exists(_.tpe.toUpperCase.startsWith("SYMBOL")))
+      }.toSeq
+      val copyAggs = count(lit(1)) +: copySymCols.flatMap(c =>
+        Seq(collect_set(col(c).cast("string")), max(col(c).isNull)))
+      val copyRow = df.agg(copyAggs.head, copyAggs.tail: _*).collect()(0)
+      copySymCols.zipWithIndex.foreach { case (c, i) =>
+        val off = 1 + i * 2
+        val vals = Option(copyRow.getSeq[String](off)).getOrElse(Seq.empty)
+        val sawNull = !copyRow.isNullAt(off + 1) && copyRow.getBoolean(off + 1)
+        if (vals.nonEmpty || sawNull) graft.Catalog.noteSymbolValues(unq(name), c, vals, sawNull)
+      }
+      Some(Seq(copyRow.getLong(0)).toDF("rows_imported"))
     case CopyToRe(sub, table, path, fmt) =>
       val df = if (sub != null) sqlBound(spark, sub, Map.empty) else spark.table(table)
       Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
@@ -5220,7 +5329,7 @@ object QuestSql {
     * `SELECT k, max(__w1) FROM (SELECT *, avg(x) OVER () AS __w1 FROM t
     * [WHERE ...]) GROUP BY k`. Simple single-relation shape only. */
   private val WindowInAggRe =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:[\w.,\s]|\((?:[^()]|\([^()]*\))*\))+?))?\s*(ORDER\s+BY\s+.*|LIMIT\s+.*)?$""".r
 
   private def rewriteWindowInAgg(q: String): String = q match {
     case WindowInAggRe(sel, rel, where, groupBy, tail)

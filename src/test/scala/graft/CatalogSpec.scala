@@ -25,6 +25,31 @@ class CatalogSpec extends SparkSpec {
     assert(!out.filter(col("column") === "value").head().getAs[Boolean]("designated"))
   }
 
+  test("symbolTableSize comes from the write-time dictionary, never a data scan") {
+    // reference ShowColumnsRecordCursorFactory.java:140: symbol count is
+    // O(1) symbol-map metadata (+1 when a NULL was written). The dialect
+    // write paths feed graft.Catalog's symbol dictionary; table_columns
+    // must read ONLY that registry.
+    engine.sql("CREATE TABLE symt (s SYMBOL, v LONG)")
+    try {
+      engine.sql("INSERT INTO symt VALUES ('a', 1), ('b', 2), ('a', 3)")
+      def symSize: Long = engine.sql("SELECT symbolTableSize FROM table_columns('symt') " +
+        "WHERE \"column\" = 's'").head().getLong(0)
+      assert(symSize == 2)
+      engine.sql("INSERT INTO symt VALUES ('c', 4), (NULL, 5)")
+      assert(symSize == 4) // 3 values + the null entry
+      engine.sql("UPDATE symt SET s = 'd' WHERE v = 1")
+      assert(symSize == 5) // UPDATE minted 'd'; dictionaries never shrink
+      engine.sql("TRUNCATE TABLE symt")
+      assert(symSize == 0) // truncate resets the symbol maps
+      // the registry answers without touching table data: the plan of
+      // table_columns must contain no scan of symt
+      val plan = engine.sql("SELECT * FROM table_columns('symt')")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("symt"))
+    } finally engine.sql("DROP TABLE symt")
+  }
+
   test("SHOW CREATE TABLE emits a ddl row with the designated ts clause") {
     val ddl = engine.sql("SHOW CREATE TABLE events").head().getAs[String]("ddl")
     assert(ddl.startsWith("CREATE TABLE 'events'"))

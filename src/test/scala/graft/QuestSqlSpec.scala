@@ -560,6 +560,49 @@ class QuestSqlSpec extends SparkSpec {
     }
   }
 
+  test("RANGE EXCLUDE CURRENT ROW: NULL on empty excluded set, tie-group exclusion") {
+    // reference WindowExcludeCurrentRowTest.java:99,138 — a RANGE frame
+    // ending at CURRENT ROW excludes the whole designated-ts tie group,
+    // and sum over an all-NULL (or empty) excluded set is NULL, not 0
+    engine.sql("CREATE TABLE xcr (ts TIMESTAMP, x LONG) TIMESTAMP(ts) PARTITION BY DAY")
+    engine.sql("INSERT INTO xcr VALUES " +
+      "('2024-01-01T00:00:00.000000Z', 1), ('2024-01-01T00:00:01.000000Z', 2), " +
+      "('2024-01-01T00:00:02.000000Z', 3), ('2024-01-01T00:00:03.000000Z', 4)")
+    try {
+      // current row is the only non-null in frame → excluded-set sum NULL
+      val r = engine.sql(
+        "SELECT x, sum(x) OVER (ORDER BY ts RANGE BETWEEN 2000000 PRECEDING AND CURRENT ROW " +
+          "EXCLUDE CURRENT ROW) s FROM " +
+          "(SELECT ts, CASE WHEN x = 3 THEN x ELSE NULL END x FROM xcr)").collect()
+      val byX = r.map(x => (if (x.isNullAt(0)) -1L else x.getLong(0)) ->
+        (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+      assert(byX(3L) == null)          // all-NULL peers → NULL, not 0
+      // single-row frame (first row): excluded set empty → NULL; count 0
+      val r2 = engine.sql(
+        "SELECT x, sum(x) OVER w s, count(*) OVER w c, avg(x) OVER w a FROM xcr " +
+          "WINDOW w AS (ORDER BY ts RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW " +
+          "EXCLUDE CURRENT ROW)").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) null else x.getDouble(1),
+          x.getLong(2), if (x.isNullAt(3)) null else x.getDouble(3)))
+      assert(r2.head == ((1L, null, 0L, null)))
+      assert(r2(1) == ((2L, 1.0, 1L, 1.0)))
+      // tie group: two rows at the same ts exclude EACH OTHER under
+      // RANGE (frame high bound exclusive of the current ts value)
+      engine.sql("CREATE TABLE xcr2 (ts TIMESTAMP, sym SYMBOL, x LONG) TIMESTAMP(ts) PARTITION BY DAY")
+      engine.sql("INSERT INTO xcr2 VALUES " +
+        "('2024-01-01T00:00:00.000000Z', 'a', 1), ('2024-01-01T00:00:01.000000Z', 'a', 2), " +
+        "('2024-01-01T00:00:01.000000Z', 'a', 3), ('2024-01-01T00:00:02.000000Z', 'a', 4)")
+      val r3 = engine.sql(
+        "SELECT x, sum(x) OVER (PARTITION BY sym ORDER BY ts RANGE BETWEEN 2 SECOND PRECEDING " +
+          "AND CURRENT ROW EXCLUDE CURRENT ROW) s FROM xcr2").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+      assert(r3(2L) == 1.0 && r3(3L) == 1.0) // peers at :01 see only x=1
+      assert(r3(4L) == 6.0)                  // :02 sees 1+2+3
+    } finally {
+      engine.sql("DROP TABLE xcr"); engine.sql("DROP TABLE xcr2")
+    }
+  }
+
   test("generator long tail: pool strings, intervals, floats, varchar, nanRate nulls") {
     // pool form rnd_symbol(count, lo, hi, 0): cardinality bounded by
     // count, lengths within [lo, hi]
