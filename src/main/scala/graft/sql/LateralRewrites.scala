@@ -54,7 +54,7 @@ object LateralRewrites {
   def apply(q0: String, runSub: String => Option[String],
             colsOf: String => Option[Seq[String]]): String = {
     if (!q0.toLowerCase.contains("lateral")) return q0
-    var s = insertCrossJoin(q0)
+    var s = insertCrossJoin(correlatedLimits(q0))
     var guard = 0
     var changed = true
     while (changed && guard < 24) {
@@ -69,6 +69,114 @@ object LateralRewrites {
     // carrier subquery — Spark resolves a derived table's select-list
     // outer reference one lateral level up
     DialectRewrites.threadLateralOuterRefs(s)
+  }
+
+  /** `LIMIT <expr>` referencing an OUTER alias inside a parenthesized
+    * subquery — the reference plans a per-invocation limit
+    * (`LateralJoinTest.java:3337,3596` `LIMIT t1.n`); Spark rejects any
+    * non-constant LIMIT (INVALID_LIMIT_LIKE_EXPRESSION). Decorrelate
+    * the limit alone: number the subquery's source rows per correlation
+    * key (row_number partitioned by the inner side of the correlated
+    * equality predicates, scan order within the partition buffer) and
+    * turn the limit into a `__crn <= expr` filter — a plain correlated
+    * predicate the lateral planner already handles. Only fires for
+    * subqueries with a simple single-table FROM; anything else is left
+    * for the threading fallback. */
+  private def correlatedLimits(q0: String): String = {
+    if (!"""(?i)\blimit\b""".r.findFirstIn(q0).isDefined) return q0
+    var s = q0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 8) {
+      changed = false; guard += 1
+      val pat = java.util.regex.Pattern.compile("(?is)\\(\\s*SELECT\\b")
+      val m = pat.matcher(s)
+      while (!changed && m.find()) {
+        if (!inQuotes(s, m.start())) {
+          val open = m.start()
+          val close = matchParen(s, open)
+          if (close > 0) {
+            val body = s.substring(open + 1, close)
+            val limAt = topLevelKw(body, Seq("limit"))
+            if (limAt >= 0) {
+              val afterLim = body.substring(limAt + 5)
+              val limLen = clauseEnd(afterLim)
+              val limExpr = afterLim.substring(0, limLen).trim
+              val rest = afterLim.substring(limLen)
+              val defined = definedAliases(body)
+              val outerRefs = """([A-Za-z_]\w*)\s*\.\s*\w+""".r
+                .findAllMatchIn(limExpr).map(_.group(1).toLowerCase).toSet
+                .diff(defined)
+              if (!limExpr.matches("-?\\d+") && outerRefs.nonEmpty &&
+                  rest.trim.isEmpty) {
+                // correlated equality predicates → partition columns
+                val whereAt = topLevelKw(body, Seq("where"))
+                val (wherePreds, whereLo, whereHi) =
+                  if (whereAt < 0) (Seq.empty[String], -1, -1)
+                  else {
+                    val tail0 = body.substring(whereAt + 5)
+                    val len = {
+                      // where clause ends at the LIMIT we found
+                      math.min(tail0.length, limAt - whereAt - 5)
+                    }
+                    (splitTopAnd(tail0.substring(0, math.max(len, 0))),
+                      whereAt + 5, whereAt + 5 + math.max(len, 0))
+                  }
+                val eqPat = """(?s)^\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*$""".r
+                val partCols = wherePreds.flatMap { p =>
+                  eqPat.findFirstMatchIn(p).flatMap { em =>
+                    def aliasOf(e: String) =
+                      if (e.contains(".")) e.split('.').head.toLowerCase else ""
+                    def colOf(e: String) = e.split('.').last
+                    val (l, r) = (em.group(1), em.group(2))
+                    if (!defined(aliasOf(l)) && aliasOf(l).nonEmpty &&
+                        (aliasOf(r).isEmpty || defined(aliasOf(r)))) Some(colOf(r))
+                    else if (!defined(aliasOf(r)) && aliasOf(r).nonEmpty &&
+                        (aliasOf(l).isEmpty || defined(aliasOf(l)))) Some(colOf(l))
+                    else None
+                  }
+                }.distinct
+                // simple single-table FROM only
+                val fromAt = topLevelKw(body, Seq("from"))
+                val fromRel = if (fromAt < 0) None else {
+                  val t = body.substring(fromAt + 4)
+                  val len = clauseEnd(t)
+                  val relText = t.substring(0, len).trim
+                  """^([A-Za-z_][\w.]*)(\s+(?:as\s+)?[A-Za-z_]\w*)?$""".r
+                    .findFirstMatchIn(relText)
+                    .filterNot(r => reserved(r.group(1).toLowerCase))
+                    .map(r => (r.group(1),
+                      Option(r.group(2)).map(_.trim.stripPrefix("as").trim)
+                        .filterNot(_.isEmpty)
+                        .getOrElse(r.group(1).split('.').last),
+                      fromAt + 4, fromAt + 4 + len))
+                }
+                fromRel.foreach { case (tbl, alias, relLo, relHi) =>
+                  val part = if (partCols.isEmpty) ""
+                    else s"PARTITION BY ${partCols.mkString(", ")} "
+                  val wrapped = s"(SELECT *, row_number() OVER (${part}ORDER BY 1) " +
+                    s"AS __crn FROM $tbl) $alias"
+                  val guardPred = s"__crn <= ($limExpr)"
+                  var nb = body
+                  // drop the LIMIT clause (rest is empty — checked above)
+                  nb = nb.substring(0, limAt).trim
+                  // append the guard to WHERE, or add one
+                  nb = if (whereAt >= 0) {
+                    val hi = math.min(whereHi, nb.length)
+                    nb.substring(0, hi) + s" AND $guardPred" + nb.substring(hi)
+                  } else nb + s" WHERE $guardPred"
+                  // swap the FROM relation
+                  nb = nb.substring(0, relLo) + s" $wrapped " + nb.substring(relHi)
+                  s = s.substring(0, open + 1) + nb + s.substring(close)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    s
   }
 
   // ---- span model -----------------------------------------------------
@@ -593,13 +701,19 @@ object LateralRewrites {
         (body.substring(0, limAt0).trim, Some(body.substring(limAt0 + 5).trim.toInt))
       else return None
     val (b1, pairs) = extractCorr(body0, bodyDefined, unqualOuter).getOrElse(return None)
+    // a dialect-join body (WINDOW/HORIZON/ASOF/LT/SPLICE JOIN) computes
+    // its aggregates PER MASTER ROW (windowed/markout semantics, one
+    // output row per master row) — they are not scalar aggregates and
+    // must not trigger the auto-grouping below (LateralJoinTest:5268)
+    val dialectJoinBody =
+      """(?is)\b(window|horizon|asof|lt|splice)\s+join\b""".r.findFirstIn(b1).isDefined
     // after extraction no outer refs may remain in the body
     val remaining = qualifiedRefs(b1)
       .filterNot { case (q, _) => bodyDefined(q.toLowerCase) } ++
       unqualifiedIds(b1).intersect(unqualOuter.keySet).map(n => (n, n))
     if (remaining.nonEmpty) return None
     if (pairs.isEmpty && !viaView) return None
-    val bodyIsAgg = topLevelAgg(b1)
+    val bodyIsAgg = !dialectJoinBody && topLevelAgg(b1)
     val withKeys0 = addSelectItems(b1,
       pairs.zipWithIndex.map { case ((local, _), i) => s"$local AS __ck_$i" })
     // LATEST ON keeps one row per partition — the correlation key must

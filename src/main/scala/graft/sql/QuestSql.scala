@@ -6769,17 +6769,6 @@ object QuestSql {
   private def windowJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case WindowJoinRe(sel0, master, mAlias, slave, sAlias, onKeys, loN, loU, hiN, hiU,
                       prevailing, where, order, lim1, lim2) =>
-      // strip table-alias qualifiers: the lowering joins flat columns
-      // (slave clash columns get a 1-suffix)
-      var sel = sel0
-      var whereS = where
-      var orderS = order
-      for (al <- Seq(Option(mAlias), Option(sAlias)).flatten) {
-        val pat = "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\."
-        sel = sel.replaceAll(pat, "")
-        if (whereS != null) whereS = whereS.replaceAll(pat, "")
-        if (orderS != null) orderS = orderS.replaceAll(pat, "")
-      }
       // `ON s.k = m.j` names differing key columns — the slave side
       // renames onto the master's name so the equi-key lowering applies
       // (WindowJoinTest `ON p.sym = t.symbol`)
@@ -6796,21 +6785,71 @@ object QuestSql {
           Option(onKeys).map(_.split(",").map(_.trim.replaceAll("^.*\\.", "")).toSeq).getOrElse(Nil)
       }
       val (m, mName) = resolveRel(spark, master)
+      val (s0, sName) = resolveRel(spark, slave)
+      val s = eqForm match {
+        case Some((sk, mk)) if sk != mk => s0.withColumnRenamed(sk, mk)
+        case _ => s0
+      }
+      // rewrite qualifiers against the flat join namespace: master refs
+      // drop the qualifier; slave refs whose column clashes with a
+      // master column address the clash-renamed `<col>1` (WindowJoinTest
+      // `sum(t.price + q.price)`)
+      val clashSet = s.columns.filter(c => m.columns.contains(c) && !keys.contains(c)).toSet
+      def mapRefs(text0: String): String = {
+        if (text0 == null) return null
+        var t = text0
+        for (al <- Seq(Option(mAlias), Some(master.split('.').last)).flatten
+            .filterNot(a => Option(sAlias).contains(a))) {
+          t = t.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.", "")
+        }
+        for (al <- Seq(Option(sAlias), Some(slave.split('.').last)).flatten) {
+          val p = java.util.regex.Pattern.compile(
+            "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.(\\w+)")
+          val mm = p.matcher(t); val sb = new StringBuffer
+          while (mm.find()) {
+            val c = mm.group(1)
+            val rep = if (clashSet.contains(c)) c + "1" else c
+            mm.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+          }
+          mm.appendTail(sb); t = sb.toString
+        }
+        t
+      }
+      var sel = mapRefs(sel0)
+      val whereS = mapRefs(where)
+      val orderS = mapRefs(order)
       // `alias.*` expands to the master's columns (t.* over the join)
       if (sel.trim == "*" || splitSelect(sel).exists(_.trim == "*"))
         sel = splitSelect(sel).flatMap(i =>
           if (i.trim == "*") m.columns.toSeq else Seq(i)).mkString(", ")
       val items = splitSelect(sel).map(normalizeAliasSpelling)
       val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r
-      val aggs = items.filterNot(_.matches("""[\w.]+""")).map {
-        case AggAs(e, name) => name -> expr(e)
-        case e => e.replaceAll("\\W", "_") -> expr(e)
+      // `col AS name` over a master column is a pass-through rename, not
+      // a window aggregate (decorrelated lateral keys arrive this way)
+      def renameItem(i: String): Option[(String, String)] = i match {
+        case AggAs(e, n) if e.trim.matches("""[\w.]+""") &&
+            m.columns.contains(e.trim.split('.').last) =>
+          Some((e.trim.split('.').last, n))
+        case _ => None
       }
-      val (s0, sName) = resolveRel(spark, slave)
-      val s = eqForm match {
-        case Some((sk, mk)) if sk != mk => s0.withColumnRenamed(sk, mk)
-        case _ => s0
+      // inside the window aggregate the lowering's join exposes master
+      // columns under the `__m_` prefix (WindowJoin.windowJoin group
+      // keys) and slave clash columns as `<col>1` — remap master refs so
+      // mixed expressions like `sum(t.price + q.price)` resolve
+      def mAggExpr(e0: String): Column = {
+        // keys stay on the slave side: their NULLs must count an empty
+        // window as empty (the master copy is never null)
+        val e = m.columns.filterNot(keys.contains).foldLeft(e0) { (t, c) =>
+          t.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b(?!\\s*\\()",
+            java.util.regex.Matcher.quoteReplacement(s"__m_$c"))
+        }
+        expr(e)
       }
+      val aggs = items.filterNot(_.matches("""[\w.]+"""))
+        .filter(renameItem(_).isEmpty).map {
+          case AggAs(e, name) => name -> mAggExpr(e)
+          case e => e.replaceAll("\\W", "_") -> mAggExpr(e)
+        }
       val mTs = tsOfRel(mName, m)
       val sTs = tsOfRel(sName, s)
       // clash-suffix slave columns (except keys) so agg expressions can
@@ -6826,15 +6865,25 @@ object QuestSql {
             payload, lo, hi, aggs)
         } else
           graft.ops.WindowJoin.windowJoin(m, renamed, mTs, sTsR, keys, lo, hi, aggs)
-      // project in select-list order (bare refs + agg aliases), so the
-      // result shape matches the reference's model output
-      val outNames = items.map {
-        case i if i.trim.matches("""[\w.]+""") => i.trim.split('.').last
-        case AggAs(_, name) => name
-        case e => e.replaceAll("\\W", "_")
+      // project in select-list order (bare refs, renames, agg aliases),
+      // so the result shape matches the reference's model output
+      val shapedCols: Seq[Option[Column]] = items.map { i =>
+        if (i.trim.matches("""[\w.]+""")) {
+          val n = i.trim.split('.').last
+          if (out.columns.contains(n)) Some(col(n)) else None
+        } else renameItem(i) match {
+          case Some((src, name)) if out.columns.contains(src) =>
+            Some(col(src).as(name))
+          case _ =>
+            val n = i match {
+              case AggAs(_, name) => name
+              case e => e.replaceAll("\\W", "_")
+            }
+            if (out.columns.contains(n)) Some(col(n)) else None
+        }
       }
       val shaped =
-        if (outNames.forall(out.columns.contains)) out.select(outNames.map(col): _*)
+        if (shapedCols.forall(_.isDefined)) out.select(shapedCols.flatten: _*)
         else out
       Some(applyWhereTail(shaped, whereS, orderS, lim1, lim2))
     case _ => None
