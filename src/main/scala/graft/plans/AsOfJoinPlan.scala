@@ -183,6 +183,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => RefIntegerDivideRule)
     e.injectResolutionRule(_ => RefInListCoercionRule)
     e.injectResolutionRule(_ => RefTsNumberCompareRule)
+    e.injectResolutionRule(_ => RefSetOpAllRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

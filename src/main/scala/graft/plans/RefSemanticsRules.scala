@@ -300,3 +300,42 @@ object RefDoubleSortNullsRule extends org.apache.spark.sql.catalyst.rules.Rule[
     }
   }
 }
+
+/** Reference EXCEPT ALL / INTERSECT ALL semantics: the reference hashes
+  * side B once and streams side A, emitting each A row whose
+  * full-record key is ABSENT (`union/ExceptAllRecordCursor.java:82`) or
+  * PRESENT (`union/IntersectAllRecordCursor.java:81`) in B — a
+  * value-based anti/semi join that keeps side A's duplicates, NOT SQL's
+  * multiset difference (A={10,10,10,20}, B={10}: reference EXCEPT ALL
+  * yields {20}, SQL yields {10,10,20} — LateralJoinTest.java:8392).
+  * Lower the resolved set-op to the equivalent left anti/semi join with
+  * null-safe equality over the paired outputs. Gated to dialect
+  * statements; the DataFrame API keeps Spark's standard semantics. */
+object RefSetOpAllRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+
+  private def asJoin(left: LogicalPlan, right: LogicalPlan,
+                     jt: org.apache.spark.sql.catalyst.plans.JoinType): LogicalPlan = {
+    // a self-set-op shares attribute ids across sides — re-alias B
+    val rightSafe =
+      if (left.outputSet.intersect(right.outputSet).nonEmpty)
+        Project(right.output.map(a => Alias(a, a.name)()), right)
+      else right
+    val cond = left.output.zip(rightSafe.output)
+      .map { case (l, r) => EqualNullSafe(l, r): Expression }
+      .reduceOption(And.apply)
+    Join(left, rightSafe, jt, cond, JoinHint.NONE)
+  }
+
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) plan
+    else plan.resolveOperatorsUp {
+      case e @ Except(left, right, true) if e.resolved =>
+        asJoin(left, right, LeftAnti)
+      case i @ Intersect(left, right, true) if i.resolved =>
+        asJoin(left, right, LeftSemi)
+    }
+  }
+}

