@@ -150,8 +150,17 @@ object RefParity {
       }
     exec() match {
       case Left((cat, m)) =>
-        (if (c.tier == "run") (if (cat == "error") "run_error" else cat) else cat,
-          s"q: ${c.query.take(200)} -> $m")
+        // `.returns("")` harvests as an empty expectation when the JUnit
+        // body expects a SqlException (the returns is unreachable inside
+        // try { … } catch (SqlException) — SqlCodeGeneratorTest:3504
+        // within-misuse family): both engines REJECTING the query is the
+        // parity. A successful empty answer still compares normally.
+        if (c.tier == "exact" && c.expected != null && c.expected.isEmpty &&
+            cat == "error")
+          ("pass", "")
+        else
+          (if (c.tier == "run") (if (cat == "error") "run_error" else cat) else cat,
+            s"q: ${c.query.take(200)} -> $m")
       case Right(text) =>
         if (c.tier == "run") ("run_pass", "")
         else compare(text, c.expected) match {

@@ -1523,9 +1523,21 @@ object DialectRewrites {
     // locate outer agg calls whose args contain a window call
     val aggPat = java.util.regex.Pattern.compile("(?i)\\b(sum|avg|min|max|count|first|last)\\s*\\(")
     val items = QuestSql.splitSelect(selText)
+    // a name that exists as a COLUMN of the source table resolves to the
+    // table column inside the hoisted window, NOT to a same-named select
+    // alias (reference: "the inner window model must expose the
+    // underlying literal" — WindowFunctionTest:10830 `id as a, sum(a)
+    // OVER ()` sums table a, not id)
+    val tableCols: Set[String] = try {
+      org.apache.spark.sql.SparkSession.getActiveSession.map { sp =>
+        sp.table(fromText.trim.split("\\s+").head)
+          .columns.map(_.toLowerCase).toSet
+      }.getOrElse(Set.empty)
+    } catch { case _: Exception => Set.empty[String] }
     val aliasDefs = items.flatMap { it =>
       """(?is)^(.*?)\s+(?:AS\s+)?([A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(it)
         .filterNot(m => Set("asc", "desc", "nulls", "first", "last", "end")(m.group(2).toLowerCase))
+        .filterNot(m => tableCols(m.group(2).toLowerCase))
         .map(m => m.group(2) -> m.group(1).trim)
     }.toMap
     var hoisted = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -111,6 +111,12 @@ object QuestSql {
     }
   }
 
+  /** Select aliases minted as ns carriers (`cast(x AS timestamp_ns) AS
+    * c`), captured textually before the macro pass erases the marker —
+    * a last-resort ts resolution hint for derived relations. */
+  private val nsAliasHints =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def tsOfRel(refName: String, df: DataFrame): String = {
     val registered =
       if (refName.nonEmpty) Option(tsRegistry.get(refName.split('.').last.toLowerCase))
@@ -130,6 +136,32 @@ object QuestSql {
           df.schema.fields.find(f =>
             f.dataType == org.apache.spark.sql.types.LongType &&
               known.contains(f.name)).map(_.name)
+            .orElse {
+              // a subquery RENAME of the ns carrier (`ts AS ts1` —
+              // SampleByNanoTimestampTest:6443): digit-suffixed spelling
+              // of a registered designated ts
+              df.schema.fields.find(f =>
+                f.dataType == org.apache.spark.sql.types.LongType &&
+                  known.contains(f.name.replaceAll("\\d+$", ""))).map(_.name)
+            }
+            .orElse {
+              // a materialized subquery whose select MINTED the ns
+              // carrier (`cast(... as timestamp_ns) AS date` — the view
+              // registration declared it TIMESTAMP_NS;
+              // SampleByNanoTimestampTest:3090)
+              Option(graft.Catalog.declaredCols.get(refName.split('.').last.toLowerCase))
+                .flatMap(_.collectFirst {
+                  case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP_NS") &&
+                      df.columns.exists(_.equalsIgnoreCase(n)) =>
+                    df.columns.find(_.equalsIgnoreCase(n)).get
+                })
+            }
+            .orElse {
+              // alias-level ns hints captured before macro expansion
+              df.schema.fields.find(f =>
+                f.dataType == org.apache.spark.sql.types.LongType &&
+                  nsAliasHints.contains(f.name.toLowerCase)).map(_.name)
+            }
         }
         .getOrElse("ts")
     }
@@ -682,6 +714,12 @@ object QuestSql {
     // reference-accepted spellings Spark's parser rejects (double-quoted
     // identifiers, 50_000 separators, ARRAY[..] literals, type[] casts,
     // sizeless VARCHAR/SYMBOL/UUID cast targets, at time zone, ...)
+    // alias-level ns provenance must also be read before the macro pass
+    // erases the markers: `cast(x AS timestamp_ns) AS c` mints an ns
+    // carrier under c anywhere in the query (subquery unions feeding
+    // SAMPLE BY — SampleByNanoTimestampTest:3090)
+    """(?is)as\s+timestamp_ns\s*\)\s*(?:as\s+)?([A-Za-z_]\w*)""".r
+      .findAllMatchIn(q0).foreach(m => nsAliasHints.add(m.group(1).toLowerCase))
     q0 = prof("DialectRewrites")(DialectRewrites(q0))
     // CTAS ns provenance must be read BEFORE the fn-macro pass erases
     // the spellings (to_timestamp_ns / timestamp_sequence_ns expand to
@@ -1096,6 +1134,21 @@ object QuestSql {
           val f = spark.table(table).schema.fields
           if (f.exists(_.name == "ts")) Some("ts") else None
         } catch { case _: Exception => None }
+      }
+      .orElse {
+        // FROM a WITH-defined CTE: resolve the ts through the CTE's own
+        // base table, but only when the CTE visibly carries it
+        // (`SELECT *` or the ts named) — WindowFunctionTest:10066
+        ("(?is)\\bWITH\\s+" + java.util.regex.Pattern.quote(table) +
+          "\\s+AS\\s*\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)").r
+          .findFirstMatchIn(q).map(_.group(1)).flatMap { body =>
+            """(?is)\bFROM\s+([A-Za-z_][\w.]*)""".r.findFirstMatchIn(body)
+              .map(_.group(1)).flatMap { inner =>
+                Option(tsRegistry.get(inner.split('.').last.toLowerCase))
+                  .filter(t => """(?is)^\s*SELECT\s+\*""".r.findFirstIn(body.trim).isDefined ||
+                    body.toLowerCase.contains(t.toLowerCase))
+              }
+          }
       }
     // Equal designated-ts rows emit in INSERTION order in the reference
     // (scan order of the ts-sorted store is a stable sort —
@@ -2646,7 +2699,33 @@ object QuestSql {
     case InsertRe(name0, colList, body) =>
       val name = unq(name0)
       val target = spark.table(name0)
-      val incoming0 = sqlBound(spark, body, Map.empty)
+      val incoming0 =
+        try sqlBound(spark, body, Map.empty)
+        catch {
+          case e: Exception
+              if body.trim.toUpperCase.startsWith("VALUES") &&
+                e.getMessage != null && e.getMessage.contains("INVALID_INLINE_TABLE") =>
+            // Spark inline tables cannot evaluate higher-order exprs
+            // (e.g. the sub-char geohash cast's transform) — re-spell
+            // the tuples as a UNION ALL of SELECTs
+            val tuples = { // walk all top-level (…) groups
+              val t = body.trim.substring(6)
+              val out = scala.collection.mutable.Buffer[String]()
+              var depth = 0; var start = -1; var i = 0
+              while (i < t.length) {
+                t.charAt(i) match {
+                  case '\'' => var j = i + 1; while (j < t.length && t.charAt(j) != '\'') j += 1; i = j
+                  case '(' => if (depth == 0) start = i + 1; depth += 1
+                  case ')' => depth -= 1; if (depth == 0 && start >= 0) { out += t.substring(start, i); start = -1 }
+                  case _ =>
+                }
+                i += 1
+              }
+              out.toSeq
+            }
+            sqlBound(spark,
+              tuples.map(tp => s"SELECT $tp").mkString(" UNION ALL "), Map.empty)
+        }
       // align by position, cast to the target schema (VALUES arrive as
       // colN); a column list maps positions onto the named subset and
       // nulls the rest (reference InsertModel column list)
@@ -2866,6 +2945,22 @@ object QuestSql {
   // mid/spread/wmid (reference functions/finance), haversine_dist_deg,
   // timestamp_floor/ceil with stride literals, dateadd/datediff,
   // to_timezone/to_utc (reference functions/date).
+
+  /** cast(x AS geohash(Nb)), N not a whole char — sub-char precisions
+    * carry their BINARY rendering ('8'→GEOHASH(3b) prints '010': the
+    * top 3 bits of base32 index 8 — reference GeoHashes truncation,
+    * SampleByFillPrevTest geohash fills). Strings decode ceil(N/5)
+    * base32 chars and truncate; numbers reinterpret their low N bits. */
+  private def geoCastBits(x: String, bits: Int): String = {
+    val chars = (bits + 4) / 5
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val strBits = s"substring(array_join(transform(" +
+      s"split(substring(CAST($x AS STRING), 1, $chars), ''), " +
+      s"__gb -> lpad(bin(instr('$alpha', __gb) - 1), 5, '0')), ''), 1, $bits)"
+    val numBits = s"lpad(bin(CAST($x AS BIGINT) & ${(1L << bits) - 1}L), $bits, '0')"
+    s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+      s" THEN $numBits ELSE $strBits END)"
+  }
 
   /** cast(x AS geohash(Nc)) — numbers reinterpret their low 5N bits,
     * strings truncate to N chars (reference GeoHashes.fromBits /
@@ -3116,6 +3211,32 @@ object QuestSql {
     * passes everything else through, so decimals keep SumDecimal
     * semantics. GROUP BY sum is untouched (reference sum(INT) → LONG
     * there). */
+  /** `sum(col)` over a DECLARED LONG256 column — 256-bit wrap-around
+    * accumulation via the registered long256_bin_sum UDAF, rendered back
+    * to the canonical 0x carrier (reference
+    * `groupby/SumLong256GroupByFunction`; SampleByFillPrevTest sums). */
+  private def rewriteLong256Sum(q0: String): String = {
+    if (!"""(?i)\bsum\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    import scala.jdk.CollectionConverters._
+    val l256Cols: Set[String] = graft.Catalog.declaredCols.asScala.collect {
+      case (tbl, cols) if q0.toLowerCase.contains(tbl) =>
+        cols.collect { case (n, d) if d.tpe.toUpperCase.startsWith("LONG256") => n }
+    }.flatten.toSet
+    if (l256Cols.isEmpty) return q0
+    val pat = java.util.regex.Pattern.compile("(?is)\\bsum\\s*\\(\\s*([\\w.]+)\\s*\\)(?!\\s*(?:ignore|respect|over)\\b)")
+    val m = pat.matcher(q0)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val c = m.group(1)
+      if (l256Cols.contains(c.split('.').last.toLowerCase))
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+          s"long256_bin_hex(long256_bin_sum(long256_bin($c)))"))
+      else m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private def rewriteWindowSum(q0: String): String = {
     val pat = java.util.regex.Pattern.compile("(?is)\\bsum\\s*\\(")
     var q = q0
@@ -3153,7 +3274,11 @@ object QuestSql {
           args.trim.nonEmpty && !declaredDecimal) {
         q = q.substring(0, open + 1) + "__graft_promote(" + args + ")" + q.substring(end)
         from = end + "__graft_promote()".length + 1
-      } else from = end + 1
+      } else
+        // keep scanning INSIDE a non-window sum: its argument may hold
+        // window sums of its own (`sum(sum(id) OVER () + …)` —
+        // WindowFunctionTest:20480 expects the inner sums promoted)
+        from = open + 1
       m = pat.matcher(q)
     }
     q
@@ -3628,7 +3753,8 @@ object QuestSql {
         case (_, Some(t), _, _, _) => nsCast(t.group(1))
         case (_, _, Some(gh), _, _) =>
           val n = gh.group(2).toInt
-          geoCast(gh.group(1), if (gh.group(3).equalsIgnoreCase("b")) n / 5 else n)
+          if (gh.group(3).equalsIgnoreCase("b") && n % 5 != 0) geoCastBits(gh.group(1), n)
+          else geoCast(gh.group(1), if (gh.group(3).equalsIgnoreCase("b")) n / 5 else n)
         case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
           s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
         case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
@@ -3879,6 +4005,7 @@ object QuestSql {
     // a rewritten RANGE frame nests parens arbitrarily deep.
     q = rewriteAvgScale(q)
     q = rewriteWindowSum(q)
+    q = rewriteLong256Sum(q)
     q = expandCalls(q, "geomean") { case Seq(x) =>
       s"exp(avg(ln($x)))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
@@ -4543,6 +4670,33 @@ object QuestSql {
       s"(CASE WHEN CAST($rate AS INT) > 0 AND ${uSql(seed + "_null")} * (CAST($rate AS INT) + 1.0) < 1.0 " +
         s"THEN CAST(NULL AS $tpe) ELSE ($value) END)"
 
+    // IDENTICAL literal timestamp_sequence calls in separate UNION ALL
+    // branches share ONE stateful instance in the reference — the union
+    // cursor interleaves invocations row by row, so branch i of k yields
+    // start + (k*(x-1) + i)*step (SampleByTest:213, issue-6549 pin:
+    // 15-min steps come out 30 min apart per branch)
+    if ("""(?i)\bunion\b""".r.findFirstIn(q).isDefined) {
+      val callRe = """(?i)\btimestamp_sequence\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
+      val calls = callRe.findAllMatchIn(q).toList
+      val groups = calls.groupBy(m => (m.group(1), m.group(2))).filter(_._2.size > 1)
+      if (groups.nonEmpty) {
+        val sb = new StringBuilder; var last = 0
+        val seen = scala.collection.mutable.Map[(String, String), Int]()
+        for (m <- calls) {
+          val key = (m.group(1), m.group(2))
+          if (groups.contains(key)) {
+            val k = groups(key).size
+            val i = seen.getOrElse(key, 0); seen(key) = i + 1
+            sb.append(q.substring(last, m.start))
+            sb.append(s"timestamp_sequence(${m.group(1).toLong + i * m.group(2).toLong}, " +
+              s"${m.group(2).toLong * k})")
+            last = m.end
+          }
+        }
+        sb.append(q.substring(last))
+        q = sb.toString
+      }
+    }
     // timestamp_sequence(start, step): start + (x-1)*step micros; start
     // may be a micros literal or any timestamp expression
     q = expandCalls(q, "timestamp_sequence") { case Seq(start, step) =>
@@ -5566,7 +5720,7 @@ object QuestSql {
   // ---- shared parsing helpers ----------------------------------------------
 
   /** A relation reference: table name or one-level-nested subquery. */
-  private val Rel = """(`[^`]+`|[\w.]+|\((?:[^()]|\([^()]*\))*\))"""
+  private val Rel = """(`[^`]+`|[\w.]+|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"""
 
   /** Resolve a relation reference: table name, or a parenthesized
     * subquery run back through the dialect.
@@ -5574,8 +5728,19 @@ object QuestSql {
   private def resolveRel(spark: SparkSession, ref: String): (DataFrame, String) = {
     val r = ref.trim
     val (df, name) =
-      if (r.startsWith("("))
-        (sqlBound(spark, r.stripPrefix("(").stripSuffix(")"), Map.empty), "")
+      if (r.startsWith("(")) {
+        val inner = r.stripPrefix("(").stripSuffix(")")
+        val d = sqlBound(spark, inner, Map.empty)
+        // ns-marked select aliases (cast(... as timestamp_ns) AS c) keep
+        // their TIMESTAMP_NS declaration under a synthetic rel name so
+        // tsOfRel can find the minted carrier
+        // (SampleByNanoTimestampTest:3090)
+        if ("(?i)timestamp_ns\\b|timestamp_sequence_ns|__ns_cast".r.findFirstIn(inner).isDefined) {
+          val synth = s"__graft_rel_${subqueryCounter.incrementAndGet()}"
+          registerCtasNsCols(synth, inner)
+          (d, synth)
+        } else (d, "")
+      }
       else (spark.table(r), r)
     (nsKeyToMicros(df, tsOfRel(name, df)), name)
   }
@@ -6172,7 +6337,8 @@ object QuestSql {
     "count_distinct|approx_count_distinct|approx_percentile|hdr_approx_percentile|mode|" +
     "haversine_dist|string_distinct_agg|array_agg|collect_list|collect_set|array_cum_sum|" +
     "skewness|kurtosis|regr_slope|regr_intercept|regr_r2|l2price|mid|spread_bps|" +
-    "wmid|vwab|isordered|bool_and|bool_or|every|some_agg|any_value|sparkline)\\s*\\(").r
+    "wmid|vwab|isordered|bool_and|bool_or|every|some_agg|any_value|sparkline|" +
+    "long256_bin_sum)\\s*\\(").r
 
   /** Declared array rank of a bare column reference, looked up in the
     * declared-column registry of tables the statement references (the
@@ -6287,11 +6453,72 @@ object QuestSql {
     s"$sign${m.group(2).toInt} hours $sign${m.group(3).toInt} minutes"
   }
 
-  private def sampleByOpForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
+  /** Scan-based spelling of [[SampleByFullRe]] for FROM-subqueries whose
+    * macro-expanded nesting defeats the anchored regex (ns-cast unions,
+    * SampleByNanoTimestampTest:3090): locate the top-level SAMPLE BY,
+    * split head into sel/rel/where, parse the option tail anchored. */
+  private val SampleByTailRe = (
+    """(?is)^(?:FROM\s+'([^']+)'\s*)?(?:TO\s+'([^']+)'\s*)?""" +
+      """(?:FILL\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)\s*)?""" +
+      """(?:ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)(?:\s+TIME\s+ZONE\s+'([^']+)')?(?:\s+WITH\s+OFFSET\s+'([^']+)')?\s*)?""" +
+      """(?:ORDER\s+BY\s+([\w.,\s]+?)\s*)?(?:LIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?)?\s*$""").r
+
+  private def sampleByFullSplit(q: String): Option[(String, String, String, String, String,
+      String, String, String, String, String, String, String, String, String)] = {
+    val t = q.trim
+    if (!t.toLowerCase.startsWith("select")) return None
+    val sbPat = java.util.regex.Pattern.compile("(?is)\\bSAMPLE\\s+BY\\s+(\\d+)([UTsmhdwMy])\\b")
+    var depth = 0; var i = 0; var at = -1
+    while (i < t.length && at < 0) {
+      t.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k + 1
+        case c if depth == 0 && (c == 's' || c == 'S') =>
+          val m = sbPat.matcher(t); if (m.find(i) && m.start == i) at = i else i += 1
+        case _ => i += 1
+      }
+    }
+    if (at < 0) return None
+    val m = sbPat.matcher(t); m.find(at)
+    val (n, unit) = (m.group(1), m.group(2))
+    val rest = t.substring(m.end).trim
+    val tm = SampleByTailRe.findFirstMatchIn(rest).getOrElse(return None)
+    val head = t.substring(0, at)
+    val fromAt = topLevelIndexOf(head, Seq("from"))
+    if (fromAt < 0) return None
+    val sel = head.substring(6, fromAt).trim
+    val afterFrom = head.substring(fromAt + 4)
+    val whereAt = topLevelIndexOf(afterFrom, Seq("where"))
+    val (rel, where) =
+      if (whereAt < 0) (afterFrom.trim, null)
+      else (afterFrom.substring(0, whereAt).trim, afterFrom.substring(whereAt + 5).trim)
+    if (rel.isEmpty || sel.isEmpty) return None
+    Some((sel, rel, where, n, unit, tm.group(1), tm.group(2), tm.group(3),
+      tm.group(4), tm.group(5), tm.group(6), tm.group(7), tm.group(8), tm.group(9)))
+  }
+
+  private def sampleByOpForm(spark: SparkSession, q: String): Option[DataFrame] = (q match {
     case SampleByFullRe(sel, rel, where, n, unit, fromLit, toLit, fillSpec,
                         alignKind, tzLit, offsetLit, order, lim1, lim2)
         if fillSpec != null || fromLit != null || alignKind != null ||
           order == null =>
+      Some((sel, rel, where, n, unit, fromLit, toLit, fillSpec,
+        alignKind, tzLit, offsetLit, order, lim1, lim2))
+    case other =>
+      sampleByFullSplit(other).filter { p =>
+        // same guard as the regex case, and only shapes the plain
+        // rewrite (rewriteSampleBy) declines — those with option tails;
+        // the relation must be a single balanced subquery or bare name
+        // (the shapes SampleByFullRe means, just nested deeper)
+        val rel = p._2.trim
+        val relOk = rel.matches("""[\w.]+|`[^`]+`""") ||
+          (rel.startsWith("(") && rel.endsWith(")"))
+        relOk && (p._8 != null || p._6 != null || p._9 != null)
+      }
+  }) match {
+    case Some((sel, rel, where, n, unit, fromLit, toLit, fillSpec,
+               alignKind, tzLit, offsetLit, order, lim1, lim2)) =>
       val (base1, relName) = resolveRel(spark, rel)
       val tsName = tsOfRel(relName, base1)
       val items = splitSelect(sel).map(normalizeAliasSpelling)
@@ -6463,11 +6690,26 @@ object QuestSql {
               // FROM for negative offsets, after it for positive ones
               // (SampleByFillNullValueTest 1d '-00:30' → the 23:30
               // bucket, '06:00' → the 06:00 bucket; SampleByFillTest 1h
-              // '00:30' → the 00:30 bucket); otherwise FROM ceils up
+              // '00:30' → the 00:30 bucket). A no-tz OFFSET anchors the
+              // sampler at FROM + offset (reference
+              // setLocalAnchor(fromTs + calendarOffset),
+              // SampleByFillRecordCursorFactory): with DATA, emission
+              // starts at the anchored-grid bucket CONTAINING FROM — one
+              // below FROM when the offset remainder is non-zero (the
+              // PR-6946 fix, testFillFromNegativeOffsetAtFromBoundary
+              // '-00:30' → 04:30; '-01:00' rem 0 stays at FROM); on an
+              // EMPTY base the hasNext loop fills from the raw anchor
+              // itself (testFill…EmptyBase OFFSET '05:00' → 05:00 first).
+              // Without OFFSET, FROM is the anchor.
               val fromGridUs =
                 if (tzLit != null && offsetLit != null)
                   Math.floorDiv(fromUs0, 86400000000L) * 86400000000L +
                     offsetShiftUs(offsetLit)
+                else if (offsetLit != null)
+                  // SIGNED stride remainder: '-00:30'/1h starts one
+                  // half-bucket BELOW FROM (PR-6946), '+02:00'/1d two
+                  // hours above, '-01:00'/1h exactly at FROM
+                  fromUs0 + offsetShiftUs(offsetLit) % strideUs
                 else fromUs0 + rem
               // floorDiv keeps an empty [from, to) range empty — with
               // truncating division FROM x TO x yielded one bucket
@@ -6551,17 +6793,27 @@ object QuestSql {
               fs.exists(_ != graft.ops.SampleBy.NoFill)
             case _ => true
           }
+          // the FILLed spine starts at the FROM+offset-anchored bucket
+          // containing FROM (reference setLocalAnchor; see the range
+          // computation above); only the no-FILL data pass absorbs
+          // pre-grid rows upward (ceil)
+          def fillGridStart(f: java.sql.Timestamp): java.sql.Timestamp =
+            if (offsetLit == null || strideMonths.isDefined) f
+            else tsOfUs(f.getTime * 1000L + offsetShiftUs(offsetLit) % strideUs)
           graft.ops.SampleBy.sampleBy(ranged, tsName, stride, keys, aggs, fill,
             range = if (hasFill) range else None,
             offset = offsetEff,
             tz = Option(tzLit).map(normTz),
             tsOut = tsOut,
-            rangeLo = if (hasFill && range.isEmpty) fromP.map(ceilToGrid) else None,
+            rangeLo = if (hasFill && range.isEmpty) fromP.map(fillGridStart) else None,
             rangeHi = if (hasFill && range.isEmpty) toP.map(t => new java.sql.Timestamp(t.getTime - 1)) else None,
             unit = Some(unit.head),
             anchor = fromP.map(ceilToGrid),
             gridAnchorUs = if (tzLit == null) gridAnchorOpt else None,
-            clampUs = if (tzLit == null) clampOpt else None)
+            clampUs =
+              if (tzLit != null) None
+              else if (hasFill) fromP.map(f => fillGridStart(f).getTime * 1000L)
+              else clampOpt)
       }
       // project in select-list order
       val outNames = items.map {
