@@ -61,6 +61,18 @@ object Catalog {
           }
         val wal = meta.exists(_.walEnabled)
         val id = tableIdOf(name)
+        // batch ts bounds fold from the write-time WAL txn registry —
+        // O(#commits) metadata, never a data scan (reference seq
+        // tracker; TablesFunctionFactoryTest table_min/max/wal_max)
+        val (tsMin, tsMax) = {
+          import scala.jdk.CollectionConverters._
+          val recs = Option(walTxnLog.get(name.toLowerCase))
+            .map(_.asScala.toSeq).getOrElse(Seq.empty)
+          val mins = recs.flatMap(r => Option(r.minTs))
+          val maxs = recs.flatMap(r => Option(r.maxTs))
+          (mins.sortBy(_.getTime).headOption.orNull,
+            maxs.sortBy(-_.getTime).headOption.orNull)
+        }
         (id, name, viewTs.getOrElse(ts),
           if (isView) "N/A"
           else meta.flatMap(_.partitionBy)
@@ -75,7 +87,8 @@ object Catalog {
           if (isView) 0L else if (isMv) -1L else 300000000L, false,
           if (isView) "V" else if (isMv) "M" else "T",
           // memory-pressure tracker exists only for WAL writers
-          if (wal || isMv || isView) Some(0) else None)
+          if (wal || isMv || isView) Some(0) else None,
+          tsMin, tsMax)
       }
     // live-metric columns (row count, txns, write-amp/merge-rate/wal/
     // replication histograms — reference TablesFunctionFactory reads
@@ -86,10 +99,9 @@ object Catalog {
     rows.toDF("id", "table_name", "designatedTimestamp", "partitionBy",
       "walEnabled", "dedup", "ttlValue", "ttlUnit", "matView",
       "directoryName", "maxUncommittedRows", "o3MaxLag", "table_suspended",
-      "table_type", "table_memory_pressure_level")
+      "table_type", "table_memory_pressure_level",
+      "table_min_timestamp", "table_max_timestamp")
       .withColumn("table_row_count", lit(null).cast("long"))
-      .withColumn("table_min_timestamp", lit(null).cast("timestamp"))
-      .withColumn("table_max_timestamp", lit(null).cast("timestamp"))
       .withColumn("table_last_write_timestamp", lit(null).cast("timestamp"))
       .withColumn("table_txn", lit(null).cast("long"))
       .withColumn("table_write_amp_count", lit(0L))
@@ -105,7 +117,7 @@ object Catalog {
       .withColumn("wal_pending_row_count", lit(0L))
       .withColumn("wal_dedup_row_count_since_start", lit(0L))
       .withColumn("wal_txn", lit(null).cast("long"))
-      .withColumn("wal_max_timestamp", lit(null).cast("timestamp"))
+      .withColumn("wal_max_timestamp", col("table_max_timestamp"))
       .withColumn("wal_tx_count", lit(0L))
       .withColumn("wal_tx_size_p50", lit(0L))
       .withColumn("wal_tx_size_p90", lit(0L))
@@ -1042,21 +1054,81 @@ object Catalog {
       .toDF("oid", "nspname")
   }
 
+  /** pg_class with the reference's FULL 35-column shape and values
+    * (PgClassFunctionFactory METADATA; PgClassFunctionFactoryTest:201 —
+    * note the quirks mirrored verbatim: relpages is BOOLEAN false,
+    * reltuples FLOAT -1.0, a static pg_class self-row under oid 1259 /
+    * namespace 11 with persistence 'u' and relispopulated false; user
+    * tables carry their monotonic table id as oid). */
   def pgClass(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    userTables(spark).map { case (n, isView) =>
-      (oidOf(n), n, 2200, if (isView) "v" else "r")
-    }.toDF("oid", "relname", "relnamespace", "relkind")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def kindOf(n: String): String = {
+      val k = n.toLowerCase
+      if (matViewReg.containsKey(k) || matViewMeta.containsKey(k)) "m"
+      else if (plainViewReg.containsKey(k) || liveViewReg.containsKey(k)) "v"
+      else "r"
+    }
+    def row(oid: Int, name: String, ns: Int, kind: String,
+            pers: String, pop: Boolean): Row =
+      Row(oid, name, ns, 0, 0, 0, 0, 0, 0, false, -1.0f, 0, 0, false, false,
+        pers, kind, 0.toShort, 0.toShort, false, false, false, false, false,
+        pop, "d", false, 0, 0, 0, null, null, null, false, 0L)
+    val rows = row(1259, "pg_class", 11, "r", "u", pop = false) +:
+      userTables(spark).map { case (n, _) =>
+        row(tableIdOf(n), n, 2200, kindOf(n), "p", pop = true) }
+    val schema = StructType(Seq(
+      StructField("oid", IntegerType), StructField("relname", StringType),
+      StructField("relnamespace", IntegerType), StructField("reltype", IntegerType),
+      StructField("reloftype", IntegerType), StructField("relowner", IntegerType),
+      StructField("relam", IntegerType), StructField("relfilenode", IntegerType),
+      StructField("reltablespace", IntegerType), StructField("relpages", BooleanType),
+      StructField("reltuples", FloatType), StructField("relallvisible", IntegerType),
+      StructField("reltoastrelid", IntegerType), StructField("relhasindex", BooleanType),
+      StructField("relisshared", BooleanType), StructField("relpersistence", StringType),
+      StructField("relkind", StringType), StructField("relnatts", ShortType),
+      StructField("relchecks", ShortType), StructField("relhasrules", BooleanType),
+      StructField("relhastriggers", BooleanType), StructField("relhassubclass", BooleanType),
+      StructField("relrowsecurity", BooleanType), StructField("relforcerowsecurity", BooleanType),
+      StructField("relispopulated", BooleanType), StructField("relreplident", StringType),
+      StructField("relispartition", BooleanType), StructField("relrewrite", IntegerType),
+      StructField("relfrozenxid", IntegerType), StructField("relminmxid", IntegerType),
+      StructField("relacl", StringType), StructField("reloptions", StringType),
+      StructField("relpartbound", StringType), StructField("relhasoids", BooleanType),
+      StructField("xmin", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   def pgAttribute(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // column ORDER is part of the shape clients probe (reference
+    // PgAttributeFunctionFactory metadata: attnum BEFORE atttypid, plus
+    // the typmod/len/identity/dropped/hasdef tail;
+    // PgAttributeFunctionFactoryTest:80 pins attnotnull=false,
+    // atttypmod=-1, per-type attlen, atthasdef=true, attrelid = the
+    // monotonic table id that joins pg_class)
+    val typLen = Map(16 -> 1, 18 -> 1, 21 -> 2, 23 -> 4, 700 -> 4,
+      20 -> 8, 701 -> 8, 1114 -> 8, 1184 -> 8, 2950 -> 16)
     userTables(spark).flatMap { case (n, _) =>
+      val decls = Option(declaredCols.get(n.toLowerCase)).getOrElse(Map.empty)
       spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
-        (oidOf(n), f.name, pgTypeOids.getOrElse(sqlTypeName(f.dataType), 25),
-          (i + 1).toShort, !f.nullable)
+        // a declared CHAR(n) carries bpchar oid 1042 with PG's n+4
+        // typmod (PgAttributeFunctionFactoryTest:230 bare char -> 1042/5)
+        val charM = decls.get(f.name.toLowerCase)
+          .map(_.tpe.toUpperCase).collect {
+            case t if t.matches("CHAR\\(\\d+\\).*") =>
+              """CHAR\((\d+)\)""".r.findFirstMatchIn(t).get.group(1).toInt
+            case t if t.matches("CHAR\\b.*") => 1
+          }
+        val oid = charM.map(_ => 1042)
+          .getOrElse(pgTypeOids.getOrElse(sqlTypeName(f.dataType), 25))
+        (tableIdOf(n), f.name, (i + 1).toShort, oid,
+          false, charM.map(_ + 4).getOrElse(-1), typLen.getOrElse(oid, -1).toShort,
+          "", false, true)
       }
-    }.toDF("attrelid", "attname", "atttypid", "attnum", "attnotnull")
+    }.toDF("attrelid", "attname", "attnum", "atttypid", "attnotnull",
+      "atttypmod", "attlen", "attidentity", "attisdropped", "atthasdef")
   }
 
   def pgDatabase(spark: SparkSession): DataFrame = {
@@ -1066,8 +1138,12 @@ object Catalog {
 
   def pgType(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    (pgTypeOids.map { case (n, oid) => (oid, n.toLowerCase) }.toSeq :+ (25 -> "text"))
-      .toDF("oid", "typname")
+    // base-type rows with the domain columns JDBC's getColumns probes
+    // (reference PgTypeFunctionFactory: typtype 'b', no domains)
+    ((pgTypeOids.map { case (n, oid) => (oid, n.toLowerCase) }.toSeq :+
+      (25 -> "text") :+ (1042 -> "bpchar") :+ (2950 -> "uuid"))
+      .map { case (oid, n) => (oid, n, "b", false, 0, 0) })
+      .toDF("oid", "typname", "typtype", "typnotnull", "typtypmod", "typbasetype")
   }
 
   /** pg_proc — the function registry in PG shape (reference catalogue/

@@ -212,6 +212,14 @@ object RefParity {
     if (expectedRows > 0 && !wrote && readsCreated &&
         (actualRows == 0 || actualRows <= expectedRows))
       ("skip_nodata", diff)
+    // a catalog-function query with NO harvested setup at all whose
+    // expectation lists tables: the JUnit body created them through the
+    // engine API the extractor cannot see (TablesFunctionFactoryTest
+    // fixtures built in @Before hooks)
+    else if (expectedRows > 0 && c.ddls.isEmpty && actualRows == 0 &&
+        """(?i)\b(tables|wal_tables|table_columns|table_partitions)\s*\(""".r
+          .findFirstIn(c.query).isDefined)
+      ("skip_nodata", diff)
     else ("mismatch", diff)
   }
 

@@ -153,6 +153,12 @@ object TimestampArithRule extends Rule[LogicalPlan] {
         case SubtractTimestamps(l, r, _, _) if l.resolved && r.resolved &&
             isTs(l.dataType) && isIntegral(r.dataType) =>
           fromMicros(Subtract(micros(l), Cast(r, LongType)))
+        // ts − ts is a LONG micros difference in the reference (no
+        // interval type — `T3.created-T4.created = 0` joins on equality,
+        // SqlCompilerImplTest:5037), not Spark's DAY-TO-SECOND interval
+        case SubtractTimestamps(l, r, _, _) if l.resolved && r.resolved &&
+            isTs(l.dataType) && isTs(r.dataType) =>
+          Subtract(micros(l), micros(r))
         case a @ Add(l, r, _) if l.resolved && r.resolved &&
             isTs(l.dataType) && isIntegral(r.dataType) =>
           fromMicros(Add(micros(l), Cast(r, LongType)))

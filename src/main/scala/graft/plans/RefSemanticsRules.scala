@@ -214,6 +214,13 @@ object RefInListCoercionRule extends org.apache.spark.sql.catalyst.rules.Rule[
             case e if e.dataType == TimestampType &&
                 (v.dataType == LongType || v.dataType == IntegerType) =>
               Cast(UnixMicros(e), v.dataType)
+            // and integral items against a TIMESTAMP column are
+            // epoch-micros too (`c in (1, null)` matches 1970-…000001Z —
+            // SqlCompilerImplTest:7929)
+            case e if v.dataType == TimestampType &&
+                (e.dataType == LongType || e.dataType == IntegerType ||
+                  e.dataType == ShortType || e.dataType == ByteType) =>
+              MicrosToTimestamp(Cast(e, LongType))
             case e => Cast(e, v.dataType)
           })
         // Spark's coercion may get there first and wrap the TESTED side
@@ -244,6 +251,10 @@ object RefInListCoercionRule extends org.apache.spark.sql.catalyst.rules.Rule[
               case x if x.dataType == TimestampType &&
                   (v.dataType == LongType || v.dataType == IntegerType) =>
                 Cast(UnixMicros(x), v.dataType)
+              case x if v.dataType == TimestampType &&
+                  (x.dataType == LongType || x.dataType == IntegerType ||
+                    x.dataType == ShortType || x.dataType == ByteType) =>
+                MicrosToTimestamp(Cast(x, LongType))
               case x => Cast(x, v.dataType)
             }
           })

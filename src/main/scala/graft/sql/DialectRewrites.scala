@@ -25,6 +25,9 @@ object DialectRewrites {
     // literal (`FROM 'trades'SAMPLE BY`, `'UTC'with offset`) — insert
     // one (sequential scan; a regex would mis-pair alternating quotes)
     q = spaceAfterLiterals(q)
+    // PG escape-string literals (`LIKE E'y'` — the JDBC driver's
+    // getColumns probe): the E prefix drops, the body is a plain literal
+    q = q.replaceAll("(?<![\\w'])E(?=')", "")
     q = doubleQuotedIdents(q)
     // single-quoted identifier USAGE with member access (`'alias'.col` —
     // reference identifier quoting; SqlCodeGeneratorTest:433): a string
@@ -2298,6 +2301,15 @@ object DialectRewrites {
     * columns named `symbol` stay untouched. */
   private def sizelessTypes(s0: String): String = {
     var s = s0
+    // typeOf over an explicit varchar cast answers VARCHAR in the
+    // reference (TypeOfFunctionFactory; SqlCompilerImplTest:376) — mark
+    // the call BEFORE the cast target is erased to STRING
+    s = s.replaceAll(
+      "(?i)\\b(typeof\\s*\\(\\s*)([^()]*?::\\s*varchar\\b[^()]*?)(\\))",
+      "$1__vc_marker($2)$3")
+    s = s.replaceAll(
+      "(?i)\\b(typeof\\s*\\(\\s*)(cast\\s*\\([^()]*\\bas\\s+varchar\\s*\\))(\\s*\\))",
+      "$1__vc_marker($2)$3")
     s = s.replaceAll("(?i)::\\s*varchar\\b(?!\\s*\\()", "::STRING")
     // numeric ::char is a CHARACTER-CODE cast in the reference
     // (`(x-1)::char` = the char at that code; code 0 prints empty —

@@ -500,9 +500,15 @@ object QuestSql {
           f.dataType == org.apache.spark.sql.types.LongType
         // a name declared ns in ONE referenced table but µs in another
         // is ambiguous (WindowJoinTest master.ts µs vs slave.ts ns) —
-        // µs wins for the selected output
-        if (tsType && ((nsCols(f.name.toLowerCase) && !usTsCols(f.name.toLowerCase)) ||
-            (allNs && f.dataType == org.apache.spark.sql.types.TimestampType)))
+        // µs wins for the selected output. Catalog-function metadata
+        // timestamps are µs whatever the table's precision
+        // (TablesFunctionFactoryTest over a TIMESTAMP_NS table).
+        val catalogMeta = Set("table_min_timestamp", "table_max_timestamp",
+          "table_last_write_timestamp", "wal_max_timestamp", "mintimestamp",
+          "maxtimestamp", "commit_wall_clock")(f.name.toLowerCase)
+        if (tsType && !catalogMeta &&
+            ((nsCols(f.name.toLowerCase) && !usTsCols(f.name.toLowerCase)) ||
+              (allNs && f.dataType == org.apache.spark.sql.types.TimestampType)))
           d.withMetadata(f.name, meta)
         else d
       }
@@ -676,8 +682,16 @@ object QuestSql {
     val clauseNext = afterFw.isEmpty ||
       """(?i)^(where|latest|limit|order|sample|union|intersect|except)\b""".r
         .findFirstIn(afterFw).isDefined
+    // a dotted head names a schema-qualified relation — pg_catalog /
+    // information_schema views exist on demand, so accept them by name
+    // (PrefixedPgClassFunctionFactoryTest bare `pg_catalog.pg_class c
+    // LEFT JOIN …` queries)
+    val fwDotted = q0.trim.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+      .toLowerCase
     if (fw.nonEmpty && !StatementKeywords(fw) &&
         (bareTableFn || clauseNext ||
+          fwDotted.startsWith("pg_catalog.") ||
+          fwDotted.startsWith("information_schema.") ||
           (try spark.catalog.tableExists(fw) catch { case _: Exception => false })))
       q0 = "SELECT * FROM " + q0
     // `(subquery) LATEST ON ... / SAMPLE BY ... / WHERE ...` — the
@@ -765,6 +779,7 @@ object QuestSql {
     // views BEFORE the whole-query form matchers (which would otherwise
     // mis-anchor across the union) — SqlCodeGeneratorTest:8264/8297
     q0 = prof("setOpOperands")(materializeSetOpDialectOperands(spark, q0))
+    q0 = prof("unionFirstApp")(unionFirstAppearance(spark, q0))
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
         if (named.isEmpty) q0 else substParams(q0, named)))))))
@@ -1455,6 +1470,64 @@ object QuestSql {
       acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.", "")
     }
     s"${stripped}FROM $v $tailStripped"
+  }
+
+  /** UNION (distinct) emits rows in FIRST-APPEARANCE order in the
+    * reference (the union cursor streams A, then B's not-yet-seen rows
+    * — `union/UnionRecordCursor`); Spark's distinct reshuffles. For a
+    * top-level UNION chain with no ORDER BY/LIMIT and no mixed set-ops,
+    * lower to union-all + per-group first-row keep ordered by a
+    * concatenation-position id. Parity-surface only (dialect path). */
+  private def unionFirstAppearance(spark: SparkSession, q0: String): String = {
+    if (topLevelIndexOf(q0, Seq("order by", "limit", "intersect", "except",
+        "sample by", "latest on")) >= 0) return q0
+    if (!q0.trim.toLowerCase.startsWith("select")) return q0
+    // locate top-level UNIONs; bail on UNION ALL (already ordered)
+    val lower = blankQuotedText(q0).toLowerCase
+    var i = 0; var depth = 0
+    val unionAts = scala.collection.mutable.Buffer[Int]()
+    while (i < lower.length) {
+      lower.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'u' if depth == 0 && lower.startsWith("union", i) &&
+            (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
+            (i + 5 >= lower.length || !lower.charAt(i + 5).isLetterOrDigit) =>
+          unionAts += i
+        case _ =>
+      }
+      i += 1
+    }
+    if (unionAts.isEmpty) return q0
+    if (unionAts.exists(a => lower.substring(a + 5).trim.startsWith("all")))
+      return q0
+    try {
+      val allQ = unionAts.reverse.foldLeft(q0) { (s, at) =>
+        s.substring(0, at) + "UNION ALL" + s.substring(at + 5)
+      }
+      val v = s"__graft_ufa_${subqueryCounter.incrementAndGet()}"
+      sqlBound(spark, allQ, Map.empty)
+        .withColumn("__graft_ap", monotonically_increasing_id())
+        .createOrReplaceTempView(v)
+      val cols = spark.table(v).columns.filterNot(_ == "__graft_ap")
+        .map(c => s"`$c`")
+      s"SELECT ${cols.mkString(", ")} FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY ${cols.mkString(", ")} ORDER BY __graft_ap) AS __graft_rn " +
+        s"FROM $v) WHERE __graft_rn = 1 ORDER BY __graft_ap"
+    } catch { case _: Exception => q0 }
+  }
+
+  private def blankQuotedText(text: String): String = {
+    val sb = new StringBuilder(text)
+    var i = 0
+    while (i < sb.length) {
+      if (sb.charAt(i) == '\'') {
+        var j = i + 1
+        while (j < sb.length && sb.charAt(j) != '\'') { sb.setCharAt(j, ' '); j += 1 }
+        i = j + 1
+      } else i += 1
+    }
+    sb.toString
   }
 
   private def materializeSetOpDialectOperands(spark: SparkSession, q0: String): String = {
@@ -4126,7 +4199,37 @@ object QuestSql {
     q = expandCalls(q, "array_agg") {
       case Seq(x) if !x.trim.toUpperCase.startsWith("DISTINCT") =>
         // __ARRAGG__ sentinel: the replacement must not re-enter this pass
-        s"IF(size(__graft_flat(__ARRAGG__($x))) = 0, NULL, __graft_flat(__ARRAGG__($x)))"
+        val bare = x.trim
+        // array-valued args: declared array columns, array-yielding
+        // expressions (transpose/slice/ARRAY literals), and select
+        // aliases bound to such expressions in the same statement
+        val isArrayExpr =
+          """(?is)^(ARRAY\s*\[|transpose\s*\()""".r.findFirstIn(bare).isDefined ||
+            bare.matches("""(?s)[\w.]+\s*\[.*\]\s*""") ||
+            """(?i)\btranspose\s*\(""".r.findFirstIn(bare).isDefined
+        val aliasArray = bare.matches("\\w+") && {
+          ("(?is)(ARRAY\\s*\\[|transpose\\s*\\(|array_agg\\s*\\()[^,]*?\\s+(?:AS\\s+)?" +
+            java.util.regex.Pattern.quote(bare) + "\\b").r.findFirstIn(q).isDefined
+        }
+        val isArrayCol = declaredArrayDims(q, bare).exists(_ > 0) ||
+          isArrayExpr || aliasArray
+        if (isArrayCol)
+          s"IF(size(__graft_flat(__ARRAGG__($x))) = 0, NULL, __graft_flat(__ARRAGG__($x)))"
+        else {
+          // scalar inputs keep their NULL entries — the reference emits
+          // [1.0,null,3.0] and [null,null,null]
+          // (ArrayAggDoubleGroupByFunctionFactoryTest) — via a struct
+          // carrier (bare nulls would be dropped by the aggregate), and
+          // integral inputs ride the DOUBLE factory
+          val strCol = bare.matches("[\\w.]+") && {
+            val ts = graft.Catalog.declaredTypesOf(bare.split('.').last.toLowerCase)
+            ts.nonEmpty && ts.forall(t => t.startsWith("STRING") || t.startsWith("VARCHAR") ||
+              t.startsWith("SYMBOL") || t.startsWith("CHAR") || t.startsWith("UUID"))
+          }
+          val elem = if (strCol) s"($x)" else s"CAST(($x) AS DOUBLE)"
+          val agg = s"__ARRAGG__(named_struct('v', $elem))"
+          s"IF(size($agg) = 0, NULL, transform($agg, __s -> __s.v))"
+        }
       case args => s"array_agg(${args.mkString(", ")})"
     }
     q = q.replace("__ARRAGG__(", "array_agg(")
@@ -4479,6 +4582,12 @@ object QuestSql {
         "WHEN 1114 THEN 'timestamp without time zone' " +
         "WHEN 1184 THEN 'timestamp with time zone' " +
         "WHEN 1700 THEN 'numeric' WHEN 2950 THEN 'uuid' ELSE '???' END)" }
+    // scalar pg_catalog helpers may arrive schema-qualified (the JDBC
+    // driver spells pg_catalog.pg_get_expr) — drop the qualifier so the
+    // expansions below see the bare call
+    q = q.replaceAll("(?i)\\bpg_catalog\\.(?=(?:pg_get_expr|pg_get_keywords|" +
+      "pg_total_relation_size|pg_table_is_visible|format_type|obj_description|" +
+      "col_description|age|version|current_schemas)\\s*\\()", "")
     q = expandCalls(q, "pg_get_expr") { _ => "''" }
     q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
     // remaining PG-compat scalar stubs, reference values (catalogue/
@@ -4516,6 +4625,11 @@ object QuestSql {
     // Case-SENSITIVE match: the lowering emits Spark's own `typeof`,
     // which an insensitive pass would re-match forever.
     q = expandCalls(q, "typeOf", insensitive = false) { case Seq(x) =>
+      // an explicit varchar cast was marked before its target was
+      // erased to STRING (DialectRewrites.sizelessTypes) — the answer
+      // is static (SqlCompilerImplTest:376)
+      if (x.trim.startsWith("__vc_marker")) "'VARCHAR'"
+      else {
       val t = s"typeof($x)"
       s"(CASE WHEN $t = 'int' THEN 'INT' WHEN $t = 'bigint' THEN 'LONG' " +
         s"WHEN $t = 'smallint' THEN 'SHORT' WHEN $t = 'tinyint' THEN 'BYTE' " +
@@ -4525,9 +4639,18 @@ object QuestSql {
         // DATE rides the TIMESTAMP_NTZ carrier here (dateMsCast)
         s"WHEN $t = 'timestamp_ntz' THEN 'DATE' " +
         s"WHEN $t = 'binary' THEN 'BINARY' WHEN $t LIKE 'decimal%' THEN 'DECIMAL' " +
-        s"WHEN $t LIKE 'array%' THEN 'ARRAY' ELSE upper($t) END)" }
+        s"WHEN $t LIKE 'array%' THEN 'ARRAY' ELSE upper($t) END)" } }
     // switch(value, case1, result1, ..., [default]) — reference
     // conditional/SwitchFunctionFactory → plain CASE lowering
+    // nullif(null, x) is a TYPED null in the reference — it takes x's
+    // type, so an INT operand renders the literal `null`, not the empty
+    // string of an untyped/string null (NullIfFunctionFactoryTest:126)
+    q = expandCalls(q, "nullif") {
+      case Seq(a, b) if a.trim.equalsIgnoreCase("null") =>
+        s"(CASE WHEN false THEN ($b) END)"
+      case args => s"__NULLIF__(${args.mkString(", ")})"
+    }
+    q = q.replace("__NULLIF__(", "nullif(")
     q = expandCalls(q, "switch") { case args if args.size >= 3 =>
       val v = args.head
       val rest = args.tail
