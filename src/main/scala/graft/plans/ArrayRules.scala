@@ -168,6 +168,35 @@ object TimestampArithRule extends Rule[LogicalPlan] {
         case s @ Subtract(l, r, _) if l.resolved && r.resolved &&
             isTs(l.dataType) && isIntegral(r.dataType) =>
           fromMicros(Subtract(micros(l), Cast(r, LongType)))
+        // timestamps are long micros in the reference: they multiply
+        // (`3600L*1000000::timestamp` = 01:00 — CountColumnTest inserts)
+        case m @ Multiply(l, r, _) if l.resolved && r.resolved &&
+            isTs(l.dataType) && isIntegral(r.dataType) =>
+          fromMicros(Multiply(micros(l), Cast(r, LongType)))
+        case m @ Multiply(l, r, _) if l.resolved && r.resolved &&
+            isIntegral(l.dataType) && isTs(r.dataType) =>
+          fromMicros(Multiply(Cast(l, LongType), micros(r)))
+        // CASE branches mixing TIMESTAMP and integral unify on the
+        // micros carrier (reference: a timestamp IS a long —
+        // CaseFunctionFactoryTest mixed-branch selects)
+        case cw @ CaseWhen(branches, elseV)
+            if branches.forall(b => b._1.resolved && b._2.resolved) &&
+              elseV.forall(_.resolved) && {
+                val ts = (branches.map(_._2) ++ elseV).map(_.dataType)
+                ts.exists(t => t == TimestampType) &&
+                  ts.exists(t => t != TimestampType && t != NullType) &&
+                  ts.forall(t => t == TimestampType || t == NullType ||
+                    (t match {
+                      case ByteType | ShortType | IntegerType | LongType => true
+                      case _ => false
+                    }))
+              } =>
+          def lift(e: Expression): Expression = e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              MicrosToTimestamp(Cast(e, LongType))
+            case _ => e
+          }
+          CaseWhen(branches.map { case (c, v) => (c, lift(v)) }, elseV.map(lift))
       }
     }
 }

@@ -1622,9 +1622,13 @@ object DialectRewrites {
           if (inner.exists(_ > 127.toChar)) sb.append(mangle(inner))
           else sb.append(q0.substring(i, math.min(j + 1, q0.length)))
           i = j + 1
-        case c if Character.isLetterOrDigit(c) || c == '_' =>
+        case c if Character.isLetterOrDigit(c) || c == '_' || c > 127.toChar =>
+          // any >127 char joins the identifier run — emoji and combining
+          // marks are not isLetterOrDigit but are legal reference ident
+          // chars (CopyExportTest `table❤️`)
           var j = i
-          while (j < q0.length && (Character.isLetterOrDigit(q0.charAt(j)) || q0.charAt(j) == '_'))
+          while (j < q0.length && (Character.isLetterOrDigit(q0.charAt(j)) ||
+              q0.charAt(j) == '_' || q0.charAt(j) > 127.toChar))
             j += 1
           sb.append(mangle(q0.substring(i, j)))
           i = j

@@ -825,8 +825,26 @@ object QuestSql {
                     r.exists(_.isInstanceOf[OuterReference]) =>
                 hit = true; EqualNullSafe(l, r)
             }
+          // the reference compares through the NaN null-carrier
+          // (Double.compare(NaN, NaN) == 0): `null >= null` and
+          // `null <= null` are TRUE, strict </> stay false
+          // (DoubleCursorFunctionFactoryTest null-vs-null cursors).
+          // Identity-set guard: the rewrite re-embeds the original node,
+          // which the downward traversal would otherwise re-match.
+          val wrapped = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[
+              org.apache.spark.sql.catalyst.expressions.Expression, java.lang.Boolean]())
+          import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, IsNull, LessThanOrEqual, Or}
           val fixed0 = plan.transformAllExpressions {
             case EqualTo(l, r) => hit = true; EqualNullSafe(l, r)
+            case ge @ GreaterThanOrEqual(l, r)
+                if l.nullable && r.nullable && !wrapped.contains(ge) =>
+              hit = true; wrapped.add(ge)
+              Or(ge, And(IsNull(l), IsNull(r)))
+            case le @ LessThanOrEqual(l, r)
+                if l.nullable && r.nullable && !wrapped.contains(le) =>
+              hit = true; wrapped.add(le)
+              Or(le, And(IsNull(l), IsNull(r)))
           }
           val fixed = fixed0.transformAllExpressions {
             case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
@@ -3387,8 +3405,18 @@ object QuestSql {
     if (x.matches("-?\\d+[Ll]?"))
       s"__QCAST__(timestamp_millis(CAST(${x.stripSuffix("L").stripSuffix("l")} AS BIGINT)) AS TIMESTAMP_NTZ)"
     else
+      // Long.MIN_VALUE is the reference's DATE null sentinel
+      // (OrderByEncodeSortTest null dates sort as nulls); other values
+      // clamp to the representable ms range — the ms→µs widening
+      // multiply would overflow on a full-range rnd_long()
+      // (CountColumnTest `cast(rnd_long() as date)`)
       s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
-        s" THEN __QCAST__(timestamp_millis(__QCAST__($x AS BIGINT)) AS TIMESTAMP_NTZ)" +
+        // IS NULL guard first: least/greatest SKIP nulls, so an
+        // unguarded clamp would turn a NULL input into the bound
+        s" THEN CASE WHEN ($x) IS NULL" +
+        s" OR __QCAST__($x AS BIGINT) = -9223372036854775807L - 1L THEN NULL" +
+        s" ELSE __QCAST__(timestamp_millis(greatest(least(__QCAST__($x AS BIGINT)," +
+        s" 9223372036854775L), -9223372036854775L)) AS TIMESTAMP_NTZ) END" +
         s" ELSE ${trunc(s"__QCAST__(($x) AS TIMESTAMP)")} END)"
   }
 
@@ -4915,6 +4943,47 @@ object QuestSql {
     }
     q = expandCalls(q, "rnd_str")(strBody("rnd_str"))
     q = expandCalls(q, "rnd_varchar")(strBody("rnd_varchar"))
+    // rnd_symbol_zipf(n, alpha): symbols sym1..symN drawn with
+    // P(k) ∝ 1/k^alpha (reference RndSymbolZipfNFunctionFactory) —
+    // inverse-CDF over precomputed cumulative weights, md5-deterministic
+    q = expandCalls(q, "rnd_symbol_zipf") { args =>
+      def numOf(t: String): Double =
+        """^\s*(\d+(?:\.\d+)?)""".r.findFirstMatchIn(t.trim)
+          .map(_.group(1).toDouble)
+          .getOrElse(throw new IllegalArgumentException(s"bad zipf arg '$t'"))
+      // two spellings (reference RndSymbolZipfNFunctionFactory):
+      // (count, alpha) names sym1..symN; ('a','b',…, alpha) draws from
+      // the listed symbols
+      val (n, alpha, pick): (Int, Double, String => String) = args match {
+        case Seq(nS, aS) if !nS.trim.startsWith("'") =>
+          (nS.trim.toDouble.toInt, numOf(aS),
+            (i: String) => s"concat('sym', CAST($i AS STRING))")
+        case syms :+ aS =>
+          (syms.size, numOf(aS),
+            (i: String) => s"element_at(array(${syms.mkString(", ")}), $i)")
+      }
+      require(n > 0, "symbol count must be positive")
+      val w = (1 to n).map(k => 1.0 / math.pow(k.toDouble, alpha))
+      val total = w.sum
+      val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / total)
+      val s = seedOf("rnd_symbol_zipf")
+      val idx =
+        if (n == 1) "1"
+        else if (n <= 64) {
+          val arr = cum.init.map(c => f"$c%.17g").mkString("array(", ", ", ")")
+          s"(size(filter($arr, __zc -> __zc <= ${uSql(s)})) + 1)"
+        } else {
+          // large symbol sets: a giant inline cum-weight literal melts
+          // the regex passes downstream, and Spark bars subqueries
+          // inside higher-order functions — draw through the continuous
+          // zipf inverse (Pareto quantile k ≈ u^(-1/(α-1)) for α>1,
+          // clamped to [1, n]); distribution-faithful, not bit-exact,
+          // which the run-tier checks here permit
+          val inv = if (alpha > 1.0) 1.0 / (alpha - 1.0) else 1.0
+          s"least(greatest(CAST(floor(pow(1.0 - ${uSql(s)}, ${-inv})) AS INT), 1), $n)"
+        }
+      pick(idx)
+    }
     q = expandCalls(q, "rnd_symbol")(strBody("rnd_symbol"))
 
     q = expandCalls(q, "rnd_date") {

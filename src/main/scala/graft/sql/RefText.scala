@@ -167,6 +167,9 @@ object RefText {
     case ByteType | ShortType => "0" // reference BYTE/SHORT have no null
     case BooleanType => "false"
     case _: ArrayType => "null" // null arrays print the word
+    // an untyped null COLUMN (all-branches-null CASE) prints the word
+    // (CaseFunctionFactoryTest:1167); typed string nulls stay empty
+    case NullType => "null"
     case _ => ""
   }
 
