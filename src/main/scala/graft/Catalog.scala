@@ -23,11 +23,15 @@ object Catalog {
     import spark.implicits._
     val mv = matViewNames()
     val rows = spark.catalog.listTables().collect().toSeq
-      .filterNot(_.name.startsWith("__"))
+      // __ux<hex> is the reversible mangling of a unicode table name
+      // (DialectRewrites.quoteUnicodeIdents) — a REAL user table, listed
+      // under its original spelling (SqlCodeGeneratorTest unicode names)
+      .filterNot(t => t.name.startsWith("__") && !t.name.startsWith("__ux"))
       .filterNot(t => hideBaseline(spark, t.name))
       .sortBy(_.name)
       .zipWithIndex.map { case (t, i) =>
-        val name = t.name
+        val name = t.name // registry key (mangled for unicode names)
+        val shown = graft.sql.RefText.demangleName(t.name)
         val meta = Option(createMeta.get(name.toLowerCase))
         val isMv = mv.contains(name.toLowerCase)
         val mvMeta = Option(matViewMeta.get(name.toLowerCase))
@@ -73,7 +77,7 @@ object Catalog {
           (mins.sortBy(_.getTime).headOption.orNull,
             maxs.sortBy(-_.getTime).headOption.orNull)
         }
-        (id, name, viewTs.getOrElse(ts),
+        (id, shown, viewTs.getOrElse(ts),
           if (isView) "N/A"
           else meta.flatMap(_.partitionBy)
             .orElse(if (isMv) mvPartition else None).getOrElse("NONE"),
@@ -82,7 +86,7 @@ object Catalog {
           meta.flatMap(_.ttl).map(_._2).getOrElse("HOUR"),
           isMv,
           // WAL table dirs carry the table id suffix (reference ~<id>)
-          if (wal || isMv || isView) s"$name~$id" else name + "~",
+          if (wal || isMv || isView) s"$shown~$id" else shown + "~",
           if (isView) 0 else meta.flatMap(_.maxUncommittedRows).getOrElse(1000L).toInt,
           if (isView) 0L else if (isMv) -1L else 300000000L, false,
           if (isView) "V" else if (isMv) "M" else "T",

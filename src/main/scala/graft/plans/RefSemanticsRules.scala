@@ -180,6 +180,20 @@ object RefTsNumberCompareRule extends org.apache.spark.sql.catalyst.rules.Rule[
             if c.left.resolved && c.right.resolved &&
               isNum(c.left.dataType) && c.right.dataType == TimestampType =>
           c.withNewChildren(Seq(Cast(c.left, LongType), micros(c.right)))
+        // DATE (NTZ millis carrier) compares numerically against numbers
+        // too (reference DATE is a long — SqlCodeGeneratorTest:2082
+        // `c1 < c2` over date/double)
+        case c: BinaryComparison
+            if c.left.resolved && c.right.resolved &&
+              c.left.dataType == TimestampNTZType && isNum(c.right.dataType) =>
+          c.withNewChildren(Seq(
+            IntegralDivide(UnixMicros(Cast(c.left, TimestampType)), Literal(1000L)),
+            Cast(c.right, LongType)))
+        case c: BinaryComparison
+            if c.left.resolved && c.right.resolved &&
+              isNum(c.left.dataType) && c.right.dataType == TimestampNTZType =>
+          c.withNewChildren(Seq(Cast(c.left, LongType),
+            IntegralDivide(UnixMicros(Cast(c.right, TimestampType)), Literal(1000L))))
       }
     }
   }

@@ -255,6 +255,24 @@ object DialectRewrites {
     q = mapOutside(q)(s => s.replaceAll(
       "(?is)\\)\\s*timestamp\\s*\\(\\s*[\\w.]+\\s*\\)(\\s*(?:\\)|,|where\\b|sample\\b|order\\b|group\\b|limit\\b|union\\b|intersect\\b|except\\b|latest\\b|join\\b|inner\\b|left\\b|right\\b|cross\\b|asof\\b|lt\\b|splice\\b))",
       ")$1"))
+    // designation decorator on a BARE table ref followed by a join or
+    // clause (`FROM readings timestamp(ts) JOIN …`,
+    // SqlCodeGeneratorTest:5685) — drop it; the table's registered
+    // designated ts already covers the semantics
+    q = mapOutside(q)(s => s.replaceAll(
+      "(?is)\\b(from\\s+[\\w.]+)\\s+timestamp\\s*\\(\\s*[\\w.]+\\s*\\)" +
+        "(\\s*(?:join\\b|inner\\b|left\\b|right\\b|cross\\b|asof\\b|lt\\b|splice\\b|window\\s+join|horizon\\b))",
+      "$1$2"))
+    // parenthesized bare table with a decorator (`((x timestamp(t))
+    // WHERE …)` — SqlCodeGeneratorTest:8171): spell out the SELECT head
+    q = mapOutside(q)(s => s.replaceAll(
+      "(?is)\\(\\s*([A-Za-z_]\\w*)\\s+timestamp\\s*\\(\\s*[\\w.]+\\s*\\)\\s*\\)",
+      "(SELECT * FROM $1)"))
+    // BETWEEN's call spelling (reference ExpressionParser accepts
+    // `x BETWEEN('a','b')` — SqlCodeGeneratorTest:707)
+    q = mapOutside(q)(_.replaceAll(
+      "(?i)\\bBETWEEN\\s*\\(\\s*('[^']*'|[\\w.]+)\\s*,\\s*('[^']*'|[\\w.]+)\\s*\\)",
+      "BETWEEN $1 AND $2"))
     // top-level parenthesized query with a designation tail:
     // `(select ...) timestamp(k)` is a complete statement
     if (fw0.isEmpty || fw0 == "select" || fw0 == "with")
@@ -2331,7 +2349,9 @@ object DialectRewrites {
     s = s.replaceAll(
       "(?i)(?<![:\\w])((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)|[\\w.]+|'[^']*')\\s*::\\s*symbol\\b",
       "__sym_cast($1)")
-    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128|long256)\\b", "::STRING")
+    // long256 keeps its spelling: the __QCAST__ expansion renders the
+    // canonical 0x carrier from numeric operands (SumLong256 CTAS casts)
+    s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128)\\b", "::STRING")
     s = s.replaceAll("(?i)::\\s*regclass\\b", "") // regclass IS the name string
     s = s.replaceAll("(?i)::\\s*ipv4\\b", "::STRING") // leftover odd operands
     s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
@@ -2339,7 +2359,7 @@ object DialectRewrites {
     // keep their spelling — the engine's cast macro truncates strings to
     // the first char (CastTest / SqlCompilerImplTest)
     s = s.replaceAll("(?i)\\bcast\\s*\\(\\s*''\\s+as\\s+char\\s*\\)", "CAST(NULL AS STRING)")
-    s = s.replaceAll("(?i)\\bas\\s+(uuid|long128|long256)\\s*\\)", "AS STRING)")
+    s = s.replaceAll("(?i)\\bas\\s+(uuid|long128)\\s*\\)", "AS STRING)")
     // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
     val decP = java.util.regex.Pattern.compile("(?i)\\b(DECIMAL|NUMERIC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)")
     val dm = decP.matcher(s)

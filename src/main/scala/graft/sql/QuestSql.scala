@@ -734,6 +734,26 @@ object QuestSql {
     // SAMPLE BY — SampleByNanoTimestampTest:3090)
     """(?is)as\s+timestamp_ns\s*\)\s*(?:as\s+)?([A-Za-z_]\w*)""".r
       .findAllMatchIn(q0).foreach(m => nsAliasHints.add(m.group(1).toLowerCase))
+    // select aliases bound to long256 casts inside THIS query (subquery
+    // columns the declared registry never sees —
+    // SumLong256GroupByFunctionFactoryTest inline derived tables)
+    // CTAS long256 provenance reads the ORIGINAL spelling — the sizeless
+    // cast rewrite is about to erase `as long256` to AS STRING
+    // (SumLong256GroupByFunctionFactoryTest `cast(x as long256) x`)
+    if ("""(?is)^\s*CREATE\s""".r.findFirstIn(q0).isDefined &&
+        """(?i)\blong256\b""".r.findFirstIn(q0).isDefined)
+      """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(\s*select\s+(.*?)\s+from\s""".r
+        .findFirstMatchIn(q0).foreach { m =>
+          splitSelect(m.group(2)).foreach { item =>
+            if ("""(?i)\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b""".r
+                .findFirstIn(item).isDefined)
+              """(?is)^(.*\S)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r
+                .findFirstMatchIn(item.trim)
+                .filterNot(mm => mm.group(2).equalsIgnoreCase("long256"))
+                .foreach(mm => graft.Catalog.mergeDeclaredCol(
+                  unq(m.group(1)).split('.').last, mm.group(2), "LONG256"))
+          }
+        }
     q0 = prof("DialectRewrites")(DialectRewrites(q0))
     // CTAS ns provenance must be read BEFORE the fn-macro pass erases
     // the spellings (to_timestamp_ns / timestamp_sequence_ns expand to
@@ -779,6 +799,7 @@ object QuestSql {
     // views BEFORE the whole-query form matchers (which would otherwise
     // mis-anchor across the union) — SqlCodeGeneratorTest:8264/8297
     q0 = prof("setOpOperands")(materializeSetOpDialectOperands(spark, q0))
+    q0 = prof("withCtes")(materializeWithCtesForOps(spark, q0))
     q0 = prof("unionFirstApp")(unionFirstAppearance(spark, q0))
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
@@ -1488,6 +1509,52 @@ object QuestSql {
       acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.", "")
     }
     s"${stripped}FROM $v $tailStripped"
+  }
+
+  /** A WITH-CTE statement whose trailing SELECT carries a dialect
+    * operator (SAMPLE BY / LATEST ON / time-series joins): the op form
+    * parsers don't speak WITH, so materialize each CTE definition into
+    * a temp view (through the full dialect pipeline) and hand the bare
+    * trailing SELECT onward (SqlCodeGeneratorTest:707 WITH + SAMPLE BY
+    * ALIGN TZ). Skips names that would clobber an existing relation. */
+  private def materializeWithCtesForOps(spark: SparkSession, q0: String): String = {
+    val t = q0.trim
+    if (!"""(?is)^\s*WITH\s""".r.findFirstIn(t).isDefined) return q0
+    var pos = t.toLowerCase.indexOf("with") + 4
+    val defs = scala.collection.mutable.Buffer[(String, String)]()
+    val defRe = java.util.regex.Pattern.compile("(?is)\\s*,?\\s*([A-Za-z_]\\w*)\\s+AS\\s*\\(")
+    var parsing = true
+    while (parsing) {
+      val dm = defRe.matcher(t)
+      dm.region(pos, t.length)
+      if (dm.lookingAt()) {
+        var depth = 0; var j = dm.end() - 1; var close = -1
+        while (j < t.length && close < 0) {
+          t.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case '\'' => var k = j + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; j = k
+            case _ =>
+          }
+          j += 1
+        }
+        if (close < 0) parsing = false
+        else { defs += ((dm.group(1), t.substring(dm.end(), close))); pos = close + 1 }
+      } else parsing = false
+    }
+    if (defs.isEmpty) return q0
+    val rest = t.substring(pos).trim
+    if (topLevelIndexOf(rest, Seq("sample by", "latest on", "asof join",
+        "lt join", "splice join", "window join", "horizon join")) < 0) return q0
+    if (defs.exists { case (n, _) =>
+        try spark.catalog.tableExists(n) catch { case _: Exception => false } })
+      return q0
+    try {
+      defs.foreach { case (n, body) =>
+        sqlBound(spark, body, Map.empty).createOrReplaceTempView(n)
+      }
+      rest
+    } catch { case _: Exception => q0 }
   }
 
   /** UNION (distinct) emits rows in FIRST-APPEARANCE order in the
@@ -3306,13 +3373,13 @@ object QuestSql {
     * accumulation via the registered long256_bin_sum UDAF, rendered back
     * to the canonical 0x carrier (reference
     * `groupby/SumLong256GroupByFunction`; SampleByFillPrevTest sums). */
-  private def rewriteLong256Sum(q0: String): String = {
+  private def rewriteLong256Sum(q0: String, aliasHints: Set[String] = Set.empty): String = {
     if (!"""(?i)\bsum\s*\(""".r.findFirstIn(q0).isDefined) return q0
     import scala.jdk.CollectionConverters._
     val l256Cols: Set[String] = graft.Catalog.declaredCols.asScala.collect {
       case (tbl, cols) if q0.toLowerCase.contains(tbl) =>
         cols.collect { case (n, d) if d.tpe.toUpperCase.startsWith("LONG256") => n }
-    }.flatten.toSet
+    }.flatten.toSet ++ aliasHints
     if (l256Cols.isEmpty) return q0
     val pat = java.util.regex.Pattern.compile("(?is)\\bsum\\s*\\(\\s*([\\w.]+)\\s*\\)(?!\\s*(?:ignore|respect|over)\\b)")
     val m = pat.matcher(q0)
@@ -3787,6 +3854,15 @@ object QuestSql {
   }
 
   private[sql] def rewriteFnMacros(q0: String): String = {
+    // long256 alias capture FIRST: the cast expansion below erases the
+    // `AS LONG256` spelling before rewriteLong256Sum runs
+    val l256Aliases: Set[String] =
+      """(?is)(?:::\s*long256\b|as\s+long256\s*\))\s*(?:as\s+)?([A-Za-z_]\w*)""".r
+        .findAllMatchIn(q0)
+        .map(_.group(1).toLowerCase)
+        .filterNot(Set("from", "where", "group", "order", "union", "limit",
+          "intersect", "except", "sample", "latest"))
+        .toSet
     var q = rewriteWithin(rewriteGeoLiterals(q0))
     def d(x: String) = s"CAST($x AS DOUBLE)"
     // reference ceil/floor are double→double (math/CeilDoubleFunction
@@ -3857,7 +3933,8 @@ object QuestSql {
           if (gh.group(3).equalsIgnoreCase("b") && n % 5 != 0) geoCastBits(gh.group(1), n)
           else geoCast(gh.group(1), if (gh.group(3).equalsIgnoreCase("b")) n / 5 else n)
         case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
-          s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0')))"
+          s"(CASE WHEN (${t.group(1)}) IS NULL THEN NULL ELSE " +
+            s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0'))) END)"
         case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
         case _ if iv.isDefined =>
           // IPV4 rides its dotted-string carrier: numerics render via
@@ -4106,7 +4183,7 @@ object QuestSql {
     // a rewritten RANGE frame nests parens arbitrarily deep.
     q = rewriteAvgScale(q)
     q = rewriteWindowSum(q)
-    q = rewriteLong256Sum(q)
+    q = rewriteLong256Sum(q, l256Aliases)
     q = expandCalls(q, "geomean") { case Seq(x) =>
       s"exp(avg(ln($x)))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
@@ -6168,7 +6245,7 @@ object QuestSql {
     * later queries engage the ipv4 operator rewrites (IPv4Test
     * `create table test as (select rnd_int(...)::ipv4 ip ...)`). */
   private[sql] def preRegisterCtasIpv4(q: String): Unit = {
-    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(""".r
+    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(|\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b""".r
         .findFirstIn(q).isEmpty) return
     val head = """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(""".r
     head.findFirstMatchIn(q).foreach { m =>
@@ -6193,6 +6270,18 @@ object QuestSql {
                 val tbl = unq(m.group(1)).split('.').last.toLowerCase
                 if (!tsRegistry.containsKey(tbl))
                   fallbackTsRegistry.put(tbl, mm.group(2))
+              }
+          }
+          // long256-yielding items keep their type through CTAS so
+          // sum() engages the 256-bit accumulator
+          // (SumLong256GroupByFunctionFactoryTest CTAS over rnd_long256)
+          if ("""(?i)\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b""".r
+              .findFirstIn(item).isDefined) {
+            """(?is)^(.*\S)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(item.trim)
+              .filterNot(mm => mm.group(2).equalsIgnoreCase("long256"))
+              .foreach { mm =>
+                graft.Catalog.mergeDeclaredCol(
+                  unq(m.group(1)).split('.').last, mm.group(2), "LONG256")
               }
           }
         }

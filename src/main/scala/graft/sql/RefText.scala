@@ -24,6 +24,9 @@ object RefText {
 
   /** Reverse of DialectRewrites.quoteUnicodeIdents' `__ux<hex>` ASCII
     * mangling for non-ASCII identifiers. */
+  /** Public alias for catalog listings (tables() unicode names). */
+  def demangleName(name: String): String = demangle(name)
+
   private def demangle(name: String): String =
     if (!name.startsWith("__ux")) name
     else try {
