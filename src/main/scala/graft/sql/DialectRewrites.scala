@@ -186,6 +186,15 @@ object DialectRewrites {
       // call — take the whole call as the cast operand, else
       // `f(args)::timestamp` would glue into `f__ts_us_cast(args)`
       val parenOp = """(?:[\w.]+)?\((?:[^()']|'[^']*'|\([^()']*\))*\)"""
+      // '0x…'::long256 string literals ARE the carrier — canonicalize
+      // the spelling in place (lowercase, 0x prefix; reference
+      // Long256Impl parse+render round-trip); Spark must never see a
+      // bare ::long256 (UNSUPPORTED_DATATYPE on INSERT VALUES / inline
+      // tables). Quote-bearing paren operands route through the
+      // CAST AS LONG256 spelling the fn-macro cast pass renders.
+      q = """(?i)'(?:0x)?([0-9a-f]+)'\s*::\s*long256\b""".r.replaceAllIn(q,
+        m => java.util.regex.Matcher.quoteReplacement(s"'0x${m.group(1).toLowerCase}'"))
+      q = q.replaceAll(s"(?i)($parenOp)\\s*::\\s*long256\\b", "CAST($1 AS LONG256)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp_ns\\b", "__ns_cast($1)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp\\b(?!_ns)", "__ts_us_cast($1)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*date\\b", "CAST($1 AS DATE)")
@@ -2349,8 +2358,19 @@ object DialectRewrites {
     s = s.replaceAll(
       "(?i)(?<![:\\w])((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)|[\\w.]+|'[^']*')\\s*::\\s*symbol\\b",
       "__sym_cast($1)")
-    // long256 keeps its spelling: the __QCAST__ expansion renders the
-    // canonical 0x carrier from numeric operands (SumLong256 CTAS casts)
+    // '0x…'::long256 string literals ARE the carrier — canonicalize the
+    // spelling in place (lowercase, 0x prefix; reference Long256Impl
+    // parse+render round-trip). Other operands re-spell as
+    // CAST(x AS LONG256) so (a) the fn-macro cast expansion renders the
+    // canonical hex carrier from numerics and (b) Spark's parser never
+    // sees a bare ::long256 (UNSUPPORTED_DATATYPE on INSERT VALUES and
+    // inline tables). CTAS provenance gates match the AS LONG256
+    // spelling, so long256-ness survives for sum()'s 256-bit path.
+    s = """(?i)'(?:0x)?([0-9a-f]+)'\s*::\s*long256\b""".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(s"'0x${m.group(1).toLowerCase}'"))
+    s = s.replaceAll(
+      "(?i)(?<![:\\w])((?:[\\w.]+)?\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)|[\\w.]+)\\s*::\\s*long256\\b",
+      "CAST($1 AS LONG256)")
     s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128)\\b", "::STRING")
     s = s.replaceAll("(?i)::\\s*regclass\\b", "") // regclass IS the name string
     s = s.replaceAll("(?i)::\\s*ipv4\\b", "::STRING") // leftover odd operands

@@ -1179,6 +1179,28 @@ object QuestSql {
         "except", "sample by", "latest on")) >= 0) return q
     val fromAt = topLevelIndexOf(q, Seq("from"))
     if (fromAt < 0) return q
+    // The scan-order ORDER BY belongs to the query LEVEL that runs the
+    // window functions. A WITH-CTE whose windows live only in the CTE
+    // body (`WITH w AS (SELECT … OVER … ) SELECT count(*) FROM w`) must
+    // not order — or tie-break-wrap — an outer projection that may not
+    // expose the designated ts (WindowFunctionTest:14232/14246/14261).
+    // Check the select head with parenthesized groups masked so only
+    // depth-0 OVERs (the outer projection's own windows) count.
+    val outerHead = {
+      val s = q.substring(0, fromAt)
+      val sb = new StringBuilder; var depth = 0; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' => var j = i + 1; while (j < s.length && s.charAt(j) != '\'') j += 1; i = j
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case c => if (depth == 0) sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+    if ("""(?i)\bover\b""".r.findFirstIn(outerHead).isEmpty) return q
     val table = q.substring(fromAt + 4).trim
       .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
     if (table.isEmpty) return q
@@ -4690,9 +4712,13 @@ object QuestSql {
     // scalar pg_catalog helpers may arrive schema-qualified (the JDBC
     // driver spells pg_catalog.pg_get_expr) — drop the qualifier so the
     // expansions below see the bare call
+    // NOTE: `age` must NOT be in this strip list — it exists only under
+    // the pg_catalog prefix (reference PrefixedAgeFunctionFactory) and is
+    // rewritten through the __pg_age sentinel below, which needs the
+    // qualifier intact to match.
     q = q.replaceAll("(?i)\\bpg_catalog\\.(?=(?:pg_get_expr|pg_get_keywords|" +
       "pg_total_relation_size|pg_table_is_visible|format_type|obj_description|" +
-      "col_description|age|version|current_schemas)\\s*\\()", "")
+      "col_description|version|current_schemas)\\s*\\()", "")
     q = expandCalls(q, "pg_get_expr") { _ => "''" }
     q = expandCalls(q, "pg_is_in_recovery") { _ => "false" }
     // remaining PG-compat scalar stubs, reference values (catalogue/

@@ -252,6 +252,70 @@ def collect_constants(src):
     return consts
 
 
+def brace_span(src, open_pos):
+    """src[open_pos] == '{'; return index of the matching '}' (or None),
+    skipping string literals and comments."""
+    d = 0
+    i = open_pos
+    while i < len(src):
+        c = src[i]
+        if c == '"':
+            try:
+                _, i = read_string_lit(src, i)
+            except ValueError:
+                return None
+            continue
+        if c == "'":
+            j = i + 1
+            if j < len(src) and src[j] == "\\":
+                j += 1
+            i = j + 2
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = len(src) if j < 0 else j + 1
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = len(src) if j < 0 else j + 2
+            continue
+        if c == "{":
+            d += 1
+        elif c == "}":
+            d -= 1
+            if d == 0:
+                return i
+        i += 1
+    return None
+
+
+def timestamp_variant_spans(src):
+    """Spans of `if (timestampType == TestTimestampType.X) {...} else {...}`
+    blocks, tagged with the variant each branch runs under. Executes and
+    assertQueries inside one branch belong to ONE parameterized variant —
+    attaching the other branch's setup, or reading a NANO-branch expected
+    under a MICRO DDL, makes the harvested case internally inconsistent
+    (WindowFunctionTest testNthValueTimestampSubtypePropagation)."""
+    spans = []
+    for bm in re.finditer(
+            r"if\s*\(\s*timestampType\s*==\s*TestTimestampType\."
+            r"(NANO|MICRO)\s*\)\s*\{", src):
+        var = bm.group(1)
+        close = brace_span(src, bm.end() - 1)
+        if close is None:
+            continue
+        spans.append((bm.end(), close, var))
+        j = skip_ws_comments(src, close + 1)
+        if src.startswith("else", j):
+            j2 = skip_ws_comments(src, j + 4)
+            if j2 < len(src) and src[j2] == "{":
+                close2 = brace_span(src, j2)
+                if close2 is not None:
+                    spans.append(
+                        (j2 + 1, close2, "MICRO" if var == "NANO" else "NANO"))
+    return spans
+
+
 def extract_file(path):
     src = open(path, encoding="utf-8", errors="replace").read()
     out = []
@@ -259,9 +323,19 @@ def extract_file(path):
     # setup statements: literal execute("...") calls, attached to the case
     # when they appear in the same @Test method before the assertQuery.
     # executeWithRewriteTimestamp(sql, type) is the reference's
-    # micro/nano-parameterized runner — harvest the micro variant
-    # (expected outputs are literals, so they are the micro-run's).
+    # micro/nano-parameterized runner — #TIMESTAMP resolves to the variant
+    # the enclosing timestampType branch runs under (MICRO outside any
+    # branch: literal expected outputs there are the micro-run's).
     test_marks = [t.start() for t in re.finditer(r"@Test\b", src)]
+    spans = timestamp_variant_spans(src)
+
+    def variant_at(pos):
+        best = None
+        for s, e, v in spans:
+            if s <= pos < e and (best is None or s > best[0]):
+                best = (s, v)
+        return best[1] if best else None
+
     executes = []
     for em in re.finditer(
             r"(?<![A-Za-z0-9_.])execute(?:WithRewriteTimestamp)?\s*\(", src):
@@ -270,20 +344,23 @@ def extract_file(path):
         except (ValueError, AssertionError):
             continue
         if eargs and eargs[0] is not None:
-            executes.append((em.start(),
-                             eargs[0].replace("#TIMESTAMP", "TIMESTAMP")))
+            executes.append((em.start(), eargs[0], variant_at(em.start())))
     for m in re.finditer(r"\bassertQuery(?:NoLeakCheck)?\s*\(", src):
         start = m.start()
         line = src.count("\n", 0, start) + 1
         prev_test = max((t for t in test_marks if t < start), default=0)
-        setup = [sql for pos, sql in executes if prev_test < pos < start]
+        qvariant = variant_at(start) or "MICRO"
+        tsname = "TIMESTAMP_NS" if qvariant == "NANO" else "TIMESTAMP"
+        setup = [sql.replace("#TIMESTAMP", tsname)
+                 for pos, sql, ev in executes
+                 if prev_test < pos < start and ev in (None, qvariant)]
         try:
             args, i = parse_args(src, m.end() - 1, consts)
         except (ValueError, AssertionError):
             continue
         if len(args) != 1 or args[0] is None:
             continue
-        query = args[0]
+        query = args[0].replace("#TIMESTAMP", tsname)
         case = {"file": os.path.relpath(path, ROOT), "line": line,
                 "query": query, "ddls": list(setup), "mutate": [],
                 "expected": None, "expected2": None}
@@ -311,10 +388,12 @@ def extract_file(path):
                 ok = False; break
             if name in DDLISH:
                 if any(a is None for a in cargs): dynamic = True
-                case["ddls"].extend(a for a in cargs if a is not None)
+                case["ddls"].extend(a.replace("#TIMESTAMP", tsname)
+                                    for a in cargs if a is not None)
             elif name in MUTATEISH:
                 if any(a is None for a in cargs): dynamic = True
-                case["mutate"].extend(a for a in cargs if a is not None)
+                case["mutate"].extend(a.replace("#TIMESTAMP", tsname)
+                                      for a in cargs if a is not None)
             elif name in TERMINALS:
                 if not cargs or cargs[0] is None:
                     dynamic = True
