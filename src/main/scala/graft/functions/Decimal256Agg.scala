@@ -63,6 +63,29 @@ object Decimal256Agg {
       def outputEncoder: Encoder[String] = Encoders.STRING
     }
 
+  /** avg at an ASKED scale beyond Spark's 38-digit decimals (reference
+    * AvgDecimalRescale / the 128/256 window tiers): exact BigDecimal
+    * accumulation, one division at the asked scale, HALF_EVEN like
+    * the reference's Decimals.round.
+    */
+  val AvgAt: Aggregator[(String, Int), (String, Long, Int), String] =
+    new Aggregator[(String, Int), (String, Long, Int), String] {
+      def zero: (String, Long, Int) = (null, 0L, -1)
+      def reduce(b: (String, Long, Int), a: (String, Int)): (String, Long, Int) =
+        if (parse(a._1) == null) (b._1, b._2, a._2)
+        else (addStr(b._1, a._1), b._2 + 1, a._2)
+      def merge(b1: (String, Long, Int), b2: (String, Long, Int)): (String, Long, Int) =
+        (addStr(b1._1, b2._1), b1._2 + b2._2, math.max(b1._3, b2._3))
+      def finish(r: (String, Long, Int)): String =
+        if (r._1 == null || r._2 == 0) null
+        else parse(r._1)
+          .divide(JBigDecimal.valueOf(r._2), math.max(r._3, 0), RoundingMode.HALF_EVEN)
+          .toPlainString
+      def bufferEncoder: Encoder[(String, Long, Int)] =
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt)
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+
   private def extreme(takeMax: Boolean): Aggregator[String, String, String] =
     new Aggregator[String, String, String] {
       def pick(b: String, a: String): String = {
@@ -93,6 +116,7 @@ object Decimal256Agg {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("decimal256_sum", udaf(Sum))
     spark.udf.register("decimal256_avg", udaf(Avg))
+    spark.udf.register("decimal256_avg_at", udaf(AvgAt))
     spark.udf.register("decimal256_min", udaf(Min))
     spark.udf.register("decimal256_max", udaf(Max))
   }

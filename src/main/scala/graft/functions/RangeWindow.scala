@@ -64,7 +64,8 @@ case class SlidingRangeAgg(value: Expression, key: Expression,
                            override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SlideBuf] with BinaryLike[Expression] {
 
-  require(Set("first", "first_in", "last", "last_in", "min", "max")(mode),
+  require(Set("first", "first_in", "last", "last_in", "min", "max",
+    "min_dec", "max_dec")(mode),
     s"__w_slide: unknown mode $mode")
 
   override def left: Expression = value
@@ -73,8 +74,18 @@ case class SlidingRangeAgg(value: Expression, key: Expression,
   override def nullable: Boolean = true
 
   @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(value.dataType)
-  private val ignoreNulls = mode.endsWith("_in") || mode == "min" || mode == "max"
+    // the _dec modes ride the decimal-string carrier (DECIMAL256 tier,
+    // p > 38) — NUMERIC order, not the carrier's lexicographic one
+    if (mode.endsWith("_dec"))
+      new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          new java.math.BigDecimal(a.toString)
+            .compareTo(new java.math.BigDecimal(b.toString))
+      }
+    else TypeUtils.getInterpretedOrdering(value.dataType)
+  private val isMin = mode == "min" || mode == "min_dec"
+  private val isMax = mode == "max" || mode == "max_dec"
+  private val ignoreNulls = mode.endsWith("_in") || isMin || isMax
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     key.dataType match {
@@ -116,14 +127,14 @@ case class SlidingRangeAgg(value: Expression, key: Expression,
         }
       case "last" | "last_in" =>
         if (!ignoreNulls || v != null) { b.candKey = k; b.candV = v; b.has = true }
-      case "max" =>
+      case "max" | "max_dec" =>
         if (v != null) {
           while (!b.vs.isEmpty && ord.compare(b.vs.peekLast, v) <= 0) {
             b.vs.pollLast(); b.ks.pollLast()
           }
           b.ks.addLast(k); b.vs.addLast(v)
         }
-      case "min" =>
+      case "min" | "min_dec" =>
         if (v != null) {
           while (!b.vs.isEmpty && ord.compare(b.vs.peekLast, v) >= 0) {
             b.vs.pollLast(); b.ks.pollLast()
@@ -151,7 +162,7 @@ case class SlidingRangeAgg(value: Expression, key: Expression,
     if (!hi.ks.isEmpty || !lo.ks.isEmpty) {
       val mks = new java.util.ArrayDeque[java.lang.Long]()
       val mvs = new java.util.ArrayDeque[Any]()
-      val popLe = mode == "max"; val deque = mode == "min" || popLe
+      val popLe = isMax; val deque = isMin || popLe
       def push(k: java.lang.Long, v: Any): Unit = {
         if (deque) {
           while (!mvs.isEmpty && {
@@ -179,7 +190,7 @@ case class SlidingRangeAgg(value: Expression, key: Expression,
   override def eval(b: SlideBuf): Any = {
     pruneFront(b)
     mode match {
-      case "first" | "first_in" | "min" | "max" =>
+      case "first" | "first_in" | "min" | "max" | "min_dec" | "max_dec" =>
         if (b.ks.isEmpty) null
         else b.vs.peekFirst match { case SlideNull => null; case v => v }
       case "last" | "last_in" =>

@@ -163,13 +163,16 @@ object DialectRewrites {
     // keeping the integral digit budget. Column DECLARATIONS keep their
     // spelled precision — the decl parser caps those itself and echoes
     // the original in catalog output.
+    // p > 38 cast targets lower to the decimal-string carrier in the
+    // fn-macro cast pass (decimal256 tier) — re-spell the postfix form
+    // as CAST(x AS DECIMAL(p,s)) so that pass sees it; ≤38 stays native
     q = mapOutside(q)(s =>
-      """(?i)(::\s*|\bAS\s+)(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
-        .replaceAllIn(s, m => {
-          val (p, sc) = (m.group(3).toInt, m.group(4).toInt)
-          if (p <= 38) m.matched
-          else s"${m.group(1)}${m.group(2)}(38,${math.min(sc, 37)})"
-        }))
+      """(?i)((?:[\w.]+)?\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s*::\s*(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+        .replaceAllIn(s, m =>
+          if (m.group(2).toInt > 38)
+            java.util.regex.Matcher.quoteReplacement(
+              s"CAST(${m.group(1)} AS DECIMAL(${m.group(2)},${m.group(3)}))")
+          else m.matched))
     // quoted integer subscripts (`arr['2']` — reference coerces STRING
     // indices) must unquote BEFORE the outside-strings scan, whose
     // segment split at the quote would hide the subscript
@@ -195,6 +198,14 @@ object DialectRewrites {
       q = """(?i)'(?:0x)?([0-9a-f]+)'\s*::\s*long256\b""".r.replaceAllIn(q,
         m => java.util.regex.Matcher.quoteReplacement(s"'0x${m.group(1).toLowerCase}'"))
       q = q.replaceAll(s"(?i)($parenOp)\\s*::\\s*long256\\b", "CAST($1 AS LONG256)")
+      // quoted-literal operands of >38-digit decimal postfix casts (the
+      // mapOutside pass masks string literals, so its ::decimal rule
+      // can't see them — FillRecordDispatchTest '1.00'::DECIMAL(60,2))
+      q = (s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*(?:DECIMAL|NUMERIC)" +
+        "\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)").r.replaceAllIn(q, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (m.group(2).toInt > 38) s"CAST(${m.group(1)} AS DECIMAL(${m.group(2)},${m.group(3)}))"
+          else m.matched))
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp_ns\\b", "__ns_cast($1)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*timestamp\\b(?!_ns)", "__ts_us_cast($1)")
       q = q.replaceAll(s"(?i)($parenOp|'(?:[^']|'')*')\\s*::\\s*date\\b", "CAST($1 AS DATE)")
@@ -1729,7 +1740,13 @@ object DialectRewrites {
       val mode = fn match {
         case "first_value" => if (ig) "first_in" else "first"
         case "last_value"  => if (ig) "last_in" else "last"
-        case other         => other // min | max
+        case other => // min | max: string-carrier decimals (p > 38)
+          // need numeric order, not the carrier's lexicographic one
+          val wideDec = arg.trim.matches("[\\w.]+") &&
+            graft.Catalog.declaredTypesOf(arg.trim.split('.').last.toLowerCase)
+              .exists(t => """(?i)^DECIMAL\s*\(\s*(\d+)""".r
+                .findFirstMatchIn(t).exists(_.group(1).toInt > 38))
+          if (wideDec) other + "_dec" else other
       }
       val keyArg = if (desc) s"(0 - ($key))" else s"($key)"
       val repl = s"__w_slide(($arg), CAST($keyArg AS BIGINT), ${bound}L, '$mode') " +
@@ -1970,7 +1987,14 @@ object DialectRewrites {
     * after duration keywords (SAMPLE BY 1m, FLUSH EVERY 10m, TTL 1m)
     * where `m` is the minutes stride. */
   private def decimalSuffix(s0: String): String = {
-    var s = s0.replaceAll("(?i)\\b(\\d+\\.\\d*)m\\b", "$1BD")
+    // >38-digit literals exceed Spark's decimal range entirely — they
+    // ride the decimal-string carrier as quoted literals (the DECIMAL256
+    // tier; WindowDecimalFunctionTest:8823 70-digit INSERT VALUES)
+    var s = """(?i)\b(\d+\.\d*)m\b""".r.replaceAllIn(s0, m => {
+      val digits = m.group(1).replace(".", "")
+      java.util.regex.Matcher.quoteReplacement(
+        if (digits.length > 38) s"'${m.group(1)}'" else s"${m.group(1)}BD")
+    })
     val pat = java.util.regex.Pattern.compile(
       "(?i)((?:sample\\s+by|every|ttl|in\\s+memory|range|limit|from|to|step|between|tolerance)\\s+-?)?\\b(\\d+)m\\b(\\s*(?:preceding|following))?")
     val m = pat.matcher(s)
@@ -1979,6 +2003,7 @@ object DialectRewrites {
     while (m.find()) {
       sb.append(s.substring(last, m.start()))
       if (m.group(1) != null || m.group(3) != null) sb.append(m.group(0))
+      else if (m.group(2).length > 38) sb.append("'").append(m.group(2)).append("'")
       else sb.append(m.group(2)).append("BD")
       last = m.end()
     }
@@ -2380,21 +2405,10 @@ object DialectRewrites {
     // the first char (CastTest / SqlCompilerImplTest)
     s = s.replaceAll("(?i)\\bcast\\s*\\(\\s*''\\s+as\\s+char\\s*\\)", "CAST(NULL AS STRING)")
     s = s.replaceAll("(?i)\\bas\\s+(uuid|long128)\\s*\\)", "AS STRING)")
-    // DECIMAL precision beyond Spark's 38 clamps (reference DECIMAL256)
-    val decP = java.util.regex.Pattern.compile("(?i)\\b(DECIMAL|NUMERIC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)")
-    val dm = decP.matcher(s)
-    val sb2 = new StringBuilder
-    var last2 = 0
-    while (dm.find()) {
-      sb2.append(s.substring(last2, dm.start()))
-      val p = dm.group(2).toInt
-      val sc = Option(dm.group(3)).map(_.toInt).getOrElse(0)
-      if (p > 38) sb2.append(s"${dm.group(1)}(38,${math.min(sc, 37)})")
-      else sb2.append(dm.group(0))
-      last2 = dm.end()
-    }
-    sb2.append(s.substring(last2))
-    s = sb2.toString
+    // DECIMAL precision beyond Spark's 38 is NOT clamped here anymore:
+    // >38-digit cast targets lower to the decimal-string carrier in the
+    // fn-macro cast pass, and column declarations ride the string
+    // carrier via the decl parser (reference DECIMAL256 tier)
     // sized VARCHAR(n) casts are fine for Spark; CHAR(n) too
     s
   }

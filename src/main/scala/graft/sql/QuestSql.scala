@@ -506,8 +506,25 @@ object QuestSql {
         val catalogMeta = Set("table_min_timestamp", "table_max_timestamp",
           "table_last_write_timestamp", "wal_max_timestamp", "mintimestamp",
           "maxtimestamp", "commit_wall_clock")(f.name.toLowerCase)
+        // auto-aliased window/agg outputs over an ns SUBJECT keep ns-ness
+        // (reference Lead*FunctionFactory getType() = arg type;
+        // WindowFunctionTest:7373 `lead(ts_ns, 2, ts) over()` names the
+        // column `lead1`): map the alias's occurrence index back to the
+        // query's Nth call of that function and read its first argument
+        val autoAliasNs = f.dataType == org.apache.spark.sql.types.LongType && {
+          val fnIdx = """^(lead|lag|first_value|last_value|nth_value|min|max)(\d*)$""".r
+          f.name.toLowerCase match {
+            case fnIdx(fn, idx) =>
+              val occ = if (idx.isEmpty) 0 else idx.toInt
+              s"(?i)\\b$fn\\s*\\(\\s*([\\w.]+)".r.findAllMatchIn(q).toSeq
+                .lift(occ).map(_.group(1).split('.').last.toLowerCase)
+                .exists(nsCols)
+            case _ => false
+          }
+        }
         if (tsType && !catalogMeta &&
-            ((nsCols(f.name.toLowerCase) && !usTsCols(f.name.toLowerCase)) ||
+            (autoAliasNs ||
+              (nsCols(f.name.toLowerCase) && !usTsCols(f.name.toLowerCase)) ||
               (allNs && f.dataType == org.apache.spark.sql.types.TimestampType)))
           d.withMetadata(f.name, meta)
         else d
@@ -586,9 +603,34 @@ object QuestSql {
           .filterNot(nsCols).foreach(usCols += _)
     }
     if (nsCols.isEmpty || usCols.isEmpty) return q0
+    // lead/lag DEFAULTS adopt the subject's precision in the reference
+    // (Lead*FunctionFactory routes the default through the subject's
+    // TimestampDriver — WindowFunctionTest:7373 mixes ts/ts_ns both
+    // ways): bridge the unit so Spark's same-type check passes
+    var q1 = {
+      val ll = java.util.regex.Pattern.compile(
+        "(?i)\\b(lead|lag)\\s*\\(\\s*([\\w.]+)\\s*,\\s*([^,()]+?)\\s*,\\s*([\\w.]+)\\s*\\)")
+      val mm = ll.matcher(q0)
+      val sb0 = new java.lang.StringBuilder
+      def kind0(x: String): Int = {
+        val n = x.split('.').last.toLowerCase
+        if (nsCols(n)) 2 else if (usCols(n)) 1 else 0
+      }
+      while (mm.find()) {
+        val (fn, subj, off, dflt) = (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
+        val repl = (kind0(subj), kind0(dflt)) match {
+          case (1, 2) => s"$fn($subj, $off, timestamp_micros(CAST($dflt / 1000 AS BIGINT)))"
+          case (2, 1) => s"$fn($subj, $off, unix_micros($dflt) * 1000)"
+          case _ => mm.group(0)
+        }
+        mm.appendReplacement(sb0, java.util.regex.Matcher.quoteReplacement(repl))
+      }
+      mm.appendTail(sb0)
+      sb0.toString
+    }
     val cmp = java.util.regex.Pattern.compile(
       "([\\w.]+)\\s*(<=|>=|!=|<>|=|<|>)\\s*([\\w.]+)")
-    val m = cmp.matcher(q0)
+    val m = cmp.matcher(q1)
     val sb = new java.lang.StringBuilder
     while (m.find()) {
       def kind(x: String): Int = {
@@ -1146,10 +1188,20 @@ object QuestSql {
           s"(?i)\\b($orderFns)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
             "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
           s"$$1($$2)$$3 OVER (ORDER BY $t)")
+        // whole-result-set value fns: first/nth are TWO_PASS in the
+        // reference (the global first/nth value emits on every row —
+        // WindowDecimalFunctionTest:4150), but last_value LATCHES on a
+        // single BACKWARD pass, so rows after the last non-null see null
+        // under IGNORE NULLS (LastValueOverWholeResultSetFunction;
+        // WindowDecimalFunctionTest:5681) — current-row-to-end frame.
         q = q.replaceAll(
-          s"(?i)\\b($valueFns)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+          "(?i)\\b(first_value|nth_value)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
             "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
           s"$$1($$2)$$3 OVER (ORDER BY $t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+        q = q.replaceAll(
+          "(?i)\\b(last_value)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+            "((?:\\s+(?:ignore|respect)\\s+nulls)?)\\s*over\\s*\\(\\s*\\)",
+          s"$$1($$2)$$3 OVER (ORDER BY $t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
         // a named empty window serves aggregates and value functions
         // alike: full frame in scan order keeps both whole-partition —
         // but rank-family USES of it must not inherit the full frame
@@ -1184,21 +1236,43 @@ object QuestSql {
     // body (`WITH w AS (SELECT … OVER … ) SELECT count(*) FROM w`) must
     // not order — or tie-break-wrap — an outer projection that may not
     // expose the designated ts (WindowFunctionTest:14232/14246/14261).
-    // Check the select head with parenthesized groups masked so only
-    // depth-0 OVERs (the outer projection's own windows) count.
+    // Check the select head with the WITH-clause prefix stripped; OVERs
+    // at ANY paren depth in the outer projection still count (earlier
+    // passes wrap them, e.g. CAST(avg(x) OVER (…) AS DECIMAL(38,s))).
     val outerHead = {
       val s = q.substring(0, fromAt)
-      val sb = new StringBuilder; var depth = 0; var i = 0
-      while (i < s.length) {
-        s.charAt(i) match {
-          case '\'' => var j = i + 1; while (j < s.length && s.charAt(j) != '\'') j += 1; i = j
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case c => if (depth == 0) sb.append(c)
+      var pos = 0
+      if ("""(?is)^\s*WITH\b""".r.findFirstIn(s).isDefined) {
+        pos = s.toLowerCase.indexOf("with") + 4
+        var more = true
+        while (more) {
+          // identifier [ (cols) ] AS ( body ) [, …]
+          val open = s.indexOf('(', pos)
+          if (open < 0) { more = false }
+          else {
+            var depth = 0; var i = open
+            var end = -1
+            while (i < s.length && end < 0) {
+              s.charAt(i) match {
+                case '\'' => var j = i + 1; while (j < s.length && s.charAt(j) != '\'') j += 1; i = j
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = i
+                case _ =>
+              }
+              i += 1
+            }
+            if (end < 0) more = false
+            else {
+              // a column-list paren is followed by AS ( — keep scanning
+              val rest = s.substring(end + 1)
+              pos = end + 1
+              val cont = """(?is)^\s*(,|AS\s*\()""".r.findFirstIn(rest)
+              if (cont.isEmpty) more = false
+            }
+          }
         }
-        i += 1
       }
-      sb.toString
+      s.substring(math.min(pos, s.length))
     }
     if ("""(?i)\bover\b""".r.findFirstIn(outerHead).isEmpty) return q
     val table = q.substring(fromAt + 4).trim
@@ -2265,11 +2339,12 @@ object QuestSql {
         if (up.endsWith("[]")) sparkTypeOf(up)
         else if (up.startsWith("GEOHASH")) "string"
         else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) {
-          // Spark caps precision at 38 (reference DECIMAL256 goes to 76)
+          // precision beyond Spark's 38 digits rides the decimal-string
+          // carrier (exact text; the decimal256_* tier consumes it —
+          // reference DECIMAL256 goes to 76)
           val ps = """\((\d+)\s*,\s*(\d+)\)""".r.findFirstMatchIn(up)
           ps match {
-            case Some(m2) if m2.group(1).toInt > 38 =>
-              s"decimal(38,${math.min(m2.group(2).toInt, 37)})"
+            case Some(m2) if m2.group(1).toInt > 38 => "string"
             case _ => tpe.toLowerCase
           }
         }
@@ -2312,11 +2387,17 @@ object QuestSql {
       // DECIMAL128/256 declarations exceed Spark's 38-digit cap — clamp
       // (the 256-bit arithmetic tier rides its own string carrier; a
       // declared decimal(60, s) column only needs ≤38 digits in tests)
-      val dec = """(?i)^DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+      val dec = """(?i)^DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$""".r
       other match {
+        case dec(p, s) if p.toInt > 38 =>
+          // DECIMAL128/256 declarations beyond Spark's 38 digits ride
+          // the decimal-string carrier (exact text at declared scale);
+          // the decimal256_* aggregate/arith tier consumes it
+          // (WindowDecimalFunctionTest:8823 decimal(70,0) values)
+          "string"
         case dec(p, s) =>
           val pc = math.min(p.toInt, 38)
-          s"decimal($pc, ${math.min(s.toInt, pc)})"
+          s"decimal($pc, ${math.min(Option(s).map(_.toInt).getOrElse(0), pc)})"
         case _ => other.toLowerCase
       }
   }
@@ -3312,6 +3393,15 @@ object QuestSql {
             .map(mm => mm.group(1).toInt - mm.group(2).toInt).getOrElse(18)
       }.getOrElse(18)
     }
+    def declaredPrecision(col0: String): Option[Int] = {
+      val c = col0.split('.').last.toLowerCase
+      import scala.jdk.CollectionConverters._
+      graft.Catalog.declaredCols.asScala.collectFirst {
+        case (_, cols) if cols.get(c).exists(_.tpe.toUpperCase.startsWith("DECIMAL")) =>
+          """\(\s*(\d+)""".r.findFirstMatchIn(cols(c).tpe)
+            .map(_.group(1).toInt).getOrElse(38)
+      }
+    }
     val pat = java.util.regex.Pattern.compile(
       "(?is)\\bavg\\s*\\(\\s*([\\w.]+)\\s*(?:,\\s*(\\d+)\\s*)?\\)")
     var q = q0
@@ -3368,12 +3458,20 @@ object QuestSql {
           val is0 = math.min(math.max(scale + 6, 10), 20)
           val is = math.max(scale, math.min(is0, 38 - intDig))
           val repl =
-            if (scale <= 37 && is + intDig <= 38)
+            if (declaredPrecision(x).exists(_ > 38) || scale > 37)
+              // string-carrier column (p > 38) or >38-digit asked scale:
+              // exact BigDecimal avg (decimal256_avg_at)
+              s"decimal256_avg_at(CAST(($x) AS STRING), $scale)$over"
+            else if (scale <= 37 && is + intDig <= 38)
               s"CAST(bround(__AVGS__(CAST(($x) AS DECIMAL(${is + intDig}, $is)))$over, $scale) AS DECIMAL(38, $scale))"
             else if (scale <= 37)
               s"CAST(bround(__AVGS__($x)$over, $scale) AS DECIMAL(38, $scale))"
-            else s"concat(CAST(CAST(__AVGS__($x)$over AS DECIMAL(38, 20)) AS STRING), " +
-              s"repeat('0', ${scale - 20}))"
+            else
+              // beyond 38 digits: exact BigDecimal avg at the asked
+              // scale (decimal256_avg_at; non-terminating quotients need
+              // the real division, not a zero-padded 20-digit one —
+              // WindowDecimalFunctionTest:10371 avg(v8, 60))
+              s"decimal256_avg_at(CAST(($x) AS STRING), $scale)$over"
           q = q.substring(0, m.start()) + repl + q.substring(math.max(overEnd, m.end()))
           from = m.start() + repl.length
           m = pat.matcher(q)
@@ -3412,6 +3510,45 @@ object QuestSql {
         m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
           s"long256_bin_hex(long256_bin_sum(long256_bin($c)))"))
       else m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** `sum(col)` — group-by OR window — over a DECLARED decimal column
+    * whose precision leaves Spark's sum no headroom (p ≥ 29: Spark
+    * widens sums to min(38, p+10) digits, the reference accumulates in
+    * 256 bits — `groupby/SumDecimal*`, `window/SumDecimalWindow*`;
+    * WindowDecimalFunctionTest:8810, SumDecimalGroupByFunctionFactory
+    * Test:60): route through the exact decimal256_sum aggregator. The
+    * string carrier renders plainString at the accumulated scale, which
+    * IS the reference's rendering. */
+  private def rewriteDecimalWideSum(q0: String): String = {
+    if (!"""(?i)\b(sum|min|max)\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    import scala.jdk.CollectionConverters._
+    val decP = """(?i)^DECIMAL\s*\(\s*(\d+)""".r
+    def colsAbove(bound: Int): Set[String] = graft.Catalog.declaredCols.asScala.collect {
+      case (tbl, cols) if q0.toLowerCase.contains(tbl) =>
+        cols.collect { case (n, d)
+          if decP.findFirstMatchIn(d.tpe).exists(_.group(1).toInt >= bound) => n }
+    }.flatten.toSet
+    val wideCols = colsAbove(29)       // sum loses Spark headroom past 28
+    val strCols = colsAbove(39)        // string-carrier storage (p > 38)
+    if (wideCols.isEmpty) return q0
+    val pat = java.util.regex.Pattern.compile("(?is)\\b(sum|min|max)\\s*\\(\\s*([\\w.]+)\\s*\\)")
+    val m = pat.matcher(q0)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val (fn, c) = (m.group(1).toLowerCase, m.group(2))
+      val n = c.split('.').last.toLowerCase
+      val repl =
+        if (fn == "sum" && wideCols.contains(n))
+          s"decimal256_sum(CAST($c AS STRING))"
+        else if ((fn == "min" || fn == "max") && strCols.contains(n))
+          // string carrier needs NUMERIC min/max, not lexicographic
+          s"decimal256_$fn($c)"
+        else m.group(0)
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(repl))
     }
     m.appendTail(sb)
     sb.toString
@@ -3927,6 +4064,11 @@ object QuestSql {
       // ColumnType.getGeoHashBits — sub-5-bit tails truncate)
       val g = """(?is)^(.*\S)\s+AS\s+GEOHASH\s*\(\s*(\d+)\s*([cb])\s*\)\s*$""".r
         .findFirstMatchIn(inner)
+      // p > 38 decimal targets ride the decimal-string carrier (exact
+      // text at the asked scale, HALF_UP like the reference's Decimal256
+      // rescale; WindowDecimalFunctionTest:8823, AvgDecimalRescale CTAS)
+      val wd = """(?is)^(.*\S)\s+AS\s+(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)\s*$""".r
+        .findFirstMatchIn(inner).filter(_.group(2).toInt > 38)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
       val sv = """(?is)^(.*\S)\s+AS\s+(STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
@@ -3940,7 +4082,32 @@ object QuestSql {
       // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
       // nullability; NullLiteralsTest): null input lands as false / 0
       val nn = """(?is)^(.*\S)\s+AS\s+(BOOLEAN|BYTE|SHORT)\s*$""".r.findFirstMatchIn(inner)
-      if (dbl.isDefined) s"__graft_dbl((${dbl.get.group(1)}))"
+      if (wd.isDefined) {
+        // p > 38 decimal target: decimal-string carrier, exact text at
+        // the asked scale (HALF_UP, reference Decimal256 rescale —
+        // WindowDecimalFunctionTest:8823, AvgDecimalRescale CTAS).
+        // Literal operands fold HERE: a quoted carrier literal keeps the
+        // downstream form parsers' shallow paren grammar intact (SAMPLE
+        // BY FILL — SampleByFillTest:231) and numeric literals keep
+        // every digit instead of riding a DOUBLE (SampleByFillPrev:805)
+        val t = wd.get
+        val sc = Option(t.group(3)).map(_.toInt).getOrElse(0)
+        val opnd = {
+          var s0 = t.group(1).trim
+          while (s0.startsWith("(") && s0.endsWith(")")) s0 = s0.substring(1, s0.length - 1).trim
+          s0
+        }
+        val litVal =
+          if (opnd.matches("'[^']*'")) Some(opnd.substring(1, opnd.length - 1))
+          else if (opnd.matches("-?\\d+(?:\\.\\d+)?(?:BD)?")) Some(opnd.stripSuffix("BD"))
+          else None
+        litVal.flatMap { v =>
+          try Some("'" + new java.math.BigDecimal(v)
+            .setScale(sc, java.math.RoundingMode.HALF_UP).toPlainString + "'")
+          catch { case _: NumberFormatException | _: ArithmeticException => None }
+        }.getOrElse(s"decimal256_round(__QCAST__((${t.group(1)}) AS STRING), $sc)")
+      }
+      else if (dbl.isDefined) s"__graft_dbl((${dbl.get.group(1)}))"
       else if (nn.isDefined) {
         val t = nn.get
         val (x, tpe) = (t.group(1), t.group(2).toUpperCase)
@@ -3954,9 +4121,16 @@ object QuestSql {
           val n = gh.group(2).toInt
           if (gh.group(3).equalsIgnoreCase("b") && n % 5 != 0) geoCastBits(gh.group(1), n)
           else geoCast(gh.group(1), if (gh.group(3).equalsIgnoreCase("b")) n / 5 else n)
-        case (_, _, _, Some(t), _) => // canonical 0x + 64-hex LONG256 carrier
-          s"(CASE WHEN (${t.group(1)}) IS NULL THEN NULL ELSE " +
-            s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__((${t.group(1)}) AS BIGINT)), 16, '0'))) END)"
+        case (_, _, _, Some(t), _) =>
+          // canonical 0x LONG256 carrier: numerics render the 64-hex
+          // padded form; strings ARE the carrier — canonicalize the
+          // spelling only (lowercase, 0x prefix; SampleByFillTest:828
+          // `cast('0x01' AS LONG256)` keys render back as 0x01)
+          val x = t.group(1)
+          s"(CASE WHEN ($x) IS NULL THEN NULL " +
+            s"WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint') THEN " +
+            s"concat('0x', repeat('0', 48), lower(lpad(hex(__QCAST__(($x) AS BIGINT)), 16, '0'))) " +
+            s"ELSE concat('0x', lower(regexp_replace(__QCAST__(($x) AS STRING), '^(?i)0x', ''))) END)"
         case (_, _, _, _, Some(t)) => dateMsCast(t.group(1))
         case _ if iv.isDefined =>
           // IPV4 rides its dotted-string carrier: numerics render via
@@ -4206,6 +4380,42 @@ object QuestSql {
     q = rewriteAvgScale(q)
     q = rewriteWindowSum(q)
     q = rewriteLong256Sum(q, l256Aliases)
+    q = rewriteDecimalWideSum(q)
+    // arithmetic over decimal256-string results: '+'/'-'/'*' between two
+    // carrier expressions (or a carrier and a numeric literal) routes
+    // through the exact decimal256 kernels — a bare string operand would
+    // coerce to DOUBLE (WindowDecimalFunctionTest:9543 avg(v256)+1)
+    locally {
+      val dcall = "decimal256_\\w+\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\))*\\)" +
+        "(?:\\s+OVER\\s*\\((?:[^()]|\\([^()]*\\))*\\))?"
+      val num = "-?\\d+(?:\\.\\d+)?"
+      val pat = java.util.regex.Pattern.compile(
+        s"(?i)($dcall|$num)\\s*([+*]|-(?!-))\\s*($dcall|$num)")
+      var changed = true
+      while (changed) {
+        val m2 = pat.matcher(q)
+        val sb2 = new StringBuffer
+        changed = false
+        while (m2.find()) {
+          val (a, op, b) = (m2.group(1), m2.group(2), m2.group(3))
+          val bothNum = a.matches(num) && b.matches(num)
+          val repl =
+            if (bothNum) m2.group(0)
+            else {
+              changed = true
+              val fn = op match {
+                case "+" => "decimal256_add"
+                case "-" => "decimal256_sub"
+                case _ => "decimal256_mul"
+              }
+              s"$fn($a, $b)"
+            }
+          m2.appendReplacement(sb2, java.util.regex.Matcher.quoteReplacement(repl))
+        }
+        m2.appendTail(sb2)
+        q = sb2.toString
+      }
+    }
     q = expandCalls(q, "geomean") { case Seq(x) =>
       s"exp(avg(ln($x)))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
@@ -6271,7 +6481,7 @@ object QuestSql {
     * later queries engage the ipv4 operator rewrites (IPv4Test
     * `create table test as (select rnd_int(...)::ipv4 ip ...)`). */
   private[sql] def preRegisterCtasIpv4(q: String): Unit = {
-    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(|\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b""".r
+    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(|\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b|decimal\s*\(""".r
         .findFirstIn(q).isEmpty) return
     val head = """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(""".r
     head.findFirstMatchIn(q).foreach { m =>
@@ -6297,6 +6507,23 @@ object QuestSql {
                 if (!tsRegistry.containsKey(tbl))
                   fallbackTsRegistry.put(tbl, mm.group(2))
               }
+          }
+          // decimal items keep their precision/scale through CTAS so
+          // sum() engages the decimal256 accumulator past 28 digits
+          // (SumDecimalGroupByFunctionFactoryTest:60) and avg() renders
+          // at the declared scale (AvgDecimalGroupByFunctionFactoryTest)
+          locally {
+            val wdec = """(?i)(?:::\s*|\bas\s+)decimal\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+            val ps = wdec.findAllMatchIn(item).map(m =>
+              (m.group(1).toInt, Option(m.group(2)).map(_.toInt).getOrElse(0))).toSeq
+            if (ps.nonEmpty) {
+              val (p, sc) = ps.maxBy(_._1)
+              """(?is)^(.*\S)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r
+                .findFirstMatchIn(item.trim)
+                .filter(mm => mm.group(1).contains("("))
+                .foreach(mm => graft.Catalog.mergeDeclaredCol(
+                  unq(m.group(1)).split('.').last, mm.group(2), s"DECIMAL($p,$sc)"))
+            }
           }
           // long256-yielding items keep their type through CTAS so
           // sum() engages the 256-bit accumulator
