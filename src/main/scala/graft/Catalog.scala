@@ -254,11 +254,57 @@ object Catalog {
   // into this registry in the same pass it already makes for the WAL
   // txn bounds, so a metadata probe against a 100 TB table reads a
   // driver-side map instead of launching a scan.
+  /** Per-column driver memory is BOUNDED: exact strings up to
+    * [[symbolDictCap]] entries (the symbol type's contract is low
+    * cardinality — reference symbolCapacity default 128, maps grow on
+    * DISK past it), then the dictionary degrades to a fixed 4 KB
+    * HyperLogLog register file and `symbolTableSize` answers the
+    * estimate. An abusive high-cardinality symbol column on a 100 TB
+    * ingest can no longer OOM the driver. */
+  private[graft] var symbolDictCap: Int = 65536
   private[graft] final class SymDict {
     val values: java.util.Set[String] =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     @volatile var hasNull: Boolean = false
-    def size: Long = values.size.toLong + (if (hasNull) 1L else 0L)
+    @volatile var overflowed: Boolean = false
+    // HLL, p=12: 4096 registers, ~1.6% relative error — fed from the
+    // first value so the estimate is whole-history when the set spills
+    private val regs = new Array[Byte](4096)
+    private def hash64(s: String): Long = {
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+      (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    }
+    def add(v: String): Unit = {
+      val h = hash64(v)
+      val idx = (h >>> 52).toInt // top 12 bits
+      val rank = (java.lang.Long.numberOfLeadingZeros(h << 12 | 0x800L) + 1).toByte
+      regs.synchronized { if (rank > regs(idx)) regs(idx) = rank }
+      if (!overflowed) {
+        values.add(v)
+        if (values.size > symbolDictCap) { overflowed = true; values.clear() }
+      }
+    }
+    private def hllEstimate: Long = {
+      val m = regs.length.toDouble
+      var sum = 0.0; var zeros = 0
+      regs.synchronized {
+        var i = 0
+        while (i < regs.length) {
+          sum += math.pow(2.0, -regs(i).toDouble)
+          if (regs(i) == 0) zeros += 1
+          i += 1
+        }
+      }
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val e = alpha * m * m / sum
+      val corrected =
+        if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+      math.round(corrected)
+    }
+    def size: Long =
+      (if (overflowed) hllEstimate else values.size.toLong) +
+        (if (hasNull) 1L else 0L)
   }
   private[graft] val symbolDictReg =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, SymDict]]()
@@ -268,7 +314,7 @@ object Catalog {
     val m = symbolDictReg.computeIfAbsent(dictKey(table),
       _ => new java.util.concurrent.ConcurrentHashMap[String, SymDict]())
     val d = m.computeIfAbsent(col.toLowerCase, _ => new SymDict)
-    vals.foreach(d.values.add)
+    vals.foreach(d.add)
     if (sawNull) d.hasNull = true
   }
   /** DROP + TRUNCATE reset the symbol maps (reference TableWriter
@@ -525,6 +571,25 @@ object Catalog {
     matViewReg.remove(name); liveViewReg.remove(name); liveViewMeta.remove(name)
     matViewMeta.remove(name); plainViewReg.remove(name)
   }
+
+  /** RENAME migrates the per-table registries the new name must keep
+    * answering from (wal txn log/counter/state feed tables()' ts bounds
+    * and wal_tables(); declaredCols drives type semantics; dedup keys,
+    * create tails, table ids ride along) — reference TableNameRegistry
+    * rename keeps the table's state, only the name changes. */
+  private[graft] def migrateTableRegistries(from0: String, to0: String): Unit = {
+    val from = from0.split('.').last.toLowerCase
+    val to = to0.split('.').last.toLowerCase
+    def mv[V](m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit =
+      Option(m.remove(from)).foreach(m.put(to, _))
+    mv(declaredCols); mv(createTails); mv(tableIds); mv(dedupKeysReg)
+    mv(walState); mv(walTxnLog); mv(walTxnCounter)
+  }
+
+  /** TRUNCATE resets write stats (reference TableWriter.truncate()):
+    * the txn log's ts bounds must not survive into tables() output. */
+  private[graft] def clearWalTxnLog(name: String): Unit =
+    walTxnLog.remove(name.split('.').last.toLowerCase)
 
   /** DROP ALL: clear every per-table registry wholesale. */
   private[graft] def clearTableRegistries(): Unit = {

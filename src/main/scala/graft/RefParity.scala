@@ -155,8 +155,15 @@ object RefParity {
         // try { … } catch (SqlException) — SqlCodeGeneratorTest:3504
         // within-misuse family): both engines REJECTING the query is the
         // parity. A successful empty answer still compares normally.
+        // …but only a REJECTION-shaped failure (parse/analysis) counts:
+        // a graft-side crash (NPE, codegen, executor failure) on such a
+        // case is a real bug, not parity
         if (c.tier == "exact" && c.expected != null && c.expected.isEmpty &&
-            cat == "error")
+            cat == "error" &&
+            ("""(?i)parse|syntax|unresolved|cannot resolve|analysis|unsupported|""" +
+              """invalid|datatype|mismatch|illegal|unexpected|missing|unknown|""" +
+              """no viable|not allowed|not supported|requires|expects|bad """).r
+              .findFirstIn(Option(m).getOrElse("")).isDefined)
           ("pass", "")
         else
           (if (c.tier == "run") (if (cat == "error") "run_error" else cat) else cat,

@@ -580,7 +580,7 @@ object DialectRewrites {
           val defined = relTokens(body)
           lateralSpans(body).exists { case (ilo, ihi) =>
             val inner = body.substring(ilo, ihi)
-            """\b([A-Za-z_]\w*)\.[A-Za-z_]\w*""".r.findAllMatchIn(inner)
+            """(?<![`\w])([A-Za-z_]\w*)\.[A-Za-z_]\w*(?![\w`])""".r.findAllMatchIn(inner)
               .exists(m => !defined(m.group(1).toLowerCase) &&
                 !reserved(m.group(1).toLowerCase))
           }
@@ -591,7 +591,10 @@ object DialectRewrites {
         val defined = relTokens(body)
         // all deep refs anywhere in the body's nested laterals
         val deepRefs = lateralSpans(body).flatMap { case (ilo, ihi) =>
-          """\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b(?!\s*\()""".r
+          // backtick-quoted identifiers may CONTAIN dots (`count.ed` —
+          // LateralJoinTest:1029): the lookarounds keep the scan out of
+          // quoted names so they are never mistaken for outer refs
+          """(?<![`\w])([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b(?![\w`]|\s*\()""".r
             .findAllMatchIn(body.substring(ilo, ihi))
             .filter(m => !defined(m.group(1).toLowerCase) &&
               !reserved(m.group(1).toLowerCase))
@@ -603,7 +606,7 @@ object DialectRewrites {
           var newBody = body
           deepRefs.foreach { case (t, c) =>
             newBody = newBody.replaceAll(
-              s"\\b${java.util.regex.Pattern.quote(t)}\\.${java.util.regex.Pattern.quote(c)}\\b",
+              s"(?<![`\\w])${java.util.regex.Pattern.quote(t)}\\.${java.util.regex.Pattern.quote(c)}\\b(?![\\w`])",
               s"__thr.__thr_${t}_$c")
           }
           // prepend the carrier to the body's first FROM at depth 0
@@ -1342,7 +1345,11 @@ object DialectRewrites {
     // as RANGE BETWEEN CURRENT ROW AND CURRENT ROW, so decompose each
     // aggregate as frame-total minus peer-group-total.
     def peersOf(body: String): String = {
-      val idx = body.toUpperCase(java.util.Locale.ROOT).indexOf("RANGE")
+      // word-bounded: a bare indexOf would match inside identifiers
+      // (PARTITION BY price_range ORDER BY ts RANGE …) and truncate the
+      // spec mid-identifier
+      val idx = """(?i)\bRANGE\s+(?:BETWEEN\b|\d|UNBOUNDED\b|CURRENT\b)""".r
+        .findFirstMatchIn(body).map(_.start).getOrElse(-1)
       val prefix = if (idx >= 0) body.substring(0, idx) else body
       s"($prefix RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
     }

@@ -156,24 +156,87 @@ object LateralRewrites {
                         .getOrElse(r.group(1).split('.').last),
                       fromAt + 4, fromAt + 4 + len))
                 }
+                // JOIN-shaped context: `JOIN (SELECT … LIMIT t1.n) s ON …`
+                // — the subquery is a join side, where Spark rejects
+                // outer refs in its Filter; hoist the guard AND the
+                // correlated equalities into the ON condition (legal
+                // inside a lateral body — LateralJoinTest.java:3337)
+                val joinCtx: Option[(String, Int)] = {
+                  val pre = s.substring(0, open)
+                  if (!"""(?is)\bJOIN\s*$""".r.findFirstIn(pre).isDefined) None
+                  else """(?is)^\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\b""".r
+                    .findFirstMatchIn(s.substring(close + 1))
+                    .map(mm => (mm.group(1), close + 1 + mm.end))
+                }
                 fromRel.foreach { case (tbl, alias, relLo, relHi) =>
                   val part = if (partCols.isEmpty) ""
                     else s"PARTITION BY ${partCols.mkString(", ")} "
+                  // scan-order slice: ORDER BY 1 is a constant key, so the
+                  // slice follows the partition buffer's arrival order —
+                  // the closest Spark analog of the reference's scan-order
+                  // LIMIT. monotonically_increasing_id() would pin it, but
+                  // Spark rejects nondeterministic lateral subqueries
+                  // (NON_DETERMINISTIC_LATERAL_SUBQUERIES).
                   val wrapped = s"(SELECT *, row_number() OVER (${part}ORDER BY 1) " +
                     s"AS __crn FROM $tbl) $alias"
-                  val guardPred = s"__crn <= ($limExpr)"
-                  var nb = body
-                  // drop the LIMIT clause (rest is empty — checked above)
-                  nb = nb.substring(0, limAt).trim
-                  // append the guard to WHERE, or add one
-                  nb = if (whereAt >= 0) {
-                    val hi = math.min(whereHi, nb.length)
-                    nb.substring(0, hi) + s" AND $guardPred" + nb.substring(hi)
-                  } else nb + s" WHERE $guardPred"
-                  // swap the FROM relation
-                  nb = nb.substring(0, relLo) + s" $wrapped " + nb.substring(relHi)
-                  s = s.substring(0, open + 1) + nb + s.substring(close)
-                  changed = true
+                  joinCtx match {
+                    case Some((subAlias, onEnd)) =>
+                      // split WHERE preds into outer-referencing (hoist)
+                      // and local (keep)
+                      val (hoist, keep) = wherePreds.partition { p =>
+                        """([A-Za-z_]\w*)\s*\.\s*\w+""".r.findAllMatchIn(p)
+                          .exists(mm => !defined(mm.group(1).toLowerCase))
+                      }
+                      // inner aliases re-qualify as the subquery alias
+                      def requal(p: String): String =
+                        defined.foldLeft(p)((acc, a) =>
+                          acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
+                            java.util.regex.Matcher.quoteReplacement(s"$subAlias.")))
+                      val onPreds = (hoist.map(requal) :+
+                        s"$subAlias.__crn <= ($limExpr)").mkString(" AND ")
+                      var nb = body.substring(0, limAt).trim
+                      // rebuild WHERE with only the local preds
+                      if (whereAt >= 0) {
+                        val keepTxt = keep.map(_.trim).filter(_.nonEmpty)
+                        nb = nb.substring(0, whereAt).trim +
+                          (if (keepTxt.isEmpty) "" else s" WHERE ${keepTxt.mkString(" AND ")}")
+                      }
+                      // expose __crn through the select list
+                      """(?is)^(\s*SELECT\s+)(.*?)(\s+FROM\b)""".r
+                        .findFirstMatchIn(nb).foreach { mm =>
+                          val items = mm.group(2).trim
+                          if (items != "*" && !items.endsWith(".*"))
+                            nb = nb.substring(0, mm.end(2)) + ", __crn" +
+                              nb.substring(mm.end(2))
+                        }
+                      // swap the FROM relation (positions shifted by the
+                      // WHERE rebuild — re-locate FROM in nb)
+                      val nfAt = topLevelKw(nb, Seq("from"))
+                      if (nfAt >= 0) {
+                        val t2 = nb.substring(nfAt + 4)
+                        val len2 = clauseEnd(t2)
+                        nb = nb.substring(0, nfAt + 4) + s" $wrapped " +
+                          nb.substring(nfAt + 4 + len2)
+                        s = s.substring(0, open + 1) + nb +
+                          s.substring(close, onEnd) + s" $onPreds AND " +
+                          s.substring(onEnd)
+                        changed = true
+                      }
+                    case None =>
+                      val guardPred = s"__crn <= ($limExpr)"
+                      var nb = body
+                      // drop the LIMIT clause (rest is empty — checked above)
+                      nb = nb.substring(0, limAt).trim
+                      // append the guard to WHERE, or add one
+                      nb = if (whereAt >= 0) {
+                        val hi = math.min(whereHi, nb.length)
+                        nb.substring(0, hi) + s" AND $guardPred" + nb.substring(hi)
+                      } else nb + s" WHERE $guardPred"
+                      // swap the FROM relation
+                      nb = nb.substring(0, relLo) + s" $wrapped " + nb.substring(relHi)
+                      s = s.substring(0, open + 1) + nb + s.substring(close)
+                      changed = true
+                  }
                 }
               }
             }

@@ -878,10 +878,15 @@ object QuestSql {
           // subqueries — Spark's decorrelation of EqualNullSafe under
           // Limit/Aggregate diverges from the plain-equality plan
           import org.apache.spark.sql.catalyst.expressions.OuterReference
-          import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+          import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
           def fixSub(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
               : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-            if (p.exists(n => n.isInstanceOf[GlobalLimit] || n.isInstanceOf[LocalLimit])) p
+            // Window: Spark's PullupCorrelatedPredicates only hoists
+            // EqualTo correlation keys across Window nodes — a null-safe
+            // <=> there leaves the subquery corrupt (MISSING_ATTRIBUTES
+            // at the LateralJoin; LateralJoinTest:9358 cum-qty sweeps)
+            if (p.exists(n => n.isInstanceOf[GlobalLimit] || n.isInstanceOf[LocalLimit] ||
+                n.isInstanceOf[LWindow])) p
             else p.transformAllExpressions {
               case EqualTo(l, r)
                   if l.exists(_.isInstanceOf[OuterReference]) !=
@@ -898,14 +903,28 @@ object QuestSql {
             new java.util.IdentityHashMap[
               org.apache.spark.sql.catalyst.expressions.Expression, java.lang.Boolean]())
           import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, IsNull, LessThanOrEqual, Or}
+          // the both-NULL-compare-true carrier is the reference's NaN
+          // ordering (Double.compare(NaN, NaN) == 0) — a NUMERIC /
+          // datetime model; string/boolean comparisons and join keys
+          // keep SQL 3VL
+          def carrierTyped(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+            e.dataType match {
+              case _: org.apache.spark.sql.types.NumericType => true
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType |
+                   org.apache.spark.sql.types.DateType => true
+              case _ => false
+            }
           val fixed0 = plan.transformAllExpressions {
             case EqualTo(l, r) => hit = true; EqualNullSafe(l, r)
             case ge @ GreaterThanOrEqual(l, r)
-                if l.nullable && r.nullable && !wrapped.contains(ge) =>
+                if l.nullable && r.nullable && carrierTyped(l) && carrierTyped(r) &&
+                  !wrapped.contains(ge) =>
               hit = true; wrapped.add(ge)
               Or(ge, And(IsNull(l), IsNull(r)))
             case le @ LessThanOrEqual(l, r)
-                if l.nullable && r.nullable && !wrapped.contains(le) =>
+                if l.nullable && r.nullable && carrierTyped(l) && carrierTyped(r) &&
+                  !wrapped.contains(le) =>
               hit = true; wrapped.add(le)
               Or(le, And(IsNull(l), IsNull(r)))
           }
@@ -954,6 +973,19 @@ object QuestSql {
             }.toIndexedSeq: _*)
             sorted
           }
+          // WITH + correlated LATERAL whose ON references the lateral's
+          // window output: Spark's CTE inlining re-allocates the
+          // subquery's exprIds but the LateralJoin condition keeps the
+          // originals → MISSING_ATTRIBUTES at analysis
+          // (LateralJoinTest:9358 cum-qty sweeps). Materializing each
+          // CTE as a temp view compiles every lateral standalone.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null &&
+                e.getCondition.startsWith("MISSING_ATTRIBUTES") &&
+                parseCteDefs(rewritten)._1.nonEmpty =>
+            val (defs, rest) = parseCteDefs(rewritten)
+            val rename = materializeCtes(spark, defs)
+            run(rename(rest))
           case e: org.apache.spark.sql.AnalysisException
               if e.getCondition == "MISSING_GROUP_BY" &&
                 !e.isInstanceOf[org.apache.spark.sql.catalyst.ExtendedAnalysisException] &&
@@ -1613,9 +1645,11 @@ object QuestSql {
     * a temp view (through the full dialect pipeline) and hand the bare
     * trailing SELECT onward (SqlCodeGeneratorTest:707 WITH + SAMPLE BY
     * ALIGN TZ). Skips names that would clobber an existing relation. */
-  private def materializeWithCtesForOps(spark: SparkSession, q0: String): String = {
+  /** Parse a statement's WITH prologue: Seq((name, body)) plus the
+    * trailing statement. Empty defs when the text isn't WITH-prefixed. */
+  private def parseCteDefs(q0: String): (Seq[(String, String)], String) = {
     val t = q0.trim
-    if (!"""(?is)^\s*WITH\s""".r.findFirstIn(t).isDefined) return q0
+    if (!"""(?is)^\s*WITH\s""".r.findFirstIn(t).isDefined) return (Seq.empty, t)
     var pos = t.toLowerCase.indexOf("with") + 4
     val defs = scala.collection.mutable.Buffer[(String, String)]()
     val defRe = java.util.regex.Pattern.compile("(?is)\\s*,?\\s*([A-Za-z_]\\w*)\\s+AS\\s*\\(")
@@ -1638,18 +1672,44 @@ object QuestSql {
         else { defs += ((dm.group(1), t.substring(dm.end(), close))); pos = close + 1 }
       } else parsing = false
     }
+    if (defs.isEmpty) (Seq.empty, t) else (defs.toSeq, t.substring(pos).trim)
+  }
+
+  /** Materialize a statement's CTEs as temp views under UNIQUE
+    * __graft_cte names (a view under the user's CTE name would leak
+    * into later statements — cross-statement contamination — and
+    * dropping it eagerly races concurrent statements on the shared
+    * session). Returns a rewriter that renames CTE references in any
+    * trailing statement text; later defs' bodies see earlier renames. */
+  private val cteViewCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def materializeCtes(spark: SparkSession,
+                              defs: Seq[(String, String)]): String => String = {
+    val renames = scala.collection.mutable.LinkedHashMap[String, String]()
+    def applyRenames(text: String): String =
+      renames.foldLeft(text) { case (acc, (from, to)) =>
+        DialectRewrites.mapOutside(acc)(
+          _.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(to)))
+      }
+    defs.foreach { case (n, body) =>
+      val unique = s"__graft_cte_${cteViewCounter.incrementAndGet()}_$n"
+      sqlBound(spark, applyRenames(body), Map.empty).createOrReplaceTempView(unique)
+      renames.put(n, unique)
+    }
+    applyRenames
+  }
+
+  private def materializeWithCtesForOps(spark: SparkSession, q0: String): String = {
+    val (defs, rest) = parseCteDefs(q0)
     if (defs.isEmpty) return q0
-    val rest = t.substring(pos).trim
     if (topLevelIndexOf(rest, Seq("sample by", "latest on", "asof join",
         "lt join", "splice join", "window join", "horizon join")) < 0) return q0
     if (defs.exists { case (n, _) =>
         try spark.catalog.tableExists(n) catch { case _: Exception => false } })
       return q0
     try {
-      defs.foreach { case (n, body) =>
-        sqlBound(spark, body, Map.empty).createOrReplaceTempView(n)
-      }
-      rest
+      val rename = materializeCtes(spark, defs)
+      rename(rest)
     } catch { case _: Exception => q0 }
   }
 
@@ -3153,13 +3213,16 @@ object QuestSql {
       Option(graft.Catalog.createMeta.get(unq(from).toLowerCase))
         .foreach(m => graft.Catalog.registerCreateMeta(unq(to), m))
       graft.Catalog.renameSymbolDicts(unq(from), unq(to))
+      graft.Catalog.migrateTableRegistries(unq(from), unq(to))
       spark.catalog.dropTempView(unq(from))
       graft.Catalog.unregisterTable(unq(from))
       Some(status(spark, "OK"))
     case TruncateRe(name) =>
       spark.table(name).limit(0).createOrReplaceTempView(unq(name))
-      // truncate resets the symbol maps (reference TableWriter.truncate)
+      // truncate resets the symbol maps AND the write stats the txn log
+      // feeds into tables()' ts bounds (reference TableWriter.truncate)
       graft.Catalog.clearSymbolDicts(unq(name))
+      graft.Catalog.clearWalTxnLog(unq(name))
       markMatViewsDirty(unq(name), FullRange._1, FullRange._2)
       Some(status(spark, "OK"))
     case CopyFromRe(name, path, header) =>

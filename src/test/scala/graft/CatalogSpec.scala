@@ -50,6 +50,25 @@ class CatalogSpec extends SparkSpec {
     } finally engine.sql("DROP TABLE symt")
   }
 
+  test("symbol dictionary driver memory is BOUNDED: exact to the cap, HLL past it") {
+    // an abusive high-cardinality symbol column must not grow the
+    // driver-side map without bound (the reference's SymbolMapWriter
+    // lives on disk): past the cap the dictionary degrades to a fixed
+    // 4 KB HLL register file and symbolTableSize answers the estimate
+    val saved = Catalog.symbolDictCap
+    Catalog.symbolDictCap = 1000
+    try {
+      val d = new Catalog.SymDict
+      (1 to 800).foreach(i => d.add(s"sym_$i"))
+      assert(!d.overflowed && d.size == 800) // exact below the cap
+      (801 to 50000).foreach(i => d.add(s"sym_$i"))
+      assert(d.overflowed)
+      assert(d.values.isEmpty) // the exact set was RELEASED, not kept
+      val est = d.size
+      assert(est > 45000 && est < 55000, s"HLL estimate $est for 50000")
+    } finally Catalog.symbolDictCap = saved
+  }
+
   test("SHOW CREATE TABLE emits a ddl row with the designated ts clause") {
     val ddl = engine.sql("SHOW CREATE TABLE events").head().getAs[String]("ddl")
     assert(ddl.startsWith("CREATE TABLE 'events'"))
