@@ -55,6 +55,7 @@ object Engine {
     graft.functions.Decimal256Agg.register(spark)
     graft.functions.HdrPercentile.register(spark)
     graft.functions.RangeWindow.register(spark)
+    graft.functions.ArrayBuild.register(spark)
     spark.udf.register("ksum",
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.KSum))
     spark.udf.register("nsum",

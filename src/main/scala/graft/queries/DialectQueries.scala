@@ -428,12 +428,15 @@ object DialectQueries extends QueryPack {
       // ArrayBuildFunctionFactory); element scalars projected for the
       // driver comparator (raw arrays crash its pandas lexsort)
       import org.apache.spark.sql.functions.{col, element_at}
+      // (array_build itself is the reference's fill-shape constructor —
+      // nArrays must be CONSTANT — so the rows here are plain array()
+      // literals; the elem-wise variadic surface is what this exercises)
       QuestSql.sql(s,
           "SELECT x, " +
-            "array_elem_sum(array_build(x, 1, 3), array_build(2 * x, 1, x)) AS es, " +
-            "array_elem_avg(array_build(x, 4), array_build(3 * x, 0)) AS ea, " +
-            "array_elem_max(array_build(x, 0, 7), array_build(5, x, x)) AS emx, " +
-            "array_elem_min(array_build(x, 0, 7), array_build(5, x, x)) AS emn " +
+            "array_elem_sum(array(CAST(x AS DOUBLE), 1D, 3D), array(CAST(2 * x AS DOUBLE), 1D, CAST(x AS DOUBLE))) AS es, " +
+            "array_elem_avg(array(CAST(x AS DOUBLE), 4D), array(CAST(3 * x AS DOUBLE), 0D)) AS ea, " +
+            "array_elem_max(array(CAST(x AS DOUBLE), 0D, 7D), array(5D, CAST(x AS DOUBLE), CAST(x AS DOUBLE))) AS emx, " +
+            "array_elem_min(array(CAST(x AS DOUBLE), 0D, 7D), array(5D, CAST(x AS DOUBLE), CAST(x AS DOUBLE))) AS emn " +
             "FROM long_sequence(200) ORDER BY x")
         .select(col("x"),
           element_at(col("es"), 1).as("es1"), element_at(col("es"), 2).as("es2"),

@@ -2267,8 +2267,10 @@ object DialectRewrites {
       // literals inside the converted region so ARRAY[1, 2] = [1.0, 2.0]
       // (subscript indices/slice bounds kept inside the literal must
       // stay integral — exclude digits adjacent to '[' ':' ']')
+      // (?<![Ee]-): a negative exponent's digits are NOT a bare integer
+      // (ARRAY[4.9E-324] must not become 4.9E-324.0)
       var region = sb.substring(idx, sb.length)
-        .replaceAll("(?<![\\w.\\[:])(-?\\d+)(?![\\w.:\\]DdFfLl])", "$1.0")
+        .replaceAll("(?<![\\w.\\[:])(?<![Ee]-)(-?\\d+)(?![\\w.:\\]DdFfLl])", "$1.0")
       // non-literal elements (column refs: ARRAY[x]) widen through a
       // whole-array cast — skipped when strings are present (not a
       // reference array then)

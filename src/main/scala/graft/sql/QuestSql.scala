@@ -4611,8 +4611,19 @@ object QuestSql {
           ("(?is)(ARRAY\\s*\\[|transpose\\s*\\(|array_agg\\s*\\()[^,]*?\\s+(?:AS\\s+)?" +
             java.util.regex.Pattern.quote(bare) + "\\b").r.findFirstIn(q).isDefined
         }
+        // a SUBSCRIPTED arg arrives here already lowered (the subscript
+        // pass runs first): try_element_at over a declared N-dim column
+        // still yields an array when dims - subscripts ≥ 1
+        // (ArrayAggDoubleArrayGroupByFunctionFactoryTest:484
+        // `array_agg(transpose(m)[1])`)
+        val subscriptedArray = bare.contains("try_element_at") && {
+          val subs = "try_element_at\\s*\\(".r.findAllIn(bare).size
+          val dims = "[A-Za-z_][\\w.]*".r.findAllIn(bare)
+            .flatMap(t => declaredArrayDims(q, t)).maxOption.getOrElse(0)
+          dims - subs >= 1
+        }
         val isArrayCol = declaredArrayDims(q, bare).exists(_ > 0) ||
-          isArrayExpr || aliasArray
+          isArrayExpr || aliasArray || subscriptedArray
         if (isArrayCol)
           s"IF(size(__graft_flat(__ARRAGG__($x))) = 0, NULL, __graft_flat(__ARRAGG__($x)))"
         else {
@@ -5077,39 +5088,91 @@ object QuestSql {
     // AbstractDoubleArrayElemFunction — variadic element-wise across
     // arrays; the single-array spelling is the GROUP BY aggregate form,
     // reference groupby/DoubleArrayElemAvgGroupByFunctionFactory).
-    q = expandCalls(q, "array_build") { args =>
-      s"array(${args.map(a => s"CAST($a AS DOUBLE)").mkString(", ")})" }
-    def elemWise(args: Seq[String], combine: Seq[String] => String): String = {
-      val terms = args.zipWithIndex.map {
-        case (_, 0) => "CAST(v AS DOUBLE)"
-        case (a, i) => s"CAST(element_at(${args(i)}, i + 1) AS DOUBLE)"
-      }
-      s"transform(${args.head}, (v, i) -> ${combine(terms)})"
+    // array_build is a NATIVE expression (graft.functions.ArrayBuild —
+    // the reference fill-shape constructor needs resolved types for its
+    // scalar-vs-array size dispatch); no text macro here
+    // Reference semantics (AbstractDoubleArrayElemFunction, groupby/
+    // DoubleArrayElem*GroupByFunction): RAGGED inputs extend to the MAX
+    // shape, per-position combination skips absent and NULL entries
+    // ([1,2] with [3,4,5] has 3 positions, the third from one
+    // contributor; avg divides by the per-position PRESENT count). 2-D
+    // inputs combine element-wise over the max outer-by-inner rectangle.
+    def seqTo(n: String): String =
+      s"slice(sequence(1, greatest($n, 1)), 1, greatest($n, 0))"
+    def opBody(op: String, vals: String): String = op match {
+      case "sum" => s"CASE WHEN size($vals) = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE aggregate($vals, 0D, (__p, __q) -> __p + __q) END"
+      case "avg" => s"CASE WHEN size($vals) = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE aggregate($vals, 0D, (__p, __q) -> __p + __q) / size($vals) END"
+      case "max" => s"array_max($vals)"
+      case "min" => s"array_min($vals)"
     }
-    // aggregate form: fold the per-group list element-wise. collect_list
-    // bounds memory by group size — the posexplode path (q_embed_centroids)
-    // is the 100 TB shape; this macro is the reference-compat surface.
+    def keepPresent(terms: Seq[String]): String =
+      s"filter(array(${terms.mkString(", ")}), __e -> __e IS NOT NULL)"
+    // textual rank of an argument: declared column dims (minus already-
+    // lowered subscripts) or literal array( nesting; default 1-D
+    def argDims(a: String): Int = {
+      val subs = "try_element_at\\s*\\(".r.findAllIn(a).size
+      val colDims = "[A-Za-z_][\\w.]*".r.findAllIn(a)
+        .flatMap(t => declaredArrayDims(q, t)).maxOption.getOrElse(0)
+      val litDims =
+        if ("""(?i)array\s*\(\s*array\s*\(""".r.findFirstIn(a).isDefined) 2
+        else if ("""(?i)\barray\s*\(""".r.findFirstIn(a).isDefined) 1 else 0
+      math.max(math.max(colDims - subs, litDims), 1)
+    }
+    def elemWise(args: Seq[String], op: String): String =
+      if (args.map(argDims).max <= 1) {
+        // coalesce: size(NULL array) may be NULL, and a NULL outer bound
+        // must take the null-result branch, not slip past the CASE (3VL)
+        val outer = s"coalesce(greatest(${args.map(a => s"coalesce(size($a), -1)").mkString(", ")}), 0)"
+        // every input null/empty -> NULL result, not [] (reference
+        // returns the null array)
+        s"CASE WHEN ($outer) < 1 THEN CAST(NULL AS ARRAY<DOUBLE>) ELSE " +
+          s"transform(${seqTo(outer)}, __i -> ${opBody(op, keepPresent(
+            args.map(a => s"CAST(try_element_at($a, CAST(__i AS INT)) AS DOUBLE)")))}) END"
+      } else {
+        val outer = s"coalesce(greatest(${args.map(a => s"coalesce(size($a), -1)").mkString(", ")}), 0)"
+        val inner = s"coalesce(greatest(${args.map(a => s"coalesce(size(try_element_at($a, 1)), -1)").mkString(", ")}), 0)"
+        s"CASE WHEN ($outer) < 1 THEN CAST(NULL AS ARRAY<ARRAY<DOUBLE>>) ELSE " +
+          s"transform(${seqTo(outer)}, __i -> transform(${seqTo(inner)}, __j -> " +
+          opBody(op, keepPresent(args.map(a =>
+            s"CAST(try_element_at(try_element_at($a, CAST(__i AS INT)), CAST(__j AS INT)) AS DOUBLE)"))) +
+          ")) END"
+      }
+    // aggregate form: the group rows bind as __L through a one-element
+    // aggregate() (an aggregate FUNCTION may not appear inside a lambda
+    // body, a lambda VARIABLE may). collect_list bounds memory by group
+    // size — the posexplode path (q_embed_centroids) is the 100 TB shape.
     def elemAgg(a: String, op: String): String =
-      s"aggregate(collect_list($a), CAST(NULL AS ARRAY<DOUBLE>), (acc, v) -> " +
-        s"CASE WHEN acc IS NULL THEN CAST(v AS ARRAY<DOUBLE>) " +
-        s"ELSE zip_with(acc, CAST(v AS ARRAY<DOUBLE>), (p, q) -> $op) END)"
+      if (argDims(a) <= 1) {
+        val m0 = "aggregate(__L, 0, (__m, __v) -> greatest(__m, size(__v)))"
+        s"aggregate(array(collect_list($a)), CAST(NULL AS ARRAY<DOUBLE>), (__acc, __L) -> " +
+          s"CASE WHEN ($m0) < 1 THEN CAST(NULL AS ARRAY<DOUBLE>) ELSE " +
+          s"transform(${seqTo(m0)}, __i -> ${opBody(op,
+            "filter(transform(__L, __v -> CAST(try_element_at(__v, CAST(__i AS INT)) AS DOUBLE)), __e -> __e IS NOT NULL)")}) END)"
+      } else {
+        val m0 = "aggregate(__L, 0, (__m, __v) -> greatest(__m, size(__v)))"
+        val m1 = "aggregate(__L, 0, (__m, __v) -> greatest(__m, size(try_element_at(__v, 1))))"
+        s"aggregate(array(collect_list($a)), CAST(NULL AS ARRAY<ARRAY<DOUBLE>>), (__acc, __L) -> " +
+          s"CASE WHEN ($m0) < 1 THEN CAST(NULL AS ARRAY<ARRAY<DOUBLE>>) ELSE " +
+          s"transform(${seqTo(m0)}, __i -> transform(${seqTo(m1)}, __j -> ${opBody(op,
+            "filter(transform(__L, __v -> CAST(try_element_at(try_element_at(__v, CAST(__i AS INT)), CAST(__j AS INT)) AS DOUBLE)), __e -> __e IS NOT NULL)")})) END)"
+      }
     q = expandCalls(q, "array_elem_sum") {
-      case Seq(a) => elemAgg(a, "p + q")
-      case args => elemWise(args, _.mkString(" + "))
+      case Seq(a) => elemAgg(a, "sum")
+      case args => elemWise(args, "sum")
     }
     q = expandCalls(q, "array_elem_avg") {
-      case Seq(a) =>
-        val s = elemAgg(a, "p + q")
-        s"zip_with($s, array_repeat(CAST(count($a) AS DOUBLE), size($s)), (p, q) -> p / q)"
-      case args => elemWise(args, ts => s"(${ts.mkString(" + ")}) / ${args.size}.0")
+      case Seq(a) => elemAgg(a, "avg")
+      case args => elemWise(args, "avg")
     }
     q = expandCalls(q, "array_elem_max") {
-      case Seq(a) => elemAgg(a, "greatest(p, q)")
-      case args => elemWise(args, ts => s"greatest(${ts.mkString(", ")})")
+      case Seq(a) => elemAgg(a, "max")
+      case args => elemWise(args, "max")
     }
     q = expandCalls(q, "array_elem_min") {
-      case Seq(a) => elemAgg(a, "least(p, q)")
-      case args => elemWise(args, ts => s"least(${ts.mkString(", ")})")
+      case Seq(a) => elemAgg(a, "min")
+      case args => elemWise(args, "min")
     }
     q = rewriteGeneratorFns(q)
     // day-interval functions in predicate position (`ts IN today()` —
@@ -6435,12 +6498,22 @@ object QuestSql {
     case "y" => s"${n.toLong * 12} months"
   }
 
-  private def unitMicros(u: String): Long = u match {
-    case "U" | "u" => 1L
-    case "T" => 1000L
-    case "s" => 1000000L; case "m" => 60000000L
-    case "h" => 3600000000L; case "d" => 86400000000L
-    case "w" => 7L * 86400000000L
+  private def unitMicros(u: String): Long = u.toLowerCase.stripSuffix("s") match {
+    case "u" => 1L
+    case "t" => 1000L
+    case "microsecond" => 1L
+    case "millisecond" => 1000L
+    case "second" => 1000000L
+    case "minute" => 60000000L
+    case "hour" => 3600000000L
+    case "day" => 86400000000L
+    case "week" => 7L * 86400000000L
+    case _ => u match {
+      case "U" => 1L; case "T" => 1000L
+      case "s" => 1000000L; case "m" => 60000000L
+      case "h" => 3600000000L; case "d" => 86400000000L
+      case "w" => 7L * 86400000000L
+    }
   }
 
   /** Split a select list on top-level commas. */
@@ -7658,12 +7731,12 @@ object QuestSql {
   //   RANGE BETWEEN <n><u> PRECEDING AND <n><u> FOLLOWING [INCLUDE PREVAILING]
   private val WindowJoinRe = (
     """(?is)^SELECT\s+(.*?)\s+FROM\s+""" + Rel + """(?:\s+(?:AS\s+)?(?!WINDOW\b)(\w+))?\s+WINDOW\s+JOIN\s+""" + Rel +
-      """(?:\s+(?:AS\s+)?(?!ON\b|RANGE\b)(\w+))?(?:\s+ON\s+\(?([\w.]+\s*=\s*[\w.]+|[\w.,\s]+?)\)?)?\s+RANGE\s+BETWEEN\s+(?:(\d+)([UTsmhdw])?\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+(?:(\d+)([UTsmhdw])?\s+FOLLOWING|CURRENT\s+ROW)(\s+(?:INCLUDE|EXCLUDE)\s+PREVAILING)?""" +
+      """(?:\s+(?:AS\s+)?(?!ON\b|RANGE\b)(\w+))?(?:\s+ON\s+\(?([\w.]+\s*=\s*[\w.]+|[\w.,\s]+?)\)?)?\s+RANGE\s+BETWEEN\s+(?:(\d+)\s*([UTsmhdw]|(?i:microsecond|millisecond|second|minute|hour|day|week)s?)?\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+(?:(\d+)\s*([UTsmhdw]|(?i:microsecond|millisecond|second|minute|hour|day|week)s?)?\s+(FOLLOWING|PRECEDING)|CURRENT\s+ROW)(\s+(?:INCLUDE|EXCLUDE)\s+PREVAILING)?""" +
       WhereTail + """\s*$""").r
 
   private def windowJoinForm(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case WindowJoinRe(sel0, master, mAlias, slave, sAlias, onKeys, loN, loU, hiN, hiU,
-                      prevailing, where, order, lim1, lim2) =>
+                      hiDir, prevailing, where, order, lim1, lim2) =>
       // `ON s.k = m.j` names differing key columns — the slave side
       // renames onto the master's name so the equi-key lowering applies
       // (WindowJoinTest `ON p.sym = t.symbol`)
@@ -7752,9 +7825,15 @@ object QuestSql {
       val renamed = clashRename(m, s, keys)
       val sTsR = if (m.columns.contains(sTs) && !keys.contains(sTs)) sTs + "1" else sTs
       val lo = Option(loN).map(n => -n.toLong * Option(loU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
-      val hi = Option(hiN).map(n => n.toLong * Option(hiU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
+      // the high bound may itself be PRECEDING (negative offset —
+      // WindowJoinTest `AND 1 microseconds PRECEDING`)
+      val hiSign = if (hiDir != null && hiDir.equalsIgnoreCase("PRECEDING")) -1L else 1L
+      val hi = Option(hiN).map(n => hiSign * n.toLong * Option(hiU).map(unitMicros).getOrElse(1L)).getOrElse(0L)
+      // the reference DEFAULTS to INCLUDE PREVAILING (model/
+      // WindowJoinContext.java:39 `includePrevailing = true`) — only an
+      // explicit EXCLUDE PREVAILING turns the prevailing record off
       val out =
-        if (prevailing != null && prevailing.toUpperCase.contains("INCLUDE")) {
+        if (prevailing == null || prevailing.toUpperCase.contains("INCLUDE")) {
           val payload = renamed.columns.filterNot(keys.contains).toSeq
           graft.ops.WindowJoin.windowJoinPrevailing(m, renamed, mTs, sTsR, keys,
             payload, lo, hi, aggs)

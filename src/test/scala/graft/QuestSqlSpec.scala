@@ -375,17 +375,24 @@ class QuestSqlSpec extends SparkSpec {
     assert(out.columns.contains("o_totalprice1"))
   }
 
-  test("WINDOW JOIN INCLUDE PREVAILING dialect form") {
-    val base = engine.sql(
+  test("WINDOW JOIN prevailing: INCLUDE is the DEFAULT, EXCLUDE turns it off") {
+    // reference model/WindowJoinContext.java:39 `includePrevailing = true`
+    // (WindowJoinTest testWindowJoinInUnionBranches pins 90.0 = window
+    // rows + the prevailing record)
+    val bare = engine.sql(
       "SELECT event_id, count(value1) AS n FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING")
-    val prev = engine.sql(
+    val incl = engine.sql(
       "SELECT event_id, count(value1) AS n FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING INCLUDE PREVAILING")
-    val b = base.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
-    val p = prev.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
-    assert(p.keySet == b.keySet)
+    val excl = engine.sql(
+      "SELECT event_id, count(value1) AS n FROM p_v WINDOW JOIN c_v2 ON user_id RANGE BETWEEN 10m PRECEDING AND 10m FOLLOWING EXCLUDE PREVAILING")
+    val b = bare.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
+    val p = incl.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
+    val x = excl.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
+    assert(b == p) // bare form IS include-prevailing
+    assert(p.keySet == x.keySet)
     // prevailing adds at most one extra contributor per master
-    assert(b.forall { case (k, n) => p(k) == n || p(k) == n + 1 })
-    assert(b.exists { case (k, n) => p(k) == n + 1 })
+    assert(x.forall { case (k, n) => p(k) == n || p(k) == n + 1 })
+    assert(x.exists { case (k, n) => p(k) == n + 1 })
   }
 
   test("SAMPLE BY FROM/TO bounds data and spine") {

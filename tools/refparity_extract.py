@@ -336,6 +336,30 @@ def extract_file(path):
                 best = (s, v)
         return best[1] if best else None
 
+    # setup statements inside for/while loops execute N times with
+    # loop-dependent values — a single harvested literal misrepresents
+    # the data (DoubleArrayElemSum testKahanCompensation inserts one row
+    # 1000x); cases depending on such setups are dynamic
+    loop_spans = []
+    for lm in re.finditer(r"\b(?:for|while)\s*\(", src):
+        close_par = lm.end() - 1
+        d = 1
+        i2 = close_par + 1
+        while i2 < len(src) and d:
+            if src[i2] == "(":
+                d += 1
+            elif src[i2] == ")":
+                d -= 1
+            i2 += 1
+        j2 = skip_ws_comments(src, i2)
+        if j2 < len(src) and src[j2] == "{":
+            close = brace_span(src, j2)
+            if close is not None:
+                loop_spans.append((j2, close))
+
+    def in_loop(pos):
+        return any(s <= pos < e for s, e in loop_spans)
+
     executes = []
     for em in re.finditer(
             r"(?<![A-Za-z0-9_.])execute(?:WithRewriteTimestamp)?\s*\(", src):
@@ -344,16 +368,20 @@ def extract_file(path):
         except (ValueError, AssertionError):
             continue
         if eargs and eargs[0] is not None:
-            executes.append((em.start(), eargs[0], variant_at(em.start())))
+            executes.append((em.start(), eargs[0], variant_at(em.start()),
+                             in_loop(em.start())))
     for m in re.finditer(r"\bassertQuery(?:NoLeakCheck)?\s*\(", src):
         start = m.start()
         line = src.count("\n", 0, start) + 1
         prev_test = max((t for t in test_marks if t < start), default=0)
         qvariant = variant_at(start) or "MICRO"
         tsname = "TIMESTAMP_NS" if qvariant == "NANO" else "TIMESTAMP"
+        attached = [e for e in executes if prev_test < e[0] < start and
+                    e[2] in (None, qvariant)]
+        if any(looped for _, _, _, looped in attached):
+            continue  # loop-built setup: the harvested literal lies
         setup = [sql.replace("#TIMESTAMP", tsname)
-                 for pos, sql, ev in executes
-                 if prev_test < pos < start and ev in (None, qvariant)]
+                 for pos, sql, ev, _ in attached]
         try:
             args, i = parse_args(src, m.end() - 1, consts)
         except (ValueError, AssertionError):
