@@ -109,6 +109,15 @@ object RefParity {
       arr("mutate"), str("expected"), str("expected2"), str("tier"))
   }
 
+
+  /** Parse/analysis-shaped failure text — the kinds both engines REJECT
+    * a statement with, as opposed to internal crashes. */
+  private def rejectionShaped(m: String): Boolean =
+    ("""(?i)parse|syntax|unresolved|cannot resolve|analysis|unsupported|""" +
+      """invalid|datatype|mismatch|illegal|unexpected|missing|unknown|""" +
+      """no viable|not allowed|not supported|requires|expects|bad """).r
+      .findFirstIn(Option(m).getOrElse("")).isDefined
+
   def runCase(engine: Engine, c: Case): (String, String) = {
     // setup
     for (ddl <- c.ddls) {
@@ -122,7 +131,14 @@ object RefParity {
           if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("Table or view not found") ||
               m.contains("does not exist"))
             return ("skip_missing", s"ddl: ${ddl.take(200)} -> $m")
-          return (if (c.tier == "run") "run_error" else "setup_error",
+          // a REJECTED mutation is often the tested behavior: the JUnit
+          // wraps it in try { execute(…); fail(); } catch (SqlException)
+          // and then asserts the query over the unmodified table
+          // (CastTest long256→boolean inserts). Continue past
+          // rejection-shaped failures of non-CREATE statements; real
+          // crashes (NPE, executor death) still count as setup errors.
+          if (!ddl.trim.toUpperCase.startsWith("CREATE") && rejectionShaped(m)) ()
+          else return (if (c.tier == "run") "run_error" else "setup_error",
             s"ddl: ${ddl.take(200)} -> ${msg(e)}")
       }
     }
@@ -159,11 +175,7 @@ object RefParity {
         // a graft-side crash (NPE, codegen, executor failure) on such a
         // case is a real bug, not parity
         if (c.tier == "exact" && c.expected != null && c.expected.isEmpty &&
-            cat == "error" &&
-            ("""(?i)parse|syntax|unresolved|cannot resolve|analysis|unsupported|""" +
-              """invalid|datatype|mismatch|illegal|unexpected|missing|unknown|""" +
-              """no viable|not allowed|not supported|requires|expects|bad """).r
-              .findFirstIn(Option(m).getOrElse("")).isDefined)
+            cat == "error" && rejectionShaped(m))
           ("pass", "")
         else
           (if (c.tier == "run") (if (cat == "error") "run_error" else cat) else cat,
@@ -177,7 +189,14 @@ object RefParity {
             else {
               for (m <- c.mutate) {
                 try { val df = engine.sql(m); if (!df.isEmpty) () }
-                catch { case e: Throwable => return ("setup_error", s"mutate -> ${msg(e)}") }
+                catch {
+                  case e: Throwable =>
+                    // rejected non-CREATE mutations are often the tested
+                    // behavior (JUnit try/fail/catch then re-assert)
+                    if (!m.trim.toUpperCase.startsWith("CREATE") &&
+                        rejectionShaped(msg(e))) ()
+                    else return ("setup_error", s"mutate -> ${msg(e)}")
+                }
               }
               exec() match {
                 case Left((cat, mg)) => (cat, mg)

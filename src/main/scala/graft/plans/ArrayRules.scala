@@ -141,6 +141,10 @@ object TimestampArithRule extends Rule[LogicalPlan] {
     case TimestampType | TimestampNTZType => true
     case _ => false
   }
+  private def isNarrow(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType => true
+    case _ => false
+  }
   private def micros(e: Expression): Expression = UnixMicros(Cast(e, TimestampType))
   private def fromMicros(e: Expression): Expression = MicrosToTimestamp(e)
 
@@ -176,6 +180,19 @@ object TimestampArithRule extends Rule[LogicalPlan] {
         case m @ Multiply(l, r, _) if l.resolved && r.resolved &&
             isIntegral(l.dataType) && isTs(r.dataType) =>
           fromMicros(Multiply(Cast(l, LongType), micros(r)))
+        // byte/short arithmetic widens to INT: the reference registers
+        // NO byte/short add/sub/mul factories (AddIntFunctionFactory is
+        // the narrowest), so `byte + byte` never wraps at 8 bits
+        // (CastDecimalToByteFunctionFactoryTest:660 — 99 + 100 = 199)
+        case a @ Add(l, r, f) if l.resolved && r.resolved &&
+            isNarrow(l.dataType) && isNarrow(r.dataType) =>
+          Add(Cast(l, IntegerType), Cast(r, IntegerType), f)
+        case s @ Subtract(l, r, f) if l.resolved && r.resolved &&
+            isNarrow(l.dataType) && isNarrow(r.dataType) =>
+          Subtract(Cast(l, IntegerType), Cast(r, IntegerType), f)
+        case m @ Multiply(l, r, f) if l.resolved && r.resolved &&
+            isNarrow(l.dataType) && isNarrow(r.dataType) =>
+          Multiply(Cast(l, IntegerType), Cast(r, IntegerType), f)
         // CASE branches mixing TIMESTAMP and integral unify on the
         // micros carrier (reference: a timestamp IS a long —
         // CaseFunctionFactoryTest mixed-branch selects)

@@ -2408,7 +2408,10 @@ object DialectRewrites {
     s = s.replaceAll("(?i)::\\s*(symbol|uuid|long128)\\b", "::STRING")
     s = s.replaceAll("(?i)::\\s*regclass\\b", "") // regclass IS the name string
     s = s.replaceAll("(?i)::\\s*ipv4\\b", "::STRING") // leftover odd operands
-    s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
+    // keep varchar-ness visible to the cast macro (the reference's
+    // CONST datetime→VARCHAR folding renders the raw long while →STRING
+    // keeps ISO); the macro restores AS STRING after dispatch
+    s = s.replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS __VC__)")
     // empty char is the reference's null char; other CHAR cast targets
     // keep their spelling — the engine's cast macro truncates strings to
     // the first char (CastTest / SqlCompilerImplTest)

@@ -782,6 +782,26 @@ object QuestSql {
     // CTAS long256 provenance reads the ORIGINAL spelling — the sizeless
     // cast rewrite is about to erase `as long256` to AS STRING
     // (SumLong256GroupByFunctionFactoryTest `cast(x as long256) x`)
+    // bare 0x… literals are LONG256 CONSTANTS in the reference
+    // (FunctionParser falls through int/long parses to extractLong256):
+    // a CTAS select item minting one keeps the hex carrier and declares
+    // the column LONG256 so comparisons render hex, not the decimal long
+    // (EqLong256FunctionFactoryTest:65). Elsewhere the decimal-long
+    // lowering stays — mixed arithmetic with longs needs it.
+    if ("""(?is)^\s*CREATE\s""".r.findFirstIn(q0).isDefined &&
+        """(?i)\b0x[0-9a-f]+\b""".r.findFirstIn(q0).isDefined)
+      """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(\s*select\s+(.*?)\s+from\s""".r
+        .findFirstMatchIn(q0).foreach { m =>
+          val tbl = unq(m.group(1)).split('.').last
+          splitSelect(m.group(2)).foreach { item =>
+            """(?is)^\s*0x([0-9a-f]+)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r
+              .findFirstMatchIn(item).foreach { hm =>
+                graft.Catalog.mergeDeclaredCol(tbl, hm.group(2), "LONG256")
+                q0 = q0.replace(item,
+                  s" '0x${hm.group(1).toLowerCase}' AS ${hm.group(2)}")
+              }
+          }
+        }
     if ("""(?is)^\s*CREATE\s""".r.findFirstIn(q0).isDefined &&
         """(?i)\blong256\b""".r.findFirstIn(q0).isDefined)
       """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(\s*select\s+(.*?)\s+from\s""".r
@@ -3058,9 +3078,16 @@ object QuestSql {
           target.columns.toSeq.take(
             math.max(incoming0.columns.length, 1))
         else colList.split(",").map(c => unq(c.trim)).toSeq
-      require(incoming0.columns.length == listed.length,
-        s"INSERT column count ${incoming0.columns.length} != ${listed.length}")
-      val renamed = incoming0.toDF(listed: _*)
+      // MORE select columns than targets truncate positionally
+      // (reference InsertModel positional mapping — CastTest
+      // testInfinity inserts an 8-column select into a 1-column table)
+      val incoming1 =
+        if (incoming0.columns.length > listed.length)
+          incoming0.select(incoming0.columns.take(listed.length).map(col): _*)
+        else incoming0
+      require(incoming1.columns.length == listed.length,
+        s"invalid INSERT: column count mismatch [given=${incoming1.columns.length}, expected=${listed.length}]")
+      val renamed = incoming1.toDF(listed: _*)
       val srcType = renamed.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
       val incoming = renamed.select(target.schema.fields.map { f =>
         if (listed.exists(_.equalsIgnoreCase(f.name))) {
@@ -4132,9 +4159,17 @@ object QuestSql {
       // rescale; WindowDecimalFunctionTest:8823, AvgDecimalRescale CTAS)
       val wd = """(?is)^(.*\S)\s+AS\s+(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)\s*$""".r
         .findFirstMatchIn(inner).filter(_.group(2).toInt > 38)
+      // ≤38-digit decimal targets with a DOUBLE/FLOAT operand TRUNCATE
+      // the Ryu shortest representation to the asked scale (reference
+      // Numbers.doubleToDecimal lossy path drops excess digits —
+      // CastDoubleToDecimalFunctionFactoryTest testLossy: 123.456 at
+      // scale 2 is 123.45, not HALF_UP's .46); other operands keep
+      // Spark's decimal cast
+      val nd = """(?is)^(.*\S)\s+AS\s+(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$""".r
+        .findFirstMatchIn(inner).filter(_.group(2).toInt <= 38)
       val l256 = """(?is)^(.*\S)\s+AS\s+LONG256\s*$""".r.findFirstMatchIn(inner)
       val dt = """(?is)^(.*\S)\s+AS\s+DATE\s*$""".r.findFirstMatchIn(inner)
-      val sv = """(?is)^(.*\S)\s+AS\s+(STRING|VARCHAR)\s*$""".r.findFirstMatchIn(inner)
+      val sv = """(?is)^(.*\S)\s+AS\s+(STRING|VARCHAR|__VC__)\s*$""".r.findFirstMatchIn(inner)
       val sy = """(?is)^(.*\S)\s+AS\s+SYMBOL\s*$""".r.findFirstMatchIn(inner)
       val ch = """(?is)^(.*\S)\s+AS\s+CHAR\s*$""".r.findFirstMatchIn(inner)
       // explicit double casts keep their user-intent marker so the
@@ -4145,7 +4180,32 @@ object QuestSql {
       // BOOLEAN/BYTE/SHORT carry no null in the reference (ColumnType
       // nullability; NullLiteralsTest): null input lands as false / 0
       val nn = """(?is)^(.*\S)\s+AS\s+(BOOLEAN|BYTE|SHORT)\s*$""".r.findFirstMatchIn(inner)
-      if (wd.isDefined) {
+      if (nd.isDefined) {
+        val t = nd.get
+        val (x, p, sc) = (t.group(1), t.group(2).toInt, t.group(3).toInt)
+        // literal operands fold here (truncation on the literal text IS
+        // the Ryu-shortest truncation), keeping downstream form parsers'
+        // shallow grammar intact (SAMPLE BY FILL — SampleByFillTest:209)
+        val opnd = {
+          var s0 = x.trim
+          while (s0.startsWith("(") && s0.endsWith(")")) s0 = s0.substring(1, s0.length - 1).trim
+          s0
+        }
+        val litVal =
+          if (opnd.matches("'[^']*'")) Some(opnd.substring(1, opnd.length - 1))
+          else if (opnd.matches("-?\\d+(?:\\.\\d+)?(?:BD)?")) Some(opnd.stripSuffix("BD"))
+          else None
+        litVal.flatMap { v =>
+          try Some("__QCAST__('" + new java.math.BigDecimal(v)
+            .setScale(sc, java.math.RoundingMode.DOWN).toPlainString +
+            s"' AS DECIMAL($p, $sc))")
+          catch { case _: NumberFormatException | _: ArithmeticException => None }
+        }.getOrElse(
+          s"(CASE WHEN typeof($x) IN ('double', 'float') THEN " +
+            s"__QCAST__((decimal256_round_down(__QCAST__(($x) AS STRING), $sc)) AS DECIMAL($p, $sc)) " +
+            s"ELSE __QCAST__(($x) AS DECIMAL($p, $sc)) END)")
+      }
+      else if (wd.isDefined) {
         // p > 38 decimal target: decimal-string carrier, exact text at
         // the asked scale (HALF_UP, reference Decimal256 rescale —
         // WindowDecimalFunctionTest:8823, AvgDecimalRescale CTAS).
@@ -4176,7 +4236,23 @@ object QuestSql {
         val (x, tpe) = (t.group(1), t.group(2).toUpperCase)
         val sparkT = if (tpe == "BOOLEAN") "BOOLEAN" else if (tpe == "BYTE") "TINYINT" else "SMALLINT"
         val dflt = if (tpe == "BOOLEAN") "false" else s"CAST(0 AS $sparkT)"
-        s"coalesce(__QCAST__(($x) AS $sparkT), $dflt)"
+        if (tpe == "BOOLEAN") {
+          // VALUE-based truthiness (reference CastDateToBoolean /
+          // CastLong256ToBoolean — CastTest:1676/3908 expect != 0).
+          // Every branch must ANALYZE for the operand's static type, so
+          // normalize through the always-valid string form first:
+          // datetimes re-parse and test the epoch, the 0x long256
+          // carrier tests its hex digits, everything else tries the
+          // boolean spelling then numeric truthiness
+          val s0 = s"lower(__QCAST__(($x) AS STRING))"
+          s"coalesce((CASE" +
+            s" WHEN typeof($x) IN ('timestamp', 'timestamp_ntz', 'date')" +
+            s" THEN unix_micros(__QCAST__(($s0) AS TIMESTAMP)) != 0" +
+            s" WHEN $s0 LIKE '0x%' THEN regexp_replace($s0, '^0x0*', '') != ''" +
+            s" ELSE coalesce(__QCAST__(($s0) AS BOOLEAN)," +
+            s" __QCAST__(($s0) AS DOUBLE) != 0) END), false)"
+        }
+        else s"coalesce(__QCAST__(($x) AS $sparkT), $dflt)"
       } else (m, mn, g, l256, dt) match {
         case (Some(t), _, _, _, _) => tsUsCast(t.group(1))
         case (_, Some(t), _, _, _) => nsCast(t.group(1))
@@ -4224,17 +4300,28 @@ object QuestSql {
           // time (RuntimeReplaceable), so non-timestamp operands cast
           // natively with no analysis failure.
           val x = sv.get.group(1)
-          val tgtVarchar = sv.get.group(2).equalsIgnoreCase("VARCHAR")
+          val tgtVarchar = sv.get.group(2).equalsIgnoreCase("VARCHAR") ||
+            sv.get.group(2).equalsIgnoreCase("__VC__")
           // CONSTANT datetime casts fold to the raw long text in the
           // reference's VARCHAR factories and in date-to-str — only
           // timestamp/ns to STRING keep the ISO pattern (CastTest
           // {Date,Timestamp,TimestampNs}To{Str,Varchar}Const)
           val constDt = """(?is)^cast\s*\(\s*(-?\d+)[lL]?\s+as\s+(date|timestamp|timestamp_ns)\s*\)$"""
             .r.findFirstMatchIn(x)
+          // the inner constant cast may arrive ALREADY EXPANDED
+          // (timestamp_micros(CAST(n AS BIGINT)) / the ns BIGINT
+          // carrier) — same folding quirk, same raw-long text
+          // (CastTest testTimestampNsToVarcharConst)
+          val constUs = """(?is)^timestamp_micros\(\s*cast\s*\(\s*(-?\d+)\s+as\s+bigint\s*\)\s*\)$"""
+            .r.findFirstMatchIn(x)
+          val constNs = """(?is)^cast\s*\(\s*(-?\d+)\s+as\s+bigint\s*\)$"""
+            .r.findFirstMatchIn(x)
           if (x.startsWith("'") || x.matches("-?\\d+(\\.\\d+)?[LlDd]?"))
             s"__QCAST__(($x) AS STRING)" // sizeless VARCHAR would not parse
           else if (constDt.exists(cm => tgtVarchar || cm.group(2).equalsIgnoreCase("date")))
             s"'${constDt.get.group(1)}'"
+          else if (tgtVarchar && (constUs.isDefined || constNs.isDefined))
+            s"'${constUs.orElse(constNs).get.group(1)}'"
           else if ("""(?i)::\s*timestamp_ns\b|to_timestamp_ns\s*\(|__ns_cast\s*\(|__ns_at_tz\s*\(|as\s+timestamp_ns\s*\)"""
               .r.findFirstIn(x).isDefined)
             s"__ns_str($x)" // BIGINT nanos carrier renders the 9-digit pattern
@@ -4246,6 +4333,8 @@ object QuestSql {
     // so the cast pass above cannot re-expand its output (each re-entry
     // doubled the cast sites — a SELECT with a handful of numeric
     // timestamp casts exploded into a StackOverflow); restore them here.
+    // any __VC__ target the sv branch did not consume restores to STRING
+    q = q.replaceAll("(?i)\\bAS\\s+__VC__", "AS STRING")
     q = q.replace("__QCAST__(", "CAST(")
     // reference datetime patterns treat T/Z as literals; Spark needs
     // them quoted ('yyyy-MM-ddTHH:mm:ss' → yyyy-MM-dd'T'HH:mm:ss); the
@@ -4451,7 +4540,7 @@ object QuestSql {
     locally {
       val dcall = "decimal256_\\w+\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\))*\\)" +
         "(?:\\s+OVER\\s*\\((?:[^()]|\\([^()]*\\))*\\))?"
-      val num = "-?\\d+(?:\\.\\d+)?"
+      val num = "-?\\d+(?:\\.\\d+)?|'[^']*'"
       val pat = java.util.regex.Pattern.compile(
         s"(?i)($dcall|$num)\\s*([+*]|-(?!-))\\s*($dcall|$num)")
       var changed = true
@@ -4461,7 +4550,8 @@ object QuestSql {
         changed = false
         while (m2.find()) {
           val (a, op, b) = (m2.group(1), m2.group(2), m2.group(3))
-          val bothNum = a.matches(num) && b.matches(num)
+          val bothNum = !a.toLowerCase.startsWith("decimal256_") &&
+            !b.toLowerCase.startsWith("decimal256_")
           val repl =
             if (bothNum) m2.group(0)
             else {
