@@ -119,6 +119,15 @@ object RefParity {
       .findFirstIn(Option(m).getOrElse("")).isDefined
 
   def runCase(engine: Engine, c: Case): (String, String) = {
+    // rejection-shaped setup/mutation failures that were SKIPPED (often
+    // the tested behavior — JUnit try/fail/catch) are recorded in the
+    // case detail, so a wrongly-rejected valid mutation is visible in
+    // the report instead of silently passing against the unmutated table
+    val skippedRejections = scala.collection.mutable.Buffer[String]()
+    def noteSkips(r: (String, String)): (String, String) =
+      if (skippedRejections.isEmpty) r
+      else (r._1, (r._2 + s" [skipped_rejected_ddls=${skippedRejections.size}: " +
+        skippedRejections.take(2).mkString("; ").take(240) + "]").trim)
     // setup
     for (ddl <- c.ddls) {
       try { val df = engine.sql(ddl); if (!df.isEmpty) () }
@@ -137,7 +146,8 @@ object RefParity {
           // (CastTest long256→boolean inserts). Continue past
           // rejection-shaped failures of non-CREATE statements; real
           // crashes (NPE, executor death) still count as setup errors.
-          if (!ddl.trim.toUpperCase.startsWith("CREATE") && rejectionShaped(m)) ()
+          if (!ddl.trim.toUpperCase.startsWith("CREATE") && rejectionShaped(m))
+            skippedRejections += s"${ddl.take(80)} -> ${m.take(60)}"
           else return (if (c.tier == "run") "run_error" else "setup_error",
             s"ddl: ${ddl.take(200)} -> ${msg(e)}")
       }
@@ -164,7 +174,7 @@ object RefParity {
             Left(("skip_bind", m))
           else Left(("error", m))
       }
-    exec() match {
+    noteSkips(exec() match {
       case Left((cat, m)) =>
         // `.returns("")` harvests as an empty expectation when the JUnit
         // body expects a SqlException (the returns is unreachable inside
@@ -194,7 +204,8 @@ object RefParity {
                     // rejected non-CREATE mutations are often the tested
                     // behavior (JUnit try/fail/catch then re-assert)
                     if (!m.trim.toUpperCase.startsWith("CREATE") &&
-                        rejectionShaped(msg(e))) ()
+                        rejectionShaped(msg(e)))
+                      skippedRejections += s"${m.take(80)} -> ${msg(e).take(60)}"
                     else return ("setup_error", s"mutate -> ${msg(e)}")
                 }
               }
@@ -210,7 +221,7 @@ object RefParity {
           case Some(diff) if diff.startsWith("HEADER_ONLY") => ("pass_values", diff)
           case Some(diff) => classifyMismatch(c, text, diff)
         }
-    }
+    })
   }
 
   /** An empty result against a non-empty expectation, when the harvested

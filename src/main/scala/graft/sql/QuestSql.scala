@@ -407,6 +407,30 @@ object QuestSql {
         if (df.columns.contains("__rn") && !query.contains("__rn")) df.drop("__rn") else df))
     }
 
+  /** Word-boundary relation test: does lower-cased query text `qLower`
+    * reference `table` as a relation? Short names (≤3 chars — 't', 'x')
+    * collide with column names and aliases, so they additionally need a
+    * relation-ish context (after FROM/JOIN/INTO/UPDATE/TABLE or a FROM-
+    * list comma). Shared by every catalog-driven rewrite so a declared
+    * column in an UNRELATED table can never contaminate a query. */
+  private[sql] def refTable(qLower: String, table: String): Boolean = {
+    var i = qLower.indexOf(table)
+    while (i >= 0) {
+      val pre = i == 0 || { val ch = qLower.charAt(i - 1); !ch.isLetterOrDigit && ch != '_' }
+      val post = i + table.length >= qLower.length || {
+        val ch = qLower.charAt(i + table.length); !ch.isLetterOrDigit && ch != '_'
+      }
+      if (pre && post) {
+        if (table.length > 3) return true
+        val ctx = qLower.substring(math.max(0, i - 12), i)
+        if ("""(from|join|into|update|table)\s+$|,\s*$""".r.findFirstIn(ctx).isDefined ||
+            i == 0) return true
+      }
+      i = qLower.indexOf(table, i + 1)
+    }
+    false
+  }
+
   /** Tag result columns that carry a TIMESTAMP_NS-declared column of a
     * referenced table, so RefText prints the reference's 9-digit
     * NSEC_UTC pattern (cairo TimestampDriver ns formatting). Name-based:
@@ -415,26 +439,7 @@ object QuestSql {
   private def tagNsColumns(q: String, df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     val qLower = q.toLowerCase
-    def referenced(table: String): Boolean = {
-      var i = qLower.indexOf(table)
-      while (i >= 0) {
-        val pre = i == 0 || { val ch = qLower.charAt(i - 1); !ch.isLetterOrDigit && ch != '_' }
-        val post = i + table.length >= qLower.length || {
-          val ch = qLower.charAt(i + table.length); !ch.isLetterOrDigit && ch != '_'
-        }
-        if (pre && post) {
-          // short table names collide with column names (a CTAS body's
-          // `x - 1` must not count as referencing TABLE x and inherit
-          // its ns tagging) — require a relation-ish context for them
-          if (table.length > 3) return true
-          val ctx = qLower.substring(math.max(0, i - 12), i)
-          if ("""(from|join|into|update|table)\s+$|,\s*$""".r.findFirstIn(ctx).isDefined ||
-              i == 0) return true
-        }
-        i = qLower.indexOf(table, i + 1)
-      }
-      false
-    }
+    def referenced(table: String): Boolean = refTable(qLower, table)
     var nsCols = Set.empty[String]
     var usTsCols = Set.empty[String] // declared micro-precision timestamps
     graft.Catalog.declaredCols.asScala.foreach { case (tbl, cols) =>
@@ -1702,14 +1707,65 @@ object QuestSql {
     * session). Returns a rewriter that renames CTE references in any
     * trailing statement text; later defs' bodies see earlier renames. */
   private val cteViewCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Rename CTE references `from` → `to` in relation position only: a
+    * blind word-boundary replace also renames identical OUTPUT ALIASES
+    * (`WITH x AS (…) SELECT a AS x FROM x` must keep column name `x`).
+    * A token is renamed when it follows FROM/JOIN/INTO/UPDATE/TABLE, a
+    * comma inside a FROM relation list, or is a qualified ref `x.col`.
+    * Quoted text is skipped; paren depth save/restores the FROM-list
+    * state so subqueries don't leak it. */
+  private[graft] def renameRelationRefs(text: String, from: String, to: String): String = {
+    val fromLower = from.toLowerCase
+    val clauseEnders = Set("where", "group", "order", "having", "limit",
+      "window", "union", "intersect", "except", "select", "on", "using",
+      "sample", "latest", "when", "set", "values", "partition")
+    val sb = new StringBuilder
+    val n = text.length
+    var i = 0
+    var prevTok = ""
+    var inFrom = false
+    val saved = scala.collection.mutable.Stack[Boolean]()
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val start = i; i += 1
+        while (i < n && text.charAt(i) != c) i += 1
+        if (i < n) i += 1
+        sb.append(text.substring(start, i))
+        prevTok = "'"
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (text.charAt(i).isLetterOrDigit || text.charAt(i) == '_')) i += 1
+        val tok = text.substring(start, i)
+        val lower = tok.toLowerCase
+        val prevDot = start > 0 && text.charAt(start - 1) == '.'
+        val qualified = i < n && text.charAt(i) == '.'
+        val relPos = prevTok == "from" || prevTok == "join" ||
+          prevTok == "into" || prevTok == "update" || prevTok == "table" ||
+          (prevTok == "," && inFrom)
+        if (lower == fromLower && !prevDot && (relPos || qualified)) sb.append(to)
+        else sb.append(tok)
+        if (lower == "from") inFrom = true
+        else if (clauseEnders(lower)) inFrom = false
+        prevTok = lower
+      } else {
+        if (c == '(') { saved.push(inFrom); inFrom = false; prevTok = "(" }
+        else if (c == ')') { inFrom = if (saved.nonEmpty) saved.pop() else false; prevTok = ")" }
+        else if (c == ',') prevTok = ","
+        else if (!c.isWhitespace) prevTok = c.toString
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   private def materializeCtes(spark: SparkSession,
                               defs: Seq[(String, String)]): String => String = {
     val renames = scala.collection.mutable.LinkedHashMap[String, String]()
     def applyRenames(text: String): String =
       renames.foldLeft(text) { case (acc, (from, to)) =>
-        DialectRewrites.mapOutside(acc)(
-          _.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b",
-            java.util.regex.Matcher.quoteReplacement(to)))
+        renameRelationRefs(acc, from, to)
       }
     defs.foreach { case (n, body) =>
       val unique = s"__graft_cte_${cteViewCounter.incrementAndGet()}_$n"
@@ -3451,20 +3507,8 @@ object QuestSql {
       // DECIMAL column of the same name declared in an unrelated table
       // must not rescale avg() over some other table's DOUBLE column
       val qLower = q0.toLowerCase
-      def referenced(table: String): Boolean = {
-        var i = qLower.indexOf(table)
-        while (i >= 0) {
-          val pre = i == 0 || { val ch = qLower.charAt(i - 1); !ch.isLetterOrDigit && ch != '_' }
-          val post = i + table.length >= qLower.length || {
-            val ch = qLower.charAt(i + table.length); !ch.isLetterOrDigit && ch != '_'
-          }
-          if (pre && post) return true
-          i = qLower.indexOf(table, i + 1)
-        }
-        false
-      }
       graft.Catalog.declaredCols.asScala.collectFirst {
-        case (tbl, cols) if referenced(tbl) && cols.get(c).exists(
+        case (tbl, cols) if refTable(qLower, tbl) && cols.get(c).exists(
             _.tpe.toUpperCase.startsWith("DECIMAL")) =>
           val d = cols(c)
           """\(\s*\d+\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(d.tpe)
@@ -3473,12 +3517,16 @@ object QuestSql {
     }
     // declared (precision - scale) = integral digits the intermediate
     // cast must preserve; unknown declarations assume 18 (the long
-    // range) as before
+    // range) as before. Both lookups are scoped to tables the statement
+    // actually references — a same-named DECIMAL column declared by an
+    // unrelated session table must not reroute this query's avg().
     def declaredIntDigits(col0: String): Int = {
       val c = col0.split('.').last.toLowerCase
       import scala.jdk.CollectionConverters._
+      val qLower = q0.toLowerCase
       graft.Catalog.declaredCols.asScala.collectFirst {
-        case (_, cols) if cols.get(c).exists(_.tpe.toUpperCase.startsWith("DECIMAL")) =>
+        case (tbl, cols) if refTable(qLower, tbl) &&
+            cols.get(c).exists(_.tpe.toUpperCase.startsWith("DECIMAL")) =>
           """\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(cols(c).tpe)
             .map(mm => mm.group(1).toInt - mm.group(2).toInt).getOrElse(18)
       }.getOrElse(18)
@@ -3486,8 +3534,10 @@ object QuestSql {
     def declaredPrecision(col0: String): Option[Int] = {
       val c = col0.split('.').last.toLowerCase
       import scala.jdk.CollectionConverters._
+      val qLower = q0.toLowerCase
       graft.Catalog.declaredCols.asScala.collectFirst {
-        case (_, cols) if cols.get(c).exists(_.tpe.toUpperCase.startsWith("DECIMAL")) =>
+        case (tbl, cols) if refTable(qLower, tbl) &&
+            cols.get(c).exists(_.tpe.toUpperCase.startsWith("DECIMAL")) =>
           """\(\s*(\d+)""".r.findFirstMatchIn(cols(c).tpe)
             .map(_.group(1).toInt).getOrElse(38)
       }
@@ -3586,8 +3636,9 @@ object QuestSql {
   private def rewriteLong256Sum(q0: String, aliasHints: Set[String] = Set.empty): String = {
     if (!"""(?i)\bsum\s*\(""".r.findFirstIn(q0).isDefined) return q0
     import scala.jdk.CollectionConverters._
+    val qLower256 = q0.toLowerCase
     val l256Cols: Set[String] = graft.Catalog.declaredCols.asScala.collect {
-      case (tbl, cols) if q0.toLowerCase.contains(tbl) =>
+      case (tbl, cols) if refTable(qLower256, tbl) =>
         cols.collect { case (n, d) if d.tpe.toUpperCase.startsWith("LONG256") => n }
     }.flatten.toSet ++ aliasHints
     if (l256Cols.isEmpty) return q0
@@ -3617,8 +3668,9 @@ object QuestSql {
     if (!"""(?i)\b(sum|min|max)\s*\(""".r.findFirstIn(q0).isDefined) return q0
     import scala.jdk.CollectionConverters._
     val decP = """(?i)^DECIMAL\s*\(\s*(\d+)""".r
+    val qLowerDW = q0.toLowerCase
     def colsAbove(bound: Int): Set[String] = graft.Catalog.declaredCols.asScala.collect {
-      case (tbl, cols) if q0.toLowerCase.contains(tbl) =>
+      case (tbl, cols) if refTable(qLowerDW, tbl) =>
         cols.collect { case (n, d)
           if decP.findFirstMatchIn(d.tpe).exists(_.group(1).toInt >= bound) => n }
     }.flatten.toSet
@@ -3673,7 +3725,7 @@ object QuestSql {
         val n = args.trim.split('.').last.toLowerCase
         import scala.jdk.CollectionConverters._
         graft.Catalog.declaredCols.asScala.exists { case (tbl, cols) =>
-          q0.toLowerCase.contains(tbl) &&
+          refTable(q0.toLowerCase, tbl) &&
             cols.get(n).exists(_.tpe.toUpperCase.startsWith("DECIMAL"))
         }
       }
@@ -5222,7 +5274,11 @@ object QuestSql {
             args.map(a => s"CAST(try_element_at($a, CAST(__i AS INT)) AS DOUBLE)")))}) END"
       } else {
         val outer = s"coalesce(greatest(${args.map(a => s"coalesce(size($a), -1)").mkString(", ")}), 0)"
-        val inner = s"coalesce(greatest(${args.map(a => s"coalesce(size(try_element_at($a, 1)), -1)").mkString(", ")}), 0)"
+        // inner extent = max over ALL outer rows (ragged 2-D inputs whose
+        // later rows are longer than row 1 extend the rectangle, not
+        // truncate to row 1's length — max outer-by-inner semantics)
+        val inner = s"coalesce(greatest(${args.map(a =>
+          s"coalesce(aggregate($a, -1, (__m2, __v2) -> greatest(__m2, coalesce(size(__v2), -1))), -1)").mkString(", ")}), 0)"
         s"CASE WHEN ($outer) < 1 THEN CAST(NULL AS ARRAY<ARRAY<DOUBLE>>) ELSE " +
           s"transform(${seqTo(outer)}, __i -> transform(${seqTo(inner)}, __j -> " +
           opBody(op, keepPresent(args.map(a =>
@@ -5242,7 +5298,9 @@ object QuestSql {
             "filter(transform(__L, __v -> CAST(try_element_at(__v, CAST(__i AS INT)) AS DOUBLE)), __e -> __e IS NOT NULL)")}) END)"
       } else {
         val m0 = "aggregate(__L, 0, (__m, __v) -> greatest(__m, size(__v)))"
-        val m1 = "aggregate(__L, 0, (__m, __v) -> greatest(__m, size(try_element_at(__v, 1))))"
+        // per-member inner extent is also the max over ALL inner rows
+        val m1 = "aggregate(__L, 0, (__m, __v) -> greatest(__m, " +
+          "coalesce(aggregate(__v, 0, (__n2, __w2) -> greatest(__n2, coalesce(size(__w2), 0))), 0)))"
         s"aggregate(array(collect_list($a)), CAST(NULL AS ARRAY<ARRAY<DOUBLE>>), (__acc, __L) -> " +
           s"CASE WHEN ($m0) < 1 THEN CAST(NULL AS ARRAY<ARRAY<DOUBLE>>) ELSE " +
           s"transform(${seqTo(m0)}, __i -> transform(${seqTo(m1)}, __j -> ${opBody(op,

@@ -657,6 +657,43 @@ class QuestSqlSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getString(1) == "U")
   }
 
+  test("renameRelationRefs: relation positions only, aliases untouched") {
+    def r(t: String) = QuestSql.renameRelationRefs(t, "x", "__v")
+    // relation after FROM renamed; identical output alias kept
+    assert(r("SELECT a AS x FROM x") == "SELECT a AS x FROM __v")
+    // qualified refs renamed, column named x after a dot untouched
+    assert(r("SELECT x.a, t.x FROM x JOIN t ON x.k = t.k")
+      == "SELECT __v.a, t.x FROM __v JOIN t ON __v.k = t.k")
+    // comma in a FROM list is relation position; select-list comma is not
+    assert(r("SELECT a, x FROM t, x") == "SELECT a, x FROM t, __v")
+    // subquery FROM renamed; string literal untouched
+    assert(r("SELECT 'x from x' AS s, (SELECT max(v) FROM x) m FROM t")
+      == "SELECT 'x from x' AS s, (SELECT max(v) FROM __v) m FROM t")
+    // GROUP BY / ORDER BY column refs named x stay
+    assert(r("SELECT x, count(*) FROM x GROUP BY x ORDER BY x")
+      == "SELECT x, count(*) FROM __v GROUP BY x ORDER BY x")
+  }
+
+  test("WITH-CTE output alias matching the CTE name survives materialization") {
+    // the MISSING_ATTRIBUTES fallback materializes CTEs as views and
+    // renames refs — the select-list alias must keep its name
+    val df = engine.sql(
+      "WITH x AS (SELECT 1 AS a UNION ALL SELECT 2) SELECT a AS x FROM x ORDER BY 1")
+    assert(df.columns.toSeq == Seq("x"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("2-D element-wise ops extend to the max inner extent across rows (ragged)") {
+    // row 2's inner row is longer than row 1's: the rectangle is 2x3
+    val df = engine.sql(
+      "SELECT array_elem_sum(ARRAY(ARRAY(1.0, 2.0), ARRAY(3.0, 4.0, 5.0)), " +
+        "ARRAY(ARRAY(10.0), ARRAY(20.0))) AS s")
+    val s = df.head().getSeq[scala.collection.Seq[Double]](0)
+    assert(s.length == 2 && s(1).length == 3)
+    assert(s(1)(2) == 5.0) // the third inner column exists and carries row 2's value
+    assert(s(0)(0) == 11.0 && s(1)(0) == 23.0)
+  }
+
   override def withFixture(test: NoArgTest) = {
     Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
       .select("user_id", "ts", "value", "event_id").createOrReplaceTempView("p_v")
