@@ -10,6 +10,8 @@ object Dbg {
       try {
         val df = eng.sql(q)
         if (sys.env.contains("DBG_PLAN")) println(df.queryExecution.analyzed.toString)
+        if (sys.env.contains("DBG_SCHEMA"))
+          df.schema.fields.foreach(f => println(s"  ${f.name}: ${f.dataType} meta=${f.metadata}"))
         df.show(10, false)
       }
       catch { case e: Throwable =>

@@ -183,6 +183,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => RefIntegerDivideRule)
     e.injectResolutionRule(_ => RefInListCoercionRule)
     e.injectResolutionRule(_ => RefTsNumberCompareRule)
+    e.injectResolutionRule(_ => NsTimestampInputRule)
+    e.injectResolutionRule(_ => NsMetaPropagationRule)
+    e.injectResolutionRule(_ => NsSetOpCoercionRule)
     e.injectResolutionRule(_ => RefSetOpAllRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("__graft_promote"),

@@ -172,6 +172,17 @@ object RefTsNumberCompareRule extends org.apache.spark.sql.catalyst.rules.Rule[
     if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
     plan.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
+        // a LongType side whose attribute carries the graft.ns metadata
+        // is a NANOS carrier (declared TIMESTAMP_NS column): the µs side
+        // scales ×1000 (exact), never the reverse (truncates)
+        case c: BinaryComparison
+            if c.left.resolved && c.right.resolved &&
+              c.left.dataType == TimestampType && NsCarrier.isNs(c.right) =>
+          c.withNewChildren(Seq(Multiply(micros(c.left), Literal(1000L)), c.right))
+        case c: BinaryComparison
+            if c.left.resolved && c.right.resolved &&
+              NsCarrier.isNs(c.left) && c.right.dataType == TimestampType =>
+          c.withNewChildren(Seq(c.left, Multiply(micros(c.right), Literal(1000L))))
         case c: BinaryComparison
             if c.left.resolved && c.right.resolved &&
               c.left.dataType == TimestampType && isNum(c.right.dataType) =>
@@ -361,6 +372,162 @@ object RefSetOpAllRule extends org.apache.spark.sql.catalyst.rules.Rule[
         asJoin(left, right, LeftAnti)
       case i @ Intersect(left, right, true) if i.resolved =>
         asJoin(left, right, LeftSemi)
+    }
+  }
+}
+
+/** Shared recognition of the TIMESTAMP_NS BIGINT nanos carrier: a
+  * LongType expression whose underlying attribute carries the graft.ns
+  * schema metadata (set at CREATE TABLE for declared TIMESTAMP_NS
+  * columns — reference ColumnType.TIMESTAMP_NS dispatches per-unit via
+  * TimestampDriver the same way). */
+object NsCarrier {
+  val Key = "graft.ns"
+  def isNs(e: Expression): Boolean = e.dataType == LongType && (e match {
+    case a: AttributeReference => a.metadata.contains(Key) && a.metadata.getBoolean(Key)
+    case Alias(c, _) => isNs(c)
+    case _ => false
+  })
+  def nsMeta: Metadata =
+    new MetadataBuilder().putBoolean(Key, true).build()
+}
+
+/** Datetime functions receive the ns carrier where they expect a
+  * TIMESTAMP/DATE: convert ns→µs at the argument (year(ts_ns),
+  * date_trunc('day', ts_ns) — MonotonicTimestampPruningTest nanos
+  * partitions). Generic over ImplicitCastInputTypes: any argument
+  * position whose expected type admits a timestamp gets the bridge, so
+  * each datetime expression class needn't be enumerated. */
+object NsTimestampInputRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+
+  private def toMicrosTs(e: Expression): Expression =
+    MicrosToTimestamp(Cast(IntegralDivide(e, Literal(1000L)), LongType))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case e: ImplicitCastInputTypes
+            if e.children.nonEmpty && e.childrenResolved && {
+              val mask = org.apache.spark.sql.classic.GraftBridge.timestampInputMask(e)
+              mask.size == e.children.size &&
+                e.children.zip(mask).exists { case (c, m) => m && NsCarrier.isNs(c) }
+            } =>
+          val mask = org.apache.spark.sql.classic.GraftBridge.timestampInputMask(e)
+          e.withNewChildren(e.children.zip(mask).map {
+            case (c, m) if m && NsCarrier.isNs(c) => toMicrosTs(c)
+            case (c, _) => c
+          })
+      }
+    }
+  }
+}
+
+/** Unit-preserving aggregates/window functions over the ns carrier keep
+  * ns-ness on their OUTPUT alias (reference window factories return the
+  * argument's type — max(ts_ns) is still a TIMESTAMP_NS): stamp the
+  * graft.ns metadata on the alias so RefText renders the 9-digit
+  * pattern (WindowFunctionTest custom-aliased max/nth_value over ns). */
+object NsMetaPropagationRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.expressions.aggregate._
+
+  private def unitPreservingNs(e: Expression): Boolean = e match {
+    case ae: AggregateExpression => ae.aggregateFunction match {
+      case Max(c) => NsCarrier.isNs(c)
+      case Min(c) => NsCarrier.isNs(c)
+      case First(c, _) => NsCarrier.isNs(c)
+      case Last(c, _) => NsCarrier.isNs(c)
+      case _ => false
+    }
+    case we: WindowExpression => unitPreservingNs(we.windowFunction)
+    case Lead(c, _, _, _) => NsCarrier.isNs(c)
+    case Lag(c, _, _, _) => NsCarrier.isNs(c)
+    case NthValue(c, _, _) => NsCarrier.isNs(c)
+    case Coalesce(cs) => cs.nonEmpty && cs.forall(NsCarrier.isNs)
+    case Greatest(cs) => cs.forall(NsCarrier.isNs)
+    case Least(cs) => cs.forall(NsCarrier.isNs)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    val stamped = scala.collection.mutable.Set[ExprId]()
+    val p1 = plan.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case a @ Alias(child, name)
+            if a.resolved && a.dataType == LongType &&
+              !a.metadata.contains(NsCarrier.Key) && unitPreservingNs(child) =>
+          stamped += a.exprId
+          Alias(child, name)(a.exprId, a.qualifier, Some(
+            new MetadataBuilder().withMetadata(a.metadata)
+              .putBoolean(NsCarrier.Key, true).build()),
+            a.nonInheritableMetadataKeys)
+        case a: Alias
+            if a.resolved && a.dataType == LongType &&
+              a.metadata.contains(NsCarrier.Key) =>
+          stamped += a.exprId; a
+      }
+    }
+    // outer operators may hold AttributeReferences to the stamped alias
+    // that were resolved BEFORE the stamp (textual wrapping projections)
+    // — refresh their metadata so the final output schema carries ns
+    if (stamped.isEmpty) p1
+    else p1.resolveOperatorsUp { case p =>
+      p.transformExpressionsUp {
+        case ar: AttributeReference
+            if stamped(ar.exprId) && !ar.metadata.contains(NsCarrier.Key) =>
+          ar.withMetadata(new MetadataBuilder().withMetadata(ar.metadata)
+            .putBoolean(NsCarrier.Key, true).build())
+      }
+    }
+  }
+}
+
+/** Set operations mixing a µs TIMESTAMP column with a TIMESTAMP_NS
+  * carrier (IntersectTest micro_events ∩ nano_events): the reference
+  * widens to ns (exact); Spark rejects the column-type pair. Bridge the
+  * µs side to the ns carrier with the graft.ns metadata so downstream
+  * rendering keeps the 9-digit pattern. */
+object NsSetOpCoercionRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private def bridge(children: Seq[LogicalPlan]): Option[Seq[LogicalPlan]] = {
+    val outs = children.map(_.output)
+    val n = outs.head.size
+    if (outs.exists(_.size != n)) return None
+    val nsPos = (0 until n).filter { i =>
+      outs.exists(o => NsCarrier.isNs(o(i))) &&
+        outs.exists(o => o(i).dataType == TimestampType)
+    }
+    if (nsPos.isEmpty) None
+    else Some(children.map { ch =>
+      val out = ch.output
+      val needs = nsPos.filter(i => out(i).dataType == TimestampType)
+      if (needs.isEmpty) ch
+      else Project(out.zipWithIndex.map { case (a, i) =>
+        if (needs.contains(i))
+          Alias(Multiply(UnixMicros(a), Literal(1000L)), a.name)(
+            explicitMetadata = Some(NsCarrier.nsMeta))
+        else a
+      }, ch)
+    })
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.dialect.refSemantics", "false").toBoolean) return plan
+    plan.resolveOperatorsUp {
+      case u: Union if u.childrenResolved =>
+        bridge(u.children).map(cs => u.copy(children = cs)).getOrElse(u)
+      case i @ Intersect(l, r, _) if i.childrenResolved =>
+        bridge(Seq(l, r)).map(cs => i.copy(left = cs(0), right = cs(1))).getOrElse(i)
+      case e @ Except(l, r, _) if e.childrenResolved =>
+        bridge(Seq(l, r)).map(cs => e.copy(left = cs(0), right = cs(1))).getOrElse(e)
     }
   }
 }

@@ -431,6 +431,18 @@ object QuestSql {
     false
   }
 
+  /** Is `ident` (a bare/qualified identifier) a declared TIMESTAMP_NS
+    * column of a table the statement references? */
+  private def declaredNsCol(qLower: String, ident: String): Boolean = {
+    if (!ident.matches("[\\w.]+")) return false
+    val n = ident.split('.').last.toLowerCase
+    import scala.jdk.CollectionConverters._
+    graft.Catalog.declaredCols.asScala.exists { case (tbl, cols) =>
+      refTable(qLower, tbl) &&
+        cols.get(n).exists(_.tpe.toUpperCase.startsWith("TIMESTAMP_NS"))
+    }
+  }
+
   /** Tag result columns that carry a TIMESTAMP_NS-declared column of a
     * referenced table, so RefText prints the reference's 9-digit
     * NSEC_UTC pattern (cairo TimestampDriver ns formatting). Name-based:
@@ -2514,7 +2526,12 @@ object QuestSql {
     case "FLOAT" | "REAL" => "float"
     case "BOOLEAN" => "boolean"
     case "STRING" | "TEXT" | "VARCHAR" | "SYMBOL" | "CHAR" | "UUID" | "LONG256" | "LONG128" | "IPV4" | "GEOHASH" => "string"
-    case "TIMESTAMP" | "TIMESTAMP_NS" => "timestamp"
+    case "TIMESTAMP" => "timestamp"
+    // TIMESTAMP_NS rides the BIGINT nanos carrier EVERYWHERE (CTAS from
+    // timestamp_sequence_ns always has; declared columns now match) —
+    // Spark's TimestampType is fixed µs and truncates the reference's
+    // ns precision (WindowFunctionTest nanos RANGE frames)
+    case "TIMESTAMP_NS" => "bigint"
     // reference DATE is a millisecond datetime; TIMESTAMP_NTZ carries it
     // so time-of-day survives and RefText prints the millis pattern
     case "DATE" => "timestamp_ntz"
@@ -3028,7 +3045,17 @@ object QuestSql {
         graft.Catalog.registerDeclaredCols(unq(name),
           colsF.map { case (n, _, d, k) => (n, d, k) })
         val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS `$n`" }.mkString(", ")
-        spark.sql(s"SELECT $sel").where("1=0").createOrReplaceTempView(unq(name))
+        // declared TIMESTAMP_NS columns carry schema metadata so the
+        // Catalyst ns rules and RefText can recognize the BIGINT nanos
+        // carrier per-ATTRIBUTE (survives projection/union, unlike the
+        // name-based tagging)
+        val nsMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(graft.sql.RefText.NsMetaKey, true).build()
+        val empty0 = spark.sql(s"SELECT $sel").where("1=0")
+        val empty = colsF.foldLeft(empty0) { case (d, (n, _, declared, _)) =>
+          if (declared.startsWith("TIMESTAMP_NS")) d.withMetadata(n, nsMeta) else d
+        }
+        empty.createOrReplaceTempView(unq(name))
         tsOpt.foreach(registerDesignatedTs(unq(name), _))
         // remember partition/TTL/WAL spelling for SHOW CREATE TABLE
         val partM = """(?is)\bPARTITION\s+BY\s+(\w+)""".r.findFirstMatchIn(tail)
@@ -3151,16 +3178,28 @@ object QuestSql {
           import org.apache.spark.sql.types._
           def integral(t: DataType) =
             t == ByteType || t == ShortType || t == IntegerType || t == LongType
+          val declaredNsCol = Option(graft.Catalog.declaredCols.get(name.toLowerCase))
+            .exists(_.get(f.name.toLowerCase)
+              .exists(_.tpe.toUpperCase.startsWith("TIMESTAMP_NS")))
           (f.dataType, srcType.get(f.name.toLowerCase)) match {
             // integer into TIMESTAMP is epoch-micros in the reference,
-            // not epoch-seconds (WindowFunctionTest `insert values (1, …)`);
-            // into a declared TIMESTAMP_NS column the integer is NANOS
+            // not epoch-seconds (WindowFunctionTest `insert values (1, …)`)
             case (TimestampType, Some(t)) if integral(t) =>
-              val declaredNs = Option(graft.Catalog.declaredCols.get(name.toLowerCase))
-                .exists(_.get(f.name.toLowerCase)
-                  .exists(_.tpe.toUpperCase.startsWith("TIMESTAMP_NS")))
-              if (declaredNs) timestamp_micros((c.cast("long") / lit(1000L)).cast("long")).as(f.name)
-              else timestamp_micros(c.cast("long")).as(f.name)
+              timestamp_micros(c.cast("long")).as(f.name)
+            // declared TIMESTAMP_NS rides a BIGINT nanos carrier:
+            // integers are already nanos (default cast below); µs
+            // timestamps scale ×1000; strings parse with the ns digits
+            // (digits 7-9 of the fraction) re-attached — a plain
+            // string→timestamp cast truncates them
+            case (LongType, Some(TimestampType)) if declaredNsCol =>
+              (unix_micros(c) * lit(1000L)).as(f.name)
+            case (LongType, Some(StringType)) if declaredNsCol =>
+              val us = unix_micros(c.cast(TimestampType))
+              val rem = coalesce(
+                rpad(regexp_extract(c, "\\.\\d{6}(\\d{1,3})\\d*", 1), 3, "0")
+                  .cast(LongType), lit(0L))
+              when(c.isNull, lit(null).cast(LongType))
+                .otherwise(us * lit(1000L) + rem).as(f.name)
             // integer into DATE (NTZ carrier) is epoch-millis
             case (TimestampNTZType, Some(t)) if integral(t) =>
               timestamp_millis(c.cast("long")).cast(TimestampNTZType).as(f.name)
@@ -3206,8 +3245,15 @@ object QuestSql {
           .exists(_.get(c.toLowerCase).exists(_.tpe.toUpperCase.startsWith("SYMBOL")))
       }.toSeq
       val baseAggs = tsCol match {
-        case Some(c) => Seq(count(lit(1)),
-          min(col(c).cast("timestamp")), max(col(c).cast("timestamp")))
+        case Some(c) =>
+          // a BIGINT designated key is the ns carrier — ns→µs for the
+          // wal bounds (cast("timestamp") would read it as SECONDS)
+          val tsExpr =
+            if (incoming.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+                f.dataType == org.apache.spark.sql.types.LongType))
+              timestamp_micros((col(c) / lit(1000L)).cast("long"))
+            else col(c).cast("timestamp")
+          Seq(count(lit(1)), min(tsExpr), max(tsExpr))
         case None => Seq(count(lit(1)))
       }
       val symAggs = symCols.flatMap(c => Seq(
@@ -4926,9 +4972,14 @@ object QuestSql {
     q = expandCalls(q, "interval_end") { case Seq(iv) => s"($iv).hi" }
     q = expandCalls(q, "interval") { case Seq(lo, hi) =>
       // integral endpoints are micros-since-epoch (reference
-      // IntervalFunctionFactory); a null endpoint nulls the interval
-      def ep(a: String) = s"(CASE WHEN typeof($a) IN ('tinyint', 'smallint', 'int', 'bigint')" +
-        s" THEN timestamp_micros(CAST(CAST($a AS STRING) AS BIGINT)) ELSE CAST($a AS TIMESTAMP) END)"
+      // IntervalFunctionFactory) — except a declared TIMESTAMP_NS
+      // column, whose BIGINT carrier is NANOS; a null endpoint nulls
+      // the interval
+      def ep(a: String) =
+        if (declaredNsCol(q.toLowerCase, a.trim))
+          s"timestamp_micros(CAST(($a) DIV 1000 AS BIGINT))"
+        else s"(CASE WHEN typeof($a) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+          s" THEN timestamp_micros(CAST(CAST($a AS STRING) AS BIGINT)) ELSE CAST($a AS TIMESTAMP) END)"
       s"(CASE WHEN CAST($lo AS STRING) IS NULL OR CAST($hi AS STRING) IS NULL" +
         s" THEN CAST(NULL AS STRUCT<lo: TIMESTAMP, hi: TIMESTAMP>)" +
         s" ELSE named_struct('lo', ${ep(lo)}, 'hi', ${ep(hi)}) END)" }

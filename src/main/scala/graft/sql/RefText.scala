@@ -62,6 +62,8 @@ object RefText {
           sb.append(formatNanos(microsOf(row.get(i)) * 1000L))
         else if (ns(i) && row.get(i) != null && schema(i).dataType == LongType)
           sb.append(formatNanos(row.get(i).asInstanceOf[Long])) // BIGINT nanos carrier
+        else if (ns(i) && row.get(i) == null && schema(i).dataType == LongType)
+          sb.append(nullText(TimestampType)) // a null ns TIMESTAMP prints empty, not 'null'
         else appendValue(sb, row.get(i), schema(i).dataType, keep(i))
         i += 1
       }
