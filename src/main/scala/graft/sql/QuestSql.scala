@@ -716,6 +716,7 @@ object QuestSql {
     // zero-column result in the reference
     if (q0.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("--[^\n]*", "").trim.isEmpty)
       return spark.emptyDataFrame
+    rejectDecimalScaleMismatchJoin(q0)
     // single-quoted select-item aliases (`sym AS 'sym'`) are identifier
     // quotes in the reference; Spark wants backticks
     if (!firstWord(q0).equalsIgnoreCase("copy"))
@@ -880,6 +881,7 @@ object QuestSql {
     q0 = prof("setOpOperands")(materializeSetOpDialectOperands(spark, q0))
     q0 = prof("withCtes")(materializeWithCtesForOps(spark, q0))
     q0 = prof("unionFirstApp")(unionFirstAppearance(spark, q0))
+    q0 = prof("fullJoinOrder")(fullJoinAppearanceOrder(spark, q0))
     val qForms = prof("qForms")(rewriteTableFns(spark, rewriteTsAggs(spark,
       rewriteFnMacros(rewriteIntervalLiterals(normalizeSampleByStride(
         if (named.isEmpty) q0 else substParams(q0, named)))))))
@@ -1801,6 +1803,59 @@ object QuestSql {
     } catch { case _: Exception => q0 }
   }
 
+  /** The reference REJECTS an equi-join whose key columns are DECIMALs
+    * of different declared precision/scale (no implicit decimal
+    * rescale in the join key path — JoinTest decimal keys). Spark would
+    * happily widen both sides; match the rejection. */
+  private def rejectDecimalScaleMismatchJoin(q0: String): Unit = {
+    if (!"""(?i)\bjoin\b""".r.findFirstIn(q0).isDefined) return
+    def declOf(t: String, c: String): Option[String] =
+      Option(graft.Catalog.declaredCols.get(t.toLowerCase))
+        .flatMap(cols => cols.get(c.toLowerCase).map(_.tpe.toUpperCase.replaceAll("\\s+", "")))
+    """(?i)\bon\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r.findAllMatchIn(q0).foreach { m =>
+      (declOf(m.group(1), m.group(2)), declOf(m.group(3), m.group(4))) match {
+        case (Some(d1), Some(d2))
+            if d1.startsWith("DECIMAL") && d2.startsWith("DECIMAL") && d1 != d2 =>
+          throw new IllegalArgumentException(
+            s"join key type mismatch [${m.group(1)}.${m.group(2)}: $d1, " +
+              s"${m.group(3)}.${m.group(4)}: $d2]")
+        case _ => ()
+      }
+    }
+  }
+
+  /** FULL JOIN row order in the reference streams the MASTER rows in
+    * table order, then the unmatched slave rows (hash outer join cursor
+    * `join/HashOuterJoin*` drains build-side leftovers last). Spark's
+    * full join emits shuffle order. For a top-level two-table FULL JOIN
+    * with no ORDER BY, impose (master-present, master-pos, slave-pos).
+    * Parity-surface only — real queries order explicitly. */
+  private def fullJoinAppearanceOrder(spark: SparkSession, q0: String): String = {
+    if (topLevelIndexOf(q0, Seq("order by", "limit", "union", "intersect",
+        "except", "group by", "sample by", "latest on", "where")) >= 0) return q0
+    if (!"""(?i)\bfull\s+(outer\s+)?join\b""".r.findFirstIn(q0).isDefined) return q0
+    val m = ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(?!full\b)(\w+))?""" +
+      """\s+FULL\s+(?:OUTER\s+)?JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(?!on\b)(\w+))?""" +
+      """\s+ON\s+(.*?)\s*$""").r.findFirstMatchIn(q0).getOrElse(return q0)
+    val (sel, lt, rt, cond) = (m.group(1), m.group(2), m.group(4), m.group(6))
+    val la = Option(m.group(3)).getOrElse(lt)
+    val ra = Option(m.group(5)).getOrElse(rt)
+    try {
+      val lv = s"__graft_fjl_${subqueryCounter.incrementAndGet()}"
+      val rv = s"__graft_fjr_${subqueryCounter.incrementAndGet()}"
+      val ldf = sqlBound(spark, s"SELECT * FROM $lt", Map.empty)
+      val rdf = sqlBound(spark, s"SELECT * FROM $rt", Map.empty)
+      ldf.withColumn("__graft_lp", monotonically_increasing_id()).createOrReplaceTempView(lv)
+      rdf.withColumn("__graft_rp", monotonically_increasing_id()).createOrReplaceTempView(rv)
+      val items =
+        if (sel.trim == "*")
+          (ldf.columns.map(c => s"$la.`$c`") ++ rdf.columns.map(c => s"$ra.`$c`")).mkString(", ")
+        else sel
+      s"SELECT $items FROM $lv AS $la FULL JOIN $rv AS $ra ON $cond " +
+        s"ORDER BY ($la.__graft_lp IS NULL), $la.__graft_lp, $ra.__graft_rp"
+    } catch { case _: Exception => q0 }
+  }
+
   /** UNION (distinct) emits rows in FIRST-APPEARANCE order in the
     * reference (the union cursor streams A, then B's not-yet-seen rows
     * — `union/UnionRecordCursor`); Spark's distinct reshuffles. For a
@@ -1925,7 +1980,13 @@ object QuestSql {
         val wrapPos = !fromPos && stmtKw != "create" && stmtKw != "insert" &&
           (before.endsWith(" as") || before.isEmpty ||
             before.endsWith("union") || before.endsWith("all") ||
-            before.endsWith("intersect") || before.endsWith("except"))
+            before.endsWith("intersect") || before.endsWith("except") ||
+            // scalar / IN-list subquery positions: `ts = (select … asof
+            // join …)`, `x not in (select … horizon join …)` — the
+            // dialect op only lowers at top level, so pre-plan here too
+            // (reference SqlCodeGenerator.generateJoins handles joins in
+            // any subquery position)
+            """(?:\bin|\bexists|=|<|>|!=|<>)$""".r.findFirstIn(before).isDefined)
         var depth = 1
         var j = i + 1
         while (j < q.length && depth > 0) {
@@ -7880,8 +7941,16 @@ object QuestSql {
         .filter(_.nonEmpty).map { k =>
           if (k.contains("=")) {
             val Array(l, r) = k.split("=").map(_.trim.split('.').last)
-            if (!r.equalsIgnoreCase(l) && s.columns.exists(_.equalsIgnoreCase(r)))
-              s = s.withColumnRenamed(r, l)
+            if (!r.equalsIgnoreCase(l) && s.columns.exists(_.equalsIgnoreCase(r))) {
+              // differently-NAMED keys: the join runs on a copy renamed
+              // to the master's name, but the slave's own column stays
+              // in the payload (reference keeps both — `select * from t1
+              // lt join t2 on l1=l2` emits l1, ts1, l2, ts2)
+              val sCols = s.columns.flatMap { c =>
+                if (c.equalsIgnoreCase(r)) Seq(col(c).as(l), col(c)) else Seq(col(c))
+              }
+              s = s.select(sCols.toIndexedSeq: _*)
+            }
             l
           } else k.split('.').last
         }
