@@ -60,6 +60,8 @@ object Engine {
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.KSum))
     spark.udf.register("nsum",
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.NSum))
+    spark.udf.register("corr_ref",
+      org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.CorrRef))
     // default-shaped heavy-hitters sketch (top 10, 256 counters); the
     // parameterized form is graft.functions.HeavyHitters.heavyHitters
     spark.udf.register("heavy_hitters",

@@ -227,4 +227,64 @@ object Aggregators {
     val w = weightMicros.cast("long")
     descale(sum(scaledLong(value, 100L) * w), 100L) / descale(sum(w), 1L)
   }
+  /** `corr(y, x)` with the reference's exact numerics (reference
+    * `groupby/CorrGroupByFunctionFactory.java` Welford update order +
+    * Chan et al. merge, final via `Numbers.corrFromSums`: split-sqrt
+    * fallback when the sum-product overflows/underflows, clamp to
+    * [-1, 1], NaN below 2 points). Spark's corr differs at the ULP
+    * level and returns 0/null on the overflow/underflow edges. */
+  case class CorrBuf(meanY: Double, sumY: Double, meanX: Double,
+                     sumX: Double, sumXY: Double, n: Long)
+  object CorrRef extends Aggregator[(java.lang.Double, java.lang.Double),
+      CorrBuf, java.lang.Double] {
+    def zero = CorrBuf(0.0, 0.0, 0.0, 0.0, 0.0, 0L)
+    def reduce(b: CorrBuf, in: (java.lang.Double, java.lang.Double)) = {
+      val (y0, x0) = in
+      if (y0 == null || x0 == null || y0.isNaN || x0.isNaN ||
+          y0.isInfinite || x0.isInfinite) b
+      else {
+        val (y, x) = (y0.doubleValue, x0.doubleValue)
+        val n = b.n + 1
+        val oldMeanY = b.meanY
+        val meanY = oldMeanY + (y - oldMeanY) / n
+        val sumY = b.sumY + (y - meanY) * (y - oldMeanY)
+        val oldMeanX = b.meanX
+        val meanX = oldMeanX + (x - oldMeanX) / n
+        val sumX = b.sumX + (x - meanX) * (x - oldMeanX)
+        val sumXY = b.sumXY + (y - oldMeanY) * (x - meanX)
+        CorrBuf(meanY, sumY, meanX, sumX, sumXY, n)
+      }
+    }
+    def merge(a: CorrBuf, c: CorrBuf) = {
+      if (c.n == 0) a
+      else if (a.n == 0) c
+      else {
+        val CorrBuf(srcMeanY, srcSumY, srcMeanX, srcSumX, srcSumXY, srcN) = a
+        val CorrBuf(dstMeanY, dstSumY, dstMeanX, dstSumX, dstSumXY, dstN) = c
+        val n = srcN + dstN
+        val deltaY = dstMeanY - srcMeanY
+        val deltaX = dstMeanX - srcMeanX
+        val w = (srcN * dstN).toDouble / n
+        CorrBuf((srcN * srcMeanY + dstN * dstMeanY) / n,
+          srcSumY + dstSumY + (deltaY * deltaY) * w,
+          (srcN * srcMeanX + dstN * dstMeanX) / n,
+          srcSumX + dstSumX + (deltaX * deltaX) * w,
+          srcSumXY + dstSumXY + (deltaX * deltaY) * w,
+          n)
+      }
+    }
+    def finish(b: CorrBuf): java.lang.Double = {
+      val CorrBuf(_, sumY, _, sumX, sumXY, n) = b
+      if (n <= 1) return null
+      val prod = sumY * sumX
+      val splitDenom = !java.lang.Double.isFinite(prod) ||
+        (prod == 0.0 && sumY != 0.0 && sumX != 0.0)
+      val denom = if (splitDenom) math.sqrt(sumY) * math.sqrt(sumX) else math.sqrt(prod)
+      if (denom == 0.0) return null
+      val r = sumXY / denom
+      if (r > 1.0) 1.0 else if (r < -1.0) -1.0 else r
+    }
+    def bufferEncoder: Encoder[CorrBuf] = Encoders.product[CorrBuf]
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
 }

@@ -3771,6 +3771,109 @@ object QuestSql {
     * Test:60): route through the exact decimal256_sum aggregator. The
     * string carrier renders plainString at the accumulated scale, which
     * IS the reference's rendering. */
+  /** Non-window `corr(y, x)` → the corr_ref UDAF carrying the
+    * reference's exact numerics (Welford order, Chan merge, split-sqrt
+    * overflow/underflow fallback, ±1 clamp — reference
+    * `groupby/CorrGroupByFunctionFactory.java`, `Numbers.corrFromSums`).
+    * Spark's corr lands 3 ULP off on the trading-data fixture and
+    * returns 0/null on the 1e±153 edges. Window corr stays native. */
+  private def rewriteCorr(q00: String): String = {
+    if (!"""(?i)\bcorr\s*\(""".r.findFirstIn(q00).isDefined) return q00
+    // the reference accumulates in TABLE ORDER (single cursor): for the
+    // bare `select corr(..) from t` shape over a declared table with a
+    // timestamp column, pin the scan order so the Welford rounding
+    // reproduces bit-for-bit (CorrGroupByFunctionFactoryTest trades
+    // fixture). Grouped/filtered queries keep the partition-merge path.
+    val q0 = {
+      val m = """(?is)^\s*select\s+(.+?)\s+from\s+([A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(q00)
+      m match {
+        case Some(mm) if """(?i)^\s*corr\s*\((?:[^()]|\([^()]*\))*\)\s*(?:(?:as\s+)?`?\w+`?)?\s*$"""
+            .r.findFirstIn(mm.group(1)).isDefined =>
+          val tbl = mm.group(2).toLowerCase
+          val tsCol = Option(graft.Catalog.declaredCols.get(tbl)).flatMap { cols =>
+            cols.collectFirst {
+              case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP") => n
+            }
+          }
+          tsCol match {
+            case Some(ts) =>
+              s"SELECT ${mm.group(1)} FROM (SELECT * FROM ${mm.group(2)} ORDER BY `$ts`)"
+            case None => q00
+          }
+        case _ => q00
+      }
+    }
+    val pat = java.util.regex.Pattern.compile("(?i)\\bcorr\\s*\\(")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q0.length) {
+      val m = pat.matcher(q0)
+      if (!m.find(i)) { sb.append(q0.substring(i)); return sb.toString }
+      sb.append(q0.substring(i, m.start()))
+      // balanced arg scan
+      var depth = 1; var j = m.end(); var comma = -1
+      while (j < q0.length && depth > 0) {
+        q0.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 1 => if (comma < 0) comma = j
+          case '\'' => var k = j + 1; while (k < q0.length && q0.charAt(k) != '\'') k += 1; j = k
+          case _ =>
+        }
+        j += 1
+      }
+      val overNext = """(?is)^\s*(?:(?:ignore|respect)\s+nulls\s+)?over\b""".r
+        .findFirstIn(q0.substring(math.min(j, q0.length))).isDefined
+      if (depth == 0 && comma > 0 && !overNext) {
+        val a = q0.substring(m.end(), comma)
+        val b = q0.substring(comma + 1, j - 1)
+        sb.append(s"corr_ref(CAST(($a) AS DOUBLE), CAST(($b) AS DOUBLE))")
+      } else sb.append(q0.substring(m.start(), j))
+      i = j
+    }
+    sb.toString
+  }
+
+  /** regr_slope/intercept/r2 SKIP non-finite pairs in the reference
+    * (Numbers.isFinite gate in the groupby regression functions) —
+    * Spark's regr_* propagate NaN/Infinity to null. Null both sides of
+    * a pair when either value is non-finite (identity on finite data:
+    * Spark's regr_* already ignore null pairs). */
+  private def rewriteRegrFinite(q0: String): String = {
+    if (!"""(?i)\bregr_(slope|intercept|r2)\s*\(""".r.findFirstIn(q0).isDefined) return q0
+    val pat = java.util.regex.Pattern.compile("(?i)\\bregr_(slope|intercept|r2)\\s*\\(")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q0.length) {
+      val m = pat.matcher(q0)
+      if (!m.find(i)) { sb.append(q0.substring(i)); return sb.toString }
+      sb.append(q0.substring(i, m.start()))
+      var depth = 1; var j = m.end(); var comma = -1
+      while (j < q0.length && depth > 0) {
+        q0.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 1 => if (comma < 0) comma = j
+          case '\'' => var k = j + 1; while (k < q0.length && q0.charAt(k) != '\'') k += 1; j = k
+          case _ =>
+        }
+        j += 1
+      }
+      if (depth == 0 && comma > 0 && !m.group(0).toLowerCase.contains("__graft")) {
+        val a = q0.substring(m.end(), comma).trim
+        val b = q0.substring(comma + 1, j - 1).trim
+        def fin(e: String) =
+          s"(NOT isnan(CAST(($e) AS DOUBLE)) AND abs(CAST(($e) AS DOUBLE)) != CAST('Infinity' AS DOUBLE))"
+        val guard = s"${fin(a)} AND ${fin(b)}"
+        sb.append(s"regr_${m.group(1).toLowerCase}(" +
+          s"CASE WHEN $guard THEN CAST(($a) AS DOUBLE) END, " +
+          s"CASE WHEN $guard THEN CAST(($b) AS DOUBLE) END)")
+      } else sb.append(q0.substring(m.start(), j))
+      i = j
+    }
+    sb.toString
+  }
+
   private def rewriteDecimalWideSum(q0: String): String = {
     if (!"""(?i)\b(sum|min|max)\s*\(""".r.findFirstIn(q0).isDefined) return q0
     import scala.jdk.CollectionConverters._
@@ -4692,6 +4795,8 @@ object QuestSql {
     q = rewriteWindowSum(q)
     q = rewriteLong256Sum(q, l256Aliases)
     q = rewriteDecimalWideSum(q)
+    q = rewriteCorr(q)
+    q = rewriteRegrFinite(q)
     // arithmetic over decimal256-string results: '+'/'-'/'*' between two
     // carrier expressions (or a carrier and a numeric literal) routes
     // through the exact decimal256 kernels — a bare string operand would
