@@ -265,6 +265,12 @@ object DialectRewrites {
     // consumed by the pivot lowering — the null-compat predicate rewrite
     // here must only see real IN predicates
     if (fw0 != "update" && fw0 != "insert") q = inListNulls(q)
+    // `uuid '…'` typed-literal spelling (PG-style) → marker call: the
+    // value is its string form, typeOf answers 'UUID' (UuidTest). A
+    // plain CAST AS uuid can't carry that — the uuid target was already
+    // erased to STRING by the sizeless-type pass
+    q = q.replaceAll("(?i)\\buuid\\s+('[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}')",
+      "__uuid_marker($1)")
     q = quotedTableNames(q)
     // inner-subquery designated-timestamp tails — `from (select ...)
     // timestamp(ts) where ...` (reference allows designating ts on any
@@ -2056,9 +2062,35 @@ object DialectRewrites {
     * is a bare null-membership test. */
   private[sql] def inListNulls(q0: String): String = {
     var s = q0.replaceAll("(?i)([\\w.]+)\\s+IN\\s+null(\\s*::\\s*\\w+)?\\b", "$1 IS NULL")
+    // `a in '3'` over a STRING-typed column is single-member list
+    // containment in the reference (InVarcharFunctionFactory) — never
+    // over timestamps, where a string after IN is an INTERVAL scan
+    s = java.util.regex.Pattern
+      .compile("(?i)\\b([\\w.]+)\\s+(NOT\\s+)?IN\\s+('(?:[^']|'')*'(?:\\s*::\\s*(?:char|string|varchar))?)(?!\\s*[,:(])")
+      .matcher(s).replaceAll { mr =>
+        val colName = mr.group(1).split('.').last.toLowerCase
+        val decls = graft.Catalog.declaredTypesOf(colName)
+        val stringDecl = decls.nonEmpty && decls.forall(t => t.startsWith("STRING") ||
+          t.startsWith("VARCHAR") || t.startsWith("SYMBOL") || t.startsWith("CHAR"))
+        // undeclared (CTAS) columns: the literal's SHAPE decides — a
+        // 4-digit-year-led string is an interval scan over a timestamp,
+        // anything else is varchar containment
+        val lit = mr.group(3).replaceAll("(?i)\\s*::\\s*char$", "")
+          .stripPrefix("'").stripSuffix("'")
+        val intervalShaped = lit.matches("\\d{4}([-;T].*)?")
+        if (stringDecl || (decls.isEmpty && !intervalShaped))
+          s"${mr.group(1)} ${Option(mr.group(2)).getOrElse("")}IN (${mr.group(3)})"
+        else mr.group(0)
+      }
     def isNullLit(a: String) =
       a.trim.matches("(?i)null(\\s*::\\s*\\w+)?") ||
-        a.trim.matches("(?i)CAST\\s*\\(\\s*NULL\\s+AS\\s+\\w+\\s*\\)")
+        a.trim.matches("(?i)CAST\\s*\\(\\s*NULL\\s+AS\\s+\\w+\\s*\\)") ||
+        // CHAR(0) maps to NULL in the reference's char→varchar cast
+        // (InVarcharTest (0)::char entries) — both the raw spelling and
+        // the constant-0 shape of the char-code cast expansion
+        a.trim.matches("(?i)\\(?\\s*0\\s*\\)?\\s*::\\s*char") ||
+        a.trim.matches("(?i)CAST\\s*\\(\\s*0\\s+AS\\s+CHAR\\s*\\)") ||
+        a.replaceAll("\\s+", "").toUpperCase.contains("IF(CAST((0)ASINT)=0,''")
     val pat = java.util.regex.Pattern.compile("(?i)\\b(NOT\\s+)?IN\\s*\\(")
     var m = pat.matcher(s)
     var guard = 0

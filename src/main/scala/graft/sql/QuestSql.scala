@@ -2442,7 +2442,9 @@ object QuestSql {
   // reference's at-most-one-match constraint — the caller's predicate
   // must key them (documented parity).
   private val UpdateRe =
-    """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+FROM\s+([\w.]+))?(?:\s+WHERE\s+(.+?))?\s*$""".r
+    ("""(?is)^UPDATE\s+((?:[\w.]+|"[^"]+"|`[^`]+`))""" +
+      """(?:\s+(?:AS\s+)?(?!SET\b)(?:\w+|"[^"]+"|`[^`]+`))?""" + // optional alias (ignored)
+      """\s+SET\s+(.*?)(?:\s+FROM\s+([\w.]+))?(?:\s+WHERE\s+(.+?))?\s*$""").r
 
   // ALTER TABLE (reference SqlCompilerImpl.compileAlter): column ops are
   // real view rewrites; WAL/param/index forms are storage-engine knobs
@@ -2924,7 +2926,8 @@ object QuestSql {
         case other => throw new IllegalArgumentException(s"ALTER TABLE: unsupported '$other'")
       }
 
-    case UpdateRe(name, setPart, fromTbl, where) =>
+    case UpdateRe(name0, setPart, fromTbl, where) =>
+      val name = unq(name0)
       val t = spark.table(name)
       val assigns: Seq[(String, String)] = splitSelect(setPart).map { a =>
         """(?s)^\s*(\w+)\s*=\s*(.*)$""".r.findFirstMatchIn(a.trim) match {
@@ -5403,6 +5406,7 @@ object QuestSql {
       // erased to STRING (DialectRewrites.sizelessTypes) — the answer
       // is static (SqlCompilerImplTest:376)
       if (x.trim.startsWith("__vc_marker")) "'VARCHAR'"
+      else if (x.trim.startsWith("__uuid_marker")) "'UUID'"
       else {
       val t = s"typeof($x)"
       s"(CASE WHEN $t = 'int' THEN 'INT' WHEN $t = 'bigint' THEN 'LONG' " +
@@ -5414,6 +5418,9 @@ object QuestSql {
         s"WHEN $t = 'timestamp_ntz' THEN 'DATE' " +
         s"WHEN $t = 'binary' THEN 'BINARY' WHEN $t LIKE 'decimal%' THEN 'DECIMAL' " +
         s"WHEN $t LIKE 'array%' THEN 'ARRAY' ELSE upper($t) END)" } }
+    // uuid typed-literal marker (after typeOf consumed its static
+    // answer): the runtime value is the lowercase string form
+    q = expandCalls(q, "__uuid_marker") { case Seq(s) => s"lower($s)" }
     // switch(value, case1, result1, ..., [default]) — reference
     // conditional/SwitchFunctionFactory → plain CASE lowering
     // nullif(null, x) is a TYPED null in the reference — it takes x's

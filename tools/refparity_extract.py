@@ -361,13 +361,20 @@ def extract_file(path):
         return any(s <= pos < e for s, e in loop_spans)
 
     executes = []
+    # `update("update t set ...")` is the JUnit helper for UPDATE
+    # statements (UuidTest update-by-uuid family) — same setup role as
+    # execute(); only literal-string calls are harvestable
     for em in re.finditer(
-            r"(?<![A-Za-z0-9_.])execute(?:WithRewriteTimestamp)?\s*\(", src):
+            r"(?<![A-Za-z0-9_.])(execute(?:WithRewriteTimestamp)?|update)\s*\(", src):
         try:
             eargs, _ = parse_args(src, em.end() - 1, consts)
         except (ValueError, AssertionError):
             continue
         if eargs and eargs[0] is not None:
+            # the update() helper: only harvest literal UPDATE statements
+            if em.group(1) == "update" and not re.match(
+                    r"(?is)\s*update\b", str(eargs[0])):
+                continue
             executes.append((em.start(), eargs[0], variant_at(em.start()),
                              in_loop(em.start())))
     for m in re.finditer(r"\bassertQuery(?:NoLeakCheck)?\s*\(", src):
