@@ -11,17 +11,18 @@ class Engine(val spark: SparkSession, dataDir: String) {
   Tables.registerAll(spark, dataDir)
   Engine.registerFunctions(spark)
 
-  def sql(query: String): DataFrame = graft.sql.QuestSql.sql(spark, query)
+  def sql(query: String): DataFrame =
+    graft.sql.QuestSql.sql(spark, graft.sql.QuestSql.verbatimStrings(query))
 
   /** Positional bind variables (`$1`, `$2`, ... — reference
     * `bind/BindVariableServiceImpl.java`).
     */
   def sql(query: String, args: Any*): DataFrame =
-    graft.sql.QuestSql.sql(spark, query, args.toSeq)
+    graft.sql.QuestSql.sql(spark, graft.sql.QuestSql.verbatimStrings(query), args.toSeq)
 
   /** Named bind variables (`:name`). */
   def sqlNamed(query: String, args: Map[String, Any]): DataFrame =
-    graft.sql.QuestSql.sql(spark, query, args)
+    graft.sql.QuestSql.sql(spark, graft.sql.QuestSql.verbatimStrings(query), args)
 
   def table(name: String): DataFrame = spark.table(name)
 

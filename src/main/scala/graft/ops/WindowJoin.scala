@@ -81,11 +81,17 @@ object WindowJoin {
     val inWindow = m.join(slave, cond, "left")
       .select(gCols.map(c => col(s"__m_$c")) ++ payload.map(col): _*)
 
-    // distinct masters are unique rows, so both branches key the same row
+    // distinct masters are unique rows, so both branches key the same row.
+    // Prevailing = the value IN EFFECT at the window start (at-or-before
+    // asof); a slave row exactly AT the start is already an in-window
+    // contribution, so only rows strictly before the start are ADDED —
+    // an at-start pick must not double (LateralJoinTest:2549 lo=0)
     val probe = dm.withColumn("__wj_probe",
       col(masterTs) + expr(s"interval $loMicros microseconds"))
-    val prevailing = AsofJoin.asofKeyed(probe, slave, "__wj_probe", slaveTs,
-      keys, payload, strict = true)
+    val slaveP = slave.withColumn("__wj_sts", col(slaveTs))
+    val prevailing = AsofJoin.asofKeyed(probe, slaveP, "__wj_probe", slaveTs,
+      keys, payload :+ "__wj_sts", strict = false)
+      .filter(col("__wj_sts").isNull || col("__wj_sts") < col("__wj_probe"))
       .select(gCols.map(c => col(c).as(s"__m_$c")) ++ payload.map(col): _*)
 
     reExpand(

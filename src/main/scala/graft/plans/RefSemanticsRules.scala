@@ -97,6 +97,11 @@ object RefArrayCastRule extends org.apache.spark.sql.catalyst.rules.Rule[
         case c: Cast if c.dataType == LongType && c.child.resolved &&
             c.child.dataType == TimestampNTZType =>
           IntegralDivide(UnixMicros(Cast(c.child, TimestampType)), Literal(1000L))
+        // TIMESTAMP→DOUBLE/FLOAT is the micros value too (same cast
+        // matrix; Spark would give epoch seconds)
+        case c: Cast if (c.dataType == DoubleType || c.dataType == FloatType) &&
+            c.child.resolved && c.child.dataType == TimestampType =>
+          Cast(UnixMicros(c.child), c.dataType)
         case c: Cast if c.dataType == StringType && c.child.resolved &&
             c.child.dataType.isInstanceOf[ArrayType] =>
           arrayToRefString(c.child)

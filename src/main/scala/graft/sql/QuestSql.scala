@@ -204,6 +204,36 @@ object QuestSql {
 
   // ---- public entry ---------------------------------------------------------
 
+  /** Reference string literals are VERBATIM — `''` is the only escape;
+    * `\n` is a backslash and an n (cairo GenericLexer). Spark's parser
+    * decodes backslash escapes, so double every backslash inside
+    * single-quoted literals of USER statements at the Engine boundary;
+    * Spark's unescape then restores the verbatim text. Generated SQL
+    * (rewrite passes) never goes through this — its literals are
+    * written for Spark's decoding. */
+  def verbatimStrings(q: String): String = {
+    if (q.indexOf('\\') < 0) return q
+    val sb = new StringBuilder
+    val n = q.length
+    var i = 0
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c == '\'') {
+        sb.append(c); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = q.charAt(i)
+          if (d == '\'') {
+            if (i + 1 < n && q.charAt(i + 1) == '\'') { sb.append("''"); i += 2 }
+            else { sb.append('\''); i += 1; closed = true }
+          } else if (d == '\\') { sb.append("\\\\"); i += 1 }
+          else { sb.append(d); i += 1 }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Rewrite + run against tables registered as temp views. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     beginActivity(spark, query)
@@ -1078,8 +1108,23 @@ object QuestSql {
               if (keys.isEmpty) lateralOr(fixPlan())
               else
                 try run(insertGroupBy(rewritten, keys))
-                catch { case _: org.apache.spark.sql.AnalysisException => lateralOr(fixPlan()) }
+                catch {
+                  // a MIXED item (non-agg column refs beside an
+                  // aggregate) survives the key splice — hoist its
+                  // naked refs into the keys (reference SqlOptimiser)
+                  case e2: org.apache.spark.sql.AnalysisException =>
+                    fixMixedAggPlan(spark, e2).getOrElse(lateralOr(fixPlan()))
+                }
             } else lateralOr(fixPlan())
+          // MIXED select item under implicit grouping (`cast(ts ...) +
+          // sum(amount)` with no GROUP BY — SampleByTest compound
+          // markout): the reference hoists the item's non-aggregate
+          // column refs into the implicit keys. Only without an explicit
+          // GROUP BY — an explicit-but-incomplete one errors as there.
+          case e: Throwable
+              if fixMixedAggPlan(spark, e).isDefined &&
+                topLevelIndexOf(rewritten, Seq("group by")) < 0 =>
+            fixMixedAggPlan(spark, e).get
           // set-op operands of incompatible types: the reference coerces
           // (rank-promotes arrays, else falls to strings) where Spark
           // refuses — resolve each operand and unify
@@ -1088,6 +1133,40 @@ object QuestSql {
             unionCoerced(spark, rewritten, run).getOrElse(throw e)
         }
       }
+  }
+
+  /** MISSING_AGGREGATION with a plan attached: a select item mixes an
+    * aggregate with naked column refs under implicit grouping — the
+    * reference hoists those refs into the group keys (SqlOptimiser;
+    * SampleByTest `cast(to_timezone(...)...) + sum(amount)` markout).
+    * Returns None when the error isn't this shape. */
+  private def fixMixedAggPlan(spark: SparkSession, e: Throwable): Option[DataFrame] = e match {
+    case ea: org.apache.spark.sql.catalyst.ExtendedAnalysisException
+        if ea.getCondition != null &&
+          ea.getCondition.startsWith("MISSING_AGGREGATION") && ea.plan.isDefined =>
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression => CExpr}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      def nakedRefs(ex: CExpr): Seq[CExpr] = ex match {
+        case _: AggregateExpression => Nil
+        case ar: AttributeReference => Seq(ar)
+        case other => other.children.flatMap(nakedRefs)
+      }
+      val fixed = ea.plan.get.transformUpWithSubqueries {
+        case a: Aggregate =>
+          val extra = a.aggregateExpressions.flatMap {
+            case al: Alias => nakedRefs(al.child)
+            case other => nakedRefs(other)
+          }.filterNot(r => a.groupingExpressions.exists(_.semanticEquals(r)))
+            .foldLeft(Seq.empty[CExpr]) { (acc, r) =>
+              if (acc.exists(_.semanticEquals(r))) acc else acc :+ r
+            }
+          if (extra.isEmpty) a
+          else a.copy(groupingExpressions = a.groupingExpressions ++ extra)
+      }
+      try Some(org.apache.spark.sql.classic.GraftBridge.ofRows(spark, fixed))
+      catch { case _: Exception => None }
+    case _ => None
   }
 
   /** UNION [ALL] operands whose column types Spark cannot unify: the
@@ -4514,8 +4593,13 @@ object QuestSql {
             s" WHEN typeof($x) IN ('timestamp', 'timestamp_ntz', 'date')" +
             s" THEN unix_micros(__QCAST__(($s0) AS TIMESTAMP)) != 0" +
             s" WHEN $s0 LIKE '0x%' THEN regexp_replace($s0, '^0x0*', '') != ''" +
+            // the null-double guard matters: the dialect's value-based
+            // compare makes NULL-double != 0 TRUE (double null = NaN in
+            // the reference), but a non-castable/null operand is FALSE
+            // as a boolean (CastStrToBoolean)
             s" ELSE coalesce(__QCAST__(($s0) AS BOOLEAN)," +
-            s" __QCAST__(($s0) AS DOUBLE) != 0) END), false)"
+            s" CASE WHEN __QCAST__(($s0) AS DOUBLE) IS NULL THEN false" +
+            s" ELSE __QCAST__(($s0) AS DOUBLE) != 0 END) END), false)"
         }
         else s"coalesce(__QCAST__(($x) AS $sparkT), $dflt)"
       } else (m, mn, g, l256, dt) match {
@@ -7250,9 +7334,13 @@ object QuestSql {
     case other => sampleByPieces(other).orElse(sampleBySplit(other))
   }) match {
     case Some((sel, table, where, n, unit, tail)) =>
-      val items = splitSelect(sel)
+      // `sub.`a.b`` (quoted dotted alias, rel-qualified) — the lowering
+      // re-derives FROM without the subquery alias, so drop the
+      // qualifier; the backticked name then counts as a bare group key
+      val items = splitSelect(sel).map(_.trim)
+        .map(i => i.replaceAll("^(\\w+)\\.(?=`)", ""))
       // bare identifiers = group keys; the designated ts item becomes the bucket
-      val isBare = (s: String) => s.matches("""[\w.]+""")
+      val isBare = (s: String) => s.matches("""[\w.]+""") || s.matches("`[^`]+`")
       val tsName = {
         def conventional = {
           val conv = Set("ts", "k", "timestamp", "time")
@@ -7283,6 +7371,7 @@ object QuestSql {
       // constants; (groupExpr, outputName) pairs
       val keyPairs: Seq[(String, String)] = items.flatMap {
         case i if tsItem.contains(i) || tsAliased.exists(_._1 == i) => None
+        case i if i.startsWith("`") && isBare(i) => Some((i, i))
         case i if isBare(i) => Some((i, i.split('.').last))
         case i if sqlAggFnRe.findFirstIn(i).isEmpty && !i.contains("(") =>
           """(?is)^(.+?)\s+(?:AS\s+)?`?(\w+)`?$""".r.findFirstMatchIn(i.trim)
@@ -7561,9 +7650,28 @@ object QuestSql {
   }) match {
     case Some((sel, rel, where, n, unit, fromLit, toLit, fillSpec,
                alignKind, tzLit, offsetLit, order, lim1, lim2)) =>
-      val (base1, relName) = resolveRel(spark, rel)
-      val tsName = tsOfRel(relName, base1)
-      val items = splitSelect(sel).map(normalizeAliasSpelling)
+      val (base1a, relName) = resolveRel(spark, rel)
+      val tsName = tsOfRel(relName, base1a)
+      // quoted dotted aliases (`sub."a.b"` → sub.`a.b`): drop the rel
+      // qualifier, then ride the name through the __ux mangling (Spark
+      // column paths would split on the dot; RefText demangles on print)
+      var base1 = base1a
+      val QuotedQual = """(?s)^\s*\w+\.(`[^`]+`)\s*$""".r
+      val items = splitSelect(sel).map(normalizeAliasSpelling).map {
+        case QuotedQual(qn) => qn
+        case other => other
+      }.map { i =>
+        "^`([^`]+)`$".r.findFirstMatchIn(i.trim) match {
+          case Some(mm) if !mm.group(1).matches("\\w+") =>
+            val mangled = "__ux" + mm.group(1).getBytes("UTF-8")
+              .map(b => f"${b & 0xff}%02x").mkString
+            if (base1.columns.contains(mm.group(1)))
+              base1 = base1.withColumnRenamed(mm.group(1), mangled)
+            mangled
+          case Some(mm) => mm.group(1)
+          case None => i
+        }
+      }
       val isBare = (s: String) => s.matches("""[\w.]+""")
       val tsItem = items.find(i => isBare(i) && (i == tsName || i.endsWith(s".$tsName")))
       val AggAs = """(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$""".r

@@ -371,10 +371,17 @@ def extract_file(path):
         except (ValueError, AssertionError):
             continue
         if eargs and eargs[0] is not None:
-            # the update() helper: only harvest literal UPDATE statements
-            if em.group(1) == "update" and not re.match(
-                    r"(?is)\s*update\b", str(eargs[0])):
-                continue
+            # the update() helper: only harvest literal UPDATE statements,
+            # and never in tests that flip partitions read-only through
+            # the writer API first (the harvested UPDATE would then apply
+            # where the reference suspends and rolls back)
+            if em.group(1) == "update":
+                if not re.match(r"(?is)\s*update\b", str(eargs[0])):
+                    continue
+                ro = src.rfind("setPartitionReadOnly", 0, em.start())
+                tm = max((t for t in test_marks if t < em.start()), default=0)
+                if ro > tm:
+                    continue
             executes.append((em.start(), eargs[0], variant_at(em.start()),
                              in_loop(em.start())))
     for m in re.finditer(r"\bassertQuery(?:NoLeakCheck)?\s*\(", src):
