@@ -63,6 +63,10 @@ object Engine {
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.NSum))
     spark.udf.register("corr_ref",
       org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.CorrRef))
+    spark.udf.register("weighted_stddev_rel_ref",
+      org.apache.spark.sql.functions.udaf(new graft.functions.Aggregators.WeightedStdDev(false)))
+    spark.udf.register("weighted_stddev_freq_ref",
+      org.apache.spark.sql.functions.udaf(new graft.functions.Aggregators.WeightedStdDev(true)))
     // default-shaped heavy-hitters sketch (top 10, 256 counters); the
     // parameterized form is graft.functions.HeavyHitters.heavyHitters
     spark.udf.register("heavy_hitters",

@@ -287,4 +287,56 @@ object Aggregators {
     def bufferEncoder: Encoder[CorrBuf] = Encoders.product[CorrBuf]
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
+
+  /** weighted_stddev_{rel,freq}(x, w) with the reference's West-style
+    * incremental accumulation and merge (reference
+    * `groupby/AbstractWeightedStdDevGroupByFunction.java`): numerically
+    * stable at 1e13 magnitudes where the textual sum-of-squares form
+    * cancels, NaN (→ null) when the divisor is non-positive (negative
+    * weight sums), non-finite samples/weights and zero weights skipped. */
+  class WeightedStdDev(freq: Boolean)
+      extends Aggregator[(java.lang.Double, java.lang.Double),
+        (Double, Double, Double, Double), java.lang.Double] with Serializable {
+    def zero = (0.0, 0.0, 0.0, 0.0)
+    def reduce(b: (Double, Double, Double, Double),
+               in: (java.lang.Double, java.lang.Double)) = {
+      val (x0, w0) = in
+      val bad = x0 == null || w0 == null ||
+        !java.lang.Double.isFinite(x0.doubleValue) ||
+        !java.lang.Double.isFinite(w0.doubleValue) || w0.doubleValue == 0.0
+      if (bad) b
+      else {
+        val (sample, weight) = (x0.doubleValue, w0.doubleValue)
+        val wSum = b._1 + weight
+        val wSum2 = b._2 + weight * weight
+        val meanOld = b._3
+        val mean = meanOld + (weight / wSum) * (sample - meanOld)
+        val sAcc = b._4 + weight * (sample - meanOld) * (sample - mean)
+        (wSum, wSum2, mean, sAcc)
+      }
+    }
+    def merge(dst: (Double, Double, Double, Double),
+              src: (Double, Double, Double, Double)) = {
+      if (src._1 == 0.0) dst
+      else if (dst._1 == 0.0) src
+      else {
+        val meanDelta = src._3 - dst._3
+        val wSum = src._1 + dst._1
+        (wSum, src._2 + dst._2,
+          (src._1 * src._3 + dst._1 * dst._3) / wSum,
+          src._4 + dst._4 + (src._1 * meanDelta) / wSum * (dst._1 * meanDelta))
+      }
+    }
+    def finish(b: (Double, Double, Double, Double)): java.lang.Double = {
+      val divisor = if (freq) b._1 - 1.0 else b._1 - b._2 / b._1
+      if (!(divisor > 0.0)) null else {
+        val v = math.sqrt(b._4 / divisor)
+        if (v.isNaN) null else v
+      }
+    }
+    def bufferEncoder: Encoder[(Double, Double, Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
 }

@@ -3853,38 +3853,31 @@ object QuestSql {
     * Test:60): route through the exact decimal256_sum aggregator. The
     * string carrier renders plainString at the accumulated scale, which
     * IS the reference's rendering. */
+  /** Order-sensitive sequential aggregates (corr, weighted_stddev_*):
+    * the reference accumulates in TABLE ORDER with a single cursor, so
+    * the floating-point rounding depends on row order. For the bare
+    * `select <only such aggs> from t` shape, pin the scan order (first
+    * column ≈ insert order in the fixtures) so the Welford/West
+    * rounding reproduces bit-for-bit. Grouped/filtered queries keep the
+    * partition-merge path — correct, just not bit-identical. */
+  private def pinScanOrderForSeqAggs(q00: String): String = {
+    val m = """(?is)^\s*select\s+(.+?)\s+from\s+([A-Za-z_]\w*)\s*$""".r
+      .findFirstMatchIn(q00).getOrElse(return q00)
+    val itemRe = ("""(?i)^\s*(?:corr|weighted_stddev(?:_rel|_freq)?)\s*""" +
+      """\((?:[^()]|\([^()]*\))*\)\s*(?:(?:as\s+)?`?\w+`?)?\s*$""").r
+    if (splitSelect(m.group(1)).forall(it => itemRe.findFirstIn(it).isDefined))
+      s"SELECT ${m.group(1)} FROM (SELECT * FROM ${m.group(2)} ORDER BY 1)"
+    else q00
+  }
+
   /** Non-window `corr(y, x)` → the corr_ref UDAF carrying the
     * reference's exact numerics (Welford order, Chan merge, split-sqrt
     * overflow/underflow fallback, ±1 clamp — reference
     * `groupby/CorrGroupByFunctionFactory.java`, `Numbers.corrFromSums`).
     * Spark's corr lands 3 ULP off on the trading-data fixture and
     * returns 0/null on the 1e±153 edges. Window corr stays native. */
-  private def rewriteCorr(q00: String): String = {
-    if (!"""(?i)\bcorr\s*\(""".r.findFirstIn(q00).isDefined) return q00
-    // the reference accumulates in TABLE ORDER (single cursor): for the
-    // bare `select corr(..) from t` shape over a declared table with a
-    // timestamp column, pin the scan order so the Welford rounding
-    // reproduces bit-for-bit (CorrGroupByFunctionFactoryTest trades
-    // fixture). Grouped/filtered queries keep the partition-merge path.
-    val q0 = {
-      val m = """(?is)^\s*select\s+(.+?)\s+from\s+([A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(q00)
-      m match {
-        case Some(mm) if """(?i)^\s*corr\s*\((?:[^()]|\([^()]*\))*\)\s*(?:(?:as\s+)?`?\w+`?)?\s*$"""
-            .r.findFirstIn(mm.group(1)).isDefined =>
-          val tbl = mm.group(2).toLowerCase
-          val tsCol = Option(graft.Catalog.declaredCols.get(tbl)).flatMap { cols =>
-            cols.collectFirst {
-              case (n, d) if d.tpe.toUpperCase.startsWith("TIMESTAMP") => n
-            }
-          }
-          tsCol match {
-            case Some(ts) =>
-              s"SELECT ${mm.group(1)} FROM (SELECT * FROM ${mm.group(2)} ORDER BY `$ts`)"
-            case None => q00
-          }
-        case _ => q00
-      }
-    }
+  private def rewriteCorr(q0: String): String = {
+    if (!"""(?i)\bcorr\s*\(""".r.findFirstIn(q0).isDefined) return q0
     val pat = java.util.regex.Pattern.compile("(?i)\\bcorr\\s*\\(")
     val sb = new StringBuilder
     var i = 0
@@ -4882,6 +4875,7 @@ object QuestSql {
     q = rewriteWindowSum(q)
     q = rewriteLong256Sum(q, l256Aliases)
     q = rewriteDecimalWideSum(q)
+    q = pinScanOrderForSeqAggs(q)
     q = rewriteCorr(q)
     q = rewriteRegrFinite(q)
     // arithmetic over decimal256-string results: '+'/'-'/'*' between two
@@ -4921,7 +4915,12 @@ object QuestSql {
       }
     }
     q = expandCalls(q, "geomean") { case Seq(x) =>
-      s"exp(avg(ln($x)))" }
+      // non-positive values poison the whole mean (reference Math.log:
+      // ln(neg)=NaN, and the -Inf of ln(0) also renders null after exp
+      // in the reference's accumulation) — Spark's ln returns NULL for
+      // both, which avg would silently SKIP
+      s"exp(avg(CASE WHEN ($x) <= 0 THEN CAST('NaN' AS DOUBLE)" +
+        s" ELSE ln($x) END))" }
     q = expandCalls(q, "weighted_avg") { case Seq(x, w) =>
       s"(sum(CASE WHEN ($x) IS NOT NULL AND ($w) IS NOT NULL THEN ($x) * ($w) END)" +
         s" / sum(CASE WHEN ($x) IS NOT NULL AND ($w) IS NOT NULL THEN CAST($w AS DOUBLE) END))" }
@@ -5280,17 +5279,11 @@ object QuestSql {
     def wTerm(x: String, w: String, term: String): String =
       s"sum(CASE WHEN NOT isnan(CAST(($x) AS DOUBLE)) AND NOT isnan(CAST(($w) AS DOUBLE))" +
         s" AND ($w) <> 0 THEN $term END)"
-    def weightedStd(x: String, w: String, denom: String): String = {
-      val s0 = wTerm(x, w, s"CAST(($w) AS DOUBLE)")
-      val s1 = wTerm(x, w, s"CAST(($w) AS DOUBLE) * ($x)")
-      val s2 = wTerm(x, w, s"CAST(($w) AS DOUBLE) * ($x) * ($x)")
-      val s0sq = wTerm(x, w, s"CAST(($w) AS DOUBLE) * ($w)")
-      val d = denom match {
-        case "rel" => s"($s0 - $s0sq / $s0)"
-        case "freq" => s"($s0 - 1.0)"
-      }
-      s"sqrt(($s2 - $s1 * $s1 / $s0) / $d)"
-    }
+    def weightedStd(x: String, w: String, denom: String): String =
+      // the West-style UDAF reproduces the reference's accumulation
+      // (stable at 1e13 magnitudes where the sum-of-squares form
+      // cancels) and its non-positive-divisor → null edge
+      s"weighted_stddev_${denom}_ref(CAST(($x) AS DOUBLE), CAST(($w) AS DOUBLE))"
     q = expandCalls(q, "weighted_stddev_rel") { case Seq(x, w) => weightedStd(x, w, "rel") }
     q = expandCalls(q, "weighted_stddev_freq") { case Seq(x, w) => weightedStd(x, w, "freq") }
     q = expandCalls(q, "weighted_stddev") { case Seq(x, w) => weightedStd(x, w, "rel") }
@@ -5817,7 +5810,11 @@ object QuestSql {
         // RndVarcharFunctionFactory default range; run-tier values)
         val s = seedOf(name)
         s"substring(md5(concat('${s}_s', cast(x as string))), 1, ${intIn(s + "_len", "4", "16", "INT")})"
-      case args if args.nonEmpty && args.head.trim.startsWith("'") =>
+      case args if args.nonEmpty &&
+          args.exists(_.trim.startsWith("'")) &&
+          args.forall(a => a.trim.startsWith("'") ||
+            a.trim.equalsIgnoreCase("null")) =>
+        // the pool may carry NULL members (`rnd_varchar(null, 'a', …)`)
         listPick(seedOf(name), args)
       case Seq(lo, hi) =>
         val s = seedOf(name)
