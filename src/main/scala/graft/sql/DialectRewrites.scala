@@ -178,6 +178,14 @@ object DialectRewrites {
     // segment split at the quote would hide the subscript
     q = q.replaceAll("\\[\\s*'(-?\\d+)'\\s*\\]", "[$1]")
     q = mapOutside(q)(arraySubscripts)
+    // the char-code cast rule needs the OPERAND, and a function call
+    // with quoted args spans mapOutside segments — run that one shape on
+    // the full text first (the pattern skips quoted regions itself)
+    q = q.replaceAll(
+      "(?i)(?<![:\\w])([\\w.]+\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
+      "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint') " +
+        "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
+        "ELSE nullif(substring(CAST($1 AS STRING), 1, 1), '') END)")
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
     // quoted-literal ::date / ::timestamp[_ns] operands sit inside
@@ -2053,6 +2061,11 @@ object DialectRewrites {
     // the lookbehind keeps the ipv4 containment operators (<<= / >>=)
     // out of this rule
     s = s.replaceAll("(?i)(?<![<>])\\s*(>=|<=)\\s*null\\b(?!\\s*::)", " IS NULL")
+    // mirrored null-on-the-LEFT orderings: `null <= s` keeps only null
+    // rows (the = half), strict `null < s` keeps none
+    // (LtNullComparisonTest varchar forms)
+    s = s.replaceAll("(?i)\\bnull\\s*(?:<=|>=)\\s*([\\w.]+)(?!\\s*::)", "$1 IS NULL")
+    s = s.replaceAll("(?i)\\bnull\\s*(?:<|>)\\s*([\\w.]+)(?!\\s*[<>=:])", "false")
     s
   }
 
@@ -2412,7 +2425,7 @@ object DialectRewrites {
     // (`(x-1)::char` = the char at that code; code 0 prints empty —
     // InTest `ch in ('')`); other operands keep the string cast
     s = s.replaceAll(
-      "(?i)(?<![:\\w])(\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|-?\\d+|[\\w.]+)(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
+      "(?i)(?<![:\\w])([\\w.]+\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)|\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|-?\\d+|[\\w.]+)(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
       "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint') " +
         "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
         // a string truncates to its FIRST char; the empty string is the

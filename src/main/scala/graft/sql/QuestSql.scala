@@ -873,6 +873,20 @@ object QuestSql {
     // reference-style result-set naming for unaliased expressions
     // (SqlUtil.createColumnAlias): `select 1+1` → column, `count()` →
     // count, duplicate bases get numeric suffixes
+    // typed json_extract is ONE function in the reference
+    // (JsonExtractTypedFunctionFactory): the `::type` spelling keeps the
+    // json_extract column name (unlike a generic cast, named 'cast'),
+    // and a TIMESTAMP target parses numeric json values as epoch micros
+    // DialectRewrites already lowered `::timestamp` to __ts_us_cast —
+    // swap that wrapper for the json-typed one
+    q0 = q0.replaceAll(
+      "(?i)__ts_us_cast\\(\\s*(json_extract\\s*\\((?:[^()']|'[^']*')*\\))\\s*\\)",
+      "__jxts($1)")
+    q0 = q0.replaceAll(
+      "(?i)(__jxts\\(json_extract\\s*\\((?:[^()']|'[^']*')*\\)\\)" +
+        "|json_extract\\s*\\((?:[^()']|'[^']*')*\\)\\s*::\\s*\\w+" +
+        ")(\\s*(?:,|from\\b|$))",
+      "$1 AS json_extract$2")
     q0 = prof("AutoAlias")(AutoAlias.rewriteQuery(q0))
     // sliding time-RANGE first/last_value → O(n) running-frame
     // aggregates (after AutoAlias so reference default names are pinned)
@@ -4949,8 +4963,22 @@ object QuestSql {
           s"(CASE WHEN $guard THEN NULL ELSE " +
             s"geohash_encode(CAST($lat AS DOUBLE), CAST($lon AS DOUBLE), CAST(($bits) / 5 AS INT)) END)"
       } }
+    // typed json_extract to TIMESTAMP parses NUMERIC json values as
+    // epoch micros (reference JsonExtractTypedFunctionFactory double →
+    // micros), text values as timestamp text (wrapped pre-AutoAlias)
+    q = expandCalls(q, "__jxts") { case Seq(x) =>
+      s"(CASE WHEN ($x) RLIKE '^-?[0-9]+(\\\\.[0-9]+)?([eE][-+]?[0-9]+)?$$'" +
+        s" THEN timestamp_micros(CAST(CAST(($x) AS DOUBLE) AS BIGINT))" +
+        s" ELSE CAST(($x) AS TIMESTAMP) END)" }
     q = expandCalls(q, "json_extract") { case Seq(doc, path) =>
-      s"get_json_object($doc, $path)" }
+      // the reference accepts `.path` / `[0]` spellings without the `$`
+      // root (questdb-rs simd-json paths) — normalize literals
+      val p = path.trim
+      val norm =
+        if (p.startsWith("'") && !p.startsWith("'$'") && !p.startsWith("'$"))
+          "'$" + p.stripPrefix("'")
+        else p
+      s"get_json_object($doc, $norm)" }
     q = expandCalls(q, "timestamp_floor_utc") { args => floorExpr(args, toUtc = true) }
     // l2price(target, size1, price1, ...) — unrolled book sweep
     // (reference finance/LevelTwoPriceFunctionFactory): first level whose
