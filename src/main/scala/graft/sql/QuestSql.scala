@@ -1191,6 +1191,44 @@ object QuestSql {
     * each operand, unifies per column. */
   private def unionCoerced(spark: SparkSession, q: String,
                            run: String => DataFrame): Option[DataFrame] = {
+    // `(x union all y) where …` / `SELECT * FROM (x union all y) where…`
+    // — the set-op sits one paren level down with a trailing clause:
+    // coerce the inner union, materialize, and re-apply the tail
+    // (UnionAllCastTest filtered unions)
+    val t = {
+      val t0 = q.trim
+      if ("""(?is)^SELECT\s+\*\s+FROM\s*\(""".r.findFirstIn(t0).isDefined)
+        t0.replaceFirst("(?is)^SELECT\\s+\\*\\s+FROM\\s*", "").trim
+      else t0
+    }
+    if (t.startsWith("(")) {
+      var depth = 0; var i = 0; var close = -1
+      while (i < t.length && close < 0) {
+        t.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case '\'' => var k = i + 1; while (k < t.length && t.charAt(k) != '\'') k += 1; i = k
+          case _ =>
+        }
+        i += 1
+      }
+      val tailOk = close == t.length - 1 ||
+        """(?is)^\s*(where|order|limit)\b""".r.findFirstIn(t.substring(close + 1)).isDefined
+      if (close > 0 && tailOk) {
+        val inner = t.substring(1, close)
+        val tail = if (close == t.length - 1) "" else t.substring(close + 1).trim
+        return unionCoerced(spark, inner, run).flatMap { df =>
+          try {
+            if (tail.isEmpty) Some(df)
+            else {
+              val v = s"__graft_uc_${subqueryCounter.incrementAndGet()}"
+              df.createOrReplaceTempView(v)
+              Some(run(s"SELECT * FROM $v ${tail}"))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+    }
     val at = topLevelLastIndexOf(q, Seq("union"))
     if (at < 0) return None
     val left = q.substring(0, at).trim
@@ -3329,6 +3367,8 @@ object QuestSql {
         s"invalid INSERT: column count mismatch [given=${incoming1.columns.length}, expected=${listed.length}]")
       val renamed = incoming1.toDF(listed: _*)
       val srcType = renamed.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val isValuesIns = body.trim.toUpperCase.startsWith("VALUES")
+      var usedRejectGuard = false
       val incoming = renamed.select(target.schema.fields.map { f =>
         if (listed.exists(_.equalsIgnoreCase(f.name))) {
           val c = col(f.name)
@@ -3355,17 +3395,49 @@ object QuestSql {
               val rem = coalesce(
                 rpad(regexp_extract(c, "\\.\\d{6}(\\d{1,3})\\d*", 1), 3, "0")
                   .cast(LongType), lit(0L))
+              val bad =
+                if (isValuesIns) {
+                  usedRejectGuard = true
+                  when(c.isNotNull && us.isNull,
+                    raise_error(concat(lit("invalid: inconvertible value `"), c,
+                      lit("` [STRING -> TIMESTAMP_NS]"))).cast(LongType))
+                } else when(lit(false), lit(null).cast(LongType))
               when(c.isNull, lit(null).cast(LongType))
-                .otherwise(us * lit(1000L) + rem).as(f.name)
+                .otherwise(coalesce(bad, us * lit(1000L) + rem)).as(f.name)
             // integer into DATE (NTZ carrier) is epoch-millis
             case (TimestampNTZType, Some(t)) if integral(t) =>
               timestamp_millis(c.cast("long")).cast(TimestampNTZType).as(f.name)
+            // an UNPARSEABLE non-null string LITERAL into DATE/TIMESTAMP
+            // is a REJECTION in the reference (SqlException
+            // inconvertible value), not a silent null row (InsertCastTest
+            // 'c' → date). INSERT SELECT keeps the null-on-bad cast.
+            case (TimestampNTZType, Some(StringType)) | (TimestampType, Some(StringType))
+                if isValuesIns =>
+              usedRejectGuard = true
+              val converted = c.cast(f.dataType)
+              when(c.isNotNull && converted.isNull,
+                raise_error(concat(lit("invalid: inconvertible value `"), c,
+                  lit(s"` [STRING -> ${f.dataType.simpleString}]"))).cast(f.dataType))
+                .otherwise(converted).as(f.name)
             // BYTE/SHORT/BOOLEAN carry no null in the reference
             // (ColumnType nullability): an explicit NULL lands as 0/false
             case (ByteType, _) | (ShortType, _) =>
               coalesce(c.cast(f.dataType), lit(0).cast(f.dataType)).as(f.name)
             case (BooleanType, _) =>
               coalesce(c.cast(f.dataType), lit(false)).as(f.name)
+            // a multi-char string LITERAL into a CHAR column is a
+            // REJECTION (reference CastStrToChar; InsertCastTest 'cc' →
+            // char); INSERT SELECT truncates to the first char
+            case (StringType, Some(StringType)) if Option(graft.Catalog.declaredCols
+                .get(name.toLowerCase)).exists(_.get(f.name.toLowerCase)
+                  .exists(_.tpe.toUpperCase == "CHAR")) =>
+              if (isValuesIns) {
+                usedRejectGuard = true
+                when(length(c) > 1,
+                  raise_error(concat(lit("invalid: inconvertible value `"), c,
+                    lit("` [STRING -> CHAR]"))))
+                  .otherwise(c).as(f.name)
+              } else substring(c, 1, 1).as(f.name)
             // '0.0.0.0' IS the IPv4 null (reference Numbers.IPV4_NULL =
             // 0) — land it as SQL NULL so it renders empty
             case (StringType, _) if Option(graft.Catalog.declaredCols.get(name.toLowerCase))
@@ -3389,6 +3461,11 @@ object QuestSql {
           }
         } else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
+      // rejection guards must fire AT the INSERT (the JUnit catches it
+      // there and re-asserts over the unmodified table) — the row-count
+      // action below would prune the guarded columns, so force a full
+      // evaluation of the literal tuples before anything is appended
+      if (usedRejectGuard) incoming.collect()
       // single pass: row count, the batch's designated-ts bounds (feeds
       // wal_transactions()'s per-commit min/max), and each declared
       // SYMBOL column's distinct batch values (feeds the write-time
@@ -5218,6 +5295,27 @@ object QuestSql {
     // TimestampType is micros, so nanos ride as BIGINT-since-epoch; all
     // five expand to codegen'd builtins (session tz is UTC, matching the
     // naive-timestamp oracle).
+    // a null INTERVAL is a typed null struct (UnionAllCastTest union of
+    // interval() rows with null::interval)
+    q = q.replaceAll("(?i)\\bnull\\s*::\\s*interval\\b",
+      "CAST(NULL AS STRUCT<lo: TIMESTAMP, hi: TIMESTAMP>)")
+    q = expandCalls(q, "interval_start") { case Seq(iv) => s"($iv).lo" }
+    q = expandCalls(q, "interval_end") { case Seq(iv) => s"($iv).hi" }
+    q = expandCalls(q, "interval") { case Seq(lo, hi) =>
+      // integral endpoints are micros-since-epoch (reference
+      // IntervalFunctionFactory) — except a declared TIMESTAMP_NS
+      // column, whose BIGINT carrier is NANOS; a null endpoint nulls
+      // the interval
+      def ep(a: String) =
+        if (declaredNsCol(q.toLowerCase, a.trim) ||
+            """(?i)__ns_cast\s*\(|__ns_at_tz\s*\(|::\s*timestamp_ns\b|to_timestamp_ns\s*\("""
+              .r.findFirstIn(a).isDefined)
+          s"timestamp_micros(CAST(($a) DIV 1000 AS BIGINT))"
+        else s"(CASE WHEN typeof($a) IN ('tinyint', 'smallint', 'int', 'bigint')" +
+          s" THEN timestamp_micros(CAST(CAST($a AS STRING) AS BIGINT)) ELSE CAST($a AS TIMESTAMP) END)"
+      s"(CASE WHEN CAST($lo AS STRING) IS NULL OR CAST($hi AS STRING) IS NULL" +
+        s" THEN CAST(NULL AS STRUCT<lo: TIMESTAMP, hi: TIMESTAMP>)" +
+        s" ELSE named_struct('lo', ${ep(lo)}, 'hi', ${ep(hi)}) END)" }
     q = expandCalls(q, "to_timestamp_ns") { case args @ (_ +: _) if args.size <= 2 =>
       if (args.size == 2 && args(1).trim.startsWith("'")) {
         // explicit reference pattern: translate tokens (bare T/Z
@@ -5248,21 +5346,6 @@ object QuestSql {
     // interval construction + bound extraction (reference functions/date
     // IntervalFunctionFactory / IntervalStart|EndFunctionFactory — the
     // interval value rides as a (lo, hi) struct)
-    q = expandCalls(q, "interval_start") { case Seq(iv) => s"($iv).lo" }
-    q = expandCalls(q, "interval_end") { case Seq(iv) => s"($iv).hi" }
-    q = expandCalls(q, "interval") { case Seq(lo, hi) =>
-      // integral endpoints are micros-since-epoch (reference
-      // IntervalFunctionFactory) — except a declared TIMESTAMP_NS
-      // column, whose BIGINT carrier is NANOS; a null endpoint nulls
-      // the interval
-      def ep(a: String) =
-        if (declaredNsCol(q.toLowerCase, a.trim))
-          s"timestamp_micros(CAST(($a) DIV 1000 AS BIGINT))"
-        else s"(CASE WHEN typeof($a) IN ('tinyint', 'smallint', 'int', 'bigint')" +
-          s" THEN timestamp_micros(CAST(CAST($a AS STRING) AS BIGINT)) ELSE CAST($a AS TIMESTAMP) END)"
-      s"(CASE WHEN CAST($lo AS STRING) IS NULL OR CAST($hi AS STRING) IS NULL" +
-        s" THEN CAST(NULL AS STRUCT<lo: TIMESTAMP, hi: TIMESTAMP>)" +
-        s" ELSE named_struct('lo', ${ep(lo)}, 'hi', ${ep(hi)}) END)" }
     // LONG256 construction (reference long256/LongsToLong256FunctionFactory
     // — limbs least-significant first) → canonical 0x + 64-hex-digit form;
     // long256_add / long256_str are registered native functions
@@ -5522,7 +5605,9 @@ object QuestSql {
         // DATE rides the TIMESTAMP_NTZ carrier here (dateMsCast)
         s"WHEN $t = 'timestamp_ntz' THEN 'DATE' " +
         s"WHEN $t = 'binary' THEN 'BINARY' WHEN $t LIKE 'decimal%' THEN 'DECIMAL' " +
-        s"WHEN $t LIKE 'array%' THEN 'ARRAY' ELSE upper($t) END)" } }
+        s"WHEN $t LIKE 'array%' THEN 'ARRAY' " +
+        // the (lo, hi) struct is the INTERVAL carrier
+        s"WHEN $t LIKE 'struct<lo:timestamp%' THEN 'INTERVAL' ELSE upper($t) END)" } }
     // uuid typed-literal marker (after typeOf consumed its static
     // answer): the runtime value is the lowercase string form
     q = expandCalls(q, "__uuid_marker") { case Seq(s) => s"lower($s)" }
