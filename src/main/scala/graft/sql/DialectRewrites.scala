@@ -183,8 +183,8 @@ object DialectRewrites {
     // the full text first (the pattern skips quoted regions itself)
     q = q.replaceAll(
       "(?i)(?<![:\\w])([\\w.]+\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
-      "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint') " +
-        "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
+      "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint','float','double') " +
+        "THEN IF(CAST($1 AS INT) = 0, CAST(NULL AS STRING), chr(CAST($1 AS INT))) " +
         "ELSE nullif(substring(CAST($1 AS STRING), 1, 1), '') END)")
     q = mapOutside(q)(sizelessTypes)
     q = mapOutside(q)(tzCastTails)
@@ -2103,7 +2103,9 @@ object DialectRewrites {
         // the constant-0 shape of the char-code cast expansion
         a.trim.matches("(?i)\\(?\\s*0\\s*\\)?\\s*::\\s*char") ||
         a.trim.matches("(?i)CAST\\s*\\(\\s*0\\s+AS\\s+CHAR\\s*\\)") ||
-        a.replaceAll("\\s+", "").toUpperCase.contains("IF(CAST((0)ASINT)=0,''")
+        a.replaceAll("\\s+", "").toUpperCase.contains("IF(CAST((0)ASINT)=0,''") ||
+        a.replaceAll("\\s+", "").toUpperCase
+          .contains("IF(CAST((0)ASINT)=0,CAST(NULLASSTRING)")
     val pat = java.util.regex.Pattern.compile("(?i)\\b(NOT\\s+)?IN\\s*\\(")
     var m = pat.matcher(s)
     var guard = 0
@@ -2123,11 +2125,21 @@ object DialectRewrites {
       if (end < 0) return s
       val inner = s.substring(open + 1, end)
       val args = graft.sql.QuestSql.splitSelect(inner)
-      if (!inner.trim.toLowerCase.startsWith("select") && args.exists(isNullLit)) {
+      // over a CHAR-typed operand, the '' literal IS the null char
+      // (reference CHAR(0) ≡ null — InTest `ch in ('')`)
+      lazy val charLhs = {
+        val opStart0 = operandStart(s, m.start())
+        val op = s.substring(opStart0, m.start()).trim
+        op.matches("[\\w.]+") &&
+          graft.Catalog.declaredTypesOf(op.split('.').last.toLowerCase).contains("CHAR")
+      }
+      def nullish(a: String) = isNullLit(a) ||
+        (a.trim.matches("''(\\s*::\\s*\\w+)?") && charLhs)
+      if (!inner.trim.toLowerCase.startsWith("select") && args.exists(nullish)) {
         val opStart = operandStart(s, m.start())
         val operand = s.substring(opStart, m.start()).trim
         if (operand.nonEmpty) {
-          val nonNull = args.filterNot(isNullLit)
+          val nonNull = args.filterNot(nullish)
           val not = m.group(1) != null
           val repl =
             if (not && nonNull.isEmpty) s"($operand IS NOT NULL)"
@@ -2426,8 +2438,8 @@ object DialectRewrites {
     // InTest `ch in ('')`); other operands keep the string cast
     s = s.replaceAll(
       "(?i)(?<![:\\w])([\\w.]+\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)|\\((?:[^()']|'[^']*'|\\([^()']*\\))*\\)|-?\\d+|[\\w.]+)(?<!::string)\\s*::\\s*char\\b(?!\\s*\\()",
-      "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint') " +
-        "THEN IF(CAST($1 AS INT) = 0, '', chr(CAST($1 AS INT))) " +
+      "(CASE WHEN typeof($1) IN ('tinyint','smallint','int','bigint','float','double') " +
+        "THEN IF(CAST($1 AS INT) = 0, CAST(NULL AS STRING), chr(CAST($1 AS INT))) " +
         // a string truncates to its FIRST char; the empty string is the
         // null char (SqlCompilerImplTest cast('ab' as char) <= 'a')
         "ELSE nullif(substring(CAST($1 AS STRING), 1, 1), '') END)")

@@ -197,9 +197,30 @@ object QuestSql {
   private[graft] def queryActivity(spark: SparkSession): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    activityReg.values.asScala.toSeq.sortBy(_.id)
-      .map(e => (e.id, e.query, new java.sql.Timestamp(e.startUs / 1000L), e.state.get))
-      .toDF("query_id", "query", "query_start", "state")
+    // full reference shape (activity/QueryActivityFunctionFactory
+    // METADATA): worker/pool/user are the local session's, memory_used
+    // is the JVM's current footprint, memory_limit null = unlimited
+    val used = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    // in-flight = the currently-building query (this one), anything
+    // still marked active, or an entry whose Spark job group is
+    // executing right now (a query runs its ACTIONS after sqlBound
+    // returned the lazy plan)
+    val tracker = spark.sparkContext.statusTracker
+    def running(group: String): Boolean =
+      tracker.getJobIdsForGroup(group).exists { jid =>
+        val info = tracker.getJobInfo(jid)
+        info.isDefined && info.get.status() == org.apache.spark.JobExecutionStatus.RUNNING
+      }
+    activityReg.values.asScala.toSeq
+      .filter(e => e.state.get == "active" || e.id == activitySeq.get() ||
+        (e.state.get == "completed" && running(e.group)))
+      .sortBy(_.id)
+      .map(e => (e.id, 0L, "shared", "admin",
+        new java.sql.Timestamp(e.startUs / 1000L),
+        new java.sql.Timestamp(e.startUs / 1000L), e.state.get, false,
+        e.query, used, None: Option[Long]))
+      .toDF("query_id", "worker_id", "worker_pool", "username", "query_start",
+        "state_change", "state", "is_wal", "query", "memory_used", "memory_limit")
   }
 
   // ---- public entry ---------------------------------------------------------
@@ -237,7 +258,16 @@ object QuestSql {
   /** Rewrite + run against tables registered as temp views. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     beginActivity(spark, query)
-    sqlBound(spark, query, Map.empty)
+    val id = activitySeq.get()
+    try sqlBound(spark, query, Map.empty)
+    finally
+      // query_activity() lists IN-FLIGHT queries (the reference registry
+      // drops completed ones) — plan construction done = completed. A
+      // query_activity() reader snapshots the registry DURING its own
+      // construction (local rows), so its own row is still visible.
+      Option(activityReg.get(id)).foreach { e =>
+        if (e.state.get == "active") e.state.set("completed")
+      }
   }
 
   /** Positional bind variables: `$1`, `$2`, ... */
@@ -778,6 +808,9 @@ object QuestSql {
     // LEFT JOIN …` queries)
     val fwDotted = q0.trim.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
       .toLowerCase
+    // `information_schema.columns()` — the reference's table-function
+    // spelling; the backing object here is a VIEW, so drop the parens
+    q0 = q0.replaceAll("(?i)\\b(information_schema)\\.(\\w+)\\s*\\(\\s*\\)", "$1.$2")
     if (fw.nonEmpty && !StatementKeywords(fw) &&
         (bareTableFn || clauseNext ||
           fwDotted.startsWith("pg_catalog.") ||
@@ -3136,7 +3169,17 @@ object QuestSql {
 
     case CancelQueryRe(idStr) =>
       val id = idStr.toLong
-      val e = Option(activityReg.get(id)).filter(_.state.get == "active").getOrElse(
+      // cancellable = still active OR its job group is executing (the
+      // plan was built, the action is in flight)
+      val e = Option(activityReg.get(id)).filter { en =>
+        en.state.get == "active" || (en.state.get == "completed" && {
+          val tracker = spark.sparkContext.statusTracker
+          tracker.getJobIdsForGroup(en.group).exists { jid =>
+            val info = tracker.getJobInfo(jid)
+            info.isDefined && info.get.status() == org.apache.spark.JobExecutionStatus.RUNNING
+          }
+        })
+      }.getOrElse(
         throw new IllegalArgumentException(s"query to cancel not found [id=$id]"))
       spark.sparkContext.cancelJobGroup(e.group)
       e.state.set("cancelled")
@@ -3425,6 +3468,23 @@ object QuestSql {
               coalesce(c.cast(f.dataType), lit(0).cast(f.dataType)).as(f.name)
             case (BooleanType, _) =>
               coalesce(c.cast(f.dataType), lit(false)).as(f.name)
+            // a longer geohash into a GEOHASH(p) column TRUNCATES to the
+            // declared precision (reference GeoHashes.fromString prefix
+            // cast; RecordToRowCopier geohash inserts)
+            case (StringType, Some(StringType)) if Option(graft.Catalog.declaredCols
+                .get(name.toLowerCase)).exists(_.get(f.name.toLowerCase)
+                  .exists(d => d.tpe.toUpperCase.startsWith("GEOHASH("))) =>
+              val decl = graft.Catalog.declaredCols.get(name.toLowerCase)(f.name.toLowerCase)
+                .tpe.toUpperCase
+              val chars = """GEOHASH\((\d+)([CB])\)""".r.findFirstMatchIn(decl) match {
+                case Some(mm) if mm.group(2) == "C" => Some(mm.group(1).toInt)
+                case Some(mm) if mm.group(1).toInt % 5 == 0 => Some(mm.group(1).toInt / 5)
+                case _ => None
+              }
+              chars match {
+                case Some(n) => substring(c, 1, n).as(f.name)
+                case None => c.cast(f.dataType).as(f.name)
+              }
             // a multi-char string LITERAL into a CHAR column is a
             // REJECTION (reference CastStrToChar; InsertCastTest 'cc' →
             // char); INSERT SELECT truncates to the first char
@@ -4715,8 +4775,8 @@ object QuestSql {
           // CHAR cast: numerics are char CODES (0 = the null char);
           // strings truncate to their first char
           val x = ch.get.group(1)
-          s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint')" +
-            s" THEN IF(CAST($x AS INT) = 0, '', chr(CAST($x AS INT)))" +
+          s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint', 'float', 'double')" +
+            s" THEN IF(CAST($x AS INT) = 0, CAST(NULL AS STRING), chr(CAST($x AS INT)))" +
             s" ELSE nullif(substring(__QCAST__(($x) AS STRING), 1, 1), '') END)"
         case _ if sy.isDefined =>
           // symbol casts of datetimes render the RAW LONG (reference
@@ -6534,7 +6594,7 @@ object QuestSql {
         case "SHOW STANDARD_CONFORMING_STRINGS" =>
           Some(one("standard_conforming_strings", "on"))
         case "SHOW SEARCH_PATH" => Some(one("search_path", "\"$user\", public"))
-        case "SHOW DATESTYLE" => Some(one("DateStyle", "ISO, MDY"))
+        case "SHOW DATESTYLE" => Some(one("DateStyle", "ISO,YMD"))
         case "SHOW PARAMETERS" =>
           Some(Seq(
             ("cairo.sql.backup.root", "QDB_CAIRO_SQL_BACKUP_ROOT", "null"),
@@ -7183,7 +7243,7 @@ object QuestSql {
     * later queries engage the ipv4 operator rewrites (IPv4Test
     * `create table test as (select rnd_int(...)::ipv4 ip ...)`). */
   private[sql] def preRegisterCtasIpv4(q: String): Unit = {
-    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(|\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b|decimal\s*\(""".r
+    if ("""(?i)__ipv4_cast\s*\(|\brnd_ipv4\b|\bnetmask\s*\(|\btimestamp_sequence\s*\(|\brnd_long256\b|\bto_long256\s*\(|::\s*long256\b|\bas\s+long256\b|decimal\s*\(|chr\(CAST\(|::\s*char\b|\brnd_char\s*\(""".r
         .findFirstIn(q).isEmpty) return
     val head = """(?is)^\s*CREATE\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"']?[\w.]+[`"']?)\s+AS\s*\(""".r
     head.findFirstMatchIn(q).foreach { m =>
@@ -7199,6 +7259,17 @@ object QuestSql {
               .foreach { mm =>
                 graft.Catalog.mergeDeclaredCol(
                   unq(m.group(1)).split('.').last, mm.group(2), "IPV4")
+              }
+          }
+          // char-cast items (`(x-1)::char ch` — by now expanded to the
+          // chr(CAST…) CASE) declare CHAR, so the ''≡null-char list
+          // semantics can find them (InTest)
+          if ("""(?i)chr\(CAST\(|::\s*char\b|\brnd_char\s*\(""".r.findFirstIn(item).isDefined) {
+            """(?is)^(.*\S)\s+(?:AS\s+)?`?([A-Za-z_]\w*)`?\s*$""".r.findFirstMatchIn(item.trim)
+              .filter(mm => mm.group(1).contains("(") || mm.group(1).contains("::"))
+              .foreach { mm =>
+                graft.Catalog.mergeDeclaredCol(
+                  unq(m.group(1)).split('.').last, mm.group(2), "CHAR")
               }
           }
           if ("""(?i)\btimestamp_sequence\s*\(""".r.findFirstIn(item).isDefined) {
