@@ -184,9 +184,12 @@ object RefParity {
         // …but only a REJECTION-shaped failure (parse/analysis) counts:
         // a graft-side crash (NPE, codegen, executor failure) on such a
         // case is a real bug, not parity
-        if (c.tier == "exact" && c.expected != null && c.expected.isEmpty &&
+        if (c.expected != null && c.expected.isEmpty &&
             cat == "error" && rejectionShaped(m))
-          ("pass", "")
+          // run-tier too: a returnsOnce("") under try/fail/catch is the
+          // same expected-rejection harvest shape (GeoHashQueryTest
+          // rnd_geohash precision bounds)
+          (if (c.tier == "run") "run_pass" else "pass", "")
         else
           (if (c.tier == "run") (if (cat == "error") "run_error" else cat) else cat,
             s"q: ${c.query.take(200)} -> $m")

@@ -3719,7 +3719,10 @@ object QuestSql {
       val shift = 5 * (chars - 1 - i)
       s"substring('$alpha', CAST((shiftright($numeric, $shift) & 31) AS INT) + 1, 1)"
     }.mkString("concat(", ", ", ")")
-    s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint') THEN $b32" +
+    // double included: reference geohash-from-number casts exist only
+    // for integral types, so a numeric operand here is integral-valued —
+    // Spark's `/` promotion may have made its TYPE double (1000+x/10)
+    s"(CASE WHEN typeof($x) IN ('tinyint', 'smallint', 'int', 'bigint', 'float', 'double') THEN $b32" +
       s" ELSE substring(CAST($x AS STRING), 1, $chars) END)"
   }
 
@@ -6104,7 +6107,8 @@ object QuestSql {
     // here bits is required to be a constant multiple-of-5 surface
     q = expandCalls(q, "rnd_geohash") { case Seq(bits) =>
       val b = bits.trim.toInt
-      require(b >= 1 && b <= 60, s"rnd_geohash: bits in [1,60], got $b")
+      require(b >= 1 && b <= 60,
+        s"invalid rnd_geohash precision must be in [1..60] range, got $b")
       val s = seedOf("rnd_geohash")
       val chars = (1 to b / 5).map { i =>
         s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(floor(${uSql(s"${s}_$i")} * 32) AS INT) + 1, 1)"
