@@ -26,6 +26,21 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Janino-compiled codegen classes are cached by generated source,
+      // but the default cache holds only 100 entries; a session running
+      // a workload of hundreds of distinct queries (this engine's whole
+      // point) evicts every entry before any query repeats, so each
+      // re-execution pays 0.3-1.2 s of whole-stage recompilation
+      // (measured: q_uuid run1 1.57 s vs cached rerun 0.38 s). 4096
+      // entries keeps every plan of a large workload warm for the cost
+      // of some metaspace. Static conf — must be set before the first
+      // session; every entry point builds through here.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Prefer shuffled-hash over sort-merge when per-partition build
+      // sides fit (guide §3.1): skips the per-partition sorts; AQE can
+      // still fall back, and OOM-risky builds are bounded by the same
+      // size checks on a real cluster.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader otherwise rejects; read as long, Tables normalizes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,8 +22,21 @@ object Tables {
     "orders" -> "o_orderdate",
     "lineitem" -> "l_shipdate")
 
+  /** Memo of constructed scan DataFrames per (session, dir, table).
+    * `spark.read.parquet` pays file listing + footer schema inference on
+    * every call (~50-100 ms); a workload touching the same base tables
+    * hundreds of times repays nothing for repeating it. The cached value
+    * is a LAZY plan — every action over it still scans the parquet files
+    * from disk (no data/result caching, only the file index + schema are
+    * reused, exactly like a registered temp view). Cleared whenever DDL
+    * invalidates the session's registration.
+    */
+  private val loadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    load0(spark, dir, name)
+    loadMemo.computeIfAbsent((sessionKey(spark), dir, name),
+      _ => load0(spark, dir, name))
 
   /** Normalize timestamp columns so every operator downstream sees plain
     * `TimestampType` regardless of how the parquet writer spelled them:
@@ -50,7 +63,7 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    load0(spark, dir, "events")
+    load(spark, dir, "events")
 
   private val dirRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -77,8 +90,11 @@ object Tables {
   /** Forget a session's registration so the next [[registerAll]] rebuilds
     * the temp views (called when DDL/DML may have replaced one of them).
     */
-  private[graft] def forgetRegistration(spark: SparkSession): Unit =
-    registeredDir.remove(sessionKey(spark))
+  private[graft] def forgetRegistration(spark: SparkSession): Unit = {
+    val key = sessionKey(spark)
+    registeredDir.remove(key)
+    loadMemo.keySet.removeIf(_._1 == key)
+  }
 
   /** Register every test table as a temp view. Parquet footer reads and
     * view (re-)registration cost ~0.3 s for the 10 tables, so repeat

@@ -42,14 +42,22 @@ object Dsir {
     * Nt/Nr are two bounded driver scalars (as [[NgramLm.train]]'s vocab).
     */
   def train(target: DataFrame, raw: DataFrame, textCol: String, dim: Int): ImportanceModel = {
+    // Each count table has two consumers (the Nt/Nr totals below and the
+    // log-ratio join) — materialize once, read blocks twice. Nt/Nr are
+    // the corpora's total token counts, which equal the sum of the
+    // per-bucket counts (every token lands in exactly one bucket), so
+    // they fold from the ≤dim-row count tables instead of two extra
+    // full tokenize scans of the corpora.
     val t = bucketCounts(target, textCol, dim).withColumnRenamed("c", "ct")
+      .localCheckpoint(false)
     val r = bucketCounts(raw, textCol, dim).withColumnRenamed("c", "cr")
-    def total(df: DataFrame): Long =
-      df.agg(sum(size(Classifier.tokens(col(textCol))))).head() match {
+      .localCheckpoint(false)
+    def total(df: DataFrame, c: String): Long =
+      df.agg(sum(col(c))).head() match {
         case row if row.isNullAt(0) => 0L
         case row => row.getLong(0)
       }
-    val nt = total(target); val nr = total(raw)
+    val nt = total(t, "ct"); val nr = total(r, "cr")
     val lr = t.join(r, Seq("bucket"), "full_outer")
       .select(col("bucket"), q20(
         log((coalesce(col("ct"), lit(0L)) + lit(1L)) / lit(nt + dim.toDouble)) -

@@ -39,8 +39,14 @@ object NgramLm {
     val toks = Classifier.tokens(col(textCol))
     val bg = docs.select(explode(bigrams(toks)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
+    // the unigram table has two consumers (the vocab count here and the
+    // scoring broadcast) — without materialization each re-runs the full
+    // tokenize+explode+aggregate corpus pass; the lazy local checkpoint
+    // computes it once and the second consumer reads blocks (same
+    // pattern as Dedup.jaccardPairs)
     val ug = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
     BigramLm(bg, ug, ug.count())
   }
 
