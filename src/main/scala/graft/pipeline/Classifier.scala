@@ -53,6 +53,26 @@ object Classifier {
     floor(conv(substring(md5(concat(lit(seed), bucket.cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4096.0)) / lit(1048576.0) - lit(0.5)
 
+  /** [[pseudoWeight]] evaluated driver-side for a known bucket id —
+    * bit-identical arithmetic (md5 over UTF-8, first 8 hex chars as an
+    * exact ≤2^32 long, the same double divisions/floors). The weight
+    * table depends only on (seed, dim), so folding all `dim` values into
+    * one literal array swaps a second per-token md5 chain for an array
+    * lookup — model metadata, not data (8 KB at dim=1024).
+    */
+  def pseudoWeightValue(bucket: Long, seed: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((seed + bucket.toString).getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString // first 8 hex chars = 4 bytes
+    math.floor(java.lang.Long.parseLong(hex, 16) / 4096.0) / 1048576.0 - 0.5
+  }
+
+  /** Literal weight-table column for [[pseudoWeight]] over buckets
+    * 0..dim-1 (1-indexed for `element_at`).
+    */
+  def pseudoWeightTable(dim: Int, seed: String): Column =
+    array((0L until dim.toLong).map(b => lit(pseudoWeightValue(b, seed))): _*)
+
   /** Mean-pooled logit over the token stream (exact dyadic sum). */
   def logit(text: Column, dim: Int = 4096, seed: String = "w",
             portable: Boolean = false): Column = {

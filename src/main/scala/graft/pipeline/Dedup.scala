@@ -211,21 +211,33 @@ object Dedup {
     * to the fuzzy-pair graphs the LLM-pipeline operators emit).
     */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-               maxIter: Int = 25): DataFrame = {
+               maxIter: Int = 25, distinctPairs: Boolean = false): DataFrame = {
     // Persist the one-directional pair list before mirroring it: both
     // union branches would otherwise re-run the (expensive) upstream
     // candidate-generation pipeline.
     val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+    // A distinct a<b pair list mirrors to a distinct symmetric edge list
+    // BY CONSTRUCTION ((a,b) unique with a<b ⇒ the mirrored (b,a) are
+    // unique and disjoint from the originals), so callers that guarantee
+    // it (every candidate generator here ends in .distinct()) skip a
+    // full dedup shuffle + a second persisted copy; the union is then a
+    // map-side view over the cached e0 re-read each round. Duplicate
+    // edges would not change the fixpoint (min over duplicates = min) —
+    // the dedup is purely a cost choice for dup-heavy inputs.
+    val dedupEdges = !distinctPairs
+    val mirrored = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = if (dedupEdges) mirrored.distinct().persist() else mirrored
     // Fuse round 1 into initialization: every node starts at
     // min(self, min(neighbors)) — one aggregation instead of an identity
-    // label table plus a full propagation round.
+    // label table plus a full propagation round. Left LAZY (no
+    // checkpoint): round 0 references it twice, but both references share
+    // one canonical aggregation subtree, so exchange/stage reuse computes
+    // it once inside round 0's job — an eager checkpoint here would add a
+    // whole serial job barrier just to save a reused stage.
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("node"), col("lbl"))
-      .localCheckpoint(true)
-    e0.unpersist(blocking = false)
+    if (dedupEdges) e0.unpersist(blocking = false)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -250,18 +262,32 @@ object Dedup {
       labels = next.select("node", "lbl")
       it += 1
     }
-    edges.unpersist()
+    if (dedupEdges) edges.unpersist() else e0.unpersist()
     labels.select(col("node"), col("lbl").as("cluster"))
   }
 
   /** Unpersist the RDD blocks behind a `localCheckpoint`ed DataFrame
     * (Dataset.unpersist only covers CacheManager entries, not the
-    * checkpoint RDD itself).
+    * checkpoint RDD itself). Only the plan ROOT (through projections) is
+    * considered: a deep collectFirst would also match checkpoint RDDs
+    * nested inside the upstream pipeline (e.g. the LSH bucket table
+    * inside a lazily-initialized label plan) and free blocks another
+    * consumer still reads.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @scala.annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 
   /** Keep-one-per-cluster dedup: drop every row whose id belongs to a
     * pair cluster but is not that cluster's minimum; rows in no pair
@@ -269,8 +295,9 @@ object Dedup {
     * `pairs` typically comes from [[minhashCandidates]] or
     * [[Similarity.cosineNearDupPairs]].
     */
-  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    keepOneWithClusters(df, idCol, clusters(pairs))
+  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                        distinctPairs: Boolean = false): DataFrame =
+    keepOneWithClusters(df, idCol, clusters(pairs, distinctPairs = distinctPairs))
 
   /** Same as [[keepOnePerCluster]] but takes precomputed cluster labels
     * (`node`, `cluster`) — lets a pipeline that already ran [[clusters]]

@@ -80,6 +80,47 @@ object Dsir {
         sum(coalesce(col("lr"), lit(model.defaultLr))).as("logw"))
   }
 
+  /** Fused DSIR for the common shape where the target corpus is a SLICE
+    * of the scored corpus (target = docs WHERE pred): the tokenized
+    * bucket stream is materialized ONCE and feeds target counts, raw
+    * counts and per-doc scoring — `train` + `score` tokenize the corpus
+    * three separate times for the same result. Counts are identical
+    * because filtering docs before exploding tokens equals filtering the
+    * exploded stream on the same per-doc predicate. Output is
+    * row-identical to `score(docs, …, train(docs.filter(pred), docs, …))`.
+    */
+  def scoreSelf(docs: DataFrame, idCol: String, textCol: String,
+                targetPred: Column, dim: Int): DataFrame = {
+    val b = docs
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(Classifier.tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("__tgt"),
+        Classifier.bucketPortable(col("w"), dim).as("bucket"))
+      .localCheckpoint(false)
+    val t = b.filter(col("__tgt")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct")).localCheckpoint(false)
+    val r = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr")).localCheckpoint(false)
+    def total(df: DataFrame, c: String): Long =
+      df.agg(sum(col(c))).head() match {
+        case row if row.isNullAt(0) => 0L
+        case row => row.getLong(0)
+      }
+    val nt = total(t, "ct"); val nr = total(r, "cr")
+    val lr = t.join(r, Seq("bucket"), "full_outer")
+      .select(col("bucket"), q20(
+        log((coalesce(col("ct"), lit(0L)) + lit(1L)) / lit(nt + dim.toDouble)) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1L)) / lit(nr + dim.toDouble))).as("lr"))
+    val default = math.floor(
+      (math.log(1.0 / (nt + dim.toDouble)) - math.log(1.0 / (nr + dim.toDouble))) * 1048576.0
+    ) / 1048576.0
+    b.select(col(idCol), col("bucket"))
+      .join(broadcast(lr), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+        sum(coalesce(col("lr"), lit(default))).as("logw"))
+  }
+
   /** Gumbel-top-k resample without replacement, P(doc) ∝ exp(logw):
     * skey = logw + Gumbel(md5-uniform). Deterministic per seed.
     */

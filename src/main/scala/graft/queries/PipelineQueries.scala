@@ -21,8 +21,14 @@ object PipelineQueries extends QueryPack {
       // only: the 100 TB scoring pass is one scan, zero shuffles
       val dim = 1024
       val toks = Classifier.tokens(col("text"))
+      // the per-bucket weights depend only on (seed, dim): precompute
+      // the 1024-entry table driver-side (identical md5/floor arithmetic,
+      // see pseudoWeightValue) and ship it as one literal array — each
+      // token then pays one md5 (the bucket) plus a lookup instead of two
+      // full md5+conv+floor chains inside the interpreted fold
+      val warr = Classifier.pseudoWeightTable(dim, "w")
       val wsum = aggregate(toks, lit(0.0),
-        (acc, t) => acc + Classifier.pseudoWeight(Classifier.bucketPortable(t, dim), "w"))
+        (acc, t) => acc + element_at(warr, Classifier.bucketPortable(t, dim).cast("int") + 1))
       val n = greatest(size(toks), lit(1)).cast("double")
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), size(toks).as("n_toks"), wsum.as("wsum"),
@@ -36,8 +42,7 @@ object PipelineQueries extends QueryPack {
       // corpus (two count shuffles), score every doc (broadcast joins +
       // one partial-agg'd groupBy). Quantized log-probs → exact sums
       val docs = Tables.load(s, dir, "documents")
-      val lm = NgramLm.train(docs, "text")
-      NgramLm.perplexity(docs, "doc_id", "text", lm)
+      NgramLm.trainScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("sum_c12"),
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
@@ -211,7 +216,7 @@ object PipelineQueries extends QueryPack {
       // components (hash-min propagation) → cluster id + size per doc
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4, words = true)
-      val cl = Dedup.clusters(pairs)
+      val cl = Dedup.clusters(pairs, distinctPairs = true) // candidates end in .distinct()
       val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
       cl.join(sizes, Seq("cluster"))
         .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"))
@@ -223,7 +228,7 @@ object PipelineQueries extends QueryPack {
       // summarized per lang
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4, words = true)
-      Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+      Dedup.keepOnePerCluster(docs, "doc_id", pairs, distinctPairs = true)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
         .orderBy(col("lang"))
@@ -686,8 +691,8 @@ object PipelineQueries extends QueryPack {
       // hashed-unigram importance model, Gumbel-top-k with md5-uniform
       // draws — deterministic end to end
       val docs = Tables.load(s, dir, "documents")
-      val model = Dsir.train(docs.filter(col("lang") === "en"), docs, "text", 256)
-      Dsir.resample(Dsir.score(docs, "doc_id", "text", model), "doc_id", 30)
+      Dsir.resample(
+          Dsir.scoreSelf(docs, "doc_id", "text", col("lang") === "en", 256), "doc_id", 30)
         .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"),
           round(col("skey"), 6).as("skey"))
     }),

@@ -130,6 +130,21 @@ class PipelineSpec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: distinctPairs=true skips the dedup shuffle, same labels") {
+    // same chain+pair graph; the a<b distinct input must produce the
+    // identical fixpoint through the no-distinct edge path
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val cl = Dedup.clusters(pairs, distinctPairs = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // and a dup-carrying input still converges to the same labels (dups
+    // cannot change a min — the flag is purely a cost choice)
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val cl2 = Dedup.clusters(dup, distinctPairs = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("clusters: long path needs multiple propagation rounds") {
     // 0-1-2-...-9 path: min label must travel 9 hops
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
