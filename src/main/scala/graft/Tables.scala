@@ -65,6 +65,35 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
 
+  /** Parallelism floor for compute-heavy stages over small scans.
+    * Spark cannot split a parquet file below row-group granularity, so
+    * a small single-row-group file scans as ONE task no matter how many
+    * cores the session has, and a per-row-expensive stage downstream
+    * (codec decode, regex redaction, shingle/token explode) serializes
+    * on that task (guide §2.5 input skew / §6 scan parallelism). When
+    * the source file would scan in fewer splits than the session's
+    * defaultParallelism, redistribute rows round-robin before the heavy
+    * stage; when the scan already yields enough splits — any real-scale
+    * input — this is a NO-OP, so the exchange only exists where it buys
+    * parallelism and nothing changes at cluster scale. Deterministic:
+    * round-robin repartition local-sorts its input first
+    * (spark.sql.execution.sortBeforeRepartition), and every caller is
+    * an order-insensitive aggregation or ends in ORDER BY.
+    */
+  def spread(spark: SparkSession, dir: String, name: String, df: DataFrame): DataFrame = {
+    val bytes = new java.io.File(s"$dir/$name.parquet").length()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val par = spark.sparkContext.defaultParallelism
+    if ((bytes + maxSplit - 1) / maxSplit < par) df.repartition(par) else df
+  }
+
+  /** [[load]] with the [[spread]] parallelism floor applied — for
+    * queries whose first stage does heavy per-row compute on the raw
+    * rows (the LLM-pipeline text/codec operators).
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(spark, dir, name, load(spark, dir, name))
+
   private val dirRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Source path of a registered table (for SHOW PARTITIONS). */

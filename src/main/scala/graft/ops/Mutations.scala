@@ -19,12 +19,13 @@ object Mutations {
     val df = spark.read.parquet(tableDir)
     val nUpdated = df.filter(cond).count()
     if (nUpdated == 0) return 0
+    // write straight to the __tmp sibling — the read side stays the
+    // live directory, so no persist/materialize pass is needed before
+    // the copy-on-write swap (one table pass instead of two)
     val updated = assignments.foldLeft(df) { case (d, (c, e)) =>
       d.withColumn(c, when(cond, e).otherwise(col(c)))
-    }.persist()
-    updated.count() // materialize before overwrite
+    }
     updated.write.mode("overwrite").parquet(tableDir + "__tmp")
-    updated.unpersist()
     swap(tableDir)
     nUpdated
   }
@@ -58,10 +59,9 @@ object Mutations {
     if (nUpdated == 0) return 0
     val updated = assignments.foldLeft(joined) { case (d, (c, e)) =>
       d.withColumn(c, when(hit, e).otherwise(col(c)))
-    }.select(df.columns.map(col): _*).persist()
-    updated.count() // materialize before overwrite
+    }.select(df.columns.map(col): _*)
+    // see updateWhere: __tmp write needs no pre-materialization
     updated.write.mode("overwrite").parquet(tableDir + "__tmp")
-    updated.unpersist()
     swap(tableDir)
     nUpdated
   }
@@ -71,10 +71,8 @@ object Mutations {
     val df = spark.read.parquet(tableDir)
     val n = df.filter(cond).count()
     if (n == 0) return 0
-    val kept = df.filter(!cond).persist()
-    kept.count()
+    val kept = df.filter(!cond)
     kept.write.mode("overwrite").parquet(tableDir + "__tmp")
-    kept.unpersist()
     swap(tableDir)
     n
   }
@@ -110,10 +108,8 @@ object Mutations {
     }
 
   private def rewrite(spark: SparkSession, tableDir: String)(f: DataFrame => DataFrame): Unit = {
-    val out = f(spark.read.parquet(tableDir)).persist()
-    out.count()
-    out.write.mode("overwrite").parquet(tableDir + "__tmp")
-    out.unpersist()
+    f(spark.read.parquet(tableDir))
+      .write.mode("overwrite").parquet(tableDir + "__tmp")
     swap(tableDir)
   }
 

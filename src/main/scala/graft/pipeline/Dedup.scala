@@ -23,10 +23,16 @@ object Dedup {
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int,
                    carry: Seq[String] = Nil): DataFrame =
+    shingleTableRaw(df, idCol, textCol, n, carry).distinct()
+
+  /** [[shingleTable]] without the per-(id, shingle) dedup — see
+    * [[wordShingleTableRaw]] for when this is the right tier.
+    */
+  def shingleTableRaw(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      carry: Seq[String] = Nil): DataFrame =
     df.select((idCol +: carry).map(col) :+ col(textCol).as("__t"): _*)
       .withColumn("__i", explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))))
       .select((idCol +: carry).map(col) :+ expr(s"substring(__t, __i, $n)").as("sh"): _*)
-      .distinct()
 
   /** Word n-gram shingle table: one row per (id, distinct n-word
     * shingle). Far more selective than character shingles on natural
@@ -35,7 +41,18 @@ object Dedup {
     * keeps the plan viable at corpus scale.
     */
   def wordShingleTable(df: DataFrame, idCol: String, textCol: String, n: Int,
-                       carry: Seq[String] = Nil): DataFrame = {
+                       carry: Seq[String] = Nil): DataFrame =
+    wordShingleTableRaw(df, idCol, textCol, n, carry).distinct()
+
+  /** [[wordShingleTable]] WITHOUT the per-(id, shingle) dedup — for
+    * consumers whose downstream aggregation is duplicate-insensitive
+    * (minhash minima, countDistinct), where the `.distinct()` would be
+    * a full extra shuffle of the widest intermediate in the pipeline
+    * (guide §2.4 "a distinct on data that is already unique" — here, a
+    * distinct whose consumer doesn't care).
+    */
+  def wordShingleTableRaw(df: DataFrame, idCol: String, textCol: String, n: Int,
+                          carry: Seq[String] = Nil): DataFrame = {
     val concatExpr = (1 to n).map(j => s"element_at(__w, CAST(i + ${j - 1} AS INT))")
       .mkString("concat_ws(' ', ", ", ", ")")
     df.select((idCol +: carry).map(col) :+ split(trim(col(textCol)), " ").as("__w"): _*)
@@ -43,7 +60,6 @@ object Dedup {
       .withColumn("sh", explode(expr(
         s"transform(sequence(1, size(__w) - ${n - 1}), i -> $concatExpr)")))
       .select((idCol +: carry).map(col) :+ col("sh"): _*)
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs sharing at
@@ -89,9 +105,14 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int, words: Boolean = false): DataFrame = {
+    // RAW shingles: min(md5(seed ‖ sh)) is insensitive to duplicate
+    // shingles, so the per-(id, sh) distinct would be a wasted full
+    // shuffle of the shingle table — duplicates collapse for free in
+    // the partial aggregate below, and the only shuffle this pipeline
+    // pays is the doc-keyed signature rollup (÷|shingles per doc| rows)
     val sh =
-      if (words) wordShingleTable(df, idCol, textCol, n)
-      else shingleTable(df, idCol, textCol, n)
+      if (words) wordShingleTableRaw(df, idCol, textCol, n)
+      else shingleTableRaw(df, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -143,7 +164,16 @@ object Dedup {
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int, minShared: Int,
                     broadcastBench: Boolean = true): DataFrame = {
-    val corpSh = wordShingleTable(corpus, idCol, textCol, n)
+    // RAW corpus shingles: the per-(doc, shingle) dedup the semantics
+    // need ("distinct shared shingles") moves into countDistinct AFTER
+    // the bench join — the join drops every non-matching shingle
+    // map-side, so the dedup's shuffle shrinks from |all corpus
+    // shingles| to just the matched sliver (the old spelling paid a
+    // full distinct shuffle of the corpus shingle table first). The
+    // bench side stays distinct so the broadcast hash table is minimal;
+    // join multiplicity from duplicate corpus shingles can't change a
+    // countDistinct.
+    val corpSh = wordShingleTableRaw(corpus, idCol, textCol, n)
       .select(col(idCol).as("a"), col("sh"))
     val benchSh = wordShingleTable(bench, idCol, textCol, n)
       .select(col(idCol).as("b"), col("sh"))
@@ -151,7 +181,7 @@ object Dedup {
     // callers checking against a benchmark suite too big to broadcast
     // flip to a shingle-partitioned shuffle join instead
     corpSh.join(if (broadcastBench) broadcast(benchSh) else benchSh, Seq("sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("a"), col("b")).agg(countDistinct(col("sh")).as("c"))
       .groupBy(col("a"))
       .agg(count(lit(1)).as("n_bench_docs"), max(col("c")).as("max_shared"))
       .filter(col("max_shared") >= minShared)
@@ -173,7 +203,10 @@ object Dedup {
                          textCol: String, n: Int, minShared: Int,
                          fpp: Double = 0.01,
                          expectedBenchShingles: Long = 0L): DataFrame = {
-    val corpSh = wordShingleTable(corpus, idCol, textCol, n)
+    // RAW corpus shingles + post-join countDistinct — same restructure
+    // as [[contamination]]; the Bloom prefilter drops non-matching
+    // shingles even earlier (before the join's hash probe)
+    val corpSh = wordShingleTableRaw(corpus, idCol, textCol, n)
       .select(col(idCol).as("a"), col("sh"))
     val benchSh = wordShingleTable(bench, idCol, textCol, n)
       .select(col(idCol).as("b"), col("sh"))
@@ -186,7 +219,7 @@ object Dedup {
     val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
     corpSh.filter(mightContain(col("sh")))
       .join(benchSh, Seq("sh")) // exact verify: false positives drop here
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("a"), col("b")).agg(countDistinct(col("sh")).as("c"))
       .groupBy(col("a"))
       .agg(count(lit(1)).as("n_bench_docs"), max(col("c")).as("max_shared"))
       .filter(col("max_shared") >= minShared)
@@ -246,15 +279,24 @@ object Dedup {
         .join(prev.select(col("node").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("dlbl")).as("nmin"))
-      // The convergence flag rides along with the update: the eager
-      // checkpoint is the round's single shuffle job, and the `chg` scan
-      // below only reads the just-materialized blocks (no extra join).
-      val next = prev.join(nbrMin, Seq("node"), "left")
+      // The convergence flag rides along with the update, and the
+      // changed-row COUNT rides the checkpoint job itself as an observed
+      // metric (CollectMetrics accumulator) — the eager checkpoint is
+      // then the round's ONLY action; no follow-up scan job over the
+      // just-materialized blocks.
+      val metricName = s"__cc_chg_$it"
+      val withMetric = prev.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           (col("nmin").isNotNull && col("nmin") < col("lbl")).as("chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("chg")).isEmpty
+        .observe(metricName, sum(when(col("chg"), 1L).otherwise(0L)).as("n"))
+      val next = withMetric.localCheckpoint(true)
+      converged = withMetric.queryExecution.observedMetrics.get(metricName) match {
+        case Some(row) => row.isNullAt(0) || row.getLong(0) == 0L
+        // metric not surfaced (future Spark changing checkpoint's action
+        // path) — fall back to the explicit block scan
+        case None => next.filter(col("chg")).isEmpty
+      }
       // Free the superseded round's checkpoint blocks eagerly — leaving
       // them to the ContextCleaner pins executor storage memory for the
       // rest of the session and evicts other cached data fleet-wide.

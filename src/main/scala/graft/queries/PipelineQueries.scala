@@ -30,7 +30,7 @@ object PipelineQueries extends QueryPack {
       val wsum = aggregate(toks, lit(0.0),
         (acc, t) => acc + element_at(warr, Classifier.bucketPortable(t, dim).cast("int") + 1))
       val n = greatest(size(toks), lit(1)).cast("double")
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), size(toks).as("n_toks"), wsum.as("wsum"),
           round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * wsum / n)), 6).as("score"),
           (wsum > 0.0).as("keep"))
@@ -49,7 +49,7 @@ object PipelineQueries extends QueryPack {
     }),
 
     "q_text_stats" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("__toks", TextAnalysis.tokens(col("text"))) // tokenize once
         .select(
           col("doc_id"),
@@ -61,7 +61,7 @@ object PipelineQueries extends QueryPack {
     }),
 
     "q_lang_id" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId("__toks").as("lang_pred"))
@@ -84,13 +84,13 @@ object PipelineQueries extends QueryPack {
     "q_dedup_jaccard" -> ((s, dir) => {
       // word 3-gram shingles: selective enough that the shingle
       // self-join stays near-linear on natural text
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+      Dedup.jaccardPairs(Tables.loadSpread(s, dir, "documents"),
         "doc_id", "text", 3, Seq("lang"), 0.12, words = true)
         .orderBy(col("a"), col("b"))
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashCandidates(Tables.load(s, dir, "documents"),
+      Dedup.minhashCandidates(Tables.loadSpread(s, dir, "documents"),
         "doc_id", "text", 3, 8, 4, words = true)
         .orderBy(col("a"), col("b"))
     }),
@@ -198,7 +198,7 @@ object PipelineQueries extends QueryPack {
     "q_dedup_pipeline" -> ((s, dir) => {
       // end-to-end dedup: shingle → exact-jaccard confirm (≥0.5) →
       // drop the higher doc_id of each confirmed pair → survivor stats
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, Seq("lang"), 0.5, words = true)
       val dropped = pairs.select(col("b").as("doc_id")).distinct()
       docs.join(dropped, Seq("doc_id"), "left_anti")
@@ -214,7 +214,7 @@ object PipelineQueries extends QueryPack {
     "q_dedup_clusters" -> ((s, dir) => {
       // near-dup clustering: MinHash-LSH candidate pairs → connected
       // components (hash-min propagation) → cluster id + size per doc
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4, words = true)
       val cl = Dedup.clusters(pairs, distinctPairs = true) // candidates end in .distinct()
       val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
@@ -226,7 +226,7 @@ object PipelineQueries extends QueryPack {
     "q_dedup_keep_one" -> ((s, dir) => {
       // canonical corpus dedup: keep each cluster's min doc_id, survivors
       // summarized per lang
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4, words = true)
       Dedup.keepOnePerCluster(docs, "doc_id", pairs, distinctPairs = true)
         .groupBy(col("lang"))
@@ -239,7 +239,7 @@ object PipelineQueries extends QueryPack {
       // synthetic PII (the raw corpus is PII-free) — doc_id-derived
       // emails/SSNs/IPs/phones so hits are nonzero and reproducible.
       // Map-only pass: counts + redaction run inside the scan stage.
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("__t", piiInjected)
         .select(col("doc_id"),
           Pii.piiCount(col("__t")).cast("int").as("n_pii"),
@@ -249,7 +249,7 @@ object PipelineQueries extends QueryPack {
 
     "q_pii_stats" -> ((s, dir) => {
       // corpus PII census per language: category counts + docs hit
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("__t", piiInjected)
         .groupBy(col("lang"))
         .agg(
@@ -272,7 +272,7 @@ object PipelineQueries extends QueryPack {
     "q_contamination" -> ((s, dir) => {
       // benchmark decontamination: corpus docs sharing >=3 distinct
       // word 5-grams with any src0 (eval) doc; bench shingles broadcast
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       Dedup.contamination(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
@@ -311,7 +311,7 @@ object PipelineQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(concat(lit("mix"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .withColumn("__q", TextAnalysis.qualityScore("text", "__toks"))
         .withColumn("__n", size(col("__toks")))
@@ -406,7 +406,7 @@ object PipelineQueries extends QueryPack {
       // with id-derived rate/frames/amplitude, parse them back with the
       // RIFF decoder, extract signal features — the oracle states the
       // closed-form ground truth the decode must recover
-      val src = Tables.events(s, dir).filter(col("event_id") < 200)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 200))
         .select(col("event_id"),
           (lit(8000) + (col("event_id") % 3) * 4000).cast("int").as("rate"),
           (lit(50) + col("event_id") % 100).cast("int").as("frames"),
@@ -430,7 +430,7 @@ object PipelineQueries extends QueryPack {
       // URL-level dedup: canonicalize (lowercase scheme/host, default
       // ports, fragments, tracking params, trailing slash) then count
       // per canonical key — the map-only first pass of web-corpus dedup
-      val ev = Tables.events(s, dir).filter(col("event_id") < 400)
+      val ev = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 400))
       val url = concat(
         when(col("event_id") % 4 === 0, lit("HTTPS://Example.COM:443"))
           .when(col("event_id") % 4 === 1, lit("http://example.com:80"))
@@ -456,7 +456,7 @@ object PipelineQueries extends QueryPack {
       // an ID3v2 tag to skip) and FLAC STREAMINFO blocks from
       // id-derived parameters; the decoder must recover the closed-form
       // rate / frame-count / duration stated by the oracle
-      val src = Tables.events(s, dir).filter(col("event_id") < 120)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 120))
         .select(col("event_id"),
           (lit(9) + col("event_id") % 3).cast("int").as("br_idx"),   // 128/160/192 kbps
           (col("event_id") % 3).cast("int").as("sr_idx"),            // 44100/48000/32000
@@ -484,7 +484,7 @@ object PipelineQueries extends QueryPack {
       // bit-field walk must recover exactly the closed-form values the
       // oracle states (ISO/IEC 11172-3 2.4.1.7; the remaining stub seam
       // is only the perceptual filter-bank synthesis)
-      val src = Tables.events(s, dir).filter(col("event_id") < 150)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 150))
         .select(col("event_id"),
           (lit(9) + col("event_id") % 3).cast("int").as("br_idx"),
           (col("event_id") % 3).cast("int").as("sr_idx"),
@@ -509,7 +509,7 @@ object PipelineQueries extends QueryPack {
       // then the ITU-T companding decode must recover exactly the
       // quantized level the oracle states (constant signal → RMS*32768
       // = the companded codeword's linear value, zero crossings = 0)
-      val src = Tables.events(s, dir).filter(col("event_id") < 200)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 200))
         .select(col("event_id"),
           lit(8000).cast("int").as("rate"),
           (lit(100) + col("event_id") % 50).cast("int").as("frames"),
@@ -534,7 +534,7 @@ object PipelineQueries extends QueryPack {
       // square wave are synthesized per row; the decoder must recover
       // the bit-exact samples — RMS and peak equal amp/32768 exactly,
       // zero-crossing rate is the closed-form flip count
-      val src = Tables.events(s, dir).filter(col("event_id") < 150)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 150))
         .select(col("event_id"),
           lit(44100).cast("int").as("rate"),
           (lit(2048) + (col("event_id") % 4) * 1024).cast("int").as("frames"),
@@ -557,7 +557,7 @@ object PipelineQueries extends QueryPack {
       // counts are closed-form for the synthetic pattern corpus ('abc'
       // collapses to one </w>-terminated piece, 'xyz' stays 4 symbols)
       val merges = Seq(("a", "b"), ("ab", "c"), ("abc", Bpe.Eow))
-      val src = Tables.events(s, dir).filter(col("event_id") < 200)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 200))
         .select(col("event_id"),
           (lit(1) + col("event_id") % 4).cast("int").as("k"),
           (col("event_id") % 3).cast("int").as("j"))
@@ -573,7 +573,7 @@ object PipelineQueries extends QueryPack {
       // real FFT encoder, oracle-gated: bin-aligned sine tones embed as
       // one-hot band vectors (period divides the FFT frame, zero
       // leakage; quantization noise ~2e-5 vanishes at 4-dp rounding)
-      val src = Tables.events(s, dir).filter(col("event_id") < 150)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 150))
         .select(col("event_id"),
           lit(32000).cast("int").as("rate"),
           lit(2048).cast("int").as("frames"),
@@ -596,7 +596,7 @@ object PipelineQueries extends QueryPack {
       // real DCT image encoder, oracle-gated: lossless 32x32 PNGs (solid
       // or half-split) have closed-form DCT coefficients the oracle
       // recomputes from 16-term cosine sums; +0.0 folds -0.0 to 0.0
-      val src = Tables.events(s, dir).filter(col("event_id") < 120)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 120))
         .select(col("event_id"),
           (lit(16) + (col("event_id") % 13) * 17).cast("int").as("shade"),
           (((lit(16) + (col("event_id") % 13) * 17) * 3 + 60) % 240).cast("int").as("shade2"),
@@ -616,7 +616,7 @@ object PipelineQueries extends QueryPack {
       // JPEG frames round-trip sample-exact through the JDK codec, so
       // per-frame mean luma equals the synthesized shade and pts comes
       // straight off the stts sample table
-      val src = Tables.events(s, dir).filter(col("event_id") < 80)
+      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 80))
         .select(col("event_id"),
           (lit(3) + col("event_id") % 4).cast("int").as("frames"),
           element_at(array(lit(10), lit(25), lit(50)),
@@ -634,7 +634,8 @@ object PipelineQueries extends QueryPack {
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {
-      val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
+      val df = Multimodal.asPayload(
+        Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 500)), "props")
       Multimodal.decodeStub(df, "payload")
         .select(col("event_id"),
           col("meta.width").as("width"), col("meta.height").as("height"),
@@ -645,7 +646,7 @@ object PipelineQueries extends QueryPack {
     "q_dedup_substring" -> ((s, dir) => {
       // exact substring dedup stats (Lee et al. 2021): sliding 5-token
       // windows, corpus-wide occurrence totals keyed on the window hash
-      Dedup.duplicateWindowStats(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+      Dedup.duplicateWindowStats(Tables.loadSpread(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy(col("doc_id"))
     }),
 
@@ -654,7 +655,7 @@ object PipelineQueries extends QueryPack {
       // canonical (min id, pos) occurrence; other occurrences' spans are
       // deleted and the text reassembled
       Dedup.removeDuplicateSpans(
-          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          Tables.loadSpread(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", 5)
         .select(col("doc_id"), col("text"),
           when(col("text") === "", 0)
@@ -700,7 +701,7 @@ object PipelineQueries extends QueryPack {
     "q_quality_rules" -> ((s, dir) => {
       // Gopher-style quality rule bundle (word-count bounds scaled to
       // the synthetic corpus; other thresholds are the published ones)
-      Tables.load(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id") +: TextAnalysis.gopherRules("__toks", minWords = 20): _*)
         .orderBy(col("doc_id"))

@@ -766,6 +766,10 @@ object QuestSql {
   }
 
   private def sqlBound0(spark: SparkSession, query: String, named: Map[String, Any]): DataFrame = {
+    // the rewrites below lower dialect functions to the custom registry
+    // (weighted_stddev → weighted_stddev_rel_ref, vec_dot, …) — make the
+    // registry exist no matter which statement reaches a session first
+    graft.Engine.ensureFunctions(spark)
     var q0 = mangleDottedTables(expandDeclare(query.trim.stripSuffix(";")))
     // accumulate across the statement's recursive sub-evaluations (the
     // tails are dropped before subquery materialization re-enters here)
@@ -2590,13 +2594,14 @@ object QuestSql {
   private val DropMatViewRe =
     """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
 
-  private def materializeMatView(spark: SparkSession, name: String, df: DataFrame): Long = {
-    // pin the rows now (lazy checkpoint materializes on first action and
-    // caches the blocks) so base-table mutations stay invisible until an
-    // explicit REFRESH, matching reference mat-view isolation
+  private def materializeMatView(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    // pin the rows now (the EAGER checkpoint is itself the materializing
+    // action) so base-table mutations stay invisible until an explicit
+    // REFRESH, matching reference mat-view isolation; no extra count —
+    // no caller reads one, and it would be one more serial job per
+    // CREATE/REFRESH
     val pinned = df.localCheckpoint(true)
     pinned.createOrReplaceTempView(name)
-    pinned.count()
   }
 
   // UPDATE over session views (reference griffin/UpdateOperatorImpl;
@@ -2867,7 +2872,7 @@ object QuestSql {
         case Some("STATS") => Some(status(spark, "OK")) // cost-model reset: metadata-only
         case kind =>
           val fresh0 = sqlBound(spark, d.inner, Map.empty)
-          val rows = if (kind.isEmpty) { // RANGE FROM .. TO: surgical window replace
+          if (kind.isEmpty) { // RANGE FROM .. TO: surgical window replace
             val tsCol = Option(tsRegistry.get(key)).getOrElse("ts")
             require(fresh0.columns.contains(tsCol),
               s"RANGE refresh needs timestamp column '$tsCol' in the view output")
@@ -2877,8 +2882,11 @@ object QuestSql {
             materializeMatView(spark, name, keep.unionByName(fresh))
           } else materializeMatView(spark, name, fresh0) // FULL | INCREMENTAL
           matViewDirty.remove(key)
-          import spark.implicits._
-          Some(Seq((name, rows)).toDF("view_name", "rows"))
+          // the row count serves LAZILY off the just-pinned checkpoint
+          // blocks — scripted REFRESH statements that discard the result
+          // then pay no extra count job
+          Some(spark.table(name).agg(count(lit(1)).as("rows"))
+            .select(lit(name).as("view_name"), col("rows")))
       }
 
     case CreateLiveViewRe(name0, flushN, flushUnit, memN, memUnit, partBy,
@@ -3107,8 +3115,17 @@ object QuestSql {
         Option(graft.Catalog.declaredCols.get(name.split('.').last.toLowerCase))
           .exists(_.get(c.toLowerCase).exists(_.tpe.toUpperCase.startsWith("SYMBOL")))
       }
-      def countAndNoteSymbols(affectedRows: DataFrame): Long =
-        if (symAssigns.isEmpty) affectedRows.count()
+      // rows_updated is served LAZILY when no symbol bookkeeping rides
+      // along: the one-row result counts the captured PRE-update plan
+      // only if a consumer acts on it, so scripted UPDATE chains whose
+      // per-statement results are discarded pay zero count jobs (the
+      // capture is position-exact: `t` resolves before the view is
+      // replaced, so a later evaluation still counts as-of-statement
+      // rows). Symbol-minting SET lists keep the eager single-pass fold
+      // — the dictionary side effect must land before later statements.
+      def countAndNoteSymbols(affectedRows: DataFrame): DataFrame =
+        if (symAssigns.isEmpty)
+          affectedRows.agg(count(lit(1)).as("rows_updated"))
         else {
           val aggs = count(lit(1)) +: symAssigns.flatMap { case (_, e) =>
             Seq(collect_set(expr(e).cast("string")), max(expr(e).isNull)) }
@@ -3119,7 +3136,7 @@ object QuestSql {
             val sawNull = !r.isNullAt(off + 1) && r.getBoolean(off + 1)
             if (vals.nonEmpty || sawNull) graft.Catalog.noteSymbolValues(name, c, vals, sawNull)
           }
-          r.getLong(0)
+          Seq(r.getLong(0)).toDF("rows_updated")
         }
       val n = if (fromTbl == null) {
         val cond = Option(where).map(expr(_)).getOrElse(lit(true))
@@ -3157,7 +3174,7 @@ object QuestSql {
         affected
       }
       markMatViewsDirty(name, FullRange._1, FullRange._2)
-      Some(Seq(n).toDF("rows_updated"))
+      Some(n)
 
     case SessionNoopRe() =>
       // validated and discarded, like the reference's PG-compat executors

@@ -894,4 +894,62 @@ class PipelineSpec extends SparkSpec {
     val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast LM joins:\n$plan")
   }
+
+  test("minhash signatures identical on raw vs distinct shingles (min is duplicate-insensitive)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa aa bb aa bb cc aa"), // heavy duplicate shingles
+      (2L, "dd ee ff gg dd ee")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.minhashSignatures(df, "doc_id", "text", 2, 4, words = true)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    // the distinct-shingle spelling minhashSignatures used before the
+    // distinct-skip optimization — outputs must be bit-identical
+    val sh = Dedup.wordShingleTable(df, "doc_id", "text", 2)
+    val aggs = (0 until 4).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
+    val dedup = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    assert(raw.toSeq == dedup.toSeq)
+  }
+
+  test("contamination: post-join countDistinct matches pre-join distinct spelling") {
+    import spark.implicits._
+    // corpus doc 1 repeats the contaminated shingle in-text: the raw
+    // shingle table carries duplicates and only countDistinct dedup
+    // keeps max_shared exact
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "totally unrelated words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", 3, 1)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getLong(1) == 1L) // n_bench_docs
+    // doc 1 contains "alpha beta gamma" TWICE; the only shared shingle
+    // with the bench doc is that one, so max_shared must be the
+    // DISTINCT count 1 — a raw count(1) over the joined duplicates
+    // would wrongly report 2
+    assert(out(0).getLong(2) == 1L)
+  }
+
+  test("Tables.spread floors parallelism on small scans, no-ops on large estimated splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    spark.range(100).selectExpr("id", "cast(id as string) AS s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val df = spark.read.parquet(s"$dir/t.parquet")
+    val par = spark.sparkContext.defaultParallelism
+    val small = graft.Tables.spread(spark, dir, "t", df)
+    assert(small.rdd.getNumPartitions == par, "small scan must spread to defaultParallelism")
+    assert(small.orderBy("id").collect().map(_.getLong(0)).toSeq == (0L until 100L).toSeq)
+    // force the estimated split count above parallelism → must be a no-op
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+      val big = graft.Tables.spread(spark, dir, "t", df)
+      assert(big eq df, "large estimated scans must pass through untouched")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }

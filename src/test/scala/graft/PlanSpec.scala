@@ -164,9 +164,12 @@ class PlanSpec extends SparkSpec {
   test("q_pii_redact: one map-only codegen stage — no shuffle before the sort") {
     val p = plan("q_pii_redact")
     // regex counts + redaction all evaluate as projections over the
-    // scan (codegen'd expressions, no UDF boundary); the only exchange
-    // is the final presentation ORDER BY
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // scan (codegen'd expressions, no UDF boundary); the only exchanges
+    // are the parallelism-floor round-robin over the tiny scan
+    // (Tables.spread — absent at real input sizes) and the final
+    // presentation ORDER BY; never a KEYED shuffle of the data
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
     assert(p.contains("regexp_extract_all") && p.contains("regexp_replace"))
     assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"))
   }
@@ -231,15 +234,20 @@ class PlanSpec extends SparkSpec {
   test("q_quality_rules: map-only measures — the single Exchange is the output sort") {
     val p = plan("q_quality_rules")
     assert(!p.contains("Join"), p)
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // output sort + (small-scan-only) parallelism-floor round-robin;
+    // no keyed shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("q_quality_classifier: map-only scoring — the single Exchange is the output sort") {
     val p = plan("q_quality_classifier")
-    // one scan, no joins, no aggregation shuffle; the only Exchange is
-    // the ORDER BY doc_id of the gate itself
+    // one scan, no joins, no aggregation shuffle; the only Exchanges
+    // are the ORDER BY doc_id of the gate itself and the
+    // (small-scan-only) parallelism-floor round-robin
     assert(!p.contains("Join"), p)
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("q_perplexity: LM sides broadcast, doc rollup keeps its partial phase") {
