@@ -36,6 +36,14 @@ object Sessions {
       // of some metaspace. Static conf — must be set before the first
       // session; every entry point builds through here.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // lazily-checkpointed intermediates (shingle/bucket tables …) hold
+      // executor storage until a DRIVER GC lets the ContextCleaner
+      // release the unreferenced RDDs; a workload of hundreds of queries
+      // per session accumulates them far faster than the 30min default,
+      // and the resulting storage pressure/evictions tax every later
+      // query. One minute keeps the cleaner ahead of the workload at any
+      // scale (the GC itself is cheap next to a single query here).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       // Prefer shuffled-hash over sort-merge when per-partition build
       // sides fit (guide §3.1): skips the per-partition sorts; AQE can
       // still fall back, and OOM-risky builds are bounded by the same

@@ -176,6 +176,9 @@ object Similarity {
         .join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("__new"), col("__old")).as("cvec"))
         .localCheckpoint(true) // nlist rows — tiny; truncates the iteration lineage
+      // (measured alternative: collecting the nlist rows to a local
+      // relation per iteration re-plans slower than the checkpointed
+      // block table — keep the checkpoint)
       i += 1
     }
     cent

@@ -201,11 +201,16 @@ object PipelineQueries extends QueryPack {
       val docs = Tables.loadSpread(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, Seq("lang"), 0.5, words = true)
       val dropped = pairs.select(col("b").as("doc_id")).distinct()
-      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .withColumn("__dropped", lit(true))
+      // one corpus pass: survivors and totals fold into the SAME per-lang
+      // aggregate over the dropped-marker left join (the anti-join +
+      // second groupBy + join-back spelling scanned the corpus twice and
+      // shuffled three times for the same numbers)
+      docs.join(dropped, Seq("doc_id"), "left")
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("n_chars")).as("chars_kept"))
-        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total")), Seq("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("__dropped").isNull, 1)).as("n_kept"),
+          sum(when(col("__dropped").isNull, col("n_chars"))).as("chars_kept"))
         .select(col("lang"), col("n_total"), col("n_kept"),
           (col("n_total") - col("n_kept")).as("n_dropped"), col("chars_kept"))
         .orderBy(col("lang"))
@@ -634,8 +639,7 @@ object PipelineQueries extends QueryPack {
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {
-      val df = Multimodal.asPayload(
-        Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 500)), "props")
+      val df = Multimodal.asPayload(Tables.events(s, dir).filter(col("event_id") < 500), "props")
       Multimodal.decodeStub(df, "payload")
         .select(col("event_id"),
           col("meta.width").as("width"), col("meta.height").as("height"),
