@@ -259,52 +259,65 @@ object Dedup {
     // the dedup is purely a cost choice for dup-heavy inputs.
     val dedupEdges = !distinctPairs
     val mirrored = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val edges = if (dedupEdges) mirrored.distinct().persist() else mirrored
+    // Pre-partition the cached edge table by the join key: every round
+    // joins edges on `dst`, and a cached DataFrame keeps its plan's
+    // output partitioning, so the edge side of the per-round join never
+    // shuffles again — ONE |edges| exchange total instead of one per
+    // round (the edge table is the largest relation in the loop).
+    val edges = (if (dedupEdges) mirrored.distinct() else mirrored)
+      .repartition(col("dst")).persist()
     // Fuse round 1 into initialization: every node starts at
     // min(self, min(neighbors)) — one aggregation instead of an identity
     // label table plus a full propagation round. Left LAZY (no
-    // checkpoint): round 0 references it twice, but both references share
-    // one canonical aggregation subtree, so exchange/stage reuse computes
-    // it once inside round 0's job — an eager checkpoint here would add a
-    // whole serial job barrier just to save a reused stage.
+    // checkpoint): an eager checkpoint here would add a whole serial job
+    // barrier; round 1's single action materializes it.
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("node"), col("lbl"))
-    if (dedupEdges) e0.unpersist(blocking = false)
     var converged = false
+    // Labels are monotone non-increasing, so the fixpoint is reached
+    // exactly when Σ lbl stops falling — a per-round scalar the
+    // checkpoint job emits as an observed metric. decimal(38,0) keeps
+    // the sum exact for any id range (a wrapped long sum could alias).
+    var lastSum: Option[java.math.BigDecimal] = None
     var it = 0
     while (!converged && it < maxIter) {
       val prev = labels
-      val nbrMin = edges
+      // propagate ∪ retain, one aggregation: min over (own label +
+      // every neighbor's label). Equivalent to the join+left-join
+      // spelling but with one fewer join and one fewer exchange per
+      // round; the round's eager checkpoint is its ONLY action.
+      val metricName = s"__cc_sum_$it"
+      val withMetric = edges
         .join(prev.select(col("node").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dlbl")).as("nmin"))
-      // The convergence flag rides along with the update, and the
-      // changed-row COUNT rides the checkpoint job itself as an observed
-      // metric (CollectMetrics accumulator) — the eager checkpoint is
-      // then the round's ONLY action; no follow-up scan job over the
-      // just-materialized blocks.
-      val metricName = s"__cc_chg_$it"
-      val withMetric = prev.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin").isNotNull && col("nmin") < col("lbl")).as("chg"))
-        .observe(metricName, sum(when(col("chg"), 1L).otherwise(0L)).as("n"))
+        .select(col("src").as("node"), col("dlbl").as("lbl"))
+        .union(prev)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .observe(metricName, sum(col("lbl").cast("decimal(38,0)")).as("s"))
       val next = withMetric.localCheckpoint(true)
       converged = withMetric.queryExecution.observedMetrics.get(metricName) match {
-        case Some(row) => row.isNullAt(0) || row.getLong(0) == 0L
-        // metric not surfaced (future Spark changing checkpoint's action
-        // path) — fall back to the explicit block scan
-        case None => next.filter(col("chg")).isEmpty
+        case Some(row) =>
+          val s = row.getDecimal(0) // null ⇔ empty label table (a fixpoint)
+          val same = s == null || lastSum.exists(p => p != null && p.compareTo(s) == 0)
+          lastSum = Some(s)
+          same
+        case None =>
+          // metric not surfaced (future Spark changing checkpoint's
+          // action path) — explicit diff against the previous round
+          next.join(prev.withColumnRenamed("lbl", "__plbl"), Seq("node"))
+            .filter(col("lbl") < col("__plbl")).isEmpty
       }
+      // round 1's action materialized the edges cache — the one-sided
+      // pair list behind it is no longer needed by anyone
+      if (it == 0) e0.unpersist(blocking = false)
       // Free the superseded round's checkpoint blocks eagerly — leaving
       // them to the ContextCleaner pins executor storage memory for the
       // rest of the session and evicts other cached data fleet-wide.
       unpersistCheckpoint(prev)
-      labels = next.select("node", "lbl")
+      labels = next
       it += 1
     }
-    if (dedupEdges) edges.unpersist() else e0.unpersist()
+    edges.unpersist(blocking = false)
     labels.select(col("node"), col("lbl").as("cluster"))
   }
 

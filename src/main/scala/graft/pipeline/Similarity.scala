@@ -112,11 +112,13 @@ object Similarity {
                     nlist: Int, threshold: Double,
                     centroids: Option[DataFrame] = None): DataFrame = {
     val cent = centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nlist))
-    val assigned = ivfAssign(df, cent, idCol, vecCol)
-    // consumed by both pair-join legs and the final projection — the
-    // lazy local checkpoint materializes the assignment pass once
-    // instead of re-running it per consumer (same pattern as Dedup)
-    val withC = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    // assignment carries the vector through the arg-max aggregate (one
+    // corpus pass; no id-keyed re-attach join). Consumed by both
+    // pair-join legs and the final projection — the lazy local
+    // checkpoint materializes the pass once instead of re-running it
+    // per consumer (same pattern as Dedup)
+    val withC = ivfAssignWith(df, cent, idCol, vecCol, Seq(vecCol -> col(vecCol)))
+      .select(col(idCol), col(vecCol), col("cid"))
       .localCheckpoint(false)
     val dups = cosineNearDupPairs(withC, idCol, vecCol, "cid", threshold)
       .select(col("b").as(idCol)).distinct().withColumn("__dup", lit(true))
@@ -159,13 +161,14 @@ object Similarity {
   def ivfCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
                          nlist: Int, iters: Int = 3): DataFrame = {
     ensureDot(corpus)
-    val c = corpus.select(col(idCol), col(vecCol).as("__v"))
     var cent = ivfCentroids(corpus, idCol, vecCol, nlist)
     var i = 0
     while (i < iters) {
-      val assigned = ivfAssign(corpus, cent, idCol, vecCol)
-      val means = c.join(assigned, Seq(idCol))
-        .select(col("cid"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      // assignment carries the vector — the per-iteration mean needs no
+      // id-keyed join back to the corpus (one pass per Lloyd round)
+      val means = ivfAssignWith(corpus, cent, idCol, vecCol,
+          Seq("__vc" -> col(vecCol)))
+        .select(col("cid"), posexplode(col("__vc")).as(Seq("__p", "__x")))
         .groupBy(col("cid"), col("__p"))
         .agg(round(avg(col("__x")), 6).as("__m"))
         .groupBy(col("cid"))
@@ -194,9 +197,26 @@ object Similarity {
     * by.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
+                idCol: String, vecCol: String): DataFrame =
+    ivfAssignWith(corpus, centroids, idCol, vecCol, Nil)
+      .select(col(idCol), col("cid"))
+
+  /** [[ivfAssign]] that additionally CARRIES map-only per-row columns
+    * through the arg-max aggregate (`extra`: output name → expression
+    * over the corpus row). Each carried value is constant within its
+    * id group (one corpus row expands to nlist candidate rows), so
+    * `first` is deterministic and collapses map-side exactly like the
+    * arg-max buffer. This is the single-pass seam the IVF compositions
+    * glue on: without it, attaching the vector / PQ code back to the
+    * assignment costs a SECOND corpus scan plus an id-keyed shuffle
+    * join — at 100 TB, a whole extra pass over the corpus.
+    */
+  def ivfAssignWith(corpus: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String,
+                    extra: Seq[(String, Column)]): DataFrame = {
     ensureDot(corpus)
-    val c = corpus.select(col(idCol), col(vecCol).as("__v"))
+    val c = corpus.select(
+      (col(idCol) +: extra.map { case (n, e) => e.as(n) }) :+ col(vecCol).as("__v"): _*)
       .withColumn("__vn", sqrt(dot("__v", "__v")))
     val cent = centroids.withColumn("__cn", sqrt(dot("cvec", "cvec")))
     val sim = round(dot("__v", "cvec") / (col("__vn") * col("__cn")), 6)
@@ -208,11 +228,12 @@ object Similarity {
     // subtract cid — same total order the oracle spells as
     // `ORDER BY round(sim, 6) DESC, cid ASC`.
     val ord = round(col("__csim") * 1e6, 0).cast("long") * 2147483648L - col("cid")
+    val aggs = max_by(col("cid"), ord).as("cid") +:
+      extra.map { case (n, _) => first(col(n)).as(n) }
     c.join(broadcast(cent), lit(true))
       .withColumn("__csim", sim)
       .groupBy(col(idCol))
-      .agg(max_by(col("cid"), ord).as("cid"))
-      .select(col(idCol), col("cid"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest inverted lists
@@ -227,8 +248,12 @@ object Similarity {
               centroids: Option[DataFrame] = None): DataFrame = {
     ensureDot(corpus)
     val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
-    val lists = ivfAssign(corpus, cent, idCol, vecCol)
-      .select(col(idCol).as("cid_doc"), col("cid"))
+    // inverted-list id AND the vector in ONE corpus pass: the carried
+    // vector rides the arg-max aggregate, so the exact-rank stage below
+    // needs no second corpus scan and no id-keyed re-attach join
+    val lists = ivfAssignWith(corpus, cent, idCol, vecCol, Seq("ce" -> col(vecCol)))
+      .withColumn("cn", sqrt(dot("ce", "ce")))
+      .select(col(idCol).as("cid_doc"), col("cid"), col("ce"), col("cn"))
 
     // probe lists per query: nprobe nearest centroids. Like the assign
     // arg-max, this must not shuffle the queries×nlist broadcast
@@ -255,11 +280,8 @@ object Similarity {
     // candidates = probed lists only; exact cosine rank within them —
     // via the bounded topk_pairs aggregate (see cosineTopK for the
     // µ-unit round trip), not a qid window over the candidate join
-    val c = corpus.select(col(idCol).as("cid_doc"), col(vecCol).as("ce"))
-      .withColumn("cn", sqrt(dot("ce", "ce")))
     val sim = round(dot("qe", "ce") / (col("qn") * col("cn")), 6)
     val scored = probes.join(lists, Seq("cid"))
-      .join(c, Seq("cid_doc"))
       .filter(col("qid") =!= col("cid_doc"))
       .withColumn("__ord", -round(sim * 1e6, 0).cast("long"))
     rankTopK(scored, "qid", "__ord", "cid_doc", k)
@@ -331,13 +353,23 @@ object Similarity {
                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     ensureDot(corpus)
     val cb = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, k))
+    corpus.select(col(idCol), pqCodeColumn(col(vecCol), cb).as("code"))
+  }
+
+  /** The per-row PQ code expression (array of m nearest-codeword
+    * indices) — factored so compositions can evaluate it inside another
+    * single-pass stage instead of running [[pqEncode]] as a separate
+    * corpus scan.
+    */
+  private def pqCodeColumn(vec: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
     val dsub = cb(0)(0).length
     val codeCols = (0 until m).map { s =>
-      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val sub = slice(vec, s * dsub + 1, dsub)
       val du = array(pqDistUs(sub, cb(s)): _*)
       (array_position(du, array_min(du)) - 1).cast("int")
     }
-    corpus.select(col(idCol), array(codeCols: _*).as("code"))
+    array(codeCols: _*)
   }
 
   /** PQ approximate top-k by asymmetric distance (ADC): each query
@@ -393,10 +425,11 @@ object Similarity {
     val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
     val cb = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, kcode))
     val dsub = cb(0)(0).length
-    // corpus side: inverted-list id (keyed arg-max agg) + PQ code
-    // (map-only) — one id-keyed join gluing the two single-pass outputs
-    val docs = ivfAssign(corpus, cent, idCol, vecCol)
-      .join(pqEncode(corpus, idCol, vecCol, m, kcode, Some(cb)), Seq(idCol))
+    // corpus side: inverted-list id and PQ code in ONE pass — the
+    // map-only code expression rides the arg-max aggregate as a carried
+    // column, replacing the old second corpus scan + id-keyed glue join
+    val docs = ivfAssignWith(corpus, cent, idCol, vecCol,
+        Seq("code" -> pqCodeColumn(col(vecCol), cb)))
       .select(col(idCol).as("cid_doc"), col("cid"), col("code"))
 
     // query side: probe set (same bounded map-side top-nprobe as
