@@ -447,6 +447,10 @@ object NsMetaPropagationRule extends org.apache.spark.sql.catalyst.rules.Rule[
       case Min(c) => NsCarrier.isNs(c)
       case First(c, _) => NsCarrier.isNs(c)
       case Last(c, _) => NsCarrier.isNs(c)
+      // the O(n) sliding-frame tier returns its value argument's type
+      // (min/max/first/last over a time-RANGE frame) — ns-ness follows
+      // the value exactly like the native aggregates above
+      case s: graft.functions.SlidingRangeAgg => NsCarrier.isNs(s.value)
       case _ => false
     }
     case we: WindowExpression => unitPreservingNs(we.windowFunction)

@@ -1740,8 +1740,18 @@ object DialectRewrites {
   def slidingValueFrames(q0: String): String = {
     if (!"""(?i)\brange\s+(?:between\s+\d+\s+preceding\s+and\s+current\s+row|\d+\s+preceding)"""
         .r.findFirstIn(q0).isDefined) return q0
-    // tokens: up-to-2-deep paren nesting with quoted strings
-    val n2 = "(?:[^()']|'[^']*'|\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\))"
+    // tokens: paren nesting with quoted strings. Depth 6: a
+    // timestamp_ns order key arrives here already normalized by
+    // timeRangeFrames into a CASE WHEN typeof(..) .. unix_micros(CASE
+    // .. timestamp_micros(cast(..)) ..) expression — five levels deep.
+    // A too-shallow token regex silently SKIPS the rewrite and the
+    // sliding min/max stays on Spark's SlidingWindowFunctionFrame,
+    // which re-aggregates the whole buffer per row: O(rows × frame),
+    // a timeout on the reference's 400k-row ns window cases.
+    def nest(d: Int): String =
+      if (d == 0) "(?:[^()']|'[^']*')"
+      else s"(?:[^()']|'[^']*'|\\(${nest(d - 1)}*\\))"
+    val n2 = nest(6)
     val pat = java.util.regex.Pattern.compile(
       "(?i)\\b(first_value|last_value|min|max)\\s*\\(\\s*(" + n2 + "+?)\\s*\\)\\s*" +
         "(?:(ignore|respect)\\s+nulls\\s*)?" +
