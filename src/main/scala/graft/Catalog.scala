@@ -1385,6 +1385,18 @@ object Catalog {
   def invalidateMetaViews(spark: SparkSession): Unit =
     metaBuilt.remove(sessionKey(spark))
 
+  /** Sessions whose CONSTANT pg_catalog views are registered. 12 of the
+    * 15 pg views are static by construction (literal rows or
+    * empty-with-schema — pg_type, pg_roles, …): no DDL can change them,
+    * so they are built once per session and survive
+    * [[invalidateMetaViews]]. Only the catalog snapshots (pg_class,
+    * pg_attribute, pg_proc, information_schema.*) rebuild after DDL —
+    * a DDL-heavy workload otherwise re-collects and re-registers all 15
+    * views on every later pg_catalog query (~1 s each time).
+    */
+  private val metaStaticBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ensureMetaViews(spark: SparkSession,
                       info: Boolean = true, pg: Boolean = true): Unit = {
     val (haveInfo, havePg) =
@@ -1398,21 +1410,25 @@ object Catalog {
       reg("information_schema", "columns", informationSchemaColumns(spark))
     }
     if (pg && !havePg) {
-      reg("pg_catalog", "pg_namespace", pgNamespace(spark))
+      // catalog-dependent snapshots — refreshed after any DDL
       reg("pg_catalog", "pg_class", pgClass(spark))
       reg("pg_catalog", "pg_attribute", pgAttribute(spark))
-      reg("pg_catalog", "pg_database", pgDatabase(spark))
-      reg("pg_catalog", "pg_type", pgType(spark))
       reg("pg_catalog", "pg_proc", pgProc(spark))
-      reg("pg_catalog", "pg_extension", pgExtension(spark))
-      reg("pg_catalog", "pg_attrdef", pgAttrDef(spark))
-      reg("pg_catalog", "pg_description", pgDescription(spark))
-      reg("pg_catalog", "pg_enum", pgEnum(spark))
-      reg("pg_catalog", "pg_index", pgIndex(spark))
-      reg("pg_catalog", "pg_inherits", pgInherits(spark))
-      reg("pg_catalog", "pg_locks", pgLocks(spark))
-      reg("pg_catalog", "pg_range", pgRange(spark))
-      reg("pg_catalog", "pg_roles", pgRoles(spark))
+      if (metaStaticBuilt.add(sessionKey(spark))) {
+        // constants — once per session, immune to DDL
+        reg("pg_catalog", "pg_namespace", pgNamespace(spark))
+        reg("pg_catalog", "pg_database", pgDatabase(spark))
+        reg("pg_catalog", "pg_type", pgType(spark))
+        reg("pg_catalog", "pg_extension", pgExtension(spark))
+        reg("pg_catalog", "pg_attrdef", pgAttrDef(spark))
+        reg("pg_catalog", "pg_description", pgDescription(spark))
+        reg("pg_catalog", "pg_enum", pgEnum(spark))
+        reg("pg_catalog", "pg_index", pgIndex(spark))
+        reg("pg_catalog", "pg_inherits", pgInherits(spark))
+        reg("pg_catalog", "pg_locks", pgLocks(spark))
+        reg("pg_catalog", "pg_range", pgRange(spark))
+        reg("pg_catalog", "pg_roles", pgRoles(spark))
+      }
     }
     metaBuilt.put(sessionKey(spark), (haveInfo || info, havePg || pg))
   }
