@@ -1414,7 +1414,11 @@ object Catalog {
       reg("pg_catalog", "pg_class", pgClass(spark))
       reg("pg_catalog", "pg_attribute", pgAttribute(spark))
       reg("pg_catalog", "pg_proc", pgProc(spark))
-      if (metaStaticBuilt.add(sessionKey(spark))) {
+      // The latch alone has no recovery path if a static view is later
+      // dropped (client DROP VIEW, catalog reset) — verify one sentinel
+      // view cheaply (in-memory catalog lookup) before trusting it.
+      if (metaStaticBuilt.add(sessionKey(spark)) ||
+          !spark.catalog.tableExists("pg_catalog.pg_type")) {
         // constants — once per session, immune to DDL
         reg("pg_catalog", "pg_namespace", pgNamespace(spark))
         reg("pg_catalog", "pg_database", pgDatabase(spark))

@@ -43,7 +43,14 @@ object JobProf {
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"[jobprof] $q: $e") }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(50) // let listener events drain before reading counters
+      // drain the async listener bus before reading counters — a fixed
+      // sleep races late StageCompleted events into the next query's row
+      // under load (listenerBus is private[spark]; public at bytecode)
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(50) }
       println(f"$q%-28s $sec%7.3f ${jobs.get}%5d ${stages.get}%7d ${tasks.get}%7d")
     }
     spark.stop()

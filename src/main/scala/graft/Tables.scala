@@ -80,11 +80,41 @@ object Tables {
     * (spark.sql.execution.sortBeforeRepartition), and every caller is
     * an order-insensitive aggregation or ends in ORDER BY.
     */
-  def spread(spark: SparkSession, dir: String, name: String, df: DataFrame): DataFrame = {
-    val bytes = new java.io.File(s"$dir/$name.parquet").length()
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val par = spark.sparkContext.defaultParallelism
-    if ((bytes + maxSplit - 1) / maxSplit < par) df.repartition(par) else df
+    scanBytes(df) match {
+      case Some(bytes) if (bytes + maxSplit - 1) / maxSplit < par =>
+        df.repartition(par)
+      case _ => df
+    }
+  }
+
+  /** Total data-file bytes behind a scan, read from the plan's own file
+    * index. A bare `java.io.File(path).length()` is wrong everywhere
+    * except a single-file local table: it returns 0 on HDFS/S3/ABFS and
+    * the ~4 KB directory-entry size for directory-layout parquet tables
+    * (what Spark writers and `ops.Mutations.swap` produce), which would
+    * invert the "no-op at real scale" gate into an unconditional
+    * reshuffle. The `FileIndex` behind the relation sums leaf data files
+    * on any Hadoop filesystem. Leaves that are not file scans
+    * (in-memory relations, checkpoints) report unknown — treated as
+    * large so the gate never adds an exchange it cannot justify.
+    */
+  private def scanBytes(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // analyzed, not logical: a fresh `spark.read.parquet` Dataset's
+    // unanalyzed plan is still an UnresolvedDataSource leaf
+    val sizes = df.queryExecution.analyzed.collectLeaves().map {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => Some(fs.location.sizeInBytes)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (sizes.nonEmpty && sizes.forall(_.isDefined)) Some(sizes.flatten.sum)
+    else None
   }
 
   /** [[load]] with the [[spread]] parallelism floor applied — for
@@ -92,7 +122,7 @@ object Tables {
     * rows (the LLM-pipeline text/codec operators).
     */
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark, dir, name, load(spark, dir, name))
+    spread(spark, load(spark, dir, name))
 
   private val dirRegistry = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -121,8 +151,12 @@ object Tables {
     */
   private[graft] def forgetRegistration(spark: SparkSession): Unit = {
     val key = sessionKey(spark)
-    registeredDir.remove(key)
-    loadMemo.keySet.removeIf(_._1 == key)
+    val dir = Option(registeredDir.remove(key))
+    // Drop the mutating session's entries AND any other session's memo
+    // over the same dir: a mutation (ops.Mutations.swap) replaces files
+    // under the dir, so a sibling session's memoized DataFrame would
+    // keep a stale file index that load() used to rebuild per call.
+    loadMemo.keySet.removeIf(k => k._1 == key || dir.contains(k._2))
   }
 
   /** Register every test table as a temp view. Parquet footer reads and

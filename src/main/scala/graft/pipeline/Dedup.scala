@@ -208,16 +208,33 @@ object Dedup {
     // shingles even earlier (before the join's hash probe)
     val corpSh = wordShingleTableRaw(corpus, idCol, textCol, n)
       .select(col(idCol).as("a"), col("sh"))
+    // three bench-side consumers (count for sizing, filter build, exact
+    // join) — materialize the bench shingle explode once instead of
+    // re-running it per consumer (same lazy-checkpoint rationale as
+    // jaccardPairs; the bench side is the small one by contract)
     val benchSh = wordShingleTable(bench, idCol, textCol, n)
       .select(col(idCol).as("b"), col("sh"))
+      .localCheckpoint(false)
     // sizing the filter needs the bench shingle count — bench-scale
     // metadata work; callers that know it pass it to skip the action
     val nItems = if (expectedBenchShingles > 0) expectedBenchShingles
       else math.max(1000L, benchSh.count())
-    val bf = benchSh.stat.bloomFilter("sh", nItems, fpp)
-    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bfB.value.mightContain(s))
-    corpSh.filter(mightContain(col("sh")))
+    // Build over xxhash64(sh) longs and probe with Spark's native
+    // codegen'd BloomFilterMightContain — the Scala-closure UDF probe
+    // was an interpreted expression on EVERY raw corpus shingle, the
+    // hottest row count in the plan (guide §4.1: prefer built-ins in the
+    // hot path). putLong/mightContainLong sides agree; hash collisions
+    // only add false positives, which the exact join below re-verifies,
+    // so the output is unchanged.
+    val bf = benchSh.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", nItems, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    graft.functions.BloomProbe.register(corpus.sparkSession)
+    corpSh.filter(call_function("bloom_might_contain", lit(bfBytes), xxhash64(col("sh"))))
       .join(benchSh, Seq("sh")) // exact verify: false positives drop here
       .groupBy(col("a"), col("b")).agg(countDistinct(col("sh")).as("c"))
       .groupBy(col("a"))
@@ -270,52 +287,80 @@ object Dedup {
     // min(self, min(neighbors)) — one aggregation instead of an identity
     // label table plus a full propagation round. Left LAZY (no
     // checkpoint): an eager checkpoint here would add a whole serial job
-    // barrier; round 1's single action materializes it.
+    // barrier; the first action materializes it.
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("node"), col("lbl"))
+    // The Σ-lbl convergence metric needs an exactly-summable label type:
+    // for numeric ids decimal(38,0) is exact at any range. Any OTHER
+    // label type (string node ids…) casts to null per row — a null sum
+    // would read as "empty table ⇒ fixpoint" and silently converge after
+    // round 1 with wrong clusters — so non-numeric labels route to the
+    // explicit-diff check instead.
+    val numericLabels = labels.schema("lbl").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    // propagate ∪ retain, one aggregation: min over (own label + every
+    // neighbor's label). Equivalent to the join+left-join spelling but
+    // with one fewer join and one fewer exchange per round.
+    def propagate(prev: DataFrame): DataFrame = edges
+      .join(prev.select(col("node").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
+      .select(col("src").as("node"), col("dlbl").as("lbl"))
+      .union(prev)
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
     var converged = false
-    // Labels are monotone non-increasing, so the fixpoint is reached
-    // exactly when Σ lbl stops falling — a per-round scalar the
-    // checkpoint job emits as an observed metric. decimal(38,0) keeps
-    // the sum exact for any id range (a wrapped long sum could alias).
+    // Labels are monotone non-increasing over a FIXED node set, so the
+    // fixpoint is reached exactly when Σ lbl stops falling — a per-round
+    // scalar the checkpoint job emits as an observed metric.
     var lastSum: Option[java.math.BigDecimal] = None
+    def sameSum(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+      (a == null && b == null) || // null ⇔ empty label table (a fixpoint)
+        (a != null && b != null && a.compareTo(b) == 0)
     var it = 0
     while (!converged && it < maxIter) {
       val prev = labels
-      // propagate ∪ retain, one aggregation: min over (own label +
-      // every neighbor's label). Equivalent to the join+left-join
-      // spelling but with one fewer join and one fewer exchange per
-      // round; the round's eager checkpoint is its ONLY action.
-      val metricName = s"__cc_sum_$it"
-      val withMetric = edges
-        .join(prev.select(col("node").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
-        .select(col("src").as("node"), col("dlbl").as("lbl"))
-        .union(prev)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .observe(metricName, sum(col("lbl").cast("decimal(38,0)")).as("s"))
-      val next = withMetric.localCheckpoint(true)
-      converged = withMetric.queryExecution.observedMetrics.get(metricName) match {
-        case Some(row) =>
-          val s = row.getDecimal(0) // null ⇔ empty label table (a fixpoint)
-          val same = s == null || lastSum.exists(p => p != null && p.compareTo(s) == 0)
-          lastSum = Some(s)
-          same
-        case None =>
-          // metric not surfaced (future Spark changing checkpoint's
-          // action path) — explicit diff against the previous round
-          next.join(prev.withColumnRenamed("lbl", "__plbl"), Seq("node"))
-            .filter(col("lbl") < col("__plbl")).isEmpty
+      if (numericLabels) {
+        // ONE propagation round per checkpoint action, convergence
+        // observed on the checkpoint job itself. (Measured and REJECTED:
+        // unrolling two rounds into one action — `prev` feeds both the
+        // join leg and the union retain leg, so an unmaterialized
+        // round-A subtree gets computed twice inside round B's plan;
+        // isolated A/B: q_dedup_clusters 2.6 → 3.5 s, jobs 24 → 31,
+        // tasks 399 → 624. The per-round checkpoint is what keeps each
+        // round's two references to `prev` cheap block reads.)
+        val metricName = s"__cc_sum_$it"
+        val withMetric = propagate(prev)
+          .observe(metricName, sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        val next = withMetric.localCheckpoint(true)
+        converged = withMetric.queryExecution.observedMetrics.get(metricName) match {
+          case Some(row) =>
+            val s = row.getDecimal(0)
+            val same = lastSum.exists(p => sameSum(p, s)) || s == null
+            lastSum = Some(s)
+            same
+          case None =>
+            // metric not surfaced (future Spark changing checkpoint's
+            // action path) — explicit diff against the previous round
+            next.join(prev.withColumnRenamed("lbl", "__plbl"), Seq("node"))
+              .filter(col("lbl") < col("__plbl")).isEmpty
+        }
+        it += 1
+        labels = next
+      } else {
+        val next = propagate(prev).localCheckpoint(true)
+        converged = next.join(prev.withColumnRenamed("lbl", "__plbl"), Seq("node"))
+          .filter(col("lbl") < col("__plbl")).isEmpty
+        it += 1
+        labels = next
       }
-      // round 1's action materialized the edges cache — the one-sided
+      // the first action materialized the edges cache — the one-sided
       // pair list behind it is no longer needed by anyone
-      if (it == 0) e0.unpersist(blocking = false)
+      if (it <= 1) e0.unpersist(blocking = false)
       // Free the superseded round's checkpoint blocks eagerly — leaving
       // them to the ContextCleaner pins executor storage memory for the
       // rest of the session and evicts other cached data fleet-wide.
       unpersistCheckpoint(prev)
-      labels = next
-      it += 1
     }
     edges.unpersist(blocking = false)
     labels.select(col("node"), col("lbl").as("cluster"))

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -128,15 +127,62 @@ object Similarity {
         coalesce(col("__dup"), lit(false)).as("dup"))
   }
 
+  /** Top-n seed vectors in deterministic md5-hash order of the id —
+    * ONE bounded collect (model metadata: n = max(nlist, k) rows) shared
+    * by centroid AND codebook construction, so the IVF-PQ compositions
+    * pay a single seed pass instead of one per artifact.
+    */
+  private def seedVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                          n: Int): Array[Seq[Any]] =
+    corpus
+      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
+      .withColumn("__h", md5(col("__sid").cast("string")))
+      .orderBy(col("__h").asc, col("__sid").asc)
+      .limit(n)
+      .collect() // ≤ n rows, bounded by construction
+      .map(_.getSeq[Any](1))
+
+  /** The (cid, cvec) centroid table as a LOCAL relation over collected
+    * seed vectors. Centroids are broadcast by every consumer (assignment
+    * leg, probe leg): as a lazy plan each broadcast re-ran the corpus
+    * scan+hash-sort behind the seeds — 2-3 bounded-but-full passes per
+    * IVF query; as nlist local rows every broadcast is metadata-cheap
+    * and the corpus is scanned exactly once, by the assignment itself.
+    */
+  private def centroidsFromSeeds(corpus: DataFrame, vecCol: String,
+                                 seeds: Array[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val elemT = corpus.schema(vecCol).dataType.asInstanceOf[ArrayType]
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", elemT)))
+    val rows: Seq[Row] = seeds.toSeq.zipWithIndex.map { case (v, i) => Row(i, v) }
+    corpus.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
   /** IVF coarse quantizer: `nlist` centroids picked deterministically by
     * md5-hash order of the id — engine-portable (any engine with md5
-    * derives the same seeds), no RNG, no iterative training. At build
-    * scale this is a LIMIT over a hash sort (cheap); swapping in k-means
+    * derives the same seeds), no RNG, no iterative training. The seeds
+    * collect to a local relation (nlist rows, model metadata — the same
+    * bounded-collect contract as [[pqCodebooks]]); swapping in k-means
     * centroids changes only this function.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int): DataFrame = {
     ensureDot(corpus)
+    centroidsFromSeeds(corpus, vecCol, seedVectors(corpus, idCol, vecCol, nlist))
+  }
+
+  /** The lazy-plan spelling of [[ivfCentroids]] — same rows, same order,
+    * same cids, but left as a plan over the corpus. For consumers that
+    * read the seed table exactly once (the k-means iteration seam),
+    * where a separate collect job buys nothing at any scale.
+    */
+  private def ivfCentroidsPlan(corpus: DataFrame, idCol: String, vecCol: String,
+                               nlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val seeds = corpus
       .select(col(idCol).as("__seed_id"), col(vecCol).as("cvec"))
       .withColumn("__h", md5(col("__seed_id").cast("string")))
@@ -161,7 +207,11 @@ object Similarity {
   def ivfCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
                          nlist: Int, iters: Int = 3): DataFrame = {
     ensureDot(corpus)
-    var cent = ivfCentroids(corpus, idCol, vecCol, nlist)
+    // the hash-order seeds here are consumed exactly ONCE (iteration 1's
+    // assignment pass), so the collected-local-relation form buys
+    // nothing at scale and costs one extra serial collect job locally
+    // (measured +0.2 s) — keep the lazy plan spelling for this seam
+    var cent = ivfCentroidsPlan(corpus, idCol, vecCol, nlist)
     var i = 0
     while (i < iters) {
       // assignment carries the vector — the per-iteration mean needs no
@@ -309,14 +359,12 @@ object Similarity {
     * (model metadata, not data), safe to collect and embed as literals.
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int, k: Int): Array[Array[Array[Double]]] = {
-    val seeds = corpus
-      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
-      .withColumn("__h", md5(col("__sid").cast("string")))
-      .orderBy(col("__h").asc, col("__sid").asc)
-      .limit(k)
-      .collect() // k rows, bounded by construction
-    val vecs = seeds.map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
+                  m: Int, k: Int): Array[Array[Array[Double]]] =
+    codebooksFromSeeds(seedVectors(corpus, idCol, vecCol, k), m)
+
+  private def codebooksFromSeeds(seeds: Array[Seq[Any]],
+                                 m: Int): Array[Array[Array[Double]]] = {
+    val vecs = seeds.map(_.map(_.asInstanceOf[Number].doubleValue).toArray)
     val dim = vecs.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -422,8 +470,13 @@ object Similarity {
                 centroids: Option[DataFrame] = None,
                 codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     ensureDot(corpus)
-    val cent = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
-    val cb = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, kcode))
+    // centroid seeds and codebook seeds share the same deterministic
+    // md5-hash order, so when both default they come from ONE bounded
+    // collect (take nlist / take kcode of the same prefix) instead of
+    // two separate seed passes over the corpus
+    lazy val seeds = seedVectors(corpus, idCol, vecCol, math.max(nlist, kcode))
+    val cent = centroids.getOrElse(centroidsFromSeeds(corpus, vecCol, seeds.take(nlist)))
+    val cb = codebooks.getOrElse(codebooksFromSeeds(seeds.take(kcode), m))
     val dsub = cb(0)(0).length
     // corpus side: inverted-list id and PQ code in ONE pass — the
     // map-only code expression rides the arg-max aggregate as a carried

@@ -411,7 +411,7 @@ object PipelineQueries extends QueryPack {
       // with id-derived rate/frames/amplitude, parse them back with the
       // RIFF decoder, extract signal features — the oracle states the
       // closed-form ground truth the decode must recover
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 200))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 200))
         .select(col("event_id"),
           (lit(8000) + (col("event_id") % 3) * 4000).cast("int").as("rate"),
           (lit(50) + col("event_id") % 100).cast("int").as("frames"),
@@ -435,7 +435,7 @@ object PipelineQueries extends QueryPack {
       // URL-level dedup: canonicalize (lowercase scheme/host, default
       // ports, fragments, tracking params, trailing slash) then count
       // per canonical key — the map-only first pass of web-corpus dedup
-      val ev = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 400))
+      val ev = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 400))
       val url = concat(
         when(col("event_id") % 4 === 0, lit("HTTPS://Example.COM:443"))
           .when(col("event_id") % 4 === 1, lit("http://example.com:80"))
@@ -461,7 +461,7 @@ object PipelineQueries extends QueryPack {
       // an ID3v2 tag to skip) and FLAC STREAMINFO blocks from
       // id-derived parameters; the decoder must recover the closed-form
       // rate / frame-count / duration stated by the oracle
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 120))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 120))
         .select(col("event_id"),
           (lit(9) + col("event_id") % 3).cast("int").as("br_idx"),   // 128/160/192 kbps
           (col("event_id") % 3).cast("int").as("sr_idx"),            // 44100/48000/32000
@@ -489,7 +489,7 @@ object PipelineQueries extends QueryPack {
       // bit-field walk must recover exactly the closed-form values the
       // oracle states (ISO/IEC 11172-3 2.4.1.7; the remaining stub seam
       // is only the perceptual filter-bank synthesis)
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 150))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 150))
         .select(col("event_id"),
           (lit(9) + col("event_id") % 3).cast("int").as("br_idx"),
           (col("event_id") % 3).cast("int").as("sr_idx"),
@@ -514,7 +514,7 @@ object PipelineQueries extends QueryPack {
       // then the ITU-T companding decode must recover exactly the
       // quantized level the oracle states (constant signal → RMS*32768
       // = the companded codeword's linear value, zero crossings = 0)
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 200))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 200))
         .select(col("event_id"),
           lit(8000).cast("int").as("rate"),
           (lit(100) + col("event_id") % 50).cast("int").as("frames"),
@@ -539,7 +539,7 @@ object PipelineQueries extends QueryPack {
       // square wave are synthesized per row; the decoder must recover
       // the bit-exact samples — RMS and peak equal amp/32768 exactly,
       // zero-crossing rate is the closed-form flip count
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 150))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 150))
         .select(col("event_id"),
           lit(44100).cast("int").as("rate"),
           (lit(2048) + (col("event_id") % 4) * 1024).cast("int").as("frames"),
@@ -562,7 +562,7 @@ object PipelineQueries extends QueryPack {
       // counts are closed-form for the synthetic pattern corpus ('abc'
       // collapses to one </w>-terminated piece, 'xyz' stays 4 symbols)
       val merges = Seq(("a", "b"), ("ab", "c"), ("abc", Bpe.Eow))
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 200))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 200))
         .select(col("event_id"),
           (lit(1) + col("event_id") % 4).cast("int").as("k"),
           (col("event_id") % 3).cast("int").as("j"))
@@ -578,7 +578,7 @@ object PipelineQueries extends QueryPack {
       // real FFT encoder, oracle-gated: bin-aligned sine tones embed as
       // one-hot band vectors (period divides the FFT frame, zero
       // leakage; quantization noise ~2e-5 vanishes at 4-dp rounding)
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 150))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 150))
         .select(col("event_id"),
           lit(32000).cast("int").as("rate"),
           lit(2048).cast("int").as("frames"),
@@ -601,7 +601,7 @@ object PipelineQueries extends QueryPack {
       // real DCT image encoder, oracle-gated: lossless 32x32 PNGs (solid
       // or half-split) have closed-form DCT coefficients the oracle
       // recomputes from 16-term cosine sums; +0.0 folds -0.0 to 0.0
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 120))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 120))
         .select(col("event_id"),
           (lit(16) + (col("event_id") % 13) * 17).cast("int").as("shade"),
           (((lit(16) + (col("event_id") % 13) * 17) * 3 + 60) % 240).cast("int").as("shade2"),
@@ -621,7 +621,7 @@ object PipelineQueries extends QueryPack {
       // JPEG frames round-trip sample-exact through the JDK codec, so
       // per-frame mean luma equals the synthesized shade and pts comes
       // straight off the stts sample table
-      val src = Tables.spread(s, dir, "events", Tables.events(s, dir).filter(col("event_id") < 80))
+      val src = Tables.spread(s, Tables.events(s, dir).filter(col("event_id") < 80))
         .select(col("event_id"),
           (lit(3) + col("event_id") % 4).cast("int").as("frames"),
           element_at(array(lit(10), lit(25), lit(50)),

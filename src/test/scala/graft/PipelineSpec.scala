@@ -145,6 +145,17 @@ class PipelineSpec extends SparkSpec {
     assert(cl2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clusters: string node ids converge to correct components") {
+    // Non-numeric labels can't ride the Σ-lbl decimal metric (the cast
+    // yields null per row, and a null sum reads as "empty ⇒ fixpoint"),
+    // so they must route to the explicit-diff convergence check —
+    // transitivity across the a-b-c chain proves more than one round ran.
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("a", "b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cl == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("clusters: long path needs multiple propagation rounds") {
     // 0-1-2-...-9 path: min label must travel 9 hops
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
@@ -941,15 +952,46 @@ class PipelineSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
     val df = spark.read.parquet(s"$dir/t.parquet")
     val par = spark.sparkContext.defaultParallelism
-    val small = graft.Tables.spread(spark, dir, "t", df)
+    val small = graft.Tables.spread(spark, df)
     assert(small.rdd.getNumPartitions == par, "small scan must spread to defaultParallelism")
     assert(small.orderBy("id").collect().map(_.getLong(0)).toSeq == (0L until 100L).toSeq)
     // force the estimated split count above parallelism → must be a no-op
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
-      val big = graft.Tables.spread(spark, dir, "t", df)
+      val big = graft.Tables.spread(spark, df)
       assert(big eq df, "large estimated scans must pass through untouched")
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("Tables.spread sizes directory-layout tables by their data files, not the dir entry") {
+    // A multi-file directory table whose DATA is large relative to the
+    // split size: the old java.io.File.length() gate saw the ~4 KB
+    // directory entry (or 0 on a remote FS) and fired an unconditional
+    // reshuffle on exactly the inputs that must pass through untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread-dir").toString
+    spark.range(200000).selectExpr("id", "repeat(cast(id as string), 8) AS s")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/big.parquet")
+    val df = spark.read.parquet(s"$dir/big.parquet")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // data files are ~1 MB; 16 KB splits → far more estimated splits
+      // than any local parallelism → the gate must NOT add an exchange
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      val out = graft.Tables.spread(spark, df)
+      assert(out eq df,
+        "directory-layout table with many estimated splits must pass through untouched")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    // and a genuinely tiny directory table still gets the floor
+    spark.range(100).selectExpr("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/small.parquet")
+    val tiny = spark.read.parquet(s"$dir/small.parquet")
+    val spreadTiny = graft.Tables.spread(spark, tiny)
+    assert(spreadTiny.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // non-file-scan leaves (local relations) report unknown size → no-op
+    import spark.implicits._
+    val local = Seq((1L, "x")).toDF("id", "s")
+    assert(graft.Tables.spread(spark, local) eq local,
+      "non-file-scan inputs must pass through untouched")
   }
 }
