@@ -1092,16 +1092,18 @@ object Catalog {
         ns => ns.contains("information_schema") || ns.contains("pg_catalog")))
       .map(t => (t.name, t.tableType == "VIEW" || t.isTemporary))
 
-  def informationSchemaTables(spark: SparkSession): DataFrame = {
+  def informationSchemaTables(spark: SparkSession,
+                              uts: Seq[(String, Boolean)] = null): DataFrame = {
     import spark.implicits._
-    userTables(spark).map { case (n, isView) =>
+    Option(uts).getOrElse(userTables(spark)).map { case (n, isView) =>
       ("qdb", "public", n, if (isView) "VIEW" else "BASE TABLE")
     }.toDF("table_catalog", "table_schema", "table_name", "table_type")
   }
 
-  def informationSchemaColumns(spark: SparkSession): DataFrame = {
+  def informationSchemaColumns(spark: SparkSession,
+                               uts: Seq[(String, Boolean)] = null): DataFrame = {
     import spark.implicits._
-    userTables(spark).flatMap { case (n, _) =>
+    Option(uts).getOrElse(userTables(spark)).flatMap { case (n, _) =>
       spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
         ("qdb", "public", n, f.name, i + 1, sqlTypeName(f.dataType), f.nullable)
       }
@@ -1129,7 +1131,8 @@ object Catalog {
     * reltuples FLOAT -1.0, a static pg_class self-row under oid 1259 /
     * namespace 11 with persistence 'u' and relispopulated false; user
     * tables carry their monotonic table id as oid). */
-  def pgClass(spark: SparkSession): DataFrame = {
+  def pgClass(spark: SparkSession,
+              uts: Seq[(String, Boolean)] = null): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     def kindOf(n: String): String = {
@@ -1144,7 +1147,7 @@ object Catalog {
         pers, kind, 0.toShort, 0.toShort, false, false, false, false, false,
         pop, "d", false, 0, 0, 0, null, null, null, false, 0L)
     val rows = row(1259, "pg_class", 11, "r", "u", pop = false) +:
-      userTables(spark).map { case (n, _) =>
+      Option(uts).getOrElse(userTables(spark)).map { case (n, _) =>
         row(tableIdOf(n), n, 2200, kindOf(n), "p", pop = true) }
     val schema = StructType(Seq(
       StructField("oid", IntegerType), StructField("relname", StringType),
@@ -1169,7 +1172,8 @@ object Catalog {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  def pgAttribute(spark: SparkSession): DataFrame = {
+  def pgAttribute(spark: SparkSession,
+                  uts: Seq[(String, Boolean)] = null): DataFrame = {
     import spark.implicits._
     // column ORDER is part of the shape clients probe (reference
     // PgAttributeFunctionFactory metadata: attnum BEFORE atttypid, plus
@@ -1179,7 +1183,7 @@ object Catalog {
     // monotonic table id that joins pg_class)
     val typLen = Map(16 -> 1, 18 -> 1, 21 -> 2, 23 -> 4, 700 -> 4,
       20 -> 8, 701 -> 8, 1114 -> 8, 1184 -> 8, 2950 -> 16)
-    userTables(spark).flatMap { case (n, _) =>
+    Option(uts).getOrElse(userTables(spark)).flatMap { case (n, _) =>
       val decls = Option(declaredCols.get(n.toLowerCase)).getOrElse(Map.empty)
       spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
         // a declared CHAR(n) carries bpchar oid 1042 with PG's n+4
@@ -1221,8 +1225,19 @@ object Catalog {
     */
   def pgProc(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listFunctions().collect().toSeq
-      .filterNot(_.name.startsWith("__")).map(_.name).sorted.zipWithIndex
+    // the SessionCatalog listing is driver-only; the public
+    // spark.catalog.listFunctions() spelling runs a Spark JOB and fetches
+    // ExpressionInfo per function (~0.38 s for ~530 entries) — a tax paid
+    // on EVERY post-DDL meta rebuild. The public API additionally
+    // surfaces the synthetic operator entries (!=, <>, case, ||) from
+    // FunctionRegistry.builtinOperators; append them from the same
+    // source so the row set stays identical.
+    val names = (spark.sessionState.catalog.listFunctions("default", "*")
+        .map(_._1.funcName) ++
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+        .builtinOperators.keys)
+      .filterNot(_.startsWith("__")).distinct.sorted
+    names.zipWithIndex
       .map { case (n, i) => (10000 + i, n, 11, "f", false) }
       .toDF("oid", "proname", "pronamespace", "prokind", "proretset")
   }
@@ -1405,14 +1420,17 @@ object Catalog {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS ${literalSelect(df)}")
     }
+    // ONE catalog listing job shared by the four snapshot builders — each
+    // used to run its own spark.catalog.listTables().collect()
+    lazy val uts = userTables(spark)
     if (info && !haveInfo) {
-      reg("information_schema", "tables", informationSchemaTables(spark))
-      reg("information_schema", "columns", informationSchemaColumns(spark))
+      reg("information_schema", "tables", informationSchemaTables(spark, uts))
+      reg("information_schema", "columns", informationSchemaColumns(spark, uts))
     }
     if (pg && !havePg) {
       // catalog-dependent snapshots — refreshed after any DDL
-      reg("pg_catalog", "pg_class", pgClass(spark))
-      reg("pg_catalog", "pg_attribute", pgAttribute(spark))
+      reg("pg_catalog", "pg_class", pgClass(spark, uts))
+      reg("pg_catalog", "pg_attribute", pgAttribute(spark, uts))
       reg("pg_catalog", "pg_proc", pgProc(spark))
       // The latch alone has no recovery path if a static view is later
       // dropped (client DROP VIEW, catalog reset) — verify one sentinel

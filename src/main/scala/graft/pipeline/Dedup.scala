@@ -476,18 +476,27 @@ object Dedup {
     * SortAggregate.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val win = windowTable(df, idCol, textCol, w)
+    import org.apache.spark.sql.expressions.Window
+    // Canonical selection as ONE h-partitioned window pass. The previous
+    // spelling built a per-(h,doc) rollup (shuffle 1), aggregated it per
+    // hash (shuffle 2), and joined the result BACK to the window table
+    // (re-shuffling every (id, pos, win) row by h a second time) — three
+    // h-keyed moves of window-derived rows plus a checkpoint to share
+    // the explode between the rollup and the join legs. Per-hash
+    // occurrence count, min doc id, and that doc's min position are all
+    // unbounded-frame window aggregates over the SAME h partitioning,
+    // so the window table now shuffles exactly once, has a single
+    // consumer (no checkpoint, one Generate), and the canonical filter
+    // runs in-partition. occ = count rows per hash ≡ the old Σ cnt;
+    // __cpos = min pos among the min-id doc's rows ≡ min_by(minpos, id).
+    val byH = Window.partitionBy(col("h"))
+    val starts = windowTable(df, idCol, textCol, w)
       .withColumn("h", xxhash64(col("win")))
-      .localCheckpoint(false)
-    val perDoc = win.groupBy(col("h"), col(idCol))
-      .agg(min(col("pos")).as("minpos"), count(lit(1)).as("cnt"))
-    val canon = perDoc.groupBy(col("h"))
-      .agg(sum(col("cnt")).as("occ"), min(col(idCol)).as("__cid"),
-        expr(s"min_by(minpos, $idCol)").as("__cpos"))
-      .filter(col("occ") > 1)
-      .select(col("h"), col("__cid"), col("__cpos"))
-    val starts = win.join(canon, Seq("h"))
-      .filter(col(idCol) =!= col("__cid") || col("pos") =!= col("__cpos"))
+      .withColumn("__occ", count(lit(1)).over(byH))
+      .withColumn("__cid", min(col(idCol)).over(byH))
+      .withColumn("__cpos", min(when(col(idCol) === col("__cid"), col("pos"))).over(byH))
+      .filter(col("__occ") > 1 &&
+        (col(idCol) =!= col("__cid") || col("pos") =!= col("__cpos")))
       .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("__starts"))
     df.join(starts, Seq(idCol), "left")
       .withColumn("__w", split(trim(col(textCol)), " "))

@@ -214,10 +214,29 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
       // the per-doc rollup must collapse map-side before its shuffle
-      // (the per-(hash,doc) phase itself lives inside the checkpointed
-      // window table's own job and isn't visible in this plan)
+      // (substring_clean's canonical selection now rides h-partitioned
+      // window aggregates; its per-doc span rollup is the
+      // partial_collect_set ObjectHashAggregate)
       assert(p.contains("partial_count") || p.contains("partial_min") ||
-        p.contains("partial_sum"), q)
+        p.contains("partial_sum") || p.contains("partial_collect_set"), q)
+    }
+  }
+
+  test("no gate query plans an unpartitioned window over unbounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // "WindowExec: No Partition Defined" moves ALL rows to one partition —
+    // fatal at scale, so every declared query must partition its windows.
+    // Sole allowed exception: q_asof_nokey_range's prevailing-value window
+    // runs over the derived BUCKET table (one row per time bucket, bounded
+    // by the chosen stride — guide-§8 "decide on small rows"), never over
+    // the raw event rows.
+    val allow = Set("q_asof_nokey_range")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allow(name)) {
+      val hits = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          w.windowExpressions.map(_.sql).mkString("; ").take(100)
+      }
+      assert(hits.isEmpty, s"$name plans an unpartitioned Window: ${hits.mkString(" | ")}")
     }
   }
 
