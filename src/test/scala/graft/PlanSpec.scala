@@ -222,6 +222,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("session keeps AQE + skew-join + coalescing on (preferSortMergeJoin=false safety net)") {
+    // preferSortMergeJoin=false lets the planner pick shuffled-hash from
+    // size ESTIMATES; on exploded intermediates those misestimate, and
+    // the runtime guard against an unspillable build side is AQE's skew
+    // handling/fallback — these must never be turned off with it.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+  }
+
   test("no gate query plans an unpartitioned window over unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // "WindowExec: No Partition Defined" moves ALL rows to one partition —
