@@ -110,7 +110,10 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, threshold: Double,
                     centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nlist))
+    // default centroids are broadcast exactly ONCE (the assignment pass
+    // below) — single consumer, so the lazy-plan seeds cost the same
+    // corpus passes as a collect and skip the extra serial collect job
+    val cent = centroids.getOrElse(ivfCentroidsPlan(df, idCol, vecCol, nlist))
     // assignment carries the vector through the arg-max aggregate (one
     // corpus pass; no id-keyed re-attach join). Consumed by both
     // pair-join legs and the final projection — the lazy local
